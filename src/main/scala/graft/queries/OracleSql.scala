@@ -1,0 +1,158 @@
+package graft.queries
+
+/** DuckDB-runnable oracle SQL for every query in [[RelationalQueries]]
+  * (SURVEY.md §2.9, validated row-identical Spark↔DuckDB at sf0.01/sf0.1
+  * on 2026-08-12). Column aliases here must match the Spark-side output
+  * column names exactly — the driver sorts columns by name before
+  * hashing values.
+  */
+object OracleSql {
+
+  val all: Map[String, String] = Map(
+    "q01_scan_project_sort" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q02_filter_string_funcs" ->
+      """SELECT c_custkey, upper(trim(c_name)) AS nm, length(c_name) AS ln
+        |FROM customer WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q03_regex_trycast" ->
+      """SELECT p_partkey, regexp_extract(p_type, '[A-Z]+', 0) AS ty,
+        |       CASE WHEN try_cast(p_brand AS DOUBLE) IS NULL THEN 1 ELSE 0 END AS nonnum
+        |FROM part WHERE p_name LIKE '%a%' AND p_size BETWEEN 10 AND 30
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q04_join_chain_agg" ->
+      """SELECT n.n_name, count(*) AS c
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name ORDER BY c DESC, n.n_name""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_hash_agg_decimal" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       count(*) AS n
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q08_conditional_count" ->
+      """SELECT o_orderpriority,
+        |       SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS big,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q09_count_distinct" ->
+      "SELECT count(DISTINCT o_custkey) AS u FROM orders",
+
+    "q10_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin,
+
+    "q11_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, grouping(c_mktsegment) AS g, count(*) AS n
+        |FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY g, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+
+    "q12_row_number_lastwins" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q13_topk_limit" ->
+      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 25""".stripMargin,
+
+    "q14_lag_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate, o_orderkey) AS prev_ok
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q15_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q16_union_all" ->
+      """SELECT k FROM (SELECT c_custkey AS k FROM customer
+        |               UNION ALL SELECT s_suppkey AS k FROM supplier) t
+        |ORDER BY k LIMIT 100""".stripMargin,
+
+    "q17_except" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+        |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' ORDER BY k""".stripMargin,
+
+    "q18_intersect" ->
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin,
+
+    "q19_decorrelated_lookup" ->
+      """SELECT c.c_custkey,
+        |       (SELECT max(o.o_orderkey) FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey) AS last_ok
+        |FROM customer c ORDER BY c.c_custkey""".stripMargin,
+
+    "q20_json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k
+        |FROM events WHERE event_type IN ('purchase','signup') ORDER BY event_id""".stripMargin,
+
+    "q21_tumbling_window" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n,
+        |       SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |FROM events GROUP BY CAST(ts AS DATE), event_type
+        |ORDER BY d, event_type""".stripMargin,
+
+    "q22_sessionization" ->
+      """SELECT user_id, session_id, count(*) AS n FROM (
+        |  SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (SELECT user_id, ts, event_id,
+        |               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |                                       ORDER BY ts, event_id) IS NULL
+        |                         OR ts > lag(ts) OVER (PARTITION BY user_id
+        |                                       ORDER BY ts, event_id) + INTERVAL '1' HOUR
+        |                    THEN 1 ELSE 0 END AS new_s
+        |        FROM events) a) b
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q23_exact_dedup_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q24_theta_join" ->
+      """SELECT r.r_regionkey, count(*) AS n
+        |FROM region r JOIN nation n ON n.n_regionkey <= r.r_regionkey
+        |GROUP BY r.r_regionkey ORDER BY r.r_regionkey""".stripMargin,
+
+    "q25_doc_stats" ->
+      """SELECT lang, count(*) AS docs, SUM(n_chars) AS chars,
+        |       count(DISTINCT source) AS srcs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q26_length_bucketing" ->
+      """SELECT CAST(FLOOR(n_chars / 100) AS INT) AS bucket, count(*) AS n
+        |FROM documents WHERE text LIKE '%spark%'
+        |GROUP BY CAST(FLOOR(n_chars / 100) AS INT)
+        |ORDER BY bucket""".stripMargin,
+  )
+}

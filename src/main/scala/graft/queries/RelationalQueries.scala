@@ -1,0 +1,318 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The declared correctness-query inventory (SURVEY.md §2.9, Q01–Q26),
+  * each expressed Spark-first with the DataFrame API so Catalyst picks
+  * the physical strategy (broadcast vs sort-merge joins, partial+final
+  * hash aggregation, TakeOrderedAndProject for top-k, …).
+  *
+  * Hash-stability rules baked in (SURVEY §2.9): every query ends in a
+  * total-order sort matching its oracle SQL; double-typed SUMs go
+  * through DECIMAL(18,2); session timezone is UTC.
+  *
+  * Scale notes per query are inline — the guiding rule: filters and
+  * projections sit directly on the scan (pushdown), small dimensions
+  * broadcast, and only key-repartitioning aggregations/joins shuffle.
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 2)
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Q01 scan + project + sort. */
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+
+  /** Q02 filter + string funcs (trim/upper/length). Both predicates push
+    * into the parquet scan. */
+  def q02(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 1000 && col("c_mktsegment") === "BUILDING")
+      .select(
+        col("c_custkey"),
+        upper(trim(col("c_name"))).as("nm"),
+        length(col("c_name")).as("ln"))
+      .orderBy(col("c_custkey"))
+
+  /** Q03 regex extract + LIKE + try_cast validation (ref F3/F4 shape,
+    * publish_to_catalog.py:83-91,181-190). */
+  def q03(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_name").like("%a%") && col("p_size").between(10, 30))
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "[A-Z]+", 0).as("ty"),
+        when(col("p_brand").try_cast("double").isNull, lit(1))
+          .otherwise(lit(0)).as("nonnum"))
+      .orderBy(col("p_partkey"))
+
+  /** Q04 equi-join chain (ref J1). nation/region are tiny → Catalyst
+    * auto-broadcasts both sides; only the final groupBy shuffles. */
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("n_name"))
+  }
+
+  /** Q05 NOT EXISTS → left anti join (ref J2: deletion detection). */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val pend = t(spark, dir, "orders").filter(col("o_orderstatus") === "P")
+    t(spark, dir, "customer")
+      .join(pend, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q06 EXISTS → left semi join (ref J3: keep-set). */
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    val open = t(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+    t(spark, dir, "customer")
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q07 hash agg with partial+final combine (TPC-H Q1 shape, ref A1).
+    * Decimal casts make the sums accumulation-order-stable, so the
+    * map-side partial aggregation is safe at any partition count. */
+  def q07(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") < to_timestamp(lit("2000-01-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q08 conditional count (ref A1 valid/invalid split). */
+  def q08(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_totalprice") > 100000, 1).otherwise(0)).as("big"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Q09 exact count distinct (expands to a two-stage distinct agg). */
+  def q09(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("u"))
+
+  /** Q10 rollup. */
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first,
+        col("n"))
+
+  /** Q11 grouping sets + grouping() marker. */
+  def q11(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq()),
+        col("c_mktsegment"), col("c_nationkey"))
+      .agg(grouping(col("c_mktsegment")).as("g"), count(lit(1)).as("n"))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("g"), col("n"))
+      .orderBy(
+        col("g"),
+        col("c_mktsegment").asc_nulls_first,
+        col("c_nationkey").asc_nulls_first)
+
+  /** Q12 last-wins-by-key via row_number (ref A4: dict-overwrite
+    * semantics of updateChangeLog, publish_to_catalog.py:93-124).
+    * One shuffle on the partition key; no global sort until the end. */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Q13 top-k: orderBy + limit compiles to TakeOrderedAndProject —
+    * per-partition top-k then a driver-side merge, no global sort. */
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(25)
+      .select(col("c_custkey"), col("c_acctbal").cast(dec).as("bal"))
+
+  /** Q14 lag analytic (ref W2). */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_ok"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q15 running-frame sum (ref W2). */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(dec)).over(w).as("run"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q16 union all (ref U1: cross-feed row accumulation). */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey").as("k"))
+      .union(t(spark, dir, "supplier").select(col("s_suppkey").as("k")))
+      .orderBy(col("k"))
+      .limit(100)
+
+  /** Q17 EXCEPT (ref U2: delete-set construction). */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("k"))
+      .except(
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k")))
+      .orderBy(col("k"))
+  }
+
+  /** Q18 INTERSECT (ref U3: keep-set). */
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").as("k"))
+      .intersect(t(spark, dir, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy(col("k"))
+
+  /** Q19 per-row scalar lookup, decorrelated: aggregate-then-left-join is
+    * the plan Catalyst derives from the correlated subquery anyway, and
+    * it shuffles `orders` once on the join key instead of per-row. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val lastOk = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderkey")).as("last_ok"))
+    t(spark, dir, "customer")
+      .join(lastOk, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("last_ok"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q20 scalar extraction from JSON-ish props (ref C14, via portable
+    * regex so the oracle agrees byte-for-byte). */
+  def q20(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(
+        col("event_id"),
+        regexp_extract(col("props"), "[0-9]+", 0).cast("int").as("k"))
+      .orderBy(col("event_id"))
+
+  /** Q21 tumbling window as date-bucket agg (batch-checkable form of the
+    * streaming tumbling window, SURVEY §2.8). */
+  def q21(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("v"))
+      .orderBy(col("d"), col("event_type"))
+
+  /** Q22 sessionization via gap > 1h: lag to flag session starts, running
+    * sum to number sessions, then a keyed count. Both windows share one
+    * partitioning on user_id → a single shuffle. */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(byUser).isNull ||
+             col("ts") > lag(col("ts"), 1).over(byUser) + expr("INTERVAL '1' HOUR"),
+          1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Q23 exact dedup, distinct form (extension: dedup operator family). */
+  def q23(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q24 non-equi (theta) join — BNLJ with the 5-row region broadcast. */
+  def q24(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") <= col("r_regionkey"))
+      .groupBy(col("r_regionkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("r_regionkey"))
+
+  /** Q25 per-language doc stats (extension: text analysis). */
+  def q25(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("chars"),
+        countDistinct(col("source")).as("srcs"))
+      .orderBy(col("lang"))
+
+  /** Q26 text predicate + length bucketing. FLOOR before the INT cast is
+    * mandatory for oracle agreement (Spark truncates double→int, DuckDB
+    * rounds — SURVEY §2.9 rule 1). */
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("text").like("%spark%"))
+      .groupBy(floor(col("n_chars") / 100).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** name → impl, in declaration order. */
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q01_scan_project_sort" -> (q01 _),
+    "q02_filter_string_funcs" -> (q02 _),
+    "q03_regex_trycast" -> (q03 _),
+    "q04_join_chain_agg" -> (q04 _),
+    "q05_anti_join" -> (q05 _),
+    "q06_semi_join" -> (q06 _),
+    "q07_hash_agg_decimal" -> (q07 _),
+    "q08_conditional_count" -> (q08 _),
+    "q09_count_distinct" -> (q09 _),
+    "q10_rollup" -> (q10 _),
+    "q11_grouping_sets" -> (q11 _),
+    "q12_row_number_lastwins" -> (q12 _),
+    "q13_topk_limit" -> (q13 _),
+    "q14_lag_analytic" -> (q14 _),
+    "q15_running_sum" -> (q15 _),
+    "q16_union_all" -> (q16 _),
+    "q17_except" -> (q17 _),
+    "q18_intersect" -> (q18 _),
+    "q19_decorrelated_lookup" -> (q19 _),
+    "q20_json_extract" -> (q20 _),
+    "q21_tumbling_window" -> (q21 _),
+    "q22_sessionization" -> (q22 _),
+    "q23_exact_dedup_distinct" -> (q23 _),
+    "q24_theta_join" -> (q24 _),
+    "q25_doc_stats" -> (q25 _),
+    "q26_length_bucketing" -> (q26 _),
+  )
+}
