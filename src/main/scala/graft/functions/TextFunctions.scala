@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines, composed
+  * entirely from codegen'd built-ins (`org.apache.spark.sql.functions`)
+  * so they stay inside whole-stage codegen — no UDFs on the hot path.
+  *
+  * Generalizes the reference's cell-normalization semantics
+  * (publish_to_catalog.py:148-154 quote/whitespace strip, :156-171
+  * tokenize-by-delimiter) to corpus scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty string → empty array (split of ""
+    * yields [""], filtered here). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Lowercased alphanumeric word tokens — a BPE-ish pre-tokenizer:
+    * splits on any non-alphanumeric run, like the GPT-2 regex's word
+    * classes collapsed to [letters|digits]. */
+  def words(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Case/whitespace-normalized text for shingling. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Character n-gram shingles over the normalized text (lowercase,
+    * whitespace collapsed). `transform` over an index sequence keeps it
+    * in Catalyst; for n-char windows over an m-char doc there are
+    * m-n+1 shingles. Docs shorter than n → empty array.
+    *
+    * NOTE: materializing shingle *strings* is O(len²) (substring
+    * re-scans UTF-8 offsets) — hot paths should use the single-pass
+    * [[graft.functions.ShingleFunctions.shingle_hashes]] instead; this
+    * form exists for debugging/inspection. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = normText(text)
+    when(length(norm) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(norm) - (n - 1)),
+        i => substring(norm, i, lit(n))))
+  }
+
+  /** Word n-gram shingles (arrays of n consecutive word tokens joined
+    * by a space). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " ")))
+  }
+
+  /** Exact Jaccard similarity of two token-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(null).cast("double")).otherwise(inter / uni)
+  }
+
+  // --- language identification (stopword/char-class heuristic) -------
+
+  /** Tiny per-language function-word profiles. A real pipeline would
+    * load trained n-gram profiles; the heuristic keeps the operator
+    * deterministic and dependency-free while exercising the same plan
+    * shape (per-doc scoring against broadcast profiles). */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "as", "was", "on", "are", "this"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "eine", "zu", "den", "im", "für", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para", "del"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "est", "que", "pour", "dans", "du", "sur"),
+  )
+
+  /** Per-language stopword hit count for `ws` = words(text). */
+  private def score(ws: Column, lang: String): Column =
+    size(array_intersect(ws, array(stopwords(lang).map(lit): _*)))
+
+  /** `lang_id(text)` → predicted language code in {en,de,es,fr,zh,und}.
+    * CJK characters dominate (zh has no space-delimited stopwords);
+    * otherwise argmax of stopword hits, `und` when no profile fires. */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val langs = stopwords.keys.toSeq.sorted
+    // array of (score, lang) structs; array_max picks lexicographically
+    // largest = highest score, ties broken by later language code.
+    val scored = array(langs.map(l =>
+      struct(score(ws, l).as("s"), lit(l).as("l"))): _*)
+    val best = array_max(scored)
+    when(text.rlike("[\\p{IsHan}]"), lit("zh"))
+      .when(best.getField("s") > 0, best.getField("l"))
+      .otherwise(lit("und"))
+  }
+
+  // --- quality scoring ----------------------------------------------
+
+  /** Heuristic quality features (Gopher/C4-style corpus filters):
+    * doc length, mean word length, alpha ratio, punctuation density,
+    * stopword ratio — plus a single [0,1] score combining them. */
+  def qualityFeatures(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val ws = words(text)
+    val nWords = size(ws).cast("double")
+    val meanWordLen = when(nWords > 0,
+      aggregate(ws, lit(0.0), (acc, w) => acc + length(w)) / nWords)
+    val alphaRatio = when(nChars > 0,
+      length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") / nChars)
+    val punctRatio = when(nChars > 0,
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") / nChars)
+    val allStops = array(stopwords.values.flatten.toSeq.distinct.map(lit): _*)
+    val stopRatio = when(nWords > 0,
+      size(array_intersect(ws, allStops)).cast("double") / nWords)
+    struct(
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      alphaRatio.as("alpha_ratio"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"))
+  }
+
+  /** Scalar quality score in [0,1]: penalize too-short docs, extreme
+    * word lengths, low alpha ratio, punctuation walls. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenOk = when(f.getField("n_words").between(5, 100000), 1.0).otherwise(0.0)
+    val wordLenOk = when(f.getField("mean_word_len").between(2.0, 12.0), 1.0).otherwise(0.0)
+    val alphaOk = coalesce(f.getField("alpha_ratio"), lit(0.0))
+    val punctOk = lit(1.0) - least(coalesce(f.getField("punct_ratio"), lit(0.0)) * 5, lit(1.0))
+    round((lenOk + wordLenOk + alphaOk + punctOk) / 4, 6)
+  }
+
+  // --- fingerprinting -----------------------------------------------
+
+  /** Bottom-k document fingerprint: the k smallest distinct shingle
+    * hashes — an order-invariant locality sketch (winnowing's bottom-k
+    * cousin); equal fingerprints ⇒ near-identical content. */
+  def fingerprint(text: Column, shingleLen: Int = 8, k: Int = 16): Column =
+    slice(array_sort(array_distinct(
+      ShingleFunctions.shingle_hashes(normText(text), shingleLen))), 1, k)
+}

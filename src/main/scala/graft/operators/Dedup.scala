@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.functions.HashFunctions._
+import graft.functions.ShingleFunctions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for corpus-scale pipelines —
+  * generalizes the reference's keyed last-wins dedup
+  * (publish_to_catalog.py:93-124) from exact keys to content and
+  * near-duplicate identity.
+  *
+  * Scale design, common to all operators here:
+  *  - candidate generation is always a *bucket equi-join* (shuffle on a
+  *    sketch key), never a cross join — pair count stays near-linear in
+  *    corpus size for realistic duplicate rates;
+  *  - sketches are computed once per document in a single projection
+  *    (map-side, inside codegen where possible), so the only wide
+  *    exchanges are the bucket join and the final pair dedup;
+  *  - hot buckets (boilerplate/empty docs) are the skew risk: callers
+  *    should pre-filter degenerate docs; AQE skew-join handles the rest.
+  */
+object Dedup {
+
+  /** Cache AND eagerly materialize a sketch frame that fans out to
+    * multiple join branches. Without the eager pass, the branches'
+    * scan stages race: each starts before the cache is populated and
+    * recomputes the full sketch. One extra pass over the (small)
+    * sketch table beats 2-3 recomputations of corpus-wide hashing. */
+  private def materialize(df: DataFrame): DataFrame = { df.cache(); df.count(); df }
+
+  /** Exact content dedup: one surviving row (min id) per distinct value
+    * of `contentCol`. Hash-groupBy on a uniform key → no skew. */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Sketch table: doc id + minhash signature over character shingles
+    * (single-pass shingle hashing, see ShingleHashes). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 5, numHashes: Int = 64): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      minhash_longs(shingle_hashes(normText(col(textCol)), shingleLen),
+        numHashes).as("sig"))
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle → minhash (k = bands·rowsPerBand) → band-bucket join →
+    * signature-estimated Jaccard filter. Two LSH docs land in the same
+    * bucket iff one band of their signatures agrees — probability
+    * 1-(1-j^r)^b for true Jaccard j, the classic S-curve.
+    *
+    * Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    */
+  def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    // Materialized sketch table: it feeds the band explode AND both
+    // sides of the estimate join — 3 consumers that would otherwise
+    // re-shingle and re-hash the full corpus. At scale this is the
+    // standard materialize-the-sketch-table step (~1 KB/doc ≪ corpus).
+    val sigs = materialize(
+      minhashSignatures(docs, idCol, textCol, shingleLen, k)
+        .filter(col("sig").isNotNull))
+
+    // one row per (doc, band): band id + hash of that signature slice
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc_id", "band", "band_hash")
+
+    // bucket join: same band + same slice hash → candidate pair
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // estimate Jaccard as the fraction of agreeing signature slots
+    val withSigs = candidates
+      .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+    withSigs.select(
+        col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** SimHash near-duplicate pairs. 64-bit sketch per doc; split into
+    * `chunks` equal bit-chunks and bucket-join on any equal chunk — by
+    * pigeonhole, every pair within Hamming distance < chunks shares at
+    * least one exact chunk, so recall is 1.0 for maxHamming ≤ chunks-1.
+    * Output: (doc_a, doc_b, hamming). */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val bitsPerChunk = 64 / chunks
+    val sk = materialize(docs.select(
+        col(idCol).as("doc_id"),
+        simhash(words(col(textCol))).as("sk"))
+      .filter(col("sk").isNotNull)) // feeds both sides of the chunk-bucket self-join
+    val chunked = sk.select(
+      col("doc_id"), col("sk"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col("sk"), c * bitsPerChunk)
+          .bitwiseAND(lit((1L << bitsPerChunk) - 1))): _*)))
+      .toDF("doc_id", "sk", "chunk", "chunk_val")
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming64(col("a.sk"), col("b.sk")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Word-n-gram Jaccard near-dup with prefix filtering: candidates
+    * must share one of the `prefixK` smallest shingle hashes (a
+    * bottom-k prefix filter — any pair with Jaccard ≥ t shares a
+    * bottom hash with high probability), then exact Jaccard verifies.
+    * Output: (doc_a, doc_b, jaccard). */
+  def ngramJaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, prefixK: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    // Sketch = sorted distinct shingle-hash array; Jaccard over hashes
+    // equals Jaccard over shingles (collisions negligible at 64 bits)
+    // and shuffles 8-byte longs instead of repeated shingle strings.
+    // Cached: feeds the prefix explode and both verify joins.
+    val sh = materialize(docs.select(
+        col(idCol).as("doc_id"),
+        array_sort(array_distinct(
+          ngram_hashes(words(col(textCol)), ngram))).as("hashes"))
+      .filter(size(col("hashes")) > 0))
+    val prefixes = sh.select(
+      col("doc_id"),
+      explode(slice(col("hashes"), 1, prefixK)).as("ph"))
+    val a = prefixes.as("a"); val b = prefixes.as("b")
+    val cand = a.join(b,
+        col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(sorted_jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold. Candidate
+    * generation via random-hyperplane LSH (see [[Similarity.hyperplaneBucket]])
+    * keeps this off the O(n²) cross join; exact cosine verifies. Docs
+    * whose embeddings disagree in every probed bucket are missed —
+    * recall/cost tuned by `nPlanes` (fewer planes = bigger buckets). */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+    val bucketed = materialize(emb.select(
+        col(idCol).as("doc_id"), col(vecCol).as("vec"),
+        Similarity.hyperplaneBucket(col(vecCol), nPlanes, dim = 64).as("bucket")))
+    val a = bucketed.as("a"); val b = bucketed.as("b")
+    a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(cosine_similarity(col("a.vec"), col("b.vec")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the LLM-pipeline extension operators (dedup,
+  * similarity search, text analysis) over the `documents` and
+  * `embeddings` fixture tables.
+  *
+  * Where DuckDB can express the semantics exactly, the oracle lives in
+  * [[OracleSql.extensions]]; sketch-based operators (minhash / simhash /
+  * LSH) are engine-specific and get the driver's rows-only check, with
+  * exact expectations pinned by the ScalaTest specs instead.
+  *
+  * Thresholds here are tuned to the synthetic corpus (random word-salad
+  * docs, uncorrelated random embeddings) so every query returns a
+  * non-empty, deterministic, totally-ordered result at every sf.
+  */
+object ExtensionQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** x01 exact content dedup (hash-groupBy). */
+  def x01(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text")
+      .orderBy(col("keep_id"))
+
+  /** x02 MinHash+LSH near-dup pairs. The corpus plants near-dups at
+    * char-5 Jaccard ≥ 0.5 over a ~0.18 word-salad background, so
+    * r=8 rows/band crushes background candidates (P(collide|j=0.2) ≈
+    * 4e-5) while catching planted dups with P ≈ 1. */
+  def x02(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDup(docs(s, dir), "doc_id", "text",
+        shingleLen = 5, bands = 16, rowsPerBand = 8, minJaccard = 0.35)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** x03 SimHash near-dup pairs within Hamming distance 8 of 64. */
+  def x03(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(docs(s, dir), "doc_id", "text",
+        maxHamming = 8, chunks = 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** x04 word-3-gram Jaccard near-dup with bottom-k prefix filter. */
+  def x04(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardNearDup(docs(s, dir), "doc_id", "text",
+        ngram = 3, prefixK = 4, minJaccard = 0.2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** x05 embedding-cosine near-dup via hyperplane LSH buckets. */
+  def x05(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding",
+        minCosine = 0.15, nPlanes = 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def queryVectors(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  /** x06 brute-force exact cosine top-10 for 5 query vectors. */
+  def x06(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(s, dir), queryVectors(s, dir), k = 10)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** x07 LSH-bucketed ANN top-10 (approximate recall, exact rescoring
+    * inside the probed bucket). */
+  def x07(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(emb(s, dir), queryVectors(s, dir), k = 10, nPlanes = 6)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** x08 language-ID confusion matrix (n-gram/stopword heuristic vs the
+    * labeled lang column). */
+  def x08(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langConfusion(docs(s, dir))
+
+  /** x09 per-doc quality score, bucketed distribution. */
+  def x09(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(floor(qualityScore(col("text")) * 10).cast("int").as("q_bucket"))
+      .groupBy(col("q_bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("q_bucket"))
+
+  /** x10 per-doc whitespace token count. */
+  def x10(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** x11 per-doc content fingerprint (bottom-16 shingle hashes),
+    * surfaced as a single stable hash. */
+  def x11(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), xxhash64(fingerprint(col("text"))).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "x01_exact_dedup" -> (x01 _),
+    "x02_minhash_lsh_neardup" -> (x02 _),
+    "x03_simhash_neardup" -> (x03 _),
+    "x04_ngram_jaccard_neardup" -> (x04 _),
+    "x05_embedding_neardup" -> (x05 _),
+    "x06_cosine_topk_bruteforce" -> (x06 _),
+    "x07_cosine_topk_lsh" -> (x07 _),
+    "x08_lang_id_confusion" -> (x08 _),
+    "x09_quality_score_hist" -> (x09 _),
+    "x10_token_count" -> (x10 _),
+    "x11_fingerprint" -> (x11 _),
+  )
+
+  /** Oracles for the SQL-expressible subset. DuckDB-dialect is fine
+    * here (the oracle only ever runs in DuckDB); double math is forced
+    * via ::DOUBLE[] casts so both engines accumulate in float64 in
+    * array order. */
+  val oracles: Map[String, String] = Map(
+    "x01_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "x06_cosine_topk_bruteforce" ->
+      """SELECT query_id, vec_id, cosine, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |         round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine,
+        |         row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+        |                    c.vec_id) AS rank
+        |  FROM embeddings c CROSS JOIN embeddings q WHERE q.vec_id < 5) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "x10_token_count" ->
+      """SELECT doc_id, len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

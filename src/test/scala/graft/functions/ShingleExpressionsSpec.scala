@@ -1,0 +1,86 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.ShingleFunctions._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class ShingleExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingle_hashes yields len-n+1 hashes, deterministic") {
+    val df = Seq("abcdef").toDF("t")
+    val h1 = df.select(shingle_hashes($"t", 3)).as[Seq[Long]].head()
+    val h2 = df.select(shingle_hashes($"t", 3)).as[Seq[Long]].head()
+    assert(h1.length == 4) // abc bcd cde def
+    assert(h1 == h2)
+    // equal shingles hash equal: "abcabc" windows 1 and 4 are both "abc"
+    val h3 = Seq("abcabc").toDF("t").select(shingle_hashes($"t", 3)).as[Seq[Long]].head()
+    assert(h3(0) == h3(3))
+  }
+
+  test("shingle_hashes handles multi-byte codepoints by codepoint count") {
+    val h = Seq("héllo").toDF("t").select(shingle_hashes($"t", 2)).as[Seq[Long]].head()
+    assert(h.length == 4) // hé él ll lo
+  }
+
+  test("short input gives empty array, null gives null") {
+    val h = Seq("ab").toDF("t").select(shingle_hashes($"t", 3)).as[Seq[Long]].head()
+    assert(h.isEmpty)
+    val r = Seq(Option.empty[String]).toDF("t").select(shingle_hashes($"t", 3)).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("ngram_hashes is order-sensitive and counts m-n+1") {
+    val df = Seq(Seq("a", "b", "c", "a", "b")).toDF("ts")
+    val h = df.select(ngram_hashes($"ts", 2)).as[Seq[Long]].head()
+    assert(h.length == 4) // ab bc ca ab
+    assert(h(0) == h(3)) // same bigram "a b"
+    assert(h(0) != h(1))
+    // order matters: (a,b) != (b,a)
+    val g = Seq(Seq("b", "a")).toDF("ts").select(ngram_hashes($"ts", 2)).as[Seq[Long]].head()
+    assert(g(0) != h(0))
+  }
+
+  test("minhash_longs: k values, identical sets identical sigs, empty -> null") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(3L, 2L, 1L), Seq.empty[Long]))
+      .toDF("a", "b", "e")
+    val row = df.select(
+      minhash_longs($"a", 32), minhash_longs($"b", 32), minhash_longs($"e", 32)).collect()(0)
+    val sa = row.getSeq[Long](0); val sb = row.getSeq[Long](1)
+    assert(sa.length == 32)
+    assert(sa == sb) // set semantics: order-insensitive
+    assert(row.isNullAt(2))
+  }
+
+  test("minhash signature similarity estimates jaccard") {
+    // two 100-token sets sharing 80 tokens: j = 80/120 ~ 0.67
+    val a = (1 to 100).map(_.toLong)
+    val b = (21 to 120).map(_.toLong)
+    val df = Seq((a, b)).toDF("a", "b")
+    val est = df.select(
+        zip_with(minhash_longs($"a", 256), minhash_longs($"b", 256),
+          (x, y) => when(x === y, 1).otherwise(0)).as("eq"))
+      .select(aggregate($"eq", lit(0), _ + _).cast("double") / 256)
+      .as[Double].head()
+    assert(math.abs(est - 80.0 / 120.0) < 0.1, s"est=$est")
+  }
+
+  test("sorted_jaccard matches set jaccard") {
+    val df = Seq((Seq(1L, 2L, 3L, 5L), Seq(2L, 3L, 4L))).toDF("a", "b")
+    val j = df.select(sorted_jaccard($"a", $"b")).as[Double].head()
+    assert(j == 2.0 / 5.0) // inter {2,3}, union {1,2,3,4,5}
+    val e = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(sorted_jaccard($"a", $"b")).collect()(0)
+    assert(e.isNullAt(0))
+  }
+
+  test("fingerprint: equal normalized texts, equal fingerprints") {
+    val df = Seq(
+      ("the quick  brown fox", "The quick brown FOX"),
+      ("totally different content here", "the quick brown fox")).toDF("a", "b")
+    val rows = df.select(
+      (fingerprint($"a") === fingerprint($"b")).as("eq")).as[Boolean].collect()
+    assert(rows(0) && !rows(1))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: whitespace split, empties dropped") {
+    val r = Seq("  a  b\tc\nd  ", "", "   ").toDF("t")
+      .select(tokens($"t")).as[Seq[String]].collect()
+    assert(r(0) == Seq("a", "b", "c", "d"))
+    assert(r(1).isEmpty && r(2).isEmpty)
+  }
+
+  test("words: lowercase alphanumeric runs") {
+    val r = Seq("Hello, World! 42x").toDF("t")
+      .select(words($"t")).as[Seq[String]].head()
+    assert(r == Seq("hello", "world", "42x"))
+  }
+
+  test("tokenCount on fixture docs matches size(tokens)") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet").limit(50)
+    val bad = d.select((tokenCount($"text") === size(tokens($"text"))).as("ok"))
+      .filter(!$"ok").count()
+    assert(bad == 0)
+  }
+
+  test("langId identifies obvious sentences") {
+    val r = Seq(
+      "the cat is on the mat and it is warm",
+      "der Hund ist nicht mit der Katze im Haus",
+      "el perro es un animal y la casa es grande",
+      "le chien est dans la maison pour le moment",
+      "这是一个中文句子",
+      "zzz qqq xxx").toDF("t")
+      .select(langId($"t")).as[String].collect()
+    assert(r.toSeq == Seq("en", "de", "es", "fr", "zh", "und"))
+  }
+
+  test("jaccard of token arrays") {
+    val r = Seq((Seq("a", "b"), Seq("b", "c"))).toDF("a", "b")
+      .select(jaccard($"a", $"b")).as[Double].head()
+    assert(r == 1.0 / 3.0)
+  }
+
+  test("qualityScore in [0,1] and penalizes junk") {
+    val r = Seq(
+      "This is a perfectly reasonable sentence with normal words in it for scoring.",
+      "!!!! ???? ,,,, ;;;; ....").toDF("t")
+      .select(qualityScore($"t")).as[Double].collect()
+    assert(r.forall(v => v >= 0.0 && v <= 1.0))
+    assert(r(0) > r(1))
+  }
+
+  test("property: tokenCount non-negative, bounded by length, and stable under trim") {
+    val gen = Gen.listOfN(200, Gen.asciiPrintableStr)
+    val samples = gen.apply(Gen.Parameters.default, Seed(42L)).getOrElse(Nil)
+    val df = samples.toDF("t")
+    val rows = df.select(
+      tokenCount($"t").as("n"), tokenCount(trim($"t")).as("nt"), length($"t").as("l")).collect()
+    rows.foreach { r =>
+      val n = r.getInt(0)
+      assert(n >= 0 && n <= r.getInt(2) + 1)
+      assert(n == r.getInt(1)) // leading/trailing whitespace never changes the count
+    }
+  }
+}

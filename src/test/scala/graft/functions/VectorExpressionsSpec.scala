@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pair(a: Seq[Float], b: Seq[Float]) =
+    Seq((a, b)).toDF("a", "b")
+
+  test("cosine of identical vectors is 1") {
+    val r = pair(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f))
+      .select(cosine_similarity($"a", $"b")).as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    val r = pair(Seq(1f, 0f), Seq(0f, 1f))
+      .select(cosine_similarity($"a", $"b")).as[Double].head()
+    assert(r == 0.0)
+  }
+
+  test("cosine of opposite vectors is -1") {
+    val r = pair(Seq(1f, 2f), Seq(-1f, -2f))
+      .select(cosine_similarity($"a", $"b")).as[Double].head()
+    assert(math.abs(r + 1.0) < 1e-12)
+  }
+
+  test("length mismatch and zero norm give null") {
+    val r1 = pair(Seq(1f, 2f), Seq(1f, 2f, 3f))
+      .select(cosine_similarity($"a", $"b")).collect()(0)
+    assert(r1.isNullAt(0))
+    val r2 = pair(Seq(0f, 0f), Seq(1f, 2f))
+      .select(cosine_similarity($"a", $"b")).collect()(0)
+    assert(r2.isNullAt(0))
+  }
+
+  test("null input propagates") {
+    val df = Seq((Some(Seq(1f)), Option.empty[Seq[Float]])).toDF("a", "b")
+    assert(df.select(cosine_similarity($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
+  test("dot product matches hand computation") {
+    val r = pair(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))
+      .select(dot_product($"a", $"b")).as[Double].head()
+    assert(r == 32.0)
+  }
+
+  test("codegen and interpreted paths agree on real embeddings") {
+    val emb = Tables.loadEmb(spark)
+    val joined = emb.as("x").join(emb.as("y"), $"x.vec_id" < $"y.vec_id")
+      .limit(200)
+      .select(cosine_similarity($"x.embedding", $"y.embedding").as("c"))
+    val on = joined.collect().map(_.getDouble(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try joined.collect().map(_.getDouble(0))
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on.sameElements(off))
+  }
+
+  object Tables {
+    def loadEmb(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(s"$sf001/embeddings.parquet")
+  }
+}

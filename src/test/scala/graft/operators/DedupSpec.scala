@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 0
+    (3L, "completely unrelated text about database engines and query optimization plans"),
+    (4L, "yet another document discussing machine learning pipelines and feature stores")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups exact copies only") {
+    val r = Dedup.exact(corpus, "doc_id", "text")
+      .orderBy($"keep_id").collect()
+    assert(r.length == 4) // 0+1 merged
+    assert(r(0).getAs[Long]("keep_id") == 0L && r(0).getAs[Long]("n_copies") == 2L)
+    assert(r.drop(1).forall(_.getAs[Long]("n_copies") == 1L))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDup(corpus, "doc_id", "text",
+        shingleLen = 5, bands = 16, rowsPerBand = 4, minJaccard = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash est_jaccard is 1.0 for exact dups") {
+    val r = Dedup.minhashNearDup(corpus, "doc_id", "text")
+      .filter($"doc_a" === 0 && $"doc_b" === 1)
+      .select($"est_jaccard").as[Double].head()
+    assert(r == 1.0)
+  }
+
+  test("simhash finds near dups with zero distance for exact copies") {
+    val pairs = Dedup.simhashNearDup(corpus, "doc_id", "text", maxHamming = 10)
+      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 1L)) == 0)
+    assert(m.contains((0L, 2L)))
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard verifies with exact similarity") {
+    val pairs = Dedup.ngramJaccardNearDup(corpus, "doc_id", "text",
+        ngram = 3, prefixK = 4, minJaccard = 0.3)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 1L)) == 1.0)
+    assert(m((0L, 2L)) > 0.5 && m((0L, 2L)) < 1.0)
+  }
+
+  test("embedding near-dup finds identical and near-identical vectors") {
+    val vecs = Seq(
+      (0L, Seq.tabulate(64)(i => math.sin(i).toFloat)),
+      (1L, Seq.tabulate(64)(i => math.sin(i).toFloat)), // identical to 0
+      (2L, Seq.tabulate(64)(i => (math.sin(i) + 0.01).toFloat)), // near 0
+      (3L, Seq.tabulate(64)(i => math.cos(i * 3 + 1).toFloat))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+        minCosine = 0.99, nPlanes = 4)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

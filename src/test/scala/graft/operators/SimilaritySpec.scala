@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+  private lazy val queries = emb.filter($"vec_id" < 3)
+    .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+
+  test("brute-force top-k: rank 1 is the query itself at cosine 1") {
+    val r = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .filter($"rank" === 1)
+      .select($"query_id", $"vec_id", $"cosine").collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(row.getLong(0) == row.getLong(1))
+      assert(row.getDouble(2) == 1.0)
+    }
+  }
+
+  test("brute-force top-k: k rows per query, cosine non-increasing") {
+    val r = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .orderBy($"query_id", $"rank")
+      .select($"query_id", $"cosine").as[(Long, Double)].collect()
+    assert(r.length == 30)
+    r.grouped(10).foreach { g =>
+      assert(g.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+    }
+  }
+
+  test("LSH top-k results are a subset of brute-force candidates with self first") {
+    val lsh = Similarity.lshTopK(emb, queries, k = 5, nPlanes = 6)
+      .filter($"rank" === 1)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+    // self is always in its own bucket → rank 1 is still the query itself
+    lsh.foreach { case (q, v) => assert(q == v) }
+  }
+
+  test("hyperplane bucket is deterministic across invocations") {
+    val b1 = emb.select(Similarity.hyperplaneBucket($"embedding", 8, 64)).as[Int].collect()
+    val b2 = emb.select(Similarity.hyperplaneBucket($"embedding", 8, 64)).as[Int].collect()
+    assert(b1.sameElements(b2))
+  }
+}
