@@ -1,0 +1,192 @@
+package graft.pipelines
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GtfsCsv, Http, ZipFunctions}
+import graft.transform.{CatalogTransforms, StopsTransforms}
+
+/** Endpoint configuration for the catalog/stops pipelines — in
+  * production the data.bts.gov URLs (reference publish_to_catalog.py:
+  * 15-25), in tests a local stub server. */
+final case class Endpoints(
+    catalogUrl: String,      // S1: full catalog metadata (…:51-52)
+    agencyUrl: String,       // S2: agency feeds resource (…:20-21, 524-528)
+    stopsQueryUrl: String,   // S2: all-stop-locations query endpoint (…:24, 263-265)
+    stopsUpsertUrl: String,  // K1/K2 sink (…:345, 294)
+    logUrl: String,          // K4 run ledger (…:25, 574-581)
+    revisionBase: String,    // K3 revision protocol base (…:416-497)
+    placeholderZipUrl: String) // S6 fallback archive (…:22, 447-454)
+
+/** EP1/EP2 — `updateCatalog` (publish_to_catalog.py:519-545): publish
+  * one catalog dataset per consenting agency via the 4-step revision
+  * protocol, resolving existing datasets by embedded Feed ID.
+  *
+  * Parallelism upgrade over the reference (SURVEY §3.2): the per-agency
+  * revision protocol runs INSIDE executor partitions — each agency row
+  * is independent (the reference even catches per-row failures,
+  * :535-545) — so agencies publish concurrently, bounded by
+  * `repartition(parallelism)`.
+  */
+object CatalogPipeline {
+
+  /** One published-agency outcome row (changelog A2 input). */
+  private val resultSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("feed_id", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("action", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("detail", org.apache.spark.sql.types.StringType)))
+
+  def run(spark: SparkSession, ep: Endpoints, makePublic: Boolean = false,
+      parallelism: Int = 8): DataFrame = {
+
+    // network boundary #1+#2 (SURVEY §3.1): catalog once, agencies filtered
+    val catalog = Http.readJsonResource(spark, ep.catalogUrl)
+    val agencies = Http.readJsonResourceWhere(spark, ep.agencyUrl,
+      "have_consent_for_ntm = true") // F2 pushed server-side
+
+    // J1: resolve existing dataset (fourfour) by embedded Feed ID
+    val resolved = CatalogTransforms.resolveFourfour(agencies, catalog)
+
+    val revisionBase = ep.revisionBase
+    val placeholderUrl = ep.placeholderZipUrl
+    val pub = makePublic
+
+    // K3: per-agency revision protocol in executor partitions
+    val results = resolved
+      .repartition(parallelism)
+      .rdd.mapPartitions { rows =>
+        rows.map { row =>
+          val feedId = str(row, "feed_id")
+          try {
+            val fourfour = str(row, "fourfour")
+            val fetchLink = str(row, "fetch_link")
+            // S3/S6: real zip when the link answers, placeholder otherwise
+            val zip = Option(fetchLink).filter(_.nonEmpty).map(Http.get)
+              .filter(_.ok).map(_.body)
+            val bytes = zip.getOrElse(Http.get(placeholderUrl).body)
+            val action = if (fourfour == null) "created" else "updated"
+            // 4-step revision protocol (reference :445, :475, :482, :496)
+            val rev = Http.postWithRetry(s"$revisionBase/revisions" +
+                (if (fourfour != null) s"/$fourfour" else ""),
+              s"""{"action_type": "$action", "public": $pub}"""
+                .getBytes(StandardCharsets.UTF_8), "application/json")
+            require(rev.ok, s"revision: ${rev.error}")
+            val src = Http.postWithRetry(s"$revisionBase/sources",
+              s"""{"feed_id": "$feedId"}""".getBytes(StandardCharsets.UTF_8),
+              "application/json")
+            require(src.ok, s"source: ${src.error}")
+            val up = Http.postWithRetry(s"$revisionBase/upload", bytes, "application/zip")
+            require(up.ok, s"upload: ${up.error}")
+            val ap = Http.postWithRetry(s"$revisionBase/apply",
+              "{}".getBytes(StandardCharsets.UTF_8), "application/json")
+            require(ap.ok, s"apply: ${ap.error}")
+            val detail = if (zip.isDefined) "real_zip" else "placeholder_zip"
+            Row(feedId, action, detail)
+          } catch { // per-agency failure isolation (reference :544-545)
+            case e: Exception => Row(feedId, "errored", e.getMessage)
+          }
+        }
+      }
+    val changelog = spark.createDataFrame(results, resultSchema)
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(col("feed_id"))).as("feed_ids"))
+      .orderBy(col("action"))
+    changelog
+  }
+
+  private def str(row: Row, name: String): String = {
+    val i = row.fieldIndex(name)
+    if (row.isNullAt(i)) null else row.get(i).toString
+  }
+}
+
+/** EP3 — `updateTransitStopDataset` (publish_to_catalog.py:303-368):
+  * nationwide stops table refresh — fetch each tagged feed's zip,
+  * extract+validate stops, upsert valid rows, route invalid rows to
+  * the dead-letter channel, delete vanished keys, append the ledger.
+  */
+object StopsPipeline {
+
+  final case class RunReport(
+      upserted: Long, rejected: Long, deleted: Long,
+      deadFeeds: Long, responses: Seq[String])
+
+  def run(spark: SparkSession, ep: Endpoints): RunReport = {
+    import spark.implicits._
+
+    // catalog → F1 tag filter → C6 URL extract → F3 validation
+    val catalog = Http.readJsonResource(spark, ep.catalogUrl)
+    val feeds = catalog
+      .filter(CatalogTransforms.hasTag(col("tags"), "national transit map"))
+      .select(
+        StopsTransforms.extractFeedId(coalesce(col("description"), lit(""))).as("feed_id"),
+        StopsTransforms.extractFetchLink(coalesce(col("description"), lit(""))).as("url"))
+      .filter(col("feed_id") =!= "")
+      .withColumn("url_ok", StopsTransforms.urlIsValid(col("url")))
+
+    // S3: executor-side fetch; invalid URLs and dead fetches → dead letters
+    val fetched = Http.fetchUrls(feeds.filter(col("url_ok")).drop("url_ok"), "url")
+    val deadFeeds = feeds.filter(!col("url_ok")).count() +
+      fetched.filter(col("fetch_error").isNotNull).count()
+
+    // S4: zip → stops.txt text per feed
+    val stopsText = fetched.filter(col("fetch_error").isNull)
+      .select(col("feed_id"),
+        ZipFunctions.zip_entries(col("content")).as(Seq("entry_name", "bytes")))
+      .filter(col("entry_name").endsWith("stops.txt"))
+      .select(col("feed_id"), decode(col("bytes"), "UTF-8").as("text"))
+
+    // S5: distributed header-aware parse to the fixed raw-stop schema.
+    // The reference splits lines naively on ',' then strips quotes
+    // (:165, :148-154) — mirrored here; short lines drop (:166).
+    val raw = stopsText.as[(String, String)].flatMap { case (feedId, text) =>
+      val lines = text.split("\r?\n").iterator
+        .map(l => if (l.nonEmpty && l.charAt(0) == '﻿') l.substring(1) else l)
+        .filter(_.trim.length > 1).toSeq
+      if (lines.isEmpty) Iterator.empty
+      else {
+        val header = lines.head.split(",", -1).map(_.replace("\"", "").trim)
+        val idx = header.zipWithIndex.toMap
+        def cell(parts: Array[String], name: String): String =
+          idx.get(name).filter(_ < parts.length).map(parts(_)).orNull
+        lines.iterator.drop(1).map { line =>
+          val p = line.split(",", -1)
+          (feedId, cell(p, "stop_name"), cell(p, "stop_lat"), cell(p, "stop_lon"),
+            cell(p, "stop_id"), cell(p, "stop_code"), cell(p, "zone_id"),
+            cell(p, "location_type"))
+        }
+      }
+    }.toDF("feed_id", "stop_name", "stop_lat", "stop_lon",
+      "stop_id", "stop_code", "zone_id", "location_type")
+
+    // P3 + F6: derive output columns, split valid/reject
+    val (valid, invalid) = StopsTransforms.splitValid(StopsTransforms.makeStopRows(raw))
+    val validC = valid.cache()
+    val upsertRows = validC.count()
+    val rejected = invalid.count()
+
+    // K1: bulk upsert
+    val upsertResp = Http.csvUpsertSink(validC, ep.stopsUpsertUrl)
+
+    // J2 + K2: delete detection against the live table, then delete
+    val existing = Http.readJsonResource(spark, ep.stopsQueryUrl)
+      .select(col("feed_id_stop_id"))
+    val dels = CatalogTransforms.deleteSet(existing, validC, "feed_id_stop_id").cache()
+    val deleted = dels.count()
+    val delResp = if (deleted > 0)
+      Http.jsonDeleteSink(dels, "feed_id_stop_id", ep.stopsUpsertUrl) else Array.empty[(Int, String)]
+
+    // K4: ledger
+    val report = RunReport(upsertRows, rejected, deleted, deadFeeds,
+      (upsertResp ++ delResp).map(r => s"${r._1}: ${r._2}").toSeq)
+    Http.appendLogRow(ep.logUrl,
+      java.time.LocalDate.now().toString, successful = true,
+      s"upserted=${report.upserted} rejected=${report.rejected} " +
+        s"deleted=${report.deleted} dead_feeds=${report.deadFeeds}")
+    validC.unpersist(); dels.unpersist()
+    report
+  }
+}

@@ -1,0 +1,229 @@
+package graft.sources.socrata
+
+import java.util
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Http
+
+/** DataSource V2 "socrata" format — a SoQL-resource table with filter
+  * and column pushdown (SURVEY §2.1 S2, §4).
+  *
+  * The reference pushes its predicates server-side by hand-building
+  * `$where=` query strings (consent filter publish_to_catalog.py:
+  * 524-528, prefix filter :263-265). Here the same happens through
+  * Catalyst: `df.filter(...)` lands in [[SocrataScanBuilder.pushFilters]],
+  * supported predicates translate to SoQL `$where`, column pruning to
+  * `$select`, and `.explain` shows `PushedFilters` on the scan exactly
+  * like a parquet source.
+  *
+  * Usage:
+  * Registered by the Spark convention `<package>.DefaultSource`, so
+  * `format("graft.sources.socrata")` resolves it.
+  * {{{
+  * spark.read.format("graft.sources.socrata")
+  *   .option("url", "https://host/resource/xxxx.json")
+  *   .load()                       // schema inferred from a sample page
+  *   .filter($"have_consent_for_ntm" === true)   // → $where=...
+  * }}}
+  *
+  * Scale: reads page in `pageSize` chunks across `numPartitions` input
+  * partitions ($limit/$offset windows) so a large resource parallelizes
+  * across executors; each partition holds one connection.
+  */
+class DefaultSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val url = options.get("url")
+    require(url != null, "socrata source requires option 'url'")
+    val sample = Http.get(pageUrl(url, "$limit=" + options.getOrDefault("sampleSize", "100")))
+    require(sample.ok, s"socrata schema sample failed: ${sample.error}")
+    SparkSession.active.read.json(
+      SparkSession.active.createDataset(Seq(sample.bodyString))(
+        org.apache.spark.sql.Encoders.STRING)).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SocrataTable(schema, properties.get("url"),
+      Option(properties.get("pageSize")).map(_.toInt).getOrElse(10000),
+      Option(properties.get("numPartitions")).map(_.toInt).getOrElse(1))
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pageUrl(base: String, qs: String): String =
+    base + (if (base.contains("?")) "&" else "?") + qs
+}
+
+class SocrataTable(tableSchema: StructType, url: String, pageSize: Int, numPartitions: Int)
+    extends Table with SupportsRead {
+  override def schema(): StructType = tableSchema
+  override def name(): String = s"socrata($url)"
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SocrataScanBuilder(schema, url, pageSize, numPartitions)
+}
+
+class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, numPartitions: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => SoQL.translate(f).isDefined)
+    // Return ALL filters as residual: translated predicates still go
+    // server-side in $where (reducing transferred rows), but Spark
+    // re-applies them post-scan, so correctness never depends on the
+    // server honoring $where (defensive pushdown, as in the JDBC
+    // source's pushed-but-not-trusted predicates).
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // $select needs at least one column; empty prune (e.g. count(*))
+    // falls back to the narrowest field.
+    required =
+      if (requiredSchema.fields.nonEmpty) requiredSchema
+      else StructType(fullSchema.fields.take(1))
+
+  override def build(): Scan =
+    new SocrataScan(required, url, pageSize, numPartitions,
+      pushed.flatMap(SoQL.translate))
+}
+
+class SocrataScan(schema: StructType, url: String, pageSize: Int, numPartitions: Int,
+    soqlPredicates: Array[String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SocrataScan(url=$url, where=${soqlPredicates.mkString(" AND ")})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until numPartitions).map(i =>
+      SocrataPartition(i, numPartitions): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SocrataReaderFactory(schema, url, pageSize, soqlPredicates)
+}
+
+case class SocrataPartition(index: Int, of: Int) extends InputPartition
+
+class SocrataReaderFactory(schema: StructType, url: String, pageSize: Int,
+    preds: Array[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SocrataReader(schema, url, pageSize, preds,
+      p.asInstanceOf[SocrataPartition])
+}
+
+/** Pages through the resource: this partition reads global pages
+  * index, index+of, index+2·of, … until a short/empty page. */
+class SocrataReader(schema: StructType, url: String, pageSize: Int,
+    preds: Array[String], part: SocrataPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private var page: Iterator[JsonNode] = Iterator.empty
+  private var pageNo: Int = part.index
+  private var exhausted = false
+  private var current: InternalRow = _
+
+  private def fetchPage(): Unit = {
+    val qs = new StringBuilder()
+    qs.append("$limit=").append(pageSize)
+      .append("&$offset=").append(pageNo.toLong * pageSize)
+    if (preds.nonEmpty)
+      qs.append("&$where=").append(java.net.URLEncoder.encode(
+        preds.mkString(" AND "), "UTF-8"))
+    qs.append("&$select=").append(java.net.URLEncoder.encode(
+      schema.fieldNames.mkString(","), "UTF-8"))
+    val full = url + (if (url.contains("?")) "&" else "?") + qs
+    val r = Http.get(full)
+    if (!r.ok) throw new RuntimeException(s"socrata page fetch failed: ${r.error} ($full)")
+    val node = mapper.readTree(r.body)
+    val items = if (node.isArray) node.elements() else util.Collections.emptyIterator[JsonNode]()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+    items.forEachRemaining(n => buf += n)
+    if (buf.size < pageSize) exhausted = true
+    pageNo += part.of
+    page = buf.iterator
+  }
+
+  override def next(): Boolean = {
+    while (!page.hasNext && !exhausted) fetchPage()
+    if (!page.hasNext) return false
+    current = JsonRows.toRow(page.next(), schema)
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** JSON object → InternalRow for the supported field types. */
+object JsonRows {
+  def toRow(node: JsonNode, schema: StructType): InternalRow = {
+    val vals = schema.fields.map { f =>
+      val v = node.get(f.name)
+      if (v == null || v.isNull) null else convert(v, f.dataType)
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  private def convert(v: JsonNode, dt: DataType): Any = dt match {
+    case StringType =>
+      UTF8String.fromString(if (v.isTextual) v.asText() else v.toString)
+    case BooleanType => v.asBoolean()
+    case LongType => v.asLong()
+    case IntegerType => v.asInt()
+    case DoubleType => v.asDouble()
+    case ArrayType(et, _) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+      v.elements().forEachRemaining(e => buf += convert(e, et))
+      new GenericArrayData(buf.toArray)
+    case st: StructType => toRow(v, st)
+    case other => UTF8String.fromString(v.toString) // fallback as text
+  }
+}
+
+/** Catalyst v1 Filter → SoQL predicate translation (the subset SoQL
+  * supports; everything else stays a residual Spark-side filter). */
+object SoQL {
+  def translate(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => Some(s"${ident(a)} = ${literal(v)}")
+    case GreaterThan(a, v) => Some(s"${ident(a)} > ${literal(v)}")
+    case GreaterThanOrEqual(a, v) => Some(s"${ident(a)} >= ${literal(v)}")
+    case LessThan(a, v) => Some(s"${ident(a)} < ${literal(v)}")
+    case LessThanOrEqual(a, v) => Some(s"${ident(a)} <= ${literal(v)}")
+    case StringStartsWith(a, v) => Some(s"starts_with(${ident(a)}, ${literal(v)})")
+    case IsNotNull(a) => Some(s"${ident(a)} IS NOT NULL")
+    case IsNull(a) => Some(s"${ident(a)} IS NULL")
+    case In(a, vs) if vs.nonEmpty =>
+      Some(vs.map(v => s"${ident(a)} = ${literal(v)}").mkString("(", " OR ", ")"))
+    case And(l, r) =>
+      for { lt <- translate(l); rt <- translate(r) } yield s"($lt AND $rt)"
+    case Or(l, r) =>
+      for { lt <- translate(l); rt <- translate(r) } yield s"($lt OR $rt)"
+    case _ => None
+  }
+
+  private def ident(a: String): String = a
+  private def literal(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => b.toString
+    case n => n.toString
+  }
+}

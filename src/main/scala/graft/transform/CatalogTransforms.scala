@@ -1,0 +1,95 @@
+package graft.transform
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Catalog/agency-side relational semantics of the reference
+  * (SURVEY §2.2-2.4; citations into publish_to_catalog.py). */
+object CatalogTransforms {
+
+  /** F1 — null-safe tag-membership filter (:305, :505). */
+  def hasTag(tags: Column, tag: String): Column =
+    tags.isNotNull && array_contains(tags, tag)
+
+  /** P1 — thumbprint projection (:55-66): (name, feed_id) from either
+    * a catalog row (feed id embedded in description) or an agency row. */
+  def catalogThumbprint(df: DataFrame): DataFrame =
+    df.select(col("name"),
+      StopsTransforms.extractFeedId(coalesce(col("description"), lit(""))).as("feed_id"))
+
+  /** P2 — optional field with default '' (`getMetadataFieldIfExists`,
+    * :370-373). */
+  def fieldOrEmpty(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) coalesce(col(name).cast("string"), lit("")) else lit("")
+
+  /** P4 — the dataset-metadata struct (`setMetadata`, :375-411):
+    * name, description with embedded markers, tags, and the nested
+    * Common Core custom fields. */
+  def metadataStruct(agency: DataFrame): DataFrame = {
+    def f(n: String) = fieldOrEmpty(agency, n)
+    agency.select(
+      col("feed_id"),
+      struct(
+        concat(f("agency_name"), lit(" GTFS dataset")).as("name"),
+        concat(
+          lit("GTFS dataset for "), f("agency_name"),
+          lit("\nNTD Name: "), f("ntd_name"),
+          lit("\nNTD ID: "), f("ntd_id"),
+          lit("\nFeed ID: "), f("feed_id"),
+          lit("\nHas GTFS: "), f("has_gtfs"),
+          lit("\nGTFS URL: "), f("fetch_link"),
+          lit("\nAgency URL: "), f("agency_website"),
+          lit("\nUZA: "), f("uza"),
+          lit("\nLocation: "), f("city"), lit(", "), f("state")).as("description"),
+        array(lit("national transit map"), lit("gtfs"), lit("transit")).as("tags"),
+        struct(
+          struct(
+            f("agency_website").as("Contact Email"),
+            f("agency_name").as("Publisher")).as("Common Core")).as("custom_fields")
+      ).as("metadata"))
+  }
+
+  /** J1 — agency→catalog lookup join (:503-513, driven at :533):
+    * left-outer equi-join on the description-derived feed id; catalog
+    * is small → broadcast; `dropDuplicates` pins the reference's
+    * first-match semantics. */
+  def resolveFourfour(agency: DataFrame, catalog: DataFrame): DataFrame = {
+    val cat = catalog.select(
+        col("id").as("fourfour"),
+        StopsTransforms.extractFeedId(coalesce(col("description"), lit(""))).as("feed_id"))
+      .filter(col("feed_id") =!= "")
+      .dropDuplicates("feed_id")
+    agency.join(broadcast(cat), Seq("feed_id"), "left_outer")
+  }
+
+  /** A4 — keyed last-wins dedup (changelog dict-overwrite semantics,
+    * :93-124): latest row per key by `orderCol` descending. */
+  def lastWinsByKey(df: DataFrame, key: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(orderCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J2 — delete-set detection (`locateDeletions`, :261-288): existing
+    * keys absent from the incoming batch. */
+  def deleteSet(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    existing.join(incoming, Seq(key), "left_anti")
+
+  /** J3 — keep-set (:267-281): dual of J2. */
+  def keepSet(existing: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    existing.join(incoming, Seq(key), "left_semi")
+
+  /** J5 — keyed upsert/merge: incoming wins, unmatched target rows
+    * survive (the plain-Spark MERGE: source ∪ (target ⟕̸ source)).
+    * Schemas must align by name. */
+  def upsert(target: DataFrame, source: DataFrame, key: String): DataFrame =
+    source.unionByName(target.join(source, Seq(key), "left_anti"))
+
+  /** A5 — response-count extraction ("Rows Created/Updated/Deleted: n",
+    * :296 — parsed by regex, not by the reference's brittle line
+    * index). */
+  def responseCount(resp: Column, action: String): Column =
+    regexp_extract(resp, s"Rows $action: (\\d+)", 1).try_cast("long")
+}

@@ -1,0 +1,91 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import graft.testutil.{Fixtures, StubServer}
+
+/** e2e replay of the reference's three modes against a local stub
+  * (SURVEY §5.4) — asserts the upserted CSV, delete payloads, revision
+  * protocol calls, and the run-ledger row. */
+class PipelinesSpec extends SparkSpec {
+
+  private def newStub(): (StubServer, Endpoints) = {
+    val stub = new StubServer
+    val base = s"http://127.0.0.1:" // filled after start
+    stub.handleJson("/catalog.json")(Fixtures.catalogJson(stub.url("")))
+    stub.handleJson("/agencies.json")(Fixtures.agenciesJson(stub.url("")))
+    stub.handleBytes("/zips/feedA.zip", "application/zip")(
+      Fixtures.zip("feedA/stops.txt" -> Fixtures.messyStops))
+    stub.handleBytes("/zips/feedB.zip", "application/zip")(
+      Fixtures.zip("feedB/stops.txt" -> Fixtures.minimalStops))
+    stub.handleBytes("/zips/placeholder.zip", "application/zip")(
+      Fixtures.zip("GTFS_PLACEHOLDER/README.txt" -> "placeholder"))
+    stub.handle("/zips/missing.zip")((_, _) => (404, "text/plain", "gone".getBytes))
+    stub.handleJson("/stops/existing.json")(
+      """[{"feed_id_stop_id": "feedA_S1"}, {"feed_id_stop_id": "feedA_GONE"}]""")
+    stub.handle("/stops/upsert")((_, _) =>
+      (200, "text/plain", "Rows Created: 5\nRows Updated: 2\nRows Deleted: 0".getBytes))
+    stub.handle("/log")((_, _) => (200, "application/json", "[]".getBytes))
+    stub.handle("/api/revisions")((_, _) => (200, "application/json", """{"rev": 1}""".getBytes))
+    stub.handle("/api/sources")((_, _) => (200, "application/json", """{"src": 1}""".getBytes))
+    stub.handle("/api/upload")((_, _) => (200, "application/json", "{}".getBytes))
+    stub.handle("/api/apply")((_, _) => (200, "application/json", "{}".getBytes))
+    stub.start()
+    val ep = Endpoints(
+      catalogUrl = stub.url("/catalog.json"),
+      agencyUrl = stub.url("/agencies.json"),
+      stopsQueryUrl = stub.url("/stops/existing.json"),
+      stopsUpsertUrl = stub.url("/stops/upsert"),
+      logUrl = stub.url("/log"),
+      revisionBase = stub.url("/api"),
+      placeholderZipUrl = stub.url("/zips/placeholder.zip"))
+    (stub, ep)
+  }
+
+  test("CatalogPipeline: per-agency revision protocol with placeholder fallback") {
+    val (stub, ep) = newStub()
+    try {
+      val changelog = CatalogPipeline.run(spark, ep, makePublic = false, parallelism = 2)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[String](2))).toMap
+      // feedA+feedB exist in catalog → updated; feedN is new → created
+      assert(changelog("updated")._1 == 2)
+      assert(changelog("created")._2 == Seq("feedN"))
+      // 3 agencies × 4 protocol steps
+      assert(stub.received("/api/revisions").size == 3)
+      assert(stub.received("/api/upload").size == 3)
+      assert(stub.received("/api/apply").size == 3)
+      // update path posts to /revisions/<fourfour>
+      assert(stub.received("/api/revisions").exists(_.path.endsWith("aaaa-0001")))
+      // feedN had no fetch_link → placeholder zip uploaded
+      val uploads = stub.received("/api/upload")
+      assert(uploads.exists(u => new String(u.body).contains("GTFS_PLACEHOLDER") ||
+        u.body.length < 300)) // placeholder is tiny
+    } finally stub.stop()
+  }
+
+  test("StopsPipeline: parse, validate, upsert, dead-letter, delete, ledger") {
+    val (stub, ep) = newStub()
+    try {
+      val report = StopsPipeline.run(spark, ep)
+      // messyStops: S1,S2,S5 valid; S3 (notanumber), S4 (out of range) invalid
+      // minimalStops: M1,M2 valid  → 5 upserts, 2 rejects
+      assert(report.upserted == 5, report)
+      assert(report.rejected == 2, report)
+      // feedD's zip 404s → one dead feed
+      assert(report.deadFeeds == 1, report)
+      // existing has feedA_GONE which no incoming row carries → deleted
+      assert(report.deleted == 1, report)
+      // the upsert CSV really left the building, with header + key column
+      val upserts = stub.received("/stops/upsert").filter(_.method == "POST")
+      assert(upserts.nonEmpty)
+      val csv = upserts.map(_.bodyString).find(_.contains("feed_id_stop_id")).get
+      assert(csv.contains("feedA_S1") || csv.contains("feedB_M1"))
+      assert(csv.contains("POINT("))
+      // delete payload marks the vanished key
+      val dels = upserts.map(_.bodyString).filter(_.contains("deleted"))
+      assert(dels.exists(_.contains("feedA_GONE")))
+      // ledger row appended
+      val log = stub.received("/log")
+      assert(log.size == 1 && log.head.bodyString.contains("\"run_successful\": true"))
+    } finally stub.stop()
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.testutil.StubServer
+import org.apache.spark.sql.functions._
+
+class SocrataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowsJson = Seq(
+    """{"city": "Springfield", "pop": 30000, "consent": true}""",
+    """{"city": "Shelbyville", "pop": 20000, "consent": false}""")
+
+  private def withStub(body: StubServer => Unit): Unit = {
+    val stub = new StubServer
+    // naive SoQL: honor "$where=city = 'X'" equality so pushed filters
+    // visibly change the result set
+    stub.handle("/resource.json") { (q, _) =>
+      val kept = "city = '(\\w+)'".r.findFirstMatchIn(q) match {
+        case Some(m) => rowsJson.filter(_.contains(s""""${m.group(1)}""""))
+        case None => rowsJson
+      }
+      (200, "application/json", kept.mkString("[", ",", "]").getBytes("UTF-8"))
+    }
+    stub.start()
+    try body(stub) finally stub.stop()
+  }
+
+  test("schema inference, full scan") {
+    withStub { stub =>
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json")).load()
+      assert(df.columns.toSet == Set("city", "pop", "consent"))
+      assert(df.count() == 2)
+    }
+  }
+
+  test("equality filter pushes down as SoQL $where and prunes columns as $select") {
+    withStub { stub =>
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json")).load()
+        .filter($"city" === "Springfield")
+        .select($"city", $"pop")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SocrataScan"), plan)
+      val rows = df.collect()
+      assert(rows.length == 1 && rows(0).getString(0) == "Springfield")
+      val scans = stub.received("/resource.json").filter(_.query.contains("where"))
+      assert(scans.nonEmpty)
+      val q = java.net.URLDecoder.decode(scans.last.query, "UTF-8")
+      assert(q.contains("city = 'Springfield'"), q)
+      assert(q.contains("$select=city,pop"), q)
+    }
+  }
+
+  test("unsupported predicates stay Spark-side (residual), results still correct") {
+    withStub { stub =>
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json")).load()
+        .filter($"city".endsWith("ville")) // StringEndsWith: not SoQL-translated
+      assert(df.count() == 1) // Shelbyville only, filtered Spark-side
+    }
+  }
+
+  test("paging terminates on short page") {
+    withStub { stub =>
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json"))
+        .option("pageSize", "1000").load()
+      assert(df.count() == 2)
+    }
+  }
+}
