@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: media payloads as opaque `binary` columns with
+  * typed metadata, processed batch-wise per partition (SURVEY tier-B;
+  * the reference's zip bytes, publish_to_catalog.py:317-320, are the
+  * same pattern: bytes stay in-flight, never on local disk).
+  *
+  * Decoder stubs: this container ships no image/audio codecs, so the
+  * decode steps are DETERMINISTIC STUBS (clearly marked) deriving fake
+  * dimensions/durations from a content hash. Everything around them —
+  * schema contract, batched `mapPartitions` shape, feature layout,
+  * partition sizing — is the real plumbing a codec would drop into.
+  */
+object Multimodal {
+
+  /** Typed media record: the schema contract for media tables. */
+  final case class MediaRecord(
+      media_id: Long, modality: String, bytes: Array[Byte],
+      source: String, byte_len: Long)
+
+  final case class MediaFeatures(
+      media_id: Long, modality: String, byte_len: Long,
+      content_hash: Long,
+      histogram: Array[Double], // 16-bin byte histogram (real)
+      width: Int, height: Int,  // STUBBED decode output
+      n_frames: Int)
+
+  /** Wrap any table into media records, payload = a chosen column's
+    * bytes. For the fixture corpus, documents.text stands in for a
+    * media payload (same plumbing, printable bytes). */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String,
+      modality: String, sourceCol: String): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("media_id"),
+        lit(modality).as("modality"),
+        encode(col(payloadCol), "UTF-8").as("bytes"),
+        col(sourceCol).cast("string").as("source"),
+        length(encode(col(payloadCol), "UTF-8")).cast("long").as("byte_len"))
+      .as[MediaRecord]
+  }
+
+  /** === STUB ===  "decode" an image: real codecs are unavailable in
+    * this environment; dimensions derive deterministically from the
+    * content hash so tests are stable. A production build swaps this
+    * body for the actual decoder (javax.imageio / ffmpeg bindings)
+    * without touching the surrounding Spark plumbing. */
+  private def decodeImageStub(bytes: Array[Byte], contentHash: Long): (Int, Int, Int) = {
+    val w = 64 + (math.abs(contentHash) % 1024).toInt
+    val h = 64 + (math.abs(contentHash >> 16) % 1024).toInt
+    val frames = 1 + (math.abs(contentHash >> 32) % 64).toInt
+    (w, h, frames)
+  }
+
+  /** Batched per-partition feature extraction: one pass per partition,
+    * no per-row task overhead, byte histogram computed from the real
+    * payload, decode dimensions from the stub. This is the
+    * `mapPartitions` shape a Pandas-UDF/Arrow batch job has in
+    * PySpark — in Scala the iterator IS the batch. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val hist = new Array[Double](16)
+        var i = 0
+        val bytes = m.bytes
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xFF) >> 4) += 1.0
+          i += 1
+        }
+        if (bytes.length > 0) { var j = 0; while (j < 16) { hist(j) /= bytes.length; j += 1 } }
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42)
+        val contentHash = h.toLong
+        val (w, ht, frames) = decodeImageStub(bytes, contentHash)
+        MediaFeatures(m.media_id, m.modality, m.byte_len, contentHash,
+          hist, w, ht, frames)
+      }
+    }
+  }
+
+  /** Deterministic frame sampling: pick `n` evenly-spaced byte slices
+    * as stand-in "frames" (real plumbing: explode to one row per
+    * frame, frame index carried; a video codec would emit decoded
+    * frames here). */
+  def sampleFrames(media: Dataset[MediaRecord], n: Int, frameBytes: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val len = m.bytes.length
+      if (len == 0) Iterator.empty
+      else (0 until n).iterator.map { i =>
+        val start = ((len.toLong * i) / n).toInt
+        val end = math.min(len, start + frameBytes)
+        (m.media_id, i, java.util.Arrays.copyOfRange(m.bytes, start, end))
+      }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Resize stub: re-bucket the byte histogram to `bins` bins — the
+    * plan shape of an image resize (per-row transform of a fixed-width
+    * numeric array, codegen-friendly input, batched compute). */
+  def rebinHistogram(features: DataFrame, bins: Int): DataFrame =
+    features.withColumn("histogram",
+      expr(s"transform(sequence(0, ${bins - 1}), i -> " +
+        s"aggregate(slice(histogram, int(i * size(histogram) / $bins) + 1, " +
+        s"int(size(histogram) / $bins)), 0D, (a, x) -> a + x))"))
+}

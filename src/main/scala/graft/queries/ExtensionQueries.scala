@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,17 @@ object ExtensionQueries {
       .select(col("doc_id"), xxhash64(fingerprint(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** x12 multimodal feature extraction: binary payload → batched
+    * per-partition features (byte histogram real, decode dims
+    * stubbed — see Multimodal scaladoc). */
+  def x12(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.asMedia(docs(s, dir), "doc_id", "text", "text", "source"))
+      .toDF()
+      .select(col("media_id"), col("byte_len"), col("content_hash"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("media_id"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -110,6 +121,7 @@ object ExtensionQueries {
     "x09_quality_score_hist" -> (x09 _),
     "x10_token_count" -> (x10 _),
     "x11_fingerprint" -> (x11 _),
+    "x12_multimodal_features" -> (x12 _),
   )
 
   /** Oracles for the SQL-expressible subset. DuckDB-dialect is fine

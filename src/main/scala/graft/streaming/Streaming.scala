@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming surface (SURVEY §2.8). The reference is a
+  * batch job re-run repeatedly; its incremental semantics — keyed
+  * upsert per run (publish_to_catalog.py:345), change detection by
+  * set-difference (:261-288), run ledger (:567-581) — map onto
+  * micro-batch streaming below. Watermarks/windows have no reference
+  * analogue and come straight from the engine surface.
+  */
+object Streaming {
+
+  /** Micro-batch keyed upsert (K1 as a streaming sink): every batch
+    * merges into `target` by key with last-wins inside the batch.
+    *
+    * The target here is a parquet directory swapped atomically via
+    * overwrite — single-writer semantics, fine for a demo-scale
+    * target; at 100 TB the same `foreachBatch` body would MERGE into
+    * a transactional table (Iceberg/Delta) instead, which is an
+    * environment choice, not a plan-shape change. */
+  def mergeSink(stream: DataFrame, key: String, orderCol: String,
+      targetPath: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val deduped = graft.transform.CatalogTransforms
+          .lastWinsByKey(batch, key, orderCol)
+        val merged =
+          if (new java.io.File(targetPath).exists()) {
+            val target = spark.read.parquet(targetPath)
+            graft.transform.CatalogTransforms.upsert(target, deduped, key)
+          } else deduped
+        // break lineage before overwriting the dir we just read from
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(targetPath)
+        ()
+      }
+      .start()
+
+  /** Tumbling/sliding event-time aggregation with a watermark: the
+    * batch-checkable shape is Q21; this is the streaming form. */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+      window: String, slide: Option[String] = None): DataFrame = {
+    val w = slide match {
+      case Some(s) => org.apache.spark.sql.functions.window(col(tsCol), window, s)
+      case None => org.apache.spark.sql.functions.window(col(tsCol), window)
+    }
+    events.withWatermark(tsCol, watermark)
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+  }
+
+  /** Session windows with a gap timeout (streaming form of Q22). */
+  def sessionCounts(events: DataFrame, tsCol: String, watermark: String,
+      gap: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Stateful change detection (streaming J2/A4): per key, emit a row
+    * only when the payload differs from the last seen value — the
+    * incremental form of the reference's per-run set-difference
+    * (publish_to_catalog.py:261-288). */
+  final case class KeyedValue(key: String, value: String, ts: Long)
+  final case class Change(key: String, value: String, kind: String)
+
+  def detectChanges(input: Dataset[KeyedValue]): Dataset[Change] = {
+    import input.sparkSession.implicits._
+    input.groupByKey(_.key)
+      .flatMapGroupsWithState[String, Change](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[KeyedValue], state: GroupState[String]) =>
+          val last = rows.toSeq.sortBy(_.ts).lastOption
+          last match {
+            case None => Iterator.empty
+            case Some(kv) =>
+              val prev = state.getOption
+              state.update(kv.value)
+              prev match {
+                case None => Iterator.single(Change(key, kv.value, "created"))
+                case Some(p) if p != kv.value => Iterator.single(Change(key, kv.value, "updated"))
+                case _ => Iterator.empty
+              }
+          }
+      }
+  }
+}

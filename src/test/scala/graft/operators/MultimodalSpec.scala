@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(50)
+  private lazy val media = Multimodal.asMedia(docs, "doc_id", "text", "text", "source")
+
+  test("asMedia: binary payload with typed metadata") {
+    val r = media.head()
+    assert(r.modality == "text")
+    assert(r.byte_len == r.bytes.length.toLong && r.byte_len > 0)
+  }
+
+  test("extractFeatures: histogram sums to ~1, deterministic hash, stubbed dims bounded") {
+    val f = Multimodal.extractFeatures(media).collect()
+    assert(f.length == 50)
+    f.foreach { x =>
+      assert(math.abs(x.histogram.sum - 1.0) < 1e-9)
+      assert(x.width >= 64 && x.width < 64 + 1024)
+      assert(x.n_frames >= 1)
+    }
+    // determinism across runs
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(f.map(_.content_hash).toSeq == again.map(_.content_hash).toSeq)
+  }
+
+  test("sampleFrames: n frames per media row, bounded slices") {
+    val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 100)
+    assert(frames.count() == 200)
+    val bad = frames.filter(length(col("frame_bytes")) > 100).count()
+    assert(bad == 0)
+    assert(frames.groupBy("media_id").count().filter(col("count") =!= 4).count() == 0)
+  }
+
+  test("rebinHistogram halves the bins preserving mass") {
+    val f = Multimodal.extractFeatures(media).toDF()
+    val r = Multimodal.rebinHistogram(f, 8)
+      .select(size(col("histogram")).as("n"),
+        aggregate(col("histogram"), lit(0.0), _ + _).as("mass")).collect()
+    r.foreach { row =>
+      assert(row.getInt(0) == 8)
+      assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
+    }
+  }
+}

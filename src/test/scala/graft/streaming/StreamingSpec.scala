@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("mergeSink: micro-batch keyed upsert with last-wins across batches") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("merge_target").toFile
+    val target = new java.io.File(dir, "t").getPath
+    val ckpt = new java.io.File(dir, "c").getPath
+
+    val in = MemoryStream[(String, String, Long)]
+    val stream = in.toDF().toDF("k", "v", "ts")
+
+    in.addData(("a", "v1", 1L), ("b", "v1", 1L), ("a", "v2", 2L)) // in-batch last-wins
+    val q1 = Streaming.mergeSink(stream, "k", "ts", target, ckpt)
+    q1.awaitTermination()
+    val r1 = spark.read.parquet(target).select("k", "v").as[(String, String)].collect().toMap
+    assert(r1 == Map("a" -> "v2", "b" -> "v1"))
+
+    in.addData(("b", "v9", 3L), ("c", "v1", 3L)) // cross-batch upsert
+    val q2 = Streaming.mergeSink(stream, "k", "ts", target, ckpt)
+    q2.awaitTermination()
+    val r2 = spark.read.parquet(target).select("k", "v").as[(String, String)].collect().toMap
+    assert(r2 == Map("a" -> "v2", "b" -> "v9", "c" -> "v1"))
+  }
+
+  test("windowedCounts: tumbling windows close and late data is dropped") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streaming.windowedCounts(
+      in.toDF().toDF("ts", "event_type", "value"), "ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+
+    in.addData((ts("2024-01-01 10:00:30"), "click", 1.0),
+               (ts("2024-01-01 10:01:00"), "click", 2.0))
+    q.processAllAvailable()
+    // advance event time far enough to close the 10:00 window past the watermark
+    in.addData((ts("2024-01-01 10:30:00"), "view", 1.0))
+    q.processAllAvailable()
+    // late row inside the closed window: must be dropped
+    in.addData((ts("2024-01-01 10:01:30"), "click", 99.0))
+    q.processAllAvailable()
+    // advance again so anything incorrectly accepted would emit
+    in.addData((ts("2024-01-01 11:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_out")
+      .select(col("win.start").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows.contains(("2024-01-01 10:00:00", "click", 2L))) // late 99.0 not counted
+    assert(!rows.exists(r => r._1 == "2024-01-01 10:00:00" && r._3 == 3L))
+  }
+
+  test("detectChanges: stateful created/updated/unchanged semantics") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Streaming.KeyedValue]
+    val out = Streaming.detectChanges(in.toDS())
+    val q = out.writeStream.outputMode("append").format("memory").queryName("chg").start()
+
+    in.addData(Streaming.KeyedValue("k1", "a", 1), Streaming.KeyedValue("k2", "x", 1))
+    q.processAllAvailable()
+    in.addData(Streaming.KeyedValue("k1", "a", 2)) // unchanged → no emit
+    q.processAllAvailable()
+    in.addData(Streaming.KeyedValue("k1", "b", 3)) // changed → updated
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("chg").as[Streaming.Change].collect()
+    val byKind = rows.groupBy(_.kind).view.mapValues(_.map(c => (c.key, c.value)).toSet).toMap
+    assert(byKind("created") == Set(("k1", "a"), ("k2", "x")))
+    assert(byKind("updated") == Set(("k1", "b")))
+    assert(rows.length == 3)
+  }
+}
