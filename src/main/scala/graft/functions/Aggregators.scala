@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAFs (SURVEY §2.7): custom aggregation where a monoid merge
+  * beats collect-and-post-process.
+  */
+
+/** Bottom-k distinct longs per group — the group-level form of the
+  * bottom-k fingerprint (TextFunctions.fingerprint): merging two
+  * bottom-k sketches yields the bottom-k of the union, so partial
+  * aggregation (map-side combine) is exact, and the shuffle carries k
+  * longs per group instead of all values. Use for e.g. a per-source
+  * content sketch over millions of documents. */
+class BottomKLongs(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+
+  override def zero: Array[Long] = Array.empty
+
+  override def reduce(buf: Array[Long], v: Long): Array[Long] = insert(buf, v)
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    b.foldLeft(a)(insert)
+
+  /** sorted-insert keeping the k smallest distinct values */
+  private def insert(buf: Array[Long], v: Long): Array[Long] = {
+    val idx = java.util.Arrays.binarySearch(buf, v)
+    if (idx >= 0) buf // already present
+    else {
+      val at = -idx - 1
+      if (at >= k) buf // larger than current bottom-k
+      else {
+        val n = math.min(buf.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(buf, 0, out, 0, at)
+        out(at) = v
+        System.arraycopy(buf, at, out, at + 1, n - at - 1)
+        out
+      }
+    }
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoders.longArray
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoders.longArray
+}
+
+/** Changelog merge (reference A2, publish_to_catalog.py:93-124): the
+  * per-category counts monoid — a typed Aggregator form of the run
+  * report so the whole changelog reduces map-side. */
+final case class RunCounts(created: Long, updated: Long, errored: Long) {
+  def +(o: RunCounts): RunCounts =
+    RunCounts(created + o.created, updated + o.updated, errored + o.errored)
+}
+
+object RunCountsAgg extends Aggregator[String, RunCounts, RunCounts] {
+  override def zero: RunCounts = RunCounts(0, 0, 0)
+  override def reduce(b: RunCounts, action: String): RunCounts = action match {
+    case "created" => b.copy(created = b.created + 1)
+    case "updated" => b.copy(updated = b.updated + 1)
+    case _ => b.copy(errored = b.errored + 1)
+  }
+  override def merge(a: RunCounts, b: RunCounts): RunCounts = a + b
+  override def finish(r: RunCounts): RunCounts = r
+  override def bufferEncoder: Encoder[RunCounts] = Encoders.product[RunCounts]
+  override def outputEncoder: Encoder[RunCounts] = Encoders.product[RunCounts]
+}
+
+private object ExpressionEncoders {
+  val longArray: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

@@ -109,6 +109,17 @@ object ExtensionQueries {
         col("width"), col("height"), col("n_frames"))
       .orderBy(col("media_id"))
 
+  /** x13 JSON scalar extraction with a real parser (C14 `from_json`;
+    * the oracle reaches the same value through a portable regex —
+    * props is always `{"k": <int>}`). */
+  def x13(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), lit("STRUCT<k: INT>")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -122,6 +133,7 @@ object ExtensionQueries {
     "x10_token_count" -> (x10 _),
     "x11_fingerprint" -> (x11 _),
     "x12_multimodal_features" -> (x12 _),
+    "x13_json_props_agg" -> (x13 _),
   )
 
   /** Oracles for the SQL-expressible subset. DuckDB-dialect is fine
@@ -147,5 +159,10 @@ object ExtensionQueries {
     "x10_token_count" ->
       """SELECT doc_id, len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x13_json_props_agg" ->
+      """SELECT event_type, SUM(CAST(regexp_extract(props, '[0-9]+', 0) AS INT)) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

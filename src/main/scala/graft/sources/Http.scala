@@ -151,11 +151,14 @@ object Http {
   }
 
   /** K2 — JSON delete sink (`[{key, ":deleted": true}]`,
-    * publish_to_catalog.py:282-298). */
+    * publish_to_catalog.py:282-298). Payload rows are serialized by
+    * Catalyst's `to_json` (C14) — escaping stays in codegen, the
+    * partition loop only concatenates. */
   def jsonDeleteSink(df: DataFrame, keyCol: String, url: String): Array[(Int, String)] = {
-    val keyed = df.select(keyCol)
-    keyed.rdd.mapPartitions { rows =>
-      val items = rows.map(r => s"""{"$keyCol": ${jsonStr(r.getString(0))}, ":deleted": true}""").toSeq
+    val payload = df.select(to_json(struct(
+      col(keyCol), lit(true).as(":deleted"))).as("j"))
+    payload.rdd.mapPartitions { rows =>
+      val items = rows.map(_.getString(0)).toSeq
       if (items.isEmpty) Iterator.empty
       else {
         val r = postWithRetry(url, items.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8),
