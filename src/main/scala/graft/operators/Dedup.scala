@@ -31,6 +31,16 @@ object Dedup {
     * sketch table beats 2-3 recomputations of corpus-wide hashing. */
   private def materialize(df: DataFrame): DataFrame = { df.cache(); df.count(); df }
 
+  /** Sketching is CPU-bound; a corpus arriving in fewer splits than
+    * cores (one small parquet file → one partition) would hash on a
+    * single thread. Round-robin repartition of the raw docs is cheap
+    * relative to hashing and restores full parallelism. No-op when the
+    * input already has enough splits (the 100 TB case). */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Exact content dedup: one surviving row (min id) per distinct value
     * of `contentCol`. Hash-groupBy on a uniform key → no skew. */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
@@ -64,7 +74,7 @@ object Dedup {
     // re-shingle and re-hash the full corpus. At scale this is the
     // standard materialize-the-sketch-table step (~1 KB/doc ≪ corpus).
     val sigs = materialize(
-      minhashSignatures(docs, idCol, textCol, shingleLen, k)
+      minhashSignatures(ensureParallelism(docs), idCol, textCol, shingleLen, k)
         .filter(col("sig").isNotNull))
 
     // one row per (doc, band): band id + hash of that signature slice
@@ -104,7 +114,7 @@ object Dedup {
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     val bitsPerChunk = 64 / chunks
-    val sk = materialize(docs.select(
+    val sk = materialize(ensureParallelism(docs).select(
         col(idCol).as("doc_id"),
         simhash(words(col(textCol))).as("sk"))
       .filter(col("sk").isNotNull)) // feeds both sides of the chunk-bucket self-join
@@ -137,7 +147,7 @@ object Dedup {
     // equals Jaccard over shingles (collisions negligible at 64 bits)
     // and shuffles 8-byte longs instead of repeated shingle strings.
     // Cached: feeds the prefix explode and both verify joins.
-    val sh = materialize(docs.select(
+    val sh = materialize(ensureParallelism(docs).select(
         col(idCol).as("doc_id"),
         array_sort(array_distinct(
           ngram_hashes(words(col(textCol)), ngram))).as("hashes"))

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.transform.CatalogTransforms
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -120,6 +121,39 @@ object ExtensionQueries {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** x14 keyed upsert/merge (J5, the plain-Spark MERGE): pending
+    * orders merge into the finished snapshot by order key — source
+    * wins, unmatched target rows survive. */
+  def x14(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val target = o.filter(col("o_orderstatus") === "F")
+    val source = o.filter(col("o_orderstatus") === "P")
+    CatalogTransforms.upsert(target, source, "o_orderkey")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** x15 keyed last-wins dedup (A4) with deterministic tie-breaks. */
+  def x15(s: SparkSession, dir: String): DataFrame =
+    CatalogTransforms.lastWinsByKey(
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
+        "o_custkey", "o_orderdate", "o_orderkey")
+      .select(col("o_custkey"), col("o_orderkey"))
+      .orderBy(col("o_custkey"))
+
+  /** x16 delete-set detection (J2): "existing" customers whose key is
+    * absent from the incoming batch (orders placed before 1996) — the
+    * reference's vanished-stop shape over the fixture tables. */
+  def x16(s: SparkSession, dir: String): DataFrame =
+    CatalogTransforms.deleteSet(
+        Tables.load(s, dir, "customer").select(col("c_custkey")),
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+          .select(col("o_custkey").as("c_custkey")),
+        "c_custkey")
+      .orderBy(col("c_custkey"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -134,6 +168,9 @@ object ExtensionQueries {
     "x11_fingerprint" -> (x11 _),
     "x12_multimodal_features" -> (x12 _),
     "x13_json_props_agg" -> (x13 _),
+    "x14_keyed_upsert" -> (x14 _),
+    "x15_lastwins_dedup" -> (x15 _),
+    "x16_delete_set" -> (x16 _),
   )
 
   /** Oracles for the SQL-expressible subset. DuckDB-dialect is fine
@@ -164,5 +201,27 @@ object ExtensionQueries {
       """SELECT event_type, SUM(CAST(regexp_extract(props, '[0-9]+', 0) AS INT)) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x14_keyed_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus FROM orders t
+        |WHERE o_orderstatus = 'F' AND NOT EXISTS (
+        |  SELECT 1 FROM orders s WHERE s.o_orderstatus = 'P' AND s.o_orderkey = t.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "x15_lastwins_dedup" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "x16_delete_set" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -64,10 +64,13 @@ object CatalogTransforms {
   }
 
   /** A4 — keyed last-wins dedup (changelog dict-overwrite semantics,
-    * :93-124): latest row per key by `orderCol` descending. */
-  def lastWinsByKey(df: DataFrame, key: String, orderCol: String): DataFrame = {
+    * :93-124): latest row per key, ordered by `orderCols` descending.
+    * Callers should pass enough columns to break ties — a single
+    * non-unique order column would pick nondeterministically. */
+  def lastWinsByKey(df: DataFrame, key: String, orderCols: String*): DataFrame = {
+    require(orderCols.nonEmpty, "lastWinsByKey needs at least one order column")
     val w = Window.partitionBy(col(key))
-      .orderBy(col(orderCol).desc)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
