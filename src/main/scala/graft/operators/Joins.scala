@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond Spark's built-ins (SURVEY §2.3 "not present in
+  * reference" row: as-of, range, skew-handling — declared engine
+  * surface). All three are compositions of built-ins, per the
+  * preference order in SURVEY §2.7(a): no custom physical operator is
+  * needed because the plan shapes below already co-locate by key and
+  * avoid cross products.
+  */
+object Joins {
+
+  /** Backward as-of join: for each left row, the single latest right
+    * row with `rightTs` ≤ `leftTs` and matching key (inclusive on
+    * equal timestamps). Nulls for left rows with no prior right row.
+    *
+    * Plan shape: tag → unionByName → window last(ignoreNulls) over one
+    * (key, ts)-partitioned sort → filter left. ONE shuffle on the key
+    * (both inputs partition together), no join node at all — the
+    * sort-based formulation sorts within partitions only, so it
+    * scales like a sort-merge join without the pairwise probe.
+    *
+    * Output: all left columns + right's non-key non-ts columns
+    * (null when unmatched).
+    */
+  def asOfBackward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val rightPayload = right.columns.filter(c => c != rightKey && c != rightTs).toSeq
+    val l = left.select(
+      col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(1).as("__is_left"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      lit(null).cast(right.select(rightPayload.map(col): _*).schema).as("__r"))
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__is_left"),
+      lit(null).cast(left.schema).as("__l"),
+      struct(rightPayload.map(col): _*).as("__r"))
+    // right rows sort before left rows at equal ts (__is_left 0 < 1) →
+    // a right row AT the left timestamp is visible (inclusive as-of).
+    // rightTieBreak columns make the pick among equal-ts right rows
+    // deterministic (the LAST by the tie-break ordering wins); left
+    // rows all carry null __r, so their relative order is immaterial.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts") +: col("__is_left") +:
+        rightTieBreak.map(c => col(s"__r.$c")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c)).toSeq
+    val rightCols = rightPayload.map(c => col(s"__match.$c").as(c))
+    matched.select(leftCols ++ rightCols: _*)
+  }
+
+  /** Salted equi-join for skewed keys: the left (large, skewed) side
+    * gets a deterministic per-row salt in [0, saltFactor); the right
+    * side is replicated saltFactor times; the join key becomes
+    * (key, salt). A hot key's rows now spread over `saltFactor`
+    * reducers instead of one. Results are exactly a plain inner
+    * equi-join (verified by oracle in x18). Use when AQE's skew
+    * splitting isn't available/enough; replication cost is
+    * |right| × saltFactor, so keep the small side right. */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Binned range join: left points joined to right intervals
+    * (`start` ≤ t < `end`) without an equi key. Both sides map their
+    * time to `binSeconds`-wide buckets (intervals explode to every
+    * bucket they overlap), the join becomes an equi-join on the
+    * bucket, and the exact range predicate filters within buckets.
+    * Replaces the O(n·m) broadcast-nested-loop Spark would otherwise
+    * plan; replication factor = interval length / binSeconds, so pick
+    * binSeconds near the typical interval length. A left point lies
+    * in exactly one bucket, so no post-join dedup is needed. */
+  def binnedRangeJoin(left: DataFrame, right: DataFrame,
+      leftTime: String, rightStart: String, rightEnd: String,
+      binSeconds: Long): DataFrame = {
+    val lb = left.withColumn("__bin",
+      floor(unix_timestamp(col(leftTime)) / binSeconds))
+    val rb = right.withColumn("__bin", explode(sequence(
+      floor(unix_timestamp(col(rightStart)) / binSeconds),
+      floor(unix_timestamp(col(rightEnd)) / binSeconds))))
+    lb.join(rb, Seq("__bin"))
+      .filter(col(leftTime) >= col(rightStart) && col(leftTime) < col(rightEnd))
+      .drop("__bin")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, Similarity, TextAnalysis}
 import graft.transform.CatalogTransforms
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -154,6 +154,51 @@ object ExtensionQueries {
         "c_custkey")
       .orderBy(col("c_custkey"))
 
+  /** x17 backward as-of join (events → each user's latest order at or
+    * before the event time), composed as one keyed window pass. */
+  def x17(s: SparkSession, dir: String): DataFrame =
+    Joins.asOfBackward(
+        Tables.load(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey")),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightTieBreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("o_orderkey"))
+      .orderBy(col("event_id"))
+
+  /** x18 salted skew join — result must equal the plain equi-join. */
+  def x18(s: SparkSession, dir: String): DataFrame =
+    Joins.saltedEquiJoin(
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey").as("k"), col("o_orderpriority")),
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment")),
+        key = "k", saltFactor = 8)
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+
+  /** x19 binned range join: lineitems shipped within one day of any
+    * URGENT order's date, counted per priority — a keyless interval
+    * join turned into a bucket equi-join. (The priority filter bounds
+    * the genuinely quadratic-ish day-cluster pair count: every
+    * order×lineitem pair sharing a calendar day matches.) */
+  def x19(s: SparkSession, dir: String): DataFrame =
+    Joins.binnedRangeJoin(
+        Tables.load(s, dir, "lineitem").select(col("l_shipdate")),
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(
+            col("o_orderdate").as("win_start"),
+            (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("win_end"),
+            col("o_orderpriority")),
+        leftTime = "l_shipdate", rightStart = "win_start", rightEnd = "win_end",
+        binSeconds = 86400L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -171,6 +216,9 @@ object ExtensionQueries {
     "x14_keyed_upsert" -> (x14 _),
     "x15_lastwins_dedup" -> (x15 _),
     "x16_delete_set" -> (x16 _),
+    "x17_asof_join" -> (x17 _),
+    "x18_salted_join" -> (x18 _),
+    "x19_range_join" -> (x19 _),
   )
 
   /** Oracles for the SQL-expressible subset. DuckDB-dialect is fine
@@ -223,5 +271,26 @@ object ExtensionQueries {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+
+    "x17_asof_join" ->
+      """SELECT e.event_id,
+        |       (SELECT o.o_orderkey FROM orders o
+        |         WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey
+        |FROM events e ORDER BY e.event_id""".stripMargin,
+
+    "x18_salted_join" ->
+      """SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment, o.o_orderpriority
+        |ORDER BY c.c_mktsegment, o.o_orderpriority""".stripMargin,
+
+    "x19_range_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 1 DAY
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
   )
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfBackward: latest at-or-before match, inclusive ties, null when none") {
+    val quotes = Seq( // key, ts, px
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:05:00"), 2.0),
+      ("B", ts("2024-01-01 10:10:00"), 9.0)).toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:03:00"), 100L), // between quotes → px 1.0
+      ("A", ts("2024-01-01 10:05:00"), 101L), // exactly at quote → inclusive → 2.0
+      ("B", ts("2024-01-01 10:00:00"), 102L), // before any quote → null
+      ("C", ts("2024-01-01 12:00:00"), 103L)) // key with no quotes → null
+      .toDF("sym", "tts", "trade_id")
+    val r = Joins.asOfBackward(trades, quotes, "sym", "sym", "tts", "qts")
+      .select($"trade_id", $"px").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r(100L).contains(1.0))
+    assert(r(101L).contains(2.0))
+    assert(r(102L).isEmpty)
+    assert(r(103L).isEmpty)
+  }
+
+  test("asOfBackward tie-break picks the max of the tie column") {
+    val right = Seq(("k", ts("2024-01-01 00:00:00"), 1L),
+                    ("k", ts("2024-01-01 00:00:00"), 7L),
+                    ("k", ts("2024-01-01 00:00:00"), 3L)).toDF("k", "rts", "v")
+    val left = Seq(("k", ts("2024-01-02 00:00:00"))).toDF("k", "lts")
+    val r = Joins.asOfBackward(left, right, "k", "k", "lts", "rts",
+      rightTieBreak = Seq("v")).select($"v").as[Long].head()
+    assert(r == 7L)
+  }
+
+  test("saltedEquiJoin equals the plain join") {
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+      .select($"o_custkey".as("k"), $"o_orderkey")
+    val cust = spark.read.parquet(s"$sf001/customer.parquet")
+      .select($"c_custkey".as("k"), $"c_mktsegment")
+    val salted = Joins.saltedEquiJoin(orders, cust, "k", 8)
+      .select($"o_orderkey", $"c_mktsegment")
+    val plain = orders.join(cust, "k").select($"o_orderkey", $"c_mktsegment")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
+
+  test("binnedRangeJoin equals the naive range join") {
+    val points = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select($"l_shipdate").limit(500)
+    val intervals = spark.read.parquet(s"$sf001/orders.parquet")
+      .select($"o_orderdate".as("s"),
+        ($"o_orderdate" + expr("INTERVAL 1 DAY")).as("e"), $"o_orderkey")
+      .limit(200)
+    val binned = Joins.binnedRangeJoin(points, intervals, "l_shipdate", "s", "e", 86400L)
+    val naive = points.join(intervals,
+      $"l_shipdate" >= $"s" && $"l_shipdate" < $"e")
+    assert(binned.count() == naive.count())
+    assert(binned.count() > 0)
+  }
+}
