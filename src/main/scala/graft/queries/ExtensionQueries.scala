@@ -199,6 +199,20 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** x20 approximate aggregates — the 100 TB fallback for exact
+    * count-distinct (q09) and percentiles: HLL++ and t-digest-style
+    * sketches combine map-side, so the shuffle carries one sketch per
+    * group. Deterministic for fixed input (rows-only check; DuckDB's
+    * approx algorithms differ by design). */
+  def x20(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)), 2).as("p50_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -219,6 +233,7 @@ object ExtensionQueries {
     "x17_asof_join" -> (x17 _),
     "x18_salted_join" -> (x18 _),
     "x19_range_join" -> (x19 _),
+    "x20_approx_aggregates" -> (x20 _),
   )
 
   /** Oracles for the SQL-expressible subset. DuckDB-dialect is fine
