@@ -63,6 +63,27 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(r => r._1 == "2024-01-01 10:00:00" && r._3 == 3L))
   }
 
+  test("sessionCounts: session_window merges events within the gap") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = Streaming.sessionCounts(
+      in.toDF().toDF("ts", "user_id"), "ts", "10 minutes", gap = "30 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:20:00"), 1L), // one session
+      (ts("2024-01-01 12:00:00"), 1L)) // > 30 min gap → new session
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 15:00:00"), 2L)) // advance watermark, close sessions
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select(col("user_id"), col("n"), col("win.start").cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows.contains((1L, 2L, "2024-01-01 10:00:00"))) // merged pair
+    assert(rows.contains((1L, 1L, "2024-01-01 12:00:00"))) // separate session
+  }
+
   test("detectChanges: stateful created/updated/unchanged semantics") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Streaming.KeyedValue]
