@@ -36,6 +36,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.groupBy("media_id").count().filter(col("count") =!= 4).count() == 0)
   }
 
+  test("fingerprintDup pairs docs with identical content fingerprints") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "THE QUICK  brown fox jumps over the lazy dog again"), // normalizes equal
+      (3L, "completely different content that matches nothing else here"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.fingerprintDup(d)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("rebinHistogram halves the bins preserving mass") {
     val f = Multimodal.extractFeatures(media).toDF()
     val r = Multimodal.rebinHistogram(f, 8)

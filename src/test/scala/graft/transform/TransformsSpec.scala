@@ -80,6 +80,15 @@ class TransformsSpec extends SparkSpec {
     assert(r("feedN") == null)
   }
 
+  test("catalogThumbprint projects name + embedded feed id") {
+    val cat = Seq(("Alpha GTFS dataset", "x\nFeed ID: feedA\ny"),
+                  ("No markers", null: String)).toDF("name", "description")
+    val r = CatalogTransforms.catalogThumbprint(cat)
+      .as[(String, String)].collect().toMap
+    assert(r("Alpha GTFS dataset") == "feedA")
+    assert(r("No markers") == "")
+  }
+
   test("lastWinsByKey keeps the newest row per key") {
     val df = Seq(("k1", 1, "old"), ("k1", 2, "new"), ("k2", 1, "only"))
       .toDF("k", "ts", "v")
