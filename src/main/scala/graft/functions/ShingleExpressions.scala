@@ -180,7 +180,34 @@ case class SortedLongJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `minhash_agreement(a, b)` → count of equal slots in two equal-length
+  * minhash signatures; est. Jaccard = agreement / k. Runs once per
+  * candidate pair, replacing an interpreted `aggregate(zip_with(...))`
+  * lambda chain. Null on length mismatch. */
+case class MinHashAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var i = 0; var eq = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    java.lang.Integer.valueOf(eq)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ShingleFunctions {
+  def minhash_agreement(a: Column, b: Column): Column =
+    toColumn(MinHashAgreement(toExpression(a), toExpression(b)))
   def shingle_hashes(text: Column, n: Int): Column =
     toColumn(ShingleHashes(toExpression(text), n))
   def ngram_hashes(tokens: Column, n: Int): Column =

@@ -100,9 +100,8 @@ object Dedup {
       .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
     withSigs.select(
         col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
-          .cast("double") / k).as("est_jaccard"))
+        (minhash_agreement(col("sig_a"), col("sig_b")).cast("double") / k)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
   }
 

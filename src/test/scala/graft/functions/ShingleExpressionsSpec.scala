@@ -75,6 +75,42 @@ class ShingleExpressionsSpec extends SparkSpec {
     assert(e.isNullAt(0))
   }
 
+  test("property: shingle count matches codepoint math on random unicode") {
+    val rng = new scala.util.Random(42)
+    val alphabet = "aé中𝄞 x".toCharArray // 1-, 2-, 3-byte, surrogate pair, space
+    val samples = Seq.fill(150)(
+      (0 until rng.nextInt(20)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = samples.toDF("t")
+    val rows = df.select(shingle_hashes($"t", 3).as("h"), $"t").collect()
+    rows.foreach { r =>
+      val cp = r.getString(1).codePointCount(0, r.getString(1).length)
+      val want = math.max(0, cp - 2)
+      assert(r.getSeq[Long](0).length == want,
+        s"'${r.getString(1)}' cp=$cp got=${r.getSeq[Long](0).length}")
+    }
+  }
+
+  test("property: sorted_jaccard equals set-math jaccard on random sets") {
+    val rng = new scala.util.Random(7)
+    val samples = Seq.fill(100)((
+      rng.shuffle((0L to 40L).toList).take(rng.nextInt(20) + 1).sorted,
+      rng.shuffle((0L to 40L).toList).take(rng.nextInt(20) + 1).sorted))
+    val df = samples.toDF("a", "b")
+    val got = df.select(sorted_jaccard($"a", $"b")).as[Double].collect()
+    samples.zip(got).foreach { case ((a, b), j) =>
+      val want = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+      assert(j == want, s"a=$a b=$b got=$j want=$want")
+    }
+  }
+
+  test("minhash_agreement counts equal slots; null on length mismatch") {
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 8L))).toDF("a", "b")
+    assert(df.select(minhash_agreement($"a", $"b")).as[Int].head() == 2)
+    val bad = Seq((Seq(1L), Seq(1L, 2L))).toDF("a", "b")
+      .select(minhash_agreement($"a", $"b")).collect()(0)
+    assert(bad.isNullAt(0))
+  }
+
   test("fingerprint: equal normalized texts, equal fingerprints") {
     val df = Seq(
       ("the quick  brown fox", "The quick brown FOX"),
