@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, Profile, Similarity, TextAnalysis}
 import graft.transform.CatalogTransforms
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -213,6 +213,12 @@ object ExtensionQueries {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** x21 column profiling over documents (data-quality stats in one
+    * aggregation pass, unpivoted to long format). */
+  def x21(s: SparkSession, dir: String): DataFrame =
+    Profile.profile(docs(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy(col("column"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -234,6 +240,7 @@ object ExtensionQueries {
     "x18_salted_join" -> (x18 _),
     "x19_range_join" -> (x19 _),
     "x20_approx_aggregates" -> (x20 _),
+    "x21_column_profile" -> (x21 _),
   )
 
   /** Oracles for the SQL-expressible subset. DuckDB-dialect is fine
@@ -307,5 +314,22 @@ object ExtensionQueries {
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 1 DAY
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+
+    "x21_column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", count(doc_id) AS n_non_null,
+        |         count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct,
+        |         CAST(min(doc_id) AS VARCHAR) AS min_str, CAST(max(doc_id) AS VARCHAR) AS max_str
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(lang), count(*) - count(lang), count(DISTINCT lang),
+        |         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(n_chars), count(*) - count(n_chars), count(DISTINCT n_chars),
+        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(source), count(*) - count(source), count(DISTINCT source),
+        |         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |) ORDER BY "column"""".stripMargin,
   )
 }
