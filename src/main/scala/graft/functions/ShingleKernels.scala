@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{XXH64, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Imperative kernels behind the sketch expressions. Kept in a
+  * top-level object so Scala emits static forwarders — the generated
+  * whole-stage code calls these directly (`ShingleKernels.xxx(...)`),
+  * which keeps the expressions inside codegen spans instead of
+  * falling back to the interpreted `eval` boundary.
+  */
+object ShingleKernels {
+
+  @inline private def cpLen(b: Byte): Int =
+    if ((b & 0x80) == 0) 1
+    else if ((b & 0xE0) == 0xC0) 2
+    else if ((b & 0xF0) == 0xE0) 3
+    else 4
+
+  /** murmur3 fmix64 — cheap high-quality long mixer. */
+  @inline def mix(zIn: Long): Long = {
+    var z = zIn
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  /** xxhash64 of every n-codepoint sliding window; one O(len) sweep. */
+  def shingleHashes(s: UTF8String, shingleLen: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var nCp = 0
+    var i = 0
+    val starts = new Array[Int](len + 1)
+    while (i < len) {
+      starts(nCp) = i
+      i += cpLen(bytes(i))
+      nCp += 1
+    }
+    starts(nCp) = len
+    if (nCp < shingleLen) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nCp - shingleLen + 1)
+    var w = 0
+    while (w + shingleLen <= nCp) {
+      out(w) = XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + starts(w),
+        starts(w + shingleLen) - starts(w), 0L)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Order-sensitive combined hash of every n consecutive tokens. */
+  def ngramHashes(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val t = arr.getUTF8String(i)
+      th(i) = if (t == null) 0L
+        else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 0L)
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    var w = 0
+    while (w + n <= m) {
+      var c = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < n) {
+        c = mix(c ^ th(w + j)) + java.lang.Long.rotateLeft(c, 17)
+        j += 1
+      }
+      out(w) = c
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Kirsch–Mitzenmacher minhash over pre-hashed shingles; null (the
+    * caller checks) is represented by returning null for empty. */
+  def minhashLongs(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h1 = arr.getLong(i)
+      val h2 = mix(h1) | 1L
+      var v = h1
+      var h = 0
+      while (h < numHashes) {
+        if (v < mins(h)) mins(h) = v
+        v += h2
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** One-pass KM minhash over tokens of a string array (2 real hashes
+    * per token). Returns null for empty arrays. */
+  def minhashTokens(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h1 = XxHash64Function.hash(s, StringType, 0L)
+        val h2 = XxHash64Function.hash(s, StringType, 1L) | 1L
+        var v = h1
+        var h = 0
+        while (h < numHashes) {
+          if (v < mins(h)) mins(h) = v
+          v += h2
+          h += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash of a non-empty token array (callers null out the
+    * empty case — every 64-bit value is a legal simhash). */
+  def simhash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val tally = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = XxHash64Function.hash(s, StringType, 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (tally(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Linear-merge Jaccard of sorted distinct long arrays; NaN = null
+    * (both empty). */
+  def sortedJaccard(x: ArrayData, y: ArrayData): Double = {
+    val nx = x.numElements(); val ny = y.numElements()
+    if (nx == 0 && ny == 0) return Double.NaN
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    inter.toDouble / (nx + ny - inter).toDouble
+  }
+
+  /** Equal-slot count of two signatures; -1 = length mismatch (null). */
+  def agreement(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (n != y.numElements()) return -1
+    var i = 0; var eq = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    eq
+  }
+}
