@@ -44,6 +44,25 @@ case class ShingleHashes(child: Expression, shingleLen: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `word_tokens(text)` → array<string>: lowercased maximal
+  * letter/number runs. Replaces `filter(split(lower(s), regex), ...)`
+  * — the higher-order `filter` disqualifies its whole projection from
+  * whole-stage codegen, which made every word-token sketch path run
+  * interpreted. */
+case class WordTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.wordTokens(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.wordTokens($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `ngram_hashes(tokens, n)` → array<bigint>: order-sensitive combined
   * hash of every n consecutive tokens (polynomial combine of per-token
   * xxhash64 values — equality of combined hashes ⇔ equality of the
@@ -144,6 +163,8 @@ case class MinHashAgreement(left: Expression, right: Expression)
 }
 
 object ShingleFunctions {
+  def word_tokens(text: Column): Column =
+    toColumn(WordTokens(toExpression(text)))
   def minhash_agreement(a: Column, b: Column): Column =
     toColumn(MinHashAgreement(toExpression(a), toExpression(b)))
   def shingle_hashes(text: Column, n: Int): Column =

@@ -151,6 +151,39 @@ object ShingleKernels {
     out
   }
 
+  /** True iff the codepoint is a word character under the same classes
+    * as the regex `[\p{L}\p{N}]` (letters + all Unicode number
+    * categories). */
+  @inline private def isWordCp(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  /** Lowercased word tokens: maximal [\p{L}\p{N}] runs, one codepoint
+    * sweep, no regex, no empties — the HOF-free equivalent of
+    * `filter(split(lower(s), "[^\\p{L}\\p{N}]+"), length > 0)`. */
+  def wordTokens(sIn: UTF8String): ArrayData = {
+    val s = sIn.toLowerCase.toString
+    val len = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    var i = 0
+    var start = -1
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      val w = isWordCp(cp)
+      if (w && start < 0) start = i
+      else if (!w && start >= 0) {
+        out += UTF8String.fromString(s.substring(start, i))
+        start = -1
+      }
+      i += Character.charCount(cp)
+    }
+    if (start >= 0) out += UTF8String.fromString(s.substring(start))
+    new GenericArrayData(out.toArray)
+  }
+
   /** Linear-merge Jaccard of sorted distinct long arrays; NaN = null
     * (both empty). */
   def sortedJaccard(x: ArrayData, y: ArrayData): Double = {

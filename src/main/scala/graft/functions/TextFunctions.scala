@@ -20,9 +20,11 @@ object TextFunctions {
 
   /** Lowercased alphanumeric word tokens — a BPE-ish pre-tokenizer:
     * splits on any non-alphanumeric run, like the GPT-2 regex's word
-    * classes collapsed to [letters|digits]. */
-  def words(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    * classes collapsed to [letters|digits]. Native expression
+    * (codegen'd, one pass, no regex) — the HOF formulation
+    * `filter(split(...))` excluded every consuming projection from
+    * whole-stage codegen. */
+  def words(text: Column): Column = ShingleFunctions.word_tokens(text)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -103,6 +103,20 @@ class ShingleExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("property: word_tokens equals the regex/HOF formulation on random unicode") {
+    val rng = new scala.util.Random(99)
+    val alphabet = "aé中𝄞 ,.!3Ⅷ²x-_".toCharArray
+    val samples = Seq.fill(200)(
+      (0 until rng.nextInt(30)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = samples.toDF("t")
+    val bad = df.select(
+        word_tokens($"t").as("native"),
+        filter(split(lower($"t"), "[^\\p{L}\\p{N}]+"), s => length(s) > 0).as("hof"))
+      .filter(!($"native" <=> $"hof"))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
   test("minhash_agreement counts equal slots; null on length mismatch") {
     val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 8L))).toDF("a", "b")
     assert(df.select(minhash_agreement($"a", $"b")).as[Int].head() == 2)
