@@ -24,12 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Cache AND eagerly materialize a sketch frame that fans out to
-    * multiple join branches. Without the eager pass, the branches'
-    * scan stages race: each starts before the cache is populated and
-    * recomputes the full sketch. One extra pass over the (small)
-    * sketch table beats 2-3 recomputations of corpus-wide hashing. */
-  private def materialize(df: DataFrame): DataFrame = { df.cache(); df.count(); df }
+  /** Eagerly materialize a sketch frame that fans out to multiple join
+    * branches. Without the eager pass, the branches' scan stages race:
+    * each starts before any cache is populated and recomputes the full
+    * sketch. `localCheckpoint(eager)` rather than `cache()+count()`:
+    * same one-pass materialization, but lineage is truncated (branches
+    * can't fall back to recompute) and the blocks are auto-released by
+    * the ContextCleaner when the frame becomes unreachable — repeated
+    * operator calls don't accumulate pinned cache entries. Trade-off:
+    * truncated lineage means an executor loss during the job fails it
+    * instead of recomputing; at cluster scale a reliable checkpoint /
+    * written sketch table is the durable variant. */
+  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Sketching is CPU-bound; a corpus arriving in fewer splits than
     * cores (one small parquet file → one partition) would hash on a

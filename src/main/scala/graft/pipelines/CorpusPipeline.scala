@@ -10,14 +10,14 @@ import graft.operators.Dedup
   * operators exist for (SURVEY north star: the LLM-data-pipeline
   * surface at 100 TB):
   *
-  *   quality filter → exact dedup → MinHash near-dup dedup →
-  *   language filter → cleaned corpus + per-stage attrition report.
+  *   quality gate → language gate → exact dedup → MinHash near-dup
+  *   dedup → cleaned corpus + per-stage attrition report.
   *
-  * Stage order is the cost-ordered funnel: cheap narrow filters first
-  * (quality, codegen'd projections), then the hash-groupBy exact pass,
-  * and the LSH near-dup pass last so it sketches only survivors.
-  * Every stage is a pure DataFrame transform; nothing collects to the
-  * driver except the final counts.
+  * Stage order is the cost-ordered funnel: ALL narrow codegen'd
+  * filters first (quality, tokens, language — each a projection over
+  * the scan), so the hash-groupBy exact pass and the LSH near-dup pass
+  * sketch only survivors. Every stage is a pure DataFrame transform;
+  * nothing collects to the driver except the final counts.
   */
 object CorpusPipeline {
 
@@ -28,13 +28,17 @@ object CorpusPipeline {
       minTokens: Int = 5,
       keepLangs: Seq[String] = Nil, // empty = keep all
       nearDupJaccard: Double = 0.5,
+      // S-curve midpoint (1/b)^(1/r) ≈ 0.5 — tuned so candidate recall
+      // at the nearDupJaccard threshold is high; retune together.
       minhashBands: Int = 16,
-      minhashRowsPerBand: Int = 8)
+      minhashRowsPerBand: Int = 4)
 
   final case class Report(
-      input: Long, afterQuality: Long, afterExact: Long,
-      afterNearDup: Long, output: Long)
+      input: Long, afterQuality: Long, afterLang: Long, afterExact: Long,
+      afterNearDup: Long)
 
+  /** Returns the cleaned frame (cached — caller unpersists when done)
+    * and the attrition report. */
   def clean(docs: DataFrame, cfg: Config = Config()): (DataFrame, Report) = {
     val id = col(cfg.idCol)
     val text = col(cfg.textCol)
@@ -43,31 +47,43 @@ object CorpusPipeline {
     // 1. quality + length gate (narrow, codegen'd)
     val q = docs.filter(
       qualityScore(text) >= cfg.minQuality && tokenCount(text) >= cfg.minTokens)
-    val afterQuality = q.count()
 
-    // 2. exact dedup: keep the min-id row per distinct content
-    val keepExact = Dedup.exact(q, cfg.idCol, cfg.textCol)
+    // 2. language gate — also a narrow projection, so it runs BEFORE
+    //    the expensive dedup stages (exact dups share identical text
+    //    and therefore identical language; near-dups across languages
+    //    are not meaningful matches)
+    val langed =
+      if (cfg.keepLangs.isEmpty) q
+      else q.filter(langId(text).isin(cfg.keepLangs: _*))
+    val langedC = langed.cache()
+    val afterQuality = q.count()
+    val afterLang = langedC.count()
+
+    // 3. exact dedup: keep the min-id row per distinct content.
+    //    Null-id rows can't participate in the id-based keep policy and
+    //    are passed through rather than silently dropped.
+    val keepExact = Dedup.exact(langedC.filter(id.isNotNull), cfg.idCol, cfg.textCol)
       .select(col("keep_id").as(cfg.idCol))
-    val exact = q.join(keepExact, Seq(cfg.idCol), "left_semi")
+    val exact = langedC.filter(id.isNotNull)
+      .join(keepExact, Seq(cfg.idCol), "left_semi")
+      .unionByName(langedC.filter(id.isNull))
+      .cache()
     val afterExact = exact.count()
 
-    // 3. near-dup dedup: from each near-dup pair, drop the larger id
-    //    (transitively: anything that is the `doc_b` of a surviving
-    //    `doc_a` goes — the standard one-pass LSH dedup policy; full
-    //    connected-component resolution is an iterative variant)
+    // 4. near-dup dedup: conservatively drop every doc that appears as
+    //    the doc_b of any near-dup pair. On a chain a≈b≈c this removes
+    //    b AND c even though b (c's only match) is itself removed —
+    //    over-dropping relative to connected-component resolution,
+    //    which is the iterative variant of this one-pass policy.
     val losers = Dedup.minhashNearDup(exact, cfg.idCol, cfg.textCol,
         bands = cfg.minhashBands, rowsPerBand = cfg.minhashRowsPerBand,
         minJaccard = cfg.nearDupJaccard)
       .select(col("doc_b").as(cfg.idCol)).distinct()
-    val deduped = exact.join(losers, Seq(cfg.idCol), "left_anti")
-    val afterNearDup = deduped.count()
+    val cleaned = exact.join(losers, Seq(cfg.idCol), "left_anti").cache()
+    val afterNearDup = cleaned.count()
 
-    // 4. language gate (optional)
-    val cleaned =
-      if (cfg.keepLangs.isEmpty) deduped
-      else deduped.filter(langId(text).isin(cfg.keepLangs: _*))
-    val output = cleaned.count()
-
-    (cleaned, Report(input, afterQuality, afterExact, afterNearDup, output))
+    langedC.unpersist()
+    exact.unpersist()
+    (cleaned, Report(input, afterQuality, afterLang, afterExact, afterNearDup))
   }
 }

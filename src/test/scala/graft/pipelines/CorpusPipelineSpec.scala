@@ -21,20 +21,46 @@ class CorpusPipelineSpec extends SparkSpec {
 
     assert(r.input == 6)
     assert(r.afterQuality == 4) // 4 and 6 dropped
+    assert(r.afterLang == 4)    // no language gate configured
     assert(r.afterExact == 3)   // 2 dropped (exact dup, min-id 1 kept)
     assert(r.afterNearDup == 2) // 3 dropped (near dup of 1)
-    assert(r.output == 2)
     val ids = cleaned.select($"doc_id").as[Long].collect().toSet
     assert(ids == Set(1L, 5L))
+    cleaned.unpersist()
+  }
+
+  test("null-id rows pass through instead of vanishing") {
+    val corpus = Seq(
+      (Some(1L), "completely unrelated text about database engines and query plans"),
+      (Option.empty[Long], "another perfectly unique document about streaming watermarks here"))
+      .toDF("doc_id", "text")
+    val (cleaned, r) = CorpusPipeline.clean(corpus,
+      CorpusPipeline.Config(minQuality = 0.0, minTokens = 1))
+    assert(r.afterNearDup == 2, r)
+    assert(cleaned.filter($"doc_id".isNull).count() == 1)
+    cleaned.unpersist()
+  }
+
+  test("language gate runs and drops before dedup") {
+    val corpus = Seq(
+      (1L, "the cat is on the mat and it is very warm in the house today"),
+      (2L, "der Hund ist nicht mit der Katze im Haus aber es ist warm"))
+      .toDF("doc_id", "text")
+    val (cleaned, r) = CorpusPipeline.clean(corpus,
+      CorpusPipeline.Config(minQuality = 0.0, minTokens = 1, keepLangs = Seq("en")))
+    assert(r.afterLang == 1 && r.afterNearDup == 1)
+    assert(cleaned.select($"doc_id").as[Long].head() == 1L)
+    cleaned.unpersist()
   }
 
   test("runs end-to-end on the fixture corpus") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val (cleaned, r) = CorpusPipeline.clean(docs)
     assert(r.input == 500)
-    assert(r.output > 0 && r.output <= r.afterNearDup)
-    assert(r.afterQuality <= r.input && r.afterExact <= r.afterQuality &&
+    assert(r.afterNearDup > 0)
+    assert(r.afterQuality <= r.input && r.afterExact <= r.afterLang &&
       r.afterNearDup <= r.afterExact)
-    assert(cleaned.count() == r.output)
+    assert(cleaned.count() == r.afterNearDup)
+    cleaned.unpersist()
   }
 }
