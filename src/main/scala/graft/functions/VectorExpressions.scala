@@ -34,6 +34,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      // null elements (containsNull arrays) would read as 0.0 via
+      // getFloat — a silently wrong score; null the result instead
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -53,13 +56,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |final int $n = $x.numElements();
          |if ($n != $y.numElements()) { ${ev.isNull} = true; } else {
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $xi = (double) $x.getFloat($i);
-         |    final double $yi = (double) $y.getFloat($i);
-         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else {
+         |      final double $xi = (double) $x.getFloat($i);
+         |      final double $yi = (double) $y.getFloat($i);
+         |      $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |    }
          |  }
-         |  if ($nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny); }
+         |  if (!${ev.isNull}) {
+         |    if ($nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / java.lang.Math.sqrt($nx * $ny); }
+         |  }
          |}
        """.stripMargin
     })
@@ -78,7 +86,10 @@ case class DotProduct(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) return null
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
     java.lang.Double.valueOf(dot)
   }
 
@@ -90,10 +101,11 @@ case class DotProduct(left: Expression, right: Expression)
          |final int $n = $x.numElements();
          |if ($n != $y.numElements()) { ${ev.isNull} = true; } else {
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; }
+         |    else { $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i); }
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })

@@ -136,7 +136,8 @@ object StopsPipeline {
     val stopsText = fetched.filter(col("fetch_error").isNull)
       .select(col("feed_id"),
         ZipFunctions.zip_entries(col("content")).as(Seq("entry_name", "bytes")))
-      .filter(col("entry_name").endsWith("stops.txt"))
+      .filter(col("entry_name") === "stops.txt" ||
+        col("entry_name").endsWith("/stops.txt")) // exact basename only
       .select(col("feed_id"), decode(col("bytes"), "UTF-8").as("text"))
 
     // S5: distributed header-aware parse to the fixed raw-stop schema.

@@ -39,7 +39,10 @@ object GtfsCsv {
     import spark.implicits._
     val entries = Seq(Tuple1(zipBytes)).toDF("content")
       .select(ZipFunctions.zip_entries(col("content")).as(Seq("entry_name", "bytes")))
-      .filter(col("entry_name").endsWith(member))
+      // exact basename match: bare `endsWith` would also catch
+      // "backup_stops.txt" and splice its header in as a data row
+      .filter(col("entry_name") === member ||
+        col("entry_name").endsWith("/" + member))
       .select(decode(col("bytes"), "UTF-8").as("text"))
       .as[String]
       .flatMap(_.split("\r?\n"))

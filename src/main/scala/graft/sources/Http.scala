@@ -25,6 +25,7 @@ object Http {
     * (HTTP_REQUEST_TIMEOUT_SECS, publish_to_catalog.py:27). */
   @transient private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(60))
+    .followRedirects(HttpClient.Redirect.NORMAL) // http→https/S3 presign hops
     .build()
 
   val RequestTimeout: Duration = Duration.ofSeconds(600)
@@ -41,7 +42,11 @@ object Http {
       val req = HttpRequest.newBuilder(URI.create(url))
         .timeout(RequestTimeout).GET().build()
       val r = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
-      val err = if (r.statusCode() >= 400) s"http_${r.statusCode()}" else null
+      // ANY non-2xx is an error (a residual 3xx after redirect-following
+      // must not fall through with error=null — that would defeat the
+      // dead-letter contract: no content AND no error marker)
+      val err = if (r.statusCode() < 200 || r.statusCode() >= 300)
+        s"http_${r.statusCode()}" else null
       HttpResult(r.statusCode(), r.body(), err)
     } catch {
       case e: IllegalArgumentException => HttpResult(0, Array.empty, s"bad_url: ${e.getMessage}")
@@ -57,7 +62,8 @@ object Http {
         .POST(HttpRequest.BodyPublishers.ofByteArray(body))
       headers.foreach { case (k, v) => b.header(k, v) }
       val r = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
-      val err = if (r.statusCode() >= 400) s"http_${r.statusCode()}" else null
+      val err = if (r.statusCode() < 200 || r.statusCode() >= 300)
+        s"http_${r.statusCode()}" else null
       HttpResult(r.statusCode(), r.body(), err)
     } catch {
       case e: Exception => HttpResult(0, Array.empty, s"post_failed: ${e.getClass.getSimpleName}")
@@ -136,8 +142,8 @@ object Http {
       rows.foreach { r =>
         sb.append('\n').append(r.toSeq.map {
           case null => ""
-          case s: String if s.contains(",") || s.contains("\"") =>
-            "\"" + s.replace("\"", "\"\"") + "\""
+          case s: String if s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r') =>
+            "\"" + s.replace("\"", "\"\"") + "\"" // RFC 4180: newlines need quoting too
           case v => v.toString
         }.mkString(","))
         n += 1

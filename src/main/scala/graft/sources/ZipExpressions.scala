@@ -43,7 +43,10 @@ case class ZipEntries(child: Expression)
         e = zin.getNextEntry
       }
     } catch {
-      case _: java.util.zip.ZipException => // corrupt tail: keep rows read so far
+      // corrupt/truncated archives: keep rows read so far. Truncated
+      // deflate streams throw EOFException (an IOException, NOT a
+      // ZipException) out of readAllBytes — catch the superclass.
+      case _: java.io.IOException =>
     } finally zin.close()
     out
   }

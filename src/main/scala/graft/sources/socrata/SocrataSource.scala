@@ -55,10 +55,15 @@ class DefaultSource extends TableProvider {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    JsonRows.validateSchema(schema) // fail at plan time, not mid-scan
     new SocrataTable(schema, properties.get("url"),
-      Option(properties.get("pageSize")).map(_.toInt).getOrElse(10000),
+      // Socrata 2.x caps $limit at 50000; a larger pageSize would make
+      // offset windows skip the capped tail of every page — rows
+      // silently lost. Clamp instead.
+      math.min(Option(properties.get("pageSize")).map(_.toInt).getOrElse(10000), 50000),
       Option(properties.get("numPartitions")).map(_.toInt).getOrElse(1))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 
@@ -146,6 +151,10 @@ class SocrataReader(schema: StructType, url: String, pageSize: Int,
     val qs = new StringBuilder()
     qs.append("$limit=").append(pageSize)
       .append("&$offset=").append(pageNo.toLong * pageSize)
+      // $limit/$offset paging is only well-defined under a total order;
+      // :id is Socrata's stable system row id. Without this, pages can
+      // overlap/miss rows across requests and partitions.
+      .append("&$order=").append(java.net.URLEncoder.encode(":id", "UTF-8"))
     if (preds.nonEmpty)
       qs.append("&$where=").append(java.net.URLEncoder.encode(
         preds.mkString(" AND "), "UTF-8"))
@@ -158,7 +167,9 @@ class SocrataReader(schema: StructType, url: String, pageSize: Int,
     val items = if (node.isArray) node.elements() else util.Collections.emptyIterator[JsonNode]()
     val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
     items.forEachRemaining(n => buf += n)
-    if (buf.size < pageSize) exhausted = true
+    // only an EMPTY page proves exhaustion: a short page may just be a
+    // server-side cap below our requested $limit
+    if (buf.isEmpty) exhausted = true
     pageNo += part.of
     page = buf.iterator
   }
@@ -183,6 +194,22 @@ object JsonRows {
     InternalRow.fromSeq(vals.toIndexedSeq)
   }
 
+  /** Types this connector can materialize. Checked at PLAN time
+    * (validateSchema) so unsupported types fail with a named error
+    * instead of stuffing a UTF8String into a mistyped slot that
+    * crashes (or silently corrupts) downstream unsafe access. */
+  def validateSchema(schema: StructType): Unit = schema.fields.foreach(f =>
+    validateType(f.dataType, f.name))
+
+  private def validateType(dt: DataType, path: String): Unit = dt match {
+    case StringType | BooleanType | LongType | IntegerType | DoubleType |
+         DateType | TimestampType => ()
+    case ArrayType(et, _) => validateType(et, s"$path.element")
+    case st: StructType => st.fields.foreach(f => validateType(f.dataType, s"$path.${f.name}"))
+    case other => throw new IllegalArgumentException(
+      s"socrata source does not support ${other.simpleString} (column $path)")
+  }
+
   private def convert(v: JsonNode, dt: DataType): Any = dt match {
     case StringType =>
       UTF8String.fromString(if (v.isTextual) v.asText() else v.toString)
@@ -190,12 +217,19 @@ object JsonRows {
     case LongType => v.asLong()
     case IntegerType => v.asInt()
     case DoubleType => v.asDouble()
+    case DateType => // ISO date string -> days since epoch
+      java.time.LocalDate.parse(v.asText().take(10)).toEpochDay.toInt
+    case TimestampType => // Socrata floating timestamp (ISO, no zone) as UTC micros
+      val inst = java.time.LocalDateTime.parse(v.asText())
+        .toInstant(java.time.ZoneOffset.UTC)
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000
     case ArrayType(et, _) =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
       v.elements().forEachRemaining(e => buf += convert(e, et))
       new GenericArrayData(buf.toArray)
     case st: StructType => toRow(v, st)
-    case other => UTF8String.fromString(v.toString) // fallback as text
+    case other => throw new IllegalStateException(
+      s"unreachable: ${other.simpleString} rejected by validateSchema")
   }
 }
 
@@ -203,16 +237,18 @@ object JsonRows {
   * supports; everything else stays a residual Spark-side filter). */
 object SoQL {
   def translate(f: Filter): Option[String] = f match {
-    case EqualTo(a, v) => Some(s"${ident(a)} = ${literal(v)}")
-    case GreaterThan(a, v) => Some(s"${ident(a)} > ${literal(v)}")
-    case GreaterThanOrEqual(a, v) => Some(s"${ident(a)} >= ${literal(v)}")
-    case LessThan(a, v) => Some(s"${ident(a)} < ${literal(v)}")
-    case LessThanOrEqual(a, v) => Some(s"${ident(a)} <= ${literal(v)}")
-    case StringStartsWith(a, v) => Some(s"starts_with(${ident(a)}, ${literal(v)})")
+    case EqualTo(a, v) => literal(v).map(l => s"${ident(a)} = $l")
+    case GreaterThan(a, v) => literal(v).map(l => s"${ident(a)} > $l")
+    case GreaterThanOrEqual(a, v) => literal(v).map(l => s"${ident(a)} >= $l")
+    case LessThan(a, v) => literal(v).map(l => s"${ident(a)} < $l")
+    case LessThanOrEqual(a, v) => literal(v).map(l => s"${ident(a)} <= $l")
+    case StringStartsWith(a, v) => literal(v).map(l => s"starts_with(${ident(a)}, $l)")
     case IsNotNull(a) => Some(s"${ident(a)} IS NOT NULL")
     case IsNull(a) => Some(s"${ident(a)} IS NULL")
     case In(a, vs) if vs.nonEmpty =>
-      Some(vs.map(v => s"${ident(a)} = ${literal(v)}").mkString("(", " OR ", ")"))
+      val ls = vs.map(literal)
+      if (ls.exists(_.isEmpty)) None
+      else Some(ls.flatten.map(l => s"${ident(a)} = $l").mkString("(", " OR ", ")"))
     case And(l, r) =>
       for { lt <- translate(l); rt <- translate(r) } yield s"($lt AND $rt)"
     case Or(l, r) =>
@@ -221,9 +257,24 @@ object SoQL {
   }
 
   private def ident(a: String): String = a
-  private def literal(v: Any): String = v match {
-    case s: String => "'" + s.replace("'", "''") + "'"
-    case b: Boolean => b.toString
-    case n => n.toString
+
+  /** SoQL literal rendering. Dates/timestamps MUST be quoted — an
+    * unquoted 2024-01-01 parses as integer subtraction (= 2022) and
+    * silently excludes rows server-side, which the defensive residual
+    * re-filter cannot restore. Nulls make the predicate untranslatable
+    * (None) rather than NPE-ing during planning. */
+  private def literal(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case b: Boolean => Some(b.toString)
+    case d: java.sql.Date => Some("'" + d.toString + "'")
+    case t: java.sql.Timestamp =>
+      Some("'" + t.toLocalDateTime.toString + "'")
+    case d: java.time.LocalDate => Some("'" + d.toString + "'")
+    case i: java.time.Instant =>
+      Some("'" + java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC) + "'")
+    case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte |
+              _: BigDecimal | _: java.math.BigDecimal) => Some(n.toString)
+    case _ => None // unknown external type: leave Spark-side
   }
 }

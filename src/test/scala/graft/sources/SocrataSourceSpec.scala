@@ -20,7 +20,12 @@ class SocrataSourceSpec extends SparkSpec {
         case Some(m) => rowsJson.filter(_.contains(s""""${m.group(1)}""""))
         case None => rowsJson
       }
-      (200, "application/json", kept.mkString("[", ",", "]").getBytes("UTF-8"))
+      // honor $offset/$limit like the real server (the reader pages
+      // until an EMPTY page, so an offset-ignoring stub would loop)
+      val offset = "\\$offset=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(0)
+      val limit = "\\$limit=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(Int.MaxValue)
+      val page = kept.slice(offset, math.min(kept.length, offset + limit))
+      (200, "application/json", page.mkString("[", ",", "]").getBytes("UTF-8"))
     }
     stub.start()
     try body(stub) finally stub.stop()
