@@ -179,10 +179,13 @@ object Dedup {
     * whose embeddings disagree in every probed bucket are missed —
     * recall/cost tuned by `nPlanes` (fewer planes = bigger buckets). */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+      minCosine: Double = 0.95, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    // dim MUST match the data: a mismatched plane length makes every
+    // dot_product null → all vectors share bucket 0 → silent O(n²)
     val bucketed = materialize(emb.select(
         col(idCol).as("doc_id"), col(vecCol).as("vec"),
-        Similarity.hyperplaneBucket(col(vecCol), nPlanes, dim = 64).as("bucket")))
+        Similarity.hyperplaneBucket(col(vecCol), nPlanes, dim).as("bucket"))
+      .filter(size(col("vec")) === dim))
     val a = bucketed.as("a"); val b = bucketed.as("b")
     a.join(b,
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))

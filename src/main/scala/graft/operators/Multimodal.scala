@@ -105,10 +105,14 @@ object Multimodal {
 
   /** Resize stub: re-bucket the byte histogram to `bins` bins — the
     * plan shape of an image resize (per-row transform of a fixed-width
-    * numeric array, codegen-friendly input, batched compute). */
+    * numeric array, codegen-friendly input, batched compute). Bucket
+    * boundaries are floor(i·n/bins)..floor((i+1)·n/bins) so every
+    * source element lands in exactly one bucket even when `bins` does
+    * not divide the histogram size (mass is conserved). */
   def rebinHistogram(features: DataFrame, bins: Int): DataFrame =
     features.withColumn("histogram",
       expr(s"transform(sequence(0, ${bins - 1}), i -> " +
         s"aggregate(slice(histogram, int(i * size(histogram) / $bins) + 1, " +
-        s"int(size(histogram) / $bins)), 0D, (a, x) -> a + x))"))
+        s"int((i + 1) * size(histogram) / $bins) - int(i * size(histogram) / $bins)), " +
+        "0D, (a, x) -> a + x))"))
 }

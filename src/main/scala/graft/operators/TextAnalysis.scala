@@ -31,18 +31,22 @@ object TextAnalysis {
       .orderBy(col(langCol), col("lang_pred"))
 
   /** Docs sharing an identical content fingerprint (exact-ish near-dup
-    * at fingerprint resolution): bucket join on the hashed sketch. */
+    * at fingerprint resolution): bucket join on the 32-bit hashed
+    * sketch for shuffle economy, then VERIFY full fingerprint equality
+    * — at ~100k docs the 32-bit bucket alone would already emit
+    * birthday-collision false pairs. */
   def fingerprintDup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val fps = docs.select(
         col(idCol).as("doc_id"),
+        fingerprint(col(textCol)).as("fp"),
         hash(fingerprint(col(textCol))).as("fp_hash"))
-      .cache() // both sides of the self-join
-    fps.count() // eager fill — see Dedup.materialize
+      .localCheckpoint(true) // both sides of the self-join
     val a = fps.as("a"); val b = fps.as("b")
     a.join(b,
         col("a.fp_hash") === col("b.fp_hash") &&
         col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.fp") === col("b.fp"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 }

@@ -39,10 +39,12 @@ object ExtensionQueries {
         shingleLen = 5, bands = 16, rowsPerBand = 8, minJaccard = 0.35)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** x03 SimHash near-dup pairs within Hamming distance 8 of 64. */
+  /** x03 SimHash near-dup pairs within Hamming distance 7 of 64.
+    * chunks = 8 > maxHamming keeps the pigeonhole recall guarantee
+    * (some chunk must be untouched). */
   def x03(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(docs(s, dir), "doc_id", "text",
-        maxHamming = 8, chunks = 4)
+        maxHamming = 7, chunks = 8)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** x04 word-3-gram Jaccard near-dup with bottom-k prefix filter. */

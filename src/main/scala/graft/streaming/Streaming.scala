@@ -16,11 +16,15 @@ object Streaming {
   /** Micro-batch keyed upsert (K1 as a streaming sink): every batch
     * merges into `target` by key with last-wins inside the batch.
     *
-    * The target here is a parquet directory swapped atomically via
-    * overwrite — single-writer semantics, fine for a demo-scale
-    * target; at 100 TB the same `foreachBatch` body would MERGE into
-    * a transactional table (Iceberg/Delta) instead, which is an
-    * environment choice, not a plan-shape change. */
+    * Target handling goes through the Hadoop FileSystem API (works for
+    * hdfs://, s3a://, … — a java.io.File probe would always say "does
+    * not exist" for remote URIs and silently clobber prior batches)
+    * and writes to a staging directory before swapping, so the old
+    * target survives a crash mid-write. The delete→rename swap still
+    * has a short non-atomic window; at production scale the same
+    * foreachBatch body MERGEs into a transactional table
+    * (Iceberg/Delta) instead — an environment choice, not a
+    * plan-shape change. */
   def mergeSink(stream: DataFrame, key: String, orderCol: String,
       targetPath: String, checkpoint: String): StreamingQuery =
     stream.writeStream
@@ -29,15 +33,21 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val staging = new org.apache.hadoop.fs.Path(targetPath + "__staging")
+        val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
         val deduped = graft.transform.CatalogTransforms
           .lastWinsByKey(batch, key, orderCol)
         val merged =
-          if (new java.io.File(targetPath).exists()) {
-            val target = spark.read.parquet(targetPath)
-            graft.transform.CatalogTransforms.upsert(target, deduped, key)
+          if (fs.exists(target)) {
+            val existing = spark.read.parquet(targetPath)
+            graft.transform.CatalogTransforms.upsert(existing, deduped, key)
           } else deduped
-        // break lineage before overwriting the dir we just read from
-        merged.localCheckpoint(true).write.mode("overwrite").parquet(targetPath)
+        // materialize into staging while the old target is still intact
+        fs.delete(staging, true)
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(target, true)
+        fs.rename(staging, target)
         ()
       }
       .start()

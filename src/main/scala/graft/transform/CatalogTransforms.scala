@@ -24,14 +24,16 @@ object CatalogTransforms {
     if (df.columns.contains(name)) coalesce(col(name).cast("string"), lit("")) else lit("")
 
   /** P4 — the dataset-metadata struct (`setMetadata`, :375-411):
-    * name, description with embedded markers, tags, and the nested
-    * Common Core custom fields. */
+    * "NTM: "-prefixed name, description with embedded markers, the
+    * reference's single tag, and the Common Core custom fields —
+    * which are FIXED agency-independent constants in the reference
+    * (:400-406), not per-agency values. */
   def metadataStruct(agency: DataFrame): DataFrame = {
     def f(n: String) = fieldOrEmpty(agency, n)
     agency.select(
       col("feed_id"),
       struct(
-        concat(f("agency_name"), lit(" GTFS dataset")).as("name"),
+        concat(lit("NTM: "), f("agency_name")).as("name"),
         concat(
           lit("GTFS dataset for "), f("agency_name"),
           lit("\nNTD Name: "), f("ntd_name"),
@@ -42,11 +44,16 @@ object CatalogTransforms {
           lit("\nAgency URL: "), f("agency_website"),
           lit("\nUZA: "), f("uza"),
           lit("\nLocation: "), f("city"), lit(", "), f("state")).as("description"),
-        array(lit("national transit map"), lit("gtfs"), lit("transit")).as("tags"),
+        array(lit("national transit map")).as("tags"),
         struct(
           struct(
-            f("agency_website").as("Contact Email"),
-            f("agency_name").as("Publisher")).as("Common Core")).as("custom_fields")
+            lit("NationalTransitMap@dot.gov").as("Contact Email"),
+            lit("Derald Dudley").as("Contact Name"),
+            lit("https://creativecommons.org/licenses/by/4.0/").as("License"),
+            lit("021:000").as("Program Code"),
+            lit("Bureau of Transportation Statistics").as("Publisher"),
+            lit("021:00").as("Bureau Code"),
+            lit("public").as("Public Access Level")).as("Common Core")).as("custom_fields")
       ).as("metadata"))
   }
 
@@ -55,11 +62,20 @@ object CatalogTransforms {
     * is small → broadcast; `dropDuplicates` pins the reference's
     * first-match semantics. */
   def resolveFourfour(agency: DataFrame, catalog: DataFrame): DataFrame = {
-    val cat = catalog.select(
-        col("id").as("fourfour"),
-        StopsTransforms.extractFeedId(coalesce(col("description"), lit(""))).as("feed_id"))
+    // first-match = first in catalog order. monotonically_increasing_id
+    // is ordered within/across partitions of the driver-fetched JSON
+    // frame, so min-id per feed_id pins the same row on every run
+    // (plain dropDuplicates keeps an arbitrary one).
+    val w = Window.partitionBy(col("feed_id")).orderBy(col("__ord"))
+    val cat = catalog
+      .withColumn("__ord", monotonically_increasing_id())
+      .select(col("id").as("fourfour"),
+        StopsTransforms.extractFeedId(coalesce(col("description"), lit(""))).as("feed_id"),
+        col("__ord"))
       .filter(col("feed_id") =!= "")
-      .dropDuplicates("feed_id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__ord", "__rn")
     agency.join(broadcast(cat), Seq("feed_id"), "left_outer")
   }
 

@@ -12,23 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object StopsTransforms {
 
-  /** C1 — `clearWhiteSpaces` (publish_to_catalog.py:148-154): drop all
-    * double-quote characters, then trim outer whitespace. */
-  def stripQuotesWs(c: Column): Column = trim(regexp_replace(c, "\"", ""))
+  /** C1 — `clearWhiteSpaces` (publish_to_catalog.py:148-154): strip
+    * EDGE double quotes (Python `.strip('"')`, not interior removal),
+    * THEN trim whitespace — in that order, so a quote wrapped in
+    * whitespace survives, exactly like the reference. */
+  def stripQuotesWs(c: Column): Column =
+    trim(regexp_replace(c, "^\"+|\"+$", ""))
 
-  /** C1/C2 — `stripNum` (publish_to_catalog.py:175-178): numeric cells
-    * additionally normalize single→double quotes before the strip, so
-    * both quote styles are removed. */
+  /** C1/C2 — `stripNum` (publish_to_catalog.py:175-178): whitespace
+    * trim FIRST, then normalize single→double quotes, then strip edge
+    * quotes (the reference's exact order — interior quotes are kept,
+    * so `12"3` stays uncastable and routes to the reject channel). */
   def stripNumCell(c: Column): Column =
-    trim(regexp_replace(translate(c, "'", "\""), "\"", ""))
+    regexp_replace(translate(trim(c), "'", "\""), "^\"+|\"+$", "")
 
   /** F3 — `urlIsValidStatic` (publish_to_catalog.py:83-91): static
-    * http/ftp(s) URL shape check. */
+    * http/ftp(s) URL shape check. Case-insensitive like the
+    * reference's re.IGNORECASE, and `?query` is accepted without a
+    * path (the reference allows `[/?]\S+`). */
   def urlIsValid(url: Column): Column =
-    url.rlike("^(?:http|ftp)s?://" +
+    url.rlike("(?i)^(?:http|ftp)s?://" +
       "(?:[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?\\.)+[A-Za-z]{2,24}" +
-      "(?::\\d+)?(?:/\\S*)?$") ||
-    url.rlike("^(?:http|ftp)s?://(?:localhost|\\d{1,3}(?:\\.\\d{1,3}){3})(?::\\d+)?(?:/\\S*)?$")
+      "(?::\\d+)?(?:[/?]\\S*)?$") ||
+    url.rlike("(?i)^(?:http|ftp)s?://(?:localhost|\\d{1,3}(?:\\.\\d{1,3}){3})(?::\\d+)?(?:[/?]\\S*)?$")
 
   /** F4 — coordinate validation (publish_to_catalog.py:181-190):
     * both castable AND lat∈[-90,90], lon∈[-180,180]. `try_cast`

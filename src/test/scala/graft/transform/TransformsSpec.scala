@@ -7,11 +7,18 @@ class TransformsSpec extends SparkSpec {
   import spark.implicits._
 
   test("stripQuotesWs and stripNumCell mirror the reference cell cleaners") {
-    val df = Seq(("  \"Main St\"  ", " '40.75' ")).toDF("a", "b")
+    // clearWhiteSpaces order: edge-quotes first, THEN whitespace — so a
+    // quote wrapped in whitespace survives (reference :148-154 quirk);
+    // stripNum trims whitespace FIRST, so quoted numbers parse (:175-178)
+    val df = Seq(
+      ("\"Main St\"", " '40.75' ", "12\"3"),
+      ("  \"Main St\"  ", "'40.75'", " 9.5 ")).toDF("a", "b", "c")
     val r = df.select(
       StopsTransforms.stripQuotesWs($"a"),
-      StopsTransforms.stripNumCell($"b")).as[(String, String)].head()
-    assert(r == (("Main St", "40.75")))
+      StopsTransforms.stripNumCell($"b"),
+      StopsTransforms.stripNumCell($"c")).as[(String, String, String)].collect()
+    assert(r(0) == (("Main St", "40.75", "12\"3"))) // interior quote KEPT → uncastable
+    assert(r(1) == (("\"Main St\"", "40.75", "9.5")))
   }
 
   test("urlIsValid accepts http/ftp(s) shapes, rejects junk") {
@@ -76,7 +83,7 @@ class TransformsSpec extends SparkSpec {
       ("cccc-0003", "no markers")).toDF("id", "description")
     val r = CatalogTransforms.resolveFourfour(agency, catalog)
       .select("feed_id", "fourfour").as[(String, String)].collect().toMap
-    assert(r("feedA") != null && r("feedA").startsWith("aaaa-"))
+    assert(r("feedA") == "aaaa-0001") // deterministic FIRST catalog match
     assert(r("feedN") == null)
   }
 
