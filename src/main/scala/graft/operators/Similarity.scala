@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,6 +46,51 @@ object Similarity {
     val scored = corpus.join(broadcast(queries))
       .select(
         col(queryId), col(corpusId),
+        round(cosine_similarity(col(queryVec), col(corpusVec)), 6).as("cosine"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) index: a k-means coarse quantizer over the
+    * corpus. Returns (centroids, corpus-with-list-id). At 100 TB the
+    * assignment frame is written partitioned by `list_id` so a query
+    * touches only its probed partitions; training samples the corpus
+    * (k-means cost is per-sample, independent of corpus size).
+    *
+    * Deterministic: fixed seed, and k-means|| init on a fixed sample.
+    */
+  def ivfIndex(corpus: DataFrame, nLists: Int, corpusVec: String = "embedding",
+      trainSample: Double = 1.0, seed: Long = 42L): (Array[Array[Float]], DataFrame) = {
+    val withVec = corpus.withColumn("__v", array_to_vector(col(corpusVec)))
+    val train = if (trainSample >= 1.0) withVec else withVec.sample(trainSample, seed)
+    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("__v")
+      .setPredictionCol("list_id").fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    (centroids, model.transform(withVec).drop("__v"))
+  }
+
+  /** IVF ANN top-k: the query probes its `nProbe` nearest centroids
+    * and scores only those inverted lists — corpus scored per query
+    * shrinks from n to ~n·nProbe/nLists, with recall controlled by
+    * nProbe. The probe assignment is a tiny driver-free broadcast
+    * join (queries × centroid literals). */
+  def ivfTopK(indexed: DataFrame, centroids: Array[Array[Float]],
+      queries: DataFrame, k: Int, nProbe: Int = 2,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    // per-query distances to every centroid, keep the nProbe nearest
+    val probeCols = centroids.zipWithIndex.map { case (c, i) =>
+      struct((lit(1.0) - cosine_similarity(col(queryVec), typedlit(c))).as("d"),
+        lit(i).as("list_id"))
+    }
+    val probed = queries.withColumn("__probe",
+        explode(slice(array_sort(array(probeCols.toIndexedSeq: _*)), 1, nProbe)))
+      .withColumn("list_id", col("__probe.list_id"))
+      .drop("__probe")
+    val scored = indexed.join(broadcast(probed), "list_id")
+      .select(col(queryId), col(corpusId),
         round(cosine_similarity(col(queryVec), col(corpusVec)), 6).as("cosine"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId))

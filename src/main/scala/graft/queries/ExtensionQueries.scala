@@ -221,6 +221,15 @@ object ExtensionQueries {
     Profile.profile(docs(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
       .orderBy(col("column"))
 
+  /** x22 IVF ANN top-10: k-means coarse quantizer, nProbe=3 of 8
+    * inverted lists scored per query (deterministic: fixed seed). */
+  def x22(s: SparkSession, dir: String): DataFrame = {
+    val (centroids, indexed) = Similarity.ivfIndex(emb(s, dir), nLists = 8)
+    Similarity.ivfTopK(indexed, centroids, queryVectors(s, dir), k = 10, nProbe = 3)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -243,6 +252,7 @@ object ExtensionQueries {
     "x19_range_join" -> (x19 _),
     "x20_approx_aggregates" -> (x20 _),
     "x21_column_profile" -> (x21 _),
+    "x22_cosine_topk_ivf" -> (x22 _),
   )
 
   /** Oracles for the SQL-expressible subset. DuckDB-dialect is fine

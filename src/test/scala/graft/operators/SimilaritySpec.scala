@@ -39,6 +39,27 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (q, v) => assert(q == v) }
   }
 
+  test("IVF: self in top-1, results subset-consistent with brute force, recall reasonable") {
+    val (centroids, indexed) = Similarity.ivfIndex(emb, nLists = 8)
+    assert(centroids.length == 8)
+    val r = Similarity.ivfTopK(indexed, centroids, queries, k = 5, nProbe = 3)
+    val rank1 = r.filter($"rank" === 1)
+      .select($"query_id", $"vec_id", $"cosine").collect()
+    rank1.foreach { row =>
+      assert(row.getLong(0) == row.getLong(1) && row.getDouble(2) == 1.0)
+    }
+    // recall vs exact top-5: with nProbe=3 of 8 lists expect a decent share
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val approx = r.select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall=$recall")
+    // determinism
+    val again = Similarity.ivfTopK(indexed, centroids, queries, k = 5, nProbe = 3)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(again == approx)
+  }
+
   test("hyperplane bucket is deterministic across invocations") {
     val b1 = emb.select(Similarity.hyperplaneBucket($"embedding", 8, 64)).as[Int].collect()
     val b2 = emb.select(Similarity.hyperplaneBucket($"embedding", 8, 64)).as[Int].collect()
