@@ -280,7 +280,7 @@ object ExtensionQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x13_json_props_agg" ->
-      """SELECT event_type, SUM(CAST(regexp_extract(props, '[0-9]+', 0) AS INT)) AS sum_k,
+      """SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '[0-9]+', 0) AS INT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

@@ -44,15 +44,15 @@ object OracleSql {
 
     "q07_hash_agg_decimal" ->
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       count(*) AS n
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q08_conditional_count" ->
       """SELECT o_orderpriority,
-        |       SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS big,
+        |       CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS big,
         |       count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -77,7 +77,7 @@ object OracleSql {
         |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
     "q13_topk_limit" ->
-      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      """SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
         |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 25""".stripMargin,
 
     "q14_lag_analytic" ->
@@ -88,9 +88,9 @@ object OracleSql {
 
     "q15_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-        |       SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q16_union_all" ->
@@ -117,13 +117,13 @@ object OracleSql {
         |FROM events WHERE event_type IN ('purchase','signup') ORDER BY event_id""".stripMargin,
 
     "q21_tumbling_window" ->
-      """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n,
-        |       SUM(CAST(value AS DECIMAL(18,2))) AS v
+      """SELECT CAST(CAST(ts AS DATE) AS STRING) AS d, event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
         |FROM events GROUP BY CAST(ts AS DATE), event_type
         |ORDER BY d, event_type""".stripMargin,
 
     "q22_sessionization" ->
-      """SELECT user_id, session_id, count(*) AS n FROM (
+      """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n FROM (
         |  SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM (SELECT user_id, ts, event_id,
@@ -145,7 +145,7 @@ object OracleSql {
         |GROUP BY r.r_regionkey ORDER BY r.r_regionkey""".stripMargin,
 
     "q25_doc_stats" ->
-      """SELECT lang, count(*) AS docs, SUM(n_chars) AS chars,
+      """SELECT lang, count(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
         |       count(DISTINCT source) AS srcs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 

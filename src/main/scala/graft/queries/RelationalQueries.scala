@@ -87,14 +87,17 @@ object RelationalQueries {
 
   /** Q07 hash agg with partial+final combine (TPC-H Q1 shape, ref A1).
     * Decimal casts make the sums accumulation-order-stable, so the
-    * map-side partial aggregation is safe at any partition count. */
+    * map-side partial aggregation is safe at any partition count. The
+    * exact decimal result rounds ONCE to double at the end — both
+    * engines (and both client conversion paths: Decimal objects vs
+    * pandas float64) then agree bit-for-bit. */
   def q07(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") < to_timestamp(lit("2000-01-01 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(dec)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).as("sum_price"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -154,7 +157,7 @@ object RelationalQueries {
     t(spark, dir, "customer")
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
       .limit(25)
-      .select(col("c_custkey"), col("c_acctbal").cast(dec).as("bal"))
+      .select(col("c_custkey"), col("c_acctbal").cast(dec).cast("double").as("bal"))
 
   /** Q14 lag analytic (ref W2). */
   def q14(spark: SparkSession, dir: String): DataFrame = {
@@ -175,7 +178,7 @@ object RelationalQueries {
     t(spark, dir, "orders")
       .select(
         col("o_custkey"), col("o_orderkey"),
-        sum(col("o_totalprice").cast(dec)).over(w).as("run"))
+        sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("run"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -228,8 +231,8 @@ object RelationalQueries {
     * streaming tumbling window, SURVEY §2.8). */
   def q21(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .groupBy(col("ts").cast("date").as("d"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("v"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast("double").as("v"))
       .orderBy(col("d"), col("event_type"))
 
   /** Q22 sessionization via gap > 1h: lag to flag session starts, running
