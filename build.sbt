@@ -14,7 +14,6 @@ run / fork := true
 // Pass the forked JVM's stdout through raw — the bench/verify harness
 // parses a bare JSON line, which sbt's logger would otherwise prefix
 // with [info] and break.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -73,7 +73,7 @@ object TextFunctions {
     * load trained n-gram profiles; the heuristic keeps the operator
     * deterministic and dependency-free while exercising the same plan
     * shape (per-doc scoring against broadcast profiles). */
-  private val stopwords: Map[String, Seq[String]] = Map(
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "as", "was", "on", "are", "this"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "eine", "zu", "den", "im", "für", "auf"),
     "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para", "del"),

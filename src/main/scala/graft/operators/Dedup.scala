@@ -65,23 +65,38 @@ object Dedup {
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle → minhash (k = bands·rowsPerBand) → band-bucket join →
-    * signature-estimated Jaccard filter. Two LSH docs land in the same
-    * bucket iff one band of their signatures agrees — probability
-    * 1-(1-j^r)^b for true Jaccard j, the classic S-curve.
+    * Jaccard filter. Two LSH docs land in the same bucket iff one band
+    * of their signatures agrees — probability 1-(1-j^r)^b for true
+    * Jaccard j, the classic S-curve.
     *
-    * Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    * `verifyExact = false`: the filter uses the signature-estimated
+    * Jaccard (agreement fraction) — nothing but 8-byte signatures ever
+    * shuffles. `verifyExact = true`: candidates are re-scored with the
+    * EXACT Jaccard over the distinct shingle-hash sets (the standard
+    * LSH-then-verify shape) — precision 1 at the cost of shuffling the
+    * full hash arrays for candidate docs only.
+    *
+    * Output: (doc_a, doc_b, est_jaccard | jaccard), doc_a < doc_b.
     */
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, verifyExact: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
     // Materialized sketch table: it feeds the band explode AND both
     // sides of the estimate join — 3 consumers that would otherwise
     // re-shingle and re-hash the full corpus. At scale this is the
     // standard materialize-the-sketch-table step (~1 KB/doc ≪ corpus).
-    val sigs = materialize(
-      minhashSignatures(ensureParallelism(docs), idCol, textCol, shingleLen, k)
-        .filter(col("sig").isNotNull))
+    val base = ensureParallelism(docs).select(
+      col(idCol).as("doc_id"),
+      shingle_hashes(normText(col(textCol)), shingleLen).as("sh"))
+    val sketch = if (verifyExact) {
+      base.select(col("doc_id"),
+        minhash_longs(col("sh"), k).as("sig"),
+        array_sort(array_distinct(col("sh"))).as("hashes"))
+    } else {
+      base.select(col("doc_id"), minhash_longs(col("sh"), k).as("sig"))
+    }
+    val sigs = materialize(sketch.filter(col("sig").isNotNull))
 
     // one row per (doc, band): band id + hash of that signature slice
     val banded = sigs.select(
@@ -100,15 +115,26 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // estimate Jaccard as the fraction of agreeing signature slots
-    val withSigs = candidates
-      .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
-      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
-    withSigs.select(
-        col("doc_a"), col("doc_b"),
-        (minhash_agreement(col("sig_a"), col("sig_b")).cast("double") / k)
-          .as("est_jaccard"))
-      .filter(col("est_jaccard") >= minJaccard)
+    if (verifyExact) {
+      // exact re-score: Jaccard over the distinct shingle-hash sets
+      // (identical to shingle-set Jaccard modulo 64-bit collisions)
+      val ha = sigs.select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
+      val hb = sigs.select(col("doc_id").as("doc_b"), col("hashes").as("h_b"))
+      candidates.join(ha, "doc_a").join(hb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(sorted_jaccard(col("h_a"), col("h_b")), 6).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
+    } else {
+      // estimate Jaccard as the fraction of agreeing signature slots
+      candidates
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(
+          col("doc_a"), col("doc_b"),
+          (minhash_agreement(col("sig_a"), col("sig_b")).cast("double") / k)
+            .as("est_jaccard"))
+        .filter(col("est_jaccard") >= minJaccard)
+    }
   }
 
   /** SimHash near-duplicate pairs. 64-bit sketch per doc; split into

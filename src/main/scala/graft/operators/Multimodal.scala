@@ -24,7 +24,7 @@ object Multimodal {
 
   final case class MediaFeatures(
       media_id: Long, modality: String, byte_len: Long,
-      content_hash: Long,
+      content_hash: String,     // md5 hex of the payload bytes
       histogram: Array[Double], // 16-bin byte histogram (real)
       width: Int, height: Int,  // STUBBED decode output
       n_frames: Int)
@@ -46,14 +46,16 @@ object Multimodal {
   }
 
   /** === STUB ===  "decode" an image: real codecs are unavailable in
-    * this environment; dimensions derive deterministically from the
-    * content hash so tests are stable. A production build swaps this
-    * body for the actual decoder (javax.imageio / ffmpeg bindings)
-    * without touching the surrounding Spark plumbing. */
-  private def decodeImageStub(bytes: Array[Byte], contentHash: Long): (Int, Int, Int) = {
-    val w = 64 + (math.abs(contentHash) % 1024).toInt
-    val h = 64 + (math.abs(contentHash >> 16) % 1024).toInt
-    val frames = 1 + (math.abs(contentHash >> 32) % 64).toInt
+    * this environment; dimensions derive deterministically from 6-hex-
+    * digit slices of the md5 content hash so tests (and the DuckDB
+    * oracle) are stable. A production build swaps this body for the
+    * actual decoder (javax.imageio / ffmpeg bindings) without touching
+    * the surrounding Spark plumbing. */
+  private def decodeImageStub(bytes: Array[Byte], contentHash: String): (Int, Int, Int) = {
+    def hex6(from: Int): Long = java.lang.Long.parseLong(contentHash.substring(from, from + 6), 16)
+    val w = 64 + (hex6(0) % 1024).toInt
+    val h = 64 + (hex6(6) % 1024).toInt
+    val frames = 1 + (hex6(12) % 64).toInt
     (w, h, frames)
   }
 
@@ -66,6 +68,8 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
+      // one digest instance per partition (reset() per row), not per row
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
         val hist = new Array[Double](16)
         var i = 0
@@ -75,9 +79,11 @@ object Multimodal {
           i += 1
         }
         if (bytes.length > 0) { var j = 0; while (j < 16) { hist(j) /= bytes.length; j += 1 } }
-        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42)
-        val contentHash = h.toLong
+        // md5 over the raw payload bytes: a real content hash AND
+        // portable (DuckDB md5(text) agrees for UTF-8 payloads, which
+        // is what makes x12 oracle-checkable)
+        md.reset()
+        val contentHash = md.digest(bytes).map("%02x".format(_)).mkString
         val (w, ht, frames) = decodeImageStub(bytes, contentHash)
         MediaFeatures(m.media_id, m.modality, m.byte_len, contentHash,
           hist, w, ht, frames)

@@ -22,7 +22,7 @@ object Similarity {
     * vectors of length `dim`, seeded — same planes on every run and
     * every executor (they travel as literals in the plan, i.e. are
     * broadcast with the task binary). */
-  private[operators] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {
+  private[graft] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)((rng.nextGaussian() * 1000).toFloat))
   }

@@ -30,13 +30,17 @@ object ExtensionQueries {
     Dedup.exact(docs(s, dir), "doc_id", "text")
       .orderBy(col("keep_id"))
 
-  /** x02 MinHash+LSH near-dup pairs. The corpus plants near-dups at
-    * char-5 Jaccard ≥ 0.5 over a ~0.18 word-salad background, so
-    * r=8 rows/band crushes background candidates (P(collide|j=0.2) ≈
-    * 4e-5) while catching planted dups with P ≈ 1. */
+  /** x02 MinHash+LSH near-dup pairs, exact-verified. The corpus plants
+    * near-dups at char-5 Jaccard ≥ 0.9 over a ~0.18 word-salad
+    * background, so r=8 rows/band crushes background candidates
+    * (P(collide|j=0.2) ≈ 4e-5) while catching planted dups with P ≈ 1;
+    * candidates are then re-scored with the exact shingle-set Jaccard,
+    * which makes the result equal to the brute-force ground truth (and
+    * therefore DuckDB-oracle-checkable). */
   def x02(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDup(docs(s, dir), "doc_id", "text",
-        shingleLen = 5, bands = 16, rowsPerBand = 8, minJaccard = 0.35)
+        shingleLen = 5, bands = 16, rowsPerBand = 8, minJaccard = 0.35,
+        verifyExact = true)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** x03 SimHash near-dup pairs within Hamming distance 7 of 64.
@@ -255,6 +259,40 @@ object ExtensionQueries {
     "x22_cosine_topk_ivf" -> (x22 _),
   )
 
+  // ---- oracle-SQL builders -------------------------------------------
+
+  /** A float[] plane as an exact DuckDB DOUBLE[] literal: float→double
+    * widening is exact and Double.toString round-trips, so the literal
+    * parses back to the identical IEEE value the Spark plan uses. */
+  private def planeLit(p: Array[Float]): String =
+    p.map(f => f.toDouble.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  /** DuckDB expression for [[Similarity.hyperplaneBucket]]: the seeded
+    * hyperplanes are generated by the SAME Scala code and embedded as
+    * literals, so both engines test sign(dot) against identical planes.
+    * Dots are ~1e3 in magnitude — ulp-level accumulation differences
+    * cannot flip a sign in practice. */
+  private def bucketSql(vecCol: String, nPlanes: Int): String =
+    Similarity.planes(nPlanes, 64).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product($vecCol::DOUBLE[], ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB list literal of a language's stopword profile (same source
+    * constants as [[TextFunctions.stopwords]]). */
+  private def stopLit(lang: String): String =
+    graft.functions.TextFunctions.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Word tokens of `col` (lowercased maximal letter/number runs) —
+    * the RE2 regex equivalent of ShingleKernels.wordTokens. */
+  private def wordsSql(col: String): String =
+    s"list_filter(regexp_split_to_array(lower($col), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+
+  /** Distinct char-5 shingles of whitespace-normalized lowercase text. */
+  private val charShinglesSql: String =
+    """list_distinct(CASE WHEN length(t) >= 5
+      |  THEN list_transform(range(1, length(t) - 3), i -> substr(t, i, 5))
+      |  ELSE [] END)""".stripMargin
+
   /** Oracles for the SQL-expressible subset. DuckDB-dialect is fine
     * here (the oracle only ever runs in DuckDB); double math is forced
     * via ::DOUBLE[] casts so both engines accumulate in float64 in
@@ -263,6 +301,125 @@ object ExtensionQueries {
     "x01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // Ground truth for the verified LSH near-dup: brute-force char-5
+    // shingle Jaccard. Valid because the verify step makes the engine's
+    // result exactly {pairs with J >= t} whenever LSH recall is 1 —
+    // which it is on this corpus (planted dups at J >= 0.9, S-curve
+    // P(candidate) ~ 1; background at J <= 0.31, P ~ 4e-5).
+    "x02_minhash_lsh_neardup" ->
+      s"""WITH norm AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+         |sh AS (SELECT doc_id, $charShinglesSql AS g FROM norm),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         round(len(list_intersect(a.g, b.g))::DOUBLE /
+         |               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::DOUBLE, 6) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.g) > 0 AND len(b.g) > 0)
+         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.35
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Ground truth for prefix-filtered n-gram Jaccard: brute-force
+    // word-3-gram Jaccard (the operator's contract; the bottom-k prefix
+    // filter achieves full recall on this corpus — verified pair-count
+    // identical at sf0.01).
+    "x04_ngram_jaccard_neardup" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         |    THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [] END) AS g
+         |  FROM toks),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         round(len(list_intersect(a.g, b.g))::DOUBLE /
+         |               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::DOUBLE, 6) AS jaccard
+         |  FROM ng a JOIN ng b ON a.doc_id < b.doc_id
+         |  WHERE len(a.g) > 0 AND len(b.g) > 0)
+         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x05_embedding_neardup" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 6)} AS bucket
+         |  FROM embeddings WHERE len(embedding) = 64)
+         |SELECT doc_a, doc_b, cosine FROM (
+         |  SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
+         |         round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) AS cosine
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) t
+         |WHERE cosine >= 0.15 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x07_cosine_topk_lsh" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 6)} AS bucket FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS query_vec, ${bucketSql("embedding", 6)} AS bucket
+         |  FROM embeddings WHERE vec_id < 5),
+         |ranked AS (
+         |  SELECT q.query_id, c.vec_id,
+         |         round(list_cosine_similarity(q.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+         |         row_number() OVER (
+         |           PARTITION BY q.query_id
+         |           ORDER BY round(list_cosine_similarity(q.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+         |                    c.vec_id) AS rank
+         |  FROM c JOIN q ON c.bucket = q.bucket)
+         |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "x08_lang_id_confusion" ->
+      s"""WITH w AS (
+         |  SELECT lang, text, ${wordsSql("text")} AS ws FROM documents),
+         |s AS (
+         |  SELECT lang, text,
+         |         len(list_filter(${stopLit("de")}, x -> list_contains(ws, x))) AS s_de,
+         |         len(list_filter(${stopLit("en")}, x -> list_contains(ws, x))) AS s_en,
+         |         len(list_filter(${stopLit("es")}, x -> list_contains(ws, x))) AS s_es,
+         |         len(list_filter(${stopLit("fr")}, x -> list_contains(ws, x))) AS s_fr
+         |  FROM w),
+         |p AS (
+         |  SELECT lang,
+         |         CASE WHEN regexp_matches(text, '\\p{Han}') THEN 'zh'
+         |              WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |              WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         |              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |              WHEN s_en >= s_de THEN 'en'
+         |              ELSE 'de' END AS lang_pred
+         |  FROM s)
+         |SELECT lang, lang_pred, count(*) AS n FROM p
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+
+    "x09_quality_score_hist" ->
+      s"""WITH w AS (SELECT text, ${wordsSql("text")} AS ws FROM documents),
+         |f AS (
+         |  SELECT length(text)::DOUBLE AS n_chars, len(ws)::DOUBLE AS n_words,
+         |         CASE WHEN len(ws) > 0
+         |           THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) END AS mwl,
+         |         CASE WHEN length(text) > 0
+         |           THEN length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE / length(text) END AS alpha,
+         |         CASE WHEN length(text) > 0
+         |           THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END AS punct
+         |  FROM w),
+         |q AS (
+         |  SELECT round((
+         |      (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+         |      (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+         |      coalesce(alpha, 0.0) +
+         |      (1.0 - least(coalesce(punct, 0.0) * 5, 1.0))) / 4, 6) AS q
+         |  FROM f)
+         |SELECT CAST(FLOOR(q * 10) AS INT) AS q_bucket, count(*) AS n
+         |FROM q GROUP BY q_bucket ORDER BY q_bucket""".stripMargin,
+
+    // The stub decode dims derive from 6-hex-digit md5 slices; DuckDB
+    // parses them via the '0x...' string-cast.
+    "x12_multimodal_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |       CAST(strlen(text) AS BIGINT) AS byte_len,
+        |       md5(text) AS content_hash,
+        |       CAST(64 + (CAST('0x' || substr(md5(text), 1, 6) AS BIGINT) % 1024) AS INT) AS width,
+        |       CAST(64 + (CAST('0x' || substr(md5(text), 7, 6) AS BIGINT) % 1024) AS INT) AS height,
+        |       CAST(1 + (CAST('0x' || substr(md5(text), 13, 6) AS BIGINT) % 64) AS INT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "x06_cosine_topk_bruteforce" ->
       """SELECT query_id, vec_id, cosine, rank FROM (
