@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ExtensionQueries, OracleSql, RelationalQueries}
+import graft.queries.{ExtensionQueries, OracleSql, ReferenceQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,9 +18,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (RelationalQueries.all ++ ExtensionQueries.all).toMap
+    (RelationalQueries.all ++ ExtensionQueries.all ++ ReferenceQueries.all).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = OracleSql.all ++ ExtensionQueries.oracles
+  def oracleSql: Map[String, String] =
+    OracleSql.all ++ ExtensionQueries.oracles ++ ReferenceQueries.oracles
 }
