@@ -109,8 +109,11 @@ object TextFunctions {
     val nChars = length(text).cast("double")
     val ws = words(text)
     val nWords = size(ws).cast("double")
+    // sum-of-word-lengths as length(array_join(ws, "")) — same value
+    // as an aggregate() fold, but stays codegen'd (any HOF in the
+    // projection would drop the whole stage to the interpreted path)
     val meanWordLen = when(nWords > 0,
-      aggregate(ws, lit(0.0), (acc, w) => acc + length(w)) / nWords)
+      length(array_join(ws, "")).cast("double") / nWords)
     val alphaRatio = when(nChars > 0,
       length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") / nChars)
     val punctRatio = when(nChars > 0,

@@ -86,17 +86,9 @@ object Dedup {
     // sides of the estimate join — 3 consumers that would otherwise
     // re-shingle and re-hash the full corpus. At scale this is the
     // standard materialize-the-sketch-table step (~1 KB/doc ≪ corpus).
-    val base = ensureParallelism(docs).select(
-      col(idCol).as("doc_id"),
-      shingle_hashes(normText(col(textCol)), shingleLen).as("sh"))
-    val sketch = if (verifyExact) {
-      base.select(col("doc_id"),
-        minhash_longs(col("sh"), k).as("sig"),
-        array_sort(array_distinct(col("sh"))).as("hashes"))
-    } else {
-      base.select(col("doc_id"), minhash_longs(col("sh"), k).as("sig"))
-    }
-    val sigs = materialize(sketch.filter(col("sig").isNotNull))
+    val sigs = materialize(
+      minhashSignatures(ensureParallelism(docs), idCol, textCol, shingleLen, k)
+        .filter(col("sig").isNotNull))
 
     // one row per (doc, band): band id + hash of that signature slice
     val banded = sigs.select(
@@ -117,10 +109,22 @@ object Dedup {
 
     if (verifyExact) {
       // exact re-score: Jaccard over the distinct shingle-hash sets
-      // (identical to shingle-set Jaccard modulo 64-bit collisions)
-      val ha = sigs.select(col("doc_id").as("doc_a"), col("hashes").as("h_a"))
-      val hb = sigs.select(col("doc_id").as("doc_b"), col("hashes").as("h_b"))
-      candidates.join(ha, "doc_a").join(hb, "doc_b")
+      // (identical to shingle-set Jaccard modulo 64-bit collisions).
+      // Hash sets are recomputed ONLY for candidate docs — candidates
+      // are a vanishing fraction of the corpus, so this is far cheaper
+      // than materializing every doc's full hash array alongside the
+      // signatures (the sketch stays ~1 KB/doc either way).
+      val cand = materialize(candidates)
+      val candIds = cand.select(col("doc_a").as("__cid"))
+        .union(cand.select(col("doc_b").as("__cid"))).distinct()
+      val candHashes = materialize(docs
+        .join(broadcast(candIds), col(idCol) === col("__cid"))
+        .select(col(idCol).as("doc_id"),
+          array_sort(array_distinct(
+            shingle_hashes(normText(col(textCol)), shingleLen))).as("hashes")))
+      cand
+        .join(candHashes.select(col("doc_id").as("doc_a"), col("hashes").as("h_a")), "doc_a")
+        .join(candHashes.select(col("doc_id").as("doc_b"), col("hashes").as("h_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           round(sorted_jaccard(col("h_a"), col("h_b")), 6).as("jaccard"))
         .filter(col("jaccard") >= minJaccard)
@@ -163,8 +167,11 @@ object Dedup {
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         hamming64(col("a.sk"), col("b.sk")).as("hamming"))
-      .distinct()
+      // hamming filter BEFORE the pair-dedup: far pairs (the vast
+      // majority of chunk collisions) never enter the distinct's
+      // shuffle, which would otherwise carry every candidate pair
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Word-n-gram Jaccard near-dup with prefix filtering: candidates
