@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan shape assertions for the declared queries — the
+  * properties that make the plans survive a 100× scale-up (SCALE.md):
+  * filters/projection reaching the parquet scan, small dimensions
+  * broadcast instead of shuffled, top-k compiling to
+  * TakeOrderedAndProject rather than a global sort, partial+final
+  * aggregation, and no accidental cartesian products.
+  *
+  * Asserting on plan strings is deliberately coarse: the point is to
+  * fail loudly if a future refactor silently degrades a plan (e.g. a
+  * cast added above a filter blocking pushdown), not to pin exact
+  * operator trees.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def qe(df: DataFrame): QueryExecution = df.queryExecution
+  private def physical(df: DataFrame): String = qe(df).executedPlan.toString
+  private def optimized(df: DataFrame): String = qe(df).optimizedPlan.toString
+
+  test("q02: both predicates and the 3-column projection reach the parquet scan") {
+    val plan = physical(RelationalQueries.q02(spark, sf001))
+    // (the PushedFilters list renders truncated — assert on the prefix)
+    assert(plan.contains("PushedFilters: [IsNotNull("), plan)
+    assert(plan.contains("GreaterThan(c_acctbal,1000"), plan)
+    // column pruning: the scan must not read the unused address/phone
+    assert(!plan.contains("c_address"), plan)
+  }
+
+  test("q04: dimension joins broadcast; no sort-merge exchange for the join") {
+    val plan = physical(RelationalQueries.q04(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q05/q06: anti and semi joins compile to hash joins, not subquery loops") {
+    assert(physical(RelationalQueries.q05(spark, sf001)).contains("LeftAnti"))
+    assert(physical(RelationalQueries.q06(spark, sf001)).contains("LeftSemi"))
+  }
+
+  test("q07: aggregation is partial+final (map-side combine before the exchange)") {
+    val plan = physical(RelationalQueries.q07(spark, sf001))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+  }
+
+  test("q13: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = physical(RelationalQueries.q13(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("x06: brute-force scoring broadcasts the query side (no cartesian shuffle)") {
+    val plan = physical(ExtensionQueries.x06(spark, sf001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x09: quality features carry no HOF lambda (would break whole-stage codegen)") {
+    // the aggregate() HOF formulation showed up as a lambdafunction in
+    // the projection and disqualified the whole stage from codegen
+    val plan = physical(ExtensionQueries.x09(spark, sf001))
+    assert(!plan.contains("lambdafunction"), plan)
+  }
+
+  test("r07: catalog lookup join broadcasts the deduplicated catalog side") {
+    val plan = physical(ReferenceQueries.r07(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q19: correlated lookup decorrelates to one aggregate + one join (no per-row subquery)") {
+    val plan = optimized(RelationalQueries.q19(spark, sf001))
+    assert(!plan.toLowerCase.contains("scalarsubquery"), plan)
+  }
+}
