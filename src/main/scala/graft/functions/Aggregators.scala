@@ -45,6 +45,44 @@ class BottomKLongs(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoders.longArray
 }
 
+/** One scored candidate row for [[TopKScored]]. */
+final case class Scored(id: Long, score: Double)
+
+/** Exact top-k by (score DESC, id ASC) — the aggregation form of
+  * `row_number() OVER (ORDER BY score DESC, id) <= k`. The buffer is a
+  * sorted array capped at k, and merging two buffers yields the top-k
+  * of the union, so partial (map-side) aggregation is exact: the
+  * shuffle carries at most k rows per (partition, group) instead of
+  * every scored candidate — at 100 TB the difference between moving
+  * k·partitions rows and moving the corpus once per query. */
+class TopKScored(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  override def zero: Seq[Scored] = Vector.empty
+
+  override def reduce(buf: Seq[Scored], v: Scored): Seq[Scored] = insert(buf, v)
+
+  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+    b.foldLeft(a)(insert)
+
+  private def insert(buf: Seq[Scored], v: Scored): Seq[Scored] = {
+    if (buf.length >= k && better(buf.last, v)) buf
+    else {
+      val at = buf.indexWhere(x => better(v, x)) match {
+        case -1 => buf.length
+        case i => i
+      }
+      (buf.take(at) :+ v) ++ buf.drop(at).take(k - at - 1)
+    }
+  }
+
+  override def finish(buf: Seq[Scored]): Seq[Scored] = buf
+  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoders.scoredSeq
+  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoders.scoredSeq
+}
+
 /** Changelog merge (reference A2, publish_to_catalog.py:93-124): the
   * per-category counts monoid — a typed Aggregator form of the run
   * report so the whole changelog reduces map-side. */
@@ -69,4 +107,6 @@ object RunCountsAgg extends Aggregator[String, RunCounts, RunCounts] {
 private object ExpressionEncoders {
   val longArray: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  val scoredSeq: Encoder[Seq[Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 }

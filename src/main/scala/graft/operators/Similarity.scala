@@ -1,10 +1,10 @@
 package graft.operators
 
+import graft.functions.{Scored, TopKScored}
 import graft.functions.VectorFunctions._
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -37,9 +37,30 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** Rank scored (queryId, corpusId, cosine) triples to exact top-k per
+    * query via the [[TopKScored]] aggregator. Equivalent to
+    * `row_number() OVER (PARTITION BY query ORDER BY cosine DESC, id)`
+    * but with map-side partial top-k: the exchange carries at most
+    * k rows per (partition, query) instead of every scored triple —
+    * the window formulation would shuffle the whole scored corpus into
+    * one partition per query. */
+  private def rankTopK(scored: DataFrame, k: Int,
+      queryId: String, corpusId: String): DataFrame = {
+    // udaf() flattens the case-class input: one arg per Scored field
+    val topk = udaf(new TopKScored(k))
+    scored
+      .groupBy(col(queryId))
+      .agg(topk(col(corpusId).cast("long"), col("cosine")).as("top"))
+      .select(col(queryId), posexplode(col("top")))
+      .select(
+        col(queryId), col("col.id").as(corpusId),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Brute-force exact cosine top-k: every query scored against every
-    * corpus vector (the recall=1 baseline). `queries` is broadcast;
-    * ranking shuffles only scored triples, partitioned by query. */
+    * corpus vector (the recall=1 baseline). `queries` is broadcast, so
+    * the corpus is read once with no vector shuffle; the top-k
+    * aggregation combines map-side. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
@@ -47,10 +68,7 @@ object Similarity {
       .select(
         col(queryId), col(corpusId),
         round(cosine_similarity(col(queryVec), col(corpusVec)), 6).as("cosine"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, queryId, corpusId)
   }
 
   /** IVF (inverted-file) index: a k-means coarse quantizer over the
@@ -98,10 +116,7 @@ object Similarity {
     val scored = indexed.join(broadcast(probed), "list_id")
       .select(col(queryId), col(corpusId),
         round(cosine_similarity(col(queryVec), col(corpusVec)), 6).as("cosine"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, queryId, corpusId)
   }
 
   /** LSH-bucketed ANN top-k: only corpus vectors in the query's
@@ -120,9 +135,6 @@ object Similarity {
       .select(
         col(queryId), col(corpusId),
         round(cosine_similarity(col(queryVec), col(corpusVec)), 6).as("cosine"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cosine").desc, col(corpusId))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, queryId, corpusId)
   }
 }
