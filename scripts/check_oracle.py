@@ -52,7 +52,10 @@ def pnorm(v):
 fails = []
 for name, sql in sorted(oracle.items()):
     try:
-        duck = con.execute(sql).fetchall()
+        # materialize once — some oracles (brute-force pair ground
+        # truths) are O(n^2) and must not run twice for the two paths
+        con.execute("CREATE OR REPLACE TEMP TABLE __oracle AS " + sql)
+        duck = con.execute("SELECT * FROM __oracle").fetchall()
         dcols = [d[0] for d in con.description]
         spark_rel = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
         spark = spark_rel.fetchall()
@@ -73,7 +76,7 @@ for name, sql in sorted(oracle.items()):
             fails.append((name, msg))
             continue
         # pandas path (mimics the driver)
-        ddf = con.execute(sql).df()[sorted(dcols)]
+        ddf = con.execute("SELECT * FROM __oracle").df()[sorted(dcols)]
         sdf = pd.read_parquet(f"{out}/{name}")[sorted(scols)]
         dn2 = [tuple(pnorm(v) for v in row) for row in ddf.itertuples(index=False)]
         sn2 = [tuple(pnorm(v) for v in row) for row in sdf.itertuples(index=False)]

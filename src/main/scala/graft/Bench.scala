@@ -30,14 +30,19 @@ object Bench {
       // sorts, window functions) — `count()` would let Catalyst prune
       // unreferenced columns and eliminate sorts, timing less than the
       // query does.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(120)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // a broken query must not masquerade as a fast one — surface it
+    val failed = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"" }
       .mkString("{", ",", "}")
     val headline = results.filter(_._1.startsWith("q")).map(_._2).sum
-    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

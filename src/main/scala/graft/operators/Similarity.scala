@@ -46,9 +46,14 @@ object Similarity {
     * one partition per query. */
   private def rankTopK(scored: DataFrame, k: Int,
       queryId: String, corpusId: String): DataFrame = {
-    // udaf() flattens the case-class input: one arg per Scored field
+    // udaf() flattens the case-class input: one arg per Scored field.
+    // Null cosines (zero-norm / length-mismatched embeddings) must be
+    // dropped first: Scored.score is a primitive double, and the typed
+    // deserializer throws on null where the old window formulation
+    // silently ranked them last.
     val topk = udaf(new TopKScored(k))
     scored
+      .filter(col("cosine").isNotNull)
       .groupBy(col(queryId))
       .agg(topk(col(corpusId).cast("long"), col("cosine")).as("top"))
       .select(col(queryId), posexplode(col("top")))

@@ -21,6 +21,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("brute-force top-k survives zero-norm corpus vectors (null cosine dropped)") {
+    // a zero vector has no cosine (CosineSimilarity nulls it out); the
+    // typed top-k aggregator must drop it rather than crash on the
+    // non-nullable Scored.score field
+    val dim = emb.select(size($"embedding")).as[Int].head()
+    val withZero = emb.select($"vec_id", $"embedding")
+      .union(spark.range(1).select(
+        lit(999999L).as("vec_id"),
+        array_repeat(lit(0.0f), dim).as("embedding")))
+    val r = Similarity.bruteForceTopK(withZero, queries, k = 5)
+    assert(r.count() == 15)
+    assert(r.filter($"vec_id" === 999999L).count() == 0)
+  }
+
   test("brute-force top-k: k rows per query, cosine non-increasing") {
     val r = Similarity.bruteForceTopK(emb, queries, k = 10)
       .orderBy($"query_id", $"rank")
