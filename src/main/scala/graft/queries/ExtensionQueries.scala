@@ -241,6 +241,14 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** x23 fingerprint-identity near-dup pairs: docs with an identical
+    * bottom-16 shingle sketch (exact dups plus the closest near-dups —
+    * P(identical sketch) ≈ J^16). Rows-only check: the sketch order is
+    * defined by the engine's xxhash64 family. */
+  def x23(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprintDup(docs(s, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -264,6 +272,7 @@ object ExtensionQueries {
     "x20_approx_aggregates" -> (x20 _),
     "x21_column_profile" -> (x21 _),
     "x22_cosine_topk_ivf" -> (x22 _),
+    "x23_fingerprint_dup" -> (x23 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------

@@ -72,6 +72,18 @@ object Streaming {
       .groupBy(session_window(col(tsCol), gap).as("win"), col("user_id"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup (the dedup family's ingest form): drop rows
+    * whose `keyCols` were already seen, with state bounded by the
+    * watermark — `dropDuplicatesWithinWatermark` expires per-key state
+    * once the key's event time falls behind the watermark, so state
+    * size tracks the watermark window, not the full history (the
+    * unbounded-state trap of plain `dropDuplicates` on a stream). For
+    * content dedup, pass a content hash as the key column. */
+  def streamingExactDedup(stream: DataFrame, tsCol: String,
+      watermark: String, keyCols: String*): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
   /** Stateful change detection (streaming J2/A4): per key, emit a row
     * only when the payload differs from the last seen value — the
     * incremental form of the reference's per-run set-difference

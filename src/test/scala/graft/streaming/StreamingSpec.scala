@@ -34,6 +34,34 @@ class StreamingSpec extends SparkSpec {
     assert(r2 == Map("a" -> "v2", "b" -> "v9", "c" -> "v1"))
   }
 
+  test("streamingExactDedup: duplicate keys dropped, state expires past the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val deduped = Streaming.streamingExactDedup(
+      in.toDF().toDF("ts", "content_hash", "payload"), "ts", "10 minutes", "content_hash")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+
+    in.addData(
+      (ts("2024-01-01 10:00:00"), "h1", "a"),
+      (ts("2024-01-01 10:00:10"), "h1", "a-dup"),   // in-batch dup
+      (ts("2024-01-01 10:00:20"), "h2", "b"))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 10:01:00"), "h1", "a-dup2")) // cross-batch dup
+    q.processAllAvailable()
+    // advance the watermark far past h1's state, then re-send h1: the
+    // key's dedup state has expired, so the row passes (bounded state)
+    in.addData((ts("2024-01-01 11:00:00"), "h3", "c"))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 11:00:30"), "h1", "a-again"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_out").select("content_hash", "payload")
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("h1", "a"), ("h2", "b"), ("h3", "c"), ("h1", "a-again")), out)
+  }
+
   test("windowedCounts: tumbling windows close and late data is dropped") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
