@@ -41,6 +41,9 @@ object TextAnalysis {
         col(idCol).as("doc_id"),
         fingerprint(col(textCol)).as("fp"),
         hash(fingerprint(col(textCol))).as("fp_hash"))
+      // docs shorter than the shingle length all sketch to [] — without
+      // this filter every pair of them would verify as a "dup"
+      .filter(size(col("fp")) > 0)
       .localCheckpoint(true) // both sides of the self-join
     val a = fps.as("a"); val b = fps.as("b")
     a.join(b,

@@ -80,9 +80,13 @@ object Streaming {
     * unbounded-state trap of plain `dropDuplicates` on a stream). For
     * content dedup, pass a content hash as the key column. */
   def streamingExactDedup(stream: DataFrame, tsCol: String,
-      watermark: String, keyCols: String*): DataFrame =
+      watermark: String, keyCols: String*): DataFrame = {
+    // zero keys would dedup on NO columns — the whole stream collapses
+    // to ~one row per expiry window, silently
+    require(keyCols.nonEmpty, "streamingExactDedup needs at least one key column")
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
+  }
 
   /** Stateful change detection (streaming J2/A4): per key, emit a row
     * only when the payload differs from the last seen value — the
