@@ -74,4 +74,24 @@ class PlanShapeSpec extends SparkSpec {
     val plan = optimized(RelationalQueries.q19(spark, sf001))
     assert(!plan.toLowerCase.contains("scalarsubquery"), plan)
   }
+
+  private def hashExchanges(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+
+  test("q22: both windows and the final groupBy share ONE hash exchange on user_id") {
+    val plan = physical(RelationalQueries.q22(spark, sf001))
+    assert(hashExchanges(plan) == 1, plan)
+  }
+
+  test("x17: as-of join is one hash exchange on the key — no join node at all") {
+    val plan = physical(ExtensionQueries.x17(spark, sf001))
+    assert(hashExchanges(plan) == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("x19: binned range join is an equi-join on the bin, not a cartesian/BNLJ") {
+    val plan = physical(ExtensionQueries.x19(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
