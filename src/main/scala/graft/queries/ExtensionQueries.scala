@@ -249,6 +249,17 @@ object ExtensionQueries {
     TextAnalysis.fingerprintDup(docs(s, dir))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** x24 per-vector L2 norm (the degenerate-embedding screen run
+    * before ANN indexing): exercises the native dot_product expression
+    * end-to-end with a DuckDB oracle. */
+  def x24(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    emb(s, dir)
+      .select(col("vec_id"),
+        round(sqrt(dot_product(col("embedding"), col("embedding"))), 6).as("l2"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -273,6 +284,7 @@ object ExtensionQueries {
     "x21_column_profile" -> (x21 _),
     "x22_cosine_topk_ivf" -> (x22 _),
     "x23_fingerprint_dup" -> (x23 _),
+    "x24_embedding_norms" -> (x24 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -426,6 +438,11 @@ object ExtensionQueries {
          |  FROM f)
          |SELECT CAST(FLOOR(q * 10) AS INT) AS q_bucket, count(*) AS n
          |FROM q GROUP BY q_bucket ORDER BY q_bucket""".stripMargin,
+
+    "x24_embedding_norms" ->
+      """SELECT vec_id,
+        |       round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // The stub decode dims derive from 6-hex-digit md5 slices; DuckDB
     // parses them via the '0x...' string-cast.
