@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
 
 /** Native Catalyst expressions for dense-vector math over
   * `ArrayType(FloatType)` embedding columns.
@@ -114,10 +114,65 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Static kernel for [[QuantizeI8]] — top-level object so codegen can
+  * call it as a static forwarder inside whole-stage spans. */
+object VectorKernels {
+
+  /** Symmetric per-vector int8 quantization — the standard storage
+    * format for embeddings at scale (4× smaller than float32, SIMD-
+    * friendly distance kernels): q_i = floor(x_i · 127/max|x| + 0.5)
+    * clamped to ±127. Returns null (callers map it) for empty,
+    * all-zero, or non-finite vectors — quantizing those is undefined,
+    * and a garbage scale must not silently produce plausible bytes. */
+  def quantizeI8(x: ArrayData): ArrayData = {
+    val n = x.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    if (n == 0 || maxAbs == 0.0 || java.lang.Double.isNaN(maxAbs) ||
+        java.lang.Double.isInfinite(maxAbs)) return null
+    val scale = 127.0 / maxAbs
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val q = math.floor(x.getFloat(i).toDouble * scale + 0.5)
+      out(i) = (if (q > 127.0) 127 else if (q < -127.0) -127 else q.toInt).toByte
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `quantize_i8(vec)` → array<tinyint>: symmetric int8 quantization
+  * (see [[VectorKernels.quantizeI8]]). */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.quantizeI8(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorKernels.quantizeI8($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `l2_norm_sq(a)` via DotProduct(a, a) is enough; no separate node. */
 object VectorFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
   def dot_product(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpression(a), toExpression(b)))
+  def quantize_i8(vec: Column): Column =
+    toColumn(QuantizeI8(toExpression(vec)))
 }

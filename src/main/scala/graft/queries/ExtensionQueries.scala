@@ -260,6 +260,19 @@ object ExtensionQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** x25 int8 embedding quantization (the 4×-smaller storage format
+    * for vector corpora): native quantize_i8 expression, checksummed
+    * per vector as the L1 norm of the quantized values so the oracle
+    * can verify every element without comparing byte arrays. */
+  def x25(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.quantize_i8
+    emb(s, dir)
+      .select(col("vec_id"),
+        aggregate(quantize_i8(col("embedding")), lit(0),
+          (acc, v) => acc + abs(v).cast("int")).as("q_l1"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -285,6 +298,7 @@ object ExtensionQueries {
     "x22_cosine_topk_ivf" -> (x22 _),
     "x23_fingerprint_dup" -> (x23 _),
     "x24_embedding_norms" -> (x24 _),
+    "x25_embedding_quantize_i8" -> (x25 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -443,6 +457,22 @@ object ExtensionQueries {
       """SELECT vec_id,
         |       round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // Element-exact replica of the symmetric int8 quantization:
+    // q_i = floor(x_i * 127/max|x| + 0.5) clamped to ±127, L1-summed.
+    // float→DOUBLE[] widening is exact, so both engines compute
+    // identical doubles and floor identically.
+    "x25_embedding_quantize_i8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |       CASE WHEN mx > 0 THEN
+        |         CAST(list_sum(list_transform(v, x ->
+        |           abs(GREATEST(-127.0, LEAST(127.0, floor(x * (127.0 / mx) + 0.5)))))) AS BIGINT)
+        |       END AS q_l1
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     // The stub decode dims derive from 6-hex-digit md5 slices; DuckDB
     // parses them via the '0x...' string-cast.

@@ -48,6 +48,33 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r == 32.0)
   }
 
+  test("quantize_i8: max element maps to ±127, zero stays 0, zero/empty vector is null") {
+    val df = Seq(Tuple1(Seq(0.5f, -1.0f, 0f, 0.25f))).toDF("v")
+    val q = df.select(quantize_i8($"v")).as[Seq[Byte]].head()
+    // scale = 127/1.0: 0.5→64 (floor(63.5+0.5)), -1→-127, 0→0, 0.25→32 (floor(31.75+0.5))
+    assert(q == Seq[Byte](64, -127, 0, 32), q)
+    val zero = Seq(Tuple1(Seq(0f, 0f))).toDF("v")
+      .select(quantize_i8($"v")).collect()(0)
+    assert(zero.isNullAt(0))
+    val empty = Seq(Tuple1(Seq.empty[Float])).toDF("v")
+      .select(quantize_i8($"v")).collect()(0)
+    assert(empty.isNullAt(0))
+  }
+
+  test("quantize_i8: dequantized values within half a step of the original") {
+    val emb = Tables.loadEmb(spark).limit(50)
+    val rows = emb.select($"embedding", quantize_i8($"embedding"))
+      .as[(Seq[Float], Seq[Byte])].collect()
+    rows.foreach { case (v, q) =>
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      val step = maxAbs / 127.0
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(qi * step - x) <= step / 2 + 1e-9,
+          s"x=$x q=$qi step=$step")
+      }
+    }
+  }
+
   test("codegen and interpreted paths agree on real embeddings") {
     val emb = Tables.loadEmb(spark)
     val joined = emb.as("x").join(emb.as("y"), $"x.vec_id" < $"y.vec_id")
