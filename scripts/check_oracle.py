@@ -49,8 +49,18 @@ def pnorm(v):
     return str(v)
 
 
+import os
+
+# CHECK_SKIP: comma-separated query names to exclude — for oracles that
+# are only tractable at small sf (x02's brute-force pair join is >40 min
+# in DuckDB at sf0.1; scripts/crosscheck_x02.py covers it there).
+skip = set(filter(None, os.environ.get("CHECK_SKIP", "").split(",")))
+
 fails = []
 for name, sql in sorted(oracle.items()):
+    if name in skip:
+        print("SKIP", name, "(CHECK_SKIP)")
+        continue
     try:
         # materialize once — some oracles (brute-force pair ground
         # truths) are O(n^2) and must not run twice for the two paths

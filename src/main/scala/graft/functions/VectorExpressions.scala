@@ -131,11 +131,13 @@ object VectorKernels {
     while (i < n) {
       if (x.isNullAt(i)) return null
       val v = math.abs(x.getFloat(i).toDouble)
+      // NaN never compares greater than maxAbs, so it would slip past
+      // the max tracking and quantize to 0 — reject it per element
+      if (v != v) return null
       if (v > maxAbs) maxAbs = v
       i += 1
     }
-    if (n == 0 || maxAbs == 0.0 || java.lang.Double.isNaN(maxAbs) ||
-        java.lang.Double.isInfinite(maxAbs)) return null
+    if (n == 0 || maxAbs == 0.0 || java.lang.Double.isInfinite(maxAbs)) return null
     val scale = 127.0 / maxAbs
     val out = new Array[Byte](n)
     i = 0

@@ -46,20 +46,43 @@ object Similarity {
     * one partition per query. */
   private def rankTopK(scored: DataFrame, k: Int,
       queryId: String, corpusId: String): DataFrame = {
-    // udaf() flattens the case-class input: one arg per Scored field.
-    // Null cosines (zero-norm / length-mismatched embeddings) must be
-    // dropped first: Scored.score is a primitive double, and the typed
-    // deserializer throws on null where the old window formulation
-    // silently ranked them last.
-    val topk = udaf(new TopKScored(k))
-    scored
-      .filter(col("cosine").isNotNull)
-      .groupBy(col(queryId))
-      .agg(topk(col(corpusId).cast("long"), col("cosine")).as("top"))
-      .select(col(queryId), posexplode(col("top")))
-      .select(
-        col(queryId), col("col.id").as(corpusId),
-        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    scored.schema(corpusId).dataType match {
+      case idType @ (ByteType | ShortType | IntegerType | LongType) =>
+        // udaf() flattens the case-class input: one arg per Scored field.
+        // Null cosines (zero-norm / length-mismatched embeddings) must be
+        // dropped first: Scored.score is a primitive double, and the typed
+        // deserializer throws on null where the window formulation
+        // silently ranked them last. The long cast is lossless for
+        // integral ids and undone on the way out, so callers keep their
+        // declared id type.
+        val topk = udaf(new TopKScored(k))
+        scored
+          .filter(col("cosine").isNotNull)
+          .groupBy(col(queryId))
+          .agg(topk(col(corpusId).cast("long"), col("cosine")).as("top"))
+          .select(col(queryId), posexplode(col("top")))
+          .select(
+            col(queryId), col("col.id").cast(idType).as(corpusId),
+            col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      case _ =>
+        // Non-numeric ids (string/uuid corpora): casting to long would
+        // null every id and crash the typed aggregator, so rank with a
+        // window instead. Ties break on the id's natural ordering —
+        // same contract as the aggregator path. This shuffles every
+        // scored candidate per query (no map-side top-k), which is
+        // acceptable because candidate sets are already pruned by the
+        // caller (LSH bucket / IVF probe); revisit with a generic-id
+        // aggregator if a string-id brute-force path ever matters.
+        val w = Window.partitionBy(col(queryId))
+          .orderBy(col("cosine").desc, col(corpusId))
+        scored
+          .filter(col("cosine").isNotNull)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+    }
   }
 
   /** Brute-force exact cosine top-k: every query scored against every

@@ -31,18 +31,20 @@ object ExtensionQueries {
       .orderBy(col("keep_id"))
 
   /** x02 MinHash+LSH near-dup pairs, exact-verified. The threshold sits
-    * in the reliable region of the b=16/r=8 S-curve — P(candidate) ≥
-    * 0.9998 per true pair at J ≥ 0.85 vs ≈ 4e-5 for the ~0.18
-    * word-salad background — and candidates are re-scored with the
-    * exact shingle-set Jaccard, so the result equals the brute-force
-    * ground truth (DuckDB-oracle-checkable; equality verified
-    * empirically at sf0.01 AND sf0.1 against the fixed xxhash64
-    * family). A threshold far below the S-curve knee (~0.7) would make
-    * recall probabilistic — that regime belongs to the unverified
+    * in the reliable region of the b=32/r=8 S-curve — P(miss) =
+    * (1-0.85^8)^32 ≈ 3.9e-5 per true pair at the J = 0.85 boundary
+    * (and falls off a cliff above it: ≈ 4e-9 at J = 0.90), vs a
+    * ≈ 7e-5 candidate rate for the ~0.18 word-salad background — and
+    * candidates are re-scored with the exact shingle-set Jaccard, so
+    * the result equals the brute-force ground truth up to that miss
+    * bound (DuckDB-oracle-checkable; equality verified empirically at
+    * sf0.001, sf0.01 AND sf0.1 against the fixed xxhash64 family). A
+    * threshold far below the S-curve knee (~0.66 for b=32/r=8) would
+    * make recall probabilistic — that regime belongs to the unverified
     * est_jaccard path, not to an oracle-checked query. */
   def x02(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDup(docs(s, dir), "doc_id", "text",
-        shingleLen = 5, bands = 16, rowsPerBand = 8, minJaccard = 0.85,
+        shingleLen = 5, bands = 32, rowsPerBand = 8, minJaccard = 0.85,
         verifyExact = true)
       .orderBy(col("doc_a"), col("doc_b"))
 
@@ -349,7 +351,17 @@ object ExtensionQueries {
     // result exactly {pairs with J >= t} whenever LSH recall is 1 over
     // the thresholded pairs — deterministic for the fixed hash family,
     // and verified empirically at sf0.01 and sf0.1 (threshold 0.85 is
-    // inside the reliable region of the b=16/r=8 S-curve).
+    // inside the reliable region of the b=32/r=8 S-curve,
+    // P(miss|J=0.85) ≈ 3.9e-5).
+    // COST BOUND: this declared oracle is the O(n²) list_intersect pair
+    // join — ~1 s in DuckDB at sf0.01 (the gate's sf) but measured
+    // >40 min at sf0.1. The sf0.1 equality claim above was established
+    // with the cheaper cross-checks in scripts/ (numpy 1024-perm
+    // minhash prefilter + exact set verify), NOT by running this SQL at
+    // sf0.1. An inverted-index form is not declared here because char-5
+    // shingles of same-language text collide heavily (posting lists in
+    // the thousands → the gram self-join explodes); the word-3-gram
+    // x04 oracle below IS the inverted-index form.
     "x02_minhash_lsh_neardup" ->
       s"""WITH norm AS (
          |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
@@ -363,10 +375,15 @@ object ExtensionQueries {
          |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.85
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // Ground truth for prefix-filtered n-gram Jaccard: brute-force
-    // word-3-gram Jaccard (the operator's contract; the bottom-k prefix
-    // filter achieves full recall on this corpus — verified pair-count
-    // identical at sf0.01).
+    // Ground truth for prefix-filtered n-gram Jaccard: exact word-3-gram
+    // Jaccard via an INVERTED-INDEX join (gram self-join counts the
+    // intersection; grams are distinct per doc so count(*) = |A∩B|).
+    // Exactly equivalent to the brute-force pair join — any pair with
+    // J >= 0.2 > 0 shares a gram, so no qualifying pair is missed — but
+    // near-linear in corpus size: this repo's validated cross-check
+    // form, promoted to the declared oracle so the gate stays cheap at
+    // any sf (the brute-force list_intersect form took >40 min at
+    // sf0.1; this runs in seconds).
     "x04_ngram_jaccard_neardup" ->
       s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
          |ng AS (
@@ -374,14 +391,17 @@ object ExtensionQueries {
          |    THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
          |    ELSE [] END) AS g
          |  FROM toks),
+         |ex AS (SELECT doc_id, len(g) AS sz, unnest(g) AS gram FROM ng WHERE len(g) > 0),
          |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         round(len(list_intersect(a.g, b.g))::DOUBLE /
-         |               (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))::DOUBLE, 6) AS jaccard
-         |  FROM ng a JOIN ng b ON a.doc_id < b.doc_id
-         |  WHERE len(a.g) > 0 AND len(b.g) > 0)
-         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.2
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz,
+         |         any_value(a.sz) AS sa, any_value(b.sz) AS sb
+         |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |         round(isz::DOUBLE / (sa + sb - isz)::DOUBLE, 6) AS jaccard
+         |  FROM pairs) t
+         |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
 
     "x05_embedding_neardup" ->
       s"""WITH b AS (
