@@ -15,6 +15,11 @@ run / fork := true
 // parses a bare JSON line, which sbt's logger would otherwise prefix
 // with [info] and break.
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and suppress the trailing "[success] Total time: ..." line sbt
+// prints AFTER the program's JSON — the harness reads the LAST stdout
+// line, so that trailer (not the [info] prefix) is what broke the
+// bench parse in rounds 1-3 ("parsed": null in BENCH_r0*.json).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
