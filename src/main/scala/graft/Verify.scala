@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev knob (unset in driver runs): SPARK_GRAFT_ONLY=<regex> dumps
+    // only matching queries — iteration on one query shouldn't re-dump
+    // all of them. oracle_sql.json is always written in full.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(name.matches) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -8,6 +8,14 @@ package graft.queries
   */
 object OracleSql {
 
+  /** Oracles written in DuckDB-only dialect (list lambdas / unnest /
+    * list(DISTINCT)) — correct for the DuckDB gate but not runnable
+    * verbatim on Spark, so SqlParitySpec's double-entry check skips
+    * them (their Spark-side semantics are covered by the DuckDB oracle
+    * itself plus the per-operator unit specs). Everything else in
+    * [[all]] must stay engine-portable. */
+  val duckOnlyDialect: Set[String] = Set("q29_token_explode", "q32_string_agg")
+
   val all: Map[String, String] = Map(
     "q01_scan_project_sort" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
@@ -154,5 +162,57 @@ object OracleSql {
         |FROM documents WHERE text LIKE '%spark%'
         |GROUP BY CAST(FLOOR(n_chars / 100) AS INT)
         |ORDER BY bucket""".stripMargin,
+
+    "q27_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q28_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q29_token_explode" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n FROM t GROUP BY token
+        |HAVING count(*) >= (SELECT count(*) FROM documents)
+        |ORDER BY token""".stripMargin,
+
+    "q30_percentile_cont" ->
+      """SELECT o_orderpriority,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+        |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q31_arg_max" ->
+      """SELECT o_orderpriority, o_orderkey AS best_ok,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS best_price
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders) t
+        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q32_string_agg" ->
+      """SELECT lang, array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+        |       count(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q33_full_outer_join" ->
+      """SELECT coalesce(a.k, b.k) AS k,
+        |       CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 'both'
+        |            WHEN a.k IS NOT NULL THEN 'left' ELSE 'right' END AS side
+        |FROM (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING') a
+        |FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'P') b
+        |ON a.k = b.k
+        |ORDER BY k""".stripMargin,
   )
 }

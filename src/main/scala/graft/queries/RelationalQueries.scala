@@ -289,6 +289,108 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
 
+  /** Q27 cube — the full 2^k grouping lattice (superset of Q10's
+    * rollup); same ExpandExec + single hash-agg shuffle plan shape. */
+  def q27(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("qty"))
+      .orderBy(
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Q28 pivot: long→wide with a pinned value list — an explicit value
+    * list keeps the plan a single pass (no extra distinct-values job)
+    * and makes the output schema static, which is what a 100 TB pivot
+    * needs anyway. Empty cells coalesce to 0 so the result is
+    * null-free on both engines. */
+  def q28(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Q29 generator/UDTF surface: explode word tokens and count — the
+    * corpus term-frequency pass. The ≥ once-per-doc-on-average
+    * threshold is sf-relative (a 1-row broadcast join, no driver
+    * round-trip) so the result is non-empty and stable at every sf. */
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val nDocs = d.agg(count(lit(1)).as("__nd"))
+    d.select(explode(graft.functions.TextFunctions.words(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(nDocs))
+      .filter(col("n") >= col("__nd"))
+      .select(col("token"), col("n"))
+      .orderBy(col("token"))
+  }
+
+  /** Q30 interpolated percentiles (exact, not sketch — x20 holds the
+    * sketch variant): both engines sort and linearly interpolate at
+    * p·(n-1), so the doubles agree bit-for-bit before the final
+    * round(2). */
+  def q30(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Q31 arg-max (max_by): the struct ordering key makes the pick
+    * deterministic under price ties — (price, key) is unique. One
+    * hash agg; no window shuffle. */
+  def q31(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("best_ok"),
+        max(col("o_totalprice").cast(dec)).cast("double").as("best_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Q32 ordered string aggregation: sort the collected set before
+    * joining so the concatenation is order-stable regardless of
+    * partitioning (collect_set order is not deterministic — the sort
+    * is what makes this oracle-able). */
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+        count(lit(1)).as("n"))
+      .orderBy(col("lang"))
+
+  /** Q33 full outer join with side classification — the merge-reconcile
+    * shape (which keys are only in the target, only in the source, or
+    * both). Keys are pre-distinct so the join is 1:1 and the output
+    * key column is a total order. */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k")).distinct()
+    val b = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("k")).distinct()
+    a.as("a").join(b.as("b"), col("a.k") === col("b.k"), "full_outer")
+      .select(
+        coalesce(col("a.k"), col("b.k")).as("k"),
+        when(col("a.k").isNotNull && col("b.k").isNotNull, "both")
+          .when(col("a.k").isNotNull, "left")
+          .otherwise("right").as("side"))
+      .orderBy(col("k"))
+  }
+
   /** name → impl, in declaration order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_scan_project_sort" -> (q01 _),
@@ -317,5 +419,12 @@ object RelationalQueries {
     "q24_theta_join" -> (q24 _),
     "q25_doc_stats" -> (q25 _),
     "q26_length_bucketing" -> (q26 _),
+    "q27_cube" -> (q27 _),
+    "q28_pivot" -> (q28 _),
+    "q29_token_explode" -> (q29 _),
+    "q30_percentile_cont" -> (q30 _),
+    "q31_arg_max" -> (q31 _),
+    "q32_string_agg" -> (q32 _),
+    "q33_full_outer_join" -> (q33 _),
   )
 }
