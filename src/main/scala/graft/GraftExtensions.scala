@@ -75,6 +75,12 @@ object GraftExtensions {
     ("sorted_jaccard",
       info("sorted_jaccard", "_FUNC_(a, b) - Jaccard of two sorted distinct long arrays"),
       arity("sorted_jaccard", 2)(args => SortedLongJaccard(args(0), args(1)))),
+    ("md5_shingle_hashes",
+      info("md5_shingle_hashes", "_FUNC_(text, n) - portable md5-60 hash of every n-codepoint window"),
+      arity("md5_shingle_hashes", 2)(args => Md5ShingleHashes(args(0), intArg(args(1), "n")))),
+    ("md5_simhash",
+      info("md5_simhash", "_FUNC_(tokens) - portable 60-bit simhash of a string array"),
+      arity("md5_simhash", 1)(args => Md5SimHash(args(0)))),
     ("zip_entries",
       info("zip_entries", "_FUNC_(bytes) - explode zip archive bytes to (entry_name, content)"),
       arity("zip_entries", 1)(args => ZipEntries(args(0)))),

@@ -162,6 +162,49 @@ case class MinHashAgreement(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `md5_shingle_hashes(text, n)` → array<bigint>: md5-derived 60-bit
+  * hash of every n-codepoint window — the PORTABLE sibling of
+  * [[ShingleHashes]] (DuckDB recomputes it as
+  * `CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)`), used by the
+  * oracle-checked fingerprint queries. */
+case class Md5ShingleHashes(child: Expression, shingleLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.md5ShingleHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleLen)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.md5ShingleHashes($c, $shingleLen)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `md5_simhash(tokens)` → 60-bit SimHash as bigint over md5-derived
+  * token hashes — the PORTABLE sibling of [[SimHash64]], brute-force
+  * recomputable in the DuckDB oracle. Empty/null → null. */
+case class Md5SimHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() == 0) null
+    else java.lang.Long.valueOf(ShingleKernels.md5SimHash(arr))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${K.cls}.md5SimHash($c); }
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object ShingleFunctions {
   def word_tokens(text: Column): Column =
     toColumn(WordTokens(toExpression(text)))
@@ -175,4 +218,8 @@ object ShingleFunctions {
     toColumn(MinHashFromLongs(toExpression(hashes), k))
   def sorted_jaccard(a: Column, b: Column): Column =
     toColumn(SortedLongJaccard(toExpression(a), toExpression(b)))
+  def md5_shingle_hashes(text: Column, n: Int): Column =
+    toColumn(Md5ShingleHashes(toExpression(text), n))
+  def md5_simhash(tokens: Column): Column =
+    toColumn(Md5SimHash(toExpression(tokens)))
 }

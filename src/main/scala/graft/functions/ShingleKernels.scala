@@ -151,6 +151,81 @@ object ShingleKernels {
     out
   }
 
+  // --- portable (DuckDB-replicable) md5-derived 60-bit hash family ---
+  //
+  // xxhash64 sketches are engine-specific: no SQL oracle can recompute
+  // them. This family derives a 60-bit hash from md5 — identical to
+  // DuckDB's CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) (JVM md5 ==
+  // DuckDB md5 on UTF-8 bytes; the first 15 hex chars are the first 8
+  // digest bytes big-endian >>> 4) — so simhash/fingerprint queries
+  // built on it are brute-force verifiable in the oracle. ~3-5× the
+  // hashing cost of xxhash64; the xx64 kernels stay the fast path.
+
+  /** First 60 bits of md5 over `len` bytes at `offset`. `md` is reset
+    * and reused across calls (one instance per row/document). */
+  def md5Hash60(bytes: Array[Byte], offset: Int, len: Int,
+      md: java.security.MessageDigest): Long = {
+    md.reset()
+    md.update(bytes, offset, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  /** md5-60 of every n-codepoint sliding window (portable sibling of
+    * [[shingleHashes]]). */
+  def md5ShingleHashes(s: UTF8String, shingleLen: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var nCp = 0
+    var i = 0
+    val starts = new Array[Int](len + 1)
+    while (i < len) {
+      starts(nCp) = i
+      i += cpLen(bytes(i))
+      nCp += 1
+    }
+    starts(nCp) = len
+    if (nCp < shingleLen) return new GenericArrayData(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](nCp - shingleLen + 1)
+    var w = 0
+    while (w + shingleLen <= nCp) {
+      out(w) = md5Hash60(bytes, starts(w), starts(w + shingleLen) - starts(w), md)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 60-bit SimHash over md5-60 token hashes (portable sibling of
+    * [[simhash]]): each of the 60 bits votes ±1 per token occurrence,
+    * bit set iff its tally is strictly positive. */
+  def md5SimHash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val tally = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val b = s.getBytes
+        val h = md5Hash60(b, 0, b.length, md)
+        var bit = 0
+        while (bit < 60) {
+          if (((h >>> bit) & 1L) == 1L) tally(bit) += 1 else tally(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 60) { if (tally(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
   /** True iff the codepoint is a word character under the same classes
     * as the regex `[\p{L}\p{N}]` (letters + all Unicode number
     * categories). */

@@ -148,4 +148,11 @@ object TextFunctions {
   def fingerprint(text: Column, shingleLen: Int = 8, k: Int = 16): Column =
     slice(array_sort(array_distinct(
       ShingleFunctions.shingle_hashes(normText(text), shingleLen))), 1, k)
+
+  /** Portable sibling of [[fingerprint]] over the md5-60 hash family —
+    * element-for-element recomputable in the DuckDB oracle (the xx64
+    * form above stays the fast path). */
+  def fingerprintMd5(text: Column, shingleLen: Int = 8, k: Int = 16): Column =
+    slice(array_sort(array_distinct(
+      ShingleFunctions.md5_shingle_hashes(normText(text), shingleLen))), 1, k)
 }

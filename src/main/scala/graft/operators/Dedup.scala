@@ -141,17 +141,26 @@ object Dedup {
     }
   }
 
-  /** SimHash near-duplicate pairs. 64-bit sketch per doc; split into
-    * `chunks` equal bit-chunks and bucket-join on any equal chunk — by
+  /** SimHash near-duplicate pairs. 64-bit sketch per doc (60-bit with
+    * `portableMd5` — that family's hash is DuckDB-recomputable, so the
+    * whole query is brute-force oracle-checkable); split into `chunks`
+    * equal bit-chunks and bucket-join on any equal chunk — by
     * pigeonhole, every pair within Hamming distance < chunks shares at
     * least one exact chunk, so recall is 1.0 for maxHamming ≤ chunks-1.
     * Output: (doc_a, doc_b, hamming). */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
-    val bitsPerChunk = 64 / chunks
+      maxHamming: Int = 3, chunks: Int = 4,
+      portableMd5: Boolean = false): DataFrame = {
+    val bits = if (portableMd5) 60 else 64
+    // maxHamming ≥ chunks is legal (recall becomes probabilistic, per
+    // the scaladoc) — only the chunk arithmetic is a hard requirement.
+    require(bits % chunks == 0, s"chunks must divide $bits")
+    val bitsPerChunk = bits / chunks
+    val skCol = if (portableMd5) md5_simhash(words(col(textCol)))
+                else simhash(words(col(textCol)))
     val sk = materialize(ensureParallelism(docs).select(
         col(idCol).as("doc_id"),
-        simhash(words(col(textCol))).as("sk"))
+        skCol.as("sk"))
       .filter(col("sk").isNotNull)) // feeds both sides of the chunk-bucket self-join
     val chunked = sk.select(
       col("doc_id"), col("sk"),

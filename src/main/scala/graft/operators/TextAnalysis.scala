@@ -36,11 +36,13 @@ object TextAnalysis {
     * — at ~100k docs the 32-bit bucket alone would already emit
     * birthday-collision false pairs. */
   def fingerprintDup(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", portableMd5: Boolean = false): DataFrame = {
+    def fp(c: org.apache.spark.sql.Column) =
+      if (portableMd5) fingerprintMd5(c) else fingerprint(c)
     val fps = docs.select(
         col(idCol).as("doc_id"),
-        fingerprint(col(textCol)).as("fp"),
-        hash(fingerprint(col(textCol))).as("fp_hash"))
+        fp(col(textCol)).as("fp"),
+        hash(fp(col(textCol))).as("fp_hash"))
       // docs shorter than the shingle length all sketch to [] — without
       // this filter every pair of them would verify as a "dup"
       .filter(size(col("fp")) > 0)

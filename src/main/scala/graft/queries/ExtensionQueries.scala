@@ -48,12 +48,15 @@ object ExtensionQueries {
         verifyExact = true)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** x03 SimHash near-dup pairs within Hamming distance 7 of 64.
-    * chunks = 8 > maxHamming keeps the pigeonhole recall guarantee
-    * (some chunk must be untouched). */
+  /** x03 SimHash near-dup pairs within Hamming distance 5 of 60.
+    * chunks = 6 > maxHamming keeps the pigeonhole recall guarantee
+    * (some chunk must be untouched). Declared over the portable md5-60
+    * hash family, so the DuckDB oracle recomputes every simhash
+    * brute-force and the result is ground-truth-checked (the xx64 fast
+    * path keeps its pinned ScalaTest coverage). */
   def x03(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(docs(s, dir), "doc_id", "text",
-        maxHamming = 7, chunks = 8)
+        maxHamming = 5, chunks = 6, portableMd5 = true)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** x04 word-3-gram Jaccard near-dup with bottom-k prefix filter.
@@ -107,11 +110,14 @@ object ExtensionQueries {
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
       .orderBy(col("doc_id"))
 
-  /** x11 per-doc content fingerprint (bottom-16 shingle hashes),
-    * surfaced as a single stable hash. */
+  /** x11 per-doc content fingerprint (bottom-16 shingle hashes over
+    * the portable md5-60 family), surfaced as the comma-joined hash
+    * list so the DuckDB oracle verifies every element — not just a
+    * rows-only count. */
   def x11(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), xxhash64(fingerprint(col("text"))).as("fp"))
+      .select(col("doc_id"),
+        array_join(fingerprintMd5(col("text")).cast("array<string>"), ",").as("fp"))
       .orderBy(col("doc_id"))
 
   /** x12 multimodal feature extraction: binary payload → batched
@@ -245,10 +251,11 @@ object ExtensionQueries {
 
   /** x23 fingerprint-identity near-dup pairs: docs with an identical
     * bottom-16 shingle sketch (exact dups plus the closest near-dups —
-    * P(identical sketch) ≈ J^16). Rows-only check: the sketch order is
-    * defined by the engine's xxhash64 family. */
+    * P(identical sketch) ≈ J^16). Declared over the portable md5-60
+    * family so the DuckDB oracle recomputes the sketches and joins on
+    * exact fingerprint equality — full ground truth. */
   def x23(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprintDup(docs(s, dir))
+    TextAnalysis.fingerprintDup(docs(s, dir), portableMd5 = true)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** x24 per-vector L2 norm (the degenerate-embedding screen run
@@ -336,6 +343,38 @@ object ExtensionQueries {
     """list_distinct(CASE WHEN length(t) >= 5
       |  THEN list_transform(range(1, length(t) - 3), i -> substr(t, i, 5))
       |  ELSE [] END)""".stripMargin
+
+  /** DuckDB replica of the md5-60 hash: first 15 hex chars of md5 =
+    * first 8 digest bytes big-endian >>> 4 (ShingleKernels.md5Hash60). */
+  private def md5Hash60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Shared CTE prefix for the md5-60 bottom-16 fingerprint (x11/x23):
+    * yields (doc_id, g = distinct char-8 shingles, hs = sorted md5-60
+    * hashes) per document. */
+  private val fingerprintCteSql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN length(t) >= 8
+       |    THEN list_transform(range(1, length(t) - 6), i -> substr(t, i, 8))
+       |    ELSE [] END) AS g
+       |  FROM norm),
+       |h AS (
+       |  SELECT doc_id, len(g) AS ng,
+       |         list_sort(list_transform(g, x -> ${md5Hash60Sql("x")})) AS hs
+       |  FROM sh)""".stripMargin
+
+  /** The 60-bit simhash as one grouped aggregation: per (doc, word,
+    * count), each bit's tally is a SUM over ±count; the bit contributes
+    * 2^b iff its tally is strictly positive — the exact contract of
+    * ShingleKernels.md5SimHash. 60 sum-aggregates in one hash-agg pass
+    * (no 60× row expansion). */
+  private val simhashBitsSql: String =
+    (0 until 60).map(b =>
+      s"(CASE WHEN sum(CASE WHEN (hv >> $b) & 1 = 1 THEN c ELSE -c END) > 0 " +
+      s"THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+      .mkString("(", " + ", ")")
 
   /** Oracles for the SQL-expressible subset. DuckDB-dialect is fine
     * here (the oracle only ever runs in DuckDB); double math is forced
@@ -472,6 +511,40 @@ object ExtensionQueries {
          |  FROM f)
          |SELECT CAST(FLOOR(q * 10) AS INT) AS q_bucket, count(*) AS n
          |FROM q GROUP BY q_bucket ORDER BY q_bucket""".stripMargin,
+
+    // Brute-force ground truth for the 60-bit portable simhash: every
+    // doc's sketch recomputed from scratch (word counts → md5-60 bit
+    // votes), every pair's Hamming distance checked — the engine's
+    // chunk-bucket join must reproduce this exactly (pigeonhole recall
+    // is 1.0 for hamming ≤ 5 < 6 chunks, and the hash family is
+    // identical by construction).
+    "x03_simhash_neardup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM documents),
+         |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+         |hv AS (SELECT doc_id, ${md5Hash60Sql("w")} AS hv, c FROM wc),
+         |sk AS (SELECT doc_id, $simhashBitsSql AS sk FROM hv GROUP BY doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(bit_count(xor(a.sk, b.sk)) AS INT) AS hamming
+         |  FROM sk a JOIN sk b ON a.doc_id < b.doc_id) t
+         |WHERE hamming <= 5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Element-exact fingerprint replica: same shingles, same md5-60
+    // hashes, same bottom-16 — string-joined so every element is
+    // value-compared by the gate.
+    "x11_fingerprint" ->
+      s"""$fingerprintCteSql
+         |SELECT doc_id,
+         |       array_to_string(list_transform(hs[1:16], x -> CAST(x AS VARCHAR)), ',') AS fp
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "x23_fingerprint_dup" ->
+      s"""$fingerprintCteSql,
+         |fp AS (SELECT doc_id, hs[1:16] AS fp FROM h WHERE ng > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "x24_embedding_norms" ->
       """SELECT vec_id,

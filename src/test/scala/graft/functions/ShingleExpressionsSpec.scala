@@ -31,6 +31,38 @@ class ShingleExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("md5_shingle_hashes matches the DuckDB hash contract") {
+    // CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) — recompute with
+    // MessageDigest hex and compare against the kernel's byte math.
+    def ref(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val h = Seq("abcdef").toDF("t")
+      .select(md5_shingle_hashes($"t", 3)).as[Seq[Long]].head()
+    assert(h == Seq("abc", "bcd", "cde", "def").map(ref))
+    // multi-byte codepoints: windows count codepoints, hash counts bytes
+    val h2 = Seq("héllo").toDF("t")
+      .select(md5_shingle_hashes($"t", 2)).as[Seq[Long]].head()
+    assert(h2 == Seq("hé", "él", "ll", "lo").map(ref))
+    assert(h.forall(v => v >= 0L && v < (1L << 60)))
+  }
+
+  test("md5_simhash: exact dups equal, empty null, 60-bit range") {
+    val df = Seq(
+      (0L, Seq("a", "b", "a")), (1L, Seq("a", "b", "a")), (2L, Seq("z", "q", "w"))
+    ).toDF("id", "ts")
+    val sk = df.select($"id", md5_simhash($"ts").as("sk"))
+      .as[(Long, Long)].collect().toMap
+    assert(sk(0L) == sk(1L))
+    assert(sk(0L) != sk(2L))
+    assert(sk.values.forall(v => v >= 0L && v < (1L << 60)))
+    val r = Seq(Seq.empty[String]).toDF("ts").select(md5_simhash($"ts")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("ngram_hashes is order-sensitive and counts m-n+1") {
     val df = Seq(Seq("a", "b", "c", "a", "b")).toDF("ts")
     val h = df.select(ngram_hashes($"ts", 2)).as[Seq[Long]].head()

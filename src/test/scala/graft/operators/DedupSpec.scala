@@ -48,6 +48,15 @@ class DedupSpec extends SparkSpec {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhash portable md5 family matches the xx64 path's semantics") {
+    val pairs = Dedup.simhashNearDup(corpus, "doc_id", "text",
+        maxHamming = 5, chunks = 6, portableMd5 = true)
+      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 1L)) == 0) // exact dup → identical 60-bit sketch
+    assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("ngram jaccard verifies with exact similarity") {
     val pairs = Dedup.ngramJaccardNearDup(corpus, "doc_id", "text",
         ngram = 3, prefixK = 4, minJaccard = 0.3)
