@@ -123,6 +123,32 @@ object Similarity {
     (centroids, model.transform(withVec).drop("__v"))
   }
 
+  /** Seeded random centroids for the training-free IVF variant —
+    * deterministic literals, so an external system (or the DuckDB
+    * oracle) can reproduce the exact list geometry. Recall per probe
+    * is lower than trained k-means centroids, but the index needs no
+    * training pass at all — the right trade when the corpus churns
+    * faster than a quantizer can be retrained. */
+  def fixedCentroids(nLists: Int, dim: Int, seed: Long = 7L): Array[Array[Float]] =
+    planes(nLists, dim, seed).toArray
+
+  /** Training-free IVF assignment: each corpus vector goes to its
+    * argmin-(1-cosine) centroid, computed against centroid LITERALS
+    * (broadcast with the task binary — no shuffle, no ML pipeline).
+    * Same distance formula as [[ivfTopK]]'s probe step, so corpus and
+    * queries agree on list geometry. Degenerate vectors (zero-norm /
+    * wrong length) get a null cosine and must be filtered by the
+    * caller before assignment. */
+  def ivfAssignFixed(corpus: DataFrame, centroids: Array[Array[Float]],
+      corpusVec: String = "embedding"): DataFrame = {
+    val cand = centroids.zipWithIndex.map { case (c, i) =>
+      struct((lit(1.0) - cosine_similarity(col(corpusVec), typedlit(c))).as("d"),
+        lit(i).as("list_id"))
+    }
+    corpus.withColumn("list_id",
+      element_at(array_sort(array(cand.toIndexedSeq: _*)), 1).getField("list_id"))
+  }
+
   /** IVF ANN top-k: the query probes its `nProbe` nearest centroids
     * and scores only those inverted lists — corpus scored per query
     * shrinks from n to ~n·nProbe/nLists, with recall controlled by

@@ -282,6 +282,20 @@ object ExtensionQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** x26 training-free IVF ANN top-10: seeded random centroid literals
+    * (no k-means pass), argmin-cosine list assignment, nProbe=3 of 8
+    * lists scored per query. Unlike the k-means x22, every step is
+    * recomputable from the declared centroid literals — the DuckDB
+    * oracle replays assignment, probing and ranking exactly. */
+  def x26(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.fixedCentroids(nLists = 8, dim = 64)
+    val indexed = Similarity.ivfAssignFixed(
+      emb(s, dir).filter(size(col("embedding")) === 64), cents)
+    Similarity.ivfTopK(indexed, cents, queryVectors(s, dir), k = 10, nProbe = 3)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -308,6 +322,7 @@ object ExtensionQueries {
     "x23_fingerprint_dup" -> (x23 _),
     "x24_embedding_norms" -> (x24 _),
     "x25_embedding_quantize_i8" -> (x25 _),
+    "x26_cosine_topk_ivf_fixed" -> (x26 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -364,6 +379,19 @@ object ExtensionQueries {
        |  SELECT doc_id, len(g) AS ng,
        |         list_sort(list_transform(g, x -> ${md5Hash60Sql("x")})) AS hs
        |  FROM sh)""".stripMargin
+
+  /** DuckDB struct-list of (1-cosine, list_id) distances to the x26
+    * fixed centroids — sorted, it yields the argmin assignment ([1])
+    * or the nProbe probe set ([1:n]). Mirrors ivfAssignFixed/ivfTopK:
+    * Spark's array_sort and DuckDB's list_sort both order structs
+    * field-wise, and centroid distances are far enough apart (~1e-2
+    * gaps vs ~1e-16 accumulation noise) that the order is stable
+    * across engines. */
+  private def centDistSql(vecCol: String, nLists: Int): String =
+    "list_sort([" + Similarity.fixedCentroids(nLists, 64).zipWithIndex.map {
+      case (c, i) =>
+        s"{'d': 1.0 - list_cosine_similarity($vecCol::DOUBLE[], ${planeLit(c)}), 'list_id': $i}"
+    }.mkString(", ") + "])"
 
   /** The 60-bit simhash as one grouped aggregation: per (doc, word,
     * count), each bit's tally is a SUM over ±count; the bit contributes
@@ -566,6 +594,25 @@ object ExtensionQueries {
         |           abs(GREATEST(-127.0, LEAST(127.0, floor(x * (127.0 / mx) + 0.5)))))) AS BIGINT)
         |       END AS q_l1
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "x26_cosine_topk_ivf_fixed" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, embedding, (${centDistSql("embedding", 8)}[1]).list_id AS list_id
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |probe AS (
+         |  SELECT vec_id AS query_id, embedding AS query_vec,
+         |         unnest(list_transform(${centDistSql("embedding", 8)}[1:3], s -> s.list_id)) AS list_id
+         |  FROM embeddings WHERE vec_id < 5),
+         |ranked AS (
+         |  SELECT p.query_id, c.vec_id,
+         |         round(list_cosine_similarity(p.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+         |         row_number() OVER (
+         |           PARTITION BY p.query_id
+         |           ORDER BY round(list_cosine_similarity(p.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+         |                    c.vec_id) AS rank
+         |  FROM c JOIN probe p ON c.list_id = p.list_id)
+         |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     // The stub decode dims derive from 6-hex-digit md5 slices; DuckDB
     // parses them via the '0x...' string-cast.

@@ -74,6 +74,21 @@ class SimilaritySpec extends SparkSpec {
     assert(again == approx)
   }
 
+  test("ivfAssignFixed picks the argmin-cosine-distance centroid; self in top-1") {
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val df = Seq((0L, Seq(0.9f, 0.1f)), (1L, Seq(0.1f, 0.9f)), (2L, Seq(0.7f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssignFixed(df, cents)
+      .select($"vec_id", $"list_id").as[(Long, Int)].collect().toMap
+    assert(assigned == Map(0L -> 0, 1L -> 1, 2L -> 0))
+    // end-to-end on the fixture: each query finds itself at rank 1
+    val fixed = Similarity.fixedCentroids(nLists = 8, dim = 64)
+    val indexed = Similarity.ivfAssignFixed(emb.filter(size($"embedding") === 64), fixed)
+    val self = Similarity.ivfTopK(indexed, fixed, queries, k = 5, nProbe = 3)
+      .filter($"rank" === 1).select($"query_id", $"vec_id").as[(Long, Long)].collect()
+    assert(self.nonEmpty && self.forall(p => p._1 == p._2))
+  }
+
   test("hyperplane bucket is deterministic across invocations") {
     val b1 = emb.select(Similarity.hyperplaneBucket($"embedding", 8, 64)).as[Int].collect()
     val b2 = emb.select(Similarity.hyperplaneBucket($"embedding", 8, 64)).as[Int].collect()
