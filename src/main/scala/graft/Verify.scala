@@ -15,12 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Dev knob (unset in driver runs): SPARK_GRAFT_ONLY=<regex> dumps
-    // only matching queries — iteration on one query shouldn't re-dump
-    // all of them. oracle_sql.json is always written in full.
+    // Dev knob (unset in driver runs): SPARK_GRAFT_ONLY=<regex|substr>
+    // dumps only matching queries — iteration on one query shouldn't
+    // re-dump all of them. Accepts a full-match regex OR a plain
+    // substring (same ergonomics as Bench), and refuses an empty
+    // selection instead of silently dumping nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.matches) }
+    val selected = SparkEntry.queries
+      .filter { case (name, _) =>
+        only.forall(o => name.matches(o) || name.contains(o)) }
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${only.getOrElse("")} matches no queries")
+    selected
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -288,10 +288,20 @@ object ExtensionQueries {
     * recomputable from the declared centroid literals — the DuckDB
     * oracle replays assignment, probing and ranking exactly. */
   def x26(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
     val cents = Similarity.fixedCentroids(nLists = 8, dim = 64)
-    val indexed = Similarity.ivfAssignFixed(
-      emb(s, dir).filter(size(col("embedding")) === 64), cents)
-    Similarity.ivfTopK(indexed, cents, queryVectors(s, dir), k = 10, nProbe = 3)
+    // ivfAssignFixed's contract: the CALLER screens degenerate vectors.
+    // Zero-norm vectors diverge between engines (Spark cosine → null,
+    // DuckDB list_cosine_similarity → -1.0), so both the corpus and the
+    // query set are filtered to finite-norm dim-64 vectors here, and
+    // the oracle applies the identical predicate.
+    def valid(df: DataFrame): DataFrame = df.filter(
+      size(col("embedding")) === 64 &&
+      dot_product(col("embedding"), col("embedding")) > 0)
+    val indexed = Similarity.ivfAssignFixed(valid(emb(s, dir)), cents)
+    val qv = valid(emb(s, dir)).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.ivfTopK(indexed, cents, qv, k = 10, nProbe = 3)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -349,8 +359,10 @@ object ExtensionQueries {
     graft.functions.TextFunctions.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Word tokens of `col` (lowercased maximal letter/number runs) —
-    * the RE2 regex equivalent of ShingleKernels.wordTokens. */
-  private def wordsSql(col: String): String =
+    * the RE2 regex equivalent of ShingleKernels.wordTokens. Shared
+    * with [[OracleSql]] (q29): the tokenizer contract is load-bearing
+    * and must have exactly ONE SQL rendering. */
+  private[queries] def wordsSql(col: String): String =
     s"list_filter(regexp_split_to_array(lower($col), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
 
   /** Distinct char-5 shingles of whitespace-normalized lowercase text. */
@@ -380,18 +392,17 @@ object ExtensionQueries {
        |         list_sort(list_transform(g, x -> ${md5Hash60Sql("x")})) AS hs
        |  FROM sh)""".stripMargin
 
-  /** DuckDB struct-list of (1-cosine, list_id) distances to the x26
-    * fixed centroids — sorted, it yields the argmin assignment ([1])
-    * or the nProbe probe set ([1:n]). Mirrors ivfAssignFixed/ivfTopK:
-    * Spark's array_sort and DuckDB's list_sort both order structs
-    * field-wise, and centroid distances are far enough apart (~1e-2
-    * gaps vs ~1e-16 accumulation noise) that the order is stable
-    * across engines. */
-  private def centDistSql(vecCol: String, nLists: Int): String =
-    "list_sort([" + Similarity.fixedCentroids(nLists, 64).zipWithIndex.map {
-      case (c, i) =>
-        s"{'d': 1.0 - list_cosine_similarity($vecCol::DOUBLE[], ${planeLit(c)}), 'list_id': $i}"
-    }.mkString(", ") + "])"
+  /** The x26 fixed centroids as ONE DuckDB VALUES relation — both the
+    * assignment and the probe CTE join against this single copy, so
+    * shared list geometry is structural rather than relying on two
+    * literal expansions staying byte-identical. Ranking by (d,
+    * list_id) mirrors ivfAssignFixed/ivfTopK's struct sort; centroid
+    * distances are far enough apart (~1e-2 gaps vs ~1e-16 accumulation
+    * noise) that the order is stable across engines. */
+  private def centValuesSql(nLists: Int): String =
+    "(VALUES " + Similarity.fixedCentroids(nLists, 64).zipWithIndex.map {
+      case (c, i) => s"($i, ${planeLit(c)})"
+    }.mkString(", ") + ") AS ct(list_id, v)"
 
   /** The 60-bit simhash as one grouped aggregation: per (doc, word,
     * count), each bit's tally is a SUM over ±count; the bit contributes
@@ -596,13 +607,23 @@ object ExtensionQueries {
         |FROM e ORDER BY vec_id""".stripMargin,
 
     "x26_cosine_topk_ivf_fixed" ->
-      s"""WITH c AS (
-         |  SELECT vec_id, embedding, (${centDistSql("embedding", 8)}[1]).list_id AS list_id
-         |  FROM embeddings WHERE len(embedding) = 64),
+      s"""WITH cd AS (
+         |  SELECT e.vec_id, e.embedding, ct.list_id,
+         |         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], ct.v) AS d
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE len(embedding) = 64
+         |          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) e
+         |  CROSS JOIN ${centValuesSql(8)}),
+         |c AS (
+         |  SELECT vec_id, embedding, list_id FROM (
+         |    SELECT vec_id, embedding, list_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+         |    FROM cd) t WHERE rn = 1),
          |probe AS (
-         |  SELECT vec_id AS query_id, embedding AS query_vec,
-         |         unnest(list_transform(${centDistSql("embedding", 8)}[1:3], s -> s.list_id)) AS list_id
-         |  FROM embeddings WHERE vec_id < 5),
+         |  SELECT vec_id AS query_id, embedding AS query_vec, list_id FROM (
+         |    SELECT vec_id, embedding, list_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+         |    FROM cd WHERE vec_id < 5) t WHERE rn <= 3),
          |ranked AS (
          |  SELECT p.query_id, c.vec_id,
          |         round(list_cosine_similarity(p.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,

@@ -177,13 +177,12 @@ object OracleSql {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q29_token_explode" ->
-      """WITH t AS (
-        |  SELECT unnest(list_filter(
-        |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
-        |  FROM documents)
-        |SELECT token, count(*) AS n FROM t GROUP BY token
-        |HAVING count(*) >= (SELECT count(*) FROM documents)
-        |ORDER BY token""".stripMargin,
+      s"""WITH t AS (
+         |  SELECT unnest(${ExtensionQueries.wordsSql("text")}) AS token
+         |  FROM documents)
+         |SELECT token, count(*) AS n FROM t GROUP BY token
+         |HAVING count(*) >= (SELECT count(*) FROM documents)
+         |ORDER BY token""".stripMargin,
 
     "q30_percentile_cont" ->
       """SELECT o_orderpriority,
