@@ -215,6 +215,52 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over near-dup PAIRS → cluster ids: the step
+    * that turns pairwise near-dup evidence into one-survivor-per-
+    * cluster dedup decisions (pair relations are not transitive — a
+    * chain a~b~c must land in one cluster even when a~c misses the
+    * threshold).
+    *
+    * Min-label propagation: every node starts labeled with itself;
+    * each round takes the min of its own and its neighbors' labels;
+    * fixpoint = component minimum. The driver loop is control plane
+    * only (one `count()` per round for convergence); per-round work is
+    * a key-partitioned join+agg. Rounds = component diameter — near-dup
+    * clusters are shallow (dups of a common source), so this converges
+    * in 2-4 rounds; for adversarial long-chain graphs the large-star/
+    * small-star variant would cut rounds to O(log n), not needed here.
+    * `localCheckpoint` per round truncates the growing lineage (the
+    * classic iterative-algorithm OOM trap).
+    *
+    * Output: (doc_id, cluster_id = min doc id of the component), one
+    * row per node that appears in ≥ 1 pair. */
+  def connectedComponents(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = materialize(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nbr")), "dst")
+        .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
+      val updated = materialize(labels
+        .join(nbrMin.select(col("src").as("node"), col("nbr_min")), Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next")))
+      changed = updated.filter(col("next") =!= col("label")).count()
+      labels = updated.select(col("node"), col("next").as("label"))
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Candidate
     * generation via random-hyperplane LSH (see [[Similarity.hyperplaneBucket]])
     * keeps this off the O(n²) cross join; exact cosine verifies. Docs

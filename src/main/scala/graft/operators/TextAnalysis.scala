@@ -30,6 +30,47 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col(langCol), col("lang_pred"))
 
+  /** Benchmark-contamination screen: per corpus document, how many of
+    * its word n-grams appear in a (small) benchmark corpus — the
+    * standard eval-decontamination pass for training data. The
+    * benchmark gram set is broadcast (it is eval-sized, not
+    * corpus-sized), so the corpus is read once with no shuffle of
+    * text; only (doc_id, gram) pairs that MATCH enter the counting
+    * aggregation. Output: (doc_id, n_hits) for docs with ≥ 1 hit. */
+  def contaminationScreen(corpus: DataFrame, benchmark: DataFrame,
+      ngram: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    val benchGrams = benchmark
+      .select(explode(wordShingles(col(textCol), ngram)).as("gram"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(wordShingles(col(textCol), ngram)).as("gram"))
+      .distinct() // count each gram once per doc
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Gopher-style repetition filter: fraction of a document's word
+    * n-gram occurrences taken by its single most frequent n-gram.
+    * Boilerplate/spam repeats a few grams → ratio near 1; natural text
+    * stays low. Two partial+final hash aggs, both keyed on doc_id →
+    * one shuffle partitioning reused. Output: (doc_id, top_gram_ratio)
+    * for docs with ≥ 1 n-gram. */
+  def repetitionRatio(docs: DataFrame, ngram: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(wordShingles(col(textCol), ngram)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")) / sum(col("c")), 6).as("top_gram_ratio"))
+  }
+
   /** Docs sharing an identical content fingerprint (exact-ish near-dup
     * at fingerprint resolution): bucket join on the 32-bit hashed
     * sketch for shuffle economy, then VERIFY full fingerprint equality

@@ -306,6 +306,34 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** x27 benchmark-contamination screen: corpus docs (id ≥ 10) holding
+    * any word-5-gram of the "benchmark" docs (id < 10) — the standard
+    * eval-decontamination pass. Benchmark grams broadcast; oracle
+    * replays the same distinct-gram inner join. */
+  def x27(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.contaminationScreen(
+        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10), ngram = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** x28 near-dup clustering: connected components (iterative
+    * min-label propagation) over the exact-verified x04 pair relation
+    * — pairwise evidence → one cluster id per involved doc. The
+    * DuckDB oracle computes the same closure with WITH RECURSIVE over
+    * the identical edge set. */
+  def x28(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.ngramJaccardNearDup(docs(s, dir), "doc_id", "text",
+          ngram = 3, prefixK = 8, minJaccard = 0.2))
+      .orderBy(col("doc_id"))
+
+  /** x29 Gopher-style repetition filter: fraction of each doc's word
+    * bigram occurrences taken by its most frequent bigram. */
+  def x29(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionRatio(docs(s, dir), ngram = 2)
+      .orderBy(col("doc_id"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -333,6 +361,9 @@ object ExtensionQueries {
     "x24_embedding_norms" -> (x24 _),
     "x25_embedding_quantize_i8" -> (x25 _),
     "x26_cosine_topk_ivf_fixed" -> (x26 _),
+    "x27_contamination_screen" -> (x27 _),
+    "x28_neardup_clusters" -> (x28 _),
+    "x29_repetition_filter" -> (x29 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -391,6 +422,41 @@ object ExtensionQueries {
        |  SELECT doc_id, len(g) AS ng,
        |         list_sort(list_transform(g, x -> ${md5Hash60Sql("x")})) AS hs
        |  FROM sh)""".stripMargin
+
+  /** Word n-gram strings of token list `w` (space-joined), distinct,
+    * as a DuckDB list expression — the SQL rendering of
+    * TextFunctions.wordShingles + distinct. */
+  private def wordNgramsSql(n: Int, distinct: Boolean = true): String = {
+    val joined = (1 to n).map(j => s"w[i+${j - 1}]").mkString(" || ' ' || ")
+    val inner =
+      s"""CASE WHEN len(w) >= $n
+         |    THEN list_transform(range(1, len(w) - ${n - 2}), i -> $joined)
+         |    ELSE [] END""".stripMargin
+    if (distinct) s"list_distinct($inner)" else inner
+  }
+
+  /** Shared CTE chain ending in `pairs`(doc_a, doc_b, jaccard ≥ 0.2):
+    * the inverted-index exact word-3-gram Jaccard ground truth — used
+    * verbatim by the x04 oracle and as the edge set of the x28
+    * connected-components oracle, so both gates check the SAME pair
+    * relation. */
+  private def ngramPairsCteSql: String =
+    s"""toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |ng AS (
+       |  SELECT doc_id, ${wordNgramsSql(3)} AS g
+       |  FROM toks),
+       |ex AS (SELECT doc_id, len(g) AS sz, unnest(g) AS gram FROM ng WHERE len(g) > 0),
+       |ipairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz,
+       |         any_value(a.sz) AS sa, any_value(b.sz) AS sb
+       |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT doc_a, doc_b,
+       |           round(isz::DOUBLE / (sa + sb - isz)::DOUBLE, 6) AS jaccard
+       |    FROM ipairs) t
+       |  WHERE jaccard >= 0.2)""".stripMargin
 
   /** The x26 fixed centroids as ONE DuckDB VALUES relation — both the
     * assignment and the probe CTE join against this single copy, so
@@ -463,23 +529,9 @@ object ExtensionQueries {
     // any sf (the brute-force list_intersect form took >40 min at
     // sf0.1; this runs in seconds).
     "x04_ngram_jaccard_neardup" ->
-      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
-         |ng AS (
-         |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-         |    THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-         |    ELSE [] END) AS g
-         |  FROM toks),
-         |ex AS (SELECT doc_id, len(g) AS sz, unnest(g) AS gram FROM ng WHERE len(g) > 0),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz,
-         |         any_value(a.sz) AS sa, any_value(b.sz) AS sb
-         |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT doc_a, doc_b,
-         |         round(isz::DOUBLE / (sa + sb - isz)::DOUBLE, 6) AS jaccard
-         |  FROM pairs) t
-         |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $ngramPairsCteSql
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "x05_embedding_neardup" ->
       s"""WITH b AS (
@@ -605,6 +657,40 @@ object ExtensionQueries {
         |           abs(GREATEST(-127.0, LEAST(127.0, floor(x * (127.0 / mx) + 0.5)))))) AS BIGINT)
         |       END AS q_l1
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "x27_contamination_screen" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT doc_id, ${wordNgramsSql(5)} AS g FROM toks),
+         |bench AS (SELECT DISTINCT unnest(g) AS gram FROM ng WHERE doc_id < 10),
+         |corp AS (SELECT doc_id, unnest(g) AS gram FROM ng WHERE doc_id >= 10)
+         |SELECT c.doc_id, count(*) AS n_hits
+         |FROM corp c JOIN bench b ON c.gram = b.gram
+         |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Transitive closure over the SAME pair relation the x04 oracle
+    // declares: reach(node, r) grows by one edge hop per recursion
+    // round (UNION dedups → termination), then min(r) per node is the
+    // component minimum — exactly what min-label propagation converges
+    // to.
+    "x28_neardup_clusters" ->
+      s"""WITH RECURSIVE $ngramPairsCteSql,
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM ed),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r)
+         |SELECT node AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "x29_repetition_filter" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT doc_id, ${wordNgramsSql(2, distinct = false)} AS g FROM toks),
+         |ex AS (SELECT doc_id, unnest(g) AS gram FROM ng),
+         |gc AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY doc_id, gram)
+         |SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_gram_ratio
+         |FROM gc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x26_cosine_topk_ivf_fixed" ->
       s"""WITH cd AS (

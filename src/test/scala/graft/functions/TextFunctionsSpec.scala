@@ -56,6 +56,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(0) > r(1))
   }
 
+  test("contaminationScreen counts distinct benchmark grams per doc") {
+    import graft.operators.TextAnalysis
+    val bench = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // bench 3-grams = {"alpha beta gamma", "beta gamma delta"};
+      // doc 10 contains "alpha beta gamma" twice (distinct → 1 hit)
+      // and "beta gamma delta" once → n_hits = 2
+      (10L, "alpha beta gamma once and alpha beta gamma delta"),
+      (11L, "nothing shared here at all with anything")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.contaminationScreen(corpus, bench, ngram = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(10L -> 2L))
+  }
+
+  test("repetitionRatio: pure repetition → 1.0, distinct bigrams → 1/n") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "spam spam spam spam spam"),     // every bigram identical → 1.0
+      (1L, "one two three four"),           // 3 distinct bigrams → 1/3
+      (2L, "x")                             // < 2 words → no row
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionRatio(docs, ngram = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(r.keySet == Set(0L, 1L))
+    assert(r(0L) == 1.0)
+    assert(r(1L) == 0.333333)
+  }
+
   test("property: tokenCount non-negative, bounded by length, and stable under trim") {
     val gen = Gen.listOfN(200, Gen.asciiPrintableStr)
     val samples = gen.apply(Gen.Parameters.default, Seed(42L)).getOrElse(Nil)

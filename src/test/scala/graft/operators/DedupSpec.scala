@@ -57,6 +57,15 @@ class DedupSpec extends SparkSpec {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connectedComponents merges chains and keeps components apart") {
+    // a-b and b-c connected WITHOUT an a-c edge (the non-transitive
+    // case clustering exists for); d-e a separate component
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val r = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("ngram jaccard verifies with exact similarity") {
     val pairs = Dedup.ngramJaccardNearDup(corpus, "doc_id", "text",
         ngram = 3, prefixK = 4, minJaccard = 0.3)
