@@ -94,4 +94,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q28: pinned-value pivot is one aggregation pass (no distinct-values job)") {
+    // pivot without an explicit value list runs an extra job to collect
+    // the distinct pivot values before planning — the pinned list keeps
+    // it a single partial+final aggregate over one scan
+    val plan = physical(RelationalQueries.q28(spark, sf001))
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CollectLimit"), plan)
+  }
+
+  test("q29: sf-relative threshold joins as a broadcast, not a driver round-trip") {
+    val plan = physical(RelationalQueries.q29(spark, sf001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("x26: fixed-centroid assignment is a narrow projection (no shuffle before list join)") {
+    val plan = physical(ExtensionQueries.x26(spark, sf001))
+    // the corpus side must reach the list_id bucket join through
+    // projections only; the probe side is the broadcast
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("x27: benchmark gram set broadcasts; the corpus is never shuffled as text") {
+    val plan = physical(ExtensionQueries.x27(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
