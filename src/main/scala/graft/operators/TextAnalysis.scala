@@ -71,6 +71,22 @@ object TextAnalysis {
       .agg(round(max(col("c")) / sum(col("c")), 6).as("top_gram_ratio"))
   }
 
+  /** Deterministic dataset split: every row lands in train/val/test by
+    * a content-stable hash of its key — reproducible across runs,
+    * engines and partitionings (unlike `randomSplit`, which depends on
+    * partition layout), and pure map-side at any scale. The bucket is
+    * the md5-60 of the key string mod 100, so any SQL engine can
+    * recompute the assignment. */
+  def datasetSplit(df: DataFrame, keyCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("bigint") % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Docs sharing an identical content fingerprint (exact-ish near-dup
     * at fingerprint resolution): bucket join on the 32-bit hashed
     * sketch for shuffle economy, then VERIFY full fingerprint equality

@@ -334,6 +334,15 @@ object ExtensionQueries {
     TextAnalysis.repetitionRatio(docs(s, dir), ngram = 2)
       .orderBy(col("doc_id"))
 
+  /** x30 deterministic train/val/test split (80/10/10 by md5-60 of the
+    * doc id — reproducible across runs/engines/partitionings, unlike
+    * randomSplit), summarized per (split, lang). */
+  def x30(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.datasetSplit(docs(s, dir), "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("split"), col("lang"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -364,6 +373,7 @@ object ExtensionQueries {
     "x27_contamination_screen" -> (x27 _),
     "x28_neardup_clusters" -> (x28 _),
     "x29_repetition_filter" -> (x29 _),
+    "x30_dataset_split" -> (x30 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -657,6 +667,19 @@ object ExtensionQueries {
         |           abs(GREATEST(-127.0, LEAST(127.0, floor(x * (127.0 / mx) + 0.5)))))) AS BIGINT)
         |       END AS q_l1
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    // Same md5-60 bucket the engine computes via built-ins
+    // (conv(substr(md5,1,15),16,10) % 100); integer SUM cast to BIGINT
+    // per the DuckDB-HUGEINT/pandas rule.
+    "x30_dataset_split" ->
+      s"""SELECT split, lang, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+         |FROM (
+         |  SELECT lang, n_chars,
+         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT lang, n_chars,
+         |               ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |        FROM documents) t) s
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "x27_contamination_screen" ->
       s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
