@@ -75,6 +75,9 @@ object GraftExtensions {
     ("sorted_jaccard",
       info("sorted_jaccard", "_FUNC_(a, b) - Jaccard of two sorted distinct long arrays"),
       arity("sorted_jaccard", 2)(args => SortedLongJaccard(args(0), args(1)))),
+    ("ngram_strings",
+      info("ngram_strings", "_FUNC_(tokens, n) - space-joined n-grams of consecutive tokens"),
+      arity("ngram_strings", 2)(args => NGramStrings(args(0), intArg(args(1), "n")))),
     ("md5_shingle_hashes",
       info("md5_shingle_hashes", "_FUNC_(text, n) - portable md5-60 hash of every n-codepoint window"),
       arity("md5_shingle_hashes", 2)(args => Md5ShingleHashes(args(0), intArg(args(1), "n")))),

@@ -162,6 +162,23 @@ case class MinHashAgreement(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `ngram_strings(tokens, n)` → array<string>: space-joined n-grams of
+  * consecutive tokens in one pass (see ShingleKernels.ngramStrings).
+  * Fewer than n tokens → empty array; null → null. */
+case class NGramStrings(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.ngramStrings(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.ngramStrings($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `md5_shingle_hashes(text, n)` → array<bigint>: md5-derived 60-bit
   * hash of every n-codepoint window — the PORTABLE sibling of
   * [[ShingleHashes]] (DuckDB recomputes it as
@@ -220,6 +237,8 @@ object ShingleFunctions {
     toColumn(SortedLongJaccard(toExpression(a), toExpression(b)))
   def md5_shingle_hashes(text: Column, n: Int): Column =
     toColumn(Md5ShingleHashes(toExpression(text), n))
+  def ngram_strings(tokens: Column, n: Int): Column =
+    toColumn(NGramStrings(toExpression(tokens), n))
   def md5_simhash(tokens: Column): Column =
     toColumn(Md5SimHash(toExpression(tokens)))
 }

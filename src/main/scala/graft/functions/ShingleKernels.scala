@@ -80,6 +80,30 @@ object ShingleKernels {
     new GenericArrayData(out)
   }
 
+  /** Space-joined n-gram STRINGS of a token array, one pass — the
+    * native form of `transform(sequence(...), i => array_join(slice(
+    * tokens, i, n), " "))`, whose interpreted HOF lambdas and per-gram
+    * slice allocations dominated the contamination/repetition query
+    * profiles. Output equals the HOF form element-for-element. */
+  def ngramStrings(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](m - n + 1)
+    val window = new Array[UTF8String](n)
+    var w = 0
+    while (w + n <= m) {
+      var j = 0
+      while (j < n) { window(j) = toks(w + j); j += 1 }
+      out(w) = UTF8String.concatWs(sep, window: _*)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Kirsch–Mitzenmacher minhash over pre-hashed shingles; null (the
     * caller checks) is represented by returning null for empty. */
   def minhashLongs(arr: ArrayData, numHashes: Int): ArrayData = {

@@ -51,14 +51,12 @@ object TextFunctions {
   }
 
   /** Word n-gram shingles (arrays of n consecutive word tokens joined
-    * by a space). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(w) - n),
-        i => array_join(slice(w, i + 1, lit(n)), " ")))
-  }
+    * by a space). Native one-pass expression — the HOF formulation
+    * (`transform(sequence, i => array_join(slice(...)))`) ran its
+    * lambdas interpreted and dominated the contamination/repetition
+    * query profiles. */
+  def wordShingles(text: Column, n: Int): Column =
+    ShingleFunctions.ngram_strings(words(text), n)
 
   /** Exact Jaccard similarity of two token-set columns. */
   def jaccard(a: Column, b: Column): Column = {
