@@ -166,6 +166,20 @@ case class MinHashAgreement(left: Expression, right: Expression)
   * consecutive tokens in one pass (see ShingleKernels.ngramStrings).
   * Fewer than n tokens → empty array; null → null. */
 case class NGramStrings(child: Expression, n: Int) extends UnaryExpression {
+  // fail at analysis, not per-row at execution: n ≤ 0 would allocate a
+  // negative array (or emit m+1 empty grams), and a non-string array
+  // child would misread UnsafeArrayData slots as (offset, len) pairs
+  require(n > 0, s"ngram_strings: n must be positive, got $n")
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_strings expects array<string>, got ${other.sql}")
+    }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

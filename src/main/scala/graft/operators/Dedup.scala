@@ -258,6 +258,13 @@ object Dedup {
       labels = updated.select(col("node"), col("next").as("label"))
       i += 1
     }
+    // A maxIter exit with labels still moving would silently return
+    // non-component-minimum ids (diameter > maxIter chains) — that is
+    // WRONG output, not degraded output, so fail loudly instead.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter or use a " +
+        "large-star/small-star contraction for long-chain graphs")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

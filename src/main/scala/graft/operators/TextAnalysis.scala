@@ -47,8 +47,14 @@ object TextAnalysis {
     corpus
       .select(col(idCol).as("doc_id"),
         explode(wordShingles(col(textCol), ngram)).as("gram"))
-      .distinct() // count each gram once per doc
       .join(broadcast(benchGrams), "gram")
+      // distinct AFTER the broadcast join: benchGrams is already
+      // distinct, so the join preserves corpus-side multiplicity and
+      // the per-doc dedup is result-identical — but now only MATCHING
+      // (doc_id, gram) pairs enter the shuffle, not every gram of the
+      // corpus (contamination hits are rare; the pre-join distinct
+      // would have shuffled ~one row per corpus word).
+      .distinct()
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }
@@ -56,9 +62,11 @@ object TextAnalysis {
   /** Gopher-style repetition filter: fraction of a document's word
     * n-gram occurrences taken by its single most frequent n-gram.
     * Boilerplate/spam repeats a few grams → ratio near 1; natural text
-    * stays low. Two partial+final hash aggs, both keyed on doc_id →
-    * one shuffle partitioning reused. Output: (doc_id, top_gram_ratio)
-    * for docs with ≥ 1 n-gram. */
+    * stays low. Two partial+final hash aggs: the first keys on
+    * (doc_id, gram) and its map-side combine collapses repeated grams,
+    * so the second exchange (re-keying on doc_id) carries one row per
+    * DISTINCT gram — already reduced, not per occurrence. Output:
+    * (doc_id, top_gram_ratio) for docs with ≥ 1 n-gram. */
   def repetitionRatio(docs: DataFrame, ngram: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions.wordShingles

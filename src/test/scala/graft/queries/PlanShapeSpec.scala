@@ -117,8 +117,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("x27: benchmark gram set broadcasts; the corpus is never shuffled as text") {
+  test("x27: benchmark gram set broadcasts into the corpus-side join") {
+    // (the post-join distinct/agg still shuffle — but only MATCHING
+    // (doc_id, gram) pairs; the corpus side reaches the join without
+    // a shuffle of its own)
     val plan = physical(ExtensionQueries.x27(spark, sf001))
     assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
   }
 }
