@@ -95,6 +95,25 @@ object TextAnalysis {
         .otherwise("test"))
   }
 
+  /** Deterministic sequence packing: assign documents to fixed-token-
+    * budget packs within each stratum — the assembly step that turns a
+    * cleaned corpus into training sequences. Chunked-cumulative-sum
+    * packing (a doc's pack = floor(tokens_before / budget)): fully
+    * deterministic, one window pass keyed on the stratum (a single
+    * exchange at any scale), and SQL-recomputable — unlike greedy
+    * first-fit, which needs sequential state. Output: input columns
+    * projected to (stratum, id, n_tokens) plus `pack_id`. */
+  def packSequences(docs: DataFrame, budget: Int, strataCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(strataCol), col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+  }
+
   /** Docs sharing an identical content fingerprint (exact-ish near-dup
     * at fingerprint resolution): bucket join on the 32-bit hashed
     * sketch for shuffle economy, then VERIFY full fingerprint equality

@@ -343,6 +343,14 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
       .orderBy(col("split"), col("lang"))
 
+  /** x31 deterministic sequence packing: 2048-token packs per language
+    * (chunked-cumsum assignment), summarized per pack. */
+  def x31(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(docs(s, dir), budget = 2048)
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("lang"), col("pack_id"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -374,6 +382,7 @@ object ExtensionQueries {
     "x28_neardup_clusters" -> (x28 _),
     "x29_repetition_filter" -> (x29 _),
     "x30_dataset_split" -> (x30 _),
+    "x31_sequence_packing" -> (x31 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -667,6 +676,21 @@ object ExtensionQueries {
         |           abs(GREATEST(-127.0, LEAST(127.0, floor(x * (127.0 / mx) + 0.5)))))) AS BIGINT)
         |       END AS q_l1
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    // Window-cumsum pack assignment replayed with the x10-validated
+    // token count; both engines divide in double and floor.
+    "x31_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, n_tokens,
+        |         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |  FROM t)
+        |SELECT lang, pack_id, count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+        |FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
 
     // Same md5-60 bucket the engine computes via built-ins
     // (conv(substr(md5,1,15),16,10) % 100); integer SUM cast to BIGINT

@@ -85,6 +85,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(1L) == 0.333333)
   }
 
+  test("packSequences: chunked-cumsum pack assignment within strata") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "en", "a b c"),   // 3 tokens, starts at 0   → pack 0
+      (1L, "en", "d e f g"), // 4 tokens, starts at 3   → pack 0
+      (2L, "en", "h i"),     // 2 tokens, starts at 7   → pack 1
+      (3L, "de", "x y z")    // own stratum, starts at 0 → pack 0
+    ).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.packSequences(docs, budget = 5)
+      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("property: tokenCount non-negative, bounded by length, and stable under trim") {
     val gen = Gen.listOfN(200, Gen.asciiPrintableStr)
     val samples = gen.apply(Gen.Parameters.default, Seed(42L)).getOrElse(Nil)
