@@ -351,6 +351,34 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
       .orderBy(col("lang"), col("pack_id"))
 
+  /** x32 top term per document by TF-IDF-style relevance. The idf is
+    * the RATIONAL form tf·N/df rather than tf·log(N/df): log is
+    * computed by libm and not guaranteed correctly rounded, so its
+    * last-ulp could differ across engines and flip near-tie rankings —
+    * the rational score is one exact-operand double division on both
+    * engines, bit-identical, and order-equivalent for ranking within a
+    * fixed N. Ranking uses the UNROUNDED score (rounding first could
+    * manufacture ties the engines then break differently); only the
+    * output is rounded. */
+  def x32(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nDocs = d.agg(count(lit(1)).as("__nd"))
+    val toks = d.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.words(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .join(broadcast(nDocs))
+      .withColumn("s", col("tf") * col("__nd") / col("df"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("s"), col("token"))).as("m"))
+      .select(col("doc_id"), col("m.token").as("top_term"),
+        round(col("m.s"), 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -383,6 +411,7 @@ object ExtensionQueries {
     "x29_repetition_filter" -> (x29 _),
     "x30_dataset_split" -> (x30 _),
     "x31_sequence_packing" -> (x31 _),
+    "x32_top_terms" -> (x32 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -676,6 +705,24 @@ object ExtensionQueries {
         |           abs(GREATEST(-127.0, LEAST(127.0, floor(x * (127.0 / mx) + 0.5)))))) AS BIGINT)
         |       END AS q_l1
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    // Rational-idf replica: (tf·N)::DOUBLE / df::DOUBLE is the same
+    // exact-operand division Spark computes; ranking on the unrounded
+    // score with the identical (s DESC, token DESC) tie-break.
+    "x32_top_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${wordsSql("text")}) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.token, (t.tf * n.nd)::DOUBLE / d.df::DOUBLE AS s
+         |  FROM tf t JOIN dfreq d USING (token) CROSS JOIN n),
+         |r AS (SELECT doc_id, token, s,
+         |             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, token DESC) AS rn
+         |      FROM scored)
+         |SELECT doc_id, token AS top_term, round(s, 6) AS score
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // Window-cumsum pack assignment replayed with the x10-validated
     // token count; both engines divide in double and floor.
