@@ -99,10 +99,19 @@ object TextAnalysis {
     * budget packs within each stratum — the assembly step that turns a
     * cleaned corpus into training sequences. Chunked-cumulative-sum
     * packing (a doc's pack = floor(tokens_before / budget)): fully
-    * deterministic, one window pass keyed on the stratum (a single
-    * exchange at any scale), and SQL-recomputable — unlike greedy
-    * first-fit, which needs sequential state. Output: input columns
-    * projected to (stratum, id, n_tokens) plus `pack_id`. */
+    * deterministic and SQL-recomputable — unlike greedy first-fit,
+    * which needs sequential state.
+    *
+    * Scale note: the window sorts and cumsums each stratum in ONE
+    * task, so the stratum is the parallelism unit — right when strata
+    * are many (source × language shards), wrong for a handful of
+    * 10 TB languages. For huge strata, sub-shard the stratum column
+    * (e.g. lang + doc_id range) or compute the prefix sums two-phase
+    * (per-range totals broadcast as offsets); the pack assignment
+    * formula is unchanged either way.
+    *
+    * Output: input columns projected to (stratum, id, n_tokens) plus
+    * `pack_id`. */
   def packSequences(docs: DataFrame, budget: Int, strataCol: String = "lang",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

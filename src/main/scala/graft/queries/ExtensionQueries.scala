@@ -363,12 +363,16 @@ object ExtensionQueries {
   def x32(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val nDocs = d.agg(count(lit(1)).as("__nd"))
-    val toks = d.select(col("doc_id"),
-      explode(graft.functions.TextFunctions.words(col("text"))).as("token"))
-    val tf = toks.groupBy(col("doc_id"), col("token"))
+    // ONE tokenize/explode pass: tf is materialized and both consumers
+    // (the score join and the document-frequency agg) derive from it —
+    // tf already has one row per (doc_id, token), so counting rows per
+    // token IS df, with no second scan/explode/distinct of the corpus.
+    val tf = d.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(dfreq, "token")
       .join(broadcast(nDocs))
       .withColumn("s", col("tf") * col("__nd") / col("df"))
