@@ -21,9 +21,12 @@ object Verify {
     // substring (same ergonomics as Bench), and refuses an empty
     // selection instead of silently dumping nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // Try: a value that is not valid regex (e.g. "x26(") must degrade to
+    // the substring branch, not throw PatternSyntaxException
     val selected = SparkEntry.queries
       .filter { case (name, _) =>
-        only.forall(o => name.matches(o) || name.contains(o)) }
+        only.forall(o =>
+          scala.util.Try(name.matches(o)).getOrElse(false) || name.contains(o)) }
     require(selected.nonEmpty,
       s"SPARK_GRAFT_ONLY=${only.getOrElse("")} matches no queries")
     selected

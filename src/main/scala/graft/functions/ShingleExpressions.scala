@@ -23,6 +23,27 @@ import org.apache.spark.sql.types._
 
 private[functions] object K {
   val cls = "graft.functions.ShingleKernels"
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  // analysis-time input checks shared by every expression below: a wrong
+  // child type would misread UnsafeArrayData slots as (offset, len) pairs
+  // and fail per-row at execution instead of once at analysis.
+  def expect(name: String, actual: DataType, ok: DataType => Boolean,
+             expected: String): TypeCheckResult =
+    if (ok(actual)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects $expected, got ${actual.sql}")
+
+  val isString: DataType => Boolean = _ == StringType
+  val isStringArray: DataType => Boolean = {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  val isLongArray: DataType => Boolean = {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 }
 
 /** `shingle_hashes(text, n)` → array<bigint>: xxhash64 of every
@@ -31,6 +52,10 @@ private[functions] object K {
   * job — those are codegen'd built-ins. */
 case class ShingleHashes(child: Expression, shingleLen: Int)
     extends UnaryExpression {
+  require(shingleLen > 0, s"shingle_hashes: n must be positive, got $shingleLen")
+
+  override def checkInputDataTypes() =
+    K.expect("shingle_hashes", child.dataType, K.isString, "string")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -51,6 +76,9 @@ case class ShingleHashes(child: Expression, shingleLen: Int)
   * interpreted. */
 case class WordTokens(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes() =
+    K.expect("word_tokens", child.dataType, K.isString, "string")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -69,6 +97,10 @@ case class WordTokens(child: Expression) extends UnaryExpression {
   * n-gram up to 64-bit collision). */
 case class NGramHashes(child: Expression, n: Int)
     extends UnaryExpression {
+  require(n > 0, s"ngram_hashes: n must be positive, got $n")
+
+  override def checkInputDataTypes() =
+    K.expect("ngram_hashes", child.dataType, K.isStringArray, "array<string>")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -88,6 +120,10 @@ case class NGramHashes(child: Expression, n: Int)
   * meaningful signature and must not collide with everything). */
 case class MinHashFromLongs(child: Expression, numHashes: Int)
     extends UnaryExpression {
+  require(numHashes > 0, s"minhash_longs: k must be positive, got $numHashes")
+
+  override def checkInputDataTypes() =
+    K.expect("minhash_longs", child.dataType, K.isLongArray, "array<bigint>")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -115,6 +151,12 @@ case class MinHashFromLongs(child: Expression, numHashes: Int)
 case class SortedLongJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def checkInputDataTypes() = {
+    val l = K.expect("sorted_jaccard", left.dataType, K.isLongArray, "array<bigint>")
+    if (l.isFailure) l
+    else K.expect("sorted_jaccard", right.dataType, K.isLongArray, "array<bigint>")
+  }
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -141,6 +183,12 @@ case class SortedLongJaccard(left: Expression, right: Expression)
   * lambda chain. Null on length mismatch. */
 case class MinHashAgreement(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def checkInputDataTypes() = {
+    val l = K.expect("minhash_agreement", left.dataType, K.isLongArray, "array<bigint>")
+    if (l.isFailure) l
+    else K.expect("minhash_agreement", right.dataType, K.isLongArray, "array<bigint>")
+  }
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -171,15 +219,8 @@ case class NGramStrings(child: Expression, n: Int) extends UnaryExpression {
   // child would misread UnsafeArrayData slots as (offset, len) pairs
   require(n > 0, s"ngram_strings: n must be positive, got $n")
 
-  override def checkInputDataTypes():
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(StringType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"ngram_strings expects array<string>, got ${other.sql}")
-    }
+  override def checkInputDataTypes() =
+    K.expect("ngram_strings", child.dataType, K.isStringArray, "array<string>")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -200,6 +241,11 @@ case class NGramStrings(child: Expression, n: Int) extends UnaryExpression {
   * oracle-checked fingerprint queries. */
 case class Md5ShingleHashes(child: Expression, shingleLen: Int)
     extends UnaryExpression {
+  require(shingleLen > 0,
+    s"md5_shingle_hashes: n must be positive, got $shingleLen")
+
+  override def checkInputDataTypes() =
+    K.expect("md5_shingle_hashes", child.dataType, K.isString, "string")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -217,6 +263,9 @@ case class Md5ShingleHashes(child: Expression, shingleLen: Int)
   * token hashes — the PORTABLE sibling of [[SimHash64]], brute-force
   * recomputable in the DuckDB oracle. Empty/null → null. */
 case class Md5SimHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes() =
+    K.expect("md5_simhash", child.dataType, K.isStringArray, "array<string>")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

@@ -244,6 +244,10 @@ object Dedup {
     var labels = materialize(
       edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node")))
+    // the materialized frame behind `labels`, released once the next
+    // round's checkpoint exists — otherwise executor storage grows
+    // O(rounds × |V|) across the iteration
+    var labelsMat = labels
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -255,6 +259,8 @@ object Dedup {
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next")))
       changed = updated.filter(col("next") =!= col("label")).count()
+      labelsMat.unpersist() // updated is checkpointed — prior round's blocks are dead
+      labelsMat = updated
       labels = updated.select(col("node"), col("next").as("label"))
       i += 1
     }
