@@ -123,6 +123,114 @@ object TextAnalysis {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
   }
 
+  /** Fixed-window document chunking with overlap — the context-window
+    * preparation step (split long docs into model-sized pieces, adjacent
+    * chunks sharing `window - stride` chars). Chunk starts sit on the
+    * stride grid (1, 1+stride, …) up to the doc length, so the chunk
+    * count is ceil(len/stride) and the mapping is deterministic — no
+    * state, no window function, ONE narrow generator projection: at
+    * 100 TB this is a pure map stage that pipelines into whatever
+    * shuffle follows (no exchange of its own).
+    * Output: (doc_id, chunk_id, start, chunk, chunk_len). */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkDocuments: need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        explode(sequence(lit(1), length(col(textCol)), lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        // exact multiples of stride: FLOOR-then-cast is engine-portable
+        floor((col("start") - 1) / stride).cast("int").as("chunk_id"),
+        col("start"),
+        substr(col("__t"), col("start"), lit(window)).as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+  }
+
+  /** Boilerplate screen: per document, the fraction of its DISTINCT
+    * word n-grams that are corpus-common ("boilerplate" = n-grams
+    * appearing in at least `minDfPct`% of documents — headers, footers,
+    * license blurbs). The threshold is RELATIVE so the operator is
+    * scale-invariant, and the comparison is kept in integer arithmetic
+    * (df·100 ≥ n_docs·pct) so no float rounding can flip a boundary
+    * gram. Same single-tokenize-pass shape as the tf-idf operator: the
+    * per-doc gram table is materialized once and feeds both the
+    * document-frequency aggregation and the per-doc rollup.
+    * Output: (doc_id, n_grams, n_boiler, boiler_frac). */
+  def boilerplateScreen(docs: DataFrame, ngram: Int = 2, minDfPct: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    val nDocs = docs.agg(count(lit(1)).as("__nd"))
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(wordShingles(col(textCol), ngram))).as("gram"))
+      .localCheckpoint(true)
+    // grams are distinct per doc, so rows-per-gram IS document frequency
+    val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "gram")
+      .join(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") * 100 >= col("__nd") * minDfPct, 1L).otherwise(0L))
+          .as("n_boiler"))
+      .withColumn("boiler_frac", round(col("n_boiler") / col("n_grams"), 6))
+  }
+
+  /** Deterministic balanced downsampling: keep at most `cap` rows per
+    * stratum, chosen by content-stable hash order (md5-60 of the key)
+    * — the "cap each language/source" rebalancing pass. Hash order
+    * makes the kept set a uniform sample that is reproducible across
+    * runs, engines and partition layouts (row_number over an arrival
+    * order or a random() would be neither).
+    * Scale: one per-stratum window sort; a handful of 10 TB strata
+    * would instead use a bounded-heap top-k aggregator keyed on the
+    * stratum (the TopKScored pattern), same output. */
+  def balancedSample(df: DataFrame, keyCol: String, strataCol: String,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hb = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("bigint")
+    df.withColumn("__hb", hb)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(col("__hb"), col(keyCol))))
+      .filter(col("rk") <= cap)
+      .drop("__hb")
+  }
+
+  /** Corpus vocabulary statistics: the top-k tokens by occurrence count
+    * with their cumulative corpus coverage (the Zipf head — how much of
+    * the corpus the top-k vocabulary explains). Counting is one
+    * partial+final hash agg; the top-k cut is a distributed
+    * TakeOrderedAndProject (NOT a global window over the whole
+    * vocabulary — a web-scale vocab has 10⁸ rows and would serialize
+    * through one task); only the k survivors enter the single-partition
+    * ranking window. cum_frac divides exact BIGINT operands, so the
+    * double is bit-identical on any engine.
+    * Output: (rank, token, cnt, cum_frac). */
+  def vocabStats(docs: DataFrame, topK: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.words
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(words(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds both the total and the top-k cut
+    val total = counts.agg(sum(col("cnt")).cast("bigint").as("__tot"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(topK)
+    val wRank = Window.orderBy(col("cnt").desc, col("token"))
+    val wCum = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rank", row_number().over(wRank))
+      .join(broadcast(total))
+      .withColumn("cum_frac",
+        round(sum(col("cnt")).over(wCum) / col("__tot"), 6))
+      .select(col("rank"), col("token"), col("cnt"), col("cum_frac"))
+  }
+
   /** Docs sharing an identical content fingerprint (exact-ish near-dup
     * at fingerprint resolution): bucket join on the 32-bit hashed
     * sketch for shuffle economy, then VERIFY full fingerprint equality

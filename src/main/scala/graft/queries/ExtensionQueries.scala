@@ -383,6 +383,37 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** x33 fixed-window chunking with overlap (window 200, stride 150):
+    * every chunk is value-checked via its md5 — the oracle regenerates
+    * the identical stride grid with generate_series. */
+  def x33(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(docs(s, dir), window = 200, stride = 150)
+      .select(col("doc_id"), col("chunk_id"), col("start"), col("chunk_len"),
+        md5(col("chunk")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** x34 boilerplate screen: fraction of each doc's distinct word
+    * bigrams that appear in ≥ 5% of documents. The threshold is
+    * relative (integer-compared), so the query is meaningful at every
+    * sf. */
+  def x34(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateScreen(docs(s, dir), ngram = 2, minDfPct = 5)
+      .orderBy(col("doc_id"))
+
+  /** x35 deterministic balanced downsampling: at most 50 docs per
+    * language, chosen by md5-60 hash order — reproducible across
+    * engines (oracle replays the same rank). */
+  def x35(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.balancedSample(docs(s, dir), "doc_id", "lang", cap = 50)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+
+  /** x36 vocabulary Zipf head: top-20 tokens by corpus count with
+    * cumulative coverage; exact-BIGINT division keeps cum_frac
+    * bit-identical across engines. */
+  def x36(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabStats(docs(s, dir), topK = 20)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -416,6 +447,10 @@ object ExtensionQueries {
     "x30_dataset_split" -> (x30 _),
     "x31_sequence_packing" -> (x31 _),
     "x32_top_terms" -> (x32 _),
+    "x33_doc_chunking" -> (x33 _),
+    "x34_boilerplate_screen" -> (x34 _),
+    "x35_balanced_sample" -> (x35 _),
+    "x36_vocab_zipf" -> (x36 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -909,5 +944,60 @@ object ExtensionQueries {
         |  SELECT 'source', count(source), count(*) - count(source), count(DISTINCT source),
         |         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
         |) ORDER BY "column"""".stripMargin,
+
+    // Identical stride grid (1, 151, 301, …), identical 1-based clipping
+    // substr semantics, md5 per chunk — every chunk value-checked.
+    "x33_doc_chunking" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text), 150)) AS start, text
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        |SELECT doc_id, CAST(FLOOR((start - 1) / 150) AS INT) AS chunk_id, start,
+        |       length(substr(text, start, 200)) AS chunk_len,
+        |       md5(substr(text, start, 200)) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // df·100 >= n_docs·5 in integer arithmetic on both sides; grams are
+    // distinct per doc so rows-per-gram IS document frequency.
+    "x34_boilerplate_screen" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT doc_id, ${wordNgramsSql(2)} AS g FROM toks),
+         |ex AS (SELECT doc_id, unnest(g) AS gram FROM ng),
+         |dfreq AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram),
+         |nd AS (SELECT count(*) AS n FROM documents)
+         |SELECT ex.doc_id, count(*) AS n_grams,
+         |       CAST(SUM(CASE WHEN dfreq.df * 100 >= nd.n * 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |       round(CAST(SUM(CASE WHEN dfreq.df * 100 >= nd.n * 5 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+         |             / count(*)::DOUBLE, 6) AS boiler_frac
+         |FROM ex JOIN dfreq ON ex.gram = dfreq.gram CROSS JOIN nd
+         |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin,
+
+    // Same md5-60 hash order, same (hash, key) tiebreak, same cap.
+    "x35_balanced_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 15) AS BIGINT) AS hb
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rk
+        |  FROM h)
+        |SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= 50
+        |ORDER BY lang, rk""".stripMargin,
+
+    // cum_frac = prefix-sum / corpus total, both exact BIGINTs before
+    // ONE double division — bit-identical across engines.
+    "x36_vocab_zipf" ->
+      s"""WITH toks AS (SELECT unnest(${wordsSql("text")}) AS token FROM documents),
+         |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM counts),
+         |ranked AS (
+         |  SELECT token, cnt,
+         |         row_number() OVER (ORDER BY cnt DESC, token) AS rank
+         |  FROM counts)
+         |SELECT rank, token, cnt,
+         |       round(CAST(sum(cnt) OVER (ORDER BY rank
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)::DOUBLE
+         |             / t::DOUBLE, 6) AS cum_frac
+         |FROM ranked CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
   )
 }

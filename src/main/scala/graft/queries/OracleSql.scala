@@ -213,5 +213,24 @@ object OracleSql {
         |FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'P') b
         |ON a.k = b.k
         |ORDER BY k""".stripMargin,
+
+    "q34_rank_distribution" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd,
+        |       ntile(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q35_frame_navigation" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER w AS first_ok,
+        |       nth_value(o_orderkey, 2) OVER w AS second_ok,
+        |       last_value(o_orderkey) OVER w AS last_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }

@@ -391,6 +391,42 @@ object RelationalQueries {
       .orderBy(col("k"))
   }
 
+  /** Q34 rank-distribution analytics: percent_rank / cume_dist /
+    * ntile over a UNIQUE ordering key (acctbal, custkey) — no ties, so
+    * ranks are deterministic, and (rank-1)/(n-1) and rank/n are exact
+    * integer-operand double divisions that match any engine
+    * bit-for-bit. */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q35 frame navigation: first/nth/last order key per customer over
+    * the full-partition frame (explicit UNBOUNDED FOLLOWING — the
+    * default frame would make last_value mean "current row").
+    * second_ok is null for single-order customers. */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** name → impl, in declaration order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_scan_project_sort" -> (q01 _),
@@ -426,5 +462,7 @@ object RelationalQueries {
     "q31_arg_max" -> (q31 _),
     "q32_string_agg" -> (q32 _),
     "q33_full_outer_join" -> (q33 _),
+    "q34_rank_distribution" -> (q34 _),
+    "q35_frame_navigation" -> (q35 _),
   )
 }

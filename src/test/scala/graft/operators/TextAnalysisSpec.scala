@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Unit semantics for the corpus text-analysis operators added in
+  * round 5 (chunking, boilerplate screen, balanced sampling, vocab
+  * stats) — tiny hand-built corpora with hand-derivable expectations;
+  * the DuckDB oracle gate covers fixture-scale values. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkDocuments: stride grid, overlap, tail clipping") {
+    // 10-char doc, window 6, stride 4 → starts 1, 5, 9
+    val out = TextAnalysis.chunkDocuments(
+        Seq((1L, "abcdefghij")).toDF("doc_id", "text"),
+        window = 6, stride = 4)
+      .orderBy("chunk_id")
+      .select("chunk_id", "start", "chunk", "chunk_len")
+      .collect()
+    assert(out.toSeq == Seq(
+      Row(0, 1, "abcdef", 6),
+      Row(1, 5, "efghij", 6), // 2-char overlap with chunk 0
+      Row(2, 9, "ij", 2)))    // tail clipped, not padded
+  }
+
+  test("chunkDocuments: short/empty/null docs") {
+    val out = TextAnalysis.chunkDocuments(
+        Seq((1L, "ab"), (2L, ""), (3L, null)).toDF("doc_id", "text"),
+        window = 6, stride = 4)
+      .select("doc_id", "chunk").as[(Long, String)].collect()
+    // shorter-than-window → one clipped chunk; empty/null → no rows
+    assert(out.toSeq == Seq((1L, "ab")))
+  }
+
+  test("chunkDocuments rejects invalid geometry") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, window = 4, stride = 8)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, window = 0, stride = 0)
+    }
+  }
+
+  test("boilerplateScreen: relative df threshold") {
+    // "a b" appears in 3/4 docs (75%); every other bigram in 1 (25%).
+    val docs = Seq(
+      (1L, "a b x y"), (2L, "a b z w"), (3L, "a b q r"), (4L, "m n o p"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateScreen(docs, ngram = 2, minDfPct = 50)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_boiler").as[(Long, Long, Long)]
+      .collect()
+    assert(out.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 3L, 1L), (4L, 3L, 0L)))
+  }
+
+  test("balancedSample: caps each stratum, deterministic across reruns") {
+    val docs = (0L until 40L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val once = TextAnalysis.balancedSample(docs, "doc_id", "lang", cap = 5)
+    val ids = once.select("doc_id").as[Long].collect().sorted
+    assert(once.groupBy("lang").count().as[(String, Long)].collect()
+      .toMap == Map("en" -> 5L, "de" -> 5L))
+    val again = TextAnalysis.balancedSample(docs, "doc_id", "lang", cap = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == again.toSeq)
+  }
+
+  test("vocabStats: counts, ranking, cumulative coverage") {
+    // corpus: a×4, b×2, c×1, d×1 → total 8
+    val docs = Seq((1L, "a a b C"), (2L, "a b"), (3L, "a d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabStats(docs, topK = 3)
+      .select("rank", "token", "cnt", "cum_frac")
+      .as[(Int, String, Long, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1, "a", 4L, 0.5),      // 4/8 (tokens lowercased: C → c)
+      (2, "b", 2L, 0.75),     // 6/8
+      (3, "c", 1L, 0.875)))   // ties broken by token asc: c before d
+  }
+}
