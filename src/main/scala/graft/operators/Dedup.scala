@@ -254,10 +254,18 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("nbr")), "dst")
         .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
-      val updated = materialize(labels
+      // LAZY checkpoint + count = ONE job per round (the count is the
+      // materializing action; blocks persist for the next round's
+      // joins). An eager checkpoint here would cost a second full pass
+      // per round just to learn `changed`. Lazy is race-free in this
+      // one case because the count is the sole consumer until the
+      // blocks exist — unlike the fan-out sketches `materialize`
+      // serves, where two join branches would race to recompute.
+      val updated = labels
         .join(nbrMin.select(col("src").as("node"), col("nbr_min")), Seq("node"), "left")
         .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next")))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next"))
+        .localCheckpoint(false)
       changed = updated.filter(col("next") =!= col("label")).count()
       labelsMat.unpersist() // updated is checkpointed — prior round's blocks are dead
       labelsMat = updated

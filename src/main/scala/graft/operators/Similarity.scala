@@ -191,4 +191,26 @@ object Similarity {
         round(cosine_similarity(col(queryVec), col(corpusVec)), 6).as("cosine"))
     rankTopK(scored, k, queryId, corpusId)
   }
+
+  /** LSH index health profile: per sign-bit bucket, the population and
+    * the L2-norm range of its vectors — the statistic that decides
+    * whether an index is usable BEFORE queries run (a skewed bucket
+    * histogram means some probes degrade to near-linear scans; the
+    * norm range flags degenerate all-zero regions). One narrow
+    * codegen'd projection (2ⁿᵖˡᵃⁿᵉˢ dots per row) followed by one
+    * partial+final hash agg on a ≤2ⁿᵖˡᵃⁿᵉˢ-key space — no joins, no
+    * windows, and the agg output is bounded by the bucket count, not
+    * the corpus. Norms round only at output; min/max commute with the
+    * final round so the result is engine-exact. */
+  def bucketProfile(emb: DataFrame, vecCol: String = "embedding",
+      nPlanes: Int = 6, dim: Int = 64): DataFrame =
+    emb.filter(size(col(vecCol)) === dim)
+      .select(
+        hyperplaneBucket(col(vecCol), nPlanes, dim).as("bucket"),
+        sqrt(dot_product(col(vecCol), col(vecCol))).as("__norm"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("__norm")), 6).as("min_norm"),
+        round(max(col("__norm")), 6).as("max_norm"))
 }

@@ -255,4 +255,75 @@ object TextAnalysis {
       .filter(col("a.fp") === col("b.fp"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
+
+  /** Cross-group n-gram overlap matrix: for every pair of groups
+    * (sources, shards, crawl snapshots…), the count of distinct word
+    * n-grams they share and the Jaccard of their gram sets — the
+    * corpus-audit view of contamination ("how much does src_a leak
+    * into src_b"), generalizing the one-benchmark screen of
+    * [[contaminationScreen]] to all-pairs.
+    *
+    * Scale: grams are reduced to portable md5-60 longs before the
+    * wide exchanges, so the shuffle carries 8-byte keys, not n-word
+    * strings. The self-join is an inverted-index join keyed on the
+    * gram hash: each hash's posting list holds at most one row per
+    * GROUP, so per-gram join fan-out is bounded by groups² — total
+    * work is O(|distinct grams| × groups²), linear in corpus size for
+    * a fixed group count, never the O(docs²) pair explosion. Group
+    * sizes (20 rows for 20 sources) broadcast to the pair frame. */
+  def crossGroupOverlap(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", ngram: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    val md560 = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+    // distinct (group, gram-hash) — map-side combine before the shuffle
+    val g = docs
+      .select(col(groupCol).as("grp"),
+        explode(array_distinct(wordShingles(col(textCol), ngram))).as("gram"))
+      .select(col("grp"), md560(col("gram")).as("h"))
+      .distinct()
+      .localCheckpoint(true) // feeds the sizes agg and both join sides
+    val sizes = g.groupBy(col("grp")).agg(count(lit(1)).as("sz"))
+    val shared = g.toDF("src_a", "h").as("a")
+      .join(g.toDF("src_b", "h2").as("b"),
+        col("a.h") === col("b.h2") && col("a.src_a") < col("b.src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.toDF("src_a", "sz_a")), "src_a")
+      .join(broadcast(sizes.toDF("src_b", "sz_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"),
+        round(col("shared") / (col("sz_a") + col("sz_b") - col("shared")), 6)
+          .as("jaccard"))
+  }
+
+  /** Percentile-based length trim: keep documents whose length lies in
+    * [p(lo), p(hi)] of the corpus distribution — the tail-clipping
+    * quality pass (truncated docs and boilerplate mega-docs both live
+    * in the tails). Returns the per-stratum keep report.
+    *
+    * DISCRETE percentiles on purpose: `percentile_disc` returns an
+    * actual data value (an exact BIGINT here), so the keep predicate
+    * compares integers — engine-exact. A continuous percentile would
+    * interpolate, and an interpolated double landing within an ulp of
+    * an integer could flip a boundary doc between engines.
+    *
+    * Scale: the two thresholds are ONE corpus aggregate broadcast to
+    * the filter pass; everything else is a map-side predicate + one
+    * small groupBy. At 100 TB the exact percentile agg would move to
+    * `approx_percentile` with a pinned accuracy — same plan shape. */
+  def lengthTrim(docs: DataFrame, lo: Double, hi: Double,
+      lenCol: String = "n_chars", strataCol: String = "lang"): DataFrame = {
+    val bounds = docs.selectExpr(
+      s"percentile_disc($lo) WITHIN GROUP (ORDER BY $lenCol) AS __lo",
+      s"percentile_disc($hi) WITHIN GROUP (ORDER BY $lenCol) AS __hi")
+    val kept = col(lenCol) >= col("__lo") && col(lenCol) <= col("__hi")
+    docs.join(broadcast(bounds))
+      .groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(kept, 1L).otherwise(0L)).as("kept"),
+        sum(when(kept, col(lenCol)).otherwise(0L)).cast("bigint")
+          .as("kept_chars"))
+  }
 }

@@ -414,6 +414,41 @@ object ExtensionQueries {
   def x36(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabStats(docs(s, dir), topK = 20)
 
+  /** x37 cross-source contamination matrix: distinct word-3-grams
+    * shared between every source pair, with the gram-set Jaccard —
+    * all-pairs leakage audit over the md5-60 hash family (the oracle
+    * recomputes every gram hash, so shared counts are value-checked,
+    * not just row counts). */
+  def x37(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.crossGroupOverlap(docs(s, dir), "source", "text", ngram = 3)
+      .orderBy(col("src_a"), col("src_b"))
+
+  /** x38 ANN index health: per hyperplane-LSH bucket (the x05/x07
+    * index geometry), population and L2-norm range — the bucket-skew
+    * histogram that predicts probe cost before any query runs. */
+  def x38(s: SparkSession, dir: String): DataFrame =
+    Similarity.bucketProfile(emb(s, dir), "embedding", nPlanes = 6, dim = 64)
+      .orderBy(col("bucket"))
+
+  /** x39 percentile length trim: keep docs within [p05, p95] of the
+    * corpus n_chars distribution, reported per language. Thresholds
+    * are one broadcast aggregate; DISCRETE percentiles return actual
+    * n_chars values, so the keep predicate compares exact integers on
+    * both engines (no interpolation hazard). */
+  def x39(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthTrim(docs(s, dir), lo = 0.05, hi = 0.95)
+      .orderBy(col("lang"))
+
+  /** x40 conversion funnel over per-(user, day) ordered event
+    * sequences: deepest view→click→purchase prefix reached, counted
+    * per depth. Sequence order is (ts, event_id) — total because event
+    * ids are unique — built as ONE collect_list hash agg (no window
+    * shuffle); the oracle replays it with an ordered string_agg. */
+  def x40(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.funnel(
+        Tables.load(s, dir, "events"), Seq("view", "click", "purchase"))
+      .orderBy(col("funnel_stage"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -451,6 +486,10 @@ object ExtensionQueries {
     "x34_boilerplate_screen" -> (x34 _),
     "x35_balanced_sample" -> (x35 _),
     "x36_vocab_zipf" -> (x36 _),
+    "x37_cross_source_overlap" -> (x37 _),
+    "x38_lsh_bucket_profile" -> (x38 _),
+    "x39_length_trim" -> (x39 _),
+    "x40_event_funnel" -> (x40 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -999,5 +1038,69 @@ object ExtensionQueries {
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)::DOUBLE
          |             / t::DOUBLE, 6) AS cum_frac
          |FROM ranked CROSS JOIN tot WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // Every gram hash is recomputed (md5-60 over the identical word-3-
+    // gram strings), so shared counts and Jaccards are value-checked.
+    // The gram self-join is keyed on the hash: posting lists are ≤ 1
+    // row per SOURCE, so fan-out is bounded by sources², not docs².
+    "x37_cross_source_overlap" ->
+      s"""WITH toks AS (SELECT source, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT source, ${wordNgramsSql(3)} AS g FROM toks),
+         |gh AS (
+         |  SELECT DISTINCT source AS grp, ${md5Hash60Sql("gram")} AS h
+         |  FROM (SELECT source, unnest(g) AS gram FROM ng) t),
+         |sizes AS (SELECT grp, count(*) AS sz FROM gh GROUP BY grp),
+         |shared AS (
+         |  SELECT a.grp AS src_a, b.grp AS src_b, count(*) AS shared
+         |  FROM gh a JOIN gh b ON a.h = b.h AND a.grp < b.grp
+         |  GROUP BY a.grp, b.grp)
+         |SELECT s.src_a, s.src_b, CAST(s.shared AS BIGINT) AS shared,
+         |       round(s.shared::DOUBLE / (x.sz + y.sz - s.shared)::DOUBLE, 6) AS jaccard
+         |FROM shared s
+         |JOIN sizes x ON s.src_a = x.grp
+         |JOIN sizes y ON s.src_b = y.grp
+         |ORDER BY src_a, src_b""".stripMargin,
+
+    // Norms are min/max'd UNROUNDED (min/max commute with the final
+    // round); sqrt is IEEE-correctly-rounded on both engines, unlike
+    // libm transcendentals, so the values are bit-identical.
+    "x38_lsh_bucket_profile" ->
+      s"""WITH b AS (
+         |  SELECT ${bucketSql("embedding", 6)} AS bucket,
+         |         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings WHERE len(embedding) = 64)
+         |SELECT bucket, count(*) AS n,
+         |       round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // percentile_disc returns an actual n_chars value (exact BIGINT) —
+    // the keep predicate compares integers, no interpolation hazard.
+    "x39_length_trim" ->
+      """WITH bounds AS (
+        |  SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+        |         percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+        |  FROM documents)
+        |SELECT lang, count(*) AS total,
+        |       CAST(SUM(CASE WHEN n_chars >= lo AND n_chars <= hi THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |       CAST(SUM(CASE WHEN n_chars >= lo AND n_chars <= hi THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM documents CROSS JOIN bounds
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Ordered string_agg replays the engine's (ts, event_id) struct
+    // sort; no event type is a substring of another, so the regex
+    // subsequence test is exact.
+    "x40_event_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |st AS (
+        |  SELECT CASE WHEN regexp_matches(seq, 'view.*click.*purchase') THEN 3
+        |              WHEN regexp_matches(seq, 'view.*click') THEN 2
+        |              WHEN regexp_matches(seq, 'view') THEN 1
+        |              ELSE 0 END AS funnel_stage
+        |  FROM s)
+        |SELECT funnel_stage, count(*) AS user_days FROM st
+        |GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin,
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Unit semantics for ordered-sequence analytics: event-time ordering
+  * with tie-breaks, subsequence-prefix depth, and group isolation. */
+class SequencesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel: deepest prefix per user-day, order by (ts, tie)") {
+    val events = Seq(
+      // user 1, one day: view → click → purchase in ts order → depth 3
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "click"),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "purchase"),
+      // user 2: purchase BEFORE view/click — only view matches → 1
+      (2L, ts("2024-01-01 09:00:00"), 4L, "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), 5L, "view"),
+      // user 3: no view at all → depth 0
+      (3L, ts("2024-01-01 10:00:00"), 6L, "click"),
+      // user 4: view+click same ts — event_id tie-break orders view first → 2
+      (4L, ts("2024-01-01 10:00:00"), 7L, "view"),
+      (4L, ts("2024-01-01 10:00:00"), 8L, "click"),
+      // user 1 again on ANOTHER day: day split isolates it → view only → 1
+      (1L, ts("2024-01-02 10:00:00"), 9L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("funnel_stage")
+      .as[(Int, Long)].collect()
+    assert(out.toSeq == Seq((0, 1L), (1, 2L), (2, 1L), (3, 1L)))
+  }
+
+  test("funnel: tie-break flips depth when ids reverse the same-ts order") {
+    val events = Seq(
+      (4L, ts("2024-01-01 10:00:00"), 8L, "view"),
+      (4L, ts("2024-01-01 10:00:00"), 7L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    // click (id 7) sorts before view (id 8) → sequence "click,view" → depth 1
+    val out = Sequences.funnel(events, Seq("view", "click", "purchase"))
+      .as[(Int, Long)].collect()
+    assert(out.toSeq == Seq((1, 1L)))
+  }
+
+  test("orderedTypeSequence emits one row per key with the joined sequence") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:02"), 1L, "b"),
+      (1L, ts("2024-01-01 10:00:01"), 2L, "a"),
+      (2L, ts("2024-01-01 10:00:00"), 3L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    import org.apache.spark.sql.functions.col
+    val out = Sequences.orderedTypeSequence(events, Seq(col("user_id")),
+        col("ts"), col("event_id"), col("event_type"))
+      .orderBy("user_id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "a,b"), (2L, "c")))
+  }
+}

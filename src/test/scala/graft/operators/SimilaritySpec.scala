@@ -94,4 +94,22 @@ class SimilaritySpec extends SparkSpec {
     val b2 = emb.select(Similarity.hyperplaneBucket($"embedding", 8, 64)).as[Int].collect()
     assert(b1.sameElements(b2))
   }
+
+  test("bucketProfile: populations sum to corpus, norms bound the bucket") {
+    val in = emb.filter(size($"embedding") === 64)
+    val prof = Similarity.bucketProfile(in, "embedding", nPlanes = 6, dim = 64)
+      .select($"bucket", $"n", $"min_norm", $"max_norm")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(prof.map(_._2).sum == in.count())
+    assert(prof.forall { case (b, _, lo, hi) => b >= 0 && b < 64 && lo <= hi })
+    // spot-check one bucket against a direct recomputation
+    val (b0, n0, lo0, hi0) = prof.minBy(_._1)
+    val direct = in
+      .filter(Similarity.hyperplaneBucket($"embedding", 6, 64) === b0)
+      .select(org.apache.spark.sql.functions.sqrt(
+        graft.functions.VectorFunctions.dot_product($"embedding", $"embedding")))
+      .as[Double].collect()
+    assert(direct.length == n0)
+    assert(math.abs(direct.min - lo0) < 1e-6 && math.abs(direct.max - hi0) < 1e-6)
+  }
 }

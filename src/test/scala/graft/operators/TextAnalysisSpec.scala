@@ -78,4 +78,27 @@ class TextAnalysisSpec extends SparkSpec {
       (2, "b", 2L, 0.75),     // 6/8
       (3, "c", 1L, 0.875)))   // ties broken by token asc: c before d
   }
+
+  test("crossGroupOverlap: shared gram counts and Jaccard per group pair") {
+    // bigrams — s1: {a b, b c} ∪ {b c, c d} = {a b, b c, c d} (3)
+    //           s2: {a b, b x} (2); shared with s1: {a b} → J = 1/4
+    //           s3: {z z} (1); shares nothing → no rows
+    val docs = Seq(
+      (1L, "s1", "a b c"), (2L, "s1", "b c d"),
+      (3L, "s2", "a b x"), (4L, "s3", "z z")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.crossGroupOverlap(docs, "source", "text", ngram = 2)
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Double)].collect()
+    assert(out.toSeq == Seq(("s1", "s2", 1L, 0.25)))
+  }
+
+  test("lengthTrim: discrete bounds keep exact boundary values") {
+    // lengths 1..10; p(0.2)=2, p(0.9)=9 (discrete: actual data values)
+    val docs = (1 to 10).map(i => (i.toLong, "en", i.toLong))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = TextAnalysis.lengthTrim(docs, lo = 0.2, hi = 0.9)
+      .as[(String, Long, Long, Long)].collect()
+    // kept: 2..9 inclusive (8 docs), chars 2+…+9 = 44
+    assert(out.toSeq == Seq(("en", 10L, 8L, 44L)))
+  }
 }
