@@ -285,6 +285,58 @@ case class Md5SimHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `md5_ngram_hashes(tokens, n)` → array<bigint>: md5-60 of every
+  * space-joined n-token window — the PORTABLE word-ngram sibling of
+  * [[NGramHashes]] (DuckDB recomputes each gram hash from the joined
+  * string), feeding oracle-checked exact-Jaccard paths. */
+case class Md5NGramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"md5_ngram_hashes: n must be positive, got $n")
+
+  override def checkInputDataTypes() =
+    K.expect("md5_ngram_hashes", child.dataType, K.isStringArray, "array<string>")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.md5NgramHashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.md5NgramHashes($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `md5_ngram_minhash(tokens, n, k)` → array<bigint>: k-slot
+  * salted-md5 minhash signature over word n-grams — k independent
+  * hash functions, each slot brute-force recomputable in DuckDB as
+  * `list_min(list_transform(grams, g -> md5_60(s || '|' || g)))`.
+  * Null when the doc has fewer than n tokens. */
+case class Md5NGramMinHash(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  require(n > 0, s"md5_ngram_minhash: n must be positive, got $n")
+  require(k > 0, s"md5_ngram_minhash: k must be positive, got $k")
+
+  override def checkInputDataTypes() =
+    K.expect("md5_ngram_minhash", child.dataType, K.isStringArray, "array<string>")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.md5NgramMinhash(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = ${K.cls}.md5NgramMinhash($c, $n, $k);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object ShingleFunctions {
   def word_tokens(text: Column): Column =
     toColumn(WordTokens(toExpression(text)))
@@ -294,6 +346,10 @@ object ShingleFunctions {
     toColumn(ShingleHashes(toExpression(text), n))
   def ngram_hashes(tokens: Column, n: Int): Column =
     toColumn(NGramHashes(toExpression(tokens), n))
+  def md5_ngram_hashes(tokens: Column, n: Int): Column =
+    toColumn(Md5NGramHashes(toExpression(tokens), n))
+  def md5_ngram_minhash(tokens: Column, n: Int, k: Int): Column =
+    toColumn(Md5NGramMinHash(toExpression(tokens), n, k))
   def minhash_longs(hashes: Column, k: Int): Column =
     toColumn(MinHashFromLongs(toExpression(hashes), k))
   def sorted_jaccard(a: Column, b: Column): Column =

@@ -250,6 +250,89 @@ object ShingleKernels {
     out
   }
 
+  @inline private def digest60(md: java.security.MessageDigest): Long = {
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  /** md5-60 of every space-joined n-token window (word-ngram sibling
+    * of [[md5ShingleHashes]]). Gram bytes = token bytes joined by a
+    * single 0x20 — byte-identical to the SQL `w[i] || ' ' || w[i+1]`
+    * rendering, so oracles recompute the exact hashes. Digest updates
+    * are incremental: no joined gram string is materialized. */
+  def md5NgramHashes(arr: ArrayData, n: Int): ArrayData = {
+    val cnt = arr.numElements()
+    if (cnt < n) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) {
+      val s = arr.getUTF8String(i)
+      toks(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](cnt - n + 1)
+    var w = 0
+    while (w + n <= cnt) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(toks(w + j))
+        j += 1
+      }
+      out(w) = digest60(md)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** k-slot salted-md5 minhash over the space-joined n-token windows:
+    * slot s holds min over grams of md5-60("<s>|" + gram) — k
+    * INDEPENDENT salted hash functions (unlike [[minhashLongs]]'s
+    * Kirsch–Mitzenmacher family, which is xx64-seeded and therefore
+    * not oracle-recomputable). Min over duplicate grams equals min
+    * over distinct grams, so no dedup pass is needed. Null when fewer
+    * than n tokens (no gram → no signature). */
+  def md5NgramMinhash(arr: ArrayData, n: Int, k: Int): ArrayData = {
+    val cnt = arr.numElements()
+    if (cnt < n) return null
+    val toks = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) {
+      val s = arr.getUTF8String(i)
+      toks(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      i += 1
+    }
+    val salts = new Array[Array[Byte]](k)
+    var s = 0
+    while (s < k) { salts(s) = (s.toString + "|").getBytes; s += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(k)(Long.MaxValue)
+    var w = 0
+    while (w + n <= cnt) {
+      s = 0
+      while (s < k) {
+        md.reset()
+        md.update(salts(s))
+        var j = 0
+        while (j < n) {
+          if (j > 0) md.update(' '.toByte)
+          md.update(toks(w + j))
+          j += 1
+        }
+        val h = digest60(md)
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** True iff the codepoint is a word character under the same classes
     * as the regex `[\p{L}\p{N}]` (letters + all Unicode number
     * categories). */

@@ -449,6 +449,45 @@ object ExtensionQueries {
         Tables.load(s, dir, "events"), Seq("view", "click", "purchase"))
       .orderBy(col("funnel_stage"))
 
+  /** x41 per-doc MinHash signature over the salted-md5 family: every
+    * slot of every signature is value-checked by the oracle (DuckDB
+    * recomputes all k salted minima brute-force) — the sketch itself
+    * is under test, not just results derived from it (the xx64
+    * signatures of x02 are only spec-pinned). */
+  def x41(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleFunctions.md5_ngram_minhash
+    docs(s, dir)
+      .select(col("doc_id"),
+        md5_ngram_minhash(words(col("text")), 3, 16).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"),
+        array_join(col("sig").cast("array<string>"), ",").as("sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x42 sketch calibration: MinHash-estimated vs exact Jaccard on the
+    * x04-verified near-dup pairs — |est − exact| quantifies the
+    * k=16 signature's error empirically. est = agreement/16 is an
+    * exact multiple of 2⁻⁴, so the unrounded double is bit-identical
+    * across engines. */
+  def x42(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleFunctions.{md5_ngram_minhash, minhash_agreement}
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+      ngram = 3, prefixK = 8, minJaccard = 0.2)
+    val sigs = d
+      .select(col("doc_id"), md5_ngram_minhash(words(col("text")), 3, 16).as("sig"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint(true) // feeds both sides of the pair join
+    pairs
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (minhash_agreement(col("sig_a"), col("sig_b")) / lit(16.0)).as("est_j"))
+      .withColumn("abs_err", round(abs(col("est_j") - col("jaccard")), 6))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -490,6 +529,8 @@ object ExtensionQueries {
     "x38_lsh_bucket_profile" -> (x38 _),
     "x39_length_trim" -> (x39 _),
     "x40_event_funnel" -> (x40 _),
+    "x41_minhash_signatures" -> (x41 _),
+    "x42_minhash_calibration" -> (x42 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -583,6 +624,23 @@ object ExtensionQueries {
        |           round(isz::DOUBLE / (sa + sb - isz)::DOUBLE, 6) AS jaccard
        |    FROM ipairs) t
        |  WHERE jaccard >= 0.2)""".stripMargin
+
+  /** Shared CTE chain `toks` → `sigs`(doc_id, sg): the k=16 salted-md5
+    * minhash signature, each slot recomputed brute-force as
+    * min(md5-60(salt || '|' || gram)) over ALL (non-distinct) word-3-
+    * grams — min over duplicates equals min over distinct, matching
+    * the kernel. Docs with < 3 tokens have no grams and are excluded
+    * (the engine's null-signature filter). */
+  private def minhashSigCteSql: String =
+    s"""ngall AS (
+       |  SELECT doc_id, ${wordNgramsSql(3, distinct = false)} AS g
+       |  FROM toks WHERE len(w) >= 3),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, 16), s ->
+       |           list_min(list_transform(g, x ->
+       |             ${md5Hash60Sql("CAST(s AS STRING) || '|' || x")}))) AS sg
+       |  FROM ngall)""".stripMargin
 
   /** The x26 fixed centroids as ONE DuckDB VALUES relation — both the
     * assignment and the probe CTE join against this single copy, so
@@ -1085,6 +1143,34 @@ object ExtensionQueries {
         |       CAST(SUM(CASE WHEN n_chars >= lo AND n_chars <= hi THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM documents CROSS JOIN bounds
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Every slot of every signature recomputed brute-force: 16 salted
+    // md5-60 minima per doc over all word-3-grams. The comma-joined
+    // rendering value-checks each element (the x11 fingerprint
+    // pattern).
+    "x41_minhash_signatures" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |$minhashSigCteSql
+         |SELECT doc_id,
+         |       array_to_string(list_transform(sg, x -> CAST(x AS VARCHAR)), ',') AS sig
+         |FROM sigs ORDER BY doc_id""".stripMargin,
+
+    // est_j = slot-agreement/16 (exact multiple of 2^-4 — unrounded
+    // doubles are bit-identical); exact jaccard comes from the same
+    // inverted-index pair relation as x04/x28, so all three gates
+    // check ONE edge set.
+    "x42_minhash_calibration" ->
+      s"""WITH $ngramPairsCteSql,
+         |$minhashSigCteSql
+         |SELECT p.doc_a, p.doc_b, p.jaccard,
+         |       list_sum(list_transform(range(1, 17), i ->
+         |         CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END))::DOUBLE / 16.0 AS est_j,
+         |       round(abs(list_sum(list_transform(range(1, 17), i ->
+         |         CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END))::DOUBLE / 16.0 - p.jaccard), 6) AS abs_err
+         |FROM pairs p
+         |JOIN sigs a ON p.doc_a = a.doc_id
+         |JOIN sigs b ON p.doc_b = b.doc_id
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     // Ordered string_agg replays the engine's (ts, event_id) struct
     // sort; no event type is a substring of another, so the regex

@@ -157,6 +157,48 @@ class ShingleExpressionsSpec extends SparkSpec {
     assert(bad.isNullAt(0))
   }
 
+  test("md5_ngram_hashes matches per-gram md5-60 of the joined string") {
+    // gram "a b" → md5-60 of the literal joined bytes, same contract
+    // as md5_shingle_hashes (first 15 hex chars as a 60-bit int)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (d(i) & 0xFFL)) >>> 4
+    }
+    val out = Seq(Seq("a", "b", "c")).toDF("w")
+      .select(md5_ngram_hashes($"w", 2)).as[Seq[Long]].head()
+    assert(out == Seq(h60("a b"), h60("b c")))
+  }
+
+  test("md5_ngram_minhash: slot = min salted hash; dup grams don't change it") {
+    val sig = Seq(Seq("a", "b", "c")).toDF("w")
+      .select(md5_ngram_minhash($"w", 2, 8)).as[Seq[Long]].head()
+    assert(sig.length == 8)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (d(i) & 0xFFL)) >>> 4
+    }
+    val expect = (0 until 8).map(s => Seq("a b", "b c").map(g => h60(s"$s|$g")).min)
+    assert(sig == expect)
+    // duplicate gram occurrences ("a b" twice) change nothing: the min
+    // ranges over the gram MULTISET {"a b","b c","c a","a b"} but
+    // equals the min over its distinct set
+    val dup = Seq(Seq("a", "b", "c", "a", "b")).toDF("w")
+      .select(md5_ngram_minhash($"w", 2, 8)).as[Seq[Long]].head()
+    val expectDup = (0 until 8).map(s =>
+      Seq("a b", "b c", "c a").map(g => h60(s"$s|$g")).min)
+    assert(dup == expectDup)
+  }
+
+  test("md5_ngram_minhash: null below n tokens") {
+    val r = Seq(Seq("only")).toDF("w")
+      .select(md5_ngram_minhash($"w", 3, 4)).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("fingerprint: equal normalized texts, equal fingerprints") {
     val df = Seq(
       ("the quick  brown fox", "The quick brown FOX"),
