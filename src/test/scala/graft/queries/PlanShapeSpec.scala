@@ -126,4 +126,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("ShuffledHashJoin"), plan)
   }
+
+  test("x37: group sizes broadcast onto the pair frame; no cartesian") {
+    val plan = physical(ExtensionQueries.x37(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x38: one partial+final hash agg, no join or window in the plan") {
+    val plan = physical(ExtensionQueries.x38(spark, sf001))
+    assert(plan.contains("partial_count") || plan.contains("partial_min"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x39: percentile bounds broadcast; the corpus side is never shuffled for the join") {
+    val plan = physical(ExtensionQueries.x39(spark, sf001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("x40: sequences build as one partial+final objectagg, no window exchange") {
+    val plan = physical(ExtensionQueries.x40(spark, sf001))
+    assert(plan.contains("partial_collect_list") || plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x41: signature projection is codegen-compiled (no interpreted HOF)") {
+    val plan = physical(ExtensionQueries.x41(spark, sf001))
+    assert(!plan.contains("lambdafunction"), plan)
+  }
 }
