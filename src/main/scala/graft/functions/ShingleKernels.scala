@@ -191,11 +191,7 @@ object ShingleKernels {
       md: java.security.MessageDigest): Long = {
     md.reset()
     md.update(bytes, offset, len)
-    val d = md.digest()
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
-    v >>> 4
+    digest60(md)
   }
 
   /** md5-60 of every n-codepoint sliding window (portable sibling of

@@ -267,7 +267,10 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next"))
         .localCheckpoint(false)
       changed = updated.filter(col("next") =!= col("label")).count()
-      labelsMat.unpersist() // updated is checkpointed — prior round's blocks are dead
+      // RDD-layer release: Dataset.unpersist is a CacheManager no-op
+      // for checkpoint-backed frames and would leave one label
+      // snapshot per round pinned until the ContextCleaner runs
+      org.apache.spark.sql.graftbridge.unpersistCheckpoint(labelsMat)
       labelsMat = updated
       labels = updated.select(col("node"), col("next").as("label"))
       i += 1

@@ -33,12 +33,26 @@ object Sequences {
         array_join(transform(col("ev"), e => e.getField("et")), ","))
       .drop("ev")
 
+  /** Regex matching sequences (items comma-joined) that contain
+    * `stages` as an ordered subsequence of WHOLE items: each stage is
+    * literal-quoted (`\Q…\E` — RE2 and java.util.regex both honor it)
+    * and anchored on item boundaries, so a stage can neither inject
+    * regex syntax nor match inside a longer event type ("view" does
+    * not match "preview"). Shared verbatim with the SQL oracle — ONE
+    * rendering of the containment contract. */
+  def subsequenceRegex(stages: Seq[String]): String = {
+    require(stages.nonEmpty, "subsequenceRegex: stages must be non-empty")
+    require(stages.forall(s => s.nonEmpty && !s.contains(",")),
+      s"subsequenceRegex: stages must be non-empty and comma-free: $stages")
+    val q = stages.map(java.util.regex.Pattern.quote)
+    if (q.lengthCompare(1) == 0) s"(^|,)${q.head}(,|$$)"
+    else "(^|,)" + q.init.map(_ + ",(.*,)?").mkString + q.last + "(,|$)"
+  }
+
   /** Conversion funnel: for each (user, day), the deepest prefix of
     * `stages` that occurs as an ordered subsequence of the day's
-    * events; output is the user-day count per funnel depth (0 = never
-    * entered). Subsequence containment is a single regex over the
-    * joined type sequence — valid because stage names contain no
-    * separator and none is a substring of another event type. */
+    * events (whole-item matches — see [[subsequenceRegex]]); output is
+    * the user-day count per funnel depth (0 = never entered). */
   def funnel(events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
       tieCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
@@ -49,7 +63,7 @@ object Sequences {
     // deepest matching prefix, checked deepest-first:
     // when(stage_n)...when(stage_1).otherwise(0)
     val depth = stages.indices.foldLeft(lit(0): Column) { (inner, i) =>
-      when(col("seq").rlike(stages.take(i + 1).mkString(".*")), lit(i + 1))
+      when(col("seq").rlike(subsequenceRegex(stages.take(i + 1))), lit(i + 1))
         .otherwise(inner)
     }
     seqs.select(depth.as("funnel_stage"))

@@ -273,14 +273,16 @@ object TextAnalysis {
     * sizes (20 rows for 20 sources) broadcast to the pair frame. */
   def crossGroupOverlap(docs: DataFrame, groupCol: String = "source",
       textCol: String = "text", ngram: Int = 3): DataFrame = {
-    import graft.functions.TextFunctions.wordShingles
-    val md560 = (c: org.apache.spark.sql.Column) =>
-      conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
-    // distinct (group, gram-hash) — map-side combine before the shuffle
+    import graft.functions.ShingleFunctions.md5_ngram_hashes
+    import graft.functions.TextFunctions.words
+    // distinct (group, gram-hash) — hashing happens inside the
+    // codegen'd kernel (the ONE Spark-side rendering of the md5-60
+    // contract), so the explode and every exchange carry 8-byte longs,
+    // never gram strings
     val g = docs
       .select(col(groupCol).as("grp"),
-        explode(array_distinct(wordShingles(col(textCol), ngram))).as("gram"))
-      .select(col("grp"), md560(col("gram")).as("h"))
+        explode(array_distinct(
+          md5_ngram_hashes(words(col(textCol)), ngram))).as("h"))
       .distinct()
       .localCheckpoint(true) // feeds the sizes agg and both join sides
     val sizes = g.groupBy(col("grp")).agg(count(lit(1)).as("sz"))

@@ -1173,20 +1173,27 @@ object ExtensionQueries {
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     // Ordered string_agg replays the engine's (ts, event_id) struct
-    // sort; no event type is a substring of another, so the regex
-    // subsequence test is exact.
-    "x40_event_funnel" ->
-      """WITH s AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day,
-        |         string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
-        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
-        |st AS (
-        |  SELECT CASE WHEN regexp_matches(seq, 'view.*click.*purchase') THEN 3
-        |              WHEN regexp_matches(seq, 'view.*click') THEN 2
-        |              WHEN regexp_matches(seq, 'view') THEN 1
-        |              ELSE 0 END AS funnel_stage
-        |  FROM s)
-        |SELECT funnel_stage, count(*) AS user_days FROM st
-        |GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin,
+    // sort — keyed on epoch_us(ts) because the engine reads the ns
+    // parquet timestamps µs-truncated: a ns-preserving DuckDB ordering
+    // raw ts could break same-µs ties differently than (µs, event_id).
+    // The item-anchored subsequence regexes come from the SAME builder
+    // as the engine's (Sequences.subsequenceRegex) — one rendering of
+    // the containment contract, legal in both RE2 and java.util.regex.
+    "x40_event_funnel" -> {
+      import graft.operators.Sequences.subsequenceRegex
+      val st = Seq("view", "click", "purchase")
+      s"""WITH s AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |         string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq
+         |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+         |st AS (
+         |  SELECT CASE WHEN regexp_matches(seq, '${subsequenceRegex(st)}') THEN 3
+         |              WHEN regexp_matches(seq, '${subsequenceRegex(st.take(2))}') THEN 2
+         |              WHEN regexp_matches(seq, '${subsequenceRegex(st.take(1))}') THEN 1
+         |              ELSE 0 END AS funnel_stage
+         |  FROM s)
+         |SELECT funnel_stage, count(*) AS user_days FROM st
+         |GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin
+    },
   )
 }

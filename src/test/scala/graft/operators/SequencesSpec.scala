@@ -44,6 +44,30 @@ class SequencesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 1L)))
   }
 
+  test("funnel: stages match whole items only, and regex metachars are literal") {
+    val events = Seq(
+      // "preview" must NOT satisfy the "view" stage
+      (1L, ts("2024-01-01 10:00:00"), 1L, "preview"),
+      // stage with a regex metachar is matched literally
+      (2L, ts("2024-01-01 10:00:00"), 2L, "add+pay"),
+      (2L, ts("2024-01-01 11:00:00"), 3L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.funnel(events, Seq("add+pay", "view"))
+      .orderBy("funnel_stage").as[(Int, Long)].collect()
+    // user 1: neither stage → 0; user 2: add+pay then view → 2
+    assert(out.toSeq == Seq((0, 1L), (2, 1L)))
+  }
+
+  test("subsequenceRegex anchors items and rejects comma-bearing stages") {
+    val r2 = Sequences.subsequenceRegex(Seq("view", "click"))
+    assert("view,x,click".matches(s".*$r2.*"))
+    assert(!"preview,click".matches(s".*$r2.*"))
+    assert(!"view".matches(s".*$r2.*"))
+    intercept[IllegalArgumentException] {
+      Sequences.subsequenceRegex(Seq("a,b"))
+    }
+  }
+
   test("orderedTypeSequence emits one row per key with the joined sequence") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:02"), 1L, "b"),
