@@ -84,6 +84,13 @@ object GraftExtensions {
     ("md5_simhash",
       info("md5_simhash", "_FUNC_(tokens) - portable 60-bit simhash of a string array"),
       arity("md5_simhash", 1)(args => Md5SimHash(args(0)))),
+    ("md5_ngram_hashes",
+      info("md5_ngram_hashes", "_FUNC_(tokens, n) - portable md5-60 hash of every n-token window"),
+      arity("md5_ngram_hashes", 2)(args => Md5NGramHashes(args(0), intArg(args(1), "n")))),
+    ("md5_ngram_minhash",
+      info("md5_ngram_minhash", "_FUNC_(tokens, n, k) - k-slot salted-md5 minhash over n-token windows"),
+      arity("md5_ngram_minhash", 3)(args =>
+        Md5NGramMinHash(args(0), intArg(args(1), "n"), intArg(args(2), "k")))),
     ("zip_entries",
       info("zip_entries", "_FUNC_(bytes) - explode zip archive bytes to (entry_name, content)"),
       arity("zip_entries", 1)(args => ZipEntries(args(0)))),

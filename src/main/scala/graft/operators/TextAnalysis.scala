@@ -299,6 +299,54 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** First-failing-rule attrition report: every document is attributed
+    * to the FIRST quality rule it fails (too_short → length_outlier →
+    * repetitive → boilerplate → kept), and the output is the per-rule
+    * document/char count — the pretraining-filter funnel view ("which
+    * rule costs how much corpus"), the oracle-checkable sibling of
+    * [[graft.pipelines.CorpusPipeline]]'s attrition report.
+    *
+    * Ordering matters and is part of the contract: attribution is
+    * first-fail, so rule counts change if the funnel is reordered
+    * (the cheapest-narrowest rules come first, mirroring the
+    * execution order a real pipeline would use).
+    *
+    * Scale: three narrow per-doc metric frames (token count is a
+    * projection; repetition and boilerplate are the x29/x34 agg
+    * plans) joined back on the doc id, a 1-row percentile bound
+    * broadcast, one final small groupBy. Rule predicates compare the
+    * same round-6 doubles both engines produce for x29/x34. */
+  def filterAttribution(docs: DataFrame, minTokens: Int = 20,
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      maxRepetition: Double = 0.06, maxBoiler: Double = 0.95,
+      idCol: String = "doc_id", textCol: String = "text",
+      lenCol: String = "n_chars"): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val rep = repetitionRatio(docs, ngram = 2, idCol, textCol)
+    val boil = boilerplateScreen(docs, ngram = 2, minDfPct = 5, idCol, textCol)
+      .select(col("doc_id"), col("boiler_frac"))
+    val bounds = docs.selectExpr(
+      s"percentile_disc($pLo) WITHIN GROUP (ORDER BY $lenCol) AS __lo",
+      s"percentile_disc($pHi) WITHIN GROUP (ORDER BY $lenCol) AS __hi")
+    docs
+      .select(col(idCol).as("doc_id"), col(lenCol).as("__len"),
+        size(words(col(textCol))).as("__nt"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(boil, Seq("doc_id"), "left")
+      .join(broadcast(bounds))
+      .select(col("__len"),
+        when(col("__nt") < minTokens, "too_short")
+          .when(col("__len") < col("__lo") || col("__len") > col("__hi"),
+            "length_outlier")
+          .when(coalesce(col("top_gram_ratio"), lit(0.0)) > maxRepetition,
+            "repetitive")
+          .when(coalesce(col("boiler_frac"), lit(0.0)) > maxBoiler,
+            "boilerplate")
+          .otherwise("kept").as("verdict"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n"), sum(col("__len")).cast("bigint").as("chars"))
+  }
+
   /** Percentile-based length trim: keep documents whose length lies in
     * [p(lo), p(hi)] of the corpus distribution — the tail-clipping
     * quality pass (truncated docs and boilerplate mega-docs both live

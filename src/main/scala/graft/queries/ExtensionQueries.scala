@@ -488,6 +488,16 @@ object ExtensionQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** x43 filter-funnel attribution: each doc lands on the FIRST rule
+    * it fails (too_short → length_outlier → repetitive → boilerplate →
+    * kept); output = per-rule doc and char counts. Rule predicates
+    * compare the round-6 doubles already proven engine-identical by
+    * x29/x34, plus exact-integer token and discrete-percentile length
+    * thresholds. */
+  def x43(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.filterAttribution(docs(s, dir))
+      .orderBy(col("verdict"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -531,6 +541,7 @@ object ExtensionQueries {
     "x40_event_funnel" -> (x40 _),
     "x41_minhash_signatures" -> (x41 _),
     "x42_minhash_calibration" -> (x42 _),
+    "x43_filter_attribution" -> (x43 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1171,6 +1182,45 @@ object ExtensionQueries {
          |JOIN sigs a ON p.doc_a = a.doc_id
          |JOIN sigs b ON p.doc_b = b.doc_id
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    // The funnel CASE replays first-fail attribution over the exact
+    // x29/x34 metric CTEs (multiset bigrams for repetition, distinct
+    // bigrams for boilerplate — both round-6, engine-identical) plus
+    // exact token/length thresholds.
+    "x43_filter_attribution" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ngm AS (SELECT doc_id, ${wordNgramsSql(2, distinct = false)} AS g FROM toks),
+         |gc AS (SELECT doc_id, gram, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(g) AS gram FROM ngm) e GROUP BY doc_id, gram),
+         |rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS r
+         |        FROM gc GROUP BY doc_id),
+         |ngd AS (SELECT doc_id, ${wordNgramsSql(2)} AS g FROM toks),
+         |exd AS (SELECT doc_id, unnest(g) AS gram FROM ngd),
+         |dfreq AS (SELECT gram, count(*) AS df FROM exd GROUP BY gram),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |boil AS (
+         |  SELECT exd.doc_id,
+         |         round(CAST(SUM(CASE WHEN dfreq.df * 100 >= nd.n * 5 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+         |               / count(*)::DOUBLE, 6) AS bf
+         |  FROM exd JOIN dfreq ON exd.gram = dfreq.gram CROSS JOIN nd
+         |  GROUP BY exd.doc_id),
+         |bounds AS (
+         |  SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+         |         percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+         |  FROM documents)
+         |SELECT verdict, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars FROM (
+         |  SELECT d.n_chars,
+         |         CASE WHEN len(t.w) < 20 THEN 'too_short'
+         |              WHEN d.n_chars < b.lo OR d.n_chars > b.hi THEN 'length_outlier'
+         |              WHEN coalesce(rep.r, 0) > 0.06 THEN 'repetitive'
+         |              WHEN coalesce(boil.bf, 0) > 0.95 THEN 'boilerplate'
+         |              ELSE 'kept' END AS verdict
+         |  FROM documents d
+         |  JOIN toks t USING (doc_id)
+         |  LEFT JOIN rep USING (doc_id)
+         |  LEFT JOIN boil USING (doc_id)
+         |  CROSS JOIN bounds b) s
+         |GROUP BY verdict ORDER BY verdict""".stripMargin,
 
     // Ordered string_agg replays the engine's (ts, event_id) struct
     // sort — keyed on epoch_us(ts) because the engine reads the ns

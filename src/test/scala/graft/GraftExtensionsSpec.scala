@@ -13,7 +13,9 @@ class GraftExtensionsSpec extends SparkSpec {
         |       simhash(array('x', 'y')) IS NOT NULL AS sh,
         |       size(shingle_hashes('abcdef', 3)) AS sg,
         |       size(ngram_hashes(array('a','b','c'), 2)) AS ng,
-        |       sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j
+        |       sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |       size(md5_ngram_hashes(array('a','b','c'), 2)) AS mn,
+        |       size(md5_ngram_minhash(array('a','b','c'), 2, 8)) AS mm
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 11.0)
@@ -22,6 +24,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(4) == 4)
     assert(r.getInt(5) == 2)
     assert(r.getDouble(6) == 0.5)
+    assert(r.getInt(7) == 2)
+    assert(r.getInt(8) == 8)
   }
 
   test("zip_entries works as a SQL generator over binary") {

@@ -92,6 +92,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(("s1", "s2", 1L, 0.25)))
   }
 
+  test("filterAttribution: first-fail ordering assigns each doc one rule") {
+    def tok20(prefix: String) = (1 to 20).map(i => s"$prefix$i").mkString(" ")
+    val docs = (
+      Seq((0L, "a b c", 30L)) ++                         // 3 tokens → too_short
+      (1 to 7).map(i => (i.toLong, tok20(s"u${i}w"), 50L)) ++
+      Seq(
+        (8L, Seq.fill(10)("x y").mkString(" "), 50L),    // top bigram 10/19 → repetitive
+        (9L, tok20("z"), 999L))                          // 999 > p90 → length_outlier
+    ).toDF("doc_id", "text", "n_chars")
+    // tiny-corpus reality: with 10 docs every df ≥ 1 bigram clears the
+    // 5% boilerplate threshold, so all remaining docs land there —
+    // which exercises the full first-fail chain deterministically
+    val out = TextAnalysis.filterAttribution(docs, pHi = 0.9)
+      .orderBy("verdict").as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("boilerplate", 7L, 350L),
+      ("length_outlier", 1L, 999L),
+      ("repetitive", 1L, 50L),
+      ("too_short", 1L, 30L)))
+  }
+
   test("lengthTrim: discrete bounds keep exact boundary values") {
     // lengths 1..10; p(0.2)=2, p(0.9)=9 (discrete: actual data values)
     val docs = (1 to 10).map(i => (i.toLong, "en", i.toLong))

@@ -156,4 +156,10 @@ class PlanShapeSpec extends SparkSpec {
     val plan = physical(ExtensionQueries.x41(spark, sf001))
     assert(!plan.contains("lambdafunction"), plan)
   }
+
+  test("x43: metric joins are hash joins on the doc id, bounds broadcast, no cartesian") {
+    val plan = physical(ExtensionQueries.x43(spark, sf001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
