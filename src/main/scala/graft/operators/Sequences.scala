@@ -49,6 +49,33 @@ object Sequences {
     else "(^|,)" + q.init.map(_ + ",(.*,)?").mkString + q.last + "(,|$)"
   }
 
+  /** SCD2-style validity intervals: each event's state is valid from
+    * its own time until the key's next event (null for the current
+    * state) — the change-log → dimension-table build, generalizing the
+    * reference's per-run replace-by-key semantics
+    * (publish_to_catalog.py:261-298) to full history retention.
+    *
+    * Times are exposed as epoch SECONDS (exact BIGINT floor of the
+    * microsecond reads) so results are stable across engines and
+    * sub-second storage precisions; ordering stays total via the
+    * unique tie column. One window per key — the standard single
+    * hash-exchange + per-key sort; a key with unbounded events would
+    * sub-split by time range first (the x40 day-split pattern). */
+  def validityIntervals(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(keyCol), col(tieCol), col(stateCol),
+      expr(s"unix_micros($tsCol)").as("__us"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(tieCol))
+    base
+      .withColumn("__next_us", lead(col("__us"), 1).over(w))
+      // integer `div`, not `/`: true division on bigints yields a
+      // double, and epoch-µs ≈ 1.7e15 is near the 53-bit exact range
+      .select(col(keyCol), col(tieCol), col(stateCol),
+        expr("__us div 1000000").as("valid_from_s"),
+        expr("__next_us div 1000000").as("valid_to_s"))
+  }
+
   /** Conversion funnel: for each (user, day), the deepest prefix of
     * `stages` that occurs as an ordered subsequence of the day's
     * events (whole-item matches — see [[subsequenceRegex]]); output is

@@ -299,6 +299,38 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** Temperature resampling toward stratum balance: each stratum keeps
+    * a deterministic hash-rate sample with keep probability
+    * (n_min/n_stratum)^invTemp — invTemp = 1 exactly equalizes
+    * (expected) stratum sizes, invTemp = 0.5 ("T = 2") softens the
+    * downsampling of dominant strata, the standard multilingual-mix
+    * rebalance. Per-row keep is md5-60(key) mod 2²⁰ < floor(rate·2²⁰):
+    * content-stable, engine-reproducible, independent of partition
+    * layout (unlike `sample()`), and a doc keeps/drops CONSISTENTLY as
+    * the corpus grows — rates move, but the hash is fixed.
+    *
+    * invTemp = 0.5 computes via `sqrt`, which IEEE requires correctly
+    * rounded — the rate doubles are bit-identical across engines.
+    * Other exponents go through `pow` (libm, last-ulp hazard): fine
+    * for production, but pin tests/oracles to the sqrt path.
+    *
+    * Scale: stratum rates are one small agg crossed with a 1-row min,
+    * broadcast back onto a map-side filter — no corpus shuffle at all. */
+  def temperatureResample(df: DataFrame, keyCol: String, strataCol: String,
+      invTemp: Double = 0.5): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__mn"))
+    val rate =
+      if (invTemp == 0.5) sqrt(col("__mn") / col("__n"))
+      else pow(col("__mn") / col("__n"), invTemp)
+    val rates = counts.join(broadcast(minN))
+      .withColumn("__th", floor(rate * (1 << 20)).cast("bigint"))
+    val hb = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("bigint")
+    df.join(broadcast(rates.select(col(strataCol), col("__th"))), strataCol)
+      .withColumn("__kept", (hb % (1 << 20) < col("__th")).cast("int"))
+  }
+
   /** First-failing-rule attrition report: every document is attributed
     * to the FIRST quality rule it fails (too_short → length_outlier →
     * repetitive → boilerplate → kept), and the output is the per-rule

@@ -498,6 +498,27 @@ object ExtensionQueries {
     TextAnalysis.filterAttribution(docs(s, dir))
       .orderBy(col("verdict"))
 
+  /** x44 temperature resampling (T = 2) toward language balance: keep
+    * rate (n_min/n_lang)^0.5 per stratum, applied as a deterministic
+    * md5-60 hash gate — summarized per language. The sqrt path is
+    * IEEE-correctly-rounded, so rates and thresholds are bit-identical
+    * across engines. */
+  def x44(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.temperatureResample(docs(s, dir), "doc_id", "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__kept")).cast("bigint").as("kept"))
+      .orderBy(col("lang"))
+
+  /** x45 SCD2 validity intervals over the event stream: each event's
+    * type is valid [its second, next event's second) per user, open
+    * for the latest. Epoch seconds are exact BIGINT floors of the µs
+    * reads — stable across sub-second storage precisions. */
+  def x45(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.validityIntervals(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      .orderBy(col("user_id"), col("valid_from_s"), col("event_id"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -542,6 +563,8 @@ object ExtensionQueries {
     "x41_minhash_signatures" -> (x41 _),
     "x42_minhash_calibration" -> (x42 _),
     "x43_filter_attribution" -> (x43 _),
+    "x44_temperature_resample" -> (x44 _),
+    "x45_scd2_intervals" -> (x45 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1182,6 +1205,32 @@ object ExtensionQueries {
          |JOIN sigs a ON p.doc_a = a.doc_id
          |JOIN sigs b ON p.doc_b = b.doc_id
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    // Rates are sqrt of exact-BIGINT ratios (correctly rounded on both
+    // engines); the keep gate replays the md5-60 mod-2^20 hash. The
+    // kept SUM is value-checked per language.
+    "x44_temperature_resample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT min(n) AS mn FROM c),
+         |r AS (SELECT lang, n,
+         |             CAST(floor(sqrt(mn::DOUBLE / n::DOUBLE) * 1048576) AS BIGINT) AS th
+         |      FROM c CROSS JOIN m),
+         |k AS (SELECT d.lang,
+         |             CASE WHEN ${md5Hash60Sql("CAST(doc_id AS STRING)")} % 1048576 < r.th
+         |                  THEN 1 ELSE 0 END AS kept
+         |      FROM documents d JOIN r USING (lang))
+         |SELECT lang, count(*) AS n, CAST(SUM(kept) AS BIGINT) AS kept
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // lead() over the µs-pinned (ts, event_id) order replays the
+    // engine's window; epoch seconds are exact integer floors.
+    "x45_scd2_intervals" ->
+      """SELECT user_id, event_id, event_type,
+        |       epoch_us(ts) // 1000000 AS valid_from_s,
+        |       lead(epoch_us(ts)) OVER w // 1000000 AS valid_to_s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, valid_from_s, event_id""".stripMargin,
 
     // The funnel CASE replays first-fail attribution over the exact
     // x29/x34 metric CTEs (multiset bigrams for repetition, distinct

@@ -68,6 +68,27 @@ class SequencesSpec extends SparkSpec {
     }
   }
 
+  test("validityIntervals: chained [from, to) per key, open tail, tie by id") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:00:10"), 2L, "b"),
+      // same ts as event 2 — id orders it after, so it closes b's interval
+      (1L, ts("2024-01-01 10:00:10"), 3L, "c"),
+      (2L, ts("2024-01-01 09:00:00"), 4L, "z"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.validityIntervals(events, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "valid_from_s", "event_id")
+      .as[(Long, Long, String, Long, Option[Long])].collect()
+    val t0 = ts("2024-01-01 10:00:00").getTime / 1000
+    val t1 = t0 + 10
+    val z0 = ts("2024-01-01 09:00:00").getTime / 1000
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a", t0, Some(t1)),
+      (1L, 2L, "b", t1, Some(t1)), // zero-length: superseded same second
+      (1L, 3L, "c", t1, None),     // current state, open interval
+      (2L, 4L, "z", z0, None)))
+  }
+
   test("orderedTypeSequence emits one row per key with the joined sequence") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:02"), 1L, "b"),

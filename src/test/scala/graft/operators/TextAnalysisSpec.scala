@@ -113,6 +113,25 @@ class TextAnalysisSpec extends SparkSpec {
       ("too_short", 1L, 30L)))
   }
 
+  test("temperatureResample: smallest stratum keeps all, rates deterministic") {
+    val docs = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 110).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    val out = TextAnalysis.temperatureResample(docs, "doc_id", "lang")
+    val kept = out.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("__kept").as("k"))
+      .as[(String, Long)].collect().toMap
+    // smallest stratum: rate 1.0 → threshold 2^20 → every hash passes
+    assert(kept("small") == 10L)
+    // dominant stratum: rate sqrt(10/100) ≈ 0.316 → keeps a strict,
+    // non-empty subset (hash-gated, so exact count is corpus-stable)
+    assert(kept("big") > 0L && kept("big") < 100L)
+    val again = TextAnalysis.temperatureResample(docs, "doc_id", "lang")
+      .filter($"__kept" === 1).select("doc_id").as[Long].collect().sorted
+    val first = out.filter($"__kept" === 1).select("doc_id").as[Long].collect().sorted
+    assert(first.sameElements(again))
+  }
+
   test("lengthTrim: discrete bounds keep exact boundary values") {
     // lengths 1..10; p(0.2)=2, p(0.9)=9 (discrete: actual data values)
     val docs = (1 to 10).map(i => (i.toLong, "en", i.toLong))

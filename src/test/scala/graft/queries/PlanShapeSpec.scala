@@ -162,4 +162,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("x44: stratum rates broadcast onto a map-side filter; corpus never sort-merge joined") {
+    val plan = physical(ExtensionQueries.x44(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("x45: one window over the key partition, no join in the plan") {
+    val plan = physical(ExtensionQueries.x45(spark, sf001))
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }
