@@ -55,10 +55,11 @@ object Sequences {
     * reference's per-run replace-by-key semantics
     * (publish_to_catalog.py:261-298) to full history retention.
     *
-    * Times are exposed as epoch SECONDS (exact BIGINT floor of the
-    * microsecond reads) so results are stable across engines and
-    * sub-second storage precisions; ordering stays total via the
-    * unique tie column. One window per key — the standard single
+    * Times are exposed as epoch SECONDS via exact integer division of
+    * the microsecond reads — `div` truncates toward zero (as does the
+    * oracle's `//`), which equals floor for the non-negative post-1970
+    * epochs and is engine-identical either way; ordering stays total
+    * via the unique tie column. One window per key — the standard single
     * hash-exchange + per-key sort; a key with unbounded events would
     * sub-split by time range first (the x40 day-split pattern). */
   def validityIntervals(events: DataFrame, keyCol: String, tsCol: String,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus text-analysis operators: one narrow, codegen-friendly
@@ -68,16 +68,43 @@ object TextAnalysis {
     * DISTINCT gram — already reduced, not per occurrence. Output:
     * (doc_id, top_gram_ratio) for docs with ≥ 1 n-gram. */
   def repetitionRatio(docs: DataFrame, ngram: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import graft.functions.TextFunctions.wordShingles
-    docs
-      .select(col(idCol).as("doc_id"),
-        explode(wordShingles(col(textCol), ngram)).as("gram"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    repetitionRatioFromTokens(tokFrame(docs, idCol, textCol), ngram)
+
+  /** [[repetitionRatio]] over a pre-tokenized (doc_id, __w) frame —
+    * THE rendering of the metric; callers that already hold tokens
+    * (the x43 funnel) reuse it without re-tokenizing the corpus. */
+  private def repetitionRatioFromTokens(toks: DataFrame, ngram: Int): DataFrame =
+    toks
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleFunctions.ngram_strings(
+          col("__w"), ngram)).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(round(max(col("c")) / sum(col("c")), 6).as("top_gram_ratio"))
+
+  /** (doc_id, __w = word tokens) projection shared by the token-frame
+    * metric variants. */
+  private def tokFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions.words
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
   }
+
+  /** md5-60 of the stringified key — the ONE Spark-built-in rendering
+    * of the portable hash bucket (must stay equal to the oracle's
+    * md5Hash60Sql: first 15 md5 hex chars as a 60-bit integer). */
+  private def md5Bucket60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+  /** Discrete-percentile bounds of `lenCol` as a 1-row (__lo, __hi)
+    * frame — the x39-proven engine-exact threshold construction,
+    * shared by [[lengthTrim]] and [[filterAttribution]]. */
+  private def percentileBounds(df: DataFrame, lo: Double, hi: Double,
+      lenCol: String): DataFrame =
+    df.selectExpr(
+      s"percentile_disc($lo) WITHIN GROUP (ORDER BY $lenCol) AS __lo",
+      s"percentile_disc($hi) WITHIN GROUP (ORDER BY $lenCol) AS __hi")
 
   /** Deterministic dataset split: every row lands in train/val/test by
     * a content-stable hash of its key — reproducible across runs,
@@ -87,8 +114,7 @@ object TextAnalysis {
     * recompute the assignment. */
   def datasetSplit(df: DataFrame, keyCol: String,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("bigint") % 100
+    val bucket = md5Bucket60(col(keyCol)) % 100
     df.withColumn("split",
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
@@ -160,12 +186,18 @@ object TextAnalysis {
     * document-frequency aggregation and the per-doc rollup.
     * Output: (doc_id, n_grams, n_boiler, boiler_frac). */
   def boilerplateScreen(docs: DataFrame, ngram: Int = 2, minDfPct: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import graft.functions.TextFunctions.wordShingles
-    val nDocs = docs.agg(count(lit(1)).as("__nd"))
-    val grams = docs
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(wordShingles(col(textCol), ngram))).as("gram"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    boilerplateScreenFromTokens(tokFrame(docs, idCol, textCol), ngram, minDfPct)
+
+  /** [[boilerplateScreen]] over a pre-tokenized (doc_id, __w) frame —
+    * THE rendering of the metric (see [[repetitionRatioFromTokens]]). */
+  private def boilerplateScreenFromTokens(toks: DataFrame, ngram: Int,
+      minDfPct: Int): DataFrame = {
+    val nDocs = toks.agg(count(lit(1)).as("__nd"))
+    val grams = toks
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.ShingleFunctions.ngram_strings(
+          col("__w"), ngram))).as("gram"))
       .localCheckpoint(true)
     // grams are distinct per doc, so rows-per-gram IS document frequency
     val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -191,9 +223,7 @@ object TextAnalysis {
   def balancedSample(df: DataFrame, keyCol: String, strataCol: String,
       cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hb = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("bigint")
-    df.withColumn("__hb", hb)
+    df.withColumn("__hb", md5Bucket60(col(keyCol)))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(strataCol)).orderBy(col("__hb"), col(keyCol))))
       .filter(col("rk") <= cap)
@@ -325,10 +355,15 @@ object TextAnalysis {
       else pow(col("__mn") / col("__n"), invTemp)
     val rates = counts.join(broadcast(minN))
       .withColumn("__th", floor(rate * (1 << 20)).cast("bigint"))
-    val hb = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("bigint")
-    df.join(broadcast(rates.select(col(strataCol), col("__th"))), strataCol)
-      .withColumn("__kept", (hb % (1 << 20) < col("__th")).cast("int"))
+      .select(col(strataCol).as("__strata"), col("__th"))
+    // null-safe stratum match (a NULL stratum is still a stratum and
+    // must not silently drop its rows); a NULL key cannot be hashed
+    // deterministically → __kept 0, never NULL
+    df.join(broadcast(rates), col(strataCol) <=> col("__strata"))
+      .withColumn("__kept",
+        coalesce((md5Bucket60(col(keyCol)) % (1 << 20) < col("__th")).cast("int"),
+          lit(0)))
+      .drop("__strata", "__th")
   }
 
   /** First-failing-rule attrition report: every document is attributed
@@ -354,15 +389,20 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text",
       lenCol: String = "n_chars"): DataFrame = {
     import graft.functions.TextFunctions.words
-    val rep = repetitionRatio(docs, ngram = 2, idCol, textCol)
-    val boil = boilerplateScreen(docs, ngram = 2, minDfPct = 5, idCol, textCol)
-      .select(col("doc_id"), col("boiler_frac"))
-    val bounds = docs.selectExpr(
-      s"percentile_disc($pLo) WITHIN GROUP (ORDER BY $lenCol) AS __lo",
-      s"percentile_disc($pHi) WITHIN GROUP (ORDER BY $lenCol) AS __hi")
-    docs
+    // ONE tokenization pass: the materialized token frame feeds the
+    // token-count projection and both gram metrics (round-5 lesson —
+    // re-tokenizing per metric was the x32 anti-pattern)
+    val toks = docs
       .select(col(idCol).as("doc_id"), col(lenCol).as("__len"),
-        size(words(col(textCol))).as("__nt"))
+        words(col(textCol)).as("__w"))
+      .localCheckpoint(true)
+    val rep = repetitionRatioFromTokens(toks.select(col("doc_id"), col("__w")), 2)
+    val boil = boilerplateScreenFromTokens(
+        toks.select(col("doc_id"), col("__w")), 2, 5)
+      .select(col("doc_id"), col("boiler_frac"))
+    val bounds = percentileBounds(docs, pLo, pHi, lenCol)
+    toks
+      .select(col("doc_id"), col("__len"), size(col("__w")).as("__nt"))
       .join(rep, Seq("doc_id"), "left")
       .join(boil, Seq("doc_id"), "left")
       .join(broadcast(bounds))
@@ -396,9 +436,7 @@ object TextAnalysis {
     * `approx_percentile` with a pinned accuracy — same plan shape. */
   def lengthTrim(docs: DataFrame, lo: Double, hi: Double,
       lenCol: String = "n_chars", strataCol: String = "lang"): DataFrame = {
-    val bounds = docs.selectExpr(
-      s"percentile_disc($lo) WITHIN GROUP (ORDER BY $lenCol) AS __lo",
-      s"percentile_disc($hi) WITHIN GROUP (ORDER BY $lenCol) AS __hi")
+    val bounds = percentileBounds(docs, lo, hi, lenCol)
     val kept = col(lenCol) >= col("__lo") && col(lenCol) <= col("__hi")
     docs.join(broadcast(bounds))
       .groupBy(col(strataCol))

@@ -159,7 +159,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("x43: metric joins are hash joins on the doc id, bounds broadcast, no cartesian") {
     val plan = physical(ExtensionQueries.x43(spark, sf001))
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
