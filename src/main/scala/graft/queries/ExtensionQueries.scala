@@ -519,6 +519,25 @@ object ExtensionQueries {
         Tables.load(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
       .orderBy(col("user_id"), col("valid_from_s"), col("event_id"))
 
+  /** x46 per-language quality top-5 via the bounded-heap TopKScored
+    * aggregator: the exchange carries ≤ k rows per (partition, lang)
+    * instead of every scored doc (the window formulation would shuffle
+    * the corpus into one partition per language). Quality is the
+    * round-6 score both engines compute bit-identically (x09); ties
+    * break on doc_id in both the heap and the oracle's row_number. */
+  def x46(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKScored(5))
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"), qualityScore(col("text")).as("q"))
+      .filter(col("q").isNotNull) // typed aggregator: primitive score field
+      .groupBy(col("lang"))
+      .agg(topk(col("doc_id"), col("q")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("quality"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -565,6 +584,7 @@ object ExtensionQueries {
     "x43_filter_attribution" -> (x43 _),
     "x44_temperature_resample" -> (x44 _),
     "x45_scd2_intervals" -> (x45 _),
+    "x46_quality_topk_per_lang" -> (x46 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -665,6 +685,29 @@ object ExtensionQueries {
     * grams — min over duplicates equals min over distinct, matching
     * the kernel. Docs with < 3 tokens have no grams and are excluded
     * (the engine's null-signature filter). */
+  /** Shared CTE chain w → f → q: the round-6 per-document quality
+    * score (the exact SQL rendering of TextFunctions.qualityScore),
+    * carrying `keep` columns through — used by x09 and x46 so the
+    * quality contract has ONE rendering. */
+  private def qualityCteSql(keep: String): String =
+    s"""w AS (SELECT $keep, text, ${wordsSql("text")} AS ws FROM documents),
+       |f AS (
+       |  SELECT $keep, length(text)::DOUBLE AS n_chars, len(ws)::DOUBLE AS n_words,
+       |         CASE WHEN len(ws) > 0
+       |           THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) END AS mwl,
+       |         CASE WHEN length(text) > 0
+       |           THEN length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE / length(text) END AS alpha,
+       |         CASE WHEN length(text) > 0
+       |           THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END AS punct
+       |  FROM w),
+       |q AS (
+       |  SELECT $keep, round((
+       |      (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+       |      (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+       |      coalesce(alpha, 0.0) +
+       |      (1.0 - least(coalesce(punct, 0.0) * 5, 1.0))) / 4, 6) AS q
+       |  FROM f)""".stripMargin
+
   private def minhashSigCteSql: String =
     s"""ngall AS (
        |  SELECT doc_id, ${wordNgramsSql(3, distinct = false)} AS g
@@ -801,23 +844,7 @@ object ExtensionQueries {
          |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
     "x09_quality_score_hist" ->
-      s"""WITH w AS (SELECT text, ${wordsSql("text")} AS ws FROM documents),
-         |f AS (
-         |  SELECT length(text)::DOUBLE AS n_chars, len(ws)::DOUBLE AS n_words,
-         |         CASE WHEN len(ws) > 0
-         |           THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) END AS mwl,
-         |         CASE WHEN length(text) > 0
-         |           THEN length(regexp_replace(text, '[^\\p{L}]', '', 'g'))::DOUBLE / length(text) END AS alpha,
-         |         CASE WHEN length(text) > 0
-         |           THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END AS punct
-         |  FROM w),
-         |q AS (
-         |  SELECT round((
-         |      (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
-         |      (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
-         |      coalesce(alpha, 0.0) +
-         |      (1.0 - least(coalesce(punct, 0.0) * 5, 1.0))) / 4, 6) AS q
-         |  FROM f)
+      s"""WITH ${qualityCteSql("doc_id")}
          |SELECT CAST(FLOOR(q * 10) AS INT) AS q_bucket, count(*) AS n
          |FROM q GROUP BY q_bucket ORDER BY q_bucket""".stripMargin,
 
@@ -1205,6 +1232,18 @@ object ExtensionQueries {
          |JOIN sigs a ON p.doc_a = a.doc_id
          |JOIN sigs b ON p.doc_b = b.doc_id
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    // Ranks over the shared round-6 quality rendering; row_number
+    // (q DESC, doc_id) replays the heap's (score DESC, id ASC) order.
+    "x46_quality_topk_per_lang" ->
+      s"""WITH ${qualityCteSql("doc_id, lang")},
+         |r AS (
+         |  SELECT lang, doc_id, q,
+         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+         |              AS INTEGER) AS rank
+         |  FROM q)
+         |SELECT lang, rank, doc_id, q AS quality FROM r WHERE rank <= 5
+         |ORDER BY lang, rank""".stripMargin,
 
     // Rates are sqrt of exact-BIGINT ratios (correctly rounded on both
     // engines); the keep gate replays the md5-60 mod-2^20 hash. The

@@ -175,4 +175,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("x46: per-group top-k is a partial-merging aggregate, NOT a window sort") {
+    val plan = physical(ExtensionQueries.x46(spark, sf001))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
