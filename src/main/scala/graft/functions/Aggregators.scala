@@ -74,7 +74,10 @@ class TopKScored(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
         case -1 => buf.length
         case i => i
       }
-      (buf.take(at) :+ v) ++ buf.drop(at).take(k - at - 1)
+      // trim AFTER concatenation: when a full buffer's last element
+      // exactly equals v (duplicate id+score), neither is `better`,
+      // at = buf.length, and the pre-trim form returned k+1 elements
+      ((buf.take(at) :+ v) ++ buf.drop(at)).take(k)
     }
   }
 

@@ -127,16 +127,25 @@ object TextFunctions {
       stopRatio.as("stopword_ratio"))
   }
 
-  /** Scalar quality score in [0,1]: penalize too-short docs, extreme
-    * word lengths, low alpha ratio, punctuation walls. */
-  def qualityScore(text: Column): Column = {
+  /** UNROUNDED quality score: every term is exact-operand double
+    * arithmetic (comparisons, coalesce, one division — no libm, no
+    * rounding function), so the value is bit-identical on any engine —
+    * the column to RANK on (round() implementations may differ in the
+    * last ulp at decimal half boundaries; ranking on rounded scores
+    * would inherit that hazard into top-k membership). */
+  def qualityScoreRaw(text: Column): Column = {
     val f = qualityFeatures(text)
     val lenOk = when(f.getField("n_words").between(5, 100000), 1.0).otherwise(0.0)
     val wordLenOk = when(f.getField("mean_word_len").between(2.0, 12.0), 1.0).otherwise(0.0)
     val alphaOk = coalesce(f.getField("alpha_ratio"), lit(0.0))
     val punctOk = lit(1.0) - least(coalesce(f.getField("punct_ratio"), lit(0.0)) * 5, lit(1.0))
-    round((lenOk + wordLenOk + alphaOk + punctOk) / 4, 6)
+    (lenOk + wordLenOk + alphaOk + punctOk) / 4
   }
+
+  /** Scalar quality score in [0,1], rounded to 6 decimals for OUTPUT:
+    * penalize too-short docs, extreme word lengths, low alpha ratio,
+    * punctuation walls. */
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
 
   // --- fingerprinting -----------------------------------------------
 

@@ -522,19 +522,22 @@ object ExtensionQueries {
   /** x46 per-language quality top-5 via the bounded-heap TopKScored
     * aggregator: the exchange carries ≤ k rows per (partition, lang)
     * instead of every scored doc (the window formulation would shuffle
-    * the corpus into one partition per language). Quality is the
-    * round-6 score both engines compute bit-identically (x09); ties
-    * break on doc_id in both the heap and the oracle's row_number. */
+    * the corpus into one partition per language). Ranking uses the
+    * UNROUNDED score (pure exact-operand arithmetic — bit-identical on
+    * any engine; round() last-ulp behavior must not decide top-k
+    * membership); only the output is rounded. Ties break on doc_id in
+    * both the heap and the oracle's row_number. */
   def x46(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScoreRaw
     val topk = udaf(new graft.functions.TopKScored(5))
     docs(s, dir)
-      .select(col("lang"), col("doc_id"), qualityScore(col("text")).as("q"))
+      .select(col("lang"), col("doc_id"), qualityScoreRaw(col("text")).as("q"))
       .filter(col("q").isNotNull) // typed aggregator: primitive score field
       .groupBy(col("lang"))
       .agg(topk(col("doc_id"), col("q")).as("top"))
       .select(col("lang"), posexplode(col("top")))
       .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("doc_id"), col("col.score").as("quality"))
+        col("col.id").as("doc_id"), round(col("col.score"), 6).as("quality"))
       .orderBy(col("lang"), col("rank"))
   }
 
@@ -685,10 +688,23 @@ object ExtensionQueries {
     * grams — min over duplicates equals min over distinct, matching
     * the kernel. Docs with < 3 tokens have no grams and are excluded
     * (the engine's null-signature filter). */
-  /** Shared CTE chain w → f → q: the round-6 per-document quality
-    * score (the exact SQL rendering of TextFunctions.qualityScore),
+  private def minhashSigCteSql: String =
+    s"""ngall AS (
+       |  SELECT doc_id, ${wordNgramsSql(3, distinct = false)} AS g
+       |  FROM toks WHERE len(w) >= 3),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, 16), s ->
+       |           list_min(list_transform(g, x ->
+       |             ${md5Hash60Sql("CAST(s AS STRING) || '|' || x")}))) AS sg
+       |  FROM ngall)""".stripMargin
+
+  /** Shared CTE chain w → f → q: the per-document quality score (the
+    * exact SQL rendering of TextFunctions.qualityScoreRaw/qualityScore),
     * carrying `keep` columns through — used by x09 and x46 so the
-    * quality contract has ONE rendering. */
+    * quality contract has ONE rendering. `q` emits BOTH the unrounded
+    * `qr` (exact-operand arithmetic, bit-identical across engines —
+    * the ranking column) and the round-6 `q` (the output column). */
   private def qualityCteSql(keep: String): String =
     s"""w AS (SELECT $keep, text, ${wordsSql("text")} AS ws FROM documents),
        |f AS (
@@ -701,23 +717,13 @@ object ExtensionQueries {
        |           THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END AS punct
        |  FROM w),
        |q AS (
-       |  SELECT $keep, round((
+       |  SELECT $keep, qr, round(qr, 6) AS q FROM (
+       |    SELECT $keep, (
        |      (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
        |      (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
        |      coalesce(alpha, 0.0) +
-       |      (1.0 - least(coalesce(punct, 0.0) * 5, 1.0))) / 4, 6) AS q
-       |  FROM f)""".stripMargin
-
-  private def minhashSigCteSql: String =
-    s"""ngall AS (
-       |  SELECT doc_id, ${wordNgramsSql(3, distinct = false)} AS g
-       |  FROM toks WHERE len(w) >= 3),
-       |sigs AS (
-       |  SELECT doc_id,
-       |         list_transform(range(0, 16), s ->
-       |           list_min(list_transform(g, x ->
-       |             ${md5Hash60Sql("CAST(s AS STRING) || '|' || x")}))) AS sg
-       |  FROM ngall)""".stripMargin
+       |      (1.0 - least(coalesce(punct, 0.0) * 5, 1.0))) / 4 AS qr
+       |    FROM f) t)""".stripMargin
 
   /** The x26 fixed centroids as ONE DuckDB VALUES relation — both the
     * assignment and the probe CTE join against this single copy, so
@@ -1233,13 +1239,15 @@ object ExtensionQueries {
          |JOIN sigs b ON p.doc_b = b.doc_id
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
-    // Ranks over the shared round-6 quality rendering; row_number
-    // (q DESC, doc_id) replays the heap's (score DESC, id ASC) order.
+    // Ranks on the UNROUNDED score qr (bit-identical exact-operand
+    // arithmetic — round() ulp behavior must not pick top-k members);
+    // row_number (qr DESC, doc_id) replays the heap's order, the
+    // round-6 q is output-only.
     "x46_quality_topk_per_lang" ->
       s"""WITH ${qualityCteSql("doc_id, lang")},
          |r AS (
          |  SELECT lang, doc_id, q,
-         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY qr DESC, doc_id)
          |              AS INTEGER) AS rank
          |  FROM q)
          |SELECT lang, rank, doc_id, q AS quality FROM r WHERE rank <= 5

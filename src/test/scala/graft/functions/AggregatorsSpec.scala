@@ -23,6 +23,21 @@ class AggregatorsSpec extends SparkSpec {
     assert(agg.merge(left, right).toSeq == Seq(1L, 2L, 4L, 8L))
   }
 
+  test("TopKScored never exceeds k, even on duplicate (id, score) inserts") {
+    val agg = new TopKScored(2)
+    val full = Seq(Scored(5, 0.9), Scored(3, 0.5))
+    // duplicate of the last element: neither side is `better` — the
+    // pre-fix insert returned k+1 elements here
+    val dup = agg.reduce(full, Scored(3, 0.5))
+    assert(dup.length == 2, dup)
+    assert(dup == full)
+    // duplicate of the head keeps order and size too
+    val dupHead = agg.reduce(full, Scored(5, 0.9))
+    assert(dupHead.length == 2 && dupHead.head == Scored(5, 0.9))
+    // merge of two full identical buffers stays capped
+    assert(agg.merge(full, full).length == 2)
+  }
+
   test("RunCountsAgg reduces a changelog action stream map-side") {
     val ds = Seq("created", "updated", "updated", "errored", "created").toDS()
     val r = ds.groupByKey(_ => 1).agg(RunCountsAgg.toColumn).collect()(0)._2
