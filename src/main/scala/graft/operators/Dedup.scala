@@ -305,4 +305,47 @@ object Dedup {
         round(cosine_similarity(col("a.vec"), col("b.vec")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** MinHash near-dup over the SALTED-MD5 signature family with the
+    * ESTIMATE as the final score — the fully-auditable sibling of
+    * [[minhashNearDup]]: every step (signatures, band buckets, slot
+    * agreement) is recomputable in plain SQL, so an oracle replays the
+    * ALGORITHM itself — banding misses and all — and the output is
+    * value-checked without any ground-truth claim. Use it to certify
+    * the approximate pipeline; use the xx64 sibling for raw speed.
+    *
+    * Same scale shape as minhashNearDup: sketch projection → band
+    * bucket equi-join (band index + signature slice; the slice array
+    * IS the join key — Spark hash-partitions array keys fine) →
+    * agreement scoring over candidate signatures only. */
+  def md5MinhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      minEst: Double = 0.5): DataFrame = {
+    import graft.functions.ShingleFunctions.{md5_ngram_minhash, minhash_agreement}
+    val k = bands * rowsPerBand
+    val sigs = materialize(ensureParallelism(docs).select(
+        col(idCol).as("doc_id"),
+        md5_ngram_minhash(words(col(textCol)), ngram, k).as("sig"))
+      .filter(col("sig").isNotNull))
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .toDF("doc_id", "band", "bslice")
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bslice") === col("b.bslice") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (minhash_agreement(col("sig_a"), col("sig_b")) / lit(k.toDouble))
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
 }

@@ -541,6 +541,17 @@ object ExtensionQueries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** x47 fully-auditable approximate near-dup: salted-md5 MinHash
+    * banding with the agreement estimate as the score — the oracle
+    * replays the ALGORITHM (signatures, band buckets, estimate),
+    * banding misses included, so the approximate path itself is
+    * value-checked with no ground-truth claim (x02's est path is
+    * engine-only by contrast). */
+  def x47(s: SparkSession, dir: String): DataFrame =
+    Dedup.md5MinhashNearDup(docs(s, dir), "doc_id", "text",
+        ngram = 3, bands = 4, rowsPerBand = 4, minEst = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -588,6 +599,7 @@ object ExtensionQueries {
     "x44_temperature_resample" -> (x44 _),
     "x45_scd2_intervals" -> (x45 _),
     "x46_quality_topk_per_lang" -> (x46 _),
+    "x47_md5_minhash_neardup" -> (x47 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1252,6 +1264,30 @@ object ExtensionQueries {
          |  FROM q)
          |SELECT lang, rank, doc_id, q AS quality FROM r WHERE rank <= 5
          |ORDER BY lang, rank""".stripMargin,
+
+    // Replays the whole approximate algorithm: the same 16-slot salted
+    // signatures, the same 4×4 band buckets (list-slice equality), the
+    // same agreement estimate — engine and oracle miss the same pairs,
+    // so the output matches exactly without any ground-truth claim.
+    "x47_md5_minhash_neardup" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |$minhashSigCteSql,
+         |bnd AS (
+         |  SELECT doc_id, b, sg[1 + b * 4 : 4 + b * 4] AS bs
+         |  FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bnd a JOIN bnd b2
+         |    ON a.b = b2.b AND a.bs = b2.bs AND a.doc_id < b2.doc_id),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         list_sum(list_transform(range(1, 17), i ->
+         |           CASE WHEN x.sg[i] = y.sg[i] THEN 1 ELSE 0 END))::DOUBLE / 16.0 AS est_jaccard
+         |  FROM cand c
+         |  JOIN sigs x ON c.doc_a = x.doc_id
+         |  JOIN sigs y ON c.doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     // Rates are sqrt of exact-BIGINT ratios (correctly rounded on both
     // engines); the keep gate replays the md5-60 mod-2^20 hash. The

@@ -199,6 +199,25 @@ class ShingleExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("property: md5_ngram_hashes equals the per-gram md5-60 of joined strings") {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "δδ", "汉", "x1")
+    val cases = Seq.fill(40)(Seq.fill(rng.nextInt(8))(vocab(rng.nextInt(vocab.length))))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (d(i) & 0xFFL)) >>> 4
+    }
+    val got = cases.map(_.toArray).toSeq.toDF("w")
+      .select(md5_ngram_hashes($"w", 2)).as[Seq[Long]].collect()
+    val want = cases.map(c => c.sliding(2).filter(_.length == 2)
+      .map(g => h60(g.mkString(" "))).toSeq)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"case $i: ${cases(i)}")
+    }
+  }
+
   test("fingerprint: equal normalized texts, equal fingerprints") {
     val df = Seq(
       ("the quick  brown fox", "The quick brown FOX"),

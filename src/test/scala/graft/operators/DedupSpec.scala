@@ -4,6 +4,18 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
+
+  test("md5MinhashNearDup: identical docs pair at est 1.0; disjoint docs don't pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val out = Dedup.md5MinhashNearDup(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
   import spark.implicits._
 
   private lazy val corpus = Seq(
