@@ -306,6 +306,47 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup-style semantic dedup: cluster embeddings coarsely (the
+    * training-free fixed-centroid IVF assignment of
+    * [[Similarity.ivfAssignFixed]] — deterministic literals, so any
+    * engine reproduces the geometry), then within each cluster mark a
+    * vector as a duplicate when some LOWER-id vector in the same
+    * cluster sits at cosine ≥ `minCosine`. The within-cluster pair
+    * join replaces the O(n²) corpus cross join with Σ|cluster|² work —
+    * the standard SemDeDup trade: cross-cluster near-dups are missed,
+    * recall is bought with more/finer clusters.
+    *
+    * Output: one row per DROPPED vector — (vec_id, list_id,
+    * kept_by = the smallest qualifying lower id, n_nbrs = how many
+    * lower-id neighbors cleared the threshold). Survivors are the
+    * complement; emitting drops keeps the result small and the
+    * decision auditable. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 8, minCosine: Double = 0.15, dim: Int = 64): DataFrame = {
+    val cents = Similarity.fixedCentroids(nLists, dim)
+    // degenerate vectors (wrong length / zero norm) have no defined
+    // cosine — excluded from assignment, as ivfAssignFixed requires
+    val assigned = materialize(
+      Similarity.ivfAssignFixed(
+        ensureParallelism(emb)
+          .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+          .filter(size(col("vec")) === dim &&
+            dot_product(col("vec"), col("vec")) > 0),
+        cents, "vec"))
+    val a = assigned.as("a"); val b = assigned.as("b")
+    a.join(b,
+        col("a.list_id") === col("b.list_id") &&
+        col("a.vec_id") > col("b.vec_id"))
+      // round-6 BEFORE the threshold compare (the x05-proven contract):
+      // both engines produce the identical rounded double, so a
+      // boundary pair cannot flip on a last-ulp accumulation difference
+      .filter(round(cosine_similarity(col("a.vec"), col("b.vec")), 6)
+        >= minCosine)
+      .groupBy(col("a.vec_id").as("vec_id"), col("a.list_id").as("list_id"))
+      .agg(min(col("b.vec_id")).as("kept_by"),
+        count(lit(1)).as("n_nbrs"))
+  }
+
   /** MinHash near-dup over the SALTED-MD5 signature family with the
     * ESTIMATE as the final score — the fully-auditable sibling of
     * [[minhashNearDup]]: every step (signatures, band buckets, slot

@@ -419,6 +419,99 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), sum(col("__len")).cast("bigint").as("chars"))
   }
 
+  /** Portable PII regexes: the Java-regex / RE2 COMMON SUBSET only
+    * (char classes, bounded repeats, `\b`, `\d`), so Spark's
+    * `regexp_replace` and any RE2-based engine (the DuckDB oracle)
+    * match the exact same spans. No lookaround, no backrefs. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val LongNumRe = "\\d{9,}"
+
+  /** PII redaction: scrub emails, IPv4 addresses and long digit runs
+    * (account/card numbers) from the text, in THAT order — order is
+    * part of the contract (emails contain dots+digits, IPv4 octets
+    * contain digits; each later pattern runs on the already-redacted
+    * text so spans never double-count). Per-stage match counts are
+    * taken on that stage's input, so they equal what the replace
+    * actually rewrote.
+    *
+    * Scale: one narrow codegen'd projection, no shuffle, no UDF — the
+    * regex work pipelines into whatever sink follows. At 100 TB the
+    * regex set grows (phones, SSNs, keys) but the shape stays a single
+    * sequential-rewrite projection.
+    *
+    * Output: (doc_id, n_emails, n_ipv4, n_longnum, redacted). */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, LongNumRe, "<NUM>")
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(regexp_extract_all(t0, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t1, lit(Ipv4Re), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(t2, lit(LongNumRe), lit(0))).as("n_longnum"),
+      t3.as("redacted"))
+  }
+
+  /** Sub-document (span-level) corpus dedup, CCNet/C4-style: split
+    * every document into consecutive `spanWords`-word spans, remove
+    * the spans that occur in at least `minDocDf` DISTINCT documents
+    * (corpus-duplicated paragraphs: headers, license blurbs, mirrored
+    * passages), and reassemble what remains in original order. The
+    * corpus fixture has no newlines, so the "paragraph" unit is the
+    * fixed word window — the operator is agnostic to how spans were
+    * cut.
+    *
+    * Scale shape: span cutting is ONE narrow generator projection
+    * (array slice arithmetic — no per-word explode/regroup shuffle);
+    * document frequency is a hash agg keyed on the span's md5 (8-byte
+    * groups after the first exchange); the join back is an equi-join
+    * on that hash; reassembly re-aggregates by doc id. Three shuffles
+    * total, each on a uniform key — no window over the corpus, no
+    * driver state. Duplicated-span skew (one blurb in every doc)
+    * lands on single hash keys: bounded because each doc contributes
+    * a span ONCE per position and AQE splits the hot reduce side.
+    *
+    * Output: (doc_id, n_spans, n_removed, clean_hash) where clean_hash
+    * is md5 of the space-joined surviving spans ('' when everything
+    * was removed). */
+  def spanDedup(docs: DataFrame, spanWords: Int = 10, minDocDf: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(spanWords > 0, s"spanDedup: spanWords must be positive, got $spanWords")
+    require(minDocDf > 1, s"spanDedup: minDocDf must be > 1, got $minDocDf")
+    val nSpans = ceil(size(col("__w")) / lit(spanWords.toDouble)).cast("int")
+    val spans = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+      // 0-word docs: sequence(0, -1) would emit a DESCENDING ramp, not
+      // an empty one — cut them before the generator
+      .filter(size(col("__w")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), nSpans - 1),
+          i => array_join(
+            slice(col("__w"), i * spanWords + 1, lit(spanWords)), " "))))
+      .toDF("doc_id", "span_id", "span")
+      .withColumn("h", md5(col("span")))
+      .localCheckpoint(true) // feeds the df agg AND the join back
+    val dfreq = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    spans.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= minDocDf, 1L).otherwise(0L)).cast("bigint")
+          .as("n_removed"),
+        // collect_list drops nulls, so only surviving spans enter;
+        // array_sort on (span_id, span) structs restores doc order
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("df") < minDocDf, struct(col("span_id"), col("span"))))),
+          s => s.getField("span")), " ")).as("clean_hash"))
+  }
+
   /** Percentile-based length trim: keep documents whose length lies in
     * [p(lo), p(hi)] of the corpus distribution — the tail-clipping
     * quality pass (truncated docs and boilerplate mega-docs both live

@@ -552,6 +552,51 @@ object ExtensionQueries {
         ngram = 3, bands = 4, rowsPerBand = 4, minEst = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** x48 PII redaction: emails → IPv4 → long digit runs scrubbed in
+    * order; per-stage counts plus the md5 of the redacted text are
+    * value-checked. The synthetic corpus carries no PII, so the query
+    * PLANTS a deterministic email/IP/account tail on every doc — the
+    * redaction behavior itself (span boundaries, rewrite order) is
+    * what the oracle replays stage by stage. */
+  def x48(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).withColumn("text",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org ip 192.168."),
+        pmod(col("doc_id"), lit(250)).cast("string"),
+        lit(".17 acct 90210"), col("doc_id").cast("string"), lit("77001")))
+    TextAnalysis.redactPii(injected)
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
+        col("n_longnum"), md5(col("redacted")).as("red_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x49 span-level corpus dedup (CCNet/C4 paragraph-dedup shape):
+    * 10-word spans occurring in ≥ 2 distinct docs are removed, docs
+    * reassembled in order; the clean-text md5 pins the rewrite. */
+  def x49(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanDedup(docs(s, dir), spanWords = 10, minDocDf = 2)
+      .orderBy(col("doc_id"))
+
+  /** x50 salted two-phase aggregation over the skew-prone user key —
+    * result-identical to the plain GROUP BY (exact decimal partials),
+    * which is exactly what the oracle asserts. */
+  def x50(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Aggregates.saltedCountSum(
+        Tables.load(s, dir, "events"), "user_id", "value", "event_id",
+        nSalts = 16)
+      .select(col("user_id"), col("n"),
+        col("sum_val").cast("double").as("sum_value"))
+      .orderBy(col("user_id"))
+
+  /** x51 SemDeDup-style semantic dedup: fixed-centroid cluster
+    * assignment (x26's oracle-proven geometry) + within-cluster
+    * cosine threshold; one row per dropped vector with its keeper. */
+  def x51(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(emb(s, dir), "vec_id", "embedding",
+        nLists = 8, minCosine = 0.35)
+      .orderBy(col("vec_id"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -600,6 +645,10 @@ object ExtensionQueries {
     "x45_scd2_intervals" -> (x45 _),
     "x46_quality_topk_per_lang" -> (x46 _),
     "x47_md5_minhash_neardup" -> (x47 _),
+    "x48_pii_redaction" -> (x48 _),
+    "x49_span_dedup" -> (x49 _),
+    "x50_salted_agg" -> (x50 _),
+    "x51_semantic_dedup" -> (x51 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1288,6 +1337,92 @@ object ExtensionQueries {
          |  JOIN sigs y ON c.doc_b = y.doc_id)
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Stage-by-stage replay of the sequential redaction: each stage's
+    // count is measured on ITS input (= what the replace rewrote), and
+    // the final md5 pins every rewritten byte. Patterns stay in the
+    // Java-regex / RE2 common subset; DuckDB needs the explicit 'g'
+    // flag Spark's regexp_replace implies.
+    "x48_pii_redaction" -> {
+      val em = TextAnalysis.EmailRe
+      val ip = TextAnalysis.Ipv4Re
+      val num = TextAnalysis.LongNumRe
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |              || '@mail.example.org ip 192.168.'
+         |              || CAST(doc_id % 250 AS VARCHAR)
+         |              || '.17 acct 90210' || CAST(doc_id AS VARCHAR) || '77001' AS tx
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |         CAST(len(regexp_extract_all(tx, '$em')) AS INT) AS n_emails,
+         |         regexp_replace(tx, '$em', '<EMAIL>', 'g') AS t1 FROM t),
+         |s2 AS (SELECT doc_id, n_emails,
+         |         CAST(len(regexp_extract_all(t1, '$ip')) AS INT) AS n_ipv4,
+         |         regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1),
+         |s3 AS (SELECT doc_id, n_emails, n_ipv4,
+         |         CAST(len(regexp_extract_all(t2, '$num')) AS INT) AS n_longnum,
+         |         regexp_replace(t2, '$num', '<NUM>', 'g') AS t3 FROM s2)
+         |SELECT doc_id, n_emails, n_ipv4, n_longnum, md5(t3) AS red_hash
+         |FROM s3 ORDER BY doc_id""".stripMargin
+    },
+
+    // Span cutting replayed with 1-based inclusive list slices (DuckDB
+    // w[a:b] clamps past the end exactly like Spark's slice); document
+    // frequency over the span md5; reassembly via ordered FILTERed
+    // list — NULL when everything was removed, coalesced to '' to
+    // match Spark's empty array_join.
+    "x49_span_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |         unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS span_id,
+         |         w
+         |  FROM toks WHERE len(w) > 0),
+         |spans AS (
+         |  SELECT doc_id, span_id,
+         |         array_to_string(w[(span_id*10+1):(span_id*10+10)], ' ') AS span
+         |  FROM sp),
+         |dfreq AS (
+         |  SELECT md5(span) AS h, count(DISTINCT doc_id) AS df
+         |  FROM spans GROUP BY md5(span))
+         |SELECT s.doc_id,
+         |       count(*) AS n_spans,
+         |       CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       md5(coalesce(array_to_string(
+         |         list(s.span ORDER BY s.span_id) FILTER (WHERE d.df < 2), ' '), ''))
+         |         AS clean_hash
+         |FROM spans s JOIN dfreq d ON md5(s.span) = d.h
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // The salted two-phase plan must equal the PLAIN group-by bit for
+    // bit (counts are sums of partials; sums re-associate over exact
+    // decimals) — so the oracle IS the plain group-by.
+    "x50_salted_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Replays x26's oracle-proven fixed-centroid assignment, then the
+    // within-cluster pair join with the same round-6-then-compare
+    // threshold contract as x05.
+    "x51_semantic_dedup" ->
+      s"""WITH cd AS (
+         |  SELECT e.vec_id, e.embedding, ct.list_id,
+         |         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], ct.v) AS d
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE len(embedding) = 64
+         |          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) e
+         |  CROSS JOIN ${centValuesSql(8)}),
+         |c AS (
+         |  SELECT vec_id, embedding, list_id FROM (
+         |    SELECT vec_id, embedding, list_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+         |    FROM cd) t WHERE rn = 1)
+         |SELECT a.vec_id, a.list_id, min(b.vec_id) AS kept_by, count(*) AS n_nbrs
+         |FROM c a JOIN c b ON a.list_id = b.list_id AND a.vec_id > b.vec_id
+         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+         |GROUP BY a.vec_id, a.list_id ORDER BY a.vec_id""".stripMargin,
 
     // Rates are sqrt of exact-BIGINT ratios (correctly rounded on both
     // engines); the keep gate replays the md5-60 mod-2^20 hash. The

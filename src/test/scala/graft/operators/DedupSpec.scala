@@ -100,4 +100,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("semanticDedup drops the higher id of a within-cluster near-dup") {
+    val vecs = Seq(
+      (0L, Seq.tabulate(64)(i => math.sin(i).toFloat)),
+      (1L, Seq.tabulate(64)(i => math.sin(i).toFloat)),  // identical to 0
+      // orthogonal-ish: random-sign pattern, cosine to sin(i) ≈ 0
+      (2L, Seq.tabulate(64)(i => math.cos(i * 7 + 2).toFloat)),
+      (3L, Seq.fill(64)(0f))                             // degenerate: excluded
+    ).toDF("vec_id", "embedding")
+    val drops = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        nLists = 2, minCosine = 0.9)
+      .select($"vec_id", $"kept_by").as[(Long, Long)].collect().toSeq
+    // identical vectors land in the same cluster by construction; the
+    // higher id is the drop, attributed to the lower
+    assert(drops == Seq((1L, 0L)))
+  }
 }

@@ -132,6 +132,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(first.sameElements(again))
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("redactPii: sequential scrub, per-stage counts") {
+    val out = TextAnalysis.redactPii(
+        Seq((1L, "mail a.b@x.io and 10.0.0.1 acct 123456789 done"))
+          .toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Int]("n_emails") == 1)
+    assert(out.getAs[Int]("n_ipv4") == 1)
+    assert(out.getAs[Int]("n_longnum") == 1)
+    assert(out.getAs[String]("redacted")
+      == "mail <EMAIL> and <IP> acct <NUM> done")
+  }
+
+  test("redactPii: earlier stages don't leak spans into later counts") {
+    // the email's digits/dots must not re-match as IP or number; an
+    // IP's octets must not count as long digit runs
+    val out = TextAnalysis.redactPii(
+        Seq((1L, "z9@q.com 1.2.3.4")).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Int]("n_emails") == 1)
+    assert(out.getAs[Int]("n_ipv4") == 1)
+    assert(out.getAs[Int]("n_longnum") == 0)
+    assert(out.getAs[String]("redacted") == "<EMAIL> <IP>")
+  }
+
+  test("spanDedup: removes corpus-duplicated spans, reassembles in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // shares "a b c" with docs 2, 4, 6
+      (2L, "a b c x y z"),
+      (3L, "p q r"),             // unique everywhere
+      (4L, "a b c"),             // ALL spans removed
+      (6L, "m n o a b c x x x")) // duplicated span mid-document
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(docs, spanWords = 3, minDocDf = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_removed", "clean_hash")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, md5Hex("d e f")),
+      (2L, 2L, 1L, md5Hex("x y z")),
+      (3L, 1L, 0L, md5Hex("p q r")),
+      (4L, 1L, 1L, md5Hex("")),       // everything removed → md5('')
+      (6L, 3L, 1L, md5Hex("m n o x x x")))) // order preserved around the cut
+  }
+
   test("lengthTrim: discrete bounds keep exact boundary values") {
     // lengths 1..10; p(0.2)=2, p(0.9)=9 (discrete: actual data values)
     val docs = (1 to 10).map(i => (i.toLong, "en", i.toLong))
