@@ -181,4 +181,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("x48: redaction is one narrow projection — no shuffle before the final sort") {
+    val plan = physical(ExtensionQueries.x48(spark, sf001))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("hashpartitioning"), plan) // only the orderBy range exchange
+    assert(!plan.contains("lambdafunction"), plan)   // stays codegen-compilable
+  }
+
+  test("x49: span dedup is agg+join on the span hash — no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x49(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x50: phase-1 aggregate keys on (user_id, __salt); no join, no window") {
+    val plan = physical(ExtensionQueries.x50(spark, sf001))
+    assert(plan.contains("__salt"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x51: within-cluster pair join is an equi-join on list_id, never cartesian") {
+    val plan = physical(ExtensionQueries.x51(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("list_id"), plan)
+  }
 }
