@@ -14,7 +14,9 @@ object OracleSql {
     * them (their Spark-side semantics are covered by the DuckDB oracle
     * itself plus the per-operator unit specs). Everything else in
     * [[all]] must stay engine-portable. */
-  val duckOnlyDialect: Set[String] = Set("q29_token_explode", "q32_string_agg")
+  val duckOnlyDialect: Set[String] = Set("q29_token_explode", "q32_string_agg",
+    // 3-arg date_diff / date+int / strpos are DuckDB spellings
+    "q36_date_functions", "q37_string_functions", "q39_range_frame")
 
   val all: Map[String, String] = Map(
     "q01_scan_project_sort" ->
@@ -231,6 +233,55 @@ object OracleSql {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // EXTRACT returns BIGINT in DuckDB, INT in Spark — cast each field.
+    // The +30d value compares as an ISO string (DATE renders differently
+    // across client paths); CAST(date AS VARCHAR) is ISO in DuckDB.
+    "q36_date_functions" ->
+      """SELECT o_orderkey,
+        |       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+        |       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+        |       CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+        |       CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+        |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // strpos is DuckDB's 1-based/0-absent instr; both engines' split_part
+    // and left share semantics on ASCII fixture strings.
+    "q37_string_functions" ->
+      """SELECT p_partkey,
+        |       lpad(p_brand, 12, '*') AS lp,
+        |       rpad(p_brand, 12, '-') AS rp,
+        |       reverse(p_name) AS rev,
+        |       repeat(substr(p_type, 1, 3), 2) AS rep,
+        |       replace(p_name, ' ', '_') AS und,
+        |       CAST(strpos(p_name, 'a') AS INT) AS pos_a,
+        |       left(p_name, 5) AS l5,
+        |       split_part(p_type, ' ', 1) AS sp1
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q38_set_ops_all" ->
+      """SELECT 'ex' AS op, k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O') a
+        |UNION ALL
+        |SELECT 'in' AS op, k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O') b
+        |ORDER BY op, k""".stripMargin,
+
+    "q39_range_frame" ->
+      """SELECT o_custkey, o_orderkey, CAST(d AS INT) AS d,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY d
+        |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail30
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d
+        |      FROM orders) t
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }

@@ -427,6 +427,74 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Q36 date/time function surface: extract fields, date arithmetic,
+    * day differences — all on the scan projection (no shuffle but the
+    * final sort). The +30d value is emitted as an ISO STRING (a DATE
+    * column would render differently across client paths — the q21
+    * lesson); day counts anchor to DATE '1995-01-01' so they are small
+    * exact INTs. */
+  def q36(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+          .as("plus30"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q37 string function surface: pad/reverse/repeat/replace/position/
+    * left/split_part — one codegen'd projection. instr and strpos share
+    * 1-based/0-absent semantics; inputs are ASCII by fixture contract. */
+  def q37(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, "-").as("rp"),
+        reverse(col("p_name")).as("rev"),
+        repeat(substring(col("p_type"), 1, 3), 2).as("rep"),
+        expr("replace(p_name, ' ', '_')").as("und"),
+        instr(col("p_name"), "a").as("pos_a"),
+        expr("left(p_name, 5)").as("l5"),
+        expr("split_part(p_type, ' ', 1)").as("sp1"))
+      .orderBy(col("p_partkey"))
+
+  /** Q38 multiset set-ops: EXCEPT ALL / INTERSECT ALL (the bag forms
+    * q17/q18 don't cover — duplicates survive subtraction). Tagged
+    * union of the two results; rows with equal (op, k) are
+    * interchangeable, so the ORDER BY is hash-total. */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val f = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    val o = orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k"))
+    f.exceptAll(o).select(lit("ex").as("op"), col("k"))
+      .unionByName(f.intersectAll(o).select(lit("in").as("op"), col("k")))
+      .orderBy(col("op"), col("k"))
+  }
+
+  /** Q39 RANGE window frame: trailing-30-day spend per customer —
+    * the value-based frame (peers by day distance) that the ROWS
+    * frames of q15 can't express. The order key is an exact day
+    * count, the frame sum stays in DECIMAL. */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-30, 0)
+    t(spark, dir, "orders")
+      .withColumn("d", datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")))
+      .select(col("o_custkey"), col("o_orderkey"), col("d"),
+        sum(col("o_totalprice").cast(dec)).over(w).cast("double")
+          .as("trail30"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** name → impl, in declaration order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_scan_project_sort" -> (q01 _),
@@ -464,5 +532,9 @@ object RelationalQueries {
     "q33_full_outer_join" -> (q33 _),
     "q34_rank_distribution" -> (q34 _),
     "q35_frame_navigation" -> (q35 _),
+    "q36_date_functions" -> (q36 _),
+    "q37_string_functions" -> (q37 _),
+    "q38_set_ops_all" -> (q38 _),
+    "q39_range_frame" -> (q39 _),
   )
 }
