@@ -7,9 +7,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,13 +73,143 @@ class DefaultSource extends TableProvider {
 }
 
 class SocrataTable(tableSchema: StructType, url: String, pageSize: Int, numPartitions: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def schema(): StructType = tableSchema
   override def name(): String = s"socrata($url)"
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SocrataScanBuilder(schema, url, pageSize, numPartitions)
+
+  /** K1 as a first-class DSv2 batch write (SURVEY §2.1: the "long-term
+    * DSv2 batch write" the reference's POST loop maps to):
+    * `df.write.format("graft.sources.socrata").option("url", …)
+    * .mode("append").save()` routes each task's rows through a
+    * buffered CSV upsert POST. Append-only by design — Socrata upsert
+    * IS the merge; there is no truncate. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    CsvRows.validateWriteSchema(info.schema()) // CSV carries atomics only
+    new SocrataWriteBuilder(info.schema(), url, pageSize)
+  }
+}
+
+class SocrataWriteBuilder(schema: StructType, url: String, batchRows: Int)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new SocrataBatchWrite(schema, url, batchRows)
+  }
+}
+
+/** Task-level transactionality rides on the sink's keyed-upsert
+  * idempotence (the same property the reference's retry relies on,
+  * publish_to_catalog.py:347-352): a retried task re-POSTs the same
+  * keyed rows, which the upsert collapses — so commit/abort need no
+  * driver-side undo. A sink without idempotent keys would need a
+  * staging-revision protocol here (the K3 revision flow). */
+class SocrataBatchWrite(schema: StructType, url: String, batchRows: Int)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SocrataWriterFactory(schema, url, batchRows)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class SocrataCommit(partitionId: Int, rows: Long, posts: Int)
+    extends WriterCommitMessage
+
+class SocrataWriterFactory(schema: StructType, url: String, batchRows: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SocrataDataWriter(schema, url, batchRows, partitionId)
+}
+
+/** Buffers up to `batchRows` rows as one CSV payload (header + rows,
+  * RFC 4180 quoting — same wire format as Http.csvUpsertSink) and
+  * POSTs with idempotent retry; a failed POST throws, failing the
+  * task so Spark's task retry re-runs it. Memory is bounded by the
+  * batch, not the partition. */
+class SocrataDataWriter(schema: StructType, url: String, batchRows: Int,
+    partitionId: Int) extends DataWriter[InternalRow] {
+  private val header = schema.fieldNames.mkString(",")
+  private val sb = new StringBuilder(header)
+  private var buffered = 0
+  private var total = 0L
+  private var posts = 0
+
+  override def write(row: InternalRow): Unit = {
+    sb.append('\n')
+    var i = 0
+    while (i < schema.fields.length) {
+      if (i > 0) sb.append(',')
+      sb.append(CsvRows.cell(row, i, schema.fields(i).dataType))
+      i += 1
+    }
+    buffered += 1; total += 1
+    if (buffered >= batchRows) flush()
+  }
+
+  private def flush(): Unit = if (buffered > 0) {
+    val r = Http.postWithRetry(url,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), "text/csv")
+    if (!r.ok) throw new java.io.IOException(
+      s"socrata upsert POST failed (partition $partitionId): ${r.error}")
+    posts += 1
+    sb.setLength(0); sb.append(header)
+    buffered = 0
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    SocrataCommit(partitionId, total, posts)
+  }
+  // buffered (un-POSTed) rows vanish with the task; already-landed
+  // POSTs are keyed upserts the retry will repeat idempotently
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
+/** InternalRow → CSV cell rendering for the write path. */
+object CsvRows {
+  /** CSV can carry only atomic values; nested types fail at PLAN time
+    * with a named column, mirroring JsonRows.validateSchema. */
+  def validateWriteSchema(schema: StructType): Unit = schema.fields.foreach { f =>
+    f.dataType match {
+      case StringType | BooleanType | LongType | IntegerType | DoubleType |
+           FloatType | ShortType | ByteType | DateType | TimestampType => ()
+      case _: DecimalType => ()
+      case other => throw new IllegalArgumentException(
+        s"socrata sink cannot serialize ${other.simpleString} to CSV (column ${f.name})")
+    }
+  }
+
+  def cell(row: InternalRow, i: Int, dt: DataType): String = {
+    if (row.isNullAt(i)) return ""
+    dt match {
+      case StringType => quote(row.getUTF8String(i).toString)
+      case BooleanType => row.getBoolean(i).toString
+      case LongType => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case FloatType => row.getFloat(i).toString
+      case ShortType => row.getShort(i).toString
+      case ByteType => row.getByte(i).toString
+      case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toString
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+      case TimestampType => // micros since epoch → ISO instant (UTC, µs)
+        val us = row.getLong(i)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).toString
+      case other => throw new IllegalStateException(
+        s"unreachable: ${other.simpleString} rejected by validateWriteSchema")
+    }
+  }
+
+  private def quote(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
 }
 
 class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, numPartitions: Int)

@@ -75,4 +75,56 @@ class SocrataSourceSpec extends SparkSpec {
       assert(df.count() == 2)
     }
   }
+
+  test("DSv2 batch write: every row lands as an upsert CSV POST") {
+    withStub { stub =>
+      // Spark samples the resource for the table schema on the write
+      // path too (TableProvider contract) — the GET handler above
+      // supplies it; POSTs are the upserts under test
+      Seq(("Springfield", 30000L, true), ("Shelbyville", 20000L, false),
+          ("Ogdenville, \"North\"", 1L, true))
+        .toDF("city", "pop", "consent")
+        .repartition(2)
+        .write.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json"))
+        .mode("append").save()
+      val posts = stub.received("/resource.json").filter(_.method == "POST")
+      assert(posts.nonEmpty)
+      val payloads = posts.map(_.bodyString)
+      // each payload is header + rows; all rows land exactly once
+      assert(payloads.forall(_.startsWith("city,pop,consent")))
+      val lines = payloads.flatMap(_.split("\n").drop(1))
+      assert(lines.length == 3, lines)
+      assert(lines.contains("Springfield,30000,true"), lines)
+      // RFC 4180: embedded comma/quote quoted and doubled
+      assert(lines.contains("\"Ogdenville, \"\"North\"\"\",1,true"), lines)
+    }
+  }
+
+  test("DSv2 write: batchRows bound splits one partition into multiple POSTs") {
+    withStub { stub =>
+      (1 to 25).map(i => (s"c$i", i.toLong, true)).toDF("city", "pop", "consent")
+        .coalesce(1)
+        .write.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json"))
+        .option("pageSize", "10") // pageSize doubles as rows-per-POST
+        .mode("append").save()
+      val posts = stub.received("/resource.json").filter(_.method == "POST")
+      assert(posts.length == 3, posts.map(_.bodyString.linesIterator.size))
+      assert(posts.map(_.bodyString.split("\n").length - 1).sum == 25)
+    }
+  }
+
+  test("DSv2 write rejects nested types at plan time") {
+    withStub { stub =>
+      val err = intercept[Exception] {
+        Seq((1L, Seq("a", "b"))).toDF("k", "tags")
+          .write.format("graft.sources.socrata")
+          .option("url", stub.url("/resource.json"))
+          .mode("append").save()
+      }
+      assert(err.getMessage.contains("tags") ||
+        Option(err.getCause).exists(_.getMessage.contains("tags")), err.getMessage)
+    }
+  }
 }
