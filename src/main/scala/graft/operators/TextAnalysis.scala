@@ -475,9 +475,10 @@ object TextAnalysis {
     * lands on single hash keys: bounded because each doc contributes
     * a span ONCE per position and AQE splits the hot reduce side.
     *
-    * Output: (doc_id, n_spans, n_removed, clean_hash) where clean_hash
-    * is md5 of the space-joined surviving spans ('' when everything
-    * was removed). */
+    * Output: one row per INPUT document — (doc_id, n_spans, n_removed,
+    * clean_hash), clean_hash = md5 of the space-joined surviving spans
+    * (md5('') when everything was removed, and for 0-word docs, which
+    * report (0, 0, md5('')) rather than vanishing from the audit). */
   def spanDedup(docs: DataFrame, spanWords: Int = 10, minDocDf: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(spanWords > 0, s"spanDedup: spanWords must be positive, got $spanWords")
@@ -486,7 +487,8 @@ object TextAnalysis {
     val spans = docs
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
       // 0-word docs: sequence(0, -1) would emit a DESCENDING ramp, not
-      // an empty one — cut them before the generator
+      // an empty one — cut them before the generator (restored by the
+      // final left join so the report still covers the whole corpus)
       .filter(size(col("__w")) > 0)
       .select(col("doc_id"),
         posexplode(transform(
@@ -498,7 +500,7 @@ object TextAnalysis {
       .localCheckpoint(true) // feeds the df agg AND the join back
     val dfreq = spans.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    spans.join(dfreq, "h")
+    val report = spans.join(dfreq, "h")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_spans"),
@@ -510,6 +512,14 @@ object TextAnalysis {
           array_sort(collect_list(
             when(col("df") < minDocDf, struct(col("span_id"), col("span"))))),
           s => s.getField("span")), " ")).as("clean_hash"))
+    // every input doc gets a report row — a doc that tokenized to zero
+    // words must not silently vanish from a corpus-accounting output
+    docs.select(col(idCol).as("doc_id"))
+      .join(report, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
   }
 
   /** Percentile-based length trim: keep documents whose length lies in

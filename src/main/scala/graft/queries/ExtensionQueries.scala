@@ -1385,15 +1385,22 @@ object ExtensionQueries {
          |  FROM sp),
          |dfreq AS (
          |  SELECT md5(span) AS h, count(DISTINCT doc_id) AS df
-         |  FROM spans GROUP BY md5(span))
-         |SELECT s.doc_id,
-         |       count(*) AS n_spans,
-         |       CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-         |       md5(coalesce(array_to_string(
-         |         list(s.span ORDER BY s.span_id) FILTER (WHERE d.df < 2), ' '), ''))
-         |         AS clean_hash
-         |FROM spans s JOIN dfreq d ON md5(s.span) = d.h
-         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+         |  FROM spans GROUP BY md5(span)),
+         |rep AS (
+         |  SELECT s.doc_id,
+         |         count(*) AS n_spans,
+         |         CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |         md5(coalesce(array_to_string(
+         |           list(s.span ORDER BY s.span_id) FILTER (WHERE d.df < 2), ' '), ''))
+         |           AS clean_hash
+         |  FROM spans s JOIN dfreq d ON md5(s.span) = d.h
+         |  GROUP BY s.doc_id)
+         |SELECT d0.doc_id,
+         |       coalesce(r.n_spans, 0) AS n_spans,
+         |       coalesce(r.n_removed, 0) AS n_removed,
+         |       coalesce(r.clean_hash, md5('')) AS clean_hash
+         |FROM documents d0 LEFT JOIN rep r ON d0.doc_id = r.doc_id
+         |ORDER BY d0.doc_id""".stripMargin,
 
     // The salted two-phase plan must equal the PLAIN group-by bit for
     // bit (counts are sums of partials; sums re-associate over exact

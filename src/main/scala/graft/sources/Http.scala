@@ -142,8 +142,7 @@ object Http {
       rows.foreach { r =>
         sb.append('\n').append(r.toSeq.map {
           case null => ""
-          case s: String if s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r') =>
-            "\"" + s.replace("\"", "\"\"") + "\"" // RFC 4180: newlines need quoting too
+          case s: String => graft.sources.socrata.CsvRows.quote(s)
           case v => v.toString
         }.mkString(","))
         n += 1

@@ -57,7 +57,9 @@ class DefaultSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    JsonRows.validateSchema(schema) // fail at plan time, not mid-scan
+    // no schema validation HERE: getTable serves both planes, and the
+    // read (JSON) and write (CSV) type sets differ — each plane
+    // validates in its own builder (newScanBuilder / newWriteBuilder)
     new SocrataTable(schema, properties.get("url"),
       // Socrata 2.x caps $limit at 50000; a larger pageSize would make
       // offset windows skip the capped tail of every page — rows
@@ -78,8 +80,10 @@ class SocrataTable(tableSchema: StructType, url: String, pageSize: Int, numParti
   override def name(): String = s"socrata($url)"
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    JsonRows.validateSchema(tableSchema) // fail at plan time, not mid-scan
     new SocrataScanBuilder(schema, url, pageSize, numPartitions)
+  }
 
   /** K1 as a first-class DSv2 batch write (SURVEY §2.1: the "long-term
     * DSv2 batch write" the reference's POST loop maps to):
@@ -130,7 +134,10 @@ class SocrataWriterFactory(schema: StructType, url: String, batchRows: Int)
   * batch, not the partition. */
 class SocrataDataWriter(schema: StructType, url: String, batchRows: Int,
     partitionId: Int) extends DataWriter[InternalRow] {
-  private val header = schema.fieldNames.mkString(",")
+  // header fields get the same RFC-4180 quoting as data cells — a
+  // column name carrying a comma/quote would otherwise shift every
+  // payload's column mapping
+  private val header = schema.fieldNames.map(CsvRows.quote).mkString(",")
   private val sb = new StringBuilder(header)
   private var buffered = 0
   private var total = 0L
@@ -195,18 +202,28 @@ object CsvRows {
       case ByteType => row.getByte(i).toString
       case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toString
       case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
-      case TimestampType => // micros since epoch → ISO instant (UTC, µs)
+      case TimestampType => // micros since epoch → Socrata floating timestamp
         val us = row.getLong(i)
-        java.time.LocalDateTime.ofEpochSecond(
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
           Math.floorDiv(us, 1000000L),
           (Math.floorMod(us, 1000000L) * 1000L).toInt,
-          java.time.ZoneOffset.UTC).toString
+          java.time.ZoneOffset.UTC)
+        // explicit pattern: LocalDateTime.toString drops ':00' seconds,
+        // giving whole-minute rows a different wire shape than the rest
+        val base = ldt.format(TsFormat)
+        val frac = (Math.floorMod(us, 1000000L)).toInt
+        if (frac == 0) base else base + f".$frac%06d"
       case other => throw new IllegalStateException(
         s"unreachable: ${other.simpleString} rejected by validateWriteSchema")
     }
   }
 
-  private def quote(s: String): String =
+  private val TsFormat =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+
+  /** The ONE RFC-4180 cell/header quoting rule for Socrata CSV payloads
+    * (Http.csvUpsertSink shares it — two serializers must not drift). */
+  private[sources] def quote(s: String): String =
     if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s

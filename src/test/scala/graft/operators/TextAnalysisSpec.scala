@@ -166,6 +166,7 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "a b c x y z"),
       (3L, "p q r"),             // unique everywhere
       (4L, "a b c"),             // ALL spans removed
+      (5L, "?!?"),               // tokenizes to zero words
       (6L, "m n o a b c x x x")) // duplicated span mid-document
       .toDF("doc_id", "text")
     val out = TextAnalysis.spanDedup(docs, spanWords = 3, minDocDf = 2)
@@ -177,6 +178,7 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 2L, 1L, md5Hex("x y z")),
       (3L, 1L, 0L, md5Hex("p q r")),
       (4L, 1L, 1L, md5Hex("")),       // everything removed → md5('')
+      (5L, 0L, 0L, md5Hex("")),       // 0-word doc still gets a report row
       (6L, 3L, 1L, md5Hex("m n o x x x")))) // order preserved around the cut
   }
 

@@ -78,9 +78,9 @@ class SocrataSourceSpec extends SparkSpec {
 
   test("DSv2 batch write: every row lands as an upsert CSV POST") {
     withStub { stub =>
-      // Spark samples the resource for the table schema on the write
-      // path too (TableProvider contract) — the GET handler above
-      // supplies it; POSTs are the upserts under test
+      // on the write path Spark hands getTable the DataFrame's own
+      // schema (supportsExternalMetadata) — no schema-sampling GET
+      // happens; POSTs are the upserts under test
       Seq(("Springfield", 30000L, true), ("Shelbyville", 20000L, false),
           ("Ogdenville, \"North\"", 1L, true))
         .toDF("city", "pop", "consent")
@@ -112,6 +112,24 @@ class SocrataSourceSpec extends SparkSpec {
       val posts = stub.received("/resource.json").filter(_.method == "POST")
       assert(posts.length == 3, posts.map(_.bodyString.linesIterator.size))
       assert(posts.map(_.bodyString.split("\n").length - 1).sum == 25)
+    }
+  }
+
+  test("DSv2 write accepts decimal/date/timestamp (write whitelist, not read's)") {
+    withStub { stub =>
+      Seq((java.math.BigDecimal.valueOf(125, 2),
+          java.sql.Date.valueOf("2024-01-02"),
+          java.sql.Timestamp.valueOf("2024-01-02 03:04:00"))) // :00 seconds
+        .toDF("price", "d", "ts")
+        .withColumn("price", $"price".cast("decimal(18,2)"))
+        .coalesce(1)
+        .write.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json"))
+        .mode("append").save()
+      val posts = stub.received("/resource.json").filter(_.method == "POST")
+      val line = posts.head.bodyString.split("\n")(1)
+      // timestamp keeps explicit :00 seconds (fixed wire shape)
+      assert(line == "1.25,2024-01-02,2024-01-02T03:04:00", line)
     }
   }
 
