@@ -213,4 +213,30 @@ object Similarity {
         count(lit(1)).as("n"),
         round(min(col("__norm")), 6).as("min_norm"),
         round(max(col("__norm")), 6).as("max_norm"))
+
+  /** Per-label centroids in QUANTIZED (int8) space: class prototypes /
+    * cluster summaries computed as exact integer sums per dimension —
+    * float vector means are accumulation-order-dependent and therefore
+    * not reproducible across engines or partitionings, but int8 code
+    * sums are exact BIGINTs and the mean is one exact-operand division
+    * at the end. The accuracy loss is the quantizer's (~0.4% of
+    * max|x|), bounded and documented, in exchange for bit-reproducible
+    * prototypes.
+    *
+    * Scale: quantize is a narrow codegen'd projection; the posexplode
+    * fans out ×dim but the partial agg collapses to (labels × dim)
+    * rows per task before the one exchange — same wire volume as a
+    * per-label array-buffer aggregator, with no custom class.
+    *
+    * Output: (label, dim, n, s, mean_code), dim 0-based. */
+  def quantizedCentroids(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(labelCol).as("label"),
+        quantize_i8(col(vecCol)).as("__q"))
+      .filter(col("__q").isNotNull) // degenerate vectors: no defined scale
+      .select(col("label"), posexplode(col("__q")))
+      .toDF("label", "dim", "code")
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("code").cast("long")).as("s"))
+      .withColumn("mean_code", round(col("s") / col("n"), 6))
 }

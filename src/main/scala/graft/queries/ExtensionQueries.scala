@@ -597,6 +597,14 @@ object ExtensionQueries {
         nLists = 8, minCosine = 0.35)
       .orderBy(col("vec_id"))
 
+  /** x52 per-label quantized centroids: class prototypes as exact
+    * int8-code sums per dimension — the reproducible alternative to a
+    * float vector mean (order-dependent). Composes the x25-proven
+    * quantizer; the oracle replays it and the integer aggregation. */
+  def x52(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedCentroids(emb(s, dir), "label", "embedding")
+      .orderBy(col("label"), col("dim"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -649,6 +657,7 @@ object ExtensionQueries {
     "x49_span_dedup" -> (x49 _),
     "x50_salted_agg" -> (x50 _),
     "x51_semantic_dedup" -> (x51 _),
+    "x52_quantized_centroids" -> (x52 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1409,6 +1418,26 @@ object ExtensionQueries {
       """SELECT user_id, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Replays the x25 quantizer element-wise (floor(x·127/mx + .5)
+    // clamped), then the exact integer per-dimension aggregation; the
+    // mean divides exact BIGINT operands → identical doubles.
+    "x52_quantized_centroids" ->
+      """WITH e AS (
+        |  SELECT label, embedding::DOUBLE[] AS v,
+        |         list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) AS mx
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label,
+        |         list_transform(v, x -> CAST(GREATEST(-127.0, LEAST(127.0,
+        |           floor(x * (127.0 / mx) + 0.5))) AS BIGINT)) AS qv
+        |  FROM e WHERE mx > 0 AND len(v) > 0),
+        |d AS (SELECT label, unnest(range(0, len(qv))) AS dim0, qv FROM q),
+        |c AS (SELECT label, CAST(dim0 AS INT) AS dim,
+        |             qv[CAST(dim0 AS INT) + 1] AS code FROM d)
+        |SELECT label, dim, count(*) AS n, CAST(SUM(code) AS BIGINT) AS s,
+        |       round(CAST(SUM(code) AS DOUBLE) / count(*), 6) AS mean_code
+        |FROM c GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     // Replays x26's oracle-proven fixed-centroid assignment, then the
     // within-cluster pair join with the same round-6-then-compare

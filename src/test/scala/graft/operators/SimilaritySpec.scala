@@ -112,4 +112,20 @@ class SimilaritySpec extends SparkSpec {
     assert(direct.length == n0)
     assert(math.abs(direct.min - lo0) < 1e-6 && math.abs(direct.max - hi0) < 1e-6)
   }
+
+  test("quantizedCentroids: exact integer sums over hand-derived codes") {
+    // [2,-1]: mx=2, scale=63.5 → [127, floor(-63.5+0.5) = -63]
+    // [1, 1]: mx=1            → [127, 127]
+    // [0, 0]: no scale        → quantizer nulls it, row excluded
+    val vecs = Seq(
+      (1, Seq(2.0f, -1.0f)), (1, Seq(1.0f, 1.0f)), (2, Seq(0.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.quantizedCentroids(vecs)
+      .orderBy($"label", $"dim")
+      .select($"label", $"dim", $"n", $"s", $"mean_code")
+      .as[(Int, Int, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1, 0, 2L, 254L, 127.0),
+      (1, 1, 2L, 64L, 32.0)))
+  }
 }
