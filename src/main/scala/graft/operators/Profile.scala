@@ -36,4 +36,50 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group — the
+    * AUDITABLE cardinality estimator (the x47 pattern applied to
+    * approx-distinct): unlike HLL (x20, engine-specific registers,
+    * rows-only checked), every piece of this sketch — the k smallest
+    * 60-bit hashes, the kth value, the estimate (k-1)·2⁶⁰/kth — is
+    * recomputable in plain SQL, so the approximate path itself is
+    * value-checked. Estimate arithmetic stays engine-exact: (k-1)·2⁶⁰
+    * is exactly representable in a double (6 significant bits), the
+    * BIGINT→DOUBLE cast of kth is IEEE-correctly rounded, and floor of
+    * the identical quotient is identical.
+    *
+    * Input: (groupCol, hashCol: Long) rows, duplicates allowed (an
+    * internal distinct dedups). Groups with fewer than k distinct
+    * hashes hold ALL of them — the estimate IS the exact count there.
+    *
+    * Scale: the ranking window runs over DISTINCT hashes per group
+    * (already reduced by the map-side-combining distinct); at 100 TB
+    * swap the window for a bounded k-min heap aggregator on longs —
+    * same output, exchange carries ≤ k values per (task, group).
+    *
+    * Output: (groupCol, n_min, kth, est_distinct, exact_distinct). */
+  def kmvDistinctSketch(df: DataFrame, groupCol: String, hashCol: String,
+      k: Int = 64): DataFrame = {
+    require(k > 1, s"kmvDistinctSketch: k must be > 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df.select(col(groupCol).as("grp"), col(hashCol).as("h"))
+      .distinct()
+      .localCheckpoint(true) // feeds the sketch AND the exact count
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    val sketch = hashes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_min"), max(col("h")).as("kth"))
+    val exact = hashes.groupBy(col("grp"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    // 2^60 as an exact double; (k-1)·2⁶⁰ keeps ≤ 7 significant bits
+    val space = lit((k - 1).toDouble * 1152921504606846976.0)
+    sketch.join(exact, "grp")
+      .select(col("grp").as(groupCol), col("n_min"), col("kth"),
+        when(col("n_min") < k, col("n_min"))
+          .otherwise(floor(space / col("kth").cast("double")))
+          .as("est_distinct"),
+        col("exact_distinct"))
+  }
 }

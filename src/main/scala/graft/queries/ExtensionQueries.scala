@@ -605,6 +605,19 @@ object ExtensionQueries {
     Similarity.quantizedCentroids(emb(s, dir), "label", "embedding")
       .orderBy(col("label"), col("dim"))
 
+  /** x53 auditable cardinality sketch: KMV per-source distinct-3-gram
+    * estimate alongside the exact count — the sketch-calibration view
+    * (x42's pattern for cardinality instead of similarity). Every slot
+    * of the sketch and the estimate itself are oracle-recomputed;
+    * compare x20's HLL, which only a rows-check can cover. */
+  def x53(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleFunctions.md5_ngram_hashes
+    val grams = docs(s, dir).select(col("source"),
+      explode(md5_ngram_hashes(words(col("text")), 3)).as("h"))
+    Profile.kmvDistinctSketch(grams, "source", "h", k = 64)
+      .orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -658,6 +671,7 @@ object ExtensionQueries {
     "x50_salted_agg" -> (x50 _),
     "x51_semantic_dedup" -> (x51 _),
     "x52_quantized_centroids" -> (x52 _),
+    "x53_kmv_distinct_sketch" -> (x53 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1418,6 +1432,28 @@ object ExtensionQueries {
       """SELECT user_id, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // KMV replay: distinct gram md5-60s (the x37-proven hash contract),
+    // bottom-64 per source via the same (unique-key) hash order, and
+    // the estimate's double arithmetic is exact-operand on both sides.
+    "x53_kmv_distinct_sketch" ->
+      s"""WITH toks AS (SELECT source, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT source, ${wordNgramsSql(3)} AS g FROM toks),
+         |gh AS (
+         |  SELECT DISTINCT source AS grp, ${md5Hash60Sql("gram")} AS h
+         |  FROM (SELECT source, unnest(g) AS gram FROM ng) t),
+         |rk AS (SELECT grp, h,
+         |              row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+         |       FROM gh),
+         |sk AS (SELECT grp, count(*) AS n_min, max(h) AS kth
+         |       FROM rk WHERE rn <= 64 GROUP BY grp),
+         |ex AS (SELECT grp, count(*) AS exact_distinct FROM gh GROUP BY grp)
+         |SELECT s.grp AS source, s.n_min, s.kth,
+         |       CASE WHEN s.n_min < 64 THEN s.n_min
+         |            ELSE CAST(floor(63.0 * 1152921504606846976.0 / s.kth::DOUBLE) AS BIGINT)
+         |       END AS est_distinct,
+         |       e.exact_distinct
+         |FROM sk s JOIN ex e ON s.grp = e.grp ORDER BY source""".stripMargin,
 
     // Replays the x25 quantizer element-wise (floor(x·127/mx + .5)
     // clamped), then the exact integer per-dimension aggregation; the

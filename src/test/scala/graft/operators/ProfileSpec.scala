@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** KMV sketch semantics on hand-built hash sets where the estimate is
+  * derivable by hand; fixture-scale values are the oracle gate's job. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinctSketch: under-k group reports exact; over-k estimates from kth min") {
+    val rows =
+      (1L to 3L).map(h => ("small", h)) ++
+      (1L to 20L).map(h => ("big", h)) ++
+      Seq(("big", 5L)) // duplicate hash: deduped before ranking
+    val out = Profile.kmvDistinctSketch(
+        rows.toDF("source", "h"), "source", "h", k = 4)
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // big: bottom-4 = {1,2,3,4}, kth = 4, est = floor(3·2^60 / 4)
+    val estBig = math.floor(3.0 * 1152921504606846976.0 / 4.0).toLong
+    assert(out.toSeq == Seq(
+      ("big", 4L, 4L, estBig, 20L),
+      ("small", 3L, 3L, 3L, 3L))) // < k: sketch holds everything → exact
+  }
+
+  test("kmvDistinctSketch rejects degenerate k") {
+    intercept[IllegalArgumentException] {
+      Profile.kmvDistinctSketch(Seq(("a", 1L)).toDF("g", "h"), "g", "h", k = 1)
+    }
+  }
+}
