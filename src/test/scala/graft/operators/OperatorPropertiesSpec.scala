@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property checks for the round-6 operators: model equivalence and
+  * algebraic invariants on seeded random inputs (the fixture-scale
+  * values belong to the DuckDB oracle gate). */
+class OperatorPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int, seed: Long): List[A] =
+    Gen.listOfN(n, gen).apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+
+  // text that can embed PII-shaped fragments
+  private val piiTextGen: Gen[String] = for {
+    words <- Gen.listOfN(8, Gen.oneOf(
+      "alpha", "beta9", "x.y@mail.org", "10.0.0.255", "999999999123",
+      "1.2.3", "a@b", "plain", "42", "z9@q.co"))
+  } yield words.mkString(" ")
+
+  test("redactPii: matches a direct java.util.regex model and is idempotent") {
+    def model(t: String): (Int, Int, Int, String) = {
+      def count(s: String, p: String) =
+        p.r.findAllMatchIn(s).length
+      val (e, i, n) =
+        (TextAnalysis.EmailRe, TextAnalysis.Ipv4Re, TextAnalysis.LongNumRe)
+      val t1 = t.replaceAll(e, "<EMAIL>")
+      val t2 = t1.replaceAll(i, "<IP>")
+      val t3 = t2.replaceAll(n, "<NUM>")
+      (count(t, e), count(t1, i), count(t2, n), t3)
+    }
+    val in = samples(piiTextGen, 200, 7L).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = TextAnalysis.redactPii(in.toDF("doc_id", "text"))
+      .orderBy($"doc_id")
+      .as[(Long, Int, Int, Int, String)].collect()
+    got.zip(in).foreach { case ((_, ne, ni, nn, red), (_, t)) =>
+      val (me, mi, mn, mred) = model(t)
+      assert((ne, ni, nn, red) == (me, mi, mn, mred), s"input '$t'")
+      // idempotence: redacting redacted text changes nothing
+      assert(model(mred)._4 == mred, s"not idempotent on '$t'")
+    }
+  }
+
+  test("saltedCountSum: equals plain groupBy for arbitrary data and salt counts") {
+    val rowGen = for {
+      k <- Gen.choose(0L, 5L) // few keys → heavy collision/skew
+      v <- Gen.choose(-10000, 10000).map(_ / 100.0)
+    } yield (k, v)
+    for (nSalts <- Seq(1, 3, 16)) {
+      val rows = samples(rowGen, 500, nSalts.toLong)
+        .zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "k", "v")
+      val salted = Aggregates.saltedCountSum(rows, "k", "v", "id", nSalts)
+        .select($"k", $"n", $"sum_val".cast("string"))
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      val plain = rows.groupBy($"k")
+        .agg(count(lit(1)).as("n"),
+          sum($"v".cast("decimal(18,2)")).cast("string").as("s"))
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      // decimal partial sums re-associate exactly → string-identical
+      assert(salted.map(t => (t._1, t._2)) == plain.map(t => (t._1, t._2)))
+      assert(salted.zip(plain).forall { case (a, b) =>
+        BigDecimal(a._3) == BigDecimal(b._3) }, s"nSalts=$nSalts")
+    }
+  }
+
+  test("spanDedup: corpus of globally-unique spans removes nothing") {
+    // doc i's words are all prefixed with its id → no cross-doc span
+    val docs = (0L until 30L)
+      .map(i => (i, (0 until 25).map(w => s"w${i}_$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(docs, spanWords = 10, minDocDf = 2)
+      .agg(sum($"n_removed")).as[Long].collect().head
+    assert(out == 0L)
+  }
+
+  test("kmvDistinctSketch: invariants on random hash multisets") {
+    val k = 8
+    val hashGen = for {
+      g <- Gen.oneOf("a", "b", "c")
+      h <- Gen.choose(1L, 40L) // small space → heavy duplicates
+    } yield (g, h)
+    val rows = samples(hashGen, 300, 11L)
+    val expected = rows.distinct.groupBy(_._1).map { case (g, hs) =>
+      val ds = hs.map(_._2).distinct.sorted
+      val nMin = math.min(k, ds.length)
+      (g, (nMin.toLong, ds(nMin - 1), ds.length.toLong))
+    }
+    val got = Profile.kmvDistinctSketch(rows.toDF("g", "h"), "g", "h", k)
+      .as[(String, Long, Long, Long, Long)].collect()
+    got.foreach { case (g, nMin, kth, est, exact) =>
+      val (eMin, eKth, eExact) = expected(g)
+      assert((nMin, kth, exact) == (eMin, eKth, eExact), g)
+      if (exact < k) assert(est == exact, s"$g: under-k estimate must be exact")
+    }
+  }
+}

@@ -209,4 +209,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("list_id"), plan)
   }
+
+  test("x52: quantize is codegen'd (no interpreted HOF); agg is partial+final") {
+    val plan = physical(ExtensionQueries.x52(spark, sf001))
+    assert(!plan.contains("lambdafunction"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x53: sketch and exact count share ONE deduped hash frame (single distinct)") {
+    val plan = physical(ExtensionQueries.x53(spark, sf001))
+    // the localCheckpoint collapses the shared distinct into a scan —
+    // the gram explode + dedup must not appear once per consumer
+    assert(!plan.contains("CartesianProduct"), plan)
+    val explodes = "Generate explode".r.findAllIn(plan).length
+    assert(explodes <= 1, s"gram explode ran $explodes times:\n$plan")
+  }
 }
