@@ -62,7 +62,15 @@ object Profile {
       k: Int = 64): DataFrame = {
     require(k > 1, s"kmvDistinctSketch: k must be > 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val hashes = df.select(col(groupCol).as("grp"), col(hashCol).as("h"))
+    val space = 1152921504606846976L // 2^60
+    // enforce the hash-domain contract at execution: a full-range
+    // signed hash (xxhash64) would sort negatives first and turn the
+    // estimate into garbage silently — fail loudly instead
+    val checked = when(col(hashCol) >= 0 && col(hashCol) < space, col(hashCol))
+      .otherwise(raise_error(concat(
+        lit(s"kmvDistinctSketch: $hashCol outside [0, 2^60): "),
+        col(hashCol).cast("string"))))
+    val hashes = df.select(col(groupCol).as("grp"), checked.as("h"))
       .distinct()
       .localCheckpoint(true) // feeds the sketch AND the exact count
     val w = Window.partitionBy(col("grp")).orderBy(col("h"))
@@ -74,11 +82,11 @@ object Profile {
     val exact = hashes.groupBy(col("grp"))
       .agg(count(lit(1)).as("exact_distinct"))
     // 2^60 as an exact double; (k-1)·2⁶⁰ keeps ≤ 7 significant bits
-    val space = lit((k - 1).toDouble * 1152921504606846976.0)
+    val estSpace = lit((k - 1).toDouble * space.toDouble)
     sketch.join(exact, "grp")
       .select(col("grp").as(groupCol), col("n_min"), col("kth"),
         when(col("n_min") < k, col("n_min"))
-          .otherwise(floor(space / col("kth").cast("double")))
+          .otherwise(floor(estSpace / col("kth").cast("double")))
           .as("est_distinct"),
         col("exact_distinct"))
   }

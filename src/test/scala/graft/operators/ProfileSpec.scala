@@ -28,4 +28,16 @@ class ProfileSpec extends SparkSpec {
       Profile.kmvDistinctSketch(Seq(("a", 1L)).toDF("g", "h"), "g", "h", k = 1)
     }
   }
+
+  test("kmvDistinctSketch fails loudly on hashes outside [0, 2^60)") {
+    // a full-range signed hash (e.g. xxhash64) would silently corrupt
+    // the estimate — the domain guard must raise instead
+    val err = intercept[Exception] {
+      Profile.kmvDistinctSketch(
+        Seq(("a", -5L), ("a", 3L)).toDF("g", "h"), "g", "h", k = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("outside [0, 2^60)")), err)
+  }
 }

@@ -14,7 +14,11 @@ class TransformPropertiesSpec extends SparkSpec {
   import spark.implicits._
 
   private def samples[A](gen: Gen[A], n: Int, seed: Long): List[A] =
-    Gen.listOfN(n, gen).apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+    {
+    val got = Gen.listOfN(n, gen).apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+    assert(got.nonEmpty, "generator produced no samples - property would pass vacuously")
+    got
+  }
 
   private val cellGen: Gen[String] = for {
     core <- Gen.asciiPrintableStr
