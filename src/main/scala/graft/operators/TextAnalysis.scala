@@ -366,6 +366,105 @@ object TextAnalysis {
       .drop("__strata", "__th")
   }
 
+  /** Mixture upsampling toward stratum balance — the oversampling dual
+    * of [[temperatureResample]]: every stratum is inflated UP to the
+    * size of the largest one by emitting each row `floor(target/n)`
+    * times plus one extra copy for a deterministic hash-chosen
+    * `(target mod n)`-expected fraction of its rows. This is the
+    * "repeat rare sources for N epochs" mixture step of a pretraining
+    * data recipe, made reproducible: copy counts are a pure function of
+    * the row key and the stratum census, never of partition layout.
+    *
+    * The fractional gate is EXACT integer arithmetic — extra copy iff
+    * md5-60(key) mod n < target mod n — so there is no float rate to
+    * round and the oracle replays it verbatim (no 2²⁰ quantization as
+    * in the resample path).
+    *
+    * Scale: the census is one tiny agg broadcast back; the explode is
+    * map-side with per-row fan-out target/n (bounded by the stratum
+    * imbalance — the inflation IS the requested work). Output carries
+    * `copy_idx` (1-based) so downstream shuffles can re-salt copies of
+    * the same row apart. A NULL key gets the base copies but never the
+    * hash-gated extra (no deterministic hash exists for it). */
+  def mixtureUpsample(df: DataFrame, keyCol: String, strataCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val target = counts.agg(max(col("__n")).as("__t"))
+    val plan = counts.join(broadcast(target))
+      .select(col(strataCol).as("__strata"),
+        expr("__t div __n").as("__base"),
+        (col("__t") % col("__n")).as("__rem"),
+        col("__n"))
+    df.join(broadcast(plan), col(strataCol) <=> col("__strata"))
+      .withColumn("__copies",
+        (col("__base") + coalesce(
+          (pmod(md5Bucket60(col(keyCol)), col("__n")) < col("__rem")).cast("int"),
+          lit(0))).cast("int"))
+      .withColumn("copy_idx", explode(sequence(lit(1), col("__copies"))))
+      .drop("__strata", "__base", "__rem", "__n", "__copies")
+  }
+
+  /** Lexical nearest neighbor: each document's single most similar
+    * OTHER document by term-frequency cosine, the term space being
+    * word `ngram`-grams (unigrams degenerate on small-vocabulary
+    * corpora — every word is a stopword there), with corpus-common
+    * terms pruned (df · 100 > n_docs · maxDfPct ⇒ dropped) — the
+    * sparse bag-of-words sibling of the embedding top-k (x06), and the
+    * tf-weighted cosine complement of x04's set-semantics Jaccard. An
+    * inverted-index equi-join on the term replaces the cross join, so
+    * candidate work is Σ_term df² over RARE terms only; the df prune
+    * is what bounds that sum (the classic stopword cutoff — without it
+    * one ubiquitous term pairs every document with every other).
+    *
+    * Exactness contract: tfs, dot products and squared norms are
+    * integers; cos² = (dot·dot) / (na²·nb²) is ONE correctly-rounded
+    * double division of exact int→double operands (< 2^53 for any doc
+    * under ~10⁵ tokens) — bit-identical on any IEEE engine (the x34
+    * rule). Squaring preserves the cosine order (all values ≥ 0), so
+    * ranking by (cos² DESC, neighbor ASC) needs no square root; the
+    * UNROUNDED value ranks, only the output is rounded.
+    *
+    * Scale: tf and df are partial+final hash aggs; norms re-key tf by
+    * doc. The per-doc argmax runs on the candidate pair relation
+    * (bounded by the df prune), not the corpus. For web-scale corpora
+    * the banded-MinHash path (x47) is the recall-oriented alternative;
+    * this is the exact-scoring one. */
+  def lexicalTopNeighbor(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, maxDfPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokFrame(docs, idCol, textCol)
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleFunctions.ngram_strings(
+          col("__w"), ngram)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val nDocs = docs.select(count(lit(1)).as("__nd"))
+    val kept = tf.join(df, "term").join(broadcast(nDocs))
+      .filter(col("__df") * 100 <= col("__nd") * maxDfPct)
+      .select(col("doc_id"), col("term"), col("tf"))
+    val norms = kept.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val undirected = pairs.select(col("da"), col("db"), col("dot"))
+      .unionByName(pairs.select(col("db").as("da"), col("da").as("db"), col("dot")))
+    val scored = undirected
+      .join(norms.toDF("da", "na2"), "da")
+      .join(norms.toDF("db", "nb2"), "db")
+      .select(col("da").as("doc_id"), col("db").as("nn_id"), col("dot"),
+        ((col("dot") * col("dot")).cast("double") /
+          (col("na2") * col("nb2")).cast("double")).as("__c2"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__c2").desc, col("nn_id"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("nn_id"), col("dot").cast("long").as("dot"),
+        round(col("__c2"), 6).as("cos2"))
+  }
+
   /** First-failing-rule attrition report: every document is attributed
     * to the FIRST quality rule it fails (too_short → length_outlier →
     * repetitive → boilerplate → kept), and the output is the per-rule

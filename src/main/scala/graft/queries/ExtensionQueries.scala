@@ -618,6 +618,33 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  /** x54 mixture upsampling toward language balance: every language is
+    * inflated to the largest one's size — each doc repeated
+    * `floor(target/n)` times plus one hash-gated extra for the
+    * remainder fraction, the deterministic "repeat rare languages for
+    * k epochs" mixture step (the oversampling dual of x44's
+    * downsampling; `lang` is the skewed stratum — `source` is uniform
+    * by fixture construction). Copy counts are pure integer arithmetic
+    * (md5-60 mod n < target mod n — no float rate at all), so the
+    * oracle replays the census, the gate, and the fan-out verbatim,
+    * one row per emitted copy. */
+  def x54(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureUpsample(docs(s, dir), "doc_id", "lang")
+      .select(col("doc_id"), col("lang"), col("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+
+  /** x55 lexical nearest neighbor: per document, the most similar
+    * other document by integer term-frequency cosine over word
+    * 3-grams with the df > 10 % tail pruned — the sparse bag-of-words
+    * sibling of x06's embedding top-k and the tf-weighted complement
+    * of x04's set Jaccard, built on an inverted-index join instead of
+    * a cross join. dot/norms are exact integers; cos² is one
+    * correctly-rounded division, ranked unrounded (ties → lower
+    * neighbor id). */
+  def x55(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalTopNeighbor(docs(s, dir), ngram = 3, maxDfPct = 10)
+      .orderBy(col("doc_id"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -672,6 +699,8 @@ object ExtensionQueries {
     "x51_semantic_dedup" -> (x51 _),
     "x52_quantized_centroids" -> (x52 _),
     "x53_kmv_distinct_sketch" -> (x53 _),
+    "x54_mixture_upsample" -> (x54 _),
+    "x55_lexical_top_neighbor" -> (x55 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1584,5 +1613,53 @@ object ExtensionQueries {
          |SELECT funnel_stage, count(*) AS user_days FROM st
          |GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin
     },
+
+    // Copy counts replay the exact-integer census arithmetic (base =
+    // target // n, extra iff md5-60 mod n < target mod n); the
+    // unnest(generate_series) replays the per-copy fan-out row for row
+    // (DuckDB 1.0 rejects the lateral table-function form).
+    "x54_mixture_upsample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |tgt AS (SELECT max(n) AS mx FROM c),
+         |plan AS (SELECT lang, mx // n AS base, mx % n AS rem, n
+         |         FROM c CROSS JOIN tgt),
+         |k AS (SELECT d.doc_id, d.lang,
+         |             p.base + CASE WHEN ${md5Hash60Sql("CAST(doc_id AS STRING)")} % p.n < p.rem
+         |                           THEN 1 ELSE 0 END AS copies
+         |      FROM documents d JOIN plan p USING (lang))
+         |SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INT) AS copy_idx
+         |FROM k
+         |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // tf/df/norms/dot are exact integer aggregates over the SAME
+    // tokenizer + n-gram renderings as q29/x29; cos² is one int→double
+    // division (correctly rounded on both engines), ranked unrounded
+    // with the neighbor-id tiebreak.
+    "x55_lexical_top_neighbor" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |toks AS (SELECT doc_id, unnest(${wordNgramsSql(3, distinct = false)}) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |kept AS (SELECT tf.doc_id, tf.term, tf.tf
+         |         FROM tf JOIN dfq USING (term) CROSS JOIN nd
+         |         WHERE dfq.df * 100 <= nd.n * 10),
+         |norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM kept GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, SUM(a.tf * b.tf) AS dot
+         |          FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |und AS (SELECT da, db, dot FROM pairs
+         |        UNION ALL SELECT db AS da, da AS db, dot FROM pairs),
+         |scored AS (SELECT u.da AS doc_id, u.db AS nn_id, u.dot,
+         |                  (u.dot * u.dot)::DOUBLE / (na.n2 * nb.n2)::DOUBLE AS c2
+         |           FROM und u
+         |           JOIN norms na ON na.doc_id = u.da
+         |           JOIN norms nb ON nb.doc_id = u.db),
+         |r AS (SELECT doc_id, nn_id, dot, c2,
+         |             row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY c2 DESC, nn_id) AS rn
+         |      FROM scored)
+         |SELECT doc_id, nn_id, CAST(dot AS BIGINT) AS dot, round(c2, 6) AS cos2
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

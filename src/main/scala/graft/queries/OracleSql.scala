@@ -16,7 +16,8 @@ object OracleSql {
     * [[all]] must stay engine-portable. */
   val duckOnlyDialect: Set[String] = Set("q29_token_explode", "q32_string_agg",
     // 3-arg date_diff / date+int / strpos are DuckDB spellings
-    "q36_date_functions", "q37_string_functions", "q39_range_frame")
+    "q36_date_functions", "q37_string_functions", "q39_range_frame",
+    "q40_date_spine_gapfill")
 
   val all: Map[String, String] = Map(
     "q01_scan_project_sort" ->
@@ -283,5 +284,31 @@ object OracleSql {
         |             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d
         |      FROM orders) t
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // DuckDB's DATE + int is the date_add spelling; CAST(date AS VARCHAR)
+    // is ISO. The recursive spine and the decimal-until-the-end sum
+    // replay the engine's plan shape exactly.
+    "q40_date_spine_gapfill" ->
+      """WITH RECURSIVE spine(n) AS (
+        |  SELECT 0 UNION ALL SELECT n + 1 FROM spine WHERE n < 34
+        |),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY CAST(ts AS DATE)
+        |)
+        |SELECT CAST(DATE '2024-01-01' + n AS VARCHAR) AS d,
+        |       CAST(coalesce(cnt, 0) AS BIGINT) AS n_events,
+        |       CAST(coalesce(v, 0) AS DOUBLE) AS v
+        |FROM spine LEFT JOIN daily ON daily.day = DATE '2024-01-01' + n
+        |ORDER BY d""".stripMargin,
+
+    "q41_unpivot_long" ->
+      """SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retail' AS measure, CAST(p_retailprice AS DOUBLE) AS val
+        |FROM part
+        |ORDER BY p_partkey, measure""".stripMargin,
   )
 }

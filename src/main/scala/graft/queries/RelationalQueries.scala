@@ -495,6 +495,47 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Q40 recursive CTE date spine + gap-fill outer join: the recursive
+    * UNION ALL generates a 35-day calendar (2024-01-01 … 2024-02-04,
+    * deliberately past the January fixture window so the zero-filled
+    * gap rows are non-vacuous), left-joined to per-day event
+    * aggregates. The recursion is driver-cheap (35 single-column rows
+    * via UnionLoop); the only data-sized shuffle is the daily groupBy,
+    * and the spine side is broadcast into the join. Sums stay DECIMAL
+    * until one final cast (the q07 rule). */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("q40_events")
+    spark.sql(
+      """WITH RECURSIVE spine(n) AS (
+        |  SELECT 0 UNION ALL SELECT n + 1 FROM spine WHERE n < 34
+        |),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM q40_events GROUP BY CAST(ts AS DATE)
+        |)
+        |SELECT date_format(date_add(DATE'2024-01-01', n), 'yyyy-MM-dd') AS d,
+        |       CAST(coalesce(cnt, 0) AS BIGINT) AS n_events,
+        |       CAST(coalesce(v, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM spine LEFT JOIN daily ON daily.day = date_add(DATE'2024-01-01', n)
+        |ORDER BY d""".stripMargin)
+  }
+
+  /** Q41 unpivot (wide → long): two numeric part measures melted into
+    * (measure, val) rows — a pure narrow map (each input row emits one
+    * row per measure, no shuffle but the final sort). Measures are
+    * cast to DOUBLE before the melt so the long column has one type;
+    * the values are raw scan values (no arithmetic), so the hash gate
+    * sees identical doubles on both engines. */
+  def q41(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").cast("double").as("retail"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
+        "measure", "val")
+      .orderBy(col("p_partkey"), col("measure"))
+
   /** name → impl, in declaration order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_scan_project_sort" -> (q01 _),
@@ -536,5 +577,7 @@ object RelationalQueries {
     "q37_string_functions" -> (q37 _),
     "q38_set_ops_all" -> (q38 _),
     "q39_range_frame" -> (q39 _),
+    "q40_date_spine_gapfill" -> (q40 _),
+    "q41_unpivot_long" -> (q41 _),
   )
 }

@@ -136,6 +136,48 @@ class TextAnalysisSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("mixtureUpsample: strata inflate to the max, exact when n divides") {
+    val docs = ((0L until 4L).map((_, "en")) ++ (10L until 12L).map((_, "de")))
+      .toDF("doc_id", "lang")
+    val out = TextAnalysis.mixtureUpsample(docs, "doc_id", "lang")
+      .select("doc_id", "lang", "copy_idx").as[(Long, String, Int)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // en is the max stratum → one copy each; de (2 docs, target 4, rem 0)
+    // → exactly 2 contiguous copies each, no hash gate involved
+    (0L until 4L).foreach(d => assert(byDoc(d) == Seq(1)))
+    (10L until 12L).foreach(d => assert(byDoc(d) == Seq(1, 2)))
+  }
+
+  test("mixtureUpsample: fractional remainder is hash-gated, deterministic") {
+    val docs = ((0L until 5L).map((_, "en")) ++ (10L until 12L).map((_, "de")))
+      .toDF("doc_id", "lang")
+    def run() = TextAnalysis.mixtureUpsample(docs, "doc_id", "lang")
+      .select("doc_id", "copy_idx").as[(Long, Int)].collect().sorted.toSeq
+    val once = run()
+    // de: base = 5 div 2 = 2, remainder 1 → per-doc copies ∈ {2, 3},
+    // copy_idx contiguous from 1
+    val deCopies = once.filter(_._1 >= 10L).groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    deCopies.values.foreach(c => assert(c == Seq(1, 2) || c == Seq(1, 2, 3)))
+    assert(once == run())
+  }
+
+  test("lexicalTopNeighbor: integer cosine argmax with df prune") {
+    // unigram terms for hand-derivability; 'the' (df 3/3) is pruned at
+    // 70 %, the df-2 content words survive (200 ≤ 210)
+    val docs = Seq(
+      (1L, "the apple banana apple"),
+      (2L, "the apple banana"),
+      (3L, "the cherry cherry"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalTopNeighbor(docs, ngram = 1, maxDfPct = 70)
+      .select("doc_id", "nn_id", "dot", "cos2").as[(Long, Long, Long, Double)]
+      .collect().sortBy(_._1)
+    // d1·d2 = 2·1 + 1·1 = 3; cos² = 9 / (5·2) = 0.9; d3 shares no kept
+    // term with anyone and has no row
+    assert(out.toSeq == Seq((1L, 2L, 3L, 0.9), (2L, 1L, 3L, 0.9)))
+  }
+
   test("redactPii: sequential scrub, per-stage counts") {
     val out = TextAnalysis.redactPii(
         Seq((1L, "mail a.b@x.io and 10.0.0.1 acct 123456789 done"))

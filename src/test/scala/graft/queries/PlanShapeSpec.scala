@@ -225,4 +225,28 @@ class PlanShapeSpec extends SparkSpec {
     val explodes = "Generate explode".r.findAllIn(plan).length
     assert(explodes <= 1, s"gram explode ran $explodes times:\n$plan")
   }
+
+  test("x54: census broadcast onto a map-side explode; corpus never sort-merge joined") {
+    val plan = physical(ExtensionQueries.x54(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Generate explode"), plan)
+  }
+
+  test("x55: term equi-join candidates; argmax short-circuits via WindowGroupLimit") {
+    val plan = physical(ExtensionQueries.x55(spark, sf001))
+    // the only nested-loop join allowed is the 1-row doc-census
+    // broadcast (the x39 bounds pattern) — never a doc×doc cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    // rn=1 must compile to the partial+final WindowGroupLimit pushdown
+    // (each map task keeps one candidate per doc before the exchange)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q41: unpivot is a narrow expand — no shuffle besides the final sort") {
+    val plan = physical(RelationalQueries.q41(spark, sf001))
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected only the sort exchange:\n$plan")
+  }
 }
