@@ -88,6 +88,35 @@ object Streaming {
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
   }
 
+  /** Stream-stream interval join: match each `right` event to `left`
+    * events with the same key whose timestamp falls in
+    * [leftTs, leftTs + maxGap] — the attribution shape (click →
+    * purchase within the hour). Both sides carry watermarks, and the
+    * time-range predicate is part of the join condition, which is what
+    * lets StreamingSymmetricHashJoin EVICT buffered state: a left row
+    * expires once the right watermark passes its interval end, a right
+    * row once the left watermark passes its timestamp. Without the
+    * range bound both sides buffer forever — the unbounded-state trap
+    * of a bare stream-stream equi-join.
+    *
+    * Scale: state is partitioned by the join key across executors;
+    * per-key state size is bounded by (event rate × maxGap), so the
+    * knob that controls memory is the interval width, not stream
+    * length. Columns are prefixed l_/r_ so the two sides' ts columns
+    * stay distinguishable to the caller. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, watermark: String,
+      maxGap: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+      .select(left.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
+    val r = right.withWatermark(rightTs, watermark)
+      .select(right.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"r_$rightTs") >= col(s"l_$leftTs") &&
+        col(s"r_$rightTs") <= col(s"l_$leftTs") + expr(s"INTERVAL $maxGap"))
+  }
+
   /** Stateful change detection (streaming J2/A4): per key, emit a row
     * only when the payload differs from the last seen value — the
     * incremental form of the reference's per-run set-difference

@@ -112,6 +112,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 1L, "2024-01-01 12:00:00"))) // separate session
   }
 
+  test("intervalJoin: stream-stream attribution within the gap only") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().toDF("ts", "user_id"),
+      buys.toDF().toDF("ts", "user_id", "amount"),
+      key = "user_id", leftTs = "ts", rightTs = "ts",
+      watermark = "10 minutes", maxGap = "1 hour")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+
+    clicks.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+    buys.addData(
+      (ts("2024-01-01 10:30:00"), 1L, 5.0),  // within the hour → match
+      (ts("2024-01-01 12:00:00"), 2L, 7.0),  // 2h after the click → no match
+      (ts("2024-01-01 09:59:00"), 1L, 9.0))  // before the click → no match
+    q.processAllAvailable()
+    // advance both watermarks so evictable state is flushed (distinct
+    // keys — the probes must not match each other)
+    clicks.addData((ts("2024-01-01 14:00:00"), 98L))
+    buys.addData((ts("2024-01-01 14:00:00"), 99L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ij_out")
+      .select(col("l_user_id"), col("r_amount"))
+      .as[(Long, Double)].collect().toSet
+    assert(rows == Set((1L, 5.0)), rows)
+  }
+
   test("detectChanges: stateful created/updated/unchanged semantics") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Streaming.KeyedValue]
