@@ -17,7 +17,8 @@ object OracleSql {
   val duckOnlyDialect: Set[String] = Set("q29_token_explode", "q32_string_agg",
     // 3-arg date_diff / date+int / strpos are DuckDB spellings
     "q36_date_functions", "q37_string_functions", "q39_range_frame",
-    "q40_date_spine_gapfill")
+    // DATE + int / arg_min / bool_or are DuckDB spellings
+    "q40_date_spine_gapfill", "q42_map_functions")
 
   val all: Map[String, String] = Map(
     "q01_scan_project_sort" ->
@@ -310,5 +311,29 @@ object OracleSql {
         |SELECT p_partkey, 'retail' AS measure, CAST(p_retailprice AS DOUBLE) AS val
         |FROM part
         |ORDER BY p_partkey, measure""".stripMargin,
+
+    // The engine answers through map lookups; the oracle replays the
+    // same values relationally (orderkeys are unique per customer, so
+    // the map semantics collapse to arg_min / membership).
+    "q42_map_functions" ->
+      """SELECT o_custkey,
+        |       CAST(count(*) AS INT) AS n_orders,
+        |       arg_min(o_orderstatus, o_orderkey) AS first_status,
+        |       CAST(bool_or(o_orderkey = 1) AS INT) AS has_ok1
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q43_join_funnel_topk" ->
+      """SELECT l_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS STRING) AS odate,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
   )
 }

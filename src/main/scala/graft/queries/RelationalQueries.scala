@@ -536,6 +536,54 @@ object RelationalQueries {
         "measure", "val")
       .orderBy(col("p_partkey"), col("measure"))
 
+  /** Q42 MapType surface (SURVEY §1.2/§2.6 C13): per customer an
+    * orderkey→status map built with map_from_entries over collect_list
+    * — the open-records shape of the reference's optional JSON fields.
+    * collect_list order is partition-dependent, so the OUTPUTS are all
+    * order-free map lookups (size, element_at by the min key,
+    * map_contains_key), never the raw map: the declared result is
+    * deterministic even though the map's entry order is not. */
+  def q42(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        map_from_entries(collect_list(
+          struct(col("o_orderkey"), col("o_orderstatus")))).as("m"),
+        min(col("o_orderkey")).as("min_ok"))
+      .select(
+        col("o_custkey"),
+        size(col("m")).as("n_orders"),
+        element_at(col("m"), col("min_ok")).as("first_status"),
+        map_contains_key(col("m"), lit(1L)).cast("int").as("has_ok1"))
+      .orderBy(col("o_custkey"))
+
+  /** Q43 TPC-H Q3-shaped composite (shipping-priority): the classic
+    * 3-table join funnel with filters on every input, a decimal-exact
+    * revenue aggregate, and a top-10. All three filters sit on the
+    * scans (pushdown); customer is the small side after its segment
+    * filter (broadcast), the orders↔lineitem join shuffles on the
+    * order key; the top-10 compiles to TakeOrderedAndProject. Revenue
+    * stays DECIMAL through the multiply-sum (exact on both engines)
+    * and is cast to DOUBLE once. */
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1996-01-01 00:00:00").cast("timestamp")
+    val c = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** name → impl, in declaration order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_scan_project_sort" -> (q01 _),
@@ -579,5 +627,7 @@ object RelationalQueries {
     "q39_range_frame" -> (q39 _),
     "q40_date_spine_gapfill" -> (q40 _),
     "q41_unpivot_long" -> (q41 _),
+    "q42_map_functions" -> (q42 _),
+    "q43_join_funnel_topk" -> (q43 _),
   )
 }

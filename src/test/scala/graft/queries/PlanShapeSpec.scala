@@ -244,6 +244,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("q43: filters pushed on every scan; top-10 is TakeOrderedAndProject") {
+    val plan = physical(RelationalQueries.q43(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull("), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q41: unpivot is a narrow expand — no shuffle besides the final sort") {
     val plan = physical(RelationalQueries.q41(spark, sf001))
     val exchanges = "Exchange ".r.findAllIn(plan).length
