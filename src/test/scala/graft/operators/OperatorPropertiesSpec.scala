@@ -81,6 +81,73 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out == 0L)
   }
 
+  test("mixtureUpsample: census algebra holds on random strata") {
+    val rowGen = for {
+      lang <- Gen.oneOf("en", "de", "fr", "zh")
+    } yield lang
+    val rows = samples(rowGen, 400, 13L).zipWithIndex
+      .map { case (l, i) => (i.toLong, l) }
+    val census = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val target = census.values.max
+    val out = TextAnalysis.mixtureUpsample(rows.toDF("doc_id", "lang"),
+        "doc_id", "lang")
+      .select($"doc_id", $"lang", $"copy_idx").as[(Long, String, Int)]
+      .collect()
+    val byDoc = out.groupBy(_._1)
+    // every input row survives; copy_idx is contiguous from 1; per-doc
+    // copies ∈ {base, base+1}; per-stratum total ∈ [n·base, n·(base+1)]
+    assert(byDoc.keySet == rows.map(_._1).toSet)
+    byDoc.foreach { case (id, copies) =>
+      val lang = copies.head._2
+      val base = target / census(lang)
+      val idxs = copies.map(_._3).sorted.toSeq
+      assert(idxs == (1 to idxs.length), s"doc $id gaps: $idxs")
+      assert(idxs.length == base || idxs.length == base + 1, s"doc $id")
+    }
+    census.foreach { case (lang, n) =>
+      val emitted = out.count(_._2 == lang).toLong
+      val base = target / n
+      assert(emitted >= n * base && emitted <= n * (base + 1), lang)
+    }
+  }
+
+  test("lexicalTopNeighbor: matches a brute-force cosine model") {
+    // small vocab + short docs → dense overlaps; unigram terms keep the
+    // model simple and maxDfPct=100 disables the prune (model parity
+    // must not depend on it)
+    val docGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" "))
+    val docsL = samples(docGen, 60, 17L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    def tf(t: String): Map[String, Long] =
+      t.split("\\s+").filter(_.nonEmpty).groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+    val vecs = docsL.map { case (i, t) => i -> tf(t) }.filter(_._2.nonEmpty)
+    def c2(a: Map[String, Long], b: Map[String, Long]): (Long, Double) = {
+      val dot = a.keySet.intersect(b.keySet).toSeq.map(k => a(k) * b(k)).sum
+      val na2 = a.values.map(v => v * v).sum
+      val nb2 = b.values.map(v => v * v).sum
+      (dot, (dot * dot).toDouble / (na2 * nb2).toDouble)
+    }
+    val expect = vecs.flatMap { case (i, a) =>
+      val cands = vecs.filter(_._1 != i)
+        .map { case (j, b) => val (d, c) = c2(a, b); (j, d, c) }
+        .filter(_._2 > 0)
+      if (cands.isEmpty) None
+      else Some(i -> cands.minBy { case (j, _, c) => (-c, j) })
+    }.toMap
+    val got = TextAnalysis.lexicalTopNeighbor(
+        docsL.toDF("doc_id", "text"), ngram = 1, maxDfPct = 100)
+      .select($"doc_id", $"nn_id", $"dot", $"cos2")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (i, nn, dot, cos2) =>
+      val (en, ed, ec) = expect(i)
+      assert((nn, dot) == (en, ed), s"doc $i")
+      assert(math.abs(cos2 - ec) < 1e-6, s"doc $i cos2 $cos2 vs $ec")
+    }
+  }
+
   test("kmvDistinctSketch: invariants on random hash multisets") {
     val k = 8
     val hashGen = for {
