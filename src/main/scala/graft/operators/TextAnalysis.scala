@@ -416,12 +416,15 @@ object TextAnalysis {
     * one ubiquitous term pairs every document with every other).
     *
     * Exactness contract: tfs, dot products and squared norms are
-    * integers; cos² = (dot·dot) / (na²·nb²) is ONE correctly-rounded
-    * double division of exact int→double operands (< 2^53 for any doc
-    * under ~10⁵ tokens) — bit-identical on any IEEE engine (the x34
-    * rule). Squaring preserves the cosine order (all values ≥ 0), so
-    * ranking by (cos² DESC, neighbor ASC) needs no square root; the
-    * UNROUNDED value ranks, only the output is rounded.
+    * integers, each < 2^53 for any doc under ~10⁵ tokens, so their
+    * int→double casts are exact; cos² = (dot·dot) / (na²·nb²) is then
+    * two double multiplies and one division — three correctly-rounded
+    * IEEE ops, bit-identical on any engine (the x34 rule). The casts
+    * happen BEFORE the multiplies: squaring in int64 would overflow
+    * at dot ≥ 2^31.5, well inside the stated envelope. Squaring
+    * preserves the cosine order (all values ≥ 0), so ranking by
+    * (cos² DESC, neighbor ASC) needs no square root; the UNROUNDED
+    * value ranks, only the output is rounded.
     *
     * Scale: tf and df are partial+final hash aggs; norms re-key tf by
     * doc. The per-doc argmax runs on the candidate pair relation
@@ -454,8 +457,8 @@ object TextAnalysis {
       .join(norms.toDF("da", "na2"), "da")
       .join(norms.toDF("db", "nb2"), "db")
       .select(col("da").as("doc_id"), col("db").as("nn_id"), col("dot"),
-        ((col("dot") * col("dot")).cast("double") /
-          (col("na2") * col("nb2")).cast("double")).as("__c2"))
+        ((col("dot").cast("double") * col("dot").cast("double")) /
+          (col("na2").cast("double") * col("nb2").cast("double"))).as("__c2"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("__c2").desc, col("nn_id"))
     scored

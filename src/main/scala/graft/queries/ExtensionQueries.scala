@@ -638,9 +638,9 @@ object ExtensionQueries {
     * 3-grams with the df > 10 % tail pruned — the sparse bag-of-words
     * sibling of x06's embedding top-k and the tf-weighted complement
     * of x04's set Jaccard, built on an inverted-index join instead of
-    * a cross join. dot/norms are exact integers; cos² is one
-    * correctly-rounded division, ranked unrounded (ties → lower
-    * neighbor id). */
+    * a cross join. dot/norms are exact integers, cast exactly to
+    * double before squaring; cos² is three correctly-rounded IEEE
+    * ops, ranked unrounded (ties → lower neighbor id). */
   def x55(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lexicalTopNeighbor(docs(s, dir), ngram = 3, maxDfPct = 10)
       .orderBy(col("doc_id"))
@@ -1626,15 +1626,16 @@ object ExtensionQueries {
          |k AS (SELECT d.doc_id, d.lang,
          |             p.base + CASE WHEN ${md5Hash60Sql("CAST(doc_id AS STRING)")} % p.n < p.rem
          |                           THEN 1 ELSE 0 END AS copies
-         |      FROM documents d JOIN plan p USING (lang))
+         |      FROM documents d
+         |      JOIN plan p ON d.lang IS NOT DISTINCT FROM p.lang)
          |SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INT) AS copy_idx
          |FROM k
          |ORDER BY doc_id, copy_idx""".stripMargin,
 
     // tf/df/norms/dot are exact integer aggregates over the SAME
-    // tokenizer + n-gram renderings as q29/x29; cos² is one int→double
-    // division (correctly rounded on both engines), ranked unrounded
-    // with the neighbor-id tiebreak.
+    // tokenizer + n-gram renderings as q29/x29; cos² casts each factor
+    // to double BEFORE multiplying (the engine's overflow-safe form),
+    // ranked unrounded with the neighbor-id tiebreak.
     "x55_lexical_top_neighbor" ->
       s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
          |toks AS (SELECT doc_id, unnest(${wordNgramsSql(3, distinct = false)}) AS term FROM w),
@@ -1651,7 +1652,7 @@ object ExtensionQueries {
          |und AS (SELECT da, db, dot FROM pairs
          |        UNION ALL SELECT db AS da, da AS db, dot FROM pairs),
          |scored AS (SELECT u.da AS doc_id, u.db AS nn_id, u.dot,
-         |                  (u.dot * u.dot)::DOUBLE / (na.n2 * nb.n2)::DOUBLE AS c2
+         |                  (u.dot::DOUBLE * u.dot::DOUBLE) / (na.n2::DOUBLE * nb.n2::DOUBLE) AS c2
          |           FROM und u
          |           JOIN norms na ON na.doc_id = u.da
          |           JOIN norms nb ON nb.doc_id = u.db),
