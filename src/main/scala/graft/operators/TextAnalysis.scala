@@ -442,6 +442,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val nDocs = docs.select(count(lit(1)).as("__nd"))
+    // kept feeds three consumers (norms, both pair-join sides) — left
+    // UNmaterialized on purpose: the shared shuffle subtrees hit
+    // Spark's ReuseExchange, and an eager localCheckpoint measured
+    // ~40 % SLOWER at sf0.1 (it blocks pipelining for a frame that is
+    // cheap to recompute from the reused exchanges)
     val kept = tf.join(df, "term").join(broadcast(nDocs))
       .filter(col("__df") * 100 <= col("__nd") * maxDfPct)
       .select(col("doc_id"), col("term"), col("tf"))
