@@ -86,4 +86,19 @@ object CorpusPipeline {
     exact.unpersist()
     (cleaned, Report(input, afterQuality, afterLang, afterExact, afterNearDup))
   }
+
+  /** [[clean]] followed by deterministic mixture upsampling toward
+    * stratum balance ([[graft.operators.TextAnalysis.mixtureUpsample]])
+    * — the full "clean, then weight the mixture" recipe shape: dedup
+    * first so replicas are copies of UNIQUE documents, then inflate
+    * rare strata to the largest one's size. The balanced frame carries
+    * `copy_idx` (1-based per replica) for downstream salting; the
+    * report is [[clean]]'s (balancing multiplies rows deterministically
+    * — its census is readable off the output). */
+  def cleanAndBalance(docs: DataFrame, strataCol: String,
+      cfg: Config = Config()): (DataFrame, Report) = {
+    val (cleaned, report) = clean(docs, cfg)
+    (graft.operators.TextAnalysis.mixtureUpsample(cleaned, cfg.idCol, strataCol),
+      report)
+  }
 }

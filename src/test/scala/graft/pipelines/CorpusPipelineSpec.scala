@@ -41,6 +41,26 @@ class CorpusPipelineSpec extends SparkSpec {
     cleaned.unpersist()
   }
 
+  test("cleanAndBalance: post-dedup strata inflate toward the largest") {
+    val corpus = Seq(
+      (1L, "en", "completely unrelated text about database engines and query plans"),
+      (2L, "en", "another perfectly unique document about streaming watermarks here"),
+      (3L, "en", "a third unique english document mentioning partitions and shuffles"),
+      (4L, "en", "fourth unique english text about broadcast joins and skew salting"),
+      (10L, "de", "der Hund ist nicht mit der Katze im Haus aber es ist warm"),
+      (11L, "de", "die Sonne scheint heute hell und der Garten ist sehr ruhig"))
+      .toDF("doc_id", "lang", "text")
+    val (balanced, r) = CorpusPipeline.cleanAndBalance(corpus, "lang",
+      CorpusPipeline.Config(minQuality = 0.0, minTokens = 1))
+    assert(r.afterNearDup == 6, r)
+    // en is the max stratum (4): 1 copy each; de (2 of 4, rem 0):
+    // exactly 2 copies each → balanced census
+    val census = balanced.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(census == Map("en" -> 4L, "de" -> 4L), census)
+    assert(balanced.columns.contains("copy_idx"))
+  }
+
   test("language gate runs and drops before dedup") {
     val corpus = Seq(
       (1L, "the cat is on the mat and it is very warm in the house today"),
