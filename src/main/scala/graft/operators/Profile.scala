@@ -90,4 +90,44 @@ object Profile {
           .as("est_distinct"),
         col("exact_distinct"))
   }
+
+  /** Per-group z-scores from EXACT integer moments: each row's integer
+    * `valueCol` is scored against its group's mean/std as
+    *
+    *   z = (x·n − s) / (n · √((n·q − s²) / (n·(n−1))))
+    *
+    * where (n, s = Σx, q = Σx²) are exact BIGINT aggregates. The
+    * algebra keeps every difference an exact INTEGER (no catastrophic
+    * cancellation: n·q − s² is computed in int64, not as q − s²/n in
+    * floats), and the double math after the casts is one fixed
+    * expression tree of correctly-rounded IEEE ops — the same tree in
+    * the oracle yields the same bits, making outlier verdicts
+    * value-checkable, unlike a running-variance whose accumulation
+    * order floats. Groups with n < 2 or zero variance (exact integer
+    * test n·q = s²) get NULL z.
+    *
+    * Envelope: int64 products require |x| · n and √(n)·|x|² · n under
+    * 2^63 (e.g. counts < 2^20 with n < 2^20 groups are safe) — the
+    * count-shaped inputs this profiles. The casts to double are exact
+    * below 2^53.
+    *
+    * Scale: one partial+final hash agg for the moments (group-sized),
+    * broadcast back onto the row frame — the corpus never shuffles. */
+  def zScores(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val m = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"),
+        sum(col(valueCol) * col(valueCol)).as("__q"))
+    val nd = col("__n").cast("double")
+    val z = (col(valueCol) * col("__n") - col("__s")).cast("double") /
+      (nd * sqrt(
+        (col("__n") * col("__q") - col("__s") * col("__s")).cast("double") /
+          (nd * (nd - lit(1.0d)))))
+    df.join(broadcast(m), col(groupCol) <=> col("__g"))
+      .withColumn("z",
+        when(col("__n") < 2 ||
+          col("__n") * col("__q") === col("__s") * col("__s"),
+          lit(null).cast("double"))
+          .otherwise(z))
+      .drop("__g", "__n", "__s", "__q")
+  }
 }

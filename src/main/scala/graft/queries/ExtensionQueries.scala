@@ -645,6 +645,22 @@ object ExtensionQueries {
     TextAnalysis.lexicalTopNeighbor(docs(s, dir), ngram = 3, maxDfPct = 10)
       .orderBy(col("doc_id"))
 
+  /** x56 event-rate anomaly z-scores: per (event_type, day) counts
+    * scored against the type's own daily distribution — the
+    * volume-anomaly screen of a pipeline health check. Moments are
+    * exact BIGINTs; the z expression is the SAME fixed IEEE tree in
+    * both engines (Profile.zScores scaladoc), so the scores — not just
+    * the flags — are value-checked. */
+  def x56(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    Profile.zScores(daily, "event_type", "x")
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("x"), round(col("z"), 6).as("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -701,6 +717,7 @@ object ExtensionQueries {
     "x53_kmv_distinct_sketch" -> (x53 _),
     "x54_mixture_upsample" -> (x54 _),
     "x55_lexical_top_neighbor" -> (x55 _),
+    "x56_anomaly_zscore" -> (x56 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1662,5 +1679,25 @@ object ExtensionQueries {
          |      FROM scored)
          |SELECT doc_id, nn_id, CAST(dot AS BIGINT) AS dot, round(c2, 6) AS cos2
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // The z expression is the SAME fixed IEEE tree as Profile.zScores:
+    // exact integer moments (DuckDB's HUGEINT sums convert exactly to
+    // double below 2^53), integer differences BEFORE any division,
+    // zero-variance guarded by the exact n·q = s² test.
+    "x56_anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, SUM(x) AS s, SUM(x * x) AS q
+        |  FROM daily GROUP BY event_type)
+        |SELECT d.event_type, CAST(d.day AS STRING) AS day, d.x,
+        |       round(CASE WHEN m.n < 2 OR m.n * m.q = m.s * m.s THEN NULL
+        |                  ELSE (d.x * m.n - m.s)::DOUBLE /
+        |                       (m.n::DOUBLE * sqrt((m.n * m.q - m.s * m.s)::DOUBLE /
+        |                                           (m.n::DOUBLE * (m.n::DOUBLE - 1)))) END,
+        |             6) AS z
+        |FROM daily d JOIN m USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
   )
 }

@@ -29,6 +29,22 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("zScores: matches the exact-moment model; degenerate groups get NULL") {
+    // g1: x = 1,2,3 → mean 2, var 1, z = -1,0,1 exactly
+    // g2: constant → zero variance → NULL; g3: n = 1 → NULL
+    val rows = Seq(
+      ("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 7L), ("g2", 7L),
+      ("g3", 42L)).toDF("g", "x")
+    val out = Profile.zScores(rows, "g", "x")
+      .select($"g", $"x", $"z").as[(String, Long, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("g1", 1L, Some(-1.0)), ("g1", 2L, Some(0.0)), ("g1", 3L, Some(1.0)),
+      ("g2", 7L, None), ("g2", 7L, None),
+      ("g3", 42L, None)))
+  }
+
   test("kmvDistinctSketch fails loudly on hashes outside [0, 2^60)") {
     // a full-range signed hash (e.g. xxhash64) would silently corrupt
     // the estimate — the domain guard must raise instead

@@ -251,6 +251,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x56: moments broadcast back onto the daily frame; no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x56(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q41: unpivot is a narrow expand — no shuffle besides the final sort") {
     val plan = physical(RelationalQueries.q41(spark, sf001))
     val exchanges = "Exchange ".r.findAllIn(plan).length
