@@ -215,6 +215,47 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Incremental cross-corpus near-dup: which INCOMING documents are
+    * near-duplicates of an EXISTING corpus — the "don't re-ingest what
+    * we already have" gate of a continuously-crawled pipeline, the
+    * asymmetric sibling of [[ngramJaccardNearDup]]. Candidates must
+    * share a bottom-`prefixK` shingle hash across the two frames
+    * (same recall argument as the symmetric op), then exact Jaccard
+    * verifies against the corpus sketch.
+    *
+    * Scale: the corpus side is sketched once (8-byte hash arrays, ~3
+    * orders smaller than text) and joined by prefix hash — the classic
+    * shape where incoming ≪ corpus, so the candidate join's output is
+    * bounded by incoming × collision rate, never corpus². With a
+    * persisted corpus sketch table the corpus-side hashing cost
+    * disappears from the ingest path entirely.
+    *
+    * Output: (new_id, old_id, jaccard ≥ minJaccard). */
+  def crossNearDup(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, ngram: Int = 3, prefixK: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    def sketch(df: DataFrame): DataFrame =
+      materialize(ensureParallelism(df).select(
+          col(idCol).as("doc_id"),
+          array_sort(array_distinct(
+            ngram_hashes(words(col(textCol)), ngram))).as("hashes"))
+        .filter(size(col("hashes")) > 0))
+    val sIn = sketch(incoming)
+    val sOld = sketch(corpus)
+    def prefixes(sh: DataFrame, id: String) = sh.select(
+      col("doc_id").as(id), explode(slice(col("hashes"), 1, prefixK)).as(s"__ph_$id"))
+    val cand = prefixes(sIn, "new_id")
+      .join(prefixes(sOld, "old_id"),
+        col("__ph_new_id") === col("__ph_old_id"))
+      .select(col("new_id"), col("old_id")).distinct()
+    cand
+      .join(sIn.toDF("new_id", "sh_a"), "new_id")
+      .join(sOld.toDF("old_id", "sh_b"), "old_id")
+      .select(col("new_id"), col("old_id"),
+        round(sorted_jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Connected components over near-dup PAIRS → cluster ids: the step
     * that turns pairwise near-dup evidence into one-survivor-per-
     * cluster dedup decisions (pair relations are not transitive — a

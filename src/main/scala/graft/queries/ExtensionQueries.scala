@@ -661,6 +661,22 @@ object ExtensionQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** x57 incremental ingest dedup: documents with doc_id ≡ 0 (mod 10)
+    * play the incoming batch, the rest the standing corpus; emit every
+    * (new, old) near-dup pair at the x04 threshold — the asymmetric
+    * "is this already in the corpus" gate. Same sketch family, prefix
+    * filter and exact re-score as x04, so the oracle is the same
+    * brute-force inverted-index ground truth restricted to
+    * cross-split pairs. */
+  def x57(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.crossNearDup(
+        d.filter(pmod(col("doc_id"), lit(10)) === 0),
+        d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", ngram = 3, prefixK = 8, minJaccard = 0.2)
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -718,6 +734,7 @@ object ExtensionQueries {
     "x54_mixture_upsample" -> (x54 _),
     "x55_lexical_top_neighbor" -> (x55 _),
     "x56_anomaly_zscore" -> (x56 _),
+    "x57_ingest_dedup" -> (x57 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1699,5 +1716,26 @@ object ExtensionQueries {
         |             6) AS z
         |FROM daily d JOIN m USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+
+    // Brute-force cross-split pair ground truth over the SAME tokenizer
+    // and n-gram renderings as x04 — the prefix filter is recall-safe
+    // at this threshold (x04's argument), so the engine's filtered
+    // result equals the unfiltered inverted-index join.
+    "x57_ingest_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT doc_id, ${wordNgramsSql(3)} AS g FROM toks),
+         |ex AS (SELECT doc_id, len(g) AS sz, unnest(g) AS gram FROM ng WHERE len(g) > 0),
+         |ipairs AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS isz,
+         |         any_value(a.sz) AS sa, any_value(b.sz) AS sb
+         |  FROM ex a JOIN ex b ON a.gram = b.gram
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT new_id, old_id, jaccard FROM (
+         |  SELECT new_id, old_id,
+         |         round(isz::DOUBLE / (sa + sb - isz)::DOUBLE, 6) AS jaccard
+         |  FROM ipairs) t
+         |WHERE jaccard >= 0.2
+         |ORDER BY new_id, old_id""".stripMargin,
   )
 }

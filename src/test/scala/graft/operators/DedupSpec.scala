@@ -69,6 +69,28 @@ class DedupSpec extends SparkSpec {
     assert(!m.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("crossNearDup: cross-frame pairs only, direction fixed, both dup kinds found") {
+    // incoming 0 is an exact dup of corpus 1 and a near dup of corpus 2;
+    // incoming 10 matches nothing; corpus-internal dups (1 vs 2) and
+    // incoming-internal pairs must NOT appear
+    val incoming = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (10L, "entirely different content about streaming watermarks and state stores"))
+      .toDF("doc_id", "text")
+    val standing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely unrelated text about database engines and query optimization"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossNearDup(incoming, standing, "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.5)
+      .select($"new_id", $"old_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 2L)), out.toSeq)
+    assert(out(0)._3 == 1.0) // exact copy
+    assert(out(1)._3 < 1.0 && out(1)._3 >= 0.5)
+  }
+
   test("connectedComponents merges chains and keeps components apart") {
     // a-b and b-c connected WITHOUT an a-c edge (the non-transitive
     // case clustering exists for); d-e a separate component
