@@ -71,12 +71,17 @@ object Bench {
     val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","queries":$qsFull,"failed":$failedFull,"sf":"$sfDir"}"""
     // Full per-query detail: (a) an EARLIER stdout line (the driver only
     // parses the last one) and (b) BENCH_FULL.json in the repo, which the
-    // driver's end-of-round commit picks up for the judge.
+    // driver's end-of-round commit picks up for the judge. ONLY canonical
+    // runs may write the committed artifact: a SPARK_GRAFT_ONLY /
+    // SPARK_GRAFT_REPEAT dev run would silently clobber the full
+    // snapshot with a filtered or best-of-N one (it did, once).
     println(fullJson)
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (fullJson + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    if (only.isEmpty && repeat == 1) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+          (fullJson + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     // FINAL stdout line must stay well under 2000 chars: the driver
     // captures only the last 2000 chars of stdout and parses the last
     // line inside that window — rounds 1-4's single ~2.9 KB line was

@@ -188,17 +188,25 @@ object Dedup {
     * bottom-k prefix filter — any pair with Jaccard ≥ t shares a
     * bottom hash with high probability), then exact Jaccard verifies.
     * Output: (doc_a, doc_b, jaccard). */
-  def ngramJaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
-      ngram: Int = 3, prefixK: Int = 4, minJaccard: Double = 0.5): DataFrame = {
-    // Sketch = sorted distinct shingle-hash array; Jaccard over hashes
-    // equals Jaccard over shingles (collisions negligible at 64 bits)
-    // and shuffles 8-byte longs instead of repeated shingle strings.
-    // Cached: feeds the prefix explode and both verify joins.
-    val sh = materialize(ensureParallelism(docs).select(
+  /** Sorted distinct word-n-gram hash sketch (doc_id, hashes), empty
+    * docs dropped — THE one Scala rendering of the Jaccard sketch
+    * contract (its oracle twin is ExtensionQueries' gram CTEs; the two
+    * must change together), shared by the symmetric and cross-corpus
+    * near-dup ops. Jaccard over the hash arrays equals Jaccard over
+    * shingles (collisions negligible at 64 bits) and shuffles 8-byte
+    * longs instead of repeated shingle strings. Materialized: every
+    * caller fans it into ≥ 2 consumers (prefix explode + verify joins). */
+  private def ngramSketch(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int): DataFrame =
+    materialize(ensureParallelism(df).select(
         col(idCol).as("doc_id"),
         array_sort(array_distinct(
           ngram_hashes(words(col(textCol)), ngram))).as("hashes"))
       .filter(size(col("hashes")) > 0))
+
+  def ngramJaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, prefixK: Int = 4, minJaccard: Double = 0.5): DataFrame = {
+    val sh = ngramSketch(docs, idCol, textCol, ngram)
     val prefixes = sh.select(
       col("doc_id"),
       explode(slice(col("hashes"), 1, prefixK)).as("ph"))
@@ -234,14 +242,8 @@ object Dedup {
   def crossNearDup(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, ngram: Int = 3, prefixK: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
-    def sketch(df: DataFrame): DataFrame =
-      materialize(ensureParallelism(df).select(
-          col(idCol).as("doc_id"),
-          array_sort(array_distinct(
-            ngram_hashes(words(col(textCol)), ngram))).as("hashes"))
-        .filter(size(col("hashes")) > 0))
-    val sIn = sketch(incoming)
-    val sOld = sketch(corpus)
+    val sIn = ngramSketch(incoming, idCol, textCol, ngram)
+    val sOld = ngramSketch(corpus, idCol, textCol, ngram)
     def prefixes(sh: DataFrame, id: String) = sh.select(
       col("doc_id").as(id), explode(slice(col("hashes"), 1, prefixK)).as(s"__ph_$id"))
     val cand = prefixes(sIn, "new_id")

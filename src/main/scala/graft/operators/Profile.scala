@@ -114,8 +114,12 @@ object Profile {
     * Scale: one partial+final hash agg for the moments (group-sized),
     * broadcast back onto the row frame — the corpus never shuffles. */
   def zScores(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // n counts NON-NULL values (count(col)) to stay consistent with the
+    // null-skipping sums — count(*) would inflate n against s/q and
+    // silently mis-score every group containing a NULL; NULL-value rows
+    // themselves get NULL z through the arithmetic
     val m = df.groupBy(col(groupCol).as("__g"))
-      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"),
+      .agg(count(col(valueCol)).as("__n"), sum(col(valueCol)).as("__s"),
         sum(col(valueCol) * col(valueCol)).as("__q"))
     val nd = col("__n").cast("double")
     val z = (col(valueCol) * col("__n") - col("__s")).cast("double") /

@@ -94,11 +94,20 @@ object CorpusPipeline {
     * rare strata to the largest one's size. The balanced frame carries
     * `copy_idx` (1-based per replica) for downstream salting; the
     * report is [[clean]]'s (balancing multiplies rows deterministically
-    * — its census is readable off the output). */
+    * — its census is readable off the output).
+    *
+    * clean()'s cache is RELEASED before returning — the caller never
+    * sees that handle, so keeping it pinned would leak a post-dedup
+    * corpus copy in executor storage per call. The cost is one funnel
+    * recompute when the balanced frame is first acted on; callers who
+    * want to amortize several downstream actions should call [[clean]]
+    * directly and manage the cached frame themselves. */
   def cleanAndBalance(docs: DataFrame, strataCol: String,
       cfg: Config = Config()): (DataFrame, Report) = {
     val (cleaned, report) = clean(docs, cfg)
-    (graft.operators.TextAnalysis.mixtureUpsample(cleaned, cfg.idCol, strataCol),
-      report)
+    val balanced =
+      graft.operators.TextAnalysis.mixtureUpsample(cleaned, cfg.idCol, strataCol)
+    cleaned.unpersist()
+    (balanced, report)
   }
 }

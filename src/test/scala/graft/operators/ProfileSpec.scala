@@ -32,17 +32,23 @@ class ProfileSpec extends SparkSpec {
   test("zScores: matches the exact-moment model; degenerate groups get NULL") {
     // g1: x = 1,2,3 → mean 2, var 1, z = -1,0,1 exactly
     // g2: constant → zero variance → NULL; g3: n = 1 → NULL
+    // g4: [2, 2, NULL] — the NULL must not count into n (the data is
+    // constant → zero variance → NULL z), and the NULL row scores NULL
     val rows = Seq(
-      ("g1", 1L), ("g1", 2L), ("g1", 3L),
-      ("g2", 7L), ("g2", 7L),
-      ("g3", 42L)).toDF("g", "x")
+      ("g1", Some(1L)), ("g1", Some(2L)), ("g1", Some(3L)),
+      ("g2", Some(7L)), ("g2", Some(7L)),
+      ("g3", Some(42L)),
+      ("g4", Some(2L)), ("g4", Some(2L)), ("g4", Option.empty[Long]))
+      .toDF("g", "x")
     val out = Profile.zScores(rows, "g", "x")
-      .select($"g", $"x", $"z").as[(String, Long, Option[Double])]
-      .collect().sortBy(r => (r._1, r._2))
+      .select($"g", $"x", $"z").as[(String, Option[Long], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2.getOrElse(Long.MinValue)))
     assert(out.toSeq == Seq(
-      ("g1", 1L, Some(-1.0)), ("g1", 2L, Some(0.0)), ("g1", 3L, Some(1.0)),
-      ("g2", 7L, None), ("g2", 7L, None),
-      ("g3", 42L, None)))
+      ("g1", Some(1L), Some(-1.0)), ("g1", Some(2L), Some(0.0)),
+      ("g1", Some(3L), Some(1.0)),
+      ("g2", Some(7L), None), ("g2", Some(7L), None),
+      ("g3", Some(42L), None),
+      ("g4", None, None), ("g4", Some(2L), None), ("g4", Some(2L), None)))
   }
 
   test("kmvDistinctSketch fails loudly on hashes outside [0, 2^60)") {
