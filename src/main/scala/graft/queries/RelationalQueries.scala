@@ -584,6 +584,36 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** Q44 TPC-H Q5-shaped six-table join (local-supplier revenue): the
+    * join-order stress test — lineitem⋈orders⋈customer shuffle on
+    * their keys, supplier joins on BOTH l_suppkey and the
+    * c_nationkey = s_nationkey locality constraint, nation/region
+    * broadcast. This is the query where Catalyst's join reordering +
+    * AQE earn their keep at 100 TB; the engine declares the joins and
+    * lets the optimizer pick build sides. Revenue follows the q43
+    * decimal-exact rule. */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1997-01-01 00:00:00").cast("timestamp")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    t(spark, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
+      .select(col("n_name"), col("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** name → impl, in declaration order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_scan_project_sort" -> (q01 _),
@@ -629,5 +659,6 @@ object RelationalQueries {
     "q41_unpivot_long" -> (q41 _),
     "q42_map_functions" -> (q42 _),
     "q43_join_funnel_topk" -> (q43 _),
+    "q44_six_table_join" -> (q44 _),
   )
 }

@@ -258,6 +258,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q44: six-table join broadcasts the dims, no cartesian/BNLJ") {
+    val plan = physical(RelationalQueries.q44(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q41: unpivot is a narrow expand — no shuffle besides the final sort") {
     val plan = physical(RelationalQueries.q41(spark, sf001))
     val exchanges = "Exchange ".r.findAllIn(plan).length
