@@ -148,6 +148,29 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("crossNearDup: equals the symmetric pair relation restricted to cross-split pairs") {
+    // random docs over a tiny vocab → dense n-gram overlaps at a low
+    // threshold; split by parity
+    val docGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d"))
+      .map(_.mkString(" "))
+    val docsL = samples(docGen, 40, 19L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val even = docsL.filter($"doc_id" % 2 === 0)
+    val odd = docsL.filter($"doc_id" % 2 =!= 0)
+    val cross = Dedup.crossNearDup(even, odd, "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.3)
+      .select($"new_id", $"old_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val sym = Dedup.ngramJaccardNearDup(docsL, "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(cross == sym, s"cross=$cross sym=$sym")
+    assert(cross.nonEmpty, "vacuous: no cross-split near-dup pairs generated")
+  }
+
   test("kmvDistinctSketch: invariants on random hash multisets") {
     val k = 8
     val hashGen = for {
