@@ -103,10 +103,16 @@ object Streaming {
     * per-key state size is bounded by (event rate × maxGap), so the
     * knob that controls memory is the interval width, not stream
     * length. Columns are prefixed l_/r_ so the two sides' ts columns
-    * stay distinguishable to the caller. */
+    * stay distinguishable to the caller.
+    *
+    * joinType "left_outer" additionally emits each unmatched left row
+    * (null right columns) — but only once the watermark passes its
+    * interval end and eviction PROVES no match can arrive: outer
+    * results of a stream-stream join are inherently watermark-delayed,
+    * the price of never retracting. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, watermark: String,
-      maxGap: String): DataFrame = {
+      maxGap: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
       .select(left.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
     val r = right.withWatermark(rightTs, watermark)
@@ -114,7 +120,8 @@ object Streaming {
     l.join(r,
       col(s"l_$key") === col(s"r_$key") &&
         col(s"r_$rightTs") >= col(s"l_$leftTs") &&
-        col(s"r_$rightTs") <= col(s"l_$leftTs") + expr(s"INTERVAL $maxGap"))
+        col(s"r_$rightTs") <= col(s"l_$leftTs") + expr(s"INTERVAL $maxGap"),
+      joinType)
   }
 
   /** Stateful change detection (streaming J2/A4): per key, emit a row

@@ -143,6 +143,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 5.0)), rows)
   }
 
+  test("intervalJoin left_outer: unmatched clicks emit nulls after eviction") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().toDF("ts", "user_id"),
+      buys.toDF().toDF("ts", "user_id", "amount"),
+      key = "user_id", leftTs = "ts", rightTs = "ts",
+      watermark = "10 minutes", maxGap = "1 hour", joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_outer_out").start()
+
+    clicks.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+    buys.addData((ts("2024-01-01 10:30:00"), 1L, 5.0)) // user 1 converts; user 2 never
+    q.processAllAvailable()
+    // push both watermarks far past user 2's interval end so eviction
+    // proves no match and the outer row emits
+    clicks.addData((ts("2024-01-01 14:00:00"), 98L))
+    buys.addData((ts("2024-01-01 14:00:00"), 99L, 0.0))
+    q.processAllAvailable()
+    clicks.addData((ts("2024-01-01 18:00:00"), 96L))
+    buys.addData((ts("2024-01-01 18:00:00"), 97L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ij_outer_out")
+      .select(col("l_user_id"), col("r_amount"))
+      .as[(Long, Option[Double])].collect().toSet
+    assert(rows.contains((1L, Some(5.0))), rows)   // matched within the hour
+    assert(rows.contains((2L, None)), rows)        // unmatched → null after eviction
+    assert(!rows.contains((1L, None)), rows)       // matched rows don't also emit null
+  }
+
   test("detectChanges: stateful created/updated/unchanged semantics") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Streaming.KeyedValue]
