@@ -18,7 +18,10 @@ object OracleSql {
     // 3-arg date_diff / date+int / strpos are DuckDB spellings
     "q36_date_functions", "q37_string_functions", "q39_range_frame",
     // DATE + int / arg_min / bool_or are DuckDB spellings
-    "q40_date_spine_gapfill", "q42_map_functions")
+    "q40_date_spine_gapfill", "q42_map_functions",
+    // list_* lambda spellings are DuckDB-only (Spark: transform/filter/
+    // aggregate — exercised natively by RelationalQueries.q45)
+    "q45_array_lambdas")
 
   val all: Map[String, String] = Map(
     "q01_scan_project_sort" ->
@@ -348,5 +351,31 @@ object OracleSql {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // list lambdas mirror Spark's transform/filter/aggregate; the fold
+    // stays in integer space (order-insensitive sum of lengths) and the
+    // distinct list is sorted before joining, so both engines agree
+    // bit-for-bit.
+    "q45_array_lambdas" ->
+      """SELECT p_partkey,
+        |       CAST(len(string_split(p_name, ' ')) AS INT) AS nw,
+        |       CAST(coalesce(list_sum(list_transform(
+        |              list_filter(string_split(p_name, ' '),
+        |                          w -> length(w) > 4),
+        |              w -> length(w))), 0) AS BIGINT) AS chars_long,
+        |       array_to_string(list_sort(list_distinct(
+        |         string_split(p_name, ' '))), ',') AS uniq
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q46_correlated_scalar" ->
+      """SELECT c_custkey,
+        |       (SELECT count(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       (SELECT CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+        |               AS DOUBLE)
+        |        FROM orders o WHERE o.o_custkey = c.c_custkey) AS spend
+        |FROM customer c
+        |WHERE c_acctbal > 9000.0
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -614,6 +614,50 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Q45 higher-order array functions: split → filter(lambda) →
+    * transform(lambda) → aggregate(fold) → distinct/sort/join, all as
+    * codegen'd Catalyst lambda expressions — the Spark-native answer to
+    * per-row collection processing that would otherwise leak into UDFs
+    * (and out of whole-stage codegen). Everything stays in one narrow
+    * projection over the scan: no shuffle, no UDF, fully pushed
+    * column pruning. Integer-space fold keeps the hash stable. */
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("p_name"), " ")
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        size(ws).as("nw"),
+        aggregate(
+          transform(filter(ws, w => length(w) > 4), w => length(w)),
+          lit(0),
+          (acc, x) => acc + x).cast("long").as("chars_long"),
+        array_join(array_sort(array_distinct(ws)), ",").as("uniq"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Q46 correlated scalar subqueries (SELECT-list COUNT and SUM):
+    * written as the user would write them — correlated per-row — and
+    * decorrelated by Catalyst into outer aggregate-joins, which is the
+    * only execution shape that survives 100 TB (per-row re-execution
+    * of the inner query is the nested-loop trap the reference's
+    * O(n·m) catalog lookup falls into, SURVEY §2.3 J1). The COUNT
+    * branch exercises the null→0 on-empty rule the rewrite must
+    * preserve; SUM goes decimal-until-the-end. */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("q46_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("q46_orders")
+    spark.sql(
+      """SELECT c_custkey,
+        |       (SELECT count(*) FROM q46_orders o
+        |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |       (SELECT CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+        |               AS DOUBLE)
+        |        FROM q46_orders o WHERE o.o_custkey = c.c_custkey) AS spend
+        |FROM q46_customer c
+        |WHERE c_acctbal > 9000.0
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** name → impl, in declaration order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_scan_project_sort" -> (q01 _),
@@ -660,5 +704,7 @@ object RelationalQueries {
     "q42_map_functions" -> (q42 _),
     "q43_join_funnel_topk" -> (q43 _),
     "q44_six_table_join" -> (q44 _),
+    "q45_array_lambdas" -> (q45 _),
+    "q46_correlated_scalar" -> (q46 _),
   )
 }

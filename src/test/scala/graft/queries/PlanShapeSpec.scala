@@ -270,4 +270,29 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange ".r.findAllIn(plan).length
     assert(exchanges <= 1, s"expected only the sort exchange:\n$plan")
   }
+
+  test("q45: array lambdas stay a narrow codegen projection — no UDF, no shuffle " +
+    "besides the final sort, 2-column scan") {
+    val df = RelationalQueries.q45(spark, sf001)
+    val plan = physical(df)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected only the sort exchange:\n$plan")
+    // column pruning: only p_partkey + p_name are read
+    assert(plan.contains("ReadSchema: struct<p_partkey"), plan)
+    assert(!plan.contains("p_retailprice"), plan)
+  }
+
+  test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
+    "(no per-row subquery execution)") {
+    val plan = physical(RelationalQueries.q46(spark, sf001))
+    // both subqueries become outer-join shapes over a pre-aggregated
+    // orders side; a surviving per-row scalar-subquery node would show
+    // as Subquery/ScalarSubquery in the executed plan
+    assert(!plan.contains("ScalarSubquery"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Join"), plan)
+    // acctbal filter pushed to the customer scan
+    assert(plan.contains("GreaterThan(c_acctbal,9000"), plan)
+  }
 }
