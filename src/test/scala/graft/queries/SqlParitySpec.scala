@@ -25,4 +25,34 @@ class SqlParitySpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  // q46's declared impl IS spark.sql of the (portable) oracle text, so
+  // the generic loop above compares that string to itself — vacuous.
+  // The real double-entry check: the correlated form must match a
+  // hand-decorrelated aggregate-join built with the DataFrame API
+  // (pre-aggregate orders once, left-outer join, COUNT null→0).
+  test("q46: correlated form matches a hand-decorrelated aggregate-join") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 2)
+    val correlated = RelationalQueries.q46(spark, sf001).collect()
+      .map(_.toSeq.map(String.valueOf)).toSeq
+    val perCust = graft.Tables.load(spark, sf001, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(dec)).as("s"))
+    val decorrelated = graft.Tables.load(spark, sf001, "customer")
+      .filter(col("c_acctbal") > 9000.0)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("s"), lit(0).cast(dec)).cast("double").as("spend"))
+      .orderBy(col("c_custkey"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    assert(correlated == decorrelated,
+      s"correlated ${correlated.length} rows vs decorrelated " +
+        s"${decorrelated.length}; first diff " +
+        correlated.zip(decorrelated).find(p => p._1 != p._2))
+  }
 }
