@@ -52,6 +52,24 @@ object Streaming {
       }
       .start()
 
+  /** Stream-static enrichment join: each micro-batch of the stream is
+    * joined against a (small) static dimension frame — the streaming
+    * form of the reference's agency→catalog lookup (J1,
+    * publish_to_catalog.py:503-513). Stateless: unlike a stream-stream
+    * join there is no watermark and no state store — the static side
+    * is re-read per micro-batch, which is also what picks up dimension
+    * updates between batches.
+    *
+    * Scale: the dimension broadcasts (explicit hint), so the stream
+    * side keeps its source partitioning and never shuffles; left-outer
+    * keeps stream rows whose key is missing from the dimension (null
+    * enrichment columns — the dead-letter pattern, F6). A dimension
+    * too large to broadcast would instead be bucketed/key-partitioned
+    * storage so each micro-batch joins co-located. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), joinType)
+
   /** Tumbling/sliding event-time aggregation with a watermark: the
     * batch-checkable shape is Q21; this is the streaming form. */
   def windowedCounts(events: DataFrame, tsCol: String, watermark: String,

@@ -196,4 +196,27 @@ class StreamingSpec extends SparkSpec {
     assert(byKind("updated") == Set(("k1", "b")))
     assert(rows.length == 3)
   }
+
+  test("enrich: stream-static left-outer keeps unmatched rows with null dims") {
+    implicit val sc = spark.sqlContext
+    val events = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "segment")
+    val enriched = Streaming.enrich(
+      events.toDF().toDF("user_id", "amount"), dim, "user_id")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+
+    events.addData((1L, 10.0), (3L, 7.0)) // user 3 has no dimension row
+    q.processAllAvailable()
+    events.addData((2L, 5.0)) // second micro-batch re-joins the static side
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("enrich_out")
+      .select(col("user_id"), col("amount"), col("segment"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) "NULL" else r.getString(2))).toSet
+    assert(rows == Set(
+      (1L, 10.0, "GOLD"), (3L, 7.0, "NULL"), (2L, 5.0, "SILVER")), rows)
+  }
 }
