@@ -38,8 +38,33 @@ object CatalogPipeline {
     org.apache.spark.sql.types.StructField("action", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("detail", org.apache.spark.sql.types.StringType)))
 
+  /** Runs the pipeline and ALWAYS appends a run-ledger row — the
+    * reference's `Main` wraps every mode and logs
+    * `run_successful: False` with the error on failure
+    * (publish_to_catalog.py:600-608); mirrored here so the first bad
+    * run still leaves an audit trail. Rethrows after logging. */
   def run(spark: SparkSession, ep: Endpoints, makePublic: Boolean = false,
-      parallelism: Int = 8): DataFrame = {
+      parallelism: Int = 8): DataFrame =
+    try {
+      // Eager materialization: the per-agency revision protocol is a
+      // side-effecting stage, so it must run EXACTLY once — inside this
+      // call — not once per downstream action on the returned frame.
+      val changelog = doRun(spark, ep, makePublic, parallelism).localCheckpoint(true)
+      val summary = changelog.collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+      Http.appendLogRow(ep.logUrl, java.time.LocalDate.now().toString,
+        successful = true, s"mode=catalog $summary")
+      changelog
+    } catch {
+      case e: Exception =>
+        Http.appendLogRow(ep.logUrl, java.time.LocalDate.now().toString,
+          successful = false,
+          s"mode=catalog error=${e.getClass.getSimpleName}: ${e.getMessage}")
+        throw e
+    }
+
+  private def doRun(spark: SparkSession, ep: Endpoints, makePublic: Boolean,
+      parallelism: Int): DataFrame = {
 
     // network boundary #1+#2 (SURVEY §3.1): catalog once, agencies filtered
     val catalog = Http.readJsonResource(spark, ep.catalogUrl)
@@ -110,11 +135,37 @@ object CatalogPipeline {
   */
 object StopsPipeline {
 
+  /** Run summary plus the per-feed changelog — the reference records
+    * per-feed outcomes in changelog dicts during
+    * `updateTransitStopDataset` (publish_to_catalog.py:356-365);
+    * `changelog` rows are (feed_id, action, detail) with actions
+    * `dead` (bad URL / failed fetch), `empty` (zip had no stops rows)
+    * and `parsed` (detail carries upserted/rejected counts). */
   final case class RunReport(
       upserted: Long, rejected: Long, deleted: Long,
-      deadFeeds: Long, responses: Seq[String])
+      deadFeeds: Long, responses: Seq[String],
+      changelog: Seq[(String, String, String)])
 
-  def run(spark: SparkSession, ep: Endpoints): RunReport = {
+  /** Always-log wrapper (reference publish_to_catalog.py:600-608):
+    * a failure mid-run still appends `run_successful: false` + the
+    * error to the K4 ledger, then rethrows. */
+  def run(spark: SparkSession, ep: Endpoints): RunReport =
+    try {
+      val report = doRun(spark, ep)
+      Http.appendLogRow(ep.logUrl,
+        java.time.LocalDate.now().toString, successful = true,
+        s"upserted=${report.upserted} rejected=${report.rejected} " +
+          s"deleted=${report.deleted} dead_feeds=${report.deadFeeds}")
+      report
+    } catch {
+      case e: Exception =>
+        Http.appendLogRow(ep.logUrl,
+          java.time.LocalDate.now().toString, successful = false,
+          s"error=${e.getClass.getSimpleName}: ${e.getMessage}")
+        throw e
+    }
+
+  private def doRun(spark: SparkSession, ep: Endpoints): RunReport = {
     import spark.implicits._
 
     // catalog → F1 tag filter → C6 URL extract → F3 validation
@@ -127,10 +178,23 @@ object StopsPipeline {
       .filter(col("feed_id") =!= "")
       .withColumn("url_ok", StopsTransforms.urlIsValid(col("url")))
 
-    // S3: executor-side fetch; invalid URLs and dead fetches → dead letters
+    // S3: executor-side fetch; invalid URLs and dead fetches → dead
+    // letters. `localCheckpoint(eager)` materializes the side-effecting
+    // HTTP stage EXACTLY once — every downstream branch (dead-feed
+    // audit, unzip/parse, counts) reads the stored partitions instead
+    // of re-downloading every agency zip. Feeds are catalog-scale
+    // (thousands of rows, MB-sized zips), so holding them on the
+    // executors is cheap relative to refetching.
     val fetched = Http.fetchUrls(feeds.filter(col("url_ok")).drop("url_ok"), "url")
-    val deadFeeds = feeds.filter(!col("url_ok")).count() +
-      fetched.filter(col("fetch_error").isNotNull).count()
+      .localCheckpoint(true)
+    // control-plane collects: one row per feed, never per stop
+    val deadUrlFeeds = feeds.filter(!col("url_ok"))
+      .select("feed_id").as[String].collect().sorted
+    val deadFetches = fetched.filter(col("fetch_error").isNotNull)
+      .select("feed_id", "fetch_error").as[(String, String)].collect().sortBy(_._1)
+    val fetchedOkFeeds = fetched.filter(col("fetch_error").isNull)
+      .select("feed_id").as[String].collect().toSet
+    val deadFeeds = deadUrlFeeds.length.toLong + deadFetches.length
 
     // S4: zip → stops.txt text per feed
     val stopsText = fetched.filter(col("fetch_error").isNull)
@@ -163,31 +227,45 @@ object StopsPipeline {
     }.toDF("feed_id", "stop_name", "stop_lat", "stop_lon",
       "stop_id", "stop_code", "zone_id", "location_type")
 
-    // P3 + F6: derive output columns, split valid/reject
-    val (valid, invalid) = StopsTransforms.splitValid(StopsTransforms.makeStopRows(raw))
-    val validC = valid.cache()
-    val upsertRows = validC.count()
-    val rejected = invalid.count()
+    // P3 + F6: flag rows once, then ONE aggregation pass yields both
+    // the per-feed changelog and the upsert/reject totals — the
+    // valid/invalid channels and all counts hang off this cached frame,
+    // so the unzip+parse lineage evaluates once, not three times.
+    val flagged = StopsTransforms.makeStopRows(raw).cache()
+    val perFeed = flagged.groupBy(col("feed_id"))
+      .agg(count_if(col("valid")).as("n_valid"),
+        count_if(!col("valid")).as("n_invalid"))
+      .orderBy(col("feed_id"))
+      .as[(String, Long, Long)].collect()
+    val upsertRows = perFeed.iterator.map(_._2).sum
+    val rejected = perFeed.iterator.map(_._3).sum
 
-    // K1: bulk upsert
-    val upsertResp = Http.csvUpsertSink(validC, ep.stopsUpsertUrl)
+    val (valid, _) = StopsTransforms.splitValid(flagged)
+
+    // K1: bulk upsert (reads the cached flagged frame)
+    val upsertResp = Http.csvUpsertSink(valid, ep.stopsUpsertUrl)
 
     // J2 + K2: delete detection against the live table, then delete
     val existing = Http.readJsonResource(spark, ep.stopsQueryUrl)
       .select(col("feed_id_stop_id"))
-    val dels = CatalogTransforms.deleteSet(existing, validC, "feed_id_stop_id").cache()
+    val dels = CatalogTransforms.deleteSet(existing, valid, "feed_id_stop_id").cache()
     val deleted = dels.count()
     val delResp = if (deleted > 0)
       Http.jsonDeleteSink(dels, "feed_id_stop_id", ep.stopsUpsertUrl) else Array.empty[(Int, String)]
 
-    // K4: ledger
+    // A2: per-feed changelog (reference publish_to_catalog.py:356-365)
+    val parsedFeeds = perFeed.iterator.map(_._1).toSet
+    val changelog =
+      (deadUrlFeeds.iterator.map(f => (f, "dead", "invalid_url")) ++
+        deadFetches.iterator.map { case (f, err) => (f, "dead", err) } ++
+        (fetchedOkFeeds -- parsedFeeds).iterator.toSeq.sorted
+          .map(f => (f, "empty", "no_stops_rows")) ++
+        perFeed.iterator.map { case (f, v, i) =>
+          (f, "parsed", s"upserted=$v rejected=$i") }).toSeq.sortBy(t => (t._1, t._2))
+
     val report = RunReport(upsertRows, rejected, deleted, deadFeeds,
-      (upsertResp ++ delResp).map(r => s"${r._1}: ${r._2}").toSeq)
-    Http.appendLogRow(ep.logUrl,
-      java.time.LocalDate.now().toString, successful = true,
-      s"upserted=${report.upserted} rejected=${report.rejected} " +
-        s"deleted=${report.deleted} dead_feeds=${report.deadFeeds}")
-    validC.unpersist(); dels.unpersist()
+      (upsertResp ++ delResp).map(r => s"${r._1}: ${r._2}").toSeq, changelog)
+    flagged.unpersist(); dels.unpersist()
     report
   }
 }

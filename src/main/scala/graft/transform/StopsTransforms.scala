@@ -89,6 +89,7 @@ object StopsTransforms {
     val ltOk = locationTypeValid(
       if (stops.columns.contains("location_type")) col("location_type") else lit(""))
     stops.select(
+      col("feed_id"),
       concat(col("feed_id"), lit("_"), optCol("stop_id")).as("feed_id_stop_id"),
       optCol("stop_code").as("stop_code"),
       stripQuotesWs(col("stop_name")).as("stop_name"),
@@ -104,8 +105,9 @@ object StopsTransforms {
   }
 
   /** F6 — valid/invalid dead-letter split (publish_to_catalog.py:
-    * 338-342): one pass, two filtered channels. */
+    * 338-342): one pass, two filtered channels. `feed_id` is a
+    * changelog-only column — it never reaches the upsert CSV. */
   def splitValid(rows: DataFrame): (DataFrame, DataFrame) =
-    (rows.filter(col("valid")).drop("valid", "reason"),
-     rows.filter(!col("valid")).drop("valid"))
+    (rows.filter(col("valid")).drop("valid", "reason", "feed_id"),
+     rows.filter(!col("valid")).drop("valid", "feed_id"))
 }

@@ -59,6 +59,22 @@ class PipelinesSpec extends SparkSpec {
       val uploads = stub.received("/api/upload")
       assert(uploads.exists(u => new String(u.body).contains("GTFS_PLACEHOLDER") ||
         u.body.length < 300)) // placeholder is tiny
+      // ledger row appended with the per-action summary
+      val log = stub.received("/log")
+      assert(log.size == 1, log)
+      assert(log.head.bodyString.contains("\"run_successful\": true"))
+      assert(log.head.bodyString.contains("mode=catalog"))
+    } finally stub.stop()
+  }
+
+  test("CatalogPipeline: failure still appends run_successful=false ledger row") {
+    val (stub, ep) = newStub()
+    try {
+      val broken = ep.copy(catalogUrl = stub.url("/nope/catalog.json"))
+      intercept[Exception] { CatalogPipeline.run(spark, broken) }
+      val log = stub.received("/log")
+      assert(log.size == 1, log)
+      assert(log.head.bodyString.contains("\"run_successful\": false"))
     } finally stub.stop()
   }
 
@@ -86,6 +102,28 @@ class PipelinesSpec extends SparkSpec {
       // ledger row appended
       val log = stub.received("/log")
       assert(log.size == 1 && log.head.bodyString.contains("\"run_successful\": true"))
+      // the side-effecting fetch stage ran EXACTLY once per feed —
+      // no re-download from downstream counts (VERDICT r6 finding #1)
+      assert(stub.received("/zips/feedA.zip").size == 1)
+      assert(stub.received("/zips/feedB.zip").size == 1)
+      assert(stub.received("/zips/missing.zip").size == 1)
+      // per-feed changelog (reference publish_to_catalog.py:356-365)
+      val changelog = report.changelog.map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(changelog("feedA") == (("parsed", "upserted=3 rejected=2")), report.changelog)
+      assert(changelog("feedB") == (("parsed", "upserted=2 rejected=0")), report.changelog)
+      assert(changelog("feedD") == (("dead", "http_404")), report.changelog)
+    } finally stub.stop()
+  }
+
+  test("StopsPipeline: failure mid-run still appends run_successful=false ledger row") {
+    val (stub, ep) = newStub()
+    try {
+      // existing-stops query endpoint vanishes → exception after upsert
+      val broken = ep.copy(stopsQueryUrl = stub.url("/stops/nope.json"))
+      intercept[Exception] { StopsPipeline.run(spark, broken) }
+      val log = stub.received("/log")
+      assert(log.size == 1, log)
+      assert(log.head.bodyString.contains("\"run_successful\": false"))
     } finally stub.stop()
   }
 }
