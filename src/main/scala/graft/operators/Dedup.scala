@@ -227,9 +227,19 @@ object Dedup {
     * near-duplicates of an EXISTING corpus — the "don't re-ingest what
     * we already have" gate of a continuously-crawled pipeline, the
     * asymmetric sibling of [[ngramJaccardNearDup]]. Candidates must
-    * share a bottom-`prefixK` shingle hash across the two frames
-    * (same recall argument as the symmetric op), then exact Jaccard
-    * verifies against the corpus sketch.
+    * share a bottom-`prefixK` shingle hash across the two frames,
+    * then exact Jaccard verifies against the corpus sketch.
+    *
+    * Recall bound (same argument as the symmetric op, stated here
+    * because this op gates INGEST, where a miss silently re-admits a
+    * duplicate): each of a doc's bottom-`prefixK` hashes lands in the
+    * pair's intersection with probability ≈ its Jaccard J, so a true
+    * pair at exactly `minJaccard` is missed with probability ≤
+    * (1 − minJaccard)^prefixK — ~0.4% at the (0.5, 8) defaults but
+    * ~17% at (0.2, 8). The filter is NOT recall-safe for arbitrary
+    * thresholds: when lowering `minJaccard`, raise `prefixK` to match
+    * ([[prefixKFor]] computes the k that keeps the miss probability
+    * under a chosen ε).
     *
     * Scale: the corpus side is sketched once (8-byte hash arrays, ~3
     * orders smaller than text) and joined by prefix hash — the classic
@@ -256,6 +266,18 @@ object Dedup {
       .select(col("new_id"), col("old_id"),
         round(sorted_jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Smallest `prefixK` whose bottom-k prefix filter misses a true
+    * pair at Jaccard = `minJaccard` with probability ≤ `epsilon`:
+    * ⌈ln ε / ln(1 − minJaccard)⌉. E.g. (0.5, 1%) → 7; (0.2, 1%) → 21.
+    * Larger k only widens the candidate join (more prefix hashes per
+    * doc), never changes verified output — the exact-Jaccard rescore
+    * is the precision gate. */
+  def prefixKFor(minJaccard: Double, epsilon: Double = 0.01): Int = {
+    require(minJaccard > 0 && minJaccard < 1, s"minJaccard in (0,1): $minJaccard")
+    require(epsilon > 0 && epsilon < 1, s"epsilon in (0,1): $epsilon")
+    math.ceil(math.log(epsilon) / math.log1p(-minJaccard)).toInt.max(1)
   }
 
   /** Connected components over near-dup PAIRS → cluster ids: the step

@@ -96,18 +96,23 @@ object CorpusPipeline {
     * report is [[clean]]'s (balancing multiplies rows deterministically
     * — its census is readable off the output).
     *
-    * clean()'s cache is RELEASED before returning — the caller never
-    * sees that handle, so keeping it pinned would leak a post-dedup
-    * corpus copy in executor storage per call. The cost is one funnel
-    * recompute when the balanced frame is first acted on; callers who
-    * want to amortize several downstream actions should call [[clean]]
-    * directly and manage the cached frame themselves. */
+    * clean()'s cache handle is not exposed to the caller, so it is
+    * released here — but only AFTER eagerly checkpointing the cleaned
+    * frame off that cache. mixtureUpsample evaluates its input three
+    * times on the first downstream action (the stratum-census and
+    * target broadcasts plus the main scan); without materialization
+    * each of those would recompute the whole quality/lang/dedup funnel.
+    * With it the funnel runs exactly once per pipeline invocation and
+    * every census/balance pass reads stored partitions. The
+    * checkpointed blocks are the post-dedup corpus — the frame the
+    * caller asked for — and are freed when the returned frame is GC'd. */
   def cleanAndBalance(docs: DataFrame, strataCol: String,
       cfg: Config = Config()): (DataFrame, Report) = {
     val (cleaned, report) = clean(docs, cfg)
-    val balanced =
-      graft.operators.TextAnalysis.mixtureUpsample(cleaned, cfg.idCol, strataCol)
+    val cleanedM = cleaned.localCheckpoint(true) // reads the still-warm cache
     cleaned.unpersist()
+    val balanced =
+      graft.operators.TextAnalysis.mixtureUpsample(cleanedM, cfg.idCol, strataCol)
     (balanced, report)
   }
 }

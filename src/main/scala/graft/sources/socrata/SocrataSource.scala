@@ -88,11 +88,31 @@ class SocrataTable(tableSchema: StructType, url: String, pageSize: Int, numParti
   /** K1 as a first-class DSv2 batch write (SURVEY §2.1: the "long-term
     * DSv2 batch write" the reference's POST loop maps to):
     * `df.write.format("graft.sources.socrata").option("url", …)
-    * .mode("append").save()` routes each task's rows through a
-    * buffered CSV upsert POST. Append-only by design — Socrata upsert
-    * IS the merge; there is no truncate. */
+    * .option("rowIdentifier", "<key col>").mode("append").save()`
+    * routes each task's rows through a buffered CSV upsert POST.
+    * Append-only by design — Socrata upsert IS the merge; there is no
+    * truncate.
+    *
+    * The write path's task-retry safety rests ENTIRELY on the target
+    * dataset having a row identifier (see [[SocrataBatchWrite]]), so
+    * the caller must attest to it: declare the key column with
+    * `.option("rowIdentifier", …)` (it must be one of the written
+    * columns), or explicitly accept duplicate risk on retry/speculation
+    * with `.option("unsafeNonIdempotentWrites", "true")`. An id-less
+    * dataset with neither option fails at PLAN time instead of
+    * silently duplicating already-landed batches. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     CsvRows.validateWriteSchema(info.schema()) // CSV carries atomics only
+    val rowId = Option(info.options.get("rowIdentifier")).filter(_.nonEmpty)
+    val unsafe = info.options.getBoolean("unsafeNonIdempotentWrites", false)
+    require(rowId.isDefined || unsafe,
+      "socrata sink: a retried or speculated task re-POSTs its batches, which only " +
+        "collapses safely when the target dataset has a row identifier. Declare it with " +
+        ".option(\"rowIdentifier\", \"<key column>\"), or accept duplicate risk with " +
+        ".option(\"unsafeNonIdempotentWrites\", \"true\").")
+    rowId.foreach(c => require(info.schema().fieldNames.contains(c),
+      s"socrata sink: rowIdentifier '$c' is not among the written columns " +
+        s"${info.schema().fieldNames.mkString("[", ", ", "]")} — the upsert cannot key on it."))
     new SocrataWriteBuilder(info.schema(), url, pageSize)
   }
 }
@@ -109,7 +129,10 @@ class SocrataWriteBuilder(schema: StructType, url: String, batchRows: Int)
   * publish_to_catalog.py:347-352): a retried task re-POSTs the same
   * keyed rows, which the upsert collapses — so commit/abort need no
   * driver-side undo. A sink without idempotent keys would need a
-  * staging-revision protocol here (the K3 revision flow). */
+  * staging-revision protocol here (the K3 revision flow); that
+  * assumption is not left implicit — [[SocrataTable.newWriteBuilder]]
+  * refuses to plan a write unless the caller declares the key column
+  * (`rowIdentifier`) or explicitly opts into duplicate risk. */
 class SocrataBatchWrite(schema: StructType, url: String, batchRows: Int)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =

@@ -87,6 +87,7 @@ class SocrataSourceSpec extends SparkSpec {
         .repartition(2)
         .write.format("graft.sources.socrata")
         .option("url", stub.url("/resource.json"))
+        .option("rowIdentifier", "city") // retry-idempotence attestation
         .mode("append").save()
       val posts = stub.received("/resource.json").filter(_.method == "POST")
       assert(posts.nonEmpty)
@@ -108,6 +109,7 @@ class SocrataSourceSpec extends SparkSpec {
         .write.format("graft.sources.socrata")
         .option("url", stub.url("/resource.json"))
         .option("pageSize", "10") // pageSize doubles as rows-per-POST
+        .option("rowIdentifier", "city")
         .mode("append").save()
       val posts = stub.received("/resource.json").filter(_.method == "POST")
       assert(posts.length == 3, posts.map(_.bodyString.linesIterator.size))
@@ -125,11 +127,44 @@ class SocrataSourceSpec extends SparkSpec {
         .coalesce(1)
         .write.format("graft.sources.socrata")
         .option("url", stub.url("/resource.json"))
+        .option("rowIdentifier", "d")
         .mode("append").save()
       val posts = stub.received("/resource.json").filter(_.method == "POST")
       val line = posts.head.bodyString.split("\n")(1)
       // timestamp keeps explicit :00 seconds (fixed wire shape)
       assert(line == "1.25,2024-01-02,2024-01-02T03:04:00", line)
+    }
+  }
+
+  test("DSv2 write without rowIdentifier fails at plan time (retry-duplication guard)") {
+    withStub { stub =>
+      val err = intercept[Exception] {
+        Seq(("a", 1L)).toDF("k", "v")
+          .write.format("graft.sources.socrata")
+          .option("url", stub.url("/resource.json"))
+          .mode("append").save()
+      }
+      val msg = err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("rowIdentifier"), err.getMessage)
+      // nothing was POSTed — the guard fired before any task ran
+      assert(stub.received("/resource.json").forall(_.method != "POST"))
+      // a rowIdentifier not among the written columns is equally fatal
+      val err2 = intercept[Exception] {
+        Seq(("a", 1L)).toDF("k", "v")
+          .write.format("graft.sources.socrata")
+          .option("url", stub.url("/resource.json"))
+          .option("rowIdentifier", "nope")
+          .mode("append").save()
+      }
+      val msg2 = err2.getMessage + Option(err2.getCause).map(_.getMessage).getOrElse("")
+      assert(msg2.contains("nope"), err2.getMessage)
+      // explicit opt-out restores the old behavior
+      Seq(("a", 1L)).toDF("k", "v")
+        .write.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json"))
+        .option("unsafeNonIdempotentWrites", "true")
+        .mode("append").save()
+      assert(stub.received("/resource.json").exists(_.method == "POST"))
     }
   }
 
