@@ -220,18 +220,33 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
-  /** x20 approximate aggregates — the 100 TB fallback for exact
-    * count-distinct (q09) and percentiles: HLL++ and t-digest-style
-    * sketches combine map-side, so the shuffle carries one sketch per
-    * group. Deterministic for fixed input (rows-only check; DuckDB's
-    * approx algorithms differ by design). */
+  /** x20 approximate aggregates, value-checked — the 100 TB fallback
+    * for exact count-distinct (q09) and sort-based percentiles (q30):
+    * HLL++ and t-digest-style sketches combine map-side, so the
+    * shuffle carries one small sketch per group instead of the raw
+    * column. DuckDB's approx algorithms differ by design, so the
+    * sketch VALUES can't be oracled; instead the exact siblings are
+    * hash-checked outright and each sketch is checked through a pinned
+    * error-bound flag the oracle expects to be uniformly TRUE:
+    * HLL++ at default rsd 5% must land within max(15%, ±8) of exact
+    * (≈3σ), percentile_approx at accuracy 1000 within 2% of the exact
+    * median. A sketch drifting past its documented accuracy flips the
+    * flag and fails the gate (the x53/x42 calibration pattern). */
   def x20(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_custs"),
-        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)), 2).as("p50_price"),
+        count_distinct(col("o_custkey")).as("exact_custs"),
+        approx_count_distinct(col("o_custkey")).as("__hll"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50_exact"),
+        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)), 2).as("__td"),
         count(lit(1)).as("n"))
+      .select(
+        col("o_orderpriority"), col("exact_custs"), col("p50_exact"), col("n"),
+        (abs(col("__hll") - col("exact_custs")).cast("double") <=
+          greatest(col("exact_custs").cast("double") * lit(0.15), lit(8.0))).as("hll_ok"),
+        (abs(col("__td") - col("p50_exact")) <=
+          col("p50_exact") * lit(0.02)).as("tdigest_ok"))
       .orderBy(col("o_orderpriority"))
 
   /** x21 column profiling over documents (data-quality stats in one
@@ -609,7 +624,8 @@ object ExtensionQueries {
     * estimate alongside the exact count — the sketch-calibration view
     * (x42's pattern for cardinality instead of similarity). Every slot
     * of the sketch and the estimate itself are oracle-recomputed;
-    * compare x20's HLL, which only a rows-check can cover. */
+    * compare x20's HLL, whose values only a pinned error bound can
+    * cover (its exact siblings are hash-checked). */
   def x53(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ShingleFunctions.md5_ngram_hashes
     val grams = docs(s, dir).select(col("source"),
@@ -1238,6 +1254,18 @@ object ExtensionQueries {
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 1 DAY
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+
+    // Exact columns checked outright; the sketch columns surface as
+    // error-bound flags the oracle pins to TRUE (x20 scaladoc).
+    "x20_approx_aggregates" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS exact_custs,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+        |       count(*) AS n,
+        |       TRUE AS hll_ok,
+        |       TRUE AS tdigest_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "x21_column_profile" ->
       """SELECT * FROM (

@@ -253,10 +253,16 @@ object CsvRows {
 }
 
 class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, numPartitions: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  // (SoQL $select expressions, $group columns, scan output schema)
+  private var pushedAgg: Option[(Seq[String], Seq[String], StructType)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => SoQL.translate(f).isDefined)
@@ -276,9 +282,149 @@ class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, num
       if (requiredSchema.fields.nonEmpty) requiredSchema
       else StructType(fullSchema.fields.take(1))
 
-  override def build(): Scan =
-    new SocrataScan(required, url, pageSize, numPartitions,
-      pushed.flatMap(SoQL.translate))
+  // ---- aggregate pushdown (SupportsPushDownAggregates) ----------------
+  // COUNT(*)/COUNT(col)/COUNT(DISTINCT col)/MIN/MAX, with GROUP BY,
+  // translate to one SoQL aggregate query ($select=count(*) …&$group=…)
+  // — the server answers with the aggregate rows instead of the source
+  // paging the entire resource to count it driver-side. COMPLETE
+  // pushdown only (the scan returns final values from one partition);
+  // anything untranslatable declines, and Spark keeps its own hash
+  // aggregate over the row scan. Note the interplay with the defensive
+  // residual filters above: a Filter node between Aggregate and scan
+  // blocks this rewrite, so filtered aggregates keep the trust-nothing
+  // row path — exactly the queries where re-checking $where matters.
+
+  /** min/max ride on the column's own type; Socrata orders these types
+    * the way Spark does (strings lexicographic, numerics numeric). */
+  private def minMaxable(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | DoubleType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  private def fieldOf(e: V2Expression): Option[StructField] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      fullSchema.fields.find(_.name == nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private def translateAggregation(agg: Aggregation)
+      : Option[(Seq[String], Seq[String], StructType)] = {
+    val groupFields = agg.groupByExpressions.toSeq.map(fieldOf)
+    if (groupFields.exists(_.isEmpty)) return None
+    val groups = groupFields.flatten
+    val aggCols = agg.aggregateExpressions.toSeq.zipWithIndex.map { case (fn, i) =>
+      val alias = s"agg_$i" // SoQL alias: lowercase identifier
+      fn match {
+        case _: CountStar =>
+          Some((s"count(*) AS $alias", StructField(alias, LongType)))
+        case c: Count => fieldOf(c.column).map { f =>
+          val d = if (c.isDistinct) "distinct " else ""
+          (s"count($d${f.name}) AS $alias", StructField(alias, LongType))
+        }
+        case m: Min => fieldOf(m.column).filter(f => minMaxable(f.dataType))
+          .map(f => (s"min(${f.name}) AS $alias", StructField(alias, f.dataType)))
+        case m: Max => fieldOf(m.column).filter(f => minMaxable(f.dataType))
+          .map(f => (s"max(${f.name}) AS $alias", StructField(alias, f.dataType)))
+        case _ => None
+      }
+    }
+    if (aggCols.exists(_.isEmpty)) return None
+    val selects = groups.map(_.name) ++ aggCols.flatten.map(_._1)
+    val schema = StructType(groups ++ aggCols.flatten.map(_._2))
+    Some((selects, groups.map(_.name), schema))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAggregation(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAggregation(agg) match {
+      case Some(t) => pushedAgg = Some(t); true
+      // partial pushdown is declined too (a false here, after
+      // supportCompletePushDown said false, keeps the plain row scan)
+      case None => false
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((selects, groups, aggSchema)) =>
+      new SocrataAggScan(aggSchema, url, pageSize,
+        pushed.flatMap(SoQL.translate), selects, groups)
+    case None =>
+      new SocrataScan(required, url, pageSize, numPartitions,
+        pushed.flatMap(SoQL.translate))
+  }
+}
+
+/** One-partition scan for a COMPLETELY pushed aggregation: the server
+  * computes the aggregate, this side just pages the (group-count-
+  * bounded, usually tiny) result rows. Grouped results page under
+  * `$order=<group cols>` (aggregate queries can't order by `:id`);
+  * a global aggregate is a single row and single page. */
+class SocrataAggScan(schema: StructType, url: String, pageSize: Int,
+    soqlPredicates: Array[String], selects: Seq[String], groups: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SocrataAggScan(url=$url, select=${selects.mkString(", ")}, " +
+      s"group=${groups.mkString(", ")}, where=${soqlPredicates.mkString(" AND ")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SocrataPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SocrataAggReaderFactory(schema, url, pageSize, soqlPredicates, selects, groups)
+}
+
+class SocrataAggReaderFactory(schema: StructType, url: String, pageSize: Int,
+    preds: Array[String], selects: Seq[String], groups: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SocrataAggReader(schema, url, pageSize, preds, selects, groups)
+}
+
+class SocrataAggReader(schema: StructType, url: String, pageSize: Int,
+    preds: Array[String], selects: Seq[String], groups: Seq[String])
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private var page: Iterator[JsonNode] = Iterator.empty
+  private var pageNo = 0
+  private var exhausted = false
+  private var current: InternalRow = _
+
+  private def fetchPage(): Unit = {
+    val qs = new StringBuilder()
+    qs.append("$select=").append(java.net.URLEncoder.encode(selects.mkString(","), "UTF-8"))
+    if (groups.nonEmpty) {
+      qs.append("&$group=").append(java.net.URLEncoder.encode(groups.mkString(","), "UTF-8"))
+      qs.append("&$order=").append(java.net.URLEncoder.encode(groups.mkString(","), "UTF-8"))
+    }
+    if (preds.nonEmpty)
+      qs.append("&$where=").append(java.net.URLEncoder.encode(
+        preds.mkString(" AND "), "UTF-8"))
+    qs.append("&$limit=").append(pageSize)
+      .append("&$offset=").append(pageNo.toLong * pageSize)
+    val full = url + (if (url.contains("?")) "&" else "?") + qs
+    val r = Http.get(full)
+    if (!r.ok) throw new RuntimeException(s"socrata aggregate fetch failed: ${r.error} ($full)")
+    val node = mapper.readTree(r.body)
+    val items = if (node.isArray) node.elements() else util.Collections.emptyIterator[JsonNode]()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+    items.forEachRemaining(n => buf += n)
+    // a global aggregate is one row, one page; grouped results page
+    // until the empty page like the row scan
+    if (buf.isEmpty || groups.isEmpty) exhausted = true
+    pageNo += 1
+    page = buf.iterator
+  }
+
+  override def next(): Boolean = {
+    while (!page.hasNext && !exhausted) fetchPage()
+    if (!page.hasNext) return false
+    current = JsonRows.toRow(page.next(), schema)
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 class SocrataScan(schema: StructType, url: String, pageSize: Int, numPartitions: Int,

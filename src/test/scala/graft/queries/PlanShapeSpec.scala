@@ -58,6 +58,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("date-partitioned layout: a day predicate prunes directories, not rows") {
+    // SCALE.md §1's claim made executable: when events land
+    // date-partitioned (the 100 TB layout), a day filter must resolve
+    // at PLANNING time as a PartitionFilter — zero data files of other
+    // days opened — not as a row-level PushedFilter over the full scan.
+    import org.apache.spark.sql.functions.{col, to_date, lit}
+    val dir = "target/fixtures/events_by_day"
+    graft.Tables.load(spark, sf001, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("day") === lit(java.sql.Date.valueOf("2024-01-03")))
+    val plan = physical(pruned)
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("(day"), plan) // the day predicate sits in that list
+    // the partition predicate must NOT degrade to a parquet row filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(day"), plan)
+    // behavioral check: the scan touched exactly one of the 30 day dirs
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, plan)
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${scans.head.selectedPartitions.partitionCount}")
+    // and the rows really are the one day's
+    val expected = graft.Tables.load(spark, sf001, "events")
+      .filter(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-03"))).count()
+    assert(pruned.count() == expected)
+  }
+
   test("x09: quality features carry no HOF lambda (would break whole-stage codegen)") {
     // the aggregate() HOF formulation showed up as a lambdafunction in
     // the projection and disqualified the whole stage from codegen

@@ -14,22 +14,39 @@ class SocrataSourceSpec extends SparkSpec {
   private def withStub(body: StubServer => Unit): Unit = {
     val stub = new StubServer
     // naive SoQL: honor "$where=city = 'X'" equality so pushed filters
-    // visibly change the result set
+    // visibly change the result set, plus the aggregate shapes the
+    // pushdown tests issue (count(*) [grouped by consent], min/max(pop))
     stub.handle("/resource.json") { (q, _) =>
       val kept = "city = '(\\w+)'".r.findFirstMatchIn(q) match {
         case Some(m) => rowsJson.filter(_.contains(s""""${m.group(1)}""""))
         case None => rowsJson
       }
+      def pop(row: String): Long = "\"pop\": (\\d+)".r.findFirstMatchIn(row).get.group(1).toLong
+      val countAlias = "count\\(\\*\\) AS (\\w+)".r.findFirstMatchIn(q).map(_.group(1))
+      val items: Seq[String] = countAlias match {
+        case Some(a) if q.contains("$group=consent") =>
+          Seq(true, false).map(c =>
+            s"""{"consent": $c, "$a": ${kept.count(_.contains(s""""consent": $c"""))}}""")
+        case Some(a) => Seq(s"""{"$a": ${kept.length}}""")
+        case None if q.contains("min(pop)") =>
+          val aMin = "min\\(pop\\) AS (\\w+)".r.findFirstMatchIn(q).get.group(1)
+          val aMax = "max\\(pop\\) AS (\\w+)".r.findFirstMatchIn(q).get.group(1)
+          Seq(s"""{"$aMin": ${kept.map(pop).min}, "$aMax": ${kept.map(pop).max}}""")
+        case None => kept
+      }
       // honor $offset/$limit like the real server (the reader pages
       // until an EMPTY page, so an offset-ignoring stub would loop)
       val offset = "\\$offset=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(0)
       val limit = "\\$limit=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(Int.MaxValue)
-      val page = kept.slice(offset, math.min(kept.length, offset + limit))
+      val page = items.slice(offset, math.min(items.length, offset + limit))
       (200, "application/json", page.mkString("[", ",", "]").getBytes("UTF-8"))
     }
     stub.start()
     try body(stub) finally stub.stop()
   }
+
+  private def decodedReqs(stub: StubServer): Seq[String] =
+    stub.received("/resource.json").map(r => java.net.URLDecoder.decode(r.query, "UTF-8"))
 
   test("schema inference, full scan") {
     withStub { stub =>
@@ -73,6 +90,50 @@ class SocrataSourceSpec extends SparkSpec {
         .option("url", stub.url("/resource.json"))
         .option("pageSize", "1000").load()
       assert(df.count() == 2)
+    }
+  }
+
+  test("count(*) pushes down as one SoQL aggregate request, not row paging") {
+    withStub { stub =>
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json")).load()
+      val counted = df.groupBy().count()
+      assert(counted.queryExecution.executedPlan.toString.contains("SocrataAggScan"))
+      assert(counted.collect().map(_.getLong(0)).toSeq == Seq(2L))
+      val reqs = decodedReqs(stub)
+      assert(reqs.exists(_.contains("$select=count(*) AS agg_0")), reqs)
+      // no row-paging request happened (those carry the :id total order)
+      assert(!reqs.exists(_.contains("$order=:id")), reqs)
+    }
+  }
+
+  test("grouped count and min/max push down with $group / typed aliases") {
+    withStub { stub =>
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json")).load()
+      val byConsent = df.groupBy($"consent").count()
+        .as[(Boolean, Long)].collect().toMap
+      assert(byConsent == Map(true -> 1L, false -> 1L))
+      val mm = df.agg(min($"pop"), max($"pop")).as[(Long, Long)].head()
+      assert(mm == ((20000L, 30000L)))
+      val reqs = decodedReqs(stub)
+      assert(reqs.exists(r => r.contains("$select=consent,count(*) AS agg_0")
+        && r.contains("$group=consent") && r.contains("$order=consent")), reqs)
+      assert(reqs.exists(_.contains("$select=min(pop) AS agg_0,max(pop) AS agg_1")), reqs)
+    }
+  }
+
+  test("filtered count keeps the trust-nothing row path (no aggregate pushdown)") {
+    withStub { stub =>
+      // residual re-filtering needs raw rows, so an aggregate above a
+      // filter must NOT collapse into a server-side aggregate
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json")).load()
+        .filter($"city" === "Springfield")
+      assert(df.count() == 1)
+      val reqs = decodedReqs(stub)
+      assert(!reqs.exists(_.contains("count(*)")), reqs)
+      assert(reqs.exists(_.contains("city = 'Springfield'")), reqs)
     }
   }
 
