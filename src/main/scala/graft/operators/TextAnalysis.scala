@@ -656,4 +656,142 @@ object TextAnalysis {
         sum(when(kept, col(lenCol)).otherwise(0L)).cast("bigint")
           .as("kept_chars"))
   }
+
+  /** BM25 saturation/length-normalization constants, shared with the
+    * oracle SQL (interpolated as `Double.toString`, which round-trips,
+    * so both engines run the IDENTICAL doubles). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 retrieval: score every document against a literal query set
+    * and keep the top `k` per query — the lexical-search sibling of
+    * x55's tf-cosine pairing and x32's rational tf-idf (this one adds
+    * term saturation `tf·(k1+1)/(tf+k1·norm)` and document-length
+    * normalization, the two things BM25 exists for).
+    *
+    * Reproducibility contract (the hash-gate design): per-(doc, term)
+    * weights are FIXED-POINT — `round(1e6 · idf_q · tfpart)` as BIGINT
+    * — so the per-query score is an exact integer sum, immune to
+    * floating summation order across engines/partitions (the x55 rule:
+    * take differences in integer space). The only transcendental, the
+    * Lucene-style idf `ln(1 + (N-df+.5)/(df+.5))`, is quantized to 6
+    * decimals per DISTINCT term before it multiplies anything, so a
+    * last-ulp `ln` divergence between libm implementations cannot
+    * propagate. Lucene itself shipped fixed-point norms for years —
+    * determinism over the 7th decimal is the right trade for a gate.
+    *
+    * Scale: tokens are pruned to the query vocabulary BEFORE the
+    * (doc, term) aggregate, so the shuffled tf relation is bounded by
+    * Σdf(query terms), not corpus size; `dl` rides the explode (no
+    * corpus self-join to recover lengths); corpus stats and the query
+    * list broadcast. The final top-k window runs per query over that
+    * same bounded candidate set, and Spark's WindowGroupLimit keeps
+    * only k rows per partition pre-shuffle. */
+  def bm25Retrieval(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      k: Int = 10, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val queryTerms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = tokFrame(docs, idCol, textCol)
+    val stats = toks.agg(count(lit(1)).as("__nd"),
+      sum(size(col("__w")).cast("long")).as("__sumdl"))
+    // dl travels WITH the exploded tokens: no join back to a lengths frame
+    val tf = toks
+      .select(col("doc_id"), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("__sumdl").cast("double") / col("__nd").cast("double")
+    val idfQ = round(log(
+      ((col("__nd").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) + lit(1.0)), 6)
+    val tfpart = (col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
+      (col("tf").cast("double") + lit(Bm25K1) *
+        (lit(1.0 - Bm25B) + lit(Bm25B) * (col("dl").cast("double") / avgdl)))
+    val weights = tf.join(dfreq, "term").join(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        round((idfQ * tfpart) * lit(1000000.0)).cast("long").as("__w"))
+    val scored = weights.join(broadcast(queryTerms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__w")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_micro"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-source corpus cap report: each source keeps at most `cap`
+    * documents ranked by (length DESC, id ASC); the output is the
+    * per-source accounting — total, kept, dropped, and the cutoff
+    * document (the weakest one that still made the cap) — the
+    * "no domain dominates the corpus" guardrail every web-scale
+    * pretraining mix applies per domain.
+    *
+    * Scale: ranking uses the bounded-heap [[graft.functions.TopKScored]]
+    * aggregator, so the plan is ONE partial+final aggregate holding at
+    * most `cap` (id, score) pairs per source map-side — the corpus is
+    * never window-shuffled by source (heavy-hitter domains are exactly
+    * where a per-source row_number would skew). The oracle replays the
+    * same semantics AS a window, pinning heap == window. */
+  def sourceCapStats(docs: DataFrame, cap: Int = 20,
+      groupCol: String = "source", lenCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    val topk = udaf(new graft.functions.TopKScored(cap))
+    val cut = element_at(col("__top"), size(col("__top")))
+    docs.filter(col(lenCol).isNotNull)
+      .groupBy(col(groupCol).as("source"))
+      .agg(count(lit(1)).as("total"),
+        topk(col(idCol), col(lenCol).cast("double")).as("__top"))
+      .select(col("source"), col("total"),
+        least(col("total"), lit(cap.toLong)).as("kept"),
+        (col("total") - least(col("total"), lit(cap.toLong))).as("dropped"),
+        cut.getField("id").as("cut_doc_id"),
+        cut.getField("score").cast("long").as("cut_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus's own top
+    * `vocabSize` terms — the tokenizer-coverage signal (a doc whose
+    * tokens mostly miss the vocabulary is noise, another language, or
+    * evidence the vocabulary is too small).
+    *
+    * Engine-exact by construction: vocabulary selection is a total
+    * order (corpus tf DESC, term ASC) + limit; per-doc counts are
+    * integer sums; the rate is ONE division of exact integers
+    * (correctly rounded, bit-identical), null for token-less docs.
+    *
+    * Scale: one tokenize/explode feeds BOTH the vocabulary aggregate
+    * and the per-doc counts (materialized via localCheckpoint, the x32
+    * pattern); the vocabulary is top-V via TakeOrdered (no full sort)
+    * and broadcasts to a map-side membership probe. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 30,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = tokFrame(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("__w")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).cast("bigint").as("ctf"))
+      .orderBy(col("ctf").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("__v"))
+    val perDoc = tf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("bigint").as("n_tokens"),
+        sum(when(col("__v").isNull, col("tf")).otherwise(0L)).cast("bigint").as("n_oov"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+          .as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
 }

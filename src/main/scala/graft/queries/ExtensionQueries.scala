@@ -693,6 +693,34 @@ object ExtensionQueries {
       .orderBy(col("new_id"), col("old_id"))
   }
 
+  /** The x58 query set — one literal, consumed by BOTH the Spark plan
+    * and the oracle's VALUES clause (terms drawn from the fixture
+    * vocabulary so every query has candidates at every sf). */
+  private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "stream", "window"),
+    2 -> Seq("hash", "join", "merge"),
+    3 -> Seq("filter", "scan", "sort"))
+
+  /** x58 BM25 retrieval: top-10 documents per query for a literal
+    * query set, fixed-point scored (see
+    * [[TextAnalysis.bm25Retrieval]] for the reproducibility contract
+    * and scale shape). */
+  def x58(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Retrieval(docs(s, dir), bm25Queries, k = 10)
+
+  /** x59 per-source corpus cap: the "no domain dominates" accounting —
+    * per source keep at most 20 docs by (n_chars DESC, doc_id), report
+    * total/kept/dropped and the cutoff doc. Heap-aggregated (never a
+    * corpus window); the oracle replays it AS a window, pinning the
+    * two formulations equal. */
+  def x59(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceCapStats(docs(s, dir), cap = 20)
+
+  /** x60 out-of-vocabulary rate per doc against the corpus's own top-30
+    * terms — tokenizer-coverage profiling ([[TextAnalysis.oovRate]]). */
+  def x60(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(docs(s, dir), vocabSize = 30)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -751,6 +779,9 @@ object ExtensionQueries {
     "x55_lexical_top_neighbor" -> (x55 _),
     "x56_anomaly_zscore" -> (x56 _),
     "x57_ingest_dedup" -> (x57 _),
+    "x58_bm25_retrieval" -> (x58 _),
+    "x59_source_cap" -> (x59 _),
+    "x60_oov_rate" -> (x60 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1765,5 +1796,83 @@ object ExtensionQueries {
          |  FROM ipairs) t
          |WHERE jaccard >= 0.2
          |ORDER BY new_id, old_id""".stripMargin,
+
+    // Replays the fixed-point BM25 contract: idf quantized to 6dp per
+    // term, per-(doc,term) weight scaled to an exact BIGINT, scores
+    // summed in integer space (bm25Retrieval scaladoc). Constants are
+    // interpolated via Double.toString so both engines parse the
+    // identical IEEE doubles.
+    "x58_bm25_retrieval" -> {
+      val values = bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+      val inList = bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      val k1p1 = (TextAnalysis.Bm25K1 + 1.0).toString
+      val k1 = TextAnalysis.Bm25K1.toString
+      val oneMinusB = (1.0 - TextAnalysis.Bm25B).toString
+      val b = TextAnalysis.Bm25B.toString
+      s"""WITH q(query_id, term) AS (VALUES $values),
+         |w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |st AS (SELECT count(*) AS nd, CAST(sum(len(w)) AS BIGINT) AS sumdl FROM w),
+         |toks AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+         |       FROM toks WHERE term IN ($inList) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |         CAST(round((round(ln(((st.nd::DOUBLE - dfq.df::DOUBLE + 0.5) /
+         |                              (dfq.df::DOUBLE + 0.5)) + 1.0), 6)
+         |           * ((tf.tf::DOUBLE * $k1p1) /
+         |              (tf.tf::DOUBLE + $k1 * ($oneMinusB + $b *
+         |                (tf.dl::DOUBLE / (st.sumdl::DOUBLE / st.nd::DOUBLE))))))
+         |           * 1000000.0) AS BIGINT) AS w
+         |       FROM tf JOIN dfq USING (term) CROSS JOIN st),
+         |s AS (SELECT q.query_id, sc.doc_id, CAST(SUM(sc.w) AS BIGINT) AS score_micro
+         |      FROM q JOIN sc USING (term) GROUP BY q.query_id, sc.doc_id),
+         |r AS (SELECT query_id, doc_id, score_micro,
+         |             row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY score_micro DESC, doc_id) AS rn
+         |      FROM s)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, doc_id, score_micro
+         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // The window formulation of sourceCapStats' bounded heap: rank per
+    // source by (n_chars DESC, doc_id), the cutoff row is rank ==
+    // least(total, cap). Heap == window is the pinned equivalence.
+    "x59_source_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY n_chars DESC, doc_id) AS rn
+        |           FROM documents WHERE n_chars IS NOT NULL),
+        |s AS (SELECT source, count(*) AS total
+        |      FROM documents WHERE n_chars IS NOT NULL GROUP BY source)
+        |SELECT s.source, s.total,
+        |       least(s.total, 20) AS kept,
+        |       s.total - least(s.total, 20) AS dropped,
+        |       r.doc_id AS cut_doc_id, r.n_chars AS cut_chars
+        |FROM s JOIN r ON r.source = s.source AND r.rn = least(s.total, 20)
+        |ORDER BY s.source""".stripMargin,
+
+    // Vocabulary = top-30 terms by (corpus tf DESC, term) — a total
+    // order, so the limit is deterministic; the rate is one division
+    // of exact integers (engine-identical), NULL for token-less docs.
+    "x60_oov_rate" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |toks AS (SELECT doc_id, unnest(w) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |vocab AS (SELECT term FROM (
+         |  SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY term
+         |  ORDER BY ctf DESC, term LIMIT 30)),
+         |pd AS (SELECT tf.doc_id,
+         |         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS BIGINT) AS n_oov
+         |       FROM tf LEFT JOIN vocab v ON tf.term = v.term
+         |       GROUP BY tf.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(pd.n_tokens, 0) AS n_tokens,
+         |       coalesce(pd.n_oov, 0) AS n_oov,
+         |       CASE WHEN coalesce(pd.n_tokens, 0) > 0
+         |            THEN round(pd.n_oov::DOUBLE / pd.n_tokens::DOUBLE, 6) END AS oov_rate
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

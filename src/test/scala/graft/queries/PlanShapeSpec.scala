@@ -212,6 +212,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("x58: BM25 candidates are term-pruned pre-shuffle; top-k short-circuits per query") {
+    val plan = physical(ExtensionQueries.x58(spark, sf001))
+    // the query-vocabulary prune must run BEFORE the (doc, term)
+    // aggregate — it's what bounds the shuffle by Σdf(query terms)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // corpus stats (1 row) and the query list broadcast; the only
+    // allowed nested-loop join is the 1-row stats attach
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("x59: per-source cap is a bounded-heap aggregate, NOT a corpus window") {
+    val plan = physical(ExtensionQueries.x59(spark, sf001))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("x60: vocabulary membership probe is a broadcast join over one token pass") {
+    val plan = physical(ExtensionQueries.x60(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x48: redaction is one narrow projection — no shuffle before the final sort") {
     val plan = physical(ExtensionQueries.x48(spark, sf001))
     assert(!plan.contains("Join"), plan)
