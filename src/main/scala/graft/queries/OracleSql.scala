@@ -21,7 +21,11 @@ object OracleSql {
     "q40_date_spine_gapfill", "q42_map_functions",
     // list_* lambda spellings are DuckDB-only (Spark: transform/filter/
     // aggregate — exercised natively by RelationalQueries.q45)
-    "q45_array_lambdas")
+    "q45_array_lambdas",
+    // index lambda / {} struct / list_* / l[i] indexing are DuckDB
+    // spellings (Spark: posexplode / array_* / get — exercised
+    // natively by RelationalQueries.q47-q49)
+    "q47_posexplode", "q48_array_setops", "q49_regexp_extract_all")
 
   val all: Map[String, String] = Map(
     "q01_scan_project_sort" ->
@@ -376,6 +380,39 @@ object OracleSql {
         |        FROM orders o WHERE o.o_custkey = c.c_custkey) AS spend
         |FROM customer c
         |WHERE c_acctbal > 9000.0
+        |ORDER BY c_custkey""".stripMargin,
+
+    // DuckDB has no WITH ORDINALITY; the index lambda (1-based,
+    // shifted to posexplode's 0-based pos) is the equivalent.
+    "q47_posexplode" ->
+      """SELECT p_partkey, CAST(u.pos AS INTEGER) AS pos, u.word AS word
+        |FROM (SELECT p_partkey,
+        |             unnest(list_transform(string_split(p_name, ' '),
+        |                                   (x, i) -> {'pos': i - 1, 'word': x})) AS u
+        |      FROM part WHERE p_partkey < 50) t
+        |ORDER BY p_partkey, pos""".stripMargin,
+
+    // Both engines dedup set-op results but order differently — sorted
+    // arrays are the contract (q48 scaladoc). DuckDB lacks
+    // list_except: distinct + not-contains filter is the equivalent.
+    "q48_array_setops" ->
+      """SELECT p_partkey,
+        |  coalesce(array_to_string(list_sort(list_intersect(string_split(p_name, ' '),
+        |    ['red','blue','green','small','ring','bolt'])), ','), '') AS known,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(string_split(p_name, ' ')),
+        |    x -> NOT list_contains(['red','blue','green','small','ring','bolt'], x))), ','), '') AS novel,
+        |  CAST(len(list_intersect(string_split(p_name, ' '),
+        |    ['red','blue','green','small','ring','bolt'])) AS INTEGER) AS n_known,
+        |  CAST(len(list_filter(list_distinct(string_split(p_name, ' ')),
+        |    x -> NOT list_contains(['red','blue','green','small','ring','bolt'], x))) AS INTEGER) AS n_novel
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q49_regexp_extract_all" ->
+      """SELECT c_custkey, CAST(len(r) AS INTEGER) AS n_runs,
+        |       r[1] AS first_run, r[len(r)] AS last_run,
+        |       coalesce(array_to_string(r, ','), '') AS all_runs
+        |FROM (SELECT c_custkey, regexp_extract_all(c_name, '[1-9]+') AS r
+        |      FROM customer WHERE c_custkey < 200) t
         |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -658,6 +658,57 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q47 positional explode: `posexplode` carries the element INDEX
+    * through the lateral expansion — the ordinality the plain explode
+    * (q29) drops, needed wherever position is data (token offsets,
+    * array-to-row pivots). Generate runs inside the scan stage; no
+    * shuffle besides the final sort. Oracle: DuckDB index lambda
+    * `(x, i) ->` (1-based, shifted) — DuckDB has no WITH ORDINALITY. */
+  def q47(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_partkey") < 50)
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+      .select(col("p_partkey"), col("pos"), col("col").as("word"))
+      .orderBy(col("p_partkey"), col("pos"))
+
+  /** q48 array set algebra: per-row intersect/except of a token array
+    * against a literal vocabulary — the array-typed sibling of U2/U3's
+    * relation-level set ops. Both engines dedup set-op results, but
+    * disagree on ELEMENT ORDER (Spark keeps first-array order, DuckDB
+    * doesn't define one), so every array is sorted before it reaches
+    * the output — the membership SET is the contract, order is
+    * rendering. Narrow codegen projection; no shuffle besides the
+    * final sort. */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("p_name"), " ")
+    val vocab = array(Seq("red", "blue", "green", "small", "ring", "bolt").map(lit): _*)
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        array_join(array_sort(array_intersect(ws, vocab)), ",").as("known"),
+        array_join(array_sort(array_except(ws, vocab)), ",").as("novel"),
+        size(array_intersect(ws, vocab)).as("n_known"),
+        size(array_except(ws, vocab)).as("n_novel"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q49 regexp_extract_all: ALL matches of a pattern per row (C8/q03
+    * extract only the first) — runs of non-zero digits in the customer
+    * name, so rows yield zero, one, or many matches. Out-of-range
+    * access uses `get` (null, not ANSI error) — same as DuckDB's
+    * list indexing. Simple character-class patterns are leftmost-
+    * greedy in both engines' regex dialects. */
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    val runs = regexp_extract_all(col("c_name"), lit("[1-9]+"), lit(0))
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(col("c_custkey"),
+        size(runs).as("n_runs"),
+        get(runs, lit(0)).as("first_run"),
+        get(runs, size(runs) - 1).as("last_run"),
+        array_join(runs, ",").as("all_runs"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** name → impl, in declaration order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_scan_project_sort" -> (q01 _),
@@ -706,5 +757,8 @@ object RelationalQueries {
     "q44_six_table_join" -> (q44 _),
     "q45_array_lambdas" -> (q45 _),
     "q46_correlated_scalar" -> (q46 _),
+    "q47_posexplode" -> (q47 _),
+    "q48_array_setops" -> (q48 _),
+    "q49_regexp_extract_all" -> (q49 _),
   )
 }

@@ -212,6 +212,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q47-q49: generate/array/regex queries stay narrow — no join, no agg shuffle") {
+    Seq(RelationalQueries.q47 _, RelationalQueries.q48 _, RelationalQueries.q49 _)
+      .foreach { q =>
+        val plan = physical(q(spark, sf001))
+        assert(!plan.contains("Join"), plan)
+        assert(!plan.contains("hashpartitioning"), plan) // only the orderBy range exchange
+        assert(!plan.contains("ScalaUDF"), plan)
+      }
+    // q47's partkey predicate reaches the scan (pushdown under the generate)
+    val p47 = physical(RelationalQueries.q47(spark, sf001))
+    assert(p47.contains("LessThan(p_partkey,50"), p47)
+  }
+
   test("x58: BM25 candidates are term-pruned pre-shuffle; top-k short-circuits per query") {
     val plan = physical(ExtensionQueries.x58(spark, sf001))
     // the query-vocabulary prune must run BEFORE the (doc, term)
