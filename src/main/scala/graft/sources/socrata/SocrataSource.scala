@@ -254,15 +254,17 @@ object CsvRows {
 
 class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, numPartitions: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
-  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   // (SoQL $select expressions, $group columns, scan output schema)
   private var pushedAgg: Option[(Seq[String], Seq[String], StructType)] = None
+  private var pushedLimit: Option[Int] = None
+  private var pushedOrder: Seq[String] = Nil // SoQL $order fragments
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => SoQL.translate(f).isDefined)
@@ -345,13 +347,53 @@ class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, num
       case None => false
     }
 
+  // ---- limit / top-N pushdown (SupportsPushDownLimit/TopN) ------------
+  // LIMIT becomes `$limit` and ORDER BY + LIMIT becomes `$order` +
+  // `$limit`, so the server truncates instead of this side paging the
+  // whole resource to throw most of it away. Both report PARTIAL
+  // pushdown: Spark keeps its own (Take-ordered-)Limit above the ≤N
+  // returned rows, so correctness never depends on the server honoring
+  // the clauses — the same trust-nothing stance as the residual
+  // filters. Spark only offers these pushes when no Filter sits
+  // between the limit and the scan, so they never reorder around a
+  // residual re-check; declined outright when an aggregate is already
+  // pushed (the agg result is what should be limited, Spark-side).
+
+  override def pushLimit(limit: Int): Boolean =
+    if (pushedAgg.isDefined) false
+    else { pushedLimit = Some(limit); true }
+
+  /** SoQL has no NULLS FIRST/LAST syntax; Socrata sorts NULL as the
+    * smallest value, which matches Spark's DEFAULT null ordering
+    * (ASC → NULLS FIRST, DESC → NULLS LAST) — exactly those two
+    * combinations translate, anything else declines. */
+  private def translateOrder(o: V2SortOrder): Option[String] =
+    fieldOf(o.expression()).flatMap { f =>
+      (o.direction(), o.nullOrdering()) match {
+        case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) => Some(s"${f.name} ASC")
+        case (SortDirection.DESCENDING, NullOrdering.NULLS_LAST) => Some(s"${f.name} DESC")
+        case _ => None
+      }
+    }
+
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    if (pushedAgg.isDefined || orders.isEmpty) return false
+    val parts = orders.toSeq.map(translateOrder)
+    if (parts.exists(_.isEmpty)) false
+    else { pushedOrder = parts.flatten; pushedLimit = Some(limit); true }
+  }
+
+  // one override serves both interfaces: the source may return fewer
+  // rows than the full result (it returns at most N), Spark re-limits
+  override def isPartiallyPushed: Boolean = true
+
   override def build(): Scan = pushedAgg match {
     case Some((selects, groups, aggSchema)) =>
       new SocrataAggScan(aggSchema, url, pageSize,
         pushed.flatMap(SoQL.translate), selects, groups)
     case None =>
       new SocrataScan(required, url, pageSize, numPartitions,
-        pushed.flatMap(SoQL.translate))
+        pushed.flatMap(SoQL.translate), pushedLimit, pushedOrder)
   }
 }
 
@@ -428,50 +470,97 @@ class SocrataAggReader(schema: StructType, url: String, pageSize: Int,
 }
 
 class SocrataScan(schema: StructType, url: String, pageSize: Int, numPartitions: Int,
-    soqlPredicates: Array[String]) extends Scan with Batch {
+    soqlPredicates: Array[String], limit: Option[Int] = None,
+    order: Seq[String] = Nil) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"SocrataScan(url=$url, where=${soqlPredicates.mkString(" AND ")})"
+    s"SocrataScan(url=$url, where=${soqlPredicates.mkString(" AND ")}" +
+      limit.map(l => s", limit=$l").getOrElse("") +
+      (if (order.nonEmpty) s", order=${order.mkString(",")}" else "") + ")"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    (0 until numPartitions).map(i =>
-      SocrataPartition(i, numPartitions): InputPartition).toArray
+  // a limited scan reads from ONE partition: interleaved paging would
+  // fetch up to N rows per partition to keep N overall
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = if (limit.isDefined) 1 else numPartitions
+    (0 until n).map(i => SocrataPartition(i, n): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SocrataReaderFactory(schema, url, pageSize, soqlPredicates)
+    new SocrataReaderFactory(schema, url, pageSize, soqlPredicates, limit, order)
+
+  /** Planning-time stats via ONE `$select=count(*)` request (with the
+    * pushed `$where`), so Catalyst/AQE can size this relation for
+    * broadcast decisions instead of assuming worst-case. Failures
+    * degrade to unknown — stats must never fail planning. Row width is
+    * the schema's Catalyst default estimate. */
+  private lazy val remoteCount: java.util.OptionalLong = {
+    val qs = new StringBuilder("$select=")
+      .append(java.net.URLEncoder.encode("count(*) AS cnt", "UTF-8"))
+    if (soqlPredicates.nonEmpty)
+      qs.append("&$where=").append(java.net.URLEncoder.encode(
+        soqlPredicates.mkString(" AND "), "UTF-8"))
+    val full = url + (if (url.contains("?")) "&" else "?") + qs
+    scala.util.Try {
+      val r = Http.get(full)
+      require(r.ok, r.error)
+      val node = new ObjectMapper().readTree(r.body)
+      node.elements().next().get("cnt").asLong()
+    }.fold(_ => java.util.OptionalLong.empty(),
+      n => java.util.OptionalLong.of(limit.fold(n)(l => math.min(n, l.toLong))))
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def numRows(): java.util.OptionalLong = remoteCount
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (!remoteCount.isPresent) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(
+        remoteCount.getAsLong * schema.fields.map(_.dataType.defaultSize.toLong).sum)
+  }
 }
 
 case class SocrataPartition(index: Int, of: Int) extends InputPartition
 
 class SocrataReaderFactory(schema: StructType, url: String, pageSize: Int,
-    preds: Array[String]) extends PartitionReaderFactory {
+    preds: Array[String], limit: Option[Int] = None,
+    order: Seq[String] = Nil) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SocrataReader(schema, url, pageSize, preds,
-      p.asInstanceOf[SocrataPartition])
+      p.asInstanceOf[SocrataPartition], limit, order)
 }
 
 /** Pages through the resource: this partition reads global pages
-  * index, index+of, index+2·of, … until a short/empty page. */
+  * index, index+of, index+2·of, … until a short/empty page (or, under
+  * a pushed limit, until `limit` rows have been emitted — the page
+  * `$limit` shrinks to the remainder so the server never sends rows
+  * this side would discard). A pushed `$order` prefixes the `:id`
+  * total-order tiebreak, keeping pagination stable under duplicates
+  * of the sort key. */
 class SocrataReader(schema: StructType, url: String, pageSize: Int,
-    preds: Array[String], part: SocrataPartition)
+    preds: Array[String], part: SocrataPartition,
+    limit: Option[Int] = None, order: Seq[String] = Nil)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private var page: Iterator[JsonNode] = Iterator.empty
   private var pageNo: Int = part.index
+  private var rowsEmitted = 0L
   private var exhausted = false
   private var current: InternalRow = _
 
   private def fetchPage(): Unit = {
+    val remaining = limit.map(l => l - rowsEmitted).getOrElse(Long.MaxValue)
+    val pageLimit = math.min(pageSize.toLong, remaining)
     val qs = new StringBuilder()
-    qs.append("$limit=").append(pageSize)
+    qs.append("$limit=").append(pageLimit)
       .append("&$offset=").append(pageNo.toLong * pageSize)
       // $limit/$offset paging is only well-defined under a total order;
       // :id is Socrata's stable system row id. Without this, pages can
       // overlap/miss rows across requests and partitions.
-      .append("&$order=").append(java.net.URLEncoder.encode(":id", "UTF-8"))
+      .append("&$order=").append(java.net.URLEncoder.encode(
+        (order :+ ":id").mkString(","), "UTF-8"))
     if (preds.nonEmpty)
       qs.append("&$where=").append(java.net.URLEncoder.encode(
         preds.mkString(" AND "), "UTF-8"))
@@ -492,9 +581,11 @@ class SocrataReader(schema: StructType, url: String, pageSize: Int,
   }
 
   override def next(): Boolean = {
+    if (limit.exists(rowsEmitted >= _)) return false
     while (!page.hasNext && !exhausted) fetchPage()
     if (!page.hasNext) return false
     current = JsonRows.toRow(page.next(), schema)
+    rowsEmitted += 1
     true
   }
   override def get(): InternalRow = current

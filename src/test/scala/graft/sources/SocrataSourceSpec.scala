@@ -32,6 +32,10 @@ class SocrataSourceSpec extends SparkSpec {
           val aMin = "min\\(pop\\) AS (\\w+)".r.findFirstMatchIn(q).get.group(1)
           val aMax = "max\\(pop\\) AS (\\w+)".r.findFirstMatchIn(q).get.group(1)
           Seq(s"""{"$aMin": ${kept.map(pop).min}, "$aMax": ${kept.map(pop).max}}""")
+        // honor a pushed $order on pop (the TopN tests' shape) — the
+        // server-side sort is what the pushdown trusts the server for
+        case None if q.contains("$order=pop ASC") => kept.sortBy(pop)
+        case None if q.contains("$order=pop DESC") => kept.sortBy(r => -pop(r))
         case None => kept
       }
       // honor $offset/$limit like the real server (the reader pages
@@ -120,6 +124,52 @@ class SocrataSourceSpec extends SparkSpec {
       assert(reqs.exists(r => r.contains("$select=consent,count(*) AS agg_0")
         && r.contains("$group=consent") && r.contains("$order=consent")), reqs)
       assert(reqs.exists(_.contains("$select=min(pop) AS agg_0,max(pop) AS agg_1")), reqs)
+    }
+  }
+
+  test("limit pushes $limit: the server truncates, paging stops at n rows") {
+    withStub { stub =>
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json")).load()
+      assert(df.limit(1).collect().length == 1)
+      val reqs = decodedReqs(stub)
+      // the limited scan asked for exactly 1 row from page 0…
+      assert(reqs.exists(r => r.contains("$limit=1") && r.contains("$offset=0")), reqs)
+      // …and never paged past the limit (offset advances by pageSize=1000 default)
+      assert(!reqs.exists(_.contains("$offset=1000")), reqs)
+    }
+  }
+
+  test("orderBy+limit pushes $order + $limit (top-N): server-side sort decides the row") {
+    withStub { stub =>
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json")).load()
+      // ascending: the true min (Shelbyville) is NOT the stub's first
+      // row, so the result proves the server-side $order was applied
+      val row = df.orderBy($"pop").limit(1).select($"city", $"pop").head()
+      assert(row.getString(0) == "Shelbyville" && row.getLong(1) == 20000L)
+      val reqs = decodedReqs(stub)
+      assert(reqs.exists(r => r.contains("$order=pop ASC,:id") && r.contains("$limit=1")), reqs)
+    }
+  }
+
+  test("estimateStatistics answers from one count(*) probe with the pushed $where") {
+    withStub { stub =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("city", StringType),
+        StructField("pop", LongType), StructField("consent", BooleanType)))
+      val scan = new graft.sources.socrata.SocrataScan(schema,
+        stub.url("/resource.json"), 1000, 2, Array("city = 'Springfield'"))
+      val st = scan.estimateStatistics()
+      assert(st.numRows.getAsLong == 1L)
+      assert(st.sizeInBytes.getAsLong > 0L)
+      val reqs = decodedReqs(stub)
+      assert(reqs.exists(r => r.contains("$select=count(*) AS cnt")
+        && r.contains("$where=city = 'Springfield'")), reqs)
+      // stats must never fail planning: a dead endpoint degrades to unknown
+      val dead = new graft.sources.socrata.SocrataScan(schema,
+        "http://127.0.0.1:1/resource.json", 1000, 2, Array.empty)
+      assert(!dead.estimateStatistics().numRows.isPresent)
     }
   }
 
