@@ -106,6 +106,63 @@ object Streaming {
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
   }
 
+  /** Streaming NEAR-dup ingest gate (the streaming form of the x57
+    * batch operator): every micro-batch is first deduplicated within
+    * itself (smaller id survives a near-dup pair), then screened
+    * against the standing corpus at `corpusPath` — survivors append
+    * and become corpus for the NEXT batch. The "don't re-ingest what
+    * we already have" gate of a continuously-crawled pipeline, run
+    * incrementally.
+    *
+    * State lives in STORAGE, not the state store: the corpus is the
+    * accumulated parquet itself, so it survives restarts, has no
+    * watermark-bounded horizon (a dup of last month's doc is still a
+    * dup), and is shared by any number of parallel readers. Retries
+    * are CONTENT-idempotent by construction: if a failed batch
+    * half-appended and replays, the rows that already landed are
+    * exact dups of themselves (J = 1) and the gate drops them — the
+    * re-run appends only what's missing. (Short docs below the
+    * n-gram horizon carry no sketch and always pass; screen them
+    * with [[streamingExactDedup]] on a content hash upstream.)
+    *
+    * Scale: per batch, candidates are a bottom-prefixK hash equi-join
+    * (incoming × collision rate, never corpus² — Dedup.crossNearDup's
+    * shape). This form re-sketches the corpus text each batch; the
+    * production variant persists the corpus SKETCH table alongside
+    * the text and appends survivor sketches — same plan, the
+    * corpus-side hashing cost leaves the ingest path. Appends to a
+    * transactional table (Iceberg/Delta) would make the landing
+    * atomic too, as with [[mergeSink]]. */
+  def ingestDedupSink(stream: DataFrame, corpusPath: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text", ngram: Int = 3,
+      prefixK: Int = 8, minJaccard: Double = 0.5): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // the batch fans out (pair mining + two anti-joins) — pin it
+        val b = batch.localCheckpoint(true)
+        val withinPairs = graft.operators.Dedup
+          .ngramJaccardNearDup(b, idCol, textCol, ngram, prefixK, minJaccard)
+          .select(col("doc_b").as("__drop")).distinct()
+        val bKept = b.join(withinPairs, col(idCol) === col("__drop"), "left_anti")
+        val target = new org.apache.hadoop.fs.Path(corpusPath)
+        val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+        val survivors =
+          if (fs.exists(target)) {
+            val corpus = spark.read.schema(b.schema).parquet(corpusPath)
+            val dupIds = graft.operators.Dedup
+              .crossNearDup(bKept, corpus, idCol, textCol, ngram, prefixK, minJaccard)
+              .select(col("new_id")).distinct()
+            bKept.join(dupIds, col(idCol) === col("new_id"), "left_anti")
+          } else bKept
+        survivors.write.mode("append").parquet(corpusPath)
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join: match each `right` event to `left`
     * events with the same key whose timestamp falls in
     * [leftTs, leftTs + maxGap] — the attribution shape (click →

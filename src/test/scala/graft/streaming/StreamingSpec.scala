@@ -34,6 +34,43 @@ class StreamingSpec extends SparkSpec {
     assert(r2 == Map("a" -> "v2", "b" -> "v9", "c" -> "v1"))
   }
 
+  test("ingestDedupSink: near-dups dropped within batch and against the standing corpus") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_dedup").toFile
+    val corpus = new java.io.File(dir, "corpus").getPath
+    val ckpt = new java.io.File(dir, "c").getPath
+
+    // ≥20 tokens so the word-3-gram sketches are dense; near-dup =
+    // one-token edit (J ≈ 0.85, far above the 0.5 gate)
+    val baseA = "alpha " + (1 to 20).map(i => s"tok$i").mkString(" ")
+    val baseB = "beta " + (1 to 20).map(i => s"word$i").mkString(" ")
+    val baseC = "gamma " + (1 to 20).map(i => s"item$i").mkString(" ")
+    val nearB = baseB.replace("word20", "edited")
+    val nearA = baseA.replace("tok20", "edited")
+
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+
+    // batch 1: A and B distinct; B' is an in-batch near-dup of B
+    in.addData((1L, baseA), (2L, baseB), (3L, nearB))
+    Streaming.ingestDedupSink(stream, corpus, ckpt).awaitTermination()
+    val r1 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(r1 == Set(1L, 2L), s"batch 1 survivors: $r1")
+
+    // batch 2: C is new; A' near-dups the CORPUS copy of A from batch 1
+    in.addData((4L, baseC), (5L, nearA))
+    Streaming.ingestDedupSink(stream, corpus, ckpt).awaitTermination()
+    val r2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(r2 == Set(1L, 2L, 4L), s"batch 2 corpus: $r2")
+
+    // re-ingesting an already-landed text is content-idempotent:
+    // the doc is an exact dup (J = 1) of its corpus copy and drops
+    in.addData((6L, baseC))
+    Streaming.ingestDedupSink(stream, corpus, ckpt).awaitTermination()
+    val r3 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(r3 == Set(1L, 2L, 4L), s"batch 3 corpus: $r3")
+  }
+
   test("streamingExactDedup: duplicate keys dropped, state expires past the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, String)]
