@@ -37,6 +37,36 @@ object Profile {
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Declarative data-quality expectation suite — the publish gate a
+    * production pipeline runs before results leave it (the
+    * Great-Expectations / DLT-expectations pattern): each rule is a
+    * (rule_id, column, rule label, violation-count aggregate) and the
+    * output is the per-rule verdict (n_violations, pass).
+    *
+    * The whole suite is ONE aggregate pass over the table — every
+    * rule's violation count is a conditional count in the same
+    * partial+final HashAggregate, so adding rules adds expressions,
+    * never scans. An exact-uniqueness rule (count - count distinct)
+    * is the one term that expands the shuffle (distinct keys); at
+    * 100 TB swap it for the KMV sketch above with a documented
+    * tolerance — same suite shape. Output is rules-sized (tiny). */
+  def expectations(df: DataFrame,
+      rules: Seq[(Int, String, String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    val aggs = rules.map { case (id, _, _, v) => v.cast("bigint").as(s"__v_$id") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.map { case (id, c, r, _) =>
+      struct(
+        lit(id).as("rule_id"),
+        lit(c).as("column"),
+        lit(r).as("rule"),
+        col(s"__v_$id").as("n_violations"),
+        (col(s"__v_$id") === 0L).as("pass"))
+    }
+    one.select(explode(array(rows: _*)).as("e")).select("e.*")
+      .orderBy(col("rule_id"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per group — the
     * AUDITABLE cardinality estimator (the x47 pattern applied to
     * approx-distinct): unlike HLL (x20, engine-specific registers,

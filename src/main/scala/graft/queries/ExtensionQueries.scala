@@ -721,6 +721,34 @@ object ExtensionQueries {
   def x60(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.oovRate(docs(s, dir), vocabSize = 30)
 
+  /** x61 data-quality expectation suite over `orders` — the publish
+    * gate ([[Profile.expectations]]): six declarative rules checked in
+    * ONE aggregate pass, verdicts per rule. The suite is deliberately
+    * mixed pass/fail on this corpus: the price ceiling and the
+    * priority regex (a space in `4-NOT SPECIFIED` breaks `[A-Z]+`)
+    * both catch real rows, so the failure path is exercised, not just
+    * the all-green one. */
+  def x61(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    Profile.expectations(o, Seq(
+      (1, "o_custkey", "not_null",
+        count_if(col("o_custkey").isNull)),
+      (2, "o_orderkey", "unique",
+        count(lit(1)) - count_distinct(col("o_orderkey"))),
+      (3, "o_totalprice", "range[0,300000]",
+        count_if(col("o_totalprice").isNotNull &&
+          !col("o_totalprice").between(0, 300000))),
+      (4, "o_orderstatus", "in_set{O,F,P}",
+        count_if(col("o_orderstatus").isNotNull &&
+          !col("o_orderstatus").isin("O", "F", "P"))),
+      (5, "o_orderpriority", "regex ^[1-5]-[A-Z]+$",
+        count_if(col("o_orderpriority").isNotNull &&
+          !col("o_orderpriority").rlike("^[1-5]-[A-Z]+$"))),
+      (6, "o_orderdate", "min_date 1995-01-01",
+        count_if(col("o_orderdate") <
+          lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))))))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -782,6 +810,7 @@ object ExtensionQueries {
     "x58_bm25_retrieval" -> (x58 _),
     "x59_source_cap" -> (x59 _),
     "x60_oov_rate" -> (x60 _),
+    "x61_expectations" -> (x61 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1874,5 +1903,30 @@ object ExtensionQueries {
          |            THEN round(pd.n_oov::DOUBLE / pd.n_tokens::DOUBLE, 6) END AS oov_rate
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // One aggregate row computes every rule's violation count; the
+    // union-all expands to the per-rule verdict rows. Counts are exact
+    // integers; pass is an integer-equality boolean.
+    "x61_expectations" ->
+      """WITH a AS (SELECT
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v1,
+        |  count(*) - count(DISTINCT o_orderkey) AS v2,
+        |  count(CASE WHEN o_totalprice IS NOT NULL
+        |             AND NOT (o_totalprice BETWEEN 0 AND 300000) THEN 1 END) AS v3,
+        |  count(CASE WHEN o_orderstatus IS NOT NULL
+        |             AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END) AS v4,
+        |  count(CASE WHEN o_orderpriority IS NOT NULL
+        |             AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$') THEN 1 END) AS v5,
+        |  count(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00' THEN 1 END) AS v6
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 1 AS rule_id, 'o_custkey' AS "column", 'not_null' AS rule,
+        |         CAST(v1 AS BIGINT) AS n_violations, v1 = 0 AS pass FROM a
+        |  UNION ALL SELECT 2, 'o_orderkey', 'unique', CAST(v2 AS BIGINT), v2 = 0 FROM a
+        |  UNION ALL SELECT 3, 'o_totalprice', 'range[0,300000]', CAST(v3 AS BIGINT), v3 = 0 FROM a
+        |  UNION ALL SELECT 4, 'o_orderstatus', 'in_set{O,F,P}', CAST(v4 AS BIGINT), v4 = 0 FROM a
+        |  UNION ALL SELECT 5, 'o_orderpriority', 'regex ^[1-5]-[A-Z]+$', CAST(v5 AS BIGINT), v5 = 0 FROM a
+        |  UNION ALL SELECT 6, 'o_orderdate', 'min_date 1995-01-01', CAST(v6 AS BIGINT), v6 = 0 FROM a
+        |) ORDER BY rule_id""".stripMargin,
   )
 }

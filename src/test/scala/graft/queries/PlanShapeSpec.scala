@@ -250,6 +250,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x61: the whole expectation suite is ONE partial+final aggregate pass") {
+    val plan = physical(ExtensionQueries.x61(spark, sf001))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    // one scan of orders feeds every rule (adding rules must not add scans)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1 ||
+      "Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("x48: redaction is one narrow projection — no shuffle before the final sort") {
     val plan = physical(ExtensionQueries.x48(spark, sf001))
     assert(!plan.contains("Join"), plan)
