@@ -548,6 +548,7 @@ class SocrataReader(schema: StructType, url: String, pageSize: Int,
   private var pageNo: Int = part.index
   private var rowsEmitted = 0L
   private var exhausted = false
+  private var lastPageShort = false
   private var current: InternalRow = _
 
   private def fetchPage(): Unit = {
@@ -573,8 +574,21 @@ class SocrataReader(schema: StructType, url: String, pageSize: Int,
     val items = if (node.isArray) node.elements() else util.Collections.emptyIterator[JsonNode]()
     val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
     items.forEachRemaining(n => buf += n)
-    // only an EMPTY page proves exhaustion: a short page may just be a
-    // server-side cap below our requested $limit
+    // only an EMPTY page proves exhaustion: a short page is legitimate
+    // at the END of the resource. But $offset windows advance by
+    // pageSize, so a short page FOLLOWED by a non-empty one means the
+    // server capped $limit below pageSize and the un-sent tail of the
+    // previous window was silently skipped — data loss, fail loudly.
+    // (A cap-short page that happens to be the final window is
+    // indistinguishable from a legitimate tail; the guard fires on any
+    // resource wider than one page window, which is exactly where
+    // server caps exist.)
+    if (buf.nonEmpty && lastPageShort)
+      throw new IllegalStateException(
+        s"socrata returned a short non-final page: the server capped " +
+          s"$$limit below pageSize=$pageSize and rows were skipped — " +
+          "lower the pageSize option to at most the server's page cap")
+    lastPageShort = buf.nonEmpty && buf.length < pageLimit
     if (buf.isEmpty) exhausted = true
     pageNo += part.of
     page = buf.iterator

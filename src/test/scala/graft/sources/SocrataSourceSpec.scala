@@ -127,6 +127,31 @@ class SocrataSourceSpec extends SparkSpec {
     }
   }
 
+  test("server capping $limit below pageSize fails loudly instead of skipping rows") {
+    val rows3 = Seq(
+      """{"city": "A", "pop": 1, "consent": true}""",
+      """{"city": "B", "pop": 2, "consent": true}""",
+      """{"city": "C", "pop": 3, "consent": true}""")
+    val stub = new StubServer
+    stub.handle("/capped.json") { (q, _) =>
+      val offset = "\\$offset=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(0)
+      // the server ignores the requested $limit and caps every page at
+      // 1 row — offset windows still advance by pageSize, so row B
+      // (offset 1) would silently vanish without the guard
+      val page = rows3.slice(offset, math.min(rows3.length, offset + 1))
+      (200, "application/json", page.mkString("[", ",", "]").getBytes("UTF-8"))
+    }
+    stub.start()
+    try {
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/capped.json"))
+        .option("pageSize", "2").option("numPartitions", "1").load()
+      val e = intercept[org.apache.spark.SparkException] { df.collect() }
+      assert(e.getMessage.contains("short non-final page")
+        || Option(e.getCause).exists(_.getMessage.contains("short non-final page")), e.getMessage)
+    } finally stub.stop()
+  }
+
   test("limit pushes $limit: the server truncates, paging stops at n rows") {
     withStub { stub =>
       val df = spark.read.format("graft.sources.socrata")
