@@ -191,4 +191,43 @@ class OperatorPropertiesSpec extends SparkSpec {
       if (exact < k) assert(est == exact, s"$g: under-k estimate must be exact")
     }
   }
+
+  test("sourceCapStats: bounded heap equals a direct sort-and-cap model on random corpora") {
+    val docGen = for {
+      src <- Gen.choose(0, 5)
+      len <- Gen.choose(0L, 50L) // narrow range → many score ties exercise the id tiebreak
+    } yield (src, len)
+    val cap = 7
+    val rows = samples(docGen, 300, 11L).zipWithIndex
+      .map { case ((s, l), i) => (i.toLong, s"src$s", l) }
+    val got = TextAnalysis.sourceCapStats(
+        rows.toDF("doc_id", "source", "n_chars"), cap)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val exp = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val ranked = ds.sortBy(d => (-d._3, d._1)) // n_chars DESC, doc_id ASC
+      val kept = math.min(ranked.length, cap)
+      val cut = ranked(kept - 1)
+      (src, ranked.length.toLong, kept.toLong, (ranked.length - kept).toLong,
+        cut._1, cut._3)
+    }
+    assert(got == exp)
+  }
+
+  test("bm25Retrieval: results identical under arbitrary repartitioning (fixed-point sums)") {
+    val textGen = Gen.listOfN(15, Gen.oneOf(
+      "spark", "stream", "window", "hash", "join", "merge", "filter",
+      "scan", "sort", "alpha", "beta", "gamma", "delta")).map(_.mkString(" "))
+    val docs = samples(textGen, 120, 13L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val queries = Seq(1 -> Seq("spark", "stream"), 2 -> Seq("hash", "join", "merge"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25Retrieval(df, queries, k = 5)
+        .as[(Int, Int, Long, Long)].collect().toSeq
+    val base = run(docs)
+    assert(base.nonEmpty && base.map(_._4).distinct.length > 1, s"degenerate scores: $base")
+    // a different partitioning changes partial-agg and sum orders;
+    // the micro-scaled BIGINT weights make the scores exact anyway
+    assert(run(docs.repartition(13, col("text"))) == base)
+    assert(run(docs.coalesce(1)) == base)
+  }
 }
