@@ -431,6 +431,7 @@ class SocrataAggReader(schema: StructType, url: String, pageSize: Int,
   private var page: Iterator[JsonNode] = Iterator.empty
   private var pageNo = 0
   private var exhausted = false
+  private var lastPageShort = false
   private var current: InternalRow = _
 
   private def fetchPage(): Unit = {
@@ -453,7 +454,15 @@ class SocrataAggReader(schema: StructType, url: String, pageSize: Int,
     val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
     items.forEachRemaining(n => buf += n)
     // a global aggregate is one row, one page; grouped results page
-    // until the empty page like the row scan
+    // until the empty page like the row scan — with the row scan's
+    // short-page guard: a non-empty page after a short one means the
+    // server capped $limit below pageSize and GROUPS were skipped
+    if (buf.nonEmpty && lastPageShort)
+      throw new IllegalStateException(
+        "socrata returned a short non-final aggregate page: the server " +
+          s"capped $$limit below pageSize=$pageSize and result groups were " +
+          "skipped — lower the pageSize option to at most the server's page cap")
+    lastPageShort = buf.nonEmpty && buf.length < pageSize
     if (buf.isEmpty || groups.isEmpty) exhausted = true
     pageNo += 1
     page = buf.iterator
