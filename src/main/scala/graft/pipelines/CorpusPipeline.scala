@@ -115,4 +115,33 @@ object CorpusPipeline {
       graft.operators.TextAnalysis.mixtureUpsample(cleanedM, cfg.idCol, strataCol)
     (balanced, report)
   }
+
+  /** Post-condition audit: [[clean]]'s contract re-checked as a
+    * declarative expectation suite ([[graft.operators.Profile
+    * .expectations]]) over the frame it RETURNED — unique non-null
+    * ids, non-empty text, and every gate the funnel claims to have
+    * applied (quality, token floor, language set). On a cleaned frame
+    * every rule must pass; run against the RAW input the same suite
+    * quantifies the dirt the funnel is about to remove. One aggregate
+    * pass either way (the x61 cost model), so auditing before publish
+    * costs one scan of the output — the cheap insurance against a
+    * stage being reordered or a config drifting out from under a
+    * downstream consumer. */
+  def audit(frame: DataFrame, cfg: Config = Config()): DataFrame = {
+    val id = col(cfg.idCol)
+    val text = col(cfg.textCol)
+    val rules = Seq(
+      (1, cfg.idCol, "unique_non_null_ids",
+        count_if(id.isNotNull) - count_distinct(id)),
+      (2, cfg.textCol, "non_empty_text",
+        count_if(text.isNull || length(text) === 0)),
+      (3, cfg.textCol, s"quality>=${cfg.minQuality}",
+        count_if(qualityScore(text) < cfg.minQuality)),
+      (4, cfg.textCol, s"tokens>=${cfg.minTokens}",
+        count_if(tokenCount(text) < cfg.minTokens))) ++
+      (if (cfg.keepLangs.isEmpty) Nil
+       else Seq((5, "lang", "lang_in_keep_set",
+         count_if(!langId(text).isin(cfg.keepLangs: _*)))))
+    graft.operators.Profile.expectations(frame, rules)
+  }
 }

@@ -26,6 +26,17 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(r.afterNearDup == 2) // 3 dropped (near dup of 1)
     val ids = cleaned.select($"doc_id").as[Long].collect().toSet
     assert(ids == Set(1L, 5L))
+
+    // post-condition audit: every expectation passes on the CLEANED
+    // frame; the same suite quantifies the dirt in the RAW input
+    val cfg = CorpusPipeline.Config(minQuality = 0.5, minTokens = 3)
+    val cleanVerdicts = CorpusPipeline.audit(cleaned, cfg)
+      .select($"rule", $"pass").as[(String, Boolean)].collect().toMap
+    assert(cleanVerdicts.nonEmpty && cleanVerdicts.values.forall(identity), cleanVerdicts)
+    val rawViolations = CorpusPipeline.audit(corpus, cfg)
+      .select($"rule", $"n_violations").as[(String, Long)].collect().toMap
+    assert(rawViolations("quality>=0.5") > 0 && rawViolations("tokens>=3") > 0,
+      rawViolations)
     cleaned.unpersist()
   }
 
