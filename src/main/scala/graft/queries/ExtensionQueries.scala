@@ -749,6 +749,23 @@ object ExtensionQueries {
           lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))))))
   }
 
+  /** x62 corpus snapshot diff ([[CatalogTransforms.snapshotDiff]]):
+    * version N = docs outside the mod-10 ingest split (x57's standing
+    * corpus), version N+1 = the mod-3 survivors with a simulated edit
+    * on the mod-7 rows — yielding all four statuses (added / removed /
+    * changed / unchanged) non-vacuously. Content compared by md5, so
+    * the full-outer shuffle carries (key, hash), never the text. */
+  def x62(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val old = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val next = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    CatalogTransforms.snapshotDiff(old, next, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -811,6 +828,7 @@ object ExtensionQueries {
     "x59_source_cap" -> (x59 _),
     "x60_oov_rate" -> (x60 _),
     "x61_expectations" -> (x61 _),
+    "x62_snapshot_diff" -> (x62 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1928,5 +1946,23 @@ object ExtensionQueries {
         |  UNION ALL SELECT 5, 'o_orderpriority', 'regex ^[1-5]-[A-Z]+$', CAST(v5 AS BIGINT), v5 = 0 FROM a
         |  UNION ALL SELECT 6, 'o_orderdate', 'min_date 1995-01-01', CAST(v6 AS BIGINT), v6 = 0 FROM a
         |) ORDER BY rule_id""".stripMargin,
+
+    // Both engines hash the identical UTF-8 text to the same lowercase
+    // hex md5; only hash EQUALITY reaches the output. The join carries
+    // (key, hash), never the payload.
+    "x62_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS h
+        |             FROM documents WHERE doc_id % 10 <> 0),
+        |nxt AS (SELECT doc_id,
+        |               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |                        ELSE text END) AS h
+        |        FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.h IS NULL THEN 'added'
+        |            WHEN n.h IS NULL THEN 'removed'
+        |            WHEN o.h <> n.h THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM old o FULL OUTER JOIN nxt n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 }

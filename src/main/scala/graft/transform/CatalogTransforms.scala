@@ -111,4 +111,30 @@ object CatalogTransforms {
     * index). */
   def responseCount(resp: Column, action: String): Column =
     regexp_extract(resp, s"Rows $action: (\\d+)", 1).try_cast("long")
+
+  /** Snapshot diff — the dataset-versioning changelog: classify every
+    * key across two corpus versions as added / removed / changed /
+    * unchanged, comparing CONTENT BY HASH so the wide payload never
+    * rides the shuffle twice. This is the reference's per-run
+    * set-difference change detection (publish_to_catalog.py:261-288,
+    * J2/A2) generalized from "which rows to delete/upsert" to the full
+    * four-way audit a corpus release pipeline publishes alongside a
+    * new version.
+    *
+    * Scale: each side reduces to (key, md5(content)) before the ONE
+    * full-outer shuffle on the key — the join carries two hash columns
+    * regardless of payload width. At 100 TB both sides' hashes are the
+    * kind of column a release process materializes with the snapshot,
+    * making the diff a hash-table-sized join, not a corpus read. */
+  def snapshotDiff(old: DataFrame, next: DataFrame, key: String,
+      contentCol: String): DataFrame = {
+    def hashed(df: DataFrame, h: String) =
+      df.select(col(key), md5(col(contentCol).cast("string")).as(h))
+    hashed(old, "__h_old").join(hashed(next, "__h_new"), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") =!= col("__h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

@@ -250,6 +250,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x62: snapshot diff hashes BEFORE the one full-outer shuffle (no payload on the wire)") {
+    val df = ExtensionQueries.x62(spark, sf001)
+    val plan = physical(df)
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the exchange feeding the join must carry (doc_id, md5), not text:
+    // md5 is computed below the join, so "text" appears only in scans
+    // (unwrap AQE — collect() does not descend into AdaptiveSparkPlanExec)
+    val inner = qe(df).executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val joins = inner.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.nonEmpty, plan)
+    joins.foreach { j =>
+      (j.left.output ++ j.right.output).foreach(a =>
+        assert(a.name != "text", s"payload column crossed the shuffle: $plan"))
+    }
+    // all four statuses occur non-vacuously on the fixture
+    import spark.implicits._
+    val statuses = df.select($"status").distinct().as[String].collect().toSet
+    assert(statuses == Set("added", "removed", "changed", "unchanged"), statuses.toString)
+  }
+
   test("x61: the whole expectation suite is ONE partial+final aggregate pass") {
     val plan = physical(ExtensionQueries.x61(spark, sf001))
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
