@@ -53,6 +53,10 @@ object Profile {
   def expectations(df: DataFrame,
       rules: Seq[(Int, String, String, org.apache.spark.sql.Column)]): DataFrame = {
     require(rules.nonEmpty, "expectations needs at least one rule")
+    // duplicate ids would alias two __v_<id> aggregates and fail later
+    // with an ambiguous-reference AnalysisException — fail clearly here
+    val dups = rules.map(_._1).groupBy(identity).collect { case (id, g) if g.size > 1 => id }
+    require(dups.isEmpty, s"duplicate expectation rule ids: ${dups.mkString(", ")}")
     val aggs = rules.map { case (id, _, _, v) => v.cast("bigint").as(s"__v_$id") }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = rules.map { case (id, c, r, _) =>

@@ -131,6 +131,11 @@ object CorpusPipeline {
     val id = col(cfg.idCol)
     val text = col(cfg.textCol)
     val rules = Seq(
+      // "non_null" is in the NAME on purpose: clean() deliberately
+      // passes null-id rows through (they can't join the keep-set), so
+      // nulls are allowed here and only DUPLICATES among real ids
+      // violate. A caller that forbids null ids adds its own
+      // count_if(id.isNull) rule.
       (1, cfg.idCol, "unique_non_null_ids",
         count_if(id.isNotNull) - count_distinct(id)),
       (2, cfg.textCol, "non_empty_text",

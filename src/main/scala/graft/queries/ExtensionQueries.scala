@@ -744,9 +744,12 @@ object ExtensionQueries {
       (5, "o_orderpriority", "regex ^[1-5]-[A-Z]+$",
         count_if(col("o_orderpriority").isNotNull &&
           !col("o_orderpriority").rlike("^[1-5]-[A-Z]+$"))),
+      // to_timestamp parses in the SESSION timezone (pinned UTC) —
+      // java.sql.Timestamp.valueOf would parse in the JVM default TZ,
+      // making the verdict machine-dependent
       (6, "o_orderdate", "min_date 1995-01-01",
         count_if(col("o_orderdate") <
-          lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))))))
+          to_timestamp(lit("1995-01-01 00:00:00"))))))
   }
 
   /** x62 corpus snapshot diff ([[CatalogTransforms.snapshotDiff]]):
@@ -1951,11 +1954,11 @@ object ExtensionQueries {
     // hex md5; only hash EQUALITY reaches the output. The join carries
     // (key, hash), never the payload.
     "x62_snapshot_diff" ->
-      """WITH old AS (SELECT doc_id, md5(text) AS h
+      """WITH old AS (SELECT doc_id, coalesce(md5(text), '__null__') AS h
         |             FROM documents WHERE doc_id % 10 <> 0),
         |nxt AS (SELECT doc_id,
-        |               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
-        |                        ELSE text END) AS h
+        |               coalesce(md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |                                 ELSE text END), '__null__') AS h
         |        FROM documents WHERE doc_id % 3 <> 0)
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         |       CASE WHEN o.h IS NULL THEN 'added'

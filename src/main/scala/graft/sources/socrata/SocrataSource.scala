@@ -296,10 +296,15 @@ class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, num
   // blocks this rewrite, so filtered aggregates keep the trust-nothing
   // row path — exactly the queries where re-checking $where matters.
 
-  /** min/max ride on the column's own type; Socrata orders these types
-    * the way Spark does (strings lexicographic, numerics numeric). */
+  /** min/max ride on the column's own type. Numerics and temporals
+    * have ONE ordering both sides agree on; strings are deliberately
+    * excluded — the server's text collation (case folding, locale) is
+    * not attested to match Spark's binary UTF-8 comparison, and a
+    * server-computed min/max over rows this side never sees cannot be
+    * re-checked. String aggregates stay on the trust-nothing row
+    * path. */
   private def minMaxable(dt: DataType): Boolean = dt match {
-    case StringType | LongType | IntegerType | DoubleType | DateType | TimestampType => true
+    case LongType | IntegerType | DoubleType | DateType | TimestampType => true
     case _ => false
   }
 
@@ -320,8 +325,11 @@ class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, num
         case _: CountStar =>
           Some((s"count(*) AS $alias", StructField(alias, LongType)))
         case c: Count => fieldOf(c.column).map { f =>
-          val d = if (c.isDistinct) "distinct " else ""
-          (s"count($d${f.name}) AS $alias", StructField(alias, LongType))
+          // SoQL's documented spelling is count_distinct(col), not
+          // SQL's count(distinct col)
+          val expr = if (c.isDistinct) s"count_distinct(${f.name})"
+                     else s"count(${f.name})"
+          (s"$expr AS $alias", StructField(alias, LongType))
         }
         case m: Min => fieldOf(m.column).filter(f => minMaxable(f.dataType))
           .map(f => (s"min(${f.name}) AS $alias", StructField(alias, f.dataType)))
@@ -366,9 +374,12 @@ class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, num
   /** SoQL has no NULLS FIRST/LAST syntax; Socrata sorts NULL as the
     * smallest value, which matches Spark's DEFAULT null ordering
     * (ASC → NULLS FIRST, DESC → NULLS LAST) — exactly those two
-    * combinations translate, anything else declines. */
+    * combinations translate, anything else declines. Sort columns are
+    * restricted to the minMaxable types: a top-N discards rows
+    * server-side, so the server's ordering must provably equal
+    * Spark's, which string collation cannot attest. */
   private def translateOrder(o: V2SortOrder): Option[String] =
-    fieldOf(o.expression()).flatMap { f =>
+    fieldOf(o.expression()).filter(f => minMaxable(f.dataType)).flatMap { f =>
       (o.direction(), o.nullOrdering()) match {
         case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) => Some(s"${f.name} ASC")
         case (SortDirection.DESCENDING, NullOrdering.NULLS_LAST) => Some(s"${f.name} DESC")
@@ -425,16 +436,19 @@ class SocrataAggReaderFactory(schema: StructType, url: String, pageSize: Int,
 
 class SocrataAggReader(schema: StructType, url: String, pageSize: Int,
     preds: Array[String], selects: Seq[String], groups: Seq[String])
-    extends PartitionReader[InternalRow] {
+    extends PagedJsonReader(schema, pageSize) {
 
-  private val mapper = new ObjectMapper()
-  private var page: Iterator[JsonNode] = Iterator.empty
-  private var pageNo = 0
-  private var exhausted = false
-  private var lastPageShort = false
-  private var current: InternalRow = _
+  override protected def firstPage: Int = 0
+  override protected def stride: Int = 1
+  // a global aggregate is one row, one page; grouped results page
+  // until the empty page like the row scan
+  override protected def singlePage: Boolean = groups.isEmpty
+  override protected def shortPageError: String =
+    "socrata returned a short non-final aggregate page: the server " +
+      s"capped $$limit below pageSize=$pageSize and result groups were " +
+      "skipped — lower the pageSize option to at most the server's page cap"
 
-  private def fetchPage(): Unit = {
+  override protected def pageUrl(pageLimit: Long, offset: Long): String = {
     val qs = new StringBuilder()
     qs.append("$select=").append(java.net.URLEncoder.encode(selects.mkString(","), "UTF-8"))
     if (groups.nonEmpty) {
@@ -444,34 +458,69 @@ class SocrataAggReader(schema: StructType, url: String, pageSize: Int,
     if (preds.nonEmpty)
       qs.append("&$where=").append(java.net.URLEncoder.encode(
         preds.mkString(" AND "), "UTF-8"))
-    qs.append("&$limit=").append(pageSize)
-      .append("&$offset=").append(pageNo.toLong * pageSize)
-    val full = url + (if (url.contains("?")) "&" else "?") + qs
+    qs.append("&$limit=").append(pageLimit).append("&$offset=").append(offset)
+    url + (if (url.contains("?")) "&" else "?") + qs
+  }
+}
+
+/** The ONE `$limit`/`$offset` paging state machine shared by the row
+  * and aggregate readers: requests one page via [[pageUrl]], drains
+  * it, applies the short-page server-cap guard (a non-empty page after
+  * a short one proves the server capped `$limit` below `pageSize` and
+  * this reader's fixed-stride offsets skipped data), and terminates on
+  * the empty page — or after the first page when [[singlePage]], or at
+  * [[rowLimit]] emitted rows under a pushed limit. Subclasses choose
+  * only the query-string shape and the paging geometry; the subtle
+  * exhaustion/guard protocol exists exactly once. */
+private[socrata] abstract class PagedJsonReader(schema: StructType, pageSize: Int)
+    extends PartitionReader[InternalRow] {
+
+  /** Full request URL for one page of `pageLimit` rows at `offset`. */
+  protected def pageUrl(pageLimit: Long, offset: Long): String
+  /** First global page index and stride between this reader's pages. */
+  protected def firstPage: Int
+  protected def stride: Int
+  /** Client-side cap on emitted rows (a pushed LIMIT), if any. */
+  protected def rowLimit: Option[Int] = None
+  /** True when the first page is known to be the whole result. */
+  protected def singlePage: Boolean = false
+  protected def shortPageError: String
+
+  private val mapper = new ObjectMapper()
+  private var page: Iterator[JsonNode] = Iterator.empty
+  private var pageNo: Int = -1
+  private var rowsEmitted = 0L
+  private var exhausted = false
+  private var lastPageShort = false
+  private var current: InternalRow = _
+
+  private def fetchPage(): Unit = {
+    if (pageNo < 0) pageNo = firstPage
+    val remaining = rowLimit.map(l => l - rowsEmitted).getOrElse(Long.MaxValue)
+    val pageLimit = math.min(pageSize.toLong, remaining)
+    val full = pageUrl(pageLimit, pageNo.toLong * pageSize)
     val r = Http.get(full)
-    if (!r.ok) throw new RuntimeException(s"socrata aggregate fetch failed: ${r.error} ($full)")
+    if (!r.ok) throw new RuntimeException(s"socrata page fetch failed: ${r.error} ($full)")
     val node = mapper.readTree(r.body)
     val items = if (node.isArray) node.elements() else util.Collections.emptyIterator[JsonNode]()
     val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
     items.forEachRemaining(n => buf += n)
-    // a global aggregate is one row, one page; grouped results page
-    // until the empty page like the row scan — with the row scan's
-    // short-page guard: a non-empty page after a short one means the
-    // server capped $limit below pageSize and GROUPS were skipped
-    if (buf.nonEmpty && lastPageShort)
-      throw new IllegalStateException(
-        "socrata returned a short non-final aggregate page: the server " +
-          s"capped $$limit below pageSize=$pageSize and result groups were " +
-          "skipped — lower the pageSize option to at most the server's page cap")
-    lastPageShort = buf.nonEmpty && buf.length < pageSize
-    if (buf.isEmpty || groups.isEmpty) exhausted = true
-    pageNo += 1
+    // only an EMPTY page proves exhaustion: a short page is legitimate
+    // at the END of the resource — but a non-empty page after a short
+    // one means rows/groups were skipped (server cap): fail loudly
+    if (buf.nonEmpty && lastPageShort) throw new IllegalStateException(shortPageError)
+    lastPageShort = buf.nonEmpty && buf.length < pageLimit
+    if (buf.isEmpty || singlePage) exhausted = true
+    pageNo += stride
     page = buf.iterator
   }
 
   override def next(): Boolean = {
+    if (rowLimit.exists(rowsEmitted >= _)) return false
     while (!page.hasNext && !exhausted) fetchPage()
     if (!page.hasNext) return false
     current = JsonRows.toRow(page.next(), schema)
+    rowsEmitted += 1
     true
   }
   override def get(): InternalRow = current
@@ -546,26 +595,24 @@ class SocrataReaderFactory(schema: StructType, url: String, pageSize: Int,
   * `$limit` shrinks to the remainder so the server never sends rows
   * this side would discard). A pushed `$order` prefixes the `:id`
   * total-order tiebreak, keeping pagination stable under duplicates
-  * of the sort key. */
+  * of the sort key. Paging protocol lives in [[PagedJsonReader]]. */
 class SocrataReader(schema: StructType, url: String, pageSize: Int,
     preds: Array[String], part: SocrataPartition,
     limit: Option[Int] = None, order: Seq[String] = Nil)
-    extends PartitionReader[InternalRow] {
+    extends PagedJsonReader(schema, pageSize) {
 
-  private val mapper = new ObjectMapper()
-  private var page: Iterator[JsonNode] = Iterator.empty
-  private var pageNo: Int = part.index
-  private var rowsEmitted = 0L
-  private var exhausted = false
-  private var lastPageShort = false
-  private var current: InternalRow = _
+  override protected def firstPage: Int = part.index
+  override protected def stride: Int = part.of
+  override protected def rowLimit: Option[Int] = limit
+  override protected def shortPageError: String =
+    "socrata returned a short non-final page: the server capped " +
+      s"$$limit below pageSize=$pageSize and rows were skipped — " +
+      "lower the pageSize option to at most the server's page cap"
 
-  private def fetchPage(): Unit = {
-    val remaining = limit.map(l => l - rowsEmitted).getOrElse(Long.MaxValue)
-    val pageLimit = math.min(pageSize.toLong, remaining)
+  override protected def pageUrl(pageLimit: Long, offset: Long): String = {
     val qs = new StringBuilder()
     qs.append("$limit=").append(pageLimit)
-      .append("&$offset=").append(pageNo.toLong * pageSize)
+      .append("&$offset=").append(offset)
       // $limit/$offset paging is only well-defined under a total order;
       // :id is Socrata's stable system row id. Without this, pages can
       // overlap/miss rows across requests and partitions.
@@ -576,43 +623,8 @@ class SocrataReader(schema: StructType, url: String, pageSize: Int,
         preds.mkString(" AND "), "UTF-8"))
     qs.append("&$select=").append(java.net.URLEncoder.encode(
       schema.fieldNames.mkString(","), "UTF-8"))
-    val full = url + (if (url.contains("?")) "&" else "?") + qs
-    val r = Http.get(full)
-    if (!r.ok) throw new RuntimeException(s"socrata page fetch failed: ${r.error} ($full)")
-    val node = mapper.readTree(r.body)
-    val items = if (node.isArray) node.elements() else util.Collections.emptyIterator[JsonNode]()
-    val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
-    items.forEachRemaining(n => buf += n)
-    // only an EMPTY page proves exhaustion: a short page is legitimate
-    // at the END of the resource. But $offset windows advance by
-    // pageSize, so a short page FOLLOWED by a non-empty one means the
-    // server capped $limit below pageSize and the un-sent tail of the
-    // previous window was silently skipped — data loss, fail loudly.
-    // (A cap-short page that happens to be the final window is
-    // indistinguishable from a legitimate tail; the guard fires on any
-    // resource wider than one page window, which is exactly where
-    // server caps exist.)
-    if (buf.nonEmpty && lastPageShort)
-      throw new IllegalStateException(
-        s"socrata returned a short non-final page: the server capped " +
-          s"$$limit below pageSize=$pageSize and rows were skipped — " +
-          "lower the pageSize option to at most the server's page cap")
-    lastPageShort = buf.nonEmpty && buf.length < pageLimit
-    if (buf.isEmpty) exhausted = true
-    pageNo += part.of
-    page = buf.iterator
+    url + (if (url.contains("?")) "&" else "?") + qs
   }
-
-  override def next(): Boolean = {
-    if (limit.exists(rowsEmitted >= _)) return false
-    while (!page.hasNext && !exhausted) fetchPage()
-    if (!page.hasNext) return false
-    current = JsonRows.toRow(page.next(), schema)
-    rowsEmitted += 1
-    true
-  }
-  override def get(): InternalRow = current
-  override def close(): Unit = ()
 }
 
 /** JSON object → InternalRow for the supported field types. */

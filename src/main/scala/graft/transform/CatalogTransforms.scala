@@ -128,8 +128,16 @@ object CatalogTransforms {
     * making the diff a hash-table-sized join, not a corpus read. */
   def snapshotDiff(old: DataFrame, next: DataFrame, key: String,
       contentCol: String): DataFrame = {
+    // NULL content must still count as "present": md5(null) is null,
+    // and using it directly as the presence sentinel would classify a
+    // null-content row as absent (null→'x' would read "added", 'x'→null
+    // "removed", null→null "added"). Coalescing to a sentinel that md5
+    // can never emit (md5 output is 32 hex chars) keeps presence and
+    // content-equality independent: null contents equal each other and
+    // differ from every real hash.
     def hashed(df: DataFrame, h: String) =
-      df.select(col(key), md5(col(contentCol).cast("string")).as(h))
+      df.select(col(key),
+        coalesce(md5(col(contentCol).cast("string")), lit("__null__")).as(h))
     hashed(old, "__h_old").join(hashed(next, "__h_new"), Seq(key), "full_outer")
       .select(col(key),
         when(col("__h_old").isNull, lit("added"))

@@ -32,6 +32,9 @@ class SocrataSourceSpec extends SparkSpec {
           val aMin = "min\\(pop\\) AS (\\w+)".r.findFirstMatchIn(q).get.group(1)
           val aMax = "max\\(pop\\) AS (\\w+)".r.findFirstMatchIn(q).get.group(1)
           Seq(s"""{"$aMin": ${kept.map(pop).min}, "$aMax": ${kept.map(pop).max}}""")
+        case None if q.contains("count_distinct(pop)") =>
+          val a = "count_distinct\\(pop\\) AS (\\w+)".r.findFirstMatchIn(q).get.group(1)
+          Seq(s"""{"$a": ${kept.map(pop).distinct.length}}""")
         // honor a pushed $order on pop (the TopN tests' shape) — the
         // server-side sort is what the pushdown trusts the server for
         case None if q.contains("$order=pop ASC") => kept.sortBy(pop)
@@ -124,6 +127,24 @@ class SocrataSourceSpec extends SparkSpec {
       assert(reqs.exists(r => r.contains("$select=consent,count(*) AS agg_0")
         && r.contains("$group=consent") && r.contains("$order=consent")), reqs)
       assert(reqs.exists(_.contains("$select=min(pop) AS agg_0,max(pop) AS agg_1")), reqs)
+    }
+  }
+
+  test("count(DISTINCT) pushes down as SoQL count_distinct; string min/max declines") {
+    withStub { stub =>
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json")).load()
+      assert(df.agg(count_distinct($"pop")).as[Long].head() == 2L)
+      val reqs = decodedReqs(stub)
+      // SoQL's documented spelling, not SQL's count(distinct col)
+      assert(reqs.exists(_.contains("$select=count_distinct(pop) AS agg_0")), reqs)
+      // a STRING min/max must NOT push down (server collation is not
+      // attested to match Spark's binary UTF-8 order) — the aggregate
+      // runs Spark-side over the row scan instead
+      assert(df.agg(min($"city")).as[String].head() == "Shelbyville")
+      val after = decodedReqs(stub)
+      assert(!after.exists(_.contains("min(city)")), after)
+      assert(after.exists(_.contains("$order=:id")), after) // row paging happened
     }
   }
 

@@ -124,6 +124,20 @@ class TransformsSpec extends SparkSpec {
     assert(r == ((12L, 4L)))
   }
 
+  test("snapshotDiff: null content is present, not absent (all four statuses)") {
+    val old = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]),
+      (4L, Option("d")), (6L, Option.empty[String])).toDF("k", "c")
+    val next = Seq((1L, Option("a")), (2L, Option("B")), (3L, Option("now-set")),
+      (5L, Option("new")), (6L, Option.empty[String])).toDF("k", "c")
+    val got = CatalogTransforms.snapshotDiff(old, next, "k", "c")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed",
+      3L -> "changed",   // null → value is a CHANGE, not an add
+      4L -> "removed", 5L -> "added",
+      6L -> "unchanged")) // null → null: same (absent) content
+  }
+
   test("metadataStruct embeds extractable markers (round-trip)") {
     val agency = Seq(("feedZ", "Zeta Transit", "Z9", "http://h/z.zip"))
       .toDF("feed_id", "agency_name", "ntd_id", "fetch_link")
