@@ -769,6 +769,43 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** x63 Bloom-filter membership pre-screen — the runtime-filter
+    * primitive at corpus scale: "known" day-1 users become a Bloom
+    * filter ([[graft.functions.BloomFunctions]], Spark's own
+    * BloomFilterAggregate/MightContain pair), later events probe it
+    * map-side. The filter bits are engine-specific, so the CHECKED
+    * output is the calibration contract (the x20 pattern): exact
+    * membership counts (oracle-recomputed via the user-id join), the
+    * zero-false-negative invariant the structure guarantees, and an
+    * fp-rate bound flag pinned TRUE. The exact join exists FOR the
+    * calibration; production runs only the broadcast probe. */
+  def x63(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val ev = Tables.load(s, dir, "events")
+    val cut = to_date(lit("2024-01-02"))
+    val seen = ev.filter(to_date(col("ts")) < cut)
+      .select(col("user_id")).distinct()
+    // might_contain requires a CONSTANT filter: collect the KB-scale
+    // binary and embed it as a literal — the very shape Catalyst's
+    // InjectRuntimeFilter produces once its scalar subquery executes
+    // (the sketch is control-plane-sized, like x26's centroid literals)
+    val bf = seen.agg(bloom_agg(col("user_id"), 5000L, 65536L).as("__bf"))
+      .head().getAs[Array[Byte]]("__bf")
+    val known = seen.withColumn("__m", lit(1))
+    ev.filter(to_date(col("ts")) >= cut)
+      .select(col("user_id"))
+      .join(broadcast(known), Seq("user_id"), "left")
+      .select(col("__m").isNotNull.as("member"),
+        bloom_might_contain(lit(bf), col("user_id")).as("__hit"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_probe"),
+        count_if(col("member")).cast("bigint").as("n_known"),
+        count_if(col("member") && !col("__hit")).cast("bigint").as("n_false_negatives"),
+        (count_if(!col("member") && col("__hit")) <=
+          greatest(ceil(count_if(!col("member")).cast("double") * lit(0.05)),
+            lit(5L))).as("fp_ok"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -832,6 +869,7 @@ object ExtensionQueries {
     "x60_oov_rate" -> (x60 _),
     "x61_expectations" -> (x61 _),
     "x62_snapshot_diff" -> (x62 _),
+    "x63_bloom_prescreen" -> (x63 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1967,5 +2005,22 @@ object ExtensionQueries {
         |            ELSE 'unchanged' END AS status
         |FROM old o FULL OUTER JOIN nxt n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // The x20 calibration pattern for a Bloom filter: exact membership
+    // recomputed; no-false-negative is the structure's guarantee
+    // (violating it means the filter is broken, not mis-sized); the fp
+    // bound is pinned TRUE at the sized rate + slack.
+    "x63_bloom_prescreen" ->
+      """WITH seen AS (SELECT DISTINCT user_id FROM events
+        |              WHERE CAST(ts AS DATE) < DATE '2024-01-02'),
+        |probe AS (SELECT e.user_id,
+        |                 s.user_id IS NOT NULL AS member
+        |          FROM events e LEFT JOIN seen s ON e.user_id = s.user_id
+        |          WHERE CAST(e.ts AS DATE) >= DATE '2024-01-02')
+        |SELECT CAST(count(*) AS BIGINT) AS n_probe,
+        |       CAST(count(CASE WHEN member THEN 1 END) AS BIGINT) AS n_known,
+        |       CAST(0 AS BIGINT) AS n_false_negatives,
+        |       TRUE AS fp_ok
+        |FROM probe""".stripMargin,
   )
 }

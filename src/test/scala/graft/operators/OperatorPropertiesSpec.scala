@@ -213,6 +213,23 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("bloom filter: zero false negatives on random keys; deterministic under repartition") {
+    import graft.functions.BloomFunctions._
+    val keys = samples(Gen.choose(Long.MinValue, Long.MaxValue), 500, 17L).distinct
+    val inserted = keys.take(300)
+    def buildBf(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(bloom_agg(col("k"), 1000L, 16384L).as("bf")).head().getAs[Array[Byte]]("bf")
+    val bf = buildBf(inserted.toDF("k"))
+    // commutative bit-OR merge: identical bits under any partitioning
+    assert(java.util.Arrays.equals(bf, buildBf(inserted.toDF("k").repartition(7))))
+    val hits = keys.toDF("k")
+      .select(col("k"), bloom_might_contain(lit(bf), col("k")).as("hit"))
+      .as[(Long, Boolean)].collect().toMap
+    inserted.foreach(k => assert(hits(k), s"false negative for $k"))
+    val fps = keys.drop(300).count(hits(_))
+    assert(fps <= 20, s"fp rate implausibly high: $fps/200") // sized for ~<1%
+  }
+
   test("bm25Retrieval: results identical under arbitrary repartitioning (fixed-point sums)") {
     val textGen = Gen.listOfN(15, Gen.oneOf(
       "spark", "stream", "window", "hash", "join", "merge", "filter",

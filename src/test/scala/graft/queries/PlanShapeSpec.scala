@@ -276,6 +276,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(statuses == Set("added", "removed", "changed", "unchanged"), statuses.toString)
   }
 
+  test("x63: bloom probe is a map-side expression over a literal; membership join broadcasts") {
+    val plan = physical(ExtensionQueries.x63(spark, sf001))
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("x61: the whole expectation suite is ONE partial+final aggregate pass") {
     val plan = physical(ExtensionQueries.x61(spark, sf001))
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
