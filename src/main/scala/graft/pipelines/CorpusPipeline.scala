@@ -116,17 +116,25 @@ object CorpusPipeline {
     (balanced, report)
   }
 
-  /** Post-condition audit: [[clean]]'s contract re-checked as a
+  /** Post-condition audit: the corpus contract re-checked as a
     * declarative expectation suite ([[graft.operators.Profile
-    * .expectations]]) over the frame it RETURNED — unique non-null
-    * ids, non-empty text, and every gate the funnel claims to have
-    * applied (quality, token floor, language set). On a cleaned frame
-    * every rule must pass; run against the RAW input the same suite
-    * quantifies the dirt the funnel is about to remove. One aggregate
-    * pass either way (the x61 cost model), so auditing before publish
-    * costs one scan of the output — the cheap insurance against a
-    * stage being reordered or a config drifting out from under a
-    * downstream consumer. */
+    * .expectations]]) over [[clean]]'s output. Two rule classes,
+    * deliberately distinct:
+    *
+    *  - rules 3-5 (quality, token floor, language set) restate what
+    *    the funnel ENFORCES — they must pass on clean() output, and a
+    *    failure means a stage was reordered or a config drifted;
+    *  - rules 1-2 (unique ids, non-empty text) audit DATA invariants
+    *    clean() does not enforce: exact dedup keys on CONTENT, so two
+    *    rows sharing an id with different text both survive — rule 1
+    *    then fails, CORRECTLY, surfacing an upstream identity problem
+    *    the funnel cannot repair (and with `minTokens = 0`, empty text
+    *    passes the funnel but still trips rule 2).
+    *
+    * Run against the RAW input the same suite quantifies the dirt the
+    * funnel is about to remove. One aggregate pass either way (the x61
+    * cost model), so auditing before publish costs one scan of the
+    * output. */
   def audit(frame: DataFrame, cfg: Config = Config()): DataFrame = {
     val id = col(cfg.idCol)
     val text = col(cfg.textCol)

@@ -783,14 +783,25 @@ object ExtensionQueries {
     import graft.functions.BloomFunctions._
     val ev = Tables.load(s, dir, "events")
     val cut = to_date(lit("2024-01-02"))
+    // materialized ONCE (the x32 sharing rule): three consumers — the
+    // sizing count, the filter build, and the broadcast join side —
+    // would otherwise each re-scan and re-distinct the pre-cut events
     val seen = ev.filter(to_date(col("ts")) < cut)
       .select(col("user_id")).distinct()
-    // might_contain requires a CONSTANT filter: collect the KB-scale
-    // binary and embed it as a literal — the very shape Catalyst's
-    // InjectRuntimeFilter produces once its scalar subquery executes
-    // (the sketch is control-plane-sized, like x26's centroid literals)
-    val bf = seen.agg(bloom_agg(col("user_id"), 5000L, 65536L).as("__bf"))
+      .localCheckpoint(true)
+    // SIZE FROM THE DATA, not a constant: a fixed numBits would blow
+    // past its fp bound as the seen-set grows with sf (at ~50k keys a
+    // 65536-bit filter saturates to fp≈1 and the pinned fp_ok flag
+    // would flip). bits ≈ n·ln(1/p)/ln²2 at p=0.01 is n·9.57; 16 n
+    // adds slack and a floor keeps tiny fixtures honest.
+    val nSeen = seen.count()
+    val bf = seen.agg(bloom_agg(col("user_id"), math.max(nSeen, 1000L),
+        math.max(16L * nSeen, 65536L)).as("__bf"))
       .head().getAs[Array[Byte]]("__bf")
+    // might_contain requires a CONSTANT filter: the KB-scale binary
+    // embeds as a literal — the very shape Catalyst's
+    // InjectRuntimeFilter produces once its scalar subquery executes
+    // (control-plane-sized, like x26's centroid literals)
     val known = seen.withColumn("__m", lit(1))
     ev.filter(to_date(col("ts")) >= cut)
       .select(col("user_id"))

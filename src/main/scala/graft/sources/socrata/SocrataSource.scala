@@ -324,12 +324,18 @@ class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, num
       fn match {
         case _: CountStar =>
           Some((s"count(*) AS $alias", StructField(alias, LongType)))
-        case c: Count => fieldOf(c.column).map { f =>
-          // SoQL's documented spelling is count_distinct(col), not
-          // SQL's count(distinct col)
-          val expr = if (c.isDistinct) s"count_distinct(${f.name})"
-                     else s"count(${f.name})"
-          (s"$expr AS $alias", StructField(alias, LongType))
+        case c: Count if !c.isDistinct => fieldOf(c.column).map { f =>
+          (s"count(${f.name}) AS $alias", StructField(alias, LongType))
+        }
+        // COUNT(DISTINCT) is a FINAL answer under complete pushdown —
+        // nothing re-checks it — so it rides only on types whose
+        // equality is unambiguous (the minMaxable set). Server-side
+        // text normalization (case/Unicode folding) could make string
+        // distinctness disagree with Spark's binary comparison, the
+        // same unattested trust the string min/max decline removes.
+        // SoQL's documented spelling is count_distinct(col).
+        case c: Count => fieldOf(c.column).filter(f => minMaxable(f.dataType)).map { f =>
+          (s"count_distinct(${f.name}) AS $alias", StructField(alias, LongType))
         }
         case m: Min => fieldOf(m.column).filter(f => minMaxable(f.dataType))
           .map(f => (s"min(${f.name}) AS $alias", StructField(alias, f.dataType)))
@@ -444,9 +450,10 @@ class SocrataAggReader(schema: StructType, url: String, pageSize: Int,
   // until the empty page like the row scan
   override protected def singlePage: Boolean = groups.isEmpty
   override protected def shortPageError: String =
-    "socrata returned a short non-final aggregate page: the server " +
-      s"capped $$limit below pageSize=$pageSize and result groups were " +
-      "skipped — lower the pageSize option to at most the server's page cap"
+    "socrata returned a short non-final aggregate page: result groups were " +
+      s"skipped — either the server caps $$limit below pageSize=$pageSize " +
+      "(lower the pageSize option) or the resource changed between fetches " +
+      "(re-run against a quiet resource)"
 
   override protected def pageUrl(pageLimit: Long, offset: Long): String = {
     val qs = new StringBuilder()
@@ -507,7 +514,11 @@ private[socrata] abstract class PagedJsonReader(schema: StructType, pageSize: In
     items.forEachRemaining(n => buf += n)
     // only an EMPTY page proves exhaustion: a short page is legitimate
     // at the END of the resource — but a non-empty page after a short
-    // one means rows/groups were skipped (server cap): fail loudly
+    // one means rows/groups were skipped: fail loudly. (Two causes
+    // produce this: a server $limit cap below pageSize — fixable by
+    // lowering pageSize — or rows appended to the resource between
+    // fetches, where the right remedy is re-running against a quiet
+    // resource; the error text names both.)
     if (buf.nonEmpty && lastPageShort) throw new IllegalStateException(shortPageError)
     lastPageShort = buf.nonEmpty && buf.length < pageLimit
     if (buf.isEmpty || singlePage) exhausted = true
@@ -605,9 +616,10 @@ class SocrataReader(schema: StructType, url: String, pageSize: Int,
   override protected def stride: Int = part.of
   override protected def rowLimit: Option[Int] = limit
   override protected def shortPageError: String =
-    "socrata returned a short non-final page: the server capped " +
-      s"$$limit below pageSize=$pageSize and rows were skipped — " +
-      "lower the pageSize option to at most the server's page cap"
+    "socrata returned a short non-final page: rows were skipped — either " +
+      s"the server caps $$limit below pageSize=$pageSize (lower the " +
+      "pageSize option) or rows were appended to the resource between " +
+      "fetches (re-run against a quiet resource)"
 
   override protected def pageUrl(pageLimit: Long, offset: Long): String = {
     val qs = new StringBuilder()

@@ -121,6 +121,14 @@ object CatalogTransforms {
     * four-way audit a corpus release pipeline publishes alongside a
     * new version.
     *
+    * PRECONDITION: `key` is unique within each snapshot (the natural
+    * state of a versioned corpus). Duplicate keys would make the
+    * full-outer join a per-key cross product and the changelog
+    * self-contradictory ("unchanged" AND "changed" rows for one key);
+    * enforce upstream with [[lastWinsByKey]] (or gate on
+    * [[graft.operators.Profile.expectations]]' unique rule) when the
+    * source cannot guarantee it.
+    *
     * Scale: each side reduces to (key, md5(content)) before the ONE
     * full-outer shuffle on the key — the join carries two hash columns
     * regardless of payload width. At 100 TB both sides' hashes are the
