@@ -42,11 +42,20 @@ object CorpusPipeline {
   def clean(docs: DataFrame, cfg: Config = Config()): (DataFrame, Report) = {
     val id = col(cfg.idCol)
     val text = col(cfg.textCol)
-    val input = docs.count()
+    val qualityPred =
+      qualityScore(text) >= cfg.minQuality && tokenCount(text) >= cfg.minTokens
+
+    // input and afterQuality in ONE pass over the raw corpus (the x61
+    // one-pass rule audit() itself follows): separate docs.count() +
+    // q.count() actions would scan the corpus twice, the second
+    // recomputing the quality/token features
+    val firstCounts = docs.agg(count(lit(1)).as("n"),
+      count_if(qualityPred).as("nq")).head()
+    val input = firstCounts.getLong(0)
+    val afterQuality = firstCounts.getLong(1)
 
     // 1. quality + length gate (narrow, codegen'd)
-    val q = docs.filter(
-      qualityScore(text) >= cfg.minQuality && tokenCount(text) >= cfg.minTokens)
+    val q = docs.filter(qualityPred)
 
     // 2. language gate — also a narrow projection, so it runs BEFORE
     //    the expensive dedup stages (exact dups share identical text
@@ -56,7 +65,6 @@ object CorpusPipeline {
       if (cfg.keepLangs.isEmpty) q
       else q.filter(langId(text).isin(cfg.keepLangs: _*))
     val langedC = langed.cache()
-    val afterQuality = q.count()
     val afterLang = langedC.count()
 
     // 3. exact dedup: keep the min-id row per distinct content.

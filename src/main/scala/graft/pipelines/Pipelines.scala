@@ -87,24 +87,37 @@ object CatalogPipeline {
           try {
             val fourfour = str(row, "fourfour")
             val fetchLink = str(row, "fetch_link")
-            // S3/S6: real zip when the link answers, placeholder otherwise
+            // S3/S6: real zip when the link answers, placeholder otherwise.
+            // A failed placeholder fetch must ERROR the agency, not
+            // silently upload an empty archive over a published dataset.
             val zip = Option(fetchLink).filter(_.nonEmpty).map(Http.get)
               .filter(_.ok).map(_.body)
-            val bytes = zip.getOrElse(Http.get(placeholderUrl).body)
+            val bytes = zip.getOrElse {
+              val ph = Http.get(placeholderUrl)
+              require(ph.ok, s"placeholder fetch: ${ph.error}")
+              ph.body
+            }
             val action = if (fourfour == null) "created" else "updated"
-            // 4-step revision protocol (reference :445, :475, :482, :496)
-            val rev = Http.postWithRetry(s"$revisionBase/revisions" +
+            // 4-step revision protocol (reference :445, :475, :482, :496).
+            // SINGLE-attempt posts on purpose: revision creation is NOT
+            // idempotent — a retry after a lost response would open a
+            // second revision (or publish a duplicate dataset); a failed
+            // step errors the agency into the changelog instead, and the
+            // next RUN re-publishes it cleanly. Data-derived values go
+            // through jsonStr (a feed_id carrying a quote must not break
+            // or inject into the payload).
+            val rev = Http.post(s"$revisionBase/revisions" +
                 (if (fourfour != null) s"/$fourfour" else ""),
-              s"""{"action_type": "$action", "public": $pub}"""
+              s"""{"action_type": ${Http.jsonStr(action)}, "public": $pub}"""
                 .getBytes(StandardCharsets.UTF_8), "application/json")
             require(rev.ok, s"revision: ${rev.error}")
-            val src = Http.postWithRetry(s"$revisionBase/sources",
-              s"""{"feed_id": "$feedId"}""".getBytes(StandardCharsets.UTF_8),
+            val src = Http.post(s"$revisionBase/sources",
+              s"""{"feed_id": ${Http.jsonStr(feedId)}}""".getBytes(StandardCharsets.UTF_8),
               "application/json")
             require(src.ok, s"source: ${src.error}")
-            val up = Http.postWithRetry(s"$revisionBase/upload", bytes, "application/zip")
+            val up = Http.post(s"$revisionBase/upload", bytes, "application/zip")
             require(up.ok, s"upload: ${up.error}")
-            val ap = Http.postWithRetry(s"$revisionBase/apply",
+            val ap = Http.post(s"$revisionBase/apply",
               "{}".getBytes(StandardCharsets.UTF_8), "application/json")
             require(ap.ok, s"apply: ${ap.error}")
             val detail = if (zip.isDefined) "real_zip" else "placeholder_zip"
@@ -196,13 +209,24 @@ object StopsPipeline {
       .select("feed_id").as[String].collect().toSet
     val deadFeeds = deadUrlFeeds.length.toLong + deadFetches.length
 
-    // S4: zip → stops.txt text per feed
-    val stopsText = fetched.filter(col("fetch_error").isNull)
-      .select(col("feed_id"),
-        ZipFunctions.zip_entries(col("content")).as(Seq("entry_name", "bytes")))
-      .filter(col("entry_name") === "stops.txt" ||
-        col("entry_name").endsWith("/stops.txt")) // exact basename only
-      .select(col("feed_id"), decode(col("bytes"), "UTF-8").as("text"))
+    // S4: zip → stops.txt text per feed. Exactly ONE member per feed
+    // (the reference reads z.read('stops.txt') and nothing else): an
+    // archive shipping both 'stops.txt' and a stale 'old/stops.txt'
+    // must not double-parse under one feed_id — duplicate
+    // feed_id_stop_id keys with partition-order-dependent winners.
+    // Preference: root entry, then least-nested, then lexicographic.
+    val stopsText = {
+      import org.apache.spark.sql.expressions.Window
+      val entries = fetched.filter(col("fetch_error").isNull)
+        .select(col("feed_id"),
+          ZipFunctions.zip_entries(col("content")).as(Seq("entry_name", "bytes")))
+        .filter(col("entry_name") === "stops.txt" ||
+          col("entry_name").endsWith("/stops.txt")) // exact basename only
+      val w = Window.partitionBy(col("feed_id")).orderBy(
+        col("entry_name") =!= "stops.txt", length(col("entry_name")), col("entry_name"))
+      entries.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("feed_id"), decode(col("bytes"), "UTF-8").as("text"))
+    }
 
     // S5: distributed header-aware parse to the fixed raw-stop schema.
     // The reference splits lines naively on ',' then strips quotes
@@ -245,10 +269,24 @@ object StopsPipeline {
     // K1: bulk upsert (reads the cached flagged frame)
     val upsertResp = Http.csvUpsertSink(valid, ep.stopsUpsertUrl)
 
-    // J2 + K2: delete detection against the live table, then delete
+    // J2 + K2: delete detection, scoped to feeds that PARSED this run.
+    // The reference only reaches deleteIfNecessary for a feed that
+    // fetched and parsed (publish_to_catalog.py:354 after the :323
+    // continue), scopes the existing side per feed with starts_with
+    // (:263-265), and keys the keep-set on EVERY incoming stop_id —
+    // valid and rejected alike (:271-275, before validation). So: a
+    // feed that died this run (bad URL, 404, empty zip) keeps its
+    // standing stops instead of being mass-deleted, and a rejected
+    // row still protects its key. Only keys of a healthy feed that
+    // vanished from its feed file are deleted.
     val existing = Http.readJsonResource(spark, ep.stopsQueryUrl)
       .select(col("feed_id_stop_id"))
-    val dels = CatalogTransforms.deleteSet(existing, valid, "feed_id_stop_id").cache()
+    val parsedFeedsDf = perFeed.map(_._1).toSeq.toDF("__pf")
+    val scopedExisting = existing.join(broadcast(parsedFeedsDf),
+      col("feed_id_stop_id").startsWith(concat(col("__pf"), lit("_"))), "left_semi")
+    val incomingKeys = flagged.select(col("feed_id_stop_id"))
+    val dels = CatalogTransforms.deleteSet(
+      scopedExisting, incomingKeys, "feed_id_stop_id").cache()
     val deleted = dels.count()
     val delResp = if (deleted > 0)
       Http.jsonDeleteSink(dels, "feed_id_stop_id", ep.stopsUpsertUrl) else Array.empty[(Int, String)]

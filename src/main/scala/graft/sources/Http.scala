@@ -69,8 +69,15 @@ object Http {
       case e: Exception => HttpResult(0, Array.empty, s"post_failed: ${e.getClass.getSimpleName}")
     }
 
-  /** Idempotent retry: safe because every pipeline write is keyed
-    * (upsert by feed_id_stop_id / run ledger append), SURVEY §4. */
+  /** Retry wrapper for IDEMPOTENT writes only — the keyed sinks
+    * (upsert by feed_id_stop_id, run-ledger append), where a re-POST
+    * of the same payload collapses server-side. Non-idempotent calls
+    * (the revision protocol's create steps) must use [[post]] once and
+    * surface the failure instead: a retried create can duplicate the
+    * resource when the first attempt landed but its response was lost.
+    * Definitive 4xx responses (bad payload, auth) don't retry — the
+    * same bytes produce the same rejection; 408/429 are the retryable
+    * exceptions. */
   def postWithRetry(url: String, body: Array[Byte], contentType: String,
       attempts: Int = 3): HttpResult = {
     var last: HttpResult = null
@@ -78,6 +85,8 @@ object Http {
     while (i < attempts) {
       last = post(url, body, contentType)
       if (last.ok) return last
+      if (last.status >= 400 && last.status < 500 &&
+        last.status != 408 && last.status != 429) return last
       i += 1
       if (i < attempts) Thread.sleep(200L << i) // jittered-enough backoff
     }
@@ -131,27 +140,37 @@ object Http {
   // ---- K1/K2/K4: executor-side bulk sinks ----------------------------
 
   /** K1 — CSV bulk-upsert sink (publish_to_catalog.py:339-352): each
-    * partition accumulates one CSV payload (header + rows) and POSTs
-    * it with idempotent retry. Returns per-partition response rows
-    * for the run ledger. */
-  def csvUpsertSink(df: DataFrame, url: String): Array[(Int, String)] = {
+    * partition buffers up to `batchRows` rows per CSV payload and
+    * POSTs each batch with idempotent retry — memory and request size
+    * are bounded by the batch, not the partition (a skew-concentrated
+    * partition would otherwise hold its whole CSV in one StringBuilder
+    * and ship one unbounded POST). Returns per-batch response rows for
+    * the run ledger. */
+  def csvUpsertSink(df: DataFrame, url: String,
+      batchRows: Int = 50000): Array[(Int, String)] = {
     val cols = df.columns
     df.rdd.mapPartitions { rows =>
-      val sb = new StringBuilder(cols.mkString(","))
-      var n = 0
+      val header = cols.mkString(",")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      val sb = new StringBuilder(header)
+      var buffered = 0
+      def flush(): Unit = if (buffered > 0) {
+        val r = postWithRetry(url, sb.toString.getBytes(StandardCharsets.UTF_8), "text/csv")
+        out += ((r.status, if (r.error == null) r.bodyString.take(1000) else r.error))
+        sb.setLength(0); sb.append(header)
+        buffered = 0
+      }
       rows.foreach { r =>
         sb.append('\n').append(r.toSeq.map {
           case null => ""
           case s: String => graft.sources.socrata.CsvRows.quote(s)
           case v => v.toString
         }.mkString(","))
-        n += 1
+        buffered += 1
+        if (buffered >= batchRows) flush()
       }
-      if (n == 0) Iterator.empty
-      else {
-        val r = postWithRetry(url, sb.toString.getBytes(StandardCharsets.UTF_8), "text/csv")
-        Iterator.single((r.status, if (r.error == null) r.bodyString.take(1000) else r.error))
-      }
+      flush()
+      out.iterator
     }.collect()
   }
 
@@ -181,7 +200,10 @@ object Http {
         .getBytes(StandardCharsets.UTF_8),
       "application/json")
 
-  private def jsonStr(s: String): String =
+  /** JSON string-literal escaping for hand-assembled control-plane
+    * payloads (the revision protocol, the ledger) — data-derived
+    * values must NEVER be interpolated raw into JSON. */
+  def jsonStr(s: String): String =
     if (s == null) "null"
     else "\"" + s.flatMap {
       case '"' => "\\\""

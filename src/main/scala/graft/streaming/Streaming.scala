@@ -43,11 +43,17 @@ object Streaming {
             val existing = spark.read.parquet(targetPath)
             graft.transform.CatalogTransforms.upsert(existing, deduped, key)
           } else deduped
-        // materialize into staging while the old target is still intact
+        // materialize into staging while the old target is still intact.
+        // HDFS FileSystem reports most delete/rename failures by
+        // RETURNING FALSE, not throwing — an unchecked swap would let
+        // the checkpoint advance past a batch whose merge was lost.
         fs.delete(staging, true)
         merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(target, true)
-        fs.rename(staging, target)
+        if (fs.exists(target) && !fs.delete(target, true))
+          throw new java.io.IOException(s"mergeSink: could not delete $target for swap")
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(
+            s"mergeSink: rename $staging -> $target failed; merged batch preserved in staging")
         ()
       }
       .start()
@@ -202,27 +208,49 @@ object Streaming {
   /** Stateful change detection (streaming J2/A4): per key, emit a row
     * only when the payload differs from the last seen value — the
     * incremental form of the reference's per-run set-difference
-    * (publish_to_catalog.py:261-288). */
+    * (publish_to_catalog.py:261-288).
+    *
+    * State growth is the explicit trade: with `stateTtl = None`
+    * (default) state holds one entry per ever-seen key — correct
+    * forever, bounded only by true key cardinality (fine for
+    * feed/stop-grained keys; wrong for unbounded keyspaces). Passing
+    * `Some(ttl)` switches to ProcessingTimeTimeout and EVICTS keys
+    * idle past the TTL, bounding state at the cost of a re-appearing
+    * key reporting "created" again. The TTL mode belongs with a real
+    * processing-time trigger: under the default 0-interval trigger a
+    * timeout-bearing query schedules continuous empty micro-batches
+    * to evaluate timeouts (a busy-loop in tests, wasted batches in
+    * production). */
   final case class KeyedValue(key: String, value: String, ts: Long)
   final case class Change(key: String, value: String, kind: String)
 
-  def detectChanges(input: Dataset[KeyedValue]): Dataset[Change] = {
+  def detectChanges(input: Dataset[KeyedValue],
+      stateTtl: Option[String] = None): Dataset[Change] = {
     import input.sparkSession.implicits._
+    val timeout = stateTtl match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout()
+      case None => GroupStateTimeout.NoTimeout()
+    }
     input.groupByKey(_.key)
-      .flatMapGroupsWithState[String, Change](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[String, Change](OutputMode.Append(), timeout) {
         (key: String, rows: Iterator[KeyedValue], state: GroupState[String]) =>
-          val last = rows.toSeq.sortBy(_.ts).lastOption
-          last match {
-            case None => Iterator.empty
-            case Some(kv) =>
-              val prev = state.getOption
-              state.update(kv.value)
-              prev match {
-                case None => Iterator.single(Change(key, kv.value, "created"))
-                case Some(p) if p != kv.value => Iterator.single(Change(key, kv.value, "updated"))
-                case _ => Iterator.empty
-              }
+          if (stateTtl.isDefined && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val last = rows.toSeq.sortBy(_.ts).lastOption
+            last match {
+              case None => Iterator.empty
+              case Some(kv) =>
+                val prev = state.getOption
+                state.update(kv.value)
+                stateTtl.foreach(state.setTimeoutDuration)
+                prev match {
+                  case None => Iterator.single(Change(key, kv.value, "created"))
+                  case Some(p) if p != kv.value => Iterator.single(Change(key, kv.value, "updated"))
+                  case _ => Iterator.empty
+                }
+            }
           }
       }
   }

@@ -20,8 +20,13 @@ class PipelinesSpec extends SparkSpec {
     stub.handleBytes("/zips/placeholder.zip", "application/zip")(
       Fixtures.zip("GTFS_PLACEHOLDER/README.txt" -> "placeholder"))
     stub.handle("/zips/missing.zip")((_, _) => (404, "text/plain", "gone".getBytes))
+    // feedA_GONE: healthy feed, vanished key → must delete.
+    // feedA_S3: carried by a REJECTED row this run → must survive.
+    // feedD_X1: feedD's zip 404s this run → must survive (a dead feed
+    // keeps its standing stops; reference :323 continue + :263 scoping).
     stub.handleJson("/stops/existing.json")(
-      """[{"feed_id_stop_id": "feedA_S1"}, {"feed_id_stop_id": "feedA_GONE"}]""")
+      """[{"feed_id_stop_id": "feedA_S1"}, {"feed_id_stop_id": "feedA_GONE"},
+        | {"feed_id_stop_id": "feedA_S3"}, {"feed_id_stop_id": "feedD_X1"}]""".stripMargin)
     stub.handle("/stops/upsert")((_, _) =>
       (200, "text/plain", "Rows Created: 5\nRows Updated: 2\nRows Deleted: 0".getBytes))
     stub.handle("/log")((_, _) => (200, "application/json", "[]".getBytes))
@@ -88,7 +93,9 @@ class PipelinesSpec extends SparkSpec {
       assert(report.rejected == 2, report)
       // feedD's zip 404s → one dead feed
       assert(report.deadFeeds == 1, report)
-      // existing has feedA_GONE which no incoming row carries → deleted
+      // existing has feedA_GONE which no incoming row carries → deleted;
+      // feedA_S3 (rejected row still protects its key) and feedD_X1
+      // (dead feed keeps its standing stops) must NOT be deleted
       assert(report.deleted == 1, report)
       // the upsert CSV really left the building, with header + key column
       val upserts = stub.received("/stops/upsert").filter(_.method == "POST")
@@ -96,9 +103,11 @@ class PipelinesSpec extends SparkSpec {
       val csv = upserts.map(_.bodyString).find(_.contains("feed_id_stop_id")).get
       assert(csv.contains("feedA_S1") || csv.contains("feedB_M1"))
       assert(csv.contains("POINT("))
-      // delete payload marks the vanished key
+      // delete payload marks the vanished key and ONLY that key
       val dels = upserts.map(_.bodyString).filter(_.contains("deleted"))
       assert(dels.exists(_.contains("feedA_GONE")))
+      assert(!dels.exists(_.contains("feedD_X1")), dels)  // dead feed spared
+      assert(!dels.exists(_.contains("feedA_S3")), dels)  // rejected row spared
       // ledger row appended
       val log = stub.received("/log")
       assert(log.size == 1 && log.head.bodyString.contains("\"run_successful\": true"))
