@@ -684,12 +684,17 @@ object TextAnalysis {
     * (doc, term) aggregate, so the shuffled tf relation is bounded by
     * Σdf(query terms), not corpus size; `dl` rides the explode (no
     * corpus self-join to recover lengths); corpus stats and the query
-    * list broadcast. The final top-k window runs per query over that
-    * same bounded candidate set, and Spark's WindowGroupLimit keeps
-    * only k rows per partition pre-shuffle. */
+    * list broadcast. Final ranking is the bounded-heap
+    * [[graft.functions.TopKScored]] aggregator (the x59 pattern), NOT
+    * a per-query row_number window: a query containing one common term
+    * scores a large fraction of the corpus, and a window would shuffle
+    * ALL of that query's candidates into a single partition to keep k
+    * — the exact heavy-hitter skew [[sourceCapStats]] avoids. The heap
+    * combines map-side, so the exchange carries at most k rows per
+    * (partition, query). The long→double score cast inside the heap is
+    * exact: score_micro is bounded by ~terms·2·10⁷ ≪ 2⁵³. */
   def bm25Retrieval(docs: DataFrame, queries: Seq[(Int, Seq[String])],
       k: Int = 10, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
     val queryTerms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
@@ -719,12 +724,36 @@ object TextAnalysis {
     val scored = weights.join(broadcast(queryTerms), "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__w")).as("score_micro"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_micro").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score_micro"))
-      .orderBy(col("query_id"), col("rank"))
+    // (score DESC, id ASC) — identical tie-break to the window form
+    // `row_number() OVER (PARTITION BY query_id ORDER BY score_micro
+    // DESC, doc_id)`, pinned by the oracle SQL which still ranks with
+    // that exact window.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    scored.schema("doc_id").dataType match {
+      case idType @ (ByteType | ShortType | IntegerType | LongType) =>
+        val topk = udaf(new graft.functions.TopKScored(k))
+        scored
+          .groupBy(col("query_id"))
+          .agg(topk(col("doc_id").cast("long"), col("score_micro").cast("double")).as("__top"))
+          .select(col("query_id"), posexplode(col("__top")))
+          .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+            col("col.id").cast(idType).as("doc_id"),
+            col("col.score").cast("long").as("score_micro"))
+          .orderBy(col("query_id"), col("rank"))
+      case _ =>
+        // string-id corpora: casting to long would null every id inside
+        // the typed aggregator, so rank with a window (same contract;
+        // Spark's WindowGroupLimit still bounds per-partition rows, but
+        // heavy-hitter queries shuffle their full candidate set — map
+        // ids to a dense integral key first when that matters).
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score_micro").desc, col("doc_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("doc_id"), col("score_micro"))
+          .orderBy(col("query_id"), col("rank"))
+    }
   }
 
   /** Per-source corpus cap report: each source keeps at most `cap`

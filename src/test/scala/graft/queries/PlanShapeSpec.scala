@@ -225,11 +225,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p47.contains("LessThan(p_partkey,50"), p47)
   }
 
-  test("x58: BM25 candidates are term-pruned pre-shuffle; top-k short-circuits per query") {
+  test("x58: BM25 ranks via the bounded heap, NOT a per-query window") {
     val plan = physical(ExtensionQueries.x58(spark, sf001))
-    // the query-vocabulary prune must run BEFORE the (doc, term)
-    // aggregate — it's what bounds the shuffle by Σdf(query terms)
-    assert(plan.contains("WindowGroupLimit"), plan)
+    // ranking must be the TopKScored aggregate: a row_number window
+    // would shuffle EVERY candidate doc for a query into one partition
+    // (heavy-hitter skew on common-term queries)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     // corpus stats (1 row) and the query list broadcast; the only
     // allowed nested-loop join is the 1-row stats attach
