@@ -18,6 +18,27 @@ import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
   */
 object BloomFunctions {
 
+  /** Ceiling on a driver-materialized filter's size. Sizing from the
+    * data is right (bits must grow with n to hold an fp bound), but
+    * UNBOUNDED data-sizing turns a control-plane literal into a
+    * data-plane object: at 10⁹ distinct keys, 16 bits/key is a ~2 GB
+    * plan literal. Spark's own InjectRuntimeFilter caps its bloom at
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter.maxNumBits`
+    * (default 67108864 = 8 MB) and degrades to a semi-join past it —
+    * same bound, same degradation, here. */
+  val MaxNumBits: Long = 67108864L
+
+  /** Data-sized bit count under [[MaxNumBits]]: `bitsPerKey`·n with a
+    * small-fixture floor, or None when the cap cannot hold the keys at
+    * that rate — callers must then fall back to an exact semi-join
+    * (a too-small filter saturates toward fp≈1, silently screening
+    * nothing). */
+  def sizedBits(nKeys: Long, bitsPerKey: Long = 16L, floor: Long = 65536L,
+      maxNumBits: Long = MaxNumBits): Option[Long] = {
+    val want = math.max(bitsPerKey * nKeys, floor)
+    if (want <= maxNumBits) Some(want) else None
+  }
+
   /** Aggregate: build a Bloom filter binary over `key`'s xxhash64.
     * Size via `numBits` (≈ n·ln(1/p)/ln²2 bits for target fp rate p). */
   def bloom_agg(key: Column, expectedItems: Long, numBits: Long): Column =

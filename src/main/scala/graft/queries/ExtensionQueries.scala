@@ -779,7 +779,14 @@ object ExtensionQueries {
     * zero-false-negative invariant the structure guarantees, and an
     * fp-rate bound flag pinned TRUE. The exact join exists FOR the
     * calibration; production runs only the broadcast probe. */
-  def x63(s: SparkSession, dir: String): DataFrame = {
+  def x63(s: SparkSession, dir: String): DataFrame =
+    bloomPrescreen(s, dir, graft.functions.BloomFunctions.MaxNumBits)
+
+  /** x63 body with the bit-cap injectable so tests can force the
+    * over-cap degradation (the production cap would need ~4M distinct
+    * keys to trip at any test sf). */
+  private[graft] def bloomPrescreen(s: SparkSession, dir: String,
+      maxNumBits: Long): DataFrame = {
     import graft.functions.BloomFunctions._
     val ev = Tables.load(s, dir, "events")
     val cut = to_date(lit("2024-01-02"))
@@ -793,21 +800,32 @@ object ExtensionQueries {
     // past its fp bound as the seen-set grows with sf (at ~50k keys a
     // 65536-bit filter saturates to fp≈1 and the pinned fp_ok flag
     // would flip). bits ≈ n·ln(1/p)/ln²2 at p=0.01 is n·9.57; 16 n
-    // adds slack and a floor keeps tiny fixtures honest.
+    // adds slack and a floor keeps tiny fixtures honest. The cap
+    // ([[graft.functions.BloomFunctions.sizedBits]]) bounds the plan
+    // literal; past it the screen degrades to the exact broadcast
+    // semi-join already present for calibration — never an undersized
+    // filter (fp→1) and never a GB-scale literal.
     val nSeen = seen.count()
-    val bf = seen.agg(bloom_agg(col("user_id"), math.max(nSeen, 1000L),
-        math.max(16L * nSeen, 65536L)).as("__bf"))
-      .head().getAs[Array[Byte]]("__bf")
+    val bfOpt: Option[Array[Byte]] = sizedBits(nSeen, maxNumBits = maxNumBits)
+      .map { bits =>
+        seen.agg(bloom_agg(col("user_id"), math.max(nSeen, 1000L), bits).as("__bf"))
+          .head().getAs[Array[Byte]]("__bf")
+      }
     // might_contain requires a CONSTANT filter: the KB-scale binary
     // embeds as a literal — the very shape Catalyst's
     // InjectRuntimeFilter produces once its scalar subquery executes
     // (control-plane-sized, like x26's centroid literals)
     val known = seen.withColumn("__m", lit(1))
+    val member = col("__m").isNotNull
+    // over-cap fallback: the exact join IS the screen (zero fp, zero fn)
+    val hit = bfOpt match {
+      case Some(bf) => bloom_might_contain(lit(bf), col("user_id"))
+      case None => member
+    }
     ev.filter(to_date(col("ts")) >= cut)
       .select(col("user_id"))
       .join(broadcast(known), Seq("user_id"), "left")
-      .select(col("__m").isNotNull.as("member"),
-        bloom_might_contain(lit(bf), col("user_id")).as("__hit"))
+      .select(member.as("member"), hit.as("__hit"))
       .agg(
         count(lit(1)).cast("bigint").as("n_probe"),
         count_if(col("member")).cast("bigint").as("n_known"),

@@ -230,6 +230,31 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(fps <= 20, s"fp rate implausibly high: $fps/200") // sized for ~<1%
   }
 
+  test("sizedBits: data-proportional under the cap, None past it, floored for tiny n") {
+    import graft.functions.BloomFunctions.{sizedBits, MaxNumBits}
+    assert(sizedBits(10L) == Some(65536L)) // floor
+    assert(sizedBits(1000000L) == Some(16000000L)) // 16 bits/key
+    assert(sizedBits(MaxNumBits / 16L) == Some(MaxNumBits)) // exactly at cap
+    assert(sizedBits(MaxNumBits / 16L + 1L).isEmpty) // one key past it
+    assert(sizedBits(10L, maxNumBits = 1L).isEmpty) // floor itself over a tiny cap
+  }
+
+  test("x63 over-cap degradation: exact semi-join screen, same counts, fp_ok pinned") {
+    import graft.queries.ExtensionQueries
+    val sf001 = "/root/testdata/sf0.001"
+    val capped = ExtensionQueries.x63(spark, sf001)
+      .as[(Long, Long, Long, Boolean)].head()
+    // force the over-cap path: a 1-bit cap can never hold the floor
+    val fallback = ExtensionQueries.bloomPrescreen(spark, sf001, maxNumBits = 1L)
+      .as[(Long, Long, Long, Boolean)].head()
+    // exact counts are screen-independent; both paths must agree
+    assert(fallback._1 == capped._1 && fallback._2 == capped._2)
+    // the degraded screen is the exact join: no false negatives, no
+    // false positives, so the fp bound holds trivially
+    assert(fallback._3 == 0L && fallback._4)
+    assert(capped._3 == 0L && capped._4) // and the bloom path stays green
+  }
+
   test("bm25Retrieval: results identical under arbitrary repartitioning (fixed-point sums)") {
     val textGen = Gen.listOfN(15, Gen.oneOf(
       "spark", "stream", "window", "hash", "join", "merge", "filter",
