@@ -183,11 +183,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Word-n-gram Jaccard near-dup with prefix filtering: candidates
-    * must share one of the `prefixK` smallest shingle hashes (a
-    * bottom-k prefix filter — any pair with Jaccard ≥ t shares a
-    * bottom hash with high probability), then exact Jaccard verifies.
-    * Output: (doc_a, doc_b, jaccard). */
   /** Sorted distinct word-n-gram hash sketch (doc_id, hashes), empty
     * docs dropped — THE one Scala rendering of the Jaccard sketch
     * contract (its oracle twin is ExtensionQueries' gram CTEs; the two
@@ -195,8 +190,15 @@ object Dedup {
     * near-dup ops. Jaccard over the hash arrays equals Jaccard over
     * shingles (collisions negligible at 64 bits) and shuffles 8-byte
     * longs instead of repeated shingle strings. Materialized: every
-    * caller fans it into ≥ 2 consumers (prefix explode + verify joins). */
-  private def ngramSketch(df: DataFrame, idCol: String, textCol: String,
+    * caller fans it into ≥ 2 consumers (prefix explode + verify joins).
+    *
+    * Public because the sketch IS the persistable index: a pipeline
+    * that stores (doc_id, hashes) alongside its corpus never pays the
+    * tokenize+hash cost for standing documents again — the sketched
+    * variants below accept such a stored frame directly
+    * ([[graft.streaming.Streaming.ingestDedupSink]] is the streaming
+    * consumer). */
+  def ngramSketch(df: DataFrame, idCol: String, textCol: String,
       ngram: Int): DataFrame =
     materialize(ensureParallelism(df).select(
         col(idCol).as("doc_id"),
@@ -204,9 +206,25 @@ object Dedup {
           ngram_hashes(words(col(textCol)), ngram))).as("hashes"))
       .filter(size(col("hashes")) > 0))
 
+  /** Word-n-gram Jaccard near-dup with prefix filtering: candidates
+    * must share one of the `prefixK` smallest shingle hashes (a
+    * bottom-k prefix filter — any pair with Jaccard ≥ t shares a
+    * bottom hash with high probability), then exact Jaccard verifies.
+    * Output: (doc_a, doc_b, jaccard). */
   def ngramJaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
-      ngram: Int = 3, prefixK: Int = 4, minJaccard: Double = 0.5): DataFrame = {
-    val sh = ngramSketch(docs, idCol, textCol, ngram)
+      ngram: Int = 3, prefixK: Int = 4, minJaccard: Double = 0.5): DataFrame =
+    ngramJaccardNearDupSketched(
+      ngramSketch(docs, idCol, textCol, ngram), prefixK, minJaccard)
+
+  /** [[ngramJaccardNearDup]] over an already-built (doc_id, hashes)
+    * sketch frame — the entry point when sketches are persisted (or
+    * already materialized for another consumer). `sh` must be the
+    * [[ngramSketch]] rendering: sorted distinct hashes, no empty
+    * arrays; pass a parquet-backed sketch table as-is (a scan is its
+    * own cheap "materialization" — both consumers re-read columnar
+    * longs, never re-hash text). */
+  def ngramJaccardNearDupSketched(sh: DataFrame, prefixK: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
     val prefixes = sh.select(
       col("doc_id"),
       explode(slice(col("hashes"), 1, prefixK)).as("ph"))
@@ -251,9 +269,18 @@ object Dedup {
     * Output: (new_id, old_id, jaccard ≥ minJaccard). */
   def crossNearDup(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, ngram: Int = 3, prefixK: Int = 8,
-      minJaccard: Double = 0.5): DataFrame = {
-    val sIn = ngramSketch(incoming, idCol, textCol, ngram)
-    val sOld = ngramSketch(corpus, idCol, textCol, ngram)
+      minJaccard: Double = 0.5): DataFrame =
+    crossNearDupSketched(
+      ngramSketch(incoming, idCol, textCol, ngram),
+      ngramSketch(corpus, idCol, textCol, ngram), prefixK, minJaccard)
+
+  /** [[crossNearDup]] over already-built sketch frames — the ingest
+    * hot path once the corpus sketch is PERSISTED: the standing corpus
+    * contributes a columnar (doc_id, hashes) scan and zero hashing
+    * work per batch. Both frames must follow the [[ngramSketch]]
+    * contract (sorted distinct hashes, no empty arrays). */
+  def crossNearDupSketched(sIn: DataFrame, sOld: DataFrame,
+      prefixK: Int = 8, minJaccard: Double = 0.5): DataFrame = {
     def prefixes(sh: DataFrame, id: String) = sh.select(
       col("doc_id").as(id), explode(slice(col("hashes"), 1, prefixK)).as(s"__ph_$id"))
     val cand = prefixes(sIn, "new_id")

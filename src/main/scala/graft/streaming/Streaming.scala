@@ -133,11 +133,17 @@ object Streaming {
     *
     * Scale: per batch, candidates are a bottom-prefixK hash equi-join
     * (incoming × collision rate, never corpus² — Dedup.crossNearDup's
-    * shape). This form re-sketches the corpus text each batch; the
-    * production variant persists the corpus SKETCH table alongside
-    * the text and appends survivor sketches — same plan, the
-    * corpus-side hashing cost leaves the ingest path. Appends to a
-    * transactional table (Iceberg/Delta) would make the landing
+    * shape), and the corpus side contributes ZERO hashing work: each
+    * landed document's sketch is persisted WITH it as the
+    * [[SketchColumn]] column, so the per-batch screen reads only
+    * (id, sketch) — parquet is columnar, the text column's pages are
+    * never even decoded ([[corpusSketches]] is the reader; its scan's
+    * ReadSchema is the proof). Incoming docs are sketched exactly once
+    * per batch and the survivors' sketches ride the same single
+    * append as their text — sketch and corpus cannot diverge (a
+    * separate sketch table would add a half-appended failure window
+    * in which replay either duplicates text or drops it). Appends to
+    * a transactional table (Iceberg/Delta) would make the landing
     * atomic too, as with [[mergeSink]]. */
   def ingestDedupSink(stream: DataFrame, corpusPath: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text", ngram: Int = 3,
@@ -148,26 +154,56 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        require(!batch.columns.contains(SketchColumn),
+          s"ingestDedupSink reserves column $SketchColumn for the persisted sketch")
         // the batch fans out (pair mining + two anti-joins) — pin it
         val b = batch.localCheckpoint(true)
+        // sketched ONCE per batch; shared by the within-batch pair
+        // mining, the cross-corpus screen, and the persisted column
+        val bSketch = graft.operators.Dedup.ngramSketch(b, idCol, textCol, ngram)
         val withinPairs = graft.operators.Dedup
-          .ngramJaccardNearDup(b, idCol, textCol, ngram, prefixK, minJaccard)
+          .ngramJaccardNearDupSketched(bSketch, prefixK, minJaccard)
           .select(col("doc_b").as("__drop")).distinct()
         val bKept = b.join(withinPairs, col(idCol) === col("__drop"), "left_anti")
+        val keptSketch = bSketch.join(withinPairs, col("doc_id") === col("__drop"), "left_anti")
         val target = new org.apache.hadoop.fs.Path(corpusPath)
         val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-        val survivors =
+        val (survivors, survivorSketch) =
           if (fs.exists(target)) {
-            val corpus = spark.read.schema(b.schema).parquet(corpusPath)
             val dupIds = graft.operators.Dedup
-              .crossNearDup(bKept, corpus, idCol, textCol, ngram, prefixK, minJaccard)
+              .crossNearDupSketched(keptSketch, corpusSketches(spark, corpusPath, idCol),
+                prefixK, minJaccard)
               .select(col("new_id")).distinct()
-            bKept.join(dupIds, col(idCol) === col("new_id"), "left_anti")
-          } else bKept
-        survivors.write.mode("append").parquet(corpusPath)
+            (bKept.join(dupIds, col(idCol) === col("new_id"), "left_anti"),
+              keptSketch.join(dupIds, col("doc_id") === col("new_id"), "left_anti"))
+          } else (bKept, keptSketch)
+        // one append carries text + sketch together. Short docs below
+        // the n-gram horizon have no sketch row (they always pass the
+        // gate) and land with a null sketch; corpusSketches filters
+        // them out on the read side.
+        survivors
+          .join(survivorSketch.select(col("doc_id").as(idCol),
+            col("hashes").as(SketchColumn)), Seq(idCol), "left")
+          .write.mode("append").parquet(corpusPath)
         ()
       }
       .start()
+
+  /** Name of the persisted-sketch column [[ingestDedupSink]] appends
+    * alongside each landed document. */
+  val SketchColumn = "__ngram_sketch"
+
+  /** The standing corpus as a SKETCH frame (ngramSketch contract):
+    * only (id, sketch) are selected, so the parquet scan decodes two
+    * columns of longs and never touches the text pages — the reason
+    * batch N+1 of [[ingestDedupSink]] costs no corpus re-tokenization.
+    * Null/empty sketches (short docs) are screened out here, matching
+    * ngramSketch's no-empty-arrays contract. */
+  private[graft] def corpusSketches(spark: SparkSession, corpusPath: String,
+      idCol: String): DataFrame =
+    spark.read.parquet(corpusPath)
+      .select(col(idCol).as("doc_id"), col(SketchColumn).as("hashes"))
+      .filter(col("hashes").isNotNull && size(col("hashes")) > 0)
 
   /** Stream-stream interval join: match each `right` event to `left`
     * events with the same key whose timestamp falls in

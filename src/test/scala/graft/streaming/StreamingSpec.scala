@@ -69,6 +69,48 @@ class StreamingSpec extends SparkSpec {
     Streaming.ingestDedupSink(stream, corpus, ckpt).awaitTermination()
     val r3 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
     assert(r3 == Set(1L, 2L, 4L), s"batch 3 corpus: $r3")
+
+    // every landed doc carries its persisted sketch
+    val sketches = spark.read.parquet(corpus)
+      .select(col("doc_id"), col(Streaming.SketchColumn))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sketches.keySet == Set(1L, 2L, 4L) && sketches.values.forall(_.nonEmpty))
+
+    // the per-batch corpus read touches only (id, sketch): the scan's
+    // ReadSchema must not contain the text column
+    val scan = Streaming.corpusSketches(spark, corpus, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("text:string"), scan)
+  }
+
+  test("ingestDedupSink screens against the persisted sketch, never re-tokenized text") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_sketch_auth").toFile
+    val corpus = new java.io.File(dir, "corpus").getPath
+    val ckpt = new java.io.File(dir, "c").getPath
+    val baseA = "alpha " + (1 to 20).map(i => s"tok$i").mkString(" ")
+    val nearA = baseA.replace("tok20", "edited")
+
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    in.addData((1L, baseA))
+    Streaming.ingestDedupSink(stream, corpus, ckpt).awaitTermination()
+
+    // corrupt the PERSISTED SKETCH (keep the text intact): if the sink
+    // consulted corpus text, nearA would still be caught as a near-dup;
+    // if it trusts the sketch — the zero-re-tokenization contract —
+    // the junk sketch collides with nothing and nearA lands
+    val rows = spark.read.parquet(corpus).collect()
+    assert(rows.length == 1)
+    val junk = Seq((1L, baseA, Seq(999999999L)))
+      .toDF("doc_id", "text", Streaming.SketchColumn)
+    junk.write.mode("overwrite").parquet(corpus)
+
+    in.addData((2L, nearA))
+    Streaming.ingestDedupSink(stream, corpus, ckpt).awaitTermination()
+    val r = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(r == Set(1L, 2L),
+      s"nearA must land when only the sketch (not the text) is authoritative: $r")
   }
 
   test("streamingExactDedup: duplicate keys dropped, state expires past the watermark") {
