@@ -177,15 +177,42 @@ object Similarity {
     * hyperplane bucket are scored. Trades recall for a bucket-join
     * instead of a full scan per query — at 100 TB the bucketed corpus
     * would be written bucket-partitioned so a query touches one
-    * partition. Falls back to fewer than k results when a bucket is
-    * small (callers can multi-probe by lowering nPlanes). */
+    * partition.
+    *
+    * Multi-probe (on by default): when a query's PRIMARY bucket holds
+    * fewer than `k` corpus vectors, the query additionally probes every
+    * bucket at Hamming distance 1 (one flipped hyperplane sign — the
+    * standard multi-probe sequence: the most-likely buckets for a
+    * vector near a hyperplane are exactly the one-bit flips). This
+    * fixes the sparse-bucket < k result set WITHOUT rebuilding the
+    * index at lower nPlanes, and it is conditional, so dense buckets
+    * pay nothing. Each corpus vector lives in exactly one bucket and
+    * probe buckets are distinct, so widening never duplicates a
+    * candidate; the exact rescore still governs ranking. Bucket
+    * occupancy is one ≤2^nPlanes-row aggregate (at 100 TB it comes
+    * for free from the bucket-partitioned index's file statistics
+    * rather than a second scan). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
       dim: Int = 64,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
-      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      multiProbe: Boolean = true): DataFrame = {
     val cb = corpus.withColumn("bucket", hyperplaneBucket(col(corpusVec), nPlanes, dim))
     val qb = queries.withColumn("bucket", hyperplaneBucket(col(queryVec), nPlanes, dim))
-    val scored = cb.join(broadcast(qb), "bucket")
+    val probed =
+      if (!multiProbe) qb
+      else {
+        val counts = cb.groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
+        val flips = (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1 << p)))
+        qb.join(broadcast(counts), Seq("bucket"), "left")
+          .withColumn("__probe",
+            explode(when(coalesce(col("__bn"), lit(0L)) < k,
+                array((col("bucket") +: flips): _*))
+              .otherwise(array(col("bucket")))))
+          .drop("bucket", "__bn")
+          .withColumnRenamed("__probe", "bucket")
+      }
+    val scored = cb.join(broadcast(probed), "bucket")
       .select(
         col(queryId), col(corpusId),
         round(cosine_similarity(col(queryVec), col(corpusVec)), 6).as("cosine"))

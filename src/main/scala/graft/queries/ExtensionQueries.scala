@@ -1121,20 +1121,30 @@ object ExtensionQueries {
          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) t
          |WHERE cosine >= 0.15 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // replays lshTopK's conditional multi-probe: a query whose primary
+    // bucket holds < k corpus vectors additionally probes every
+    // Hamming-1 bucket (one-bit flips of the 6-bit code)
     "x07_cosine_topk_lsh" ->
       s"""WITH c AS (
          |  SELECT vec_id, embedding, ${bucketSql("embedding", 6)} AS bucket FROM embeddings),
          |q AS (
          |  SELECT vec_id AS query_id, embedding AS query_vec, ${bucketSql("embedding", 6)} AS bucket
          |  FROM embeddings WHERE vec_id < 5),
+         |cnt AS (SELECT bucket, count(*) AS n FROM c GROUP BY bucket),
+         |probe AS (
+         |  SELECT query_id, query_vec, unnest(
+         |    CASE WHEN coalesce(cnt.n, 0) < 10
+         |         THEN list_prepend(q.bucket, list_transform(range(0, 6), p -> xor(q.bucket, (1 << p)::INT)))
+         |         ELSE [q.bucket] END) AS bucket
+         |  FROM q LEFT JOIN cnt ON q.bucket = cnt.bucket),
          |ranked AS (
-         |  SELECT q.query_id, c.vec_id,
-         |         round(list_cosine_similarity(q.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+         |  SELECT p.query_id, c.vec_id,
+         |         round(list_cosine_similarity(p.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
          |         row_number() OVER (
-         |           PARTITION BY q.query_id
-         |           ORDER BY round(list_cosine_similarity(q.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+         |           PARTITION BY p.query_id
+         |           ORDER BY round(list_cosine_similarity(p.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
          |                    c.vec_id) AS rank
-         |  FROM c JOIN q ON c.bucket = q.bucket)
+         |  FROM c JOIN probe p ON c.bucket = p.bucket)
          |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 

@@ -53,6 +53,38 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (q, v) => assert(q == v) }
   }
 
+  test("lshTopK multi-probe: sparse primary bucket widens to Hamming-1 and fills k") {
+    val k = 10
+    val single = Similarity.lshTopK(emb, queries, k, nPlanes = 6, multiProbe = false)
+      .groupBy($"query_id").count().as[(Long, Long)].collect().toMap
+    val multi = Similarity.lshTopK(emb, queries, k, nPlanes = 6)
+    val multiCounts = multi.groupBy($"query_id").count().as[(Long, Long)].collect().toMap
+
+    // model the probe sets directly: primary bucket only when dense,
+    // primary + all 1-bit flips when its population < k
+    val bucketOf = emb
+      .select($"vec_id", Similarity.hyperplaneBucket($"embedding", 6, 64).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val pop = bucketOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    queries.select($"query_id").as[Long].collect().foreach { q =>
+      val primary = bucketOf(q)
+      val probes =
+        if (pop.getOrElse(primary, 0) >= k) Set(primary)
+        else Set(primary) ++ (0 until 6).map(primary ^ 1 << _)
+      val candidates = probes.toSeq.map(b => pop.getOrElse(b, 0)).sum
+      assert(multiCounts(q) == math.min(k, candidates),
+        s"query $q: ${multiCounts(q)} rows from $candidates candidates")
+      assert(multiCounts(q) >= single(q), s"widening lost rows for $q")
+    }
+    // the fixture must actually exercise the sparse path: 500 vectors
+    // over 64 buckets leave the 3 query buckets under k
+    assert(single.exists(_._2 < k), s"all dense, sparse path untested: $single")
+    assert(multiCounts.values.forall(_ == k), s"still under k: $multiCounts")
+    // exact rescore keeps self at rank 1
+    multi.filter($"rank" === 1).select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().foreach { case (q, v) => assert(q == v) }
+  }
+
   test("IVF: self in top-1, results subset-consistent with brute force, recall reasonable") {
     val (centroids, indexed) = Similarity.ivfIndex(emb, nLists = 8)
     assert(centroids.length == 8)
