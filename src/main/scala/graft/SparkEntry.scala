@@ -21,7 +21,11 @@ object SparkEntry {
     (RelationalQueries.all ++ ExtensionQueries.all ++ ReferenceQueries.all).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * dynamicOracles entries embed Spark-computed constants (x22's
+    * trained centroids) and exist only after the owning query ran in
+    * this JVM — which is Verify's call order. */
   def oracleSql: Map[String, String] =
-    OracleSql.all ++ ExtensionQueries.oracles ++ ReferenceQueries.oracles
+    OracleSql.all ++ ExtensionQueries.oracles ++
+      ExtensionQueries.dynamicOracles ++ ReferenceQueries.oracles
 }

@@ -255,13 +255,47 @@ object ExtensionQueries {
     Profile.profile(docs(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
       .orderBy(col("column"))
 
-  /** x22 IVF ANN top-10: k-means coarse quantizer, nProbe=3 of 8
-    * inverted lists scored per query (deterministic: fixed seed). */
+  /** x22 IVF ANN top-10 with a TRAINED k-means coarse quantizer
+    * (nProbe=3 of 8 lists, deterministic: fixed seed). The Lloyd
+    * iterations run Spark-side; the RESULTING centroids are exported
+    * as literals and assignment/probe/rank then run through the same
+    * fixed-centroid machinery as x26 — so the DuckDB oracle replays
+    * the complete query from the exported constants
+    * ([[dynamicOracles]]) and the output is value-checked, not
+    * rows-only. Training is cached per sf dir (index-build-once,
+    * query-many — also what a production IVF does); the degenerate-
+    * vector screen matches x26's. */
   def x22(s: SparkSession, dir: String): DataFrame = {
-    val (centroids, indexed) = Similarity.ivfIndex(emb(s, dir), nLists = 8)
-    Similarity.ivfTopK(indexed, centroids, queryVectors(s, dir), k = 10, nProbe = 3)
+    val cents = x22Centroids(s, dir)
+    val indexed = Similarity.ivfAssignFixed(validEmb(s, dir), cents)
+    val qv = validEmb(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.ivfTopK(indexed, cents, qv, k = 10, nProbe = 3)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Finite-norm dim-64 embeddings — the shared degenerate-vector
+    * screen of the IVF queries (zero-norm vectors diverge between
+    * engines: Spark cosine → null, DuckDB list_cosine_similarity →
+    * -1.0). */
+  private def validEmb(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    emb(s, dir).filter(
+      size(col("embedding")) === 64 &&
+      dot_product(col("embedding"), col("embedding")) > 0)
+  }
+
+  private val x22Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+  @volatile private var x22LastDir: Option[String] = None
+
+  /** Train (once per dir per JVM) and export x22's coarse quantizer. */
+  private[graft] def x22Centroids(s: SparkSession, dir: String): Array[Array[Float]] = {
+    val c = x22Cache.computeIfAbsent(dir,
+      _ => Similarity.ivfIndex(validEmb(s, dir), nLists = 8)._1)
+    x22LastDir = Some(dir)
+    c
   }
 
   /** x23 fingerprint-identity near-dup pairs: docs with an identical
@@ -303,18 +337,12 @@ object ExtensionQueries {
     * recomputable from the declared centroid literals — the DuckDB
     * oracle replays assignment, probing and ranking exactly. */
   def x26(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.dot_product
     val cents = Similarity.fixedCentroids(nLists = 8, dim = 64)
-    // ivfAssignFixed's contract: the CALLER screens degenerate vectors.
-    // Zero-norm vectors diverge between engines (Spark cosine → null,
-    // DuckDB list_cosine_similarity → -1.0), so both the corpus and the
-    // query set are filtered to finite-norm dim-64 vectors here, and
-    // the oracle applies the identical predicate.
-    def valid(df: DataFrame): DataFrame = df.filter(
-      size(col("embedding")) === 64 &&
-      dot_product(col("embedding"), col("embedding")) > 0)
-    val indexed = Similarity.ivfAssignFixed(valid(emb(s, dir)), cents)
-    val qv = valid(emb(s, dir)).filter(col("vec_id") < 5)
+    // ivfAssignFixed's contract: the CALLER screens degenerate vectors
+    // — validEmb is that screen, and the oracle applies the identical
+    // predicate.
+    val indexed = Similarity.ivfAssignFixed(validEmb(s, dir), cents)
+    val qv = validEmb(s, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
     Similarity.ivfTopK(indexed, cents, qv, k = 10, nProbe = 3)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
@@ -1043,10 +1071,57 @@ object ExtensionQueries {
     * list_id) mirrors ivfAssignFixed/ivfTopK's struct sort; centroid
     * distances are far enough apart (~1e-2 gaps vs ~1e-16 accumulation
     * noise) that the order is stable across engines. */
-  private def centValuesSql(nLists: Int): String =
-    "(VALUES " + Similarity.fixedCentroids(nLists, 64).zipWithIndex.map {
+  private def centValuesSqlFor(cents: Array[Array[Float]]): String =
+    "(VALUES " + cents.zipWithIndex.map {
       case (c, i) => s"($i, ${planeLit(c)})"
     }.mkString(", ") + ") AS ct(list_id, v)"
+
+  private def centValuesSql(nLists: Int): String =
+    centValuesSqlFor(Similarity.fixedCentroids(nLists, 64))
+
+  /** The full IVF assignment→probe→rank replay over a centroid VALUES
+    * table — shared by x26 (fixed centroids, static entry) and x22
+    * (trained centroids, [[dynamicOracles]]): identical machinery,
+    * different constants. */
+  private def ivfTopKSql(centSql: String): String =
+    s"""WITH cd AS (
+       |  SELECT e.vec_id, e.embedding, ct.list_id,
+       |         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], ct.v) AS d
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE len(embedding) = 64
+       |          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) e
+       |  CROSS JOIN $centSql),
+       |c AS (
+       |  SELECT vec_id, embedding, list_id FROM (
+       |    SELECT vec_id, embedding, list_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |    FROM cd) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, embedding AS query_vec, list_id FROM (
+       |    SELECT vec_id, embedding, list_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |    FROM cd WHERE vec_id < 5) t WHERE rn <= 3),
+       |ranked AS (
+       |  SELECT p.query_id, c.vec_id,
+       |         round(list_cosine_similarity(p.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+       |         row_number() OVER (
+       |           PARTITION BY p.query_id
+       |           ORDER BY round(list_cosine_similarity(p.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+       |                    c.vec_id) AS rank
+       |  FROM c JOIN probe p ON c.list_id = p.list_id)
+       |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Oracles renderable only AFTER their query ran in this JVM: the
+    * SQL embeds Spark-COMPUTED constants (x22's trained centroids),
+    * so the entry exists once the training has happened — exactly
+    * Verify's order (queries dump first, oracle json second). If x22
+    * never ran, the entry is absent and the driver records the weaker
+    * rows-only check rather than replaying stale constants. */
+  def dynamicOracles: Map[String, String] =
+    x22LastDir.flatMap(d => Option(x22Cache.get(d)))
+      .map(c => "x22_cosine_topk_ivf" -> ivfTopKSql(centValuesSqlFor(c)))
+      .toMap
 
   /** The 60-bit simhash as one grouped aggregation: per (doc, word,
     * count), each bit's tally is a SUM over ±count; the bit contributes
@@ -1310,34 +1385,7 @@ object ExtensionQueries {
          |SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_gram_ratio
          |FROM gc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "x26_cosine_topk_ivf_fixed" ->
-      s"""WITH cd AS (
-         |  SELECT e.vec_id, e.embedding, ct.list_id,
-         |         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], ct.v) AS d
-         |  FROM (SELECT vec_id, embedding FROM embeddings
-         |        WHERE len(embedding) = 64
-         |          AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) e
-         |  CROSS JOIN ${centValuesSql(8)}),
-         |c AS (
-         |  SELECT vec_id, embedding, list_id FROM (
-         |    SELECT vec_id, embedding, list_id,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
-         |    FROM cd) t WHERE rn = 1),
-         |probe AS (
-         |  SELECT vec_id AS query_id, embedding AS query_vec, list_id FROM (
-         |    SELECT vec_id, embedding, list_id,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
-         |    FROM cd WHERE vec_id < 5) t WHERE rn <= 3),
-         |ranked AS (
-         |  SELECT p.query_id, c.vec_id,
-         |         round(list_cosine_similarity(p.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
-         |         row_number() OVER (
-         |           PARTITION BY p.query_id
-         |           ORDER BY round(list_cosine_similarity(p.query_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
-         |                    c.vec_id) AS rank
-         |  FROM c JOIN probe p ON c.list_id = p.list_id)
-         |SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+    "x26_cosine_topk_ivf_fixed" -> ivfTopKSql(centValuesSql(8)),
 
     // The stub decode dims derive from 6-hex-digit md5 slices; DuckDB
     // parses them via the '0x...' string-cast.

@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.{SparkSpec, Tables}
 import graft.functions.VectorFunctions.dot_product
 
-/** Recall audit for the TRAINED-k-means IVF path (x22) — the one ANN
-  * variant whose output can't be hash-oracled (DuckDB can't replay the
-  * Lloyd iterations), so its quality claim needs a pinned ScalaTest
-  * number instead: top-10 recall against the brute-force ground truth
-  * (x06's fully-oracled operator), side by side with the training-free
-  * fixed-centroid sibling (x26, also fully oracled). Trained centroids
-  * exist to partition the corpus BETTER than random ones, so the spec
-  * pins both an absolute floor and trained ≥ fixed − slack. */
+/** Recall audit for the TRAINED-k-means IVF path (x22). Since round 8
+  * x22 IS hash-oracled (the trained centroids are exported as literals
+  * and DuckDB replays assignment/probe/rank from them), but the hash
+  * gate only proves the replay matches — not that training produces a
+  * USEFUL quantizer. This spec pins the quality claim: top-10 recall
+  * against the brute-force ground truth (x06's fully-oracled
+  * operator), side by side with the training-free fixed-centroid
+  * sibling (x26). Trained centroids exist to partition the corpus
+  * BETTER than random ones, so the spec pins both an absolute floor
+  * and trained ≥ fixed − slack. */
 class IvfRecallSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
@@ -36,8 +38,10 @@ class IvfRecallSpec extends SparkSpec {
     val truth = hits(Similarity.bruteForceTopK(emb, queries, k = 10))
     assert(truth.size == 50, s"ground truth should be 5 queries x 10: ${truth.size}")
 
-    // x22 geometry: trained k-means quantizer, 3 of 8 lists probed
-    val (cents, indexed) = Similarity.ivfIndex(emb, nLists = 8)
+    // x22 geometry: trained k-means quantizer EXPORTED as literals,
+    // cosine-argmin assignment (the x26 machinery, trained constants)
+    val cents = Similarity.ivfIndex(emb, nLists = 8)._1
+    val indexed = Similarity.ivfAssignFixed(emb, cents)
     val trained = hits(Similarity.ivfTopK(indexed, cents, queries, k = 10, nProbe = 3))
 
     // x26 geometry: seeded random centroids, same probe budget
