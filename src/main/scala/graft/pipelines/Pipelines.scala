@@ -279,11 +279,31 @@ object StopsPipeline {
     // standing stops instead of being mass-deleted, and a rejected
     // row still protects its key. Only keys of a healthy feed that
     // vanished from its feed file are deleted.
+    //
+    // Scoping is by longest-match OWNERSHIP, not bare prefix: the
+    // stored key is feed_id + "_" + stop_id and the remote table
+    // carries no separate feed column (reference table shape), so with
+    // feeds 'feedA' (parsed) and 'feedA_B' (dead this run), dead
+    // 'feedA_B_X1' bare-prefix-matches parsed 'feedA' and would be
+    // mass-deleted — the reference's own starts_with flaw (:263). A
+    // key's owner is the LONGEST catalog feed id that prefixes it;
+    // only keys owned by a parsed feed enter delete detection. Two
+    // same-length feeds can't both prefix one key at one position, so
+    // the max_by is unambiguous. Keys whose owner left the catalog
+    // entirely scope with the longest remaining match — exactly the
+    // reference's behavior, since no engine can recover identity the
+    // stored key doesn't carry.
     val existing = Http.readJsonResource(spark, ep.stopsQueryUrl)
       .select(col("feed_id_stop_id"))
+    val catalogFeedsDf = feeds.select(col("feed_id").as("__f")).distinct()
     val parsedFeedsDf = perFeed.map(_._1).toSeq.toDF("__pf")
-    val scopedExisting = existing.join(broadcast(parsedFeedsDf),
-      col("feed_id_stop_id").startsWith(concat(col("__pf"), lit("_"))), "left_semi")
+    val scopedExisting = existing
+      .join(broadcast(catalogFeedsDf),
+        col("feed_id_stop_id").startsWith(concat(col("__f"), lit("_"))))
+      .groupBy(col("feed_id_stop_id"))
+      .agg(max_by(col("__f"), length(col("__f"))).as("__owner"))
+      .join(broadcast(parsedFeedsDf), col("__owner") === col("__pf"), "left_semi")
+      .select(col("feed_id_stop_id"))
     val incomingKeys = flagged.select(col("feed_id_stop_id"))
     val dels = CatalogTransforms.deleteSet(
       scopedExisting, incomingKeys, "feed_id_stop_id").cache()

@@ -366,32 +366,49 @@ class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, num
   // `$limit`, so the server truncates instead of this side paging the
   // whole resource to throw most of it away. Both report PARTIAL
   // pushdown: Spark keeps its own (Take-ordered-)Limit above the ≤N
-  // returned rows, so correctness never depends on the server honoring
-  // the clauses — the same trust-nothing stance as the residual
-  // filters. Spark only offers these pushes when no Filter sits
-  // between the limit and the scan, so they never reorder around a
-  // residual re-check; declined outright when an aggregate is already
-  // pushed (the agg result is what should be limited, Spark-side).
+  // returned rows. For a plain LIMIT that makes correctness fully
+  // server-independent (any N rows are a valid answer). A top-N is
+  // weaker: the server's sort DISCARDS rows, and Spark's kept sort
+  // re-orders only the N that came back — row SELECTION does trust
+  // the server's ordering, which is why translateOrder below admits
+  // only columns whose ordering is provably identical on both sides
+  // (typed, non-nullable). Spark only offers these pushes when no
+  // Filter sits between the limit and the scan, so they never reorder
+  // around a residual re-check; declined outright when an aggregate is
+  // already pushed (the agg result is what should be limited,
+  // Spark-side).
 
   override def pushLimit(limit: Int): Boolean =
     if (pushedAgg.isDefined) false
     else { pushedLimit = Some(limit); true }
 
-  /** SoQL has no NULLS FIRST/LAST syntax; Socrata sorts NULL as the
-    * smallest value, which matches Spark's DEFAULT null ordering
-    * (ASC → NULLS FIRST, DESC → NULLS LAST) — exactly those two
-    * combinations translate, anything else declines. Sort columns are
-    * restricted to the minMaxable types: a top-N discards rows
-    * server-side, so the server's ordering must provably equal
-    * Spark's, which string collation cannot attest. */
+  /** A top-N's row selection trusts the server's sort (see the block
+    * comment above), so a sort column must have EXACTLY one ordering
+    * both sides agree on:
+    *  - minMaxable types only — string collation is unattested;
+    *  - NON-NULLABLE columns only. SoQL has no NULLS FIRST/LAST
+    *    syntax; SODA documents NULL as the smallest value but that
+    *    claim is not attested against a live endpoint, and a
+    *    nulls-misplaced server sort would silently return the wrong
+    *    surviving rows (unrecoverable — Spark re-sorts only the N
+    *    survivors). A schema-declared non-nullable column makes null
+    *    ordering moot; nullable columns keep the full-scan top-N.
+    *    (A pushed IsNotNull can never stand in for the declaration:
+    *    this source keeps every filter as a residual Filter node, and
+    *    Spark offers top-N pushdown only when no Filter sits between
+    *    the limit and the scan.)
+    * Direction still must match Spark's default null placement so a
+    * future nullable admission can't silently flip it. */
   private def translateOrder(o: V2SortOrder): Option[String] =
-    fieldOf(o.expression()).filter(f => minMaxable(f.dataType)).flatMap { f =>
-      (o.direction(), o.nullOrdering()) match {
-        case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) => Some(s"${f.name} ASC")
-        case (SortDirection.DESCENDING, NullOrdering.NULLS_LAST) => Some(s"${f.name} DESC")
-        case _ => None
+    fieldOf(o.expression())
+      .filter(f => minMaxable(f.dataType) && !f.nullable)
+      .flatMap { f =>
+        (o.direction(), o.nullOrdering()) match {
+          case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) => Some(s"${f.name} ASC")
+          case (SortDirection.DESCENDING, NullOrdering.NULLS_LAST) => Some(s"${f.name} DESC")
+          case _ => None
+        }
       }
-    }
 
   override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
     if (pushedAgg.isDefined || orders.isEmpty) return false
@@ -472,13 +489,27 @@ class SocrataAggReader(schema: StructType, url: String, pageSize: Int,
 
 /** The ONE `$limit`/`$offset` paging state machine shared by the row
   * and aggregate readers: requests one page via [[pageUrl]], drains
-  * it, applies the short-page server-cap guard (a non-empty page after
-  * a short one proves the server capped `$limit` below `pageSize` and
-  * this reader's fixed-stride offsets skipped data), and terminates on
-  * the empty page — or after the first page when [[singlePage]], or at
-  * [[rowLimit]] emitted rows under a pushed limit. Subclasses choose
-  * only the query-string shape and the paging geometry; the subtle
-  * exhaustion/guard protocol exists exactly once. */
+  * it, resolves short pages with an exhaustion probe (below), and
+  * terminates on the empty page — or after the first page when
+  * [[singlePage]], or at [[rowLimit]] emitted rows under a pushed
+  * limit. Subclasses choose only the query-string shape and the
+  * paging geometry; the subtle exhaustion/guard protocol exists
+  * exactly once.
+  *
+  * Short-page protocol: a SHORT page (non-empty, fewer rows than
+  * asked) is either the genuine end of the resource or a server
+  * `$limit` cap below `pageSize` — and the two demand opposite
+  * actions, because this reader's offsets advance in fixed
+  * `pageSize` strides: under a cap the un-sent remainder of the
+  * window would be silently skipped. One probe request at the exact
+  * offset where the short page ended distinguishes them without
+  * trusting the server: a row there proves data was skipped (fail
+  * loudly), an empty probe proves the resource ends inside this
+  * window (clean termination). Probing eagerly — rather than
+  * flagging and checking whether the NEXT page is non-empty — also
+  * catches the cap whose skipped remainder lies entirely before an
+  * empty next window (e.g. a 60-row resource under a 50-row cap at
+  * pageSize 100), which a next-page check would silently drop. */
 private[socrata] abstract class PagedJsonReader(schema: StructType, pageSize: Int)
     extends PartitionReader[InternalRow] {
 
@@ -498,29 +529,38 @@ private[socrata] abstract class PagedJsonReader(schema: StructType, pageSize: In
   private var pageNo: Int = -1
   private var rowsEmitted = 0L
   private var exhausted = false
-  private var lastPageShort = false
   private var current: InternalRow = _
+
+  private def parsePage(body: Array[Byte]): Seq[JsonNode] = {
+    val node = mapper.readTree(body)
+    val items = if (node.isArray) node.elements() else util.Collections.emptyIterator[JsonNode]()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+    items.forEachRemaining(n => buf += n)
+    buf.toSeq
+  }
 
   private def fetchPage(): Unit = {
     if (pageNo < 0) pageNo = firstPage
     val remaining = rowLimit.map(l => l - rowsEmitted).getOrElse(Long.MaxValue)
     val pageLimit = math.min(pageSize.toLong, remaining)
-    val full = pageUrl(pageLimit, pageNo.toLong * pageSize)
+    val offset = pageNo.toLong * pageSize
+    val full = pageUrl(pageLimit, offset)
     val r = Http.get(full)
     if (!r.ok) throw new RuntimeException(s"socrata page fetch failed: ${r.error} ($full)")
-    val node = mapper.readTree(r.body)
-    val items = if (node.isArray) node.elements() else util.Collections.emptyIterator[JsonNode]()
-    val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
-    items.forEachRemaining(n => buf += n)
-    // only an EMPTY page proves exhaustion: a short page is legitimate
-    // at the END of the resource — but a non-empty page after a short
-    // one means rows/groups were skipped: fail loudly. (Two causes
-    // produce this: a server $limit cap below pageSize — fixable by
-    // lowering pageSize — or rows appended to the resource between
-    // fetches, where the right remedy is re-running against a quiet
-    // resource; the error text names both.)
-    if (buf.nonEmpty && lastPageShort) throw new IllegalStateException(shortPageError)
-    lastPageShort = buf.nonEmpty && buf.length < pageLimit
+    val buf = parsePage(r.body)
+    // short page → exhaustion probe (class scaladoc): a row at the
+    // short page's end proves the server capped $limit under what was
+    // asked and fixed-stride offsets would skip data — the remedies
+    // (lower pageSize under the cap, or re-run against a resource not
+    // being mutated mid-scan) are in the error text. An empty probe
+    // proves this window is the resource's end.
+    if (buf.nonEmpty && buf.length < pageLimit && !singlePage) {
+      val probe = pageUrl(1L, offset + buf.length)
+      val pr = Http.get(probe)
+      if (!pr.ok) throw new RuntimeException(s"socrata probe fetch failed: ${pr.error} ($probe)")
+      if (parsePage(pr.body).nonEmpty) throw new IllegalStateException(shortPageError)
+      exhausted = true
+    }
     if (buf.isEmpty || singlePage) exhausted = true
     pageNo += stride
     page = buf.iterator

@@ -20,13 +20,18 @@ class PipelinesSpec extends SparkSpec {
     stub.handleBytes("/zips/placeholder.zip", "application/zip")(
       Fixtures.zip("GTFS_PLACEHOLDER/README.txt" -> "placeholder"))
     stub.handle("/zips/missing.zip")((_, _) => (404, "text/plain", "gone".getBytes))
+    stub.handle("/zips/missing2.zip")((_, _) => (404, "text/plain", "gone".getBytes))
     // feedA_GONE: healthy feed, vanished key → must delete.
     // feedA_S3: carried by a REJECTED row this run → must survive.
     // feedD_X1: feedD's zip 404s this run → must survive (a dead feed
     // keeps its standing stops; reference :323 continue + :263 scoping).
+    // feedA_X_K1: belongs to DEAD feed 'feedA_X' whose id extends
+    // parsed 'feedA' — bare prefix scoping would mass-delete it;
+    // longest-match ownership must spare it.
     stub.handleJson("/stops/existing.json")(
       """[{"feed_id_stop_id": "feedA_S1"}, {"feed_id_stop_id": "feedA_GONE"},
-        | {"feed_id_stop_id": "feedA_S3"}, {"feed_id_stop_id": "feedD_X1"}]""".stripMargin)
+        | {"feed_id_stop_id": "feedA_S3"}, {"feed_id_stop_id": "feedD_X1"},
+        | {"feed_id_stop_id": "feedA_X_K1"}]""".stripMargin)
     stub.handle("/stops/upsert")((_, _) =>
       (200, "text/plain", "Rows Created: 5\nRows Updated: 2\nRows Deleted: 0".getBytes))
     stub.handle("/log")((_, _) => (200, "application/json", "[]".getBytes))
@@ -91,11 +96,13 @@ class PipelinesSpec extends SparkSpec {
       // minimalStops: M1,M2 valid  → 5 upserts, 2 rejects
       assert(report.upserted == 5, report)
       assert(report.rejected == 2, report)
-      // feedD's zip 404s → one dead feed
-      assert(report.deadFeeds == 1, report)
+      // feedD's and feedA_X's zips 404 → two dead feeds
+      assert(report.deadFeeds == 2, report)
       // existing has feedA_GONE which no incoming row carries → deleted;
-      // feedA_S3 (rejected row still protects its key) and feedD_X1
-      // (dead feed keeps its standing stops) must NOT be deleted
+      // feedA_S3 (rejected row still protects its key), feedD_X1
+      // (dead feed keeps its standing stops), and feedA_X_K1 (dead
+      // feed whose id extends parsed feedA — ownership, not prefix)
+      // must NOT be deleted
       assert(report.deleted == 1, report)
       // the upsert CSV really left the building, with header + key column
       val upserts = stub.received("/stops/upsert").filter(_.method == "POST")
@@ -108,6 +115,7 @@ class PipelinesSpec extends SparkSpec {
       assert(dels.exists(_.contains("feedA_GONE")))
       assert(!dels.exists(_.contains("feedD_X1")), dels)  // dead feed spared
       assert(!dels.exists(_.contains("feedA_S3")), dels)  // rejected row spared
+      assert(!dels.exists(_.contains("feedA_X_K1")), dels) // ambiguous-prefix dead feed spared
       // ledger row appended
       val log = stub.received("/log")
       assert(log.size == 1 && log.head.bodyString.contains("\"run_successful\": true"))
@@ -116,6 +124,7 @@ class PipelinesSpec extends SparkSpec {
       assert(stub.received("/zips/feedA.zip").size == 1)
       assert(stub.received("/zips/feedB.zip").size == 1)
       assert(stub.received("/zips/missing.zip").size == 1)
+      assert(stub.received("/zips/missing2.zip").size == 1)
       // per-feed changelog (reference publish_to_catalog.py:356-365)
       val changelog = report.changelog.map(t => t._1 -> ((t._2, t._3))).toMap
       assert(changelog("feedA") == (("parsed", "upserted=3 rejected=2")), report.changelog)

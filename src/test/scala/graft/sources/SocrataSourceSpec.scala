@@ -179,6 +179,32 @@ class SocrataSourceSpec extends SparkSpec {
     } finally stub.stop()
   }
 
+  test("server cap with the skipped tail before an empty next window still fails loudly") {
+    // 2-row resource, server caps every page at 1 row, pageSize 100:
+    // page 0 returns [A] (short), and the next fixed-stride window at
+    // offset 100 is EMPTY — a guard that only checks the next page
+    // would silently drop row B. The exhaustion probe at offset 1
+    // finds B and fails.
+    val rows2 = Seq(
+      """{"city": "A", "pop": 1, "consent": true}""",
+      """{"city": "B", "pop": 2, "consent": true}""")
+    val stub = new StubServer
+    stub.handle("/capped2.json") { (q, _) =>
+      val offset = "\\$offset=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(0)
+      val page = rows2.slice(offset, math.min(rows2.length, offset + 1))
+      (200, "application/json", page.mkString("[", ",", "]").getBytes("UTF-8"))
+    }
+    stub.start()
+    try {
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/capped2.json"))
+        .option("pageSize", "100").option("numPartitions", "1").load()
+      val e = intercept[org.apache.spark.SparkException] { df.collect() }
+      assert(e.getMessage.contains("short non-final page")
+        || Option(e.getCause).exists(_.getMessage.contains("short non-final page")), e.getMessage)
+    } finally stub.stop()
+  }
+
   test("limit pushes $limit: the server truncates, paging stops at n rows") {
     withStub { stub =>
       val df = spark.read.format("graft.sources.socrata")
@@ -192,9 +218,20 @@ class SocrataSourceSpec extends SparkSpec {
     }
   }
 
+  // top-N pushdown requires a sort column DECLARED non-nullable (row
+  // selection trusts the server's sort; null placement is unattested)
+  private val notNullSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("city",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("pop",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("consent",
+      org.apache.spark.sql.types.BooleanType, nullable = true)))
+
   test("orderBy+limit pushes $order + $limit (top-N): server-side sort decides the row") {
     withStub { stub =>
       val df = spark.read.format("graft.sources.socrata")
+        .schema(notNullSchema)
         .option("url", stub.url("/resource.json")).load()
       // ascending: the true min (Shelbyville) is NOT the stub's first
       // row, so the result proves the server-side $order was applied
@@ -202,6 +239,20 @@ class SocrataSourceSpec extends SparkSpec {
       assert(row.getString(0) == "Shelbyville" && row.getLong(1) == 20000L)
       val reqs = decodedReqs(stub)
       assert(reqs.exists(r => r.contains("$order=pop ASC,:id") && r.contains("$limit=1")), reqs)
+    }
+  }
+
+  test("top-N on a NULLABLE sort column declines $order: full scan, Spark sorts") {
+    withStub { stub =>
+      // inferred schema marks every column nullable — the server's
+      // undocumented null placement could discard the wrong rows, so
+      // no $order goes out and Spark's own TakeOrdered decides
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/resource.json")).load()
+      val row = df.orderBy($"pop").limit(1).select($"city", $"pop").head()
+      assert(row.getString(0) == "Shelbyville" && row.getLong(1) == 20000L)
+      val reqs = decodedReqs(stub)
+      assert(!reqs.exists(_.contains("$order=pop")), reqs)
     }
   }
 

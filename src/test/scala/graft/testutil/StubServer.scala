@@ -94,6 +94,9 @@ object Fixtures {
        "description": "No markers here", "tags": ["other"]},
       {"id": "dddd-0004", "name": "Dead link dataset",
        "description": "GTFS dataset for Dead\\nFeed ID: feedD\\nGTFS URL: $baseUrl/zips/missing.zip\\nAgency URL: http://dead.example",
+       "tags": ["national transit map"]},
+      {"id": "eeee-0005", "name": "Dead prefix-ambiguous dataset",
+       "description": "GTFS dataset for DeadPrefix\\nFeed ID: feedA_X\\nGTFS URL: $baseUrl/zips/missing2.zip\\nAgency URL: http://deadpfx.example",
        "tags": ["national transit map"]}
     ]"""
 
