@@ -25,14 +25,29 @@ object Bench {
     // warm-up that is already counted in the harness's wall clock).
     SparkEntry.entry(spark).count()
     // Dev knobs (unset in driver runs): SPARK_GRAFT_ONLY=<substring>
-    // times only matching queries; SPARK_GRAFT_REPEAT=N takes the best
-    // of N runs (isolates steady-state compute from first-run codegen).
+    // times only matching queries; SPARK_GRAFT_REPEAT=N overrides the
+    // in-session run count (default 3; 1 = quick dev loop).
+    //
+    // MEDIAN of N in-session runs, not single-shot and not best-of:
+    // single-shot timings moved 15-50% round-over-round on sub-second
+    // queries with no code change on their paths (JIT/GC noise), too
+    // noisy to catch a real 2× regression early; best-of hides real
+    // steady-state cost. The median absorbs one JIT/GC outlier (the
+    // first run's query-specific codegen included) while tracking the
+    // typical run. Session warm-up (entry().count() above) stays
+    // outside every timing; per-query spread is reported alongside so
+    // a noisy median is VISIBLY noisy.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     val results = selected.map { case (name, fn) =>
-      var best = Double.MaxValue
+      var times = Vector.empty[Double]
       var err: Option[String] = None
       // noop DSv2 sink: executes the FULL physical plan (projections,
       // sorts, window functions) — `count()` would let Catalyst prune
@@ -43,9 +58,14 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
           err = Some(e.toString.takeWhile(_ != '\n').take(120)) }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        times :+= (System.nanoTime() - t0) / 1e9
       }
-      (name, best, err)
+      // relative spread (max−min)/median flags medians that are still
+      // noisy at this N; a failed query reports its last (error) time
+      val med = if (times.isEmpty) Double.MaxValue else median(times)
+      val spread = if (times.length < 2 || med == 0.0) 0.0
+        else (times.max - times.min) / med
+      (name, med, spread, err)
     }
     // a broken query must not masquerade as a fast one — surface it.
     // Escape EVERY control char (< 0x20), not just quote/backslash: an
@@ -57,9 +77,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qsFull = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failedFull = results.collect { case (k, _, Some(e)) =>
+    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val spreadFull = results.map { case (k, _, s, _) => "\"" + k + "\":" + r2(s) }
+      .mkString("{", ",", "}")
+    val failedFull = results.collect { case (k, _, _, Some(e)) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
       .mkString("{", ",", "}")
     // The headline is pinned to the q01–q26 contract BASELINE.md defines
@@ -68,15 +91,15 @@ object Bench {
     val headline = results
       .filter(_._1.matches("^q(0[1-9]|1[0-9]|2[0-6])_.*"))
       .map(_._2).sum
-    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","queries":$qsFull,"failed":$failedFull,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_$repeat","queries":$qsFull,"rel_spread":$spreadFull,"failed":$failedFull,"sf":"$sfDir"}"""
     // Full per-query detail: (a) an EARLIER stdout line (the driver only
     // parses the last one) and (b) BENCH_FULL.json in the repo, which the
     // driver's end-of-round commit picks up for the judge. ONLY canonical
-    // runs may write the committed artifact: a SPARK_GRAFT_ONLY /
-    // SPARK_GRAFT_REPEAT dev run would silently clobber the full
-    // snapshot with a filtered or best-of-N one (it did, once).
+    // runs may write the committed artifact: a SPARK_GRAFT_ONLY run or a
+    // sub-canonical repeat count would silently clobber the full
+    // snapshot with a filtered or noisier one (it did, once).
     println(fullJson)
-    if (only.isEmpty && repeat == 1) {
+    if (only.isEmpty && repeat >= 3) {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
           (fullJson + "\n").getBytes("UTF-8"))
@@ -90,16 +113,22 @@ object Bench {
     // extension (x*) set summarized as total + slowest-3.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val compactSel = results.filter(r => r._1.startsWith("q") || r._1.startsWith("r"))
-    val qsCompact = compactSel.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+    val qsCompact = compactSel.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val xs = results.filter(_._1.startsWith("x"))
     val xTotal = r3(xs.map(_._2).sum)
     val xSlow = xs.sortBy(-_._2).take(3)
-      .map { case (k, v, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val failedCompact = results.collect { case (k, _, Some(e)) =>
+      .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val failedCompact = results.collect { case (k, _, _, Some(e)) =>
       "\"" + k + "\":\"" + jsonEscape(e.take(60)) + "\"" }
       .take(3).mkString("{", ",", "}")
-    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
+    // spread summary only (the full per-query map lives in BENCH_FULL):
+    // the worst and median relative spreads say whether ANY median is
+    // too noisy to compare round-over-round
+    val spreads = results.map(_._3)
+    val spreadMed = if (spreads.isEmpty) "0" else r2(median(spreads))
+    val spreadMax = if (spreads.isEmpty) "0" else r2(spreads.max)
+    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_$repeat","spread_med":$spreadMed,"spread_max":$spreadMax,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
