@@ -103,14 +103,34 @@ object CatalogPipeline {
             // idempotent — a retry after a lost response would open a
             // second revision (or publish a duplicate dataset); a failed
             // step errors the agency into the changelog instead, and the
-            // next RUN re-publishes it cleanly. Data-derived values go
-            // through jsonStr (a feed_id carrying a quote must not break
-            // or inject into the payload).
-            val rev = Http.post(s"$revisionBase/revisions" +
-                (if (fourfour != null) s"/$fourfour" else ""),
-              s"""{"action_type": ${Http.jsonStr(action)}, "public": $pub}"""
-                .getBytes(StandardCharsets.UTF_8), "application/json")
-            require(rev.ok, s"revision: ${rev.error}")
+            // next RUN re-publishes it. Data-derived values go through
+            // jsonStr (a feed_id carrying a quote must not break or
+            // inject into the payload).
+            //
+            // RESUME-first for existing datasets: a prior run that
+            // failed AFTER revision creation left an open revision on
+            // the server; blindly re-creating would stack a second one
+            // per failed run. One GET asks for open revisions and, if
+            // any, the protocol resumes into it (steps 2-4 are
+            // idempotent within a revision: source/upload replace, the
+            // final apply closes it). A non-array / failed GET means
+            // the endpoint offers no listing — proceed to create, the
+            // pre-resume behavior. New datasets have nothing to list.
+            val resume = fourfour != null && {
+              val open = Http.get(s"$revisionBase/revisions/$fourfour")
+              open.ok && scala.util.Try {
+                val n = new com.fasterxml.jackson.databind.ObjectMapper()
+                  .readTree(open.body)
+                n.isArray && n.size() > 0
+              }.getOrElse(false)
+            }
+            if (!resume) {
+              val rev = Http.post(s"$revisionBase/revisions" +
+                  (if (fourfour != null) s"/$fourfour" else ""),
+                s"""{"action_type": ${Http.jsonStr(action)}, "public": $pub}"""
+                  .getBytes(StandardCharsets.UTF_8), "application/json")
+              require(rev.ok, s"revision: ${rev.error}")
+            }
             val src = Http.post(s"$revisionBase/sources",
               s"""{"feed_id": ${Http.jsonStr(feedId)}}""".getBytes(StandardCharsets.UTF_8),
               "application/json")

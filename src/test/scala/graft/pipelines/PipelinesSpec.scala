@@ -59,12 +59,15 @@ class PipelinesSpec extends SparkSpec {
       // feedA+feedB exist in catalog → updated; feedN is new → created
       assert(changelog("updated")._1 == 2)
       assert(changelog("created")._2 == Seq("feedN"))
-      // 3 agencies × 4 protocol steps
-      assert(stub.received("/api/revisions").size == 3)
+      // 3 agencies × 4 protocol steps (POSTs; resume-probe GETs for the
+      // two existing datasets ride alongside and find nothing to resume
+      // — the stub's {"rev":1} object is not an open-revision array)
+      val revPosts = stub.received("/api/revisions").filter(_.method == "POST")
+      assert(revPosts.size == 3)
       assert(stub.received("/api/upload").size == 3)
       assert(stub.received("/api/apply").size == 3)
       // update path posts to /revisions/<fourfour>
-      assert(stub.received("/api/revisions").exists(_.path.endsWith("aaaa-0001")))
+      assert(revPosts.exists(_.path.endsWith("aaaa-0001")))
       // feedN had no fetch_link → placeholder zip uploaded
       val uploads = stub.received("/api/upload")
       assert(uploads.exists(u => new String(u.body).contains("GTFS_PLACEHOLDER") ||
@@ -74,6 +77,65 @@ class PipelinesSpec extends SparkSpec {
       assert(log.size == 1, log)
       assert(log.head.bodyString.contains("\"run_successful\": true"))
       assert(log.head.bodyString.contains("mode=catalog"))
+    } finally stub.stop()
+  }
+
+  test("revision protocol resumes an open revision instead of stacking one per failed run") {
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+    val stub = new StubServer
+    // ONE updated agency (feedA → aaaa-0001) so the stub's revision
+    // state is unambiguous
+    stub.handleJson("/catalog.json")(Fixtures.catalogJson(stub.url("")))
+    stub.handleJson("/agencies.json")(
+      s"""[{"agency_name": "Alpha Transit", "feed_id": "feedA", "ntd_id": "001",
+         | "fetch_link": "${stub.url("/zips/feedA.zip")}", "have_consent_for_ntm": true,
+         | "city": "Springfield", "state": "IL"}]""".stripMargin)
+    stub.handleBytes("/zips/feedA.zip", "application/zip")(
+      Fixtures.zip("feedA/stops.txt" -> Fixtures.messyStops))
+    stub.handle("/log")((_, _) => (200, "application/json", "[]".getBytes))
+    val open = new AtomicBoolean(false)
+    val created = new AtomicInteger(0)
+    val failSource = new AtomicBoolean(true) // 500 exactly once: AFTER revision creation
+    stub.handleReq("/api/revisions") { req =>
+      if (req.method == "GET")
+        (200, "application/json",
+          (if (open.get) """[{"rev": 1}]""" else "[]").getBytes)
+      else {
+        open.set(true); created.incrementAndGet()
+        (200, "application/json", """{"rev": 1}""".getBytes)
+      }
+    }
+    stub.handle("/api/sources")((_, _) =>
+      if (failSource.getAndSet(false)) (500, "text/plain", "boom".getBytes)
+      else (200, "application/json", """{"src": 1}""".getBytes))
+    stub.handle("/api/upload")((_, _) => (200, "application/json", "{}".getBytes))
+    stub.handleReq("/api/apply") { _ =>
+      open.set(false) // apply closes the open revision
+      (200, "application/json", "{}".getBytes)
+    }
+    stub.start()
+    val ep = Endpoints(
+      catalogUrl = stub.url("/catalog.json"),
+      agencyUrl = stub.url("/agencies.json"),
+      stopsQueryUrl = stub.url("/unused"),
+      stopsUpsertUrl = stub.url("/unused"),
+      logUrl = stub.url("/log"),
+      revisionBase = stub.url("/api"),
+      placeholderZipUrl = stub.url("/zips/feedA.zip"))
+    try {
+      // run 1: revision opens, then `create source` 500s → agency errored
+      val r1 = CatalogPipeline.run(spark, ep).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r1 == Map("errored" -> 1L), r1.toString)
+      // run 2: the open revision is found and RESUMED — no second create
+      val r2 = CatalogPipeline.run(spark, ep).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r2 == Map("updated" -> 1L), r2.toString)
+      // exactly ONE revision created across the failed + retried runs
+      assert(created.get == 1, s"revisions created: ${created.get}")
+      assert(stub.received("/api/revisions").count(_.method == "POST") == 1)
+      // and the resumed run finished the protocol
+      assert(stub.received("/api/apply").size == 1)
     } finally stub.stop()
   }
 

@@ -43,6 +43,21 @@ class StubServer {
       ex.close()
     })
 
+  /** Like [[handle]] but the function sees the full request (method +
+    * exact path) — for stateful protocol stubs that dispatch on verb. */
+  def handleReq(path: String)(fn: Req => (Int, String, Array[Byte])): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      val body = ex.getRequestBody.readAllBytes()
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val req = Req(ex.getRequestMethod, ex.getRequestURI.getPath, q, body)
+      requests.add(req)
+      val (status, ct, bytes) = fn(req)
+      ex.getResponseHeaders.set("Content-Type", ct)
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+
   def handleJson(path: String)(json: => String): Unit =
     handle(path)((_, _) => (200, "application/json", json.getBytes(StandardCharsets.UTF_8)))
 
