@@ -53,6 +53,40 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** Opt-in hot-bucket guard for the candidate generators: buckets
+    * whose population exceeds `maxBucketSize` are REMOVED from
+    * candidate generation, with a logged count of what was cut. A
+    * bucket of n rows mints n(n−1)/2 candidate pairs, so one
+    * boilerplate bucket of 10⁶ docs is 5·10¹¹ pairs — the fan-out that
+    * kills the job regardless of AQE. Dropping (not salting) is the
+    * right shape here: salting spreads an AGGREGATION's key, but a
+    * pair join over a salted bucket still mints every pair; a bucket
+    * too popular to pair over is boilerplate by definition, and LSH
+    * redundancy (bands / chunks / prefix-k hashes) gives a genuine
+    * near-dup pair its other, healthier collisions. The extra
+    * bucket-count pass is one cheap agg over the bucketed frame —
+    * that's the opt-in cost; `None` (default) changes nothing. */
+  private[graft] def guardBuckets(bucketed: DataFrame, keyCols: Seq[String],
+      maxBucketSize: Option[Int], what: String): DataFrame =
+    maxBucketSize match {
+      case None => bucketed
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucketSize must allow pairs: $cap")
+        val keys = keyCols.map(col)
+        val hot = bucketed.groupBy(keys: _*).agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > cap)
+          .localCheckpoint(true) // consumed by the count AND the anti-join
+        val dropped = hot.agg(count(lit(1)), sum(col("__bn")))
+          .head()
+        val nHot = dropped.getLong(0)
+        if (nHot > 0) logger.warn(
+          s"$what: dropping $nHot bucket(s) over maxBucketSize=$cap " +
+            s"(${dropped.getLong(1)} rows lose those collision chances)")
+        bucketed.join(broadcast(hot.select(keys: _*)), keyCols.toSeq, "left_anti")
+    }
+
   /** Sketch table: doc id + minhash signature over character shingles
     * (single-pass shingle hashing, see ShingleHashes). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
@@ -80,7 +114,8 @@ object Dedup {
     */
   def minhashNearDup(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 5, bands: Int = 16, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.5, verifyExact: Boolean = false): DataFrame = {
+      minJaccard: Double = 0.5, verifyExact: Boolean = false,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val k = bands * rowsPerBand
     // Materialized sketch table: it feeds the band explode AND both
     // sides of the estimate join — 3 consumers that would otherwise
@@ -97,9 +132,11 @@ object Dedup {
         sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("doc_id", "band", "band_hash")
+    val guarded = guardBuckets(banded, Seq("band", "band_hash"),
+      maxBucketSize, "minhashNearDup")
 
     // bucket join: same band + same slice hash → candidate pair
-    val a = banded.as("a"); val b = banded.as("b")
+    val a = guarded.as("a"); val b = guarded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -150,7 +187,8 @@ object Dedup {
     * Output: (doc_a, doc_b, hamming). */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunks: Int = 4,
-      portableMd5: Boolean = false): DataFrame = {
+      portableMd5: Boolean = false,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val bits = if (portableMd5) 60 else 64
     // maxHamming ≥ chunks is legal (recall becomes probabilistic, per
     // the scaladoc) — only the chunk arithmetic is a hard requirement.
@@ -168,7 +206,9 @@ object Dedup {
         shiftrightunsigned(col("sk"), c * bitsPerChunk)
           .bitwiseAND(lit((1L << bitsPerChunk) - 1))): _*)))
       .toDF("doc_id", "sk", "chunk", "chunk_val")
-    val a = chunked.as("a"); val b = chunked.as("b")
+    val guarded = guardBuckets(chunked, Seq("chunk", "chunk_val"),
+      maxBucketSize, "simhashNearDup")
+    val a = guarded.as("a"); val b = guarded.as("b")
     a.join(b,
         col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") &&
@@ -212,9 +252,10 @@ object Dedup {
     * bottom hash with high probability), then exact Jaccard verifies.
     * Output: (doc_a, doc_b, jaccard). */
   def ngramJaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
-      ngram: Int = 3, prefixK: Int = 4, minJaccard: Double = 0.5): DataFrame =
+      ngram: Int = 3, prefixK: Int = 4, minJaccard: Double = 0.5,
+      maxBucketSize: Option[Int] = None): DataFrame =
     ngramJaccardNearDupSketched(
-      ngramSketch(docs, idCol, textCol, ngram), prefixK, minJaccard)
+      ngramSketch(docs, idCol, textCol, ngram), prefixK, minJaccard, maxBucketSize)
 
   /** [[ngramJaccardNearDup]] over an already-built (doc_id, hashes)
     * sketch frame — the entry point when sketches are persisted (or
@@ -224,10 +265,13 @@ object Dedup {
     * own cheap "materialization" — both consumers re-read columnar
     * longs, never re-hash text). */
   def ngramJaccardNearDupSketched(sh: DataFrame, prefixK: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
-    val prefixes = sh.select(
-      col("doc_id"),
-      explode(slice(col("hashes"), 1, prefixK)).as("ph"))
+      minJaccard: Double = 0.5,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val prefixes = guardBuckets(
+      sh.select(
+        col("doc_id"),
+        explode(slice(col("hashes"), 1, prefixK)).as("ph")),
+      Seq("ph"), maxBucketSize, "ngramJaccardNearDup")
     val a = prefixes.as("a"); val b = prefixes.as("b")
     val cand = a.join(b,
         col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))

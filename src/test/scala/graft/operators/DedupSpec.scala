@@ -146,6 +146,41 @@ class DedupSpec extends SparkSpec {
     assert(m((0L, 2L)) > 0.5 && m((0L, 2L)) < 1.0)
   }
 
+  test("guardBuckets drops only over-cap buckets, keeping their rows out of pairing") {
+    val bucketed = ((1 to 30).map(i => (i.toLong, 777L)) ++ // hot: 30 rows
+      Seq((100L, 2L), (101L, 2L), (102L, 3L))).toDF("doc_id", "ph")
+    val kept = Dedup.guardBuckets(bucketed, Seq("ph"), Some(5), "test")
+      .select($"doc_id", $"ph").as[(Long, Long)].collect().toSet
+    // fan-out bound: the hot bucket's 30·29/2 = 435 candidate pairs
+    // never exist; the healthy buckets are untouched
+    assert(kept == Set((100L, 2L), (101L, 2L), (102L, 3L)), kept.toString)
+    assert(Dedup.guardBuckets(bucketed, Seq("ph"), None, "test").count() == 33)
+  }
+
+  test("hot-bucket guard bounds boilerplate fan-out without changing verified output") {
+    // 30 docs share one boilerplate prefix hash (777) but are pairwise
+    // dissimilar (disjoint tails, J = 1/19 < 0.5); docs 100/101 are a
+    // true near-dup pair (J = 8/12 ≥ 0.5) whose bottom hashes (2, 3)
+    // live in buckets of size 2 — exactly the LSH-redundancy shape the
+    // guard's recall argument relies on
+    val boiler = (1 to 30).map { i =>
+      (i.toLong, (777L +: (1 to 9).map(j => 1000L * i + j)).sorted.toArray)
+    }
+    val near = Seq(
+      (100L, (Array(2L, 3L) ++ (1 to 8).map(j => 500000L + j)).sorted),
+      (101L, (Array(2L, 3L) ++ (1 to 6).map(j => 500000L + j) ++ Seq(900001L, 900002L)).sorted))
+    val sh = (boiler ++ near).toDF("doc_id", "hashes")
+    def run(cap: Option[Int]) =
+      Dedup.ngramJaccardNearDupSketched(sh, prefixK = 4, minJaccard = 0.5,
+          maxBucketSize = cap)
+        .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    val unguarded = run(None)
+    val guarded = run(Some(5))
+    assert(guarded == unguarded, s"guard changed verified output: $guarded vs $unguarded")
+    assert(guarded.map(p => (p._1, p._2)) == Set((100L, 101L)), guarded.toString)
+  }
+
   test("embedding near-dup finds identical and near-identical vectors") {
     val vecs = Seq(
       (0L, Seq.tabulate(64)(i => math.sin(i).toFloat)),
