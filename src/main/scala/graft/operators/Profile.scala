@@ -168,4 +168,45 @@ object Profile {
           .otherwise(z))
       .drop("__g", "__n", "__s", "__q")
   }
+
+  /** Key-concentration profile: how unevenly a key's rows distribute —
+    * THE question before any groupBy/join on that key at scale (a Gini
+    * near 1 means heavy hitters: pre-salt, pre-aggregate, or cap). One
+    * summary row: key count, row count, the largest key's rows, and
+    * the Gini coefficient of the per-key row counts.
+    *
+    * Exactness: Gini needs Σ rankᵢ·cᵢ over counts sorted ascending —
+    * but ranking KEYS is a corpus-scale sort. Keys tied on c
+    * contribute c·(sum of their ranks) regardless of order, so the sum
+    * collapses onto the count-value HISTOGRAM: a block of m keys of
+    * count c after B smaller-count keys contributes
+    * c·(m·B + m(m+1)/2). Everything is integer until the final
+    * division (exact to 2^53 — row counts beyond that want the
+    * decimal(38) variant of the same formula).
+    *
+    * Scale: one partial+final agg to per-key counts, a second to the
+    * count-value histogram (≤ distinct count values — thousands, not
+    * keys), and the running-sum window runs over THAT histogram, so
+    * the single-partition WindowExec holds bounded rows. The corpus
+    * shuffles once (the key agg). */
+  def keyConcentration(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val hist = counts.groupBy(col("__c")).agg(count(lit(1)).as("__m"))
+    val w = Window.orderBy(col("__c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sic = col("__c") * (col("__m") * coalesce(sum(col("__m")).over(w), lit(0L)) +
+      col("__m") * (col("__m") + 1) / 2)
+    hist
+      .select(col("__c"), col("__m"), sic.as("__sic"))
+      .agg(
+        sum(col("__m")).cast("bigint").as("n_keys"),
+        sum(col("__c") * col("__m")).cast("bigint").as("n_rows"),
+        max(col("__c")).cast("bigint").as("max_key_rows"),
+        sum(col("__sic")).cast("bigint").as("__sic"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        round((lit(2L) * col("__sic") - (col("n_keys") + 1) * col("n_rows"))
+            .cast("double") /
+          (col("n_keys") * col("n_rows")).cast("double"), 6).as("gini"))
+  }
 }

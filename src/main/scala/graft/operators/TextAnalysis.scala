@@ -59,6 +59,45 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Contamination by OVERLAP FRACTION — the graded sibling of
+    * [[contaminationScreen]]: that screen flags a corpus doc on ANY
+    * shared benchmark n-gram, which at web scale flags half the corpus
+    * on idioms; real decontamination (GPT-3 appendix C, PaLM, Llama)
+    * asks what FRACTION of a benchmark item's n-grams the document
+    * covers. Output: one row per (corpus doc, benchmark doc) with
+    * `shared` distinct grams and `overlap` = shared / |benchmark
+    * grams|, kept when ≥ `minRatio`.
+    *
+    * Engine-exact: both counts are integers and `overlap` is one
+    * division of exact operands, rounded at output.
+    *
+    * Scale: benchmark grams are eval-set-sized and broadcast with
+    * their per-item sizes; the corpus side explodes DISTINCT grams
+    * map-side, and only MATCHING (doc, bench, gram) rows enter the
+    * one aggregation shuffle — the corpus' non-matching grams (the
+    * overwhelming majority) never leave their scan tasks. */
+  def contaminationOverlap(corpus: DataFrame, benchmark: DataFrame,
+      ngram: Int = 5, minRatio: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    val bg = benchmark
+      .select(col(idCol).as("bench_id"),
+        explode(array_distinct(wordShingles(col(textCol), ngram))).as("gram"))
+      .localCheckpoint(true) // feeds the per-item sizes AND the probe join
+    val sizes = bg.groupBy(col("bench_id")).agg(count(lit(1)).as("__bsz"))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(wordShingles(col(textCol), ngram))).as("gram"))
+      .join(broadcast(bg), "gram")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes), "bench_id")
+      .select(col("doc_id"), col("bench_id"), col("shared"),
+        round(col("shared").cast("double") / col("__bsz").cast("double"), 6)
+          .as("overlap"))
+      .filter(col("overlap") >= minRatio)
+  }
+
   /** Gopher-style repetition filter: fraction of a document's word
     * n-gram occurrences taken by its single most frequent n-gram.
     * Boilerplate/spam repeats a few grams → ratio near 1; natural text
@@ -119,6 +158,36 @@ object TextAnalysis {
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test"))
+  }
+
+  /** Split-leakage audit: near-duplicate pairs whose members landed in
+    * DIFFERENT splits are evaluation leakage (the val/test member is a
+    * paraphrase of a training doc) — the check every dedup-then-split
+    * pipeline owes its eval numbers. Input: a verified pair relation
+    * (e.g. [[graft.operators.Dedup.ngramJaccardNearDup]]) and a
+    * (id, split) assignment (e.g. [[datasetSplit]]). Output: one row
+    * per unordered split combination with its pair count and a
+    * `leaked` flag (split_lo ≠ split_hi); same-split rows give the
+    * base rates. The repair is cluster-aware splitting (assign each
+    * x28 component its min-member's split) — this operator is the
+    * detector that says whether you need it.
+    *
+    * Scale: the pair relation is collision-scale (≪ corpus) and
+    * broadcasts into two map-side lookups against the corpus-scale
+    * split frame; the final aggregate has ≤ |splits|² groups. */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame,
+      idCol: String = "doc_id", splitCol: String = "split"): DataFrame = {
+    val s = splits.select(col(idCol), col(splitCol))
+    // the pair relation is the broadcast side of BOTH lookups — the
+    // corpus-scale split frame streams and never shuffles
+    val withA = s.toDF("doc_a", "split_a").join(broadcast(pairs), "doc_a")
+    s.toDF("doc_b", "split_b").join(broadcast(withA), "doc_b")
+      .groupBy(
+        least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+        (col("split_lo") =!= col("split_hi")).as("leaked"))
   }
 
   /** Deterministic sequence packing: assign documents to fixed-token-

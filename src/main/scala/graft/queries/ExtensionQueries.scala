@@ -863,6 +863,39 @@ object ExtensionQueries {
             lit(5L))).as("fp_ok"))
   }
 
+  /** x64 split-leakage audit ([[TextAnalysis.splitLeakage]]): the x04
+    * near-dup pair relation (x28's edge set) crossed with the x30
+    * deterministic split — pairs straddling splits are eval leakage.
+    * Both inputs are already oracled; the oracle composes the same two
+    * CTEs. */
+  def x64(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+      ngram = 3, prefixK = 8, minJaccard = 0.2)
+    TextAnalysis.splitLeakage(pairs, TextAnalysis.datasetSplit(d, "doc_id"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
+  /** x65 contamination overlap fraction
+    * ([[TextAnalysis.contaminationOverlap]]): the graded form of x27 —
+    * per (corpus doc, benchmark doc), the fraction of the benchmark
+    * item's distinct word-5-grams the doc covers, kept at ≥ 0.1. */
+  def x65(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.contaminationOverlap(
+        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+        ngram = 5, minRatio = 0.1)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** x66 key-concentration profile ([[Profile.keyConcentration]]):
+    * Gini coefficient of events-per-user — the skew statistic that
+    * decides salting/capping before any groupBy/join on the key.
+    * Integer-exact via the count-histogram rank collapse; the oracle
+    * recomputes with an explicit rank window. */
+  def x66(s: SparkSession, dir: String): DataFrame =
+    Profile.keyConcentration(Tables.load(s, dir, "events"), "user_id")
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -927,6 +960,9 @@ object ExtensionQueries {
     "x61_expectations" -> (x61 _),
     "x62_snapshot_diff" -> (x62 _),
     "x63_bloom_prescreen" -> (x63 _),
+    "x64_split_leakage" -> (x64 _),
+    "x65_contamination_overlap" -> (x65 _),
+    "x66_key_concentration" -> (x66 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2109,5 +2145,48 @@ object ExtensionQueries {
         |       CAST(0 AS BIGINT) AS n_false_negatives,
         |       TRUE AS fp_ok
         |FROM probe""".stripMargin,
+
+    // composes the two already-oracled CTEs (x04's pair relation, x30's
+    // md5 split) — a leaked pair is one whose members' splits differ
+    "x64_split_leakage" ->
+      s"""WITH $ngramPairsCteSql,
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |        FROM documents) t)
+         |SELECT split_lo, split_hi, count(*) AS n_pairs, split_lo <> split_hi AS leaked
+         |FROM (
+         |  SELECT least(a.split, b.split) AS split_lo, greatest(a.split, b.split) AS split_hi
+         |  FROM pairs p
+         |  JOIN sp a ON p.doc_a = a.doc_id
+         |  JOIN sp b ON p.doc_b = b.doc_id) t
+         |GROUP BY split_lo, split_hi ORDER BY split_lo, split_hi""".stripMargin,
+
+    "x65_contamination_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT doc_id, ${wordNgramsSql(5)} AS g FROM toks),
+         |bench AS (SELECT doc_id AS bench_id, len(g) AS bsz, unnest(g) AS gram
+         |          FROM ng WHERE doc_id < 10 AND len(g) > 0),
+         |corp AS (SELECT doc_id, unnest(g) AS gram FROM ng WHERE doc_id >= 10)
+         |SELECT doc_id, bench_id, shared, overlap FROM (
+         |  SELECT c.doc_id, b.bench_id, count(*) AS shared,
+         |         round(count(*)::DOUBLE / any_value(b.bsz)::DOUBLE, 6) AS overlap
+         |  FROM corp c JOIN bench b ON c.gram = b.gram
+         |  GROUP BY c.doc_id, b.bench_id) t
+         |WHERE overlap >= 0.1
+         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // explicit rank-window Gini — must equal the engine's histogram
+    // collapse (ties share a count, so rank order within ties is moot)
+    "x66_key_concentration" ->
+      """WITH k AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(c) AS BIGINT) AS n_rows,
+        |       CAST(max(c) AS BIGINT) AS max_key_rows,
+        |       round((2*sum(i*c) - (count(*)+1)*sum(c))::DOUBLE /
+        |             (count(*)*sum(c))::DOUBLE, 6) AS gini
+        |FROM r""".stripMargin,
   )
 }

@@ -51,6 +51,27 @@ class ProfileSpec extends SparkSpec {
       ("g4", None, None), ("g4", Some(2L), None), ("g4", Some(2L), None)))
   }
 
+  test("keyConcentration: hand-derived Gini via the histogram collapse") {
+    // keys a×1 b×2 c×3: sorted counts [1,2,3], ranks 1..3
+    // Σi·cᵢ = 1+4+9 = 14 → gini = (2·14 − 4·6)/(3·6) = 4/18
+    val rows = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c"))
+      .toDF("k")
+    val out = Profile.keyConcentration(rows, "k")
+      .as[(Long, Long, Long, Double)].head()
+    assert(out == ((3L, 6L, 3L, 0.222222)))
+    // uniform distribution → gini 0
+    val uni = (1 to 4).flatMap(i => Seq.fill(5)(s"k$i")).toDF("k")
+    assert(Profile.keyConcentration(uni, "k")
+      .as[(Long, Long, Long, Double)].head()._4 == 0.0)
+    // tie blocks [1,1,2]: block c=1 (m=2, B=0) → 1·(0 + 2·3/2) = 3;
+    // block c=2 (m=1, B=2) → 2·(2 + 1) = 6; Σi·cᵢ = 9
+    // → gini = (18 − 4·4)/(3·4) = 2/12
+    val tied = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    assert(Profile.keyConcentration(tied, "k")
+      .as[(Long, Long, Long, Double)].head() == ((3L, 4L, 2L, 0.166667)))
+  }
+
   test("kmvDistinctSketch fails loudly on hashes outside [0, 2^60)") {
     // a full-range signed hash (e.g. xxhash64) would silently corrupt
     // the estimate — the domain guard must raise instead

@@ -224,6 +224,34 @@ class TextAnalysisSpec extends SparkSpec {
       (6L, 3L, 1L, md5Hex("m n o x x x")))) // order preserved around the cut
   }
 
+  test("splitLeakage: straddling pairs flagged, same-split pairs are base rate") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val splits = Seq(
+      (1L, "train"), (2L, "train"), (3L, "val"), (4L, "test"), (5L, "train"))
+      .toDF("doc_id", "split")
+    val out = TextAnalysis.splitLeakage(pairs, splits)
+      .orderBy($"split_lo", $"split_hi")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("test", "train", 1L, true),   // (4,5)
+      ("train", "train", 1L, false), // (1,2)
+      ("train", "val", 1L, true)))   // (1,3)
+  }
+
+  test("contaminationOverlap: fraction of the benchmark item's grams covered") {
+    // bench doc 1 has 4 distinct word-3-grams; corpus doc 10 contains
+    // 2 of them (overlap 0.5), doc 11 shares none
+    val bench = Seq((1L, "a b c d e f")).toDF("doc_id", "text") // grams: abc bcd cde def
+    val corpus = Seq(
+      (10L, "a b c d x y"), // shares abc, bcd
+      (11L, "p q r s t u")).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationOverlap(corpus, bench,
+        ngram = 3, minRatio = 0.25)
+      .select($"doc_id", $"bench_id", $"shared", $"overlap")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((10L, 1L, 2L, 0.5)))
+  }
+
   test("lengthTrim: discrete bounds keep exact boundary values") {
     // lengths 1..10; p(0.2)=2, p(0.9)=9 (discrete: actual data values)
     val docs = (1 to 10).map(i => (i.toLong, "en", i.toLong))

@@ -285,6 +285,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("x64: leakage audit broadcasts the pair relation; split frame never shuffles pre-agg") {
+    val plan = physical(ExtensionQueries.x64(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x65: overlap screen broadcasts benchmark grams; corpus grams stay map-side to the join") {
+    val plan = physical(ExtensionQueries.x65(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x66: Gini runs its window over the count HISTOGRAM, not the key frame") {
+    val df = ExtensionQueries.x66(spark, sf001)
+    val plan = physical(df)
+    assert(!plan.contains("Join"), plan)
+    // the window's child must be the second (histogram) aggregate:
+    // rank-over-keys would put the window directly over the per-key agg
+    val inner = qe(df).executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, plan)
+    windows.foreach { w =>
+      // histogram schema is (__c, __m): two columns, both aggregated
+      assert(w.child.output.map(_.name).toSet == Set("__c", "__m"),
+        s"window over ${w.child.output.map(_.name)}: $plan")
+    }
+  }
+
   test("x61: the whole expectation suite is ONE partial+final aggregate pass") {
     val plan = physical(ExtensionQueries.x61(spark, sf001))
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
