@@ -61,9 +61,16 @@ object Bench {
         times :+= (System.nanoTime() - t0) / 1e9
       }
       // relative spread (max−min)/median flags medians that are still
-      // noisy at this N; a failed query reports its last (error) time
-      val med = if (times.isEmpty) Double.MaxValue else median(times)
-      val spread = if (times.length < 2 || med == 0.0) 0.0
+      // noisy at this N. A failed query reports ONLY its last (error)
+      // time — mixing a fast error run into the median of earlier
+      // successful runs would report a number that is neither the real
+      // cost nor the error time; the entry is meaningless either way
+      // (the `failed` map says so), but the reported time should at
+      // least be a single identifiable run, not a blend.
+      val med =
+        if (err.isDefined || times.isEmpty) times.lastOption.getOrElse(Double.MaxValue)
+        else median(times)
+      val spread = if (err.isDefined || times.length < 2 || med == 0.0) 0.0
         else (times.max - times.min) / med
       (name, med, spread, err)
     }

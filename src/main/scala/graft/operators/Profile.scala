@@ -195,8 +195,11 @@ object Profile {
     val hist = counts.groupBy(col("__c")).agg(count(lit(1)).as("__m"))
     val w = Window.orderBy(col("__c"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // m(m+1) is always even, so the halving is an exact bigint
+    // shiftright — Divide would return DOUBLE for integral inputs and
+    // quietly break the "integer until the final division" contract
     val sic = col("__c") * (col("__m") * coalesce(sum(col("__m")).over(w), lit(0L)) +
-      col("__m") * (col("__m") + 1) / 2)
+      shiftright(col("__m") * (col("__m") + 1), 1))
     hist
       .select(col("__c"), col("__m"), sic.as("__sic"))
       .agg(

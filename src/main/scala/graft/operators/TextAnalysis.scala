@@ -172,16 +172,33 @@ object TextAnalysis {
     * x28 component its min-member's split) — this operator is the
     * detector that says whether you need it.
     *
-    * Scale: the pair relation is collision-scale (≪ corpus) and
-    * broadcasts into two map-side lookups against the corpus-scale
-    * split frame; the final aggregate has ≤ |splits|² groups. */
+    * Coverage: a pair member with NO split assignment (pairs mined on
+    * the full corpus, splits computed on a trimmed subset) lands in an
+    * `(unassigned)` bucket instead of silently dropping the pair — an
+    * audit that under-counts the thing it audits is worse than none.
+    * `(unassigned)` rows are coverage gaps to close, not confirmed
+    * leakage; they are surfaced so they cannot hide a leak.
+    *
+    * Scale: the pair relation is collision-scale (≪ corpus); the
+    * corpus-scale split frame streams ONCE past a broadcast semi-join
+    * on the pair id set and is pair-scale afterwards, so both member
+    * lookups are broadcast joins; the final aggregate has ≤
+    * (|splits|+1)² groups. */
   def splitLeakage(pairs: DataFrame, splits: DataFrame,
       idCol: String = "doc_id", splitCol: String = "split"): DataFrame = {
-    val s = splits.select(col(idCol), col(splitCol))
-    // the pair relation is the broadcast side of BOTH lookups — the
-    // corpus-scale split frame streams and never shuffles
-    val withA = s.toDF("doc_a", "split_a").join(broadcast(pairs), "doc_a")
-    s.toDF("doc_b", "split_b").join(broadcast(withA), "doc_b")
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val ids = p.select(col("doc_a").as("__id"))
+      .union(p.select(col("doc_b").as("__id"))).distinct()
+    // corpus-scale side streams past the broadcast id set; the result
+    // is pair-scale and broadcastable into the two member lookups
+    val assigned = splits.select(col(idCol).as("__id"), col(splitCol).as("__split"))
+      .join(broadcast(ids), Seq("__id"), "left_semi")
+    // LEFT joins: unmatched members coalesce to the audit bucket
+    p.join(broadcast(assigned.toDF("doc_a", "split_a")), Seq("doc_a"), "left")
+      .join(broadcast(assigned.toDF("doc_b", "split_b")), Seq("doc_b"), "left")
+      .select(
+        coalesce(col("split_a"), lit("(unassigned)")).as("split_a"),
+        coalesce(col("split_b"), lit("(unassigned)")).as("split_b"))
       .groupBy(
         least(col("split_a"), col("split_b")).as("split_lo"),
         greatest(col("split_a"), col("split_b")).as("split_hi"))

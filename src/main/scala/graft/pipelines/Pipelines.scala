@@ -2,6 +2,8 @@ package graft.pipelines
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -116,12 +118,28 @@ object CatalogPipeline {
             // final apply closes it). A non-array / failed GET means
             // the endpoint offers no listing — proceed to create, the
             // pre-resume behavior. New datasets have nothing to list.
+            //
+            // Trust boundary: whether the listing returns ONLY open
+            // revisions is an unattested server contract — the common
+            // REST semantics list historical (closed) ones too, and
+            // resuming into a closed revision errors the agency on
+            // every future run. So a listed revision counts as
+            // resumable only when it carries NO closure evidence: a
+            // non-null closed_at, or a closed-ish status, disqualifies
+            // it. Works for both server shapes — open-only listings
+            // pass untouched, list-everything servers mark closure.
             val resume = fourfour != null && {
               val open = Http.get(s"$revisionBase/revisions/$fourfour")
               open.ok && scala.util.Try {
                 val n = new com.fasterxml.jackson.databind.ObjectMapper()
                   .readTree(open.body)
-                n.isArray && n.size() > 0
+                n.isArray && n.elements().asScala.exists { rev =>
+                  val closedAt = rev.path("closed_at")
+                  val status = rev.path("status").asText("")
+                  (closedAt.isMissingNode || closedAt.isNull) &&
+                    !Set("closed", "applied", "successful", "failure")
+                      .contains(status.toLowerCase)
+                }
               }.getOrElse(false)
             }
             if (!resume) {

@@ -168,10 +168,19 @@ object Streaming {
         val keptSketch = bSketch.join(withinPairs, col("doc_id") === col("__drop"), "left_anti")
         val target = new org.apache.hadoop.fs.Path(corpusPath)
         val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+        // The persisted sketches are only comparable to incoming ones
+        // when both were hashed with the SAME n-gram width: a 3-gram
+        // corpus joined against 4-gram batch hashes never collides and
+        // the gate silently admits every duplicate. The width the
+        // corpus was built with is recorded in a sidecar marker and
+        // re-validated on every batch — a mismatch fails loudly here
+        // instead of degrading recall to zero.
+        if (fs.exists(target)) requireSketchNgram(fs, target, ngram)
         val (survivors, survivorSketch) =
           if (fs.exists(target)) {
             val dupIds = graft.operators.Dedup
-              .crossNearDupSketched(keptSketch, corpusSketches(spark, corpusPath, idCol),
+              .crossNearDupSketched(keptSketch,
+                corpusSketches(spark, corpusPath, idCol, textCol, ngram),
                 prefixK, minJaccard)
               .select(col("new_id")).distinct()
             (bKept.join(dupIds, col(idCol) === col("new_id"), "left_anti"),
@@ -185,6 +194,7 @@ object Streaming {
           .join(survivorSketch.select(col("doc_id").as(idCol),
             col("hashes").as(SketchColumn)), Seq(idCol), "left")
           .write.mode("append").parquet(corpusPath)
+        writeSketchNgramIfMissing(fs, target, ngram)
         ()
       }
       .start()
@@ -193,17 +203,64 @@ object Streaming {
     * alongside each landed document. */
   val SketchColumn = "__ngram_sketch"
 
+  /** Sidecar marker recording the n-gram width the corpus sketches
+    * were built with (underscore-prefixed, so Spark's parquet reader
+    * ignores it). */
+  private val SketchMetaFile = "_graft_ingest_meta.json"
+
+  private def sketchMetaPath(corpus: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(corpus, SketchMetaFile)
+
+  private def writeSketchNgramIfMissing(fs: org.apache.hadoop.fs.FileSystem,
+      corpus: org.apache.hadoop.fs.Path, ngram: Int): Unit = {
+    val meta = sketchMetaPath(corpus)
+    if (!fs.exists(meta)) {
+      val out = fs.create(meta, true)
+      try out.write(s"""{"ngram":$ngram}""".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def requireSketchNgram(fs: org.apache.hadoop.fs.FileSystem,
+      corpus: org.apache.hadoop.fs.Path, ngram: Int): Unit = {
+    val meta = sketchMetaPath(corpus)
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val stored = """"ngram"\s*:\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"unparseable $SketchMetaFile at $corpus: $body"))
+      require(stored == ngram,
+        s"corpus at $corpus was sketched with ngram=$stored but this sink is " +
+          s"configured with ngram=$ngram — persisted and incoming sketches would " +
+          "never collide and the dedup gate would silently admit every duplicate")
+    }
+    // No marker (corpus predates it): the batch proceeds and the
+    // marker is stamped with THIS sink's ngram after the append —
+    // first writer wins, later mismatches fail loudly.
+  }
+
   /** The standing corpus as a SKETCH frame (ngramSketch contract):
     * only (id, sketch) are selected, so the parquet scan decodes two
     * columns of longs and never touches the text pages — the reason
     * batch N+1 of [[ingestDedupSink]] costs no corpus re-tokenization.
     * Null/empty sketches (short docs) are screened out here, matching
-    * ngramSketch's no-empty-arrays contract. */
+    * ngramSketch's no-empty-arrays contract.
+    *
+    * Migration: a corpus written before the sketch column existed
+    * (plain (id, text) parquet, or one bootstrapped externally) has no
+    * [[SketchColumn]] — for those the sketches are recomputed from the
+    * text with the sink's current n-gram width, the pre-sketch
+    * behavior. The slow path lasts until the corpus is backfilled
+    * (one `ngramSketch` + rewrite); every row appended by the sink
+    * itself carries the column and takes the columnar fast path. */
   private[graft] def corpusSketches(spark: SparkSession, corpusPath: String,
-      idCol: String): DataFrame =
-    spark.read.parquet(corpusPath)
-      .select(col(idCol).as("doc_id"), col(SketchColumn).as("hashes"))
-      .filter(col("hashes").isNotNull && size(col("hashes")) > 0)
+      idCol: String, textCol: String, ngram: Int): DataFrame = {
+    val corpus = spark.read.parquet(corpusPath)
+    if (corpus.columns.contains(SketchColumn))
+      corpus.select(col(idCol).as("doc_id"), col(SketchColumn).as("hashes"))
+        .filter(col("hashes").isNotNull && size(col("hashes")) > 0)
+    else graft.operators.Dedup.ngramSketch(corpus, idCol, textCol, ngram)
+  }
 
   /** Stream-stream interval join: match each `right` event to `left`
     * events with the same key whose timestamp falls in

@@ -238,6 +238,23 @@ class TextAnalysisSpec extends SparkSpec {
       ("train", "val", 1L, true)))   // (1,3)
   }
 
+  test("splitLeakage: pair members without a split assignment surface, never vanish") {
+    // pairs mined on the full corpus, splits computed on a trimmed
+    // subset: docs 3 and 5 were trimmed before splitting. The audit
+    // must report those pairs in an (unassigned) bucket — an inner
+    // join would silently drop them and could report zero leakage
+    // for a corpus that leaks.
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 5L)).toDF("doc_a", "doc_b")
+    val splits = Seq((1L, "train"), (2L, "val")).toDF("doc_id", "split")
+    val out = TextAnalysis.splitLeakage(pairs, splits)
+      .orderBy($"split_lo", $"split_hi")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("(unassigned)", "(unassigned)", 1L, false), // (3,5)
+      ("(unassigned)", "train", 1L, true),         // (1,3)
+      ("train", "val", 1L, true)))                 // (1,2)
+  }
+
   test("contaminationOverlap: fraction of the benchmark item's grams covered") {
     // bench doc 1 has 4 distinct word-3-grams; corpus doc 10 contains
     // 2 of them (overlap 0.5), doc 11 shares none

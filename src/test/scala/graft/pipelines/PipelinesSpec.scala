@@ -97,10 +97,16 @@ class PipelinesSpec extends SparkSpec {
     val created = new AtomicInteger(0)
     val failSource = new AtomicBoolean(true) // 500 exactly once: AFTER revision creation
     stub.handleReq("/api/revisions") { req =>
-      if (req.method == "GET")
-        (200, "application/json",
-          (if (open.get) """[{"rev": 1}]""" else "[]").getBytes)
-      else {
+      if (req.method == "GET") {
+        // list-everything REST semantics: closed revisions stay in the
+        // listing forever, marked by closed_at/status — the resume
+        // probe must NOT mistake them for resumable
+        val nClosed = if (open.get) created.get - 1 else created.get
+        val closed = (1 to nClosed).map(i =>
+          s"""{"rev": $i, "closed_at": "2026-01-01T00:00:00Z", "status": "applied"}""")
+        val openRevs = if (open.get) Seq(s"""{"rev": ${created.get}}""") else Nil
+        (200, "application/json", (closed ++ openRevs).mkString("[", ",", "]").getBytes)
+      } else {
         open.set(true); created.incrementAndGet()
         (200, "application/json", """{"rev": 1}""".getBytes)
       }
@@ -136,6 +142,14 @@ class PipelinesSpec extends SparkSpec {
       assert(stub.received("/api/revisions").count(_.method == "POST") == 1)
       // and the resumed run finished the protocol
       assert(stub.received("/api/apply").size == 1)
+      // run 3: the listing now holds only the CLOSED revision from run 2
+      // (closed_at + status set). Resuming into it would wedge the
+      // agency forever — a fresh revision must be created instead.
+      val r3 = CatalogPipeline.run(spark, ep).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(r3 == Map("updated" -> 1L), r3.toString)
+      assert(created.get == 2, s"closed listing must not be resumed: ${created.get}")
+      assert(stub.received("/api/apply").size == 2)
     } finally stub.stop()
   }
 

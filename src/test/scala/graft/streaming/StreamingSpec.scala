@@ -78,9 +78,53 @@ class StreamingSpec extends SparkSpec {
 
     // the per-batch corpus read touches only (id, sketch): the scan's
     // ReadSchema must not contain the text column
-    val scan = Streaming.corpusSketches(spark, corpus, "doc_id")
+    val scan = Streaming.corpusSketches(spark, corpus, "doc_id", "text", 3)
       .queryExecution.executedPlan.toString
     assert(scan.contains("ReadSchema") && !scan.contains("text:string"), scan)
+  }
+
+  test("ingestDedupSink: legacy corpus without the sketch column is re-sketched, not crashed") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_legacy").toFile
+    val corpus = new java.io.File(dir, "corpus").getPath
+    val ckpt = new java.io.File(dir, "c").getPath
+    val baseA = "alpha " + (1 to 20).map(i => s"tok$i").mkString(" ")
+    val nearA = baseA.replace("tok20", "edited")
+
+    // a pre-sketch-column corpus: plain (doc_id, text) parquet
+    Seq((1L, baseA)).toDF("doc_id", "text").write.parquet(corpus)
+
+    val in = MemoryStream[(Long, String)]
+    in.addData((2L, nearA))
+    Streaming.ingestDedupSink(in.toDF().toDF("doc_id", "text"), corpus, ckpt)
+      .awaitTermination()
+    // nearA IS caught against the legacy corpus (fallback re-sketches
+    // the text with the sink's ngram) instead of AnalysisException
+    val r = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(r == Set(1L), s"legacy-corpus near-dup must be screened: $r")
+  }
+
+  test("ingestDedupSink: an ngram-mismatched corpus fails loudly, not silently admits dups") {
+    implicit val sc = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_ngram_guard").toFile
+    val corpus = new java.io.File(dir, "corpus").getPath
+    val baseA = "alpha " + (1 to 20).map(i => s"tok$i").mkString(" ")
+
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, baseA))
+    Streaming.ingestDedupSink(in.toDF().toDF("doc_id", "text"), corpus,
+      new java.io.File(dir, "c1").getPath, ngram = 3).awaitTermination()
+
+    // same corpus, different n-gram width: the persisted 3-gram hashes
+    // can never collide with 4-gram incoming hashes — must refuse
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData((2L, baseA))
+    val q = Streaming.ingestDedupSink(in2.toDF().toDF("doc_id", "text"), corpus,
+      new java.io.File(dir, "c2").getPath, ngram = 4)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(err.getMessage.contains("ngram"), err.getMessage)
   }
 
   test("ingestDedupSink screens against the persisted sketch, never re-tokenized text") {

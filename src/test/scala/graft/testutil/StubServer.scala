@@ -32,16 +32,7 @@ class StubServer {
   /** Register a handler; the function gets (query, body) and returns
     * (status, contentType, bytes). */
   def handle(path: String)(fn: (String, Array[Byte]) => (Int, String, Array[Byte])): Unit =
-    server.createContext(path, (ex: HttpExchange) => {
-      val body = ex.getRequestBody.readAllBytes()
-      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      requests.add(Req(ex.getRequestMethod, ex.getRequestURI.getPath, q, body))
-      val (status, ct, bytes) = fn(java.net.URLDecoder.decode(q, "UTF-8"), body)
-      ex.getResponseHeaders.set("Content-Type", ct)
-      ex.sendResponseHeaders(status, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
-    })
+    handleReq(path)(r => fn(java.net.URLDecoder.decode(r.query, "UTF-8"), r.body))
 
   /** Like [[handle]] but the function sees the full request (method +
     * exact path) — for stateful protocol stubs that dispatch on verb. */
