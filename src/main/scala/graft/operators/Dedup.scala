@@ -421,6 +421,45 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Cluster canonicalization — the ACTION step after near-dup
+    * detection: per duplicate cluster keep exactly ONE representative
+    * (longest by `lenCol`, id-ascending tie-break) and mark the rest
+    * for purge. [[connectedComponents]] says which docs are the same;
+    * this says which copy survives — together they are the
+    * "dedup-then-keep-best" pass every pretraining pipeline runs.
+    *
+    * Representative choice is total-ordered (len DESC, id ASC), so the
+    * output is deterministic and any SQL engine can replay it. A
+    * cluster member missing from `docs` still appears in the output
+    * (its length coalesces below every real length, so it can win only
+    * a cluster with no measured member) — dropping it would silently
+    * shrink the purge list, the [[graft.operators.TextAnalysis.splitLeakage]]
+    * coverage lesson.
+    *
+    * Scale: representative selection is one partial+final min(struct)
+    * aggregate — never a per-cluster window, so a pathological
+    * mega-cluster (boilerplate) costs a 16-byte struct per row
+    * map-side, not a single-partition sort. The canonical map is
+    * cluster-scale (≪ corpus) and broadcasts back onto the cluster
+    * relation.
+    * Output: (doc_id, cluster_id, canonical_id, keep). */
+  def canonicalizeClusters(clusters: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", lenCol: String = "n_chars"): DataFrame = {
+    val withLen = clusters.join(
+      docs.select(col(idCol).as("doc_id"), col(lenCol).cast("long").as("__len")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        // -1 sorts below every real (non-negative) length; Long.MinValue
+        // would overflow under the min(struct(-len, id)) negation
+        coalesce(col("__len"), lit(-1L)).as("__len"))
+    val canon = withLen.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("__len")).as("__nl"), col("doc_id").as("__id"))).as("__c"))
+      .select(col("cluster_id"), col("__c.__id").as("canonical_id"))
+    withLen.join(broadcast(canon), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Candidate
     * generation via random-hyperplane LSH (see [[Similarity.hyperplaneBucket]])
     * keeps this off the O(n²) cross join; exact cosine verifies. Docs

@@ -909,4 +909,64 @@ object TextAnalysis {
           .as("oov_rate"))
       .orderBy(col("doc_id"))
   }
+
+  /** Unigram-LM average log-probability per document — the CCNet-style
+    * LM quality filter: train an add-one-smoothed unigram model on a
+    * REFERENCE corpus (a trusted "clean" slice), then score every
+    * document by its mean per-token log-probability. Documents that
+    * read nothing like the reference (other languages, boilerplate,
+    * gibberish) score far below it and are the filter candidates.
+    * Smoothing is add-one over the reference vocabulary
+    * (p(w) = (c(w)+1)/(T+V+1)); an unseen word takes the same formula
+    * at c = 0, so every token has finite mass and the score is total.
+    *
+    * Hash-portable fixed point (the bm25Retrieval discipline): each
+    * term's log-prob is quantized ONCE to integer micro-nats
+    * (round(ln p, 6)·10⁶) and per-document accumulation is an integer
+    * SUM — engine ulp differences in `ln` die inside the per-term
+    * quantization and can never accumulate across a document.
+    * `avg_logp` divides the two exact integers once at the end
+    * (one correctly-rounded double op, bit-identical across engines).
+    *
+    * Scale: reference term counts are one partial+final aggregate; the
+    * scoring join is a SHUFFLED equi-join on term — a web-scale
+    * reference vocabulary (10⁸⁺ terms) is exactly what a hash join is
+    * for, deliberately NOT a broadcast; the 1-row (T, V) stats frame
+    * broadcasts everywhere it appears. No windows, no driver-side
+    * model object — the "model" IS a DataFrame.
+    * Output: (doc_id, n_tokens, sum_logp_micro, avg_logp), one row per
+    * input document (token-less docs keep n_tokens = 0, null score). */
+  def unigramLogProb(docs: DataFrame, ref: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val refTf = tokFrame(ref, idCol, textCol)
+      .select(explode(col("__w")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__c"))
+    val stats = refTf.agg(
+      sum(col("__c")).cast("bigint").as("__t"), count(lit(1)).as("__v"))
+    // integer micro-nats after this line — the only transcendental op,
+    // quantized per TERM, never per accumulation step
+    def lpMicro(c: Column): Column =
+      round(round(log((c.cast("double") + lit(1.0)) /
+        (col("__t").cast("double") + col("__v").cast("double") + lit(1.0))), 6) *
+        lit(1000000.0)).cast("long")
+    val vocab = refTf.join(broadcast(stats))
+      .select(col("term"), lpMicro(col("__c")).as("__lp"))
+    val docTf = tokFrame(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("__w")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("__tf"))
+    val scored = docTf.join(vocab, Seq("term"), "left")
+      .join(broadcast(stats))
+      .select(col("doc_id"), col("__tf"),
+        coalesce(col("__lp"), lpMicro(lit(0L))).as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__tf")).cast("bigint").as("n_tokens"),
+        sum(col("__tf") * col("__lp")).cast("bigint").as("sum_logp_micro"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("sum_logp_micro"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          round(col("sum_logp_micro").cast("double") /
+            (col("n_tokens").cast("double") * lit(1000000.0)), 6)).as("avg_logp"))
+  }
 }

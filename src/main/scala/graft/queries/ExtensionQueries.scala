@@ -896,6 +896,30 @@ object ExtensionQueries {
   def x66(s: SparkSession, dir: String): DataFrame =
     Profile.keyConcentration(Tables.load(s, dir, "events"), "user_id")
 
+  /** x67 unigram-LM quality score ([[TextAnalysis.unigramLogProb]]):
+    * an add-one-smoothed unigram model trained on the English slice
+    * scores every document by mean per-token log-prob in integer
+    * micro-nats — the CCNet-style LM filter. The oracle replays the
+    * identical per-term quantization (the x58 fixed-point discipline),
+    * so the scores hash-match despite the transcendental ln. */
+  def x67(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.unigramLogProb(d, d.filter(col("lang") === "en"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x68 dup-cluster canonicalization ([[Dedup.canonicalizeClusters]]):
+    * per x28 near-dup cluster keep the longest member (id tie-break),
+    * mark the rest for purge — x04/x28's detection turned into the
+    * keep/drop decision a dedup pass actually ships. */
+  def x68(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.canonicalizeClusters(
+      Dedup.connectedComponents(Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.2)),
+      d).orderBy(col("doc_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -963,6 +987,8 @@ object ExtensionQueries {
     "x64_split_leakage" -> (x64 _),
     "x65_contamination_overlap" -> (x65 _),
     "x66_key_concentration" -> (x66 _),
+    "x67_unigram_logprob" -> (x67 _),
+    "x68_cluster_canonical" -> (x68 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2188,5 +2214,57 @@ object ExtensionQueries {
         |       round((2*sum(i*c) - (count(*)+1)*sum(c))::DOUBLE /
         |             (count(*)*sum(c))::DOUBLE, 6) AS gini
         |FROM r""".stripMargin,
+
+    // Identical fixed-point quantization as the engine: each term's
+    // smoothed log-prob rounds to 6 decimals THEN to integer
+    // micro-nats (ln ulp differences die per term), per-doc sums are
+    // integer, one exact-int division at the end.
+    "x67_unigram_logprob" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |rtf AS (SELECT unnest(w.w) AS term
+         |        FROM w JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+         |vc AS (SELECT term, count(*) AS c FROM rtf GROUP BY term),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM vc),
+         |vocab AS (SELECT term,
+         |            CAST(round(round(ln((c::DOUBLE + 1.0) /
+         |              (st.t::DOUBLE + st.v::DOUBLE + 1.0)), 6) * 1000000.0) AS BIGINT) AS lp
+         |          FROM vc CROSS JOIN st),
+         |oov AS (SELECT CAST(round(round(ln(1.0 /
+         |          (t::DOUBLE + v::DOUBLE + 1.0)), 6) * 1000000.0) AS BIGINT) AS lp FROM st),
+         |dt AS (SELECT doc_id, unnest(w) AS term FROM w),
+         |dtf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY doc_id, term),
+         |sc AS (SELECT dtf.doc_id,
+         |         CAST(sum(dtf.tf) AS BIGINT) AS n_tokens,
+         |         CAST(sum(dtf.tf * coalesce(vocab.lp, oov.lp)) AS BIGINT) AS sum_logp_micro
+         |       FROM dtf LEFT JOIN vocab USING (term) CROSS JOIN oov
+         |       GROUP BY dtf.doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, sc.sum_logp_micro,
+         |       CASE WHEN sc.n_tokens > 0
+         |            THEN round(sc.sum_logp_micro::DOUBLE /
+         |                       (sc.n_tokens::DOUBLE * 1000000.0), 6) END AS avg_logp
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // x28's recursive-reach clusters + the keep-longest policy as an
+    // explicit window — must equal the engine's min(struct) aggregate
+    "x68_cluster_canonical" ->
+      s"""WITH RECURSIVE $ngramPairsCteSql,
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM ed),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+         |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         |wl AS (SELECT cl.doc_id, cl.cluster_id, coalesce(d.n_chars, -1) AS len
+         |       FROM cl LEFT JOIN documents d USING (doc_id)),
+         |cn AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+         |         SELECT cluster_id, doc_id,
+         |                row_number() OVER (PARTITION BY cluster_id
+         |                                   ORDER BY len DESC, doc_id) AS rn
+         |         FROM wl) t WHERE rn = 1)
+         |SELECT wl.doc_id, wl.cluster_id, cn.canonical_id,
+         |       wl.doc_id = cn.canonical_id AS keep
+         |FROM wl JOIN cn USING (cluster_id) ORDER BY wl.doc_id""".stripMargin,
   )
 }

@@ -210,4 +210,25 @@ class DedupSpec extends SparkSpec {
     // higher id is the drop, attributed to the lower
     assert(drops == Seq((1L, 0L)))
   }
+
+  test("canonicalizeClusters keeps the longest member, tie-break id, missing lengths surface") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    // doc 6 has a cluster edge but no docs row (e.g. trimmed upstream):
+    // it must still appear in the purge decision, never win a cluster
+    // with a measured member
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (5L, 7L))
+      .toDF("doc_id", "n_chars")
+    val out = Dedup.canonicalizeClusters(clusters, docs)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "representative selection must be an aggregate, not a per-cluster window")
+    val rows = out.orderBy($"doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 1L, 2L, false),
+      (2L, 1L, 2L, true),  // 50 chars, lower id than doc 3
+      (3L, 1L, 2L, false),
+      (5L, 5L, 5L, true),
+      (6L, 5L, 5L, false)))
+  }
 }

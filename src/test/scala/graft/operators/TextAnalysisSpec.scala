@@ -255,6 +255,30 @@ class TextAnalysisSpec extends SparkSpec {
       ("train", "val", 1L, true)))                 // (1,2)
   }
 
+  test("unigramLogProb: hand-derived micro-nat scores, OOV smoothing, token-less doc") {
+    // reference "a a b": c(a)=2, c(b)=1, T=3, V=2 → denom T+V+1 = 6
+    //   lp(a) = ln(3/6) → round6 −0.693147 → −693147 micro-nats
+    //   lp(b) = ln(2/6) → round6 −1.098612 → −1098612
+    //   oov   = ln(1/6) → round6 −1.791759 → −1791759
+    val ref = Seq((100L, "a a b")).toDF("doc_id", "text")
+    val d = Seq(
+      (1L, "a b"), // one known each
+      (2L, "c c"), // all OOV
+      (3L, "")     // token-less
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d, ref).orderBy($"doc_id")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq(
+      (1L, 2L, Some(-693147L - 1098612L)),
+      (2L, 2L, Some(2L * -1791759L)),
+      (3L, 0L, None)))
+    // avg = sum / (n · 10⁶); exact literal avoided (round-at-ulp), but
+    // a 2e-6 band distinguishes every plausible wrong formula
+    assert(math.abs(out(0)._4.get - (-0.895880)) < 2e-6)
+    assert(math.abs(out(1)._4.get - (-1.791759)) < 2e-6)
+    assert(out(2)._4.isEmpty)
+  }
+
   test("contaminationOverlap: fraction of the benchmark item's grams covered") {
     // bench doc 1 has 4 distinct word-3-grams; corpus doc 10 contains
     // 2 of them (overlap 0.5), doc 11 shares none
