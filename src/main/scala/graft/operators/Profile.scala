@@ -125,6 +125,46 @@ object Profile {
         col("exact_distinct"))
   }
 
+  /** Deterministic hash-sampled quantiles — the scale path for exact
+    * percentiles: Spark's `percentile` buffers every distinct value of
+    * a group in executor memory, which a 100 TB group cannot do, and
+    * `percentile_approx`'s digest is neither engine-portable nor
+    * stable under merge order. Sampling rows by a content hash of
+    * `keyCol` (md5-60 mod 100 < `samplePct`) bounds the buffered mass
+    * by the rate while staying (a) deterministic — identical across
+    * runs, engines and partitionings, so results are reproducible and
+    * oracle-checkable, (b) mergeable — the sample of a union is the
+    * union of samples, so incremental corpora compose, and (c)
+    * unbiased per key — the hash is independent of the value column.
+    *
+    * Exactness envelope: with `probs` restricted to binary-exact
+    * fractions (quarters, eighths, …) and an INTEGER `valueCol`, the
+    * interpolation `lo·(1−f) + hi·f` has exact double operands and
+    * products (ints < 2⁵⁰), so both the one-multiply and two-multiply
+    * interpolation forms give the SAME bits — engine-exact without
+    * rounding tricks. Non-exact probs (0.9) make `f` inexact and the
+    * two forms can differ in the last ulp: allowed here, but the
+    * oracle-checked query sticks to quarters. */
+  def sampledQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      groupCol: String, probs: Seq[Double], samplePct: Int = 25): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"sampledQuantiles: probs must be in [0,1], got $probs")
+    require(samplePct > 0 && samplePct <= 100,
+      s"sampledQuantiles: samplePct must be in (0,100], got $samplePct")
+    val bucket =
+      conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    val qs = df.filter(bucket < samplePct)
+      .groupBy(col(groupCol))
+      .agg(
+        percentile(col(valueCol), array(probs.map(lit): _*)).as("__q"),
+        count(lit(1)).as("sample_n"))
+    probs.zipWithIndex.foldLeft(qs) { case (acc, (p, i)) =>
+      acc.withColumn(f"p${math.round(p * 100)}%02d",
+        round(col("__q").getItem(i), 6))
+    }.drop("__q")
+  }
+
   /** Per-group z-scores from EXACT integer moments: each row's integer
     * `valueCol` is scored against its group's mean/std as
     *

@@ -160,6 +160,37 @@ object TextAnalysis {
         .otherwise("test"))
   }
 
+  /** Cluster-aware deterministic split — the repair [[splitLeakage]]
+    * points at: every document's split key is its near-dup COMPONENT id
+    * (e.g. [[graft.operators.Dedup.connectedComponents]] over the
+    * verified pair relation), coalesced to the doc's own id for the
+    * corpus-majority of docs in no cluster. All members of a component
+    * hash to the same bucket, so a near-dup pair can never straddle
+    * splits and the [[splitLeakage]] audit is zero BY CONSTRUCTION
+    * rather than by luck — the difference between "we checked" and
+    * "it cannot happen".
+    *
+    * Scale: `clusters` is collision-scale (one row per doc appearing in
+    * ≥ 1 near-dup pair — ≪ corpus even at 100 TB, since a corpus that
+    * is mostly near-dups gets deduped before splitting), so the join
+    * broadcasts and the corpus-scale side streams map-side; the bucket
+    * hash itself is per-row arithmetic with no shuffle. The split
+    * fractions drift from trainPct only by the (tiny) mass of multi-doc
+    * clusters, and deterministically so. */
+  def clusterAwareSplit(df: DataFrame, clusters: DataFrame,
+      keyCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val c = clusters.select(col("doc_id").as(keyCol),
+      col("cluster_id").as("__cluster"))
+    val bucket = md5Bucket60(coalesce(col("__cluster"), col(keyCol))) % 100
+    df.join(broadcast(c), Seq(keyCol), "left")
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("__cluster")
+  }
+
   /** Split-leakage audit: near-duplicate pairs whose members landed in
     * DIFFERENT splits are evaluation leakage (the val/test member is a
     * paraphrase of a training doc) — the check every dedup-then-split

@@ -920,6 +920,38 @@ object ExtensionQueries {
       d).orderBy(col("doc_id"))
   }
 
+  /** x69 cluster-aware leakage-proof split
+    * ([[TextAnalysis.clusterAwareSplit]]): x30's deterministic split
+    * re-keyed by the x28 near-dup component id, so a near-dup pair can
+    * never straddle splits — the repair for whatever x64 reports.
+    * Summarized per (split, lang) like x30; the ScalaTest spec
+    * additionally pins [[TextAnalysis.splitLeakage]] = zero leaked
+    * rows on this assignment. Oracle: x28's recursive-reach clusters
+    * LEFT-joined onto documents, same md5-60 bucket of the coalesced
+    * key. */
+  def x69(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.2))
+    TextAnalysis.clusterAwareSplit(d, clusters, "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** x70 hash-sampled quantiles ([[Profile.sampledQuantiles]]): exact
+    * quartiles of doc length per language over the deterministic 25%
+    * md5-60 sample of doc ids — the bounded-memory, mergeable,
+    * engine-portable alternative to full exact percentiles (q30) and
+    * to the non-portable `percentile_approx`. Quarter probabilities
+    * keep the interpolation bit-exact across engines (operator
+    * scaladoc). */
+  def x70(s: SparkSession, dir: String): DataFrame =
+    Profile.sampledQuantiles(docs(s, dir), "doc_id", "n_chars",
+        "lang", Seq(0.25, 0.5, 0.75), samplePct = 25)
+      .orderBy(col("lang"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -989,6 +1021,8 @@ object ExtensionQueries {
     "x66_key_concentration" -> (x66 _),
     "x67_unigram_logprob" -> (x67 _),
     "x68_cluster_canonical" -> (x68 _),
+    "x69_cluster_aware_split" -> (x69 _),
+    "x70_sampled_quantiles" -> (x70 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2266,5 +2300,39 @@ object ExtensionQueries {
          |SELECT wl.doc_id, wl.cluster_id, cn.canonical_id,
          |       wl.doc_id = cn.canonical_id AS keep
          |FROM wl JOIN cn USING (cluster_id) ORDER BY wl.doc_id""".stripMargin,
+
+    // x28's recursive-reach clusters LEFT-joined under x30's split
+    // arithmetic: the bucket key is COALESCE(cluster_id, doc_id) —
+    // the one-line change that makes leakage structurally impossible
+    "x69_cluster_aware_split" ->
+      s"""WITH RECURSIVE $ngramPairsCteSql,
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM ed),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+         |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT split, lang, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+         |FROM (
+         |  SELECT lang, n_chars,
+         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT d.lang, d.n_chars,
+         |               ${md5Hash60Sql("CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)")} % 100 AS b
+         |        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id) t) s
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    // Same md5-60 gate as x30; quantile_cont == Spark's percentile for
+    // quarter probs on ints (exact interpolation operands — see
+    // Profile.sampledQuantiles scaladoc)
+    "x70_sampled_quantiles" ->
+      s"""SELECT lang, count(*) AS sample_n,
+         |       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+         |       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+         |       round(quantile_cont(n_chars, 0.75), 6) AS p75
+         |FROM documents
+         |WHERE ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 25
+         |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

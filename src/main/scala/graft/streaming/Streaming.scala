@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Structured-Streaming surface (SURVEY §2.8). The reference is a
   * batch job re-run repeatedly; its incremental semantics — keyed
@@ -346,5 +346,80 @@ object Streaming {
             }
           }
       }
+  }
+
+  final case class SessionEvent(user_id: Long, event_id: Long, ts: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+    start_ts: Long, end_ts: Long, closed: Boolean)
+
+  /** Gap-based sessionizer on the arbitrary-state v2 API
+    * ([[org.apache.spark.sql.streaming.StatefulProcessor]] /
+    * `transformWithState`) — the streaming twin of the batch Q22
+    * sessionization: a new session starts when an event arrives more
+    * than `gapSec` after its user's previous event.
+    *
+    * Why transformWithState rather than the flatMapGroupsWithState
+    * used by [[detectChanges]]: typed named state slots with
+    * per-slot TTL, first-class timers, and a RocksDB-changelog-backed
+    * store (the v2 API REQUIRES the RocksDB provider — state no longer
+    * bounded by executor heap, the property that matters when 10⁸
+    * users hold an open session each). One `ValueState[SessionOut]`
+    * per user holds only the OPEN session — O(1) per key, not the
+    * event history.
+    *
+    * Ordering contract: events are sorted (ts, event_id) WITHIN each
+    * micro-batch before folding, so intra-batch disorder cannot split
+    * a session. Across batches arrival order is trusted (TimeMode
+    * None); an event older than the open session's end extends it
+    * rather than rewriting history — callers needing full event-time
+    * ordering run EventTime mode with a watermark upstream so batches
+    * are already time-partitioned. Batch boundaries NEVER split
+    * sessions: a within-gap continuation in batch N+1 extends the
+    * state left by batch N (pinned by the spec).
+    *
+    * Emission is Append-clean: a session row is emitted exactly once,
+    * when a LATER event closes it; the open tail lives only in state.
+    * A far-future sentinel event per user flushes tails when a job
+    * needs them (the spec's drain trick). */
+  final class SessionProcessor(gapSec: Long)
+      extends StatefulProcessor[Long, SessionEvent, SessionOut] {
+    @transient private var sess: ValueState[SessionOut] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionOut]("session",
+        org.apache.spark.sql.Encoders.product[SessionOut], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = if (sess.exists()) Option(sess.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts - s.end_ts <= gapSec =>
+            cur = Some(s.copy(n_events = s.n_events + 1,
+              end_ts = math.max(s.end_ts, e.ts)))
+          case Some(s) =>
+            out += s.copy(closed = true)
+            cur = Some(SessionOut(key, s.session_id + 1, 1L, e.ts, e.ts, closed = false))
+          case None =>
+            cur = Some(SessionOut(key, 1L, 1L, e.ts, e.ts, closed = false))
+        }
+      }
+      cur.foreach(sess.update)
+      out.iterator
+    }
+  }
+
+  /** [[SessionProcessor]] wired onto a keyed event stream. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (the v2 state API rejects the default
+    * HDFS-backed provider by design). */
+  def sessionizeWithState(events: Dataset[SessionEvent],
+      gapSec: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSec),
+        TimeMode.None(), OutputMode.Append())
   }
 }

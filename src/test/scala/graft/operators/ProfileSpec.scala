@@ -29,6 +29,42 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("sampledQuantiles: hand-derived quarter interpolation at full sample") {
+    // g1: 1..5 → p25 = 1 + .25·4 = 2, p50 = 3, p75 = 4
+    // g2: 10,20,30,40 → h = .25·3 = .75 → 10 + .75·10 = 17.5
+    val rows = (1L to 5L).map(v => (v, "g1", v)) ++
+      Seq((6L, "g2", 10L), (7L, "g2", 20L), (8L, "g2", 30L), (9L, "g2", 40L))
+    val out = Profile.sampledQuantiles(rows.toDF("id", "grp", "v"),
+        "id", "v", "grp", Seq(0.25, 0.5, 0.75), samplePct = 100)
+      .orderBy($"grp")
+      .select($"grp", $"sample_n", $"p25", $"p50", $"p75")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("g1", 5L, 2.0, 3.0, 4.0),
+      ("g2", 4L, 17.5, 25.0, 32.5)))
+  }
+
+  test("sampledQuantiles: sampling is deterministic and partitioning-invariant") {
+    val df = (1L to 200L).map(v => (v, "g", v)).toDF("id", "grp", "v")
+    val a = Profile.sampledQuantiles(df, "id", "v", "grp",
+      Seq(0.25, 0.5, 0.75), samplePct = 30).collect().toSeq
+    val b = Profile.sampledQuantiles(df.repartition(7), "id", "v", "grp",
+      Seq(0.25, 0.5, 0.75), samplePct = 30).collect().toSeq
+    assert(a == b) // content-hash gate: layout can't change the sample
+    val n = a.head.getAs[Long]("sample_n")
+    assert(n > 0 && n < 200, s"30% gate kept $n of 200") // strict subset
+  }
+
+  test("sampledQuantiles rejects degenerate parameters") {
+    val df = Seq((1L, "g", 1L)).toDF("id", "grp", "v")
+    intercept[IllegalArgumentException] {
+      Profile.sampledQuantiles(df, "id", "v", "grp", Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.sampledQuantiles(df, "id", "v", "grp", Seq(0.5), samplePct = 0)
+    }
+  }
+
   test("zScores: matches the exact-moment model; degenerate groups get NULL") {
     // g1: x = 1,2,3 → mean 2, var 1, z = -1,0,1 exactly
     // g2: constant → zero variance → NULL; g3: n = 1 → NULL

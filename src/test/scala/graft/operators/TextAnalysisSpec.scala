@@ -255,6 +255,37 @@ class TextAnalysisSpec extends SparkSpec {
       ("train", "val", 1L, true)))                 // (1,2)
   }
 
+  test("clusterAwareSplit: a component lands whole in one split; plain split leaks it") {
+    val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "payload")
+    val plain = TextAnalysis.datasetSplit(docs, "doc_id")
+    val plainMap = plain.select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    // the two smallest ids the plain split separates — must exist in a
+    // 60-id md5 sample (train/val/test all non-empty at 80/10/10 would
+    // be luck; TWO distinct splits over 60 ids is structural)
+    val bySplit = plainMap.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+    assert(bySplit.size >= 2, s"fixture degenerated: $bySplit")
+    val a = bySplit(0)._2.map(_._1).min
+    val b = bySplit(1)._2.map(_._1).min
+    val pairs = Seq((math.min(a, b), math.max(a, b))).toDF("doc_a", "doc_b")
+    // the detector fires on the plain split…
+    assert(TextAnalysis.splitLeakage(pairs, plain)
+      .filter($"leaked").count() == 1)
+    // …and is zero on the cluster-aware one — by construction
+    val aware = TextAnalysis.clusterAwareSplit(
+      docs, Dedup.connectedComponents(pairs), "doc_id")
+    assert(TextAnalysis.splitLeakage(pairs, aware)
+      .filter($"leaked").count() == 0)
+    val awareMap = aware.select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    // both members take the min-member's bucket; everyone else is
+    // untouched (the split only moves docs that near-dup across it)
+    assert(awareMap(a) == awareMap(b))
+    assert(awareMap(math.max(a, b)) == plainMap(math.min(a, b)))
+    (1L to 60L).filterNot(i => i == a || i == b)
+      .foreach(i => assert(awareMap(i) == plainMap(i), s"doc $i moved"))
+  }
+
   test("unigramLogProb: hand-derived micro-nat scores, OOV smoothing, token-less doc") {
     // reference "a a b": c(a)=2, c(b)=1, T=3, V=2 → denom T+V+1 = 6
     //   lp(a) = ln(3/6) → round6 −0.693147 → −693147 micro-nats

@@ -430,6 +430,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("p_retailprice"), plan)
   }
 
+  test("x69: the collision-scale cluster map broadcasts onto the corpus " +
+    "(no corpus shuffle for the split assignment)") {
+    val plan = physical(ExtensionQueries.x69(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the corpus side must not sort-merge against the cluster map
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("x70: sample gate is map-side below ONE partial+final aggregation") {
+    val plan = physical(ExtensionQueries.x70(spark, sf001))
+    // percentile is an object agg — partial on the mapper, final after
+    // the single group-by exchange; the hash-gate filter adds no
+    // exchange of its own and there is no join anywhere
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Join"), plan)
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected group-by + sort exchanges only:\n$plan")
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))

@@ -235,6 +235,89 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 1L, "2024-01-01 12:00:00"))) // separate session
   }
 
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("sessionizeWithState: batch boundaries never split sessions; " +
+    "in-batch disorder cannot either; a session emits exactly once") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val in = MemoryStream[Streaming.SessionEvent]
+      val out = Streaming.sessionizeWithState(in.toDS(), gapSec = 3600)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("tws_out").start()
+      // batch 1 arrives OUT of order; both events are one open session
+      in.addData(Streaming.SessionEvent(1L, 2L, 1000L),
+        Streaming.SessionEvent(1L, 1L, 0L))
+      q.processAllAvailable()
+      assert(spark.table("tws_out").count() == 0) // open tail stays in state
+      // batch 2: t=4000 CONTINUES the session across the batch boundary
+      // (gap vs end 1000 is 3000 < 3600); t=99999 then closes it
+      in.addData(Streaming.SessionEvent(1L, 3L, 4000L),
+        Streaming.SessionEvent(1L, 4L, 99999L))
+      q.processAllAvailable()
+      assert(spark.table("tws_out").as[Streaming.SessionOut].collect().toSeq ==
+        Seq(Streaming.SessionOut(1L, 1L, 3L, 0L, 4000L, closed = true)))
+      // sentinel drain closes the tail; session 1 is NOT re-emitted
+      in.addData(Streaming.SessionEvent(1L, 5L, 10000000L))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("tws_out").as[Streaming.SessionOut].collect().toSet ==
+        Set(Streaming.SessionOut(1L, 1L, 3L, 0L, 4000L, closed = true),
+          Streaming.SessionOut(1L, 2L, 1L, 99999L, 99999L, closed = true)))
+    }
+  }
+
+  test("sessionizeWithState matches the batch lag/cumsum sessionization on the fixture") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      import org.apache.spark.sql.expressions.Window
+      // same truncated-seconds frame for both sides: the streamed twin
+      // is pinned to the Q22 SEMANTICS (gap > 3600 s, (ts, event_id)
+      // order), not to sub-second timestamp detail the long ts drops
+      val ev = graft.Tables.load(spark, sf001, "events")
+        .select(col("user_id"), col("event_id"), col("ts").cast("long").as("ts"))
+        .as[Streaming.SessionEvent].collect().toSeq
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val expected = ev.toDS()
+        .withColumn("prev", lag("ts", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("ts") > col("prev") + 3600, 1).otherwise(0))
+        .withColumn("session_id", sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("start_ts"), max("ts").as("end_ts"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+      val in = MemoryStream[Streaming.SessionEvent]
+      val q = Streaming.sessionizeWithState(in.toDS(), gapSec = 3600)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_parity").start()
+      in.addData(ev)
+      q.processAllAvailable()
+      // one sentinel per user, far past every real event, drains tails;
+      // the sentinel's own session stays open and is never emitted
+      val maxTs = ev.map(_.ts).max
+      in.addData(ev.map(_.user_id).distinct.map(u =>
+        Streaming.SessionEvent(u, Long.MaxValue, maxTs + 1000000L)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tws_parity").as[Streaming.SessionOut].collect()
+        .map(s => (s.user_id, s.session_id, s.n_events, s.start_ts, s.end_ts)).toSet
+      assert(got == expected)
+    }
+  }
+
   test("intervalJoin: stream-stream attribution within the gap only") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long)]
