@@ -160,6 +160,48 @@ object TextAnalysis {
         .otherwise("test"))
   }
 
+  /** Token-budget corpus selection: per `groupCol`, keep the highest-
+    * quality documents whose PRECEDING cumulative token mass (in
+    * quality-rank order) is under `budget` — "give me the best B
+    * tokens per language", the data-selection pass that turns scored
+    * corpora into a sized training mix. Selection is a prefix of the
+    * rank order, so the kept set is stable under corpus growth at the
+    * tail, and the budget overshoots by at most one document (the
+    * standard knapsack relaxation — exact packing is NP and pointless
+    * at this grain).
+    *
+    * Determinism discipline: ranking is on the UNROUNDED
+    * [[graft.functions.TextFunctions.qualityScoreRaw]] (exact-operand
+    * doubles, bit-identical on any engine) with the id as tiebreak;
+    * token counts are integers; the budget comparison is integer — so
+    * kept/dropped is engine-exact, no rank flip can move the cut.
+    *
+    * Scale: one window per group (one hash exchange on `groupCol` +
+    * per-group sort). A single giant group is the classic window skew;
+    * the scale path pre-cuts the sorted mass with a quality threshold
+    * from [[graft.operators.Profile.sampledQuantiles]] (drop the
+    * bottom quartiles cheaply, window only the survivors) — same
+    * result as long as the cut keeps ≥ budget tokens per group. */
+  def tokenBudgetSelect(docs: DataFrame, groupCol: String, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"tokenBudgetSelect: budget must be > 0, got $budget")
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs.select(col(groupCol), col(idCol),
+      TextFunctions.qualityScoreRaw(col(textCol)).as("__qr"),
+      TextFunctions.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__qr").desc, col(idCol))
+    ranked
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("kept", (col("cum_tokens") - col("n_tokens")) < budget)
+      .select(col(groupCol), col("rank"), col(idCol),
+        round(col("__qr"), 6).as("quality"),
+        col("n_tokens"), col("cum_tokens"), col("kept"))
+  }
+
   /** Cluster-aware deterministic split — the repair [[splitLeakage]]
     * points at: every document's split key is its near-dup COMPONENT id
     * (e.g. [[graft.operators.Dedup.connectedComponents]] over the

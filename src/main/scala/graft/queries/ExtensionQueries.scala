@@ -952,6 +952,15 @@ object ExtensionQueries {
         "lang", Seq(0.25, 0.5, 0.75), samplePct = 25)
       .orderBy(col("lang"))
 
+  /** x71 token-budget selection ([[TextAnalysis.tokenBudgetSelect]]):
+    * the best 2000 tokens of every language by quality rank — scored
+    * corpus → sized training mix, with full per-doc attribution
+    * (rank, cumulative tokens, kept). Ranking is on the unrounded
+    * score (the x46 discipline); the budget cut is integer-exact. */
+  def x71(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenBudgetSelect(docs(s, dir), "lang", budget = 2000L)
+      .orderBy(col("lang"), col("rank"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -1023,6 +1032,7 @@ object ExtensionQueries {
     "x68_cluster_canonical" -> (x68 _),
     "x69_cluster_aware_split" -> (x69 _),
     "x70_sampled_quantiles" -> (x70 _),
+    "x71_token_budget_select" -> (x71 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2334,5 +2344,23 @@ object ExtensionQueries {
          |FROM documents
          |WHERE ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 25
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // x46's unrounded-score ranking joined with x10's token count; the
+    // kept flag compares the PRECEDING cumulative mass to the budget
+    "x71_token_budget_select" ->
+      s"""WITH ${qualityCteSql("doc_id, lang")},
+         |tok AS (SELECT doc_id,
+         |          len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS nt
+         |        FROM documents),
+         |r AS (
+         |  SELECT q.lang, q.doc_id, q.q, CAST(t.nt AS BIGINT) AS n_tokens,
+         |         CAST(row_number() OVER (PARTITION BY q.lang ORDER BY q.qr DESC, q.doc_id)
+         |              AS INTEGER) AS rank,
+         |         CAST(SUM(t.nt) OVER (PARTITION BY q.lang ORDER BY q.qr DESC, q.doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM q JOIN tok t ON t.doc_id = q.doc_id)
+         |SELECT lang, rank, doc_id, q AS quality, n_tokens, cum_tokens,
+         |       (cum_tokens - n_tokens) < 2000 AS kept
+         |FROM r ORDER BY lang, rank""".stripMargin,
   )
 }

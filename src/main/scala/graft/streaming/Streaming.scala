@@ -422,4 +422,83 @@ object Streaming {
       .transformWithState(new SessionProcessor(gapSec),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class TimedEvent(user_id: Long, event_id: Long,
+    et: java.sql.Timestamp)
+
+  /** Event-time sessionizer with TIMER-driven close — the production
+    * shape of [[SessionProcessor]]: instead of waiting for the NEXT
+    * event of the same user (which for a churned user never comes, so
+    * the tail session would sit in state forever and never emit), every
+    * open session registers an event-time timer at `end + gap`; when
+    * the watermark passes it, [[handleExpiredTimer]] emits the session
+    * and clears the state — bounded state with NO sentinel protocol.
+    *
+    * Timer discipline: at most ONE live timer per key — each
+    * extend/rollover deletes the previous registration (a stale timer
+    * would re-emit an already-closed session). The gap close inside
+    * `handleInputRows` still applies when events arrive faster than
+    * the watermark moves; the timer handles the complementary case
+    * (the user stops sending). */
+  final class EventTimeSessionProcessor(gapSec: Long)
+      extends StatefulProcessor[Long, TimedEvent, SessionOut] {
+    @transient private var sess: ValueState[SessionOut] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionOut]("session",
+        org.apache.spark.sql.Encoders.product[SessionOut], TTLConfig.NONE)
+
+    private def rearm(endTsSec: Long): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer((endTsSec + gapSec) * 1000L)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.et.getTime, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = if (sess.exists()) Option(sess.get()) else None
+      sorted.foreach { e =>
+        val ts = e.et.getTime / 1000L
+        cur match {
+          case Some(s) if ts - s.end_ts <= gapSec =>
+            cur = Some(s.copy(n_events = s.n_events + 1,
+              end_ts = math.max(s.end_ts, ts)))
+          case Some(s) =>
+            out += s.copy(closed = true)
+            cur = Some(SessionOut(key, s.session_id + 1, 1L, ts, ts, closed = false))
+          case None =>
+            cur = Some(SessionOut(key, 1L, 1L, ts, ts, closed = false))
+        }
+      }
+      cur.foreach { s => sess.update(s); rearm(s.end_ts) }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      val out = if (sess.exists()) {
+        val s = sess.get()
+        // only a timer matching the CURRENT session end may close it —
+        // a racing just-extended session re-armed to a later expiry
+        if (info.getExpiryTimeInMs() >= (s.end_ts + gapSec) * 1000L) {
+          sess.clear()
+          Iterator.single(s.copy(closed = true))
+        } else Iterator.empty
+      } else Iterator.empty
+      out
+    }
+  }
+
+  /** [[EventTimeSessionProcessor]] on a watermarked stream: sessions
+    * close `gapSec` after their last event once the watermark (held
+    * back by `watermarkDelay`) passes — no sentinel, bounded state. */
+  def sessionizeWithTimers(events: Dataset[TimedEvent], gapSec: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("et", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new EventTimeSessionProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -255,6 +255,28 @@ class TextAnalysisSpec extends SparkSpec {
       ("train", "val", 1L, true)))                 // (1,2)
   }
 
+  test("tokenBudgetSelect: kept set is a rank prefix with overshoot of at most one doc") {
+    val out = TextAnalysis.tokenBudgetSelect(
+        graft.Tables.load(spark, sf001, "documents"), "lang", budget = 2000L)
+      .select($"lang", $"rank", $"n_tokens", $"cum_tokens", $"kept")
+      .as[(String, Int, Long, Long, Boolean)].collect()
+      .groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // ranks are dense 1..n and the kept flags form a prefix
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      val kept = sorted.takeWhile(_._5)
+      assert(sorted.drop(kept.length).forall(!_._5), s"$lang: kept not a prefix")
+      assert(kept.nonEmpty, s"$lang: budget kept nothing")
+      // every kept doc STARTS under budget; every dropped doc starts at/past it
+      kept.foreach(r => assert(r._4 - r._3 < 2000L))
+      sorted.drop(kept.length).foreach(r => assert(r._4 - r._3 >= 2000L))
+      // cumulative arithmetic is consistent
+      assert(sorted.map(_._3).sum == sorted.last._4)
+    }
+  }
+
   test("clusterAwareSplit: a component lands whole in one split; plain split leaks it") {
     val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "payload")
     val plain = TextAnalysis.datasetSplit(docs, "doc_id")

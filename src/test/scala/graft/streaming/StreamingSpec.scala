@@ -318,6 +318,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeWithTimers: the watermark closes idle sessions via timers — no sentinel") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      def ets(sec: Long) = new Timestamp(sec * 1000L)
+      val base = 1700000000L
+      val in = MemoryStream[Streaming.TimedEvent]
+      val q = Streaming.sessionizeWithTimers(in.toDS(), gapSec = 60,
+          watermarkDelay = "0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("twt_out").start()
+      // user 1: one session (two events inside the 60 s gap), then idle
+      in.addData(Streaming.TimedEvent(1L, 1L, ets(base)),
+        Streaming.TimedEvent(1L, 2L, ets(base + 30)))
+      q.processAllAvailable()
+      assert(spark.table("twt_out").count() == 0) // watermark still behind
+      // an unrelated user far in the future drags the watermark past
+      // base+30+60; the NEXT batch fires user 1's timer
+      in.addData(Streaming.TimedEvent(99L, 3L, ets(base + 7200)))
+      q.processAllAvailable()
+      in.addData(Streaming.TimedEvent(99L, 4L, ets(base + 7201)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("twt_out").as[Streaming.SessionOut].collect().toSet
+      assert(got.contains(
+        Streaming.SessionOut(1L, 1L, 2L, base, base + 30, closed = true)),
+        s"timer did not close the idle session: $got")
+      // user 99's own session must NOT have closed (watermark at its end)
+      assert(!got.exists(s => s.user_id == 99L))
+    }
+  }
+
   test("intervalJoin: stream-stream attribution within the gap only") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long)]
