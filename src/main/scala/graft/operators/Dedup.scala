@@ -442,18 +442,33 @@ object Dedup {
     * map-side, not a single-partition sort. The canonical map is
     * cluster-scale (≪ corpus) and broadcasts back onto the cluster
     * relation.
+    *
+    * `priorityCol` (optional, long-castable, lower = preferred)
+    * prepends a keep tier to the rule — (priority ASC, len DESC,
+    * id ASC) — the source-trust policy of curated-corpus dedup: a
+    * curated copy survives over a longer crawled one. Members missing
+    * from `docs` coalesce BELOW every real priority so they can win
+    * only an unmeasured cluster, mirroring the length coalesce.
     * Output: (doc_id, cluster_id, canonical_id, keep). */
   def canonicalizeClusters(clusters: DataFrame, docs: DataFrame,
-      idCol: String = "doc_id", lenCol: String = "n_chars"): DataFrame = {
-    val withLen = clusters.join(
-      docs.select(col(idCol).as("doc_id"), col(lenCol).cast("long").as("__len")),
-      Seq("doc_id"), "left")
-      .select(col("doc_id"), col("cluster_id"),
+      idCol: String = "doc_id", lenCol: String = "n_chars",
+      priorityCol: Option[String] = None): DataFrame = {
+    val docCols = Seq(col(idCol).as("doc_id"),
+      col(lenCol).cast("long").as("__len")) ++
+      priorityCol.map(p => col(p).cast("long").as("__pr"))
+    val withLen = clusters.join(docs.select(docCols: _*), Seq("doc_id"), "left")
+      .select(Seq(col("doc_id"), col("cluster_id"),
         // -1 sorts below every real (non-negative) length; Long.MinValue
         // would overflow under the min(struct(-len, id)) negation
-        coalesce(col("__len"), lit(-1L)).as("__len"))
+        coalesce(col("__len"), lit(-1L)).as("__len")) ++
+        // missing members rank AFTER every real priority tier
+        priorityCol.map(_ =>
+          coalesce(col("__pr"), lit(Long.MaxValue)).as("__pr")): _*)
+    val keyFields =
+      priorityCol.map(_ => col("__pr").as("__p")).toSeq ++
+      Seq((-col("__len")).as("__nl"), col("doc_id").as("__id"))
     val canon = withLen.groupBy(col("cluster_id"))
-      .agg(min(struct((-col("__len")).as("__nl"), col("doc_id").as("__id"))).as("__c"))
+      .agg(min(struct(keyFields: _*)).as("__c"))
       .select(col("cluster_id"), col("__c.__id").as("canonical_id"))
     withLen.join(broadcast(canon), Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("canonical_id"),

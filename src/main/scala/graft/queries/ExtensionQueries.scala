@@ -961,6 +961,24 @@ object ExtensionQueries {
     TextAnalysis.tokenBudgetSelect(docs(s, dir), "lang", budget = 2000L)
       .orderBy(col("lang"), col("rank"))
 
+  /** x72 keep-priority canonicalization: x68's keep-longest rule with a
+    * source-trust tier prepended — (tier ASC, len DESC, id ASC), the
+    * curated-beats-crawled policy of production corpus dedup. Tiers:
+    * src0-4 → 0, src5-9 → 1, rest → 2 (fixture-meaningful and
+    * engine-portable IN lists). */
+  def x72(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tier = when(col("source").isin((0 to 4).map(i => s"src$i"): _*), 0L)
+      .when(col("source").isin((5 to 9).map(i => s"src$i"): _*), 1L)
+      .otherwise(2L)
+    Dedup.canonicalizeClusters(
+        Dedup.connectedComponents(Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+          ngram = 3, prefixK = 8, minJaccard = 0.2)),
+        d.withColumn("__tier", tier),
+        priorityCol = Some("__tier"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -1033,6 +1051,7 @@ object ExtensionQueries {
     "x69_cluster_aware_split" -> (x69 _),
     "x70_sampled_quantiles" -> (x70 _),
     "x71_token_budget_select" -> (x71 _),
+    "x72_priority_canonical" -> (x72 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2362,5 +2381,33 @@ object ExtensionQueries {
          |SELECT lang, rank, doc_id, q AS quality, n_tokens, cum_tokens,
          |       (cum_tokens - n_tokens) < 2000 AS kept
          |FROM r ORDER BY lang, rank""".stripMargin,
+
+    // x68's recursive clusters with the keep rule (tier, len DESC, id);
+    // a member missing from documents tiers AFTER everything (IS NULL
+    // guard — the bare CASE's ELSE would wrongly tier it 2)
+    "x72_priority_canonical" ->
+      s"""WITH RECURSIVE $ngramPairsCteSql,
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM ed),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+         |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         |wl AS (SELECT cl.doc_id, cl.cluster_id, coalesce(d.n_chars, -1) AS len,
+         |         CASE WHEN d.doc_id IS NULL THEN 9223372036854775807
+         |              WHEN d.source IN ('src0','src1','src2','src3','src4') THEN 0
+         |              WHEN d.source IN ('src5','src6','src7','src8','src9') THEN 1
+         |              ELSE 2 END AS tier
+         |       FROM cl LEFT JOIN documents d ON d.doc_id = cl.doc_id),
+         |cn AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+         |         SELECT cluster_id, doc_id,
+         |                row_number() OVER (PARTITION BY cluster_id
+         |                                   ORDER BY tier, len DESC, doc_id) AS rn
+         |         FROM wl) t WHERE rn = 1)
+         |SELECT wl.doc_id, wl.cluster_id, cn.canonical_id,
+         |       wl.doc_id = cn.canonical_id AS keep
+         |FROM wl JOIN cn USING (cluster_id) ORDER BY wl.doc_id""".stripMargin,
   )
 }

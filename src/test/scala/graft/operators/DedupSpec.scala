@@ -231,4 +231,27 @@ class DedupSpec extends SparkSpec {
       (5L, 5L, 5L, true),
       (6L, 5L, 5L, false)))
   }
+
+  test("canonicalizeClusters priority tier beats length; missing members tier last") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_id")
+    // cluster 1: doc 2 is LONGER but tier 1 — the tier-0 doc 1 wins.
+    // cluster 3: doc 4 has an edge but no docs row — doc 3 wins even
+    // though its tier (1) is the worst measured tier.
+    val docs = Seq((1L, 10L, 0L), (2L, 500L, 1L), (3L, 5L, 1L))
+      .toDF("doc_id", "n_chars", "trust")
+    val rows = Dedup.canonicalizeClusters(clusters, docs,
+        priorityCol = Some("trust"))
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 1L, 1L, true),
+      (2L, 1L, 1L, false),
+      (3L, 3L, 3L, true),
+      (4L, 3L, 3L, false)))
+    // without the priority column the longer doc 2 would have won
+    val plain = Dedup.canonicalizeClusters(clusters, docs)
+      .filter($"doc_id" === 2L).select($"keep").as[Boolean].head()
+    assert(plain)
+  }
 }

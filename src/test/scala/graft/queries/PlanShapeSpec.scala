@@ -450,6 +450,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected group-by + sort exchanges only:\n$plan")
   }
 
+  test("x71: one hash exchange on the group + per-group sort; no join, no driver loop") {
+    val plan = physical(ExtensionQueries.x71(spark, sf001))
+    assert(plan.contains("Window"), plan) // the ranking window itself
+    assert(!plan.contains("Join"), plan)
+    // exactly: group-by hash exchange (shared by both window passes)
+    // + the final presentation sort's range exchange
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected group + sort exchanges only:\n$plan")
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
