@@ -34,7 +34,8 @@ class QueriesSpec extends SparkSpec {
       "x01_exact_dedup" -> 500L,  // no exact dups at sf0.001
       "x06_cosine_topk_bruteforce" -> 50L, // 5 queries × k=10
       "x10_token_count" -> 500L,
-      "x58_bm25_retrieval" -> 30L) // 3 queries × k=10
+      "x58_bm25_retrieval" -> 30L, // 3 queries × k=10
+      "x71_token_budget_select" -> 500L) // every doc attributed
     expect.foreach { case (name, want) =>
       val got = SparkEntry.queries(name)(spark, sf001).count()
       assert(got == want, s"$name: got $got want $want")
