@@ -29,6 +29,14 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** md5-60 of the stringified key — the ONE Spark-built-in rendering
+    * of the portable hash bucket (must stay equal to the oracle's
+    * md5Hash60Sql: first 15 md5 hex chars as a 60-bit integer).
+    * Shared by the split/sample/threshold operators (TextAnalysis)
+    * and the sampling gates (Profile) — one rendering, one contract. */
+  def md5Bucket60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("bigint")
+
   /** Case/whitespace-normalized text for shingling. */
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")

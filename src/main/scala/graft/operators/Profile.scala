@@ -151,9 +151,7 @@ object Profile {
       s"sampledQuantiles: probs must be in [0,1], got $probs")
     require(samplePct > 0 && samplePct <= 100,
       s"sampledQuantiles: samplePct must be in (0,100], got $samplePct")
-    val bucket =
-      conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 100
+    val bucket = graft.functions.TextFunctions.md5Bucket60(col(keyCol)) % 100
     val qs = df.filter(bucket < samplePct)
       .groupBy(col(groupCol))
       .agg(

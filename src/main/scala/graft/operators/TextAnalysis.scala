@@ -130,11 +130,12 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
   }
 
-  /** md5-60 of the stringified key — the ONE Spark-built-in rendering
-    * of the portable hash bucket (must stay equal to the oracle's
-    * md5Hash60Sql: first 15 md5 hex chars as a 60-bit integer). */
+  /** The portable hash bucket, hoisted to
+    * [[graft.functions.TextFunctions.md5Bucket60]] so every consumer
+    * (splits, samples, thresholds, Profile's sampling gates) shares
+    * ONE rendering of the oracle contract. */
   private def md5Bucket60(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("bigint")
+    graft.functions.TextFunctions.md5Bucket60(key)
 
   /** Discrete-percentile bounds of `lenCol` as a 1-row (__lo, __hi)
     * frame — the x39-proven engine-exact threshold construction,
@@ -218,7 +219,12 @@ object TextAnalysis {
     * broadcasts and the corpus-scale side streams map-side; the bucket
     * hash itself is per-row arithmetic with no shuffle. The split
     * fractions drift from trainPct only by the (tiny) mass of multi-doc
-    * clusters, and deterministically so. */
+    * clusters, and deterministically so.
+    *
+    * Contract: `clusters` carries
+    * [[graft.operators.Dedup.connectedComponents]]'s output schema —
+    * literal `(doc_id, cluster_id)` columns; `keyCol` renames only the
+    * `df` side of the join. */
   def clusterAwareSplit(df: DataFrame, clusters: DataFrame,
       keyCol: String = "doc_id",
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {

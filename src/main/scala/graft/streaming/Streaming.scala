@@ -443,15 +443,26 @@ object Streaming {
   final class EventTimeSessionProcessor(gapSec: Long)
       extends StatefulProcessor[Long, TimedEvent, SessionOut] {
     @transient private var sess: ValueState[SessionOut] = _
+    // last session_id EVER issued for this key — survives the timer
+    // close clearing `sess`, so a returning user continues the
+    // numbering instead of re-issuing (user_id, 1) and colliding with
+    // the already-emitted row under downstream keyed upserts
+    @transient private var lastId: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       sess = getHandle.getValueState[SessionOut]("session",
         org.apache.spark.sql.Encoders.product[SessionOut], TTLConfig.NONE)
+      lastId = getHandle.getValueState[Long]("lastSessionId",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     private def rearm(endTsSec: Long): Unit = {
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       getHandle.registerTimer((endTsSec + gapSec) * 1000L)
     }
+
+    private def nextId(): Long =
+      (if (lastId.exists()) lastId.get() else 0L) + 1L
 
     override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
         tv: TimerValues): Iterator[SessionOut] = {
@@ -468,10 +479,12 @@ object Streaming {
             out += s.copy(closed = true)
             cur = Some(SessionOut(key, s.session_id + 1, 1L, ts, ts, closed = false))
           case None =>
-            cur = Some(SessionOut(key, 1L, 1L, ts, ts, closed = false))
+            cur = Some(SessionOut(key, nextId(), 1L, ts, ts, closed = false))
         }
       }
-      cur.foreach { s => sess.update(s); rearm(s.end_ts) }
+      cur.foreach { s =>
+        sess.update(s); lastId.update(s.session_id); rearm(s.end_ts)
+      }
       out.iterator
     }
 
@@ -482,7 +495,7 @@ object Streaming {
         // only a timer matching the CURRENT session end may close it —
         // a racing just-extended session re-armed to a later expiry
         if (info.getExpiryTimeInMs() >= (s.end_ts + gapSec) * 1000L) {
-          sess.clear()
+          sess.clear() // lastId stays: the counter outlives the session
           Iterator.single(s.copy(closed = true))
         } else Iterator.empty
       } else Iterator.empty

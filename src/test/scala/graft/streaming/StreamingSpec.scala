@@ -339,13 +339,23 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(Streaming.TimedEvent(99L, 4L, ets(base + 7201)))
       q.processAllAvailable()
-      q.stop()
       val got = spark.table("twt_out").as[Streaming.SessionOut].collect().toSet
       assert(got.contains(
         Streaming.SessionOut(1L, 1L, 2L, base, base + 30, closed = true)),
         s"timer did not close the idle session: $got")
       // user 99's own session must NOT have closed (watermark at its end)
       assert(!got.exists(s => s.user_id == 99L))
+      // user 1 RETURNS after the timer close: numbering must continue
+      // at 2, not restart at 1 (the counter outlives the cleared
+      // session state) — close it against the far watermark and check
+      in.addData(Streaming.TimedEvent(1L, 5L, ets(base + 7300)),
+        Streaming.TimedEvent(1L, 6L, ets(base + 7500))) // > gap: closes 5's
+      q.processAllAvailable()
+      q.stop()
+      val after = spark.table("twt_out").as[Streaming.SessionOut].collect().toSet
+      assert(after.contains(
+        Streaming.SessionOut(1L, 2L, 1L, base + 7300, base + 7300, closed = true)),
+        s"returning user restarted session numbering: $after")
     }
   }
 
