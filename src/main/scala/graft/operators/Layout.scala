@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Output-layout discipline — the WRITE side of a 100 TB pipeline.
+  * Reading fast at scale is decided when the data is WRITTEN: directory
+  * partitioning gives planning-time partition pruning (zero files of
+  * other partitions opened — see PlanShapeSpec's PartitionFilters
+  * test), a within-partition sort gives parquet row-group min/max
+  * statistics that scan-time range predicates prune on, and a
+  * max-records bound keeps files executor-sized (a 10 GB file is one
+  * unsplittable-at-row-group-granularity task; ten thousand 1 KB files
+  * are a listing storm — both kill a 1000-executor read).
+  *
+  * This composes Spark primitives deliberately: `repartition(partCols)`
+  * aligns the shuffle with the directory layout so each task writes to
+  * ONE partition directory (without it, every task appends a file into
+  * every directory it has rows for — the small-files explosion);
+  * `sortWithinPartitions(partCols ++ sortCols)` orders rows inside each
+  * task so row-group stats are tight; `maxRecordsPerFile` caps file
+  * size without another shuffle. The partition columns should be
+  * low-cardinality (lang, date — NOT doc_id): directory count is
+  * multiplicative and a 10⁶-directory table breaks listing before any
+  * query runs.
+  */
+object Layout {
+
+  /** Write `df` as a partitioned, sorted, size-bounded parquet layout.
+    * `sortCols` are the columns later range predicates filter on (the
+    * row-group pruning key); `maxRecordsPerFile` bounds file size. */
+  def writePartitioned(df: DataFrame, path: String,
+      partCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(partCols.nonEmpty, "writePartitioned: partCols must be non-empty")
+    require(maxRecordsPerFile > 0,
+      s"writePartitioned: maxRecordsPerFile must be > 0, got $maxRecordsPerFile")
+    df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The written layout must deliver what it promises: one directory per
+  * partition value, bounded file sizes, planning-time pruning on the
+  * partition column, and row-group stats a range predicate can use. */
+class LayoutSpec extends SparkSpec {
+
+  test("writePartitioned: per-value directories, bounded files, planning-time pruning") {
+    val dir = "target/fixtures/docs_by_lang"
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    Layout.writePartitioned(docs, dir,
+      partCols = Seq("lang"), sortCols = Seq("doc_id"),
+      maxRecordsPerFile = 40L)
+
+    val root = new java.io.File(dir)
+    val langDirs = root.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).sorted
+    val langs = docs.select("lang").distinct()
+      .collect().map(r => s"lang=${r.getString(0)}").sorted
+    assert(langDirs.toSeq == langs.toSeq) // one directory per value
+
+    // file sizing: every leaf parquet file respects the record cap
+    val reread = spark.read.parquet(dir)
+    val perFile = reread
+      .groupBy(input_file_name()).count()
+      .select(col("count")).collect().map(_.getLong(0))
+    assert(perFile.nonEmpty && perFile.forall(_ <= 40L),
+      s"file over the record cap: ${perFile.max}")
+
+    // planning-time pruning: a lang predicate resolves as a
+    // PartitionFilter touching exactly one directory, not a row filter
+    val pruned = reread.filter(col("lang") === "en")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${scans.head.selectedPartitions.partitionCount}")
+    assert(pruned.count() == docs.filter(col("lang") === "en").count())
+
+    // within-partition sort happened: each file holds a contiguous
+    // doc_id run (files don't interleave), which is what gives parquet
+    // min/max stats their pruning power
+    val ranges = reread.filter(col("lang") === "en")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) =>
+        assert(hi1 < lo2, s"file id-ranges interleave: $ranges")
+      case _ =>
+    }
+  }
+
+  test("writePartitioned rejects degenerate parameters") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    intercept[IllegalArgumentException] {
+      Layout.writePartitioned(docs, "target/fixtures/never", Seq(), Seq("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.writePartitioned(docs, "target/fixtures/never", Seq("lang"),
+        Seq("doc_id"), maxRecordsPerFile = 0L)
+    }
+  }
+}
