@@ -26,6 +26,32 @@ import org.apache.spark.sql.functions.col
   */
 object Layout {
 
+  /** Deterministic training-shard assignment — the global shuffle a
+    * training run needs, WITHOUT randomness: shard = md5-60(id) mod
+    * `nShards`, within-shard position = rank of the hash (id
+    * tie-break for the rare 60-bit collision). Content-hashed, so the
+    * "shuffle" is reproducible across runs, engines and partition
+    * layouts — re-running the pipeline regenerates byte-identical
+    * shards (checkpointable training), unlike `orderBy(rand())`.
+    * Hash order is independent of every data attribute, which is
+    * exactly what a training shuffle is for: adjacent docs share
+    * nothing (no source/time runs from ingestion order).
+    *
+    * Scale: one hash exchange on `shard` (nShards ≈ thousands —
+    * executor-sized output files) and a per-shard sort of corpus/nShards
+    * rows — the sort IS the deliverable (the within-shard read order),
+    * not an accident. Skew-free by construction: md5 buckets are
+    * uniform regardless of key distribution. */
+  def shardAssignment(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"shardAssignment: nShards must be > 0, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.TextFunctions.md5Bucket60(col(idCol))
+    df.select(col(idCol), (h % nShards).as("shard"), h.as("__h"))
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))))
+      .drop("__h")
+  }
+
   /** Write `df` as a partitioned, sorted, size-bounded parquet layout.
     * `sortCols` are the columns later range predicates filter on (the
     * row-group pruning key); `maxRecordsPerFile` bounds file size. */

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Joins, Multimodal, Profile, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Layout, Multimodal, Profile, Similarity, TextAnalysis}
 import graft.transform.CatalogTransforms
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -979,6 +979,15 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** x73 deterministic shard assignment ([[Layout.shardAssignment]]):
+    * the content-hashed global shuffle for training shards — shard =
+    * md5-60(doc_id) mod 8, within-shard order = hash rank. Every
+    * (doc, shard, pos) value-checked; the oracle replays the identical
+    * bucket arithmetic and rank window. */
+  def x73(s: SparkSession, dir: String): DataFrame =
+    Layout.shardAssignment(docs(s, dir), "doc_id", nShards = 8)
+      .orderBy(col("shard"), col("pos"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
     "x02_minhash_lsh_neardup" -> (x02 _),
@@ -1052,6 +1061,7 @@ object ExtensionQueries {
     "x70_sampled_quantiles" -> (x70 _),
     "x71_token_budget_select" -> (x71 _),
     "x72_priority_canonical" -> (x72 _),
+    "x73_shard_assignment" -> (x73 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2409,5 +2419,17 @@ object ExtensionQueries {
          |SELECT wl.doc_id, wl.cluster_id, cn.canonical_id,
          |       wl.doc_id = cn.canonical_id AS keep
          |FROM wl JOIN cn USING (cluster_id) ORDER BY wl.doc_id""".stripMargin,
+
+    // Identical bucket arithmetic (md5-60 mod 8) and hash-rank window;
+    // the id tie-break covers the rare 60-bit collision
+    "x73_shard_assignment" ->
+      s"""SELECT doc_id, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |            AS INTEGER) AS pos
+         |FROM (SELECT doc_id,
+         |             ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |             ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} AS h
+         |      FROM documents) t
+         |ORDER BY shard, pos""".stripMargin,
   )
 }

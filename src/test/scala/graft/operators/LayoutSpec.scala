@@ -56,6 +56,26 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("shardAssignment: dense per-shard positions, layout-invariant, hash-uniform") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val a = Layout.shardAssignment(docs, "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // positions are dense 1..n within every shard
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"shard $shard positions not dense")
+    }
+    // deterministic under a different partition layout
+    val b = Layout.shardAssignment(docs.repartition(7), "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // md5 uniformity: no shard is empty or hogs the corpus (500 docs /
+    // 8 shards ≈ 62; 3x bounds are loose enough to never flake)
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size == 8 && sizes.values.forall(n => n > 20 && n < 190),
+      s"shard skew: ${sizes.toMap}")
+  }
+
   test("writePartitioned rejects degenerate parameters") {
     val docs = graft.Tables.load(spark, sf001, "documents")
     intercept[IllegalArgumentException] {
