@@ -15,6 +15,7 @@ import graft.sources.ZipEntries
   *  - `shingle_hashes(text, n)`, `ngram_hashes(tokens, n)`
   *  - `sorted_jaccard(a, b)`
   *  - `zip_entries(binary)` (generator)
+  *  - `md5_bucket60(key)` (the portable split/sample/shard bucket)
   *
   * Two entry points:
   *  - builder time: `.withExtensions(new GraftExtensions)` — survives
@@ -94,6 +95,20 @@ object GraftExtensions {
     ("zip_entries",
       info("zip_entries", "_FUNC_(bytes) - explode zip archive bytes to (entry_name, content)"),
       arity("zip_entries", 1)(args => ZipEntries(args(0)))),
+    // composition of built-ins, not a native Expression: the SAME
+    // conv(substring(md5(cast),1,15),16,10) tree TextFunctions
+    // .md5Bucket60 renders (parity-pinned in GraftExtensionsSpec), so
+    // SQL users share the one split/sample/shard bucket contract
+    ("md5_bucket60",
+      info("md5_bucket60",
+        "_FUNC_(key) - first 15 md5 hex chars of the stringified key as a 60-bit integer (the portable split/sample/shard bucket)"),
+      arity("md5_bucket60", 1) { args =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Md5, Substring}
+        import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+        Cast(Conv(Substring(
+          Md5(Cast(Cast(args(0), StringType), BinaryType)),
+          Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+      }),
   )
 
   /** Register on an already-built session. */

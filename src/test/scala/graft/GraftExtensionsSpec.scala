@@ -28,6 +28,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(8) == 8)
   }
 
+  test("md5_bucket60 matches the Column rendering and the documented hex arithmetic") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT md5_bucket60(42L) AS sqlb,
+        |       CAST(conv(substring(md5(CAST(42L AS STRING)), 1, 15), 16, 10) AS BIGINT) AS manual
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60))
+    import spark.implicits._
+    val viaColumn = Seq(42L).toDF("k")
+      .select(graft.functions.TextFunctions.md5Bucket60($"k")).as[Long].head()
+    assert(r.getLong(0) == viaColumn)
+  }
+
   test("zip_entries works as a SQL generator over binary") {
     GraftExtensions.register(spark)
     val zip = graft.testutil.Fixtures.zip("a/stops.txt" -> "stop_id\nS1\n", "a/x.txt" -> "y")
