@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions.col
   * unsplittable-at-row-group-granularity task; ten thousand 1 KB files
   * are a listing storm — both kill a 1000-executor read).
   *
-  * This composes Spark primitives deliberately: `repartition(partCols)`
-  * aligns the shuffle with the directory layout so each task writes to
-  * ONE partition directory (without it, every task appends a file into
-  * every directory it has rows for — the small-files explosion);
-  * `sortWithinPartitions(partCols ++ sortCols)` orders rows inside each
-  * task so row-group stats are tight; `maxRecordsPerFile` caps file
-  * size without another shuffle. The partition columns should be
+  * This composes Spark primitives deliberately:
+  * `repartitionByRange(partCols ++ sortCols)` aligns the shuffle with
+  * the directory layout AND spreads a hot partition value across many
+  * tasks (range boundaries are sampled from the full sort tuple, so
+  * lang=en covering half the corpus splits on the sort key instead of
+  * hashing onto one straggler task); each task still writes into at
+  * most two directories (its range straddles at most one partition
+  * boundary), so there is no small-files explosion either.
+  * `sortWithinPartitions(partCols ++ sortCols)` orders rows inside
+  * each task so row-group stats are tight; `maxRecordsPerFile` caps
+  * file size without another shuffle. The partition columns should be
   * low-cardinality (lang, date — NOT doc_id): directory count is
   * multiplicative and a 10⁶-directory table breaks listing before any
   * query runs.
@@ -45,8 +49,11 @@ object Layout {
   def shardAssignment(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"shardAssignment: nShards must be > 0, got $nShards")
     import org.apache.spark.sql.expressions.Window
-    val h = graft.functions.TextFunctions.md5Bucket60(col(idCol))
-    df.select(col(idCol), (h % nShards).as("shard"), h.as("__h"))
+    // payload columns ride along: the one shard exchange yields the
+    // training shards DIRECTLY — an id-only result would force callers
+    // into a second corpus-scale join to recover the text
+    df.withColumn("__h", graft.functions.TextFunctions.md5Bucket60(col(idCol)))
+      .withColumn("shard", col("__h") % nShards)
       .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))))
       .drop("__h")
@@ -61,7 +68,7 @@ object Layout {
     require(partCols.nonEmpty, "writePartitioned: partCols must be non-empty")
     require(maxRecordsPerFile > 0,
       s"writePartitioned: maxRecordsPerFile must be > 0, got $maxRecordsPerFile")
-    df.repartition(partCols.map(col): _*)
+    df.repartitionByRange((partCols ++ sortCols).map(col): _*)
       .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile)

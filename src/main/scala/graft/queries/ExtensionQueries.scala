@@ -986,6 +986,7 @@ object ExtensionQueries {
     * bucket arithmetic and rank window. */
   def x73(s: SparkSession, dir: String): DataFrame =
     Layout.shardAssignment(docs(s, dir), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

@@ -58,7 +58,10 @@ class LayoutSpec extends SparkSpec {
 
   test("shardAssignment: dense per-shard positions, layout-invariant, hash-uniform") {
     val docs = graft.Tables.load(spark, sf001, "documents")
-    val a = Layout.shardAssignment(docs, "doc_id", nShards = 8)
+    val assigned = Layout.shardAssignment(docs, "doc_id", nShards = 8)
+    // payload columns ride along — shards are directly materializable
+    assert(docs.columns.toSet.subsetOf(assigned.columns.toSet))
+    val a = assigned.select(col("doc_id"), col("shard"), col("pos"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     // positions are dense 1..n within every shard
     a.groupBy(_._2).foreach { case (shard, rows) =>
@@ -67,6 +70,7 @@ class LayoutSpec extends SparkSpec {
     }
     // deterministic under a different partition layout
     val b = Layout.shardAssignment(docs.repartition(7), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
     // md5 uniformity: no shard is empty or hogs the corpus (500 docs /
