@@ -272,4 +272,50 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(run(docs.repartition(13, col("text"))) == base)
     assert(run(docs.coalesce(1)) == base)
   }
+
+  test("clusterAwareSplit: ZERO leakage for arbitrary random pair graphs") {
+    // the structural claim behind x69: whatever the near-dup evidence
+    // looks like — chains, stars, multi-component tangles — no pair
+    // may straddle splits once the split key is the component id
+    // b derived by a nonzero offset so the generator never filters
+    // (a filtered Gen inside listOfN yields None → vacuous pass guard)
+    val edgeGen = for {
+      a <- Gen.chooseNum(1L, 120L); d <- Gen.chooseNum(1L, 119L)
+    } yield {
+      val b = ((a + d - 1) % 120) + 1
+      (math.min(a, b), math.max(a, b))
+    }
+    (1L to 5L).foreach { seed =>
+      val pairs = samples(edgeGen, 60, seed).distinct.toDF("doc_a", "doc_b")
+      val docs = (1L to 120L).map(i => (i, i.toString)).toDF("doc_id", "payload")
+      val aware = TextAnalysis.clusterAwareSplit(
+        docs, Dedup.connectedComponents(pairs), "doc_id")
+      val leaked = TextAnalysis.splitLeakage(pairs, aware)
+        .filter($"leaked").count()
+      assert(leaked == 0L, s"seed $seed leaked $leaked pairs")
+    }
+  }
+
+  test("sampledQuantiles: sample-of-union equals union-of-samples (mergeability)") {
+    val df1 = (1L to 80L).map(v => (v, "g", v * 3 % 97)).toDF("id", "grp", "v")
+    val df2 = (81L to 160L).map(v => (v, "g", v * 7 % 89)).toDF("id", "grp", "v")
+    def q(df: org.apache.spark.sql.DataFrame) =
+      Profile.sampledQuantiles(df, "id", "v", "grp",
+        Seq(0.25, 0.5, 0.75), samplePct = 40).collect().toSeq
+    // the hash gate commutes with union: quantiles of the unioned
+    // corpora equal quantiles computed over the union of each half's
+    // (deterministic) sample — the property that lets incremental
+    // corpora compose without resampling
+    val direct = q(df1.union(df2))
+    val viaHalves = Profile.sampledQuantiles(
+      df1.union(df2), "id", "v", "grp", Seq(0.25, 0.5, 0.75), 40)
+    assert(direct == viaHalves.collect().toSeq)
+    // and the gate really is per-key: each half's sampled ids are a
+    // subset of the union's sampled ids (no cross-half interference)
+    val g = (id: org.apache.spark.sql.DataFrame) => id
+      .filter(graft.functions.TextFunctions.md5Bucket60($"id") % 100 < 40)
+      .select($"id").as[Long].collect().toSet
+    assert(g(df1).subsetOf(g(df1.union(df2))))
+    assert((g(df1) ++ g(df2)) == g(df1.union(df2)))
+  }
 }
