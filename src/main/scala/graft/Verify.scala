@@ -29,12 +29,21 @@ object Verify {
           scala.util.Try(name.matches(o)).getOrElse(false) || name.contains(o)) }
     require(selected.nonEmpty,
       s"SPARK_GRAFT_ONLY=${only.getOrElse("")} matches no queries")
+    // Per-query fault isolation, but NOT silent: every failure is recorded
+    // in _errors.json (name → exception message). Round 8 showed why — 12
+    // broken queries simply vanished from the correctness set and the
+    // driver's JSON read as 117/117 green. An always-written artifact
+    // (empty object when clean) makes a regression show as `err`, not as a
+    // smaller denominator.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        errors(name) = msg.take(2000)
+        System.err.println(s"[verify] $name failed: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -52,6 +61,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }
