@@ -74,6 +74,23 @@ object Bench {
         else (times.max - times.min) / med
       (name, med, spread, err)
     }
+    // Bench-only probes: scale-path variants (x20 without its exact
+    // calibration siblings) timed with the same median-of-N, reported
+    // in a separate "probes" map so a calibration-heavy declared query
+    // has its attributable scale cost right next to it. Excluded from
+    // the headline and the compact line.
+    val probes = SparkEntry.benchProbes.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(n.contains) }
+      .map { case (name, fn) =>
+        var times = Vector.empty[Double]
+        for (_ <- 1 to repeat) {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          times :+= (System.nanoTime() - t0) / 1e9
+        }
+        (name, median(times))
+      }
     // a broken query must not masquerade as a fast one — surface it.
     // Escape EVERY control char (< 0x20), not just quote/backslash: an
     // exception message containing a tab or \r would otherwise produce
@@ -95,10 +112,17 @@ object Bench {
     // The headline is pinned to the q01–q26 contract BASELINE.md defines
     // its 60 s / 2× bound over — queries added later (q27+, r*, x*) are
     // reported per-query but must not move the baseline comparison.
-    val headline = results
-      .filter(_._1.matches("^q(0[1-9]|1[0-9]|2[0-6])_.*"))
-      .map(_._2).sum
-    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_$repeat","queries":$qsFull,"rel_spread":$spreadFull,"failed":$failedFull,"sf":"$sfDir"}"""
+    // Failed queries are EXCLUDED from the sum (their ~0.1 s fail-fast
+    // "timing" is not a measurement — r08 summed three of them and the
+    // headline read as a spurious regression) and the line carries an
+    // explicit headline_complete flag so an incomplete sum can never be
+    // mistaken for a full one.
+    val headlineSet = results.filter(_._1.matches("^q(0[1-9]|1[0-9]|2[0-6])_.*"))
+    val headline = headlineSet.filter(_._4.isEmpty).map(_._2).sum
+    val headlineComplete = headlineSet.forall(_._4.isEmpty)
+    val probesFull = probes.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_$repeat","headline_complete":$headlineComplete,"queries":$qsFull,"rel_spread":$spreadFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
     // Full per-query detail: (a) an EARLIER stdout line (the driver only
     // parses the last one) and (b) BENCH_FULL.json in the repo, which the
     // driver's end-of-round commit picks up for the judge. ONLY canonical
@@ -135,7 +159,7 @@ object Bench {
     val spreads = results.map(_._3)
     val spreadMed = if (spreads.isEmpty) "0" else r2(median(spreads))
     val spreadMax = if (spreads.isEmpty) "0" else r2(spreads.max)
-    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_$repeat","spread_med":$spreadMed,"spread_max":$spreadMax,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_$repeat","headline_complete":$headlineComplete,"spread_med":$spreadMed,"spread_max":$spreadMax,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,6 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RelationalQueries.all ++ ExtensionQueries.all ++ ReferenceQueries.all).toMap
 
+  /** Bench-only timing probes (scale-path variants of declared queries,
+    * e.g. x20 without its exact calibration siblings). Reported by Bench
+    * under "probes"; never part of correctness or the headline. */
+  def benchProbes: Map[String, (SparkSession, String) => DataFrame] =
+    ExtensionQueries.benchProbes.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     * dynamicOracles entries embed Spark-computed constants (x22's

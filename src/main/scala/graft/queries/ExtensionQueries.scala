@@ -249,6 +249,25 @@ object ExtensionQueries {
           col("p50_exact") * lit(0.02)).as("tdigest_ok"))
       .orderBy(col("o_orderpriority"))
 
+  /** Bench-only probe: x20's SCALE PATH in isolation — the sketches
+    * without their exact calibration siblings. x20's declared query
+    * deliberately pairs each sketch with its exact counterpart
+    * (count_distinct, sort-based percentile) so the oracle can pin the
+    * error bound; those exact siblings dominate its bench time but are
+    * calibration cost, not what a 100 TB run executes. This variant is
+    * what production runs: one small combinable sketch per group on the
+    * shuffle. Timed by Bench under "probes" (never part of the headline
+    * or the correctness gate — it has no oracle entry by design). */
+  def x20SketchOnly(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)), 2)
+          .as("p50_approx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** x21 column profiling over documents (data-quality stats in one
     * aggregation pass, unpivoted to long format). */
   def x21(s: SparkSession, dir: String): DataFrame =
@@ -988,6 +1007,13 @@ object ExtensionQueries {
     Layout.shardAssignment(docs(s, dir), "doc_id", nShards = 8)
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
+
+  /** Bench-only timing probes: scale-path variants of declared queries
+    * whose oracled form carries deliberate calibration overhead. Timed
+    * and reported by [[graft.Bench]] under "probes"; NOT part of
+    * [[all]] (no correctness row, no headline contribution). */
+  val benchProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "x20_sketch_only" -> (x20SketchOnly _))
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
