@@ -61,17 +61,24 @@ object Bench {
         times :+= (System.nanoTime() - t0) / 1e9
       }
       // relative spread (max−min)/median flags medians that are still
-      // noisy at this N. A failed query reports ONLY its last (error)
-      // time — mixing a fast error run into the median of earlier
-      // successful runs would report a number that is neither the real
-      // cost nor the error time; the entry is meaningless either way
-      // (the `failed` map says so), but the reported time should at
-      // least be a single identifiable run, not a blend.
+      // noisy at this N — computed over the WARM runs (2..N) when
+      // N ≥ 3: run 1 deterministically carries the query's codegen/JIT
+      // cost, which the median already absorbs, so including it in the
+      // spread flagged every sub-second query as "noisy" (r09: raw
+      // spread_med 0.55 vs warm 0.1-class) and drowned the signal the
+      // spread exists for — genuine run-to-run variance. A failed query
+      // reports ONLY its last (error) time — mixing a fast error run
+      // into the median of earlier successful runs would report a
+      // number that is neither the real cost nor the error time; the
+      // entry is meaningless either way (the `failed` map says so), but
+      // the reported time should at least be a single identifiable run,
+      // not a blend.
       val med =
         if (err.isDefined || times.isEmpty) times.lastOption.getOrElse(Double.MaxValue)
         else median(times)
-      val spread = if (err.isDefined || times.length < 2 || med == 0.0) 0.0
-        else (times.max - times.min) / med
+      val warm = if (times.length >= 3) times.drop(1) else times
+      val spread = if (err.isDefined || warm.length < 2 || med == 0.0) 0.0
+        else (warm.max - warm.min) / med
       (name, med, spread, err)
     }
     // Bench-only probes: scale-path variants (x20 without its exact

@@ -148,6 +148,76 @@ object VectorKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (`nOut × dim`),
+    * derived per cell from md5("jl:seed:j:i") — the same portability
+    * trick as the md5-60 hash family: any engine (the DuckDB oracle
+    * included) can re-derive or embed the identical constants, so a
+    * "random" projection stays value-checkable. Achlioptas (2003) shows
+    * ±1 entries preserve the JL guarantee of Gaussian matrices. */
+  def jlSigns(nOut: Int, dim: Int, seed: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nOut, dim) { (j, i) =>
+      val h = md.digest(s"jl:$seed:$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** JL projection kernel: out_j = Σ_i x_i·sign(j,i) / √nOut. The √nOut
+    * scale makes the projection norm-preserving in expectation
+    * (E‖proj‖² = ‖x‖²); callers pick nOut a power of 4 so the scale is
+    * a power of two and the division is EXACT in float64 — the oracle
+    * replays bit-identical values. Null on dim mismatch / null elements
+    * (same contract as the distance kernels above). */
+  def jlProject(x: ArrayData, signs: Array[Array[Double]]): ArrayData = {
+    val nOut = signs.length
+    if (nOut == 0 || x.numElements() != signs(0).length) return null
+    val dim = signs(0).length
+    val scale = math.sqrt(nOut.toDouble)
+    val out = new Array[Double](nOut)
+    var j = 0
+    while (j < nOut) {
+      val row = signs(j)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        if (x.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * row(i)
+        i += 1
+      }
+      out(j) = acc / scale
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `jl_project(vec)` → array<double>: deterministic ±1 random projection
+  * (dimension reduction for ANN pre-screening / cheap distance sketches).
+  * The sign matrix is a compile-time constant per (nOut, dim, seed) —
+  * shipped into codegen as a reference object, no per-row derivation. */
+case class JlProject(child: Expression, nOut: Int, dim: Int, seed: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "jl_project"
+
+  @transient private lazy val signs: Array[Array[Double]] =
+    VectorKernels.jlSigns(nOut, dim, seed)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.jlProject(input.asInstanceOf[ArrayData], signs)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("jlSigns", signs, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorKernels.jlProject($c, $signsRef);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** `quantize_i8(vec)` → array<tinyint>: symmetric int8 quantization
@@ -177,4 +247,6 @@ object VectorFunctions {
     toColumn(DotProduct(toExpression(a), toExpression(b)))
   def quantize_i8(vec: Column): Column =
     toColumn(QuantizeI8(toExpression(vec)))
+  def jl_project(vec: Column, nOut: Int, dim: Int, seed: Int): Column =
+    toColumn(JlProject(toExpression(vec), nOut, dim, seed))
 }

@@ -1008,6 +1008,64 @@ object ExtensionQueries {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
 
+  /** x74 Count-Min-Sketch heavy hitters with exact calibration (the x20
+    * pattern). The scale path is the SKETCH: `count_min_sketch` combines
+    * map-side, so a 100 TB token stream shuffles one ~KB array per group
+    * instead of the raw keys, and point queries read the merged sketch
+    * via [[graft.functions.CmsExpressions]]'s `cms_estimate`. DuckDB has
+    * no CMS, so the estimate VALUE can't be oracled; instead the exact
+    * top-20 token counts are hash-checked outright and the sketch is
+    * checked through its two textbook guarantees, pinned as flags the
+    * oracle expects uniformly TRUE: CMS never underestimates
+    * (`cms_lower_ok`), and overestimates by at most eps·N with
+    * probability ≥ confidence (`cms_eps_ok`; eps=0.001, depth from
+    * confidence=0.999, seed fixed → fully deterministic per fixture).
+    * The 20-row top-k joins against a ONE-row broadcast sketch — the
+    * per-row deserialization in cms_estimate is control-plane cost. */
+  def x74(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsFunctions.cms_estimate
+    val toks = docs(s, dir).select(
+      explode(graft.functions.TextFunctions.words(col("text"))).as("tok"))
+    val sketch = toks.agg(
+      expr("count_min_sketch(tok, 0.001d, 0.999d, 42)").as("cms"),
+      count(lit(1)).as("n_total"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(20)
+    top.crossJoin(broadcast(sketch))
+      .select(
+        col("tok"), col("exact_n"), col("n_total"),
+        (cms_estimate(col("cms"), col("tok")) >= col("exact_n")).as("cms_lower_ok"),
+        (cms_estimate(col("cms"), col("tok")) <=
+          col("exact_n") + ceil(col("n_total") * lit(0.001))).as("cms_eps_ok"))
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
+
+  /** x75 Johnson–Lindenstrauss random projection 64→16 — the cheap
+    * dimension-reduction sketch in front of ANN (shorter vectors to
+    * scan, 4× less shuffle) and distance screening. The ±1 sign matrix
+    * is derived from md5 cell-by-cell ([[graft.functions.VectorKernels
+    * .jlSigns]]), so the "random" projection is a deterministic,
+    * engine-portable constant: the DuckDB oracle embeds the SAME signs
+    * as list literals and replays bit-identical float64 values (nOut=16
+    * keeps the 1/√nOut scale a power of two — exact division). Distance
+    * preservation is additionally pinned: the projected-vs-original
+    * norm ratio must land inside the JL distortion band [0.25, 4]
+    * (`jl_norm_ok`, expected uniformly TRUE at ε well inside the
+    * k=16 guarantee). Projection runs as one codegen'd kernel per row,
+    * O(dim·nOut), inside the whole-stage span. */
+  def x75(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dot_product, jl_project}
+    validEmb(s, dir)
+      .select(col("vec_id"),
+        jl_project(col("embedding"), 16, 64, 7).as("__p"),
+        dot_product(col("embedding"), col("embedding")).as("__n2"))
+      .select(col("vec_id"),
+        transform(col("__p"), x => round(x, 6)).as("proj"),
+        (aggregate(col("__p"), lit(0.0), (a, x) => a + x * x) / col("__n2"))
+          .between(lit(0.25), lit(4.0)).as("jl_norm_ok"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Bench-only timing probes: scale-path variants of declared queries
     * whose oracled form carries deliberate calibration overhead. Timed
     * and reported by [[graft.Bench]] under "probes"; NOT part of
@@ -1089,6 +1147,8 @@ object ExtensionQueries {
     "x71_token_budget_select" -> (x71 _),
     "x72_priority_canonical" -> (x72 _),
     "x73_shard_assignment" -> (x73 _),
+    "x74_cms_heavy_hitters" -> (x74 _),
+    "x75_jl_projection" -> (x75 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2458,5 +2518,43 @@ object ExtensionQueries {
          |             ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} AS h
          |      FROM documents) t
          |ORDER BY shard, pos""".stripMargin,
+
+    // Exact top-20 token counts are hash-checked; the CMS flags are
+    // pinned TRUE (DuckDB has no CMS — the x20 calibration pattern).
+    // Tokenizer = the shared wordsSql contract.
+    "x74_cms_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(${wordsSql("text")}) AS tok FROM documents),
+         |n AS (SELECT count(*) AS n_total FROM toks)
+         |SELECT tok, exact_n, n_total,
+         |       TRUE AS cms_lower_ok, TRUE AS cms_eps_ok
+         |FROM (SELECT tok, count(*) AS exact_n FROM toks
+         |      GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 20) t
+         |CROSS JOIN n
+         |ORDER BY exact_n DESC, tok""".stripMargin,
+
+    // Full value replay: the md5-derived ±1 sign matrix is embedded as
+    // DOUBLE[] literals (same constants VectorKernels.jlSigns derives),
+    // /4.0 is the exact power-of-two 1/√16 scale, and the norm-band
+    // check replays Spark's left-fold accumulation order term by term.
+    "x75_jl_projection" -> {
+      val signs = graft.functions.VectorKernels.jlSigns(16, 64, 7)
+        .map(_.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]::DOUBLE[]"))
+      def ip(j: Int) = s"list_inner_product(embedding::DOUBLE[], ${signs(j)})"
+      val proj = (0 until 16).map(j => s"round(${ip(j)} / 4.0, 6)")
+        .mkString("list_value(", ",\n         |                  ", ")")
+      val norm2 = (0 until 16).map(j => s"(${ip(j)} / 4.0) * (${ip(j)} / 4.0)")
+        .mkString(" + ")
+      s"""SELECT vec_id,
+         |       $proj AS proj,
+         |       ($norm2)
+         |         / list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])
+         |         BETWEEN 0.25 AND 4.0 AS jl_norm_ok
+         |FROM embeddings
+         |WHERE len(embedding) = 64
+         |  AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+         |ORDER BY vec_id""".stripMargin
+    },
   )
 }

@@ -87,6 +87,47 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(on.sameElements(off))
   }
 
+  test("jl_project: deterministic signs, exact hand computation, norm preserved in expectation") {
+    // Hand-check one vector against the kernel's own sign matrix:
+    // proj_j = sum_i x_i * sign(j,i) / 4.
+    val signs = VectorKernels.jlSigns(16, 64, 7)
+    assert(signs.length == 16 && signs.forall(_.length == 64))
+    assert(VectorKernels.jlSigns(16, 64, 7).map(_.toSeq).toSeq == signs.map(_.toSeq).toSeq)
+    val x = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val expected = signs.map(row =>
+      (0 until 64).foldLeft(0.0)((a, i) => a + x(i).toDouble * row(i)) / 4.0)
+    val got = Seq(x.toSeq).toDF("v")
+      .select(jl_project($"v", 16, 64, 7)).as[Seq[Double]].head()
+    assert(got == expected.toSeq)
+  }
+
+  test("jl_project: dim mismatch gives null; norm ratio lands in the JL band on real embeddings") {
+    val bad = Seq(Seq(1f, 2f)).toDF("v")
+      .select(jl_project($"v", 16, 64, 7)).collect()
+    assert(bad.head.isNullAt(0))
+    val ratios = Tables.loadEmb(spark)
+      .filter(size($"embedding") === 64 &&
+        dot_product($"embedding", $"embedding") > 0)
+      .select(
+        (aggregate(jl_project($"embedding", 16, 64, 7), lit(0.0),
+          (a, v) => a + v * v) /
+          dot_product($"embedding", $"embedding")).as("r"))
+      .as[Double].collect()
+    assert(ratios.nonEmpty)
+    assert(ratios.forall(r => r > 0.25 && r < 4.0),
+      s"JL distortion out of band: min=${ratios.min} max=${ratios.max}")
+  }
+
+  test("jl_project codegen and interpreted paths agree") {
+    val q = Tables.loadEmb(spark).filter(size($"embedding") === 64).limit(100)
+      .select(jl_project($"embedding", 16, 64, 7).as("p"))
+    val on = q.collect().map(_.getSeq[Double](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try q.collect().map(_.getSeq[Double](0))
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on.toSeq == off.toSeq)
+  }
+
   object Tables {
     def loadEmb(s: org.apache.spark.sql.SparkSession) =
       s.read.parquet(s"$sf001/embeddings.parquet")
