@@ -219,6 +219,41 @@ object Similarity {
     rankTopK(scored, k, queryId, corpusId)
   }
 
+  /** Directed k-NN graph over an embedding corpus — the substrate for
+    * graph-based dedup, diversity/coverage sampling, and label
+    * propagation over a training corpus. Single-probe LSH: each vector
+    * is scored only against its own sign-bucket's occupants, so the
+    * candidate volume is Σ|bucket|² (vs n² brute force) and the join is
+    * a self-equi-join on the bucket key — one shuffle, AQE-splittable
+    * if a bucket runs hot. Cross-bucket neighbors are missed by design;
+    * recall is bought with fewer planes (bigger buckets) or Hamming-1
+    * probing as in [[lshTopK]] — this variant is the cheap
+    * all-vectors pass, where per-query probe widening would multiply
+    * the whole corpus, not a 5-row query side.
+    *
+    * The bucketed projection is localCheckpoint'd: it feeds BOTH sides
+    * of the self-join, so the 2^nPlanes dot products per vector compute
+    * once, and the checkpoint breaks the self-join lineage ambiguity.
+    * Ranking goes through the bounded-heap [[TopKScored]] aggregator
+    * (map-side partial top-k, never a corpus-wide window).
+    *
+    * Output: (src, dst, cosine, rank), rank 1..k per src by
+    * (cosine desc, dst asc) on the 6-dp-rounded score. */
+  def knnGraph(emb: DataFrame, k: Int = 3, nPlanes: Int = 6, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = emb
+      .filter(size(col(vecCol)) === dim &&
+        dot_product(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol).as("src"), col(vecCol).as("vec"),
+        hyperplaneBucket(col(vecCol), nPlanes, dim).as("bucket"))
+      .localCheckpoint(true)
+    val scored = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.src") =!= col("b.src"))
+      .select(col("a.src").as("src"), col("b.src").as("dst"),
+        round(cosine_similarity(col("a.vec"), col("b.vec")), 6).as("cosine"))
+    rankTopK(scored, k, "src", "dst")
+  }
+
   /** LSH index health profile: per sign-bit bucket, the population and
     * the L2-norm range of its vectors — the statistic that decides
     * whether an index is usable BEFORE queries run (a skewed bucket

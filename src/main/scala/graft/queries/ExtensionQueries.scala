@@ -1052,7 +1052,14 @@ object ExtensionQueries {
     * norm ratio must land inside the JL distortion band [0.25, 4]
     * (`jl_norm_ok`, expected uniformly TRUE at ε well inside the
     * k=16 guarantee). Projection runs as one codegen'd kernel per row,
-    * O(dim·nOut), inside the whole-stage span. */
+    * O(dim·nOut), inside the whole-stage span.
+    *
+    * The projection is emitted as a comma-joined string of integer
+    * micro-units (round(x·10⁶) as long): the verify gate compares
+    * engines through pandas, where a raw float array column round-trips
+    * as numpy ndarray (ambiguous equality) and Java vs DuckDB disagree
+    * on small-double formatting ("1.0E-4" vs "0.0001"); integer strings
+    * have exactly one rendering in every engine. */
   def x75(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{dot_product, jl_project}
     validEmb(s, dir)
@@ -1060,11 +1067,20 @@ object ExtensionQueries {
         jl_project(col("embedding"), 16, 64, 7).as("__p"),
         dot_product(col("embedding"), col("embedding")).as("__n2"))
       .select(col("vec_id"),
-        transform(col("__p"), x => round(x, 6)).as("proj"),
+        array_join(transform(col("__p"),
+          x => round(x * lit(1e6)).cast("long").cast("string")), ",").as("proj_u"),
         (aggregate(col("__p"), lit(0.0), (a, x) => a + x * x) / col("__n2"))
           .between(lit(0.25), lit(4.0)).as("jl_norm_ok"))
       .orderBy(col("vec_id"))
   }
+
+  /** x76 directed k-NN graph (top-3 neighbors per vector within its
+    * LSH sign-bucket) — see [[Similarity.knnGraph]]. Fully value-checked:
+    * the DuckDB oracle recomputes the buckets from the exported plane
+    * constants and replays the (cosine desc, dst) ranking. */
+  def x76(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(emb(s, dir), k = 3, nPlanes = 6, dim = 64)
+      .orderBy(col("src"), col("rank"))
 
   /** Bench-only timing probes: scale-path variants of declared queries
     * whose oracled form carries deliberate calibration overhead. Timed
@@ -1149,6 +1165,7 @@ object ExtensionQueries {
     "x73_shard_assignment" -> (x73 _),
     "x74_cms_heavy_hitters" -> (x74 _),
     "x75_jl_projection" -> (x75 _),
+    "x76_knn_graph" -> (x76 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2537,17 +2554,22 @@ object ExtensionQueries {
     // DOUBLE[] literals (same constants VectorKernels.jlSigns derives),
     // /4.0 is the exact power-of-two 1/√16 scale, and the norm-band
     // check replays Spark's left-fold accumulation order term by term.
+    // The projection compares as integer micro-unit strings (see the
+    // query's scaladoc): both engines round the identical double, so
+    // CAST(round(x*1e6) AS BIGINT) is engine-exact.
     "x75_jl_projection" -> {
       val signs = graft.functions.VectorKernels.jlSigns(16, 64, 7)
         .map(_.map(v => if (v > 0) "1.0" else "-1.0")
           .mkString("[", ",", "]::DOUBLE[]"))
       def ip(j: Int) = s"list_inner_product(embedding::DOUBLE[], ${signs(j)})"
-      val proj = (0 until 16).map(j => s"round(${ip(j)} / 4.0, 6)")
-        .mkString("list_value(", ",\n         |                  ", ")")
+      val proj = (0 until 16)
+        .map(j => s"CAST(CAST(round(${ip(j)} / 4.0 * 1e6) AS BIGINT) AS VARCHAR)")
+        .mkString("concat_ws(',', ",
+          ",\n         |                  ", ")")
       val norm2 = (0 until 16).map(j => s"(${ip(j)} / 4.0) * (${ip(j)} / 4.0)")
         .mkString(" + ")
       s"""SELECT vec_id,
-         |       $proj AS proj,
+         |       $proj AS proj_u,
          |       ($norm2)
          |         / list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])
          |         BETWEEN 0.25 AND 4.0 AS jl_norm_ok
@@ -2556,5 +2578,24 @@ object ExtensionQueries {
          |  AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
          |ORDER BY vec_id""".stripMargin
     },
+
+    // Replays knnGraph exactly: same bucket constants, same valid-vector
+    // screen, directed pairs within the bucket, row_number on the
+    // ROUNDED cosine with the dst tie-break (the TopKScored contract).
+    "x76_knn_graph" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 6)} AS bucket
+         |  FROM embeddings
+         |  WHERE len(embedding) = 64
+         |    AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
+         |SELECT src, dst, cosine, rank FROM (
+         |  SELECT a.vec_id AS src, b2.vec_id AS dst,
+         |         round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) AS cosine,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY a.vec_id
+         |           ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) DESC,
+         |                    b2.vec_id) AS INTEGER) AS rank
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id) t
+         |WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
   )
 }

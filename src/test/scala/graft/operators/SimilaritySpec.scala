@@ -160,4 +160,26 @@ class SimilaritySpec extends SparkSpec {
       (1, 0, 2L, 254L, 127.0),
       (1, 1, 2L, 64L, 32.0)))
   }
+
+  test("knnGraph: no self-edges, ≤k contiguous ranks per src, neighbors share the src's bucket") {
+    val k = 3
+    val g = Similarity.knnGraph(emb, k = k).collect()
+    assert(g.nonEmpty)
+    g.foreach(r => assert(r.getLong(0) != r.getLong(1), s"self-edge: $r"))
+    val bySrc = g.groupBy(_.getLong(0))
+    bySrc.foreach { case (src, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted.toSeq
+      assert(ranks == (1 to rows.length), s"src $src ranks not contiguous: $ranks")
+      assert(rows.length <= k)
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(byRank == byRank.sorted.reverse, s"src $src cosine not non-increasing")
+    }
+    // edges only within the src's own bucket (single-probe contract)
+    val bucketOf = emb
+      .filter(size($"embedding") === 64)
+      .select($"vec_id", Similarity.hyperplaneBucket($"embedding", 6, 64).as("b"))
+      .as[(Long, Int)].collect().toMap
+    g.foreach(r => assert(bucketOf(r.getLong(0)) == bucketOf(r.getLong(1)),
+      s"cross-bucket edge: $r"))
+  }
 }

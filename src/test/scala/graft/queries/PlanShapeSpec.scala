@@ -460,6 +460,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected group + sort exchanges only:\n$plan")
   }
 
+  test("x74: the one-row sketch broadcasts; token counting is partial+final") {
+    val plan = physical(ExtensionQueries.x74(spark, sf001))
+    // the exact top-k joins AGAINST the sketch — never the reverse: a
+    // shuffled join here would move the sketch per-partition for no
+    // reason, and at 100 TB the token-count aggregation must combine
+    // map-side (the shuffle carries (token, partial_count), not rows)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_"), plan)
+  }
+
+  test("x75: one narrow pass — kernel projection fused over a pruned 2-column scan, no join") {
+    val plan = physical(ExtensionQueries.x75(spark, sf001))
+    // (the AQE plan prints pre-execution without WholeStageCodegen
+    // annotations; codegen-vs-interpreted agreement for the kernel is
+    // pinned directly in VectorExpressionsSpec)
+    assert(!plan.contains("Join"), plan)
+    // the kernel runs once, in a Project directly over the scan's
+    // filter — not re-derived per output column
+    assert("jl_project".r.findAllIn(plan).length == 1, plan)
+    // scan pruned to the two columns the query reads; the validity
+    // screen reaches the scan's DataFilters
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), plan)
+    assert(plan.contains("DataFilters: [(size(embedding"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
