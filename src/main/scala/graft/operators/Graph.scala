@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Propagation algorithms over the k-NN graph [[Similarity.knnGraph]]
+  * builds — the semi-supervised layer of a training-data pipeline:
+  * a small trusted-label set (human-audited docs, known-license
+  * sources, verified languages) is spread to the unlabeled bulk along
+  * nearest-neighbor edges, replacing a per-document classifier run.
+  * Reference analogue: the consent flag fanning out from the agency
+  * feeds table to every derived stop row
+  * (publish_to_catalog.py:525-528) — one attribute propagating along
+  * relationships instead of being recomputed per row.
+  *
+  * Scale design: one round = one shuffle-join of the edge list against
+  * the current label frontier (partitioned on the neighbor id) plus two
+  * hash aggregations — no driver-side graph state, no broadcast of the
+  * label set (it grows toward |V|). Fixed round count (not fixpoint)
+  * keeps the job graph static: label propagation is used as a bounded
+  * smoother, and each round's labels are localCheckpoint'd to truncate
+  * the growing lineage, same pattern as
+  * [[Dedup.connectedComponents]].
+  */
+object Graph {
+
+  /** Majority-vote label propagation, `rounds` synchronous rounds.
+    *
+    * `edges` (src, dst) is directed: dst's label votes toward src.
+    * `seeds` (id, label) are ground truth — never overwritten. Each
+    * round, every still-unlabeled node with ≥1 labeled out-neighbor
+    * adopts the majority label among them, ties broken by smallest
+    * label; nodes with no labeled neighbor stay unlabeled and may be
+    * reached in a later round. Deterministic: the vote is
+    * (count desc, label asc), a total order.
+    *
+    * Output: (id, label, round) — round 0 = seed, r ≥ 1 = adopted in
+    * round r. Nodes never reached are absent. */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var labels = seeds
+      .select(col("id"), col("label"), lit(0).as("round"))
+      .localCheckpoint(true)
+    var labelsMat = labels
+    for (r <- 1 to rounds) {
+      val adopted = e
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        // majority with smallest-label tie-break: max over (c, -label)
+        .groupBy(col("src"))
+        .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("label"))
+        .select(col("src").as("id"), col("label"), lit(r).as("round"))
+        .join(labels.select("id"), Seq("id"), "left_anti")
+      val next = labels.union(adopted).localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.unpersistCheckpoint(labelsMat)
+      labelsMat = next
+      labels = next
+    }
+    labels
+  }
+}

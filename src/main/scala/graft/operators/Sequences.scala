@@ -98,4 +98,48 @@ object Sequences {
       .groupBy(col("funnel_stage"))
       .agg(count(lit(1)).as("user_days"))
   }
+
+  /** Per-session transcripts: gap-based sessionization (new session
+    * when > `gap` since the previous event of the same key) followed
+    * by one ordered type-sequence per session — the
+    * interaction-log → dialogue/trajectory assembly step of a training
+    * pipeline, where each session becomes one training sequence.
+    *
+    * Scale design: session numbering is two frames over ONE
+    * (key, ts, tie) window partitioning — a single shuffle on the key;
+    * the per-session transcript is then a hash aggregation whose
+    * map-side partial collects per (key, session), so the exchange
+    * carries one row per session, not one per event. The transcript
+    * array is bounded by session length (gap-bounded by construction —
+    * a key with unbounded same-session events would need a sub-split,
+    * same bound as [[funnel]]'s day split). `value` sums as
+    * DECIMAL(18,2): fixture values carry 2 decimals, so the sum is
+    * exact in any accumulation order — engine-portable, unlike double.
+    *
+    * Output: one row per (key, session_id ≥ 1) with n events, the
+    * "→"-joined type path ordered by (ts, tie), and the exact value
+    * sum as double. */
+  def sessionTranscripts(events: DataFrame, gap: String = "1 HOUR",
+      keyCol: String = "user_id", tsCol: String = "ts",
+      tieCol: String = "event_id", typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__new_s",
+        when(lag(col(tsCol), 1).over(byKey).isNull ||
+             col(tsCol) > lag(col(tsCol), 1).over(byKey) + expr(s"INTERVAL $gap"),
+          1).otherwise(0))
+      .withColumn("session_id", sum(col("__new_s")).over(run))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(transform(
+          array_sort(collect_list(struct(
+            col(tsCol).as("ts"), col(tieCol).as("tie"), col(typeCol).as("et")))),
+          e => e.getField("et")), "->").as("path"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("v"))
+  }
 }

@@ -1048,4 +1048,34 @@ object TextAnalysis {
           round(col("sum_logp_micro").cast("double") /
             (col("n_tokens").cast("double") * lit(1000000.0)), 6)).as("avg_logp"))
   }
+
+  /** BPE-style adjacent-pair statistics — the counting core of one
+    * tokenizer-induction merge round (Sennrich et al. 2016): for every
+    * corpus word, every adjacent character bigram votes with the
+    * word's corpus frequency; the top pair is the merge a BPE trainer
+    * would perform next. Run over a candidate training corpus this is
+    * the "does my tokenizer fit this data" diagnostic.
+    *
+    * Scale design: the corpus collapses to DISTINCT words first (one
+    * hash agg with map-side combine — the token explosion never
+    * reaches the shuffle twice), then pairs are generated per distinct
+    * word — O(vocab × word-length), independent of corpus row count.
+    * The final top-N is sort+limit → TakeOrderedAndProject, a bounded
+    * per-partition heap, not a global sort. Ties at the cut are broken
+    * by pair text, so the result is a deterministic set.
+    *
+    * Output: (pair, pair_count) — top `topN` by (count desc, pair). */
+  def bpePairStats(docs: DataFrame, topN: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val wc = docs
+      .select(explode(graft.functions.TextFunctions.words(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    wc
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topN)
+  }
 }

@@ -1082,6 +1082,40 @@ object ExtensionQueries {
     Similarity.knnGraph(emb(s, dir), k = 3, nPlanes = 6, dim = 64)
       .orderBy(col("src"), col("rank"))
 
+  /** x77 majority-vote label propagation over the x76 k-NN graph —
+    * every 5th vector keeps its true label as a seed, the rest are
+    * hidden and recovered in 2 rounds ([[graft.operators.Graph
+    * .labelPropagate]]); `correct` audits recovery against the hidden
+    * truth. Fully value-checked: the oracle replays the edge set, both
+    * vote rounds, and the (count desc, label asc) tie-break. */
+  def x77(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.knnGraph(emb(s, dir), k = 3, nPlanes = 6, dim = 64)
+      .select(col("src"), col("dst"))
+    val seeds = validEmb(s, dir).filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("id"), col("label"))
+    graft.operators.Graph.labelPropagate(edges, seeds, rounds = 2)
+      .join(emb(s, dir).select(col("vec_id"), col("label").as("__truth")),
+        col("id") === col("vec_id"))
+      .select(col("vec_id"), col("label").as("pred_label"),
+        col("round").as("lp_round"), (col("label") === col("__truth")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** x78 BPE adjacent-pair statistics (one tokenizer-induction merge
+    * round) — see [[TextAnalysis.bpePairStats]]. The oracle replays
+    * the shared word tokenizer, the per-distinct-word pair expansion,
+    * and the (count desc, pair) cut. */
+  def x78(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairStats(docs(s, dir), topN = 20)
+
+  /** x79 per-session transcripts: 1-hour-gap sessionization (q22's
+    * rule) + ordered event-type path + exact decimal value sum — see
+    * [[graft.operators.Sequences.sessionTranscripts]]. */
+  def x79(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.sessionTranscripts(
+        Tables.load(s, dir, "events"), gap = "1 HOUR")
+      .orderBy(col("user_id"), col("session_id"))
+
   /** Bench-only timing probes: scale-path variants of declared queries
     * whose oracled form carries deliberate calibration overhead. Timed
     * and reported by [[graft.Bench]] under "probes"; NOT part of
@@ -1166,6 +1200,9 @@ object ExtensionQueries {
     "x74_cms_heavy_hitters" -> (x74 _),
     "x75_jl_projection" -> (x75 _),
     "x76_knn_graph" -> (x76 _),
+    "x77_label_propagation" -> (x77 _),
+    "x78_bpe_pair_stats" -> (x78 _),
+    "x79_session_transcripts" -> (x79 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2583,19 +2620,94 @@ object ExtensionQueries {
     // screen, directed pairs within the bucket, row_number on the
     // ROUNDED cosine with the dst tie-break (the TopKScored contract).
     "x76_knn_graph" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding, ${bucketSql("embedding", 6)} AS bucket
-         |  FROM embeddings
-         |  WHERE len(embedding) = 64
-         |    AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
-         |SELECT src, dst, cosine, rank FROM (
-         |  SELECT a.vec_id AS src, b2.vec_id AS dst,
-         |         round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) AS cosine,
-         |         CAST(row_number() OVER (
-         |           PARTITION BY a.vec_id
-         |           ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) DESC,
-         |                    b2.vec_id) AS INTEGER) AS rank
-         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id) t
-         |WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
+      s"""WITH ${knnEdgesCteSql(3)}
+         |SELECT src, dst, cosine, rank FROM knn ORDER BY src, rank""".stripMargin,
+
+    // Replays both propagation rounds over the same edge set: per
+    // round, the still-unlabeled frontier adopts the (count desc,
+    // label asc) majority among labeled out-neighbors. Seeds = every
+    // 5th valid vector with its true label.
+    "x77_label_propagation" ->
+      s"""WITH ${knnEdgesCteSql(3)},
+         |l0 AS (
+         |  SELECT vec_id AS id, label, 0 AS lp_round FROM embeddings
+         |  WHERE vec_id % 5 = 0 AND len(embedding) = 64
+         |    AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         |n1 AS (
+         |  SELECT id, label, 1 AS lp_round FROM (
+         |    SELECT e.src AS id, l.label,
+         |           row_number() OVER (PARTITION BY e.src
+         |             ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM knn e JOIN l0 l ON e.dst = l.id
+         |    WHERE e.src NOT IN (SELECT id FROM l0)
+         |    GROUP BY e.src, l.label) t WHERE rn = 1),
+         |l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM n1),
+         |n2 AS (
+         |  SELECT id, label, 2 AS lp_round FROM (
+         |    SELECT e.src AS id, l.label,
+         |           row_number() OVER (PARTITION BY e.src
+         |             ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM knn e JOIN l1 l ON e.dst = l.id
+         |    WHERE e.src NOT IN (SELECT id FROM l1)
+         |    GROUP BY e.src, l.label) t WHERE rn = 1),
+         |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM n2)
+         |SELECT l.id AS vec_id, l.label AS pred_label, l.lp_round,
+         |       l.label = emb.label AS correct
+         |FROM l2 l JOIN embeddings emb ON emb.vec_id = l.id
+         |ORDER BY vec_id""".stripMargin,
+
+    // Same word tokenizer as q29/x41 (wordsSql — the load-bearing
+    // shared rendering), pairs expanded per DISTINCT word weighted by
+    // corpus frequency, deterministic (count desc, pair) cut.
+    "x78_bpe_pair_stats" ->
+      s"""WITH toks AS (SELECT unnest(${wordsSql("text")}) AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS c FROM toks WHERE len(w) >= 2 GROUP BY w),
+         |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, c
+         |      FROM (SELECT w, c, unnest(range(1, len(w))) AS i FROM wc))
+         |SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+         |FROM p GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+
+    // q22's exact session rule (gap > 1h on (ts, event_id) order) with
+    // the transcript aggregates: ordered string_agg path and the
+    // DECIMAL(18,2) value sum (exact in any accumulation order).
+    "x79_session_transcripts" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (SELECT user_id, event_id, ts, event_type, value,
+        |               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |                                       ORDER BY ts, event_id) IS NULL
+        |                         OR ts > lag(ts) OVER (PARTITION BY user_id
+        |                                       ORDER BY ts, event_id) + INTERVAL '1' HOUR
+        |                    THEN 1 ELSE 0 END AS new_s
+        |        FROM events) a)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n,
+        |       string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
   )
+
+  /** Shared CTE body for the x76/x77 oracle edge set: valid vectors →
+    * sign-buckets ([[bucketSql]], same plane constants the Spark plan
+    * uses) → directed within-bucket pairs ranked by (rounded cosine
+    * desc, dst) — the [[graft.functions.TopKScored]] contract — kept
+    * at rank ≤ k. Yields CTEs `b` and `knn(src, dst, cosine, rank)`. */
+  private def knnEdgesCteSql(k: Int): String =
+    s"""b AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding", 6)} AS bucket
+       |  FROM embeddings
+       |  WHERE len(embedding) = 64
+       |    AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |knn AS (
+       |  SELECT src, dst, cosine, rank FROM (
+       |    SELECT a.vec_id AS src, b2.vec_id AS dst,
+       |           round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) AS cosine,
+       |           CAST(row_number() OVER (
+       |             PARTITION BY a.vec_id
+       |             ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) DESC,
+       |                      b2.vec_id) AS INTEGER) AS rank
+       |    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id) t
+       |  WHERE rank <= $k)""".stripMargin
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Unit semantics for majority-vote label propagation: vote counting,
+  * the (count desc, label asc) tie-break, seed immutability, round
+  * provenance, and multi-hop reach. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  //   1 ─▶ 10, 11, 12   (seeds: 10→A=1, 11→A=1, 12→B=2)  majority A
+  //   2 ─▶ 10, 12       tie 1×A vs 1×B → smaller label A wins
+  //   3 ─▶ 1            no labeled neighbor in round 1; 1 adopts in
+  //                     round 1, so 3 adopts ITS label in round 2
+  //   4 ─▶ (nothing)    absent from edges → never labeled
+  //   10 ─▶ 12          seed: must keep A=1, never adopt B
+  private val edges = Seq(
+    (1L, 10L), (1L, 11L), (1L, 12L),
+    (2L, 10L), (2L, 12L),
+    (3L, 1L),
+    (10L, 12L)).toDF("src", "dst")
+  private val seeds = Seq((10L, 1), (11L, 1), (12L, 2)).toDF("id", "label")
+
+  test("labelPropagate: majority vote, min-label tie-break, seeds immutable, round provenance") {
+    val out = Graph.labelPropagate(edges, seeds, rounds = 2)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1, 1),   // majority 2×A vs 1×B
+      (2L, 1, 1),   // 1×A vs 1×B tie → smaller label
+      (3L, 1, 2),   // reached only through 1's round-1 label
+      (10L, 1, 0), (11L, 1, 0), (12L, 2, 0)))
+    // node 4 never appears: no edges, no label
+  }
+
+  test("labelPropagate: rounds=1 stops before multi-hop reach") {
+    val out = Graph.labelPropagate(edges, seeds, rounds = 1)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(!out.exists(_._1 == 3L), "3 is two hops from any seed")
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 1, 2L -> 1, 10L -> 1, 11L -> 1, 12L -> 2))
+  }
+
+  test("labelPropagate: a seed with a differently-labeled neighborhood keeps its label") {
+    // 12 (seed B) points at 12→... no outgoing needed: give 12 an edge
+    // to two A seeds — it must still report B at round 0
+    val e = Seq((12L, 10L), (12L, 11L)).toDF("src", "dst")
+    val out = Graph.labelPropagate(e, seeds, rounds = 2)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((10L, 1, 0), (11L, 1, 0), (12L, 2, 0)))
+  }
+}

@@ -101,4 +101,27 @@ class SequencesSpec extends SparkSpec {
       .orderBy("user_id").as[(Long, String)].collect()
     assert(out.toSeq == Seq((1L, "a,b"), (2L, "c")))
   }
+
+  test("sessionTranscripts: gap split, tie-broken path order, exact decimal sums") {
+    val events = Seq(
+      // user 1, session 1: three events inside the hour; the first two
+      // share a timestamp — event_id must order "a" before "b"
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.10),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "b", 0.20),
+      (1L, ts("2024-01-01 10:59:59"), 3L, "c", 0.30),
+      // gap of exactly 1h from the previous event is NOT a new session
+      (1L, ts("2024-01-01 11:59:59"), 4L, "d", 0.40),
+      // > 1h gap → session 2
+      (1L, ts("2024-01-01 13:00:00"), 5L, "e", 0.50),
+      // user 2: single event
+      (2L, ts("2024-01-01 09:00:00"), 6L, "z", 9.99))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Sequences.sessionTranscripts(events)
+      .orderBy("user_id", "session_id")
+      .as[(Long, Long, Long, String, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 1L, 4L, "a->b->c->d", 1.00),
+      (1L, 2L, 1L, "e", 0.50),
+      (2L, 1L, 1L, "z", 9.99)))
+  }
 }

@@ -355,4 +355,24 @@ class TextAnalysisSpec extends SparkSpec {
     // kept: 2..9 inclusive (8 docs), chars 2+…+9 = 44
     assert(out.toSeq == Seq(("en", 10L, 8L, 44L)))
   }
+
+  test("bpePairStats: pairs weighted by corpus word frequency, overlapping within a word") {
+    // "abab" contributes pairs ab, ba, ab (overlap); corpus has
+    // "abab" ×2 and "abc" ×1 → ab: 2*2+1=5, ba: 2*1=2, bc: 1, c dropped
+    // (single-char words carry no pair), casing folds ("ABAB" = "abab")
+    val docs = Seq(
+      (1L, "abab abc c"),
+      (2L, "ABAB")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairStats(docs, topN = 10)
+      .as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("ab", 5L), ("ba", 2L), ("bc", 1L)))
+  }
+
+  test("bpePairStats: topN cut is deterministic — count desc then pair text") {
+    val docs = Seq((1L, "xy za za xy qq")).toDF("doc_id", "text")
+    // xy:2, za:2, qq:1 → top2 by (count desc, pair asc) = qq cut, xy before za
+    val out = TextAnalysis.bpePairStats(docs, topN = 2)
+      .as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("xy", 2L), ("za", 2L)))
+  }
 }

@@ -486,6 +486,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("DataFilters: [(size(embedding"), plan)
   }
 
+  test("x78: corpus collapses to distinct words before pair expansion; top-N is a bounded heap") {
+    val plan = physical(ExtensionQueries.x78(spark, sf001))
+    // the final cut must be TakeOrderedAndProject (per-partition heap),
+    // never a global Sort feeding a Limit — at 100 TB the pair
+    // histogram is vocab-sized but the sort would still be a full
+    // range-partitioned shuffle
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // both aggregations (word counts, pair counts) combine map-side
+    assert("partial_count".r.findAllIn(plan).length >= 1, plan)
+    assert("partial_sum".r.findAllIn(plan).length >= 1, plan)
+  }
+
+  test("x79: sessionization windows and the per-session aggregate share ONE user_id shuffle") {
+    val plan = physical(ExtensionQueries.x79(spark, sf001))
+    // lag + running-sum windows partition on user_id; the
+    // (user_id, session_id) hash aggregate's clustering requirement is
+    // satisfied by that same partitioning (subset rule), so the whole
+    // query is one hash exchange plus the output sort
+    assert(hashExchanges(plan) == 1, plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
