@@ -59,4 +59,35 @@ object Graph {
     }
     labels
   }
+
+  /** Per-node degree diagnostics of a directed graph: out-degree,
+    * in-degree, and mutual degree (edges present in both directions).
+    * For a k-NN graph this is the index-health read BEFORE building
+    * anything on it: in-degree skew exposes hub vectors (a near-
+    * duplicate pile or a degenerate embedding region), and the
+    * mutual-edge rate is the standard robustness filter — mutual-kNN
+    * edges are the ones near-dup and clustering pipelines should
+    * trust, one-directional edges are often bucket-boundary noise.
+    *
+    * Scale design: three aggregations and one self-join, every one of
+    * them keyed on node id or the (src, dst) pair — no broadcast of
+    * anything node-cardinality, no windows. The mutuality self-join is
+    * an equi-join on the composite pair key (hash-shuffled both sides,
+    * AQE-splittable); out/in/mutual frames then outer-join on node id.
+    *
+    * Output: (id, out_deg, in_deg, mutual_deg), every node that
+    * appears on either side of an edge. */
+  def degreeProfile(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val out = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    val mutual = e.as("a").join(e.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .groupBy(col("a.src").as("id")).agg(count(lit(1)).as("mutual_deg"))
+    out.join(in, Seq("id"), "full_outer").join(mutual, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"))
+  }
 }

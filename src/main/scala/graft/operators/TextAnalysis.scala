@@ -1078,4 +1078,36 @@ object TextAnalysis {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(topN)
   }
+
+  /** N-gram novelty: per document, the fraction of its distinct word
+    * n-grams whose FIRST corpus occurrence (minimum doc id) is this
+    * document — the redundancy-aware selection signal: a document
+    * whose grams all appeared in earlier documents adds no new
+    * surface text, however different it looks at the whole-doc level.
+    * Complements near-dup removal (which needs pairwise similarity)
+    * by charging each doc only for text that is globally new.
+    *
+    * Scale design: two hash aggregations keyed on gram then doc — the
+    * gram-keyed first-occurrence aggregate and the join that carries
+    * it back to (doc, gram) pairs hash on the SAME key, so Catalyst
+    * reuses one gram partitioning across both (no second shuffle
+    * between them). Nothing is broadcast (the gram dictionary is
+    * corpus-scale); docs with fewer than n words have no grams and
+    * are absent, by contract.
+    *
+    * Output: (doc_id, n_grams, n_novel, novelty = n_novel/n_grams
+    * rounded to 6 dp). */
+  def ngramNovelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.wordShingles(col(textCol), n))).as("gram"))
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
+  }
 }

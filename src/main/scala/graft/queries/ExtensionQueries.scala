@@ -1116,6 +1116,25 @@ object ExtensionQueries {
         Tables.load(s, dir, "events"), gap = "1 HOUR")
       .orderBy(col("user_id"), col("session_id"))
 
+  /** x80 k-NN graph degree diagnostics (out/in/mutual degree per
+    * node) — see [[graft.operators.Graph.degreeProfile]]. The index-
+    * health read before trusting the graph: in-degree hubs and the
+    * mutual-edge rate. */
+  def x80(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.degreeProfile(
+        Similarity.knnGraph(emb(s, dir), k = 3, nPlanes = 6, dim = 64)
+          .select(col("src"), col("dst")))
+      .select(col("id").as("vec_id"), col("out_deg"), col("in_deg"),
+        col("mutual_deg"))
+      .orderBy(col("vec_id"))
+
+  /** x81 word-3-gram novelty — fraction of each document's distinct
+    * grams first seen in that document; see
+    * [[TextAnalysis.ngramNovelty]]. */
+  def x81(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(docs(s, dir), n = 3)
+      .orderBy(col("doc_id"))
+
   /** Bench-only timing probes: scale-path variants of declared queries
     * whose oracled form carries deliberate calibration overhead. Timed
     * and reported by [[graft.Bench]] under "probes"; NOT part of
@@ -1203,6 +1222,8 @@ object ExtensionQueries {
     "x77_label_propagation" -> (x77 _),
     "x78_bpe_pair_stats" -> (x78 _),
     "x79_session_transcripts" -> (x79 _),
+    "x80_knn_degree_profile" -> (x80 _),
+    "x81_ngram_novelty" -> (x81 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2687,6 +2708,38 @@ object ExtensionQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // Degree replay over the same edge set: out/in by simple counts,
+    // mutuality by the (src,dst)↔(dst,src) self-join, full-outer
+    // assembled on node id.
+    "x80_knn_degree_profile" ->
+      s"""WITH ${knnEdgesCteSql(3)},
+         |o AS (SELECT src AS id, count(*) AS out_deg FROM knn GROUP BY src),
+         |i AS (SELECT dst AS id, count(*) AS in_deg FROM knn GROUP BY dst),
+         |m AS (SELECT a.src AS id, count(*) AS mutual_deg
+         |      FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+         |      GROUP BY a.src)
+         |SELECT COALESCE(o.id, i.id) AS vec_id,
+         |       COALESCE(out_deg, 0) AS out_deg,
+         |       COALESCE(in_deg, 0) AS in_deg,
+         |       COALESCE(mutual_deg, 0) AS mutual_deg
+         |FROM o FULL OUTER JOIN i ON o.id = i.id
+         |       LEFT JOIN m ON COALESCE(o.id, i.id) = m.id
+         |ORDER BY vec_id""".stripMargin,
+
+    // First-occurrence novelty over the shared distinct word-3-gram
+    // relation (wordNgramsSql — same rendering as the x04/x28 pair
+    // ground truth): min doc id per gram, charged back per document.
+    "x81_ngram_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(${wordNgramsSql(3)}) AS gram FROM toks),
+         |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*)::DOUBLE, 6) AS novelty
+         |FROM g JOIN f USING (gram) GROUP BY g.doc_id
+         |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTE body for the x76/x77 oracle edge set: valid vectors →

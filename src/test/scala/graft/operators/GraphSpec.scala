@@ -48,4 +48,16 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Int, Int)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((10L, 1, 0), (11L, 1, 0), (12L, 2, 0)))
   }
+
+  test("degreeProfile: out/in/mutual degrees, sink-only and source-only nodes included") {
+    //   1→2, 2→1 (mutual pair)   1→3 (one-way)   4→1 (source 4, 1 gains in)
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val out = Graph.degreeProfile(e)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1L),  // out: →2,→3; in: 2→,4→; mutual: 1↔2
+      (2L, 1L, 1L, 1L),
+      (3L, 0L, 1L, 0L),  // sink-only: appears with out_deg 0
+      (4L, 1L, 0L, 0L))) // source-only: appears with in_deg 0
+  }
 }

@@ -375,4 +375,20 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(out.toSeq == Seq(("xy", 2L), ("za", 2L)))
   }
+
+  test("ngramNovelty: first occurrence by min doc id; gram-less docs absent") {
+    val docs = Seq(
+      (1L, "a b c d"),     // grams abc, bcd — both first here → 1.0
+      (2L, "a b c x"),     // grams abc (seen), bcx (new) → 0.5
+      (3L, "a b c d"),     // exact repeat — nothing new → 0.0
+      (4L, "q r"))         // < 3 words → no grams → absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, n = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1.0),
+      (2L, 2L, 1L, 0.5),
+      (3L, 2L, 0L, 0.0)))
+  }
 }

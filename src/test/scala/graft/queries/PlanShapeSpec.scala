@@ -507,6 +507,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges(plan) == 1, plan)
   }
 
+  test("x81: equi-join on the gram key, partial+final aggs, no windows or nested loops") {
+    val plan = physical(ExtensionQueries.x81(spark, sf001))
+    // the join strategy (broadcast at toy sf, shuffle at scale) is
+    // Catalyst's stats call — what must hold at EVERY scale is: a
+    // keyed equi-join (never a nested loop over the gram dictionary),
+    // map-side-combining aggregates, and no window formulation of
+    // "first occurrence"
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert("partial_min".r.findAllIn(plan).nonEmpty, plan)
+    // gram→groupBy, join probe side, doc→groupBy; the first-occurrence
+    // aggregate's own partitioning feeds the join without a 4th
+    assert(hashExchanges(plan) <= 3, plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
