@@ -423,6 +423,70 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class TranscriptEvent(user_id: Long, event_id: Long, ts: Long,
+    event_type: String, v_cents: Long)
+  final case class TranscriptOut(user_id: Long, session_id: Long, n: Long,
+    path: String, v_cents: Long, end_ts: Long, closed: Boolean)
+
+  /** Transcript-assembling twin of [[SessionProcessor]] — the
+    * streaming form of [[graft.operators.Sequences.sessionTranscripts]]:
+    * besides counting, each open session accumulates its "→"-joined
+    * event-type path and an exact integer-cents value sum in state,
+    * and the finished transcript is emitted once, when a later event
+    * closes the session.
+    *
+    * State stays O(path length), bounded by `maxPathEvents`: beyond
+    * the cap the count and sum keep accumulating but the path stops
+    * growing (a session that long is telemetry noise, not a training
+    * sequence — the batch operator's gap bound is the same contract).
+    * Values ride integer cents, not doubles: state that is folded one
+    * event at a time must not accumulate float error relative to the
+    * batch twin's decimal sum. */
+  final class TranscriptProcessor(gapSec: Long, maxPathEvents: Int)
+      extends StatefulProcessor[Long, TranscriptEvent, TranscriptOut] {
+    @transient private var sess: ValueState[TranscriptOut] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[TranscriptOut]("transcript",
+        org.apache.spark.sql.Encoders.product[TranscriptOut], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TranscriptEvent],
+        tv: TimerValues): Iterator[TranscriptOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[TranscriptOut]
+      var cur = if (sess.exists()) Option(sess.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts - s.end_ts <= gapSec =>
+            cur = Some(s.copy(n = s.n + 1,
+              path = if (s.n < maxPathEvents) s.path + "->" + e.event_type
+                     else s.path,
+              v_cents = s.v_cents + e.v_cents,
+              end_ts = math.max(s.end_ts, e.ts)))
+          case Some(s) =>
+            out += s.copy(closed = true)
+            cur = Some(TranscriptOut(key, s.session_id + 1, 1L,
+              e.event_type, e.v_cents, e.ts, closed = false))
+          case None =>
+            cur = Some(TranscriptOut(key, 1L, 1L,
+              e.event_type, e.v_cents, e.ts, closed = false))
+        }
+      }
+      cur.foreach(sess.update)
+      out.iterator
+    }
+  }
+
+  /** [[TranscriptProcessor]] wired onto a keyed event stream; same
+    * RocksDB provider requirement as [[sessionizeWithState]]. */
+  def transcriptsWithState(events: Dataset[TranscriptEvent], gapSec: Long,
+      maxPathEvents: Int = 10000): Dataset[TranscriptOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TranscriptProcessor(gapSec, maxPathEvents),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class TimedEvent(user_id: Long, event_id: Long,
     et: java.sql.Timestamp)
 

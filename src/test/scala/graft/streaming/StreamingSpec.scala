@@ -318,6 +318,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transcriptsWithState matches batch sessionTranscripts on the fixture") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      // truncated-seconds frame for both sides (same contract as the
+      // sessionizeWithState parity pin); value → exact integer cents
+      val evDf = graft.Tables.load(spark, sf001, "events")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("ts"), col("event_type"),
+          round(col("value") * 100).cast("long").as("v_cents"))
+      val ev = evDf.as[Streaming.TranscriptEvent].collect().toSeq
+
+      val expected = graft.operators.Sequences.sessionTranscripts(
+          evDf.withColumn("ts", col("ts").cast("timestamp"))
+            .withColumn("value", col("v_cents").cast("double") / 100.0))
+        .select(col("user_id"), col("session_id"), col("n"), col("path"),
+          round(col("v") * 100).cast("long").as("v_cents"))
+        .as[(Long, Long, Long, String, Long)].collect().toSet
+
+      val in = MemoryStream[Streaming.TranscriptEvent]
+      val q = Streaming.transcriptsWithState(in.toDS(), gapSec = 3600)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("transcript_parity").start()
+      in.addData(ev)
+      q.processAllAvailable()
+      val maxTs = ev.map(_.ts).max
+      in.addData(ev.map(_.user_id).distinct.map(u =>
+        Streaming.TranscriptEvent(u, Long.MaxValue, maxTs + 1000000L, "_drain", 0L)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("transcript_parity").as[Streaming.TranscriptOut]
+        .collect().map(s => (s.user_id, s.session_id, s.n, s.path, s.v_cents)).toSet
+      assert(got == expected)
+    }
+  }
+
+  test("transcriptsWithState: maxPathEvents caps the path, count and sum keep going") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val in = MemoryStream[Streaming.TranscriptEvent]
+      val q = Streaming.transcriptsWithState(in.toDS(), gapSec = 10,
+          maxPathEvents = 2)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("transcript_cap").start()
+      in.addData(
+        Streaming.TranscriptEvent(1L, 1L, 100L, "a", 10L),
+        Streaming.TranscriptEvent(1L, 2L, 101L, "b", 20L),
+        Streaming.TranscriptEvent(1L, 3L, 102L, "c", 30L), // beyond cap: path frozen
+        Streaming.TranscriptEvent(1L, 4L, 999L, "z", 0L))  // gap → closes session 1
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("transcript_cap").as[Streaming.TranscriptOut].collect()
+      assert(got.length == 1)
+      assert(got.head.path == "a->b" && got.head.n == 3L && got.head.v_cents == 60L)
+    }
+  }
+
   test("sessionizeWithTimers: the watermark closes idle sessions via timers — no sentinel") {
     withRocksDb {
       implicit val sc = spark.sqlContext
