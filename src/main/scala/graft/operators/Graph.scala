@@ -60,6 +60,56 @@ object Graph {
     labels
   }
 
+  /** Integer-exact PageRank, fixed synchronous iterations — the
+    * centrality read on a k-NN/citation/link graph that ranks corpus
+    * items by how much of the graph points at them (a data-curation
+    * signal: high-rank nodes are the corpus's "canonical" items, and
+    * a rank spike concentrated on near-dup hubs is a curation bug).
+    *
+    * Arithmetic is integer micro-units end-to-end: ranks start at
+    * 10⁶ (the N-scaled uniform vector), each edge carries
+    * `pr·17 div (20·out_deg)` (damping 0.85 = 17/20 as an exact
+    * rational; `div` floors, and both engines floor identically on
+    * non-negative longs), and the damped restart adds 150 000. Float
+    * PageRank would be order-sensitive in the Σ over in-neighbors —
+    * integer sums are exact in any order, which is what makes the
+    * result engine-portable and hash-checkable. Dangling-node mass is
+    * dropped (the simplified variant), documented contract.
+    *
+    * Scale design: per iteration, one join of the out-degree-annotated
+    * edge list against the current rank frame (both keyed on src) and
+    * one dst-keyed aggregation; ranks localCheckpoint per round
+    * (static job graph, truncated lineage — same pattern as
+    * [[labelPropagate]]). Nothing node-cardinality broadcasts.
+    *
+    * Output: (id, pr_micro), one row per node incident to ≥ 1 edge. */
+  def pageRank(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val eDeg = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
+      .localCheckpoint(true) // feeds every iteration; compute once
+    var pr = nodes.withColumn("pr", lit(1000000L)).localCheckpoint(true)
+    var prMat = pr
+    for (_ <- 1 to iters) {
+      val inMass = eDeg
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst").as("id"),
+          expr("pr * 17L div (20L * out_deg)").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("m"))
+      val next = nodes.join(inMass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + coalesce(col("m"), lit(0L))).as("pr"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.unpersistCheckpoint(prMat)
+      prMat = next
+      pr = next
+    }
+    pr
+  }
+
   /** Per-node degree diagnostics of a directed graph: out-degree,
     * in-degree, and mutual degree (edges present in both directions).
     * For a k-NN graph this is the index-health read BEFORE building

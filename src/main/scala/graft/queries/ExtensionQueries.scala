@@ -1135,6 +1135,17 @@ object ExtensionQueries {
     TextAnalysis.ngramNovelty(docs(s, dir), n = 3)
       .orderBy(col("doc_id"))
 
+  /** x82 integer-exact PageRank (2 iterations, damping 17/20) over
+    * the x76 k-NN graph — see [[graft.operators.Graph.pageRank]].
+    * Fully value-checked: the oracle replays both iterations in the
+    * same micro-unit integer arithmetic. */
+  def x82(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(
+        Similarity.knnGraph(emb(s, dir), k = 3, nPlanes = 6, dim = 64)
+          .select(col("src"), col("dst")), iters = 2)
+      .select(col("id").as("vec_id"), col("pr").as("pr_micro"))
+      .orderBy(col("vec_id"))
+
   /** Bench-only timing probes: scale-path variants of declared queries
     * whose oracled form carries deliberate calibration overhead. Timed
     * and reported by [[graft.Bench]] under "probes"; NOT part of
@@ -1224,6 +1235,7 @@ object ExtensionQueries {
     "x79_session_transcripts" -> (x79 _),
     "x80_knn_degree_profile" -> (x80 _),
     "x81_ngram_novelty" -> (x81 _),
+    "x82_pagerank" -> (x82 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2740,6 +2752,31 @@ object ExtensionQueries {
          |             / count(*)::DOUBLE, 6) AS novelty
          |FROM g JOIN f USING (gram) GROUP BY g.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // Both PageRank iterations replayed in the same micro-unit integer
+    // arithmetic: pr·17 // (20·out_deg) per edge (both engines floor
+    // non-negative integer division identically), +150000 restart,
+    // exact integer sums in any accumulation order.
+    "x82_pagerank" ->
+      s"""WITH ${knnEdgesCteSql(3)},
+         |nodes AS (SELECT src AS id FROM knn UNION SELECT dst FROM knn),
+         |od AS (SELECT src, count(*) AS out_deg FROM knn GROUP BY src),
+         |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |c1 AS (SELECT e.dst AS id,
+         |              sum((p.pr * 17) // (20 * o.out_deg)) AS m
+         |       FROM knn e JOIN od o ON e.src = o.src
+         |                  JOIN p0 p ON p.id = e.src
+         |       GROUP BY e.dst),
+         |p1 AS (SELECT n.id, CAST(150000 + COALESCE(c1.m, 0) AS BIGINT) AS pr
+         |       FROM nodes n LEFT JOIN c1 ON n.id = c1.id),
+         |c2 AS (SELECT e.dst AS id,
+         |              sum((p.pr * 17) // (20 * o.out_deg)) AS m
+         |       FROM knn e JOIN od o ON e.src = o.src
+         |                  JOIN p1 p ON p.id = e.src
+         |       GROUP BY e.dst),
+         |p2 AS (SELECT n.id, CAST(150000 + COALESCE(c2.m, 0) AS BIGINT) AS pr
+         |       FROM nodes n LEFT JOIN c2 ON n.id = c2.id)
+         |SELECT id AS vec_id, pr AS pr_micro FROM p2 ORDER BY vec_id""".stripMargin,
   )
 
   /** Shared CTE body for the x76/x77 oracle edge set: valid vectors →

@@ -49,6 +49,29 @@ class GraphSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 1, 0), (11L, 1, 0), (12L, 2, 0)))
   }
 
+  test("pageRank: hand-computed micro-unit ranks over two iterations") {
+    // 1→2, 2→1, 3→1; all out-degrees 1, contrib = pr·17 div 20
+    // p1: 1 = 150000 + 850000·2 = 1850000; 2 = 150000+850000; 3 = 150000
+    // p2: 1 = 150000 + 850000 + 127500 = 1127500
+    //     2 = 150000 + (1850000·17 div 20 = 1572500) = 1722500
+    //     3 = 150000 (no in-edges)
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRank(e, iters = 2)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1127500L), (2L, 1722500L), (3L, 150000L)))
+  }
+
+  test("pageRank: dangling mass is dropped, total never exceeds N·10⁶") {
+    // 2 is a sink (no out-edges): its mass vanishes each round
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.pageRank(e, iters = 2)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // p1: 1=150000, 2=150000+850000=1000000
+    // p2: 1=150000, 2=150000+(150000·17 div 20=127500)=277500
+    assert(out.toSeq == Seq((1L, 150000L), (2L, 277500L)))
+    assert(out.map(_._2).sum <= 2L * 1000000L)
+  }
+
   test("degreeProfile: out/in/mutual degrees, sink-only and source-only nodes included") {
     //   1→2, 2→1 (mutual pair)   1→3 (one-way)   4→1 (source 4, 1 gains in)
     val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
