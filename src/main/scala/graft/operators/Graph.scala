@@ -110,6 +110,56 @@ object Graph {
     pr
   }
 
+  /** Reciprocated edges of a directed graph as an undirected
+    * (u < v) edge list — the trust filter over a k-NN graph: an edge
+    * present in BOTH directions survives bucket-boundary noise and is
+    * the edge set near-dup clustering and cohesion metrics should run
+    * on. One pair-keyed self-join, nothing broadcasts. */
+  def mutualEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    e.as("a").join(e.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .filter(col("a.src") < col("a.dst"))
+      .select(col("a.src").as("u"), col("a.dst").as("v"))
+      .distinct()
+  }
+
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected (u < v) edge list — the cohesion read on a corpus
+    * graph: high-coefficient neighborhoods are tight near-dup/topic
+    * pockets, zero-coefficient hubs are star noise.
+    *
+    * The triangle enumeration is the ordered two-path + closing-edge
+    * join (each triangle a<b<c found exactly once): with (u < v)
+    * orientation every node's fan-out is its forward degree, so the
+    * two-path relation is Σ fwd_deg² — on a k-NN graph (deg ≤ 2k)
+    * this is linear in edges, and each join is a keyed equi-join
+    * (shuffle-partitioned, AQE-splittable), never a broadcast of
+    * anything edge-cardinality. The coefficient rides integer
+    * micro-units: cc = 2·tri·10⁶ div (deg·(deg−1)), exact and
+    * engine-portable; null where deg < 2 (undefined).
+    *
+    * Output: (id, deg, tri, cc_micro), one row per node with ≥ 1
+    * mutual edge. */
+  def triangleProfile(und: DataFrame): DataFrame = {
+    val e = und.select(col("u"), col("v")).localCheckpoint(true) // 4 uses
+    val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    val perNode = tri.select(col("a").as("id"))
+      .union(tri.select(col("b").as("id")))
+      .union(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          expr("(coalesce(tri, 0L) * 2000000L) div (deg * (deg - 1L))"))
+          .as("cc_micro"))
+  }
+
   /** Per-node degree diagnostics of a directed graph: out-degree,
     * in-degree, and mutual degree (edges present in both directions).
     * For a k-NN graph this is the index-health read BEFORE building

@@ -1146,6 +1146,31 @@ object ExtensionQueries {
       .select(col("id").as("vec_id"), col("pr").as("pr_micro"))
       .orderBy(col("vec_id"))
 
+  private def knnEdges(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(emb(s, dir), k = 3, nPlanes = 6, dim = 64)
+      .select(col("src"), col("dst"))
+
+  /** x83 triangle counts + local clustering coefficient over the
+    * MUTUAL x76 edges — see [[graft.operators.Graph.triangleProfile]].
+    * Cohesion metric: tight near-dup/topic pockets vs star noise. */
+  def x83(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleProfile(
+        graft.operators.Graph.mutualEdges(knnEdges(s, dir)))
+      .select(col("id").as("vec_id"), col("deg"), col("tri"), col("cc_micro"))
+      .orderBy(col("vec_id"))
+
+  /** x84 embedding-space duplicate clusters: connected components over
+    * the mutual k-NN edges — [[Dedup.connectedComponents]] reused
+    * across modality (x28 runs it on text-gram pairs, this on
+    * embedding neighbors). cluster_id = min member id, the same
+    * min-label contract. */
+  def x84(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        graft.operators.Graph.mutualEdges(knnEdges(s, dir))
+          .select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+
   /** Bench-only timing probes: scale-path variants of declared queries
     * whose oracled form carries deliberate calibration overhead. Timed
     * and reported by [[graft.Bench]] under "probes"; NOT part of
@@ -1236,6 +1261,8 @@ object ExtensionQueries {
     "x80_knn_degree_profile" -> (x80 _),
     "x81_ngram_novelty" -> (x81 _),
     "x82_pagerank" -> (x82 _),
+    "x83_triangle_profile" -> (x83 _),
+    "x84_embedding_clusters" -> (x84 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2777,6 +2804,49 @@ object ExtensionQueries {
          |p2 AS (SELECT n.id, CAST(150000 + COALESCE(c2.m, 0) AS BIGINT) AS pr
          |       FROM nodes n LEFT JOIN c2 ON n.id = c2.id)
          |SELECT id AS vec_id, pr AS pr_micro FROM p2 ORDER BY vec_id""".stripMargin,
+
+    // Ordered two-path + closing-edge triangle enumeration over the
+    // mutual (u<v) edge set; coefficient in exact integer micro-units,
+    // NULL where deg < 2 (undefined).
+    "x83_triangle_profile" ->
+      s"""WITH ${knnEdgesCteSql(3)},
+         |mu AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |       FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+         |       WHERE a.src < a.dst),
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |        FROM mu e1 JOIN mu e2 ON e1.v = e2.u
+         |                   JOIN mu e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |pern AS (SELECT id, count(*) AS tri FROM (
+         |           SELECT a AS id FROM tri
+         |           UNION ALL SELECT b FROM tri
+         |           UNION ALL SELECT c FROM tri) t GROUP BY id),
+         |deg AS (SELECT id, count(*) AS deg FROM (
+         |          SELECT u AS id FROM mu UNION ALL SELECT v FROM mu) t
+         |        GROUP BY id)
+         |SELECT d.id AS vec_id, d.deg,
+         |       CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+         |       CASE WHEN d.deg >= 2
+         |            THEN (COALESCE(p.tri, 0) * 2000000) // (d.deg * (d.deg - 1))
+         |       END AS cc_micro
+         |FROM deg d LEFT JOIN pern p ON d.id = p.id
+         |ORDER BY vec_id""".stripMargin,
+
+    // Min-label closure over the mutual edge set — the same recursive
+    // contract as x28, on embedding neighbors instead of text grams.
+    "x84_embedding_clusters" ->
+      s"""WITH RECURSIVE ${knnEdgesCteSql(3)},
+         |mu AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |       FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+         |       WHERE a.src < a.dst),
+         |ed AS (SELECT u AS a, v AS b FROM mu
+         |       UNION SELECT v AS a, u AS b FROM mu),
+         |nodes AS (SELECT DISTINCT a AS node FROM ed),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r)
+         |SELECT node AS vec_id, min(r) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
   )
 
   /** Shared CTE body for the x76/x77 oracle edge set: valid vectors →

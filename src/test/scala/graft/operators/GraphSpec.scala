@@ -72,6 +72,31 @@ class GraphSpec extends SparkSpec {
     assert(out.map(_._2).sum <= 2L * 1000000L)
   }
 
+  test("mutualEdges + triangleProfile: one triangle, integer coefficient, one-way edges excluded") {
+    // mutual pairs 1↔2, 2↔3, 1↔3 (a triangle) + one-way 4→1 (ignored)
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (1L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val mu = Graph.mutualEdges(e).as[(Long, Long)].collect().sortBy(identity)
+    assert(mu.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val out = Graph.triangleProfile(Graph.mutualEdges(e))
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    // every node: deg 2, 1 triangle, cc = 2·1·10⁶ / (2·1) = 10⁶
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, Some(1000000L)),
+      (2L, 2L, 1L, Some(1000000L)),
+      (3L, 2L, 1L, Some(1000000L))))
+  }
+
+  test("triangleProfile: open wedge has zero triangles; deg-1 nodes get null coefficient") {
+    val und = Seq((1L, 2L), (2L, 3L)).toDF("u", "v") // path, no closing edge
+    val out = Graph.triangleProfile(und)
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L, None),
+      (2L, 2L, 0L, Some(0L)),
+      (3L, 1L, 0L, None)))
+  }
+
   test("degreeProfile: out/in/mutual degrees, sink-only and source-only nodes included") {
     //   1→2, 2→1 (mutual pair)   1→3 (one-way)   4→1 (source 4, 1 gains in)
     val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
