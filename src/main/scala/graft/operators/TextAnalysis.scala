@@ -1079,6 +1079,55 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Per-document curation scorecard — the explainable decision
+    * record a pipeline exports for audit: every signal value alongside
+    * the first-fail verdict, per document (where [[filterAttribution]]
+    * reports the aggregate funnel, this is the row-level why). Signals:
+    * token count, top-bigram repetition ([[repetitionFilter]]'s
+    * statistic), 3-gram novelty ([[ngramNovelty]]'s), and the near-dup
+    * canonical decision (passed in as `clusters` —
+    * [[Dedup.canonicalizeClusters]] output — so the caller picks the
+    * edge relation). Verdict precedence: too_short → repetitive →
+    * redundant (novelty < `minNovelty`) → duplicate (non-canonical) →
+    * kept. Docs absent from a signal (no grams, unclustered) coalesce
+    * to the passing side, by contract.
+    *
+    * Scale design: ONE tokenization pass (the checkpointed token frame
+    * feeds the count, both gram metrics — the round-5 lesson); each
+    * signal is the same shuffle shape as its standalone operator; the
+    * final assembly is doc-keyed left joins. */
+  def curationScorecard(docs: DataFrame, clusters: DataFrame,
+      minTokens: Int = 20, maxRepetition: Double = 0.06,
+      minNovelty: Double = 0.2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.words
+    import graft.functions.ShingleFunctions.ngram_strings
+    val toks = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__w"))
+      .localCheckpoint(true)
+    val rep = repetitionRatioFromTokens(toks.select(col("doc_id"), col("__w")), 2)
+    val grams = toks.select(col("doc_id"),
+      explode(array_distinct(ngram_strings(col("__w"), 3))).as("gram"))
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("__fd"))
+    val nov = grams.join(first, "gram").groupBy(col("doc_id"))
+      .agg(round(
+        sum(when(col("__fd") === col("doc_id"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double"), 6).as("novelty"))
+    toks.select(col("doc_id"), size(col("__w")).cast("bigint").as("n_tokens"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(nov, Seq("doc_id"), "left")
+      .join(clusters.select(col("doc_id"), col("keep")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_gram_ratio"),
+        col("novelty"),
+        coalesce(col("keep"), lit(true)).as("dup_keep"),
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(coalesce(col("top_gram_ratio"), lit(0.0)) > maxRepetition,
+            "repetitive")
+          .when(coalesce(col("novelty"), lit(1.0)) < minNovelty, "redundant")
+          .when(!coalesce(col("keep"), lit(true)), "duplicate")
+          .otherwise("kept").as("verdict"))
+  }
+
   /** N-gram novelty: per document, the fraction of its distinct word
     * n-grams whose FIRST corpus occurrence (minimum doc id) is this
     * document — the redundancy-aware selection signal: a document

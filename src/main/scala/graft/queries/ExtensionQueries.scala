@@ -1171,6 +1171,18 @@ object ExtensionQueries {
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
 
+  /** x85 per-document curation scorecard: every signal value + the
+    * first-fail verdict per doc ([[TextAnalysis.curationScorecard]]),
+    * with the dup decision from the x68 canonicalization chain. The
+    * row-level audit record behind x43's aggregate funnel. */
+  def x85(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = Dedup.canonicalizeClusters(
+      Dedup.connectedComponents(Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.2)), d)
+    TextAnalysis.curationScorecard(d, clusters).orderBy(col("doc_id"))
+  }
+
   /** Bench-only timing probes: scale-path variants of declared queries
     * whose oracled form carries deliberate calibration overhead. Timed
     * and reported by [[graft.Bench]] under "probes"; NOT part of
@@ -1263,6 +1275,7 @@ object ExtensionQueries {
     "x82_pagerank" -> (x82 _),
     "x83_triangle_profile" -> (x83 _),
     "x84_embedding_clusters" -> (x84 _),
+    "x85_curation_scorecard" -> (x85 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2847,6 +2860,54 @@ object ExtensionQueries {
          |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r)
          |SELECT node AS vec_id, min(r) AS cluster_id
          |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+
+    // Composes the x68 canonical chain (recursive CC + keep rule), the
+    // x29 repetition statistic, and the x81 novelty statistic — all
+    // from their SHARED CTE renderings — into the per-doc first-fail
+    // verdict. Signals a doc lacks coalesce to the passing side.
+    "x85_curation_scorecard" ->
+      s"""WITH RECURSIVE $ngramPairsCteSql,
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM ed),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+         |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         |wl AS (SELECT cl.doc_id, cl.cluster_id, coalesce(d.n_chars, -1) AS len
+         |       FROM cl LEFT JOIN documents d USING (doc_id)),
+         |cn AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+         |         SELECT cluster_id, doc_id,
+         |                row_number() OVER (PARTITION BY cluster_id
+         |                                   ORDER BY len DESC, doc_id) AS rn
+         |         FROM wl) t WHERE rn = 1),
+         |kp AS (SELECT wl.doc_id, wl.doc_id = cn.canonical_id AS keep
+         |       FROM wl JOIN cn USING (cluster_id)),
+         |bg AS (SELECT doc_id, ${wordNgramsSql(2, distinct = false)} AS g FROM toks),
+         |gc AS (SELECT doc_id, gram, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(g) AS gram FROM bg) e
+         |       GROUP BY doc_id, gram),
+         |rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_gram_ratio
+         |        FROM gc GROUP BY doc_id),
+         |fst AS (SELECT gram, min(doc_id) AS fd FROM ex GROUP BY gram),
+         |nov AS (SELECT ex.doc_id,
+         |               round(sum(CASE WHEN fst.fd = ex.doc_id THEN 1 ELSE 0 END)::DOUBLE
+         |                     / count(*)::DOUBLE, 6) AS novelty
+         |        FROM ex JOIN fst USING (gram) GROUP BY ex.doc_id)
+         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+         |       rep.top_gram_ratio, nov.novelty,
+         |       COALESCE(kp.keep, TRUE) AS dup_keep,
+         |       CASE WHEN len(t.w) < 20 THEN 'too_short'
+         |            WHEN COALESCE(rep.top_gram_ratio, 0) > 0.06 THEN 'repetitive'
+         |            WHEN COALESCE(nov.novelty, 1.0) < 0.2 THEN 'redundant'
+         |            WHEN NOT COALESCE(kp.keep, TRUE) THEN 'duplicate'
+         |            ELSE 'kept' END AS verdict
+         |FROM toks t
+         |LEFT JOIN rep USING (doc_id)
+         |LEFT JOIN nov USING (doc_id)
+         |LEFT JOIN kp USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
   )
 
   /** Shared CTE body for the x76/x77 oracle edge set: valid vectors →

@@ -376,6 +376,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(("xy", 2L), ("za", 2L)))
   }
 
+  test("curationScorecard: per-doc signals and first-fail verdict precedence") {
+    val w = (1 to 25).map("w" + _).mkString(" ")   // 25 distinct words
+    val u = (1 to 15).map("u" + _).mkString(" ")
+    val docsDf = Seq(
+      (1L, "b c d e f"),      // 5 tokens → too_short (even though rep 0.25 > 0.06)
+      (2L, Seq.fill(30)("a").mkString(" ")), // bigram ratio 1.0 → repetitive
+      (3L, w),                // canonical, all grams first here → kept
+      (4L, w),                // identical text → novelty 0 → redundant
+                              // (precedence: before its duplicate flag)
+      (5L, s"$w $u"))         // 15/38 grams novel ≥ 0.2, non-canonical → duplicate
+      .toDF("doc_id", "text")
+    val clusters = Seq(
+      (3L, 3L, 3L, true), (4L, 3L, 3L, false), (5L, 3L, 3L, false))
+      .toDF("doc_id", "cluster_id", "canonical_id", "keep")
+    val out = TextAnalysis.curationScorecard(docsDf, clusters)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Option[Double], Option[Double], Boolean, String)]
+      .collect()
+    assert(out.toSeq == Seq(
+      (1L, 5L, Some(0.25), Some(1.0), true, "too_short"),
+      (2L, 30L, Some(1.0), Some(1.0), true, "repetitive"),
+      (3L, 25L, Some(0.041667), Some(1.0), true, "kept"),
+      (4L, 25L, Some(0.041667), Some(0.0), false, "redundant"),
+      (5L, 40L, Some(0.025641), Some(0.394737), false, "duplicate")))
+  }
+
   test("ngramNovelty: first occurrence by min doc id; gram-less docs absent") {
     val docs = Seq(
       (1L, "a b c d"),     // grams abc, bcd — both first here → 1.0
