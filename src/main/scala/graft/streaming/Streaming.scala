@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Structured-Streaming surface (SURVEY §2.8). The reference is a
   * batch job re-run repeatedly; its incremental semantics — keyed
@@ -484,6 +484,83 @@ object Streaming {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new TranscriptProcessor(gapSec, maxPathEvents),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class TokenEvent(shard: Int, token: String)
+  final case class HeavyHitter(shard: Int, token: String,
+    cnt_min: Long, cnt_max: Long)
+
+  /** Bounded-memory streaming heavy hitters — Misra–Gries summaries on
+    * the v2 state API, the streaming twin of the batch CMS heavy-
+    * hitters operator (x74): per shard, at most `k` counters live in a
+    * `MapState`, whatever the token cardinality of the stream. The MG
+    * guarantee: with `d` = decrement rounds so far (d ≤ N/(k+1)), any
+    * token's true shard count lies in [cnt, cnt + d] for surviving
+    * entries, and a token absent from the summary has true count ≤ d —
+    * so every token with frequency above N/(k+1) is guaranteed
+    * present. Shard summaries are mergeable downstream (sum cnt, sum
+    * d) — the same partial-then-merge shape as the batch sketches.
+    *
+    * Determinism contract: the fold follows (batch arrival, then
+    * within-batch input order per shard) — the summary is a function
+    * of the sharded input sequence, which tests control exactly.
+    * Emission: after folding each batch, the shard's CURRENT summary
+    * rows are emitted with the bracket [cnt, cnt + d] (Append-mode
+    * friendly: a later batch re-emits the refreshed bracket; consumers
+    * keep the last row per (shard, token), the run-ledger pattern).
+    *
+    * Scale: state is O(shards·k) regardless of stream size; the
+    * decrement step amortizes O(1) per input token (each decrement
+    * pays back an earlier increment). */
+  final class MisraGriesProcessor(k: Int)
+      extends StatefulProcessor[Int, TokenEvent, HeavyHitter] {
+    @transient private var sum: MapState[String, Long] = _
+    @transient private var rounds: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sum = getHandle.getMapState[String, Long]("mg",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      rounds = getHandle.getValueState[Long]("rounds",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[TokenEvent],
+        tv: TimerValues): Iterator[HeavyHitter] = {
+      // fold through a local map: one state read + one write per key
+      // per batch, not per input row (MapState hits RocksDB)
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      sum.iterator().foreach { case (t, c) => m(t) = c }
+      var d = if (rounds.exists()) rounds.get() else 0L
+      rows.foreach { ev =>
+        m.get(ev.token) match {
+          case Some(c) => m(ev.token) = c + 1
+          case None if m.size < k => m(ev.token) = 1L
+          case None => // decrement-all round; evict zeroed entries
+            d += 1
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            m.foreach { case (t, c) =>
+              if (c == 1) dead += t else m(t) = c - 1
+            }
+            dead.foreach(m.remove)
+        }
+      }
+      sum.clear()
+      m.foreach { case (t, c) => sum.updateValue(t, c) }
+      rounds.update(d)
+      val dd = d
+      m.iterator.map { case (t, c) => HeavyHitter(key, t, c, c + dd) }
+    }
+  }
+
+  /** [[MisraGriesProcessor]] wired onto a sharded token stream; same
+    * RocksDB provider requirement as [[sessionizeWithState]]. */
+  def heavyHittersWithState(tokens: Dataset[TokenEvent],
+      k: Int): Dataset[HeavyHitter] = {
+    import tokens.sparkSession.implicits._
+    tokens.groupByKey(_.shard)
+      .transformWithState(new MisraGriesProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
 

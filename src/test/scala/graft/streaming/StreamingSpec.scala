@@ -374,6 +374,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersWithState: Misra-Gries fold across batches, k-bounded state, valid brackets") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val in = MemoryStream[Streaming.TokenEvent]
+      val q = Streaming.heavyHittersWithState(in.toDS(), k = 2)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mg_out").start()
+      // batch 1: a a b c → c triggers round 1 (a 2→1, b evicted); emit a [1,2]
+      in.addData(Seq("a", "a", "b", "c").map(Streaming.TokenEvent(0, _)))
+      q.processAllAvailable()
+      // batch 2 resumes {a:1}, d=1: c in (1), c 2, b → round 2
+      // (a evicted, c 2→1); emit c [1,3]
+      in.addData(Seq("c", "c", "b").map(Streaming.TokenEvent(0, _)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("mg_out").as[Streaming.HeavyHitter].collect()
+        .map(h => (h.shard, h.token, h.cnt_min, h.cnt_max)).sortBy(_.toString)
+      assert(got.toSeq == Seq((0, "a", 1L, 2L), (0, "c", 1L, 3L)))
+      // MG guarantees on the full 7-token stream: true c = 3 ∈ [1,3];
+      // absent tokens (a true 2, b true 2) are ≤ d = 2
+    }
+  }
+
+  test("heavyHittersWithState: a dominant token survives with a tight bracket") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val in = MemoryStream[Streaming.TokenEvent]
+      val q = Streaming.heavyHittersWithState(in.toDS(), k = 2)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mg_dom").start()
+      // z z z z a b z z: b triggers one round (z 4→3, a evicted), then z → 5
+      in.addData(Seq("z", "z", "z", "z", "a", "b", "z", "z")
+        .map(Streaming.TokenEvent(0, _)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("mg_dom").as[Streaming.HeavyHitter].collect()
+      assert(got.length == 1)
+      assert(got.head.token == "z" && got.head.cnt_min == 5L && got.head.cnt_max == 6L)
+      // true z = 6: inside [5, 6]
+    }
+  }
+
   test("sessionizeWithTimers: the watermark closes idle sessions via timers — no sentinel") {
     withRocksDb {
       implicit val sc = spark.sqlContext
