@@ -318,4 +318,68 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(g(df1).subsetOf(g(df1.union(df2))))
     assert((g(df1) ++ g(df2)) == g(df1.union(df2)))
   }
+
+  // seeded random digraphs for the Graph-operator invariants
+  private def edgeGen(nNodes: Int): Gen[(Long, Long)] = for {
+    s <- Gen.choose(0L, nNodes - 1L)
+    d <- Gen.choose(0L, nNodes - 1L) if s != d
+  } yield (s, d)
+
+  test("pageRank: total mass never exceeds N·10⁶ and every rank ≥ the restart floor") {
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val edges = samples(edgeGen(12), 40, seed).distinct.toDF("src", "dst")
+      val n = edges.select(explode(array($"src", $"dst"))).distinct().count()
+      val pr = Graph.pageRank(edges, iters = 3).as[(Long, Long)].collect()
+      assert(pr.length == n)
+      // flooring + dangling nodes only LOSE mass vs the uniform start
+      assert(pr.map(_._2).sum <= n * 1000000L, s"seed $seed mass grew")
+      assert(pr.forall(_._2 >= 150000L), s"seed $seed below restart floor")
+    }
+  }
+
+  test("labelPropagate: labels only from the seed alphabet, seeds immutable, rounds monotone") {
+    for (seed <- Seq(21L, 22L, 23L)) {
+      val edges = samples(edgeGen(15), 50, seed).distinct.toDF("src", "dst")
+      val seeds = (0L to 4L).map(i => (i * 3, (i % 3).toInt)).toDF("id", "label")
+      val seedMap = Map((0L to 4L).map(i => i * 3 -> (i % 3).toInt): _*)
+      val r2 = Graph.labelPropagate(edges, seeds, rounds = 2)
+        .as[(Long, Int, Int)].collect()
+      // every emitted label exists among the seeds (propagation invents nothing)
+      assert(r2.forall(t => Set(0, 1, 2)(t._2)), s"seed $seed alien label")
+      // seeds keep their exact label at round 0
+      r2.filter(t => seedMap.contains(t._1)).foreach { t =>
+        assert(t._2 == seedMap(t._1) && t._3 == 0, s"seed $seed mutated ${t._1}")
+      }
+      // monotone reach: round-1 labelings are a sub-multiset of round-2's
+      val r1 = Graph.labelPropagate(edges, seeds, rounds = 1)
+        .as[(Long, Int, Int)].collect()
+      val r2map = r2.map(t => t._1 -> ((t._2, t._3))).toMap
+      r1.foreach { t =>
+        assert(r2map.get(t._1).contains((t._2, t._3)),
+          s"seed $seed node ${t._1} flipped between rounds 1 and 2")
+      }
+    }
+  }
+
+  test("triangleProfile: per-node triangle counts sum to 3× the global triangle count") {
+    for (seed <- Seq(31L, 32L)) {
+      val und = samples(edgeGen(10), 35, seed).distinct
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+        .toDF("u", "v")
+      val prof = Graph.triangleProfile(und)
+        .as[(Long, Long, Long, Option[Long])].collect()
+      // brute-force triangle model on the driver (toy-sized input)
+      val es = und.as[(Long, Long)].collect().toSet
+      def conn(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val triples = nodes.combinations(3).count {
+        case Seq(a, b, c) => conn(a, b) && conn(b, c) && conn(a, c)
+      }
+      assert(prof.map(_._3).sum == 3L * triples, s"seed $seed")
+      // degrees match the brute-force adjacency
+      prof.foreach { case (id, deg, _, _) =>
+        assert(deg == nodes.count(o => o != id && conn(id, o)), s"seed $seed node $id")
+      }
+    }
+  }
 }
