@@ -522,6 +522,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges(plan) <= 3, plan)
   }
 
+  test("x76: the k-NN self-join is a bucket-keyed equi-join ranked by the bounded heap, not a window") {
+    val plan = physical(ExtensionQueries.x76(spark, sf001))
+    // all-pairs scoring would surface as a nested loop; ranking the
+    // scored pairs through a Window would shuffle every scored triple
+    // to one partition per src
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the TopKScored aggregator runs partial-then-final
+    assert(plan.contains("partial_topkscored") || plan.contains("TopKScored"), plan)
+  }
+
+  test("x82: PageRank's output reads the final checkpoint — iterative lineage truncated") {
+    val plan = physical(ExtensionQueries.x82(spark, sf001))
+    // the per-round localCheckpoint means the consumer plan is a scan
+    // of materialized rank blocks, NOT a replay of the whole iteration
+    // chain (the classic iterative-lineage OOM/recompute trap); the
+    // per-round join+agg shapes are pinned by GraphSpec's semantics
+    // tests, which execute the rounds
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x85: one tokenization feeds all token signals; assembly is doc-keyed joins, no window") {
+    val plan = physical(ExtensionQueries.x85(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the scorecard itself must not introduce a window (the canonical
+    // chain's per-cluster row_number is bounded-heap by construction
+    // in canonicalizeClusters — also window-free)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
