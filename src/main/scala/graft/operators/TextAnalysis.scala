@@ -1128,6 +1128,51 @@ object TextAnalysis {
           .otherwise("kept").as("verdict"))
   }
 
+  /** Directional containment screen — the subset-duplication detector
+    * resemblance misses: a short doc fully excerpted inside a long one
+    * has low Jaccard (the union is dominated by the long doc) but
+    * containment |A∩B|/|A| ≈ 1. Emits every pair whose larger
+    * containment reaches ½ (the integer-exact keep rule below), with
+    * both directions and the Jaccard for context — the
+    * "quote/excerpt" edge set that complements the near-dup pair
+    * relation.
+    *
+    * Scale design: the candidate engine is a DOCUMENT-FREQUENCY-CAPPED
+    * inverted index: only grams appearing in ≤ `maxDf` documents
+    * generate pairs, so the gram self-join's fan-out is Σ df² ≤
+    * maxDf · (total postings) — linear in the corpus at constant
+    * maxDf, never the quadratic all-pairs trap. The contract is that
+    * ALL statistics (sizes, intersection, containment) are over the
+    * capped gram universe: a pair sharing only ubiquitous grams is
+    * boilerplate (x34's department), not duplication, and dropping it
+    * is the screen's point, not a recall bug. The keep rule
+    * 2·isz ≥ min(szA, szB) is integer-exact — no float compare at the
+    * cut. */
+  def containmentScreen(docs: DataFrame, n: Int = 3, maxDf: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.words
+    import graft.functions.ShingleFunctions.ngram_strings
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(ngram_strings(words(col(textCol)), n))).as("gram"))
+      .localCheckpoint(true) // feeds df, sizes AND both join sides
+    val kept = grams.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("gram"))
+    val gk = grams.join(kept, "gram").localCheckpoint(true)
+    val sz = gk.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val ip = gk.as("a").join(gk.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("isz"))
+    ip.join(sz.select(col("doc_id").as("doc_a"), col("sz").as("__sa")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("__sb")), "doc_b")
+      .filter(lit(2) * col("isz") >= least(col("__sa"), col("__sb")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("isz").cast("double")
+          / (col("__sa") + col("__sb") - col("isz")).cast("double"), 6).as("jaccard"),
+        round(col("isz").cast("double") / col("__sa").cast("double"), 6).as("cont_a"),
+        round(col("isz").cast("double") / col("__sb").cast("double"), 6).as("cont_b"))
+  }
+
   /** N-gram novelty: per document, the fraction of its distinct word
     * n-grams whose FIRST corpus occurrence (minimum doc id) is this
     * document — the redundancy-aware selection signal: a document

@@ -1183,6 +1183,13 @@ object ExtensionQueries {
     TextAnalysis.curationScorecard(d, clusters).orderBy(col("doc_id"))
   }
 
+  /** x86 directional containment screen over a df-capped inverted
+    * index ([[TextAnalysis.containmentScreen]]): subset/excerpt
+    * duplication that symmetric Jaccard misses. */
+  def x86(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.containmentScreen(docs(s, dir), n = 3, maxDf = 50)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Bench-only timing probes: scale-path variants of declared queries
     * whose oracled form carries deliberate calibration overhead. Timed
     * and reported by [[graft.Bench]] under "probes"; NOT part of
@@ -1276,6 +1283,7 @@ object ExtensionQueries {
     "x83_triangle_profile" -> (x83 _),
     "x84_embedding_clusters" -> (x84 _),
     "x85_curation_scorecard" -> (x85 _),
+    "x86_containment_screen" -> (x86 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2908,6 +2916,28 @@ object ExtensionQueries {
          |LEFT JOIN nov USING (doc_id)
          |LEFT JOIN kp USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    // Df-capped inverted index (grams in ≤ 50 docs generate pairs; all
+    // statistics over the capped universe), integer-exact ½ keep rule.
+    // Reuses the shared toks/ex rendering; ipairs/pairs stay unreferenced.
+    "x86_containment_screen" ->
+      s"""WITH $ngramPairsCteSql,
+         |dfk AS (SELECT gram FROM (
+         |          SELECT gram, count(*) AS df FROM ex GROUP BY gram) t
+         |        WHERE df <= 50),
+         |gk AS (SELECT ex.doc_id, ex.gram FROM ex JOIN dfk USING (gram)),
+         |szk AS (SELECT doc_id, count(*) AS sz FROM gk GROUP BY doc_id),
+         |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
+         |       FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       round(isz::DOUBLE / (sa.sz + sb.sz - isz)::DOUBLE, 6) AS jaccard,
+         |       round(isz::DOUBLE / sa.sz::DOUBLE, 6) AS cont_a,
+         |       round(isz::DOUBLE / sb.sz::DOUBLE, 6) AS cont_b
+         |FROM ip JOIN szk sa ON ip.doc_a = sa.doc_id
+         |        JOIN szk sb ON ip.doc_b = sb.doc_id
+         |WHERE 2 * isz >= LEAST(sa.sz, sb.sz)
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 
   /** Shared CTE body for the x76/x77 oracle edge set: valid vectors →

@@ -402,6 +402,29 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 40L, Some(0.025641), Some(0.394737), false, "duplicate")))
   }
 
+  test("containmentScreen: excerpt pair kept with directional scores; disjoint pair absent") {
+    val docs = Seq(
+      (1L, "p q r s"),                       // grams pqr, qrs (2)
+      (2L, "p q r s t u v w x y z"),         // 9 grams incl. both of doc1's
+      (3L, "m n o"))                         // disjoint
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.containmentScreen(docs, n = 3, maxDf = 50)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    // isz 2, sizes (2, 9): jaccard 2/9, cont_a 1.0 — the excerpt signal
+    // symmetric Jaccard (0.22) would have screened out
+    assert(out.toSeq == Seq((1L, 2L, 0.222222, 1.0, 0.222222)))
+  }
+
+  test("containmentScreen: grams above the df cap generate no candidates") {
+    val docs = Seq(
+      (1L, "c1 c2 c3"), (2L, "c1 c2 c3"), (3L, "c1 c2 c3"))
+      .toDF("doc_id", "text")
+    // the only gram lives in 3 docs > maxDf=2 → capped out, no pairs
+    assert(TextAnalysis.containmentScreen(docs, n = 3, maxDf = 2).count() == 0L)
+    // raising the cap restores the pairs (sanity that the cap was the cause)
+    assert(TextAnalysis.containmentScreen(docs, n = 3, maxDf = 3).count() == 3L)
+  }
+
   test("ngramNovelty: first occurrence by min doc id; gram-less docs absent") {
     val docs = Seq(
       (1L, "a b c d"),     // grams abc, bcd — both first here → 1.0
