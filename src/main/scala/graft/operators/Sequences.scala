@@ -119,6 +119,37 @@ object Sequences {
     * Output: one row per (key, session_id ≥ 1) with n events, the
     * "→"-joined type path ordered by (ts, tie), and the exact value
     * sum as double. */
+  /** First-order transition matrix over per-key ordered event types —
+    * the Markov summary of a behavior log (what follows what, how
+    * often): the seed statistic for synthetic-trajectory generation,
+    * anomaly scoring (improbable transitions), and funnel design.
+    *
+    * Scale design: one window pass ((key, ts, tie) partitioning — the
+    * same single shuffle as sessionization) produces (prev, next)
+    * pairs; counts and the per-source-state totals are two hash
+    * aggregations over the TYPE×TYPE space (tiny, whatever the event
+    * volume), and the conditional probability rides exact integer
+    * micro-units: p = n·10⁶ div total — no float division at any
+    * volume, so the matrix is engine-portable bit-for-bit.
+    *
+    * Output: (prev_type, next_type, n, p_micro) — within-key
+    * transitions only (the first event of a key has no predecessor). */
+  def transitionMatrix(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", tieCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(byKey))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("__tot"))
+    pairs.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000000L div __tot").as("p_micro"))
+  }
+
   def sessionTranscripts(events: DataFrame, gap: String = "1 HOUR",
       keyCol: String = "user_id", tsCol: String = "ts",
       tieCol: String = "event_id", typeCol: String = "event_type",

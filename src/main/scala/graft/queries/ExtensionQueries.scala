@@ -1190,6 +1190,13 @@ object ExtensionQueries {
     TextAnalysis.containmentScreen(docs(s, dir), n = 3, maxDf = 50)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** x87 first-order event-transition matrix with exact integer
+    * conditional probabilities — see
+    * [[graft.operators.Sequences.transitionMatrix]]. */
+  def x87(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.transitionMatrix(Tables.load(s, dir, "events"))
+      .orderBy(col("prev_type"), col("next_type"))
+
   /** Bench-only timing probes: scale-path variants of declared queries
     * whose oracled form carries deliberate calibration overhead. Timed
     * and reported by [[graft.Bench]] under "probes"; NOT part of
@@ -1284,6 +1291,7 @@ object ExtensionQueries {
     "x84_embedding_clusters" -> (x84 _),
     "x85_curation_scorecard" -> (x85 _),
     "x86_containment_screen" -> (x86 _),
+    "x87_transition_matrix" -> (x87 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2938,6 +2946,23 @@ object ExtensionQueries {
          |        JOIN szk sb ON ip.doc_b = sb.doc_id
          |WHERE 2 * isz >= LEAST(sa.sz, sb.sz)
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same (ts, event_id) per-user ordering as q22; the conditional
+    // probability is integer-exact: n·10⁶ // per-prev-state total.
+    "x87_transition_matrix" ->
+      """WITH p AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n FROM (
+        |    SELECT event_type,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS prev_type
+        |    FROM events) t
+        |  WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type),
+        |tot AS (SELECT prev_type, sum(n) AS tt FROM p GROUP BY prev_type)
+        |SELECT p.prev_type, p.next_type, p.n,
+        |       CAST((p.n * 1000000) // tot.tt AS BIGINT) AS p_micro
+        |FROM p JOIN tot USING (prev_type)
+        |ORDER BY p.prev_type, p.next_type""".stripMargin,
   )
 
   /** Shared CTE body for the x76/x77 oracle edge set: valid vectors →

@@ -102,6 +102,27 @@ class SequencesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a,b"), (2L, "c")))
   }
 
+  test("transitionMatrix: within-key pairs only, tie-broken order, exact integer probabilities") {
+    val events = Seq(
+      // user 1: a → b → c, with the a/b pair sharing a timestamp
+      // (event_id orders a first)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:01:00"), 3L, "c"),
+      // user 2: a → c; no cross-user (c, a) transition may appear
+      (2L, ts("2024-01-01 09:00:00"), 4L, "a"),
+      (2L, ts("2024-01-01 09:01:00"), 5L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.transitionMatrix(events)
+      .orderBy("prev_type", "next_type")
+      .as[(String, String, Long, Long)].collect()
+    // from a: b (1) and c (1) → 500000 each; from b: c (1) → 1000000
+    assert(out.toSeq == Seq(
+      ("a", "b", 1L, 500000L),
+      ("a", "c", 1L, 500000L),
+      ("b", "c", 1L, 1000000L)))
+  }
+
   test("sessionTranscripts: gap split, tie-broken path order, exact decimal sums") {
     val events = Seq(
       // user 1, session 1: three events inside the hour; the first two
