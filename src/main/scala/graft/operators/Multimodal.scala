@@ -109,6 +109,62 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 
+  final case class MediaHash(media_id: Long, phash: Long)
+
+  /** Perceptual hash (dHash shape) over the payload's 32-bin byte
+    * histogram: bit b set when bin b holds strictly more bytes than
+    * bin (b+1) mod 32 — the gradient statistic real image dHash uses,
+    * decided by an integer compare so any engine replays the hash
+    * bit-for-bit (for ASCII payloads `ascii(char) % 32` IS the byte
+    * bin, the same portability contract as x12's md5-of-text; mod-32
+    * binning ≈ letter identity on text, which is what gives the hash
+    * entropy where high-nibble binning collapses). A real image
+    * pipeline swaps the histogram for downsampled luminance; the
+    * banding, bucketing, and Hamming machinery below is unchanged. */
+  def perceptualHash(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val cnt = new Array[Int](32)
+        var i = 0
+        while (i < m.bytes.length) { cnt((m.bytes(i) & 0xFF) % 32) += 1; i += 1 }
+        var ph = 0L
+        var b = 0
+        while (b < 32) {
+          if (cnt(b) > cnt((b + 1) % 32)) ph |= (1L << b)
+          b += 1
+        }
+        MediaHash(m.media_id, ph)
+      }
+    }
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash Hamming distance,
+    * EXACT for `maxHamming` ≤ 3 via 8-bit banding: with ≤ 3 differing
+    * bits across 4 bands, pigeonhole leaves at least one band
+    * identical, so the band-bucket join (an equi-join on the packed
+    * (band, value) key — one shuffle, AQE-splittable, never
+    * all-pairs) generates every qualifying pair; the exact Hamming
+    * filter then discards false candidates. The brute-force oracle
+    * checks this recall claim pair-for-pair at the gate. */
+  def phashNearDup(hashes: Dataset[MediaHash], maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band pigeonhole is exact only to Hamming 3; got $maxHamming")
+    val bands = hashes.toDF().select(col("media_id"), col("phash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> shiftright(phash, b * 8) % 256 + b * 256)"))
+          .as("bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.bv") === col("y.bv") && col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("doc_a"), col("y.media_id").as("doc_b"),
+        col("x.phash").as("__pa"), col("y.phash").as("__pb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(bit_count(__pa ^ __pb) as int)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Resize stub: re-bucket the byte histogram to `bins` bins — the
     * plan shape of an image resize (per-row transform of a fixed-width
     * numeric array, codegen-friendly input, batched compute). Bucket

@@ -1197,6 +1197,27 @@ object ExtensionQueries {
     graft.operators.Sequences.transitionMatrix(Tables.load(s, dir, "events"))
       .orderBy(col("prev_type"), col("next_type"))
 
+  /** x88 perceptual-hash near-dup profile over media payloads
+    * ([[Multimodal.perceptualHash]] + [[Multimodal.phashNearDup]]):
+    * the image-near-dup shape on the fixture's text-as-bytes payloads,
+    * summarized per Hamming distance (pair count + distinct docs
+    * involved — bounded output at any corpus; letter-salad byte
+    * spectra correlate, so the raw pair list is corpus-quadratic).
+    * The banded engine feeds the profile, and the oracle recomputes it
+    * from a brute-force all-pairs join — so the 4-band pigeonhole
+    * recall guarantee is itself gate-checked. */
+  def x88(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashNearDup(
+        Multimodal.perceptualHash(
+          Multimodal.asMedia(docs(s, dir), "doc_id", "text", "text", "source")),
+        maxHamming = 2)
+      .select(col("hamming"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"), col("doc_a"), col("doc_b"))
+      .groupBy(col("hamming"))
+      .agg((count(lit(1)) / 2).cast("bigint").as("n_pairs"),
+        count_distinct(col("d")).as("n_docs"))
+      .orderBy(col("hamming"))
+
   /** Bench-only timing probes: scale-path variants of declared queries
     * whose oracled form carries deliberate calibration overhead. Timed
     * and reported by [[graft.Bench]] under "probes"; NOT part of
@@ -1292,6 +1313,7 @@ object ExtensionQueries {
     "x85_curation_scorecard" -> (x85 _),
     "x86_containment_screen" -> (x86 _),
     "x87_transition_matrix" -> (x87 _),
+    "x88_phash_neardup" -> (x88 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2963,6 +2985,34 @@ object ExtensionQueries {
         |       CAST((p.n * 1000000) // tot.tt AS BIGINT) AS p_micro
         |FROM p JOIN tot USING (prev_type)
         |ORDER BY p.prev_type, p.next_type""".stripMargin,
+
+    // Brute-force all-pairs ground truth for the banded engine: the
+    // dHash bit rule is an integer compare over the zero-filled mod-32
+    // byte histogram (ascii(c) % 32 IS the byte bin for the ASCII
+    // fixture payloads), and recomputing the profile from ALL pairs
+    // makes the 4-band pigeonhole recall claim part of the gate.
+    "x88_phash_neardup" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, strlen(text) + 1),
+        |                        i -> ascii(substr(text, CAST(i AS INT), 1)) % 32) AS bins
+        |  FROM documents),
+        |hist AS (SELECT doc_id,
+        |                list_transform(range(0, 32),
+        |                               b -> len(list_filter(bins, x -> x = b))) AS h
+        |         FROM ch),
+        |ph AS (SELECT doc_id,
+        |              CAST(list_sum(list_transform(range(0, 32),
+        |                b -> CASE WHEN h[CAST(b AS INT) + 1] > h[CAST((b + 1) % 32 AS INT) + 1]
+        |                          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS phash
+        |       FROM hist),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |              CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |       FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+        |SELECT hamming, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        |FROM (SELECT hamming, unnest([doc_a, doc_b]) AS d FROM pr WHERE hamming <= 2) t
+        |GROUP BY hamming ORDER BY hamming""".stripMargin,
   )
 
   /** Shared CTE body for the x76/x77 oracle edge set: valid vectors →

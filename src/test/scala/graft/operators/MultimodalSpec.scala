@@ -57,4 +57,19 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
     }
   }
+
+  test("perceptualHash: hand-computed dHash bits; phashNearDup finds the Hamming-≤2 pairs") {
+    // ascii%32: 'a'→1, 'b'→2. "aab": h[1]=2 > h[2]=1 → bit1; h[2]=1 >
+    // h[3]=0 → bit2 ⇒ phash 6. "abb": h[1]=1 ≯ h[2]=2; h[2]=2 > h[3]
+    // → bit2 ⇒ phash 4. hamming(6,4)=1.
+    val d = Seq((1L, "aab"), (2L, "aab"), (3L, "abb")).toDF("doc_id", "text")
+    val hashes = Multimodal.perceptualHash(
+      Multimodal.asMedia(d.withColumn("source", lit("s")),
+        "doc_id", "text", "text", "source"))
+    assert(hashes.collect().map(h => h.media_id -> h.phash).toMap ==
+      Map(1L -> 6L, 2L -> 6L, 3L -> 4L))
+    val pairs = Multimodal.phashNearDup(hashes, maxHamming = 2)
+      .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2))
+    assert(pairs.toSeq == Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+  }
 }
