@@ -1218,6 +1218,28 @@ object ExtensionQueries {
         count_distinct(col("d")).as("n_docs"))
       .orderBy(col("hamming"))
 
+  /** x89 source league table — the x85 scorecard rolled up per
+    * (source, verdict): the per-provider report every curation run
+    * ships (which sources feed dups, which feed redundant text, which
+    * survive). Novelty aggregates as an integer micro-unit sum, so
+    * the per-source mean is derivable exactly downstream; chars come
+    * from the docs frame, joined back on doc id. One extra hash
+    * aggregation over the scorecard — the signals compute once. */
+  def x89(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = Dedup.canonicalizeClusters(
+      Dedup.connectedComponents(Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.2)), d)
+    TextAnalysis.curationScorecard(d, clusters)
+      .join(d.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("bigint").as("chars"),
+        sum(coalesce(round(col("novelty") * lit(1e6)).cast("long"), lit(0L)))
+          .as("novelty_micro_sum"))
+      .orderBy(col("source"), col("verdict"))
+  }
+
   /** Bench-only timing probes: scale-path variants of declared queries
     * whose oracled form carries deliberate calibration overhead. Timed
     * and reported by [[graft.Bench]] under "probes"; NOT part of
@@ -1314,6 +1336,7 @@ object ExtensionQueries {
     "x86_containment_screen" -> (x86 _),
     "x87_transition_matrix" -> (x87 _),
     "x88_phash_neardup" -> (x88 _),
+    "x89_source_league" -> (x89 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2904,48 +2927,22 @@ object ExtensionQueries {
     // from their SHARED CTE renderings — into the per-doc first-fail
     // verdict. Signals a doc lacks coalesce to the passing side.
     "x85_curation_scorecard" ->
-      s"""WITH RECURSIVE $ngramPairsCteSql,
-         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |       UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS node FROM ed),
-         |reach(node, r) AS (
-         |  SELECT node, node FROM nodes
-         |  UNION
-         |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
-         |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
-         |wl AS (SELECT cl.doc_id, cl.cluster_id, coalesce(d.n_chars, -1) AS len
-         |       FROM cl LEFT JOIN documents d USING (doc_id)),
-         |cn AS (SELECT cluster_id, doc_id AS canonical_id FROM (
-         |         SELECT cluster_id, doc_id,
-         |                row_number() OVER (PARTITION BY cluster_id
-         |                                   ORDER BY len DESC, doc_id) AS rn
-         |         FROM wl) t WHERE rn = 1),
-         |kp AS (SELECT wl.doc_id, wl.doc_id = cn.canonical_id AS keep
-         |       FROM wl JOIN cn USING (cluster_id)),
-         |bg AS (SELECT doc_id, ${wordNgramsSql(2, distinct = false)} AS g FROM toks),
-         |gc AS (SELECT doc_id, gram, count(*) AS c
-         |       FROM (SELECT doc_id, unnest(g) AS gram FROM bg) e
-         |       GROUP BY doc_id, gram),
-         |rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_gram_ratio
-         |        FROM gc GROUP BY doc_id),
-         |fst AS (SELECT gram, min(doc_id) AS fd FROM ex GROUP BY gram),
-         |nov AS (SELECT ex.doc_id,
-         |               round(sum(CASE WHEN fst.fd = ex.doc_id THEN 1 ELSE 0 END)::DOUBLE
-         |                     / count(*)::DOUBLE, 6) AS novelty
-         |        FROM ex JOIN fst USING (gram) GROUP BY ex.doc_id)
-         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
-         |       rep.top_gram_ratio, nov.novelty,
-         |       COALESCE(kp.keep, TRUE) AS dup_keep,
-         |       CASE WHEN len(t.w) < 20 THEN 'too_short'
-         |            WHEN COALESCE(rep.top_gram_ratio, 0) > 0.06 THEN 'repetitive'
-         |            WHEN COALESCE(nov.novelty, 1.0) < 0.2 THEN 'redundant'
-         |            WHEN NOT COALESCE(kp.keep, TRUE) THEN 'duplicate'
-         |            ELSE 'kept' END AS verdict
-         |FROM toks t
-         |LEFT JOIN rep USING (doc_id)
-         |LEFT JOIN nov USING (doc_id)
-         |LEFT JOIN kp USING (doc_id)
-         |ORDER BY t.doc_id""".stripMargin,
+      s"""WITH RECURSIVE $scorecardCteSql
+         |SELECT doc_id, n_tokens, top_gram_ratio, novelty, dup_keep, verdict
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // The x85 scorecard chain rolled up per (source, verdict); novelty
+    // aggregates as an exact integer micro-unit sum.
+    "x89_source_league" ->
+      s"""WITH RECURSIVE $scorecardCteSql
+         |SELECT d.source, sc.verdict, count(*) AS n,
+         |       CAST(sum(d.n_chars) AS BIGINT) AS chars,
+         |       CAST(sum(CASE WHEN sc.novelty IS NULL THEN 0
+         |                     ELSE CAST(round(sc.novelty * 1e6) AS BIGINT) END) AS BIGINT)
+         |         AS novelty_micro_sum
+         |FROM sc JOIN documents d USING (doc_id)
+         |GROUP BY d.source, sc.verdict
+         |ORDER BY d.source, sc.verdict""".stripMargin,
 
     // Df-capped inverted index (grams in ≤ 50 docs generate pairs; all
     // statistics over the capped universe), integer-exact ½ keep rule.
@@ -3014,6 +3011,56 @@ object ExtensionQueries {
         |FROM (SELECT hamming, unnest([doc_a, doc_b]) AS d FROM pr WHERE hamming <= 2) t
         |GROUP BY hamming ORDER BY hamming""".stripMargin,
   )
+
+  /** Shared CTE chain for the x85/x89 oracles, ending in
+    * `sc(doc_id, n_tokens, top_gram_ratio, novelty, dup_keep,
+    * verdict)` — the per-doc curation scorecard: the x68 canonical
+    * chain (recursive CC + keep rule) + the x29 repetition statistic +
+    * the x81 novelty statistic, composed into the first-fail verdict.
+    * Callers must prefix `WITH RECURSIVE`. */
+  private def scorecardCteSql: String =
+    s"""$ngramPairsCteSql,
+       |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |       UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM ed),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+       |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+       |wl AS (SELECT cl.doc_id, cl.cluster_id, coalesce(d.n_chars, -1) AS len
+       |       FROM cl LEFT JOIN documents d USING (doc_id)),
+       |cn AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+       |         SELECT cluster_id, doc_id,
+       |                row_number() OVER (PARTITION BY cluster_id
+       |                                   ORDER BY len DESC, doc_id) AS rn
+       |         FROM wl) t WHERE rn = 1),
+       |kp AS (SELECT wl.doc_id, wl.doc_id = cn.canonical_id AS keep
+       |       FROM wl JOIN cn USING (cluster_id)),
+       |bg AS (SELECT doc_id, ${wordNgramsSql(2, distinct = false)} AS g FROM toks),
+       |gc AS (SELECT doc_id, gram, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(g) AS gram FROM bg) e
+       |       GROUP BY doc_id, gram),
+       |rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_gram_ratio
+       |        FROM gc GROUP BY doc_id),
+       |fst AS (SELECT gram, min(doc_id) AS fd FROM ex GROUP BY gram),
+       |nov AS (SELECT ex.doc_id,
+       |               round(sum(CASE WHEN fst.fd = ex.doc_id THEN 1 ELSE 0 END)::DOUBLE
+       |                     / count(*)::DOUBLE, 6) AS novelty
+       |        FROM ex JOIN fst USING (gram) GROUP BY ex.doc_id),
+       |sc AS (
+       |  SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |         rep.top_gram_ratio, nov.novelty,
+       |         COALESCE(kp.keep, TRUE) AS dup_keep,
+       |         CASE WHEN len(t.w) < 20 THEN 'too_short'
+       |              WHEN COALESCE(rep.top_gram_ratio, 0) > 0.06 THEN 'repetitive'
+       |              WHEN COALESCE(nov.novelty, 1.0) < 0.2 THEN 'redundant'
+       |              WHEN NOT COALESCE(kp.keep, TRUE) THEN 'duplicate'
+       |              ELSE 'kept' END AS verdict
+       |  FROM toks t
+       |  LEFT JOIN rep USING (doc_id)
+       |  LEFT JOIN nov USING (doc_id)
+       |  LEFT JOIN kp USING (doc_id))""".stripMargin
 
   /** Shared CTE body for the x76/x77 oracle edge set: valid vectors →
     * sign-buckets ([[bucketSql]], same plane constants the Spark plan
