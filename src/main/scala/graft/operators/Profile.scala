@@ -125,6 +125,60 @@ object Profile {
         col("exact_distinct"))
   }
 
+  /** Pairwise group-similarity matrix from mergeable bottom-k (KMV)
+    * sketches — "how much vocabulary do these two sources share"
+    * WITHOUT holding any source's full vocabulary: each group keeps
+    * its k smallest item hashes (k·8 bytes, mergeable by min-merge,
+    * the same partial-then-merge shape as every sketch here), and the
+    * standard KMV Jaccard estimator compares sketches pairwise:
+    * est = |K(A∪B) ∩ A_sk ∩ B_sk| / |K(A∪B)| where K is bottom-k of
+    * the merged sketch. Alongside the estimate, the EXACT Jaccard
+    * from the full item sets — the x42/x20 calibration pattern: the
+    * sketch is the scale path, the exact column is the oracle of its
+    * error, and both ride the gate.
+    *
+    * Scale design: sketches reduce each group to k values before the
+    * pairwise stage, so the pair join is groups² × k — independent of
+    * corpus size; the exact columns are calibration cost a production
+    * run drops. Items hash through the portable md5-60 family, so any
+    * engine re-derives identical sketches.
+    *
+    * Output: (grp_a, grp_b, est_j, exact_j) for grp_a < grp_b. */
+  def kmvPairSimilarity(items: DataFrame, groupCol: String,
+      itemCol: String, k: Int = 64): DataFrame = {
+    require(k > 1, s"kmvPairSimilarity: k must be > 1, got $k")
+    val hv = items
+      .select(col(groupCol).as("grp"),
+        graft.functions.TextFunctions.md5Bucket60(col(itemCol)).as("h"))
+      .distinct()
+      .localCheckpoint(true) // feeds the sketch AND the exact pair join
+    val sk = hv.groupBy(col("grp"))
+      .agg(slice(sort_array(collect_list(col("h"))), 1, k).as("sk"))
+    val est = sk.as("a").join(sk.as("b"), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        slice(array_sort(array_union(col("a.sk"), col("b.sk"))), 1, k).as("__u"),
+        col("a.sk").as("__sa"), col("b.sk").as("__sb"))
+      .select(col("grp_a"), col("grp_b"),
+        round(size(array_intersect(array_intersect(col("__u"), col("__sa")),
+            col("__sb"))).cast("double")
+          / size(col("__u")).cast("double"), 6).as("est_j"))
+    val sz = hv.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val isz = hv.as("x").join(hv.as("y"),
+        col("x.h") === col("y.h") && col("x.grp") < col("y.grp"))
+      .groupBy(col("x.grp").as("grp_a"), col("y.grp").as("grp_b"))
+      .agg(count(lit(1)).as("isz"))
+    val exact = isz
+      .join(sz.select(col("grp").as("grp_a"), col("n").as("__na")), "grp_a")
+      .join(sz.select(col("grp").as("grp_b"), col("n").as("__nb")), "grp_b")
+      .select(col("grp_a"), col("grp_b"),
+        round(col("isz").cast("double")
+          / (col("__na") + col("__nb") - col("isz")).cast("double"), 6)
+          .as("exact_j"))
+    est.join(exact, Seq("grp_a", "grp_b"), "left")
+      .select(col("grp_a"), col("grp_b"), col("est_j"),
+        coalesce(col("exact_j"), lit(0.0)).as("exact_j"))
+  }
+
   /** Deterministic hash-sampled quantiles — the scale path for exact
     * percentiles: Spark's `percentile` buffers every distinct value of
     * a group in executor memory, which a 100 TB group cannot do, and

@@ -1218,6 +1218,18 @@ object ExtensionQueries {
         count_distinct(col("d")).as("n_docs"))
       .orderBy(col("hamming"))
 
+  /** x90 KMV source-similarity matrix: per-source bottom-64 sketches
+    * over distinct word bigrams, pairwise KMV Jaccard estimates next
+    * to the exact values ([[Profile.kmvPairSimilarity]]) — sketch
+    * algebra as the scale path, exact columns as its calibration. */
+  def x90(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    val bigrams = docs(s, dir).select(col("source"),
+      explode(wordShingles(col("text"), 2)).as("g"))
+    Profile.kmvPairSimilarity(bigrams, "source", "g", k = 64)
+      .orderBy(col("grp_a"), col("grp_b"))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1337,6 +1349,7 @@ object ExtensionQueries {
     "x87_transition_matrix" -> (x87 _),
     "x88_phash_neardup" -> (x88 _),
     "x89_source_league" -> (x89 _),
+    "x90_kmv_source_similarity" -> (x90 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3010,6 +3023,33 @@ object ExtensionQueries {
         |       CAST(count(DISTINCT d) AS BIGINT) AS n_docs
         |FROM (SELECT hamming, unnest([doc_a, doc_b]) AS d FROM pr WHERE hamming <= 2) t
         |GROUP BY hamming ORDER BY hamming""".stripMargin,
+
+    // Sketches AND exact both replayed: the same md5-60 item hashes,
+    // bottom-64 per source, the KMV estimator over the merged
+    // bottom-64, and the exact Jaccard from the full hash sets.
+    "x90_kmv_source_similarity" ->
+      s"""WITH tk AS (SELECT source, doc_id, ${wordsSql("text")} AS w FROM documents),
+         |bg AS (SELECT DISTINCT source, unnest(${wordNgramsSql(2)}) AS g FROM tk),
+         |hv AS (SELECT DISTINCT source, ${md5Hash60Sql("g")} AS h FROM bg),
+         |sk AS (SELECT source, (list_sort(list(h)))[1:64] AS sk FROM hv GROUP BY source),
+         |e2 AS (SELECT grp_a, grp_b,
+         |              round(len(list_intersect(list_intersect(u, sa), sb))::DOUBLE
+         |                    / len(u)::DOUBLE, 6) AS est_j FROM (
+         |         SELECT a.source AS grp_a, b.source AS grp_b,
+         |                (list_sort(list_distinct(list_concat(a.sk, b.sk))))[1:64] AS u,
+         |                a.sk AS sa, b.sk AS sb
+         |         FROM sk a JOIN sk b ON a.source < b.source) t),
+         |sz AS (SELECT source, count(*) AS n FROM hv GROUP BY source),
+         |ix AS (SELECT x.source AS grp_a, y.source AS grp_b, count(*) AS isz
+         |       FROM hv x JOIN hv y ON x.h = y.h AND x.source < y.source
+         |       GROUP BY x.source, y.source)
+         |SELECT e2.grp_a, e2.grp_b, e2.est_j,
+         |       COALESCE(round(ix.isz::DOUBLE / (sa2.n + sb2.n - ix.isz)::DOUBLE, 6),
+         |                0.0) AS exact_j
+         |FROM e2 LEFT JOIN ix ON e2.grp_a = ix.grp_a AND e2.grp_b = ix.grp_b
+         |        JOIN sz sa2 ON e2.grp_a = sa2.source
+         |        JOIN sz sb2 ON e2.grp_b = sb2.source
+         |ORDER BY e2.grp_a, e2.grp_b""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in

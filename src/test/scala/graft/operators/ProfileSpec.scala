@@ -119,4 +119,21 @@ class ProfileSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(err).exists(_.contains("outside [0, 2^60)")), err)
   }
+
+  test("kmvPairSimilarity: with k above the vocab the estimate IS the exact Jaccard; " +
+    "disjoint pairs coalesce to zero") {
+    val items = Seq(
+      ("A", "a"), ("A", "b"), ("A", "c"),
+      ("B", "b"), ("B", "c"), ("B", "d"),
+      ("C", "zz")).toDF("source", "item")
+    val out = Profile.kmvPairSimilarity(items, "source", "item", k = 64)
+      .orderBy($"grp_a", $"grp_b")
+      .as[(String, String, Double, Double)].collect()
+    // J(A,B) = |{b,c}| / |{a,b,c,d}| = 0.5 — sketches hold everything,
+    // so the estimator degenerates to the exact value
+    assert(out.toSeq == Seq(
+      ("A", "B", 0.5, 0.5),
+      ("A", "C", 0.0, 0.0),
+      ("B", "C", 0.0, 0.0)))
+  }
 }
