@@ -416,6 +416,67 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersWithState: matches a reference Misra-Gries model on seeded random streams") {
+    // driver-side reference fold of the SAME algorithm — the processor
+    // must agree exactly (state round-trip through RocksDB included),
+    // and the textbook bounds must hold against true counts
+    def model(tokens: Seq[String], k: Int): (Map[String, Long], Long) = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var d = 0L
+      tokens.foreach { t =>
+        if (m.contains(t)) m(t) += 1
+        else if (m.size < k) m(t) = 1L
+        else {
+          d += 1
+          m.keys.toList.foreach { key =>
+            if (m(key) == 1) m.remove(key) else m(key) -= 1 }
+        }
+      }
+      (m.toMap, d)
+    }
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      for (seed <- Seq(5L, 6L)) {
+        val rnd = new scala.util.Random(seed)
+        // zipf-ish skew: token id = floor(20 / (1 + rnd*9)) gives a
+        // heavy head — the regime MG is for
+        val tokens = Seq.fill(300)("t" + (20 / (1 + rnd.nextInt(10))))
+        val batches = tokens.grouped(100).toSeq
+        val in = MemoryStream[Streaming.TokenEvent]
+        val name = s"mg_prop_$seed"
+        val q = Streaming.heavyHittersWithState(in.toDS(), k = 4)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        var before = 0L
+        batches.dropRight(1).foreach { b =>
+          in.addData(b.map(Streaming.TokenEvent(0, _)))
+          q.processAllAvailable()
+        }
+        before = spark.table(name).count()
+        in.addData(batches.last.map(Streaming.TokenEvent(0, _)))
+        q.processAllAvailable()
+        q.stop()
+        // the final batch's emission (rows beyond `before`) must equal
+        // the model's final summary exactly
+        val rows = spark.table(name).as[Streaming.HeavyHitter].collect()
+        val finalRows = rows.drop(before.toInt).map(h => h.token -> h).toMap
+        val (mm, d) = model(tokens, 4)
+        assert(finalRows.keySet == mm.keySet, s"seed $seed keys differ")
+        mm.foreach { case (t, c) =>
+          val h = finalRows(t)
+          assert(h.cnt_min == c && h.cnt_max == c + d,
+            s"seed $seed token $t model ($c, ${c + d}) got $h")
+        }
+        // textbook guarantee vs true counts
+        val truth = tokens.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+        truth.foreach { case (t, n) =>
+          if (mm.contains(t)) assert(mm(t) <= n && n <= mm(t) + d, s"seed $seed $t")
+          else assert(n <= d, s"seed $seed absent $t true $n > d $d")
+        }
+      }
+    }
+  }
+
   test("sessionizeWithTimers: the watermark closes idle sessions via timers — no sentinel") {
     withRocksDb {
       implicit val sc = spark.sqlContext
