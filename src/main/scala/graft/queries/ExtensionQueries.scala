@@ -1218,6 +1218,45 @@ object ExtensionQueries {
         count_distinct(col("d")).as("n_docs"))
       .orderBy(col("hamming"))
 
+  /** x91 dataset card — the one-row corpus datasheet every released
+    * training set ships: size, provenance breadth, token mass,
+    * vocabulary, duplication, curation survival, novelty, and the
+    * length median, in a single engine-exact row. Each statistic is an
+    * already-verified operator's aggregate (dup pairs = the x04 exact
+    * relation, kept/novelty = the x85 scorecard chain, median =
+    * percentile_disc), composed here so the "datasheet" is itself a
+    * declared, oracle-checked query rather than a by-hand report. */
+  def x91(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val d = docs(s, dir)
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("source")).as("n_sources"),
+      count_distinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).cast("bigint").as("total_chars"))
+    val toks = d.select(words(col("text")).as("__w")).localCheckpoint(true)
+    val tok = toks.agg(sum(size(col("__w"))).cast("bigint").as("total_tokens"))
+    val dw = toks.select(explode(col("__w")).as("word"))
+      .agg(count_distinct(col("word")).as("distinct_words"))
+    val pairs = Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+      ngram = 3, prefixK = 8, minJaccard = 0.2).localCheckpoint(true)
+    val dup = pairs.agg(count(lit(1)).as("dup_pairs"))
+    val dd = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("x"))
+      .agg(count_distinct(col("x")).as("dup_docs"))
+    val clusters = Dedup.canonicalizeClusters(
+      Dedup.connectedComponents(pairs), d)
+    val sc = TextAnalysis.curationScorecard(d, clusters).localCheckpoint(true)
+    val kept = sc.filter(col("verdict") === "kept")
+      .agg(count(lit(1)).as("kept_docs"))
+    val novm = sc.filter(col("novelty").isNotNull)
+      .agg(expr(
+        "cast(sum(cast(round(novelty * 1e6) as bigint)) div count(1) as bigint)")
+        .as("novelty_micro_mean"))
+    val p50 = d.selectExpr(
+      "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) as bigint) AS p50_chars")
+    base.join(tok).join(dw).join(dup).join(dd).join(kept).join(novm).join(p50)
+  }
+
   /** x90 KMV source-similarity matrix: per-source bottom-64 sketches
     * over distinct word bigrams, pairwise KMV Jaccard estimates next
     * to the exact values ([[Profile.kmvPairSimilarity]]) — sketch
@@ -1350,6 +1389,7 @@ object ExtensionQueries {
     "x88_phash_neardup" -> (x88 _),
     "x89_source_league" -> (x89 _),
     "x90_kmv_source_similarity" -> (x90 _),
+    "x91_dataset_card" -> (x91 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3050,6 +3090,30 @@ object ExtensionQueries {
          |        JOIN sz sa2 ON e2.grp_a = sa2.source
          |        JOIN sz sb2 ON e2.grp_b = sb2.source
          |ORDER BY e2.grp_a, e2.grp_b""".stripMargin,
+
+    // Every cell re-derived from the shared CTE renderings: the x04
+    // pair relation for duplication, the scorecard chain for
+    // kept/novelty, percentile_disc for the median. One exact row.
+    "x91_dataset_card" ->
+      s"""WITH RECURSIVE $scorecardCteSql,
+         |wrd AS (SELECT doc_id, unnest(w) AS word FROM toks),
+         |base AS (SELECT count(*) AS n_docs,
+         |                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |         FROM documents),
+         |tok AS (SELECT CAST(sum(len(w)) AS BIGINT) AS total_tokens FROM toks),
+         |dw AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS distinct_words FROM wrd),
+         |dup AS (SELECT count(*) AS dup_pairs FROM pairs),
+         |dd AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS dup_docs
+         |       FROM (SELECT doc_a AS x FROM pairs UNION SELECT doc_b FROM pairs) t),
+         |kept AS (SELECT count(*) AS kept_docs FROM sc WHERE verdict = 'kept'),
+         |novm AS (SELECT CAST(sum(CAST(round(novelty * 1e6) AS BIGINT)) // count(*)
+         |                     AS BIGINT) AS novelty_micro_mean
+         |         FROM sc WHERE novelty IS NOT NULL),
+         |p50 AS (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+         |                    AS BIGINT) AS p50_chars FROM documents)
+         |SELECT * FROM base, tok, dw, dup, dd, kept, novm, p50""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in
