@@ -160,6 +160,54 @@ object Graph {
           .as("cc_micro"))
   }
 
+  /** Common-neighbor link prediction over an undirected (u < v) edge
+    * list: for every NON-adjacent pair sharing ≥ `minCommon`
+    * neighbors, the shared-neighbor count and the neighborhood-Jaccard
+    * score — the "these two should probably be connected" read on a
+    * corpus graph. On a mutual k-NN graph the predicted links are
+    * near-dup/topic edges the bucket boundaries clipped, so this is
+    * the recall-repair pass over [[Similarity.knnGraph]]'s output
+    * (reference analogue: the fuzzy description↔feed matching the
+    * lookup join papers over, publish_to_catalog.py:503-513).
+    *
+    * The score rides integer micro-units: jaccard_micro =
+    * common·10⁶ div (deg_a + deg_b − common) — exact set algebra on
+    * counts, no float division, engine-portable bit-for-bit.
+    *
+    * Scale design: the candidate relation is the wedge join (two
+    * adjacency copies equi-joined on the shared neighbor), Σ deg² rows
+    * — linear in edges on a degree-bounded k-NN graph (deg ≤ 2k); a
+    * power-law graph would need a hub cap first (same guard as
+    * [[Dedup]]'s `maxBucketSize`). Every join is keyed (neighbor id,
+    * pair key, node id) — hash-shuffled, AQE-splittable, nothing
+    * edge-cardinality broadcasts; adjacency is localCheckpoint'd once
+    * and reused by the wedge, degree, and anti-join stages.
+    *
+    * Output: (a, b, common, jaccard_micro) with a < b, non-adjacent
+    * pairs only. */
+  def linkPrediction(und: DataFrame, minCommon: Int = 1): DataFrame = {
+    val e = und.select(col("u"), col("v")).localCheckpoint(true)
+    val adj = e.select(col("u").as("x"), col("v").as("n"))
+      .union(e.select(col("v").as("x"), col("u").as("n")))
+      .localCheckpoint(true)
+    val candidates = adj.select(col("n"), col("x").as("a"))
+      .join(adj.select(col("n"), col("x").as("b")), "n")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      // drop pairs already connected: und carries (u < v), so the
+      // (a, b) orientation matches and one left-anti suffices
+      .join(e.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
+        "left_anti")
+    val deg = adj.groupBy(col("x").as("id")).agg(count(lit(1)).as("deg"))
+    candidates
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common"),
+        expr("common * 1000000L div (deg_a + deg_b - common)")
+          .as("jaccard_micro"))
+  }
+
   /** Per-node degree diagnostics of a directed graph: out-degree,
     * in-degree, and mutual degree (edges present in both directions).
     * For a k-NN graph this is the index-health read BEFORE building

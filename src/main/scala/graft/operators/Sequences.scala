@@ -150,6 +150,52 @@ object Sequences {
         expr("n * 1000000L div __tot").as("p_micro"))
   }
 
+  /** Weekly cohort-retention matrix: users are cohorted by the Monday
+    * of their FIRST event's week, and each (cohort, week-offset) cell
+    * counts the cohort members active that many weeks later — the
+    * standard activity-retention read on a behavior log, and for a
+    * training-data pipeline the freshness/engagement profile of a
+    * telemetry-derived corpus slice.
+    *
+    * Arithmetic is engine-exact throughout: week bucketing is
+    * `date_trunc('week')` (ISO Monday in both Spark and DuckDB), the
+    * offset is a day-difference of two Monday dates `div 7` (exact —
+    * both endpoints are week-truncated), and the retention rate rides
+    * integer micro-units (`active·10⁶ div cohort_size`) instead of a
+    * float division, so rows hash identically across engines.
+    *
+    * Scale design: three hash aggregations and two joins, no windows.
+    * First-event extraction shuffles once on the user key; the
+    * activity join is user-keyed against the (already user-partitioned)
+    * cohort frame, so AQE can reuse/co-locate the exchange; the final
+    * (cohort, offset) aggregation and the cohort-size join operate on
+    * week-cardinality frames (tiny at any event volume — weeks ×
+    * offsets), which broadcast. A 100 TB event log flows through
+    * exactly two data-volume shuffles, both on `user_id`.
+    *
+    * Output: (cohort_week, week_offset, active_users, cohort_size,
+    * retention_micro), offset 0 = the cohort's own first week (always
+    * present, retention 10⁶ only if every member was active — it is,
+    * by construction, since the first event lands in week 0). */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firsts = events
+      .groupBy(col(userCol))
+      .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cohort_week"))
+    val sizes = firsts
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    val activity = events
+      .select(col(userCol), to_date(date_trunc("week", col(tsCol))).as("__wk"))
+      .join(firsts, userCol)
+      .groupBy(col("cohort_week"),
+        expr("datediff(__wk, cohort_week) div 7").as("week_offset"))
+      .agg(count_distinct(col(userCol)).as("active_users"))
+    activity.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_size"),
+        expr("active_users * 1000000L div cohort_size").as("retention_micro"))
+  }
+
   def sessionTranscripts(events: DataFrame, gap: String = "1 HOUR",
       keyCol: String = "user_id", tsCol: String = "ts",
       tieCol: String = "event_id", typeCol: String = "event_type",

@@ -1269,6 +1269,26 @@ object ExtensionQueries {
       .orderBy(col("grp_a"), col("grp_b"))
   }
 
+  /** x92 weekly retention cohorts over the event log — see
+    * [[graft.operators.Sequences.retentionCohorts]]: Monday-truncated
+    * first-week cohorts, integer-exact week offsets, and the retention
+    * rate in micro-units (no float division anywhere). */
+  def x92(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.retentionCohorts(Tables.load(s, dir, "events"))
+      // dates travel as strings through the gate (house convention —
+      // q19/q33 do the same): pandas renders DATE differently per engine
+      .withColumn("cohort_week", col("cohort_week").cast("string"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  /** x93 common-neighbor link prediction over the mutual k-NN graph —
+    * see [[graft.operators.Graph.linkPrediction]]: non-adjacent vector
+    * pairs ranked by shared-neighbor evidence, the recall-repair pass
+    * over the x76 edge set (bucket-boundary misses resurface here). */
+  def x93(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.linkPrediction(
+        graft.operators.Graph.mutualEdges(knnEdges(s, dir)))
+      .orderBy(col("a"), col("b"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1390,6 +1410,8 @@ object ExtensionQueries {
     "x89_source_league" -> (x89 _),
     "x90_kmv_source_similarity" -> (x90 _),
     "x91_dataset_card" -> (x91 _),
+    "x92_retention_cohorts" -> (x92 _),
+    "x93_link_prediction" -> (x93 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3114,6 +3136,60 @@ object ExtensionQueries {
          |p50 AS (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
          |                    AS BIGINT) AS p50_chars FROM documents)
          |SELECT * FROM base, tok, dw, dup, dd, kept, novm, p50""".stripMargin,
+
+    // Replays retentionCohorts term by term: date_trunc('week') is ISO
+    // Monday in both engines, the offset subtracts two Monday dates
+    // (exactly divisible by 7), and the rate is integer floor-division
+    // on non-negative longs — identical in Spark (`div`) and DuckDB
+    // (`//`).
+    "x92_retention_cohorts" ->
+      """WITH f AS (SELECT user_id,
+        |                  CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |           FROM events GROUP BY user_id),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1),
+        |act AS (SELECT f.cohort_week,
+        |               datediff('day', f.cohort_week,
+        |                        CAST(date_trunc('week', e.ts) AS DATE)) // 7
+        |                 AS week_offset,
+        |               e.user_id
+        |        FROM events e JOIN f USING (user_id)),
+        |r AS (SELECT cohort_week, week_offset,
+        |             count(DISTINCT user_id) AS active_users
+        |      FROM act GROUP BY 1, 2)
+        |SELECT CAST(r.cohort_week AS STRING) AS cohort_week,
+        |       CAST(week_offset AS BIGINT) AS week_offset,
+        |       CAST(active_users AS BIGINT) AS active_users,
+        |       CAST(cohort_size AS BIGINT) AS cohort_size,
+        |       CAST(active_users * 1000000 // cohort_size AS BIGINT)
+        |         AS retention_micro
+        |FROM r JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // Replays linkPrediction over the same mutual edge set as x84: the
+    // wedge join on the shared neighbor, the (u < v) adjacency
+    // anti-check, and the micro-unit neighborhood Jaccard — integer
+    // floor-division, engine-identical.
+    "x93_link_prediction" ->
+      s"""WITH ${knnEdgesCteSql(3)},
+         |und AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |        FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+         |        WHERE a.src < a.dst),
+         |adj AS (SELECT u AS x, v AS n FROM und
+         |        UNION ALL SELECT v, u FROM und),
+         |cn AS (SELECT l.x AS a, r.x AS b, count(*) AS common
+         |       FROM adj l JOIN adj r ON l.n = r.n AND l.x < r.x
+         |       GROUP BY 1, 2),
+         |nonadj AS (SELECT cn.* FROM cn
+         |           LEFT JOIN und ON und.u = cn.a AND und.v = cn.b
+         |           WHERE und.u IS NULL),
+         |deg AS (SELECT x AS id, count(*) AS deg FROM adj GROUP BY x)
+         |SELECT n.a, n.b, CAST(common AS BIGINT) AS common,
+         |       CAST(common * 1000000 // (da.deg + db.deg - common) AS BIGINT)
+         |         AS jaccard_micro
+         |FROM nonadj n
+         |JOIN deg da ON da.id = n.a
+         |JOIN deg db ON db.id = n.b
+         |ORDER BY a, b""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in

@@ -108,4 +108,39 @@ class GraphSpec extends SparkSpec {
       (3L, 0L, 1L, 0L),  // sink-only: appears with out_deg 0
       (4L, 1L, 0L, 0L))) // source-only: appears with in_deg 0
   }
+
+  test("linkPrediction: non-adjacent pairs only, exact counts and Jaccard micro") {
+    // path 1—2—3—4: candidates are the two wedge endpoints
+    //   (1,3) via 2: common 1, deg 1+2−1=2 → 500000
+    //   (2,4) via 3: common 1, deg 2+1−1=2 → 500000
+    // (1,4) shares no neighbor → absent
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val out = Graph.linkPrediction(e)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 500000L),
+      (2L, 4L, 1L, 500000L)))
+  }
+
+  test("linkPrediction: adjacent pairs are excluded even with common neighbors") {
+    // triangle 1-2-3 plus pendant 3—4: (1,2) shares 3 but IS an edge
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val out = Graph.linkPrediction(e)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // (1,4) and (2,4) each share neighbor 3: jac = 1/(2+1−1) = 500000
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 500000L),
+      (2L, 4L, 1L, 500000L)))
+  }
+
+  test("linkPrediction: minCommon filters single-wedge evidence") {
+    // K(2,2): 1,2 on one side, 3,4 on the other — (1,2) and (3,4)
+    // each share BOTH opposite nodes: common 2, jac = 2/(2+2−2) = 10⁶
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("u", "v")
+    val out = Graph.linkPrediction(e, minCommon = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1000000L),
+      (3L, 4L, 2L, 1000000L)))
+  }
 }

@@ -145,4 +145,41 @@ class SequencesSpec extends SparkSpec {
       (1L, 2L, 1L, "e", 0.50),
       (2L, 1L, 1L, "z", 9.99)))
   }
+
+  test("retentionCohorts: Monday cohorts, distinct actives, micro-unit rate") {
+    // 2024-01-01 is a Monday. Cohort 01-01: users 1 (twice in week 0 —
+    // must count once) and 2; only user 1 returns in weeks 1 and 2
+    // (01-17 is a Wednesday → its week starts 01-15, offset 2).
+    // Cohort 01-08: user 3, active its first week only.
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 11:00:00")),
+      (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-17 10:00:00")),
+      (2L, ts("2024-01-04 10:00:00")),
+      (3L, ts("2024-01-10 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = Sequences.retentionCohorts(events)
+      .orderBy("cohort_week", "week_offset")
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect()
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    assert(out.toSeq == Seq(
+      (d("2024-01-01"), 0L, 2L, 2L, 1000000L),
+      (d("2024-01-01"), 1L, 1L, 2L, 500000L),
+      (d("2024-01-01"), 2L, 1L, 2L, 500000L),
+      (d("2024-01-08"), 0L, 1L, 1L, 1000000L)))
+  }
+
+  test("retentionCohorts: week 0 is always fully retained") {
+    // every user's first event lands in their own offset-0 week, so the
+    // offset-0 row of every cohort must read retention_micro = 10⁶
+    val events = Seq(
+      (1L, ts("2024-02-06 00:00:00")), (2L, ts("2024-02-07 23:59:59")),
+      (3L, ts("2024-02-14 12:00:00")))
+      .toDF("user_id", "ts")
+    val zero = Sequences.retentionCohorts(events)
+      .filter("week_offset = 0")
+      .select("retention_micro").as[Long].collect()
+    assert(zero.nonEmpty && zero.forall(_ == 1000000L))
+  }
 }
