@@ -217,6 +217,49 @@ object Profile {
     }.drop("__q")
   }
 
+  /** Median/MAD robust outlier screen — the heavy-tail-safe sibling of
+    * [[zScores]]: mean/std blow up under the very outliers they are
+    * meant to find, while the median and the median absolute deviation
+    * are 50%-breakdown estimators. Flags every row whose integer
+    * `valueCol` deviates from its group median by more than
+    * `k` × MAD — the standard length/quality anomaly gate a corpus
+    * pipeline runs before trusting per-group statistics.
+    *
+    * Integer-exact end to end: both medians are `percentile_disc`
+    * order statistics (actual stored values, never interpolated), the
+    * deviation is an integer subtraction, and the flag is an integer
+    * comparison — engine-portable bit-for-bit, no epsilon anywhere.
+    *
+    * Scale design: two grouped exact order statistics and two joins
+    * against group-cardinality frames (≤ |groups| rows — broadcast).
+    * `percentile_disc` buffers a group's values like `percentile`
+    * does, so groups beyond executor memory take the documented scale
+    * path first: [[sampledQuantiles]]'s md5-60 row sample feeds the
+    * same MAD algebra at any volume (the x70 pattern). Flag
+    * asymmetry on purpose: MAD = 0 (over half the group identical)
+    * flags ANY deviation, which is the desired read on degenerate
+    * groups.
+    *
+    * Output: one row per input row — (keyCol, groupCol, valueCol,
+    * med, mad, is_outlier). */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      groupCol: String, k: Int = 3): DataFrame = {
+    require(k > 0, s"madOutliers: k must be positive, got $k")
+    val med = df.groupBy(col(groupCol)).agg(
+      expr(s"cast(percentile_disc(0.5) within group (order by $valueCol) " +
+        "as bigint)").as("med"))
+    val dev = df.select(col(keyCol), col(groupCol), col(valueCol))
+      .join(med, groupCol)
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col(groupCol)).agg(
+      expr("cast(percentile_disc(0.5) within group (order by __dev) " +
+        "as bigint)").as("mad"))
+    dev.join(mad, groupCol)
+      .select(col(keyCol), col(groupCol), col(valueCol),
+        col("med"), col("mad"),
+        (col("__dev") > lit(k.toLong) * col("mad")).as("is_outlier"))
+  }
+
   /** Per-group z-scores from EXACT integer moments: each row's integer
     * `valueCol` is scored against its group's mean/std as
     *

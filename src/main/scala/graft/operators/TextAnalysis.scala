@@ -203,6 +203,54 @@ object TextAnalysis {
         col("n_tokens"), col("cum_tokens"), col("kept"))
   }
 
+  /** Weight-proportional systematic sample, per stratum: rows are laid
+    * on an integer line in deterministic md5-hash order, each occupying
+    * an interval of its weight, and every multiple of the stride
+    * (= stratum weight mass div `k`) picks the row whose interval
+    * covers it — the classic PPS (probability-proportional-to-size)
+    * systematic draw, done entirely in integer arithmetic. The corpus
+    * read: "give me ~k docs per language, long docs proportionally
+    * more likely", e.g. for human eval or audit panels, without the
+    * engine-dependent RNG a `TABLESAMPLE` would smuggle in.
+    *
+    * Determinism discipline: the line order is (md5(key), key) — a
+    * content hash both engines render identically, so the draw is
+    * reproducible across runs, engines and partitionings; cumulative
+    * weights, the stride, and the pick test (`cum div stride` crossing
+    * a multiple) are all BIGINT ops. A row heavier than the stride
+    * appears once (first covered multiple), so the stratum yields
+    * between k and k + (mass mod k ≠ 0 overshoot) rows, deterministic.
+    * `weightCol` must be a non-negative integer column; zero-weight
+    * rows occupy no interval and are never drawn.
+    *
+    * Scale design: one window per stratum ((hash, key) sort after a
+    * single exchange on `strataCol`) — partition-parallel across
+    * strata; a stratum too large for one task takes the two-level
+    * refinement (systematic-sample each md5-bucket sub-stratum, then
+    * resample), same algebra. No collect, nothing broadcasts.
+    *
+    * Output: picked rows only — (strataCol, keyCol, weight,
+    * cum_weight, pick_no), pick_no strictly increasing within a
+    * stratum. */
+  def systematicSample(df: DataFrame, keyCol: String, weightCol: String,
+      strataCol: String, k: Int): DataFrame = {
+    require(k > 0, s"systematicSample: k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__h"), col(keyCol))
+    df.select(col(strataCol), col(keyCol),
+        col(weightCol).cast("long").as("__w"),
+        md5(col(keyCol).cast("string")).as("__h"))
+      .withColumn("__cum", sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__w")).over(Window.partitionBy(col(strataCol))))
+      .withColumn("__stride", greatest(lit(1L), expr(s"__tot div $k")))
+      .filter(expr("__cum div __stride > (__cum - __w) div __stride"))
+      .select(col(strataCol), col(keyCol), col("__w").as("weight"),
+        col("__cum").as("cum_weight"),
+        expr("(__cum - __w) div __stride + 1").as("pick_no"))
+  }
+
   /** Cluster-aware deterministic split — the repair [[splitLeakage]]
     * points at: every document's split key is its near-dup COMPONENT id
     * (e.g. [[graft.operators.Dedup.connectedComponents]] over the

@@ -1289,6 +1289,25 @@ object ExtensionQueries {
         graft.operators.Graph.mutualEdges(knnEdges(s, dir)))
       .orderBy(col("a"), col("b"))
 
+  /** x94 median/MAD robust length outliers per language — see
+    * [[graft.operators.Profile.madOutliers]]: the 50%-breakdown
+    * anomaly gate (x56's z-score screen collapses when the outliers
+    * themselves inflate the std; the median/MAD pair does not). */
+  def x94(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.madOutliers(docs(s, dir),
+        "doc_id", "n_chars", "lang", k = 3)
+      .orderBy(col("doc_id"))
+
+  /** x95 weight-proportional systematic sample, ~20 docs per language
+    * with draw odds ∝ n_chars — see
+    * [[graft.operators.TextAnalysis.systematicSample]]: the
+    * engine-portable PPS eval-panel draw (no RNG, md5-ordered integer
+    * line). */
+  def x95(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.systematicSample(docs(s, dir),
+        "doc_id", "n_chars", "lang", k = 20)
+      .orderBy(col("lang"), col("pick_no"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1412,6 +1431,8 @@ object ExtensionQueries {
     "x91_dataset_card" -> (x91 _),
     "x92_retention_cohorts" -> (x92 _),
     "x93_link_prediction" -> (x93 _),
+    "x94_mad_outliers" -> (x94 _),
+    "x95_systematic_sample" -> (x95 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3190,6 +3211,49 @@ object ExtensionQueries {
          |JOIN deg da ON da.id = n.a
          |JOIN deg db ON db.id = n.b
          |ORDER BY a, b""".stripMargin,
+
+    // Replays madOutliers: percentile_disc is an actual stored value in
+    // both engines (x70/x91 established the parity), deviations and the
+    // 3×MAD flag are pure integer algebra.
+    "x94_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT lang, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+        |              AS BIGINT) AS med
+        |  FROM documents GROUP BY lang),
+        |dev AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, med.med,
+        |         abs(d.n_chars - med.med) AS dv
+        |  FROM documents d JOIN med USING (lang)),
+        |mad AS (
+        |  SELECT lang, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dv)
+        |              AS BIGINT) AS mad
+        |  FROM dev GROUP BY lang)
+        |SELECT dev.doc_id, dev.lang, CAST(dev.n_chars AS BIGINT) AS n_chars,
+        |       dev.med, mad.mad, dev.dv > 3 * mad.mad AS is_outlier
+        |FROM dev JOIN mad USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays systematicSample: same (md5(key), key) line order, same
+    // BIGINT cumulative/stride algebra, same crossing test — both
+    // engines floor-divide non-negative longs identically.
+    "x95_systematic_sample" ->
+      """WITH lined AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, w,
+        |         sum(w) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(w) OVER (PARTITION BY lang) AS tot
+        |  FROM lined),
+        |s AS (SELECT *, greatest(1, tot // 20) AS stride FROM c)
+        |SELECT lang, doc_id, w AS weight,
+        |       CAST(cum AS BIGINT) AS cum_weight,
+        |       CAST((cum - w) // stride + 1 AS BIGINT) AS pick_no
+        |FROM s
+        |WHERE cum // stride > (cum - w) // stride
+        |ORDER BY lang, pick_no""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in

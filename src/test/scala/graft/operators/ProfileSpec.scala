@@ -136,4 +136,38 @@ class ProfileSpec extends SparkSpec {
       ("A", "C", 0.0, 0.0),
       ("B", "C", 0.0, 0.0)))
   }
+
+  test("madOutliers: median/MAD per group, 3×MAD flag, group isolation") {
+    // group g: values 10,12,14,16,100 → med 14 (discrete), devs
+    // 4,2,0,2,86 → MAD 2 → threshold 6: only 100 flags (dev 86)
+    // group h: 5,5,5 → med 5, MAD 0 → ANY deviation flags (6 does)
+    val df = Seq(
+      (1L, "g", 10L), (2L, "g", 12L), (3L, "g", 14L), (4L, "g", 16L),
+      (5L, "g", 100L),
+      (6L, "h", 5L), (7L, "h", 5L), (8L, "h", 6L))
+      .toDF("id", "grp", "v")
+    val out = Profile.madOutliers(df, "id", "v", "grp", k = 3)
+      .orderBy($"id")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "g", 10L, 14L, 2L, false),
+      (2L, "g", 12L, 14L, 2L, false),
+      (3L, "g", 14L, 14L, 2L, false),
+      (4L, "g", 16L, 14L, 2L, false),
+      (5L, "g", 100L, 14L, 2L, true),
+      (6L, "h", 5L, 5L, 0L, false),
+      (7L, "h", 5L, 5L, 0L, false),
+      (8L, "h", 6L, 5L, 0L, true)))
+  }
+
+  test("madOutliers: robust where zScores is not — one huge value cannot mask itself") {
+    // with mean/std the 10⁶ outlier inflates std enough to sit ~√n σ
+    // out; with median/MAD it is unambiguously flagged and the flag
+    // set is EXACTLY the planted outlier
+    val df = ((1L to 50L).map(i => (i, "g", 100L + (i % 7))) :+
+      (99L, "g", 1000000L)).toDF("id", "grp", "v")
+    val flagged = Profile.madOutliers(df, "id", "v", "grp")
+      .filter($"is_outlier").select("id").as[Long].collect()
+    assert(flagged.toSeq == Seq(99L))
+  }
 }

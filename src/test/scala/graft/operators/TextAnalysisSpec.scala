@@ -440,4 +440,46 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 2L, 1L, 0.5),
       (3L, 2L, 0L, 0.0)))
   }
+
+  test("systematicSample: uniform weights draw exactly k, pick_no increasing") {
+    // 12 unit-weight rows, k=4 → stride 3, multiples 3,6,9,12 — each
+    // covered by exactly one distinct row → exactly 4 picks
+    val df = (1L to 12L).map(i => ("g", i, 1L)).toDF("lang", "doc_id", "n_chars")
+    val out = TextAnalysis.systematicSample(df, "doc_id", "n_chars", "lang", k = 4)
+      .orderBy($"pick_no")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length == 4)
+    assert(out.map(_._5).toSeq == Seq(1L, 2L, 3L, 4L), "pick_no dense and increasing")
+    assert(out.map(_._4).toSeq == Seq(3L, 6L, 9L, 12L), "picks at the stride multiples")
+  }
+
+  test("systematicSample: a row holding ≥ stride of the mass is always drawn; " +
+    "zero weights never are") {
+    // doc 7 owns 60 of 100 units (stride = 100 div 5 = 20 ≤ 60 → its
+    // interval must contain a multiple); doc 9 has weight 0
+    val df = (Seq(("g", 7L, 60L), ("g", 9L, 0L)) ++
+      (1L to 4L).map(i => ("g", i, 10L))).toDF("lang", "doc_id", "n_chars")
+    val picked = TextAnalysis.systematicSample(df, "doc_id", "n_chars", "lang", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked.contains(7L), "heavy row must be in every systematic draw")
+    assert(!picked.contains(9L), "zero-weight row occupies no interval")
+  }
+
+  test("systematicSample: deterministic under input order and partitioning, strata isolated") {
+    val rows = (1L to 30L).map(i => (if (i % 2 == 0) "a" else "b", i, i % 7 + 1))
+    val df = rows.toDF("lang", "doc_id", "n_chars")
+    val a = TextAnalysis.systematicSample(df, "doc_id", "n_chars", "lang", k = 3)
+      .orderBy($"lang", $"pick_no")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val b = TextAnalysis.systematicSample(
+        df.orderBy($"n_chars").repartition(7), "doc_id", "n_chars", "lang", k = 3)
+      .orderBy($"lang", $"pick_no")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(a == b, "draw must not depend on row order or partitioning")
+    // within each stratum pick_no strictly increases
+    a.groupBy(_._1).foreach { case (_, g) =>
+      val ps = g.map(_._5)
+      assert(ps == ps.sorted && ps.distinct == ps)
+    }
+  }
 }
