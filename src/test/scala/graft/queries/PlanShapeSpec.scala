@@ -553,6 +553,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("x92: retention is aggregation-only — no window, cohort sizes broadcast") {
+    val plan = physical(ExtensionQueries.x92(spark, sf001))
+    // the per-user first-event and the (cohort, offset) rollup are hash
+    // aggregations (partial+final); a window here would mean a per-user
+    // sort that the operator deliberately avoids
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial_count"), plan)
+    // the week-cardinality cohort-size frame must broadcast, not shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("x93: link prediction is keyed equi-joins over checkpointed adjacency — " +
+    "no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x93(spark, sf001))
+    // adjacency is localCheckpoint'd (wedge + degree + anti-join reuse)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x94: MAD screen joins group-cardinality frames by broadcast — no window") {
+    val plan = physical(ExtensionQueries.x94(spark, sf001))
+    // both medians are grouped aggregates; the ≤|groups|-row med/mad
+    // frames broadcast against the corpus-scale side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x95: the systematic draw is ONE stratum-keyed window — never a global sort") {
+    val df = ExtensionQueries.x95(spark, sf001)
+    val plan = physical(df)
+    // the cumulative line is a window partitioned on the stratum: the
+    // exchange must be hashpartitioning(lang…), not SinglePartition —
+    // a global-order window would serialize the whole corpus into one
+    // task at 100 TB
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("hashpartitioning(lang"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
