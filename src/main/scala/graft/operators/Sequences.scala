@@ -196,6 +196,49 @@ object Sequences {
         expr("active_users * 1000000L div cohort_size").as("retention_micro"))
   }
 
+  /** Rolling active-user series: per calendar day, the exact distinct
+    * actives that day (DAU), over the trailing `windowDays` window
+    * (WAU), and the DAU/WAU stickiness ratio in integer micro-units —
+    * the engagement pulse read on any behavior log, and for a
+    * telemetry-derived corpus the day-grain freshness curve.
+    *
+    * Exactness: both counts are exact distincts (no HLL), and the
+    * ratio is integer floor-division — engine-portable. Days with no
+    * events are absent (the series is over observed days), and each
+    * day's window is the trailing `windowDays` CALENDAR days, whether
+    * or not the intermediate days saw events.
+    *
+    * Scale design: the event volume collapses FIRST to the distinct
+    * (day, user) frame — one data-volume shuffle, partial+final — and
+    * everything after runs on that compact frame: the trailing window
+    * is a range join of (day, user) against the distinct-days frame
+    * (tiny — broadcast) followed by a distinct count per anchor day.
+    * The deliberate non-plan: a `RANGE BETWEEN` window cannot do
+    * distinct-across-rows, and resorting to collect_set in a window
+    * would buffer per-day user sets in one task. The range join
+    * multiplies the compact frame by ≤ `windowDays`, never the raw
+    * event volume.
+    *
+    * Output: (day DATE, dau, wau, stickiness_micro), one row per
+    * observed day, stickiness = dau·10⁶ div wau. */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(windowDays > 0,
+      s"rollingActiveUsers: windowDays must be positive, got $windowDays")
+    val du = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val days = du.select(col("day").as("anchor")).distinct()
+    val wau = du.join(broadcast(days),
+        col("day") <= col("anchor") &&
+          col("day") > date_sub(col("anchor"), windowDays))
+      .groupBy(col("anchor")).agg(count_distinct(col("u")).as("wau"))
+    dau.join(wau, col("day") === col("anchor"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000L div wau").as("stickiness_micro"))
+  }
+
   def sessionTranscripts(events: DataFrame, gap: String = "1 HOUR",
       keyCol: String = "user_id", tsCol: String = "ts",
       tieCol: String = "event_id", typeCol: String = "event_type",

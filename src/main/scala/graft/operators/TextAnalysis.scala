@@ -1097,6 +1097,79 @@ object TextAnalysis {
             (col("n_tokens").cast("double") * lit(1000000.0)), 6)).as("avg_logp"))
   }
 
+  /** Bigram-LM average transition log-probability per document — the
+    * order-sensitive upgrade of [[unigramLogProb]]: an add-one-smoothed
+    * bigram model p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V+1) is trained on a
+    * reference corpus (c(w₁·) = occurrences of w₁ as a left context,
+    * V = the reference's distinct right-context vocabulary) and every
+    * document is scored by its mean per-TRANSITION log-prob. Unigram
+    * scoring cannot see scrambled word order — "the of and to" scores
+    * like English; transition probabilities catch it, which is what
+    * makes this the stronger gibberish/boilerplate gate.
+    *
+    * Hash-portable fixed point (same discipline as [[unigramLogProb]]
+    * / [[bm25Retrieval]]): each transition TYPE's log-prob is
+    * quantized once to integer micro-nats; per-document accumulation
+    * is an integer sum of tf × lp — `ln` ulp noise dies inside the
+    * per-type quantization. The final mean is one correctly-rounded
+    * double division of two exact integers.
+    *
+    * Scale: reference pair counts and left-context counts are
+    * partial+final hash aggregates; scoring joins are SHUFFLED
+    * equi-joins on the pair / left-context keys (web-scale bigram
+    * vocabularies are exactly what hash joins are for — deliberately
+    * not broadcast); only the 1-row V-stats frame broadcasts. No
+    * windows: adjacency comes from the per-document token ARRAY
+    * (transform over sequence), never a sort.
+    *
+    * Output: (doc_id, n_transitions, sum_logp_micro, avg_logp), one
+    * row per input document; docs with < 2 tokens keep
+    * n_transitions = 0 and a null score. */
+  def bigramLogProb(docs: DataFrame, ref: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def pairFrame(df: DataFrame): DataFrame =
+      tokFrame(df, idCol, textCol)
+        .filter(size(col("__w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(__w) - 1), " +
+            "i -> struct(element_at(__w, i) as w1, element_at(__w, i + 1) as w2))"))
+          .as("__p"))
+        .select(col("doc_id"), col("__p.w1"), col("__p.w2"))
+    val refPairs = pairFrame(ref)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
+      .localCheckpoint(true) // feeds left-context counts, V, and scoring
+    val refLeft = refPairs.groupBy(col("w1"))
+      .agg(sum(col("__c12")).cast("bigint").as("__c1"))
+    val stats = refPairs.agg(count_distinct(col("w2")).as("__v"))
+    // integer micro-nats — the only transcendental, quantized per
+    // transition TYPE, never per accumulation step
+    def lpMicro(c12: Column, c1: Column): Column =
+      round(round(log((c12.cast("double") + lit(1.0)) /
+        (c1.cast("double") + col("__v").cast("double") + lit(1.0))), 6) *
+        lit(1000000.0)).cast("long")
+    val docTf = pairFrame(docs)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__tf"))
+    val scored = docTf
+      .join(refPairs, Seq("w1", "w2"), "left")
+      .join(refLeft, Seq("w1"), "left")
+      .join(broadcast(stats))
+      .select(col("doc_id"), col("__tf"),
+        lpMicro(coalesce(col("__c12"), lit(0L)),
+          coalesce(col("__c1"), lit(0L))).as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__tf")).cast("bigint").as("n_transitions"),
+        sum(col("__tf") * col("__lp")).cast("bigint").as("sum_logp_micro"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        col("sum_logp_micro"),
+        when(coalesce(col("n_transitions"), lit(0L)) > 0,
+          round(col("sum_logp_micro").cast("double") /
+            (col("n_transitions").cast("double") * lit(1000000.0)), 6))
+          .as("avg_logp"))
+  }
+
   /** BPE-style adjacent-pair statistics — the counting core of one
     * tokenizer-induction merge round (Sennrich et al. 2016): for every
     * corpus word, every adjacent character bigram votes with the

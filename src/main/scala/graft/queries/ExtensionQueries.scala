@@ -1308,6 +1308,27 @@ object ExtensionQueries {
         "doc_id", "n_chars", "lang", k = 20)
       .orderBy(col("lang"), col("pick_no"))
 
+  /** x96 bigram-LM transition scores, English-slice reference — see
+    * [[graft.operators.TextAnalysis.bigramLogProb]]: the
+    * order-sensitive LM gate (x67's unigram scoring cannot see
+    * scrambled word order; transition probabilities can), same
+    * per-type micro-nat quantization discipline. */
+  def x96(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.bigramLogProb(d, d.filter(col("lang") === "en"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x97 rolling active users — see
+    * [[graft.operators.Sequences.rollingActiveUsers]]: exact DAU,
+    * trailing-7-day WAU, and integer-micro stickiness per observed
+    * day; the event volume collapses to the distinct (day, user)
+    * frame before any windowed work. */
+  def x97(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.rollingActiveUsers(Tables.load(s, dir, "events"))
+      .withColumn("day", col("day").cast("string"))
+      .orderBy(col("day"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1433,6 +1454,8 @@ object ExtensionQueries {
     "x93_link_prediction" -> (x93 _),
     "x94_mad_outliers" -> (x94 _),
     "x95_systematic_sample" -> (x95 _),
+    "x96_bigram_logprob" -> (x96 _),
+    "x97_rolling_actives" -> (x97 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3254,6 +3277,55 @@ object ExtensionQueries {
         |FROM s
         |WHERE cum // stride > (cum - w) // stride
         |ORDER BY lang, pick_no""".stripMargin,
+
+    // Replays bigramLogProb with x67's per-type quantization: adjacent
+    // pairs from the SAME word tokenizer, add-one transition model off
+    // the English slice, micro-nat rounding before any accumulation.
+    "x96_bigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |pr AS (SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+         |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+         |             FROM toks WHERE len(w) >= 2)),
+         |rp AS (SELECT p.w1, p.w2, count(*) AS c12
+         |       FROM pr p JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+         |       GROUP BY 1, 2),
+         |rl AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM rp GROUP BY w1),
+         |st AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM rp),
+         |dtf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM pr GROUP BY 1, 2, 3),
+         |sc AS (SELECT dtf.doc_id,
+         |         CAST(sum(tf) AS BIGINT) AS n_transitions,
+         |         CAST(sum(tf * CAST(round(round(ln(
+         |             (coalesce(rp.c12, 0)::DOUBLE + 1.0) /
+         |             (coalesce(rl.c1, 0)::DOUBLE + st.v::DOUBLE + 1.0)), 6)
+         |           * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_logp_micro
+         |       FROM dtf LEFT JOIN rp USING (w1, w2) LEFT JOIN rl USING (w1)
+         |            CROSS JOIN st
+         |       GROUP BY dtf.doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_transitions, 0) AS n_transitions,
+         |       sc.sum_logp_micro,
+         |       CASE WHEN sc.n_transitions > 0
+         |            THEN round(sc.sum_logp_micro::DOUBLE /
+         |                       (sc.n_transitions::DOUBLE * 1000000.0), 6)
+         |       END AS avg_logp
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays rollingActiveUsers on the distinct (day, user) frame:
+    // trailing-7-CALENDAR-day window via the day range join, exact
+    // distincts, integer floor-division stickiness.
+    "x97_rolling_actives" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u
+        |            FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+        |days AS (SELECT DISTINCT day AS anchor FROM du),
+        |wau AS (SELECT anchor, count(DISTINCT u) AS wau
+        |        FROM du JOIN days ON du.day <= anchor AND du.day > anchor - 7
+        |        GROUP BY anchor)
+        |SELECT CAST(dau.day AS STRING) AS day, CAST(dau AS BIGINT) AS dau,
+        |       CAST(wau AS BIGINT) AS wau,
+        |       CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_micro
+        |FROM dau JOIN wau ON dau.day = wau.anchor
+        |ORDER BY day""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in

@@ -170,6 +170,29 @@ class SequencesSpec extends SparkSpec {
       (d("2024-01-08"), 0L, 1L, 1L, 1000000L)))
   }
 
+  test("rollingActiveUsers: exact DAU/WAU, calendar window edges, same-day dedup") {
+    // day 01: users 1 (twice — dedup), 2   day 02: 1
+    // day 05: 3                            day 10: 1
+    // WAU(d) = distinct users over the trailing 7 CALENDAR days:
+    //   01-10's window is (01-03, 01-10] → sees only 01-05 and 01-10
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 12:00:00")),
+      (1L, ts("2024-01-02 10:00:00")),
+      (3L, ts("2024-01-05 10:00:00")),
+      (1L, ts("2024-01-10 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = Sequences.rollingActiveUsers(events)
+      .orderBy("day")
+      .as[(java.sql.Date, Long, Long, Long)].collect()
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    assert(out.toSeq == Seq(
+      (d("2024-01-01"), 2L, 2L, 1000000L),
+      (d("2024-01-02"), 1L, 2L, 500000L),
+      (d("2024-01-05"), 1L, 3L, 333333L),
+      (d("2024-01-10"), 1L, 2L, 500000L)))
+  }
+
   test("retentionCohorts: week 0 is always fully retained") {
     // every user's first event lands in their own offset-0 week, so the
     // offset-0 row of every cohort must read retention_micro = 10⁶

@@ -441,6 +441,49 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 2L, 0L, 0.0)))
   }
 
+  test("bigramLogProb: hand-traced add-one transition model, unseen backoff, short docs") {
+    // reference "a b a b": pairs ab×2, ba×1 → c(a·)=2, c(b·)=1,
+    // V = |{a, b}| = 2 (distinct right contexts)
+    //   lp(ab) = ln((2+1)/(2+2+1)) = ln(0.6)
+    //   lp(ba) = ln((1+1)/(1+2+1)) = ln(0.5)
+    //   lp(bb) = ln((0+1)/(1+2+1)) = ln(0.25)   (unseen pair, seen left)
+    val q = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        .*(1000000.0).round
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b a b"),  // 3 transitions: 2×ab + 1×ba
+      (2L, "b b"),      // 1 transition: the unseen bb
+      (3L, "solo"))     // < 2 tokens → no score
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, ref)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+    val s1 = 2 * q(math.log(0.6)) + q(math.log(0.5))
+    val s2 = q(math.log(0.25))
+    val avg1 = BigDecimal(s1 / (3.0 * 1000000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (1L, 3L, Some(s1), Some(avg1)),
+      (2L, 1L, Some(s2), Some(s2 / 1000000.0)),
+      (3L, 0L, None, None)))
+  }
+
+  test("bigramLogProb: word order matters — a scrambled doc scores lower") {
+    // the unigram model gives these two docs IDENTICAL scores (same
+    // bag of words); the transition model must separate them
+    val ref = Seq((100L, "the cat sat on the mat the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "mat the on sat cat the"))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramLogProb(docs, ref)
+      .orderBy($"doc_id").select("avg_logp").as[Double].collect()
+    assert(scores(0) > scores(1),
+      s"in-order ${scores(0)} must beat scrambled ${scores(1)}")
+  }
+
   test("systematicSample: uniform weights draw exactly k, pick_no increasing") {
     // 12 unit-weight rows, k=4 → stride 3, multiples 3,6,9,12 — each
     // covered by exactly one distinct row → exactly 4 picks
