@@ -1097,6 +1097,57 @@ object TextAnalysis {
             (col("n_tokens").cast("double") * lit(1000000.0)), 6)).as("avg_logp"))
   }
 
+  /** Per-source distinctive terms (class-based TF-IDF): for every
+    * source, the terms that characterize it AGAINST the other sources
+    * — term frequency within the source × ln(S/df) where df is the
+    * number of sources containing the term, so ubiquitous terms score
+    * exactly zero and source-exclusive terms score highest. The
+    * corpus-profiling read: what is each provider actually
+    * contributing, the per-source topic fingerprint next to x32's
+    * corpus-wide top terms.
+    *
+    * Integer-exact ranking: the idf is quantized once per TERM to
+    * micro-nats (the x67 discipline) and multiplied by the exact
+    * integer tf, so scores — and therefore the top-N cut with its
+    * (score desc, term asc) tie-break — are engine-identical.
+    *
+    * Scale design: ONE tokenize/explode pass materializes the
+    * (source, term) tf frame (partial+final hash agg); df derives from
+    * it by a second row-count agg (a row per (source, term) IS a
+    * source containing the term — no second corpus scan); only the
+    * 1-row source-count frame broadcasts, the tf⋈df join is a shuffled
+    * equi-join on term (web-scale vocabularies hash-join, never
+    * broadcast). The per-source top-N runs on the vocab-cardinality
+    * frame via rank ≤ N, which Spark executes as WindowGroupLimit —
+    * a per-partition bounded heap before the exchange, not a full
+    * per-source sort (plan-pinned, the x55 pattern).
+    *
+    * Output: (source, rank, term, tf, df, score_micro), rank 1..topN
+    * by (score_micro desc, term asc). */
+  def distinctiveTerms(docs: DataFrame, topN: Int = 5,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(topN > 0, s"distinctiveTerms: topN must be positive, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    val st = docs
+      .select(col(sourceCol).as("source"),
+        explode(graft.functions.TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds both df and the score join
+    val dfreq = st.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nSrc = docs.agg(count_distinct(col(sourceCol)).as("__s"))
+    val scored = st.join(dfreq, "term").join(broadcast(nSrc))
+      .select(col("source"), col("term"), col("tf"), col("df"),
+        (col("tf") * round(round(log(col("__s").cast("double") /
+          col("df").cast("double")), 6) * lit(1000000.0)).cast("long"))
+          .as("score_micro"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("score_micro").desc, col("term"))))
+      .filter(col("rank") <= topN)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score_micro"))
+  }
+
   /** Bigram-LM average transition log-probability per document — the
     * order-sensitive upgrade of [[unigramLogProb]]: an add-one-smoothed
     * bigram model p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V+1) is trained on a

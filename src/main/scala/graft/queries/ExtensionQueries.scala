@@ -1329,6 +1329,14 @@ object ExtensionQueries {
       .withColumn("day", col("day").cast("string"))
       .orderBy(col("day"))
 
+  /** x98 per-source distinctive terms — see
+    * [[graft.operators.TextAnalysis.distinctiveTerms]]: class-based
+    * TF-IDF with per-term micro-nat idf quantization, the per-provider
+    * topic fingerprint next to x32's corpus-wide top terms. */
+  def x98(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctiveTerms(docs(s, dir), topN = 5)
+      .orderBy(col("source"), col("rank"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1456,6 +1464,7 @@ object ExtensionQueries {
     "x95_systematic_sample" -> (x95 _),
     "x96_bigram_logprob" -> (x96 _),
     "x97_rolling_actives" -> (x97 _),
+    "x98_distinctive_terms" -> (x98 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3326,6 +3335,28 @@ object ExtensionQueries {
         |       CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_micro
         |FROM dau JOIN wau ON dau.day = wau.anchor
         |ORDER BY day""".stripMargin,
+
+    // Replays distinctiveTerms: same tokenizer, df = rows of the
+    // (source, term) tf relation per term, per-term micro-nat idf
+    // quantization, integer tf×idf, (score desc, term) top-5 cut.
+    "x98_distinctive_terms" ->
+      s"""WITH st AS (
+         |  SELECT source, unnest(${wordsSql("text")}) AS term
+         |  FROM documents),
+         |tf AS (SELECT source, term, count(*) AS tf FROM st GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS s FROM documents),
+         |sc AS (
+         |  SELECT tf.source, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+         |         CAST(dfq.df AS BIGINT) AS df,
+         |         CAST(tf.tf * CAST(round(round(ln(ns.s::DOUBLE / dfq.df::DOUBLE), 6)
+         |           * 1000000.0) AS BIGINT) AS BIGINT) AS score_micro
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN ns),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |         ORDER BY score_micro DESC, term) AS BIGINT) AS rank FROM sc)
+         |SELECT source, rank, term, tf, df, score_micro
+         |FROM rk WHERE rank <= 5
+         |ORDER BY source, rank""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in

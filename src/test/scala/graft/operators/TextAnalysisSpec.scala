@@ -441,6 +441,23 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 2L, 0L, 0.0)))
   }
 
+  test("distinctiveTerms: hand-traced c-TF-IDF, zero idf for ubiquitous terms, term tie-break") {
+    // S = 2 sources. df: apple 1, banana 2, cherry 1
+    //   idf(ln 2) → 693147 micro-nats; banana appears everywhere → 0
+    val docs = Seq(
+      (1L, "A", "apple apple banana"),
+      (2L, "B", "banana cherry"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.distinctiveTerms(docs, topN = 5)
+      .orderBy($"source", $"rank")
+      .as[(String, Long, String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("A", 1L, "apple", 2L, 1L, 1386294L),
+      ("A", 2L, "banana", 1L, 2L, 0L),
+      ("B", 1L, "cherry", 1L, 1L, 693147L),
+      ("B", 2L, "banana", 1L, 2L, 0L)))
+  }
+
   test("bigramLogProb: hand-traced add-one transition model, unseen backoff, short docs") {
     // reference "a b a b": pairs ab×2, ba×1 → c(a·)=2, c(b·)=1,
     // V = |{a, b}| = 2 (distinct right contexts)

@@ -596,6 +596,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("x97: actives collapse to the (day,user) frame first; day list broadcasts " +
+    "into the range join") {
+    val plan = physical(ExtensionQueries.x97(spark, sf001))
+    // the trailing-window join must be the broadcast of the tiny
+    // distinct-days frame against the compact (day,user) frame — a
+    // shuffled range join (or worse, a cartesian) here would move
+    // event-volume data windowDays times
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x98: the per-source top-N short-circuits via WindowGroupLimit") {
+    val plan = physical(ExtensionQueries.x98(spark, sf001))
+    // rank <= 5 must compile to the partial+final WindowGroupLimit
+    // pushdown (bounded per-partition heaps before the exchange), not
+    // a full per-source sort of the vocab frame
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
