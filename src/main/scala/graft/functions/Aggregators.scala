@@ -107,7 +107,10 @@ object RunCountsAgg extends Aggregator[String, RunCounts, RunCounts] {
   override def outputEncoder: Encoder[RunCounts] = Encoders.product[RunCounts]
 }
 
-private object ExpressionEncoders {
+/** Shared typed encoders for aggregator buffers AND streaming state
+  * ([[graft.streaming]]'s KMV processor stores the same Array[Long]
+  * sketch) — one encoder definition per shape. */
+private[graft] object ExpressionEncoders {
   val longArray: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   val scoredSeq: Encoder[Seq[Scored]] =

@@ -564,6 +564,80 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class ActiveEvent(day: String, user_hash: Long)
+  final case class ActiveEstimate(day: String, n_min: Long, kth: Long,
+    est_distinct: Long)
+
+  /** Bounded-memory streaming distinct actives — a per-day KMV
+    * (k-minimum-values) sketch on the v2 state API: the streaming twin
+    * of [[graft.operators.Profile.kmvDistinctSketch]] (x53) the way
+    * [[MisraGriesProcessor]] twins the batch heavy hitters. Exact
+    * streaming DAU needs the full per-day user set in state (unbounded
+    * — x97's batch job can afford the exact distinct, a stream
+    * cannot); the bottom-k hash sketch holds ≤ `k` longs per day
+    * whatever the user cardinality, and its estimate
+    * (k−1)·2⁶⁰/kth-min is the SAME auditable formula the batch sketch
+    * ships.
+    *
+    * Parity contract (test-pinned): after folding any prefix of the
+    * stream, a day's (n_min, kth, est_distinct) EQUALS the batch
+    * `kmvDistinctSketch` of the same rows — the sketch is a function
+    * of the hash SET, so batch boundaries, duplicate re-deliveries,
+    * and arrival order all cannot move it. That also makes the sink
+    * idempotent under at-least-once delivery, and the folding logic
+    * IS the batch aggregator ([[graft.functions.BottomKLongs]].reduce
+    * — one sorted-insert implementation, not two).
+    *
+    * Emission: each batch re-emits the refreshed estimate per touched
+    * day (Append-friendly run-ledger pattern — consumers keep the last
+    * row per day). Input hashes must already sit in [0, 2⁶⁰) (the
+    * md5-60 domain); out-of-range input fails loudly, matching the
+    * batch operator's raise_error contract. */
+  final class KmvActivesProcessor(k: Int)
+      extends StatefulProcessor[String, ActiveEvent, ActiveEstimate] {
+    require(k > 1, s"KmvActivesProcessor: k must be > 1, got $k")
+    private val space = 1152921504606846976L // 2^60
+    private val sketch = new graft.functions.BottomKLongs(k)
+    @transient private var mins: ValueState[Array[Long]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mins = getHandle.getValueState[Array[Long]]("kmv",
+        graft.functions.ExpressionEncoders.longArray, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ActiveEvent],
+        tv: TimerValues): Iterator[ActiveEstimate] = {
+      var buf = if (mins.exists()) mins.get() else Array.empty[Long]
+      rows.foreach { ev =>
+        if (ev.user_hash < 0 || ev.user_hash >= space)
+          throw new IllegalArgumentException(
+            s"KmvActivesProcessor: user_hash outside [0, 2^60): ${ev.user_hash}")
+        buf = sketch.reduce(buf, ev.user_hash)
+      }
+      mins.update(buf)
+      if (buf.isEmpty) Iterator.empty // a keyed call with no new hashes
+      else {
+        val nMin = buf.length.toLong
+        // identical arithmetic to the batch sketch: exact (k-1)·2⁶⁰
+        // double, IEEE division, floor — engine- and path-identical
+        val est =
+          if (nMin < k) nMin
+          else math.floor((k - 1).toDouble * space.toDouble /
+            buf.last.toDouble).toLong
+        Iterator.single(ActiveEstimate(key, nMin, buf.last, est))
+      }
+    }
+  }
+
+  /** [[KmvActivesProcessor]] wired onto a keyed hash stream; same
+    * RocksDB provider requirement as [[sessionizeWithState]]. */
+  def kmvActivesWithState(events: Dataset[ActiveEvent],
+      k: Int): Dataset[ActiveEstimate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.day)
+      .transformWithState(new KmvActivesProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class TimedEvent(user_id: Long, event_id: Long,
     et: java.sql.Timestamp)
 

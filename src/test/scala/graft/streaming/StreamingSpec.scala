@@ -625,4 +625,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(
       (1L, 10.0, "GOLD"), (3L, 7.0, "NULL"), (2L, 5.0, "SILVER")), rows)
   }
+
+  test("kmvActivesWithState: duplicate re-delivery is absorbed; estimates equal " +
+    "the batch KMV sketch after every prefix") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val in = MemoryStream[Streaming.ActiveEvent]
+      val q = Streaming.kmvActivesWithState(in.toDS(), k = 4)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("kmv_act").start()
+      val b1 = Seq(("d1", 10L), ("d1", 20L), ("d1", 30L), ("d1", 20L), ("d2", 7L))
+      val b2 = Seq(("d1", 20L), ("d1", 5L), ("d1", 40L), ("d1", 50L),
+        ("d2", 7L), ("d2", 9L))
+      in.addData(b1.map(Streaming.ActiveEvent.tupled))
+      q.processAllAvailable()
+      val afterB1 = spark.table("kmv_act").as[Streaming.ActiveEstimate]
+        .collect().toSet
+      // below k the sketch IS exact: d1 (3 distinct), d2 (1)
+      assert(afterB1.map(e => (e.day, e.n_min, e.kth, e.est_distinct)) ==
+        Set(("d1", 3L, 30L, 3L), ("d2", 1L, 7L, 1L)))
+      in.addData(b2.map(Streaming.ActiveEvent.tupled))
+      q.processAllAvailable()
+      q.stop()
+      val finalRows = (spark.table("kmv_act").as[Streaming.ActiveEstimate]
+        .collect().toSet -- afterB1)
+        .map(e => (e.day, e.n_min, e.kth, e.est_distinct))
+      // parity oracle: the batch sketch over the SAME rows (dups and
+      // all) — streaming fold and batch aggregate share BottomKLongs,
+      // and the estimate arithmetic must match bit-for-bit
+      val batch = graft.operators.Profile.kmvDistinctSketch(
+          (b1 ++ b2).toDF("day", "h"), "day", "h", k = 4)
+        .select("day", "n_min", "kth", "est_distinct")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(finalRows == batch, s"stream $finalRows vs batch $batch")
+      // d1 crossed k: its final row must be an ESTIMATE from the
+      // 4 smallest hashes [5,10,20,30], not an exact count
+      assert(finalRows.exists(r => r._1 == "d1" && r._2 == 4L && r._3 == 30L))
+    }
+  }
 }
