@@ -56,6 +56,50 @@ object Joins {
     matched.select(leftCols ++ rightCols: _*)
   }
 
+  /** Forward as-of join — the mirror of [[asOfBackward]]: for each
+    * left row, the single EARLIEST right row with `rightTs` ≥ `leftTs`
+    * and matching key (inclusive on equal timestamps). Nulls for left
+    * rows with no subsequent right row. The "what happened next" probe:
+    * first conversion after an impression, first error after a deploy,
+    * next price tick after an order.
+    *
+    * Same plan shape and scale story as the backward form: tag →
+    * unionByName → ONE (key, ts DESC)-partitioned running window →
+    * filter left. One shuffle on the key, no join node, sorts are
+    * within-partition only. Among equal-ts right rows the pick is the
+    * FIRST by `rightTieBreak` ascending (deterministic total order
+    * when the tie-break is unique). */
+  def asOfForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val rightPayload = right.columns.filter(c => c != rightKey && c != rightTs).toSeq
+    val l = left.select(
+      col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(1).as("__is_left"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      lit(null).cast(right.select(rightPayload.map(col): _*).schema).as("__r"))
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__is_left"),
+      lit(null).cast(left.schema).as("__l"),
+      struct(rightPayload.map(col): _*).as("__r"))
+    // DESC time traversal: later rows first, so the running
+    // last(ignoreNulls) at a left row is the EARLIEST right row at or
+    // after it. Right rows still sort before left at equal __ts
+    // (__is_left 0 < 1 → inclusive), and equal-ts right rows traverse
+    // in DESCENDING tie-break order so the last seen — the winner —
+    // is the smallest tie-break value.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").desc +: col("__is_left") +:
+        rightTieBreak.map(c => col(s"__r.$c").desc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c)).toSeq
+    val rightCols = rightPayload.map(c => col(s"__match.$c").as(c))
+    matched.select(leftCols ++ rightCols: _*)
+  }
+
   /** Salted equi-join for skewed keys: the left (large, skewed) side
     * gets a deterministic per-row salt in [0, saltFactor); the right
     * side is replicated saltFactor times; the join key becomes

@@ -217,6 +217,42 @@ object Profile {
     }.drop("__q")
   }
 
+  /** Per-group mixture drift: the total-variation distance between
+    * each group's category distribution and the corpus-wide one, in
+    * integer micro-units — the "which sources skew the language mix"
+    * (or lang↔topic, shard↔label …) screen a corpus build runs before
+    * trusting per-source aggregates. TV is ½ Σ|p_g(c) − p(c)| over ALL
+    * corpus categories — a group missing a category still pays that
+    * category's corpus mass, which is exactly the skew being measured.
+    *
+    * Integer-exact: both distributions ride micro-unit floor-divisions
+    * of exact counts, the differences and their sum are BIGINT, and
+    * the final halving is an integer `div` — engine-identical, no
+    * float anywhere. (The ≤ categories·1 µ quantization error this
+    * introduces is deterministic and identical in the oracle.)
+    *
+    * Scale: one partial+final (group, category) count is the only
+    * data-volume aggregation; groups × categories frames are
+    * profile-cardinality and the full grid (cross of the two margins)
+    * broadcasts. Output: (groupCol, n_rows, tv_micro). */
+  def mixDrift(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val gc = df.groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("n_gc"))
+      .localCheckpoint(true) // feeds both margins and the grid join
+    val g = gc.groupBy(col("grp")).agg(sum(col("n_gc")).cast("bigint").as("n_g"))
+    val c = gc.groupBy(col("cat")).agg(sum(col("n_gc")).cast("bigint").as("n_c"))
+    val tot = gc.agg(sum(col("n_gc")).cast("bigint").as("n"))
+    g.crossJoin(c).join(broadcast(tot))
+      .join(gc, Seq("grp", "cat"), "left")
+      .select(col("grp"), col("n_g"),
+        abs(expr("coalesce(n_gc, 0L) * 1000000L div n_g - n_c * 1000000L div n"))
+          .as("__d"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_g")).as("n_rows"),
+        expr("sum(__d) div 2").as("tv_micro"))
+      .select(col("grp").as(groupCol), col("n_rows"), col("tv_micro"))
+  }
+
   /** Median/MAD robust outlier screen — the heavy-tail-safe sibling of
     * [[zScores]]: mean/std blow up under the very outliers they are
     * meant to find, while the median and the median absolute deviation

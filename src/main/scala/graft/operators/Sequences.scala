@@ -196,6 +196,49 @@ object Sequences {
         expr("active_users * 1000000L div cohort_size").as("retention_micro"))
   }
 
+  /** Per-user time-to-convert: each user's FIRST `fromType` event
+    * paired (via [[Joins.asOfForward]]) with their earliest `toType`
+    * event at or after it, and the gap in exact integer seconds — the
+    * impression→conversion latency read, per user, with non-converters
+    * kept as null-delta rows (they are the denominator of any
+    * conversion rate and dropping them silently is the classic funnel
+    * lie).
+    *
+    * Exactness: the "first" event is min(ts, tie) — a total order
+    * (event ids unique) — and the gap is integer `div` of microsecond
+    * reads (truncation = floor for non-negative gaps, engine-identical;
+    * the inclusive as-of makes a same-instant conversion gap 0, by
+    * contract).
+    *
+    * Scale: first-event extraction is one partial+final min(struct)
+    * aggregation on the user key; the forward as-of is the
+    * [[Joins.asOfForward]] single-shuffle window — both stages key on
+    * `user_id`, so AQE reuses one exchange. Nothing broadcasts, no
+    * driver state.
+    *
+    * Output: (user_id, from_s, to_s, delta_s), one row per user with
+    * ≥ 1 `fromType` event; to_s/delta_s null when never converted. */
+  def timeToConvert(events: DataFrame, fromType: String, toType: String,
+      userCol: String = "user_id", tsCol: String = "ts",
+      tieCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    val firsts = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol))
+      .agg(min(struct(col(tsCol).as("ts"), col(tieCol).as("tie"))).as("__f"))
+      .select(col(userCol), col("__f.ts").as("__from_ts"))
+    // the as-of emits only right PAYLOAD columns (not the join ts), so
+    // the conversion timestamp rides as a payload copy
+    val targets = events.filter(col(typeCol) === toType)
+      .select(col(userCol), col(tsCol).as("__to_ts"), col(tieCol).as("__tie"),
+        col(tsCol).as("__conv_ts"))
+    Joins.asOfForward(firsts, targets, userCol, userCol,
+        "__from_ts", "__to_ts", rightTieBreak = Seq("__tie"))
+      .select(col(userCol),
+        expr("unix_micros(__from_ts) div 1000000").as("from_s"),
+        expr("unix_micros(__conv_ts) div 1000000").as("to_s"),
+        expr("(unix_micros(__conv_ts) - unix_micros(__from_ts)) div 1000000")
+          .as("delta_s"))
+  }
+
   /** Rolling active-user series: per calendar day, the exact distinct
     * actives that day (DAU), over the trailing `windowDays` window
     * (WAU), and the DAU/WAU stickiness ratio in integer micro-units —

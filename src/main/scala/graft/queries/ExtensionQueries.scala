@@ -1337,6 +1337,23 @@ object ExtensionQueries {
     TextAnalysis.distinctiveTerms(docs(s, dir), topN = 5)
       .orderBy(col("source"), col("rank"))
 
+  /** x99 per-user time-to-convert — see
+    * [[graft.operators.Sequences.timeToConvert]] over
+    * [[graft.operators.Joins.asOfForward]]: first view → earliest
+    * at-or-after purchase, exact integer-second gaps, non-converters
+    * kept as null-delta rows. */
+  def x99(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.timeToConvert(
+        Tables.load(s, dir, "events"), "view", "purchase")
+      .orderBy(col("user_id"))
+
+  /** x100 source→language mixture drift — see
+    * [[graft.operators.Profile.mixDrift]]: per-source total-variation
+    * distance from the corpus language mix, integer micro-units. */
+  def x100(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.mixDrift(docs(s, dir), "source", "lang")
+      .orderBy(col("source"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1465,6 +1482,8 @@ object ExtensionQueries {
     "x96_bigram_logprob" -> (x96 _),
     "x97_rolling_actives" -> (x97 _),
     "x98_distinctive_terms" -> (x98 _),
+    "x99_time_to_convert" -> (x99 _),
+    "x100_mix_drift" -> (x100 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3357,6 +3376,43 @@ object ExtensionQueries {
          |SELECT source, rank, term, tf, df, score_micro
          |FROM rk WHERE rank <= 5
          |ORDER BY source, rank""".stripMargin,
+
+    // Replays timeToConvert: the forward as-of collapses to
+    // min(purchase.ts ≥ first_view.ts) per user — only the matched TS
+    // surfaces, so the (ts, event_id) tie-break is value-invisible —
+    // and the second gaps are integer floor-divisions of epoch-µs.
+    "x99_time_to_convert" ->
+      """WITH v AS (SELECT user_id, min(ts) AS fts FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT v.user_id, v.fts, min(p.ts) AS cts
+        |      FROM v LEFT JOIN p
+        |        ON p.user_id = v.user_id AND p.ts >= v.fts
+        |      GROUP BY v.user_id, v.fts)
+        |SELECT user_id,
+        |       CAST(epoch_us(fts) // 1000000 AS BIGINT) AS from_s,
+        |       CAST(epoch_us(cts) // 1000000 AS BIGINT) AS to_s,
+        |       CAST((epoch_us(cts) - epoch_us(fts)) // 1000000 AS BIGINT)
+        |         AS delta_s
+        |FROM c ORDER BY user_id""".stripMargin,
+
+    // Replays mixDrift: micro-unit floor-divided distributions over
+    // the full group × category grid (missing cells pay the corpus
+    // mass), BIGINT abs-diff sum, integer halving.
+    "x100_mix_drift" ->
+      """WITH gc AS (SELECT source AS grp, lang AS cat, count(*) AS n_gc
+        |            FROM documents GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(sum(n_gc) AS BIGINT) AS n_g FROM gc GROUP BY grp),
+        |c AS (SELECT cat, CAST(sum(n_gc) AS BIGINT) AS n_c FROM gc GROUP BY cat),
+        |t AS (SELECT CAST(sum(n_gc) AS BIGINT) AS n FROM gc),
+        |d AS (SELECT g.grp, g.n_g,
+        |             abs(coalesce(gc.n_gc, 0) * 1000000 // g.n_g
+        |                 - c.n_c * 1000000 // t.n) AS dv
+        |      FROM g CROSS JOIN c CROSS JOIN t
+        |      LEFT JOIN gc ON gc.grp = g.grp AND gc.cat = c.cat)
+        |SELECT grp AS source, CAST(max(n_g) AS BIGINT) AS n_rows,
+        |       CAST(sum(dv) // 2 AS BIGINT) AS tv_micro
+        |FROM d GROUP BY grp ORDER BY source""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in

@@ -40,6 +40,38 @@ class JoinsSpec extends SparkSpec {
     assert(r == 7L)
   }
 
+  test("asOfForward: earliest at-or-after match, inclusive ties, null when none") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:05:00"), 2.0),
+      ("B", ts("2024-01-01 09:00:00"), 9.0)).toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 09:55:00"), 100L), // before both → earliest = 1.0
+      ("A", ts("2024-01-01 10:00:00"), 101L), // exactly at quote → inclusive → 1.0
+      ("A", ts("2024-01-01 10:01:00"), 102L), // between → next quote 2.0
+      ("B", ts("2024-01-01 10:00:00"), 103L), // after B's only quote → null
+      ("C", ts("2024-01-01 12:00:00"), 104L)) // key with no quotes → null
+      .toDF("sym", "tts", "trade_id")
+    val r = Joins.asOfForward(trades, quotes, "sym", "sym", "tts", "qts")
+      .select($"trade_id", $"px").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r(100L).contains(1.0))
+    assert(r(101L).contains(1.0))
+    assert(r(102L).contains(2.0))
+    assert(r(103L).isEmpty)
+    assert(r(104L).isEmpty)
+  }
+
+  test("asOfForward tie-break picks the MIN of the tie column (mirror of backward)") {
+    val right = Seq(("k", ts("2024-01-02 00:00:00"), 7L),
+                    ("k", ts("2024-01-02 00:00:00"), 1L),
+                    ("k", ts("2024-01-02 00:00:00"), 3L)).toDF("k", "rts", "v")
+    val left = Seq(("k", ts("2024-01-01 00:00:00"))).toDF("k", "lts")
+    val r = Joins.asOfForward(left, right, "k", "k", "lts", "rts",
+      rightTieBreak = Seq("v")).select($"v").as[Long].head()
+    assert(r == 1L)
+  }
+
   test("saltedEquiJoin equals the plain join") {
     val orders = spark.read.parquet(s"$sf001/orders.parquet")
       .select($"o_custkey".as("k"), $"o_orderkey")

@@ -137,6 +137,30 @@ class ProfileSpec extends SparkSpec {
       ("B", "C", 0.0, 0.0)))
   }
 
+  test("mixDrift: hand-traced TV distance, missing categories pay corpus mass") {
+    // corpus: en 3/6, de 1/6, fr 2/6
+    // A = {en,en,en,de}: |3/4−3/6| + |1/4−1/6| + |0−2/6| → 333333 µ
+    // B = {fr,fr}: |0−3/6| + |0−1/6| + |1−2/6|           → 666666 µ
+    val docs = Seq(
+      (1L, "A", "en"), (2L, "A", "en"), (3L, "A", "en"), (4L, "A", "de"),
+      (5L, "B", "fr"), (6L, "B", "fr"))
+      .toDF("doc_id", "source", "lang")
+    val out = Profile.mixDrift(docs, "source", "lang")
+      .orderBy($"source")
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("A", 4L, 333333L), ("B", 2L, 666666L)))
+  }
+
+  test("mixDrift: a group matching the corpus mix exactly scores zero") {
+    val docs = (1L to 8L).map(i =>
+      (i, if (i % 2 == 0) "A" else "B", if (i % 4 < 2) "en" else "de"))
+      .toDF("doc_id", "source", "lang")
+    // both sources hold exactly {en: 2, de: 2} — the corpus mix
+    val out = Profile.mixDrift(docs, "source", "lang")
+      .select("tv_micro").as[Long].collect()
+    assert(out.forall(_ == 0L), out.toSeq)
+  }
+
   test("madOutliers: median/MAD per group, 3×MAD flag, group isolation") {
     // group g: values 10,12,14,16,100 → med 14 (discrete), devs
     // 4,2,0,2,86 → MAD 2 → threshold 6: only 100 flags (dev 86)

@@ -193,6 +193,34 @@ class SequencesSpec extends SparkSpec {
       (d("2024-01-10"), 1L, 2L, 500000L)))
   }
 
+  test("timeToConvert: first view to earliest at-or-after purchase, " +
+    "pre-view purchases ignored, non-converters kept") {
+    val base = 1704103200L // 2024-01-01 10:00:00 UTC epoch seconds
+    def t(offset: Long) = new Timestamp((base + offset) * 1000L)
+    val events = Seq(
+      // user 1: purchase BEFORE the first view must not count; the
+      // one 90 s after it must
+      (1L, t(0), 1L, "purchase"),
+      (1L, t(10), 2L, "view"),
+      (1L, t(100), 3L, "purchase"),
+      (1L, t(200), 4L, "purchase"), // later purchase ignored
+      // user 2: views but never converts → null delta row
+      (2L, t(0), 5L, "view"),
+      // user 3: same-instant conversion → delta 0 (inclusive contract)
+      (3L, t(50), 6L, "view"),
+      (3L, t(50), 7L, "purchase"),
+      // user 4: never views → absent
+      (4L, t(0), 8L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.timeToConvert(events, "view", "purchase")
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    assert(out.toSeq == Seq(
+      (1L, base + 10, Some(base + 100), Some(90L)),
+      (2L, base, None, None),
+      (3L, base + 50, Some(base + 50), Some(0L))))
+  }
+
   test("retentionCohorts: week 0 is always fully retained") {
     // every user's first event lands in their own offset-0 week, so the
     // offset-0 row of every cohort must read retention_micro = 10⁶
