@@ -173,6 +173,109 @@ object Similarity {
     rankTopK(scored, k, queryId, corpusId)
   }
 
+  /** Seeded product-quantization codebook: `m` subspaces × `nCent`
+    * centroids × `sub` dims, drawn at the fixture embeddings' per-dim
+    * scale (σ ≈ 0.125) so random centroids partition the data region
+    * rather than orbiting it — the training-free PQ baseline (the x26
+    * fixed-centroid trade: no training pass, deterministic literals an
+    * external system or the SQL oracle can replay). */
+  def pqCodebook(m: Int, sub: Int, nCent: Int, seed: Long = 11L,
+      sigma: Double = 0.125): Array[Array[Array[Float]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(m)(Array.fill(nCent)(Array.fill(sub)(
+      (rng.nextGaussian() * sigma).toFloat)))
+  }
+
+  /** Squared L2 between an array<double> column slice and a centroid
+    * literal — the PQ distance kernel: zip_with + left-fold aggregate,
+    * all double ops on exact float→double widenings. */
+  private def l2sq(v: Column, c: Array[Float]): Column =
+    aggregate(zip_with(v, typedlit(c.map(_.toDouble)),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** PQ encoding: each valid vector (declared dim, non-zero norm)
+    * becomes `m` centroid indices — argmin squared-L2 per subspace,
+    * ties to the smaller index. At 100 TB this is the compression
+    * step: 64 float dims (256 B) become m one-byte codes, a 32×
+    * smaller scan for every downstream ADC pass; codes are computed
+    * map-side against codebook literals (no shuffle, no model object).
+    * Output: (corpusId, corpusVec, codes array<int>). */
+  def pqEncode(corpus: DataFrame, codebook: Array[Array[Array[Float]]],
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    val m = codebook.length
+    val sub = codebook(0)(0).length
+    val v = col(corpusVec).cast("array<double>")
+    val codeCols = (0 until m).map { j =>
+      val s = slice(v, j * sub + 1, sub)
+      val cand = codebook(j).zipWithIndex.map { case (c, i) =>
+        struct(l2sq(s, c).as("d"), lit(i).as("idx"))
+      }
+      element_at(array_sort(array(cand.toIndexedSeq: _*)), 1).getField("idx")
+    }
+    corpus
+      .filter(size(col(corpusVec)) === m * sub &&
+        dot_product(col(corpusVec), col(corpusVec)) > 0)
+      .select(col(corpusId), col(corpusVec), array(codeCols.toIndexedSeq: _*).as("codes"))
+  }
+
+  /** PQ ANN top-k with exact rerank — the production shortlist shape:
+    * asymmetric-distance (ADC) scoring against the 8-byte codes
+    * shortlists `shortlist` candidates per query, and only those are
+    * rescored with exact cosine on the full vectors. The ADC pass
+    * reads codes, not vectors (the 32× cheaper scan), and recall is
+    * governed by the shortlist width, not by quantization alone —
+    * the rerank repairs what a coarse random codebook costs.
+    *
+    * Hash-portable fixed point (the x67/x75 discipline): each
+    * (query, subspace, code) distance is quantized ONCE to integer
+    * micro-units — round(d², 6)·10⁶ — and the per-candidate ADC is
+    * the INTEGER sum of the m terms, so the shortlist cut
+    * (adc asc, id asc) is engine-exact; double-accumulation order can
+    * never move it. The rerank is the same rounded-cosine ranking
+    * every other ANN query ships.
+    *
+    * Scale: queries broadcast; both the ADC pass and the rerank
+    * aggregate through the bounded-heap [[TopKScored]] (map-side
+    * partial top-k — the exchange carries ≤ shortlist rows per
+    * (partition, query), never the corpus); the rerank join touches
+    * `shortlist` vectors per query by id — at 100 TB a row-group-
+    * statted id-sorted layout ([[graft.operators.Layout]]) makes that
+    * a pruned point-read, not a scan. */
+  def pqTopK(encoded: DataFrame, codebook: Array[Array[Array[Float]]],
+      queries: DataFrame, k: Int, shortlist: Int = 50,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val m = codebook.length
+    val sub = codebook(0)(0).length
+    val qv = col(queryVec).cast("array<double>")
+    val adcMicro = (0 until m).map { j =>
+      val s = slice(qv, j * sub + 1, sub)
+      // centroid chosen by this row's j-th code, from the codebook
+      // literal (array-of-arrays travels with the task binary)
+      val chosen = element_at(
+        typedlit(codebook(j).map(_.map(_.toDouble).toSeq).toSeq),
+        col("codes").getItem(j) + 1)
+      round(round(aggregate(zip_with(s, chosen, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d), 6) * lit(1000000.0)).cast("long")
+    }.reduce(_ + _)
+    val adc = encoded.join(broadcast(queries))
+      .select(col(queryId), col(corpusId), adcMicro.as("adc_micro"))
+    val topShort = udaf(new TopKScored(shortlist))
+    val short = adc
+      .groupBy(col(queryId))
+      .agg(topShort(col(corpusId).cast("long"),
+        -col("adc_micro").cast("double")).as("top"))
+      .select(col(queryId), explode(col("top")).as("c"))
+      .select(col(queryId), col("c.id").as(corpusId))
+    val rescored = short
+      .join(encoded.select(col(corpusId), col(corpusVec)), corpusId)
+      .join(broadcast(queries), queryId)
+      .select(col(queryId), col(corpusId),
+        round(cosine_similarity(col(queryVec), col(corpusVec)), 6).as("cosine"))
+    rankTopK(rescored, k, queryId, corpusId)
+  }
+
   /** LSH-bucketed ANN top-k: only corpus vectors in the query's
     * hyperplane bucket are scored. Trades recall for a bucket-join
     * instead of a full scan per query — at 100 TB the bucketed corpus

@@ -1354,6 +1354,20 @@ object ExtensionQueries {
     graft.operators.Profile.mixDrift(docs(s, dir), "source", "lang")
       .orderBy(col("source"))
 
+  /** x101 PQ ANN with exact rerank — see
+    * [[graft.operators.Similarity.pqTopK]]: 8×16 product-quantization
+    * codes, integer-micro ADC shortlist (width 50), exact-cosine
+    * rerank to top-10. The compression-side ANN next to IVF's
+    * pruning-side (x22/x26) and LSH's bucketing-side (x07). */
+  def x101(s: SparkSession, dir: String): DataFrame = {
+    val cb = graft.operators.Similarity.pqCodebook(8, 8, 16)
+    graft.operators.Similarity.pqTopK(
+        graft.operators.Similarity.pqEncode(emb(s, dir), cb), cb,
+        queryVectors(s, dir), k = 10, shortlist = 50)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1484,6 +1498,7 @@ object ExtensionQueries {
     "x98_distinctive_terms" -> (x98 _),
     "x99_time_to_convert" -> (x99 _),
     "x100_mix_drift" -> (x100 _),
+    "x101_pq_ann_rerank" -> (x101 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1503,6 +1518,13 @@ object ExtensionQueries {
     Similarity.planes(nPlanes, 64).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_inner_product($vecCol::DOUBLE[], ${planeLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** The x101 PQ codebook as 128 DuckDB VALUES rows (j, idx, centroid)
+    * — same seeded literals the Spark plan carries. */
+  private def pqCentValuesSql: String =
+    Similarity.pqCodebook(8, 8, 16).zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (c, i) => s"($j, $i, ${planeLit(c)})" }
+    }.mkString(",\n  ")
 
   /** DuckDB list literal of a language's stopword profile (same source
     * constants as [[TextFunctions.stopwords]]). */
@@ -3413,6 +3435,51 @@ object ExtensionQueries {
         |SELECT grp AS source, CAST(max(n_g) AS BIGINT) AS n_rows,
         |       CAST(sum(dv) // 2 AS BIGINT) AS tv_micro
         |FROM d GROUP BY grp ORDER BY source""".stripMargin,
+
+    // Replays the full PQ pipeline against the SAME codebook literals:
+    // argmin encoding (list_distance is √ of the Spark plan's summed
+    // squares — monotone, so the argmin and its idx tie-break agree),
+    // per-(query, subspace, code) micro-quantized ADC terms summed as
+    // INTEGERS (accumulation-order-proof), the (adc, id) shortlist,
+    // and the rounded-cosine rerank.
+    "x101_pq_ann_rerank" ->
+      s"""WITH cent(j, idx, v) AS (VALUES
+         |  $pqCentValuesSql),
+         |b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |      WHERE len(embedding) = 64
+         |        AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         |enc AS (
+         |  SELECT vec_id, j, idx FROM (
+         |    SELECT b.vec_id, c.j, c.idx,
+         |           row_number() OVER (PARTITION BY b.vec_id, c.j
+         |             ORDER BY list_distance(b.e[(c.j*8+1):(c.j*8+8)], c.v), c.idx)
+         |             AS rn
+         |    FROM b CROSS JOIN cent c) t WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM b WHERE vec_id < 5),
+         |adc AS (
+         |  SELECT q.query_id, enc.vec_id,
+         |         CAST(SUM(CAST(round(round(
+         |             power(list_distance(q.qe[(enc.j*8+1):(enc.j*8+8)], c.v), 2),
+         |             6) * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_micro
+         |  FROM enc JOIN cent c ON c.j = enc.j AND c.idx = enc.idx
+         |       CROSS JOIN q
+         |  GROUP BY q.query_id, enc.vec_id),
+         |short AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY adc_micro, vec_id) AS rn
+         |    FROM adc) t WHERE rn <= 50),
+         |rr AS (SELECT s.query_id, s.vec_id,
+         |              round(list_cosine_similarity(q.qe, b.e), 6) AS cosine
+         |       FROM short s
+         |       JOIN b ON b.vec_id = s.vec_id
+         |       JOIN q ON q.query_id = s.query_id)
+         |SELECT query_id, vec_id, cosine, rank FROM (
+         |  SELECT query_id, vec_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+         |  FROM rr) t WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in
