@@ -253,6 +253,58 @@ object Profile {
       .select(col("grp").as(groupCol), col("n_rows"), col("tv_micro"))
   }
 
+  /** Pairwise Cohen's kappa between boolean gate columns — the
+    * chance-corrected agreement read on a stack of curation filters:
+    * raw overlap (x43's attribution counts) says two gates fire
+    * together, kappa says whether that exceeds what their base rates
+    * alone would produce. κ ≈ 0 means a filter adds no information
+    * beyond marginals (it can be dropped); κ ≈ 1 means it is redundant
+    * with another; the useful filters sit in between.
+    *
+    * Exactness: ONE pass computes n, each gate's marginal, and each
+    * pair's both-true count as exact BIGINT aggregates; κ's numerator
+    * (agree·n − pe) and denominator (n² − pe) are integer algebra, and
+    * the single final division is one correctly-rounded double op —
+    * engine-identical while n² · 10⁰ stays inside 2⁵³ (n ≲ 9·10⁷
+    * rows; a larger corpus takes the md5-60 deterministic sample
+    * first — the x70 pattern — which is statistically all an
+    * agreement estimate needs). Degenerate marginals (both gates
+    * constant → pe = n²) yield null κ.
+    *
+    * Scale: the data-volume work is a single partial+final aggregate
+    * over the flag frame (gates² + gates + 1 counters); the pair
+    * explosion happens on the resulting ONE-row frame. No joins, no
+    * windows, no shuffle beyond the one aggregation.
+    *
+    * Output: (gate_a, gate_b, n, agree, kappa), one row per unordered
+    * gate pair in input order. */
+  def pairwiseKappa(df: DataFrame, flagCols: Seq[String]): DataFrame = {
+    require(flagCols.size >= 2,
+      s"pairwiseKappa: need at least 2 gates, got $flagCols")
+    val pairs = for {
+      i <- flagCols.indices; j <- (i + 1) until flagCols.size
+    } yield (flagCols(i), flagCols(j))
+    val aggCols =
+      flagCols.map(c => sum(col(c).cast("long")).as(s"__m_$c")) ++
+        pairs.map { case (a, b) =>
+          sum((col(a) && col(b)).cast("long")).as(s"__b_${a}__$b") }
+    val one = df.agg(count(lit(1)).as("__n"), aggCols: _*)
+    pairs.map { case (a, b) =>
+      one.select(
+        lit(a).as("gate_a"), lit(b).as("gate_b"), col("__n").as("n"),
+        col(s"__b_${a}__$b").as("__a11"),
+        col(s"__m_$a").as("__x1"), col(s"__m_$b").as("__y1"))
+    }.reduce(_.unionByName(_))
+      .withColumn("agree", expr("n - __x1 - __y1 + 2L * __a11"))
+      .withColumn("__pe", expr("__x1 * __y1 + (n - __x1) * (n - __y1)"))
+      .select(col("gate_a"), col("gate_b"), col("n"), col("agree"),
+        when(expr("n * n = __pe"), lit(null).cast("double"))
+          .otherwise(round(
+            expr("(agree * n - __pe)").cast("double") /
+              expr("(n * n - __pe)").cast("double"), 6))
+          .as("kappa"))
+  }
+
   /** Median/MAD robust outlier screen — the heavy-tail-safe sibling of
     * [[zScores]]: mean/std blow up under the very outliers they are
     * meant to find, while the median and the median absolute deviation

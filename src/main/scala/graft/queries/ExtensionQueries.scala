@@ -1368,6 +1368,24 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** x102 filter-agreement kappa — see
+    * [[graft.operators.Profile.pairwiseKappa]] over three cheap
+    * curation gates (x85's length rule, a quality-score threshold on
+    * the bit-portable raw score, x29's repetition rule): which filters
+    * agree beyond their base rates, i.e. which are redundant. */
+  def x102(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScoreRaw, tokenCount}
+    val d = docs(s, dir)
+    val flags = d
+      .join(TextAnalysis.repetitionRatio(d, ngram = 2), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (tokenCount(col("text")) >= 20).as("len_ok"),
+        (qualityScoreRaw(col("text")) >= 0.75).as("quality_ok"),
+        (coalesce(col("top_gram_ratio"), lit(0.0)) <= 0.06).as("repeat_ok"))
+    Profile.pairwiseKappa(flags, Seq("len_ok", "quality_ok", "repeat_ok"))
+      .orderBy(col("gate_a"), col("gate_b"))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1499,6 +1517,7 @@ object ExtensionQueries {
     "x99_time_to_convert" -> (x99 _),
     "x100_mix_drift" -> (x100 _),
     "x101_pq_ann_rerank" -> (x101 _),
+    "x102_filter_kappa" -> (x102 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3480,6 +3499,51 @@ object ExtensionQueries {
          |           ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
          |  FROM rr) t WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // Replays pairwiseKappa over the same three gates: the UNROUNDED
+    // quality score (qr — exact-operand doubles), the x10 whitespace
+    // token count, the x29 rounded repetition ratio; κ's one double
+    // division is correctly rounded from exact integer operands.
+    "x102_filter_kappa" ->
+      s"""WITH ${qualityCteSql("doc_id")},
+         |toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT doc_id, ${wordNgramsSql(2, distinct = false)} AS g FROM toks),
+         |ex AS (SELECT doc_id, unnest(g) AS gram FROM ng),
+         |gc AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY doc_id, gram),
+         |rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS tgr
+         |        FROM gc GROUP BY doc_id),
+         |nt AS (SELECT doc_id,
+         |         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |             x -> len(x) > 0)) AS n_tokens
+         |       FROM documents),
+         |fl AS (SELECT d.doc_id,
+         |         nt.n_tokens >= 20 AS len_ok,
+         |         q.qr >= 0.75 AS quality_ok,
+         |         coalesce(rep.tgr, 0.0) <= 0.06 AS repeat_ok
+         |       FROM documents d JOIN nt USING (doc_id) JOIN q USING (doc_id)
+         |       LEFT JOIN rep USING (doc_id)),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS m_len,
+         |         CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS m_q,
+         |         CAST(sum(CASE WHEN repeat_ok THEN 1 ELSE 0 END) AS BIGINT) AS m_r,
+         |         CAST(sum(CASE WHEN len_ok AND quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS b_lq,
+         |         CAST(sum(CASE WHEN len_ok AND repeat_ok THEN 1 ELSE 0 END) AS BIGINT) AS b_lr,
+         |         CAST(sum(CASE WHEN quality_ok AND repeat_ok THEN 1 ELSE 0 END) AS BIGINT) AS b_qr
+         |       FROM fl),
+         |pairs AS (
+         |  SELECT 'len_ok' AS gate_a, 'quality_ok' AS gate_b,
+         |         n, b_lq AS a11, m_len AS x1, m_q AS y1 FROM ag
+         |  UNION ALL SELECT 'len_ok', 'repeat_ok', n, b_lr, m_len, m_r FROM ag
+         |  UNION ALL SELECT 'quality_ok', 'repeat_ok', n, b_qr, m_q, m_r FROM ag)
+         |SELECT gate_a, gate_b, n,
+         |       CAST(n - x1 - y1 + 2 * a11 AS BIGINT) AS agree,
+         |       CASE WHEN n * n = x1 * y1 + (n - x1) * (n - y1) THEN NULL
+         |            ELSE round(
+         |              ((n - x1 - y1 + 2 * a11) * n
+         |                - (x1 * y1 + (n - x1) * (n - y1)))::DOUBLE
+         |              / (n * n - (x1 * y1 + (n - x1) * (n - y1)))::DOUBLE, 6)
+         |       END AS kappa
+         |FROM pairs ORDER BY gate_a, gate_b""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in

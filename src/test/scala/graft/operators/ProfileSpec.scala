@@ -161,6 +161,28 @@ class ProfileSpec extends SparkSpec {
     assert(out.forall(_ == 0L), out.toSeq)
   }
 
+  test("pairwiseKappa: hand-traced kappa, perfect agreement, chance-only, degenerate") {
+    // pair (a,b): 3×TT, 1×TF, 1×FT, 5×FF → agree 8/10,
+    //   pe = (4·4 + 6·6)/100 → κ = (80−52)/(100−52) = 28/48 = 0.583333
+    // pair (a,c): c ≡ a → κ = 1
+    // pair (a,d): d constant-true → agreement IS the base rate → κ = 0
+    // pair (d,e): both constant → pe = 1 → κ undefined (null)
+    val rows = Seq(
+      (true, true), (true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false), (false, false),
+      (false, false), (false, false))
+      .map { case (a, b) => (a, b, a, true, true) }
+      .toDF("a", "b", "c", "d", "e")
+    val out = Profile.pairwiseKappa(rows, Seq("a", "b", "c", "d", "e"))
+      .select("gate_a", "gate_b", "n", "agree", "kappa")
+      .as[(String, String, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("a", "b")) == ((10L, 8L, Some(0.583333))))
+    assert(out(("a", "c")) == ((10L, 10L, Some(1.0))))
+    assert(out(("a", "d")) == ((10L, 4L, Some(0.0))))
+    assert(out(("d", "e")) == ((10L, 10L, None)))
+  }
+
   test("madOutliers: median/MAD per group, 3×MAD flag, group isolation") {
     // group g: values 10,12,14,16,100 → med 14 (discrete), devs
     // 4,2,0,2,86 → MAD 2 → threshold 6: only 100 flags (dev 86)
