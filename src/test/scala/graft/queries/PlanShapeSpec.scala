@@ -617,6 +617,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x99: the forward as-of compiles to one keyed window — no join node at all") {
+    val plan = physical(ExtensionQueries.x99(spark, sf001))
+    // tag → unionByName → running window: the as-of never materializes
+    // a join operator, so there is nothing to mis-broadcast or skew
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x100: mixture drift is aggregation + profile-cardinality grid joins — no window") {
+    val plan = physical(ExtensionQueries.x100(spark, sf001))
+    assert(!plan.contains("Window"), plan)
+    // the margins cross on group/category-cardinality frames; the
+    // corpus-volume work is the single (group, category) aggregation
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
+
+  test("x101: PQ scores against broadcast queries; ranking is the bounded heap, no window") {
+    val plan = physical(ExtensionQueries.x101(spark, sf001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x102: kappa is ONE corpus aggregation; the pair explosion reuses the 1-row result") {
+    val df = ExtensionQueries.x102(spark, sf001)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the three pair rows must come from a reused exchange/subtree of
+    // the single flag aggregate, not three re-scans of the corpus —
+    // ReusedExchange (or a collapsed union over one aggregate) shows up
+    assert(plan.contains("ReusedExchange") || plan.contains("Union"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
