@@ -18,6 +18,36 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
+  /** Canonical text normalization — the cleanup pass a corpus build
+    * runs BEFORE hashing/sketching, so that cosmetic variants (smart
+    * quotes, stray control bytes, zero-width marks, ragged whitespace)
+    * cannot defeat exact dedup or shift shingle hashes. Deliberately
+    * conservative: no case folding, no Unicode NFC (locale/ICU
+    * dependencies would break engine portability) — just the
+    * mechanical classes, each a plain character-class regex that RE2
+    * (DuckDB) and java.util.regex (Spark) interpret identically:
+    *
+    *  1. zero-width marks (ZWSP/ZWNJ/ZWJ/BOM) → removed
+    *  2. control chars (C0 + DEL) → space
+    *  3. curly double/single quotes → ASCII
+    *  4. em/en dashes → hyphen
+    *  5. whitespace runs → one space, ends trimmed
+    *
+    * Idempotent by construction (each rule's output is a fixed point
+    * of every rule — property-tested), so re-normalizing an already
+    * clean corpus is a no-op, which makes incremental pipelines safe
+    * to re-run. */
+  def normalizeText(text: Column): Column = {
+    // \x{...} escapes parse identically in java.util.regex and RE2
+    val noZw = regexp_replace(text,
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    val noCtl = regexp_replace(noZw, "[\\x{00}-\\x{1F}\\x{7F}]", " ")
+    val dq = regexp_replace(noCtl, "[\\x{201C}\\x{201D}]", "\"")
+    val sq = regexp_replace(dq, "[\\x{2018}\\x{2019}]", "'")
+    val dash = regexp_replace(sq, "[\\x{2013}\\x{2014}]", "-")
+    trim(regexp_replace(dash, " +", " "))
+  }
+
   /** Lowercased alphanumeric word tokens — a BPE-ish pre-tokenizer:
     * splits on any non-alphanumeric run, like the GPT-2 regex's word
     * classes collapsed to [letters|digits]. Native expression

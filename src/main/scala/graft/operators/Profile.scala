@@ -253,6 +253,42 @@ object Profile {
       .select(col("grp").as(groupCol), col("n_rows"), col("tv_micro"))
   }
 
+  /** Winsorized per-group mean — the companion estimator to
+    * [[madOutliers]]: instead of FLAGGING tail rows, clamp them to the
+    * group's [pLo, pHi] order statistics and average what remains —
+    * the robust location read ("typical doc length per language")
+    * that a plain mean loses to one pathological document.
+    *
+    * Integer-exact: the clamp bounds are `percentile_disc` order
+    * statistics (actual stored integers), clamping is min/max, and
+    * both means ride `sum·10⁶ div n` — no float until nothing is
+    * left to compute. The raw mean is reported alongside so the
+    * winsorization's effect (their gap) is visible in the output.
+    *
+    * Scale: one grouped order-statistic pass (same envelope as
+    * [[madOutliers]] — beyond-memory groups take the
+    * [[sampledQuantiles]] path first) and one broadcast join of the
+    * ≤|groups|-row bounds frame; the clamp+sum is a single
+    * partial+final aggregation. Output: (groupCol, n, lo, hi,
+    * wmean_micro, mean_micro). */
+  def winsorizedStats(df: DataFrame, valueCol: String, groupCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorizedStats: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"cast(percentile_disc($pLo) within group (order by $valueCol) " +
+        "as bigint)").as("lo"),
+      expr(s"cast(percentile_disc($pHi) within group (order by $valueCol) " +
+        "as bigint)").as("hi"))
+    df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .join(broadcast(bounds), groupCol)
+      .withColumn("__w", least(greatest(col("__v"), col("lo")), col("hi")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        expr("sum(__w) * 1000000L div count(1)").as("wmean_micro"),
+        expr("sum(__v) * 1000000L div count(1)").as("mean_micro"))
+  }
+
   /** Pairwise Cohen's kappa between boolean gate columns — the
     * chance-corrected agreement read on a stack of curation filters:
     * raw overlap (x43's attribution counts) says two gates fire

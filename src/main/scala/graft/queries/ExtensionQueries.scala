@@ -1386,6 +1386,29 @@ object ExtensionQueries {
       .orderBy(col("gate_a"), col("gate_b"))
   }
 
+  /** x103 text-normalization audit — every doc through
+    * [[graft.functions.TextFunctions.normalizeText]] with before/after
+    * evidence and the md5 of the canonical form (the content key
+    * dedup would use downstream). */
+  def x103(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.normalizeText
+    docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_before"),
+        normalizeText(col("text")).as("__norm"))
+      .select(col("doc_id"), col("n_before"),
+        length(col("__norm")).cast("long").as("n_after"),
+        (col("n_before") =!= length(col("__norm")).cast("long")).as("shrunk"),
+        substring(md5(col("__norm")), 1, 16).as("norm_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x104 winsorized length stats per language — see
+    * [[graft.operators.Profile.winsorizedStats]]: the robust "typical
+    * doc length" read, raw mean alongside so the tail mass is visible. */
+  def x104(s: SparkSession, dir: String): DataFrame =
+    Profile.winsorizedStats(docs(s, dir), "n_chars", "lang")
+      .orderBy(col("lang"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1518,6 +1541,8 @@ object ExtensionQueries {
     "x100_mix_drift" -> (x100 _),
     "x101_pq_ann_rerank" -> (x101 _),
     "x102_filter_kappa" -> (x102 _),
+    "x103_normalize_audit" -> (x103 _),
+    "x104_winsorized_stats" -> (x104 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3544,6 +3569,50 @@ object ExtensionQueries {
          |              / (n * n - (x1 * y1 + (n - x1) * (n - y1)))::DOUBLE, 6)
          |       END AS kappa
          |FROM pairs ORDER BY gate_a, gate_b""".stripMargin,
+
+    // Replays normalizeText rule for rule: same \x{...} character
+    // classes (RE2 and java.util.regex parse them identically), same
+    // order, DuckDB's 'g' flag supplying the replace-all Spark does by
+    // default; md5 of the canonical form is byte-identical.
+    "x103_normalize_audit" ->
+      """WITH n AS (SELECT doc_id, length(text) AS n_before,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(text,
+        |              '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |            '[\x{00}-\x{1F}\x{7F}]', ' ', 'g'),
+        |          '[\x{201C}\x{201D}]', '"', 'g'),
+        |        '[\x{2018}\x{2019}]', '''', 'g'),
+        |      '[\x{2013}\x{2014}]', '-', 'g'),
+        |    ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+        |       CAST(length(norm) AS BIGINT) AS n_after,
+        |       n_before <> length(norm) AS shrunk,
+        |       substr(md5(norm), 1, 16) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // Replays winsorizedStats: percentile_disc clamp bounds, min/max
+    // clamping, and both means as integer floor-divisions.
+    "x104_winsorized_stats" ->
+      """WITH b AS (SELECT lang,
+        |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)
+        |         AS BIGINT) AS lo,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)
+        |         AS BIGINT) AS hi
+        |  FROM documents GROUP BY lang),
+        |c AS (SELECT d.lang, b.lo, b.hi,
+        |             least(greatest(d.n_chars, b.lo), b.hi) AS w,
+        |             d.n_chars AS v
+        |      FROM documents d JOIN b USING (lang))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(lo) AS BIGINT) AS lo, CAST(max(hi) AS BIGINT) AS hi,
+        |       CAST(sum(w) * 1000000 // count(*) AS BIGINT) AS wmean_micro,
+        |       CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS mean_micro
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in

@@ -161,6 +161,16 @@ class ProfileSpec extends SparkSpec {
     assert(out.forall(_ == 0L), out.toSeq)
   }
 
+  test("winsorizedStats: clamp bounds are order statistics; the tail moves only the raw mean") {
+    // g: 1..9 plus a planted 1000. With [p10, p90] bounds: lo = 1
+    // (cume 0.1 at the 1st of 10), hi = 9 (cume 0.9 at the 9th) —
+    // 1000 clamps to 9: wmean = 54/10, raw mean = 1045/10
+    val df = ((1L to 9L) :+ 1000L).map(("g", _)).toDF("grp", "v")
+    val out = Profile.winsorizedStats(df, "v", "grp", pLo = 0.1, pHi = 0.9)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("g", 10L, 1L, 9L, 5400000L, 104500000L)))
+  }
+
   test("pairwiseKappa: hand-traced kappa, perfect agreement, chance-only, degenerate") {
     // pair (a,b): 3×TT, 1×TF, 1×FT, 5×FF → agree 8/10,
     //   pe = (4·4 + 6·6)/100 → κ = (80−52)/(100−52) = 28/48 = 0.583333
