@@ -382,4 +382,108 @@ class OperatorPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("retentionCohorts: matches a driver-side model on seeded random event logs") {
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 12L)
+      day <- Gen.chooseNum(0, 45) // ~7 weeks of activity
+    } yield (u, java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day).atTime(12, 0)))
+    for (seed <- 1L to 3L) {
+      val evs = samples(evGen, 150, seed)
+      def monday(t: java.sql.Timestamp): java.time.LocalDate = {
+        val d = t.toLocalDateTime.toLocalDate
+        d.minusDays(d.getDayOfWeek.getValue - 1L)
+      }
+      val firsts = evs.groupBy(_._1).view
+        .mapValues(g => monday(g.minBy(_._2.getTime)._2)).toMap
+      val sizes = firsts.values.groupBy(identity).view.mapValues(_.size).toMap
+      val model = evs
+        .map { case (u, t) =>
+          val cw = firsts(u)
+          (cw, java.time.temporal.ChronoUnit.DAYS.between(cw, monday(t)) / 7, u)
+        }
+        .distinct.groupBy(r => (r._1, r._2)).map { case ((cw, off), g) =>
+          val act = g.map(_._3).distinct.size.toLong
+          (cw.toString, off, act, sizes(cw).toLong,
+            act * 1000000L / sizes(cw))
+        }.toSeq.sorted
+      val got = Sequences.retentionCohorts(evs.toDF("user_id", "ts"))
+        .select(col("cohort_week").cast("string"), col("week_offset"),
+          col("active_users"), col("cohort_size"), col("retention_micro"))
+        .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == model, s"seed $seed")
+    }
+  }
+
+  test("systematicSample: matches the integer-line model; covered multiples sum to tot div stride") {
+    val rowGen = for {
+      id <- Gen.chooseNum(1L, 1000L)
+      w <- Gen.chooseNum(0L, 30L)
+    } yield (id, w)
+    for (seed <- 1L to 3L; k <- Seq(1, 3, 7)) {
+      val rows = samples(rowGen, 40, seed).distinctBy(_._1)
+      def md5hex(s: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val line = rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      val tot = rows.map(_._2).sum
+      val stride = math.max(1L, tot / k)
+      var cum = 0L
+      val model = line.flatMap { case (id, w) =>
+        val prev = cum; cum += w
+        if (cum / stride > prev / stride)
+          Some((id, w, cum, prev / stride + 1)) else None
+      }
+      val got = TextAnalysis.systematicSample(
+          rows.map { case (id, w) => ("s", id, w) }.toDF("lang", "doc_id", "n_chars"),
+          "doc_id", "n_chars", "lang", k)
+        .select("doc_id", "weight", "cum_weight", "pick_no")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._3).toSeq
+      assert(got == model.map(m => (m._1, m._2, m._3, m._4)), s"seed $seed k $k")
+      // coverage law: the picked rows' intervals contain EVERY stride
+      // multiple in (0, tot] exactly once
+      val covered = model.map(m => m._3 / stride - (m._3 - m._2) / stride).sum
+      assert(covered == tot / stride, s"seed $seed k $k")
+    }
+  }
+
+  test("linkPrediction: matches a brute-force common-neighbor model on random graphs") {
+    val edgeGen = for {
+      u <- Gen.chooseNum(1L, 12L); v <- Gen.chooseNum(1L, 12L) if u != v
+    } yield (math.min(u, v), math.max(u, v))
+    for (seed <- 1L to 3L) {
+      val es = samples(edgeGen, 25, seed).distinct
+      val adj = es.flatMap(e => Seq(e, e.swap)).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keys.toSeq.sorted
+      val model = (for {
+        a <- nodes; b <- nodes if a < b && !es.contains((a, b))
+        common = adj(a).intersect(adj(b)).size if common >= 1
+      } yield (a, b, common.toLong,
+        common * 1000000L / (adj(a).size + adj(b).size - common))).sorted
+      val got = Graph.linkPrediction(es.toDF("u", "v"))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == model, s"seed $seed")
+    }
+  }
+
+  test("pairwiseKappa: symmetric in gate order and bounded in [-1, 1]") {
+    val flagGen = Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false),
+      Gen.oneOf(true, false))
+    for (seed <- 1L to 3L) {
+      val rows = samples(flagGen, 60, seed)
+      val df = rows.toDF("a", "b", "c")
+      val fwd = Profile.pairwiseKappa(df, Seq("a", "b", "c"))
+        .as[(String, String, Long, Long, Option[Double])].collect()
+        .map(r => Set(r._1, r._2) -> ((r._4, r._5))).toMap
+      val rev = Profile.pairwiseKappa(df, Seq("c", "b", "a"))
+        .as[(String, String, Long, Long, Option[Double])].collect()
+        .map(r => Set(r._1, r._2) -> ((r._4, r._5))).toMap
+      assert(fwd == rev, s"seed $seed: order of gates changed agree/kappa")
+      fwd.values.foreach { case (_, kap) =>
+        kap.foreach(x => assert(x >= -1.0 && x <= 1.0, s"seed $seed kappa $x")) }
+    }
+  }
 }
