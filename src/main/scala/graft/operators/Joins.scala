@@ -117,6 +117,35 @@ object Joins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Blocked fuzzy (edit-distance) join — the entity-resolution
+    * workhorse Spark has no operator for: left and right rows match
+    * when their strings are within `maxDist` Levenshtein edits. The
+    * naive form is a cartesian product; blocking makes it an EQUI-join
+    * on a caller-chosen key (`block`: e.g. the last token, a phonetic
+    * code, a length band) with the exact distance predicate applied
+    * only within blocks. Recall is exactly the blocking function's
+    * recall — pairs whose block keys differ are never compared, which
+    * is the explicit, documented trade (same contract as the LSH
+    * band joins in [[graft.operators.Dedup]]).
+    *
+    * Scale: shuffle on the block key, candidates bounded by
+    * Σ|block|² — a hot block (every string blocking together) needs a
+    * tighter key or the Dedup `maxBucketSize`-style cap; `levenshtein`
+    * is codegen'd and runs only inside blocks.
+    *
+    * Output: all left columns + all right columns + `dist`. */
+  def blockedFuzzyJoin(left: DataFrame, right: DataFrame,
+      leftStr: String, rightStr: String, maxDist: Int,
+      block: Column => Column): DataFrame = {
+    require(maxDist >= 0, s"blockedFuzzyJoin: maxDist must be >= 0, got $maxDist")
+    val l = left.withColumn("__blk", block(col(leftStr)))
+    val r = right.withColumn("__blk", block(col(rightStr)))
+    l.join(r, "__blk")
+      .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))
+      .filter(col("dist") <= maxDist)
+      .drop("__blk")
+  }
+
   /** Binned range join: left points joined to right intervals
     * (`start` ≤ t < `end`) without an equi key. Both sides map their
     * time to `binSeconds`-wide buckets (intervals explode to every

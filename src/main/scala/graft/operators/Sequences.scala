@@ -239,6 +239,52 @@ object Sequences {
           .as("delta_s"))
   }
 
+  /** Market-basket pair statistics over the event log: baskets are
+    * the distinct (user, day, type) sets, and every unordered type
+    * pair co-occurring in a basket reports its support and LIFT —
+    * how much more often the pair co-occurs than its members' base
+    * rates predict (lift > 1 = genuine association, = 1 = independent,
+    * < 1 = repulsion). The behavioral-association read on an event
+    * log, and structurally the same chance-correction idea as
+    * [[graft.operators.Profile.pairwiseKappa]] applied to item pairs.
+    *
+    * Integer-exact: lift = N·n_ab/(n_a·n_b) rides micro-units as
+    * `n_ab·N·10⁶ div (n_a·n_b)` — exact while n_ab·N·10⁶ fits a long
+    * (baskets ≲ 9·10⁶; beyond that, compute on the md5-60 basket
+    * sample — the x70 envelope, documented not hidden).
+    *
+    * Scale: the event volume collapses FIRST to distinct
+    * (user, day, type) — one partial+final shuffle; the pair join is
+    * basket-keyed with fan-out bounded by (types-per-basket)², and
+    * TYPE×TYPE-cardinality frames join at the end (tiny, broadcast).
+    *
+    * Output: (type_a, type_b, n_pairs, n_a, n_b, n_baskets,
+    * lift_micro), type_a < type_b. */
+  def basketPairs(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    val items = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"),
+        col(typeCol).as("__t"))
+      .distinct()
+      .localCheckpoint(true) // feeds singles, pairs, and the N count
+    val n = items.select(col("__u"), col("__d")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val singles = items.groupBy(col("__t")).agg(count(lit(1)).as("__n1"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.__u") === col("b.__u") && col("a.__d") === col("b.__d") &&
+          col("a.__t") < col("b.__t"))
+      .groupBy(col("a.__t").as("type_a"), col("b.__t").as("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    pairs
+      .join(singles.select(col("__t").as("type_a"), col("__n1").as("n_a")), "type_a")
+      .join(singles.select(col("__t").as("type_b"), col("__n1").as("n_b")), "type_b")
+      .join(broadcast(n))
+      .select(col("type_a"), col("type_b"), col("n_pairs"),
+        col("n_a"), col("n_b"), col("n_baskets"),
+        expr("n_pairs * n_baskets * 1000000L div (n_a * n_b)").as("lift_micro"))
+  }
+
   /** Rolling active-user series: per calendar day, the exact distinct
     * actives that day (DAU), over the trailing `windowDays` window
     * (WAU), and the DAU/WAU stickiness ratio in integer micro-units —

@@ -1409,6 +1409,30 @@ object ExtensionQueries {
     Profile.winsorizedStats(docs(s, dir), "n_chars", "lang")
       .orderBy(col("lang"))
 
+  /** x105 blocked fuzzy self-join over part names — see
+    * [[graft.operators.Joins.blockedFuzzyJoin]]: name variants within
+    * 4 edits, blocked on the last token (the product noun), the
+    * entity-resolution join class. Distinct names only, a < b. */
+  def x105(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.load(s, dir, "part")
+      .select(col("p_name").as("name")).distinct()
+    graft.operators.Joins.blockedFuzzyJoin(
+        names.select(col("name").as("name_a")),
+        names.select(col("name").as("name_b")),
+        "name_a", "name_b", maxDist = 4,
+        c => element_at(split(c, " "), -1))
+      .filter(col("name_a") < col("name_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** x106 market-basket lift over the event log — see
+    * [[graft.operators.Sequences.basketPairs]]: which event types
+    * co-occur in a user-day beyond their base rates, integer-micro
+    * lift. */
+  def x106(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.basketPairs(Tables.load(s, dir, "events"))
+      .orderBy(col("type_a"), col("type_b"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1543,6 +1567,8 @@ object ExtensionQueries {
     "x102_filter_kappa" -> (x102 _),
     "x103_normalize_audit" -> (x103 _),
     "x104_winsorized_stats" -> (x104 _),
+    "x105_fuzzy_join" -> (x105 _),
+    "x106_basket_lift" -> (x106 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3613,6 +3639,42 @@ object ExtensionQueries {
         |       CAST(sum(w) * 1000000 // count(*) AS BIGINT) AS wmean_micro,
         |       CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS mean_micro
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Replays the blocked fuzzy join: same last-token block key, same
+    // levenshtein (classic edit distance in both engines), same a < b
+    // orientation over distinct names.
+    "x105_fuzzy_join" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |blk AS (SELECT name, list_extract(string_split(name, ' '), -1) AS b
+        |        FROM names)
+        |SELECT a.name AS name_a, b2.name AS name_b,
+        |       CAST(levenshtein(a.name, b2.name) AS INT) AS dist
+        |FROM blk a JOIN blk b2 ON a.b = b2.b
+        |WHERE levenshtein(a.name, b2.name) <= 4 AND a.name < b2.name
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // Replays basketPairs: distinct (user, day, type) items, the
+    // within-basket pair join, and the integer-micro lift.
+    "x106_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d,
+        |                      event_type AS t
+        |               FROM events),
+        |n AS (SELECT count(*) AS n_baskets
+        |      FROM (SELECT DISTINCT u, d FROM items)),
+        |s AS (SELECT t, count(*) AS n1 FROM items GROUP BY t),
+        |p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_pairs
+        |      FROM items a JOIN items b
+        |        ON a.u = b.u AND a.d = b.d AND a.t < b.t
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |       CAST(sa.n1 AS BIGINT) AS n_a, CAST(sb.n1 AS BIGINT) AS n_b,
+        |       CAST(n.n_baskets AS BIGINT) AS n_baskets,
+        |       CAST(n_pairs * n.n_baskets * 1000000 // (sa.n1 * sb.n1)
+        |            AS BIGINT) AS lift_micro
+        |FROM p JOIN s sa ON sa.t = p.type_a
+        |       JOIN s sb ON sb.t = p.type_b
+        |       CROSS JOIN n
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in

@@ -72,6 +72,22 @@ class JoinsSpec extends SparkSpec {
     assert(r == 1L)
   }
 
+  test("blockedFuzzyJoin: edits found within a block, cross-block pairs are the recall trade") {
+    val l = Seq("cold widget", "old widget", "cold bolt").toDF("name_a")
+    val r = Seq("cold widget", "old widget", "gold widgets").toDF("name_b")
+    val out = Joins.blockedFuzzyJoin(l, r, "name_a", "name_b", maxDist = 2,
+        c => element_at(split(c, " "), -1))
+      .as[(String, String, Int)].collect().toSet
+    assert(out == Set(
+      ("cold widget", "cold widget", 0),
+      ("cold widget", "old widget", 1),
+      ("old widget", "cold widget", 1),
+      ("old widget", "old widget", 0)))
+    // "gold widgets" is 2 edits from "old widget" but blocks under
+    // "widgets" — never compared: the documented blocking recall trade
+    assert(!out.exists(_._2 == "gold widgets"))
+  }
+
   test("saltedEquiJoin equals the plain join") {
     val orders = spark.read.parquet(s"$sf001/orders.parquet")
       .select($"o_custkey".as("k"), $"o_orderkey")

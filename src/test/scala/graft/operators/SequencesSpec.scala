@@ -221,6 +221,30 @@ class SequencesSpec extends SparkSpec {
       (3L, base + 50, Some(base + 50), Some(0L))))
   }
 
+  test("basketPairs: hand-traced support and lift, duplicates collapse into baskets") {
+    // baskets: u1/day1 {view, click, purchase} (click twice — dedup),
+    //          u2/day1 {view, click}, u1/day2 {view} → N = 3
+    // singles: view 3, click 2, purchase 1
+    // lift(click,view) = 2·3/(2·3) = 1.0; (click,purchase) = 1·3/(2·1);
+    // (purchase,view) = 1·3/(1·3)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 11:30:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 09:30:00"), "click"),
+      (1L, ts("2024-01-02 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Sequences.basketPairs(events)
+      .orderBy("type_a", "type_b")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("click", "purchase", 1L, 2L, 1L, 3L, 1500000L),
+      ("click", "view", 2L, 2L, 3L, 3L, 1000000L),
+      ("purchase", "view", 1L, 1L, 3L, 3L, 1000000L)))
+  }
+
   test("retentionCohorts: week 0 is always fully retained") {
     // every user's first event lands in their own offset-0 week, so the
     // offset-0 row of every cohort must read retention_micro = 10⁶
