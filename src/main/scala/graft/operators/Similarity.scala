@@ -276,6 +276,45 @@ object Similarity {
     rankTopK(rescored, k, queryId, corpusId)
   }
 
+  /** PQ index-quality audit: per subspace, the distribution of
+    * quantization error (squared L2 between each vector's slice and
+    * its OWN chosen centroid) — the "is this codebook fit for this
+    * corpus" read that should gate any ANN built on the codes: a
+    * subspace whose error dwarfs the others is wasting its byte, and
+    * a rising mean on corpus drift says retrain/reseed. Terms ride
+    * the same per-(vector, subspace) micro quantization as
+    * [[pqTopK]]'s ADC, so the audit numbers are directly comparable
+    * to the distances the index actually serves — and integer-summed,
+    * engine-portable.
+    *
+    * Scale: map-side expression work against codebook literals plus
+    * one m-row aggregation; nothing shuffles but the tiny final
+    * rollup. Output: (subspace, n_vectors, mean_err_micro,
+    * max_err_micro). */
+  def pqQuantizationError(encoded: DataFrame,
+      codebook: Array[Array[Array[Float]]],
+      corpusVec: String = "embedding"): DataFrame = {
+    val m = codebook.length
+    val sub = codebook(0)(0).length
+    val v = col(corpusVec).cast("array<double>")
+    val terms = (0 until m).map { j =>
+      val s = slice(v, j * sub + 1, sub)
+      val chosen = element_at(
+        typedlit(codebook(j).map(_.map(_.toDouble).toSeq).toSeq),
+        col("codes").getItem(j) + 1)
+      struct(lit(j).as("subspace"),
+        round(round(aggregate(zip_with(s, chosen, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d), 6) * lit(1000000.0)).cast("long")
+          .as("err"))
+    }
+    encoded
+      .select(explode(array(terms.toIndexedSeq: _*)).as("t"))
+      .groupBy(col("t.subspace").as("subspace"))
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("sum(t.err) div count(1)").as("mean_err_micro"),
+        max(col("t.err")).as("max_err_micro"))
+  }
+
   /** LSH-bucketed ANN top-k: only corpus vectors in the query's
     * hyperplane bucket are scored. Trades recall for a bucket-join
     * instead of a full scan per query — at 100 TB the bucketed corpus

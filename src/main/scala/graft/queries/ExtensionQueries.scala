@@ -1433,6 +1433,17 @@ object ExtensionQueries {
     graft.operators.Sequences.basketPairs(Tables.load(s, dir, "events"))
       .orderBy(col("type_a"), col("type_b"))
 
+  /** x107 PQ quantization-error audit — see
+    * [[graft.operators.Similarity.pqQuantizationError]]: per-subspace
+    * error of the x101 codebook on the corpus, the fit-for-purpose
+    * gate on the codes the ANN serves. */
+  def x107(s: SparkSession, dir: String): DataFrame = {
+    val cb = graft.operators.Similarity.pqCodebook(8, 8, 16)
+    graft.operators.Similarity.pqQuantizationError(
+        graft.operators.Similarity.pqEncode(emb(s, dir), cb), cb)
+      .orderBy(col("subspace"))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1569,6 +1580,7 @@ object ExtensionQueries {
     "x104_winsorized_stats" -> (x104 _),
     "x105_fuzzy_join" -> (x105 _),
     "x106_basket_lift" -> (x106 _),
+    "x107_pq_error_audit" -> (x107 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3675,6 +3687,35 @@ object ExtensionQueries {
         |       JOIN s sb ON sb.t = p.type_b
         |       CROSS JOIN n
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // Replays the audit over the same enc CTE as x101: each vector's
+    // slice against its OWN centroid, the identical per-term micro
+    // quantization, integer mean (div) and max per subspace.
+    "x107_pq_error_audit" ->
+      s"""WITH cent(j, idx, v) AS (VALUES
+         |  $pqCentValuesSql),
+         |b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |      WHERE len(embedding) = 64
+         |        AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         |enc AS (
+         |  SELECT vec_id, j, idx FROM (
+         |    SELECT b.vec_id, c.j, c.idx,
+         |           row_number() OVER (PARTITION BY b.vec_id, c.j
+         |             ORDER BY list_distance(b.e[(c.j*8+1):(c.j*8+8)], c.v), c.idx)
+         |             AS rn
+         |    FROM b CROSS JOIN cent c) t WHERE rn = 1),
+         |err AS (
+         |  SELECT enc.j AS subspace,
+         |         CAST(round(round(
+         |             power(list_distance(b.e[(enc.j*8+1):(enc.j*8+8)], c.v), 2),
+         |             6) * 1000000.0) AS BIGINT) AS err
+         |  FROM enc JOIN b USING (vec_id)
+         |       JOIN cent c ON c.j = enc.j AND c.idx = enc.idx)
+         |SELECT CAST(subspace AS INT) AS subspace,
+         |       CAST(count(*) AS BIGINT) AS n_vectors,
+         |       CAST(sum(err) // count(*) AS BIGINT) AS mean_err_micro,
+         |       CAST(max(err) AS BIGINT) AS max_err_micro
+         |FROM err GROUP BY subspace ORDER BY subspace""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in

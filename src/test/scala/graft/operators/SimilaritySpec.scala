@@ -220,6 +220,30 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.toSeq == bf.toSeq)
   }
 
+  test("pqQuantizationError: matches the driver-side argmin model per subspace") {
+    val cb = Similarity.pqCodebook(8, 8, 16)
+    val audit = Similarity.pqQuantizationError(Similarity.pqEncode(emb, cb), cb)
+      .orderBy($"subspace")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(audit.map(_._1).toSeq == (0 until 8))
+    val valid = emb.filter(size($"embedding") === 64).as[(Long, Seq[Float], Int)]
+      .collect().filter(_._2.map(x => x.toDouble * x).sum > 0)
+    assert(audit.forall(_._2 == valid.length))
+    // model: per (vector, subspace) the min-distance centroid's error,
+    // quantized exactly like the operator, integer mean/max
+    def q(d: Double) = math.round(
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    val model = (0 until 8).map { j =>
+      val errs = valid.map { case (_, e, _) =>
+        val s = e.slice(j * 8, j * 8 + 8).map(_.toDouble)
+        q(cb(j).map(c => s.zip(c.map(_.toDouble))
+          .map { case (x, y) => (x - y) * (x - y) }.sum).min)
+      }
+      (j, errs.length.toLong, errs.sum / errs.length, errs.max)
+    }
+    assert(audit.toSeq == model)
+  }
+
   test("pqTopK: the width-50 shortlist holds useful recall@10 vs brute force") {
     val cb = Similarity.pqCodebook(8, 8, 16)
     val queries = emb.filter($"vec_id" < 5)
