@@ -109,6 +109,23 @@ object GraftExtensions {
           Md5(Cast(Cast(args(0), StringType), BinaryType)),
           Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
       }),
+    // composition of built-ins, like md5_bucket60: the SAME
+    // RegExpReplace chain TextFunctions.normalizeText renders, built
+    // from the shared normalizeRules constants (parity-pinned in
+    // GraftExtensionsSpec) — SQL and DataFrame users get one
+    // normalization contract. (The bridge's Column→Expression path
+    // yields unresolved Connect nodes here, so the tree is built from
+    // Catalyst nodes directly.)
+    ("normalize_text",
+      info("normalize_text",
+        "_FUNC_(text) - canonical cleanup: zero-widths removed, controls/whitespace collapsed, smart quotes and dashes folded to ASCII (idempotent)"),
+      arity("normalize_text", 1) { args =>
+        import org.apache.spark.sql.catalyst.expressions.{RegExpReplace, StringTrim}
+        StringTrim(
+          graft.functions.TextFunctions.normalizeRules.foldLeft(args(0)) {
+            case (e, (p, r)) => RegExpReplace(e, Literal(p), Literal(r))
+          })
+      }),
   )
 
   /** Register on an already-built session. */

@@ -37,16 +37,23 @@ object TextFunctions {
     * of every rule — property-tested), so re-normalizing an already
     * clean corpus is a no-op, which makes incremental pipelines safe
     * to re-run. */
-  def normalizeText(text: Column): Column = {
-    // \x{...} escapes parse identically in java.util.regex and RE2
-    val noZw = regexp_replace(text,
-      "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
-    val noCtl = regexp_replace(noZw, "[\\x{00}-\\x{1F}\\x{7F}]", " ")
-    val dq = regexp_replace(noCtl, "[\\x{201C}\\x{201D}]", "\"")
-    val sq = regexp_replace(dq, "[\\x{2018}\\x{2019}]", "'")
-    val dash = regexp_replace(sq, "[\\x{2013}\\x{2014}]", "-")
-    trim(regexp_replace(dash, " +", " "))
-  }
+  /** The normalization rules as (pattern, replacement) pairs — ONE
+    * rendering shared by the Column API, the SQL registration
+    * (GraftExtensions builds the same RegExpReplace chain from these),
+    * and mirrored by the DuckDB oracle. \x{...} escapes parse
+    * identically in java.util.regex and RE2. */
+  private[graft] val normalizeRules: Seq[(String, String)] = Seq(
+    "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]" -> "",
+    "[\\x{00}-\\x{1F}\\x{7F}]" -> " ",
+    "[\\x{201C}\\x{201D}]" -> "\"",
+    "[\\x{2018}\\x{2019}]" -> "'",
+    "[\\x{2013}\\x{2014}]" -> "-",
+    " +" -> " ")
+
+  def normalizeText(text: Column): Column =
+    trim(normalizeRules.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    })
 
   /** Lowercased alphanumeric word tokens — a BPE-ish pre-tokenizer:
     * splits on any non-alphanumeric run, like the GPT-2 regex's word

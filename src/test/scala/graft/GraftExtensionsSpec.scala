@@ -63,6 +63,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(v == 6.0)
   }
 
+  test("normalize_text: SQL equals the Column API rendering") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    Seq("  “Smart” — text\twith​noise  ",
+      "the cat sat on the mat", "")
+      .toDF("t").createOrReplaceTempView("gx_txt")
+    val sql = spark.sql("SELECT normalize_text(t) FROM gx_txt")
+      .collect().map(_.getString(0))
+    val api = spark.table("gx_txt")
+      .select(TextFunctions.normalizeText(col("t")))
+      .collect().map(_.getString(0))
+    assert(sql.toSeq == api.toSeq)
+    assert(sql(0) == "\"Smart\" - text withnoise") // ZWSP removed, not spaced
+  }
+
   test("non-literal k is rejected with a clear error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
