@@ -239,6 +239,48 @@ object Sequences {
           .as("delta_s"))
   }
 
+  /** Hour-of-day seasonal baseline deviation: each observed
+    * (date, hour) cell's event count against the hour's cross-day
+    * mean — the seasonality-aware anomaly read that x56's global
+    * z-score cannot be (3 AM is ALWAYS quiet; a spike there is
+    * invisible to a global threshold and obvious against the 3 AM
+    * baseline). The standard ops read on any event stream, and for a
+    * telemetry-derived corpus the collection-skew diagnostic.
+    *
+    * Integer-exact: the baseline is `total_h·10⁶ div n_days`
+    * (mean events per day at that hour, micro-units) and the
+    * deviation ratio is `n·n_days·10⁶ div total_h` — both pure
+    * integer floor-division on non-negative longs, engine-identical;
+    * the spike flag is an integer comparison at 2× baseline.
+    *
+    * Scale: one partial+final (date, hour) aggregation collapses the
+    * event volume; everything after runs on the ≤ days×24 frame
+    * (hour baselines and the day count are broadcast-size). Absent
+    * cells (an hour with zero events that day) are absent rows — the
+    * "quiet hour went silent" read needs the date-spine gap-fill
+    * (q40's pattern) composed upstream, by contract.
+    *
+    * Output: (day, hour, n, base_micro, ratio_micro, is_spike). */
+  def hourlyBaselineDeviation(events: DataFrame, spikeFactor: Int = 2,
+      tsCol: String = "ts"): DataFrame = {
+    require(spikeFactor > 0,
+      s"hourlyBaselineDeviation: spikeFactor must be positive, got $spikeFactor")
+    val cells = events
+      .select(to_date(col(tsCol)).as("day"), hour(col(tsCol)).as("hr"))
+      .groupBy(col("day"), col("hr")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds baselines, the day count, and output
+    val days = cells.select(col("day")).distinct()
+      .agg(count(lit(1)).as("n_days"))
+    val base = cells.groupBy(col("hr"))
+      .agg(sum(col("n")).cast("bigint").as("__tot"))
+    cells.join(base, "hr").join(broadcast(days))
+      .select(col("day"), col("hr"), col("n"),
+        expr("__tot * 1000000L div n_days").as("base_micro"),
+        expr("n * n_days * 1000000L div __tot").as("ratio_micro"))
+      .withColumn("is_spike",
+        col("ratio_micro") >= lit(spikeFactor.toLong * 1000000L))
+  }
+
   /** Market-basket pair statistics over the event log: baskets are
     * the distinct (user, day, type) sets, and every unordered type
     * pair co-occurring in a basket reports its support and LIFT —

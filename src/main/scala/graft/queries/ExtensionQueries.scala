@@ -1444,6 +1444,16 @@ object ExtensionQueries {
       .orderBy(col("subspace"))
   }
 
+  /** x108 hour-of-day seasonal deviation — see
+    * [[graft.operators.Sequences.hourlyBaselineDeviation]]: each
+    * (date, hour) cell against its hour's cross-day baseline, the
+    * seasonality-aware complement to x56's global z-score. */
+  def x108(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.hourlyBaselineDeviation(
+        Tables.load(s, dir, "events"))
+      .withColumn("day", col("day").cast("string"))
+      .orderBy(col("day"), col("hr"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1581,6 +1591,7 @@ object ExtensionQueries {
     "x105_fuzzy_join" -> (x105 _),
     "x106_basket_lift" -> (x106 _),
     "x107_pq_error_audit" -> (x107 _),
+    "x108_hourly_deviation" -> (x108 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3716,6 +3727,23 @@ object ExtensionQueries {
          |       CAST(sum(err) // count(*) AS BIGINT) AS mean_err_micro,
          |       CAST(max(err) AS BIGINT) AS max_err_micro
          |FROM err GROUP BY subspace ORDER BY subspace""".stripMargin,
+
+    // Replays hourlyBaselineDeviation: (date, hour) cells, cross-day
+    // hour totals, distinct-day count, both integer floor-divisions,
+    // the 2x spike compare.
+    "x108_hourly_deviation" ->
+      """WITH cells AS (SELECT CAST(ts AS DATE) AS day,
+        |                      CAST(extract(hour FROM ts) AS INT) AS hr,
+        |                      count(*) AS n
+        |               FROM events GROUP BY 1, 2),
+        |d AS (SELECT count(DISTINCT day) AS n_days FROM cells),
+        |b AS (SELECT hr, CAST(sum(n) AS BIGINT) AS tot FROM cells GROUP BY hr)
+        |SELECT CAST(c.day AS STRING) AS day, c.hr, CAST(c.n AS BIGINT) AS n,
+        |       CAST(b.tot * 1000000 // d.n_days AS BIGINT) AS base_micro,
+        |       CAST(c.n * d.n_days * 1000000 // b.tot AS BIGINT) AS ratio_micro,
+        |       c.n * d.n_days * 1000000 // b.tot >= 2000000 AS is_spike
+        |FROM cells c JOIN b USING (hr) CROSS JOIN d
+        |ORDER BY day, hr""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in

@@ -245,6 +245,29 @@ class SequencesSpec extends SparkSpec {
       ("purchase", "view", 1L, 1L, 3L, 3L, 1000000L)))
   }
 
+  test("hourlyBaselineDeviation: hand-traced baseline and spike flag") {
+    // hour 10 over 2 days: counts 1 and 3 → tot 4, base = 4e6/2 = 2e6
+    //   day1 ratio = 1·2·1e6/4 = 500000; day2 ratio = 3·2·1e6/4 =
+    //   1500000 — neither ≥ 2× baseline
+    // hour 3: only day2, count 4 → tot 4, base 2e6, ratio = 4·2e6/4 =
+    //   2e6 → spike (quiet-hour burst invisible to a global threshold)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-02 10:10:00")), (3L, ts("2024-01-02 10:20:00")),
+      (4L, ts("2024-01-02 10:30:00")),
+      (5L, ts("2024-01-02 03:00:00")), (6L, ts("2024-01-02 03:10:00")),
+      (7L, ts("2024-01-02 03:20:00")), (8L, ts("2024-01-02 03:30:00")))
+      .toDF("event_id", "ts")
+    val out = Sequences.hourlyBaselineDeviation(events)
+      .orderBy("day", "hr")
+      .as[(java.sql.Date, Int, Long, Long, Long, Boolean)].collect()
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    assert(out.toSeq == Seq(
+      (d("2024-01-01"), 10, 1L, 2000000L, 500000L, false),
+      (d("2024-01-02"), 3, 4L, 2000000L, 2000000L, true),
+      (d("2024-01-02"), 10, 3L, 2000000L, 1500000L, false)))
+  }
+
   test("retentionCohorts: week 0 is always fully retained") {
     // every user's first event lands in their own offset-0 week, so the
     // offset-0 row of every cohort must read retention_micro = 10⁶
