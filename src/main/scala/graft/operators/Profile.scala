@@ -253,6 +253,36 @@ object Profile {
       .select(col("grp").as(groupCol), col("n_rows"), col("tv_micro"))
   }
 
+  /** Per-group Simpson concentration and effective category count —
+    * the diversity read on a categorical column: simpson = Σp_c² is
+    * the probability two random rows of the group share a category
+    * (1/|cats| = uniform, → 1 = monoculture), and its inverse is the
+    * "effective number of categories" — the honest answer to "how
+    * many languages does this source REALLY contribute" when raw
+    * distinct counts are inflated by trace amounts. The within-group
+    * companion to [[mixDrift]]'s against-the-corpus distance.
+    *
+    * Integer-exact: simpson_micro = Σn_c²·10⁶ div n² and
+    * effective_micro = n²·10⁶ div Σn_c² — pure integer algebra, exact
+    * while n²·10⁶ fits a long (groups ≲ 3·10⁶ rows; larger groups
+    * take the md5-60 row sample first, the same envelope as
+    * [[pairwiseKappa]]).
+    *
+    * Scale: one partial+final (group, category) count; everything
+    * after is profile-cardinality. Output: (groupCol, n, n_cats,
+    * simpson_micro, effective_micro). */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("n_gc"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n_gc")).cast("bigint").as("n"),
+        count(lit(1)).as("n_cats"),
+        sum(col("n_gc") * col("n_gc")).cast("bigint").as("__ss"))
+      .select(col("grp").as(groupCol), col("n"), col("n_cats"),
+        expr("__ss * 1000000L div (n * n)").as("simpson_micro"),
+        expr("n * n * 1000000L div __ss").as("effective_micro"))
+
   /** Winsorized per-group mean — the companion estimator to
     * [[madOutliers]]: instead of FLAGGING tail rows, clamp them to the
     * group's [pLo, pHi] order statistics and average what remains —

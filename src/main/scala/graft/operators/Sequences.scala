@@ -239,6 +239,65 @@ object Sequences {
           .as("delta_s"))
   }
 
+  /** Weekly growth accounting — the canonical audit of an active-user
+    * curve: every (week, user) activity cell is classified as NEW
+    * (user's first week ever), RETAINED (also active the previous
+    * week), or RESURRECTED (active before, idle last week); CHURNED
+    * counts last week's actives who went silent this week. The four
+    * series reconcile exactly: actives(w) = new + retained +
+    * resurrected, and actives(w) − actives(w−1) = new + resurrected −
+    * churned — the identity that makes "growth" attributable instead
+    * of a single opaque number. Complements [[retentionCohorts]]
+    * (which follows cohorts forward; this decomposes each week).
+    *
+    * Exactness: all pure integer set algebra on the distinct
+    * (week, user) frame — Monday truncation as in
+    * [[retentionCohorts]], membership via self-joins, no floats.
+    *
+    * Scale: the event volume collapses once to distinct (week, user);
+    * the prev-week membership check is a self-join on
+    * (user, week − 7 days) — user-keyed, AQE-splittable; first-weeks
+    * are one more user-keyed aggregate. Output frames are
+    * week-cardinality. Weeks with no activity produce no row (and a
+    * fully-idle gap week makes everyone "resurrected" when they
+    * return — the standard convention).
+    *
+    * Output: (week, actives, new_users, retained, resurrected,
+    * churned), churned(w) = actives(w−1) − retained(w) even when no
+    * row exists for w − 1's successor otherwise. */
+  def growthAccounting(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val wu = events
+      .select(to_date(date_trunc("week", col(tsCol))).as("wk"),
+        col(userCol).as("u"))
+      .distinct()
+      .localCheckpoint(true) // feeds firsts, self-joins, and totals
+    val firsts = wu.groupBy(col("u")).agg(min(col("wk")).as("__first"))
+    val prev = wu.select(expr("date_add(wk, 7)").as("wk"), col("u"),
+      lit(1).as("__was_prev"))
+    val classified = wu
+      .join(firsts, "u")
+      .join(prev, Seq("wk", "u"), "left")
+      .select(col("wk"), col("u"),
+        when(col("wk") === col("__first"), "new")
+          .when(col("__was_prev").isNotNull, "retained")
+          .otherwise("resurrected").as("__cls"))
+    val byWeek = classified.groupBy(col("wk"))
+      .agg(count(lit(1)).as("actives"),
+        sum(when(col("__cls") === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("__cls") === "retained", 1L).otherwise(0L)).as("retained"),
+        sum(when(col("__cls") === "resurrected", 1L).otherwise(0L))
+          .as("resurrected"))
+    // churned(w) = actives(w−1) − retained(w): join the shifted totals
+    val prevTotals = byWeek.select(expr("date_add(wk, 7)").as("wk"),
+      col("actives").as("__prev_actives"))
+    byWeek.join(prevTotals, Seq("wk"), "left")
+      .select(col("wk").as("week"), col("actives"), col("new_users"),
+        col("retained"), col("resurrected"),
+        (coalesce(col("__prev_actives"), lit(0L)) - col("retained"))
+          .as("churned"))
+  }
+
   /** Hour-of-day seasonal baseline deviation: each observed
     * (date, hour) cell's event count against the hour's cross-day
     * mean — the seasonality-aware anomaly read that x56's global

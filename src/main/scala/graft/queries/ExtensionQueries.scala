@@ -1454,6 +1454,22 @@ object ExtensionQueries {
       .withColumn("day", col("day").cast("string"))
       .orderBy(col("day"), col("hr"))
 
+  /** x109 weekly growth accounting — see
+    * [[graft.operators.Sequences.growthAccounting]]: every week's
+    * actives decomposed into new/retained/resurrected with the
+    * reconciling churn count — the attributable form of a DAU curve. */
+  def x109(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.growthAccounting(Tables.load(s, dir, "events"))
+      .withColumn("week", col("week").cast("string"))
+      .orderBy(col("week"))
+
+  /** x110 per-source Simpson diversity over languages — see
+    * [[graft.operators.Profile.simpsonDiversity]]: the effective
+    * language count per provider, immune to trace-amount inflation. */
+  def x110(s: SparkSession, dir: String): DataFrame =
+    Profile.simpsonDiversity(docs(s, dir), "source", "lang")
+      .orderBy(col("source"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1592,6 +1608,8 @@ object ExtensionQueries {
     "x106_basket_lift" -> (x106 _),
     "x107_pq_error_audit" -> (x107 _),
     "x108_hourly_deviation" -> (x108 _),
+    "x109_growth_accounting" -> (x109 _),
+    "x110_simpson_diversity" -> (x110 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3744,6 +3762,49 @@ object ExtensionQueries {
         |       c.n * d.n_days * 1000000 // b.tot >= 2000000 AS is_spike
         |FROM cells c JOIN b USING (hr) CROSS JOIN d
         |ORDER BY day, hr""".stripMargin,
+
+    // Replays growthAccounting: Monday weeks, first-week per user,
+    // prev-week membership by the (user, week−7) self-join, and the
+    // shifted-totals churn identity.
+    "x109_growth_accounting" ->
+      """WITH wu AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |                   user_id AS u
+        |            FROM events),
+        |f AS (SELECT u, min(wk) AS fw FROM wu GROUP BY u),
+        |cls AS (SELECT wu.wk, wu.u,
+        |          CASE WHEN wu.wk = f.fw THEN 'new'
+        |               WHEN p.u IS NOT NULL THEN 'retained'
+        |               ELSE 'resurrected' END AS c
+        |        FROM wu JOIN f USING (u)
+        |        LEFT JOIN wu p ON p.u = wu.u AND p.wk = wu.wk - 7),
+        |bw AS (SELECT wk, count(*) AS actives,
+        |         CAST(sum(CASE WHEN c = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS new_users,
+        |         CAST(sum(CASE WHEN c = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS retained,
+        |         CAST(sum(CASE WHEN c = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS resurrected
+        |       FROM cls GROUP BY wk)
+        |SELECT CAST(bw.wk AS STRING) AS week,
+        |       CAST(bw.actives AS BIGINT) AS actives, bw.new_users,
+        |       bw.retained, bw.resurrected,
+        |       CAST(coalesce(pv.actives, 0) - bw.retained AS BIGINT) AS churned
+        |FROM bw LEFT JOIN bw pv ON pv.wk = bw.wk - 7
+        |ORDER BY week""".stripMargin,
+
+    // Replays simpsonDiversity: (group, category) counts, integer
+    // Simpson and inverse-Simpson micro-units.
+    "x110_simpson_diversity" ->
+      """WITH gc AS (SELECT source AS grp, lang AS cat, count(*) AS n_gc
+        |            FROM documents GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(sum(n_gc) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS n_cats,
+        |             CAST(sum(n_gc * n_gc) AS BIGINT) AS ss
+        |      FROM gc GROUP BY grp)
+        |SELECT grp AS source, n, n_cats,
+        |       CAST(ss * 1000000 // (n * n) AS BIGINT) AS simpson_micro,
+        |       CAST(n * n * 1000000 // ss AS BIGINT) AS effective_micro
+        |FROM g ORDER BY source""".stripMargin,
   )
 
   /** Shared CTE chain for the x85/x89 oracles, ending in

@@ -161,6 +161,20 @@ class ProfileSpec extends SparkSpec {
     assert(out.forall(_ == 0L), out.toSeq)
   }
 
+  test("simpsonDiversity: hand-traced concentration and effective categories") {
+    // A = {en×3, de×1}: Σp² = 10/16 → 625000 µ; effective 16/10 → 1.6
+    // B = {fr×2}: monoculture → simpson 10⁶, effective exactly 1
+    val docs = Seq(
+      ("A", "en"), ("A", "en"), ("A", "en"), ("A", "de"),
+      ("B", "fr"), ("B", "fr")).toDF("source", "lang")
+    val out = Profile.simpsonDiversity(docs, "source", "lang")
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("A", 4L, 2L, 625000L, 1600000L),
+      ("B", 2L, 1L, 1000000L, 1000000L)))
+  }
+
   test("winsorizedStats: clamp bounds are order statistics; the tail moves only the raw mean") {
     // g: 1..9 plus a planted 1000. With [p10, p90] bounds: lo = 1
     // (cume 0.1 at the 1st of 10), hi = 9 (cume 0.9 at the 9th) —

@@ -268,6 +268,28 @@ class SequencesSpec extends SparkSpec {
       (d("2024-01-02"), 10, 3L, 2000000L, 1500000L, false)))
   }
 
+  test("growthAccounting: new/retained/resurrected/churned reconcile week over week") {
+    // u1: W1, W2, then skips W3 and returns W4 (resurrected)
+    // u2: W1 only (churns into W2);  u3: first W2, retained W3
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (1L, ts("2024-01-23 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00")),
+      (3L, ts("2024-01-10 10:00:00")), (3L, ts("2024-01-16 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = Sequences.growthAccounting(events)
+      .orderBy("week")
+      .as[(java.sql.Date, Long, Long, Long, Long, Long)].collect()
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    assert(out.toSeq == Seq(
+      (d("2024-01-01"), 2L, 2L, 0L, 0L, 0L),
+      (d("2024-01-08"), 2L, 1L, 1L, 0L, 1L),
+      (d("2024-01-15"), 1L, 0L, 1L, 0L, 1L),
+      (d("2024-01-22"), 1L, 0L, 0L, 1L, 1L)))
+    // the accounting identity: actives = new + retained + resurrected
+    out.foreach { case (_, a, n, r, rs, _) => assert(a == n + r + rs) }
+  }
+
   test("retentionCohorts: week 0 is always fully retained") {
     // every user's first event lands in their own offset-0 week, so the
     // offset-0 row of every cohort must read retention_micro = 10⁶
