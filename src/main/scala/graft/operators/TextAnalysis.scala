@@ -30,6 +30,57 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col(langCol), col("lang_pred"))
 
+  /** Per-class precision/recall/F1 of a predicted label against truth
+    * — the standard classifier report card, here for any
+    * (truth, prediction) labeling (the declared query grades
+    * [[graft.functions.TextFunctions.langId]] against the fixture's
+    * true `lang`). The row-level confusion matrix (x08) says WHERE
+    * mistakes go; this says whether each class's detector is usable.
+    *
+    * Integer-exact: tp/fp/fn are counts off one confusion aggregation,
+    * and all three metrics are rational in them — precision =
+    * tp/(tp+fp), recall = tp/(tp+fn), and F1's harmonic mean collapses
+    * to 2·tp/(2·tp+fp+fn) — so each rides a single integer
+    * micro-division. Undefined metrics (empty denominator: a class
+    * never predicted, or never true) are null, not zero — a class
+    * with no predictions has UNKNOWN precision, and folding it to 0
+    * would poison any macro average downstream.
+    *
+    * Scale: one corpus-volume (truth, pred) aggregation; the per-class
+    * assembly is class-cardinality outer joins. Output: (class, tp,
+    * fp, fn, precision_micro, recall_micro, f1_micro) over the union
+    * of true and predicted classes. */
+  def classifierPrf(labeled: DataFrame, truthCol: String,
+      predCol: String): DataFrame = {
+    val conf = labeled
+      .groupBy(col(truthCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds tp, row/col margins, class list
+    val classes = conf.select(col("t").as("class"))
+      .union(conf.select(col("p").as("class"))).distinct()
+    val tp = conf.filter(col("t") === col("p"))
+      .select(col("t").as("class"), col("n").as("tp"))
+    val predTot = conf.groupBy(col("p").as("class"))
+      .agg(sum(col("n")).cast("bigint").as("__pt"))
+    val truthTot = conf.groupBy(col("t").as("class"))
+      .agg(sum(col("n")).cast("bigint").as("__tt"))
+    classes
+      .join(tp, Seq("class"), "left")
+      .join(predTot, Seq("class"), "left")
+      .join(truthTot, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("__pt"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("__tt"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      .select(col("class"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000L div (tp + fp)")).as("precision_micro"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000L div (tp + fn)")).as("recall_micro"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr("2L * tp * 1000000L div (2L * tp + fp + fn)")).as("f1_micro"))
+  }
+
   /** Benchmark-contamination screen: per corpus document, how many of
     * its word n-grams appear in a (small) benchmark corpus — the
     * standard eval-decontamination pass for training data. The

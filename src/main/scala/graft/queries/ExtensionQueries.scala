@@ -1470,6 +1470,20 @@ object ExtensionQueries {
     Profile.simpsonDiversity(docs(s, dir), "source", "lang")
       .orderBy(col("source"))
 
+  /** x111 language-ID report card — see
+    * [[graft.operators.TextAnalysis.classifierPrf]]: per-class
+    * precision/recall/F1 of the langId heuristic against the
+    * fixture's true labels, integer micro throughout, null (not zero)
+    * where a metric is undefined. */
+  def x111(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.langId
+    val d = docs(s, dir)
+    TextAnalysis.classifierPrf(
+        d.select(col("lang").as("truth"), langId(col("text")).as("pred")),
+        "truth", "pred")
+      .orderBy(col("class"))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1610,6 +1624,7 @@ object ExtensionQueries {
     "x108_hourly_deviation" -> (x108 _),
     "x109_growth_accounting" -> (x109 _),
     "x110_simpson_diversity" -> (x110 _),
+    "x111_langid_prf" -> (x111 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1636,6 +1651,29 @@ object ExtensionQueries {
     Similarity.pqCodebook(8, 8, 16).zipWithIndex.flatMap { case (cents, j) =>
       cents.zipWithIndex.map { case (c, i) => s"($j, $i, ${planeLit(c)})" }
     }.mkString(",\n  ")
+
+  /** The langId replay as CTEs ending in `p(lang, lang_pred)` — ONE
+    * rendering of the heuristic shared by the x08 confusion and the
+    * x111 report card. */
+  private def langPredCteSql: String =
+    s"""w AS (
+       |  SELECT lang, text, ${wordsSql("text")} AS ws FROM documents),
+       |s AS (
+       |  SELECT lang, text,
+       |         len(list_filter(${stopLit("de")}, x -> list_contains(ws, x))) AS s_de,
+       |         len(list_filter(${stopLit("en")}, x -> list_contains(ws, x))) AS s_en,
+       |         len(list_filter(${stopLit("es")}, x -> list_contains(ws, x))) AS s_es,
+       |         len(list_filter(${stopLit("fr")}, x -> list_contains(ws, x))) AS s_fr
+       |  FROM w),
+       |p AS (
+       |  SELECT lang,
+       |         CASE WHEN regexp_matches(text, '\\p{Han}') THEN 'zh'
+       |              WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       |              WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       |              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       |              WHEN s_en >= s_de THEN 'en'
+       |              ELSE 'de' END AS lang_pred
+       |  FROM s)""".stripMargin
 
   /** DuckDB list literal of a language's stopword profile (same source
     * constants as [[TextFunctions.stopwords]]). */
@@ -1914,26 +1952,41 @@ object ExtensionQueries {
          |ORDER BY query_id, rank""".stripMargin,
 
     "x08_lang_id_confusion" ->
-      s"""WITH w AS (
-         |  SELECT lang, text, ${wordsSql("text")} AS ws FROM documents),
-         |s AS (
-         |  SELECT lang, text,
-         |         len(list_filter(${stopLit("de")}, x -> list_contains(ws, x))) AS s_de,
-         |         len(list_filter(${stopLit("en")}, x -> list_contains(ws, x))) AS s_en,
-         |         len(list_filter(${stopLit("es")}, x -> list_contains(ws, x))) AS s_es,
-         |         len(list_filter(${stopLit("fr")}, x -> list_contains(ws, x))) AS s_fr
-         |  FROM w),
-         |p AS (
-         |  SELECT lang,
-         |         CASE WHEN regexp_matches(text, '\\p{Han}') THEN 'zh'
-         |              WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-         |              WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-         |              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-         |              WHEN s_en >= s_de THEN 'en'
-         |              ELSE 'de' END AS lang_pred
-         |  FROM s)
+      s"""WITH $langPredCteSql
          |SELECT lang, lang_pred, count(*) AS n FROM p
          |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+
+    // Replays classifierPrf off the SAME prediction CTE as x08: one
+    // confusion aggregation, margins minus the diagonal, and each
+    // metric as a single integer micro-division (F1's harmonic mean
+    // collapses to 2·tp/(2·tp+fp+fn)); undefined metrics stay null.
+    "x111_langid_prf" ->
+      s"""WITH $langPredCteSql,
+         |conf AS (SELECT lang AS t, lang_pred AS pd, count(*) AS n
+         |         FROM p GROUP BY 1, 2),
+         |cls AS (SELECT t AS class FROM conf UNION SELECT pd FROM conf),
+         |tp AS (SELECT t AS class, n AS tp FROM conf WHERE t = pd),
+         |pt AS (SELECT pd AS class, CAST(sum(n) AS BIGINT) AS pt
+         |       FROM conf GROUP BY pd),
+         |tt AS (SELECT t AS class, CAST(sum(n) AS BIGINT) AS tt
+         |       FROM conf GROUP BY t),
+         |m AS (SELECT c.class, coalesce(tp.tp, 0) AS tp,
+         |             coalesce(pt.pt, 0) - coalesce(tp.tp, 0) AS fp,
+         |             coalesce(tt.tt, 0) - coalesce(tp.tp, 0) AS fn
+         |      FROM cls c LEFT JOIN tp USING (class)
+         |           LEFT JOIN pt USING (class) LEFT JOIN tt USING (class))
+         |SELECT class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |       CAST(fn AS BIGINT) AS fn,
+         |       CASE WHEN tp + fp > 0
+         |            THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+         |       END AS precision_micro,
+         |       CASE WHEN tp + fn > 0
+         |            THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+         |       END AS recall_micro,
+         |       CASE WHEN 2 * tp + fp + fn > 0
+         |            THEN CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT)
+         |       END AS f1_micro
+         |FROM m ORDER BY class""".stripMargin,
 
     "x09_quality_score_hist" ->
       s"""WITH ${qualityCteSql("doc_id")}

@@ -441,6 +441,28 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 2L, 0L, 0.0)))
   }
 
+  test("classifierPrf: hand-traced counts; undefined metrics are null, not zero") {
+    // truth\pred: (en,en)×3, (en,de)×1, (de,de)×1, (fr,en)×1 — and
+    // class 'zh' exists only as a prediction: (de,zh)×1
+    val labeled = Seq(
+      ("en", "en"), ("en", "en"), ("en", "en"), ("en", "de"),
+      ("de", "de"), ("de", "zh"), ("fr", "en"))
+      .toDF("truth", "pred")
+    val out = TextAnalysis.classifierPrf(labeled, "truth", "pred")
+      .orderBy($"class")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect()
+    assert(out.toSeq == Seq(
+      // de: tp 1, fp 1 (en→de), fn 1 (de→zh) → p 500000, r 500000, f1 500000
+      ("de", 1L, 1L, 1L, Some(500000L), Some(500000L), Some(500000L)),
+      // en: tp 3, fp 1 (fr→en), fn 1 (en→de) → p 750000, r 750000, f1 750000
+      ("en", 3L, 1L, 1L, Some(750000L), Some(750000L), Some(750000L)),
+      // fr: never predicted → precision undefined (null), recall 0
+      ("fr", 0L, 0L, 1L, None, Some(0L), Some(0L)),
+      // zh: never true → recall undefined (null), precision 0
+      ("zh", 0L, 1L, 0L, Some(0L), None, Some(0L))))
+  }
+
   test("distinctiveTerms: hand-traced c-TF-IDF, zero idf for ubiquitous terms, term tie-break") {
     // S = 2 sources. df: apple 1, banana 2, cherry 1
     //   idf(ln 2) → 693147 micro-nats; banana appears everywhere → 0
