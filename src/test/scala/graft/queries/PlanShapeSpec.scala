@@ -651,6 +651,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange") || plan.contains("Union"), plan)
   }
 
+  test("x108-x111: the compact-frame analytics stay window-free with " +
+    "partial+final aggregation") {
+    for (q <- Seq(ExtensionQueries.x108 _, ExtensionQueries.x109 _,
+        ExtensionQueries.x110 _, ExtensionQueries.x111 _)) {
+      val plan = physical(q(spark, sf001))
+      // each collapses the data volume in ONE partial+final hash
+      // aggregation; everything after runs on day/week/class-
+      // cardinality frames — a window or cartesian here would mean
+      // the compact-frame design regressed
+      assert(!plan.contains("Window"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    }
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
