@@ -638,6 +638,89 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class AsOfEvent(key: String, ts: Long, isProbe: Boolean,
+    value: String)
+  final case class AsOfJoined(key: String, probe_ts: Long,
+    ref_ts: Option[Long], ref_value: Option[String])
+  /** Bounded version history per key for [[AsOfProcessor]]: parallel
+    * sorted arrays (ts ascending, one value per ts — last write wins). */
+  final case class RefVersions(ts: Seq[Long], value: Seq[String])
+
+  /** Streaming backward as-of — the CDC enrichment twin of
+    * [[graft.operators.Joins.asOfBackward]]: a single keyed stream
+    * interleaves REFERENCE updates (dimension versions) and PROBE
+    * events; every probe emits the latest reference version with
+    * ref.ts ≤ probe.ts (inclusive), out of a bounded per-key version
+    * history in state.
+    *
+    * Contract (the honest streaming one): matching is exact in event
+    * time for everything that has ARRIVED — within a batch, rows are
+    * processed in (ts, ref-before-probe) order, so any interleaving
+    * inside one batch resolves exactly; across batches, a reference
+    * version that arrives AFTER a probe already emitted cannot
+    * retro-correct it (append mode) — the probe matched the best
+    * version known at the time, which is precisely what a production
+    * lookup cache serves. When references arrive no later than the
+    * probes they serve (the CDC ordering guarantee), streaming output
+    * EQUALS the batch as-of — test-pinned.
+    *
+    * State is O(maxVersions) per key whatever the stream length: the
+    * history keeps the newest `maxVersions` reference timestamps
+    * (last-wins per equal ts), enough to serve probes up to that far
+    * out of order. */
+  final class AsOfProcessor(maxVersions: Int)
+      extends StatefulProcessor[String, AsOfEvent, AsOfJoined] {
+    require(maxVersions > 0,
+      s"AsOfProcessor: maxVersions must be positive, got $maxVersions")
+    @transient private var hist: ValueState[RefVersions] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getValueState[RefVersions]("asof",
+        org.apache.spark.sql.Encoders.product[RefVersions], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[AsOfEvent],
+        tv: TimerValues): Iterator[AsOfJoined] = {
+      val prior = if (hist.exists()) hist.get() else RefVersions(Nil, Nil)
+      var ts = prior.ts.toArray
+      var vs = prior.value.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsOfJoined]
+      // refs sort before probes at equal ts → inclusive as-of; the
+      // sort is stable, so equal-ts refs keep arrival order and the
+      // LAST write wins (the map-like contract)
+      rows.toArray.sortBy(e => (e.ts, if (e.isProbe) 1 else 0)).foreach { e =>
+        val idx = java.util.Arrays.binarySearch(ts, e.ts)
+        if (e.isProbe) {
+          val at = if (idx >= 0) idx else -idx - 2 // greatest ts ≤ probe
+          out += (if (at >= 0)
+            AsOfJoined(key, e.ts, Some(ts(at)), Some(vs(at)))
+          else AsOfJoined(key, e.ts, None, None))
+        } else if (idx >= 0) {
+          vs(idx) = e.value // same-ts reference: last write wins
+        } else {
+          val at = -idx - 1
+          ts = (ts.take(at) :+ e.ts) ++ ts.drop(at)
+          vs = (vs.take(at) :+ e.value) ++ vs.drop(at)
+          if (ts.length > maxVersions) { // keep the newest versions
+            ts = ts.takeRight(maxVersions)
+            vs = vs.takeRight(maxVersions)
+          }
+        }
+      }
+      hist.update(RefVersions(ts.toSeq, vs.toSeq))
+      out.iterator
+    }
+  }
+
+  /** [[AsOfProcessor]] wired onto a keyed mixed stream; same RocksDB
+    * provider requirement as [[sessionizeWithState]]. */
+  def asOfWithState(events: Dataset[AsOfEvent],
+      maxVersions: Int = 32): Dataset[AsOfJoined] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new AsOfProcessor(maxVersions),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class TimedEvent(user_id: Long, event_id: Long,
     et: java.sql.Timestamp)
 

@@ -626,6 +626,59 @@ class StreamingSpec extends SparkSpec {
       (1L, 10.0, "GOLD"), (3L, 7.0, "NULL"), (2L, 5.0, "SILVER")), rows)
   }
 
+  test("asOfWithState: one-batch output equals the batch as-of join") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val refs = for (k <- Seq("a", "b"); t <- Seq(10L, 20L, 30L))
+        yield Streaming.AsOfEvent(k, t, isProbe = false, s"$k$t")
+      val probes = for (k <- Seq("a", "b"); t <- Seq(5L, 10L, 15L, 25L, 35L))
+        yield Streaming.AsOfEvent(k, t, isProbe = true, "")
+      val in = MemoryStream[Streaming.AsOfEvent]
+      val q = Streaming.asOfWithState(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("asof_out").start()
+      in.addData(scala.util.Random.shuffle(refs ++ probes))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("asof_out").as[Streaming.AsOfJoined].collect()
+        .map(j => (j.key, j.probe_ts, j.ref_ts, j.ref_value)).sorted.toSeq
+      val batch = graft.operators.Joins.asOfBackward(
+          probes.map(p => (p.key, p.ts)).toDF("key", "pts"),
+          refs.map(r => (r.key, r.ts, r.ts, r.value)).toDF("key", "rts", "ref_ts", "ref_value"),
+          "key", "key", "pts", "rts")
+        .as[(String, Long, Option[Long], Option[String])].collect().sorted.toSeq
+      assert(got == batch)
+      // spot-check the inclusive edge: probe at exactly ref ts matches it
+      assert(got.contains(("a", 10L, Some(10L), Some("a10"))))
+    }
+  }
+
+  test("asOfWithState: versions persist across batches; late refs serve later probes only") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val in = MemoryStream[Streaming.AsOfEvent]
+      val q = Streaming.asOfWithState(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("asof_xb").start()
+      in.addData(Streaming.AsOfEvent("k", 10L, isProbe = false, "v1"),
+        Streaming.AsOfEvent("k", 15L, isProbe = true, ""))
+      q.processAllAvailable()
+      // batch 2: a LATE probe still matches exactly; a late ref plus a
+      // same-batch probe behind it resolves in ts order
+      in.addData(Streaming.AsOfEvent("k", 12L, isProbe = true, ""),
+        Streaming.AsOfEvent("k", 5L, isProbe = false, "v0"),
+        Streaming.AsOfEvent("k", 7L, isProbe = true, ""))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("asof_xb").as[Streaming.AsOfJoined].collect()
+        .map(j => (j.probe_ts, j.ref_ts, j.ref_value)).sorted.toSeq
+      assert(got == Seq(
+        (7L, Some(5L), Some("v0")),   // served by the late ref, in-batch
+        (12L, Some(10L), Some("v1")), // late probe, exact match
+        (15L, Some(10L), Some("v1"))))
+    }
+  }
+
   test("kmvActivesWithState: duplicate re-delivery is absorbed; estimates equal " +
     "the batch KMV sketch after every prefix") {
     withRocksDb {
