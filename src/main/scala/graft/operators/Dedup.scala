@@ -579,4 +579,35 @@ object Dedup {
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
   }
+
+  /** Dedup savings report — the per-source accounting a dedup run
+    * ships to decide whether it was worth running: docs and chars
+    * before vs after [[canonicalizeClusters]]' keep rule, and the
+    * saved fraction in integer micro-units. Docs outside every cluster
+    * are kept by definition (left join + keep coalesced true), so the
+    * totals reconcile with the raw corpus row-for-row — a report that
+    * only counted cluster members would overstate savings on a mostly
+    * unique corpus.
+    *
+    * Scale: one left broadcast join of the corpus against the
+    * collision-scale canonical relation (≪ corpus, the
+    * [[graft.operators.TextAnalysis]] cluster-split envelope), then a
+    * single partial+final aggregation per source. Output: (source,
+    * n_docs, n_kept, chars_total, chars_kept, savings_micro). */
+  def dedupSavings(docs: DataFrame, canon: DataFrame,
+      idCol: String = "doc_id", srcCol: String = "source",
+      lenCol: String = "n_chars"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        col(lenCol).cast("long").as("__len"))
+      .join(broadcast(canon.select(col("doc_id"), col("keep"))),
+        Seq("doc_id"), "left")
+      .withColumn("__keep", coalesce(col("keep"), lit(true)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__keep").cast("long")).cast("bigint").as("n_kept"),
+        sum(col("__len")).cast("bigint").as("chars_total"),
+        sum(when(col("__keep"), col("__len")).otherwise(lit(0L)))
+          .cast("bigint").as("chars_kept"))
+      .withColumn("savings_micro",
+        expr("(chars_total - chars_kept) * 1000000L div chars_total"))
 }

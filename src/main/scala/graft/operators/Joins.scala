@@ -167,4 +167,77 @@ object Joins {
       .filter(col(leftTime) >= col(rightStart) && col(leftTime) < col(rightEnd))
       .drop("__bin")
   }
+
+  /** End-to-end entity resolution over a name column: blocked fuzzy
+    * match ([[blockedFuzzyJoin]]) → transitive closure
+    * ([[Dedup.connectedComponents]]) → one canonical entity per
+    * component. The full "these strings are the same thing" pipeline —
+    * pairwise matching alone is NOT resolution: A≈B and B≈C must land
+    * A, C in one entity even when A and C are > maxDist apart, which
+    * only the closure delivers.
+    *
+    * Canonical id is the component-minimum name (lexicographic) — a
+    * pure function of the member set, so the entity id is stable under
+    * re-runs and engine-portable. Singletons (no within-block match)
+    * resolve to themselves; they pass through without touching the
+    * iterative closure.
+    *
+    * Scale: the pair space is bounded by the blocking key (Σ|block|²,
+    * never all-pairs — same envelope as the LSH dedups); the closure
+    * is the bridge-released iterative CC; canonical assignment is one
+    * aggregate + broadcast join. Output: (name, entity_id, n_members),
+    * one row per distinct input name. */
+  def entityResolution(names: DataFrame, strCol: String, maxDist: Int,
+      block: Column => Column): DataFrame = {
+    val distinctNames = names.select(col(strCol).as("name")).distinct()
+    val edges = blockedFuzzyJoin(
+        distinctNames.select(col("name").as("name_a")),
+        distinctNames.select(col("name").as("name_b")),
+        "name_a", "name_b", maxDist, block)
+      .filter(col("name_a") < col("name_b"))
+    val cc = Dedup.connectedComponents(edges, "name_a", "name_b")
+      .select(col("doc_id").as("name"), col("cluster_id").as("entity_id"))
+    val resolved = distinctNames.join(cc, Seq("name"), "left")
+      .select(col("name"), coalesce(col("entity_id"), col("name")).as("entity_id"))
+    val sizes = resolved.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"))
+    resolved.join(broadcast(sizes), "entity_id")
+      .select(col("name"), col("entity_id"), col("n_members"))
+  }
+
+  /** Rank-matched pairing across two cohorts: within each equi-depth
+    * value bucket, the i-th smallest A-row pairs with the i-th
+    * smallest B-row — the matched-control construction behind paired
+    * evaluations (compare sources at EQUAL length, so a quality gap
+    * isn't just a length gap). Unpaired surplus rows in the larger
+    * cohort drop out via the inner join, by design.
+    *
+    * Determinism: the bucket is `ntile` over the cohort-blind total
+    * order (value, id) and the within-bucket rank orders by the same
+    * pair — every step replays identically in any engine. Scale: the
+    * same exact-window envelope as [[Profile.equiDepthBins]] (the
+    * approximate path swaps ntile for sampled breakpoints); both
+    * windows sort once on (value, id). Output: (bucket, pair_rank,
+    * id_a, val_a, id_b, val_b, gap). */
+  def rankMatchedPairs(rows: DataFrame, idCol: String, valueCol: String,
+      cohortCol: String, cohortA: String, cohortB: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"rankMatchedPairs: buckets must be positive, got $buckets")
+    val both = rows
+      .filter(col(cohortCol).isin(cohortA, cohortB))
+      .select(col(idCol).as("id"), col(valueCol).cast("long").as("v"),
+        col(cohortCol).as("c"))
+      .withColumn("bucket", ntile(buckets).over(
+        Window.orderBy(col("v"), col("id"))))
+      .withColumn("pair_rank", row_number().over(
+        Window.partitionBy(col("bucket"), col("c")).orderBy(col("v"), col("id"))))
+    val a = both.filter(col("c") === cohortA)
+      .select(col("bucket"), col("pair_rank"), col("id").as("id_a"),
+        col("v").as("val_a"))
+    val b = both.filter(col("c") === cohortB)
+      .select(col("bucket"), col("pair_rank"), col("id").as("id_b"),
+        col("v").as("val_b"))
+    a.join(b, Seq("bucket", "pair_rank"))
+      .withColumn("gap", abs(col("val_a") - col("val_b")))
+  }
 }

@@ -478,6 +478,141 @@ object Profile {
     * keys), and the running-sum window runs over THAT histogram, so
     * the single-partition WindowExec holds bounded rows. The corpus
     * shuffles once (the key agg). */
+  /** Exact equi-depth histogram: per group, `bins` buckets holding (as
+    * near as possible) equal ROW counts, each reported with its exact
+    * [lo, hi] value range and population — the data-driven binning a
+    * fixed-width histogram (x09) can't give on heavy-tailed lengths,
+    * and the binning a downstream length-matched sampler consumes.
+    *
+    * Determinism: bucket assignment is `ntile(bins)` over the total
+    * order (value, key) — the key tie-break makes the bin boundary
+    * placement of tied values reproducible in any engine, so lo/hi/n
+    * are all value-checkable, not just the bucket count.
+    *
+    * Scale: ntile sorts each group inside one partition — exact by
+    * design, and the documented envelope is the same as
+    * [[winsorizedStats]]: beyond-memory groups take
+    * [[sampledQuantiles]]'s md5-60 sample for APPROXIMATE breakpoints
+    * first; this operator is the exact read (and the oracle anchor)
+    * below that line. Output: (groupCol, bin, n, lo, hi). */
+  def equiDepthBins(df: DataFrame, keyCol: String, valueCol: String,
+      groupCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"equiDepthBins: bins must be positive, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v"), col(keyCol))
+    df.select(col(groupCol), col(keyCol), col(valueCol).cast("long").as("__v"))
+      .withColumn("bin", ntile(bins).over(w))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+  }
+
+  /** Benford first-digit audit on a positive numeric column — the
+    * fabricated-data / unit-mixing smell test: naturally-grown
+    * magnitudes follow P(d) = log10(1 + 1/d); ingestion bugs (fixed
+    * price floors, unit swaps, synthetic fills) show up as per-digit
+    * gaps long before a mean shifts.
+    *
+    * Portability: the nine expected frequencies are Scala-computed
+    * constants embedded as integer-micro LITERALS (same values land in
+    * the oracle SQL), the observed share is exact integer floor
+    * division, and the first digit comes from the decimal rendering of
+    * the truncated integer part — no float ops whose rounding could
+    * differ between engines. Rows < 1 (no leading digit in [1,9])
+    * are excluded and reported via the per-digit n sum vs the caller's
+    * row count. Output: (digit, n, obs_micro, exp_micro, gap_micro). */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val expMicro: Map[Int, Long] = (1 to 9).map(d =>
+      d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6)).toMap
+    val expCol = (1 to 9).foldLeft(lit(null).cast("long")) { (acc, d) =>
+      when(col("digit") === d, lit(expMicro(d))).otherwise(acc) }
+    val digits = df
+      .filter(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("bigint").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).cast("bigint").as("__t"))
+    digits.join(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L div __t").as("obs_micro"), expCol.as("exp_micro"))
+      .withColumn("gap_micro", abs(col("obs_micro") - col("exp_micro")))
+  }
+
+  /** Pointwise-mutual-information profile of two categorical columns —
+    * which (source, language) cells are over/under-represented against
+    * independence, and each cell's exact contribution to the corpus
+    * MI. The association read behind mixture design: [[mixDrift]]
+    * says a source's mix differs from the corpus, this says WHICH
+    * cells carry the association and how much information the pairing
+    * holds in total.
+    *
+    * Determinism: every count is an exact BIGINT; the one float op per
+    * cell is ln of a correctly-rounded double quotient of exact
+    * integers (the x67 logprob precedent), rounded to 6 dp BEFORE any
+    * summation — so the MI total is an order-independent integer sum
+    * of per-cell micro-nats, never a float accumulation whose result
+    * depends on partition order.
+    *
+    * Scale: one partial+final (a, b) count; margins and the grid are
+    * cell-cardinality. Output per cell: (aCol, bCol, n_ab, n_a, n_b,
+    * pmi_micro, mi_part_micro). */
+  def pmiProfile(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true) // feeds both margins and the final join
+    val ma = cells.groupBy(col("__a")).agg(sum(col("n_ab")).cast("bigint").as("n_a"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("n_ab")).cast("bigint").as("n_b"))
+    val tot = cells.agg(sum(col("n_ab")).cast("bigint").as("__n"))
+    val lnRatio = log(
+      (col("n_ab") * col("__n")).cast("double") /
+        (col("n_a") * col("n_b")).cast("double"))
+    cells.join(ma, "__a").join(mb, "__b").join(broadcast(tot))
+      .select(col("__a").as(aCol), col("__b").as(bCol),
+        col("n_ab").cast("bigint").as("n_ab"), col("n_a"), col("n_b"),
+        round(lnRatio * lit(1e6)).cast("long").as("pmi_micro"),
+        round(lnRatio * (col("n_ab").cast("double") / col("__n").cast("double"))
+          * lit(1e6)).cast("long").as("mi_part_micro"))
+  }
+
+  /** Median/IQR robust scaling — the per-group feature normalization
+    * that survives the heavy tails [[zScores]]' mean/std cannot: each
+    * row's integer value is re-expressed as (x − median) / IQR in
+    * integer micro-units, the form a quality-score mixer or a
+    * cross-source length comparison actually consumes. The companion
+    * ACTION to [[madOutliers]]' flagging.
+    *
+    * Integer-exact: both quartiles and the median are `percentile_disc`
+    * order statistics; the scale step is sign-decomposed floor division
+    * (sign(x−med) · |x−med|·10⁶ div IQR) so Spark's truncating `div`
+    * and an oracle's floor `//` agree — a NEGATIVE dividend is the one
+    * place those two operators differ, so it is never formed.
+    * IQR = 0 (over half the group identical) → null scaled value.
+    *
+    * Scale: one grouped order-statistic pass (the [[madOutliers]]
+    * envelope — larger groups sample first via [[sampledQuantiles]]),
+    * then a broadcast join of the ≤|groups|-row bounds frame. Output:
+    * (keyCol, groupCol, valueCol, med, iqr, scaled_micro). */
+  def robustScale(df: DataFrame, keyCol: String, valueCol: String,
+      groupCol: String): DataFrame = {
+    val bounds = df.groupBy(col(groupCol)).agg(
+      expr(s"cast(percentile_disc(0.25) within group (order by $valueCol) " +
+        "as bigint)").as("__q1"),
+      expr(s"cast(percentile_disc(0.5) within group (order by $valueCol) " +
+        "as bigint)").as("med"),
+      expr(s"cast(percentile_disc(0.75) within group (order by $valueCol) " +
+        "as bigint)").as("__q3"))
+    df.select(col(keyCol), col(groupCol), col(valueCol).cast("long").as(valueCol))
+      .join(broadcast(bounds), groupCol)
+      .withColumn("iqr", col("__q3") - col("__q1"))
+      .withColumn("scaled_micro",
+        when(col("iqr") === 0, lit(null).cast("long"))
+          .otherwise(signum(col(valueCol) - col("med")).cast("long") *
+            expr(s"abs($valueCol - med) * 1000000L div iqr")))
+      .select(col(keyCol), col(groupCol), col(valueCol), col("med"),
+        col("iqr"), col("scaled_micro"))
+  }
+
   def keyConcentration(df: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))

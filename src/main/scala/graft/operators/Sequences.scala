@@ -429,6 +429,76 @@ object Sequences {
         expr("dau * 1000000L div wau").as("stickiness_micro"))
   }
 
+  /** Dense daily calendar spine with gap-fill — the prerequisite for
+    * every rolling statistic over a time series with missing days: a
+    * `GROUP BY day` emits NO row for a silent day, so a rows-window
+    * "last 7 rows" silently widens to "last 7 OBSERVED days" and the
+    * rolling read lies exactly when traffic dies (the moment it
+    * matters). This materializes one row per calendar day between the
+    * observed min and max (inclusive), zero-filled, then computes the
+    * trailing `windowDays`-row sum over the now-dense spine — where
+    * rows ≡ days by construction, so the rows frame is exact.
+    *
+    * Scale: the event volume collapses first to per-day counts (one
+    * partial+final agg — the only data-volume shuffle); the spine is
+    * `sequence(min, max)` exploded from a ONE-row aggregate and the
+    * window runs over that day-cardinality frame (years ≈ thousands of
+    * rows) in a single task — bounded by the calendar, not the data.
+    * Output: (day DATE, n, n_roll, is_gap), one row per calendar day. */
+  def calendarSpine(events: DataFrame, windowDays: Int = 7,
+      tsCol: String = "ts"): DataFrame = {
+    require(windowDays > 0,
+      s"calendarSpine: windowDays must be positive, got $windowDays")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(to_date(col(tsCol)).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("__n"))
+    val spine = daily
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(explode(expr("sequence(__lo, __hi, interval 1 day)")).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("__n"), lit(0L)).as("n"),
+        col("__n").isNull.as("is_gap"))
+      .withColumn("n_roll", sum(col("n")).over(
+        Window.orderBy(col("day")).rowsBetween(-(windowDays - 1), 0)))
+      .select(col("day"), col("n"), col("n_roll"), col("is_gap"))
+  }
+
+  /** Per-user consecutive-day streaks (gaps-and-islands): the
+    * engagement shape a plain active-day count hides — 30 scattered
+    * days and a 30-day run are different users. The island anchor is
+    * the classic order-insensitive trick: day − row_number(day) is
+    * CONSTANT exactly along a run of consecutive distinct days, so
+    * islands fall out of one group-by with no self-join and no
+    * iteration.
+    *
+    * Integer/date-exact end to end — every engine with dense_rank and
+    * date_sub replays it bit-for-bit. Scale: events collapse first to
+    * distinct (user, day); the window partitions by user and sorts
+    * within each user's days (bounded by the calendar, not events).
+    * Output: (userCol, n_days, n_streaks, longest_streak,
+    * latest_streak). */
+  def dailyStreaks(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val du = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("day"))
+    val islands = du
+      .withColumn("__anchor",
+        date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("u"), col("__anchor"))
+      .agg(count(lit(1)).as("__len"), max(col("day")).as("__end"))
+    islands.groupBy(col("u"))
+      .agg(sum(col("__len")).cast("bigint").as("n_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).cast("bigint").as("longest_streak"),
+        max(struct(col("__end"), col("__len"))).getField("__len")
+          .cast("bigint").as("latest_streak"))
+      .select(col("u").as(userCol), col("n_days"), col("n_streaks"),
+        col("longest_streak"), col("latest_streak"))
+  }
+
   def sessionTranscripts(events: DataFrame, gap: String = "1 HOUR",
       keyCol: String = "user_id", tsCol: String = "ts",
       tieCol: String = "event_id", typeCol: String = "event_type",

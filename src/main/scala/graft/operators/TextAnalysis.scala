@@ -525,6 +525,57 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("cnt"), col("cum_frac"))
   }
 
+  /** Vocabulary coverage curve: the smallest vocabulary size whose
+    * terms (taken in frequency order) cover each requested percentage
+    * of the corpus token mass — THE sizing question for a tokenizer or
+    * a stopword list ("how many types buy 95% of tokens"), the
+    * integral complement to [[vocabStats]]' top-k head.
+    *
+    * Scale: the naive form is a cumulative window over the FULL
+    * ranked vocabulary — 10⁸ single-task rows at web scale. Instead
+    * the vocabulary collapses to its count-value HISTOGRAM (the
+    * [[graft.operators.Profile.keyConcentration]] trick): terms tied
+    * at count c are interchangeable for a coverage threshold, so the
+    * crossing point is computable from (c, m_c) alone — prefix mass
+    * over counts DESC, then an exact integer ceil-division inside the
+    * crossing level. The window runs over distinct count VALUES
+    * (thousands), not terms.
+    *
+    * Integer-exact end to end: target = ceil(pct·total/100), picks =
+    * ceil((target − mass_before)/c) — floor divisions on non-negative
+    * operands only. Output per requested pct: (pct, target_tokens,
+    * vocab_size, total_tokens, total_vocab). */
+  def vocabCoverage(docs: DataFrame, pcts: Seq[Int] = Seq(50, 90, 95, 99),
+      textCol: String = "text"): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"vocabCoverage: pcts must be in [1,100], got $pcts")
+    import graft.functions.TextFunctions.words
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(explode(words(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__m"))
+    val wPrefix = Window.orderBy(col("__c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val levels = hist
+      .withColumn("__mass0", coalesce(sum(col("__c") * col("__m")).over(wPrefix), lit(0L)))
+      .withColumn("__vocab0", coalesce(sum(col("__m")).over(wPrefix), lit(0L)))
+    val totals = hist.agg(
+      sum(col("__c") * col("__m")).cast("bigint").as("total_tokens"),
+      sum(col("__m")).cast("bigint").as("total_vocab"))
+    val thresholds = docs.sparkSession
+      .range(1).select(explode(lit(pcts.toArray)).as("pct"))
+    thresholds.join(broadcast(totals))
+      .withColumn("target_tokens", expr("(pct * total_tokens + 99L) div 100L"))
+      .join(levels,
+        col("__mass0") < col("target_tokens") &&
+          col("target_tokens") <= col("__mass0") + col("__c") * col("__m"))
+      .select(col("pct"), col("target_tokens"),
+        (col("__vocab0") +
+          expr("(target_tokens - __mass0 + __c - 1L) div __c")).as("vocab_size"),
+        col("total_tokens"), col("total_vocab"))
+  }
+
   /** Docs sharing an identical content fingerprint (exact-ish near-dup
     * at fingerprint resolution): bucket join on the 32-bit hashed
     * sketch for shuffle economy, then VERIFY full fingerprint equality

@@ -1484,6 +1484,88 @@ object ExtensionQueries {
       .orderBy(col("class"))
   }
 
+  /** x112 end-to-end entity resolution over part names — see
+    * [[graft.operators.Joins.entityResolution]]: blocked fuzzy match →
+    * transitive closure → canonical entity per component; singletons
+    * resolve to themselves. */
+  def x112(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Joins.entityResolution(
+        Tables.load(s, dir, "part").select(col("p_name")),
+        "p_name", maxDist = 4, c => element_at(split(c, " "), -1))
+      .orderBy(col("name"))
+
+  /** x113 exact equi-depth length bins per language — see
+    * [[graft.operators.Profile.equiDepthBins]]: 8 equal-population
+    * buckets with exact [lo, hi] ranges, (value, id)-total-ordered. */
+  def x113(s: SparkSession, dir: String): DataFrame =
+    Profile.equiDepthBins(docs(s, dir), "doc_id", "n_chars", "lang", bins = 8)
+      .orderBy(col("lang"), col("bin"))
+
+  /** x114 dense calendar spine with gap-fill and a trailing 7-day
+    * total — see [[graft.operators.Sequences.calendarSpine]]: the
+    * rolling read that stays honest across silent days. */
+  def x114(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.calendarSpine(Tables.load(s, dir, "events"))
+      .withColumn("day", col("day").cast("string"))
+      .orderBy(col("day"))
+
+  /** x115 per-source dedup savings accounting — see
+    * [[graft.operators.Dedup.dedupSavings]] over the x68 canonical
+    * chain: docs/chars before vs after the keep rule, micro-exact. */
+  def x115(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val canon = Dedup.canonicalizeClusters(
+      Dedup.connectedComponents(Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.2)), d)
+    Dedup.dedupSavings(d, canon).orderBy(col("source"))
+  }
+
+  /** x116 Benford first-digit audit on order totals — see
+    * [[graft.operators.Profile.benfordAudit]]: observed vs expected
+    * leading-digit frequencies, literal-constant expectations. */
+  def x116(s: SparkSession, dir: String): DataFrame =
+    Profile.benfordAudit(Tables.load(s, dir, "orders"), "o_totalprice")
+      .orderBy(col("digit"))
+
+  /** x117 source×language PMI profile — see
+    * [[graft.operators.Profile.pmiProfile]]: per-cell association
+    * against independence plus the cell's exact MI contribution,
+    * round-before-sum micro-nats. */
+  def x117(s: SparkSession, dir: String): DataFrame =
+    Profile.pmiProfile(docs(s, dir), "source", "lang")
+      .orderBy(col("source"), col("lang"))
+
+  /** x118 rank-matched length pairs between two sources — see
+    * [[graft.operators.Joins.rankMatchedPairs]]: within equi-depth
+    * length buckets, i-th A-doc pairs with i-th B-doc — the matched
+    * control construction. */
+  def x118(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Joins.rankMatchedPairs(docs(s, dir), "doc_id", "n_chars",
+        "source", "src0", "src1", buckets = 5)
+      .orderBy(col("bucket"), col("pair_rank"))
+
+  /** x119 vocabulary coverage curve — see
+    * [[graft.operators.TextAnalysis.vocabCoverage]]: smallest vocab
+    * covering 50/90/95/99% of token mass, computed on the count
+    * histogram (never a full-vocab window). */
+  def x119(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(docs(s, dir))
+      .orderBy(col("pct"))
+
+  /** x120 per-user consecutive-day streaks — see
+    * [[graft.operators.Sequences.dailyStreaks]]: gaps-and-islands on
+    * the distinct (user, day) frame; longest and latest runs. */
+  def x120(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.dailyStreaks(Tables.load(s, dir, "events"))
+      .orderBy(col("user_id"))
+
+  /** x121 robust median/IQR length scaling per source — see
+    * [[graft.operators.Profile.robustScale]]: sign-decomposed integer
+    * micro scaling, null on degenerate IQR. */
+  def x121(s: SparkSession, dir: String): DataFrame =
+    Profile.robustScale(docs(s, dir), "doc_id", "n_chars", "source")
+      .orderBy(col("doc_id"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1625,6 +1707,16 @@ object ExtensionQueries {
     "x109_growth_accounting" -> (x109 _),
     "x110_simpson_diversity" -> (x110 _),
     "x111_langid_prf" -> (x111 _),
+    "x112_entity_resolution" -> (x112 _),
+    "x113_equidepth_bins" -> (x113 _),
+    "x114_calendar_spine" -> (x114 _),
+    "x115_dedup_savings" -> (x115 _),
+    "x116_benford_audit" -> (x116 _),
+    "x117_pmi_profile" -> (x117 _),
+    "x118_rank_matched_pairs" -> (x118 _),
+    "x119_vocab_coverage" -> (x119 _),
+    "x120_daily_streaks" -> (x120 _),
+    "x121_robust_scale" -> (x121 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3858,7 +3950,234 @@ object ExtensionQueries {
         |       CAST(ss * 1000000 // (n * n) AS BIGINT) AS simpson_micro,
         |       CAST(n * n * 1000000 // ss AS BIGINT) AS effective_micro
         |FROM g ORDER BY source""".stripMargin,
+
+    // Replays entityResolution: the x105 fuzzy pair relation as edges,
+    // the x28 recursive transitive closure, min-member canonical id,
+    // singletons resolving to themselves via the left-join coalesce.
+    "x112_entity_resolution" ->
+      """WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+        |blk AS (SELECT name, list_extract(string_split(name, ' '), -1) AS b
+        |        FROM names),
+        |prs AS (SELECT a.name AS na, b2.name AS nb
+        |        FROM blk a JOIN blk b2 ON a.b = b2.b
+        |        WHERE levenshtein(a.name, b2.name) <= 4 AND a.name < b2.name),
+        |ed AS (SELECT na AS a, nb AS b FROM prs
+        |       UNION SELECT nb AS a, na AS b FROM prs),
+        |nodes AS (SELECT DISTINCT a AS node FROM ed),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+        |cl AS (SELECT node AS name, min(r) AS entity_id FROM reach GROUP BY node),
+        |res AS (SELECT n.name, coalesce(cl.entity_id, n.name) AS entity_id
+        |        FROM names n LEFT JOIN cl USING (name)),
+        |sz AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+        |       FROM res GROUP BY entity_id)
+        |SELECT res.name, res.entity_id, sz.n_members
+        |FROM res JOIN sz USING (entity_id)
+        |ORDER BY name""".stripMargin,
+
+    // Replays equiDepthBins: same ntile over the same (value, id)
+    // total order, exact min/max/count per (group, bin).
+    "x113_equidepth_bins" ->
+      """WITH t AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(ntile(8) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |         AS INT) AS bin
+        |  FROM documents)
+        |SELECT lang, bin, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+        |FROM t GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    // Replays calendarSpine: per-day counts, generate_series dense
+    // spine, zero-filled left join, 7-ROW trailing sum (rows ≡ days on
+    // the dense spine).
+    "x114_calendar_spine" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |                      CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP,
+        |                 hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM b),
+        |f AS (SELECT s.day, coalesce(d.n, 0) AS n, d.n IS NULL AS is_gap
+        |      FROM spine s LEFT JOIN daily d USING (day))
+        |SELECT CAST(day AS STRING) AS day, CAST(n AS BIGINT) AS n,
+        |       CAST(sum(n) OVER (ORDER BY day
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_roll,
+        |       is_gap
+        |FROM f ORDER BY day""".stripMargin,
+
+    // Replays dedupSavings over the x68 canonical chain: the x04 pair
+    // relation → recursive closure → (len DESC, id) representative →
+    // keep flags, then the per-source accounting with out-of-cluster
+    // docs kept by the coalesce.
+    "x115_dedup_savings" ->
+      s"""WITH RECURSIVE $ngramPairsCteSql,
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM ed),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+         |cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         |wl AS (SELECT cl.doc_id, cl.cluster_id, coalesce(d.n_chars, -1) AS len
+         |       FROM cl LEFT JOIN documents d USING (doc_id)),
+         |cn AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+         |         SELECT cluster_id, doc_id,
+         |                row_number() OVER (PARTITION BY cluster_id
+         |                                   ORDER BY len DESC, doc_id) AS rn
+         |         FROM wl) t WHERE rn = 1),
+         |kp AS (SELECT wl.doc_id, wl.doc_id = cn.canonical_id AS keep
+         |       FROM wl JOIN cn USING (cluster_id))
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN coalesce(kp.keep, TRUE) THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_kept,
+         |       CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+         |       CAST(sum(CASE WHEN coalesce(kp.keep, TRUE) THEN d.n_chars
+         |                     ELSE 0 END) AS BIGINT) AS chars_kept,
+         |       CAST((sum(d.n_chars) -
+         |             sum(CASE WHEN coalesce(kp.keep, TRUE) THEN d.n_chars
+         |                      ELSE 0 END)) * 1000000 // sum(d.n_chars)
+         |            AS BIGINT) AS savings_micro
+         |FROM documents d LEFT JOIN kp USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Replays benfordAudit: same truncated-integer leading digit, the
+    // SAME Scala-computed expected-micro literals, integer floor
+    // divisions throughout.
+    "x116_benford_audit" ->
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+         |                 AS VARCHAR), 1, 1) AS INT) AS digit
+         |           FROM orders WHERE o_totalprice >= 1),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g),
+         |e(digit, exp_micro) AS (VALUES $benfordValuesSql)
+         |SELECT g.digit, g.n,
+         |       CAST(g.n * 1000000 // t.tot AS BIGINT) AS obs_micro,
+         |       CAST(e.exp_micro AS BIGINT) AS exp_micro,
+         |       CAST(abs(g.n * 1000000 // t.tot - e.exp_micro) AS BIGINT)
+         |         AS gap_micro
+         |FROM g JOIN e USING (digit) CROSS JOIN t
+         |ORDER BY digit""".stripMargin,
+
+    // Replays pmiProfile: exact integer cells/margins, ln of a
+    // correctly-rounded integer-quotient double (the x67 precedent),
+    // micro rounding per cell BEFORE any summation.
+    "x117_pmi_profile" ->
+      """WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_ab
+        |               FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT source, CAST(sum(n_ab) AS BIGINT) AS n_a
+        |       FROM cells GROUP BY source),
+        |mb AS (SELECT lang, CAST(sum(n_ab) AS BIGINT) AS n_b
+        |       FROM cells GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM cells)
+        |SELECT c.source, c.lang, c.n_ab, ma.n_a, mb.n_b,
+        |       CAST(round(ln((c.n_ab * t.n)::DOUBLE / (ma.n_a * mb.n_b)::DOUBLE)
+        |            * 1000000.0) AS BIGINT) AS pmi_micro,
+        |       CAST(round(ln((c.n_ab * t.n)::DOUBLE / (ma.n_a * mb.n_b)::DOUBLE)
+        |            * (c.n_ab::DOUBLE / t.n::DOUBLE) * 1000000.0) AS BIGINT)
+        |         AS mi_part_micro
+        |FROM cells c JOIN ma USING (source) JOIN mb USING (lang) CROSS JOIN t
+        |ORDER BY source, lang""".stripMargin,
+
+    // Replays rankMatchedPairs: cohort-blind ntile over (value, id),
+    // per-(bucket, cohort) row_number over the same order, inner join
+    // rank-to-rank.
+    "x118_rank_matched_pairs" ->
+      """WITH bt AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS v,
+        |                   source AS c,
+        |                   CAST(ntile(5) OVER (ORDER BY n_chars, doc_id)
+        |                        AS INT) AS bucket
+        |            FROM documents WHERE source IN ('src0', 'src1')),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket, c
+        |                       ORDER BY v, id) AS INT) AS pair_rank
+        |      FROM bt)
+        |SELECT a.bucket, a.pair_rank, a.id AS id_a, a.v AS val_a,
+        |       b2.id AS id_b, b2.v AS val_b, abs(a.v - b2.v) AS gap
+        |FROM r a JOIN r b2 ON a.bucket = b2.bucket
+        |                  AND a.pair_rank = b2.pair_rank
+        |WHERE a.c = 'src0' AND b2.c = 'src1'
+        |ORDER BY a.bucket, a.pair_rank""".stripMargin,
+
+    // Replays vocabCoverage on the count-value histogram: prefix mass
+    // over counts DESC, ceil targets and within-level picks as integer
+    // floor divisions on non-negative operands.
+    "x119_vocab_coverage" ->
+      s"""WITH toks AS (SELECT unnest(${wordsSql("text")}) AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+         |hist AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY c),
+         |lv AS (SELECT c, m,
+         |         coalesce(sum(c * m) OVER (ORDER BY c DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mass0,
+         |         coalesce(sum(m) OVER (ORDER BY c DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS vocab0
+         |       FROM hist),
+         |t AS (SELECT CAST(sum(c * m) AS BIGINT) AS total_tokens,
+         |             CAST(sum(m) AS BIGINT) AS total_vocab FROM hist),
+         |p(pct) AS (VALUES (50), (90), (95), (99)),
+         |tg AS (SELECT p.pct, t.total_tokens, t.total_vocab,
+         |              CAST((p.pct * t.total_tokens + 99) // 100 AS BIGINT)
+         |                AS target_tokens
+         |       FROM p CROSS JOIN t)
+         |SELECT tg.pct, tg.target_tokens,
+         |       CAST(lv.vocab0 + (tg.target_tokens - lv.mass0 + lv.c - 1) // lv.c
+         |            AS BIGINT) AS vocab_size,
+         |       tg.total_tokens, tg.total_vocab
+         |FROM tg JOIN lv ON lv.mass0 < tg.target_tokens
+         |               AND tg.target_tokens <= lv.mass0 + lv.c * lv.m
+         |ORDER BY pct""".stripMargin,
+
+    // Replays dailyStreaks: distinct (user, day), the day − row_number
+    // island anchor, arg_max for the latest island (island end days
+    // are distinct per user by construction, so arg_max is total).
+    "x120_daily_streaks" ->
+      """WITH du AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |i AS (SELECT u, day,
+        |        day - CAST(row_number() OVER (PARTITION BY u ORDER BY day)
+        |                   AS INT) AS anchor
+        |      FROM du),
+        |isl AS (SELECT u, anchor, CAST(count(*) AS BIGINT) AS len,
+        |               max(day) AS e
+        |        FROM i GROUP BY u, anchor)
+        |SELECT u AS user_id, CAST(sum(len) AS BIGINT) AS n_days,
+        |       CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(max(len) AS BIGINT) AS longest_streak,
+        |       CAST(arg_max(len, e) AS BIGINT) AS latest_streak
+        |FROM isl GROUP BY u ORDER BY user_id""".stripMargin,
+
+    // Replays robustScale: percentile_disc quartiles, sign-decomposed
+    // floor division (never a negative dividend — the one case where
+    // Spark's div and // differ), null on zero IQR.
+    "x121_robust_scale" ->
+      """WITH b AS (SELECT source,
+        |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)
+        |         AS BIGINT) AS q1,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+        |         AS BIGINT) AS med,
+        |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)
+        |         AS BIGINT) AS q3
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |       b.med, CAST(b.q3 - b.q1 AS BIGINT) AS iqr,
+        |       CASE WHEN b.q3 - b.q1 = 0 THEN NULL
+        |            ELSE CAST((CASE WHEN d.n_chars > b.med THEN 1
+        |                            WHEN d.n_chars < b.med THEN -1
+        |                            ELSE 0 END) *
+        |                      (abs(d.n_chars - b.med) * 1000000 //
+        |                       (b.q3 - b.q1)) AS BIGINT) END AS scaled_micro
+        |FROM documents d JOIN b USING (source)
+        |ORDER BY doc_id""".stripMargin,
   )
+
+  /** Benford expected first-digit frequencies as integer-micro VALUES
+    * rows — the SAME Scala computation [[graft.operators.Profile.benfordAudit]]
+    * embeds as literals, so both engines compare against identical
+    * constants. */
+  private def benfordValuesSql: String =
+    (1 to 9).map(d =>
+      s"($d, ${math.round(math.log10(1.0 + 1.0 / d) * 1e6)})").mkString(", ")
 
   /** Shared CTE chain for the x85/x89 oracles, ending in
     * `sc(doc_id, n_tokens, top_gram_ratio, novelty, dup_keep,

@@ -254,4 +254,19 @@ class DedupSpec extends SparkSpec {
       .filter($"doc_id" === 2L).select($"keep").as[Boolean].head()
     assert(plain)
   }
+
+  test("dedupSavings: per-source accounting reconciles; out-of-cluster docs count as kept") {
+    val docs = Seq(
+      (1L, "s1", 100L), (2L, "s1", 50L), // cluster {1,2}: doc 1 kept
+      (3L, "s2", 80L)) // in no cluster: kept by the coalesce
+      .toDF("doc_id", "source", "n_chars")
+    val canon = Seq((1L, 1L, 1L, true), (2L, 1L, 1L, false))
+      .toDF("doc_id", "cluster_id", "canonical_id", "keep")
+    val out = Dedup.dedupSavings(docs, canon)
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("s1", 2L, 1L, 150L, 100L, 333333L), // 50/150 saved → ⌊10⁶/3⌋
+      ("s2", 1L, 1L, 80L, 80L, 0L)))
+  }
 }

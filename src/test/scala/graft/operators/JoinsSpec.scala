@@ -113,4 +113,36 @@ class JoinsSpec extends SparkSpec {
     assert(binned.count() == naive.count())
     assert(binned.count() > 0)
   }
+
+  test("entityResolution: transitive chain beyond maxDist resolves to ONE entity; " +
+      "singletons resolve to themselves") {
+    import org.apache.spark.sql.functions.{element_at, split}
+    // d(aaaa,aaab)=1, d(aaab,aabb)=1, but d(aaaa,aabb)=2 > maxDist=1:
+    // only the closure (not pairwise match) puts all three together
+    val names = Seq("aaaa x", "aaab x", "aabb x", "zzzz y").toDF("n")
+    val out = Joins.entityResolution(names, "n", maxDist = 1,
+        c => element_at(split(c, " "), -1))
+      .orderBy($"name")
+      .as[(String, String, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("aaaa x", "aaaa x", 3L),
+      ("aaab x", "aaaa x", 3L),
+      ("aabb x", "aaaa x", 3L),
+      ("zzzz y", "zzzz y", 1L)))
+  }
+
+  test("rankMatchedPairs: rank-to-rank within buckets, surplus dropped, other cohorts ignored") {
+    val rows = Seq(
+      (1L, 10L, "A"), (2L, 20L, "A"), (3L, 30L, "A"), // A surplus at rank 3
+      (4L, 12L, "B"), (5L, 18L, "B"),
+      (6L, 11L, "C")) // not a requested cohort: must not shift ranks
+      .toDF("id", "v", "src")
+    val out = Joins.rankMatchedPairs(rows, "id", "v", "src", "A", "B", buckets = 1)
+      .orderBy($"pair_rank")
+      .select($"bucket", $"pair_rank", $"id_a", $"val_a", $"id_b", $"val_b", $"gap")
+      .as[(Int, Int, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1, 1, 1L, 10L, 4L, 12L, 2L),
+      (1, 2, 2L, 20L, 5L, 18L, 2L)))
+  }
 }

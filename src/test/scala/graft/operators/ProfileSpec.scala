@@ -240,4 +240,67 @@ class ProfileSpec extends SparkSpec {
       .filter($"is_outlier").select("id").as[Long].collect()
     assert(flagged.toSeq == Seq(99L))
   }
+
+  test("equiDepthBins: equal populations, exact ranges, id tie-break on equal values") {
+    val rows = (1L to 8L).map(i => (i, "g", i)) ++
+      (1L to 4L).map(i => (i, "t", 5L)) // all tied: bins split by id
+    val out = Profile.equiDepthBins(rows.toDF("id", "grp", "v"),
+        "id", "v", "grp", bins = 4)
+      .orderBy($"grp", $"bin")
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("g", 1, 2L, 1L, 2L), ("g", 2, 2L, 3L, 4L),
+      ("g", 3, 2L, 5L, 6L), ("g", 4, 2L, 7L, 8L),
+      ("t", 1, 1L, 5L, 5L), ("t", 2, 1L, 5L, 5L),
+      ("t", 3, 1L, 5L, 5L), ("t", 4, 1L, 5L, 5L)))
+  }
+
+  test("benfordAudit: truncated leading digit, literal expectations, sub-1 rows excluded") {
+    val df = Seq(1.5, 19.0, 123.0, 2.0, 0.5, 9.99).toDF("v")
+    val out = Profile.benfordAudit(df, "v")
+      .orderBy($"digit")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    // digits over the 5 kept rows (0.5 excluded): 1×3, 2×1, 9×1
+    // exp_micro = round(log10(1 + 1/d)·10⁶): 301030, 176091, 45757
+    assert(out.toSeq == Seq(
+      (1, 3L, 600000L, 301030L, 298970L),
+      (2, 1L, 200000L, 176091L, 23909L),
+      (9, 1L, 200000L, 45757L, 154243L)))
+  }
+
+  test("pmiProfile: independent cells score zero; a diagonal pair scores ln 2") {
+    val indep = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+        ("b", "x"), ("b", "y")).toDF("s", "l")
+    val zeros = Profile.pmiProfile(indep, "s", "l")
+      .select($"pmi_micro", $"mi_part_micro").as[(Long, Long)].collect()
+    assert(zeros.forall(_ == (0L, 0L)), "independence must score exactly 0")
+    val diag = Seq(("a", "x"), ("b", "y")).toDF("s", "l")
+    val out = Profile.pmiProfile(diag, "s", "l")
+      .orderBy($"s")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    // pmi = ln(1·2/(1·1)) = ln 2 → 693147 micro; mi part = ln 2 / 2
+    assert(out.toSeq == Seq(
+      ("a", "x", 1L, 1L, 1L, 693147L, 346574L),
+      ("b", "y", 1L, 1L, 1L, 693147L, 346574L)))
+  }
+
+  test("robustScale: order-statistic quartiles, sign decomposition, null on zero IQR") {
+    val rows = (1L to 8L).map(i => (i, "g", i)) ++
+      Seq((9L, "d", 7L), (10L, "d", 7L)) // degenerate: IQR = 0
+    val out = Profile.robustScale(rows.toDF("id", "grp", "v"), "id", "v", "grp")
+      .orderBy($"id")
+      .as[(Long, String, Long, Long, Long, Option[Long])].collect()
+    // g: q1 = 2, med = 4, q3 = 6 → iqr 4; scaled = sign·|v−4|·10⁶ div 4
+    assert(out.toSeq == Seq(
+      (1L, "g", 1L, 4L, 4L, Some(-750000L)),
+      (2L, "g", 2L, 4L, 4L, Some(-500000L)),
+      (3L, "g", 3L, 4L, 4L, Some(-250000L)),
+      (4L, "g", 4L, 4L, 4L, Some(0L)),
+      (5L, "g", 5L, 4L, 4L, Some(250000L)),
+      (6L, "g", 6L, 4L, 4L, Some(500000L)),
+      (7L, "g", 7L, 4L, 4L, Some(750000L)),
+      (8L, "g", 8L, 4L, 4L, Some(1000000L)),
+      (9L, "d", 7L, 7L, 0L, None),
+      (10L, "d", 7L, 7L, 0L, None)))
+  }
 }

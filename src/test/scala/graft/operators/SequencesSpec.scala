@@ -302,4 +302,52 @@ class SequencesSpec extends SparkSpec {
       .select("retention_micro").as[Long].collect()
     assert(zero.nonEmpty && zero.forall(_ == 1000000L))
   }
+
+  test("calendarSpine: silent days materialize as zero rows and the rolling sum sees them") {
+    val events = Seq(
+      (1L, ts("2024-03-01 10:00:00")), (2L, ts("2024-03-01 11:00:00")),
+      (3L, ts("2024-03-03 09:00:00")))
+      .toDF("user_id", "ts")
+    val out = Sequences.calendarSpine(events)
+      .orderBy($"day")
+      .select($"day".cast("string"), $"n", $"n_roll", $"is_gap")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      ("2024-03-01", 2L, 2L, false),
+      ("2024-03-02", 0L, 2L, true), // the day a groupBy would not emit
+      ("2024-03-03", 1L, 3L, false)))
+  }
+
+  test("calendarSpine: a window narrower than the gap forgets the old burst") {
+    val events = Seq(
+      (1L, ts("2024-03-01 10:00:00")),
+      (2L, ts("2024-03-05 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = Sequences.calendarSpine(events, windowDays = 2)
+      .orderBy($"day")
+      .select($"day".cast("string"), $"n_roll")
+      .as[(String, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("2024-03-01", 1L), ("2024-03-02", 1L), ("2024-03-03", 0L),
+      ("2024-03-04", 0L), ("2024-03-05", 1L)))
+  }
+
+  test("dailyStreaks: islands split on the missing day; latest is the newest island's length") {
+    val events = Seq(
+      // user 1: days 1,2,3 then 7,8 → streaks 3 and 2
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")), (1L, ts("2024-01-07 10:00:00")),
+      (1L, ts("2024-01-08 10:00:00")),
+      // duplicate events in one day must not inflate the streak
+      (1L, ts("2024-01-08 23:00:00")),
+      // user 2: a single day
+      (2L, ts("2024-01-05 12:00:00")))
+      .toDF("user_id", "ts")
+    val out = Sequences.dailyStreaks(events)
+      .orderBy($"user_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 5L, 2L, 3L, 2L), // 5 active days, 2 streaks, longest 3, latest 2
+      (2L, 1L, 1L, 1L, 1L)))
+  }
 }

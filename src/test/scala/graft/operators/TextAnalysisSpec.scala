@@ -564,4 +564,31 @@ class TextAnalysisSpec extends SparkSpec {
       assert(ps == ps.sorted && ps.distinct == ps)
     }
   }
+
+  test("vocabCoverage: hand-traced crossing points on the count histogram, " +
+      "ties interchangeable inside a level") {
+    // tokens: a×4, b×2, c×1, d×1 → total 8, vocab 4
+    // hist: (4,1), (2,1), (1,2)
+    val docs = Seq((1L, "a a a a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, pcts = Seq(50, 75, 90))
+      .orderBy($"pct")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      // 50%: target 4 → 'a' alone covers it → vocab 1
+      (50, 4L, 1L, 8L, 4L),
+      // 75%: target 6 → a(4) + b(2) → vocab 2
+      (75, 6L, 2L, 8L, 4L),
+      // 90%: target ⌈7.2⌉ = 8 → needs both singletons → vocab 4
+      (90, 8L, 4L, 8L, 4L)))
+  }
+
+  test("vocabCoverage rejects out-of-range percentages") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(docs, pcts = Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(docs, pcts = Seq(101))
+    }
+  }
 }

@@ -666,6 +666,66 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("x113/x120: per-group windows hash-partition on the group key — never a " +
+    "single global partition") {
+    for ((q, key) <- Seq(
+        (ExtensionQueries.x113 _, "lang"),
+        (ExtensionQueries.x120 _, "u"))) {
+      val plan = physical(q(spark, sf001))
+      assert(plan.contains("Window"), plan)
+      assert(plan.contains(s"hashpartitioning($key"), plan)
+    }
+  }
+
+  test("x114/x116/x117: aggregation-first analytics — partial+final combine, " +
+    "tiny frames broadcast, no cartesian") {
+    for (q <- Seq(ExtensionQueries.x114 _, ExtensionQueries.x116 _,
+        ExtensionQueries.x117 _)) {
+      val plan = physical(q(spark, sf001))
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
+  test("x115/x121: the group/canonical relation joins back by broadcast — " +
+    "the corpus side never shuffles for it") {
+    for (q <- Seq(ExtensionQueries.x115 _, ExtensionQueries.x121 _)) {
+      val plan = physical(q(spark, sf001))
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+    // x121 specifically must stay window-free: quartiles are grouped
+    // order statistics, not per-row window percentiles
+    assert(!physical(ExtensionQueries.x121(spark, sf001)).contains("Window"))
+  }
+
+  test("x118: the pairing is an equi-join on (bucket, rank) — no cartesian, " +
+    "no theta join") {
+    val plan = physical(ExtensionQueries.x118(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("x119: coverage runs on the count histogram — token counting is " +
+    "partial+final; the window sees histogram rows, not the vocabulary") {
+    val df = ExtensionQueries.x119(spark, sf001)
+    val plan = physical(df)
+    assert(plan.contains("partial_count"), plan)
+    // two stacked aggregations (token counts → count histogram) must
+    // both survive optimization: the histogram collapse IS the scale
+    // property
+    val aggs = plan.sliding("HashAggregate".length).count(_ == "HashAggregate")
+    assert(aggs >= 4, s"expected >= 4 HashAggregate nodes (2 partial+final), got $aggs\n$plan")
+  }
+
+  test("x112: entity sizes broadcast back; closure output joins without cartesian") {
+    val plan = physical(ExtensionQueries.x112(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
