@@ -39,8 +39,14 @@ object Bench {
     // a noisy median is VISIBLY noisy.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    // same ergonomics as Verify's knob: full-match regex OR plain
+    // substring (a non-regex value degrades to the substring branch
+    // instead of throwing) — a scoped scaling run needs to select a
+    // sparse set like x11[2-9].*|x12[01].* in one JVM
+    def matches(n: String): Boolean = only.forall(o =>
+      scala.util.Try(n.matches(o)).getOrElse(false) || n.contains(o))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(n.contains) }
+      .filter { case (n, _) => matches(n) }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2)
@@ -87,7 +93,7 @@ object Bench {
     // has its attributable scale cost right next to it. Excluded from
     // the headline and the compact line.
     val probes = SparkEntry.benchProbes.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(n.contains) }
+      .filter { case (n, _) => matches(n) }
       .map { case (name, fn) =>
         var times = Vector.empty[Double]
         for (_ <- 1 to repeat) {

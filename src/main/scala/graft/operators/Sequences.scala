@@ -499,6 +499,138 @@ object Sequences {
         col("longest_streak"), col("latest_streak"))
   }
 
+  /** Per-type weekly trend via exact OLS over a DENSE week index —
+    * "is this event type growing, and how fast": the least-squares
+    * slope of weekly counts against week number, with silent weeks
+    * present as ZERO rows (the [[calendarSpine]] lesson — a trend fit
+    * over observed-weeks-only is biased upward exactly for dying
+    * types, the case the fit exists to catch).
+    *
+    * Integer-exact: x is the week index from the global minimum week,
+    * y the weekly count; slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * rides exact BIGINT moment sums with one sign-decomposed micro
+    * floor-division at the end (negative dividends never formed — the
+    * Spark `div` vs floor `//` trap). n_weeks < 2 → null slope.
+    * Envelope: Σxy < 2⁶³ needs weeks·maxCount·weeks ≲ 9·10¹⁸ — any
+    * realistic horizon.
+    *
+    * Scale: events collapse to (type, week) counts in one
+    * partial+final agg; the dense grid is |types| × |weeks| (tiny,
+    * broadcast spine), and the moment sums are a second
+    * grid-cardinality aggregation. Output: (typeCol, n_weeks, total,
+    * mean_micro, slope_micro) — slope in events/week, micro. */
+  def weeklyTrend(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val wk = events.select(col(typeCol).as("t"),
+        date_trunc("week", col(tsCol)).cast("date").as("w"))
+      .groupBy(col("t"), col("w")).agg(count(lit(1)).as("__y"))
+      .localCheckpoint(true) // feeds the bounds, the type list, and the grid
+    val bounds = wk.agg(min(col("w")).as("__lo"), max(col("w")).as("__hi"))
+    val spine = bounds.select(
+      explode(expr("sequence(__lo, __hi, interval 7 day)")).as("w"), col("__lo"))
+    val grid = wk.select(col("t")).distinct()
+      .join(broadcast(spine))
+      .join(wk, Seq("t", "w"), "left")
+      .select(col("t"), datediff(col("w"), col("__lo")).cast("long").as("__x"),
+        coalesce(col("__y"), lit(0L)).as("__y"))
+      .withColumn("__x", expr("__x div 7"))
+    grid.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(col("__y")).cast("bigint").as("total"),
+        sum(col("__x")).cast("bigint").as("__sx"),
+        sum(col("__x") * col("__y")).cast("bigint").as("__sxy"),
+        sum(col("__x") * col("__x")).cast("bigint").as("__sxx"))
+      .withColumn("__num", expr("n_weeks * __sxy - __sx * total"))
+      .withColumn("__den", expr("n_weeks * __sxx - __sx * __sx"))
+      .select(col("t").as(typeCol), col("n_weeks"), col("total"),
+        expr("total * 1000000L div n_weeks").as("mean_micro"),
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(signum(col("__num")).cast("long") *
+            expr("abs(__num) * 1000000L div __den")).as("slope_micro"))
+  }
+
+  /** Per-user RFM (recency / frequency / monetary) scoring — the
+    * classic engagement segmentation: days since last activity, event
+    * count, and exact decimal-cents spend, each quintile-scored 1–5
+    * (5 = best: most recent, most frequent, highest spend) with a
+    * deterministic (metric, user) tie-break so every engine assigns
+    * identical tiles.
+    *
+    * Money is exact: value → DECIMAL(18,2) before summation (double
+    * addition would drift by partition order), cents = sum × 100 as
+    * BIGINT. Recency anchors to the GLOBAL max event day so the score
+    * is a property of the dataset, not of wall-clock run time.
+    *
+    * Scale: one partial+final per-user aggregation (the only
+    * data-volume shuffle); the three ntile windows run over the
+    * user-cardinality frame. A user base beyond one task per window
+    * swaps ntile for [[graft.operators.Profile.sampledQuantiles]]
+    * breakpoints — same trade documented for equiDepthBins. Output:
+    * (userCol, recency_days, frequency, monetary_cents, r, f, m,
+    * segment). */
+  def rfm(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"),
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+      .groupBy(col("u"))
+      .agg(max(col("d")).as("__last"), count(lit(1)).as("frequency"),
+        (sum(col("v")) * lit(100)).cast("bigint").as("monetary_cents"))
+    val anchor = per.agg(max(col("__last")).as("__anchor"))
+    val scored = per.join(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("__anchor"), col("__last")).cast("long"))
+      // recency DESC: the stalest user gets tile 1, the freshest tile 5
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("recency_days").desc, col("u"))))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("frequency"), col("u"))))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("monetary_cents"), col("u"))))
+    scored.select(col("u").as(userCol), col("recency_days"), col("frequency"),
+      col("monetary_cents"), col("r"), col("f"), col("m"),
+      concat(col("r"), col("f"), col("m")).as("segment"))
+  }
+
+  /** First-touch / last-touch conversion attribution: every purchase
+    * is charged to the user's FIRST view and LAST click at-or-before
+    * it — the two canonical attribution rules, computed side by side
+    * so their disagreement (the attribution gap marketing argues
+    * about) is visible per conversion. Purchases with no prior
+    * touch keep nulls — unattributable conversions must surface, not
+    * vanish into an inner join.
+    *
+    * One keyed window does everything: max(struct(ts, id)) over the
+    * type-filtered running frame IS "latest click so far" (ts-major
+    * struct ordering), min is "earliest view" — no self-join, no
+    * per-type window, ties broken by the id inside the struct.
+    *
+    * Scale: ONE shuffle on the user key; the running min/max structs
+    * are O(1) window state (never a buffered frame). Output: one row
+    * per purchase — (userCol, purchase_id, purchase_ts, first_view_id,
+    * view_to_buy_secs, last_click_id, click_to_buy_secs). */
+  def conversionAttribution(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", tieCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(tieCol).as("__id"), col(typeCol).as("__t"))
+      .withColumn("__fv", min(when(col("__t") === "view",
+        struct(col("__ts").as("ts"), col("__id").as("id")))).over(w))
+      .withColumn("__lc", max(when(col("__t") === "click",
+        struct(col("__ts").as("ts"), col("__id").as("id")))).over(w))
+      .filter(col("__t") === "purchase")
+      .select(col("__u").as(userCol), col("__id").as("purchase_id"),
+        col("__ts").as("purchase_ts"),
+        col("__fv.id").as("first_view_id"),
+        (unix_timestamp(col("__ts")) - unix_timestamp(col("__fv.ts")))
+          .as("view_to_buy_secs"),
+        col("__lc.id").as("last_click_id"),
+        (unix_timestamp(col("__ts")) - unix_timestamp(col("__lc.ts")))
+          .as("click_to_buy_secs"))
+  }
+
   def sessionTranscripts(events: DataFrame, gap: String = "1 HOUR",
       keyCol: String = "user_id", tsCol: String = "ts",
       tieCol: String = "event_id", typeCol: String = "event_type",

@@ -576,6 +576,55 @@ object TextAnalysis {
         col("total_tokens"), col("total_vocab"))
   }
 
+  /** Winnowing fingerprint near-dup (Schleimer/Wilkerson/Aiken's
+    * MOSS scheme): rolling char-k-gram hashes, each w-window keeps its
+    * MINIMUM hash, distinct minima are the document's fingerprints,
+    * and documents sharing ≥ `minShared` fingerprints are candidate
+    * substring-overlap pairs. The guarantee the bottom-k sketch
+    * (fingerprintDup) cannot give: any shared substring of length
+    * ≥ k + w − 1 shares at least one fingerprint REGARDLESS of where
+    * it sits in either document — position-robust plagiarism-style
+    * detection, density ~2/(w+1) fingerprints per character.
+    *
+    * Portable by construction: hashes are the md5-60 family over the
+    * whitespace-normalized lowercase text, windows are value-only
+    * minima (ties collapse to the same VALUE, so no position
+    * tie-break is needed), and the whole chain is replayable in plain
+    * SQL — the oracle recomputes every fingerprint.
+    *
+    * Scale: fingerprints explode to ~2n/(w+1) rows, the pair join is
+    * an equi-join on the fingerprint value, and `dfCap` drops
+    * fingerprints appearing in more than that many docs before the
+    * join — the boilerplate hot-key guard (a ubiquitous header would
+    * otherwise fan out quadratically), same contract as
+    * [[containmentScreen]]'s df cap. Output: (doc_a, doc_b, n_shared). */
+  def winnowingNearDup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, w: Int = 4,
+      minShared: Int = 2, dfCap: Int = 50): DataFrame = {
+    require(k > 0 && w > 0 && minShared > 0 && dfCap > 0,
+      s"winnowingNearDup: k, w, minShared, dfCap must be positive, got ($k, $w, $minShared, $dfCap)")
+    val fps = docs.select(col(idCol).as("doc_id"),
+        regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
+      .withColumn("__hs", expr(
+        s"""transform(sequence(1, greatest(length(__t) - ${k - 1}, 0)),
+           |  i -> cast(conv(substring(md5(substring(__t, i, $k)), 1, 15), 16, 10)
+           |            as bigint))""".stripMargin))
+      .filter(size(col("__hs")) > 0)
+      .withColumn("__fps", array_distinct(
+        when(size(col("__hs")) >= w, expr(
+          s"transform(sequence(1, size(__hs) - ${w - 1}), i -> array_min(slice(__hs, i, $w)))"))
+          .otherwise(array(array_min(col("__hs"))))))
+      .select(col("doc_id"), explode(col("__fps")).as("fp"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap)
+    val pruned = fps.join(rare.select(col("fp")), "fp")
+    val a = pruned.as("a"); val b = pruned.as("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Docs sharing an identical content fingerprint (exact-ish near-dup
     * at fingerprint resolution): bucket join on the 32-bit hashed
     * sketch for shuffle economy, then VERIFY full fingerprint equality

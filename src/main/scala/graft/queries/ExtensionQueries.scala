@@ -1566,6 +1566,42 @@ object ExtensionQueries {
     Profile.robustScale(docs(s, dir), "doc_id", "n_chars", "source")
       .orderBy(col("doc_id"))
 
+  /** x122 winnowing fingerprint near-dup — see
+    * [[graft.operators.TextAnalysis.winnowingNearDup]]: window-minimum
+    * md5-60 gram hashes, any shared substring of length ≥ k+w−1
+    * guaranteed to share a fingerprint, df-capped pair join. */
+  def x122(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowingNearDup(docs(s, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** x123 per-type weekly OLS trend — see
+    * [[graft.operators.Sequences.weeklyTrend]]: dense week index
+    * (silent weeks as zeros), exact integer moment sums, one
+    * sign-decomposed micro division. */
+  def x123(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.weeklyTrend(Tables.load(s, dir, "events"))
+      .orderBy(col("event_type"))
+
+  /** x124 per-user RFM segmentation — see
+    * [[graft.operators.Sequences.rfm]]: exact decimal-cents monetary,
+    * global-anchor recency, deterministic quintile tiles. */
+  def x124(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.rfm(Tables.load(s, dir, "events"))
+      .orderBy(col("user_id"))
+
+  /** x125 first/last-touch conversion attribution — see
+    * [[graft.operators.Sequences.conversionAttribution]]: one keyed
+    * window, O(1) running min/max structs, unattributable purchases
+    * kept with nulls. Timestamps surface as epoch seconds (exact
+    * integers in both engines). */
+  def x125(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.conversionAttribution(Tables.load(s, dir, "events"))
+      .select(col("user_id"), col("purchase_id"),
+        unix_timestamp(col("purchase_ts")).as("purchase_epoch"),
+        col("first_view_id"), col("view_to_buy_secs"),
+        col("last_click_id"), col("click_to_buy_secs"))
+      .orderBy(col("user_id"), col("purchase_id"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1717,6 +1753,10 @@ object ExtensionQueries {
     "x119_vocab_coverage" -> (x119 _),
     "x120_daily_streaks" -> (x120 _),
     "x121_robust_scale" -> (x121 _),
+    "x122_winnowing_neardup" -> (x122 _),
+    "x123_weekly_trend" -> (x123 _),
+    "x124_rfm" -> (x124 _),
+    "x125_attribution" -> (x125 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -1958,7 +1998,7 @@ object ExtensionQueries {
     * here (the oracle only ever runs in DuckDB); double math is forced
     * via ::DOUBLE[] casts so both engines accumulate in float64 in
     * array order. */
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = tranche2Oracles ++ Map(
     "x01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
@@ -4169,6 +4209,115 @@ object ExtensionQueries {
         |                       (b.q3 - b.q1)) AS BIGINT) END AS scaled_micro
         |FROM documents d JOIN b USING (source)
         |ORDER BY doc_id""".stripMargin,
+  )
+
+  /** Winnowing / trend / RFM / attribution oracles (round-9 tranche 2).
+    * `lazy` because [[oracles]] (declared earlier in the file)
+    * concatenates this map during object init. */
+  private lazy val tranche2Oracles: Map[String, String] = Map(
+    // Replays winnowingNearDup: same normalization, md5-60 rolling
+    // gram hashes, value-only window minima, df cap, pair join.
+    // DuckDB range(a, b) is exclusive of b (Spark sequence inclusive),
+    // hence the +1s; list slices are 1-based inclusive.
+    "x122_winnowing_neardup" ->
+      s"""WITH nd AS (SELECT doc_id,
+         |              regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+         |            FROM documents),
+         |hs AS (SELECT doc_id,
+         |         list_transform(range(1, greatest(length(t) - 7, 0) + 1),
+         |           i -> ${md5Hash60Sql("substr(t, CAST(i AS INT), 8)")}) AS h
+         |       FROM nd),
+         |fp AS (SELECT doc_id, unnest(list_distinct(
+         |         CASE WHEN len(h) >= 4
+         |           THEN list_transform(range(1, len(h) - 3 + 1),
+         |                  i -> list_min(h[CAST(i AS INT):CAST(i AS INT) + 3]))
+         |           ELSE [list_min(h)] END)) AS f
+         |       FROM hs WHERE len(h) > 0),
+         |rare AS (SELECT f FROM (SELECT f, count(*) AS df FROM fp GROUP BY f) d
+         |         WHERE df <= 50),
+         |pr AS (SELECT fp.doc_id, fp.f FROM fp JOIN rare USING (f))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM pr a JOIN pr b ON a.f = b.f AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Replays weeklyTrend: dense (type × week) grid with zero fill,
+    // exact integer moments, sign-decomposed micro slope.
+    "x123_weekly_trend" ->
+      """WITH wk AS (SELECT event_type AS t,
+        |                   CAST(date_trunc('week', ts) AS DATE) AS w,
+        |                   count(*) AS y
+        |            FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(w) AS lo, max(w) AS hi FROM wk),
+        |sp AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+        |                INTERVAL 7 DAY)) AS DATE) AS w, lo FROM b),
+        |ty AS (SELECT DISTINCT t FROM wk),
+        |g AS (SELECT ty.t, (sp.w - sp.lo) // 7 AS x, coalesce(wk.y, 0) AS y
+        |      FROM ty CROSS JOIN sp
+        |      LEFT JOIN wk ON wk.t = ty.t AND wk.w = sp.w),
+        |m AS (SELECT t, CAST(count(*) AS BIGINT) AS n_weeks,
+        |             CAST(sum(y) AS BIGINT) AS total,
+        |             CAST(sum(x) AS BIGINT) AS sx,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM g GROUP BY t)
+        |SELECT t AS event_type, n_weeks, total,
+        |       CAST(total * 1000000 // n_weeks AS BIGINT) AS mean_micro,
+        |       CASE WHEN n_weeks * sxx - sx * sx = 0 THEN NULL
+        |            ELSE CAST((CASE WHEN n_weeks * sxy - sx * total >= 0
+        |                            THEN 1 ELSE -1 END) *
+        |                      (abs(n_weeks * sxy - sx * total) * 1000000 //
+        |                       (n_weeks * sxx - sx * sx)) AS BIGINT)
+        |       END AS slope_micro
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // Replays rfm: exact decimal cents, global-anchor recency, the
+    // same (metric, user) ntile tie-breaks.
+    "x124_rfm" ->
+      """WITH per AS (SELECT user_id AS u, max(CAST(ts AS DATE)) AS last_d,
+        |                    CAST(count(*) AS BIGINT) AS frequency,
+        |                    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+        |                         AS BIGINT) AS monetary_cents
+        |             FROM events GROUP BY 1),
+        |a AS (SELECT max(last_d) AS anchor FROM per),
+        |s AS (SELECT u, CAST(anchor - last_d AS BIGINT) AS recency_days,
+        |             frequency, monetary_cents,
+        |             CAST(ntile(5) OVER (ORDER BY anchor - last_d DESC, u)
+        |                  AS INT) AS r,
+        |             CAST(ntile(5) OVER (ORDER BY frequency, u) AS INT) AS f,
+        |             CAST(ntile(5) OVER (ORDER BY monetary_cents, u) AS INT) AS m
+        |      FROM per CROSS JOIN a)
+        |SELECT u AS user_id, recency_days, frequency, monetary_cents, r, f, m,
+        |       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+        |         AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    // Replays conversionAttribution: running struct min/max over the
+    // (ts, id) frame, purchases only, epoch-second integers.
+    "x125_attribution" ->
+      """WITH e AS (SELECT user_id AS u, ts, event_id AS id, event_type AS t
+        |           FROM events),
+        |w AS (SELECT u, ts, id, t,
+        |        min(CASE WHEN t = 'view'
+        |                 THEN struct_pack(ts := ts, id := id) END)
+        |          OVER (PARTITION BY u ORDER BY ts, id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+        |        max(CASE WHEN t = 'click'
+        |                 THEN struct_pack(ts := ts, id := id) END)
+        |          OVER (PARTITION BY u ORDER BY ts, id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+        |      FROM e)
+        |SELECT u AS user_id, id AS purchase_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch,
+        |       fv.id AS first_view_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(fv.ts)) AS BIGINT) AS view_to_buy_secs,
+        |       lc.id AS last_click_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(lc.ts)) AS BIGINT) AS click_to_buy_secs
+        |FROM w WHERE t = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin,
   )
 
   /** Benford expected first-digit frequencies as integer-micro VALUES

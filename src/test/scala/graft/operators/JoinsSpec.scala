@@ -114,6 +114,34 @@ class JoinsSpec extends SparkSpec {
     assert(binned.count() > 0)
   }
 
+  test("blockedFuzzyJoin: the threshold-form distance is value-identical to the " +
+      "plain levenshtein formulation (same pairs, same exact distances)") {
+    import org.apache.spark.sql.functions.{element_at, levenshtein, split}
+    val names = Seq("alpha tone", "alpho tone", "alpha stone", "beta tone",
+      "gamma ray", "gamma raX", "delta wave").toDF("n")
+    val threshold = Joins.blockedFuzzyJoin(
+        names.select($"n".as("name_a")), names.select($"n".as("name_b")),
+        "name_a", "name_b", maxDist = 2, c => element_at(split(c, " "), -1))
+      .orderBy($"name_a", $"name_b")
+      .as[(String, String, Int)].collect().toSeq
+    val plain = names.select($"n".as("name_a")).withColumn("__blk",
+        element_at(split($"name_a", " "), -1))
+      .join(names.select($"n".as("name_b")).withColumn("__blk",
+        element_at(split($"name_b", " "), -1)), "__blk")
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 2).drop("__blk")
+      .orderBy($"name_a", $"name_b")
+      .as[(String, String, Int)].collect().toSeq
+    assert(threshold == plain)
+    assert(threshold.nonEmpty)
+    // maxDist = 0 degenerates to exact equality, not an error
+    val eq = Joins.blockedFuzzyJoin(
+        names.select($"n".as("name_a")), names.select($"n".as("name_b")),
+        "name_a", "name_b", maxDist = 0, c => element_at(split(c, " "), -1))
+      .as[(String, String, Int)].collect().toSeq
+    assert(eq.forall(t => t._1 == t._2 && t._3 == 0) && eq.size == names.count())
+  }
+
   test("entityResolution: transitive chain beyond maxDist resolves to ONE entity; " +
       "singletons resolve to themselves") {
     import org.apache.spark.sql.functions.{element_at, split}

@@ -350,4 +350,69 @@ class SequencesSpec extends SparkSpec {
       (1L, 5L, 2L, 3L, 2L), // 5 active days, 2 streaks, longest 3, latest 2
       (2L, 1L, 1L, 1L, 1L)))
   }
+
+  test("weeklyTrend: hand-traced OLS over the dense week grid — a silent week " +
+      "pulls the fit down; a type absent later trends negative") {
+    val events = Seq(
+      // type a: weeks 0 and 2 active, week 1 SILENT → y = (2, 0, 4)
+      ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-02 10:00:00")),
+      ("a", ts("2024-01-15 10:00:00")), ("a", ts("2024-01-16 10:00:00")),
+      ("a", ts("2024-01-17 10:00:00")), ("a", ts("2024-01-18 10:00:00")),
+      // type b: week 0 only → y = (1, 0, 0), a dying type
+      ("b", ts("2024-01-03 10:00:00")))
+      .toDF("event_type", "ts")
+    val out = Sequences.weeklyTrend(events)
+      .orderBy($"event_type")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+    // a: n=3, Σx=3, Σy=6, Σxy=8, Σx²=5 → slope=(24−18)/(15−9)=1 → 10⁶
+    // b: Σxy=0 → slope=(0−3)/6 = −0.5 → −500000
+    assert(out.toSeq == Seq(
+      ("a", 3L, 6L, 2000000L, Some(1000000L)),
+      ("b", 3L, 1L, 333333L, Some(-500000L))))
+  }
+
+  test("rfm: exact cents, global anchor, deterministic quintile tiles") {
+    val events = Seq(
+      (1L, ts("2024-01-10 09:00:00"), 10.00),
+      (2L, ts("2024-01-08 09:00:00"), 1.50),
+      (2L, ts("2024-01-08 10:00:00"), 2.50),
+      (3L, ts("2024-01-06 09:00:00"), 0.10),
+      (3L, ts("2024-01-10 11:00:00"), 0.20))
+      .toDF("user_id", "ts", "value")
+    val out = Sequences.rfm(events)
+      .orderBy($"user_id")
+      .as[(Long, Long, Long, Long, Int, Int, Int, String)].collect()
+    // anchor 01-10; ntile(5) over 3 rows → tiles 1,2,3 in order
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L, 1000L, 2, 1, 3, "213"),
+      (2L, 2L, 2L, 400L, 1, 2, 2, "122"),
+      (3L, 0L, 2L, 30L, 3, 3, 1, "331")))
+  }
+
+  test("conversionAttribution: first view / latest click at-or-before each " +
+      "purchase; later touches and touch-less purchases stay out") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "purchase"),
+      (1L, ts("2024-01-01 10:04:00"), 4L, "click"),
+      (1L, ts("2024-01-01 10:05:00"), 5L, "purchase"),
+      // u2: purchase with no prior touch at all → nulls
+      (2L, ts("2024-01-01 12:00:00"), 6L, "purchase"),
+      // u3: the click comes AFTER the purchase — must not attribute
+      (3L, ts("2024-01-01 13:00:00"), 7L, "purchase"),
+      (3L, ts("2024-01-01 13:01:00"), 8L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.conversionAttribution(events)
+      .orderBy($"user_id", $"purchase_id")
+      .select($"user_id", $"purchase_id", $"first_view_id",
+        $"view_to_buy_secs", $"last_click_id", $"click_to_buy_secs")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect()
+    assert(out.toSeq == Seq(
+      (1L, 3L, Some(1L), Some(120L), Some(2L), Some(60L)),
+      (1L, 5L, Some(1L), Some(300L), Some(4L), Some(60L)),
+      (2L, 6L, None, None, None, None),
+      (3L, 7L, None, None, None, None)))
+  }
 }

@@ -582,6 +582,37 @@ class TextAnalysisSpec extends SparkSpec {
       (90, 8L, 4L, 8L, 4L)))
   }
 
+  test("winnowingNearDup: a shared >= k+w-1 substring is always caught, " +
+      "regardless of position; disjoint docs pair with nothing") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"a completely different beginning $shared and another tail"),
+      (3L, "unrelated content with no overlap whatsoever in this text"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowingNearDup(docs)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"expected exactly the planted pair, got ${out.toSeq}")
+    assert(out.head._3 >= 2, "long shared span must share many fingerprints")
+  }
+
+  test("winnowingNearDup: whitespace/case variants of the shared span still match; " +
+      "the df cap suppresses corpus-wide boilerplate") {
+    val span = "shared sentence that is long enough to fingerprint reliably"
+    val variant = "SHARED   sentence  that is long enough to fingerprint reliably"
+    val pair = TextAnalysis.winnowingNearDup(Seq(
+        (1L, s"aaa $span bbb"), (2L, s"ccc $variant ddd"))
+      .toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+    assert(pair.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    // boilerplate: the same span in EVERY doc with dfCap below the doc
+    // count → its fingerprints are pruned before the join → no pairs
+    val boiler = (1L to 5L).map(i => (i, s"doc number $i says: $span"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.winnowingNearDup(boiler, dfCap = 3).count() == 0)
+  }
+
   test("vocabCoverage rejects out-of-range percentages") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

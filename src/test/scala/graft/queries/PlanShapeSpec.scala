@@ -726,6 +726,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x122: fingerprint pairing is an equi-join on the fingerprint value — " +
+    "no cartesian, df-cap aggregation is partial+final") {
+    val plan = physical(ExtensionQueries.x122(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("x123: the trend is aggregation + a broadcast week spine — no window") {
+    val plan = physical(ExtensionQueries.x123(spark, sf001))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("x124/x125: the event volume collapses or shuffles ONCE on the user key") {
+    // x124: per-user aggregation is partial+final; tiles run on the
+    // user-cardinality frame
+    val p124 = physical(ExtensionQueries.x124(spark, sf001))
+    assert(p124.contains("partial_count"), p124)
+    // x125: ONE keyed window does both attributions — no join node
+    val p125 = physical(ExtensionQueries.x125(spark, sf001))
+    assert(p125.contains("Window"), p125)
+    assert(p125.contains("hashpartitioning(__u"), p125)
+    assert(!p125.contains("Join"), p125)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
