@@ -179,6 +179,47 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Binned interval×interval overlap join — the generalization of
+    * [[binnedRangeJoin]] from points to intervals: both sides explode
+    * to every `binSeconds` bucket they touch, the join becomes an
+    * equi-join on the bucket, the exact half-open overlap predicate
+    * (lStart < rEnd ∧ rStart < lEnd, length > 0) filters inside
+    * buckets — and the CANONICAL-BUCKET rule keeps the output
+    * duplicate-free with NO distinct: a pair may co-occur in many
+    * buckets, but it is emitted only in the bucket containing
+    * max(lStart, rStart) (the overlap's first instant — guaranteed to
+    * be a bucket BOTH sides exploded to). A post-join dedup would
+    * shuffle the entire match set; the canonical rule is a per-row
+    * predicate.
+    *
+    * Replication factor = interval length / binSeconds (choose
+    * binSeconds near the typical interval length, same guidance as
+    * binnedRangeJoin). Overlap is computed in exact integer
+    * MICROseconds. Output: all left + right columns +
+    * `overlap_us`. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String, binSeconds: Long): DataFrame = {
+    require(binSeconds > 0,
+      s"intervalOverlapJoin: binSeconds must be positive, got $binSeconds")
+    val binUs = binSeconds * 1000000L
+    // integer `div`, never Column `/` (double division truncated back
+    // to long can land one bucket off at an exact boundary)
+    def bin(c: String) = expr(s"unix_micros($c) div ${binUs}L")
+    def us(c: String) = unix_micros(col(c))
+    val lb = left.withColumn("__bin",
+      explode(sequence(bin(leftStart), bin(leftEnd))))
+    val rb = right.withColumn("__rbin",
+      explode(sequence(bin(rightStart), bin(rightEnd))))
+    lb.join(rb, col("__bin") === col("__rbin") &&
+        col("__bin") === expr(
+          s"greatest(unix_micros($leftStart), unix_micros($rightStart)) div ${binUs}L"))
+      .withColumn("overlap_us",
+        least(us(leftEnd), us(rightEnd)) - greatest(us(leftStart), us(rightStart)))
+      .filter(col("overlap_us") > 0)
+      .drop("__bin", "__rbin")
+  }
+
   /** End-to-end entity resolution over a name column: blocked fuzzy
     * match ([[blockedFuzzyJoin]]) → transitive closure
     * ([[Dedup.connectedComponents]]) → one canonical entity per

@@ -443,4 +443,50 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("code").cast("long")).as("s"))
       .withColumn("mean_code", round(col("s") / col("n"), 6))
+
+  /** Pairwise-cosine histogram over a deterministic pair sample — the
+    * embedding-space GEOMETRY diagnostic: a healthy isotropic space
+    * piles random-pair cosines near 0; mass near 1 means collapsed /
+    * anisotropic embeddings (every ANN structure above degrades), and
+    * the histogram is the cheap early warning read BEFORE building
+    * indexes.
+    *
+    * Sampling is hash-deterministic, not RNG: vectors land in
+    * `pairBuckets` groups by md5-60 of their id, and only
+    * WITHIN-group pairs are scored — n²/pairBuckets pairs total, an
+    * unbiased pair sample any engine reproduces exactly. The
+    * histogram bins floor(round₆(cos)·10) clamped to [−10, 9]
+    * (cos = 1.0 folds into the top bin).
+    *
+    * Scale: the self-join is bucket-keyed (never all-pairs);
+    * per-bucket population ~n/pairBuckets — pick pairBuckets ≈ n/30
+    * to hold the per-task pair count flat as the corpus grows. One
+    * final aggregation over ≤ 20 bins. Output: (bin, n,
+    * share_micro). */
+  def pairCosineHistogram(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", pairBuckets: Int = 32,
+      dim: Int = 64): DataFrame = {
+    require(pairBuckets > 0,
+      s"pairCosineHistogram: pairBuckets must be positive, got $pairBuckets")
+    import graft.functions.TextFunctions.md5Bucket60
+    val valid = emb
+      .filter(size(col(vecCol)) === dim &&
+        dot_product(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        pmod(md5Bucket60(col(idCol)), lit(pairBuckets.toLong)).as("grp"))
+      .localCheckpoint(true)
+    val pairs = valid.as("a").join(valid.as("b"),
+        col("a.grp") === col("b.grp") && col("a.id") < col("b.id"))
+      .select(least(floor(round(
+          cosine_similarity(col("a.vec"), col("b.vec")), 6) * 10), lit(9L))
+        .cast("long").as("bin"))
+    // materialize the ≤20-row histogram: it feeds both the output and
+    // the totals branch, and an unmaterialized plan would run the
+    // whole pair join twice
+    val binned = pairs.groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    binned.join(broadcast(binned.agg(sum(col("n")).cast("bigint").as("__t"))))
+      .select(col("bin"), col("n"),
+        expr("n * 1000000L div __t").as("share_micro"))
+  }
 }

@@ -1602,6 +1602,66 @@ object ExtensionQueries {
         col("last_click_id"), col("click_to_buy_secs"))
       .orderBy(col("user_id"), col("purchase_id"))
 
+  /** x126 interval-overlap join: per-user-day activity spans × error
+    * storms — see [[graft.operators.Joins.intervalOverlapJoin]]:
+    * binned interval×interval equi-join with the canonical-bucket
+    * dedup-free rule; which users were active through an error storm,
+    * and for how long (exact integer microseconds). */
+  def x126(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val spans = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("span_s"), max(col("ts")).as("span_e"))
+    val storms = e.filter(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("storm_s"))
+      .agg(count(lit(1)).as("n_errors"))
+      .filter(col("n_errors") >= 3)
+      .withColumn("storm_e", col("storm_s") + expr("INTERVAL 1 HOUR"))
+    graft.operators.Joins.intervalOverlapJoin(
+        spans, storms, "span_s", "span_e", "storm_s", "storm_e",
+        binSeconds = 3600L)
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        unix_timestamp(col("storm_s")).as("storm_epoch"),
+        col("n_errors"), col("overlap_us"))
+      .orderBy(col("user_id"), col("day"), col("storm_epoch"))
+  }
+
+  /** x127 pairwise-cosine histogram — see
+    * [[graft.operators.Similarity.pairCosineHistogram]]: the
+    * embedding-geometry health read over a hash-deterministic pair
+    * sample; mass near 1 = collapsed space. */
+  def x127(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.pairCosineHistogram(emb(s, dir))
+      .orderBy(col("bin"))
+
+  /** x128 quality-score calibration against dedup membership: docs in
+    * quality deciles (exact-arithmetic score, (qr DESC, id) total
+    * order) × whether the doc sits in any verified near-dup pair —
+    * "does the quality score actually predict duplication", the
+    * model-evaluation table a filter stack ships. */
+  def x128(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScoreRaw
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+      ngram = 3, prefixK = 8, minJaccard = 0.2)
+    val dupIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .withColumn("__dup", lit(1L))
+    d.select(col("doc_id"), col("n_chars").cast("long").as("__len"),
+        qualityScoreRaw(col("text")).as("__qr"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("__qr").desc, col("doc_id"))))
+      .join(broadcast(dupIds), Seq("doc_id"), "left")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("__dup"), lit(0L))).cast("bigint").as("n_dup"),
+        sum(col("__len")).cast("bigint").as("__chars"))
+      .select(col("decile"), col("n"), col("n_dup"),
+        expr("n_dup * 1000000L div n").as("dup_rate_micro"),
+        expr("__chars * 1000000L div n").as("mean_chars_micro"))
+      .orderBy(col("decile"))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1757,6 +1817,9 @@ object ExtensionQueries {
     "x123_weekly_trend" -> (x123 _),
     "x124_rfm" -> (x124 _),
     "x125_attribution" -> (x125 _),
+    "x126_interval_overlap" -> (x126 _),
+    "x127_cosine_histogram" -> (x127 _),
+    "x128_quality_calibration" -> (x128 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4318,6 +4381,71 @@ object ExtensionQueries {
         |         - CAST(floor(epoch(lc.ts)) AS BIGINT) AS click_to_buy_secs
         |FROM w WHERE t = 'purchase'
         |ORDER BY user_id, purchase_id""".stripMargin,
+
+    // Replays intervalOverlapJoin with the NAIVE theta join — the
+    // oracle proves the binned equi-join + canonical-bucket rule
+    // equals the unbinned formulation, duplicates and all.
+    "x126_interval_overlap" ->
+      """WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |                      min(ts) AS s, max(ts) AS e
+        |               FROM events GROUP BY 1, 2),
+        |storms AS (SELECT date_trunc('hour', ts) AS h,
+        |                  CAST(count(*) AS BIGINT) AS n_errors
+        |           FROM events WHERE event_type = 'error'
+        |           GROUP BY 1 HAVING count(*) >= 3)
+        |SELECT sp.user_id, CAST(sp.day AS STRING) AS day,
+        |       CAST(floor(epoch(st.h)) AS BIGINT) AS storm_epoch,
+        |       st.n_errors,
+        |       CAST(least(epoch_us(sp.e), epoch_us(st.h + INTERVAL 1 HOUR))
+        |            - greatest(epoch_us(sp.s), epoch_us(st.h)) AS BIGINT)
+        |         AS overlap_us
+        |FROM spans sp JOIN storms st
+        |  ON least(epoch_us(sp.e), epoch_us(st.h + INTERVAL 1 HOUR))
+        |     - greatest(epoch_us(sp.s), epoch_us(st.h)) > 0
+        |ORDER BY user_id, day, storm_epoch""".stripMargin,
+
+    // Replays pairCosineHistogram: same md5-60 group hash, same
+    // within-group pair sample, same clamped decimal bin.
+    "x127_cosine_histogram" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+         |             ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % 32 AS grp
+         |           FROM embeddings
+         |           WHERE len(embedding) = 64
+         |             AND list_inner_product(embedding::DOUBLE[],
+         |                                    embedding::DOUBLE[]) > 0),
+         |p AS (SELECT least(CAST(floor(
+         |        round(list_cosine_similarity(a.vec, b.vec), 6) * 10)
+         |        AS BIGINT), 9) AS bin
+         |      FROM v a JOIN v b ON a.grp = b.grp AND a.id < b.id),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY bin),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+         |SELECT g.bin, g.n, CAST(g.n * 1000000 // t.tot AS BIGINT) AS share_micro
+         |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    // Replays the calibration: the shared quality CTE's exact qr
+    // ranking, the x04 pair relation's node set as dup membership,
+    // integer micro rates.
+    "x128_quality_calibration" ->
+      s"""WITH ${qualityCteSql("doc_id")},
+         |$ngramPairsCteSql,
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |          SELECT doc_a AS doc_id FROM pairs
+         |          UNION ALL SELECT doc_b AS doc_id FROM pairs) u),
+         |dec AS (SELECT doc_id,
+         |          CAST(ntile(10) OVER (ORDER BY qr DESC, doc_id) AS INT)
+         |            AS decile
+         |        FROM q),
+         |j AS (SELECT dec.decile, d.n_chars,
+         |             CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isdup
+         |      FROM dec JOIN documents d USING (doc_id)
+         |      LEFT JOIN dup USING (doc_id))
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(isdup) AS BIGINT) AS n_dup,
+         |       CAST(sum(isdup) * 1000000 // count(*) AS BIGINT)
+         |         AS dup_rate_micro,
+         |       CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT)
+         |         AS mean_chars_micro
+         |FROM j GROUP BY decile ORDER BY decile""".stripMargin,
   )
 
   /** Benford expected first-digit frequencies as integer-micro VALUES

@@ -142,6 +142,49 @@ class JoinsSpec extends SparkSpec {
     assert(eq.forall(t => t._1 == t._2 && t._3 == 0) && eq.size == names.count())
   }
 
+  test("intervalOverlapJoin: one row per overlapping pair even across many " +
+      "shared buckets; half-open ends touch without overlapping") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 05:00:00")), // 5 buckets
+      (2L, ts("2024-01-01 06:00:00"), ts("2024-01-01 06:30:00")))
+      .toDF("lid", "ls", "le")
+    val right = Seq(
+      // overlaps lid=1 across a bucket boundary → must emit ONCE
+      (10L, ts("2024-01-01 00:59:00"), ts("2024-01-01 01:01:00")),
+      // touches lid=2's start exactly → zero-length, excluded
+      (20L, ts("2024-01-01 05:30:00"), ts("2024-01-01 06:00:00")))
+      .toDF("rid", "rs", "re")
+    val out = Joins.intervalOverlapJoin(left, right, "ls", "le", "rs", "re",
+        binSeconds = 3600L)
+      .select($"lid", $"rid", $"overlap_us")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 10L, 120L * 1000000L)))
+  }
+
+  test("intervalOverlapJoin equals the naive theta join on fixture-shaped intervals") {
+    val e = graft.Tables.load(spark, sf001, "events")
+    val spans = e.groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(min($"ts").as("s"), max($"ts").as("e"))
+    val storms = e.filter($"event_type" === "error")
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+      .withColumn("he", $"h" + expr("INTERVAL 1 HOUR"))
+    val binned = Joins.intervalOverlapJoin(spans, storms, "s", "e", "h", "he", 3600L)
+      .select($"user_id", $"day", $"h", $"overlap_us")
+      .as[(Long, java.sql.Date, java.sql.Timestamp, Long)].collect().toSet
+    val naive = spans.crossJoin(storms)
+      .withColumn("o", least(unix_micros($"e"), unix_micros($"he")) -
+        greatest(unix_micros($"s"), unix_micros($"h")))
+      .filter($"o" > 0)
+      .select($"user_id", $"day", $"h", $"o")
+      .as[(Long, java.sql.Date, java.sql.Timestamp, Long)].collect().toSet
+    assert(binned == naive)
+    assert(binned.nonEmpty)
+  }
+
   test("entityResolution: transitive chain beyond maxDist resolves to ONE entity; " +
       "singletons resolve to themselves") {
     import org.apache.spark.sql.functions.{element_at, split}

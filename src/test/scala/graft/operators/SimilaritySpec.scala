@@ -262,4 +262,29 @@ class SimilaritySpec extends SparkSpec {
     // rerank repairs most quantization loss; measured 2026-08-14
     assert(mean >= 0.5, s"mean recall@10 $mean below floor; per-query $recalls")
   }
+
+  test("pairCosineHistogram: hand-traced bins — identical vectors fold into the " +
+      "top bin, orthogonal pairs land in bin 0; shares are exact micro") {
+    val ex = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val ey = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
+    // pairBuckets = 1 puts every vector in one group → all 3 pairs score
+    val emb = Seq((1L, ex), (2L, ex), (3L, ey)).toDF("vec_id", "embedding")
+    val out = Similarity.pairCosineHistogram(emb, pairBuckets = 1)
+      .orderBy($"bin")
+      .as[(Long, Long, Long)].collect()
+    // (1,2): cos 1 → floor(10) clamped to bin 9; (1,3), (2,3): cos 0 → bin 0
+    assert(out.toSeq == Seq((0L, 2L, 666666L), (9L, 1L, 333333L)))
+  }
+
+  test("pairCosineHistogram: degenerate and wrong-dim vectors are excluded " +
+      "before pairing") {
+    val ok = Array.tabulate(64)(_ => 0.5f)
+    val zero = Array.fill(64)(0.0f)
+    val short = Array.fill(8)(1.0f)
+    val emb = Seq((1L, ok), (2L, ok), (3L, zero), (4L, short))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pairCosineHistogram(emb, pairBuckets = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((9L, 1L, 1000000L))) // only the (1,2) pair survives
+  }
 }

@@ -754,6 +754,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p125.contains("Join"), p125)
   }
 
+  test("x126: the interval overlap compiles to a bucket equi-join — " +
+    "no cartesian, no nested loop") {
+    val plan = physical(ExtensionQueries.x126(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_min"), plan)
+  }
+
+  test("x127: the pair sample is a group-keyed BroadcastHashJoin and the " +
+    "histogram materializes once (the totals join reads the checkpoint)") {
+    val plan = physical(ExtensionQueries.x127(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the one BNLJ is the 1-row totals broadcast onto the ≤20-row
+    // histogram — scale-safe by construction; the PAIR join must be
+    // the hash join, and the pair scoring must appear ONCE (the
+    // histogram checkpoint feeds both branches)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.sliding("cosinesimilarity".length)
+        .count(_ == "cosinesimilarity") <= 1, plan)
+    val pairScorings = plan.sliding("cosinesimilarity".length)
+      .count(_ == "cosinesimilarity")
+    assert(pairScorings <= 1, s"pair join computed $pairScorings times\n$plan")
+  }
+
+  test("x128: dup membership broadcasts onto the decile frame — no corpus " +
+    "shuffle for the calibration join") {
+    val plan = physical(ExtensionQueries.x128(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
