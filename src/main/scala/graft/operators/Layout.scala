@@ -59,6 +59,32 @@ object Layout {
       .drop("__h")
   }
 
+  /** Reshard movement plan — "what does changing the shard count
+    * cost": for every (current shard, next shard) cell under the SAME
+    * md5-60 content hash, the rows and bytes that would move. Because
+    * the assignment is a pure hash function, the plan is computable
+    * BEFORE any data moves (no dry-run write), and mod-N → mod-M
+    * movement is the honest worst case the plan quantifies — unlike
+    * consistent hashing, plain mod remaps ~(1 − gcd(N,M)/M) of keys,
+    * and the matrix shows exactly which cells pay.
+    *
+    * One partial+final aggregation over the corpus, output bounded by
+    * N·M cells. Output: (from_shard, to_shard, n_rows, bytes, moved).
+    */
+  def reshardPlan(df: DataFrame, idCol: String, bytesCol: String,
+      nShardsFrom: Int, nShardsTo: Int): DataFrame = {
+    require(nShardsFrom > 0 && nShardsTo > 0,
+      s"reshardPlan: shard counts must be > 0, got ($nShardsFrom, $nShardsTo)")
+    import org.apache.spark.sql.functions._
+    df.withColumn("__h", graft.functions.TextFunctions.md5Bucket60(col(idCol)))
+      .select((col("__h") % nShardsFrom).as("from_shard"),
+        (col("__h") % nShardsTo).as("to_shard"),
+        col(bytesCol).cast("long").as("__b"))
+      .groupBy(col("from_shard"), col("to_shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__b")).cast("bigint").as("bytes"))
+      .withColumn("moved", col("from_shard") =!= col("to_shard"))
+  }
+
   /** Write `df` as a partitioned, sorted, size-bounded parquet layout.
     * `sortCols` are the columns later range predicates filter on (the
     * row-group pruning key); `maxRecordsPerFile` bounds file size. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality first pass of a corpus
@@ -611,6 +611,74 @@ object Profile {
             expr(s"abs($valueCol - med) * 1000000L div iqr")))
       .select(col(keyCol), col(groupCol), col(valueCol), col("med"),
         col("iqr"), col("scaled_micro"))
+  }
+
+  /** Poisson(1) CDF thresholds scaled to the md5-60 hash range
+    * [0, 2⁶⁰) — the inverse-CDF table [[poissonBootstrapCI]] draws
+    * replicate weights through, exported so the oracle embeds the
+    * IDENTICAL literals. P(W ≤ k) for k = 0..5; hashes ≥ the last
+    * threshold draw weight 6 (P ≈ 6·10⁻⁴ — the truncation bias is
+    * far below bootstrap noise at any realistic B). */
+  private[graft] val Poisson1CdfScaled: Seq[Long] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    .map(p => (p * 1.152921504606846976e18).toLong)
+
+  /** Poisson-bootstrap confidence interval for a per-group mean — the
+    * DISTRIBUTED bootstrap: a classic resample needs a global draw of
+    * n rows (a shuffle per replicate), while the Poisson trick gives
+    * each row an independent Poisson(1) replicate weight, so ALL `b`
+    * replicates compute in one map-side pass + one (group, replicate)
+    * aggregation. The error bar a quality/length estimate ships with.
+    *
+    * Deterministic: the "randomness" is md5-60(key|replicate) pushed
+    * through the fixed inverse-CDF table ([[Poisson1CdfScaled]] —
+    * shared literals with the oracle), so any engine reproduces every
+    * weight exactly; replicate means are integer micro (Σw·v·10⁶ div
+    * Σw), and the CI bounds are ORDER STATISTICS of the b means
+    * ((mean, replicate) total order) — no float percentile anywhere.
+    *
+    * Scale: the corpus expands ×b map-side (b ≈ 40 — bounded), one
+    * partial+final shuffle on (group, replicate), then
+    * group-cardinality rank algebra. Output: (groupCol, n, b_reps,
+    * est_micro, lo_micro, hi_micro) — est is the exact full-sample
+    * mean, lo/hi the ~2.5%/97.5% replicate order statistics. */
+  def poissonBootstrapCI(df: DataFrame, keyCol: String, valueCol: String,
+      groupCol: String, b: Int = 40): DataFrame = {
+    require(b >= 4, s"poissonBootstrapCI: b must be >= 4, got $b")
+    import org.apache.spark.sql.expressions.Window
+    val cut = b * 25 / 1000 // floor(b · 0.025)
+    val loRank = cut + 1
+    val hiRank = b - cut
+    val u = graft.functions.TextFunctions.md5Bucket60(
+      concat(col(keyCol).cast("string"), lit("|"), col("__b").cast("string")))
+    val w = Poisson1CdfScaled.zipWithIndex
+      .foldRight(lit(6L): Column) { case ((t, k), acc) =>
+        when(col("__u") < t, lit(k.toLong)).otherwise(acc) }
+    val reps = df
+      .select(col(groupCol), col(keyCol), col(valueCol).cast("long").as("__v"))
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", u)
+      .withColumn("__w", w)
+      .groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__v")).as("__swv"))
+      .withColumn("__mean",
+        when(col("__sw") > 0, expr("__swv * 1000000L div __sw"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(groupCol))
+        .orderBy(col("__mean").asc_nulls_last, col("__b"))))
+    val ci = reps.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("b_reps"),
+        max(when(col("__rn") === loRank, col("__mean"))).as("lo_micro"),
+        max(when(col("__rn") === hiRank, col("__mean"))).as("hi_micro"))
+    val overall = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        expr(s"sum(cast($valueCol as bigint)) * 1000000L div count(1)")
+          .as("est_micro"))
+    overall.join(broadcast(ci), groupCol)
+      .select(col(groupCol), col("n"), col("b_reps"), col("est_micro"),
+        col("lo_micro"), col("hi_micro"))
   }
 
   def keyConcentration(df: DataFrame, keyCol: String): DataFrame = {

@@ -625,6 +625,68 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Skip-gram PMI: token pairs co-occurring within a ±`window`
+    * position offset, scored by pointwise mutual information against
+    * the unigram model — the word2vec-statistics view of a corpus
+    * (Levy & Goldberg: SGNS factorizes exactly this matrix). The
+    * top-N cells are the corpus's strongest collocations; a sudden
+    * new high-PMI pair is the classic template/boilerplate smell.
+    *
+    * Determinism: pairs canonicalize alphabetically, counts are exact
+    * BIGINTs, and the one float op is ln of an explicit
+    * left-to-right double product/quotient tree (identical tree in
+    * the oracle → identical IEEE result), rounded to micro-nats. The
+    * top-N cut totally orders by (pmi DESC, pair) and compiles to
+    * TakeOrderedAndProject.
+    *
+    * Scale: positions explode ×window (bounded small); the pair
+    * relation builds by an EQUI-join on (doc, position+d) — never a
+    * per-doc cross product — and collapses immediately to pair
+    * counts (partial+final). `minCount` prunes the long tail before
+    * the margin joins. Output: (tok_a, tok_b, n_pair, n_a, n_b,
+    * pmi_micro). */
+  def skipgramPmi(docs: DataFrame, textCol: String = "text",
+      window: Int = 2, minCount: Int = 5, topN: Int = 50): DataFrame = {
+    require(window > 0 && minCount > 0 && topN > 0,
+      s"skipgramPmi: window, minCount, topN must be positive, got ($window, $minCount, $topN)")
+    import graft.functions.TextFunctions.words
+    val toks = docs
+      .select(col("doc_id"), posexplode(words(col(textCol))))
+      .toDF("doc_id", "pos", "tok")
+      .localCheckpoint(true) // both pair sides + the margins
+    val margins = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_w"))
+      .localCheckpoint(true)
+    val totalToks = margins.agg(sum(col("n_w")).cast("bigint").as("__nn"))
+    val shifted = toks
+      .withColumn("__d", explode(sequence(lit(1), lit(window))))
+      .select(col("doc_id"), (col("pos") + col("__d")).as("pos"),
+        col("tok").as("__t1"))
+    val pairCounts = shifted
+      .join(toks.select(col("doc_id"), col("pos"), col("tok").as("__t2")),
+        Seq("doc_id", "pos"))
+      .select(least(col("__t1"), col("__t2")).as("tok_a"),
+        greatest(col("__t1"), col("__t2")).as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .localCheckpoint(true) // feeds the total AND the scored join
+    val totalPairs = pairCounts.agg(sum(col("n_pair")).cast("bigint").as("__tp"))
+    pairCounts
+      .join(margins.select(col("tok").as("tok_a"), col("n_w").as("n_a")), "tok_a")
+      .join(margins.select(col("tok").as("tok_b"), col("n_w").as("n_b")), "tok_b")
+      .join(broadcast(totalPairs)).join(broadcast(totalToks))
+      .withColumn("pmi_micro", round(log(
+        col("n_pair").cast("double") * col("__nn").cast("double") *
+          col("__nn").cast("double") /
+          (col("__tp").cast("double") * col("n_a").cast("double") *
+            col("n_b").cast("double"))) * lit(1e6)).cast("long"))
+      .select(col("tok_a"), col("tok_b"), col("n_pair").cast("bigint").as("n_pair"),
+        col("n_a").cast("bigint").as("n_a"), col("n_b").cast("bigint").as("n_b"),
+        col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("tok_a"), col("tok_b"))
+      .limit(topN)
+  }
+
   /** Docs sharing an identical content fingerprint (exact-ish near-dup
     * at fingerprint resolution): bucket join on the 32-bit hashed
     * sketch for shuffle economy, then VERIFY full fingerprint equality

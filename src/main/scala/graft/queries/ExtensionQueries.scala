@@ -1662,6 +1662,28 @@ object ExtensionQueries {
       .orderBy(col("decile"))
   }
 
+  /** x129 Poisson-bootstrap CI for mean doc length per language — see
+    * [[graft.operators.Profile.poissonBootstrapCI]]: the distributed
+    * bootstrap (hash-deterministic Poisson weights, order-statistic
+    * bounds), the error bar every corpus estimate should ship. */
+  def x129(s: SparkSession, dir: String): DataFrame =
+    Profile.poissonBootstrapCI(docs(s, dir), "doc_id", "n_chars", "lang")
+      .orderBy(col("lang"))
+
+  /** x130 reshard movement plan 16 → 24 shards over documents — see
+    * [[graft.operators.Layout.reshardPlan]]: the (from, to) cost
+    * matrix of a shard-count change, computed without moving data. */
+  def x130(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.reshardPlan(docs(s, dir), "doc_id", "n_chars",
+        nShardsFrom = 16, nShardsTo = 24)
+      .orderBy(col("from_shard"), col("to_shard"))
+
+  /** x131 skip-gram PMI collocations — see
+    * [[graft.operators.TextAnalysis.skipgramPmi]]: ±2-window token
+    * pairs scored by PMI against the unigram model, top-50. */
+  def x131(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.skipgramPmi(docs(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1820,6 +1842,9 @@ object ExtensionQueries {
     "x126_interval_overlap" -> (x126 _),
     "x127_cosine_histogram" -> (x127 _),
     "x128_quality_calibration" -> (x128 _),
+    "x129_bootstrap_ci" -> (x129 _),
+    "x130_reshard_plan" -> (x130 _),
+    "x131_skipgram_pmi" -> (x131 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4446,7 +4471,96 @@ object ExtensionQueries {
          |       CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT)
          |         AS mean_chars_micro
          |FROM j GROUP BY decile ORDER BY decile""".stripMargin,
+
+    // Replays poissonBootstrapCI: same md5-60(key|replicate) draws
+    // through the SAME scaled Poisson(1) CDF literals, integer micro
+    // replicate means, (mean, replicate)-ordered rank picks at
+    // loRank=2 / hiRank=39 (b=40, cut=1).
+    "x129_bootstrap_ci" ->
+      s"""WITH reps AS (
+         |  SELECT d.lang, b.b,
+         |         CAST(sum(w * n_chars) AS BIGINT) AS swv,
+         |         CAST(sum(w) AS BIGINT) AS sw
+         |  FROM (SELECT lang, doc_id, n_chars,
+         |               CAST(unnest(range(0, 40)) AS INT) AS rb
+         |        FROM documents) d,
+         |  LATERAL (SELECT d.rb AS b,
+         |    CASE ${poissonCaseSql("u.u")} END AS w
+         |    FROM (SELECT ${md5Hash60Sql(
+                    "CAST(d.doc_id AS VARCHAR) || '|' || CAST(d.rb AS VARCHAR)")}
+         |            AS u) u) b
+         |  GROUP BY d.lang, b.b),
+         |m AS (SELECT lang, b,
+         |             CASE WHEN sw > 0 THEN swv * 1000000 // sw END AS mean,
+         |             row_number() OVER (PARTITION BY lang
+         |               ORDER BY (CASE WHEN sw > 0 THEN swv * 1000000 // sw END)
+         |                 ASC NULLS LAST, b) AS rn
+         |      FROM reps),
+         |ci AS (SELECT lang, CAST(count(*) AS BIGINT) AS b_reps,
+         |              CAST(max(CASE WHEN rn = 2 THEN mean END) AS BIGINT)
+         |                AS lo_micro,
+         |              CAST(max(CASE WHEN rn = 39 THEN mean END) AS BIGINT)
+         |                AS hi_micro
+         |       FROM m GROUP BY lang),
+         |o AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT)
+         |               AS est_micro
+         |      FROM documents GROUP BY lang)
+         |SELECT o.lang, o.n, ci.b_reps, o.est_micro, ci.lo_micro, ci.hi_micro
+         |FROM o JOIN ci USING (lang)
+         |ORDER BY lang""".stripMargin,
+
+    // Replays reshardPlan: same md5-60 hash, both mods, exact counts
+    // and byte sums.
+    "x130_reshard_plan" ->
+      s"""WITH h AS (SELECT ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} AS h,
+         |                  n_chars
+         |           FROM documents)
+         |SELECT CAST(h % 16 AS BIGINT) AS from_shard,
+         |       CAST(h % 24 AS BIGINT) AS to_shard,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(n_chars) AS BIGINT) AS bytes,
+         |       h % 16 <> h % 24 AS moved
+         |FROM h GROUP BY 1, 2, 5
+         |ORDER BY from_shard, to_shard""".stripMargin,
+
+    // Replays skipgramPmi: the shared word tokenizer with 1-based
+    // positions, offset-join pairs canonicalized alphabetically,
+    // minCount prune BEFORE the pair total, the identical double
+    // product/quotient tree under ln, (pmi DESC, pair) top-50.
+    "x131_skipgram_pmi" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos, ws[CAST(i AS INT)] AS tok
+         |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents) t,
+         |       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u),
+         |mg AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_w FROM toks GROUP BY tok),
+         |nn AS (SELECT CAST(sum(n_w) AS BIGINT) AS nn FROM mg),
+         |pc AS (
+         |  SELECT least(a.tok, b.tok) AS tok_a, greatest(a.tok, b.tok) AS tok_b,
+         |         CAST(count(*) AS BIGINT) AS n_pair
+         |  FROM toks a
+         |  CROSS JOIN (VALUES (1), (2)) dd(d)
+         |  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + dd.d
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |tp AS (SELECT CAST(sum(n_pair) AS BIGINT) AS tp FROM pc)
+         |SELECT pc.tok_a, pc.tok_b, pc.n_pair, ma.n_w AS n_a, mb.n_w AS n_b,
+         |       CAST(round(ln(pc.n_pair::DOUBLE * nn.nn::DOUBLE * nn.nn::DOUBLE /
+         |                     (tp.tp::DOUBLE * ma.n_w::DOUBLE * mb.n_w::DOUBLE))
+         |            * 1000000.0) AS BIGINT) AS pmi_micro
+         |FROM pc JOIN mg ma ON ma.tok = pc.tok_a
+         |        JOIN mg mb ON mb.tok = pc.tok_b
+         |        CROSS JOIN tp CROSS JOIN nn
+         |ORDER BY pmi_micro DESC, tok_a, tok_b
+         |LIMIT 50""".stripMargin,
   )
+
+  /** The Poisson(1) weight CASE arms over a 60-bit hash expression —
+    * rendered from [[graft.operators.Profile.Poisson1CdfScaled]], the
+    * SAME JVM constants the Spark plan compares against. */
+  private def poissonCaseSql(u: String): String =
+    graft.operators.Profile.Poisson1CdfScaled.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString(" ") + " ELSE 6"
 
   /** Benford expected first-digit frequencies as integer-micro VALUES
     * rows — the SAME Scala computation [[graft.operators.Profile.benfordAudit]]

@@ -90,4 +90,29 @@ class LayoutSpec extends SparkSpec {
         Seq("doc_id"), maxRecordsPerFile = 0L)
     }
   }
+
+  test("reshardPlan: totals reconcile with the corpus, identity reshard moves " +
+      "nothing, and the matrix agrees with shardAssignment's hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val plan = Layout.reshardPlan(docs, "doc_id", "n_chars", 16, 24)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(plan.map(_._3).sum == docs.count())
+    assert(plan.forall(c => c._5 == (c._1 != c._2)))
+    // cross-check one cell against the assignment the plan predicts
+    val viaAssign = Layout.shardAssignment(docs, "doc_id", 16)
+      .withColumn("to24",
+        graft.functions.TextFunctions.md5Bucket60(col("doc_id")) % 24)
+      .groupBy($"shard", $"to24").count()
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    plan.foreach { case (f, t, n, _, _) =>
+      assert(viaAssign.getOrElse((f, t), 0L) == n, s"cell ($f,$t)")
+    }
+    // same shard count in and out → nothing moves
+    val idPlan = Layout.reshardPlan(docs, "doc_id", "n_chars", 16, 16)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(idPlan.forall(c => !c._5 && c._1 == c._2))
+  }
 }

@@ -241,6 +241,29 @@ class ProfileSpec extends SparkSpec {
     assert(flagged.toSeq == Seq(99L))
   }
 
+  test("poissonBootstrapCI: est is the exact mean, bounds are ordered, and the " +
+      "draw is partitioning-invariant") {
+    val rows = (1L to 200L).map(i => (i, "g", 100L + (i % 13))) ++
+      (1L to 50L).map(i => (1000L + i, "h", 500L + (i % 7)))
+    val df = rows.toDF("id", "grp", "v")
+    val a = Profile.poissonBootstrapCI(df, "id", "v", "grp", b = 40)
+      .orderBy($"grp")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    a.foreach { case (g, n, breps, est, lo, hi) =>
+      assert(breps == 40L)
+      val vs = rows.filter(_._2 == g).map(_._3)
+      assert(est == vs.sum * 1000000L / vs.size, s"group $g est")
+      assert(lo.nonEmpty && hi.nonEmpty && lo.get <= hi.get, s"group $g bounds")
+      // the interval should bracket the estimate for this benign data
+      assert(lo.get <= est && est <= hi.get, s"group $g coverage")
+    }
+    val b = Profile.poissonBootstrapCI(df.repartition(7).orderBy($"v"),
+        "id", "v", "grp", b = 40)
+      .orderBy($"grp")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(a == b, "bootstrap must not depend on partitioning or row order")
+  }
+
   test("equiDepthBins: equal populations, exact ranges, id tie-break on equal values") {
     val rows = (1L to 8L).map(i => (i, "g", i)) ++
       (1L to 4L).map(i => (i, "t", 5L)) // all tied: bins split by id

@@ -613,6 +613,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.winnowingNearDup(boiler, dfCap = 3).count() == 0)
   }
 
+  test("skipgramPmi: hand-traced pair counts and PMI on 'a b a b a'; " +
+      "collocated pair outranks the self-pairs") {
+    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.skipgramPmi(docs, window = 2, minCount = 1, topN = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // pairs: d=1 → (a,b)×4; d=2 → (a,a)×2, (b,b)×1. N=5, T=7, n_a=3, n_b=2
+    def pmi(c: Long, na: Long, nb: Long): Long =
+      math.round(math.log(c.toDouble * 25.0 / (7.0 * na * nb)) * 1e6)
+    assert(out.toSeq == Seq(
+      ("a", "b", 4L, 3L, 2L, pmi(4, 3, 2)),
+      ("b", "b", 1L, 2L, 2L, pmi(1, 2, 2)),
+      ("a", "a", 2L, 3L, 3L, pmi(2, 3, 3))))
+    assert(out.head._6 > 0 && out.last._6 < 0)
+  }
+
+  test("skipgramPmi: window bounds pairing — tokens farther apart than the " +
+      "window never pair; minCount prunes singletons") {
+    val docs = Seq((1L, "x q q q y")).toDF("doc_id", "text")
+    // x..y are 4 apart: with window 2 they can never pair
+    val pairs = TextAnalysis.skipgramPmi(docs, window = 2, minCount = 1, topN = 100)
+      .select($"tok_a", $"tok_b").as[(String, String)].collect().toSet
+    assert(!pairs.contains(("x", "y")))
+    assert(pairs.contains(("q", "q")))
+    // minCount = 4 keeps nothing: the most frequent pair (q,q) occurs
+    // 3 times (two d=1 windows, one d=2)
+    val pruned = TextAnalysis.skipgramPmi(docs, window = 2, minCount = 4, topN = 100)
+    assert(pruned.count() == 0)
+  }
+
   test("vocabCoverage rejects out-of-range percentages") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -785,6 +785,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x129: the bootstrap is one (group, replicate) partial+final aggregation — " +
+    "the ×B expansion happens map-side under it, no join for the weights") {
+    val plan = physical(ExtensionQueries.x129(spark, sf001))
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the rank algebra runs on the group×B frame, partitioned by group
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("hashpartitioning(lang"), plan)
+  }
+
+  test("x130: the reshard plan is a single partial+final aggregation — " +
+    "no join, no window, no data movement") {
+    val plan = physical(ExtensionQueries.x130(spark, sf001))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x131: pair building is an equi-join on (doc, position) and the top-50 " +
+    "cut is TakeOrderedAndProject, not a global sort") {
+    val plan = physical(ExtensionQueries.x131(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
