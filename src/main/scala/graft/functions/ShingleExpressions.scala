@@ -337,7 +337,34 @@ case class Md5NGramMinHash(child: Expression, n: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `winnow_minima(hashes, w)` → array<bigint>: distinct minima of
+  * every w-wide sliding window — the winnowing fingerprint selection
+  * over a rolling-hash array, one O(n) deque pass in the kernel
+  * instead of an interpreted transform/slice/array_min chain. Null →
+  * null; [] → []. */
+case class WinnowMinima(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w > 0, s"winnow_minima: w must be positive, got $w")
+
+  override def checkInputDataTypes() =
+    K.expect("winnow_minima", child.dataType,
+      _ == ArrayType(LongType, containsNull = false), "array<bigint>")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.winnowMinima(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.winnowMinima($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object ShingleFunctions {
+  def winnow_minima(hashes: Column, w: Int): Column =
+    toColumn(WinnowMinima(toExpression(hashes), w))
   def word_tokens(text: Column): Column =
     toColumn(WordTokens(toExpression(text)))
   def minhash_agreement(a: Column, b: Column): Column =

@@ -385,4 +385,46 @@ object ShingleKernels {
     while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
     eq
   }
+
+  /** Distinct minima of every `w`-wide sliding window over a long
+    * array (the winnowing selection step): monotonic-deque sliding
+    * minimum in O(n), then sort + in-place dedup of the ≈2n/(w+1)
+    * survivors. Value-only minima (winnowing fingerprints need no
+    * position tie-break: ties ARE the same value). n < w collapses to
+    * the single whole-array minimum; empty stays empty. Replaces an
+    * interpreted transform(sequence, array_min(slice)) chain that
+    * cost O(n·w) boxed expression evals per document — this kernel is
+    * the difference between a 5-minute and a sub-second x122 run. */
+  def winnowMinima(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (n <= w) {
+      var m = arr.getLong(0)
+      var i = 1
+      while (i < n) { val v = arr.getLong(i); if (v < m) m = v; i += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    val nOut = n - w + 1
+    val out = new Array[Long](nOut)
+    val dqIdx = new Array[Int](n) // deque of candidate indices, values increasing
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(dqIdx(tail - 1)) >= v) tail -= 1
+      dqIdx(tail) = i; tail += 1
+      if (dqIdx(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = arr.getLong(dqIdx(head))
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 1
+    i = 1
+    while (i < nOut) {
+      if (out(i) != out(uniq - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
 }

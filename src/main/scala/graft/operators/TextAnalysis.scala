@@ -603,18 +603,21 @@ object TextAnalysis {
       minShared: Int = 2, dfCap: Int = 50): DataFrame = {
     require(k > 0 && w > 0 && minShared > 0 && dfCap > 0,
       s"winnowingNearDup: k, w, minShared, dfCap must be positive, got ($k, $w, $minShared, $dfCap)")
+    // one codegen'd kernel pass per doc: rolling md5-60 gram hashes
+    // (Md5ShingleHashes) → O(n) deque window minima (WinnowMinima).
+    // The first cut of this operator composed built-ins —
+    // transform(sequence, array_min(slice)) — and ran ~300× slower:
+    // higher-order lambdas execute INTERPRETED, paying a boxed
+    // expression-tree eval per element per window. This is the
+    // tier-(b) custom-Expression case SURVEY §2.7 reserves for hot
+    // paths the built-ins genuinely can't serve (contrast
+    // blockedFuzzyJoin, where the built-in threshold levenshtein WON).
     val fps = docs.select(col(idCol).as("doc_id"),
         regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
-      .withColumn("__hs", expr(
-        s"""transform(sequence(1, greatest(length(__t) - ${k - 1}, 0)),
-           |  i -> cast(conv(substring(md5(substring(__t, i, $k)), 1, 15), 16, 10)
-           |            as bigint))""".stripMargin))
-      .filter(size(col("__hs")) > 0)
-      .withColumn("__fps", array_distinct(
-        when(size(col("__hs")) >= w, expr(
-          s"transform(sequence(1, size(__hs) - ${w - 1}), i -> array_min(slice(__hs, i, $w)))"))
-          .otherwise(array(array_min(col("__hs"))))))
-      .select(col("doc_id"), explode(col("__fps")).as("fp"))
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleFunctions.winnow_minima(
+          graft.functions.ShingleFunctions.md5_shingle_hashes(col("__t"), k), w))
+        .as("fp"))
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap)
     val pruned = fps.join(rare.select(col("fp")), "fp")

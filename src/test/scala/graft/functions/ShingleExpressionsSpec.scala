@@ -226,4 +226,29 @@ class ShingleExpressionsSpec extends SparkSpec {
       (fingerprint($"a") === fingerprint($"b")).as("eq")).as[Boolean].collect()
     assert(rows(0) && !rows(1))
   }
+
+  test("winnow_minima: deque kernel equals the naive per-window minimum model " +
+      "on random arrays; short and empty arrays degenerate correctly") {
+    import graft.functions.ShingleFunctions.winnow_minima
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOf(Gen.choose(0L, 50L)) // small domain → dense ties
+    val arrays = Gen.listOfN(150, gen)
+      .apply(Gen.Parameters.default, Seed(21L)).getOrElse(Nil)
+    assert(arrays.nonEmpty)
+    for (w <- Seq(1, 3, 4, 7)) {
+      def model(xs: List[Long]): Seq[Long] =
+        if (xs.isEmpty) Seq.empty
+        else if (xs.size <= w) Seq(xs.min)
+        else xs.sliding(w).map(_.min).toSeq.distinct.sorted
+      val got = arrays.zipWithIndex
+        .map { case (xs, i) => (i.toLong, xs.toArray) }
+        .toDF("id", "hs")
+        .select($"id", winnow_minima($"hs", w).as("m"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1)
+      got.zip(arrays).foreach { case ((_, m), xs) =>
+        assert(m.sorted == model(xs), s"w=$w xs=$xs")
+      }
+    }
+  }
 }
