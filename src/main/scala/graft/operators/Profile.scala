@@ -681,6 +681,54 @@ object Profile {
         col("lo_micro"), col("hi_micro"))
   }
 
+  /** 1-D earth mover's distance of each group's value distribution
+    * from the corpus distribution — the ORDINAL drift read
+    * [[mixDrift]]'s total-variation cannot give: TV sees "different",
+    * EMD sees "how far along the value axis the mass moved" (a source
+    * whose docs are uniformly 10% longer is NEAR in EMD, far in TV).
+    * For 1-D distributions EMD has the closed form ∫|F_g − F_corpus|,
+    * integrated here exactly over the value support.
+    *
+    * Integer-exact: both CDFs ride cum·10⁶ div n (exact BIGINTs), the
+    * support-gap weight is an integer value difference, and the sum
+    * is a single integer aggregation — engine-identical. Units:
+    * micro × valueCol-units (micro-chars for length columns).
+    *
+    * Scale: the corpus collapses FIRST to (group, value) and (value)
+    * histograms (one partial+final shuffle); everything after runs on
+    * the |groups| × |support| grid — support is DISTINCT VALUES
+    * (thousands for length-like columns, the keyConcentration
+    * envelope), and the per-group cum windows partition by group.
+    * Output: (groupCol, n, emd_micro). */
+  def distributionEmd(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gv = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("n_gv"))
+      .localCheckpoint(true) // feeds the support, the corpus hist, the grid
+    val support = gv.groupBy(col("v")).agg(sum(col("n_gv")).as("n_v"))
+      .withColumn("cum_c", sum(col("n_v")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gap", coalesce(
+        lead(col("v"), 1).over(Window.orderBy(col("v"))) - col("v"), lit(0L)))
+    val nTotal = gv.agg(sum(col("n_gv")).cast("bigint").as("__n"))
+    val grid = gv.select(col("grp")).distinct()
+      .join(broadcast(support))
+      .join(gv, Seq("grp", "v"), "left")
+      .withColumn("cum_g", sum(coalesce(col("n_gv"), lit(0L))).over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val ng = gv.groupBy(col("grp")).agg(sum(col("n_gv")).cast("bigint").as("__ng"))
+    grid.join(broadcast(ng), "grp").join(broadcast(nTotal))
+      .withColumn("__d",
+        abs(expr("cum_g * 1000000L div __ng") -
+          expr("cum_c * 1000000L div __n")) * col("gap"))
+      .groupBy(col("grp"))
+      .agg(max(col("__ng")).as("n"), sum(col("__d")).cast("bigint").as("emd_micro"))
+      .select(col("grp").as(groupCol), col("n"), col("emd_micro"))
+  }
+
   def keyConcentration(df: DataFrame, keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))

@@ -1684,6 +1684,15 @@ object ExtensionQueries {
   def x131(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.skipgramPmi(docs(s, dir))
 
+  /** x132 per-source length-distribution EMD — see
+    * [[graft.operators.Profile.distributionEmd]]: 1-D earth mover's
+    * distance from the corpus length distribution (∫|ΔCDF| over the
+    * value support, integer micro) — the ordinal drift read x100's
+    * total variation cannot give. */
+  def x132(s: SparkSession, dir: String): DataFrame =
+    Profile.distributionEmd(docs(s, dir), "n_chars", "source")
+      .orderBy(col("source"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1845,6 +1854,7 @@ object ExtensionQueries {
     "x129_bootstrap_ci" -> (x129 _),
     "x130_reshard_plan" -> (x130 _),
     "x131_skipgram_pmi" -> (x131 _),
+    "x132_length_emd" -> (x132 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4552,6 +4562,36 @@ object ExtensionQueries {
          |        CROSS JOIN tp CROSS JOIN nn
          |ORDER BY pmi_micro DESC, tok_a, tok_b
          |LIMIT 50""".stripMargin,
+
+    // Replays distributionEmd: (group, value) histogram, corpus CDF +
+    // support gaps, per-group CDF over the dense grid, integer-micro
+    // |ΔCDF|·gap summed.
+    "x132_length_emd" ->
+      """WITH gv AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+        |                   count(*) AS n_gv
+        |            FROM documents GROUP BY 1, 2),
+        |sup AS (SELECT v, CAST(sum(n_gv) AS BIGINT) AS n_v FROM gv GROUP BY v),
+        |supw AS (SELECT v, n_v,
+        |           CAST(sum(n_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c,
+        |           CAST(coalesce(lead(v) OVER (ORDER BY v) - v, 0) AS BIGINT)
+        |             AS gap
+        |         FROM sup),
+        |nt AS (SELECT CAST(sum(n_gv) AS BIGINT) AS n FROM gv),
+        |gr AS (SELECT g.grp, s.v, s.cum_c, s.gap,
+        |         CAST(sum(coalesce(gv.n_gv, 0)) OVER (PARTITION BY g.grp
+        |           ORDER BY s.v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           CURRENT ROW) AS BIGINT) AS cum_g
+        |       FROM (SELECT DISTINCT grp FROM gv) g
+        |       CROSS JOIN supw s
+        |       LEFT JOIN gv ON gv.grp = g.grp AND gv.v = s.v),
+        |ng AS (SELECT grp, CAST(sum(n_gv) AS BIGINT) AS ng FROM gv GROUP BY grp)
+        |SELECT gr.grp AS source, ng.ng AS n,
+        |       CAST(sum(abs(gr.cum_g * 1000000 // ng.ng
+        |                    - gr.cum_c * 1000000 // nt.n) * gr.gap) AS BIGINT)
+        |         AS emd_micro
+        |FROM gr JOIN ng USING (grp) CROSS JOIN nt
+        |GROUP BY gr.grp, ng.ng ORDER BY source""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

@@ -414,5 +414,19 @@ object OracleSql {
         |FROM (SELECT c_custkey, regexp_extract_all(c_name, '[1-9]+') AS r
         |      FROM customer WHERE c_custkey < 200) t
         |ORDER BY c_custkey""".stripMargin,
+
+    // CROSS JOIN LATERAL parses verbatim in Spark and DuckDB — one
+    // portable text serves the oracle AND the SqlParitySpec double
+    // entry; only the view names differ from the declared impl.
+    "q50_lateral_topn" ->
+      """SELECT r.r_name, l.n_name, l.n_customers
+        |FROM region r CROSS JOIN LATERAL (
+        |  SELECT n.n_name, CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+        |  FROM nation n JOIN customer c
+        |    ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_customers DESC, n.n_name LIMIT 2) l
+        |ORDER BY r_name, n_customers DESC, n_name""".stripMargin,
   )
 }

@@ -709,6 +709,29 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** q50 correlated LATERAL top-n per group: each region's top-2
+    * nations by customer count through `CROSS JOIN LATERAL` with a
+    * correlated aggregate + ORDER/LIMIT subquery — the per-row
+    * derived-table surface (Spark ≥ 3.4 decorrelates it to a ranked
+    * join; the plan must NOT execute the subquery per region row).
+    * The spelling parses verbatim in Spark AND DuckDB, so the oracle
+    * is the same text over the base tables. */
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "region").createOrReplaceTempView("q50_region")
+    t(spark, dir, "nation").createOrReplaceTempView("q50_nation")
+    t(spark, dir, "customer").createOrReplaceTempView("q50_customer")
+    spark.sql(
+      """SELECT r.r_name, l.n_name, l.n_customers
+        |FROM q50_region r CROSS JOIN LATERAL (
+        |  SELECT n.n_name, CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+        |  FROM q50_nation n JOIN q50_customer c
+        |    ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_customers DESC, n.n_name LIMIT 2) l
+        |ORDER BY r_name, n_customers DESC, n_name""".stripMargin)
+  }
+
   /** name → impl, in declaration order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_scan_project_sort" -> (q01 _),
@@ -760,5 +783,6 @@ object RelationalQueries {
     "q47_posexplode" -> (q47 _),
     "q48_array_setops" -> (q48 _),
     "q49_regexp_extract_all" -> (q49 _),
+    "q50_lateral_topn" -> (q50 _),
   )
 }

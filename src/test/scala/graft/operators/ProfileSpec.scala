@@ -264,6 +264,21 @@ class ProfileSpec extends SparkSpec {
     assert(a == b, "bootstrap must not depend on partitioning or row order")
   }
 
+  test("distributionEmd: hand-traced |ΔCDF|·gap; a group matching the corpus " +
+      "scores near zero, a shifted group pays the shift") {
+    // corpus values {1,1,3,3}; support (1: cum 2, gap 2), (3: cum 4, gap 0)
+    // A = {1,1,3}: |2/3 − 2/4|·10⁶·2 = 333332      B = {3}: |0 − 1/2|·10⁶·2 = 1000000
+    val rows = Seq((1L, "A", 1L), (2L, "A", 1L), (3L, "A", 3L), (4L, "B", 3L))
+    val out = Profile.distributionEmd(rows.toDF("id", "grp", "v"), "v", "grp")
+      .orderBy($"grp").as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("A", 3L, 333332L), ("B", 1L, 1000000L)))
+    // a group that IS the corpus scores exactly zero
+    val solo = Seq((1L, "X", 5L), (2L, "X", 9L))
+    val zero = Profile.distributionEmd(solo.toDF("id", "grp", "v"), "v", "grp")
+      .as[(String, Long, Long)].collect()
+    assert(zero.toSeq == Seq(("X", 2L, 0L)))
+  }
+
   test("equiDepthBins: equal populations, exact ranges, id tie-break on equal values") {
     val rows = (1L to 8L).map(i => (i, "g", i)) ++
       (1L to 4L).map(i => (i, "t", 5L)) // all tied: bins split by id

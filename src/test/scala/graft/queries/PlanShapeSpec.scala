@@ -810,6 +810,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q50: the correlated LATERAL decorrelates — no per-region subquery " +
+    "execution, no cartesian; the customer count is partial+final") {
+    val plan = physical(RelationalQueries.q50(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"), plan)
+    // a surviving per-row lateral would show as a nested subquery node
+    assert(!plan.contains("ScalarSubquery"), plan)
+  }
+
+  test("x132: group CDF windows partition by group, never a global sort; " +
+    "no cartesian in the grid assembly") {
+    // the histogram collapse itself happens at the gv checkpoint
+    // (upstream of this plan) — what this plan must show is the
+    // per-group window partitioning and a join-shaped grid
+    val plan = physical(ExtensionQueries.x132(spark, sf001))
+    assert(plan.contains("windowspecdefinition(grp"), plan)
+    assert(plan.contains("hashpartitioning(grp"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
