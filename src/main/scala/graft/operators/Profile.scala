@@ -752,4 +752,52 @@ object Profile {
             .cast("double") /
           (col("n_keys") * col("n_rows")).cast("double"), 6).as("gini"))
   }
+
+  /** Per-group ROC AUC of a score against a binary label, computed as
+    * the exact Mann–Whitney U statistic with midrank tie handling —
+    * the single-number discrimination read next to x128's per-decile
+    * calibration table: AUC = P(score⁺ > score⁻) + ½·P(tie), i.e. how
+    * well the score SEPARATES the classes regardless of threshold.
+    *
+    * Integer-exact throughout: the corpus collapses to a per-(group,
+    * value) histogram (n_v rows, p_v positives); the midrank of a tie
+    * group doubles to the integer 2·r̄_v = 2·cum_before_v + n_v + 1, so
+    * 2U = Σ_v p_v·(2·cum_before_v + n_v + 1) − n₊(n₊+1) is exact
+    * BIGINT algebra, and auc_micro = 2U·10⁶ div (2·n₊·n₋) is one
+    * floor division at the end. No doubles are ever compared or
+    * accumulated — ranking happens on the raw score values themselves
+    * (callers should pass exact-operand scores like qualityScoreRaw,
+    * whose doubles are bit-identical cross-engine). Groups with a
+    * single class carry no ranking information and are dropped.
+    *
+    * Scale: the only window runs over the per-group DISTINCT-VALUE
+    * frame (score cardinality, not row cardinality) partitioned by
+    * group — the event volume is collapsed by one partial+final hash
+    * aggregation first, so a 100 TB corpus ranks via its value
+    * histogram, never a global per-row sort.
+    *
+    * Output: (groupCol, n_pos, n_neg, auc_micro), ordered by group. */
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol).as("grp"), col(scoreCol).as("v"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("pos"))
+      .groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("n_v"), sum(col("pos")).cast("bigint").as("p_v"))
+    val wBefore = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("__cb", coalesce(sum(col("n_v")).over(wBefore), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("p_v")).cast("bigint").as("n_pos"),
+        sum(col("n_v") - col("p_v")).cast("bigint").as("n_neg"),
+        sum(col("p_v") * (lit(2L) * col("__cb") + col("n_v") + 1))
+          .cast("bigint").as("__r2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("grp").as(groupCol), col("n_pos"), col("n_neg"),
+        expr("(__r2 - n_pos * (n_pos + 1)) * 1000000L div (2 * n_pos * n_neg)")
+          .as("auc_micro"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -654,4 +654,145 @@ object Sequences {
         sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("v"))
   }
+
+  /** Kaplan–Meier survival estimate for `fromType → toType` conversion
+    * at day granularity — the right-censored time-to-event read that
+    * [[timeToConvert]]'s converters-only deltas cannot give: users who
+    * never convert carry information (they survived AT LEAST until the
+    * corpus horizon), and dropping them biases any "median days to
+    * purchase" estimate low. Censoring time is the global max event
+    * timestamp (administrative censoring at the observation horizon).
+    *
+    * Estimator: for each day t with ≥1 conversion, S(t) multiplies by
+    * (n_t − d_t)/n_t where n_t = users still at risk entering day t
+    * (standard convention: users censored ON day t are still at risk
+    * for day-t events). The survival curve ships as the cumulative
+    * LOG, `surv_ln_micro` = Σ ln((n−d)/n) in micro-nats: each factor
+    * is quantized ONCE per event day (the x67/x131 discipline — ln is
+    * the only transcendental, applied to an exact integer ratio), then
+    * the running total is an exact integer window sum, so the whole
+    * curve is engine-identical. Days where the risk set is exhausted
+    * (d = n, survival reaches exactly 0) emit NULL from there on —
+    * ln 0 has no finite encoding and 0 is already the whole story.
+    *
+    * Scale: the event volume collapses to one row per cohort user
+    * (first `fromType`, min-struct aggregate), the conversion lookup
+    * is a user-keyed join + min aggregate, and everything after runs
+    * on the ≤-distinct-days frame, where unpartitioned windows are
+    * frame-bounded by the calendar, not the data. The 1-row horizon
+    * aggregate broadcasts.
+    *
+    * Output: (t_day, n_risk, n_event, n_censor, surv_ln_micro), one
+    * row per day with ≥1 conversion, ordered by day. */
+  def kaplanMeier(events: DataFrame, fromType: String = "signup",
+      toType: String = "purchase", userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firsts = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__from_ts"))
+    val horizon = events.agg(max(col(tsCol)).as("__max_ts"))
+    val conv = events.filter(col(typeCol) === toType)
+      .select(col(userCol).as("__u"), col(tsCol).as("__to_ts"))
+      .join(firsts, "__u")
+      .filter(col("__to_ts") >= col("__from_ts"))
+      .groupBy(col("__u")).agg(min(col("__to_ts")).as("__conv_ts"))
+    val exits = firsts
+      .join(conv, Seq("__u"), "left")
+      .join(broadcast(horizon))
+      .select(
+        when(col("__conv_ts").isNotNull,
+          expr("(unix_micros(__conv_ts) - unix_micros(__from_ts)) div 86400000000"))
+          .otherwise(
+            expr("(unix_micros(__max_ts) - unix_micros(__from_ts)) div 86400000000"))
+          .as("__day"),
+        when(col("__conv_ts").isNotNull, 1L).otherwise(0L).as("__ev"))
+    val byDay = exits.groupBy(col("__day"))
+      .agg(sum(col("__ev")).cast("bigint").as("__d"),
+        sum(lit(1L) - col("__ev")).cast("bigint").as("__c"))
+    val n = exits.agg(count(lit(1)).as("__n"))
+    val wDays = Window.orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay.join(broadcast(n))
+      .withColumn("__n_risk",
+        col("__n") - coalesce(sum(col("__d") + col("__c")).over(wDays), lit(0L)))
+      .filter(col("__d") > 0)
+      .withColumn("__lp", when(col("__d") < col("__n_risk"),
+        round(round(log((col("__n_risk") - col("__d")).cast("double") /
+          col("__n_risk").cast("double")), 6) * lit(1000000.0)).cast("long")))
+      .withColumn("__dead",
+        sum(when(col("__d") === col("__n_risk"), 1L).otherwise(0L)).over(wRun))
+      .select(col("__day").as("t_day"), col("__n_risk").as("n_risk"),
+        col("__d").as("n_event"), col("__c").as("n_censor"),
+        when(col("__dead") === 0, sum(col("__lp")).over(wRun))
+          .as("surv_ln_micro"))
+      .orderBy(col("t_day"))
+  }
+
+  /** CUSUM changepoint scan over the daily count series of each event
+    * type — the "WHEN did the level shift" read that complements x56's
+    * "WHICH days are outliers" (a sustained step of individually
+    * unremarkable days is invisible to per-day z-scores and is exactly
+    * what CUSUM integrates). For the series x_1..x_N (dense daily
+    * spine, zero-filled), the statistic is S_k = Σ_{i≤k} x_i − k·T/N;
+    * the changepoint estimate is the k maximizing |S_k| — the
+    * classical CUSUM location estimator.
+    *
+    * Integer-exact: S_k is carried ×N (`s_scaled` = N·cum_k − k·T),
+    * which keeps every comparison in exact BIGINT arithmetic — no
+    * mean, no division until the pre/post level summary, which ships
+    * floor-divided micro-units. Tie on |S| breaks to the earliest
+    * day; k ranges over 1..N−1 (S_N ≡ 0 carries no signal).
+    *
+    * Scale: one partial+final (type, day) aggregation collapses the
+    * event volume; the spine explode and cumulative window run on the
+    * types×days frame, partitioned by type. Output is one row per
+    * type.
+    *
+    * Output: (event_type, n_days, total, cp_day, cp_k, s_abs_scaled,
+    * pre_mean_micro, post_mean_micro) — means are events/day in
+    * micro-units on each side of the changepoint. */
+  def cusumChangepoint(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col(typeCol).as("__t"), to_date(col(tsCol)).as("__day"))
+      .groupBy(col("__t"), col("__day")).agg(count(lit(1)).as("__x"))
+    val spans = daily.groupBy(col("__t"))
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val spine = spans
+      .select(col("__t"),
+        explode(expr("sequence(__lo, __hi, interval 1 day)")).as("__day"))
+    val dense = spine.join(daily, Seq("__t", "__day"), "left")
+      .select(col("__t"), col("__day"),
+        coalesce(col("__x"), lit(0L)).as("__x"))
+    val wRun = Window.partitionBy(col("__t")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = dense.groupBy(col("__t"))
+      .agg(sum(col("__x")).cast("bigint").as("__tot"),
+        count(lit(1)).as("__nd"))
+    val scored = dense.join(totals, "__t")
+      .withColumn("__k", row_number().over(
+        Window.partitionBy(col("__t")).orderBy(col("__day"))))
+      .withColumn("__cum", sum(col("__x")).over(wRun).cast("bigint"))
+      .filter(col("__k") < col("__nd"))
+      .withColumn("__s", col("__nd") * col("__cum") - col("__k") * col("__tot"))
+    scored
+      .groupBy(col("__t"))
+      .agg(min(struct((-abs(col("__s"))).as("na"), col("__day").as("day"),
+        col("__k").as("k"), col("__cum").as("cum"), col("__tot").as("tot"),
+        col("__nd").as("nd"))).as("__best"))
+      .select(col("__t").as("event_type"),
+        col("__best.nd").as("n_days"),
+        col("__best.tot").as("total"),
+        col("__best.day").cast("string").as("cp_day"),
+        col("__best.k").cast("bigint").as("cp_k"),
+        (-col("__best.na")).as("s_abs_scaled"),
+        expr("__best.cum * 1000000L div __best.k").as("pre_mean_micro"),
+        expr("(__best.tot - __best.cum) * 1000000L div (__best.nd - __best.k)")
+          .as("post_mean_micro"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -1693,6 +1693,41 @@ object ExtensionQueries {
     Profile.distributionEmd(docs(s, dir), "n_chars", "source")
       .orderBy(col("source"))
 
+  /** x133 Kaplan–Meier signup→purchase survival — see
+    * [[graft.operators.Sequences.kaplanMeier]]: the right-censored
+    * time-to-event curve (day-granular, integer micro-nat log
+    * survival) that x99's converters-only deltas bias low. */
+  def x133(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.kaplanMeier(Tables.load(s, dir, "events"))
+
+  /** x134 per-source quality-vs-dup AUC — see
+    * [[graft.operators.Profile.rankAuc]]: exact Mann–Whitney with
+    * midrank ties over the per-(source, score) histogram; label =
+    * membership in the x04 near-dup pair set, score = the shared
+    * exact-operand quality score. The one-number discrimination read
+    * next to x128's calibration deciles. */
+  def x134(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScoreRaw
+    val d = docs(s, dir)
+    val pairs = Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+      ngram = 3, prefixK = 8, minJaccard = 0.2)
+    val dupIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .withColumn("__dup", lit(1L))
+    val labeled = d.join(broadcast(dupIds), Seq("doc_id"), "left")
+      .select(col("source"), qualityScoreRaw(col("text")).as("__q"),
+        coalesce(col("__dup"), lit(0L)).as("__lbl"))
+    Profile.rankAuc(labeled, "__q", "__lbl", "source")
+  }
+
+  /** x135 CUSUM changepoint per event type — see
+    * [[graft.operators.Sequences.cusumChangepoint]]: the level-shift
+    * locator over the dense daily count series (×N-scaled integer
+    * CUSUM), the sustained-step read x56's per-day z-scores integrate
+    * away. */
+  def x135(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.cusumChangepoint(Tables.load(s, dir, "events"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1855,6 +1890,9 @@ object ExtensionQueries {
     "x130_reshard_plan" -> (x130 _),
     "x131_skipgram_pmi" -> (x131 _),
     "x132_length_emd" -> (x132 _),
+    "x133_kaplan_meier" -> (x133 _),
+    "x134_quality_dup_auc" -> (x134 _),
+    "x135_cusum_changepoint" -> (x135 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4592,6 +4630,117 @@ object ExtensionQueries {
         |         AS emd_micro
         |FROM gr JOIN ng USING (grp) CROSS JOIN nt
         |GROUP BY gr.grp, ng.ng ORDER BY source""".stripMargin,
+
+    // Replays kaplanMeier: first-signup cohort, first purchase at or
+    // after it, administrative censoring at the corpus max ts, KM
+    // factors quantized once per event day then integer-summed. NULL
+    // survival after the risk set exhausts (ln 0).
+    "x133_kaplan_meier" ->
+      """WITH firsts AS (SELECT user_id, min(ts) AS from_ts FROM events
+        |                WHERE event_type = 'signup' GROUP BY 1),
+        |mx AS (SELECT max(ts) AS max_ts FROM events),
+        |conv AS (SELECT f.user_id, min(e.ts) AS conv_ts
+        |         FROM firsts f JOIN events e ON e.user_id = f.user_id
+        |          AND e.event_type = 'purchase' AND e.ts >= f.from_ts
+        |         GROUP BY 1),
+        |exits AS (SELECT f.user_id,
+        |    CASE WHEN c.conv_ts IS NOT NULL
+        |      THEN (epoch_us(c.conv_ts) - epoch_us(f.from_ts)) // 86400000000
+        |      ELSE (epoch_us(mx.max_ts) - epoch_us(f.from_ts)) // 86400000000
+        |    END AS day,
+        |    CASE WHEN c.conv_ts IS NOT NULL THEN 1 ELSE 0 END AS evt
+        |  FROM firsts f LEFT JOIN conv c USING (user_id) CROSS JOIN mx),
+        |byday AS (SELECT day, CAST(sum(evt) AS BIGINT) AS d,
+        |                 CAST(sum(1 - evt) AS BIGINT) AS c
+        |          FROM exits GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exits),
+        |risk AS (SELECT day, d, c,
+        |    n.n - CAST(coalesce(sum(d + c) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS n_risk
+        |  FROM byday CROSS JOIN n),
+        |evd AS (SELECT day, d, c, n_risk,
+        |    CASE WHEN d < n_risk THEN CAST(round(round(
+        |      ln((n_risk - d)::DOUBLE / n_risk::DOUBLE), 6) * 1000000)
+        |      AS BIGINT) END AS lp,
+        |    CAST(sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS dead
+        |  FROM risk WHERE d > 0)
+        |SELECT day AS t_day, n_risk, d AS n_event, c AS n_censor,
+        |       CASE WHEN dead = 0 THEN CAST(sum(lp) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |       END AS surv_ln_micro
+        |FROM evd ORDER BY t_day""".stripMargin,
+
+    // Replays rankAuc over the shared quality CTE + the x04 pair
+    // relation's node set: per-(source, score) histogram, midrank
+    // doubling, one floor division — exact integer algebra end to end.
+    "x134_quality_dup_auc" ->
+      s"""WITH ${qualityCteSql("doc_id")},
+         |$ngramPairsCteSql,
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |          SELECT doc_a AS doc_id FROM pairs
+         |          UNION ALL SELECT doc_b AS doc_id FROM pairs) u),
+         |lbl AS (SELECT d.source, q.qr AS v,
+         |          CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pos
+         |        FROM q JOIN documents d USING (doc_id)
+         |        LEFT JOIN dup ON dup.doc_id = q.doc_id),
+         |hist AS (SELECT source, v, CAST(count(*) AS BIGINT) AS n_v,
+         |                CAST(sum(pos) AS BIGINT) AS p_v
+         |         FROM lbl GROUP BY 1, 2),
+         |rk AS (SELECT source, n_v, p_v,
+         |    CAST(coalesce(sum(n_v) OVER (PARTITION BY source ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cb
+         |  FROM hist),
+         |agg AS (SELECT source, CAST(sum(p_v) AS BIGINT) AS n_pos,
+         |               CAST(sum(n_v - p_v) AS BIGINT) AS n_neg,
+         |               CAST(sum(p_v * (2 * cb + n_v + 1)) AS BIGINT) AS r2
+         |        FROM rk GROUP BY 1)
+         |SELECT source, n_pos, n_neg,
+         |       CAST((r2 - n_pos * (n_pos + 1)) * 1000000
+         |            // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+         |FROM agg WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""".stripMargin,
+
+    // Replays cusumChangepoint: dense zero-filled daily spine per
+    // type, ×N-scaled integer CUSUM, (|S| desc, day asc) argmax via
+    // min-struct ordering, floor-divided micro means.
+    "x135_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |                      CAST(count(*) AS BIGINT) AS x
+        |               FROM events GROUP BY 1, 2),
+        |spans AS (SELECT t, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |spine AS (SELECT s.t, CAST(u.d AS DATE) AS day
+        |          FROM spans s, LATERAL (
+        |            SELECT unnest(generate_series(s.lo::TIMESTAMP,
+        |              s.hi::TIMESTAMP, INTERVAL 1 DAY)) AS d) u),
+        |dense AS (SELECT sp.t, sp.day, coalesce(d.x, 0) AS x
+        |          FROM spine sp LEFT JOIN daily d
+        |            ON d.t = sp.t AND d.day = sp.day),
+        |tot AS (SELECT t, CAST(sum(x) AS BIGINT) AS tot,
+        |               CAST(count(*) AS BIGINT) AS nd
+        |        FROM dense GROUP BY 1),
+        |run AS (SELECT dn.t, dn.day, tot.tot, tot.nd,
+        |    CAST(row_number() OVER (PARTITION BY dn.t ORDER BY dn.day)
+        |      AS BIGINT) AS k,
+        |    CAST(sum(dn.x) OVER (PARTITION BY dn.t ORDER BY dn.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM dense dn JOIN tot ON tot.t = dn.t),
+        |sc AS (SELECT t, day, tot, nd, k, cum,
+        |              nd * cum - k * tot AS s
+        |       FROM run WHERE k < nd),
+        |best AS (SELECT t, min(struct_pack(na := -abs(s), day := day, k := k,
+        |                 cum := cum, tot := tot, nd := nd)) AS b
+        |         FROM sc GROUP BY 1)
+        |SELECT t AS event_type, b.nd AS n_days, b.tot AS total,
+        |       CAST(CAST(b.day AS DATE) AS STRING) AS cp_day,
+        |       b.k AS cp_k, -b.na AS s_abs_scaled,
+        |       CAST(b.cum * 1000000 // b.k AS BIGINT) AS pre_mean_micro,
+        |       CAST((b.tot - b.cum) * 1000000 // (b.nd - b.k) AS BIGINT)
+        |         AS post_mean_micro
+        |FROM best ORDER BY event_type""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

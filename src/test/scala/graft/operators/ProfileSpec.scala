@@ -341,4 +341,32 @@ class ProfileSpec extends SparkSpec {
       (9L, "d", 7L, 7L, 0L, None),
       (10L, "d", 7L, 7L, 0L, None)))
   }
+
+  test("rankAuc: midrank ties hand-traced; single-class groups dropped") {
+    import spark.implicits._
+    val df = Seq(
+      // group g: pos {0.9, 0.7}, neg {0.7, 0.1}
+      //   pairs: 0.9>0.7, 0.9>0.1, 0.7~0.7 (half), 0.7>0.1 → AUC 3.5/4
+      ("g", 0.9, 1L), ("g", 0.7, 1L), ("g", 0.7, 0L), ("g", 0.1, 0L),
+      // group p: perfect separation → AUC 1
+      ("p", 0.8, 1L), ("p", 0.2, 0L),
+      // group o: only positives → dropped
+      ("o", 0.5, 1L), ("o", 0.6, 1L))
+      .toDF("src", "score", "label")
+    val out = Profile.rankAuc(df, "score", "label", "src")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("g", 2L, 2L, 875000L), ("p", 1L, 1L, 1000000L)))
+  }
+
+  test("rankAuc: a reversed score ranks at exactly 1 − AUC") {
+    import spark.implicits._
+    val base = Seq(("g", 0.9, 1L), ("g", 0.4, 1L), ("g", 0.6, 0L),
+      ("g", 0.1, 0L))
+    val fwd = Profile.rankAuc(base.toDF("src", "score", "label"),
+      "score", "label", "src").select("auc_micro").as[Long].head()
+    val rev = Profile.rankAuc(base.map { case (s, v, l) => (s, -v, l) }
+        .toDF("src", "score", "label"),
+      "score", "label", "src").select("auc_micro").as[Long].head()
+    assert(fwd == 750000L && rev == 250000L)
+  }
 }

@@ -415,4 +415,75 @@ class SequencesSpec extends SparkSpec {
       (2L, 6L, None, None, None, None),
       (3L, 7L, None, None, None, None)))
   }
+
+  test("kaplanMeier: hand-traced risk sets, censoring at the horizon, " +
+      "pre-signup purchases excluded, micro-nat log survival") {
+    val events = Seq(
+      // A: signup day 0, converts exactly 2 days later → event day 2
+      (100L, ts("2024-01-01 00:00:00"), 10L, "signup"),
+      (100L, ts("2024-01-03 00:00:00"), 11L, "purchase"),
+      // B: signup day 0, never converts → censored at the horizon (day 4)
+      (101L, ts("2024-01-01 00:00:00"), 12L, "signup"),
+      // C: signup Jan 2, converts 1.5 days later → floor → event day 1
+      (102L, ts("2024-01-02 00:00:00"), 13L, "signup"),
+      (102L, ts("2024-01-03 12:00:00"), 14L, "purchase"),
+      // D: signup Jan 4, never converts → censored day 1
+      (103L, ts("2024-01-04 00:00:00"), 15L, "signup"),
+      // E: purchase BEFORE signup — must not count as a conversion
+      (104L, ts("2024-01-02 00:00:00"), 16L, "purchase"),
+      (104L, ts("2024-01-03 00:00:00"), 17L, "signup"),
+      // horizon: the corpus max ts (a non-cohort event type)
+      (101L, ts("2024-01-05 00:00:00"), 18L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.kaplanMeier(events)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    // N = 5. Day 1: risk 5, 1 event (C), 1 censor (D) → ln(4/5) = −223144.
+    // Day 2: risk 3 (A, B, E left), 1 event (A), 1 censor (E)
+    //   → + ln(2/3) = −405465 → cum −628609. B censors day 4 (no row).
+    assert(out.toSeq == Seq(
+      (1L, 5L, 1L, 1L, Some(-223144L)),
+      (2L, 3L, 1L, 1L, Some(-628609L))))
+  }
+
+  test("kaplanMeier: survival is NULL from the day the risk set exhausts") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup"),
+      (1L, ts("2024-01-01 06:00:00"), 2L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.kaplanMeier(events)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    assert(out.toSeq == Seq((0L, 1L, 1L, 0L, None)))
+  }
+
+  test("cusumChangepoint: zero-filled spine, ×N-scaled argmax, floor-divided " +
+      "side means") {
+    // click days: 10, 10, 10, (absent → 0), 2, 2 over Jan 1–6
+    val rows = Seq(
+      "2024-01-01" -> 10, "2024-01-02" -> 10, "2024-01-03" -> 10,
+      "2024-01-05" -> 2, "2024-01-06" -> 2).flatMap { case (d, n) =>
+      (1 to n).map(i => (d.hashCode.toLong * 100 + i, ts(s"$d 12:00:00"),
+        1L, "click"))
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sequences.cusumChangepoint(events)
+      .as[(String, Long, Long, String, Long, Long, Long, Long)].collect()
+    // N=6, T=34; S_k×N: 26, 52, 78, 44, 22 → max at k=3 (Jan 3);
+    // pre = 30·10⁶ div 3, post = 4·10⁶ div 3
+    assert(out.toSeq == Seq(
+      ("click", 6L, 34L, "2024-01-03", 3L, 78L, 10000000L, 1333333L)))
+  }
+
+  test("cusumChangepoint: |S| ties break to the earliest day") {
+    // 4, 0, 0, 4 → S×N: 8, 0, −8 → tie |8| at k=1 and k=3 → k=1 wins
+    val rows = Seq("2024-01-01" -> 4, "2024-01-02" -> 0, "2024-01-03" -> 0,
+      "2024-01-04" -> 4).flatMap { case (d, n) =>
+      (1 to n).map(i => (d.hashCode.toLong * 100 + i, ts(s"$d 12:00:00"),
+        1L, "view"))
+    }
+    val out = Sequences.cusumChangepoint(
+        rows.toDF("event_id", "ts", "user_id", "event_type"))
+      .as[(String, Long, Long, String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("view", 4L, 8L, "2024-01-01", 1L, 8L, 4000000L, 1333333L)))
+  }
 }

@@ -830,6 +830,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x133: the cohort collapses via partial+final hash aggregates and " +
+    "the 1-row horizon broadcasts — no cartesian, no per-event window") {
+    val plan = physical(ExtensionQueries.x133(spark, sf001))
+    // first-signup and first-conversion are aggregates (map-side
+    // partial), never per-user windows over the event volume
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only windows run on the per-day frame, downstream of the
+    // day-level aggregation — assert the risk-set window exists
+    assert(plan.contains("windowspecdefinition(__day"), plan)
+  }
+
+  test("x134: AUC ranks over the per-(group, value) histogram — the window " +
+    "partitions by group and runs AFTER a hash aggregation, never a " +
+    "global per-row sort") {
+    val plan = physical(ExtensionQueries.x134(spark, sf001))
+    assert(plan.contains("windowspecdefinition(grp"), plan)
+    assert(plan.contains("hashpartitioning(grp"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("x135: CUSUM windows partition by event type over the dense daily " +
+    "frame; the argmax is a min-struct aggregate, not a ranking window") {
+    val plan = physical(ExtensionQueries.x135(spark, sf001))
+    assert(plan.contains("windowspecdefinition(__t"), plan)
+    assert(plan.contains("hashpartitioning(__t"), plan)
+    // best-row selection is min(struct(...)) — no row_number-filter
+    // over the scored frame beyond the k index itself
+    assert(plan.contains("min(__best") || plan.contains("min(struct"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
