@@ -238,4 +238,61 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"))
   }
+
+  /** k-core of an undirected (u < v) edge list by synchronous peeling:
+    * repeatedly drop every node whose degree WITHIN the surviving set
+    * is below `k`; what remains is the maximal subgraph where every
+    * node keeps ≥ k neighbors — the dense-nucleus read on a corpus
+    * graph (the k-core of the mutual k-NN graph is its hard near-dup/
+    * topic center, the part x83's per-node coefficient can only hint
+    * at). Pendant chains and tree fringes peel away layer by layer.
+    *
+    * `rounds` is a FIXED count, not a fixpoint loop — the same static-
+    * job-graph discipline as [[labelPropagate]] and
+    * [[Dedup.connectedComponents]]: synchronous peeling removes at
+    * least one layer per round, so `rounds` ≥ the peel depth of the
+    * graph reaches the true k-core (the x137 spec asserts one extra
+    * round changes nothing at the test scale; a deeper graph needs a
+    * larger `rounds`, it never needs different code).
+    *
+    * Scale: one round = two keyed joins of the edge list against the
+    * surviving-node set (both endpoints must survive) + one count
+    * aggregate — everything hash-partitioned on node id, nothing
+    * broadcast (the survivor set starts at |V|); each round's
+    * survivors are localCheckpoint'd to truncate lineage. Work shrinks
+    * monotonically as nodes peel.
+    *
+    * Output: (id, core_deg) for nodes in the k-core — core_deg is the
+    * node's degree within the core (≥ k by definition). Empty when
+    * the graph has no k-core (a fact, not a failure). */
+  def kCore(und: DataFrame, k: Int = 3, rounds: Int = 6): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(rounds >= 1, s"kCore: rounds must be >= 1, got $rounds")
+    // both orientations: degree = row count per u
+    val e = und.select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true) // reused every round + the final degree
+    var alive = e.select(col("u").as("node")).distinct()
+    for (r <- 1 to rounds) {
+      val next = e
+        .join(alive.withColumnRenamed("node", "u"), "u")
+        .join(alive.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("u").as("node"))
+        .localCheckpoint(true) // eager: materialized before the release below
+      // release the PREVIOUS round's snapshot only — round 1's `alive`
+      // is not checkpoint-backed and its plan contains `e`'s
+      // LogicalRDD, so walking it would release the shared edge
+      // checkpoint out from under the remaining rounds
+      if (r > 1)
+        org.apache.spark.sql.graftbridge.unpersistCheckpoint(alive)
+      alive = next
+    }
+    val core = e
+      .join(alive.withColumnRenamed("node", "u"), "u")
+      .join(alive.withColumnRenamed("node", "v"), "v")
+      .groupBy(col("u").as("id")).agg(count(lit(1)).as("core_deg"))
+    core
+  }
 }

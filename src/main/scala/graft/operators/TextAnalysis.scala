@@ -1592,4 +1592,72 @@ object TextAnalysis {
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
   }
+
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its tokens are under a
+    * TARGET domain's hashed-unigram model than under the raw corpus
+    * model, then keep the top-K — the domain-matching selection step
+    * between x67's single-reference log-prob and x44's temperature
+    * resample. Hashing the vocabulary into `buckets` cells is the
+    * paper's trick: the model is a fixed-size count vector, so the
+    * weight is computable in one pass with no vocabulary dictionary.
+    *
+    * Weight = Σ_tokens ln(p_target[b] / p_raw[b]) with add-one
+    * smoothing over the bucket space. Exactness: the log-ratio is
+    * quantized ONCE per bucket to micro-nats (the x67 discipline —
+    * one ln per bucket over exact integer counts, identical double
+    * ops in both engines), then each document's weight is the exact
+    * integer Σ tf·lr — so the (weight desc, doc_id) top-K cut is
+    * engine-identical.
+    *
+    * Scale: two token passes collapse to bucket histograms (`buckets`
+    * rows — broadcast-size by construction, the POINT of hashing);
+    * the per-doc score is one (doc, bucket) aggregation joined
+    * against the broadcast bucket model; the top-K cut is
+    * TakeOrderedAndProject (bounded heap), never a global sort. The
+    * target model derives from the raw pass by a filtered re-scan —
+    * at 100 TB the two scans are the only full-volume work.
+    *
+    * Output: (rank, doc_id, lang, n_tokens, weight_micro), rank
+    * 1..topK by (weight_micro desc, doc_id asc). */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+      buckets: Int = 256, topK: Int = 100, idCol: String = "doc_id",
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(buckets > 0 && topK > 0,
+      s"dsirWeights: buckets and topK must be positive, got $buckets/$topK")
+    val toks = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        explode(graft.functions.TextFunctions.words(col(textCol))).as("tok"))
+      .withColumn("b", pmod(md5Bucket60(col("tok")), lit(buckets.toLong)))
+    val docTf = toks.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val rawCnt = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtCnt = toks.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = rawCnt.agg(sum(col("cr")).cast("bigint").as("R"))
+      .join(tgtCnt.agg(sum(col("ct")).cast("bigint").as("T")))
+    // log-ratio per bucket, quantized once: ln(((ct+1)/(T+B)) /
+    // ((cr+1)/(R+B))) — same double expression text as the oracle
+    val model = rawCnt.join(tgtCnt, Seq("b"), "left").join(broadcast(totals))
+      .select(col("b"),
+        round(round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("T") + buckets).cast("double")) *
+          ((col("R") + buckets).cast("double") /
+            (col("cr") + 1).cast("double"))), 6) * lit(1000000.0))
+          .cast("long").as("lr"))
+    val scored = docTf.join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("bigint").as("n_tokens"),
+        sum(col("tf") * col("lr")).cast("bigint").as("weight_micro"))
+    import org.apache.spark.sql.expressions.Window
+    scored.join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        "doc_id")
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("weight_micro").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("lang"), col("n_tokens"),
+        col("weight_micro"))
+  }
 }

@@ -1728,6 +1728,26 @@ object ExtensionQueries {
   def x135(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sequences.cusumChangepoint(Tables.load(s, dir, "events"))
 
+  /** x136 DSIR hashed importance selection — see
+    * [[graft.operators.TextAnalysis.dsirWeights]]: per-doc hashed-
+    * unigram log-likelihood ratio against the English-target model,
+    * top-100 by (weight desc, doc_id) — the importance-resampling
+    * selection step between x67's log-prob and x44's resample. */
+  def x136(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(docs(s, dir))
+
+  /** x137 3-core of the mutual k-NN graph — see
+    * [[graft.operators.Graph.kCore]]: synchronous peeling to the
+    * maximal subgraph of min-degree 3, the dense near-dup/topic
+    * nucleus (6 rounds ≥ the measured peel depth at every fixture
+    * scale; the plan-shape spec pins the fixpoint). */
+  def x137(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCore(
+        graft.operators.Graph.mutualEdges(knnEdges(s, dir)),
+        k = 3, rounds = 6)
+      .select(col("id").as("vec_id"), col("core_deg"))
+      .orderBy(col("vec_id"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1893,6 +1913,8 @@ object ExtensionQueries {
     "x133_kaplan_meier" -> (x133 _),
     "x134_quality_dup_auc" -> (x134 _),
     "x135_cusum_changepoint" -> (x135 _),
+    "x136_dsir_select" -> (x136 _),
+    "x137_kcore" -> (x137 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4741,6 +4763,64 @@ object ExtensionQueries {
         |       CAST((b.tot - b.cum) * 1000000 // (b.nd - b.k) AS BIGINT)
         |         AS post_mean_micro
         |FROM best ORDER BY event_type""".stripMargin,
+
+    // Replays dsirWeights: same md5-60 bucket hash mod 256 (the hash
+    // is non-negative so % equals pmod), add-one smoothed log-ratio
+    // quantized once per bucket, exact integer per-doc weights,
+    // (weight desc, doc_id) top-100.
+    "x136_dsir_select" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest(ws) AS tok
+         |  FROM (SELECT doc_id, lang, ${wordsSql("text")} AS ws
+         |        FROM documents) t),
+         |bt AS (SELECT doc_id, lang,
+         |              ${md5Hash60Sql("tok")} % 256 AS b
+         |       FROM toks),
+         |tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf
+         |       FROM bt GROUP BY 1, 2),
+         |crr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM bt GROUP BY 1),
+         |ctt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+         |        FROM bt WHERE lang = 'en' GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM crr) AS R,
+         |               (SELECT CAST(sum(ct) AS BIGINT) FROM ctt) AS T),
+         |model AS (SELECT crr.b,
+         |    CAST(round(round(ln(
+         |      ((coalesce(ctt.ct, 0) + 1)::DOUBLE / (tot.T + 256)::DOUBLE) *
+         |      ((tot.R + 256)::DOUBLE / (crr.cr + 1)::DOUBLE)), 6) * 1000000)
+         |      AS BIGINT) AS lr
+         |  FROM crr LEFT JOIN ctt USING (b) CROSS JOIN tot),
+         |sc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         |              CAST(sum(tf.tf * model.lr) AS BIGINT) AS weight_micro
+         |       FROM tf JOIN model USING (b) GROUP BY 1),
+         |top AS (SELECT sc.doc_id, d.lang, sc.n_tokens, sc.weight_micro
+         |        FROM sc JOIN documents d USING (doc_id)
+         |        ORDER BY sc.weight_micro DESC, sc.doc_id LIMIT 100)
+         |SELECT CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+         |         AS INT) AS rank,
+         |       doc_id, lang, n_tokens, weight_micro
+         |FROM top ORDER BY rank""".stripMargin,
+
+    // Replays kCore: the same mutual edge set as x83/x84, six unrolled
+    // synchronous peel rounds (plain CTEs — fixed rounds make the
+    // recursion static), final within-core degrees.
+    "x137_kcore" -> {
+      val peels = (1 to 6).map { r =>
+        s"""n$r AS (SELECT und.u AS node FROM und
+           |  JOIN n${r - 1} a ON a.node = und.u
+           |  JOIN n${r - 1} b ON b.node = und.v
+           |  GROUP BY und.u HAVING count(*) >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${knnEdgesCteSql(3)},
+         |mu AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |       FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+         |       WHERE a.src < a.dst),
+         |und AS (SELECT u, v FROM mu UNION ALL SELECT v AS u, u AS v FROM mu),
+         |n0 AS (SELECT DISTINCT u AS node FROM und),
+         |$peels
+         |SELECT und.u AS vec_id, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM und JOIN n6 a ON a.node = und.u JOIN n6 b ON b.node = und.v
+         |GROUP BY und.u ORDER BY vec_id""".stripMargin
+    },
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

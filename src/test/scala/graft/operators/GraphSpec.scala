@@ -143,4 +143,32 @@ class GraphSpec extends SparkSpec {
       (1L, 2L, 2L, 1000000L),
       (3L, 4L, 2L, 1000000L)))
   }
+
+  test("kCore: pendant and chain peel away, the triangle is the 2-core, " +
+      "and extra rounds past the fixpoint change nothing") {
+    // triangle 1-2-3, pendant 4 on 1, chain 5-6
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("u", "v")
+    val out = Graph.kCore(e, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    val more = Graph.kCore(e, k = 2, rounds = 5)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(more.toSeq == out.toSeq)
+  }
+
+  test("kCore: cascading peel — a path needs one round per layer, and a " +
+      "graph with no k-core returns empty") {
+    // path 1-2-3-4-5: 2-core is empty, but each peel round only
+    // removes the current endpoints — 2 rounds leave {3}, 3+ rounds
+    // reach the true (empty) core
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    assert(Graph.kCore(path, k = 2, rounds = 3).count() == 0)
+    // 4-clique: every node sits in the 3-core with core_deg 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("u", "v")
+    val out = Graph.kCore(k4, k = 3, rounds = 2)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
 }

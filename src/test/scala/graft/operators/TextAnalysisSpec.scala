@@ -651,4 +651,44 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.vocabCoverage(docs, pcts = Seq(101))
     }
   }
+
+  test("dsirWeights: target-vocabulary docs outrank off-target docs; ranks " +
+      "are dense, weights non-increasing, doc_id breaks ties") {
+    // target = 'en' uses one vocabulary, the off-target docs another —
+    // every 'the/of/and' bucket is target-heavy, every 'der/und/die'
+    // bucket target-light, so the LLR separates the groups regardless
+    // of which hash buckets the words land in
+    val docs = Seq(
+      (1L, "the of and the of and", "en"),
+      (2L, "the of and the of and", "en"),
+      (3L, "the of and the of and", "xx"), // en-vocab doc labeled xx:
+                                           // scores HIGH (content, not label)
+      (4L, "der und die der und die", "de"),
+      (5L, "der und die der und die", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirWeights(docs, targetLang = "en",
+        buckets = 64, topK = 5)
+      .as[(Int, Long, String, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4, 5))
+    val weights = out.map(_._5)
+    assert(weights.zip(weights.tail).forall { case (a, b) => a >= b })
+    // the three en-vocab docs (including the mislabeled one) lead
+    assert(out.take(3).map(_._2).toSet == Set(1L, 2L, 3L))
+    // identical text ⇒ identical weight ⇒ doc_id ascending
+    assert(out.take(3).map(_._2).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0)._5 == out(2)._5 && out(3)._5 == out(4)._5)
+    assert(out(0)._5 > out(3)._5)
+    // n_tokens is the exact token count
+    assert(out.forall(_._4 == 6L))
+  }
+
+  test("dsirWeights rejects degenerate parameters") {
+    val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeights(docs, buckets = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirWeights(docs, topK = 0)
+    }
+  }
 }

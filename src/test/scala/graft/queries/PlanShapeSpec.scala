@@ -864,6 +864,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x136: the bucket model broadcasts and the top-K cut is a bounded " +
+    "heap (TakeOrderedAndProject), never a global sort") {
+    val plan = physical(ExtensionQueries.x136(spark, sf001))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x137: the final core-degree pass joins the checkpointed survivor " +
+    "set on both endpoints — keyed equi-joins, no cartesian, no window") {
+    val plan = physical(ExtensionQueries.x137(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed rounds
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
