@@ -795,4 +795,59 @@ object Sequences {
           .as("post_mean_micro"))
       .orderBy(col("event_type"))
   }
+
+  /** Two-proportion z-test of each event type's traffic share between
+    * the first and second half of the observation window — the
+    * SIGNIFICANCE read next to [[cusumChangepoint]]'s location
+    * estimate and x100's magnitude: a type whose share moved is only
+    * interesting if the move is large relative to its binomial noise,
+    * and small types need bigger relative swings to clear it. The
+    * midpoint split is the microsecond midpoint of [min ts, max ts]
+    * (events at exactly the midpoint count in the second half).
+    *
+    * For type t: p₁ = c₁/N₁ (share of first-half events), p₂ = c₂/N₂,
+    * pooled p̂ = (c₁+c₂)/(N₁+N₂), z = (p₁−p₂)/√(p̂(1−p̂)(1/N₁+1/N₂)).
+    * All inputs are exact integers; z is ONE fixed double expression
+    * over them (no accumulation — engine-identical to the last bit),
+    * shipped rounded to 6 dp with a |z| > 1.96 flag.
+    *
+    * Scale: one partial+final (type, half) aggregation collapses the
+    * volume; the 1-row midpoint frame and the 2-row half totals
+    * broadcast. Output is one row per event type.
+    *
+    * Output: (event_type, c1, n1, c2, n2, z, significant). */
+  def proportionShift(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val mid = events.agg(
+      expr(s"(unix_micros(min($tsCol)) + unix_micros(max($tsCol))) div 2")
+        .as("__mid"))
+    val halves = events.join(broadcast(mid))
+      .select(col(typeCol).as("__t"),
+        when(expr(s"unix_micros($tsCol)") < col("__mid"), 1).otherwise(2)
+          .as("__h"))
+      .groupBy(col("__t"), col("__h")).agg(count(lit(1)).as("__c"))
+    val totals = halves.groupBy(col("__h"))
+      .agg(sum(col("__c")).cast("bigint").as("__n"))
+    val wide = halves
+      .groupBy(col("__t"))
+      .agg(
+        sum(when(col("__h") === 1, col("__c")).otherwise(0L)).cast("bigint")
+          .as("c1"),
+        sum(when(col("__h") === 2, col("__c")).otherwise(0L)).cast("bigint")
+          .as("c2"))
+    // a type absent from one half still has that half's total
+    val nTotals = totals.groupBy()
+      .agg(max(when(col("__h") === 1, col("__n"))).as("n1"),
+        max(when(col("__h") === 2, col("__n"))).as("n2"))
+    wide.join(broadcast(nTotals))
+      .select(col("__t").as("event_type"), col("c1"), col("n1"),
+        col("c2"), col("n2"),
+        expr("""round(
+          (c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE)) /
+          sqrt(((c1 + c2) / CAST(n1 + n2 AS DOUBLE)) *
+               (1.0 - (c1 + c2) / CAST(n1 + n2 AS DOUBLE)) *
+               (1.0 / n1 + 1.0 / n2)), 6)""").as("z"))
+      .withColumn("significant", abs(col("z")) > lit(1.96))
+      .orderBy(col("event_type"))
+  }
 }

@@ -489,4 +489,65 @@ object Similarity {
       .select(col("bin"), col("n"),
         expr("n * 1000000L div __t").as("share_micro"))
   }
+
+  /** Per-group embedding-centroid drift: each group's mean vector
+    * against the corpus mean vector, as a cosine — the "is this
+    * source/label occupying a different region of embedding space"
+    * read that x127's pairwise-geometry histogram aggregates away.
+    * Low cosine = the group's content is directionally distinct from
+    * the corpus; near 1 = it sits at the center of mass.
+    *
+    * Exactness: naive centroids would accumulate doubles in shuffle
+    * order — nondeterministic in Spark and unmatchable cross-engine.
+    * Instead every component is quantized ONCE per element to integer
+    * micro (`round(v·10⁶)` on the exact float→double widening), so
+    * per-(group, dim) sums are order-free BIGINT algebra and the
+    * centroid component is one floor division by the group count.
+    * The final cosine runs over ≤ `dim` integer components (numerator
+    * is an exact BIGINT dot product — micro²·dim ≈ 10¹⁴, far inside
+    * int64; only the two norms and the final divide are doubles,
+    * computed from exact integers in a fixed expression — identical
+    * on any engine), rounded to 6 dp. Zero-norm centroids yield NULL.
+    *
+    * Scale: one posexplode pass → (group, dim) partial+final hash
+    * aggregation (group×dim cells, tiny); the corpus centroid derives
+    * from the group frame by a second dim-keyed aggregation — no
+    * second corpus scan — and broadcasts onto the group frame. At
+    * 100 TB the explode+aggregate is the only full-volume work.
+    *
+    * Output: (groupCol, n, cos_vs_corpus, centroid_norm), ordered by
+    * group; norms in original embedding units (micro scaled back). */
+  def centroidDrift(emb: DataFrame, groupCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val cells = emb
+      .filter(size(col(vecCol)) === dim &&
+        dot_product(col(vecCol), col(vecCol)) > 0)
+      .select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("d", "v")))
+      .select(col("grp"), col("d"),
+        round(col("v").cast("double") * lit(1000000.0)).cast("long").as("m"))
+    val byGrpDim = cells.groupBy(col("grp"), col("d"))
+      .agg(sum(col("m")).cast("bigint").as("s"), count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the corpus roll-up AND the join
+    val grpCent = byGrpDim
+      .select(col("grp"), col("d"), expr("s div c").as("g"),
+        col("c").as("n"))
+    val corpCent = byGrpDim.groupBy(col("d"))
+      .agg(expr("sum(s) div sum(c)").as("q"))
+    grpCent.join(broadcast(corpCent), "d")
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        sum(col("g") * col("q")).cast("bigint").as("__num"),
+        sum(col("g") * col("g")).cast("bigint").as("__gg"),
+        sum(col("q") * col("q")).cast("bigint").as("__qq"))
+      .select(col("grp").as(groupCol), col("n"),
+        when(col("__gg") > 0 && col("__qq") > 0,
+          round(col("__num").cast("double") /
+            (sqrt(col("__gg").cast("double")) *
+              sqrt(col("__qq").cast("double"))), 6)).as("cos_vs_corpus"),
+        round(sqrt(col("__gg").cast("double")) / lit(1000000.0), 6)
+          .as("centroid_norm"))
+      .orderBy(col(groupCol))
+  }
 }

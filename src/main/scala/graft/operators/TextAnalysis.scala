@@ -1593,6 +1593,65 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
   }
 
+  /** Gopher-style repetition battery (Rae et al. 2021, §A1.1): the
+    * three character-weighted repetition signals the Gopher quality
+    * filter thresholds, computed per document —
+    *
+    *  - `top2_micro` / `top3_micro`: fraction of n-gram CHARACTER mass
+    *    taken by the single most frequent word 2-/3-gram (boilerplate
+    *    repeats a few grams; char-weighting catches long repeated
+    *    grams a count-ratio underweights),
+    *  - `dup5_micro`: fraction of 5-gram character mass in grams that
+    *    occur ≥ 2 times (the "duplicated n-gram" signal),
+    *
+    * each as occurrences·len(gram) over the doc's total Σ count·len,
+    * in integer micro (floor division — exact, engine-identical).
+    * `keep` applies the paper's thresholds (top-2 ≤ 0.20, top-3 ≤
+    * 0.18, dup-5 ≤ 0.15) as integer comparisons. Complements
+    * [[repetitionRatio]] (count-weighted, single n) — this is the
+    * multi-signal char-weighted battery with the shipping verdict.
+    *
+    * Scale: ONE tokenize pass fans out to the three gram lengths
+    * (union, tagged by n), then two partial+final hash aggregations —
+    * (doc, n, gram) then (doc, n) — and a conditional-aggregation
+    * pivot to one row per doc. Map-side combine collapses repeats
+    * before any exchange; nothing broadcasts.
+    *
+    * Docs too short for an n-gram length contribute NULL for that
+    * signal (and `keep` treats the missing signal as passing —
+    * a 3-word doc cannot fail the 5-gram rule).
+    *
+    * Output: (doc_id, top2_micro, top3_micro, dup5_micro, keep). */
+  def gopherRepetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.ShingleFunctions.ngram_strings
+    val toks = tokFrame(docs, idCol, textCol)
+    val grams = Seq(2, 3, 5).map { n =>
+      toks.select(col("doc_id"), lit(n).as("n"),
+        explode(ngram_strings(col("__w"), n)).as("gram"))
+    }.reduce(_ unionAll _)
+    val perGram = grams
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg((count(lit(1)) * length(col("gram"))).cast("bigint").as("cm"),
+        count(lit(1)).as("c"))
+    val perN = perGram.groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("cm")).cast("bigint").as("tot"),
+        max(col("cm")).cast("bigint").as("top"),
+        sum(when(col("c") >= 2, col("cm")).otherwise(0L)).cast("bigint")
+          .as("dup"))
+    val wide = perN.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, expr("top * 1000000L div tot"))).as("top2_micro"),
+        max(when(col("n") === 3, expr("top * 1000000L div tot"))).as("top3_micro"),
+        max(when(col("n") === 5, expr("dup * 1000000L div tot"))).as("dup5_micro"))
+    docs.select(col(idCol).as("doc_id")).join(wide, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top2_micro"), col("top3_micro"),
+        col("dup5_micro"),
+        (coalesce(col("top2_micro"), lit(0L)) <= 200000L &&
+          coalesce(col("top3_micro"), lit(0L)) <= 180000L &&
+          coalesce(col("dup5_micro"), lit(0L)) <= 150000L).as("keep"))
+  }
+
   /** DSIR-style hashed importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every document by how much more likely its tokens are under a

@@ -1748,6 +1748,29 @@ object ExtensionQueries {
       .select(col("id").as("vec_id"), col("core_deg"))
       .orderBy(col("vec_id"))
 
+  /** x138 Gopher repetition battery — see
+    * [[graft.operators.TextAnalysis.gopherRepetition]]: the three
+    * char-weighted repetition fractions (top-2-gram, top-3-gram,
+    * duplicated-5-gram) with the paper's keep thresholds — the
+    * multi-signal verdict next to x29's single count-ratio. */
+  def x138(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRepetition(docs(s, dir)).orderBy(col("doc_id"))
+
+  /** x139 embedding centroid drift per label — see
+    * [[graft.operators.Similarity.centroidDrift]]: integer-micro
+    * quantized per-group mean vectors against the corpus mean,
+    * cosine over exact BIGINT dot products — the "which labels sit
+    * off-center in embedding space" read x127 aggregates away. */
+  def x139(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidDrift(emb(s, dir))
+
+  /** x140 traffic-share shift significance — see
+    * [[graft.operators.Sequences.proportionShift]]: two-proportion
+    * z-test of each event type's share between the window halves,
+    * the binomial-noise-aware companion to x135's CUSUM location. */
+  def x140(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.proportionShift(Tables.load(s, dir, "events"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1915,6 +1938,9 @@ object ExtensionQueries {
     "x135_cusum_changepoint" -> (x135 _),
     "x136_dsir_select" -> (x136 _),
     "x137_kcore" -> (x137 _),
+    "x138_gopher_repetition" -> (x138 _),
+    "x139_centroid_drift" -> (x139 _),
+    "x140_proportion_shift" -> (x140 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4821,6 +4847,95 @@ object ExtensionQueries {
          |FROM und JOIN n6 a ON a.node = und.u JOIN n6 b ON b.node = und.v
          |GROUP BY und.u ORDER BY vec_id""".stripMargin
     },
+
+    // Replays gopherRepetition: non-distinct word n-grams for n ∈
+    // {2,3,5}, char mass = count·length(gram), integer-micro floor
+    // fractions, paper thresholds as integer comparisons.
+    "x138_gopher_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |gr AS (
+         |  SELECT doc_id, 2 AS n, unnest(${wordNgramsSql(2, distinct = false)}) AS gram FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 3, unnest(${wordNgramsSql(3, distinct = false)}) FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 5, unnest(${wordNgramsSql(5, distinct = false)}) FROM toks),
+         |pg AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c,
+         |              CAST(count(*) * length(gram) AS BIGINT) AS cm
+         |       FROM gr GROUP BY 1, 2, 3),
+         |pn AS (SELECT doc_id, n, CAST(sum(cm) AS BIGINT) AS tot,
+         |              CAST(max(cm) AS BIGINT) AS top,
+         |              CAST(sum(CASE WHEN c >= 2 THEN cm ELSE 0 END) AS BIGINT)
+         |                AS dup
+         |       FROM pg GROUP BY 1, 2),
+         |wide AS (SELECT doc_id,
+         |    max(CASE WHEN n = 2 THEN top * 1000000 // tot END) AS top2_micro,
+         |    max(CASE WHEN n = 3 THEN top * 1000000 // tot END) AS top3_micro,
+         |    max(CASE WHEN n = 5 THEN dup * 1000000 // tot END) AS dup5_micro
+         |  FROM pn GROUP BY 1)
+         |SELECT d.doc_id, w.top2_micro, w.top3_micro, w.dup5_micro,
+         |       (coalesce(w.top2_micro, 0) <= 200000 AND
+         |        coalesce(w.top3_micro, 0) <= 180000 AND
+         |        coalesce(w.dup5_micro, 0) <= 150000) AS keep
+         |FROM documents d LEFT JOIN wide w USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays centroidDrift: per-element micro quantization (the only
+    // rounding), order-free BIGINT sums, truncating integer division
+    // for the mean (// and Spark's div both truncate toward zero),
+    // exact integer dot products, one final double cosine.
+    "x139_centroid_drift" ->
+      """WITH cells AS (
+        |  SELECT label AS grp, CAST(u.i AS INT) AS d,
+        |         CAST(round(embedding[CAST(u.i AS INT)]::DOUBLE * 1000000)
+        |              AS BIGINT) AS m
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+        |  WHERE len(embedding) = 64
+        |    AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |gd AS (SELECT grp, d, CAST(sum(m) AS BIGINT) AS s,
+        |              CAST(count(*) AS BIGINT) AS c
+        |       FROM cells GROUP BY 1, 2),
+        |gc AS (SELECT grp, d, s // c AS g, c FROM gd),
+        |cc AS (SELECT d, CAST(sum(s) AS BIGINT) // CAST(sum(c) AS BIGINT) AS q
+        |       FROM gd GROUP BY d),
+        |agg AS (SELECT grp, CAST(max(c) AS BIGINT) AS n,
+        |               CAST(sum(g * q) AS BIGINT) AS num,
+        |               CAST(sum(g * g) AS BIGINT) AS gg,
+        |               CAST(sum(q * q) AS BIGINT) AS qq
+        |        FROM gc JOIN cc USING (d) GROUP BY grp)
+        |SELECT grp AS label, n,
+        |       CASE WHEN gg > 0 AND qq > 0
+        |            THEN round(num::DOUBLE / (sqrt(gg::DOUBLE) * sqrt(qq::DOUBLE)), 6)
+        |       END AS cos_vs_corpus,
+        |       round(sqrt(gg::DOUBLE) / 1000000.0, 6) AS centroid_norm
+        |FROM agg ORDER BY label""".stripMargin,
+
+    // Replays proportionShift: microsecond midpoint split, exact
+    // integer half counts, ONE fixed double z expression, |z| > 1.96
+    // on the rounded value.
+    "x140_proportion_shift" ->
+      """WITH mid AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS m
+        |             FROM events),
+        |hh AS (SELECT event_type AS t,
+        |              CASE WHEN epoch_us(ts) < mid.m THEN 1 ELSE 2 END AS h
+        |       FROM events CROSS JOIN mid),
+        |hc AS (SELECT t, h, CAST(count(*) AS BIGINT) AS c FROM hh GROUP BY 1, 2),
+        |tot AS (SELECT h, CAST(sum(c) AS BIGINT) AS n FROM hc GROUP BY 1),
+        |wide AS (SELECT t,
+        |    CAST(sum(CASE WHEN h = 1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN h = 2 THEN c ELSE 0 END) AS BIGINT) AS c2
+        |  FROM hc GROUP BY 1),
+        |nt AS (SELECT max(CASE WHEN h = 1 THEN n END) AS n1,
+        |              max(CASE WHEN h = 2 THEN n END) AS n2
+        |       FROM tot),
+        |zz AS (SELECT t AS event_type, c1, n1, c2, n2,
+        |    round((c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE)) /
+        |      sqrt(((c1 + c2) / CAST(n1 + n2 AS DOUBLE)) *
+        |           (1.0 - (c1 + c2) / CAST(n1 + n2 AS DOUBLE)) *
+        |           (1.0 / n1 + 1.0 / n2)), 6) AS z
+        |  FROM wide CROSS JOIN nt)
+        |SELECT event_type, c1, n1, c2, n2, z, abs(z) > 1.96 AS significant
+        |FROM zz ORDER BY event_type""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

@@ -473,6 +473,28 @@ class SequencesSpec extends SparkSpec {
       ("click", 6L, 34L, "2024-01-03", 3L, 78L, 10000000L, 1333333L)))
   }
 
+  test("proportionShift: hand-traced z with the midpoint event in the " +
+      "second half; symmetric shares give ±z") {
+    // window 00:00–02:00, midpoint 01:00; type a: 3 early / 1 late,
+    // type b: 1 early / 3 late (the 01:00 event counts late)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 00:10:00"), 1L, "a"),
+      (3L, ts("2024-01-01 00:20:00"), 1L, "a"),
+      (4L, ts("2024-01-01 01:30:00"), 1L, "a"),
+      (5L, ts("2024-01-01 00:30:00"), 1L, "b"),
+      (6L, ts("2024-01-01 01:00:00"), 1L, "b"),
+      (7L, ts("2024-01-01 01:40:00"), 1L, "b"),
+      (8L, ts("2024-01-01 02:00:00"), 1L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sequences.proportionShift(events)
+      .as[(String, Long, Long, Long, Long, Double, Boolean)].collect()
+    // p1 = 3/4 vs p2 = 1/4, pooled 1/2 → z = 0.5/√0.125 = √2
+    assert(out.toSeq == Seq(
+      ("a", 3L, 4L, 1L, 4L, 1.414214, false),
+      ("b", 1L, 4L, 3L, 4L, -1.414214, false)))
+  }
+
   test("cusumChangepoint: |S| ties break to the earliest day") {
     // 4, 0, 0, 4 → S×N: 8, 0, −8 → tie |8| at k=1 and k=3 → k=1 wins
     val rows = Seq("2024-01-01" -> 4, "2024-01-02" -> 0, "2024-01-03" -> 0,

@@ -21,6 +21,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidDrift: hand-traced integer centroids and cosine; zero-norm " +
+      "and wrong-dim vectors excluded") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 10),
+      (2L, Array(1.0f, 0.0f), 10),
+      (3L, Array(0.0f, 1.0f), 20),
+      (4L, Array(0.0f, 0.0f), 20),      // zero norm → excluded
+      (5L, Array(1.0f, 1.0f, 1.0f), 20)) // wrong dim → excluded
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidDrift(emb, dim = 2)
+      .as[(Int, Long, Option[Double], Double)].collect()
+    // corpus centroid (micro, truncating div by 3): (666666, 333333);
+    // A = (10⁶, 0) → cos 2/√5, B = (0, 10⁶) → cos 1/√5
+    assert(out.toSeq == Seq(
+      (10, 2L, Some(0.894427), 1.0),
+      (20, 1L, Some(0.447214), 1.0)))
+  }
+
   test("brute-force top-k survives zero-norm corpus vectors (null cosine dropped)") {
     // a zero vector has no cosine (CosineSimilarity nulls it out); the
     // typed top-k aggregator must drop it rather than crash on the

@@ -682,6 +682,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.forall(_._4 == 6L))
   }
 
+  test("gopherRepetition: hand-traced char-weighted fractions, NULL for " +
+      "too-short docs, threshold verdict") {
+    val docs = Seq(
+      // "a b" ×3 alternating: top 2-gram 'a b' cm 9/15, top 3-gram
+      // 10/20, no duplicated 5-gram → fails the 0.20 top-2 rule
+      (1L, "a b a b a b"),
+      // 12 distinct tokens: top2 3/33, top3 5/50, dup5 0 → keeps
+      (2L, "a b c d e f g h i j k l"),
+      // single token: no grams at all → NULLs, vacuously kept
+      (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(docs)
+      .orderBy($"doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Boolean)]
+      .collect()
+    assert(out.toSeq == Seq(
+      (1L, Some(600000L), Some(500000L), Some(0L), false),
+      (2L, Some(90909L), Some(100000L), Some(0L), true),
+      (3L, None, None, None, true)))
+  }
+
   test("dsirWeights rejects degenerate parameters") {
     val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
     intercept[IllegalArgumentException] {

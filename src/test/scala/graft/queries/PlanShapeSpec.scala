@@ -881,6 +881,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("x138: one tokenize fan-out, two hash aggregations, a conditional " +
+    "pivot — no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x138(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x139: the corpus centroid broadcasts onto the group frame; the " +
+    "cell collapse is partial+final hash aggregation, no window") {
+    val plan = physical(ExtensionQueries.x139(spark, sf001))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x140: the midpoint and half totals broadcast; the volume collapses " +
+    "in one (type, half) aggregation") {
+    val plan = physical(ExtensionQueries.x140(spark, sf001))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
