@@ -850,4 +850,58 @@ object Sequences {
       .withColumn("significant", abs(col("z")) > lit(1.96))
       .orderBy(col("event_type"))
   }
+
+  /** Session-gap calibration: the corpus-wide distribution of
+    * within-user inter-event gaps, read against a candidate session
+    * threshold — the evidence behind [[sessionTranscripts]]' `gap`
+    * parameter instead of a folklore "1 hour". Ships the exact order-
+    * statistic p50/p90/p99 gap (seconds), the share of gaps the
+    * threshold would split (micro), and the session count the
+    * threshold induces (users + splitting gaps — each over-threshold
+    * gap starts one new session).
+    *
+    * Exactness: gaps are exact integer seconds (µs difference,
+    * truncating division); the percentiles are `percentile_disc` —
+    * an order statistic, no interpolation, engine-identical (the x39
+    * threshold discipline); shares and counts are integer algebra.
+    *
+    * Scale: the per-user lag window partitions by user (event-volume
+    * but key-parallel); the exact global percentile is a sort-based
+    * aggregate — the CALIBRATION read, run once on a sample window.
+    * At full 100 TB the continuous monitor is [[Profile.sampledQuantiles]]
+    * (hash-deterministic sample, same contract) — the same split as
+    * x20's exact-vs-sketch pair.
+    *
+    * Output: 1 row — (n_users, n_gaps, p50_s, p90_s, p99_s,
+    * over_gap_micro, sessions_induced). */
+  def sessionGapCalibration(events: DataFrame, gap: Long = 3600L,
+      userCol: String = "user_id", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    require(gap > 0, s"sessionGapCalibration: gap must be positive, got $gap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val gaps = events
+      .withColumn("__prev", lag(expr(s"unix_micros($tsCol)"), 1).over(w))
+      .select(col(userCol).as("__u"),
+        when(col("__prev").isNotNull,
+          expr(s"(unix_micros($tsCol) - __prev) div 1000000")).as("__gap"))
+    gaps.agg(
+        count_distinct(col("__u")).as("n_users"),
+        count(col("__gap")).as("n_gaps"),
+        // Spark's percentile_disc returns DOUBLE even for integral
+        // input; the gap values are exact integers so the cast back
+        // to BIGINT is lossless (order statistic, no interpolation)
+        expr("cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY __gap) as bigint)")
+          .as("p50_s"),
+        expr("cast(percentile_disc(0.9) WITHIN GROUP (ORDER BY __gap) as bigint)")
+          .as("p90_s"),
+        expr("cast(percentile_disc(0.99) WITHIN GROUP (ORDER BY __gap) as bigint)")
+          .as("p99_s"),
+        sum(when(col("__gap") > gap, 1L).otherwise(0L)).cast("bigint")
+          .as("__over"))
+      .select(col("n_users"), col("n_gaps"), col("p50_s"), col("p90_s"),
+        col("p99_s"),
+        expr("__over * 1000000L div n_gaps").as("over_gap_micro"),
+        (col("n_users") + col("__over")).as("sessions_induced"))
+  }
 }

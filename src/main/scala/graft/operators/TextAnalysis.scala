@@ -1593,6 +1593,45 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6))
   }
 
+  /** Per-document character-level Shannon entropy — the cheapest
+    * "is this text or noise" signal in the filtering literature: very
+    * low entropy = repeated characters/boilerplate walls, very high =
+    * random-looking bytes; natural language sits in a band. Computed
+    * over the lowercased character histogram, in micro-nats:
+    * H = −Σ (c/n)·ln(c/n), with ln quantized ONCE per (doc, char)
+    * class (the x67 discipline — exact integer c and n into one ln,
+    * rounded to micro) and the outer combination pure integer algebra
+    * (−Σ c·lp, one truncating division by n). The `low_entropy` flag
+    * trips below 2 nats — a threshold tuned for letter-histogram
+    * entropy, where natural text runs ≈ 2.7–3.1.
+    *
+    * Scale: one explode-to-characters pass, two partial+final hash
+    * aggregations ((doc, char) then doc) — map-side combine collapses
+    * repeated characters before the exchange, so the shuffled volume
+    * is |alphabet| per doc, not |chars|. Nothing broadcasts.
+    *
+    * Output: (doc_id, n_chars_counted, entropy_micro, low_entropy),
+    * one row per doc with ≥ 1 character. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perChar = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    perChar
+      .withColumn("__n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("c"), col("__n"),
+        round(round(log(col("c").cast("double") / col("__n").cast("double")),
+          6) * lit(1000000.0)).cast("long").as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("__n")).cast("bigint").as("n_chars_counted"),
+        expr("(-sum(c * __lp)) div max(__n)").as("entropy_micro"))
+      .withColumn("low_entropy", col("entropy_micro") < 2000000L)
+  }
+
   /** Gopher-style repetition battery (Rae et al. 2021, §A1.1): the
     * three character-weighted repetition signals the Gopher quality
     * filter thresholds, computed per document —
@@ -1650,6 +1689,70 @@ object TextAnalysis {
         (coalesce(col("top2_micro"), lit(0L)) <= 200000L &&
           coalesce(col("top3_micro"), lit(0L)) <= 180000L &&
           coalesce(col("dup5_micro"), lit(0L)) <= 150000L).as("keep"))
+  }
+
+  /** The x143 default language-mix target (micro shares, sum 10⁶) —
+    * a public constant so the SQL oracle renders its VALUES relation
+    * from the SAME numbers the Spark plan broadcasts. */
+  val DefaultMixTarget: Seq[(String, Long)] = Seq(
+    "en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
+    "fr" -> 150000L, "zh" -> 150000L)
+
+  /** Target-mixture sampling plan: given a token budget and a target
+    * language mix, the per-language sampling rate that gets closest
+    * to the target under availability — the planning step between
+    * x71's per-group budget cap (which takes rates as given) and
+    * x54's equalizing upsample (which ignores budgets). For each
+    * language: desired = budget·share, rate = min(1, desired/avail)
+    * — a language with too little data saturates at rate 1 and the
+    * plan reports the shortfall instead of silently under-delivering
+    * the mix.
+    *
+    * Exactness: token counts are exact integers (the shared
+    * tokenizer); desired, rate (micro), sampled and shortfall are
+    * floor-division integer algebra — engine-identical, and the plan
+    * is REPRODUCIBLE: downstream selection can apply `rate_micro`
+    * with the md5-60 gate (the x30/x95 sampling contract).
+    *
+    * Scale: one tokenize+count aggregation per language (partial+
+    * final); the target map is a literal VALUES relation (broadcast
+    * by construction). Languages in the corpus but not the target
+    * get rate 0 (excluded from the mix); target languages absent
+    * from the corpus surface as avail 0 / shortfall = desired.
+    *
+    * Output: (lang, avail_tokens, target_micro, desired_tokens,
+    * rate_micro, sampled_tokens, shortfall_tokens), ordered by lang. */
+  def targetMixPlan(docs: DataFrame, budgetTokens: Long,
+      targets: Seq[(String, Long)] = DefaultMixTarget,
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0,
+      s"targetMixPlan: budgetTokens must be positive, got $budgetTokens")
+    require(targets.map(_._2).sum == 1000000L,
+      s"targetMixPlan: target shares must sum to 1000000, got ${targets.map(_._2).sum}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = targets.toDF("lang", "target_micro")
+    val avail = docs
+      .select(col(langCol).as("lang"),
+        size(graft.functions.TextFunctions.words(col(textCol)))
+          .cast("bigint").as("__t"))
+      .groupBy(col("lang")).agg(sum(col("__t")).cast("bigint").as("avail_tokens"))
+    avail.join(broadcast(tgt), Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("avail_tokens"), lit(0L)).as("avail_tokens"),
+        coalesce(col("target_micro"), lit(0L)).as("target_micro"))
+      .withColumn("desired_tokens",
+        expr(s"target_micro * ${budgetTokens}L div 1000000L"))
+      .withColumn("rate_micro",
+        when(col("avail_tokens") > 0,
+          least(lit(1000000L),
+            expr("desired_tokens * 1000000L div avail_tokens")))
+          .otherwise(lit(0L)))
+      .withColumn("sampled_tokens",
+        expr("avail_tokens * rate_micro div 1000000L"))
+      .withColumn("shortfall_tokens",
+        greatest(lit(0L), col("desired_tokens") - col("sampled_tokens")))
+      .orderBy(col("lang"))
   }
 
   /** DSIR-style hashed importance weights (Xie et al. 2023, "Data

@@ -1771,6 +1771,30 @@ object ExtensionQueries {
   def x140(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sequences.proportionShift(Tables.load(s, dir, "events"))
 
+  /** x141 session-gap calibration — see
+    * [[graft.operators.Sequences.sessionGapCalibration]]: the exact
+    * inter-event gap order statistics and the session count a 1-hour
+    * threshold induces — the evidence behind x79's gap parameter. */
+  def x141(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.sessionGapCalibration(
+      Tables.load(s, dir, "events"))
+
+  /** x142 character-entropy screen — see
+    * [[graft.operators.TextAnalysis.charEntropy]]: per-doc Shannon
+    * entropy of the lowercased character histogram in micro-nats,
+    * with the < 2-nat low-entropy flag — the cheapest noise screen
+    * in the filter stack. */
+  def x142(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(docs(s, dir)).orderBy(col("doc_id"))
+
+  /** x143 target-mixture sampling plan — see
+    * [[graft.operators.TextAnalysis.targetMixPlan]]: per-language
+    * sampling rates toward the default mix target under a 50k-token
+    * budget, with saturation shortfalls — the planning step x71's
+    * budget cap and x54's upsample both presuppose. */
+  def x143(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.targetMixPlan(docs(s, dir), budgetTokens = 50000L)
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1941,6 +1965,9 @@ object ExtensionQueries {
     "x138_gopher_repetition" -> (x138 _),
     "x139_centroid_drift" -> (x139 _),
     "x140_proportion_shift" -> (x140 _),
+    "x141_session_gap_calibration" -> (x141 _),
+    "x142_char_entropy" -> (x142 _),
+    "x143_target_mix_plan" -> (x143 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4936,6 +4963,83 @@ object ExtensionQueries {
         |  FROM wide CROSS JOIN nt)
         |SELECT event_type, c1, n1, c2, n2, z, abs(z) > 1.96 AS significant
         |FROM zz ORDER BY event_type""".stripMargin,
+
+    // Replays sessionGapCalibration: per-user lag gaps in exact
+    // integer seconds, order-statistic percentiles (no
+    // interpolation), integer share and induced-session algebra.
+    "x141_session_gap_calibration" ->
+      """WITH g AS (SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |       PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap
+        |  FROM events),
+        |a AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |             CAST(count(gap) AS BIGINT) AS n_gaps,
+        |             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)
+        |                  AS BIGINT) AS p50_s,
+        |             CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)
+        |                  AS BIGINT) AS p90_s,
+        |             CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY gap)
+        |                  AS BIGINT) AS p99_s,
+        |             CAST(sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS ov
+        |      FROM g)
+        |SELECT n_users, n_gaps, p50_s, p90_s, p99_s,
+        |       CAST(ov * 1000000 // n_gaps AS BIGINT) AS over_gap_micro,
+        |       n_users + ov AS sessions_induced
+        |FROM a""".stripMargin,
+
+    // Replays charEntropy: lowercased character histogram, ln
+    // quantized once per (doc, char) class, −Σ c·lp // n.
+    "x142_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(t, CAST(u.i AS INT), 1) AS ch
+        |  FROM (SELECT doc_id, lower(text) AS t FROM documents) d,
+        |       LATERAL (SELECT unnest(range(1, length(t) + 1)) AS i) u),
+        |pc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |       FROM ch GROUP BY 1, 2),
+        |pn AS (SELECT doc_id, ch, c,
+        |              CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |       FROM pc),
+        |lp AS (SELECT doc_id, c, n,
+        |    CAST(round(round(ln(c::DOUBLE / n::DOUBLE), 6) * 1000000)
+        |         AS BIGINT) AS lp
+        |  FROM pn)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars_counted,
+        |       CAST((-sum(c * lp)) // max(n) AS BIGINT) AS entropy_micro,
+        |       (-sum(c * lp)) // max(n) < 2000000 AS low_entropy
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Replays targetMixPlan: the target VALUES relation renders from
+    // TextAnalysis.DefaultMixTarget — one source of truth; pure
+    // floor-division planning algebra over exact token counts.
+    "x143_target_mix_plan" -> {
+      val tv = TextAnalysis.DefaultMixTarget
+        .map { case (l, m) => s"('$l', ${m})" }.mkString(", ")
+      s"""WITH tgt(lang, target_micro) AS (VALUES $tv),
+         |avail AS (SELECT lang, CAST(sum(len(${wordsSql("text")})) AS BIGINT)
+         |            AS avail_tokens
+         |          FROM documents GROUP BY 1),
+         |j AS (SELECT coalesce(a.lang, t.lang) AS lang,
+         |             CAST(coalesce(a.avail_tokens, 0) AS BIGINT) AS avail_tokens,
+         |             CAST(coalesce(t.target_micro, 0) AS BIGINT) AS target_micro
+         |      FROM avail a FULL OUTER JOIN tgt t ON a.lang = t.lang),
+         |p AS (SELECT lang, avail_tokens, target_micro,
+         |             CAST(target_micro * 50000 // 1000000 AS BIGINT)
+         |               AS desired_tokens
+         |      FROM j),
+         |r AS (SELECT p.*,
+         |    CAST(CASE WHEN avail_tokens > 0
+         |         THEN least(1000000, desired_tokens * 1000000 // avail_tokens)
+         |         ELSE 0 END AS BIGINT) AS rate_micro
+         |  FROM p)
+         |SELECT lang, avail_tokens, target_micro, desired_tokens, rate_micro,
+         |       CAST(avail_tokens * rate_micro // 1000000 AS BIGINT)
+         |         AS sampled_tokens,
+         |       CAST(greatest(0, desired_tokens -
+         |         avail_tokens * rate_micro // 1000000) AS BIGINT)
+         |         AS shortfall_tokens
+         |FROM r ORDER BY lang""".stripMargin
+    },
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

@@ -495,6 +495,23 @@ class SequencesSpec extends SparkSpec {
       ("b", 1L, 4L, 3L, 4L, -1.414214, false)))
   }
 
+  test("sessionGapCalibration: order-statistic percentiles, gap-free users " +
+      "still counted, induced sessions = users + splitting gaps") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 00:30:00"), 1L, "view"),  // gap 1800
+      (3L, ts("2024-01-01 02:00:00"), 1L, "view"),  // gap 5400 (> 1h)
+      (4L, ts("2024-01-01 00:00:00"), 2L, "view"),  // lone event: no gap
+      (5L, ts("2024-01-01 00:00:00"), 3L, "view"),
+      (6L, ts("2024-01-01 00:10:00"), 3L, "view"))  // gap 600
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sequences.sessionGapCalibration(events)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    // gaps sorted [600, 1800, 5400]: p50 = 1800, p90 = p99 = 5400;
+    // 1 of 3 gaps splits → 333333 micro; sessions = 3 users + 1 split
+    assert(out.toSeq == Seq((3L, 3L, 1800L, 5400L, 5400L, 333333L, 4L)))
+  }
+
   test("cusumChangepoint: |S| ties break to the earliest day") {
     // 4, 0, 0, 4 → S×N: 8, 0, −8 → tie |8| at k=1 and k=3 → k=1 wins
     val rows = Seq("2024-01-01" -> 4, "2024-01-02" -> 0, "2024-01-03" -> 0,

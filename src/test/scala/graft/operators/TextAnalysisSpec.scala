@@ -703,6 +703,54 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, None, None, None, true)))
   }
 
+  test("charEntropy: hand-traced micro-nats — constant text scores zero, " +
+      "uniform alphabets score ln k, case folds before counting") {
+    val docs = Seq(
+      (1L, "aaaa"),           // one class → H = 0 → low
+      (2L, "AbAb"),           // folds to abab → H = ln 2 → low
+      (3L, "abcdefgh"))       // 8 uniform classes → H = ln 8 → not low
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs).orderBy($"doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 4L, 0L, true),
+      (2L, 4L, 693147L, true),
+      (3L, 8L, 2079442L, false)))
+  }
+
+  test("targetMixPlan: saturation reports shortfall, absent target langs " +
+      "get desired-sized shortfalls, off-target langs rate zero") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5", "en"), (2L, "t6 t7 t8 t9 t10", "en"),
+      (3L, "d1 d2", "de"),
+      (4L, "x1 x2 x3 x4 x5", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.targetMixPlan(docs, budgetTokens = 20L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      // de: desired 3 of avail 2 → rate saturates at 1, shortfall 1
+      ("de", 2L, 150000L, 3L, 1000000L, 2L, 1L),
+      // en: desired 8 of avail 10 → rate 0.8, no shortfall
+      ("en", 10L, 400000L, 8L, 800000L, 8L, 0L),
+      // es/fr/zh: in the target, absent from the corpus
+      ("es", 0L, 150000L, 3L, 0L, 0L, 3L),
+      ("fr", 0L, 150000L, 3L, 0L, 0L, 3L),
+      // xx: in the corpus, not in the target → rate 0, no shortfall
+      ("xx", 5L, 0L, 0L, 0L, 0L, 0L),
+      ("zh", 0L, 150000L, 3L, 0L, 0L, 3L)))
+  }
+
+  test("targetMixPlan rejects budgets and share vectors that cannot plan") {
+    val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.targetMixPlan(docs, budgetTokens = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.targetMixPlan(docs, budgetTokens = 10L,
+        targets = Seq("en" -> 500000L))
+    }
+  }
+
   test("dsirWeights rejects degenerate parameters") {
     val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
     intercept[IllegalArgumentException] {

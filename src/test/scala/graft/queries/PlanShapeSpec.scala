@@ -907,6 +907,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("x141: the lag window partitions by user; the percentile aggregate " +
+    "runs on the collapsed gap column, no cartesian") {
+    val plan = physical(ExtensionQueries.x141(spark, sf001))
+    assert(plan.contains("windowspecdefinition(user_id"), plan)
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x142: the character histogram collapses in a hash aggregation " +
+    "before the doc-partitioned total window — shuffled volume is " +
+    "alphabet-sized, not character-sized") {
+    val plan = physical(ExtensionQueries.x142(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("windowspecdefinition(doc_id"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x143: the target relation broadcasts (LocalTableScan side); one " +
+    "language-keyed aggregation, no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x143(spark, sf001))
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
