@@ -610,4 +610,52 @@ object Dedup {
           .cast("bigint").as("chars_kept"))
       .withColumn("savings_micro",
         expr("(chars_total - chars_kept) * 1000000L div chars_total"))
+
+  /** Dedup threshold sweep: how many near-dup pairs and affected docs
+    * each candidate Jaccard threshold would produce — the "choose the
+    * threshold from the data" curve x115's single-threshold savings
+    * presupposes. One pair-relation pass at the FLOOR threshold
+    * serves every decile above it: pairs histogram by jaccard decile,
+    * docs by their MAX pair jaccard decile (a doc is affected at t
+    * iff its best pair clears t), both cumulated downward — so the
+    * sweep costs one extra aggregation, not one near-dup run per
+    * threshold.
+    *
+    * Exactness: jaccard arrives rounded to 6 dp from the pair
+    * kernel; the decile is floor(j·10) on that exact value; the
+    * cumulations are integer window sums over the ≤ 10-row decile
+    * frame. Deciles below the floor threshold are absent by
+    * construction (the relation cannot see them).
+    *
+    * Output: (decile, threshold_micro, n_pairs_ge, n_docs_ge) for
+    * each decile ≥ floor(minJaccard·10), descending coverage as the
+    * threshold rises. */
+  def thresholdSweep(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, prefixK: Int = 8,
+      minJaccard: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = ngramJaccardNearDup(docs, idCol, textCol, ngram, prefixK,
+        minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        least(floor(col("jaccard") * 10).cast("long"), lit(9L)).as("dec"))
+      .localCheckpoint(true) // feeds the pair and the doc histogram
+    val pairHist = pairs.groupBy(col("dec")).agg(count(lit(1)).as("np"))
+    val docBest = pairs
+      .select(col("doc_a").as("d"), col("dec"))
+      .union(pairs.select(col("doc_b").as("d"), col("dec")))
+      .groupBy(col("d")).agg(max(col("dec")).as("dec"))
+      .groupBy(col("dec")).agg(count(lit(1)).as("nd"))
+    val wUp = Window.orderBy(col("dec").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairHist.join(docBest, Seq("dec"), "full_outer")
+      .select(col("dec"),
+        coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("nd"), lit(0L)).as("nd"))
+      .withColumn("n_pairs_ge", sum(col("np")).over(wUp).cast("bigint"))
+      .withColumn("n_docs_ge", sum(col("nd")).over(wUp).cast("bigint"))
+      .select(col("dec").as("decile"),
+        (col("dec") * 100000L).as("threshold_micro"),
+        col("n_pairs_ge"), col("n_docs_ge"))
+      .orderBy(col("decile"))
+  }
 }

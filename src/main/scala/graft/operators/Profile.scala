@@ -753,6 +753,57 @@ object Profile {
           (col("n_keys") * col("n_rows")).cast("double"), 6).as("gini"))
   }
 
+  /** Hill tail-index estimate of a positive value column — HOW heavy
+    * is the distribution's upper tail, the number that turns
+    * [[keyConcentration]]'s "skew exists" into "skew of this order":
+    * α ≈ 1 means a catastrophically heavy tail (plan for giant
+    * outliers — salting, hot-key caps), α > 2 a tail tame enough for
+    * mean-based sizing. Estimator: over the k largest values,
+    * α̂⁻¹ = (1/k)·Σ ln(x_(i)/x_(k+1)) against the (k+1)-th order
+    * statistic.
+    *
+    * Exactness: the top-(k+1) cut orders by (value desc, `idCol`
+    * asc) — a total order, so the reference value x_(k+1) and the
+    * retained set are engine-identical; each ln is quantized once
+    * per retained row to micro-nats (exact integer ratio inputs),
+    * the mean is one truncating division, and α̂ ships as
+    * 10¹²/ᾱ⁻¹-micro — all integer.
+    *
+    * Scale: the only full-volume work is the bounded-heap top-(k+1)
+    * (TakeOrderedAndProject, map-side heaps — never a global sort);
+    * everything after runs on k+1 rows.
+    *
+    * Output: 1 row — (k, x_ref, alpha_inv_micro, alpha_micro). */
+  def hillTailIndex(df: DataFrame, valueCol: String, idCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 2, s"hillTailIndex: k must be >= 2, got $k")
+    val top = df
+      .select(col(valueCol).cast("long").as("__x"), col(idCol).as("__id"))
+      .filter(col("__x") > 0)
+      .orderBy(col("__x").desc, col("__id"))
+      .limit(k + 1)
+      .localCheckpoint(true) // feeds the reference AND the retained set
+    val ref = top.agg(min(col("__x")).as("__ref"))
+    top.join(broadcast(ref))
+      // drop ONE row holding the reference value (the (k+1)-th order
+      // statistic itself) — by (value, id) order the dropped row is
+      // deterministic: the last retained row
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__x").desc, col("__id"))))
+      .filter(col("__rn") <= k)
+      .select(col("__x"), col("__ref"),
+        round(round(log(col("__x").cast("double") /
+          col("__ref").cast("double")), 6) * lit(1000000.0)).cast("long")
+          .as("__lp"))
+      .agg(count(lit(1)).cast("bigint").as("k"),
+        max(col("__ref")).as("x_ref"),
+        expr("sum(__lp) div count(1)").as("alpha_inv_micro"))
+      .withColumn("alpha_micro",
+        when(col("alpha_inv_micro") > 0,
+          expr("1000000000000L div alpha_inv_micro")))
+  }
+
   /** Per-group ROC AUC of a score against a binary label, computed as
     * the exact Mann–Whitney U statistic with midrank tie handling —
     * the single-number discrimination read next to x128's per-decile

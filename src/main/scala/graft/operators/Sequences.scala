@@ -851,6 +851,82 @@ object Sequences {
       .orderBy(col("event_type"))
   }
 
+  /** Population stability index (PSI) of each event type's `value`
+    * distribution between the observation-window halves — the
+    * standard model-monitoring drift score, here the "did the VALUES
+    * shift" companion to [[proportionShift]]'s "did the VOLUME
+    * shift": PSI = Σ_bins (p₂−p₁)·ln(p₂/p₁), with bins the first
+    * half's own quartile edges (so the baseline is by construction
+    * ~25% per bin and drift shows as mass leaving those bins).
+    * Convention: PSI < 0.1 stable, > 0.25 action.
+    *
+    * Exactness: quartile edges are `percentile_disc` order statistics
+    * of first-half values (exact doubles from parquet — comparisons
+    * are engine-identical); bin counts are exact integers with
+    * add-one smoothing (an empty bin must not produce ln 0); each
+    * bin's PSI term is ONE fixed double expression quantized to
+    * micro, and the 4-term total is an integer sum — no double
+    * accumulation across bins.
+    *
+    * Scale: the volume collapses in one (type, half, bin)
+    * aggregation; the per-type edge frame (3 values per type)
+    * broadcasts. Output is one row per event type.
+    *
+    * Output: (event_type, n1, n2, psi_micro, drifted = psi > 0.25). */
+  def valueDriftPsi(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val mid = events.agg(
+      expr(s"(unix_micros(min($tsCol)) + unix_micros(max($tsCol))) div 2")
+        .as("__mid"))
+    val halved = events.join(broadcast(mid))
+      .select(col(typeCol).as("__t"), col(valueCol).as("__v"),
+        when(expr(s"unix_micros($tsCol)") < col("__mid"), 1).otherwise(2)
+          .as("__h"))
+    val edges = halved.filter(col("__h") === 1)
+      .groupBy(col("__t"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY __v)").as("__q1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __v)").as("__q2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY __v)").as("__q3"))
+    val binned = halved.join(broadcast(edges), "__t")
+      .select(col("__t"), col("__h"),
+        when(col("__v") <= col("__q1"), 0)
+          .when(col("__v") <= col("__q2"), 1)
+          .when(col("__v") <= col("__q3"), 2)
+          .otherwise(3).as("__b"))
+      .groupBy(col("__t"), col("__b"))
+      .agg(
+        sum(when(col("__h") === 1, 1L).otherwise(0L)).cast("bigint").as("c1"),
+        sum(when(col("__h") === 2, 1L).otherwise(0L)).cast("bigint").as("c2"))
+    // dense 4-bin spine: a bin empty in BOTH halves still carries its
+    // (small, nonzero) smoothed term — the cell set must not depend
+    // on which bins happened to be observed
+    val spine = edges.select(col("__t"))
+      .select(col("__t"), explode(expr("sequence(0, 3)")).as("__b"))
+    val dense = spine.join(binned, Seq("__t", "__b"), "left")
+      .select(col("__t"), col("__b"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val totals = dense.groupBy(col("__t"))
+      .agg(sum(col("c1")).cast("bigint").as("n1"),
+        sum(col("c2")).cast("bigint").as("n2"))
+    dense.join(broadcast(totals), "__t")
+      // add-one smoothing over the 4-bin space; ONE fixed double
+      // expression per bin, quantized to micro before the sum
+      .select(col("__t"), col("n1"), col("n2"),
+        expr("""CAST(round(round(
+            ((c2 + 1) / CAST(n2 + 4 AS DOUBLE) - (c1 + 1) / CAST(n1 + 4 AS DOUBLE)) *
+            ln(((c2 + 1) * CAST(n1 + 4 AS DOUBLE)) /
+               ((c1 + 1) * CAST(n2 + 4 AS DOUBLE))), 6) * 1000000)
+          AS BIGINT)""").as("__term"))
+      .groupBy(col("__t"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("__term")).cast("bigint").as("psi_micro"))
+      .select(col("__t").as("event_type"), col("n1"), col("n2"),
+        col("psi_micro"), (col("psi_micro") > 250000L).as("drifted"))
+      .orderBy(col("event_type"))
+  }
+
   /** Session-gap calibration: the corpus-wide distribution of
     * within-user inter-event gaps, read against a candidate session
     * threshold — the evidence behind [[sessionTranscripts]]' `gap`

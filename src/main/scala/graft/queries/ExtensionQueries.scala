@@ -1795,6 +1795,28 @@ object ExtensionQueries {
   def x143(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.targetMixPlan(docs(s, dir), budgetTokens = 50000L)
 
+  /** x144 dedup threshold sweep — see
+    * [[graft.operators.Dedup.thresholdSweep]]: pairs and affected
+    * docs per candidate Jaccard decile from ONE pair pass at the
+    * 0.2 floor — the choose-your-threshold curve behind x115. */
+  def x144(s: SparkSession, dir: String): DataFrame =
+    Dedup.thresholdSweep(docs(s, dir))
+
+  /** x145 Hill tail index of doc lengths — see
+    * [[graft.operators.Profile.hillTailIndex]]: α̂ from the top-100
+    * order statistics — the "skew of what order" number behind x66's
+    * Gini and x130's reshard sizing. */
+  def x145(s: SparkSession, dir: String): DataFrame =
+    Profile.hillTailIndex(docs(s, dir), "n_chars", "doc_id", k = 100)
+
+  /** x146 value-drift PSI per event type — see
+    * [[graft.operators.Sequences.valueDriftPsi]]: population
+    * stability index of `value` between the window halves over the
+    * first half's own quartile bins — the "did the VALUES shift"
+    * companion to x140's volume test. */
+  def x146(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.valueDriftPsi(Tables.load(s, dir, "events"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1968,6 +1990,9 @@ object ExtensionQueries {
     "x141_session_gap_calibration" -> (x141 _),
     "x142_char_entropy" -> (x142 _),
     "x143_target_mix_plan" -> (x143 _),
+    "x144_threshold_sweep" -> (x144 _),
+    "x145_hill_tail_index" -> (x145 _),
+    "x146_value_drift_psi" -> (x146 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -5040,6 +5065,97 @@ object ExtensionQueries {
          |         AS shortfall_tokens
          |FROM r ORDER BY lang""".stripMargin
     },
+
+    // Replays thresholdSweep over the brute-force x04 pair relation:
+    // jaccard decile histograms for pairs and per-doc best pairs,
+    // cumulated downward from decile 9.
+    "x144_threshold_sweep" ->
+      s"""WITH $ngramPairsCteSql,
+         |pd AS (SELECT doc_a, doc_b,
+         |              least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS dec
+         |       FROM pairs),
+         |ph AS (SELECT dec, CAST(count(*) AS BIGINT) AS np FROM pd GROUP BY 1),
+         |db AS (SELECT d, max(dec) AS dec FROM (
+         |         SELECT doc_a AS d, dec FROM pd
+         |         UNION ALL SELECT doc_b, dec FROM pd) t GROUP BY d),
+         |dh AS (SELECT dec, CAST(count(*) AS BIGINT) AS nd FROM db GROUP BY 1),
+         |fo AS (SELECT coalesce(ph.dec, dh.dec) AS dec,
+         |              coalesce(ph.np, 0) AS np, coalesce(dh.nd, 0) AS nd
+         |       FROM ph FULL OUTER JOIN dh ON ph.dec = dh.dec)
+         |SELECT dec AS decile, CAST(dec * 100000 AS BIGINT) AS threshold_micro,
+         |       CAST(sum(np) OVER (ORDER BY dec DESC ROWS BETWEEN UNBOUNDED
+         |         PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge,
+         |       CAST(sum(nd) OVER (ORDER BY dec DESC ROWS BETWEEN UNBOUNDED
+         |         PRECEDING AND CURRENT ROW) AS BIGINT) AS n_docs_ge
+         |FROM fo ORDER BY decile""".stripMargin,
+
+    // Replays hillTailIndex: deterministic top-101 by (length desc,
+    // doc_id), (k+1)-th reference, per-row micro-nat ln, integer mean
+    // and reciprocal.
+    "x145_hill_tail_index" ->
+      """WITH top AS (SELECT CAST(n_chars AS BIGINT) AS x, doc_id
+        |             FROM documents WHERE n_chars > 0
+        |             ORDER BY x DESC, doc_id LIMIT 101),
+        |ref AS (SELECT CAST(min(x) AS BIGINT) AS r FROM top),
+        |kept AS (SELECT x, r,
+        |                row_number() OVER (ORDER BY x DESC, doc_id) AS rn
+        |         FROM top CROSS JOIN ref),
+        |lp AS (SELECT x, r,
+        |              CAST(round(round(ln(x::DOUBLE / r::DOUBLE), 6) * 1000000)
+        |                   AS BIGINT) AS lp
+        |       FROM kept WHERE rn <= 100),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(r) AS BIGINT)
+        |        AS x_ref,
+        |        CAST(sum(lp) // count(*) AS BIGINT) AS alpha_inv_micro
+        |      FROM lp)
+        |SELECT k, x_ref, alpha_inv_micro,
+        |       CASE WHEN alpha_inv_micro > 0
+        |            THEN CAST(1000000000000 // alpha_inv_micro AS BIGINT)
+        |       END AS alpha_micro
+        |FROM a""".stripMargin,
+
+    // Replays valueDriftPsi: first-half quartile edges per type, CASE
+    // bins, dense 4-bin spine, add-one smoothing, per-bin micro terms
+    // integer-summed.
+    "x146_value_drift_psi" ->
+      """WITH mid AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS m
+        |             FROM events),
+        |hv AS (SELECT event_type AS t, value AS v,
+        |              CASE WHEN epoch_us(ts) < mid.m THEN 1 ELSE 2 END AS h
+        |       FROM events CROSS JOIN mid),
+        |ed AS (SELECT t,
+        |         percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS q1,
+        |         percentile_disc(0.5)  WITHIN GROUP (ORDER BY v) AS q2,
+        |         percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS q3
+        |       FROM hv WHERE h = 1 GROUP BY t),
+        |bn AS (SELECT hv.t, hv.h,
+        |              CASE WHEN v <= q1 THEN 0 WHEN v <= q2 THEN 1
+        |                   WHEN v <= q3 THEN 2 ELSE 3 END AS b
+        |       FROM hv JOIN ed ON ed.t = hv.t),
+        |bc AS (SELECT t, b,
+        |              CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |              CAST(sum(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |       FROM bn GROUP BY 1, 2),
+        |sp AS (SELECT ed.t, CAST(u.b AS INT) AS b
+        |       FROM ed, LATERAL (SELECT unnest(range(0, 4)) AS b) u),
+        |dn AS (SELECT sp.t, sp.b, coalesce(bc.c1, 0) AS c1,
+        |              coalesce(bc.c2, 0) AS c2
+        |       FROM sp LEFT JOIN bc ON bc.t = sp.t AND bc.b = sp.b),
+        |tt AS (SELECT t, CAST(sum(c1) AS BIGINT) AS n1,
+        |              CAST(sum(c2) AS BIGINT) AS n2
+        |       FROM dn GROUP BY 1),
+        |tm AS (SELECT dn.t, tt.n1, tt.n2,
+        |    CAST(round(round(
+        |      ((c2 + 1) / CAST(tt.n2 + 4 AS DOUBLE) -
+        |       (c1 + 1) / CAST(tt.n1 + 4 AS DOUBLE)) *
+        |      ln(((c2 + 1) * CAST(tt.n1 + 4 AS DOUBLE)) /
+        |         ((c1 + 1) * CAST(tt.n2 + 4 AS DOUBLE))), 6) * 1000000)
+        |      AS BIGINT) AS term
+        |  FROM dn JOIN tt ON tt.t = dn.t)
+        |SELECT t AS event_type, n1, n2,
+        |       CAST(sum(term) AS BIGINT) AS psi_micro,
+        |       CAST(sum(term) AS BIGINT) > 250000 AS drifted
+        |FROM tm GROUP BY t, n1, n2 ORDER BY event_type""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

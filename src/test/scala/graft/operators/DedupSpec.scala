@@ -269,4 +269,21 @@ class DedupSpec extends SparkSpec {
       ("s1", 2L, 1L, 150L, 100L, 333333L), // 50/150 saved → ⌊10⁶/3⌋
       ("s2", 1L, 1L, 80L, 80L, 0L)))
   }
+
+  test("thresholdSweep: decile histograms from one pair pass, cumulated " +
+      "downward; docs count at their best pair's decile") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),  // identical to doc 3 → jaccard 1.0 (dec 9)
+      (2L, "a b c d f"),  // 2 of 4 grams shared with 1 and 3 → 0.5 (dec 5)
+      (3L, "a b c d e"),
+      (4L, "x y z w"))    // disjoint: no pairs
+      .toDF("doc_id", "text")
+    val out = Dedup.thresholdSweep(docs)
+      .as[(Long, Long, Long, Long)].collect()
+    // pairs: (1,3)@9, (1,2)@5, (2,3)@5; best deciles: 1→9, 3→9, 2→5
+    assert(out.toSeq == Seq(
+      (5L, 500000L, 3L, 3L),
+      (9L, 900000L, 1L, 2L)))
+  }
 }

@@ -358,6 +358,19 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq == Seq(("g", 2L, 2L, 875000L), ("p", 1L, 1L, 1000000L)))
   }
 
+  test("hillTailIndex: hand-traced ln ratios against the (k+1)-th order " +
+      "statistic; non-positive values excluded") {
+    import spark.implicits._
+    val df = Seq((1L, 16L), (2L, 8L), (3L, 8L), (4L, 4L), (5L, 2L),
+      (6L, 1L), (7L, 0L), (8L, -3L)).toDF("doc_id", "v")
+    val out = Profile.hillTailIndex(df, "v", "doc_id", k = 4)
+      .as[(Long, Long, Long, Option[Long])].collect()
+    // top-5 = [16,8,8,4,2], ref = 2; lns: ln8, ln4, ln4, ln2 →
+    // (2079442+1386294+1386294+693147) div 4 = 1386294 micro;
+    // α = 10¹² div 1386294
+    assert(out.toSeq == Seq((4L, 2L, 1386294L, Some(721347L))))
+  }
+
   test("rankAuc: a reversed score ranks at exactly 1 − AUC") {
     import spark.implicits._
     val base = Seq(("g", 0.9, 1L), ("g", 0.4, 1L), ("g", 0.6, 0L),

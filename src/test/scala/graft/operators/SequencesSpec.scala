@@ -495,6 +495,35 @@ class SequencesSpec extends SparkSpec {
       ("b", 1L, 4L, 3L, 4L, -1.414214, false)))
   }
 
+  test("valueDriftPsi: identical halves score zero; total mass escaping to " +
+      "the top quartile bin scores the hand-traced smoothed PSI") {
+    def mk(id: Long, t: String, v: Double, at: String) =
+      (id, ts(at), 1L, t, v)
+    var id = 0L
+    def nid() = { id += 1; id }
+    val rows =
+      // type a: same quartet in both halves → PSI 0
+      Seq(1.0 -> "00:00:00", 2.0 -> "00:01:00", 3.0 -> "00:02:00",
+        4.0 -> "00:03:00").map { case (v, at) =>
+        mk(nid(), "a", v, s"2024-01-01 $at") } ++
+      Seq(1.0 -> "01:30:00", 2.0 -> "01:31:00", 3.0 -> "01:32:00",
+        4.0 -> "02:00:00").map { case (v, at) =>
+        mk(nid(), "a", v, s"2024-01-01 $at") } ++
+      // type b: uniform 1..8 first half, all-100 second half
+      (1 to 8).map(i => mk(nid(), "b", i.toDouble,
+        f"2024-01-01 00:${10 + i}%02d:00")) ++
+      (1 to 8).map(i => mk(nid(), "b", 100.0,
+        f"2024-01-01 01:${40 + i}%02d:00"))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Sequences.valueDriftPsi(events)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    // b: bins 0-2 each (1/12 − 3/12)·ln(1/3) = 183102; bin 3
+    // (9/12 − 3/12)·ln 3 = 549306 → total 1098612
+    assert(out.toSeq == Seq(
+      ("a", 4L, 4L, 0L, false),
+      ("b", 8L, 8L, 1098612L, true)))
+  }
+
   test("sessionGapCalibration: order-statistic percentiles, gap-free users " +
       "still counted, induced sessions = users + splitting gaps") {
     val events = Seq(

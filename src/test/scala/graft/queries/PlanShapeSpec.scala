@@ -933,6 +933,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x144: the sweep runs on the checkpointed pair relation — decile " +
+    "windows over the ≤10-row histogram, no second near-dup pass") {
+    val plan = physical(ExtensionQueries.x144(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed pairs
+    assert(plan.contains("windowspecdefinition(dec"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x145: the top-(k+1) cut is a bounded heap (TakeOrderedAndProject), " +
+    "never a global sort of the corpus") {
+    val plan = physical(ExtensionQueries.x145(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x146: quartile edges and totals broadcast; the volume collapses in " +
+    "one (type, bin) aggregation") {
+    val plan = physical(ExtensionQueries.x146(spark, sf001))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
