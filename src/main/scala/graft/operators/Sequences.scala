@@ -927,6 +927,58 @@ object Sequences {
       .orderBy(col("event_type"))
   }
 
+  /** Per-user burstiness of the event stream — Goh & Barabási's
+    * B = (σ−μ)/(σ+μ) over inter-event gaps: −1 = metronome, 0 =
+    * Poisson, → 1 = bursty (long silences punctuated by volleys).
+    * The per-user texture read [[sessionGapCalibration]]'s corpus
+    * percentiles average away — a bot firing on a timer and a human
+    * browsing in bursts can share a mean gap and sit at opposite
+    * ends of B, which is exactly what makes it a bot/anomaly signal.
+    *
+    * Exactness: gaps are exact integer seconds; per-user Σ and Σ²
+    * are exact BIGINT; μ and σ quantize to micro (σ via one fixed
+    * double sqrt over exact integers), and B is one integer
+    * division on the quantized pair — engine-identical, including
+    * the truncation direction for negative numerators (both engines
+    * truncate toward zero). Users with < 2 gaps have no spread
+    * estimate: B is NULL.
+    *
+    * Scale: the lag window is user-partitioned (key-parallel);
+    * everything after is one per-user aggregation. Output is one
+    * row per user with ≥ 1 gap.
+    *
+    * Output: (user_id, n_gaps, mean_gap_micro, sd_gap_micro,
+    * burstiness_micro), ordered by user. */
+  def burstiness(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__prev", lag(expr(s"unix_micros($tsCol)"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(userCol).as("__u"),
+        expr(s"(unix_micros($tsCol) - __prev) div 1000000").as("__g"))
+      .groupBy(col("__u"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__g")).cast("bigint").as("__s"),
+        sum(col("__g") * col("__g")).cast("bigint").as("__ss"))
+      .withColumn("mean_gap_micro", expr("__s * 1000000L div n_gaps"))
+      .withColumn("sd_gap_micro", when(col("n_gaps") > 1,
+        round(sqrt(
+          col("__ss").cast("double") / col("n_gaps").cast("double") -
+            (col("__s").cast("double") / col("n_gaps").cast("double")) *
+              (col("__s").cast("double") / col("n_gaps").cast("double"))) *
+          lit(1000000.0)).cast("long")))
+      .withColumn("burstiness_micro",
+        when(col("sd_gap_micro").isNotNull &&
+            (col("sd_gap_micro") + col("mean_gap_micro")) > 0,
+          expr("""(sd_gap_micro - mean_gap_micro) * 1000000L
+                  div (sd_gap_micro + mean_gap_micro)""")))
+      .select(col("__u").as(userCol), col("n_gaps"), col("mean_gap_micro"),
+        col("sd_gap_micro"), col("burstiness_micro"))
+      .orderBy(col(userCol))
+  }
+
   /** Session-gap calibration: the corpus-wide distribution of
     * within-user inter-event gaps, read against a candidate session
     * threshold — the evidence behind [[sessionTranscripts]]' `gap`

@@ -1691,6 +1691,135 @@ object TextAnalysis {
           coalesce(col("dup5_micro"), lit(0L)) <= 150000L).as("keep"))
   }
 
+  /** Reciprocal-rank fusion of heterogeneous quality signals: rank
+    * every document under each signal independently, score it
+    * Σ 10⁶ div (60 + rank) across signals, keep the fused top-K —
+    * the robust way to combine filter signals whose SCALES don't
+    * compare (a raw quality score, an entropy, a repetition
+    * fraction): RRF only consumes ranks, so one signal's units can
+    * never drown the others, and k=60 (the standard constant) damps
+    * any single ranking's head. Used here to build the "best of the
+    * corpus by all signals at once" shortlist.
+    *
+    * Signals: quality score (desc), char entropy (desc), top-2-gram
+    * repetition (asc — less repetition is better). Each ranking
+    * orders by (signal, doc_id) — a total order, so ranks and
+    * therefore the fused integer scores are engine-identical; the
+    * RRF term is one floor division per (doc, signal).
+    *
+    * Scale: each ranking is a global row_number — acceptable because
+    * the three signal frames are (doc, value) projections and the
+    * window runs once per signal, not per query; at 100 TB rank the
+    * per-shard top-N under each signal first (bounded heaps) and
+    * fuse the shortlist union — same contract, documented here. The
+    * fused top-K cut is a bounded heap.
+    *
+    * Output: (rank, doc_id, rrf_micro, q_rank, e_rank, r_rank),
+    * rank 1..topK by (rrf_micro desc, doc_id). */
+  def signalRankFusion(docs: DataFrame, topK: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topK > 0, s"signalRankFusion: topK must be positive, got $topK")
+    import graft.functions.TextFunctions.qualityScoreRaw
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val q = base.select(col("doc_id"),
+        qualityScoreRaw(col("text")).as("__s"))
+      .withColumn("q_rank", row_number().over(
+        Window.orderBy(col("__s").desc, col("doc_id")))).drop("__s")
+    val e = charEntropy(base).select(col("doc_id"),
+        col("entropy_micro").as("__s"))
+      .withColumn("e_rank", row_number().over(
+        Window.orderBy(col("__s").desc, col("doc_id")))).drop("__s")
+    // docs with no 2-grams carry no repetition evidence: treat as 0
+    // (unrepetitive), the same "missing signal passes" stance as x138
+    val r = base.join(
+        gopherRepetition(base).select(col("doc_id"),
+          coalesce(col("top2_micro"), lit(0L)).as("__s")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .withColumn("r_rank", row_number().over(
+        Window.orderBy(col("__s").asc, col("doc_id")))).drop("__s")
+    q.join(e, "doc_id").join(r, "doc_id")
+      .select(col("doc_id"), col("q_rank"), col("e_rank"), col("r_rank"),
+        (expr("1000000L div (60 + q_rank)") +
+          expr("1000000L div (60 + e_rank)") +
+          expr("1000000L div (60 + r_rank)")).as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("rrf_micro"),
+        col("q_rank"), col("e_rank"), col("r_rank"))
+  }
+
+  /** Neyman allocation of an evaluation budget across strata: sample
+    * size per source ∝ N_h·σ_h (population × spread — high-variance
+    * strata need more eval docs for the same estimator error), with
+    * the LARGEST-REMAINDER method turning real allocations into
+    * integers that sum EXACTLY to the budget — the step most
+    * hand-rolled eval samplers get wrong (floor-only allocations
+    * under-spend; independent rounding over-spends).
+    *
+    * Exactness: σ_h comes from exact integer Σx and Σx² (one sqrt
+    * per stratum, quantized to micro); weights and floor allocations
+    * are integer floor division on the micro weights; remainders
+    * rank by (remainder desc, source asc) — total order, so the +1
+    * set is engine-identical. Single-doc strata (σ undefined) get
+    * σ = 0: they still receive floor allocation from N_h·0 = 0 —
+    * i.e. nothing, the statistically honest answer (one doc cannot
+    * estimate spread; callers wanting a minimum per stratum compose
+    * a floor upstream). Allocation is also capped at N_h (cannot
+    * sample more docs than exist); capped-off budget is NOT
+    * redistributed (the cap is reported, the caller re-plans).
+    *
+    * Scale: one (source) aggregation of count/Σx/Σx² collapses the
+    * corpus; everything after runs on the |sources| frame.
+    *
+    * Output: (source, n_docs, sd_micro, weight_micro, alloc),
+    * Σ alloc = min(budget, Σ min(N_h, …)-cap effects), ordered by
+    * source. */
+  def neymanAllocation(docs: DataFrame, budget: Int,
+      strataCol: String = "source", valueCol: String = "n_chars"): DataFrame = {
+    require(budget > 0, s"neymanAllocation: budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val stats = docs
+      .select(col(strataCol).as("src"), col(valueCol).cast("long").as("__x"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__x")).cast("bigint").as("__s"),
+        sum(col("__x") * col("__x")).cast("bigint").as("__ss"))
+      // population σ: √(Σx²/n − (Σx/n)²), one fixed double expression
+      // over exact integers, quantized once per stratum
+      .withColumn("sd_micro", when(col("n_docs") > 1,
+        round(sqrt(
+          col("__ss").cast("double") / col("n_docs").cast("double") -
+            (col("__s").cast("double") / col("n_docs").cast("double")) *
+              (col("__s").cast("double") / col("n_docs").cast("double"))) *
+          lit(1000000.0)).cast("long")).otherwise(0L))
+      .withColumn("__w", col("n_docs") * col("sd_micro"))
+    val tot = stats.agg(sum(col("__w")).cast("bigint").as("__tw"))
+    val planned = stats.join(broadcast(tot))
+      .withColumn("weight_micro",
+        when(col("__tw") > 0, expr("__w * 1000000L div __tw")).otherwise(0L))
+      .withColumn("__exactB", expr(s"__w * ${budget}L"))
+      .withColumn("__floor", when(col("__tw") > 0,
+        expr("__exactB div __tw")).otherwise(0L))
+      .withColumn("__rem", when(col("__tw") > 0,
+        expr("__exactB % __tw")).otherwise(0L))
+    val leftover = planned.agg(
+      (lit(budget.toLong) - sum(col("__floor"))).cast("bigint").as("__extra"))
+    planned.join(broadcast(leftover))
+      .withColumn("__rr", row_number().over(
+        Window.orderBy(col("__rem").desc, col("src"))))
+      .withColumn("alloc",
+        least(col("n_docs"),
+          col("__floor") + when(col("__rr") <= col("__extra"), 1L)
+            .otherwise(0L)))
+      .select(col("src").as(strataCol), col("n_docs"), col("sd_micro"),
+        col("weight_micro"), col("alloc"))
+      .orderBy(col(strataCol))
+  }
+
   /** The x143 default language-mix target (micro shares, sum 10⁶) —
     * a public constant so the SQL oracle renders its VALUES relation
     * from the SAME numbers the Spark plan broadcasts. */

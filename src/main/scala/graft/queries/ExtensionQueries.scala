@@ -1817,6 +1817,28 @@ object ExtensionQueries {
   def x146(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sequences.valueDriftPsi(Tables.load(s, dir, "events"))
 
+  /** x147 reciprocal-rank fusion of filter signals — see
+    * [[graft.operators.TextAnalysis.signalRankFusion]]: quality,
+    * entropy, and repetition rankings fused by Σ 10⁶ div (60+rank)
+    * — the scale-free way to combine signals whose units don't
+    * compare; top-50 shortlist. */
+  def x147(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.signalRankFusion(docs(s, dir))
+
+  /** x148 Neyman eval-budget allocation — see
+    * [[graft.operators.TextAnalysis.neymanAllocation]]: 100 eval
+    * docs across sources ∝ N_h·σ_h with largest-remainder integer
+    * rounding — allocations sum exactly to the budget. */
+  def x148(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.neymanAllocation(docs(s, dir), budget = 100)
+
+  /** x149 per-user burstiness — see
+    * [[graft.operators.Sequences.burstiness]]: Goh–Barabási
+    * B = (σ−μ)/(σ+μ) over inter-event gaps, the metronome-vs-volley
+    * texture read behind x141's corpus percentiles. */
+  def x149(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.burstiness(Tables.load(s, dir, "events"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -1993,6 +2015,9 @@ object ExtensionQueries {
     "x144_threshold_sweep" -> (x144 _),
     "x145_hill_tail_index" -> (x145 _),
     "x146_value_drift_psi" -> (x146 _),
+    "x147_signal_rank_fusion" -> (x147 _),
+    "x148_neyman_allocation" -> (x148 _),
+    "x149_burstiness" -> (x149 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -5156,6 +5181,117 @@ object ExtensionQueries {
         |       CAST(sum(term) AS BIGINT) AS psi_micro,
         |       CAST(sum(term) AS BIGINT) > 250000 AS drifted
         |FROM tm GROUP BY t, n1, n2 ORDER BY event_type""".stripMargin,
+
+    // Replays signalRankFusion: the shared quality CTE, the x142
+    // entropy chain, the x138 top-2-gram chain (coalesced to 0 for
+    // gram-less docs), (signal, doc_id)-ordered ranks, integer RRF
+    // terms, bounded top-50.
+    "x147_signal_rank_fusion" ->
+      s"""WITH ${qualityCteSql("doc_id")},
+         |ech AS (
+         |  SELECT doc_id, substr(t2, CAST(u.i AS INT), 1) AS ch
+         |  FROM (SELECT doc_id, lower(text) AS t2 FROM documents) dd,
+         |       LATERAL (SELECT unnest(range(1, length(t2) + 1)) AS i) u),
+         |epc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+         |        FROM ech GROUP BY 1, 2),
+         |epn AS (SELECT doc_id, ch, c,
+         |               CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+         |        FROM epc),
+         |elp AS (SELECT doc_id, c, n,
+         |    CAST(round(round(ln(c::DOUBLE / n::DOUBLE), 6) * 1000000)
+         |         AS BIGINT) AS lp
+         |  FROM epn),
+         |ent AS (SELECT doc_id, CAST((-sum(c * lp)) // max(n) AS BIGINT) AS e
+         |        FROM elp GROUP BY doc_id),
+         |tk2 AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |g2 AS (SELECT doc_id, unnest(${wordNgramsSql(2, distinct = false)})
+         |         AS gram FROM tk2),
+         |pg2 AS (SELECT doc_id, gram, count(*) AS c,
+         |               CAST(count(*) * length(gram) AS BIGINT) AS cm
+         |        FROM g2 GROUP BY 1, 2),
+         |rp AS (SELECT doc_id, CAST(max(cm) * 1000000 // sum(cm) AS BIGINT)
+         |         AS r FROM pg2 GROUP BY doc_id),
+         |qr_r AS (SELECT doc_id,
+         |           row_number() OVER (ORDER BY qr DESC, doc_id) AS q_rank
+         |         FROM q),
+         |e_r AS (SELECT doc_id,
+         |          row_number() OVER (ORDER BY e DESC, doc_id) AS e_rank
+         |        FROM ent),
+         |r_r AS (SELECT d.doc_id,
+         |          row_number() OVER (ORDER BY coalesce(rp.r, 0) ASC,
+         |            d.doc_id) AS r_rank
+         |        FROM documents d LEFT JOIN rp USING (doc_id)),
+         |fused AS (SELECT qr_r.doc_id, q_rank, e_rank, r_rank,
+         |    CAST(1000000 // (60 + q_rank) + 1000000 // (60 + e_rank) +
+         |         1000000 // (60 + r_rank) AS BIGINT) AS rrf_micro
+         |  FROM qr_r JOIN e_r USING (doc_id) JOIN r_r USING (doc_id)),
+         |top AS (SELECT * FROM fused
+         |        ORDER BY rrf_micro DESC, doc_id LIMIT 50)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+         |         AS INT) AS rank,
+         |       doc_id, rrf_micro,
+         |       CAST(q_rank AS INT) AS q_rank, CAST(e_rank AS INT) AS e_rank,
+         |       CAST(r_rank AS INT) AS r_rank
+         |FROM top ORDER BY rank""".stripMargin,
+
+    // Replays neymanAllocation: exact moment sums, one sqrt per
+    // stratum quantized to micro, floor + largest-remainder integer
+    // rounding, N_h cap.
+    "x148_neyman_allocation" ->
+      """WITH st AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n_docs,
+        |                   CAST(sum(n_chars) AS BIGINT) AS s,
+        |                   CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+        |            FROM documents GROUP BY 1),
+        |sd AS (SELECT src, n_docs,
+        |    CASE WHEN n_docs > 1 THEN CAST(round(sqrt(
+        |      ss::DOUBLE / n_docs::DOUBLE -
+        |      (s::DOUBLE / n_docs::DOUBLE) * (s::DOUBLE / n_docs::DOUBLE))
+        |      * 1000000) AS BIGINT) ELSE 0 END AS sd_micro
+        |  FROM st),
+        |w AS (SELECT src, n_docs, sd_micro, n_docs * sd_micro AS w FROM sd),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+        |p AS (SELECT w.src, n_docs, sd_micro,
+        |             CAST(CASE WHEN tw > 0 THEN w * 1000000 // tw
+        |                  ELSE 0 END AS BIGINT) AS weight_micro,
+        |             CAST(CASE WHEN tw > 0 THEN (w * 100) // tw
+        |                  ELSE 0 END AS BIGINT) AS fl,
+        |             CAST(CASE WHEN tw > 0 THEN (w * 100) % tw
+        |                  ELSE 0 END AS BIGINT) AS rem
+        |      FROM w CROSS JOIN tw),
+        |ex AS (SELECT CAST(100 - sum(fl) AS BIGINT) AS extra FROM p),
+        |r AS (SELECT p.*, row_number() OVER (ORDER BY rem DESC, src) AS rr
+        |      FROM p)
+        |SELECT src AS source, n_docs, sd_micro, weight_micro,
+        |       CAST(least(n_docs, fl + CASE WHEN rr <= ex.extra THEN 1
+        |         ELSE 0 END) AS BIGINT) AS alloc
+        |FROM r CROSS JOIN ex ORDER BY source""".stripMargin,
+
+    // Replays burstiness: per-user lag gaps, exact moment sums, one
+    // sqrt quantized, B on the quantized micro pair (both engines
+    // truncate toward zero on the signed division).
+    "x149_burstiness" ->
+      """WITH g AS (SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |       PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap
+        |  FROM events),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |             CAST(sum(gap) AS BIGINT) AS s,
+        |             CAST(sum(gap * gap) AS BIGINT) AS ss
+        |      FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |m AS (SELECT user_id, n_gaps,
+        |             CAST(s * 1000000 // n_gaps AS BIGINT) AS mean_gap_micro,
+        |             CASE WHEN n_gaps > 1 THEN CAST(round(sqrt(
+        |               ss::DOUBLE / n_gaps::DOUBLE -
+        |               (s::DOUBLE / n_gaps::DOUBLE) * (s::DOUBLE / n_gaps::DOUBLE))
+        |               * 1000000) AS BIGINT) END AS sd_gap_micro
+        |      FROM a)
+        |SELECT user_id, n_gaps, mean_gap_micro, sd_gap_micro,
+        |       CASE WHEN sd_gap_micro IS NOT NULL
+        |                  AND sd_gap_micro + mean_gap_micro > 0
+        |            THEN CAST((sd_gap_micro - mean_gap_micro) * 1000000
+        |                      // (sd_gap_micro + mean_gap_micro) AS BIGINT)
+        |       END AS burstiness_micro
+        |FROM m ORDER BY user_id""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

@@ -495,6 +495,31 @@ class SequencesSpec extends SparkSpec {
       ("b", 1L, 4L, 3L, 4L, -1.414214, false)))
   }
 
+  test("burstiness: a metronome scores −1, symmetric 0/100 gaps score 0, " +
+      "a single gap has no spread estimate, lone events vanish") {
+    val events = Seq(
+      // user 1: perfectly periodic → B = −1
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 00:00:10"), 1L, "view"),
+      (3L, ts("2024-01-01 00:00:20"), 1L, "view"),
+      // user 2: gaps [0, 100] → σ = μ = 50 → B = 0
+      (4L, ts("2024-01-01 00:00:00"), 2L, "view"),
+      (5L, ts("2024-01-01 00:00:00"), 2L, "view"),
+      (6L, ts("2024-01-01 00:01:40"), 2L, "view"),
+      // user 3: one event → no gaps, no row
+      (7L, ts("2024-01-01 00:00:00"), 3L, "view"),
+      // user 4: one gap → mean but NULL spread and B
+      (8L, ts("2024-01-01 00:00:00"), 4L, "view"),
+      (9L, ts("2024-01-01 00:00:30"), 4L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sequences.burstiness(events)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 10000000L, Some(0L), Some(-1000000L)),
+      (2L, 2L, 50000000L, Some(50000000L), Some(0L)),
+      (4L, 1L, 30000000L, None, None)))
+  }
+
   test("valueDriftPsi: identical halves score zero; total mass escaping to " +
       "the top quartile bin scores the hand-traced smoothed PSI") {
     def mk(id: Long, t: String, v: Double, at: String) =

@@ -751,6 +751,53 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("signalRankFusion: ranks are dense permutations, the fused score " +
+      "replays the integer RRF formula, and order follows it") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and then walked away quietly today"),
+      (2L, "aaa aaa aaa aaa aaa aaa"),
+      (3L, "the of and is in it you that he was for on are with as"),
+      (4L, "zz"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.signalRankFusion(docs, topK = 4)
+      .as[(Int, Long, Long, Int, Int, Int)].collect()
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // each signal rank is a permutation of 1..4
+    assert(out.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(out.map(_._5).sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(out.map(_._6).sorted.toSeq == Seq(1, 2, 3, 4))
+    // the fused score IS the integer RRF of the three ranks
+    out.foreach { case (_, _, rrf, q, e, r) =>
+      assert(rrf == 1000000L / (60 + q) + 1000000L / (60 + e) +
+        1000000L / (60 + r))
+    }
+    // output is ordered by (rrf desc, doc_id)
+    assert(out.sortBy(t => (-t._3, t._2)).toSeq == out.toSeq)
+  }
+
+  test("neymanAllocation: largest remainder spends the budget exactly when " +
+      "uncapped; N_h caps bind; zero-spread and singleton strata get zero") {
+    // uncapped: sd ratios 2:4 over equal sizes → allocs 1 and 2 of 3
+    val a = Seq((1L, 0L, "s1"), (2L, 4L, "s1"), (3L, 0L, "s5"),
+      (4L, 8L, "s5")).toDF("doc_id", "n_chars", "source")
+    val outA = TextAnalysis.neymanAllocation(a, budget = 3)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(outA.toSeq == Seq(
+      ("s1", 2L, 2000000L, 333333L, 1L),
+      ("s5", 2L, 4000000L, 666666L, 2L)))
+    // capped: s1 wins the remainder tie (src asc) but caps at n_docs
+    val b = Seq((1L, 1L, "s1"), (2L, 5L, "s1"), (3L, 10L, "s2"),
+      (4L, 10L, "s2"), (5L, 7L, "s3"), (6L, 2L, "s4"), (7L, 6L, "s4"))
+      .toDF("doc_id", "n_chars", "source")
+    val outB = TextAnalysis.neymanAllocation(b, budget = 5)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(outB.toSeq == Seq(
+      ("s1", 2L, 2000000L, 500000L, 2L), // floor 2 + remainder 1, capped at 2
+      ("s2", 2L, 0L, 0L, 0L),            // zero spread → zero weight
+      ("s3", 1L, 0L, 0L, 0L),            // singleton → no spread estimate
+      ("s4", 2L, 2000000L, 500000L, 2L)))
+  }
+
   test("dsirWeights rejects degenerate parameters") {
     val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
     intercept[IllegalArgumentException] {

@@ -956,6 +956,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x147: the fused top-K cut is a bounded heap; signal joins are " +
+    "doc-keyed equi-joins, no cartesian") {
+    val plan = physical(ExtensionQueries.x147(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x148: one stratum aggregation collapses the corpus; the 1-row " +
+    "weight total and leftover broadcast; the remainder window runs on " +
+    "the |strata| frame") {
+    val plan = physical(ExtensionQueries.x148(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x149: the lag window partitions by user; everything after is one " +
+    "user-keyed aggregation, no cartesian") {
+    val plan = physical(ExtensionQueries.x149(spark, sf001))
+    assert(plan.contains("windowspecdefinition(user_id"), plan)
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
