@@ -611,6 +611,52 @@ object Dedup {
       .withColumn("savings_micro",
         expr("(chars_total - chars_kept) * 1000000L div chars_total"))
 
+  /** Containment DIRECTION of near-dup pairs: Jaccard is symmetric,
+    * so a short document quoted inside a long one scores low even
+    * when the short doc is entirely contained — the classic quote/
+    * excerpt blind spot. For every pair the symmetric relation
+    * surfaces, this adds containment = |A∩B| / min(|A|, |B|) (the
+    * overlap coefficient) and which side is the contained one — the
+    * read that separates "true near-twins" (mutual, sizes close)
+    * from "B embeds A" (asymmetric), which dedup keep-rules treat
+    * differently (drop the twin; keep both for the quote).
+    *
+    * Exactness: the intersection is the exact integer size of
+    * `array_intersect` on the sorted distinct gram-hash sketches
+    * (set semantics on both engines); sizes and the micro overlap
+    * are integer algebra; direction compares integers with the
+    * contained-side tie going to `both_equal`.
+    *
+    * Scale: reuses the sketch + candidate machinery of
+    * [[ngramJaccardNearDup]] (ONE sketch build feeds candidates,
+    * Jaccard, sizes, and the intersection — the frame is
+    * localCheckpoint'd); the add-on work is per-PAIR, bounded by the
+    * pair relation, never corpus².
+    *
+    * Output: (doc_a, doc_b, jaccard, size_a, size_b, isz,
+    * containment_micro, direction), ordered by (doc_a, doc_b). */
+  def pairContainment(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, prefixK: Int = 8,
+      minJaccard: Double = 0.2): DataFrame = {
+    val sh = ngramSketch(docs, idCol, textCol, ngram).localCheckpoint(true)
+    val pairs = ngramJaccardNearDupSketched(sh, prefixK, minJaccard)
+    pairs
+      .join(sh.toDF("doc_a", "__sa"), "doc_a")
+      .join(sh.toDF("doc_b", "__sb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        size(col("__sa")).cast("bigint").as("size_a"),
+        size(col("__sb")).cast("bigint").as("size_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("bigint")
+          .as("isz"))
+      .withColumn("containment_micro",
+        expr("isz * 1000000L div least(size_a, size_b)"))
+      .withColumn("direction",
+        when(col("size_a") < col("size_b"), "a_in_b")
+          .when(col("size_a") > col("size_b"), "b_in_a")
+          .otherwise("both_equal"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Dedup threshold sweep: how many near-dup pairs and affected docs
     * each candidate Jaccard threshold would produce — the "choose the
     * threshold from the data" curve x115's single-threshold savings

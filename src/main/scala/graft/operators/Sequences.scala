@@ -927,6 +927,66 @@ object Sequences {
       .orderBy(col("event_type"))
   }
 
+  /** Mann–Kendall trend test on each event type's daily count series
+    * — the NONPARAMETRIC trend read next to [[weeklyTrend]]'s OLS
+    * slope: S = Σ_{i<j} sign(x_j − x_i) counts concordant minus
+    * discordant day pairs, so a single spike day cannot fake a trend
+    * the way it can drag a least-squares fit. Variance uses the
+    * tie-corrected formula ×18 (`var18` = n(n−1)(2n+5) −
+    * Σ t(t−1)(2t+5)) to stay in exact BIGINT; z applies the standard
+    * continuity correction (S ∓ 1).
+    *
+    * Exactness: S, n, and var18 are pure integer algebra on the
+    * dense zero-filled spine (same calendar contract as
+    * [[cusumChangepoint]]); z is ONE fixed double expression over
+    * them, quantized to micro; the verdict compares the rounded z.
+    *
+    * Scale: the volume collapses to (type, day) counts first; the
+    * pair join is an equi-join on type with a day<day residual —
+    * days²-bounded per type (a calendar property, not a data one).
+    *
+    * Output: (event_type, n_days, s_stat, var18, z, trend ∈
+    * {increasing, decreasing, none}). */
+  def mannKendall(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("__t"), to_date(col(tsCol)).as("__day"))
+      .groupBy(col("__t"), col("__day")).agg(count(lit(1)).as("__x"))
+    val spans = daily.groupBy(col("__t"))
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val dense = spans
+      .select(col("__t"),
+        explode(expr("sequence(__lo, __hi, interval 1 day)")).as("__day"))
+      .join(daily, Seq("__t", "__day"), "left")
+      .select(col("__t"), col("__day"), coalesce(col("__x"), lit(0L)).as("__x"))
+      .localCheckpoint(true) // feeds the pair join, the tie groups, n
+    val s = dense.as("a").join(dense.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__day") < col("b.__day"))
+      .groupBy(col("a.__t").as("__t"))
+      .agg(sum(signum(col("b.__x") - col("a.__x")).cast("long"))
+        .cast("bigint").as("s_stat"))
+    val ties = dense.groupBy(col("__t"), col("__x"))
+      .agg(count(lit(1)).as("__tg"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__ng"), // unused beyond sanity; keeps shape clear
+        sum(col("__tg") * (col("__tg") - 1) * (lit(2L) * col("__tg") + 5))
+          .cast("bigint").as("__tiecorr"),
+        sum(col("__tg")).cast("bigint").as("n_days"))
+    s.join(ties, "__t")
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5) -
+          col("__tiecorr"))
+      .withColumn("z", when(col("var18") > 0,
+        expr("""round((s_stat - CAST(sign(s_stat) AS BIGINT)) /
+                sqrt(var18 / 18.0), 6)""")))
+      .select(col("__t").as("event_type"), col("n_days"), col("s_stat"),
+        col("var18"), col("z"),
+        when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing")
+          .otherwise("none").as("trend"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-user burstiness of the event stream — Goh & Barabási's
     * B = (σ−μ)/(σ+μ) over inter-event gaps: −1 = metronome, 0 =
     * Poisson, → 1 = bursty (long silences punctuated by volleys).

@@ -1691,6 +1691,70 @@ object TextAnalysis {
           coalesce(col("dup5_micro"), lit(0L)) <= 150000L).as("keep"))
   }
 
+  /** Heaps-law vocabulary growth: distinct-vocabulary size at nested
+    * 25/50/75/100% corpus samples, with the fitted Heaps exponent β
+    * (V ≈ K·Nᵝ) — the "how much new vocabulary does more data buy"
+    * curve that sizes tokenizers and predicts OOV decay at 10× the
+    * corpus. The samples are NESTED by construction (md5-60(doc_id)
+    * mod 100 < pct — a doc in the 25% sample is in every larger one),
+    * so the curve is monotone and the fit is over a real growth path,
+    * not four independent draws.
+    *
+    * Exactness: token and vocabulary counts are exact integers from
+    * ONE tokenize pass (conditional distinct-counts per percentile);
+    * ln N and ln V quantize once per point to MILLI-nats (coarser
+    * than the usual micro to keep the 4-point OLS cross-products in
+    * BIGINT); β is the exact integer least-squares slope over the 4
+    * quantized points, shipped in micro. English-like corpora fit
+    * β ≈ 0.4–0.6; β near 1 means the "vocabulary" is unbounded ids,
+    * not words — a schema smell worth alarming on.
+    *
+    * Scale: one explode + one multi-distinct aggregation (Spark
+    * expands the 4 conditional distincts into one Expand — still a
+    * single pass over the token frame); the OLS runs on 4 rows.
+    *
+    * Output: (pct, n_docs, n_tokens, vocab, beta_micro) — 4 rows,
+    * beta repeated (it is a property of the curve). */
+  def heapsLawGrowth(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        pmod(md5Bucket60(col(idCol)), lit(100L)).as("__b"),
+        explode(words(col(textCol))).as("term"))
+    val pcts = Seq(25, 50, 75, 100)
+    val aggs = pcts.flatMap { p =>
+      Seq(
+        countDistinct(when(col("__b") < p, col("doc_id"))).as(s"__d$p"),
+        sum(when(col("__b") < p, 1L).otherwise(0L)).cast("bigint").as(s"__n$p"),
+        countDistinct(when(col("__b") < p, col("term"))).as(s"__v$p"))
+    }
+    val wide = toks.agg(aggs.head, aggs.tail: _*)
+    val long = pcts.map { p =>
+      wide.select(lit(p).as("pct"), col(s"__d$p").as("n_docs"),
+        col(s"__n$p").as("n_tokens"), col(s"__v$p").as("vocab"))
+    }.reduce(_ unionAll _)
+      .withColumn("__x",
+        round(round(log(col("n_tokens").cast("double")), 3) * lit(1000.0))
+          .cast("long"))
+      .withColumn("__y",
+        round(round(log(col("vocab").cast("double")), 3) * lit(1000.0))
+          .cast("long"))
+    val fit = long.agg(
+        count(lit(1)).as("__k"),
+        sum(col("__x")).cast("bigint").as("__sx"),
+        sum(col("__y")).cast("bigint").as("__sy"),
+        sum(col("__x") * col("__y")).cast("bigint").as("__sxy"),
+        sum(col("__x") * col("__x")).cast("bigint").as("__sxx"))
+      .select(
+        when(col("__k") * col("__sxx") - col("__sx") * col("__sx") > 0,
+          expr("""(__k * __sxy - __sx * __sy) * 1000000L
+                  div (__k * __sxx - __sx * __sx)""")).as("beta_micro"))
+    long.select(col("pct"), col("n_docs"), col("n_tokens"), col("vocab"))
+      .join(broadcast(fit))
+      .orderBy(col("pct"))
+  }
+
   /** Reciprocal-rank fusion of heterogeneous quality signals: rank
     * every document under each signal independently, score it
     * Σ 10⁶ div (60 + rank) across signals, keep the fused top-K —

@@ -1839,6 +1839,27 @@ object ExtensionQueries {
   def x149(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sequences.burstiness(Tables.load(s, dir, "events"))
 
+  /** x150 Mann–Kendall trend per event type — see
+    * [[graft.operators.Sequences.mannKendall]]: concordant-minus-
+    * discordant day pairs with tie-corrected variance — the
+    * spike-robust trend verdict next to x123's OLS slope. */
+  def x150(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.mannKendall(Tables.load(s, dir, "events"))
+
+  /** x151 near-dup containment direction — see
+    * [[graft.operators.Dedup.pairContainment]]: overlap coefficient
+    * + contained-side flag over the x04 pair relation — separates
+    * near-twins from quote/excerpt embeddings. */
+  def x151(s: SparkSession, dir: String): DataFrame =
+    Dedup.pairContainment(docs(s, dir))
+
+  /** x152 Heaps-law vocabulary growth — see
+    * [[graft.operators.TextAnalysis.heapsLawGrowth]]: vocabulary at
+    * nested 25/50/75/100% hash samples with the fitted Heaps β —
+    * the "what does more data buy" curve for tokenizer sizing. */
+  def x152(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heapsLawGrowth(docs(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2018,6 +2039,9 @@ object ExtensionQueries {
     "x147_signal_rank_fusion" -> (x147 _),
     "x148_neyman_allocation" -> (x148 _),
     "x149_burstiness" -> (x149 _),
+    "x150_mann_kendall" -> (x150 _),
+    "x151_pair_containment" -> (x151 _),
+    "x152_heaps_law" -> (x152 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -5292,6 +5316,96 @@ object ExtensionQueries {
         |                      // (sd_gap_micro + mean_gap_micro) AS BIGINT)
         |       END AS burstiness_micro
         |FROM m ORDER BY user_id""".stripMargin,
+
+    // Replays mannKendall: dense zero-filled spine (the x135
+    // contract), pairwise sign sum, tie-corrected ×18 variance in
+    // BIGINT, one continuity-corrected z, verdict on the rounded z.
+    "x150_mann_kendall" ->
+      """WITH daily AS (SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |                      CAST(count(*) AS BIGINT) AS x
+        |               FROM events GROUP BY 1, 2),
+        |spans AS (SELECT t, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |spine AS (SELECT s.t, CAST(u.d AS DATE) AS day
+        |          FROM spans s, LATERAL (
+        |            SELECT unnest(generate_series(s.lo::TIMESTAMP,
+        |              s.hi::TIMESTAMP, INTERVAL 1 DAY)) AS d) u),
+        |dense AS (SELECT sp.t, sp.day, coalesce(d.x, 0) AS x
+        |          FROM spine sp LEFT JOIN daily d
+        |            ON d.t = sp.t AND d.day = sp.day),
+        |s AS (SELECT a.t, CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s_stat
+        |      FROM dense a JOIN dense b ON a.t = b.t AND a.day < b.day
+        |      GROUP BY 1),
+        |tg AS (SELECT t, x, CAST(count(*) AS BIGINT) AS g
+        |       FROM dense GROUP BY 1, 2),
+        |ti AS (SELECT t, CAST(sum(g * (g - 1) * (2 * g + 5)) AS BIGINT) AS tc,
+        |              CAST(sum(g) AS BIGINT) AS n
+        |       FROM tg GROUP BY 1),
+        |v AS (SELECT s.t, ti.n, s.s_stat,
+        |             ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tc AS var18
+        |      FROM s JOIN ti ON ti.t = s.t),
+        |zz AS (SELECT t, n, s_stat, var18,
+        |    CASE WHEN var18 > 0 THEN round(
+        |      (s_stat - CAST(sign(s_stat) AS BIGINT)) / sqrt(var18 / 18.0), 6)
+        |    END AS z
+        |  FROM v)
+        |SELECT t AS event_type, n AS n_days, s_stat, var18, z,
+        |       CASE WHEN z > 1.96 THEN 'increasing'
+        |            WHEN z < -1.96 THEN 'decreasing'
+        |            ELSE 'none' END AS trend
+        |FROM zz ORDER BY event_type""".stripMargin,
+
+    // Replays pairContainment on the x04 relation: ipairs already
+    // carries the exact intersection and set sizes; the overlap
+    // coefficient and direction are integer algebra on them.
+    "x151_pair_containment" ->
+      s"""WITH $ngramPairsCteSql,
+         |o AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+         |             CAST(i.sa AS BIGINT) AS size_a,
+         |             CAST(i.sb AS BIGINT) AS size_b,
+         |             CAST(i.isz AS BIGINT) AS isz
+         |      FROM pairs p JOIN ipairs i
+         |        ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b)
+         |SELECT doc_a, doc_b, jaccard, size_a, size_b, isz,
+         |       CAST(isz * 1000000 // least(size_a, size_b) AS BIGINT)
+         |         AS containment_micro,
+         |       CASE WHEN size_a < size_b THEN 'a_in_b'
+         |            WHEN size_a > size_b THEN 'b_in_a'
+         |            ELSE 'both_equal' END AS direction
+         |FROM o ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Replays heapsLawGrowth: the md5-60 mod-100 nested samples,
+    // conditional distinct counts, milli-nat lns, exact 4-point OLS.
+    "x152_heaps_law" -> {
+      val bucket = s"${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 100"
+      val pt = (p: Int) =>
+        s"""SELECT $p AS pct,
+           |  CAST(count(DISTINCT CASE WHEN b < $p THEN doc_id END) AS BIGINT)
+           |    AS n_docs,
+           |  CAST(sum(CASE WHEN b < $p THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_tokens,
+           |  CAST(count(DISTINCT CASE WHEN b < $p THEN term END) AS BIGINT)
+           |    AS vocab
+           |FROM toks""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, $bucket AS b, unnest(ws) AS term
+         |  FROM (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents) t),
+         |pts AS (${Seq(25, 50, 75, 100).map(pt).mkString("\n  UNION ALL\n")}),
+         |xy AS (SELECT pct, n_docs, n_tokens, vocab,
+         |    CAST(round(round(ln(n_tokens::DOUBLE), 3) * 1000) AS BIGINT) AS x,
+         |    CAST(round(round(ln(vocab::DOUBLE), 3) * 1000) AS BIGINT) AS y
+         |  FROM pts),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM xy),
+         |bb AS (SELECT CASE WHEN k * sxx - sx * sx > 0
+         |         THEN CAST((k * sxy - sx * sy) * 1000000
+         |                   // (k * sxx - sx * sx) AS BIGINT)
+         |       END AS beta_micro FROM f)
+         |SELECT pct, n_docs, n_tokens, vocab, beta_micro
+         |FROM xy CROSS JOIN bb ORDER BY pct""".stripMargin
+    },
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

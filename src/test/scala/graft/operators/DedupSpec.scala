@@ -270,6 +270,23 @@ class DedupSpec extends SparkSpec {
       ("s2", 1L, 1L, 80L, 80L, 0L)))
   }
 
+  test("pairContainment: a full subset scores overlap 1 with the contained " +
+      "side flagged; equal-size twins read both_equal") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),  // grams {abc,bcd,cde,def} — contains doc 2
+      (2L, "a b c d"),      // grams {abc,bcd} ⊂ doc 1
+      (3L, "x y z"),        // disjoint
+      (4L, "a b c d"))      // identical twin of doc 2
+      .toDF("doc_id", "text")
+    val out = Dedup.pairContainment(docs)
+      .as[(Long, Long, Double, Long, Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0.5, 4L, 2L, 2L, 1000000L, "b_in_a"),
+      (1L, 4L, 0.5, 4L, 2L, 2L, 1000000L, "b_in_a"),
+      (2L, 4L, 1.0, 2L, 2L, 2L, 1000000L, "both_equal")))
+  }
+
   test("thresholdSweep: decile histograms from one pair pass, cumulated " +
       "downward; docs count at their best pair's decile") {
     import spark.implicits._

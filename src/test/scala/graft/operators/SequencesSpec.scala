@@ -495,6 +495,31 @@ class SequencesSpec extends SparkSpec {
       ("b", 1L, 4L, 3L, 4L, -1.414214, false)))
   }
 
+  test("mannKendall: monotone series score ±S with hand-traced z; an " +
+      "all-tied series has zero variance and no verdict") {
+    val rows =
+      // 'up': 1,2,3 over 3 days → S=3, var18=66, z = 2/√(66/18)
+      Seq("2024-01-01" -> 1, "2024-01-02" -> 2, "2024-01-03" -> 3)
+        .flatMap { case (d, n) => (1 to n).map(i =>
+          (d.hashCode.toLong * 100 + i, ts(s"$d 12:00:00"), 1L, "up")) } ++
+      // 'down': 5,4,3,2,1 → S=−10, var18=300, z = −9/√(300/18)
+      Seq("2024-01-01" -> 5, "2024-01-02" -> 4, "2024-01-03" -> 3,
+        "2024-01-04" -> 2, "2024-01-05" -> 1)
+        .flatMap { case (d, n) => (1 to n).map(i =>
+          (d.hashCode.toLong * 1000 + i, ts(s"$d 12:00:00"), 1L, "down")) } ++
+      // 'flat': 5,5,5 → S=0, tie group eats the whole variance
+      Seq("2024-01-01" -> 5, "2024-01-02" -> 5, "2024-01-03" -> 5)
+        .flatMap { case (d, n) => (1 to n).map(i =>
+          (d.hashCode.toLong * 10000 + i, ts(s"$d 12:00:00"), 1L, "flat")) }
+    val out = Sequences.mannKendall(
+        rows.toDF("event_id", "ts", "user_id", "event_type"))
+      .as[(String, Long, Long, Long, Option[Double], String)].collect()
+    assert(out.toSeq == Seq(
+      ("down", 5L, -10L, 300L, Some(-2.204541), "decreasing"),
+      ("flat", 3L, 0L, 0L, None, "none"),
+      ("up", 3L, 3L, 66L, Some(1.044466), "none")))
+  }
+
   test("burstiness: a metronome scores −1, symmetric 0/100 gaps score 0, " +
       "a single gap has no spread estimate, lone events vanish") {
     val events = Seq(

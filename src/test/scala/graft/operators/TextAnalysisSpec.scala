@@ -798,6 +798,35 @@ class TextAnalysisSpec extends SparkSpec {
       ("s4", 2L, 2000000L, 500000L, 2L)))
   }
 
+  test("heapsLawGrowth: nested samples are monotone, the 100% point is the " +
+      "exact corpus, and beta replays the integer OLS of the rows") {
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until 10).map(j => s"w${(i * 7 + j * 3) % 60}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.heapsLawGrowth(docs)
+      .as[(Int, Long, Long, Long, Option[Long])].collect()
+    assert(out.map(_._1).toSeq == Seq(25, 50, 75, 100))
+    // nested: docs, tokens, vocab all nondecreasing
+    Seq(out.map(_._2), out.map(_._3), out.map(_._4)).foreach { s =>
+      assert(s.zip(s.tail).forall { case (a, b) => a <= b }, s.toSeq) }
+    // the 100% point is the whole corpus
+    assert(out.last._2 == 40L && out.last._3 == 400L)
+    assert(out.last._4 ==
+      docs.selectExpr("explode(split(text, ' ')) AS w")
+        .select("w").distinct().count())
+    // beta replays the OLS over the quantized points
+    def m(v: Long) = math.round(
+      BigDecimal(math.log(v.toDouble)).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 1000.0)
+    val pts = out.map(r => (m(r._3), m(r._4)))
+    val k = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expected = (k * sxy - sx * sy) * 1000000L / (k * sxx - sx * sx)
+    assert(out.forall(_._5.contains(expected)), s"${out.toSeq} vs $expected")
+  }
+
   test("dsirWeights rejects degenerate parameters") {
     val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
     intercept[IllegalArgumentException] {

@@ -981,6 +981,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x150: the pair relation is an equi-join on type over the " +
+    "checkpointed dense spine — no cartesian, no window") {
+    val plan = physical(ExtensionQueries.x150(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed spine
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x151: one sketch build (checkpointed) feeds candidates and " +
+    "containment; joins are doc-keyed, no cartesian") {
+    val plan = physical(ExtensionQueries.x151(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x152: one token pass expands into the conditional distincts " +
+    "(Expand + HashAggregate); the 1-row fit broadcasts") {
+    val plan = physical(ExtensionQueries.x152(spark, sf001))
+    assert(plan.contains("Expand"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
