@@ -611,6 +611,72 @@ object Dedup {
       .withColumn("savings_micro",
         expr("(chars_total - chars_kept) * 1000000L div chars_total"))
 
+  /** IDF-weighted Jaccard rescoring of the near-dup pair relation:
+    * plain Jaccard treats every shingle equally, so boilerplate-heavy
+    * corpora (shared headers, licence blocks, navigation chrome)
+    * produce pairs that agree only on ubiquitous grams. Re-scoring
+    * each pair as Σ_{g∈A∩B} idf(g) / Σ_{g∈A∪B} idf(g) discounts
+    * grams by how many documents carry them — a pair held together
+    * by corpus-wide boilerplate collapses toward 0 while a pair
+    * sharing RARE content holds its score. The (jaccard, wj) gap is
+    * itself the boilerplate diagnostic.
+    *
+    * Exactness: idf quantizes ONCE per gram to micro-nats
+    * (ln(N/df) over exact integers, the x67 discipline); pair
+    * intersection/union weights are then exact BIGINT sums, and the
+    * rescored value is one floor division.
+    *
+    * Scale: candidates come from the SAME prefix-sketch join as
+    * [[ngramJaccardNearDup]] (never all-pairs); the rescore joins
+    * pair×gram frames keyed on (doc, gram) — bounded by
+    * |pairs|·grams-per-doc; the df frame is gram-keyed (hash join,
+    * never broadcast — web-scale gram dictionaries don't fit).
+    *
+    * Output: (doc_a, doc_b, jaccard, wj_micro), ordered by
+    * (doc_a, doc_b). */
+  def weightedJaccardRescore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, prefixK: Int = 8,
+      minJaccard: Double = 0.2): DataFrame = {
+    import graft.functions.ShingleFunctions.ngram_strings
+    import graft.functions.TextFunctions.words
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(ngram_strings(words(col(textCol)), ngram)))
+          .as("gram"))
+      .localCheckpoint(true) // feeds df, per-doc totals, and the rescore
+    val nDocs = docs.select(col(idCol)).agg(count(lit(1)).as("__n"))
+    val idf = grams.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+      .join(broadcast(nDocs))
+      .select(col("gram"),
+        round(round(log(col("__n").cast("double") /
+          col("__df").cast("double")), 6) * lit(1000000.0)).cast("long")
+          .as("__idf"))
+    val gw = grams.join(idf, "gram")
+      .select(col("doc_id"), col("gram"), col("__idf"))
+      .localCheckpoint(true)
+    val docTot = gw.groupBy(col("doc_id"))
+      .agg(sum(col("__idf")).cast("bigint").as("__tot"))
+    val pairs = ngramJaccardNearDup(docs, idCol, textCol, ngram, prefixK,
+      minJaccard)
+    val inter = pairs
+      .join(gw.toDF("doc_a", "gram", "__idf"), "doc_a")
+      .join(gw.select(col("doc_id").as("doc_b"), col("gram")),
+        Seq("doc_b", "gram"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("__idf")).cast("bigint").as("__inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(docTot.toDF("doc_a", "__ta"), "doc_a")
+      .join(docTot.toDF("doc_b", "__tb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        // a pair whose every gram is corpus-ubiquitous (all idf 0)
+        // has no weighted evidence either way: NULL, not 0/0
+        when(col("__ta") + col("__tb") - col("__inter") > 0,
+          expr("__inter * 1000000L div (__ta + __tb - __inter)"))
+          .as("wj_micro"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Containment DIRECTION of near-dup pairs: Jaccard is symmetric,
     * so a short document quoted inside a long one scores low even
     * when the short doc is entirely contained — the classic quote/

@@ -753,6 +753,61 @@ object Profile {
           (col("n_keys") * col("n_rows")).cast("double"), 6).as("gini"))
   }
 
+  /** Kolmogorov–Smirnov distance of each group's value distribution
+    * from the corpus — the SUP-norm drift read next to
+    * [[distributionEmd]]'s integral: KS spots a sharp localized
+    * divergence (one spike bucket) that EMD smears thin, and it
+    * carries a significance threshold. Statistic: D = max over the
+    * value support of |F_group − F_corpus|, scaled ×(n_g·n) to stay
+    * in exact BIGINT until one final division; the critical value is
+    * the asymptotic 95% two-sample bound 1.358·√((n_g+n)/(n_g·n)).
+    * The comparison is group-vs-CORPUS (self-inclusive — standard
+    * for per-slice monitoring, conservative: the group pulls the
+    * corpus toward itself, so a flagged group is REALLY off).
+    *
+    * Exactness: cumulative counts are integers over the shared
+    * support grid; ks_micro is one floor division of the BIGINT
+    * max-gap; the critical value is one fixed double expression over
+    * (n_g, n), quantized to micro; `drifted` compares the two micro
+    * integers.
+    *
+    * Scale: identical envelope to [[distributionEmd]] — the corpus
+    * collapses to (group, value) histograms, the grid is
+    * |groups|×|support|, per-group windows hash-partition on group.
+    *
+    * Output: (groupCol, n, ks_micro, crit_micro, drifted). */
+  def ksAgainstCorpus(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gv = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("n_gv"))
+      .localCheckpoint(true)
+    val support = gv.groupBy(col("v")).agg(sum(col("n_gv")).as("n_v"))
+      .withColumn("cum_c", sum(col("n_v")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+    val nTotal = gv.agg(sum(col("n_gv")).cast("bigint").as("__n"))
+    val grid = gv.select(col("grp")).distinct()
+      .join(broadcast(support))
+      .join(gv, Seq("grp", "v"), "left")
+      .withColumn("cum_g", sum(coalesce(col("n_gv"), lit(0L))).over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val ng = gv.groupBy(col("grp")).agg(sum(col("n_gv")).cast("bigint").as("__ng"))
+    grid.join(broadcast(ng), "grp").join(broadcast(nTotal))
+      .groupBy(col("grp"))
+      .agg(max(col("__ng")).as("n"),
+        max(abs(col("cum_g") * col("__n") - col("cum_c") * col("__ng")))
+          .cast("bigint").as("__gap"),
+        max(col("__n")).as("__nt"))
+      .select(col("grp").as(groupCol), col("n"),
+        expr("__gap * 1000000L div (n * __nt)").as("ks_micro"),
+        expr("""CAST(round(1.358 * sqrt((n + __nt) / (CAST(n AS DOUBLE) * __nt))
+                * 1000000) AS BIGINT)""").as("crit_micro"))
+      .withColumn("drifted", col("ks_micro") > col("crit_micro"))
+      .orderBy(col(groupCol))
+  }
+
   /** Hill tail-index estimate of a positive value column — HOW heavy
     * is the distribution's upper tail, the number that turns
     * [[keyConcentration]]'s "skew exists" into "skew of this order":

@@ -927,6 +927,78 @@ object Sequences {
       .orderBy(col("event_type"))
   }
 
+  /** Held-out next-event negative log-likelihood of the Markov
+    * transition model: train the add-one-smoothed bigram model
+    * P(b|a) on the FIRST half of the window, score the SECOND half's
+    * transitions — the honest generalization read [[transitionMatrix]]
+    * alone cannot give (a matrix always fits the data it was counted
+    * on). Rising held-out NLL between runs = user behavior drifting
+    * away from the trained dynamics.
+    *
+    * Transitions are consecutive same-user event-type pairs ordered
+    * by (ts, tie); a pair belongs to a half only when BOTH events
+    * fall in it (the straddling pair belongs to neither — it is
+    * neither trainable nor honestly held out). Smoothing: (c_ab+1)/
+    * (c_a+V) with V the train-side type vocabulary (unseen contexts
+    * degrade to the uniform 1/V, never to log 0).
+    *
+    * Exactness: per-TRANSITION log-probs quantize once to micro-nats
+    * (exact integer counts into one ln); the test-side total is the
+    * exact integer Σ c_test·lp, and the average is one floor
+    * division. The midpoint is the same µs midpoint as
+    * [[proportionShift]].
+    *
+    * Scale: the lag window is user-partitioned; both halves collapse
+    * to (a, b) count frames (≤ V² rows — broadcast-size by nature of
+    * a type vocabulary); scoring is a V²-frame join.
+    *
+    * Output: 1 row — (n_train, n_test, vocab, sum_nll_micro,
+    * avg_nll_micro). */
+  def heldOutTransitionNll(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", tieCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val mid = events.agg(
+      expr(s"(unix_micros(min($tsCol)) + unix_micros(max($tsCol))) div 2")
+        .as("__mid"))
+    val trans = events
+      .withColumn("__a", lag(col(typeCol), 1).over(w))
+      .withColumn("__pt", lag(expr(s"unix_micros($tsCol)"), 1).over(w))
+      .filter(col("__a").isNotNull)
+      .join(broadcast(mid))
+      .select(col("__a"), col(typeCol).as("__b"),
+        when(expr(s"unix_micros($tsCol)") < col("__mid") , 1)
+          .when(col("__pt") >= col("__mid"), 2)
+          .otherwise(0).as("__h")) // 0 = straddles the midpoint: dropped
+    val train = trans.filter(col("__h") === 1)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val ctxTot = train.groupBy(col("__a"))
+      .agg(sum(col("__c")).cast("bigint").as("__ca"))
+    val vocab = train.select(col("__a")).union(train.select(col("__b")))
+      .distinct().agg(count(lit(1)).as("__v"))
+    val test = trans.filter(col("__h") === 2)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__ct"))
+    val scored = test
+      .join(train.withColumnRenamed("__c", "__cab"), Seq("__a", "__b"), "left")
+      .join(ctxTot, Seq("__a"), "left")
+      .join(broadcast(vocab))
+      .select(col("__ct"),
+        round(round(log(
+          (coalesce(col("__cab"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("__ca"), lit(0L)) + col("__v")).cast("double")), 6) *
+          lit(1000000.0)).cast("long").as("__lp"))
+    val trainN = train.agg(sum(col("__c")).cast("bigint").as("n_train"))
+    scored.agg(
+        sum(col("__ct")).cast("bigint").as("n_test"),
+        (-sum(col("__ct") * col("__lp"))).cast("bigint").as("sum_nll_micro"))
+      .join(broadcast(trainN)).join(broadcast(vocab))
+      .select(col("n_train"), col("n_test"), col("__v").as("vocab"),
+        col("sum_nll_micro"),
+        expr("sum_nll_micro div n_test").as("avg_nll_micro"))
+  }
+
   /** Mann–Kendall trend test on each event type's daily count series
     * — the NONPARAMETRIC trend read next to [[weeklyTrend]]'s OLS
     * slope: S = Σ_{i<j} sign(x_j − x_i) counts concordant minus

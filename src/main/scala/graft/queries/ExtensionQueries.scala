@@ -1860,6 +1860,30 @@ object ExtensionQueries {
   def x152(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.heapsLawGrowth(docs(s, dir))
 
+  /** x153 IDF-weighted Jaccard rescore — see
+    * [[graft.operators.Dedup.weightedJaccardRescore]]: the x04 pairs
+    * re-scored with idf gram weights — boilerplate-held pairs
+    * collapse, rare-content pairs hold; the (jaccard, wj) gap is the
+    * boilerplate diagnostic. */
+  def x153(s: SparkSession, dir: String): DataFrame =
+    Dedup.weightedJaccardRescore(docs(s, dir))
+
+  /** x154 KS drift per source — see
+    * [[graft.operators.Profile.ksAgainstCorpus]]: sup-norm distance
+    * of each source's length distribution from the corpus with the
+    * asymptotic 95% critical value — the sharp-divergence read
+    * x132's EMD integral smears. */
+  def x154(s: SparkSession, dir: String): DataFrame =
+    Profile.ksAgainstCorpus(docs(s, dir), "n_chars", "source")
+
+  /** x155 held-out transition NLL — see
+    * [[graft.operators.Sequences.heldOutTransitionNll]]: train the
+    * smoothed Markov model on the first half, score the second —
+    * the generalization read behind x87's in-sample matrix. */
+  def x155(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.heldOutTransitionNll(
+      Tables.load(s, dir, "events"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2042,6 +2066,9 @@ object ExtensionQueries {
     "x150_mann_kendall" -> (x150 _),
     "x151_pair_containment" -> (x151 _),
     "x152_heaps_law" -> (x152 _),
+    "x153_weighted_jaccard" -> (x153 _),
+    "x154_ks_drift" -> (x154 _),
+    "x155_heldout_nll" -> (x155 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -5406,6 +5433,112 @@ object ExtensionQueries {
          |SELECT pct, n_docs, n_tokens, vocab, beta_micro
          |FROM xy CROSS JOIN bb ORDER BY pct""".stripMargin
     },
+
+    // Replays weightedJaccardRescore over the x04 relation: idf
+    // quantized once per gram, exact integer intersection/union
+    // weight sums, NULL when the union weight is zero.
+    "x153_weighted_jaccard" ->
+      s"""WITH $ngramPairsCteSql,
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |idf AS (SELECT gram,
+         |    CAST(round(round(ln(nn.n::DOUBLE / count(DISTINCT ex.doc_id)::DOUBLE),
+         |      6) * 1000000) AS BIGINT) AS idf
+         |  FROM ex CROSS JOIN nn GROUP BY gram, nn.n),
+         |gw AS (SELECT ex.doc_id, ex.gram, idf.idf
+         |       FROM ex JOIN idf ON idf.gram = ex.gram),
+         |tot AS (SELECT doc_id, CAST(sum(idf) AS BIGINT) AS tot
+         |        FROM gw GROUP BY 1),
+         |inter AS (SELECT p.doc_a, p.doc_b, CAST(sum(ga.idf) AS BIGINT) AS i
+         |          FROM pairs p
+         |          JOIN gw ga ON ga.doc_id = p.doc_a
+         |          JOIN gw gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+         |          GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, p.jaccard,
+         |       CASE WHEN ta.tot + tb.tot - i.i > 0
+         |            THEN CAST(i.i * 1000000 // (ta.tot + tb.tot - i.i)
+         |                      AS BIGINT)
+         |       END AS wj_micro
+         |FROM pairs p
+         |JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |JOIN tot ta ON ta.doc_id = p.doc_a
+         |JOIN tot tb ON tb.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    // Replays ksAgainstCorpus on the x132 histogram machinery: exact
+    // integer max-gap ×(n_g·n), one division, one fixed-expression
+    // critical value.
+    "x154_ks_drift" ->
+      """WITH gv AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+        |                   count(*) AS n_gv
+        |            FROM documents GROUP BY 1, 2),
+        |sup AS (SELECT v, CAST(sum(n_gv) AS BIGINT) AS n_v FROM gv GROUP BY v),
+        |supw AS (SELECT v, n_v,
+        |           CAST(sum(n_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+        |         FROM sup),
+        |nt AS (SELECT CAST(sum(n_gv) AS BIGINT) AS n FROM gv),
+        |gr AS (SELECT g.grp, s.v, s.cum_c,
+        |         CAST(sum(coalesce(gv.n_gv, 0)) OVER (PARTITION BY g.grp
+        |           ORDER BY s.v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           CURRENT ROW) AS BIGINT) AS cum_g
+        |       FROM (SELECT DISTINCT grp FROM gv) g
+        |       CROSS JOIN supw s
+        |       LEFT JOIN gv ON gv.grp = g.grp AND gv.v = s.v),
+        |ng AS (SELECT grp, CAST(sum(n_gv) AS BIGINT) AS ng FROM gv GROUP BY grp)
+        |SELECT gr.grp AS source, ng.ng AS n,
+        |       CAST(max(abs(gr.cum_g * nt.n - gr.cum_c * ng.ng))
+        |            * 1000000 // (ng.ng * nt.n) AS BIGINT) AS ks_micro,
+        |       CAST(round(1.358 * sqrt((ng.ng + nt.n) /
+        |         (CAST(ng.ng AS DOUBLE) * nt.n)) * 1000000) AS BIGINT)
+        |         AS crit_micro,
+        |       CAST(max(abs(gr.cum_g * nt.n - gr.cum_c * ng.ng))
+        |            * 1000000 // (ng.ng * nt.n) AS BIGINT) >
+        |       CAST(round(1.358 * sqrt((ng.ng + nt.n) /
+        |         (CAST(ng.ng AS DOUBLE) * nt.n)) * 1000000) AS BIGINT)
+        |         AS drifted
+        |FROM gr JOIN ng ON ng.grp = gr.grp CROSS JOIN nt
+        |GROUP BY gr.grp, ng.ng, nt.n ORDER BY source""".stripMargin,
+
+    // Replays heldOutTransitionNll: per-user lag transitions, halves
+    // by BOTH endpoints, add-one model from the first half, per-pair
+    // micro-nat log-probs, exact integer test total.
+    "x155_heldout_nll" ->
+      """WITH mid AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS m
+        |             FROM events),
+        |tr AS (SELECT a, b, h FROM (
+        |    SELECT lag(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS a,
+        |           event_type AS b,
+        |           CASE WHEN epoch_us(ts) < mid.m THEN 1
+        |                WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                  ORDER BY ts, event_id) >= mid.m THEN 2
+        |                ELSE 0 END AS h
+        |    FROM events CROSS JOIN mid) t
+        |  WHERE a IS NOT NULL),
+        |train AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+        |          FROM tr WHERE h = 1 GROUP BY 1, 2),
+        |ctx AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM train GROUP BY 1),
+        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM (
+        |          SELECT a FROM train UNION SELECT b FROM train) u),
+        |test AS (SELECT a, b, CAST(count(*) AS BIGINT) AS ct
+        |         FROM tr WHERE h = 2 GROUP BY 1, 2),
+        |sc AS (SELECT test.ct,
+        |    CAST(round(round(ln(
+        |      (coalesce(train.c, 0) + 1)::DOUBLE /
+        |      (coalesce(ctx.ca, 0) + voc.v)::DOUBLE), 6) * 1000000)
+        |      AS BIGINT) AS lp
+        |  FROM test
+        |  LEFT JOIN train ON train.a = test.a AND train.b = test.b
+        |  LEFT JOIN ctx ON ctx.a = test.a
+        |  CROSS JOIN voc),
+        |tn AS (SELECT CAST(sum(c) AS BIGINT) AS n_train FROM train)
+        |SELECT tn.n_train, CAST(sum(sc.ct) AS BIGINT) AS n_test,
+        |       voc.v AS vocab,
+        |       CAST(-sum(sc.ct * sc.lp) AS BIGINT) AS sum_nll_micro,
+        |       CAST(-sum(sc.ct * sc.lp) // sum(sc.ct) AS BIGINT)
+        |         AS avg_nll_micro
+        |FROM sc CROSS JOIN tn CROSS JOIN voc
+        |GROUP BY tn.n_train, voc.v""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

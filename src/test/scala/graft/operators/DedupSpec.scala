@@ -270,6 +270,24 @@ class DedupSpec extends SparkSpec {
       ("s2", 1L, 1L, 80L, 80L, 0L)))
   }
 
+  test("weightedJaccardRescore: a boilerplate-held pair collapses to 0 " +
+      "while an identical pair holds 1; idf quantizes per gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 a1 a2"), // shares the c-prefix with everyone
+      (2L, "c1 c2 c3 c4 a1 a2"), // identical twin of doc 1
+      (3L, "c1 c2 c3 c4 b1 b2")) // boilerplate-only overlap with 1 and 2
+      .toDF("doc_id", "text")
+    val out = Dedup.weightedJaccardRescore(docs)
+      .as[(Long, Long, Double, Option[Long])].collect()
+    // c-grams have df 3 → idf 0: the (1,3)/(2,3) pairs keep jaccard
+    // 1/3 but weigh 0; the twin pair weighs exactly 1
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1.0, Some(1000000L)),
+      (1L, 3L, 0.333333, Some(0L)),
+      (2L, 3L, 0.333333, Some(0L))))
+  }
+
   test("pairContainment: a full subset scores overlap 1 with the contained " +
       "side flagged; equal-size twins read both_equal") {
     import spark.implicits._

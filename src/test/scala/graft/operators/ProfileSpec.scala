@@ -371,6 +371,20 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq == Seq((4L, 2L, 1386294L, Some(721347L))))
   }
 
+  test("ksAgainstCorpus: hand-traced integer max-gap and asymptotic " +
+      "critical value") {
+    import spark.implicits._
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+      .toDF("source", "n_chars")
+    val out = Profile.ksAgainstCorpus(df, "n_chars", "source")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    // A's CDF leads the corpus by max |2·4 − 2·2|/(2·4) = 1/2;
+    // crit = 1.358·√(6/8) = 1.176062
+    assert(out.toSeq == Seq(
+      ("A", 2L, 500000L, 1176062L, false),
+      ("B", 2L, 500000L, 1176062L, false)))
+  }
+
   test("rankAuc: a reversed score ranks at exactly 1 − AUC") {
     import spark.implicits._
     val base = Seq(("g", 0.9, 1L), ("g", 0.4, 1L), ("g", 0.6, 0L),

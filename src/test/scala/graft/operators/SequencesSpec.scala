@@ -495,6 +495,21 @@ class SequencesSpec extends SparkSpec {
       ("b", 1L, 4L, 3L, 4L, -1.414214, false)))
   }
 
+  test("heldOutTransitionNll: straddling pair dropped, unseen transitions " +
+      "smooth to 1/(0+V), hand-traced micro-nats") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (2L, ts("2024-01-01 00:10:00"), 1L, "B"),  // A→B: train
+      (3L, ts("2024-01-01 01:30:00"), 1L, "A"),  // B→A straddles: dropped
+      (4L, ts("2024-01-01 01:40:00"), 1L, "B"),  // A→B: test
+      (5L, ts("2024-01-01 02:00:00"), 1L, "A"))  // B→A: test (unseen)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sequences.heldOutTransitionNll(events)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // lp(A→B) = ln(2/3) = −405465; lp(B→A) = ln(1/2) = −693147
+    assert(out.toSeq == Seq((1L, 2L, 2L, 1098612L, 549306L)))
+  }
+
   test("mannKendall: monotone series score ±S with hand-traced z; an " +
       "all-tied series has zero variance and no verdict") {
     val rows =

@@ -1005,6 +1005,29 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("x153: the rescore joins are (doc, gram)-keyed over the " +
+    "checkpointed gram frame; the idf df-side hash-joins, no cartesian") {
+    val plan = physical(ExtensionQueries.x153(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x154: the per-group CDF windows hash-partition by group over the " +
+    "collapsed histogram, never a global per-row sort") {
+    val plan = physical(ExtensionQueries.x154(spark, sf001))
+    assert(plan.contains("windowspecdefinition(grp"), plan)
+    assert(plan.contains("hashpartitioning(grp"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x155: the lag window partitions by user; model and vocab frames " +
+    "broadcast onto the V²-bounded test frame") {
+    val plan = physical(ExtensionQueries.x155(spark, sf001))
+    assert(plan.contains("windowspecdefinition(user_id"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
