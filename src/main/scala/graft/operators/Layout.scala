@@ -102,4 +102,51 @@ object Layout {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** Sort-key advisor: for each candidate column, the exact Spearman
+    * rank correlation between the table's CURRENT order (by `idCol`)
+    * and the candidate's sort order — the number that predicts what
+    * re-sorting buys: |ρ| near 1 means the data already lies in (or
+    * exactly against) that order, so min/max zone-maps prune well
+    * TODAY and a re-sort buys little; ρ near 0 means the column is
+    * shuffled against storage order and sorting by it would turn
+    * full scans of `WHERE col BETWEEN …` into a few row groups.
+    * Reported next to the distinct count (a 2-value column prunes
+    * coarsely however sorted).
+    *
+    * Exactness: both rankings tie-break on `idCol` (total orders),
+    * d = rank_current − rank_candidate is exact BIGINT, and ρ uses
+    * the classic 1 − 6Σd²/(n(n²−1)) on those tie-broken ranks
+    * (stated contract: ties are broken, not midranked — the
+    * DETERMINISTIC variant, identical on any engine), shipped as
+    * one floor division in micro.
+    *
+    * Scale: each candidate costs two global rank windows over a
+    * 2-column projection — the advisor is a sampled/offline read by
+    * nature (run it on one table sample, not per batch); Σd²·10⁶
+    * fits BIGINT to ~10⁶ rows, the sampling envelope.
+    *
+    * Output: (column, n, n_distinct, spearman_micro), ordered by
+    * column name. */
+  def sortKeyAdvisor(df: DataFrame, candidates: Seq[String],
+      idCol: String): DataFrame = {
+    require(candidates.nonEmpty, "sortKeyAdvisor: need candidate columns")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    candidates.map { c =>
+      df.select(col(idCol).as("__id"), col(c).as("__v"))
+        .withColumn("__rx", row_number().over(Window.orderBy(col("__id"))))
+        .withColumn("__ry", row_number().over(
+          Window.orderBy(col("__v"), col("__id"))))
+        .select((col("__rx") - col("__ry")).cast("long").as("__d"),
+          col("__v"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("__v")).as("n_distinct"),
+          sum(col("__d") * col("__d")).cast("bigint").as("__sd2"))
+        .select(lit(c).as("column"), col("n"), col("n_distinct"),
+          when(col("n") > 1,
+            lit(1000000L) - expr("6 * __sd2 * 1000000L div (n * (n * n - 1))"))
+            .as("spearman_micro"))
+    }.reduce(_ unionAll _).orderBy(col("column"))
+  }
 }

@@ -753,6 +753,80 @@ object Profile {
           (col("n_keys") * col("n_rows")).cast("double"), 6).as("gini"))
   }
 
+  /** Semi-structured JSON column profile: per KEY across a JSON
+    * string column — presence coverage, distinct-value cardinality,
+    * and the lexicographic value range — the schema-discovery read a
+    * pipeline needs before it can promote a "props" blob to real
+    * columns (which keys are always there? which are enums vs
+    * unbounded ids?). Keys come from the documents themselves
+    * (`json_object_keys`), so schema drift (a new key appearing in
+    * 0.1% of rows) surfaces as a new row here, not as a silent null
+    * column downstream.
+    *
+    * Exactness: values compare as exact STRINGS (binary collation on
+    * both engines) — no numeric coercion, so "9.5" vs "100" order
+    * lexicographically and identically everywhere; coverage is
+    * integer micro.
+    *
+    * Scale: one explode over the keys of each row (output rows =
+    * total key instances), one partial+final hash aggregation per
+    * key; the 1-row total broadcasts. Key-cardinality output.
+    *
+    * Output: (key, n_present, n_rows, coverage_micro, n_values,
+    * min_value, max_value), ordered by key. */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    val total = df.agg(count(lit(1)).as("n_rows"))
+    df.select(col(jsonCol).as("__j"),
+        explode(expr(s"json_object_keys($jsonCol)")).as("key"))
+      .select(col("key"),
+        expr("get_json_object(__j, concat('$.', key))").as("__v"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_present"),
+        countDistinct(col("__v")).as("n_values"),
+        min(col("__v")).as("min_value"),
+        max(col("__v")).as("max_value"))
+      .join(broadcast(total))
+      .select(col("key"), col("n_present"), col("n_rows"),
+        expr("n_present * 1000000L div n_rows").as("coverage_micro"),
+        col("n_values"), col("min_value"), col("max_value"))
+      .orderBy(col("key"))
+  }
+
+  /** k-anonymity audit over a quasi-identifier tuple: every
+    * combination of the given columns whose row count is below `k` —
+    * the cells where a released dataset lets an attacker who knows
+    * the quasi-identifiers single someone (or some document) out.
+    * The governance read every data release gates on; buckets the
+    * continuous column first (callers pass the bucketed expression),
+    * because raw continuous values make every row its own cell.
+    *
+    * Pure integer: a partial+final hash aggregation on the tuple and
+    * an integer threshold — nothing to drift.
+    *
+    * Scale: one aggregation collapses the volume to the cell frame;
+    * output is bounded by the number of SPARSE cells (the risky ones
+    * are by definition few rows each). A heavily-violating dataset
+    * returns many rows — that is the finding, not a problem.
+    *
+    * Output: one row per violating cell (the quasi-id columns, n),
+    * ordered by the tuple. */
+  def kAnonymityAudit(df: DataFrame, quasiIds: Seq[Column], k: Int = 5,
+      names: Seq[String] = Seq.empty): DataFrame = {
+    require(quasiIds.nonEmpty, "kAnonymityAudit: need at least one quasi-id")
+    require(k >= 2, s"kAnonymityAudit: k must be >= 2, got $k")
+    val cols = if (names.nonEmpty) {
+      require(names.length == quasiIds.length,
+        "kAnonymityAudit: names must match quasiIds")
+      quasiIds.zip(names).map { case (c, n) => c.as(n) }
+    } else quasiIds
+    val named = df.select(cols: _*)
+    val keyCols = named.columns.map(col).toSeq
+    named.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+      .orderBy(keyCols: _*)
+  }
+
   /** Kolmogorov–Smirnov distance of each group's value distribution
     * from the corpus — the SUP-norm drift read next to
     * [[distributionEmd]]'s integral: KS spots a sharp localized

@@ -1884,6 +1884,30 @@ object ExtensionQueries {
     graft.operators.Sequences.heldOutTransitionNll(
       Tables.load(s, dir, "events"))
 
+  /** x156 JSON key profile of event props — see
+    * [[graft.operators.Profile.jsonKeyProfile]]: per-key coverage,
+    * cardinality, and lexicographic range across the semi-structured
+    * column — the promote-to-columns schema discovery read. */
+  def x156(s: SparkSession, dir: String): DataFrame =
+    Profile.jsonKeyProfile(Tables.load(s, dir, "events"), "props")
+
+  /** x157 k-anonymity audit — see
+    * [[graft.operators.Profile.kAnonymityAudit]]: quasi-identifier
+    * cells (lang, source, 500-char length bucket) with fewer than 5
+    * documents — the re-identification risk surface of a release. */
+  def x157(s: SparkSession, dir: String): DataFrame =
+    Profile.kAnonymityAudit(docs(s, dir),
+      Seq(col("lang"), col("source"), expr("n_chars div 500")),
+      k = 5, names = Seq("lang", "source", "len_bucket"))
+
+  /** x158 sort-key advisor — see
+    * [[graft.operators.Layout.sortKeyAdvisor]]: exact Spearman rank
+    * correlation of storage order vs each candidate sort column —
+    * the zone-map pruning forecast behind a re-sort decision. */
+  def x158(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.sortKeyAdvisor(docs(s, dir),
+      Seq("lang", "n_chars", "source"), "doc_id")
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2069,6 +2093,9 @@ object ExtensionQueries {
     "x153_weighted_jaccard" -> (x153 _),
     "x154_ks_drift" -> (x154 _),
     "x155_heldout_nll" -> (x155 _),
+    "x156_json_key_profile" -> (x156 _),
+    "x157_k_anonymity" -> (x157 _),
+    "x158_sortkey_advisor" -> (x158 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -5539,6 +5566,50 @@ object ExtensionQueries {
         |         AS avg_nll_micro
         |FROM sc CROSS JOIN tn CROSS JOIN voc
         |GROUP BY tn.n_train, voc.v""".stripMargin,
+
+    // Replays jsonKeyProfile: keys from the documents themselves,
+    // values compared as exact strings (binary collation both sides).
+    "x156_json_key_profile" ->
+      """WITH k AS (SELECT props, unnest(json_keys(props)) AS key FROM events),
+        |p AS (SELECT key, CAST(count(*) AS BIGINT) AS n_present,
+        |        CAST(count(DISTINCT json_extract_string(props, '$.' || key))
+        |             AS BIGINT) AS n_values,
+        |        min(json_extract_string(props, '$.' || key)) AS min_value,
+        |        max(json_extract_string(props, '$.' || key)) AS max_value
+        |      FROM k GROUP BY key),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
+        |SELECT key, n_present, n_rows,
+        |       CAST(n_present * 1000000 // n_rows AS BIGINT) AS coverage_micro,
+        |       n_values, min_value, max_value
+        |FROM p CROSS JOIN t ORDER BY key""".stripMargin,
+
+    // Replays kAnonymityAudit: integer bucket, integer threshold.
+    "x157_k_anonymity" ->
+      """WITH c AS (SELECT lang, source,
+        |                  CAST(n_chars // 500 AS BIGINT) AS len_bucket
+        |           FROM documents)
+        |SELECT lang, source, len_bucket, CAST(count(*) AS BIGINT) AS n
+        |FROM c GROUP BY 1, 2, 3 HAVING count(*) < 5
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // Replays sortKeyAdvisor: tie-broken ranks, exact Σd², the
+    // classic formula as one floor division.
+    "x158_sortkey_advisor" -> {
+      val cand = (c: String) =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           |  CASE WHEN count(*) > 1 THEN CAST(1000000 -
+           |    6 * sum((rx - ry) * (rx - ry)) * 1000000
+           |    // (count(*) * (count(*) * count(*) - 1)) AS BIGINT) END
+           |    AS spearman_micro
+           |FROM (SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+           |        AS rx,
+           |      CAST(row_number() OVER (ORDER BY $c, doc_id) AS BIGINT)
+           |        AS ry,
+           |      $c AS v FROM documents) t""".stripMargin
+      Seq("lang", "n_chars", "source").map(cand)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

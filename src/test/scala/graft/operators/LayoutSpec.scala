@@ -115,4 +115,21 @@ class LayoutSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Boolean)].collect()
     assert(idPlan.forall(c => !c._5 && c._1 == c._2))
   }
+
+  test("sortKeyAdvisor: aligned order scores +1, reversed −1, a constant " +
+      "column degenerates to +1 via the id tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 40L, "c"), (2L, 20L, 30L, "c"),
+      (3L, 30L, 20L, "c"), (4L, 40L, 10L, "c"))
+      .toDF("doc_id", "asc_v", "desc_v", "const_v")
+    val out = Layout.sortKeyAdvisor(df, Seq("asc_v", "desc_v", "const_v"),
+        "doc_id")
+      .as[(String, Long, Long, Option[Long])].collect()
+    // reversed: Σd² = 9+1+1+9 = 20 → 1 − 120/60 = −1
+    assert(out.toSeq == Seq(
+      ("asc_v", 4L, 4L, Some(1000000L)),
+      ("const_v", 4L, 1L, Some(1000000L)),
+      ("desc_v", 4L, 4L, Some(-1000000L))))
+  }
 }

@@ -385,6 +385,39 @@ class ProfileSpec extends SparkSpec {
       ("B", 2L, 500000L, 1176062L, false)))
   }
 
+  test("jsonKeyProfile: keys from the rows themselves, string-compared " +
+      "ranges, null JSON rows count in coverage's denominator only") {
+    import spark.implicits._
+    val df = Seq(
+      Some("""{"a": 1, "b": "x"}"""),
+      Some("""{"a": 2}"""),
+      Some("""{"b": "y"}"""),
+      None)
+      .toDF("props")
+    val rows = Profile.jsonKeyProfile(df, "props")
+      .as[(String, Long, Long, Long, Long, String, String)].collect()
+    assert(rows.toSeq == Seq(
+      ("a", 2L, 4L, 500000L, 2L, "1", "2"),
+      ("b", 2L, 4L, 500000L, 2L, "x", "y")))
+  }
+
+  test("kAnonymityAudit: only sub-k cells surface, ordered by the tuple") {
+    import spark.implicits._
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "en", "s1", 100L)) ++
+      Seq((6L, "en", "s1", 600L), (7L, "en", "s1", 700L),
+        (8L, "de", "s2", 10L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val out = Profile.kAnonymityAudit(docs,
+        Seq($"lang", $"source",
+          org.apache.spark.sql.functions.expr("n_chars div 500")),
+        k = 5, names = Seq("lang", "source", "len_bucket"))
+      .as[(String, String, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("de", "s2", 0L, 1L),
+      ("en", "s1", 1L, 2L)))
+  }
+
   test("rankAuc: a reversed score ranks at exactly 1 − AUC") {
     import spark.implicits._
     val base = Seq(("g", 0.9, 1L), ("g", 0.4, 1L), ("g", 0.6, 0L),

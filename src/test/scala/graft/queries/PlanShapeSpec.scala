@@ -1028,6 +1028,32 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("x156: one key explode, one key-keyed aggregation, the 1-row total " +
+    "broadcasts — no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x156(spark, sf001))
+    assert(plan.contains("Generate"), plan) // the keys explode
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x157: the audit is one hash aggregation plus an integer filter — " +
+    "no join, no window") {
+    val plan = physical(ExtensionQueries.x157(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x158: each candidate contributes two rank windows over a 2-column " +
+    "projection; the scan reads only the advisor's columns") {
+    val plan = physical(ExtensionQueries.x158(spark, sf001))
+    assert(plan.contains("windowspecdefinition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // column pruning: text never reaches the scan
+    assert(!plan.contains("text#"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
