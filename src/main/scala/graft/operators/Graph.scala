@@ -239,6 +239,66 @@ object Graph {
         coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"))
   }
 
+  /** Modularity of a node partition on an undirected (u < v) edge
+    * list — DOES the given grouping explain the graph's structure:
+    * Q = Σ_c [e_c/m − (d_c/2m)²] compares each group's within-group
+    * edge fraction against what its degree mass would collect under
+    * random wiring. On the mutual k-NN graph with embedding labels,
+    * Q near the ~0.3+ community range means the labels track real
+    * embedding neighborhoods; Q ≈ 0 means the labeling is noise with
+    * respect to geometry — the cheapest label-quality audit that
+    * needs no ground truth.
+    *
+    * Exactness: m, e_c, and d_c are exact integers (one edge pass +
+    * one degree aggregation); each group's Q term is ONE fixed
+    * double expression over them, quantized to micro, and the total
+    * is an integer sum of the quantized terms — no cross-group
+    * double accumulation. Nodes with no label are excluded (their
+    * edges still count in m: an unlabeled endpoint makes an edge
+    * between-groups by definition).
+    *
+    * Scale: two keyed joins (edge endpoints → labels) + two hash
+    * aggregations; output is label-cardinality. Nothing broadcasts
+    * except the 1-row m.
+    *
+    * Output: (label, n_nodes, e_within, deg_sum, q_term_micro,
+    * q_total_micro), ordered by label — q_total repeated (a property
+    * of the partition). */
+  def partitionModularity(und: DataFrame, labels: DataFrame): DataFrame = {
+    val e = und.select(col("u"), col("v")).localCheckpoint(true)
+    val m = e.agg(count(lit(1)).cast("bigint").as("__m"))
+    val lab = labels.select(col("id"), col("label"))
+    val within = e
+      .join(lab.toDF("u", "__la"), "u")
+      .join(lab.toDF("v", "__lb"), "v")
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label"))
+      .agg(count(lit(1)).as("e_within"))
+    val degs = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+      .join(lab, "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("__d")).cast("bigint").as("deg_sum"))
+    val terms = degs.join(within, Seq("label"), "left")
+      .join(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_within"), lit(0L)).cast("bigint").as("e_within"),
+        col("deg_sum"),
+        // 2.0D, not 2.0: Spark parses a bare decimal literal as
+        // DECIMAL, and BIGINT/DECIMAL division truncates scale —
+        // measured 1-micro drift vs the oracle's double math
+        expr("""CAST(round((coalesce(e_within, 0) / CAST(__m AS DOUBLE) -
+            (deg_sum / (2.0D * __m)) * (deg_sum / (2.0D * __m))) * 1000000)
+          AS BIGINT)""").as("q_term_micro"))
+      .localCheckpoint(true) // feeds the total AND the output
+    terms
+      .join(broadcast(terms.agg(
+        sum(col("q_term_micro")).cast("bigint").as("q_total_micro"))))
+      .orderBy(col("label"))
+  }
+
   /** k-core of an undirected (u < v) edge list by synchronous peeling:
     * repeatedly drop every node whose degree WITHIN the surviving set
     * is below `k`; what remains is the maximal subgraph where every

@@ -753,6 +753,48 @@ object Profile {
           (col("n_keys") * col("n_rows")).cast("double"), 6).as("gini"))
   }
 
+  /** Effective sample size and design effect of inverse-frequency
+    * stratum weights — what re-weighting actually COSTS: balancing a
+    * skewed corpus by weighting (w_h ∝ 1/n_h, the x54-upsample's
+    * dual) does not give you n equally-informative rows; it gives
+    * ESS = (Σw)²/Σw² of them, and deff = n/ESS is the variance
+    * inflation every weighted estimate pays. A corpus with one
+    * dominant stratum can have deff ≫ 1 — the quantitative argument
+    * for capping (x59) or resampling (x44) instead of weighting.
+    *
+    * Exactness: w_h = 10⁶·n div (k·n_h) is integer micro (floor);
+    * Σw = Σ n_h·w_h and Σw² = Σ n_h·w_h² are exact BIGINT; ESS and
+    * deff are ONE fixed double expression over those two integers
+    * (engine-identical), rounded to 6 dp.
+    *
+    * Scale: one stratum aggregation collapses the corpus; all
+    * algebra runs on the |strata| frame. Output is per stratum with
+    * the corpus-level ESS/deff repeated.
+    *
+    * Output: (strataCol, n_rows, weight_micro, ess, deff), ordered
+    * by stratum. */
+  def designEffect(df: DataFrame, strataCol: String): DataFrame = {
+    val strata = df.groupBy(col(strataCol).as("grp"))
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(true) // feeds totals and the weighted sums
+    val tot = strata.agg(sum(col("n_rows")).cast("bigint").as("__n"),
+      count(lit(1)).as("__k"))
+    val weighted = strata.join(broadcast(tot))
+      .withColumn("weight_micro",
+        expr("1000000L * __n div (__k * n_rows)"))
+    val sums = weighted.agg(
+      sum(col("n_rows") * col("weight_micro")).cast("bigint").as("__sw"),
+      sum(col("n_rows") * col("weight_micro") * col("weight_micro"))
+        .cast("bigint").as("__sww"),
+      sum(col("n_rows")).cast("bigint").as("__nn"))
+    weighted.join(broadcast(sums))
+      .select(col("grp").as(strataCol), col("n_rows"), col("weight_micro"),
+        expr("""round((CAST(__sw AS DOUBLE) * __sw) / __sww, 6)""").as("ess"),
+        expr("""round(__nn / ((CAST(__sw AS DOUBLE) * __sw) / __sww), 6)""")
+          .as("deff"))
+      .orderBy(col(strataCol))
+  }
+
   /** Semi-structured JSON column profile: per KEY across a JSON
     * string column — presence coverage, distinct-value cardinality,
     * and the lexicographic value range — the schema-discovery read a

@@ -842,11 +842,14 @@ object Sequences {
     wide.join(broadcast(nTotals))
       .select(col("__t").as("event_type"), col("c1"), col("n1"),
         col("c2"), col("n2"),
+        // 1.0D / n: a bare 1.0 is DECIMAL in Spark SQL and
+        // BIGINT/DECIMAL division truncates scale — the reciprocals
+        // must be DOUBLE to match the oracle's double math
         expr("""round(
           (c1 / CAST(n1 AS DOUBLE) - c2 / CAST(n2 AS DOUBLE)) /
           sqrt(((c1 + c2) / CAST(n1 + n2 AS DOUBLE)) *
-               (1.0 - (c1 + c2) / CAST(n1 + n2 AS DOUBLE)) *
-               (1.0 / n1 + 1.0 / n2)), 6)""").as("z"))
+               (1.0D - (c1 + c2) / CAST(n1 + n2 AS DOUBLE)) *
+               (1.0D / n1 + 1.0D / n2)), 6)""").as("z"))
       .withColumn("significant", abs(col("z")) > lit(1.96))
       .orderBy(col("event_type"))
   }
@@ -1049,8 +1052,10 @@ object Sequences {
         col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5) -
           col("__tiecorr"))
       .withColumn("z", when(col("var18") > 0,
+        // 18.0D: keep the division in DOUBLE (a bare 18.0 is DECIMAL
+        // in Spark SQL and BIGINT/DECIMAL truncates scale)
         expr("""round((s_stat - CAST(sign(s_stat) AS BIGINT)) /
-                sqrt(var18 / 18.0), 6)""")))
+                sqrt(var18 / 18.0D), 6)""")))
       .select(col("__t").as("event_type"), col("n_days"), col("s_stat"),
         col("var18"), col("z"),
         when(col("z") > 1.96, "increasing")

@@ -1691,6 +1691,49 @@ object TextAnalysis {
           coalesce(col("dup5_micro"), lit(0L)) <= 150000L).as("keep"))
   }
 
+  /** Data-efficiency curve: rank the corpus by quality and read how
+    * much token mass each quality decile carries — the "how much of
+    * the data is worth training on" curve behind every quality-
+    * threshold decision: if the top 3 deciles hold 80% of tokens at
+    * 95% of quality, the cut pays for itself; a flat curve means
+    * quality filtering buys selection, not savings. Deciles come
+    * from the exact-operand quality ranking (qualityScoreRaw desc,
+    * doc_id — a total order, so tile boundaries are engine-
+    * identical, the x128 discipline).
+    *
+    * Exactness: token counts are exact integers; cumulative sums are
+    * integer window sums over the 10-row decile frame; shares are
+    * floor-divided micro.
+    *
+    * Scale: the ranking is one global ntile window over a (doc,
+    * score, tokens) projection — the same envelope as x128's decile
+    * table (at 100 TB: tile per shard and merge, or rank on a
+    * sample; the curve is a report, not a per-batch gate).
+    *
+    * Output: (decile, n_docs, tokens, cum_tokens, cum_share_micro),
+    * deciles 1 (best) → 10. */
+  def dataEfficiencyCurve(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScoreRaw, words}
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col(idCol).as("doc_id"),
+        qualityScoreRaw(col(textCol)).as("__q"),
+        size(words(col(textCol))).cast("bigint").as("__t"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("__q").desc, col("doc_id"))))
+    val byDec = scored.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).cast("bigint").as("tokens"))
+    val wRun = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec
+      .withColumn("cum_tokens", sum(col("tokens")).over(wRun).cast("bigint"))
+      .join(broadcast(byDec.agg(sum(col("tokens")).cast("bigint").as("__tt"))))
+      .select(col("decile"), col("n_docs"), col("tokens"), col("cum_tokens"),
+        expr("cum_tokens * 1000000L div __tt").as("cum_share_micro"))
+      .orderBy(col("decile"))
+  }
+
   /** Heaps-law vocabulary growth: distinct-vocabulary size at nested
     * 25/50/75/100% corpus samples, with the fitted Heaps exponent β
     * (V ≈ K·Nᵝ) — the "how much new vocabulary does more data buy"

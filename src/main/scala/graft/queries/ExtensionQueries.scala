@@ -1908,6 +1908,29 @@ object ExtensionQueries {
     graft.operators.Layout.sortKeyAdvisor(docs(s, dir),
       Seq("lang", "n_chars", "source"), "doc_id")
 
+  /** x159 data-efficiency curve — see
+    * [[graft.operators.TextAnalysis.dataEfficiencyCurve]]: token
+    * mass per quality decile with cumulative share — the curve
+    * behind every "train on the top X%" threshold. */
+  def x159(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dataEfficiencyCurve(docs(s, dir))
+
+  /** x160 label modularity of the k-NN graph — see
+    * [[graft.operators.Graph.partitionModularity]]: does the label
+    * partition explain the embedding neighborhoods — the no-ground-
+    * truth label-quality audit (Q ≈ 0 = labels are geometric noise). */
+  def x160(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.partitionModularity(
+      graft.operators.Graph.mutualEdges(knnEdges(s, dir)),
+      emb(s, dir).select(col("vec_id").as("id"), col("label")))
+
+  /** x161 design effect of inverse-frequency weights — see
+    * [[graft.operators.Profile.designEffect]]: ESS = (Σw)²/Σw² and
+    * the variance inflation deff — what balancing by weight COSTS,
+    * the quantitative case for capping or resampling instead. */
+  def x161(s: SparkSession, dir: String): DataFrame =
+    Profile.designEffect(docs(s, dir), "lang")
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2096,6 +2119,9 @@ object ExtensionQueries {
     "x156_json_key_profile" -> (x156 _),
     "x157_k_anonymity" -> (x157 _),
     "x158_sortkey_advisor" -> (x158 _),
+    "x159_data_efficiency" -> (x159 _),
+    "x160_label_modularity" -> (x160 _),
+    "x161_design_effect" -> (x161 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -5610,6 +5636,81 @@ object ExtensionQueries {
       Seq("lang", "n_chars", "source").map(cand)
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    // Replays dataEfficiencyCurve: the shared quality ranking, exact
+    // token counts from the same tokenizer, integer cumulative shares.
+    "x159_data_efficiency" ->
+      s"""WITH ${qualityCteSql("doc_id")},
+         |sc AS (SELECT q.doc_id, q.qr, CAST(len(w.ws) AS BIGINT) AS t
+         |       FROM q JOIN w USING (doc_id)),
+         |dc AS (SELECT CAST(ntile(10) OVER (ORDER BY qr DESC, doc_id)
+         |         AS INT) AS decile, t FROM sc),
+         |bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(t) AS BIGINT) AS tokens
+         |       FROM dc GROUP BY 1),
+         |cm AS (SELECT decile, n_docs, tokens,
+         |         CAST(sum(tokens) OVER (ORDER BY decile ROWS BETWEEN
+         |           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |           AS cum_tokens
+         |       FROM bd),
+         |tt AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM bd)
+         |SELECT decile, n_docs, tokens, cum_tokens,
+         |       CAST(cum_tokens * 1000000 // tt AS BIGINT) AS cum_share_micro
+         |FROM cm CROSS JOIN tt ORDER BY decile""".stripMargin,
+
+    // Replays partitionModularity on the same mutual edge set as
+    // x83/x84/x137: exact integer m, e_c, d_c; one fixed double Q
+    // term per label quantized to micro; integer total.
+    "x160_label_modularity" ->
+      s"""WITH ${knnEdgesCteSql(3)},
+         |mu AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |       FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+         |       WHERE a.src < a.dst),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mu),
+         |lab AS (SELECT vec_id AS id, label FROM embeddings),
+         |wi AS (SELECT la.label, CAST(count(*) AS BIGINT) AS e_within
+         |       FROM mu JOIN lab la ON la.id = mu.u
+         |               JOIN lab lb ON lb.id = mu.v
+         |       WHERE la.label = lb.label GROUP BY 1),
+         |dg AS (SELECT lab.label, CAST(count(*) AS BIGINT) AS n_nodes,
+         |              CAST(sum(d.d) AS BIGINT) AS deg_sum
+         |       FROM (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |               SELECT u AS id FROM mu UNION ALL SELECT v FROM mu) t
+         |             GROUP BY id) d
+         |       JOIN lab ON lab.id = d.id GROUP BY 1),
+         |terms AS (SELECT dg.label, dg.n_nodes,
+         |    CAST(coalesce(wi.e_within, 0) AS BIGINT) AS e_within,
+         |    dg.deg_sum,
+         |    CAST(round((coalesce(wi.e_within, 0) / CAST(m.m AS DOUBLE) -
+         |      (dg.deg_sum / (2.0 * m.m)) * (dg.deg_sum / (2.0 * m.m)))
+         |      * 1000000) AS BIGINT) AS q_term_micro
+         |  FROM dg LEFT JOIN wi ON wi.label = dg.label CROSS JOIN m),
+         |tot AS (SELECT CAST(sum(q_term_micro) AS BIGINT) AS q_total_micro
+         |        FROM terms)
+         |SELECT label, n_nodes, e_within, deg_sum, q_term_micro,
+         |       q_total_micro
+         |FROM terms CROSS JOIN tot ORDER BY label""".stripMargin,
+
+    // Replays designEffect: integer micro weights, exact BIGINT
+    // weighted sums, one double ESS/deff expression.
+    "x161_design_effect" ->
+      """WITH st AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_rows
+        |            FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS k FROM st),
+        |w AS (SELECT grp, n_rows,
+        |             CAST(1000000 * t.n // (t.k * n_rows) AS BIGINT)
+        |               AS weight_micro
+        |      FROM st CROSS JOIN t),
+        |s AS (SELECT CAST(sum(n_rows * weight_micro) AS BIGINT) AS sw,
+        |             CAST(sum(n_rows * weight_micro * weight_micro)
+        |                  AS BIGINT) AS sww,
+        |             CAST(sum(n_rows) AS BIGINT) AS nn
+        |      FROM w)
+        |SELECT grp AS lang, n_rows, weight_micro,
+        |       round((CAST(sw AS DOUBLE) * sw) / sww, 6) AS ess,
+        |       round(nn / ((CAST(sw AS DOUBLE) * sw) / sww), 6) AS deff
+        |FROM w CROSS JOIN s ORDER BY lang""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

@@ -144,6 +144,27 @@ class GraphSpec extends SparkSpec {
       (3L, 4L, 2L, 1000000L)))
   }
 
+  test("partitionModularity: two bridged triangles score the textbook Q; " +
+      "an unlabeled endpoint makes its edges between-groups") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val labAll = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, "B"), (6L, "B")).toDF("id", "label")
+    val out = Graph.partitionModularity(und, labAll)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // m=7; each side: 3/7 − (7/14)² = 0.178571
+    assert(out.toSeq == Seq(
+      ("A", 3L, 3L, 7L, 178571L, 357142L),
+      ("B", 3L, 3L, 7L, 178571L, 357142L)))
+    // drop node 6's label: B keeps only the 4-5 edge within
+    val labPart = labAll.filter($"id" =!= 6L)
+    val part = Graph.partitionModularity(und, labPart)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(part.toSeq == Seq(
+      ("A", 3L, 3L, 7L, 178571L, 193877L),
+      ("B", 2L, 1L, 5L, 15306L, 193877L)))
+  }
+
   test("kCore: pendant and chain peel away, the triangle is the 2-core, " +
       "and extra rounds past the fixpoint change nothing") {
     // triangle 1-2-3, pendant 4 on 1, chain 5-6

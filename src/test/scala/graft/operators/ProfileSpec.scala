@@ -418,6 +418,18 @@ class ProfileSpec extends SparkSpec {
       ("en", "s1", 1L, 2L)))
   }
 
+  test("designEffect: hand-traced inverse-frequency weights; an 8/2 split " +
+      "costs deff 1.5625") {
+    import spark.implicits._
+    val df = ((1 to 8).map(i => (i.toLong, "en")) ++
+      Seq((9L, "de"), (10L, "de"))).toDF("doc_id", "lang")
+    val out = Profile.designEffect(df, "lang")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq(
+      ("de", 2L, 2500000L, 6.4, 1.5625),
+      ("en", 8L, 625000L, 6.4, 1.5625)))
+  }
+
   test("rankAuc: a reversed score ranks at exactly 1 − AUC") {
     import spark.implicits._
     val base = Seq(("g", 0.9, 1L), ("g", 0.4, 1L), ("g", 0.6, 0L),

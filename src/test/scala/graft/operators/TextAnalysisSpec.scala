@@ -827,6 +827,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.forall(_._5.contains(expected)), s"${out.toSeq} vs $expected")
   }
 
+  test("dataEfficiencyCurve: dense deciles, conserved totals, monotone " +
+      "cumulative share ending at exactly 10⁶") {
+    val docs = (1L to 20L).map(i =>
+      (i, (0 until (5 + i.toInt)).map(j => s"tok$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dataEfficiencyCurve(docs)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == (1 to 10))
+    assert(out.map(_._2).sum == 20L)
+    assert(out.map(_._3).sum == (1L to 20L).map(5 + _).sum)
+    val cums = out.map(_._4)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+    assert(cums.last == out.map(_._3).sum)
+    assert(out.last._5 == 1000000L)
+    val shares = out.map(_._5)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+  }
+
   test("dsirWeights rejects degenerate parameters") {
     val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
     intercept[IllegalArgumentException] {

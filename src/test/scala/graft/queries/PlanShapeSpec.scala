@@ -1054,6 +1054,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("text#"), plan)
   }
 
+  test("x159: one ntile ranking over a 3-column projection, cumulative " +
+    "windows over the 10-row decile frame; the 1-row total broadcasts") {
+    val plan = physical(ExtensionQueries.x159(spark, sf001))
+    assert(plan.contains("windowspecdefinition"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x160: modularity is keyed joins + hash aggregations over the " +
+    "checkpointed term frame — no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x160(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x161: one stratum aggregation; the 1-row totals and weighted sums " +
+    "broadcast onto the |strata| frame — no window") {
+    val plan = physical(ExtensionQueries.x161(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
