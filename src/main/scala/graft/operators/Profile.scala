@@ -753,6 +753,50 @@ object Profile {
           (col("n_keys") * col("n_rows")).cast("double"), 6).as("gini"))
   }
 
+  /** Freedman–Diaconis histogram advisor: derive the bin width
+    * 2·IQR/∛n from the data itself and ship the histogram AT that
+    * width — the principled default for any numeric profile view
+    * (too-narrow bins are noise, too-wide hide structure; FD
+    * balances both against n and spread). x113's equi-depth bins
+    * answer "where are the quantiles"; this answers "what does the
+    * SHAPE look like" with a defensible resolution.
+    *
+    * Exactness: the IQR is an order-statistic difference (exact
+    * integers); the width is ONE fixed double expression (2·IQR/∛n,
+    * rounded, floored at 1) so both engines derive the same integer
+    * width; bin assignment and counts are pure integer algebra.
+    * Empty bins are absent rows (the histogram is sparse by
+    * construction; a plot layer zero-fills).
+    *
+    * Scale: two aggregations (the quantile/extent pass and the bin
+    * collapse) with a 1-row parameter frame broadcast between them.
+    *
+    * Output: (bin, bin_lo, n, width, n_bins), ordered by bin —
+    * width/n_bins repeated (properties of the advisor). */
+  def fdHistogram(df: DataFrame, valueCol: String): DataFrame = {
+    val params = df.select(col(valueCol).cast("long").as("__v"))
+      .agg(
+        expr("cast(percentile_disc(0.25) WITHIN GROUP (ORDER BY __v) as bigint)")
+          .as("__q1"),
+        expr("cast(percentile_disc(0.75) WITHIN GROUP (ORDER BY __v) as bigint)")
+          .as("__q3"),
+        min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+        count(lit(1)).as("__n"))
+      .withColumn("width",
+        greatest(lit(1L), expr(
+          "CAST(round(2.0D * (__q3 - __q1) / cbrt(CAST(__n AS DOUBLE))) AS BIGINT)")))
+      .withColumn("n_bins", expr("(__hi - __lo) div width + 1"))
+    df.select(col(valueCol).cast("long").as("__v"))
+      .join(broadcast(params))
+      .select(expr("(__v - __lo) div width").as("bin"),
+        col("width"), col("n_bins"), col("__lo"))
+      .groupBy(col("bin"), col("width"), col("n_bins"), col("__lo"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (col("__lo") + col("bin") * col("width")).as("bin_lo"),
+        col("n"), col("width"), col("n_bins"))
+      .orderBy(col("bin"))
+  }
+
   /** Effective sample size and design effect of inverse-frequency
     * stratum weights — what re-weighting actually COSTS: balancing a
     * skewed corpus by weighting (w_h ∝ 1/n_h, the x54-upsample's

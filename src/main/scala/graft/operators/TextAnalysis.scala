@@ -1734,6 +1734,104 @@ object TextAnalysis {
       .orderBy(col("decile"))
   }
 
+  /** Rank-biased overlap (Webber et al. 2010) between two quality-
+    * signal rankings, truncated at depth K — DO two filter signals
+    * agree where it matters (the top), weighting depth d by
+    * p^(d−1)/d so early agreement dominates: two signals with RBO
+    * near 1 are redundant (drop one); near 0 they see different
+    * documents (keep both, or fuse as x147 does). Computed here for
+    * the quality-score vs char-entropy rankings.
+    *
+    * The overlap curve comes from one integer histogram: a document
+    * with ranks (r_a, r_b) enters both top-d sets exactly at depth
+    * max(r_a, r_b), so overlap_d is the cumulated histogram of that
+    * max — no per-depth set intersection. The geometric weights
+    * p^(d−1) are SCALA-computed literals shipped to both engines
+    * (exact same doubles), each depth's term quantizes once to
+    * micro, and the RBO total is an integer sum scaled by (1−p).
+    *
+    * Output: (depth, overlap, term_micro, rbo_micro) for depths
+    * 1..K — rbo_micro repeated (the truncated-sum RBO at K, the
+    * paper's "RBO_MIN at depth K" reading). */
+  def rankBiasedOverlap(docs: DataFrame, depthK: Int = 50,
+      p: Double = 0.9, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(depthK > 0 && p > 0 && p < 1,
+      s"rankBiasedOverlap: need depthK > 0 and 0 < p < 1, got $depthK/$p")
+    import graft.functions.TextFunctions.qualityScoreRaw
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val ra = base.select(col("doc_id"), qualityScoreRaw(col("text")).as("__s"))
+      .withColumn("__ra", row_number().over(
+        Window.orderBy(col("__s").desc, col("doc_id")))).drop("__s")
+    val rb = charEntropy(base).select(col("doc_id"),
+        col("entropy_micro").as("__s"))
+      .withColumn("__rb", row_number().over(
+        Window.orderBy(col("__s").desc, col("doc_id")))).drop("__s")
+    val entry = ra.join(rb, "doc_id")
+      .select(greatest(col("__ra"), col("__rb")).as("__m"))
+      .filter(col("__m") <= depthK)
+      .groupBy(col("__m")).agg(count(lit(1)).as("__c"))
+    // depth spine with the Scala-computed geometric weights — the
+    // SAME double literals the oracle embeds
+    val weights = (1 to depthK).map(d =>
+      (d, math.pow(p, (d - 1).toDouble))).toDF("depth", "__w")
+    val wRun = Window.orderBy(col("depth"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = weights
+      .join(entry.withColumnRenamed("__m", "depth"), Seq("depth"), "left")
+      .withColumn("overlap",
+        sum(coalesce(col("__c"), lit(0L))).over(wRun).cast("bigint"))
+      .withColumn("term_micro",
+        expr("CAST(round(__w * overlap / CAST(depth AS DOUBLE) * 1000000) AS BIGINT)"))
+      .localCheckpoint(true) // feeds the total AND the output
+    terms
+      .join(broadcast(terms.agg(
+        expr(s"CAST(round(sum(term_micro) * ${1.0 - p}D) AS BIGINT)")
+          .as("rbo_micro"))))
+      .select(col("depth"), col("overlap"), col("term_micro"),
+        col("rbo_micro"))
+      .orderBy(col("depth"))
+  }
+
+  /** Exclusive-vocabulary share per source: the fraction of each
+    * source's distinct terms that appear in NO other source — the
+    * "what would we actually lose by dropping this provider"
+    * complement to x98's distinctive-term ranking (tf-idf finds
+    * characteristic terms; this counts irreplaceable ones). High
+    * share = unique coverage; near zero = the source's vocabulary is
+    * fully redundant.
+    *
+    * Pure integer: one (source, term) distinct frame, term-level
+    * source-counts (a row per (source, term) IS a source containing
+    * the term — the x98 df trick, no second scan), exclusive =
+    * source_count 1, one floor division.
+    *
+    * Scale: one tokenize pass → two hash aggregations keyed on
+    * (source, term) then term; the term⋈count join reuses the term
+    * partitioning. Output is |sources| rows.
+    *
+    * Output: (source, vocab, exclusive, exclusive_share_micro). */
+  def exclusiveVocabShare(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val st = docs.select(col(sourceCol).as("source"),
+        explode(words(col(textCol))).as("term"))
+      .distinct()
+      .localCheckpoint(true) // feeds the df counts and the share join
+    val df = st.groupBy(col("term")).agg(count(lit(1)).as("__sc"))
+    st.join(df, "term")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("__sc") === 1, 1L).otherwise(0L)).cast("bigint")
+          .as("exclusive"))
+      .withColumn("exclusive_share_micro",
+        expr("exclusive * 1000000L div vocab"))
+      .orderBy(col("source"))
+  }
+
   /** Heaps-law vocabulary growth: distinct-vocabulary size at nested
     * 25/50/75/100% corpus samples, with the fitted Heaps exponent β
     * (V ≈ K·Nᵝ) — the "how much new vocabulary does more data buy"

@@ -1931,6 +1931,27 @@ object ExtensionQueries {
   def x161(s: SparkSession, dir: String): DataFrame =
     Profile.designEffect(docs(s, dir), "lang")
 
+  /** x162 rank-biased overlap of quality vs entropy rankings — see
+    * [[graft.operators.TextAnalysis.rankBiasedOverlap]]: top-weighted
+    * agreement (p=0.9, depth 50) between two filter signals — the
+    * redundancy audit behind x147's fusion. */
+  def x162(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rankBiasedOverlap(docs(s, dir))
+
+  /** x163 Freedman–Diaconis histogram of doc lengths — see
+    * [[graft.operators.Profile.fdHistogram]]: the data-derived bin
+    * width (2·IQR/∛n) and the histogram at that width — the
+    * shape view beside x113's equi-depth quantile bins. */
+  def x163(s: SparkSession, dir: String): DataFrame =
+    Profile.fdHistogram(docs(s, dir), "n_chars")
+
+  /** x164 exclusive vocabulary per source — see
+    * [[graft.operators.TextAnalysis.exclusiveVocabShare]]: the
+    * fraction of each source's vocabulary no other source carries —
+    * what dropping the provider would actually lose. */
+  def x164(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.exclusiveVocabShare(docs(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2122,6 +2143,9 @@ object ExtensionQueries {
     "x159_data_efficiency" -> (x159 _),
     "x160_label_modularity" -> (x160 _),
     "x161_design_effect" -> (x161 _),
+    "x162_rank_biased_overlap" -> (x162 _),
+    "x163_fd_histogram" -> (x163 _),
+    "x164_exclusive_vocab" -> (x164 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2176,6 +2200,26 @@ object ExtensionQueries {
     * constants as [[TextFunctions.stopwords]]). */
   private def stopLit(lang: String): String =
     graft.functions.TextFunctions.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The x142 char-entropy chain as CTEs ending in `ent(doc_id, e)` —
+    * ONE rendering shared by the x147 fusion and x162 RBO oracles
+    * (and mirroring the x142 oracle's inline copy). */
+  private def entropyCteSql: String =
+    """ech AS (
+      |  SELECT doc_id, substr(t2, CAST(u.i AS INT), 1) AS ch
+      |  FROM (SELECT doc_id, lower(text) AS t2 FROM documents) dd,
+      |       LATERAL (SELECT unnest(range(1, length(t2) + 1)) AS i) u),
+      |epc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      |        FROM ech GROUP BY 1, 2),
+      |epn AS (SELECT doc_id, ch, c,
+      |               CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      |        FROM epc),
+      |elp AS (SELECT doc_id, c, n,
+      |    CAST(round(round(ln(c::DOUBLE / n::DOUBLE), 6) * 1000000)
+      |         AS BIGINT) AS lp
+      |  FROM epn),
+      |ent AS (SELECT doc_id, CAST((-sum(c * lp)) // max(n) AS BIGINT) AS e
+      |        FROM elp GROUP BY doc_id)""".stripMargin
 
   /** Word tokens of `col` (lowercased maximal letter/number runs) —
     * the RE2 regex equivalent of ShingleKernels.wordTokens. Shared
@@ -5292,21 +5336,7 @@ object ExtensionQueries {
     // terms, bounded top-50.
     "x147_signal_rank_fusion" ->
       s"""WITH ${qualityCteSql("doc_id")},
-         |ech AS (
-         |  SELECT doc_id, substr(t2, CAST(u.i AS INT), 1) AS ch
-         |  FROM (SELECT doc_id, lower(text) AS t2 FROM documents) dd,
-         |       LATERAL (SELECT unnest(range(1, length(t2) + 1)) AS i) u),
-         |epc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
-         |        FROM ech GROUP BY 1, 2),
-         |epn AS (SELECT doc_id, ch, c,
-         |               CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
-         |        FROM epc),
-         |elp AS (SELECT doc_id, c, n,
-         |    CAST(round(round(ln(c::DOUBLE / n::DOUBLE), 6) * 1000000)
-         |         AS BIGINT) AS lp
-         |  FROM epn),
-         |ent AS (SELECT doc_id, CAST((-sum(c * lp)) // max(n) AS BIGINT) AS e
-         |        FROM elp GROUP BY doc_id),
+         |$entropyCteSql,
          |tk2 AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
          |g2 AS (SELECT doc_id, unnest(${wordNgramsSql(2, distinct = false)})
          |         AS gram FROM tk2),
@@ -5711,6 +5741,82 @@ object ExtensionQueries {
         |       round((CAST(sw AS DOUBLE) * sw) / sww, 6) AS ess,
         |       round(nn / ((CAST(sw AS DOUBLE) * sw) / sww), 6) AS deff
         |FROM w CROSS JOIN s ORDER BY lang""".stripMargin,
+
+    // Replays rankBiasedOverlap: the shared quality + entropy chains,
+    // max-rank entry histogram, Scala-rendered geometric weights
+    // (identical double literals), per-depth terms quantized, the
+    // (1−p) scale cast to DOUBLE on both engines.
+    "x162_rank_biased_overlap" -> {
+      val wts = (1 to 50).map(d =>
+        s"($d, CAST(${math.pow(0.9, (d - 1).toDouble)} AS DOUBLE))")
+        .mkString(", ")
+      s"""WITH ${qualityCteSql("doc_id")},
+         |$entropyCteSql,
+         |ra AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY qr DESC, doc_id)
+         |              AS BIGINT) AS r FROM q),
+         |rb AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY e DESC, doc_id)
+         |              AS BIGINT) AS r FROM ent),
+         |mx AS (SELECT greatest(ra.r, rb.r) AS m
+         |       FROM ra JOIN rb USING (doc_id)
+         |       WHERE greatest(ra.r, rb.r) <= 50),
+         |hist AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM mx GROUP BY m),
+         |wts(depth, w) AS (VALUES $wts),
+         |tm AS (SELECT wts.depth, wts.w,
+         |    CAST(coalesce((SELECT sum(c) FROM hist WHERE m <= wts.depth), 0)
+         |         AS BIGINT) AS overlap
+         |  FROM wts),
+         |t2 AS (SELECT depth, overlap,
+         |         CAST(round(w * overlap / CAST(depth AS DOUBLE) * 1000000)
+         |              AS BIGINT) AS term_micro
+         |       FROM tm),
+         |tot AS (SELECT CAST(round(sum(term_micro) *
+         |          CAST(0.09999999999999998 AS DOUBLE)) AS BIGINT)
+         |          AS rbo_micro FROM t2)
+         |SELECT depth, overlap, term_micro, rbo_micro
+         |FROM t2 CROSS JOIN tot ORDER BY depth""".stripMargin
+    },
+
+    // Replays fdHistogram: order-statistic IQR, ONE double width
+    // expression, integer bin algebra; empty bins absent.
+    "x163_fd_histogram" ->
+      """WITH p AS (
+        |  SELECT CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)
+        |              AS BIGINT) AS q1,
+        |         CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)
+        |              AS BIGINT) AS q3,
+        |         CAST(min(n_chars) AS BIGINT) AS lo,
+        |         CAST(max(n_chars) AS BIGINT) AS hi,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM documents),
+        |w AS (SELECT p.*,
+        |        greatest(1, CAST(round(2.0 * (q3 - q1) /
+        |          cbrt(CAST(n AS DOUBLE))) AS BIGINT)) AS width
+        |      FROM p),
+        |w2 AS (SELECT w.*, (hi - lo) // width + 1 AS n_bins FROM w),
+        |b AS (SELECT (d.n_chars - w2.lo) // w2.width AS bin,
+        |             w2.width, w2.n_bins, w2.lo
+        |      FROM documents d CROSS JOIN w2)
+        |SELECT bin, CAST(lo + bin * width AS BIGINT) AS bin_lo,
+        |       CAST(count(*) AS BIGINT) AS n, width, n_bins
+        |FROM b GROUP BY bin, width, n_bins, lo ORDER BY bin""".stripMargin,
+
+    // Replays exclusiveVocabShare: the (source, term) distinct frame,
+    // df-as-source-count, integer share.
+    "x164_exclusive_vocab" ->
+      s"""WITH st AS (SELECT DISTINCT source, unnest(ws) AS term
+         |            FROM (SELECT source, ${wordsSql("text")} AS ws
+         |                  FROM documents) t),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS sc
+         |       FROM st GROUP BY term)
+         |SELECT st.source, CAST(count(*) AS BIGINT) AS vocab,
+         |       CAST(sum(CASE WHEN df.sc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS exclusive,
+         |       CAST(sum(CASE WHEN df.sc = 1 THEN 1 ELSE 0 END) * 1000000
+         |            // count(*) AS BIGINT) AS exclusive_share_micro
+         |FROM st JOIN df ON df.term = st.term
+         |GROUP BY st.source ORDER BY st.source""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

@@ -430,6 +430,17 @@ class ProfileSpec extends SparkSpec {
       ("en", 8L, 625000L, 6.4, 1.5625)))
   }
 
+  test("fdHistogram: width 2·IQR/∛n hand-traced; sparse integer bins") {
+    import spark.implicits._
+    val df = (1L to 8L).map(v => (v, v)).toDF("doc_id", "n_chars")
+    val out = Profile.fdHistogram(df, "n_chars")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // IQR = 6−2 = 4, width = round(8/∛8) = 4, bins (v−1) div 4
+    assert(out.toSeq == Seq(
+      (0L, 1L, 4L, 4L, 2L),
+      (1L, 5L, 4L, 4L, 2L)))
+  }
+
   test("rankAuc: a reversed score ranks at exactly 1 − AUC") {
     import spark.implicits._
     val base = Seq(("g", 0.9, 1L), ("g", 0.4, 1L), ("g", 0.6, 0L),

@@ -845,6 +845,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
   }
 
+  test("rankBiasedOverlap: overlaps are monotone and depth-bounded, terms " +
+      "and the total replay the formula exactly") {
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until 6).map(j => s"w${(i * 5 + j * 7) % 40}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rankBiasedOverlap(docs, depthK = 20)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == (1 to 20))
+    val ov = out.map(_._2)
+    assert(ov.zip(ov.tail).forall { case (a, b) => a <= b })
+    assert(out.forall(r => r._2 <= r._1)) // overlap_d ≤ d
+    out.foreach { case (d, o, term, _) =>
+      val w = math.pow(0.9, (d - 1).toDouble)
+      assert(term == math.round(w * o / d.toDouble * 1000000.0), s"depth $d")
+    }
+    val expectedRbo = math.round(out.map(_._3).sum * (1.0 - 0.9))
+    assert(out.forall(_._4 == expectedRbo))
+  }
+
+  test("exclusiveVocabShare: terms carried by one source only, exact " +
+      "integer shares") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "b c d", "s2"), (3L, "e", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.exclusiveVocabShare(docs)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("s1", 3L, 1L, 333333L),
+      ("s2", 3L, 1L, 333333L),
+      ("s3", 1L, 1L, 1000000L)))
+  }
+
   test("dsirWeights rejects degenerate parameters") {
     val docs = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang")
     intercept[IllegalArgumentException] {

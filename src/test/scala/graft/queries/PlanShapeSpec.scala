@@ -1080,6 +1080,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("x162: the overlap curve is a cumulative window over the ≤K-row " +
+    "entry histogram on the checkpointed term frame — no per-depth " +
+    "set intersection, no cartesian beyond the 1-row total") {
+    val plan = physical(ExtensionQueries.x162(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x163: two aggregation passes with the 1-row parameter frame " +
+    "broadcast between them — no window over rows") {
+    val plan = physical(ExtensionQueries.x163(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x164: the df join reuses the term partitioning over the " +
+    "checkpointed (source, term) frame — no broadcast of the " +
+    "vocabulary, no window") {
+    val plan = physical(ExtensionQueries.x164(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
