@@ -1002,6 +1002,60 @@ object Sequences {
         expr("sum_nll_micro div n_test").as("avg_nll_micro"))
   }
 
+  /** The 24 hour-angle cosine/micro constants for [[diurnalConcentration]]
+    * — computed ONCE in Scala and shipped to both engines as
+    * literals, so the circular statistics never depend on either
+    * engine's trig. */
+  val HourAngleMicro: Seq[(Int, Long, Long)] = (0 until 24).map { h =>
+    val theta = 2.0 * math.Pi * h / 24.0
+    (h, math.round(math.cos(theta) * 1000000.0),
+      math.round(math.sin(theta) * 1000000.0))
+  }
+
+  /** Diurnal concentration per event type — circular statistics over
+    * the hour-of-day distribution: the mean resultant length
+    * R = |Σe^{iθ}|/n measures HOW 24-hour-patterned a type is (R→1:
+    * everything at one hour — a cron job; R→0: uniform — organic
+    * traffic), and the mean angle names the peak hour. The circular
+    * read [[hourlyBaselineDeviation]]'s per-cell table cannot give in
+    * one number, and the right one — hour 23 and hour 0 are
+    * NEIGHBORS, which any linear mean gets wrong.
+    *
+    * Exactness: the 24 cos/sin values are SCALA-computed micro
+    * literals (both engines join the same table — no engine trig);
+    * Σcos/Σsin are exact integer sums over the hour histogram;
+    * R and the peak hour are fixed double expressions over the two
+    * integers, rounded. atan2 exists and agrees on both engines for
+    * these coarse inputs; the peak ships as an HOUR (nearest of 24),
+    * where ulp-level atan2 differences cannot move the answer.
+    *
+    * Scale: one (type, hour) aggregation collapses the volume; the
+    * 24-row angle table broadcasts. Output is one row per type.
+    *
+    * Output: (event_type, n, r_micro, peak_hour). */
+  def diurnalConcentration(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val angles = HourAngleMicro.toDF("hr", "cos_micro", "sin_micro")
+    events
+      .select(col(typeCol).as("__t"), hour(col(tsCol)).as("hr"))
+      .groupBy(col("__t"), col("hr")).agg(count(lit(1)).as("__n"))
+      .join(broadcast(angles), "hr")
+      .groupBy(col("__t"))
+      .agg(sum(col("__n")).cast("bigint").as("n"),
+        sum(col("__n") * col("cos_micro")).cast("bigint").as("__sc"),
+        sum(col("__n") * col("sin_micro")).cast("bigint").as("__ss"))
+      .select(col("__t").as("event_type"), col("n"),
+        expr("""CAST(round(sqrt(CAST(__sc AS DOUBLE) * __sc +
+            CAST(__ss AS DOUBLE) * __ss) / n) AS BIGINT)""").as("r_micro"),
+        // nearest hour of the mean angle: atan2 in [−π, π] → 0..24
+        expr("""CAST(round(((atan2(CAST(__ss AS DOUBLE), CAST(__sc AS DOUBLE))
+            + 2.0D * pi()) % (2.0D * pi())) * 24.0D / (2.0D * pi()))
+          AS BIGINT) % 24""").as("peak_hour"))
+      .orderBy(col("event_type"))
+  }
+
   /** Mann–Kendall trend test on each event type's daily count series
     * — the NONPARAMETRIC trend read next to [[weeklyTrend]]'s OLS
     * slope: S = Σ_{i<j} sign(x_j − x_i) counts concordant minus

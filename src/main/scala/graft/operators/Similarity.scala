@@ -490,6 +490,63 @@ object Similarity {
         expr("n * 1000000L div __t").as("share_micro"))
   }
 
+  /** Cluster exemplars: for each cluster, the member vector closest
+    * (by cosine) to the cluster's integer-quantized centroid — the
+    * medoid-style representative every clustering consumer needs (a
+    * human can read 10 exemplars; nobody reads 10 clusters of ids).
+    * Complements [[centroidDrift]] (same centroid machinery, pointed
+    * at WITHIN-cluster structure instead of between-group drift).
+    *
+    * Exactness: the same per-element micro quantization as
+    * [[centroidDrift]] makes centroids order-free BIGINT; each
+    * member's cosine-to-centroid numerator is an exact integer dot
+    * product; the final cosine is one double expression rounded to
+    * 6 dp, and the argmax breaks ties by member id via one
+    * min-struct aggregate — engine-identical.
+    *
+    * Scale: one posexplode pass feeds both the centroid aggregation
+    * and the member-side join; the centroid frame
+    * (clusters×dim cells) joins back keyed on (cluster, dim) — at
+    * huge cluster counts this is a hash join, never a broadcast.
+    * The argmax is an aggregate, not a window.
+    *
+    * Output: (clusterCol, n_members, exemplar_id, cos_to_centroid),
+    * ordered by cluster. */
+  def clusterExemplars(emb: DataFrame, clusters: DataFrame,
+      clusterCol: String = "cluster_id", idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val cells = emb
+      .filter(size(col(vecCol)) === dim &&
+        dot_product(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .select(col("id"), col("d"),
+        round(col("v").cast("double") * lit(1000000.0)).cast("long").as("m"))
+      .join(clusters.select(col(idCol).as("id"),
+        col(clusterCol).as("grp")), "id")
+      .localCheckpoint(true) // feeds the centroid AND the member side
+    val cent = cells.groupBy(col("grp"), col("d"))
+      .agg(sum(col("m")).cast("bigint").as("s"), count(lit(1)).as("c"))
+      .select(col("grp"), col("d"), expr("s div c").as("q"))
+    val scored = cells.join(cent, Seq("grp", "d"))
+      .groupBy(col("grp"), col("id"))
+      .agg(sum(col("m") * col("q")).cast("bigint").as("__num"),
+        sum(col("m") * col("m")).cast("bigint").as("__mm"),
+        sum(col("q") * col("q")).cast("bigint").as("__qq"))
+      .filter(col("__mm") > 0 && col("__qq") > 0)
+      .select(col("grp"), col("id"),
+        round(col("__num").cast("double") /
+          (sqrt(col("__mm").cast("double")) *
+            sqrt(col("__qq").cast("double"))), 6).as("__cos"))
+    scored.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("__cos")).as("nc"), col("id").as("id"),
+          col("__cos").as("cos"))).as("__best"))
+      .select(col("grp").as(clusterCol), col("n_members"),
+        col("__best.id").as("exemplar_id"),
+        col("__best.cos").as("cos_to_centroid"))
+      .orderBy(col(clusterCol))
+  }
+
   /** Per-group embedding-centroid drift: each group's mean vector
     * against the corpus mean vector, as a cosine — the "is this
     * source/label occupying a different region of embedding space"

@@ -1952,6 +1952,22 @@ object ExtensionQueries {
   def x164(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.exclusiveVocabShare(docs(s, dir))
 
+  /** x165 cluster exemplars — see
+    * [[graft.operators.Similarity.clusterExemplars]]: the member
+    * closest to each x84 cluster's integer centroid — the medoid-
+    * style representative a human can actually read. */
+  def x165(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterExemplars(emb(s, dir), x84(s, dir))
+
+  /** x166 diurnal concentration — see
+    * [[graft.operators.Sequences.diurnalConcentration]]: circular
+    * mean resultant length + peak hour per event type over Scala-
+    * rendered hour-angle constants — the cron-vs-organic read
+    * hour-of-day tables cannot give in one number. */
+  def x166(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.diurnalConcentration(
+      Tables.load(s, dir, "events"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2146,6 +2162,8 @@ object ExtensionQueries {
     "x162_rank_biased_overlap" -> (x162 _),
     "x163_fd_histogram" -> (x163 _),
     "x164_exclusive_vocab" -> (x164 _),
+    "x165_cluster_exemplars" -> (x165 _),
+    "x166_diurnal_concentration" -> (x166 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -5817,6 +5835,76 @@ object ExtensionQueries {
          |            // count(*) AS BIGINT) AS exclusive_share_micro
          |FROM st JOIN df ON df.term = st.term
          |GROUP BY st.source ORDER BY st.source""".stripMargin,
+
+    // Replays clusterExemplars over the x84 recursive closure: same
+    // per-element micro quantization, truncating centroid division,
+    // exact integer dot products, (cos desc, id) argmax.
+    "x165_cluster_exemplars" ->
+      s"""WITH RECURSIVE ${knnEdgesCteSql(3)},
+         |mu AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |       FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+         |       WHERE a.src < a.dst),
+         |ed AS (SELECT u AS a, v AS b FROM mu
+         |       UNION SELECT v AS a, u AS b FROM mu),
+         |nodes AS (SELECT DISTINCT a AS node FROM ed),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+         |cc AS (SELECT node AS vec_id, min(r) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |cells AS (SELECT cc.cluster_id AS grp, em.vec_id AS id,
+         |    CAST(u.i AS INT) AS d,
+         |    CAST(round(em.embedding[CAST(u.i AS INT)]::DOUBLE * 1000000)
+         |         AS BIGINT) AS m
+         |  FROM cc JOIN embeddings em ON em.vec_id = cc.vec_id,
+         |       LATERAL (SELECT unnest(range(1, len(em.embedding) + 1)) AS i) u
+         |  WHERE len(em.embedding) = 64
+         |    AND list_inner_product(em.embedding::DOUBLE[],
+         |                           em.embedding::DOUBLE[]) > 0),
+         |cent AS (SELECT grp, d,
+         |           CAST(sum(m) AS BIGINT) // CAST(count(*) AS BIGINT) AS q
+         |         FROM cells GROUP BY 1, 2),
+         |sc AS (SELECT cells.grp, cells.id,
+         |              CAST(sum(m * q) AS BIGINT) AS num,
+         |              CAST(sum(m * m) AS BIGINT) AS mm,
+         |              CAST(sum(q * q) AS BIGINT) AS qq
+         |       FROM cells JOIN cent ON cent.grp = cells.grp
+         |                           AND cent.d = cells.d
+         |       GROUP BY 1, 2),
+         |cs AS (SELECT grp, id,
+         |         round(num::DOUBLE / (sqrt(mm::DOUBLE) * sqrt(qq::DOUBLE)), 6)
+         |           AS cos
+         |       FROM sc WHERE mm > 0 AND qq > 0),
+         |best AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_members,
+         |           min(struct_pack(nc := -cos, id := id, cos := cos)) AS b
+         |         FROM cs GROUP BY grp)
+         |SELECT grp AS cluster_id, n_members, b.id AS exemplar_id,
+         |       b.cos AS cos_to_centroid
+         |FROM best ORDER BY cluster_id""".stripMargin,
+
+    // Replays diurnalConcentration: the Scala-rendered hour-angle
+    // VALUES table, exact integer resultant sums, fixed R/atan2
+    // expressions with the nearest-hour rounding.
+    "x166_diurnal_concentration" -> {
+      val ang = graft.operators.Sequences.HourAngleMicro
+        .map { case (h, c, s2) => s"($h, $c, $s2)" }.mkString(", ")
+      s"""WITH ang(hr, c, s2) AS (VALUES $ang),
+         |h AS (SELECT event_type AS t, CAST(hour(ts) AS INT) AS hr,
+         |             CAST(count(*) AS BIGINT) AS n
+         |      FROM events GROUP BY 1, 2),
+         |a AS (SELECT t, CAST(sum(n) AS BIGINT) AS n,
+         |             CAST(sum(n * c) AS BIGINT) AS sc,
+         |             CAST(sum(n * s2) AS BIGINT) AS ss
+         |      FROM h JOIN ang USING (hr) GROUP BY 1)
+         |SELECT t AS event_type, n,
+         |       CAST(round(sqrt(CAST(sc AS DOUBLE) * sc +
+         |         CAST(ss AS DOUBLE) * ss) / n) AS BIGINT) AS r_micro,
+         |       CAST(round(((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
+         |         + 2 * pi()) % (2 * pi())) * 24 / (2 * pi()))
+         |         AS BIGINT) % 24 AS peak_hour
+         |FROM a ORDER BY event_type""".stripMargin
+    },
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

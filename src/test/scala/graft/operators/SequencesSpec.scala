@@ -510,6 +510,20 @@ class SequencesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, 1098612L, 549306L)))
   }
 
+  test("diurnalConcentration: a one-hour spike scores R = 1 at its hour; " +
+      "four opposed hours cancel to R = 0") {
+    val events = (
+      (1 to 4).map(i => (i.toLong, ts(s"2024-01-01 03:0$i:00"), 1L, "cron")) ++
+      Seq(0, 6, 12, 18).zipWithIndex.map { case (h, i) =>
+        ((10 + i).toLong, ts(f"2024-01-01 $h%02d:30:00"), 1L, "flat") })
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sequences.diurnalConcentration(events)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("cron", 4L, 1000000L, 3L),
+      ("flat", 4L, 0L, 0L)))
+  }
+
   test("mannKendall: monotone series score ±S with hand-traced z; an " +
       "all-tied series has zero variance and no verdict") {
     val rows =

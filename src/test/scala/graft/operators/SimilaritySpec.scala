@@ -40,6 +40,25 @@ class SimilaritySpec extends SparkSpec {
       (20, 1L, Some(0.447214), 1.0)))
   }
 
+  test("clusterExemplars: hand-traced centroid cosines; symmetric members " +
+      "tie to the smaller id, singleton clusters are their own exemplar") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.8f, 0.6f), 0),
+      (3L, Array(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("vec_id", "cluster_id")
+    val out = Similarity.clusterExemplars(emb, clusters, dim = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    // cluster 1 centroid (900000, 300000): both members score the
+    // same 0.948683 by symmetry → id tie-break picks 1
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0.948683),
+      (3L, 1L, 3L, 1.0)))
+  }
+
   test("brute-force top-k survives zero-norm corpus vectors (null cosine dropped)") {
     // a zero vector has no cosine (CosineSimilarity nulls it out); the
     // typed top-k aggregator must drop it rather than crash on the

@@ -1106,6 +1106,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x165: one checkpointed cell frame feeds centroid and member " +
+    "sides; the argmax is a min-struct aggregate, not a window") {
+    val plan = physical(ExtensionQueries.x165(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x166: the 24-row angle table broadcasts onto the collapsed " +
+    "(type, hour) frame — no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x166(spark, sf001))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
