@@ -55,11 +55,18 @@ import os
 # are only tractable at small sf (x02's brute-force pair join is >40 min
 # in DuckDB at sf0.1; scripts/crosscheck_x02.py covers it there).
 skip = set(filter(None, os.environ.get("CHECK_SKIP", "").split(",")))
+# CHECK_ONLY: regex — when set, only matching query names are checked
+# (scoped iteration; mirrors Verify/Bench's SPARK_GRAFT_ONLY).
+import re
+only = os.environ.get("CHECK_ONLY")
+only_re = re.compile(only) if only else None
 
 fails = []
 for name, sql in sorted(oracle.items()):
     if name in skip:
         print("SKIP", name, "(CHECK_SKIP)")
+        continue
+    if only_re and not (only_re.fullmatch(name) or only_re.search(name)):
         continue
     try:
         # materialize once — some oracles (brute-force pair ground

@@ -264,23 +264,25 @@ object Joins {
     * isn't just a length gap). Unpaired surplus rows in the larger
     * cohort drop out via the inner join, by design.
     *
-    * Determinism: the bucket is `ntile` over the cohort-blind total
-    * order (value, id) and the within-bucket rank orders by the same
-    * pair — every step replays identically in any engine. Scale: the
-    * same exact-window envelope as [[Profile.equiDepthBins]] (the
-    * approximate path swaps ntile for sampled breakpoints); both
-    * windows sort once on (value, id). Output: (bucket, pair_rank,
-    * id_a, val_a, id_b, val_b, gap). */
+    * Determinism: the bucket is the exact equi-depth tile over the
+    * cohort-blind total order (value, id) — [[Rank.withExactNtile]],
+    * bit-identical to `ntile` but derived from the value histogram and
+    * ≤ buckets−1 broadcast boundary pairs instead of a corpus-global
+    * window — and the within-bucket rank orders by the same pair, so
+    * every step replays identically in any engine. Scale: the only
+    * unpartitioned window runs over the value HISTOGRAM; the
+    * pair_rank window hash-partitions on (bucket, cohort). Output:
+    * (bucket, pair_rank, id_a, val_a, id_b, val_b, gap). */
   def rankMatchedPairs(rows: DataFrame, idCol: String, valueCol: String,
       cohortCol: String, cohortA: String, cohortB: String,
       buckets: Int): DataFrame = {
     require(buckets > 0, s"rankMatchedPairs: buckets must be positive, got $buckets")
-    val both = rows
-      .filter(col(cohortCol).isin(cohortA, cohortB))
-      .select(col(idCol).as("id"), col(valueCol).cast("long").as("v"),
-        col(cohortCol).as("c"))
-      .withColumn("bucket", ntile(buckets).over(
-        Window.orderBy(col("v"), col("id"))))
+    val both = Rank.withExactNtile(
+        rows
+          .filter(col(cohortCol).isin(cohortA, cohortB))
+          .select(col(idCol).as("id"), col(valueCol).cast("long").as("v"),
+            col(cohortCol).as("c")),
+        "v", "id", buckets, "bucket")
       .withColumn("pair_rank", row_number().over(
         Window.partitionBy(col("bucket"), col("c")).orderBy(col("v"), col("id"))))
     val a = both.filter(col("c") === cohortA)

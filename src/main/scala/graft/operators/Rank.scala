@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact ranking/tiling primitives — the replacements for
+  * corpus-global `ntile`/`row_number` windows, which funnel the whole
+  * frame through ONE partition (the single worst scale hazard a plan
+  * can carry at 100 TB: every other stage is parallel, then the rank
+  * window serializes the corpus through one task).
+  *
+  * The trick: an equi-depth tile assignment is fully determined by the
+  * t−1 BOUNDARY rows (the last row of each tile under the total order
+  * `(value, id)`). Those boundaries are found from the value HISTOGRAM
+  * (the x66/x119 collapse — cardinality is the value codomain, not the
+  * row count), resolved inside at most t−1 tie groups with a window
+  * PARTITIONED by value, and broadcast back as an array of (value, id)
+  * pairs; each row's tile is then 1 + #(boundaries strictly below it)
+  * — a per-row O(t) comparison, no shuffle, no global window.
+  */
+object Rank {
+
+  /** Adds column `out` = exact `ntile(tiles) OVER (ORDER BY valueCol
+    * ASC, idCol ASC)` — bit-identical to the window form (including
+    * the +1-row first buckets on a non-divisible count and ties split
+    * by `idCol`) — without any unpartitioned window over `rows`.
+    *
+    * Plan shape: one hash aggregation to the value histogram; one
+    * cumulative window over the HISTOGRAM frame (collapsed
+    * cardinality — the only unpartitioned window, sanctioned by the
+    * same argument as x66's Gini); a row_number window partitioned by
+    * value over ONLY the ≤ t−1 boundary tie groups; and one broadcast
+    * of ≤ t−1 (value, id) pairs joined back as an array. Heavy-tie
+    * boundary groups are the irreducible cost of ntile's tie-split
+    * contract — only those groups rank row-by-row, and only by id.
+    *
+    * Contracts: `valueCol` must be non-null (filter first); `idCol`
+    * must be distinct per row (it is the tie-break of a total order);
+    * descending value order is the caller negating the value column.
+    * For floats, −0.0/0.0 collapse consistently on both the histogram
+    * and the comparison path (SQL equality semantics).
+    */
+  def withExactNtile(rows0: DataFrame, valueCol: String, idCol: String,
+      tiles: Int, out: String): DataFrame = {
+    require(tiles > 0, s"withExactNtile: tiles must be positive, got $tiles")
+    if (tiles == 1) return rows0.withColumn(out, lit(1))
+    val v = col(valueCol)
+    val id = col(idCol)
+    val rows = rows0.localCheckpoint(true) // feeds hist, boundary groups, output
+    val hist = rows.groupBy(v.as("__nt_v")).agg(count(lit(1)).as("__nt_cnt"))
+    val wv = Window.orderBy(col("__nt_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val histC = hist
+      .withColumn("__nt_before", coalesce(sum(col("__nt_cnt")).over(wv), lit(0L)))
+    // boundary ranks e_i = cumulative end of tile i (ntile's fill rule:
+    // the first n%t tiles hold n/t+1 rows)
+    val spine = histC
+      .agg(coalesce(sum(col("__nt_cnt")), lit(0L)).cast("long").as("__nt_n"))
+      .select(explode(sequence(lit(1L), lit((tiles - 1).toLong))).as("__nt_i"),
+        expr(s"__nt_n div $tiles").as("__nt_base"),
+        expr(s"__nt_n % $tiles").as("__nt_rem"))
+      .select(col("__nt_i"),
+        when(col("__nt_i") <= col("__nt_rem"),
+            col("__nt_i") * (col("__nt_base") + 1))
+          .otherwise(col("__nt_rem") * (col("__nt_base") + 1) +
+            (col("__nt_i") - col("__nt_rem")) * col("__nt_base")).as("__nt_e"))
+      .filter(col("__nt_e") >= 1)
+    // locate each boundary rank inside its histogram bucket
+    val bSpec = histC.join(broadcast(spine),
+        col("__nt_before") < col("__nt_e") &&
+          col("__nt_e") <= col("__nt_before") + col("__nt_cnt"))
+      .select(col("__nt_i"), col("__nt_v").as("__nt_bv"),
+        (col("__nt_e") - col("__nt_before")).as("__nt_o"))
+    // the o-th smallest id within each boundary value group — the only
+    // row-level ranking, partitioned by value over ≤ t−1 groups
+    val wIn = Window.partitionBy(col("__nt_bv2")).orderBy(col("__nt_bid2"))
+    val bPairs = rows
+      .select(v.as("__nt_bv2"), id.as("__nt_bid2"))
+      .join(broadcast(bSpec.select(col("__nt_bv").as("__nt_bv2")).distinct()),
+        Seq("__nt_bv2"), "leftsemi")
+      .withColumn("__nt_rn", row_number().over(wIn))
+      .join(broadcast(bSpec),
+        col("__nt_bv2") === col("__nt_bv") && col("__nt_rn") === col("__nt_o"))
+      .select(struct(col("__nt_bv2").as("v"), col("__nt_bid2").as("id"))
+        .as("__nt_p"))
+    // one array of ≤ t−1 pairs (duplicates kept: with n < t, trailing
+    // empty tiles repeat the LAST row's pair — harmless, because no
+    // row orders strictly above the maximum pair, so the duplicates
+    // are never counted and tiles 1..n come out exactly as ntile's)
+    val arr = bPairs.agg(collect_list(col("__nt_p")).as("__nt_bnd"))
+    rows.join(broadcast(arr))
+      .withColumn(out, (lit(1) + size(filter(col("__nt_bnd"),
+        b => b.getField("v") < v ||
+          (b.getField("v") === v && b.getField("id") < id)))).cast("int"))
+      .drop("__nt_bnd")
+  }
+}

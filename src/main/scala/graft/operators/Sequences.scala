@@ -562,30 +562,31 @@ object Sequences {
     * is a property of the dataset, not of wall-clock run time.
     *
     * Scale: one partial+final per-user aggregation (the only
-    * data-volume shuffle); the three ntile windows run over the
-    * user-cardinality frame. A user base beyond one task per window
-    * swaps ntile for [[graft.operators.Profile.sampledQuantiles]]
-    * breakpoints — same trade documented for equiDepthBins. Output:
-    * (userCol, recency_days, frequency, monetary_cents, r, f, m,
-    * segment). */
+    * data-volume shuffle); the three quintile assignments are exact
+    * equi-depth tiles via [[graft.operators.Rank.withExactNtile]] —
+    * bit-identical to `ntile` with the (metric, user) tie-break, but
+    * computed from each metric's value histogram plus four broadcast
+    * boundary pairs, so NO window ever serializes the user base
+    * through one task. Output: (userCol, recency_days, frequency,
+    * monetary_cents, r, f, m, segment). */
   def rfm(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"),
         col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
       .groupBy(col("u"))
       .agg(max(col("d")).as("__last"), count(lit(1)).as("frequency"),
         (sum(col("v")) * lit(100)).cast("bigint").as("monetary_cents"))
     val anchor = per.agg(max(col("__last")).as("__anchor"))
-    val scored = per.join(broadcast(anchor))
+    val base = per.join(broadcast(anchor))
       .withColumn("recency_days", datediff(col("__anchor"), col("__last")).cast("long"))
       // recency DESC: the stalest user gets tile 1, the freshest tile 5
-      .withColumn("r", ntile(5).over(
-        Window.orderBy(col("recency_days").desc, col("u"))))
-      .withColumn("f", ntile(5).over(
-        Window.orderBy(col("frequency"), col("u"))))
-      .withColumn("m", ntile(5).over(
-        Window.orderBy(col("monetary_cents"), col("u"))))
+      // (ascending tile on the NEGATED day count = the descending order)
+      .withColumn("__negr", -col("recency_days"))
+    val scored = Seq(("__negr", "r"), ("frequency", "f"),
+        ("monetary_cents", "m"))
+      .foldLeft(base) { case (df, (metric, tile)) =>
+        Rank.withExactNtile(df, metric, "u", 5, tile)
+      }
     scored.select(col("u").as(userCol), col("recency_days"), col("frequency"),
       col("monetary_cents"), col("r"), col("f"), col("m"),
       concat(col("r"), col("f"), col("m")).as("segment"))

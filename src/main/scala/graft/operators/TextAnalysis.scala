@@ -1705,10 +1705,13 @@ object TextAnalysis {
     * integer window sums over the 10-row decile frame; shares are
     * floor-divided micro.
     *
-    * Scale: the ranking is one global ntile window over a (doc,
-    * score, tokens) projection — the same envelope as x128's decile
-    * table (at 100 TB: tile per shard and merge, or rank on a
-    * sample; the curve is a report, not a per-batch gate).
+    * Scale: deciles come from [[Rank.withExactNtile]] over the (doc,
+    * score, tokens) projection — bit-identical to the `ntile` window
+    * form, but the only unpartitioned window runs over the quality-
+    * score HISTOGRAM (bounded by the score codomain — the raw score
+    * is a 4-feature combination, so its cardinality saturates far
+    * below corpus row count), and only the ≤ 9 boundary tie groups
+    * rank row-by-row, partitioned by score.
     *
     * Output: (decile, n_docs, tokens, cum_tokens, cum_share_micro),
     * deciles 1 (best) → 10. */
@@ -1716,11 +1719,14 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions.{qualityScoreRaw, words}
     import org.apache.spark.sql.expressions.Window
-    val scored = docs.select(col(idCol).as("doc_id"),
-        qualityScoreRaw(col(textCol)).as("__q"),
-        size(words(col(textCol))).cast("bigint").as("__t"))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("__q").desc, col("doc_id"))))
+    val scored = Rank.withExactNtile(
+      docs.select(col(idCol).as("doc_id"),
+          qualityScoreRaw(col(textCol)).as("__q"),
+          size(words(col(textCol))).cast("bigint").as("__t"))
+        // quality DESC ranks ascending on the NEGATED score (exact
+        // sign flip; the raw score is exact-operand double)
+        .withColumn("__negq", negate(col("__q"))),
+      "__negq", "doc_id", 10, "decile")
     val byDec = scored.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__t")).cast("bigint").as("tokens"))

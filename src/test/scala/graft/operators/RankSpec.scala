@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[Rank.withExactNtile]] must be BIT-IDENTICAL to
+  * `ntile(t) OVER (ORDER BY v, id)` — the window it replaces in
+  * x118/x124/x159 — including the +1-row leading buckets on
+  * non-divisible counts, tie groups split by id across a bucket
+  * boundary, and the degenerate n < t case. */
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowTiles(rows: Seq[(Long, Long)], t: Int): Map[Long, Int] =
+    rows.toDF("id", "v")
+      .withColumn("tile", ntile(t).over(Window.orderBy(col("v"), col("id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+
+  private def exactTiles(rows: Seq[(Long, Long)], t: Int): Map[Long, Int] =
+    Rank.withExactNtile(rows.toDF("id", "v"), "v", "id", t, "tile")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+
+  test("hand-traced: 11 rows, 5 tiles — first bucket takes the extra row") {
+    // values with a 4-way tie at v=7 straddling the tile-2/3 boundary
+    val rows = Seq(1L -> 3L, 2L -> 7L, 3L -> 7L, 4L -> 1L, 5L -> 7L,
+      6L -> 7L, 7L -> 9L, 8L -> 2L, 9L -> 5L, 10L -> 8L, 11L -> 4L)
+    // order by (v, id): 4(1) 8(2) 1(3) 11(4) 9(5) | 2(7) 3(7) 5(7) 6(7) 10(8) 7(9)
+    // ntile(5) over 11 rows: sizes 3,2,2,2,2 → ranks 1-3 tile1, 4-5 t2,
+    // 6-7 t3, 8-9 t4, 10-11 t5 — the v=7 tie group (ranks 6..9) SPLITS
+    // across tiles 3 and 4 by doc id: ids 2,3 → t3; ids 5,6 → t4.
+    val got = exactTiles(rows, 5)
+    assert(got == Map(4L -> 1, 8L -> 1, 1L -> 1, 11L -> 2, 9L -> 2,
+      2L -> 3, 3L -> 3, 5L -> 4, 6L -> 4, 10L -> 5, 7L -> 5), got.toString)
+    assert(got == windowTiles(rows, 5))
+  }
+
+  test("degenerate: fewer rows than tiles assigns 1..n like ntile") {
+    val rows = Seq(10L -> 5L, 20L -> 5L, 30L -> 1L)
+    val got = exactTiles(rows, 5)
+    assert(got == Map(30L -> 1, 10L -> 2, 20L -> 3), got.toString)
+    assert(got == windowTiles(rows, 5))
+  }
+
+  test("single tile and empty input") {
+    assert(exactTiles(Seq(1L -> 1L, 2L -> 2L), 1).values.toSet == Set(1))
+    assert(exactTiles(Seq.empty, 4).isEmpty)
+  }
+
+  test("property: matches the ntile window on adversarial tie shapes") {
+    // heavy ties, all-equal, strictly increasing, and a divisible count
+    val shapes = Seq(
+      (1L to 40L).map(i => i -> (i % 3)),          // 3 fat tie groups
+      (1L to 17L).map(i => i -> 0L),               // one global tie group
+      (1L to 30L).map(i => i -> i),                // all distinct, n%t=0
+      (1L to 23L).map(i => i -> (i / 7)))          // uneven groups
+    for (rows <- shapes; t <- Seq(2, 5, 10))
+      assert(exactTiles(rows, t) == windowTiles(rows, t), s"t=$t rows=$rows")
+  }
+
+  test("plan: no unpartitioned window over the row frame (histogram only)") {
+    val df = Rank.withExactNtile(
+      (1L to 100L).map(i => i -> (i % 5)).toDF("id", "v"), "v", "id", 4, "tile")
+    val inner = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // the only global window runs over the value histogram: its
+      // child subtree must contain an aggregation (collapsed frame)
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty, s"global window over non-aggregated input: $w")
+    }
+  }
+}

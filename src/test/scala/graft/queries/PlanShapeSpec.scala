@@ -705,7 +705,10 @@ class PlanShapeSpec extends SparkSpec {
     "no theta join") {
     val plan = physical(ExtensionQueries.x118(spark, sf001))
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the A↔B pairing itself is a hash equi-join; the only nested-loop
+    // joins are Rank.withExactNtile's tiny broadcasts (≤ t−1 boundary
+    // rows ranged against the value histogram, and the 1-row pair array)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
   test("x119: coverage runs on the count histogram — token counting is " +
@@ -1054,8 +1057,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("text#"), plan)
   }
 
-  test("x159: one ntile ranking over a 3-column projection, cumulative " +
-    "windows over the 10-row decile frame; the 1-row total broadcasts") {
+  test("x159: histogram-tile ranking over a 3-column projection, cumulative " +
+    "windows over collapsed frames; the 1-row total broadcasts") {
     val plan = physical(ExtensionQueries.x159(spark, sf001))
     assert(plan.contains("windowspecdefinition"), plan)
     assert(plan.contains("BroadcastNestedLoopJoin") ||
@@ -1120,6 +1123,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
     assert(plan.contains("HashAggregate"), plan)
     assert(!plan.contains("Window"), plan)
+  }
+
+  /** Round-10 pin (VERDICT r9 item 1): an unpartitioned Window over
+    * the raw doc/user frame funnels the corpus through ONE task. The
+    * de-globalized rank queries may keep global windows ONLY over
+    * collapsed frames — below an aggregation (value histogram) or a
+    * limit (top-k shortlist). */
+  private def assertNoGlobalWindowOverBase(df: DataFrame): Unit = {
+    val inner = qe(df).executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val offenders = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty =>
+        val collapsedBelow = w.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a: Any
+          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a: Any
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a: Any
+          case l: org.apache.spark.sql.execution.GlobalLimitExec => l: Any
+          case l: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => l: Any
+        }
+        (w, collapsedBelow)
+    }.filter(_._2.isEmpty).map(_._1)
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over a non-collapsed frame:\n${offenders.mkString("\n")}")
+  }
+
+  test("x118: equi-depth buckets come from the histogram primitive — " +
+    "no unpartitioned window over the doc frame") {
+    assertNoGlobalWindowOverBase(ExtensionQueries.x118(spark, sf001))
+  }
+
+  test("x124: all three RFM quintiles are histogram tiles — no " +
+    "unpartitioned window over the user frame") {
+    assertNoGlobalWindowOverBase(ExtensionQueries.x124(spark, sf001))
+  }
+
+  test("x159: quality deciles are histogram tiles — no unpartitioned " +
+    "window over the doc frame") {
+    assertNoGlobalWindowOverBase(ExtensionQueries.x159(spark, sf001))
   }
 
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
