@@ -1756,6 +1756,11 @@ object TextAnalysis {
     * (exact same doubles), each depth's term quantizes once to
     * micro, and the RBO total is an integer sum scaled by (1−p).
     *
+    * Scale: both rankings are bounded-heap top-K aggregates
+    * ([[graft.functions.TopKScored]], the x58 pattern) — the shuffle
+    * carries K (id, score) pairs per partition, never the corpus, and
+    * the join/histogram run on two K-row lists.
+    *
     * Output: (depth, overlap, term_micro, rbo_micro) for depths
     * 1..K — rbo_micro repeated (the truncated-sum RBO at K, the
     * paper's "RBO_MIN at depth K" reading). */
@@ -1769,16 +1774,23 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val ra = base.select(col("doc_id"), qualityScoreRaw(col("text")).as("__s"))
-      .withColumn("__ra", row_number().over(
-        Window.orderBy(col("__s").desc, col("doc_id")))).drop("__s")
-    val rb = charEntropy(base).select(col("doc_id"),
-        col("entropy_micro").as("__s"))
-      .withColumn("__rb", row_number().over(
-        Window.orderBy(col("__s").desc, col("doc_id")))).drop("__s")
+    // only documents ranked ≤ K under BOTH signals can enter the
+    // overlap histogram (greatest(ra, rb) ≤ K ⟺ ra ≤ K ∧ rb ≤ K), so
+    // each ranking is the bounded-heap top-K (TopKScored combines
+    // map-side; heap position + 1 IS the exact global rank) — the
+    // corpus is never funneled through a global row_number partition
+    val topk = udaf(new graft.functions.TopKScored(depthK))
+    def rankList(scored: DataFrame, rankName: String): DataFrame =
+      scored.agg(topk(col("doc_id"), col("__s")).as("__top"))
+        .select(posexplode(col("__top")))
+        .select(col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as(rankName))
+    val ra = rankList(base.select(col("doc_id"),
+      qualityScoreRaw(col("text")).as("__s")), "__ra")
+    val rb = rankList(charEntropy(base).select(col("doc_id"),
+      col("entropy_micro").cast("double").as("__s")), "__rb")
     val entry = ra.join(rb, "doc_id")
       .select(greatest(col("__ra"), col("__rb")).as("__m"))
-      .filter(col("__m") <= depthK)
       .groupBy(col("__m")).agg(count(lit(1)).as("__c"))
     // depth spine with the Scala-computed geometric weights — the
     // SAME double literals the oracle embeds
@@ -1786,17 +1798,19 @@ object TextAnalysis {
       (d, math.pow(p, (d - 1).toDouble))).toDF("depth", "__w")
     val wRun = Window.orderBy(col("depth"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val terms = weights
+    // the truncated-sum total rides a full-frame window over the SAME
+    // ≤K-row terms frame (no checkpoint, no second pass)
+    val wAll = Window.orderBy(col("depth")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    weights
       .join(entry.withColumnRenamed("__m", "depth"), Seq("depth"), "left")
       .withColumn("overlap",
         sum(coalesce(col("__c"), lit(0L))).over(wRun).cast("bigint"))
       .withColumn("term_micro",
         expr("CAST(round(__w * overlap / CAST(depth AS DOUBLE) * 1000000) AS BIGINT)"))
-      .localCheckpoint(true) // feeds the total AND the output
-    terms
-      .join(broadcast(terms.agg(
-        expr(s"CAST(round(sum(term_micro) * ${1.0 - p}D) AS BIGINT)")
-          .as("rbo_micro"))))
+      .withColumn("__rbo_sum", sum(col("term_micro")).over(wAll))
+      .withColumn("rbo_micro",
+        expr(s"CAST(round(__rbo_sum * ${1.0 - p}D) AS BIGINT)"))
       .select(col("depth"), col("overlap"), col("term_micro"),
         col("rbo_micro"))
       .orderBy(col("depth"))
@@ -1918,43 +1932,59 @@ object TextAnalysis {
     * therefore the fused integer scores are engine-identical; the
     * RRF term is one floor division per (doc, signal).
     *
-    * Scale: each ranking is a global row_number — acceptable because
-    * the three signal frames are (doc, value) projections and the
-    * window runs once per signal, not per query; at 100 TB rank the
-    * per-shard top-N under each signal first (bounded heaps) and
-    * fuse the shortlist union — same contract, documented here. The
-    * fused top-K cut is a bounded heap.
+    * List semantics (as in the RRF literature, which fuses RETRIEVED
+    * lists, not total corpus orders): each signal contributes its
+    * top-`listDepth` list; a document outside a list carries a NULL
+    * rank for that signal and contributes 0 to the fusion — rank
+    * listDepth+1 would add ≤ 10⁶/(61+listDepth) ≈ 0.4% of a rank-1
+    * term at the default depth, so deep-list noise is cut, not
+    * approximated away silently.
+    *
+    * Scale: each per-signal list is a bounded-heap top-M aggregate
+    * ([[graft.functions.TopKScored]], the x58 pattern) — heaps merge
+    * map-side, the shuffle carries M (id, score) pairs per partition,
+    * and the fusion joins three M-row lists; the corpus is never
+    * funneled through a global rank window. The fused top-K cut is a
+    * TakeOrdered bounded heap.
     *
     * Output: (rank, doc_id, rrf_micro, q_rank, e_rank, r_rank),
-    * rank 1..topK by (rrf_micro desc, doc_id). */
+    * rank 1..topK by (rrf_micro desc, doc_id); per-signal ranks NULL
+    * when the doc is outside that signal's top-listDepth list. */
   def signalRankFusion(docs: DataFrame, topK: Int = 50,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      listDepth: Int = 200, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     require(topK > 0, s"signalRankFusion: topK must be positive, got $topK")
+    require(listDepth >= topK,
+      s"signalRankFusion: listDepth ($listDepth) must cover topK ($topK)")
     import graft.functions.TextFunctions.qualityScoreRaw
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val q = base.select(col("doc_id"),
-        qualityScoreRaw(col("text")).as("__s"))
-      .withColumn("q_rank", row_number().over(
-        Window.orderBy(col("__s").desc, col("doc_id")))).drop("__s")
-    val e = charEntropy(base).select(col("doc_id"),
-        col("entropy_micro").as("__s"))
-      .withColumn("e_rank", row_number().over(
-        Window.orderBy(col("__s").desc, col("doc_id")))).drop("__s")
+    val topM = udaf(new graft.functions.TopKScored(listDepth))
+    def rankList(scored: DataFrame, rankName: String): DataFrame =
+      scored.agg(topM(col("doc_id"), col("__s")).as("__top"))
+        .select(posexplode(col("__top")))
+        .select(col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("int").as(rankName))
+    val q = rankList(base.select(col("doc_id"),
+      qualityScoreRaw(col("text")).as("__s")), "q_rank")
+    val e = rankList(charEntropy(base).select(col("doc_id"),
+      col("entropy_micro").cast("double").as("__s")), "e_rank")
     // docs with no 2-grams carry no repetition evidence: treat as 0
-    // (unrepetitive), the same "missing signal passes" stance as x138
-    val r = base.join(
-        gopherRepetition(base).select(col("doc_id"),
-          coalesce(col("top2_micro"), lit(0L)).as("__s")),
+    // (unrepetitive), the same "missing signal passes" stance as x138;
+    // ascending repetition order = descending order on the negation
+    val r = rankList(base.join(
+        gopherRepetition(base).select(col("doc_id"), col("top2_micro")),
         Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("__s"), lit(0L)).as("__s"))
-      .withColumn("r_rank", row_number().over(
-        Window.orderBy(col("__s").asc, col("doc_id")))).drop("__s")
-    q.join(e, "doc_id").join(r, "doc_id")
+      .select(col("doc_id"),
+        negate(coalesce(col("top2_micro"), lit(0L)).cast("double")).as("__s")),
+      "r_rank")
+    q.join(e, Seq("doc_id"), "full_outer")
+      .join(r, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("q_rank"), col("e_rank"), col("r_rank"),
-        (expr("1000000L div (60 + q_rank)") +
-          expr("1000000L div (60 + e_rank)") +
-          expr("1000000L div (60 + r_rank)")).as("rrf_micro"))
+        (coalesce(expr("1000000L div (60 + CAST(q_rank AS BIGINT))"), lit(0L)) +
+          coalesce(expr("1000000L div (60 + CAST(e_rank AS BIGINT))"), lit(0L)) +
+          coalesce(expr("1000000L div (60 + CAST(r_rank AS BIGINT))"), lit(0L)))
+          .as("rrf_micro"))
       .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(topK)
       .withColumn("rank", row_number().over(

@@ -5350,8 +5350,11 @@ object ExtensionQueries {
 
     // Replays signalRankFusion: the shared quality CTE, the x142
     // entropy chain, the x138 top-2-gram chain (coalesced to 0 for
-    // gram-less docs), (signal, doc_id)-ordered ranks, integer RRF
-    // terms, bounded top-50.
+    // gram-less docs), (signal, doc_id)-ordered ranks TRUNCATED to the
+    // top-200 list per signal (the literature's retrieved-list RRF:
+    // off-list docs carry NULL rank and a 0 term — this oracle PINS the
+    // Spark side's bounded-heap lists against full window rankings),
+    // integer RRF terms over the candidate union, bounded top-50.
     "x147_signal_rank_fusion" ->
       s"""WITH ${qualityCteSql("doc_id")},
          |$entropyCteSql,
@@ -5363,20 +5366,29 @@ object ExtensionQueries {
          |        FROM g2 GROUP BY 1, 2),
          |rp AS (SELECT doc_id, CAST(max(cm) * 1000000 // sum(cm) AS BIGINT)
          |         AS r FROM pg2 GROUP BY doc_id),
-         |qr_r AS (SELECT doc_id,
-         |           row_number() OVER (ORDER BY qr DESC, doc_id) AS q_rank
-         |         FROM q),
-         |e_r AS (SELECT doc_id,
-         |          row_number() OVER (ORDER BY e DESC, doc_id) AS e_rank
-         |        FROM ent),
-         |r_r AS (SELECT d.doc_id,
-         |          row_number() OVER (ORDER BY coalesce(rp.r, 0) ASC,
-         |            d.doc_id) AS r_rank
-         |        FROM documents d LEFT JOIN rp USING (doc_id)),
-         |fused AS (SELECT qr_r.doc_id, q_rank, e_rank, r_rank,
-         |    CAST(1000000 // (60 + q_rank) + 1000000 // (60 + e_rank) +
-         |         1000000 // (60 + r_rank) AS BIGINT) AS rrf_micro
-         |  FROM qr_r JOIN e_r USING (doc_id) JOIN r_r USING (doc_id)),
+         |qr_r AS (SELECT doc_id, q_rank FROM (
+         |           SELECT doc_id,
+         |             row_number() OVER (ORDER BY qr DESC, doc_id) AS q_rank
+         |           FROM q) t WHERE q_rank <= 200),
+         |e_r AS (SELECT doc_id, e_rank FROM (
+         |          SELECT doc_id,
+         |            row_number() OVER (ORDER BY e DESC, doc_id) AS e_rank
+         |          FROM ent) t WHERE e_rank <= 200),
+         |r_r AS (SELECT doc_id, r_rank FROM (
+         |          SELECT d.doc_id,
+         |            row_number() OVER (ORDER BY coalesce(rp.r, 0) ASC,
+         |              d.doc_id) AS r_rank
+         |          FROM documents d LEFT JOIN rp USING (doc_id)) t
+         |        WHERE r_rank <= 200),
+         |cand AS (SELECT doc_id FROM qr_r UNION SELECT doc_id FROM e_r
+         |         UNION SELECT doc_id FROM r_r),
+         |fused AS (SELECT cand.doc_id, q_rank, e_rank, r_rank,
+         |    CAST(coalesce(1000000 // (60 + q_rank), 0) +
+         |         coalesce(1000000 // (60 + e_rank), 0) +
+         |         coalesce(1000000 // (60 + r_rank), 0) AS BIGINT) AS rrf_micro
+         |  FROM cand LEFT JOIN qr_r USING (doc_id)
+         |            LEFT JOIN e_r USING (doc_id)
+         |            LEFT JOIN r_r USING (doc_id)),
          |top AS (SELECT * FROM fused
          |        ORDER BY rrf_micro DESC, doc_id LIMIT 50)
          |SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)

@@ -775,6 +775,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.sortBy(t => (-t._3, t._2)).toSeq == out.toSeq)
   }
 
+  test("signalRankFusion truncates to the per-signal top-listDepth lists: " +
+      "off-list ranks are NULL and contribute a 0 term") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and then walked away quietly today"),
+      (2L, "aaa aaa aaa aaa aaa aaa"),
+      (3L, "the of and is in it you that he was for on are with as"),
+      (4L, "zz"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.signalRankFusion(docs, topK = 2, listDepth = 2)
+      .collect()
+    // output = the candidate union (docs on >= 1 list), capped at topK
+    assert(out.nonEmpty && out.length <= 2)
+    out.foreach { r =>
+      val ranks = Seq(3, 4, 5).map(i => if (r.isNullAt(i)) None else Some(r.getInt(i)))
+      // every non-null rank is within the list depth
+      assert(ranks.flatten.forall(_ <= 2), r.toString)
+      // the fused score sums ONLY the on-list terms
+      val expected = ranks.flatten.map(k => 1000000L / (60 + k)).sum
+      assert(r.getLong(2) == expected, r.toString)
+    }
+    assert(out.map(_.getLong(1)).distinct.length == out.length)
+    // every output doc is on at least one list (a no-list doc cannot
+    // enter the candidate union)
+    out.foreach(r => assert(!(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.signalRankFusion(docs, topK = 5, listDepth = 2)
+    }
+  }
+
   test("neymanAllocation: largest remainder spends the budget exactly when " +
       "uncapped; N_h caps bind; zero-spread and singleton strata get zero") {
     // uncapped: sd ratios 2:4 over equal sizes → allocs 1 and 2 of 3

@@ -1084,10 +1084,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("x162: the overlap curve is a cumulative window over the ≤K-row " +
-    "entry histogram on the checkpointed term frame — no per-depth " +
-    "set intersection, no cartesian beyond the 1-row total") {
+    "entry histogram — no per-depth set intersection, no checkpoint " +
+    "(the truncated-sum total rides a full-frame window, not a rejoin)") {
     val plan = physical(ExtensionQueries.x162(spark, sf001))
-    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Scan ExistingRDD"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
@@ -1164,6 +1164,25 @@ class PlanShapeSpec extends SparkSpec {
   test("x159: quality deciles are histogram tiles — no unpartitioned " +
     "window over the doc frame") {
     assertNoGlobalWindowOverBase(ExtensionQueries.x159(spark, sf001))
+  }
+
+  test("x147: per-signal lists are bounded-heap aggregates; the only " +
+    "global window ranks the 50-row fused shortlist") {
+    val df = ExtensionQueries.x147(spark, sf001)
+    assertNoGlobalWindowOverBase(df)
+    val plan = physical(df)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x162: both rankings are bounded-heap top-K aggregates — no " +
+    "unpartitioned window over the doc frame") {
+    val df = ExtensionQueries.x162(spark, sf001)
+    assertNoGlobalWindowOverBase(df)
+    val plan = physical(df)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
