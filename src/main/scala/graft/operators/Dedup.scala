@@ -734,10 +734,14 @@ object Dedup {
     * threshold.
     *
     * Exactness: jaccard arrives rounded to 6 dp from the pair
-    * kernel; the decile is floor(j·10) on that exact value; the
-    * cumulations are integer window sums over the ≤ 10-row decile
-    * frame. Deciles below the floor threshold are absent by
-    * construction (the relation cannot see them).
+    * kernel; the decile comes from the INTEGER micro jaccard —
+    * round(j·10⁶) div 10⁵ — so an exact-boundary score (0.3 stored
+    * as 0.2999…96) lands in the decile its threshold label
+    * advertises, where floor(j·10) on the double dropped it one
+    * bucket low (ADVICE r9); the cumulations are integer window sums
+    * over the ≤ 10-row decile frame. Deciles below the floor
+    * threshold are absent by construction (the relation cannot see
+    * them).
     *
     * Output: (decile, threshold_micro, n_pairs_ge, n_docs_ge) for
     * each decile ≥ floor(minJaccard·10), descending coverage as the
@@ -749,7 +753,8 @@ object Dedup {
     val pairs = ngramJaccardNearDup(docs, idCol, textCol, ngram, prefixK,
         minJaccard)
       .select(col("doc_a"), col("doc_b"),
-        least(floor(col("jaccard") * 10).cast("long"), lit(9L)).as("dec"))
+        least(expr("CAST(round(jaccard * 1000000.0D) AS BIGINT) div 100000L"),
+          lit(9L)).as("dec"))
       .localCheckpoint(true) // feeds the pair and the doc histogram
     val pairHist = pairs.groupBy(col("dec")).agg(count(lit(1)).as("np"))
     val docBest = pairs

@@ -115,22 +115,31 @@ object Layout {
     * coarsely however sorted).
     *
     * Exactness: both rankings tie-break on `idCol` (total orders),
-    * d = rank_current − rank_candidate is exact BIGINT, and ρ uses
+    * d = rank_current − rank_candidate is exact BIGINT, Σd² is exact
+    * BIGINT up to the enforced `maxRows` envelope (worst case
+    * Σd² = (n³−n)/3, which fits int64 to n ≈ 3.0·10⁶), and ρ uses
     * the classic 1 − 6Σd²/(n(n²−1)) on those tie-broken ranks
     * (stated contract: ties are broken, not midranked — the
-    * DETERMINISTIC variant, identical on any engine), shipped as
-    * one floor division in micro.
+    * DETERMINISTIC variant, identical on any engine). The ρ term is
+    * computed in DOUBLE from the exact integer operands (casting the
+    * same exact BIGINT is IEEE-identical on every engine) and
+    * quantized ONCE to micro — the earlier all-integer form's
+    * 6·Σd²·10⁶ intermediate overflowed int64 from ~20k rows.
     *
     * Scale: each candidate costs two global rank windows over a
     * 2-column projection — the advisor is a sampled/offline read by
-    * nature (run it on one table sample, not per batch); Σd²·10⁶
-    * fits BIGINT to ~10⁶ rows, the sampling envelope.
+    * nature (run it on one table sample, not per batch). The
+    * `maxRows` contract is ENFORCED: a frame beyond it fails with
+    * raise_error instead of silently leaving the exact-Σd² envelope
+    * — advise on an md5-gated sample (the x70 pattern) instead.
     *
     * Output: (column, n, n_distinct, spearman_micro), ordered by
     * column name. */
   def sortKeyAdvisor(df: DataFrame, candidates: Seq[String],
-      idCol: String): DataFrame = {
+      idCol: String, maxRows: Long = 2000000L): DataFrame = {
     require(candidates.nonEmpty, "sortKeyAdvisor: need candidate columns")
+    require(maxRows >= 2 && maxRows <= 3000000L,
+      s"sortKeyAdvisor: maxRows must be in [2, 3e6] (exact-rank envelope), got $maxRows")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     candidates.map { c =>
@@ -144,8 +153,14 @@ object Layout {
           countDistinct(col("__v")).as("n_distinct"),
           sum(col("__d") * col("__d")).cast("bigint").as("__sd2"))
         .select(lit(c).as("column"), col("n"), col("n_distinct"),
-          when(col("n") > 1,
-            lit(1000000L) - expr("6 * __sd2 * 1000000L div (n * (n * n - 1))"))
+          when(col("n") > lit(maxRows),
+            raise_error(concat(lit("sortKeyAdvisor: "), col("n").cast("string"),
+              lit(s" rows exceed the exact-rank envelope ($maxRows); " +
+                "advise on a sample"))).cast("long"))
+          .when(col("n") > 1, expr(
+            """1000000L - CAST(round(6.0D * CAST(__sd2 AS DOUBLE) * 1000000.0D
+              | / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              | - 1.0D))) AS BIGINT)""".stripMargin))
             .as("spearman_micro"))
     }.reduce(_ unionAll _).orderBy(col("column"))
   }

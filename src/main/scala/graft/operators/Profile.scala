@@ -854,6 +854,14 @@ object Profile {
     * lexicographically and identically everywhere; coverage is
     * integer micro.
     *
+    * Key contract: only keys matching `[A-Za-z0-9_]+` are profiled.
+    * A dotted/quoted/bracketed key would be spliced into the JSON
+    * path, resolve to the WRONG node, and engines disagree on path
+    * quoting rules (ADVICE r9) — so such keys are excluded by
+    * charset on BOTH engines rather than escaped divergently. A
+    * schema whose keys need escaping should be profiled after a
+    * rename pass.
+    *
     * Scale: one explode over the keys of each row (output rows =
     * total key instances), one partial+final hash aggregation per
     * key; the 1-row total broadcasts. Key-cardinality output.
@@ -864,6 +872,7 @@ object Profile {
     val total = df.agg(count(lit(1)).as("n_rows"))
     df.select(col(jsonCol).as("__j"),
         explode(expr(s"json_object_keys($jsonCol)")).as("key"))
+      .filter(col("key").rlike("^[A-Za-z0-9_]+$"))
       .select(col("key"),
         expr("get_json_object(__j, concat('$.', key))").as("__v"))
       .groupBy(col("key"))
@@ -918,18 +927,21 @@ object Profile {
     * [[distributionEmd]]'s integral: KS spots a sharp localized
     * divergence (one spike bucket) that EMD smears thin, and it
     * carries a significance threshold. Statistic: D = max over the
-    * value support of |F_group − F_corpus|, scaled ×(n_g·n) to stay
-    * in exact BIGINT until one final division; the critical value is
+    * value support of |F_group − F_corpus|; the critical value is
     * the asymptotic 95% two-sample bound 1.358·√((n_g+n)/(n_g·n)).
     * The comparison is group-vs-CORPUS (self-inclusive — standard
     * for per-slice monitoring, conservative: the group pulls the
     * corpus toward itself, so a flagged group is REALLY off).
     *
-    * Exactness: cumulative counts are integers over the shared
-    * support grid; ks_micro is one floor division of the BIGINT
-    * max-gap; the critical value is one fixed double expression over
-    * (n_g, n), quantized to micro; `drifted` compares the two micro
-    * integers.
+    * Exactness: cumulative counts are exact integers over the shared
+    * support grid; each row's normalized gap is two exact-integer
+    * divisions in double (IEEE-identical everywhere — the
+    * cross-multiplied integer form would overflow int64 once
+    * n_g·n > 9.2·10¹⁸, i.e. a 10⁴-row group in a 10⁹-row corpus),
+    * quantized once to micro; ks_micro is the order-free max of
+    * those per-row micro integers; the critical value is one fixed
+    * double expression over (n_g, n), quantized to micro; `drifted`
+    * compares the two micro integers.
     *
     * Scale: identical envelope to [[distributionEmd]] — the corpus
     * collapses to (group, value) histograms, the grid is
@@ -955,13 +967,21 @@ object Profile {
           .rowsBetween(Window.unboundedPreceding, 0)))
     val ng = gv.groupBy(col("grp")).agg(sum(col("n_gv")).cast("bigint").as("__ng"))
     grid.join(broadcast(ng), "grp").join(broadcast(nTotal))
+      // the normalized gap quantizes to micro PER SUPPORT ROW in double
+      // (two exact-integer divisions — IEEE-identical on any engine);
+      // the earlier cross-multiplied integer form cum_g·n − cum_c·n_g
+      // overflowed int64 once n_g·n_total > 9.2e18 (ADVICE r9). max over
+      // the per-row micro longs is order-free.
+      .withColumn("__gapm", expr(
+        """CAST(round(abs(CAST(cum_g AS DOUBLE) / CAST(__ng AS DOUBLE)
+          | - CAST(cum_c AS DOUBLE) / CAST(__n AS DOUBLE)) * 1000000.0D)
+          | AS BIGINT)""".stripMargin))
       .groupBy(col("grp"))
       .agg(max(col("__ng")).as("n"),
-        max(abs(col("cum_g") * col("__n") - col("cum_c") * col("__ng")))
-          .cast("bigint").as("__gap"),
+        max(col("__gapm")).cast("bigint").as("__gap"),
         max(col("__n")).as("__nt"))
       .select(col("grp").as(groupCol), col("n"),
-        expr("__gap * 1000000L div (n * __nt)").as("ks_micro"),
+        col("__gap").as("ks_micro"),
         expr("""CAST(round(1.358 * sqrt((n + __nt) / (CAST(n AS DOUBLE) * __nt))
                 * 1000000) AS BIGINT)""").as("crit_micro"))
       .withColumn("drifted", col("ks_micro") > col("crit_micro"))

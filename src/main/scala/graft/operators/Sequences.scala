@@ -1001,6 +1001,11 @@ object Sequences {
       .select(col("n_train"), col("n_test"), col("__v").as("vocab"),
         col("sum_nll_micro"),
         expr("sum_nll_micro div n_test").as("avg_nll_micro"))
+      // degenerate window (no transition wholly in the second half):
+      // the global agg would emit one all-NULL row where a grouped
+      // formulation emits zero rows — emit zero rows on BOTH engines
+      // (ADVICE r9); there is no model score to report
+      .filter(col("n_test").isNotNull)
   }
 
   /** The 24 hour-angle cosine/micro constants for [[diurnalConcentration]]

@@ -5259,11 +5259,14 @@ object ExtensionQueries {
 
     // Replays thresholdSweep over the brute-force x04 pair relation:
     // jaccard decile histograms for pairs and per-doc best pairs,
-    // cumulated downward from decile 9.
+    // cumulated downward from decile 9. The decile derives from the
+    // integer micro jaccard (round(j·1e6) // 1e5) so exact-boundary
+    // scores land in their advertised bucket (ADVICE r9).
     "x144_threshold_sweep" ->
       s"""WITH $ngramPairsCteSql,
          |pd AS (SELECT doc_a, doc_b,
-         |              least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS dec
+         |              least(CAST(round(jaccard * 1000000.0) AS BIGINT)
+         |                    // 100000, 9) AS dec
          |       FROM pairs),
          |ph AS (SELECT dec, CAST(count(*) AS BIGINT) AS np FROM pd GROUP BY 1),
          |db AS (SELECT d, max(dec) AS dec FROM (
@@ -5597,20 +5600,22 @@ object ExtensionQueries {
         |       FROM (SELECT DISTINCT grp FROM gv) g
         |       CROSS JOIN supw s
         |       LEFT JOIN gv ON gv.grp = g.grp AND gv.v = s.v),
-        |ng AS (SELECT grp, CAST(sum(n_gv) AS BIGINT) AS ng FROM gv GROUP BY grp)
-        |SELECT gr.grp AS source, ng.ng AS n,
-        |       CAST(max(abs(gr.cum_g * nt.n - gr.cum_c * ng.ng))
-        |            * 1000000 // (ng.ng * nt.n) AS BIGINT) AS ks_micro,
-        |       CAST(round(1.358 * sqrt((ng.ng + nt.n) /
-        |         (CAST(ng.ng AS DOUBLE) * nt.n)) * 1000000) AS BIGINT)
+        |ng AS (SELECT grp, CAST(sum(n_gv) AS BIGINT) AS ng FROM gv GROUP BY grp),
+        |gm AS (SELECT gr.grp, ng.ng, nt.n,
+        |         CAST(round(abs(CAST(gr.cum_g AS DOUBLE) / CAST(ng.ng AS DOUBLE)
+        |           - CAST(gr.cum_c AS DOUBLE) / CAST(nt.n AS DOUBLE))
+        |           * 1000000.0) AS BIGINT) AS gapm
+        |       FROM gr JOIN ng ON ng.grp = gr.grp CROSS JOIN nt)
+        |SELECT grp AS source, ng AS n,
+        |       CAST(max(gapm) AS BIGINT) AS ks_micro,
+        |       CAST(round(1.358 * sqrt((ng + n) /
+        |         (CAST(ng AS DOUBLE) * n)) * 1000000) AS BIGINT)
         |         AS crit_micro,
-        |       CAST(max(abs(gr.cum_g * nt.n - gr.cum_c * ng.ng))
-        |            * 1000000 // (ng.ng * nt.n) AS BIGINT) >
-        |       CAST(round(1.358 * sqrt((ng.ng + nt.n) /
-        |         (CAST(ng.ng AS DOUBLE) * nt.n)) * 1000000) AS BIGINT)
+        |       CAST(max(gapm) AS BIGINT) >
+        |       CAST(round(1.358 * sqrt((ng + n) /
+        |         (CAST(ng AS DOUBLE) * n)) * 1000000) AS BIGINT)
         |         AS drifted
-        |FROM gr JOIN ng ON ng.grp = gr.grp CROSS JOIN nt
-        |GROUP BY gr.grp, ng.ng, nt.n ORDER BY source""".stripMargin,
+        |FROM gm GROUP BY grp, ng, n ORDER BY source""".stripMargin,
 
     // Replays heldOutTransitionNll: per-user lag transitions, halves
     // by BOTH endpoints, add-one model from the first half, per-pair
@@ -5654,15 +5659,19 @@ object ExtensionQueries {
         |GROUP BY tn.n_train, voc.v""".stripMargin,
 
     // Replays jsonKeyProfile: keys from the documents themselves,
-    // values compared as exact strings (binary collation both sides).
+    // values compared as exact strings (binary collation both sides);
+    // keys outside [A-Za-z0-9_]+ are excluded by contract on BOTH
+    // engines (path-splicing hazard, ADVICE r9).
     "x156_json_key_profile" ->
       """WITH k AS (SELECT props, unnest(json_keys(props)) AS key FROM events),
+        |kf AS (SELECT props, key FROM k
+        |       WHERE regexp_matches(key, '^[A-Za-z0-9_]+$')),
         |p AS (SELECT key, CAST(count(*) AS BIGINT) AS n_present,
         |        CAST(count(DISTINCT json_extract_string(props, '$.' || key))
         |             AS BIGINT) AS n_values,
         |        min(json_extract_string(props, '$.' || key)) AS min_value,
         |        max(json_extract_string(props, '$.' || key)) AS max_value
-        |      FROM k GROUP BY key),
+        |      FROM kf GROUP BY key),
         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events)
         |SELECT key, n_present, n_rows,
         |       CAST(n_present * 1000000 // n_rows AS BIGINT) AS coverage_micro,
@@ -5678,15 +5687,18 @@ object ExtensionQueries {
         |FROM c GROUP BY 1, 2, 3 HAVING count(*) < 5
         |ORDER BY 1, 2, 3""".stripMargin,
 
-    // Replays sortKeyAdvisor: tie-broken ranks, exact Σd², the
-    // classic formula as one floor division.
+    // Replays sortKeyAdvisor: tie-broken ranks, exact Σd², the ρ term
+    // in DOUBLE over the exact integer operands (identical IEEE ops on
+    // identical inputs), quantized once — the integer 6·Σd²·10⁶ form
+    // overflowed int64 from ~20k rows (ADVICE r9).
     "x158_sortkey_advisor" -> {
       val cand = (c: String) =>
         s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
            |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
-           |  CASE WHEN count(*) > 1 THEN CAST(1000000 -
-           |    6 * sum((rx - ry) * (rx - ry)) * 1000000
-           |    // (count(*) * (count(*) * count(*) - 1)) AS BIGINT) END
+           |  CASE WHEN count(*) > 1 THEN 1000000 -
+           |    CAST(round(6.0 * (sum((rx - ry) * (rx - ry)))::DOUBLE
+           |      * 1000000.0 / ((count(*))::DOUBLE * ((count(*))::DOUBLE
+           |      * (count(*))::DOUBLE - 1.0))) AS BIGINT) END
            |    AS spearman_micro
            |FROM (SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
            |        AS rx,

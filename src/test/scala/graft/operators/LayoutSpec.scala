@@ -132,4 +132,23 @@ class LayoutSpec extends SparkSpec {
       ("const_v", 4L, 1L, Some(1000000L)),
       ("desc_v", 4L, 4L, Some(-1000000L))))
   }
+
+  test("sortKeyAdvisor ENFORCES the exact-rank envelope: a frame beyond " +
+      "maxRows fails loudly instead of silently leaving exact Σd²") {
+    import spark.implicits._
+    val big = (1L to 50L).map(i => (i, i % 7)).toDF("doc_id", "v")
+    val err = intercept[Exception] {
+      Layout.sortKeyAdvisor(big, Seq("v"), "doc_id", maxRows = 10L).collect()
+    }
+    assert(err.getMessage.contains("exceed the exact-rank envelope") ||
+      Option(err.getCause).exists(_.getMessage
+        .contains("exceed the exact-rank envelope")), err.toString)
+    // the same frame under the envelope still advises
+    assert(Layout.sortKeyAdvisor(big, Seq("v"), "doc_id", maxRows = 50L)
+      .collect().length == 1)
+    // out-of-range envelopes (beyond the int64-exact Σd² bound) rejected
+    intercept[IllegalArgumentException] {
+      Layout.sortKeyAdvisor(big, Seq("v"), "doc_id", maxRows = 4000000L)
+    }
+  }
 }

@@ -510,6 +510,17 @@ class SequencesSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, 1098612L, 549306L)))
   }
 
+  test("heldOutTransitionNll: a window with no wholly-second-half " +
+      "transition emits ZERO rows, not one NULL row") {
+    // two events: the only transition straddles the µs midpoint →
+    // neither trainable nor held out (ADVICE r9 degenerate case)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (2L, ts("2024-01-01 00:10:00"), 1L, "B"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(Sequences.heldOutTransitionNll(events).collect().isEmpty)
+  }
+
   test("diurnalConcentration: a one-hour spike scores R = 1 at its hour; " +
       "four opposed hours cancel to R = 0") {
     val events = (
