@@ -28,6 +28,57 @@ class MultimodalSpec extends SparkSpec {
     assert(f.map(_.content_hash).toSeq == again.map(_.content_hash).toSeq)
   }
 
+  /** Handcraft a minimal 24-bit BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER + pixel rows padded to 4 bytes. Every field is
+    * written little-endian exactly as an encoder would. */
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val pixelBytes = rowBytes * math.abs(h)
+    val size = 54 + pixelBytes
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)         // reserved, pixel offset
+    b.putInt(40).putInt(w).putInt(h).putShort(1)  // dib, width, height, planes
+      .putShort(24).putInt(0).putInt(pixelBytes)  // bpp, no compression
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+    (0 until pixelBytes).foreach(i => b.put((i % 251).toByte))
+    b.array()
+  }
+
+  test("decodeBmp: REAL bytes decode to their true dimensions — " +
+      "bottom-up and top-down DIBs, with malformed payloads rejected") {
+    assert(Multimodal.decodeBmp(bmpBytes(2, 3)).contains((2, 3, 1)))
+    assert(Multimodal.decodeBmp(bmpBytes(640, 480)).contains((640, 480, 1)))
+    // top-down DIB: negative height, magnitude is the pixel height
+    assert(Multimodal.decodeBmp(bmpBytes(7, -5)).contains((7, 5, 1)))
+    // malformed: wrong magic, truncated header, zero width, 2 planes
+    assert(Multimodal.decodeBmp("not a bitmap at all, just text padding!!!"
+      .getBytes("UTF-8") ++ new Array[Byte](20)).isEmpty)
+    assert(Multimodal.decodeBmp(bmpBytes(2, 3).take(40)).isEmpty)
+    val zeroW = bmpBytes(2, 3); zeroW(18) = 0; zeroW(19) = 0
+    assert(Multimodal.decodeBmp(zeroW).isEmpty)
+    val twoPlanes = bmpBytes(2, 3); twoPlanes(26) = 2
+    assert(Multimodal.decodeBmp(twoPlanes).isEmpty)
+  }
+
+  test("extractFeatures routes BMP payloads through the REAL decoder " +
+      "and everything else through the stub") {
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", bmpBytes(9, 4), "s", 0L),
+      Multimodal.MediaRecord(2L, "image",
+        "plain text payload that is long enough to clear fifty-four bytes"
+          .getBytes("UTF-8"), "s", 0L))
+    val ds = spark.createDataset(rows)
+    val f = Multimodal.extractFeatures(ds).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(f(1L).width == 9 && f(1L).height == 4 && f(1L).n_frames == 1)
+    // the text payload keeps the stub's hash-derived envelope
+    assert(f(2L).width >= 64 && f(2L).width < 64 + 1024)
+    // the histogram is computed from the REAL bytes in both paths
+    assert(math.abs(f(1L).histogram.sum - 1.0) < 1e-9)
+  }
+
   test("sampleFrames: n frames per media row, bounded slices") {
     val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 100)
     assert(frames.count() == 200)
