@@ -9,6 +9,28 @@ import org.apache.spark.sql.SparkSession
   * are reported per-query alongside.
   */
 object Bench {
+
+  /** Short fingerprint of a query's PHYSICAL plan, stable across runs:
+    * expression/plan ids, file paths, and size statistics are
+    * normalized away so the hash moves only when the plan SHAPE moves
+    * (a broadcast→SMJ flip, a lost pushdown, a new exchange) — the
+    * regressions wall-time noise hides. Per-query fingerprints land in
+    * BENCH_FULL.json ("plans"); both stdout lines carry the combined
+    * "plan_fp". Diff note: to locate a cross-round plan regression,
+    * compare the two rounds' BENCH_FULL.json "plans" maps key-by-key
+    * (`jq -r '.plans | to_entries[] | "\(.key) \(.value)"'` on each,
+    * then `diff`) and `.explain("formatted")` the changed queries. */
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val norm = df.queryExecution.executedPlan.toString
+      .replaceAll("#\\d+", "#")
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("(file|hdfs|s3a?):[^,\\]\\s)]*", "path:")
+      .replaceAll("Statistics\\([^)]*\\)", "")
+      .replaceAll("\\s+", " ")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -85,7 +107,11 @@ object Bench {
       val warm = if (times.length >= 3) times.drop(1) else times
       val spread = if (err.isDefined || warm.length < 2 || med == 0.0) 0.0
         else (warm.max - warm.min) / med
-      (name, med, spread, err)
+      // plan fingerprint AFTER the timed runs (plan construction may
+      // eagerly materialize localCheckpoints — must not pre-warm run 1)
+      val fp = if (err.isDefined) "ERR"
+        else scala.util.Try(planFingerprint(fn(spark, sfDir))).getOrElse("ERR")
+      (name, med, spread, err, fp)
     }
     // Bench-only probes: scale-path variants (x20 without its exact
     // calibration siblings) timed with the same median-of-N, reported
@@ -114,12 +140,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qsFull = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qsFull = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val spreadFull = results.map { case (k, _, s, _) => "\"" + k + "\":" + r2(s) }
+    val spreadFull = results.map { case (k, _, s, _, _) => "\"" + k + "\":" + r2(s) }
       .mkString("{", ",", "}")
-    val failedFull = results.collect { case (k, _, _, Some(e)) =>
+    val failedFull = results.collect { case (k, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
       .mkString("{", ",", "}")
     // The headline is pinned to the q01–q26 contract BASELINE.md defines
@@ -135,7 +161,15 @@ object Bench {
     val headlineComplete = headlineSet.forall(_._4.isEmpty)
     val probesFull = probes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_$repeat","headline_complete":$headlineComplete,"queries":$qsFull,"rel_spread":$spreadFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
+    // per-query plan fingerprints + one combined fingerprint: a plan
+    // regression anywhere flips plan_fp even when timings look flat
+    val plansFull = results.map { case (k, _, _, _, fp) =>
+      "\"" + k + "\":\"" + fp + "\"" }.mkString("{", ",", "}")
+    val planFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(results.map { case (k, _, _, _, fp) => s"$k:$fp" }
+        .mkString(";").getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_$repeat","headline_complete":$headlineComplete,"plan_fp":"$planFp","queries":$qsFull,"rel_spread":$spreadFull,"plans":$plansFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
     // Full per-query detail: (a) an EARLIER stdout line (the driver only
     // parses the last one) and (b) BENCH_FULL.json in the repo, which the
     // driver's end-of-round commit picks up for the judge. ONLY canonical
@@ -157,13 +191,13 @@ object Bench {
     // extension (x*) set summarized as total + slowest-3.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val compactSel = results.filter(r => r._1.startsWith("q") || r._1.startsWith("r"))
-    val qsCompact = compactSel.map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }
+    val qsCompact = compactSel.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val xs = results.filter(_._1.startsWith("x"))
     val xTotal = r3(xs.map(_._2).sum)
     val xSlow = xs.sortBy(-_._2).take(3)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val failedCompact = results.collect { case (k, _, _, Some(e)) =>
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val failedCompact = results.collect { case (k, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + jsonEscape(e.take(60)) + "\"" }
       .take(3).mkString("{", ",", "}")
     // spread summary only (the full per-query map lives in BENCH_FULL):
@@ -172,7 +206,7 @@ object Bench {
     val spreads = results.map(_._3)
     val spreadMed = if (spreads.isEmpty) "0" else r2(median(spreads))
     val spreadMax = if (spreads.isEmpty) "0" else r2(spreads.max)
-    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_$repeat","headline_complete":$headlineComplete,"spread_med":$spreadMed,"spread_max":$spreadMax,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_$repeat","headline_complete":$headlineComplete,"plan_fp":"$planFp","spread_med":$spreadMed,"spread_max":$spreadMax,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
