@@ -775,4 +775,87 @@ object Dedup {
         col("n_pairs_ge"), col("n_docs_ge"))
       .orderBy(col("decile"))
   }
+
+  /** Renders the MinHash-LSH collision probability 1 − (1 − j^r)^b as
+    * an explicit left-associated multiplication chain — NO pow():
+    * libm pow implementations differ in the last ulp, a plain
+    * multiplication chain over the same 6-dp double is bit-identical
+    * on every engine. `one` is the engine's double-literal spelling
+    * ("1.0D" for Spark expr strings — bare 1.0 parses as DECIMAL —
+    * "1.0" for DuckDB). Shared by [[lshParameterPlan]] and its
+    * oracle so both engines evaluate the SAME arithmetic text. */
+  def collisionProbExpr(jCol: String, b: Int, r: Int, one: String): String = {
+    require(b >= 1 && r >= 1 && b <= 64 && r <= 64,
+      s"collisionProbExpr: need 1 <= b,r <= 64, got b=$b r=$r")
+    val jr = Seq.fill(r)(jCol).mkString("(", " * ", ")")
+    val q = s"($one - $jr)"
+    val qb = Seq.fill(b)(q).mkString("(", " * ", ")")
+    s"($one - $qb)"
+  }
+
+  /** MinHash-LSH parameter planner: for each candidate (bands, rows)
+    * configuration, what the banding S-curve would DO to this
+    * corpus's observed pair population — expected candidate volume,
+    * recall on pairs at/above the design threshold, and the mean
+    * collision probability wasted on sub-threshold pairs. The
+    * "choose b and r from the data" table that turns the textbook
+    * S-curve into a decision: more rows per band sharpens the curve
+    * (fewer false candidates, lower recall at the margin), more
+    * bands shifts it left. Complements x42's minhash calibration
+    * (does the ESTIMATOR track true jaccard) and x38's bucket
+    * profile (what one fixed config's buckets look like) — this one
+    * compares CANDIDATE configs before any index is built.
+    *
+    * Reads the SAME truncated pair relation as [[thresholdSweep]]
+    * (one pass at the `minJaccard` floor): the planner sees observed
+    * near pairs only — invisible sub-floor pairs have collision
+    * probability ≤ the floor's own, so the fp_load estimate is a
+    * (documented) lower bound while recall numbers are exact over
+    * the population that matters.
+    *
+    * Exactness: each pair's collision probability is the
+    * [[collisionProbExpr]] multiplication chain over the 6-dp
+    * jaccard (identical IEEE ops on identical doubles — no pow, no
+    * libm), quantized ONCE to micro; every aggregate after is an
+    * exact integer sum / floor division, order-free.
+    *
+    * Scale: the pair relation computes once (checkpointed) and each
+    * grid row is one partial+final aggregation over it — |grid|
+    * passes over pairs, zero over the corpus.
+    *
+    * Output: (bands, rows_per_band, n_pairs, exp_candidates_micro,
+    * n_hi, recall_hi_micro, n_lo, fp_load_micro), ordered by
+    * rows_per_band. */
+  def lshParameterPlan(docs: DataFrame,
+      grid: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8)),
+      designJaccard: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, prefixK: Int = 8,
+      minJaccard: Double = 0.2): DataFrame = {
+    require(grid.nonEmpty, "lshParameterPlan: need at least one (b, r) config")
+    val pairs = ngramJaccardNearDup(docs, idCol, textCol, ngram, prefixK,
+        minJaccard)
+      .select(col("jaccard"))
+      .localCheckpoint(true) // one pair pass serves every grid row
+    grid.map { case (b, r) =>
+      val p = collisionProbExpr("jaccard", b, r, "1.0D")
+      pairs
+        .select(col("jaccard"),
+          expr(s"CAST(round($p * 1000000.0D) AS BIGINT)").as("__p"))
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          sum(col("__p")).cast("bigint").as("exp_candidates_micro"),
+          sum(when(col("jaccard") >= designJaccard, 1L).otherwise(0L))
+            .cast("bigint").as("n_hi"),
+          sum(when(col("jaccard") >= designJaccard, col("__p")).otherwise(0L))
+            .cast("bigint").as("__phi"),
+          sum(when(col("jaccard") < designJaccard, 1L).otherwise(0L))
+            .cast("bigint").as("n_lo"),
+          sum(when(col("jaccard") < designJaccard, col("__p")).otherwise(0L))
+            .cast("bigint").as("__plo"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_pairs"), col("exp_candidates_micro"), col("n_hi"),
+          when(col("n_hi") > 0, expr("__phi div n_hi")).as("recall_hi_micro"),
+          col("n_lo"),
+          when(col("n_lo") > 0, expr("__plo div n_lo")).as("fp_load_micro"))
+    }.reduce(_ unionAll _).orderBy(col("rows_per_band"), col("bands"))
+  }
 }

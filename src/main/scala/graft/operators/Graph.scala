@@ -299,6 +299,42 @@ object Graph {
       .orderBy(col("label"))
   }
 
+  /** kNN label-noise audit (the confident-learning read, per point):
+    * for each labeled point, how many of its k nearest neighbors
+    * carry a DIFFERENT label — a point whose neighborhood outvotes
+    * its own label is a mislabel suspect (or sits on a genuine class
+    * boundary; either way it is where annotation review pays). The
+    * per-point sibling of [[partitionModularity]]: Q says whether the
+    * labels explain the geometry AT ALL, this says WHICH rows to
+    * re-check.
+    *
+    * Pure integer: two endpoint→label joins, one count aggregation,
+    * one floor division; `suspect` is the strict-majority integer
+    * comparison 2·disagree > k_eff. Points with no directed edges
+    * carry no evidence and are absent (the honest null — scoring
+    * them 0 would vouch for unexamined labels).
+    *
+    * Scale: the same envelope as [[partitionModularity]] — two keyed
+    * joins against the label table and one partial+final hash
+    * aggregation on the source id; output is node-cardinality.
+    *
+    * Output: (id, label, n_neighbors, n_disagree, disagree_micro,
+    * suspect), ordered by id. */
+  def labelNoiseAudit(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("label"))
+    edges.select(col("src"), col("dst"))
+      .join(lab.toDF("src", "__ls"), "src")
+      .join(lab.toDF("dst", "__ld"), "dst")
+      .groupBy(col("src").as("id"), col("__ls").as("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__ls") =!= col("__ld"), 1L).otherwise(0L))
+          .cast("bigint").as("n_disagree"))
+      .select(col("id"), col("label"), col("n_neighbors"), col("n_disagree"),
+        expr("n_disagree * 1000000L div n_neighbors").as("disagree_micro"),
+        (col("n_disagree") * 2 > col("n_neighbors")).as("suspect"))
+      .orderBy(col("id"))
+  }
+
   /** k-core of an undirected (u < v) edge list by synchronous peeling:
     * repeatedly drop every node whose degree WITHIN the surviving set
     * is below `k`; what remains is the maximal subgraph where every

@@ -1086,4 +1086,5 @@ object Profile {
           .as("auc_micro"))
       .orderBy(col(groupCol))
   }
+
 }

@@ -2192,4 +2192,133 @@ object TextAnalysis {
       .select(col("rank"), col("doc_id"), col("lang"), col("n_tokens"),
         col("weight_micro"))
   }
+
+  /** Concat-and-chunk packing audit: concatenate each source's docs
+    * in (doc_id) order, cut the stream every `chunkTokens` tokens —
+    * the packing every GPT-style pretraining loader applies — and
+    * report what the cut costs: how many docs SPAN a chunk boundary
+    * (their loss is computed across an attention reset or pollutes
+    * the next sequence, depending on masking), and how much of the
+    * final chunk is padding. The two numbers that decide chunk
+    * length and whether document-boundary masking is worth its
+    * throughput cost for THIS corpus its
+    * throughput cost for THIS corpus. Complements [[packSequences]]
+    * (x31: whole-doc bin ids under a budget — docs never split) and
+    * [[chunkDocuments]] (x33: per-doc char windows) — this one
+    * audits the cross-document TOKEN stream cut.
+    *
+    * Packing model: pure concat-and-chunk (docs split mid-document at
+    * every L-token boundary) — deliberately NOT first-fit bin
+    * packing, whose greedy recurrence is inherently sequential;
+    * concat-and-chunk is what the common loaders do and is exactly
+    * expressible as one running sum. A doc's chunk span derives from
+    * its start offset: first = start div L, last = (start+t−1) div L.
+    * Token-less docs pack nothing and are excluded up front.
+    *
+    * Exactness: token counts, running offsets, chunk ids, and the
+    * waste arithmetic are all exact BIGINT; the two rates are single
+    * floor divisions.
+    *
+    * Scale: one tokenize pass; the running sum is a window
+    * PARTITIONED by source (each source packs independently — the
+    * loader reality anyway, and the reason no corpus-global offset
+    * exists to serialize); one partial+final aggregation to the
+    * |sources| output frame.
+    *
+    * Output: (source, n_docs, n_tokens, n_chunks, n_split_docs,
+    * split_micro, waste_tokens, waste_micro), ordered by source. */
+  def chunkPackingAudit(docs: DataFrame, chunkTokens: Long = 512L,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(chunkTokens > 0,
+      s"chunkPackingAudit: chunkTokens must be positive, got $chunkTokens")
+    import graft.functions.TextFunctions.words
+    import org.apache.spark.sql.expressions.Window
+    val L = chunkTokens
+    val toks = docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
+        size(words(col(textCol))).cast("long").as("t"))
+      .filter(col("t") > 0)
+    val wB = Window.partitionBy(col("source")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("__cb", coalesce(sum(col("t")).over(wB), lit(0L)))
+      .select(col("source"), col("t"),
+        expr(s"__cb div $L").as("__fc"),
+        expr(s"(__cb + t - 1) div $L").as("__lc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).cast("bigint").as("n_tokens"),
+        sum(when(col("__lc") > col("__fc"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_split_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr(s"(n_tokens + $L - 1) div $L").as("n_chunks"),
+        col("n_split_docs"),
+        expr("n_split_docs * 1000000L div n_docs").as("split_micro"))
+      .withColumn("waste_tokens", expr(s"n_chunks * $L - n_tokens"))
+      .withColumn("waste_micro",
+        expr(s"waste_tokens * 1000000L div (n_chunks * $L)"))
+      .orderBy(col("source"))
+  }
+
+  /** Zipf slope over the frequency head: OLS of ln(count) on ln(rank)
+    * for the top-K terms — the one-number corpus-health read beside
+    * [[heapsLawGrowth]]'s β: natural language runs ≈ −1 (Zipf's law);
+    * a much flatter head means boilerplate/template mass (the same
+    * few strings stamped everywhere), a much steeper one a
+    * vocabulary dominated by a handful of tokens (log spam,
+    * separator artifacts). Complements [[vocabStats]] (x36: the
+    * top-K table with cumulative mass) — this one ships the FITTED
+    * exponent, the comparable-across-corpora scalar. Fit over the
+    * HEAD only, by design: the
+    * head is where the law is linear, the fit is exact over K
+    * points, and the top-K cut is cheap at any corpus size (the tail
+    * fit would need per-rank work over the whole vocabulary).
+    *
+    * Exactness: the top-K cut orders by (count desc, term asc) — a
+    * total order, so the retained set and ranks are engine-
+    * identical; ln(rank) and ln(count) quantize once per point to
+    * MILLI-nats (the Heaps discipline — keeps the K-point OLS
+    * cross-products comfortably in BIGINT); the slope is one integer
+    * division whose denominator k·Σxx−(Σx)² is non-negative, and
+    * both engines truncate the signed numerator toward zero
+    * identically.
+    *
+    * Scale: one tokenize pass → one partial+final term count → a
+    * bounded TakeOrdered top-K (never a vocabulary sort); the OLS
+    * runs on K rows. The corpus totals ride the same count frame.
+    *
+    * Output: 1 row — (k, vocab, total_tokens, head_tokens,
+    * head_mass_micro, slope_micro). */
+  def zipfHeadSlope(docs: DataFrame, topK: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topK >= 3, s"zipfHeadSlope: topK must be >= 3, got $topK")
+    import graft.functions.TextFunctions.words
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs
+      .select(explode(words(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the totals AND the head
+    val totals = cnt.agg(count(lit(1)).cast("bigint").as("vocab"),
+      sum(col("c")).cast("bigint").as("total_tokens"))
+    val head = cnt.orderBy(col("c").desc, col("term")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("term"))))
+      .select(col("c"),
+        round(round(log(col("rank").cast("double")), 3) * lit(1000.0))
+          .cast("long").as("__x"),
+        round(round(log(col("c").cast("double")), 3) * lit(1000.0))
+          .cast("long").as("__y"))
+    head.agg(count(lit(1)).cast("bigint").as("k"),
+        sum(col("c")).cast("bigint").as("head_tokens"),
+        sum(col("__x")).cast("bigint").as("__sx"),
+        sum(col("__y")).cast("bigint").as("__sy"),
+        sum(col("__x") * col("__y")).cast("bigint").as("__sxy"),
+        sum(col("__x") * col("__x")).cast("bigint").as("__sxx"))
+      .join(broadcast(totals))
+      .select(col("k"), col("vocab"), col("total_tokens"), col("head_tokens"),
+        expr("head_tokens * 1000000L div total_tokens").as("head_mass_micro"),
+        when(expr("k * __sxx - __sx * __sx") > 0,
+          expr("(k * __sxy - __sx * __sy) * 1000000L div (k * __sxx - __sx * __sx)"))
+          .as("slope_micro"))
+  }
 }

@@ -1968,6 +1968,43 @@ object ExtensionQueries {
     graft.operators.Sequences.diurnalConcentration(
       Tables.load(s, dir, "events"))
 
+  /** x167 concat-and-chunk packing audit — see
+    * [[graft.operators.TextAnalysis.chunkPackingAudit]]: per-source
+    * boundary-split rate and final-chunk padding at L=512 — the two
+    * numbers that price a chunk length for THIS corpus. */
+  def x167(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkPackingAudit(docs(s, dir), chunkTokens = 512L)
+
+  /** x168 kNN label-noise audit — see
+    * [[graft.operators.Graph.labelNoiseAudit]]: per-point neighbor
+    * disagreement over the x76 kNN edges — WHICH labels to re-check,
+    * the row-level sibling of x160's partition-level Q. */
+  def x168(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelNoiseAudit(knnEdges(s, dir),
+      emb(s, dir).select(col("vec_id").as("id"), col("label")))
+
+  /** x169 per-label embedding dispersion — see
+    * [[graft.operators.Similarity.embeddingDispersion]]: mean
+    * pairwise dot inside each label via the ‖Σv‖² identity (one
+    * aggregation, zero pair enumeration) — the semantic-redundancy
+    * read beside x139's centroid drift and x127's pair histogram. */
+  def x169(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingDispersion(emb(s, dir))
+
+  /** x170 MinHash-LSH parameter plan — see
+    * [[graft.operators.Dedup.lshParameterPlan]]: the banding S-curve
+    * evaluated against the observed x04 pair population for four
+    * (bands, rows) configs — choose b and r from the data. */
+  def x170(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshParameterPlan(docs(s, dir))
+
+  /** x171 Zipf head slope — see
+    * [[graft.operators.TextAnalysis.zipfHeadSlope]]: OLS of ln(count)
+    * on ln(rank) over the top-100 terms — the ≈ −1 corpus-health
+    * constant beside x152's Heaps β. */
+  def x171(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfHeadSlope(docs(s, dir), topK = 100)
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2164,6 +2201,11 @@ object ExtensionQueries {
     "x164_exclusive_vocab" -> (x164 _),
     "x165_cluster_exemplars" -> (x165 _),
     "x166_diurnal_concentration" -> (x166 _),
+    "x167_chunk_packing" -> (x167 _),
+    "x168_label_noise" -> (x168 _),
+    "x169_embedding_dispersion" -> (x169 _),
+    "x170_lsh_plan" -> (x170 _),
+    "x171_zipf_head" -> (x171 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -5929,6 +5971,143 @@ object ExtensionQueries {
          |         AS BIGINT) % 24 AS peak_hour
          |FROM a ORDER BY event_type""".stripMargin
     },
+
+    // Replays chunkPackingAudit: per-source running token offsets
+    // (window partitioned by source), chunk ids by floor division,
+    // integer split/waste rates at L=512.
+    "x167_chunk_packing" ->
+      s"""WITH tk AS (SELECT source, doc_id,
+         |              CAST(len(${wordsSql("text")}) AS BIGINT) AS t
+         |            FROM documents
+         |            WHERE len(${wordsSql("text")}) > 0),
+         |c AS (SELECT source, t,
+         |        coalesce(sum(t) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |      FROM tk),
+         |d AS (SELECT source, t, cb // 512 AS fc,
+         |             (cb + t - 1) // 512 AS lc FROM c),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(t) AS BIGINT) AS n_tokens,
+         |             CAST(sum(CASE WHEN lc > fc THEN 1 ELSE 0 END)
+         |                  AS BIGINT) AS n_split_docs
+         |      FROM d GROUP BY 1)
+         |SELECT source, n_docs, n_tokens,
+         |       CAST((n_tokens + 511) // 512 AS BIGINT) AS n_chunks,
+         |       n_split_docs,
+         |       CAST(n_split_docs * 1000000 // n_docs AS BIGINT)
+         |         AS split_micro,
+         |       CAST((n_tokens + 511) // 512 * 512 - n_tokens AS BIGINT)
+         |         AS waste_tokens,
+         |       CAST(((n_tokens + 511) // 512 * 512 - n_tokens) * 1000000
+         |            // ((n_tokens + 511) // 512 * 512) AS BIGINT)
+         |         AS waste_micro
+         |FROM a ORDER BY source""".stripMargin,
+
+    // Replays labelNoiseAudit over the same bucketed kNN edges as
+    // x83/x160: endpoint label joins, integer disagreement counts,
+    // strict-majority suspect flag.
+    "x168_label_noise" ->
+      s"""WITH ${knnEdgesCteSql(3)},
+         |lab AS (SELECT vec_id AS id, label FROM embeddings),
+         |j AS (SELECT knn.src AS id, la.label AS ls, lb.label AS ld
+         |      FROM knn JOIN lab la ON la.id = knn.src
+         |               JOIN lab lb ON lb.id = knn.dst)
+         |SELECT id, ls AS label, CAST(count(*) AS BIGINT) AS n_neighbors,
+         |       CAST(sum(CASE WHEN ls <> ld THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_disagree,
+         |       CAST(sum(CASE WHEN ls <> ld THEN 1 ELSE 0 END) * 1000000
+         |            // count(*) AS BIGINT) AS disagree_micro,
+         |       sum(CASE WHEN ls <> ld THEN 1 ELSE 0 END) * 2 > count(*)
+         |         AS suspect
+         |FROM j GROUP BY id, ls ORDER BY id""".stripMargin,
+
+    // Replays embeddingDispersion: milli-quantized components, the
+    // ||sum v||^2 - sum ||v||^2 identity per label, integer floor
+    // divisions for both means and the ratio.
+    "x169_embedding_dispersion" ->
+      """WITH cells AS (
+        |  SELECT label, vec_id AS id, g.d AS d,
+        |         CAST(round(embedding[g.d + 1]::DOUBLE * 1000.0) AS BIGINT) AS q
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS d) g
+        |  WHERE len(embedding) = 64
+        |    AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |pd AS (SELECT label, d, CAST(sum(q) AS BIGINT) AS sd,
+        |              CAST(sum(q * q) AS BIGINT) AS qq,
+        |              CAST(count(DISTINCT id) AS BIGINT) AS n
+        |       FROM cells GROUP BY 1, 2),
+        |f AS (SELECT label, CAST(max(n) AS BIGINT) AS n,
+        |             CAST(sum(sd * sd) AS BIGINT) AS s2,
+        |             CAST(sum(qq) AS BIGINT) AS sf
+        |      FROM pd GROUP BY 1)
+        |SELECT label, n,
+        |       CAST(sf // n AS BIGINT) AS mean_self_dot_micro,
+        |       CASE WHEN n > 1 THEN CAST((s2 - sf) // (n * (n - 1)) AS BIGINT)
+        |         END AS mean_pair_dot_micro,
+        |       CASE WHEN n > 1 AND sf // n > 0 THEN
+        |         CAST(((s2 - sf) // (n * (n - 1))) * 1000000 // (sf // n)
+        |              AS BIGINT) END AS redundancy_micro
+        |FROM f ORDER BY label""".stripMargin,
+
+    // Replays lshParameterPlan over the brute-force x04 pair relation:
+    // per-config collision probability as the SAME multiplication
+    // chain (no pow — Dedup.collisionProbExpr renders both engines'
+    // expression text), quantized once, exact integer sums.
+    "x170_lsh_plan" -> {
+      val cfg = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+        s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(p) AS BIGINT) AS exp_candidates_micro,
+           |  CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hi,
+           |  CASE WHEN sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) > 0
+           |    THEN CAST(sum(CASE WHEN jaccard >= 0.5 THEN p ELSE 0 END)
+           |      // sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           |    END AS recall_hi_micro,
+           |  CAST(sum(CASE WHEN jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_lo,
+           |  CASE WHEN sum(CASE WHEN jaccard < 0.5 THEN 1 ELSE 0 END) > 0
+           |    THEN CAST(sum(CASE WHEN jaccard < 0.5 THEN p ELSE 0 END)
+           |      // sum(CASE WHEN jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           |    END AS fp_load_micro
+           |FROM pp_${b}_$r""".stripMargin
+      }
+      val ppCtes = Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+        val pexpr = graft.operators.Dedup.collisionProbExpr("jaccard", b, r, "1.0")
+        s"""pp_${b}_$r AS (SELECT jaccard,
+           |  CAST(round($pexpr * 1000000.0) AS BIGINT) AS p FROM pairs)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ngramPairsCteSql,
+         |$ppCtes
+         |${cfg.mkString("\nUNION ALL\n")}
+         |ORDER BY rows_per_band, bands""".stripMargin
+    },
+
+    // Replays zipfHeadSlope: top-100 by (count desc, term), milli-nat
+    // ln per point, exact integer OLS, truncating signed division.
+    "x171_zipf_head" ->
+      s"""WITH toks AS (SELECT unnest(${wordsSql("text")}) AS term FROM documents),
+         |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+         |        FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+         |               CAST(sum(c) AS BIGINT) AS total_tokens FROM cnt),
+         |head AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank
+         |         FROM cnt ORDER BY c DESC, term LIMIT 100),
+         |pt AS (SELECT c,
+         |         CAST(round(round(ln(rank::DOUBLE), 3) * 1000) AS BIGINT) AS x,
+         |         CAST(round(round(ln(c::DOUBLE), 3) * 1000) AS BIGINT) AS y
+         |       FROM head),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |             CAST(sum(c) AS BIGINT) AS head_tokens,
+         |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx FROM pt)
+         |SELECT k, vocab, total_tokens, head_tokens,
+         |       CAST(head_tokens * 1000000 // total_tokens AS BIGINT)
+         |         AS head_mass_micro,
+         |       CASE WHEN k * sxx - sx * sx > 0 THEN
+         |         CAST((k * sxy - sx * sy) * 1000000 // (k * sxx - sx * sx)
+         |              AS BIGINT) END AS slope_micro
+         |FROM f CROSS JOIN tot""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

@@ -321,4 +321,41 @@ class DedupSpec extends SparkSpec {
       (5L, 500000L, 3L, 3L),
       (9L, 900000L, 1L, 2L)))
   }
+
+  test("collisionProbExpr: the multiplication chain replays 1-(1-j^r)^b " +
+      "exactly, with no pow()") {
+    val e = Dedup.collisionProbExpr("j", 2, 2, "1.0D")
+    assert(!e.toLowerCase.contains("pow"))
+    // j=0.5, r=2, b=2: 1 - (1 - 0.25)^2 = 0.4375
+    val got = spark.sql(s"SELECT CAST(round($e * 1000000.0D) AS BIGINT) " +
+      "FROM (SELECT CAST(0.5 AS DOUBLE) AS j)").head().getLong(0)
+    assert(got == 437500L)
+    intercept[IllegalArgumentException] {
+      Dedup.collisionProbExpr("j", 0, 2, "1.0D")
+    }
+  }
+
+  test("lshParameterPlan: sharper configs (more rows/band) cut expected " +
+      "candidates; recall over hi pairs >= fp load over lo pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+      (3L, "alpha beta gamma kappa lambda mu nu xi"),         // mid overlap
+      (4L, "omicron pi rho sigma tau upsilon phi chi"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lshParameterPlan(docs)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r))
+      .toMap
+    assert(out.keySet == Set((16, 1), (8, 2), (4, 4), (2, 8)))
+    // more rows per band = sharper curve = fewer expected candidates
+    val exp = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+      .map(k => out(k).getLong(3))
+    assert(exp.zip(exp.tail).forall { case (a, b) => a >= b }, exp.toSeq.toString)
+    // the S-curve is increasing in j: mean p above the design point
+    // dominates mean p below it, for every config with both sides
+    out.values.foreach { r =>
+      if (!r.isNullAt(5) && !r.isNullAt(7))
+        assert(r.getLong(5) >= r.getLong(7), r.toString)
+    }
+  }
 }

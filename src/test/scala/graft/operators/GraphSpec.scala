@@ -192,4 +192,23 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
+
+  test("labelNoiseAudit: hand-traced disagreement counts; strict majority " +
+      "flags suspects; edge-less points are absent") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (3L, 2L))
+      .toDF("src", "dst")
+    val labels = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "a"))
+      .toDF("id", "label")
+    val out = Graph.labelNoiseAudit(edges, labels)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      // 1: neighbors 2(b), 3(b) — both disagree with a → suspect
+      (1L, "a", 2L, 2L, 1000000L, true),
+      // 2: neighbor 1(a) disagrees with b → 1/1, suspect
+      (2L, "b", 1L, 1L, 1000000L, true),
+      // 3: neighbors 1(a), 2(b) — one disagrees → 1/2, NOT strict majority
+      (3L, "b", 2L, 1L, 500000L, false)))
+    // 4 has no outgoing edges: no evidence, no row
+    assert(!out.exists(_._1 == 4L))
+  }
 }

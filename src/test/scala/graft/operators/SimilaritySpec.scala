@@ -325,4 +325,26 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(out.toSeq == Seq((9L, 1L, 1000000L))) // only the (1,2) pair survives
   }
+
+  test("embeddingDispersion: identical vectors score pair dot == self dot " +
+      "(redundancy 1); orthogonal pairs score 0; singleton labels null") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "dup"),
+      (2L, Array(1.0f, 0.0f), "dup"),
+      (3L, Array(1.0f, 0.0f), "orth"),
+      (4L, Array(0.0f, 1.0f), "orth"),
+      (5L, Array(0.6f, 0.8f), "solo"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingDispersion(emb, dim = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.toSeq == Seq(
+      // identical unit vectors: self dot 1.0, pair dot 1.0, ratio 1
+      ("dup", 2L, 1000000L, Some(1000000L), Some(1000000L)),
+      // orthogonal: ||sum||^2 = 2e6, self = 2e6 -> pair 0
+      ("orth", 2L, 1000000L, Some(0L), Some(0L)),
+      // singleton: no pair, nulls
+      ("solo", 1L, 1000000L, None, None)))
+  }
 }

@@ -915,4 +915,49 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.dsirWeights(docs, topK = 0)
     }
   }
+
+  test("chunkPackingAudit: hand-traced split and waste at L=4; " +
+      "token-less docs pack nothing") {
+    val docs = Seq(
+      (1L, "a b c", "s1"),       // tokens 3: chunk 0 only
+      (2L, "d e", "s1"),         // start 3, end 4: SPLITS chunks 0/1
+      (3L, "f g h i", "s1"),     // start 5, end 8: SPLITS chunks 1/2
+      (4L, "", "s1"),            // 0 tokens: excluded
+      (5L, "j k", "s2"))         // own stream: chunk 0, no split
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.chunkPackingAudit(docs, chunkTokens = 4L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      // s1: 9 tokens -> 3 chunks (12 slots), 2 of 3 docs split,
+      // waste 3/12 = 250000 micro
+      ("s1", 3L, 9L, 3L, 2L, 666666L, 3L, 250000L),
+      ("s2", 1L, 2L, 1L, 0L, 0L, 2L, 500000L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkPackingAudit(docs, chunkTokens = 0L)
+    }
+  }
+
+  test("zipfHeadSlope: a perfect c = C/rank head fits slope -1 under the " +
+      "same milli-nat quantization; head mass exact") {
+    // counts 12, 6, 4, 3 = 12/rank exactly
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val out = TextAnalysis.zipfHeadSlope(Seq((1L, text)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    assert(out._1 == 4L && out._2 == 4L && out._3 == 25L && out._4 == 25L)
+    assert(out._5 == 1000000L)
+    // replay the quantized OLS in Scala: exact expected slope
+    val pts = Seq((1, 12), (2, 6), (3, 4), (4, 3)).map { case (r, c) =>
+      (math.round(math.round(math.log(r.toDouble) * 1000.0) / 1.0),
+        math.round(math.round(math.log(c.toDouble) * 1000.0) / 1.0))
+    }
+    val k = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expected = (k * sxy - sx * sy) * 1000000L / (k * sxx - sx * sx)
+    assert(out._6.contains(expected), s"got ${out._6}, expected $expected")
+    // and the quantized fit of an exact power law sits within 1e-3 of -1
+    assert(math.abs(out._6.get + 1000000L) < 1000L, out._6.toString)
+  }
 }

@@ -1185,6 +1185,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x167: the packing offsets ride a source-partitioned window; " +
+    "aggregation is partial+final") {
+    val df = ExtensionQueries.x167(spark, sf001)
+    assertNoGlobalWindowOverBase(df)
+    val plan = physical(df)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+  }
+
+  test("x168: label joins are keyed equi-joins over the kNN edges — " +
+    "no cartesian; disagreement is one hash aggregation") {
+    val plan = physical(ExtensionQueries.x168(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("x169: the dispersion identity is two stacked aggregations — " +
+    "no window, no join, no pair enumeration") {
+    val plan = physical(ExtensionQueries.x169(spark, sf001))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("x170: every grid row aggregates the one checkpointed pair " +
+    "relation — no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x170(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x171: the head cut is a bounded TakeOrdered, never a vocabulary " +
+    "sort; the only global window ranks the 100-row head") {
+    val df = ExtensionQueries.x171(spark, sf001)
+    assertNoGlobalWindowOverBase(df)
+    assert(physical(df).contains("TakeOrderedAndProject"), physical(df))
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
