@@ -1229,4 +1229,45 @@ object Sequences {
         expr("__over * 1000000L div n_gaps").as("over_gap_micro"),
         (col("n_users") + col("__over")).as("sessions_induced"))
   }
+
+  /** Frequent event 3-paths: every consecutive same-user event-type
+    * trigram (two lag steps over the (ts, tie) order), counted and
+    * support-filtered — the behavioral PATTERNS read one step beyond
+    * [[transitionMatrix]]'s bigrams: a→b and b→c being common does
+    * NOT make a→b→c common (the Markov assumption the matrix bakes
+    * in), and the trigrams that beat their bigram-implied frequency
+    * are exactly the workflows worth modeling as units.
+    *
+    * Pure integer: lag windows are user-partitioned; path counts and
+    * the support share are one aggregation + one floor division.
+    *
+    * Scale: ONE shuffle on the user key for the lags, one
+    * partial+final aggregation on the (a, b, c) key — output is
+    * bounded by the type vocabulary cubed, in practice by the paths
+    * that actually occur ≥ minSupport times.
+    *
+    * Output: (a, b, c, n, support_micro) for paths with n ≥
+    * minSupport, ordered by (n desc, a, b, c); support_micro is the
+    * path's share of ALL observed trigrams. */
+  def eventPathMining(events: DataFrame, minSupport: Long = 5L,
+      userCol: String = "user_id", tsCol: String = "ts",
+      tieCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    require(minSupport >= 1,
+      s"eventPathMining: minSupport must be >= 1, got $minSupport")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val tri = events
+      .withColumn("__a", lag(col(typeCol), 2).over(w))
+      .withColumn("__b", lag(col(typeCol), 1).over(w))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a").as("a"), col("__b").as("b"),
+        col(typeCol).as("c"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .localCheckpoint(true) // feeds the total AND the output
+    tri.join(broadcast(tri.agg(sum(col("n")).cast("bigint").as("__tot"))))
+      .filter(col("n") >= minSupport)
+      .select(col("a"), col("b"), col("c"), col("n"),
+        expr("n * 1000000L div __tot").as("support_micro"))
+      .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+  }
 }

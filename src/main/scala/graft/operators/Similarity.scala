@@ -608,6 +608,59 @@ object Similarity {
       .orderBy(col(groupCol))
   }
 
+  /** Cross-split leakage by embedding similarity: hash-split the
+    * corpus into test (`testPct`%) and train, then find each test
+    * vector's nearest TRAIN vector — near-identical cross-split
+    * neighbors mean the eval set leaks into training (paraphrases
+    * and re-crawls that x64's n-gram leakage screen cannot see
+    * because the WORDS differ while the embedding doesn't). The
+    * embedding-space sibling of x64/x65.
+    *
+    * Determinism: the split is the md5-60 gate (hash mod 100 <
+    * testPct — the x30 contract, any engine replays it); candidates
+    * come from the same hyperplane buckets as x07/x76 (sign-bit
+    * agreement — high-cosine pairs collide with high probability;
+    * recall is bucket-bounded and the oracle replays the SAME
+    * buckets, so the gate checks the bucketed semantics, not an
+    * unbounded all-pairs claim); the per-test argmax is the
+    * bounded-heap [[TopKScored]] top-1 on (round-6 cosine desc,
+    * train id asc). Test vectors alone in their bucket have no
+    * candidate and are absent — the honest null.
+    *
+    * Scale: one bucket equi-join (never test×train), heap argmax
+    * with map-side combine; the split gate is a narrow projection.
+    *
+    * Output: (test_id, train_id, cosine, leaked), ordered by
+    * test_id; `leaked` = cosine ≥ leakThreshold. */
+  def splitLeakageBySimilarity(emb: DataFrame, testPct: Int = 10,
+      leakThreshold: Double = 0.9, nPlanes: Int = 6, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(testPct > 0 && testPct < 100,
+      s"splitLeakageBySimilarity: testPct must be in (0, 100), got $testPct")
+    val bucketed = emb
+      .filter(size(col(vecCol)) === dim &&
+        dot_product(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        hyperplaneBucket(col(vecCol), nPlanes, dim).as("bucket"),
+        (pmod(graft.functions.TextFunctions.md5Bucket60(col(idCol)),
+          lit(100L)) < testPct).as("__t"))
+      .localCheckpoint(true) // feeds both split sides
+    val scored = bucketed.filter(col("__t")).as("a")
+      .join(bucketed.filter(!col("__t")).as("b"),
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("test_id"), col("b.id").as("train_id"),
+        round(cosine_similarity(col("a.vec"), col("b.vec")), 6).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    val top1 = udaf(new TopKScored(1))
+    scored.groupBy(col("test_id"))
+      .agg(top1(col("train_id"), col("cosine")).as("__top"))
+      .select(col("test_id"), explode(col("__top")).as("__e"))
+      .select(col("test_id"), col("__e.id").as("train_id"),
+        col("__e.score").as("cosine"))
+      .withColumn("leaked", col("cosine") >= leakThreshold)
+      .orderBy(col("test_id"))
+  }
+
   /** Per-label embedding dispersion WITHOUT pair enumeration: the mean
     * pairwise dot product inside each label via the sum-vector
     * identity Σ_{i≠j}⟨v_i,v_j⟩ = ‖Σv‖² − Σ‖v‖² — the "how

@@ -2260,6 +2260,146 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Mixed-language document audit: language-id every fixed-size chunk
+    * of a document ([[chunkDocuments]] grid + the x08 heuristic) and
+    * flag documents whose chunks disagree — code-switching, bilingual
+    * boilerplate, or concatenation artifacts that a single doc-level
+    * lang tag hides (and that poison monolingual training splits).
+    * The chunk-level sibling of x08's doc-level confusion.
+    *
+    * Determinism: chunk boundaries are the exact stride grid; each
+    * chunk's prediction is the same argmax-with-lexicographic-tiebreak
+    * as [[graft.functions.TextFunctions.langId]]; the majority chunk
+    * language is the (count, lang) struct max — ties to the
+    * lexicographically larger code, stated contract; the minority
+    * rate is one integer floor division.
+    *
+    * Scale: one chunk explode (×docLen/stride fan-out, narrow), two
+    * partial+final aggregations ((doc, pred) then doc) — no joins
+    * beyond the doc-tag attach, no windows. Single-chunk docs cannot
+    * exhibit mixing and are excluded (minChunks).
+    *
+    * Output: (doc_id, lang, n_chunks, n_langs, majority_pred,
+    * majority_chunks, minority_micro, mixed), ordered by doc_id;
+    * `mixed` = more than one distinct non-'und' chunk prediction. */
+  def mixedLanguageAudit(docs: DataFrame, window: Int = 200,
+      stride: Int = 200, minChunks: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    import graft.functions.TextFunctions.langId
+    require(minChunks >= 2,
+      s"mixedLanguageAudit: minChunks must be >= 2, got $minChunks")
+    val preds = chunkDocuments(docs, window, stride, idCol, textCol)
+      .select(col("doc_id"), langId(col("chunk")).as("__p"))
+      .groupBy(col("doc_id"), col("__p"))
+      .agg(count(lit(1)).as("__c"))
+    preds.groupBy(col("doc_id"))
+      .agg(sum(col("__c")).cast("bigint").as("n_chunks"),
+        count(lit(1)).cast("bigint").as("n_langs"),
+        max(struct(col("__c").as("c"), col("__p").as("p"))).as("__maj"),
+        sum(when(col("__p") =!= "und", 1L).otherwise(0L)).cast("bigint")
+          .as("__real"))
+      .filter(col("n_chunks") >= minChunks)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chunks"), col("n_langs"),
+        col("__maj.p").as("majority_pred"),
+        col("__maj.c").cast("bigint").as("majority_chunks"),
+        expr("(n_chunks - __maj.c) * 1000000L div n_chunks")
+          .as("minority_micro"),
+        (col("__real") > 1).as("mixed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source vocabulary KL divergence from the corpus: KL(p̂_s ‖ p̂)
+    * of the source's EMPIRICAL unigram distribution against the
+    * corpus's — the one-number "how far does this provider's language
+    * sit from the mixture" read that ranks sources for domain
+    * balance, beside x117's per-cell PMI and x164's exclusive-vocab
+    * share. No smoothing needed: every source term exists in the
+    * corpus (source counts are part of corpus counts), so every
+    * ratio is finite, and absent terms contribute exactly 0 to
+    * Σ p·ln(p/q) under the empirical p.
+    *
+    * Exactness: the log-ratio ln((c_st·T)/(T_s·c_t)) quantizes ONCE
+    * per (source, term) to micro-nats (exact integer products into
+    * one double division — same expression text in the oracle); the
+    * divergence is the exact integer Σ c_st·lr over the source,
+    * shipped as one floor division by T_s.
+    *
+    * Scale: one tokenize pass feeds both the (source, term) and
+    * (term) aggregations; the scoring join is keyed on term and
+    * reuses the term partitioning; output is |sources| rows.
+    *
+    * Output: (source, n_terms, total_tokens, kl_micro), ordered by
+    * source. */
+  def sourceVocabKL(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val st = docs.select(col(sourceCol).as("source"),
+        explode(words(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("__cs"))
+      .localCheckpoint(true) // feeds corpus counts AND the scoring join
+    val ct = st.groupBy(col("term")).agg(sum(col("__cs")).cast("bigint").as("__ct"))
+    val ts = st.groupBy(col("source")).agg(sum(col("__cs")).cast("bigint").as("__ts"))
+    val tt = ct.agg(sum(col("__ct")).cast("bigint").as("__tt"))
+    st.join(ct, "term").join(ts, "source").join(broadcast(tt))
+      .select(col("source"), col("__cs"), col("__ts"),
+        round(round(log(
+          (col("__cs").cast("double") * col("__tt").cast("double")) /
+            (col("__ts").cast("double") * col("__ct").cast("double"))), 6) *
+          lit(1000000.0)).cast("long").as("__lr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_terms"),
+        max(col("__ts")).cast("bigint").as("total_tokens"),
+        sum(col("__cs") * col("__lr")).cast("bigint").as("__num"))
+      .select(col("source"), col("n_terms"), col("total_tokens"),
+        expr("__num div total_tokens").as("kl_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Common-prefix boilerplate profile: group documents by their
+    * first `prefixTokens` tokens and surface every prefix shared by
+    * at least `minDf` documents — the header/template detector
+    * (scraped corpora repeat "subscribe to our newsletter"-class
+    * openings verbatim) at DOCUMENT-START granularity, beside x34's
+    * position-blind bigram screen and x81's set-novelty. A prefix
+    * carried by many docs across many sources is crawler boilerplate;
+    * one confined to a single source is that provider's template.
+    *
+    * Pure integer: the prefix is an exact token-slice join (no
+    * hashing — the string itself is the key, exact on any engine);
+    * counts and the share are one aggregation + one floor division.
+    *
+    * Scale: one tokenize pass, one hash aggregation keyed on the
+    * prefix string; output bounded by the number of REPEATED
+    * prefixes (≥ minDf), which is small by construction. Docs with
+    * no tokens have no prefix and are excluded.
+    *
+    * Output: (prefix, n_docs, n_sources, share_micro), ordered by
+    * (n_docs desc, prefix). */
+  def commonPrefixProfile(docs: DataFrame, prefixTokens: Int = 4,
+      minDf: Int = 3, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(prefixTokens >= 1 && minDf >= 2,
+      s"commonPrefixProfile: need prefixTokens >= 1 and minDf >= 2, " +
+        s"got $prefixTokens/$minDf")
+    import graft.functions.TextFunctions.words
+    val total = docs.agg(count(lit(1)).cast("bigint").as("__n"))
+    docs.select(col(sourceCol).as("source"),
+        array_join(slice(words(col(textCol)), 1, prefixTokens), " ")
+          .as("prefix"))
+      .filter(col("prefix") =!= "")
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        countDistinct(col("source")).cast("bigint").as("n_sources"))
+      .filter(col("n_docs") >= minDf)
+      .join(broadcast(total))
+      .select(col("prefix"), col("n_docs"), col("n_sources"),
+        expr("n_docs * 1000000L div __n").as("share_micro"))
+      .orderBy(col("n_docs").desc, col("prefix"))
+  }
+
   /** Zipf slope over the frequency head: OLS of ln(count) on ln(rank)
     * for the top-K terms — the one-number corpus-health read beside
     * [[heapsLawGrowth]]'s β: natural language runs ≈ −1 (Zipf's law);

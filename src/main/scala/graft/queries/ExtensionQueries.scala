@@ -2005,6 +2005,42 @@ object ExtensionQueries {
   def x171(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipfHeadSlope(docs(s, dir), topK = 100)
 
+  /** x172 mixed-language document audit — see
+    * [[graft.operators.TextAnalysis.mixedLanguageAudit]]: chunk-level
+    * lang-id disagreement per doc — the code-switching detector a
+    * doc-level tag hides. */
+  def x172(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixedLanguageAudit(docs(s, dir))
+
+  /** x173 cross-split embedding leakage — see
+    * [[graft.operators.Similarity.splitLeakageBySimilarity]]: each
+    * hash-split test vector's nearest train vector via the x07
+    * buckets — the paraphrase leakage x64's n-grams cannot see. */
+  def x173(s: SparkSession, dir: String): DataFrame =
+    Similarity.splitLeakageBySimilarity(emb(s, dir))
+
+  /** x174 per-source vocabulary KL — see
+    * [[graft.operators.TextAnalysis.sourceVocabKL]]: empirical-
+    * unigram KL(source ‖ corpus), smoothing-free and finite by
+    * construction — ranks providers by linguistic distance. */
+  def x174(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceVocabKL(docs(s, dir))
+
+  /** x175 frequent event 3-paths — see
+    * [[graft.operators.Sequences.eventPathMining]]: consecutive
+    * same-user trigram counts above support — the workflow patterns
+    * one step beyond x87's Markov bigrams. */
+  def x175(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.eventPathMining(Tables.load(s, dir, "events"))
+
+  /** x176 common-prefix boilerplate — see
+    * [[graft.operators.TextAnalysis.commonPrefixProfile]]: documents
+    * grouped by their first-4-token prefix, repeated prefixes
+    * surfaced — the header/template detector at doc-start
+    * granularity. */
+  def x176(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.commonPrefixProfile(docs(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2206,6 +2242,11 @@ object ExtensionQueries {
     "x169_embedding_dispersion" -> (x169 _),
     "x170_lsh_plan" -> (x170 _),
     "x171_zipf_head" -> (x171 _),
+    "x172_mixed_lang" -> (x172 _),
+    "x173_embedding_leakage" -> (x173 _),
+    "x174_source_vocab_kl" -> (x174 _),
+    "x175_event_paths" -> (x175 _),
+    "x176_prefix_boilerplate" -> (x176 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -6108,6 +6149,127 @@ object ExtensionQueries {
          |         CAST((k * sxy - sx * sy) * 1000000 // (k * sxx - sx * sx)
          |              AS BIGINT) END AS slope_micro
          |FROM f CROSS JOIN tot""".stripMargin,
+
+    // Replays mixedLanguageAudit: the exact stride chunk grid, the
+    // x08 lang heuristic per chunk (same stopword literals, same
+    // fr>=es>=en>=de tie order), (count, pred) struct argmax for the
+    // majority, strict minority share in micro.
+    "x172_mixed_lang" -> {
+      def sc(l: String) =
+        s"len(list_filter(${stopLit(l)}, x -> list_contains(ws, x)))"
+      s"""WITH ch AS (
+         |  SELECT doc_id, substr(text, CAST(st AS INT), 200) AS chunk
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(1, length(text) + 1, 200)) AS st
+         |        FROM documents WHERE length(text) > 0) t),
+         |cw AS (SELECT doc_id, chunk, ${wordsSql("chunk")} AS ws FROM ch),
+         |cs AS (SELECT doc_id, chunk,
+         |         ${sc("de")} AS s_de, ${sc("en")} AS s_en,
+         |         ${sc("es")} AS s_es, ${sc("fr")} AS s_fr
+         |       FROM cw),
+         |cp AS (SELECT doc_id,
+         |         CASE WHEN regexp_matches(chunk, '\\p{Han}') THEN 'zh'
+         |              WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         |              WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         |              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |              WHEN s_en >= s_de THEN 'en'
+         |              ELSE 'de' END AS p
+         |       FROM cs),
+         |pc AS (SELECT doc_id, p, CAST(count(*) AS BIGINT) AS c
+         |       FROM cp GROUP BY 1, 2),
+         |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+         |              CAST(count(*) AS BIGINT) AS n_langs,
+         |              CAST(sum(CASE WHEN p <> 'und' THEN 1 ELSE 0 END)
+         |                   AS BIGINT) AS realn
+         |       FROM pc GROUP BY 1),
+         |mj AS (SELECT doc_id, p AS majority_pred, c AS majority_chunks
+         |       FROM (SELECT doc_id, p, c, row_number() OVER (
+         |               PARTITION BY doc_id ORDER BY c DESC, p DESC) AS rn
+         |             FROM pc) t WHERE rn = 1)
+         |SELECT ag.doc_id, d.lang, ag.n_chunks, ag.n_langs,
+         |       mj.majority_pred, CAST(mj.majority_chunks AS BIGINT)
+         |         AS majority_chunks,
+         |       CAST((ag.n_chunks - mj.majority_chunks) * 1000000
+         |            // ag.n_chunks AS BIGINT) AS minority_micro,
+         |       ag.realn > 1 AS mixed
+         |FROM ag JOIN mj USING (doc_id) JOIN documents d USING (doc_id)
+         |WHERE ag.n_chunks >= 2
+         |ORDER BY ag.doc_id""".stripMargin
+    },
+
+    // Replays splitLeakageBySimilarity: the same hyperplane buckets as
+    // x07/x76, the md5-60 split gate, round-6 cosines, per-test argmax
+    // by (cosine desc, train id).
+    "x173_embedding_leakage" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding", 6)} AS bucket,
+         |         ${md5Hash60Sql("CAST(vec_id AS STRING)")} % 100 < 10 AS t
+         |  FROM embeddings
+         |  WHERE len(embedding) = 64
+         |    AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         |sc AS (SELECT a.vec_id AS test_id, c.vec_id AS train_id,
+         |         round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |           c.embedding::DOUBLE[]), 6) AS cosine
+         |       FROM b a JOIN b c ON a.bucket = c.bucket
+         |       WHERE a.t AND NOT c.t),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY test_id
+         |        ORDER BY cosine DESC, train_id) AS rn FROM sc)
+         |SELECT test_id, train_id, cosine, cosine >= 0.9 AS leaked
+         |FROM r WHERE rn = 1 ORDER BY test_id""".stripMargin,
+
+    // Replays sourceVocabKL: empirical unigram ratios, one micro-nat
+    // ln per (source, term) over exact integer products, exact integer
+    // divergence sum, one floor division.
+    "x174_source_vocab_kl" ->
+      s"""WITH st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cs
+         |            FROM (SELECT source, unnest(${wordsSql("text")}) AS term
+         |                  FROM documents) t GROUP BY 1, 2),
+         |ct AS (SELECT term, CAST(sum(cs) AS BIGINT) AS ct FROM st GROUP BY 1),
+         |ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM st GROUP BY 1),
+         |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM ct),
+         |lr AS (SELECT st.source, st.cs, ts.ts,
+         |         CAST(round(round(ln(
+         |           (st.cs::DOUBLE * tt.tt::DOUBLE) /
+         |           (ts.ts::DOUBLE * ct.ct::DOUBLE)), 6) * 1000000)
+         |           AS BIGINT) AS lr
+         |       FROM st JOIN ct USING (term) JOIN ts USING (source)
+         |            CROSS JOIN tt)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+         |       CAST(max(ts) AS BIGINT) AS total_tokens,
+         |       CAST(sum(cs * lr) // max(ts) AS BIGINT) AS kl_micro
+         |FROM lr GROUP BY source ORDER BY source""".stripMargin,
+
+    // Replays eventPathMining: two user-partitioned lags, exact path
+    // counts, support filter, integer share of all trigrams.
+    "x175_event_paths" ->
+      """WITH tri AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT lag(event_type, 2) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS a,
+        |           lag(event_type, 1) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) AS b,
+        |           event_type AS c
+        |    FROM events) t
+        |  WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tri)
+        |SELECT a, b, c, n, CAST(n * 1000000 // tot AS BIGINT) AS support_micro
+        |FROM tri CROSS JOIN tot WHERE n >= 5
+        |ORDER BY n DESC, a, b, c""".stripMargin,
+
+    // Replays commonPrefixProfile: exact first-4-token prefix strings
+    // as the aggregation key, repeated-prefix filter, integer share.
+    "x176_prefix_boilerplate" ->
+      s"""WITH pf AS (SELECT source,
+         |              array_to_string((${wordsSql("text")})[1:4], ' ')
+         |                AS prefix
+         |            FROM documents),
+         |ag AS (SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |       FROM pf WHERE prefix <> '' GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         |SELECT prefix, n_docs, n_sources,
+         |       CAST(n_docs * 1000000 // n AS BIGINT) AS share_micro
+         |FROM ag CROSS JOIN tot WHERE n_docs >= 3
+         |ORDER BY n_docs DESC, prefix""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

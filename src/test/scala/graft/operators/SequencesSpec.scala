@@ -521,6 +521,23 @@ class SequencesSpec extends SparkSpec {
     assert(Sequences.heldOutTransitionNll(events).collect().isEmpty)
   }
 
+  test("eventPathMining: hand-traced trigram counts with support filter") {
+    val events = Seq("A", "B", "C", "A", "B", "C").zipWithIndex.map {
+      case (t, i) => ((i + 1).toLong, ts(f"2024-01-01 00:0$i:00"), 1L, t)
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    // trigrams: ABC, BCA, CAB, ABC -> ABC twice, others once; total 4
+    val out = Sequences.eventPathMining(events, minSupport = 2L)
+      .as[(String, String, String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("A", "B", "C", 2L, 500000L)))
+    // support 1 keeps all three paths, ordered (n desc, a, b, c)
+    val all = Sequences.eventPathMining(events, minSupport = 1L)
+      .as[(String, String, String, Long, Long)].collect()
+    assert(all.toSeq == Seq(
+      ("A", "B", "C", 2L, 500000L),
+      ("B", "C", "A", 1L, 250000L),
+      ("C", "A", "B", 1L, 250000L)))
+  }
+
   test("diurnalConcentration: a one-hour spike scores R = 1 at its hour; " +
       "four opposed hours cancel to R = 0") {
     val events = (

@@ -347,4 +347,30 @@ class SimilaritySpec extends SparkSpec {
       // singleton: no pair, nulls
       ("solo", 1L, 1000000L, None, None)))
   }
+
+  test("splitLeakageBySimilarity: identical cross-split twins score " +
+      "cosine 1 and flag leaked; split is the md5 gate; deterministic") {
+    // 40 identical vectors: all share one bucket; every hash-test id's
+    // best train neighbor is the smallest train id at cosine 1.0
+    val v = Array.fill(64)(0.5f)
+    val emb = (1L to 40L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val out = Similarity.splitLeakageBySimilarity(emb, testPct = 50)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    // replicate the gate to find the expected split
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val gate = emb.select(col("vec_id"),
+        (pmod(graft.functions.TextFunctions.md5Bucket60(col("vec_id")),
+          lit(100L)) < 50).as("t"))
+      .as[(Long, Boolean)].collect().toMap
+    val testIds = gate.filter(_._2).keys.toSet
+    val minTrain = gate.filterNot(_._2).keys.min
+    assert(out.map(_._1).toSet == testIds)
+    out.foreach { case (_, trainId, cos, leaked) =>
+      assert(trainId == minTrain && cos == 1.0 && leaked)
+    }
+    val again = Similarity.splitLeakageBySimilarity(emb, testPct = 50)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
 }

@@ -960,4 +960,53 @@ class TextAnalysisSpec extends SparkSpec {
     // and the quantized fit of an exact power law sits within 1e-3 of -1
     assert(math.abs(out._6.get + 1000000L) < 1000L, out._6.toString)
   }
+
+  test("mixedLanguageAudit: an en|de document flags mixed with a " +
+      "hand-traced minority share; repeated-language docs do not; " +
+      "single-chunk docs are excluded") {
+    val en = "the and is that it  " // 20 chars, en stopwords only
+    val de = "der die und ist das " // 20 chars, de stopwords only
+    val docs = Seq(
+      (1L, en + de, "x"),   // chunk1 en, chunk2 de -> mixed
+      (2L, en + en, "en"),  // both chunks en
+      (3L, "the and", "en")) // one chunk: excluded
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.mixedLanguageAudit(docs, window = 20, stride = 20)
+      .as[(Long, String, Long, Long, String, Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      // 1-1 tie: majority pred breaks to the lexicographically larger
+      (1L, "x", 2L, 2L, "en", 1L, 500000L, true),
+      (2L, "en", 2L, 1L, "en", 2L, 0L, false)))
+  }
+
+  test("sourceVocabKL: hand-traced empirical KL, smoothing-free") {
+    val docs = Seq((1L, "a a b", "s1"), (2L, "b c", "s2"))
+      .toDF("doc_id", "text", "source")
+    def lr(cs: Long, ts: Long, ct: Long, tt: Long): Long =
+      math.round(BigDecimal(math.log((cs.toDouble * tt.toDouble) /
+        (ts.toDouble * ct.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    // corpus: a:2 b:2 c:1, T=5
+    val kl1 = (2L * lr(2, 3, 2, 5) + 1L * lr(1, 3, 2, 5)) / 3L
+    val kl2 = (1L * lr(1, 2, 2, 5) + 1L * lr(1, 2, 1, 5)) / 2L
+    val out = TextAnalysis.sourceVocabKL(docs)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("s1", 2L, 3L, kl1), ("s2", 2L, 2L, kl2)))
+  }
+
+  test("commonPrefixProfile: repeated 4-token openings surface with " +
+      "exact coverage; unique openings and empty docs do not") {
+    val docs = Seq(
+      (1L, "subscribe to our newsletter for daily updates", "s1"),
+      (2L, "subscribe to our newsletter and never miss out", "s1"),
+      (3L, "subscribe to our newsletter today please", "s2"),
+      (4L, "completely original text here", "s2"),
+      (5L, "", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.commonPrefixProfile(docs, prefixTokens = 4,
+        minDf = 3)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("subscribe to our newsletter", 3L, 2L, 600000L)))
+  }
 }

@@ -1223,6 +1223,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(physical(df).contains("TakeOrderedAndProject"), physical(df))
   }
 
+  test("x172: chunk predictions collapse through two aggregations — " +
+    "no unpartitioned window, no cartesian") {
+    val df = ExtensionQueries.x172(spark, sf001)
+    assertNoGlobalWindowOverBase(df)
+    assert(!physical(df).contains("CartesianProduct"), physical(df))
+  }
+
+  test("x173: candidates come from the bucket equi-join; the argmax is " +
+    "a bounded heap — no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x173(spark, sf001))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+  }
+
+  test("x174: scoring joins are keyed on term/source over the " +
+    "checkpointed count frame — no window") {
+    val plan = physical(ExtensionQueries.x174(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x175: the lag windows are user-partitioned; path counting is " +
+    "partial+final") {
+    val df = ExtensionQueries.x175(spark, sf001)
+    assertNoGlobalWindowOverBase(df)
+    assert(physical(df).contains("partial_count") ||
+      physical(df).contains("HashAggregate"), physical(df))
+  }
+
+  test("x176: one prefix aggregation + the broadcast 1-row total — " +
+    "no window, no keyed join") {
+    val plan = physical(ExtensionQueries.x176(spark, sf001))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
