@@ -135,6 +135,46 @@ object Layout {
     *
     * Output: (column, n, n_distinct, spearman_micro), ordered by
     * column name. */
+  /** Broadcast-eligibility advisor: for each table, a deterministic
+    * in-memory size estimate against the broadcast threshold — the
+    * planning read behind every "should this dimension broadcast"
+    * decision (Spark's own statistics depend on file format and
+    * compression; this estimate is a FIXED schema-driven formula, so
+    * it is comparable across tables, engines, and rounds). Formula:
+    * 8 bytes per fixed-width column, length + 20 per string, 8 per
+    * element + 16 per array — deliberately simple and stated, an
+    * ORDER-OF-MAGNITUDE gate (the broadcast decision has ~100×
+    * headroom between a 5-row dim and a fact table; a ±2× estimate
+    * error cannot flip a sane call).
+    *
+    * Pure integer: per-row cost is an exact integer expression,
+    * summed in one partial+final aggregation per table; the verdict
+    * is one integer comparison.
+    *
+    * Output: (table, n_rows, est_bytes, fits_broadcast), ordered by
+    * table. */
+  def broadcastAdvisor(tables: Seq[(String, DataFrame)],
+      thresholdBytes: Long = 10L * 1024 * 1024): DataFrame = {
+    require(tables.nonEmpty, "broadcastAdvisor: need at least one table")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    tables.map { case (name, df) =>
+      val perRow = df.schema.fields.map { f =>
+        f.dataType match {
+          case StringType =>
+            coalesce(length(col(f.name)).cast("long"), lit(0L)) + lit(20L)
+          case ArrayType(_, _) =>
+            coalesce(size(col(f.name)).cast("long"), lit(0L)) * lit(8L) + lit(16L)
+          case _ => lit(8L)
+        }
+      }.reduce(_ + _)
+      df.agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(perRow).cast("bigint").as("est_bytes"))
+        .select(lit(name).as("table"), col("n_rows"), col("est_bytes"),
+          (col("est_bytes") <= thresholdBytes).as("fits_broadcast"))
+    }.reduce(_ unionAll _).orderBy(col("table"))
+  }
+
   def sortKeyAdvisor(df: DataFrame, candidates: Seq[String],
       idCol: String, maxRows: Long = 2000000L): DataFrame = {
     require(candidates.nonEmpty, "sortKeyAdvisor: need candidate columns")

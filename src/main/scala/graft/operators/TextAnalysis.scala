@@ -1890,7 +1890,10 @@ object TextAnalysis {
         sum(when(col("__b") < p, 1L).otherwise(0L)).cast("bigint").as(s"__n$p"),
         countDistinct(when(col("__b") < p, col("term"))).as(s"__v$p"))
     }
-    val wide = toks.agg(aggs.head, aggs.tail: _*)
+    // 1-row checkpoint: the 4-point unpivot selects this frame once per
+    // percentile — without it every union branch re-ran the full
+    // tokenize+aggregate (measured: 8 FileScans, zero ReusedExchange)
+    val wide = toks.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
     val long = pcts.map { p =>
       wide.select(lit(p).as("pct"), col(s"__d$p").as("n_docs"),
         col(s"__n$p").as("n_tokens"), col(s"__v$p").as("vocab"))
@@ -2398,6 +2401,109 @@ object TextAnalysis {
       .select(col("prefix"), col("n_docs"), col("n_sources"),
         expr("n_docs * 1000000L div __n").as("share_micro"))
       .orderBy(col("n_docs").desc, col("prefix"))
+  }
+
+  /** Leave-one-source-out ablation table: for every source, what the
+    * corpus looks like WITHOUT it — remaining token share, the
+    * quality mean of the rest, the delta that dropping the source
+    * would move the corpus mean by, and how many near-dup pairs the
+    * source participates in. The "which provider can we afford to
+    * cut" planner: all |sources| ablations come from ONE pass of
+    * per-source sufficient statistics (sums subtract exactly — no
+    * per-ablation rescan), plus one pass over the x04 pair relation.
+    *
+    * Exactness: quality rides the round-6 score ×10⁶ as exact BIGINT
+    * per doc; every mean/delta is integer floor division of exact
+    * sums; pair counts are exact integers (a pair with both ends in
+    * the source counts once for it — array_distinct per pair).
+    *
+    * Scale: one doc pass → |sources| stat rows; one pair-relation
+    * pass → per-source touch counts; the 1-row corpus totals
+    * broadcast. Output: (source, n_docs, tokens, token_share_micro,
+    * mean_q_micro, loso_mean_q_micro, loso_delta_micro,
+    * dup_pairs_touching), ordered by source; loso columns null for a
+    * single-source corpus. */
+  def sourceAblation(docs: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScore, words}
+    val per = docs.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        size(words(col(textCol))).cast("long").as("__t"),
+        round(qualityScore(col(textCol)) * lit(1000000.0)).cast("long")
+          .as("__q"))
+      .localCheckpoint(true) // feeds the stats AND the pair source tags
+    val st = per.groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("__t")).cast("bigint").as("tokens"),
+        sum(col("__q")).cast("bigint").as("__qs"))
+    val tot = st.agg(sum(col("n_docs")).cast("bigint").as("__N"),
+      sum(col("tokens")).cast("bigint").as("__T"),
+      sum(col("__qs")).cast("bigint").as("__Q"))
+    val src = per.select(col("doc_id"), col("source"))
+    val touches = Dedup.ngramJaccardNearDup(docs, idCol, textCol,
+        ngram = 3, prefixK = 8, minJaccard = 0.2)
+      .join(src.toDF("doc_a", "__sa"), "doc_a")
+      .join(src.toDF("doc_b", "__sb"), "doc_b")
+      .select(explode(array_distinct(array(col("__sa"), col("__sb"))))
+        .as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("dup_pairs_touching"))
+    st.join(broadcast(tot))
+      .join(touches, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tokens"),
+        expr("(__T - tokens) * 1000000L div __T").as("token_share_rest_micro"),
+        expr("__qs div n_docs").as("mean_q_micro"),
+        when(col("__N") > col("n_docs"),
+          expr("(__Q - __qs) div (__N - n_docs)")).as("loso_mean_q_micro"),
+        when(col("__N") > col("n_docs"),
+          expr("(__Q - __qs) div (__N - n_docs) - __Q div __N"))
+          .as("loso_delta_micro"),
+        coalesce(col("dup_pairs_touching"), lit(0L)).as("dup_pairs_touching"))
+      .orderBy(col("source"))
+  }
+
+  /** Truncation plan: for each candidate max-sequence length, what a
+    * hard truncate at L tokens would COST this corpus — documents
+    * clipped, token mass lost, mass kept — the table that picks a
+    * model's max_seq_len from the data instead of folklore, and the
+    * per-document-cut complement of [[chunkPackingAudit]] (packing
+    * keeps every token across chunk boundaries; truncation drops the
+    * tail — these are the two loader policies, costed side by side).
+    *
+    * Pure integer: token counts are exact; every candidate's clipped
+    * counts are conditional sums in ONE aggregation pass (the
+    * heapsLawGrowth multi-conditional shape — adding candidates adds
+    * expressions, never scans); shares are floor divisions.
+    *
+    * Output: (max_len, n_docs, n_clipped, tokens_total, tokens_lost,
+    * lost_micro, kept_micro), one row per candidate, ascending. */
+  def truncationPlan(docs: DataFrame,
+      maxLens: Seq[Int] = Seq(64, 128, 256, 512),
+      textCol: String = "text"): DataFrame = {
+    require(maxLens.nonEmpty && maxLens.forall(_ > 0),
+      s"truncationPlan: need positive candidate lengths, got $maxLens")
+    import graft.functions.TextFunctions.words
+    val t = docs.select(size(words(col(textCol))).cast("long").as("__t"))
+    val aggs = count(lit(1)).cast("bigint").as("__n") +:
+      sum(col("__t")).cast("bigint").as("__tot") +:
+      maxLens.sorted.flatMap { l =>
+        Seq(
+          sum(when(col("__t") > l, 1L).otherwise(0L)).cast("bigint")
+            .as(s"__over$l"),
+          sum(when(col("__t") > l, col("__t") - l).otherwise(0L))
+            .cast("bigint").as(s"__lost$l"))
+      }
+    // 1-row checkpoint: the per-candidate unpivot selects this frame
+    // once per candidate — without it each branch re-runs the corpus
+    // aggregation (ReuseExchange does not always cover union branches)
+    val wide = t.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    maxLens.sorted.map { l =>
+      wide.select(lit(l).as("max_len"), col("__n").as("n_docs"),
+        col(s"__over$l").as("n_clipped"),
+        col("__tot").as("tokens_total"),
+        col(s"__lost$l").as("tokens_lost"),
+        expr(s"__lost$l * 1000000L div __tot").as("lost_micro"),
+        expr(s"(__tot - __lost$l) * 1000000L div __tot").as("kept_micro"))
+    }.reduce(_ unionAll _).orderBy(col("max_len"))
   }
 
   /** Zipf slope over the frequency head: OLS of ln(count) on ln(rank)

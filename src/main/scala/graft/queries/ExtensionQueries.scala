@@ -2041,6 +2041,30 @@ object ExtensionQueries {
   def x176(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.commonPrefixProfile(docs(s, dir))
 
+  /** x177 truncation plan — see
+    * [[graft.operators.TextAnalysis.truncationPlan]]: docs clipped
+    * and token mass lost per candidate max_seq_len — the
+    * pick-the-length-from-the-data table beside x167's packing
+    * audit. */
+  def x177(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.truncationPlan(docs(s, dir))
+
+  /** x178 leave-one-source-out ablation — see
+    * [[graft.operators.TextAnalysis.sourceAblation]]: per-source
+    * remaining token share, rest-of-corpus quality mean and delta,
+    * and near-dup pairs touched — the drop-a-provider planner. */
+  def x178(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceAblation(docs(s, dir))
+
+  /** x179 broadcast-eligibility advisor — see
+    * [[graft.operators.Layout.broadcastAdvisor]]: schema-driven size
+    * estimates for the five dimension tables against the 10 MB
+    * broadcast threshold. */
+  def x179(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.broadcastAdvisor(
+      Seq("customer", "nation", "part", "region", "supplier")
+        .map(t => t -> Tables.load(s, dir, t)))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2247,6 +2271,9 @@ object ExtensionQueries {
     "x174_source_vocab_kl" -> (x174 _),
     "x175_event_paths" -> (x175 _),
     "x176_prefix_boilerplate" -> (x176 _),
+    "x177_truncation_plan" -> (x177 _),
+    "x178_source_ablation" -> (x178 _),
+    "x179_broadcast_advisor" -> (x179 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -6270,6 +6297,115 @@ object ExtensionQueries {
          |       CAST(n_docs * 1000000 // n AS BIGINT) AS share_micro
          |FROM ag CROSS JOIN tot WHERE n_docs >= 3
          |ORDER BY n_docs DESC, prefix""".stripMargin,
+
+    // Replays truncationPlan: one conditional-sum pass over the token
+    // counts, unpivoted to one row per candidate length.
+    "x177_truncation_plan" ->
+      s"""WITH t AS (SELECT CAST(len(${wordsSql("text")}) AS BIGINT) AS t
+         |           FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(t) AS BIGINT) AS tot,
+        |        CAST(sum(CASE WHEN t > 64 THEN 1 ELSE 0 END) AS BIGINT) AS over64,
+        |       CAST(sum(CASE WHEN t > 64 THEN t - 64 ELSE 0 END) AS BIGINT) AS lost64,
+        |CAST(sum(CASE WHEN t > 128 THEN 1 ELSE 0 END) AS BIGINT) AS over128,
+        |       CAST(sum(CASE WHEN t > 128 THEN t - 128 ELSE 0 END) AS BIGINT) AS lost128,
+        |CAST(sum(CASE WHEN t > 256 THEN 1 ELSE 0 END) AS BIGINT) AS over256,
+        |       CAST(sum(CASE WHEN t > 256 THEN t - 256 ELSE 0 END) AS BIGINT) AS lost256,
+        |CAST(sum(CASE WHEN t > 512 THEN 1 ELSE 0 END) AS BIGINT) AS over512,
+        |       CAST(sum(CASE WHEN t > 512 THEN t - 512 ELSE 0 END) AS BIGINT) AS lost512
+        |      FROM t)
+        |SELECT 64 AS max_len, n AS n_docs, over64 AS n_clipped, tot AS tokens_total,
+        |       lost64 AS tokens_lost,
+        |       CAST(lost64 * 1000000 // tot AS BIGINT) AS lost_micro,
+        |       CAST((tot - lost64) * 1000000 // tot AS BIGINT) AS kept_micro
+        |FROM a
+        |UNION ALL
+        |SELECT 128 AS max_len, n AS n_docs, over128 AS n_clipped, tot AS tokens_total,
+        |       lost128 AS tokens_lost,
+        |       CAST(lost128 * 1000000 // tot AS BIGINT) AS lost_micro,
+        |       CAST((tot - lost128) * 1000000 // tot AS BIGINT) AS kept_micro
+        |FROM a
+        |UNION ALL
+        |SELECT 256 AS max_len, n AS n_docs, over256 AS n_clipped, tot AS tokens_total,
+        |       lost256 AS tokens_lost,
+        |       CAST(lost256 * 1000000 // tot AS BIGINT) AS lost_micro,
+        |       CAST((tot - lost256) * 1000000 // tot AS BIGINT) AS kept_micro
+        |FROM a
+        |UNION ALL
+        |SELECT 512 AS max_len, n AS n_docs, over512 AS n_clipped, tot AS tokens_total,
+        |       lost512 AS tokens_lost,
+        |       CAST(lost512 * 1000000 // tot AS BIGINT) AS lost_micro,
+        |       CAST((tot - lost512) * 1000000 // tot AS BIGINT) AS kept_micro
+        |FROM a
+        |ORDER BY max_len""".stripMargin,
+
+    // Replays sourceAblation: the shared quality CTE carrying source,
+    // exact integer sufficient statistics subtracted for every LOSO
+    // column, per-pair distinct source touches over the x04 relation.
+    "x178_source_ablation" ->
+      s"""WITH $ngramPairsCteSql,
+         |${qualityCteSql("doc_id, source")},
+         |tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS t FROM w),
+         |per AS (SELECT q.doc_id, q.source, tk.t,
+         |               CAST(round(q.q * 1000000) AS BIGINT) AS qm
+         |        FROM q JOIN tk USING (doc_id)),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(t) AS BIGINT) AS tokens,
+         |              CAST(sum(qm) AS BIGINT) AS qs
+         |       FROM per GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+         |               CAST(sum(tokens) AS BIGINT) AS tt,
+         |               CAST(sum(qs) AS BIGINT) AS qq FROM st),
+         |sp AS (SELECT doc_id, source FROM per),
+         |tch AS (SELECT s AS source, CAST(count(*) AS BIGINT) AS dup FROM (
+         |          SELECT pairs.doc_a, pairs.doc_b,
+         |                 unnest(list_distinct([sa.source, sb.source])) AS s
+         |          FROM pairs JOIN sp sa ON sa.doc_id = pairs.doc_a
+         |                     JOIN sp sb ON sb.doc_id = pairs.doc_b) u
+         |        GROUP BY 1)
+         |SELECT st.source, st.n_docs, st.tokens,
+         |       CAST((tot.tt - st.tokens) * 1000000 // tot.tt AS BIGINT)
+         |         AS token_share_rest_micro,
+         |       CAST(st.qs // st.n_docs AS BIGINT) AS mean_q_micro,
+         |       CASE WHEN tot.nn > st.n_docs THEN
+         |         CAST((tot.qq - st.qs) // (tot.nn - st.n_docs) AS BIGINT)
+         |         END AS loso_mean_q_micro,
+         |       CASE WHEN tot.nn > st.n_docs THEN
+         |         CAST((tot.qq - st.qs) // (tot.nn - st.n_docs)
+         |              - tot.qq // tot.nn AS BIGINT)
+         |         END AS loso_delta_micro,
+         |       coalesce(tch.dup, 0) AS dup_pairs_touching
+         |FROM st CROSS JOIN tot LEFT JOIN tch ON tch.source = st.source
+         |ORDER BY st.source""".stripMargin,
+
+    // Replays broadcastAdvisor: the SAME stated byte formula (8 per
+    // fixed-width column, length + 20 per string) per dimension table.
+    "x179_broadcast_advisor" ->
+      """SELECT 'customer' AS "table", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(8 + (coalesce(length(c_name), 0) + 20) + 8 + 8 + (coalesce(length(c_mktsegment), 0) + 20)) AS BIGINT) AS est_bytes,
+        |  CAST(sum(8 + (coalesce(length(c_name), 0) + 20) + 8 + 8 + (coalesce(length(c_mktsegment), 0) + 20)) AS BIGINT) <= 10485760 AS fits_broadcast
+        |FROM customer
+        |UNION ALL
+        |SELECT 'nation' AS "table", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(8 + (coalesce(length(n_name), 0) + 20) + 8) AS BIGINT) AS est_bytes,
+        |  CAST(sum(8 + (coalesce(length(n_name), 0) + 20) + 8) AS BIGINT) <= 10485760 AS fits_broadcast
+        |FROM nation
+        |UNION ALL
+        |SELECT 'part' AS "table", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(8 + (coalesce(length(p_name), 0) + 20) + (coalesce(length(p_brand), 0) + 20) + (coalesce(length(p_type), 0) + 20) + 8 + 8) AS BIGINT) AS est_bytes,
+        |  CAST(sum(8 + (coalesce(length(p_name), 0) + 20) + (coalesce(length(p_brand), 0) + 20) + (coalesce(length(p_type), 0) + 20) + 8 + 8) AS BIGINT) <= 10485760 AS fits_broadcast
+        |FROM part
+        |UNION ALL
+        |SELECT 'region' AS "table", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(8 + (coalesce(length(r_name), 0) + 20)) AS BIGINT) AS est_bytes,
+        |  CAST(sum(8 + (coalesce(length(r_name), 0) + 20)) AS BIGINT) <= 10485760 AS fits_broadcast
+        |FROM region
+        |UNION ALL
+        |SELECT 'supplier' AS "table", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(8 + (coalesce(length(s_name), 0) + 20) + 8 + 8) AS BIGINT) AS est_bytes,
+        |  CAST(sum(8 + (coalesce(length(s_name), 0) + 20) + 8 + 8) AS BIGINT) <= 10485760 AS fits_broadcast
+        |FROM supplier
+        |ORDER BY "table"""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

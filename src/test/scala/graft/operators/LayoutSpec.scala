@@ -151,4 +151,17 @@ class LayoutSpec extends SparkSpec {
       Layout.sortKeyAdvisor(big, Seq("v"), "doc_id", maxRows = 4000000L)
     }
   }
+
+  test("broadcastAdvisor: the stated byte formula, null strings at 0, " +
+      "threshold verdict flips") {
+    import spark.implicits._
+    val t = Seq((1L, "ab"), (2L, null)).toDF("id", "name")
+    val out = Layout.broadcastAdvisor(Seq("t" -> t))
+      .as[(String, Long, Long, Boolean)].collect()
+    // row1: 8 + (2+20) = 30; row2: 8 + (0+20) = 28 -> 58 bytes
+    assert(out.toSeq == Seq(("t", 2L, 58L, true)))
+    val tight = Layout.broadcastAdvisor(Seq("t" -> t), thresholdBytes = 50L)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(tight.toSeq == Seq(("t", 2L, 58L, false)))
+  }
 }

@@ -1009,4 +1009,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("subscribe to our newsletter", 3L, 2L, 600000L)))
   }
+
+  test("truncationPlan: hand-traced clipped docs and lost mass per " +
+      "candidate length") {
+    val docs = Seq((1L, "a b c"), (2L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.truncationPlan(docs, maxLens = Seq(8, 4))
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+    // total 13 tokens; L=4: doc2 clipped, loses 6; L=8: loses 2
+    assert(out.toSeq == Seq(
+      (4, 2L, 1L, 13L, 6L, 461538L, 538461L),
+      (8, 2L, 1L, 13L, 2L, 153846L, 846153L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.truncationPlan(docs, maxLens = Seq.empty)
+    }
+  }
+
+  test("sourceAblation: LOSO means subtract exactly; deltas are signed; " +
+      "no near-dup pairs on disjoint content") {
+    val docs = Seq(
+      // (1 + 1 + 20/24 + 1)/4 = 0.958333
+      (1L, "aaaa bbbb cccc dddd eeee", "s1"),
+      // too short (0) + word len ok (1) + alpha 4/5 + no punct (1) = 0.7
+      (2L, "aa bb", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceAblation(docs)
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long], Long)]
+      .collect()
+    // T = 7, Q = 1658333, overall mean = 829166
+    assert(out.toSeq == Seq(
+      ("s1", 1L, 5L, 285714L, 958333L, Some(700000L), Some(-129166L), 0L),
+      ("s2", 1L, 2L, 714285L, 700000L, Some(958333L), Some(129167L), 0L)))
+  }
 }

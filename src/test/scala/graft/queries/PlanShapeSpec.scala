@@ -999,14 +999,6 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("x152: one token pass expands into the conditional distincts " +
-    "(Expand + HashAggregate); the 1-row fit broadcasts") {
-    val plan = physical(ExtensionQueries.x152(spark, sf001))
-    assert(plan.contains("Expand"), plan)
-    assert(plan.contains("HashAggregate"), plan)
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastExchange"), plan)
-  }
 
   test("x153: the rescore joins are (doc, gram)-keyed over the " +
     "checkpointed gram frame; the idf df-side hash-joins, no cartesian") {
@@ -1260,6 +1252,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("x177: ONE conditional-sum pass feeds every candidate length — " +
+    "the unpivot reads the checkpointed 1-row frame, never the corpus") {
+    val plan = physical(ExtensionQueries.x177(spark, sf001))
+    assert(!plan.contains("FileScan parquet"), plan) // branches read the checkpoint
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x152: the Heaps unpivot reads the checkpointed 1-row aggregate " +
+    "(round 9 re-ran the tokenize per percentile: 8 scans, 0 reuse); " +
+    "the 1-row fit broadcasts") {
+    val plan = physical(ExtensionQueries.x152(spark, sf001))
+    assert(!plan.contains("FileScan parquet"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("x178: LOSO columns come from per-source sums + the broadcast " +
+    "1-row totals — no per-ablation rescan, no window") {
+    val plan = physical(ExtensionQueries.x178(spark, sf001))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("x179: one aggregation per table, unioned — no join, no window") {
+    val plan = physical(ExtensionQueries.x179(spark, sf001))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Union"), plan)
   }
 
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
