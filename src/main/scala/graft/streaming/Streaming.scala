@@ -487,6 +487,65 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class PathEvent(user_id: Long, event_id: Long, ts: Long,
+    event_type: String)
+  final case class PathEmit(user_id: Long, a: String, b: String, c: String)
+  /** Last two event types per user for [[PathMiningProcessor]] —
+    * empty strings mean "not yet seen" (event types are non-empty by
+    * fixture contract, enforced at fold time). */
+  final case class PathState(prev2: String, prev1: String)
+
+  /** Streaming event-path mining — the state twin of
+    * [[graft.operators.Sequences.eventPathMining]] (x175): per-user
+    * state holds ONLY the last two event types (O(1), vs the batch
+    * twin's full-history lag window), and every arriving event beyond
+    * the second emits its completed (a, b, c) trigram; the downstream
+    * count/support aggregation is an ordinary streaming groupBy over
+    * the emitted rows.
+    *
+    * Parity contract (test-pinned): after folding the whole stream in
+    * per-user (ts, event_id) order, the emitted trigram MULTISET
+    * equals the batch operator's lag-window trigrams exactly — within
+    * a batch, rows sort by (ts, event_id) before folding (the
+    * transcripts discipline); across batches the per-key order
+    * assumption is the same append-log contract every processor here
+    * states: an out-of-order arrival across a batch boundary would
+    * splice the path at the boundary, which is the honest streaming
+    * semantics for an unwatermarked keyed fold. */
+  final class PathMiningProcessor
+      extends StatefulProcessor[Long, PathEvent, PathEmit] {
+    @transient private var last: ValueState[PathState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[PathState]("last2",
+        org.apache.spark.sql.Encoders.product[PathState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[PathEvent],
+        tv: TimerValues): Iterator[PathEmit] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts, e.event_id))
+      var st = if (last.exists()) last.get() else PathState("", "")
+      val out = scala.collection.mutable.ArrayBuffer.empty[PathEmit]
+      sorted.foreach { e =>
+        require(e.event_type.nonEmpty,
+          "PathMiningProcessor: empty event_type is the state sentinel")
+        if (st.prev2.nonEmpty && st.prev1.nonEmpty)
+          out += PathEmit(key, st.prev2, st.prev1, e.event_type)
+        st = PathState(st.prev1, e.event_type)
+      }
+      last.update(st)
+      out.iterator
+    }
+  }
+
+  /** [[PathMiningProcessor]] wired onto a keyed event stream; same
+    * RocksDB provider requirement as [[sessionizeWithState]]. */
+  def pathMiningWithState(events: Dataset[PathEvent]): Dataset[PathEmit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PathMiningProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class TokenEvent(shard: Int, token: String)
   final case class HeavyHitter(shard: Int, token: String,
     cnt_min: Long, cnt_max: Long)

@@ -353,6 +353,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("pathMiningWithState matches batch eventPathMining trigrams on " +
+      "the fixture, split across batches mid-user") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val evDf = graft.Tables.load(spark, sf001, "events")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("ts"), col("event_type"))
+      val ev = evDf.as[Streaming.PathEvent].collect().toSeq
+        .sortBy(e => (e.user_id, e.ts, e.event_id))
+
+      // batch truth: every trigram with multiplicity (support 1 keeps all)
+      val expected = graft.operators.Sequences.eventPathMining(
+          evDf.withColumn("ts", col("ts").cast("timestamp")), minSupport = 1L)
+        .select(col("a"), col("b"), col("c"), col("n"))
+        .as[(String, String, String, Long)].collect()
+        .map(t => (t._1, t._2, t._3) -> t._4).toMap
+
+      val in = MemoryStream[Streaming.PathEvent]
+      val q = Streaming.pathMiningWithState(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("paths_parity").start()
+      // two batches split mid-stream: the per-user last-two state must
+      // carry trigrams across the boundary (in-order per key)
+      val (b1, b2) = ev.splitAt(ev.length / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("paths_parity").as[Streaming.PathEmit].collect()
+        .groupBy(e => (e.a, e.b, e.c)).view.mapValues(_.length.toLong).toMap
+      assert(got == expected)
+    }
+  }
+
   test("transcriptsWithState: maxPathEvents caps the path, count and sum keep going") {
     withRocksDb {
       implicit val sc = spark.sqlContext
