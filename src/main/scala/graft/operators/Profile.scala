@@ -922,6 +922,87 @@ object Profile {
       .orderBy(keyCols: _*)
   }
 
+  /** Functional-dependency audit: for each candidate determinant →
+    * dependent column pair, does A functionally determine B — the
+    * schema-discovery read (an FD that HOLDS means B is derivable /
+    * denormalized and a join key candidate; an FD that almost holds
+    * flags dirty rows). Test: distinct(A) = distinct(A, B) ⟺ every A
+    * value maps to exactly one B; the violation count
+    * distinct(A, B) − distinct(A) is the number of EXTRA (A, B)
+    * mappings dirty rows introduce.
+    *
+    * Pure integer: two exact distinct counts per pair, one
+    * subtraction. NULL handling is stated: countDistinct ignores
+    * all-null tuples identically on both engines, and a NULL B under
+    * a non-null A still counts as a distinct mapping.
+    *
+    * Scale: ALL pairs ride ONE aggregation pass (conditional
+    * expressions, never per-pair scans — the x177 shape) over the
+    * table; the unpivot reads a checkpointed 1-row frame. Exact
+    * distincts expand the shuffle; at 100 TB swap in the KMV sketch
+    * with a stated tolerance (the x61 trade, documented).
+    *
+    * Output: (det, dep, n_det, n_pairs_distinct, violations, holds),
+    * ordered by (det, dep). */
+  def functionalDependencyAudit(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDependencyAudit: need column pairs")
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      // struct, not multi-arg countDistinct: Spark's multi-arg form
+      // SKIPS rows where any argument is null, while the oracle's
+      // tuple distinct does not — the struct is non-null even when a
+      // field is, so both engines count the same mappings
+      Seq(countDistinct(col(a)).as(s"__a$i"),
+        countDistinct(struct(col(a), col(b))).as(s"__ab$i"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    pairs.zipWithIndex.map { case ((a, b), i) =>
+      wide.select(lit(a).as("det"), lit(b).as("dep"),
+        col(s"__a$i").cast("long").as("n_det"),
+        col(s"__ab$i").cast("long").as("n_pairs_distinct"),
+        (col(s"__ab$i") - col(s"__a$i")).cast("long").as("violations"),
+        (col(s"__ab$i") === col(s"__a$i")).as("holds"))
+    }.reduce(_ unionAll _).orderBy(col("det"), col("dep"))
+  }
+
+  /** Referential-integrity audit: for each declared foreign-key edge,
+    * how many child rows point at a parent that does not exist
+    * (orphans) and how many carry a NULL key — the constraint check
+    * engines without enforced FKs (every lakehouse) must run as a
+    * query. An edge with orphans breaks every inner join downstream
+    * SILENTLY (rows vanish) — this audit is where that loss becomes
+    * a number.
+    *
+    * Pure integer: per edge, one distinct-parent-key frame and one
+    * anti-join count + one null count. The parent key set is distinct
+    * BEFORE the join (no fan-out); NULL child keys are counted
+    * separately, not as orphans (SQL joins would not match them
+    * either way — the distinction matters for the fix).
+    *
+    * Scale: each edge is one broadcast/hash anti-join keyed on the
+    * parent key — dimension-sized parents broadcast; output is
+    * |edges| rows.
+    *
+    * Output: (relation, n_child, n_null_fk, n_orphans, intact),
+    * ordered by relation. */
+  def referentialIntegrityAudit(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "referentialIntegrityAudit: need FK edges")
+    edges.map { case (name, child, fkCol, parent, pkCol) =>
+      val pk = parent.select(col(pkCol).as("__pk")).distinct()
+      val counts = child.select(col(fkCol).as("__fk"))
+        .join(pk, col("__fk") === col("__pk"), "left")
+        .agg(count(lit(1)).cast("bigint").as("n_child"),
+          sum(when(col("__fk").isNull, 1L).otherwise(0L)).cast("bigint")
+            .as("n_null_fk"),
+          sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+            .otherwise(0L)).cast("bigint").as("n_orphans"))
+      counts.select(lit(name).as("relation"), col("n_child"),
+        col("n_null_fk"), col("n_orphans"),
+        (col("n_orphans") === 0L).as("intact"))
+    }.reduce(_ unionAll _).orderBy(col("relation"))
+  }
+
   /** Kolmogorov–Smirnov distance of each group's value distribution
     * from the corpus — the SUP-norm drift read next to
     * [[distributionEmd]]'s integral: KS spots a sharp localized

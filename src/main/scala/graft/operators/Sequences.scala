@@ -1230,6 +1230,42 @@ object Sequences {
         (col("n_users") + col("__over")).as("sessions_induced"))
   }
 
+  /** Per-key monotonicity audit: does event time increase with the
+    * sequence id within each user — the append-log sanity check every
+    * event-sourced pipeline needs (an id that outruns its timestamp
+    * means clock skew, replayed batches, or a producer writing ids
+    * out of order; every lag/as-of/session operator above silently
+    * assumes this holds). Counts ADJACENT inversions (ts strictly
+    * decreasing from one id to the next) — the local statistic that
+    * pinpoints how broken, not just whether.
+    *
+    * Pure integer: one user-partitioned lag over the id order, exact
+    * inversion counts, one floor division for the rate.
+    *
+    * Scale: ONE shuffle on the user key; output is user-cardinality.
+    * Single-event users have no adjacent pair and report 0 of 0,
+    * monotone by definition.
+    *
+    * Output: (userCol, n_events, n_inversions, inversion_micro,
+    * monotone), ordered by user. */
+  def monotonicityAudit(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", seqCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(seqCol))
+    events
+      .withColumn("__pt", lag(col(tsCol), 1).over(w))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum(when(col("__pt") > col(tsCol), 1L).otherwise(0L)).cast("bigint")
+          .as("n_inversions"))
+      .select(col(userCol), col("n_events"), col("n_inversions"),
+        when(col("n_events") > 1,
+          expr("n_inversions * 1000000L div (n_events - 1)"))
+          .otherwise(lit(0L)).as("inversion_micro"),
+        (col("n_inversions") === 0L).as("monotone"))
+      .orderBy(col(userCol))
+  }
+
   /** Frequent event 3-paths: every consecutive same-user event-type
     * trigram (two lag steps over the (ts, tie) order), counted and
     * support-filtered — the behavioral PATTERNS read one step beyond

@@ -2065,6 +2065,42 @@ object ExtensionQueries {
       Seq("customer", "nation", "part", "region", "supplier")
         .map(t => t -> Tables.load(s, dir, t)))
 
+  /** x180 functional-dependency audit — see
+    * [[graft.operators.Profile.functionalDependencyAudit]]:
+    * distinct(A) vs distinct(A,B) per candidate pair over events —
+    * which columns determine which, and how dirty the near-FDs are. */
+  def x180(s: SparkSession, dir: String): DataFrame =
+    Profile.functionalDependencyAudit(Tables.load(s, dir, "events"),
+      Seq("event_id" -> "user_id", "event_id" -> "event_type",
+        "user_id" -> "event_type"))
+
+  /** x181 per-user monotonicity audit — see
+    * [[graft.operators.Sequences.monotonicityAudit]]: adjacent
+    * ts-vs-event_id inversions per user — the append-log sanity
+    * check every sequence operator assumes. */
+  def x181(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.monotonicityAudit(
+      Tables.load(s, dir, "events"))
+      .withColumn("user_id", col("user_id").cast("long"))
+
+  /** x182 referential-integrity audit — see
+    * [[graft.operators.Profile.referentialIntegrityAudit]]: orphan
+    * and null foreign keys along the five TPC-H FK edges. */
+  def x182(s: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.load(s, dir, n)
+    Profile.referentialIntegrityAudit(Seq(
+      ("customer.c_nationkey->nation", t("customer"), "c_nationkey",
+        t("nation"), "n_nationkey"),
+      ("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey"),
+      ("nation.n_regionkey->region", t("nation"), "n_regionkey",
+        t("region"), "r_regionkey"),
+      ("orders.o_custkey->customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey"),
+      ("supplier.s_nationkey->nation", t("supplier"), "s_nationkey",
+        t("nation"), "n_nationkey")))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2274,6 +2310,9 @@ object ExtensionQueries {
     "x177_truncation_plan" -> (x177 _),
     "x178_source_ablation" -> (x178 _),
     "x179_broadcast_advisor" -> (x179 _),
+    "x180_fd_audit" -> (x180 _),
+    "x181_monotonicity_audit" -> (x181 _),
+    "x182_referential_integrity" -> (x182 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -6406,6 +6445,63 @@ object ExtensionQueries {
         |  CAST(sum(8 + (coalesce(length(s_name), 0) + 20) + 8 + 8) AS BIGINT) <= 10485760 AS fits_broadcast
         |FROM supplier
         |ORDER BY "table"""".stripMargin,
+
+    // Replays functionalDependencyAudit: two exact distinct counts per
+    // candidate pair, one subtraction, unioned per pair.
+    "x180_fd_audit" -> {
+      val fdPairs = Seq("event_id" -> "user_id", "event_id" -> "event_type",
+        "user_id" -> "event_type")
+      fdPairs.map { case (a, b) =>
+        s"""SELECT '$a' AS det, '$b' AS dep,
+           |  CAST(count(DISTINCT $a) AS BIGINT) AS n_det,
+           |  CAST(count(DISTINCT ($a, $b)) AS BIGINT) AS n_pairs_distinct,
+           |  CAST(count(DISTINCT ($a, $b)) - count(DISTINCT $a) AS BIGINT)
+           |    AS violations,
+           |  count(DISTINCT ($a, $b)) = count(DISTINCT $a) AS holds
+           |FROM events""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY det, dep"
+    },
+
+    // Replays monotonicityAudit: one user-partitioned lag over the id
+    // order, exact adjacent-inversion counts.
+    "x181_monotonicity_audit" ->
+      """WITH l AS (SELECT user_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+        |               AS pt
+        |           FROM events)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN pt > ts THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_inversions,
+        |       CASE WHEN count(*) > 1 THEN
+        |         CAST(sum(CASE WHEN pt > ts THEN 1 ELSE 0 END) * 1000000
+        |              // (count(*) - 1) AS BIGINT) ELSE 0 END
+        |         AS inversion_micro,
+        |       sum(CASE WHEN pt > ts THEN 1 ELSE 0 END) = 0 AS monotone
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Replays referentialIntegrityAudit: distinct parent keys, one
+    // left join per edge, orphan/null counts.
+    "x182_referential_integrity" -> {
+      val fkEdges = Seq(
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      fkEdges.map { case (name, c, fk, p, pk) =>
+        s"""SELECT '$name' AS relation,
+           |  CAST(count(*) AS BIGINT) AS n_child,
+           |  CAST(sum(CASE WHEN c.$fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null_fk,
+           |  CAST(sum(CASE WHEN c.$fk IS NOT NULL AND pp.__pk IS NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |  sum(CASE WHEN c.$fk IS NOT NULL AND pp.__pk IS NULL
+           |    THEN 1 ELSE 0 END) = 0 AS intact
+           |FROM $c c LEFT JOIN (SELECT DISTINCT $pk AS __pk FROM $p) pp
+           |  ON c.$fk = pp.__pk""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY relation"
+    },
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

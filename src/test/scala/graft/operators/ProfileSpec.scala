@@ -452,4 +452,36 @@ class ProfileSpec extends SparkSpec {
       "score", "label", "src").select("auc_micro").as[Long].head()
     assert(fwd == 750000L && rev == 250000L)
   }
+
+  test("functionalDependencyAudit: holding and violated FDs, null " +
+      "dependents count as mappings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"),   // a -> x consistent
+      (3L, "b", "y"), (4L, "b", "z"),   // b maps to y AND z: violation
+      (5L, "c", null))                  // null dependent still a mapping
+      .toDF("id", "det1", "dep1")
+    val out = Profile.functionalDependencyAudit(df,
+        Seq("det1" -> "dep1", "id" -> "det1"))
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      // det1: {a,b,c}=3; pairs {(a,x),(b,y),(b,z),(c,null)}=4 -> 1 violation
+      ("det1", "dep1", 3L, 4L, 1L, false),
+      // id unique -> determines everything
+      ("id", "det1", 5L, 5L, 0L, true)))
+  }
+
+  test("referentialIntegrityAudit: orphans vs null keys, intact edges") {
+    import spark.implicits._
+    val parent = Seq(10L, 20L).toDF("pk")
+    val childA = Seq(Some(10L), Some(10L), Some(99L), None).toDF("fk")
+    val childB = Seq(Some(20L)).toDF("fk")
+    val out = Profile.referentialIntegrityAudit(Seq(
+        ("a->p", childA, "fk", parent, "pk"),
+        ("b->p", childB, "fk", parent, "pk")))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      ("a->p", 4L, 1L, 1L, false), // one null, one orphan (99)
+      ("b->p", 1L, 0L, 0L, true)))
+  }
 }

@@ -521,6 +521,23 @@ class SequencesSpec extends SparkSpec {
     assert(Sequences.heldOutTransitionNll(events).collect().isEmpty)
   }
 
+  test("monotonicityAudit: adjacent inversions counted per user; " +
+      "singletons are monotone by definition") {
+    val events = Seq(
+      // user 1: ids 1,2,3 with ts 10, 5, 7 -> one adjacent inversion
+      (1L, ts("2024-01-01 00:00:10"), 1L, "a"),
+      (2L, ts("2024-01-01 00:00:05"), 1L, "b"),
+      (3L, ts("2024-01-01 00:00:07"), 1L, "c"),
+      // user 2: single event
+      (4L, ts("2024-01-01 00:00:01"), 2L, "z"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sequences.monotonicityAudit(events)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 500000L, false),
+      (2L, 1L, 0L, 0L, true)))
+  }
+
   test("eventPathMining: hand-traced trigram counts with support filter") {
     val events = Seq("A", "B", "C", "A", "B", "C").zipWithIndex.map {
       case (t, i) => ((i + 1).toLong, ts(f"2024-01-01 00:0$i:00"), 1L, t)

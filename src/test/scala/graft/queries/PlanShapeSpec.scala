@@ -1287,6 +1287,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Union"), plan)
   }
 
+  test("x180: all FD pairs ride ONE aggregation pass — the unpivot " +
+    "reads the checkpointed 1-row frame") {
+    val plan = physical(ExtensionQueries.x180(spark, sf001))
+    assert(!plan.contains("FileScan parquet"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x181: the inversion count is one user-partitioned lag + one " +
+    "aggregation — no unpartitioned window") {
+    val df = ExtensionQueries.x181(spark, sf001)
+    assertNoGlobalWindowOverBase(df)
+    assert(physical(df).contains("Window"), physical(df))
+  }
+
+  test("x182: every FK edge is a keyed join against the distinct " +
+    "parent-key frame — no cartesian") {
+    val plan = physical(ExtensionQueries.x182(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
