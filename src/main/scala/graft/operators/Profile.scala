@@ -1003,6 +1003,138 @@ object Profile {
     }.reduce(_ unionAll _).orderBy(col("relation"))
   }
 
+  /** Jarque–Bera lognormality check per group: skewness and excess
+    * kurtosis of ln(value) with the JB statistic — natural document
+    * lengths run roughly lognormal, so a source whose ln-length
+    * distribution fails JB is template-generated, truncated, or
+    * synthetic (too symmetric IS a tell: machine-generated corpora
+    * under-disperse). The distribution-SHAPE alarm beside x154's KS
+    * (which needs a reference distribution; JB needs none).
+    *
+    * Exactness: ln(value) quantizes ONCE per row to CENTI-nats
+    * (coarser than micro ON PURPOSE: central moments raise values to
+    * the 4th power, and centi keeps Σd⁴ exact int64 to ~10⁹ rows per
+    * group for any realistic ln spread — the quantization-grain
+    * trade, stated); the group mean is the floor-division integer
+    * mean (stated, deterministic); deviations and their power sums
+    * are exact integers; S, K, and JB evaluate in ONE double
+    * expression each over those exact integers, quantized to micro.
+    * JB ≈ n/6·(S² + K²/4) against the χ²(2) 95% bound 5.991.
+    *
+    * Scale: two partial+final aggregations (mean, then central
+    * moments with the per-group means joined back); output is
+    * |groups| rows.
+    *
+    * Output: (groupCol, n, skew_micro, exkurt_micro, jb_micro,
+    * lognormal_ok), ordered by group; null moments for groups with
+    * n < 8 (JB is asymptotic — tiny groups prove nothing). */
+  def lognormalityCheck(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val x = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__v") > 0) // ln domain: identical row set on any engine
+      .select(col("grp"),
+        round(log(col("__v").cast("double")) * lit(100.0)).cast("long")
+          .as("__x"))
+      .localCheckpoint(true) // feeds the mean AND the moment pass
+    val mu = x.groupBy(col("grp"))
+      .agg(expr("sum(__x) div count(1)").as("__mu"))
+    x.join(mu, "grp")
+      .select(col("grp"), (col("__x") - col("__mu")).as("__d"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("__d") * col("__d")).cast("bigint").as("__m2"),
+        sum(col("__d") * col("__d") * col("__d")).cast("bigint").as("__m3"),
+        sum(col("__d") * col("__d") * col("__d") * col("__d"))
+          .cast("bigint").as("__m4"))
+      .select(col("grp").as(groupCol), col("n"),
+        when(col("n") >= 8 && col("__m2") > 0, expr(
+          "CAST(round(CAST(__m3 AS DOUBLE) / CAST(n AS DOUBLE) / " +
+            "sqrt((CAST(__m2 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+            "(CAST(__m2 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+            "(CAST(__m2 AS DOUBLE) / CAST(n AS DOUBLE))) " +
+            "* 1000000.0D) AS BIGINT)")).as("skew_micro"),
+        when(col("n") >= 8 && col("__m2") > 0, expr(
+          "CAST(round((CAST(__m4 AS DOUBLE) * CAST(n AS DOUBLE) / " +
+            "(CAST(__m2 AS DOUBLE) * CAST(__m2 AS DOUBLE)) - 3.0D) " +
+            "* 1000000.0D) AS BIGINT)")).as("exkurt_micro"))
+      .withColumn("jb_micro",
+        when(col("skew_micro").isNotNull, expr(
+          "CAST(round(CAST(n AS DOUBLE) / 6.0D * " +
+            "((CAST(skew_micro AS DOUBLE) / 1000000.0D) * " +
+            "(CAST(skew_micro AS DOUBLE) / 1000000.0D) + " +
+            "(CAST(exkurt_micro AS DOUBLE) / 1000000.0D) * " +
+            "(CAST(exkurt_micro AS DOUBLE) / 1000000.0D) / 4.0D) " +
+            "* 1000000.0D) AS BIGINT)")))
+      .withColumn("lognormal_ok",
+        when(col("jb_micro").isNotNull, col("jb_micro") <= 5991000L))
+      .orderBy(col(groupCol))
+  }
+
+  /** Two-sample power analysis per group: how many rows PER ARM a
+    * mean-difference test needs to detect a shift of `mdeFrac` of
+    * the corpus mean at 5% significance / 80% power — and whether
+    * the group already has them. The "is this slice big enough to
+    * A/B on" gate that turns x140's post-hoc z-test into a DESIGN
+    * tool (an under-powered slice produces unreliable deltas however
+    * carefully tested). n/arm = 2·(z_{0.975}+z_{0.8})²·σ²/δ².
+    *
+    * Exactness: per-group moment sums are exact integers; σ, δ, and
+    * the ceiling evaluate in double expressions over them (the z
+    * constants are SCALA literals shipped to both engines, and σ/δ
+    * quantize to micro BEFORE the n formula, so the oracle consumes
+    * the same two integers); the verdict is an integer comparison.
+    *
+    * Scale: one partial+final aggregation + the broadcast 1-row
+    * corpus mean; output is |groups| rows.
+    *
+    * Output: (groupCol, n_rows, mean_micro, sd_micro, mde_micro,
+    * n_needed, powered), ordered by group; null for zero-variance
+    * or singleton groups (no test to power). */
+  /** 2·(z_{0.975} + z_{0.80})² — the 5%-significance / 80%-power
+    * constant, Scala-computed and rendered as the SAME double literal
+    * into both engines (no engine inverse-CDF enters the gate). */
+  val PowerTwoZSquared: Double = {
+    val z = 1.959963984540054 + 0.8416212335729143
+    2.0 * z * z
+  }
+
+  def powerAnalysis(df: DataFrame, valueCol: String, groupCol: String,
+      mdeFrac: Double = 0.05): DataFrame = {
+    require(mdeFrac > 0 && mdeFrac < 1,
+      s"powerAnalysis: mdeFrac must be in (0, 1), got $mdeFrac")
+    val twoZ2 = PowerTwoZSquared
+    val st = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum(col("__v")).cast("bigint").as("__s"),
+        sum(col("__v") * col("__v")).cast("bigint").as("__ss"))
+    val tot = st.agg(sum(col("__s")).cast("bigint").as("__ts"),
+      sum(col("n_rows")).cast("bigint").as("__tn"))
+    st.join(broadcast(tot))
+      .select(col("grp").as(groupCol), col("n_rows"),
+        expr("__s * 1000000L div n_rows").as("mean_micro"),
+        when(col("n_rows") > 1, expr(
+          "CAST(round(sqrt(CAST(__ss AS DOUBLE) / CAST(n_rows AS DOUBLE) " +
+            "- (CAST(__s AS DOUBLE) / CAST(n_rows AS DOUBLE)) * " +
+            "(CAST(__s AS DOUBLE) / CAST(n_rows AS DOUBLE))) " +
+            "* 1000000.0D) AS BIGINT)")).as("sd_micro"),
+        expr(s"CAST(round(CAST(__ts AS DOUBLE) / CAST(__tn AS DOUBLE) " +
+          s"* ${mdeFrac}D * 1000000.0D) AS BIGINT)").as("mde_micro"))
+      .withColumn("n_needed",
+        when(col("sd_micro").isNotNull && col("sd_micro") > 0 &&
+          col("mde_micro") > 0, expr(
+          s"CAST(ceil(${twoZ2}D * " +
+            "(CAST(sd_micro AS DOUBLE) * CAST(sd_micro AS DOUBLE)) / " +
+            "(CAST(mde_micro AS DOUBLE) * CAST(mde_micro AS DOUBLE))) " +
+            "AS BIGINT)")))
+      .withColumn("powered",
+        when(col("n_needed").isNotNull, col("n_rows") >= col("n_needed")))
+      .orderBy(col(groupCol))
+  }
+
   /** Kolmogorov–Smirnov distance of each group's value distribution
     * from the corpus — the SUP-norm drift read next to
     * [[distributionEmd]]'s integral: KS spots a sharp localized

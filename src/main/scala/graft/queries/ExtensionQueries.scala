@@ -2101,6 +2101,20 @@ object ExtensionQueries {
         t("nation"), "n_nationkey")))
   }
 
+  /** x183 lognormality check — see
+    * [[graft.operators.Profile.lognormalityCheck]]: Jarque–Bera on
+    * ln(n_chars) per source — the synthetic/template-source alarm
+    * (natural lengths run lognormal; machines under-disperse). */
+  def x183(s: SparkSession, dir: String): DataFrame =
+    Profile.lognormalityCheck(docs(s, dir), "n_chars", "source")
+
+  /** x184 two-sample power analysis — see
+    * [[graft.operators.Profile.powerAnalysis]]: rows per arm needed
+    * to detect a 5%-of-corpus-mean length shift per source — the
+    * is-this-slice-big-enough gate behind x140's z-test. */
+  def x184(s: SparkSession, dir: String): DataFrame =
+    Profile.powerAnalysis(docs(s, dir), "n_chars", "source")
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2313,6 +2327,8 @@ object ExtensionQueries {
     "x180_fd_audit" -> (x180 _),
     "x181_monotonicity_audit" -> (x181 _),
     "x182_referential_integrity" -> (x182 _),
+    "x183_lognormality" -> (x183 _),
+    "x184_power_analysis" -> (x184 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -6501,6 +6517,83 @@ object ExtensionQueries {
            |FROM $c c LEFT JOIN (SELECT DISTINCT $pk AS __pk FROM $p) pp
            |  ON c.$fk = pp.__pk""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY relation"
+    },
+
+    // Replays lognormalityCheck: centi-nat ln per row, integer floor
+    // mean, exact central power sums, S/K/JB as single double
+    // expressions over the exact integers.
+    "x183_lognormality" ->
+      """WITH x AS (SELECT source AS grp,
+        |              CAST(round(ln(n_chars::DOUBLE) * 100) AS BIGINT) AS x
+        |           FROM documents WHERE n_chars > 0),
+        |mu AS (SELECT grp, CAST(sum(x) // count(*) AS BIGINT) AS mu
+        |       FROM x GROUP BY 1),
+        |d AS (SELECT x.grp, x.x - mu.mu AS d FROM x JOIN mu USING (grp)),
+        |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(d * d) AS BIGINT) AS m2,
+        |             CAST(sum(d * d * d) AS BIGINT) AS m3,
+        |             CAST(sum(d * d * d * d) AS BIGINT) AS m4
+        |      FROM d GROUP BY 1),
+        |sk AS (SELECT grp, n,
+        |    CASE WHEN n >= 8 AND m2 > 0 THEN
+        |      CAST(round(m3::DOUBLE / n::DOUBLE /
+        |        sqrt((m2::DOUBLE / n::DOUBLE) * (m2::DOUBLE / n::DOUBLE)
+        |          * (m2::DOUBLE / n::DOUBLE)) * 1000000.0) AS BIGINT)
+        |      END AS skew_micro,
+        |    CASE WHEN n >= 8 AND m2 > 0 THEN
+        |      CAST(round((m4::DOUBLE * n::DOUBLE /
+        |        (m2::DOUBLE * m2::DOUBLE) - 3.0) * 1000000.0) AS BIGINT)
+        |      END AS exkurt_micro
+        |  FROM m),
+        |jb AS (SELECT grp, n, skew_micro, exkurt_micro,
+        |    CASE WHEN skew_micro IS NOT NULL THEN
+        |      CAST(round(n::DOUBLE / 6.0 *
+        |        ((skew_micro::DOUBLE / 1000000.0) *
+        |         (skew_micro::DOUBLE / 1000000.0) +
+        |         (exkurt_micro::DOUBLE / 1000000.0) *
+        |         (exkurt_micro::DOUBLE / 1000000.0) / 4.0)
+        |        * 1000000.0) AS BIGINT) END AS jb_micro
+        |  FROM sk)
+        |SELECT grp AS source, n, skew_micro, exkurt_micro, jb_micro,
+        |       CASE WHEN jb_micro IS NOT NULL THEN jb_micro <= 5991000
+        |         END AS lognormal_ok
+        |FROM jb ORDER BY source""".stripMargin,
+
+    // Replays powerAnalysis: exact moment sums, sigma/delta quantized
+    // to micro BEFORE the n formula, the Scala-rendered z constant.
+    "x184_power_analysis" -> {
+      val twoZ2 = graft.operators.Profile.PowerTwoZSquared
+      s"""WITH st AS (SELECT source AS grp,
+         |              CAST(count(*) AS BIGINT) AS n_rows,
+         |              CAST(sum(n_chars) AS BIGINT) AS s,
+         |              CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+         |            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT CAST(sum(s) AS BIGINT) AS ts,
+         |               CAST(sum(n_rows) AS BIGINT) AS tn FROM st),
+         |b AS (SELECT grp, n_rows,
+         |        CAST(s * 1000000 // n_rows AS BIGINT) AS mean_micro,
+         |        CASE WHEN n_rows > 1 THEN
+         |          CAST(round(sqrt(ss::DOUBLE / n_rows::DOUBLE
+         |            - (s::DOUBLE / n_rows::DOUBLE) *
+         |              (s::DOUBLE / n_rows::DOUBLE)) * 1000000.0)
+         |            AS BIGINT) END AS sd_micro,
+         |        CAST(round(ts::DOUBLE / tn::DOUBLE * 0.05 * 1000000.0)
+         |             AS BIGINT) AS mde_micro
+         |      FROM st CROSS JOIN tot)
+         |SELECT grp AS source, n_rows, mean_micro, sd_micro, mde_micro,
+         |       CASE WHEN sd_micro IS NOT NULL AND sd_micro > 0
+         |                  AND mde_micro > 0 THEN
+         |         CAST(ceil($twoZ2 *
+         |           (sd_micro::DOUBLE * sd_micro::DOUBLE) /
+         |           (mde_micro::DOUBLE * mde_micro::DOUBLE)) AS BIGINT)
+         |         END AS n_needed,
+         |       CASE WHEN sd_micro IS NOT NULL AND sd_micro > 0
+         |                  AND mde_micro > 0 THEN
+         |         n_rows >= CAST(ceil($twoZ2 *
+         |           (sd_micro::DOUBLE * sd_micro::DOUBLE) /
+         |           (mde_micro::DOUBLE * mde_micro::DOUBLE)) AS BIGINT)
+         |         END AS powered
+         |FROM b ORDER BY source""".stripMargin
     },
   )
 

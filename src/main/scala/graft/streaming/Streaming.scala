@@ -546,6 +546,57 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class MonoViolation(user_id: Long, event_id: Long, ts: Long,
+    prev_ts: Long)
+  /** Last (event_id, ts) per user for [[MonotonicityMonitorProcessor]];
+    * event_id −1 means "nothing seen yet". */
+  final case class MonoState(last_id: Long, last_ts: Long)
+
+  /** Streaming monotonicity monitor — the live DQ twin of
+    * [[graft.operators.Sequences.monotonicityAudit]] (x181): per-user
+    * state holds the last (event_id, ts) pair, and every arriving
+    * event whose timestamp runs BEHIND its predecessor's emits a
+    * violation row — clock skew and replayed producers surface as
+    * they happen instead of in the nightly audit.
+    *
+    * Parity contract (test-pinned): with events arriving in per-user
+    * event_id order (rows sort by id within each batch — the same
+    * append-log contract as [[PathMiningProcessor]]), the emitted
+    * violation count per user equals the batch audit's adjacent
+    * inversion count exactly. */
+  final class MonotonicityMonitorProcessor
+      extends StatefulProcessor[Long, PathEvent, MonoViolation] {
+    @transient private var last: ValueState[MonoState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[MonoState]("mono",
+        org.apache.spark.sql.Encoders.product[MonoState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[PathEvent],
+        tv: TimerValues): Iterator[MonoViolation] = {
+      val sorted = rows.toArray.sortBy(_.event_id)
+      var st = if (last.exists()) last.get() else MonoState(-1L, Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer.empty[MonoViolation]
+      sorted.foreach { e =>
+        if (st.last_id >= 0 && st.last_ts > e.ts)
+          out += MonoViolation(key, e.event_id, e.ts, st.last_ts)
+        st = MonoState(e.event_id, e.ts)
+      }
+      last.update(st)
+      out.iterator
+    }
+  }
+
+  /** [[MonotonicityMonitorProcessor]] wired onto a keyed event stream;
+    * same RocksDB provider requirement as [[sessionizeWithState]]. */
+  def monotonicityMonitorWithState(
+      events: Dataset[PathEvent]): Dataset[MonoViolation] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new MonotonicityMonitorProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class TokenEvent(shard: Int, token: String)
   final case class HeavyHitter(shard: Int, token: String,
     cnt_min: Long, cnt_max: Long)

@@ -484,4 +484,51 @@ class ProfileSpec extends SparkSpec {
       ("a->p", 4L, 1L, 1L, false), // one null, one orphan (99)
       ("b->p", 1L, 0L, 0L, true)))
   }
+
+  test("lognormalityCheck: moments replay the exact quantized pipeline; " +
+      "tiny groups yield null verdicts; non-positive values excluded") {
+    import spark.implicits._
+    val vals = Seq(100L, 150L, 200L, 300L, 450L, 700L, 1100L, 1800L, 3000L, 5000L)
+    val df = (vals.map(v => (v, "a")) ++ Seq((10L, "tiny"), (20L, "tiny"),
+      (0L, "a"), (-5L, "a"))).toDF("n_chars", "source")
+    val out = Profile.lognormalityCheck(df, "n_chars", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // replicate the pipeline: centi-nat ln (HALF_UP), floor mean,
+    // integer central sums, double S/K/JB
+    val xs = vals.map(v => BigDecimal(math.log(v.toDouble) * 100.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val n = xs.length.toLong
+    val mu = xs.sum / n
+    val ds = xs.map(_ - mu)
+    val m2 = ds.map(d => d * d).sum.toDouble
+    val m3 = ds.map(d => d * d * d).sum.toDouble
+    val m4 = ds.map(d => d * d * d * d).sum.toDouble
+    val skew = math.round(m3 / n / math.sqrt((m2 / n) * (m2 / n) * (m2 / n)) * 1e6)
+    val kurt = math.round((m4 * n / (m2 * m2) - 3.0) * 1e6)
+    val a = out("a")
+    assert(a.getLong(1) == n && a.getLong(2) == skew && a.getLong(3) == kurt,
+      a.toString)
+    val jb = math.round(n.toDouble / 6.0 *
+      ((skew / 1e6) * (skew / 1e6) + (kurt / 1e6) * (kurt / 1e6) / 4.0) * 1e6)
+    assert(a.getLong(4) == jb && !a.isNullAt(5), a.toString)
+    val t = out("tiny")
+    assert(t.getLong(1) == 2L && t.isNullAt(2) && t.isNullAt(4) && t.isNullAt(5))
+  }
+
+  test("powerAnalysis: n/arm replays the z-formula over micro sigma/delta; " +
+      "singletons carry null verdicts") {
+    import spark.implicits._
+    val df = Seq((10L, "a"), (20L, "a"), (30L, "b")).toDF("n_chars", "source")
+    val out = Profile.powerAnalysis(df, "n_chars", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    // mean 15e6; sd = sqrt(250 - 225) = 5 -> 5e6; corpus mean 20 -> mde 1e6
+    assert(a.getLong(1) == 2L && a.getLong(2) == 15000000L &&
+      a.getLong(3) == 5000000L && a.getLong(4) == 1000000L, a.toString)
+    val expectedN = math.ceil(Profile.PowerTwoZSquared * 5e6 * 5e6 /
+      (1e6 * 1e6)).toLong
+    assert(a.getLong(5) == expectedN && !a.getBoolean(6), a.toString)
+    val b = out("b")
+    assert(b.getLong(1) == 1L && b.isNullAt(3) && b.isNullAt(5) && b.isNullAt(6))
+  }
 }

@@ -1310,6 +1310,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("x183: two stacked aggregations over the checkpointed ln frame — " +
+    "no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x183(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x184: one stratum aggregation + the broadcast 1-row corpus " +
+    "totals — no window") {
+    val plan = physical(ExtensionQueries.x184(spark, sf001))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))

@@ -386,6 +386,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("monotonicityMonitorWithState matches the batch audit's inversion " +
+      "counts on the fixture, split across batches mid-user") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val evDf = graft.Tables.load(spark, sf001, "events")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("long").as("ts"), col("event_type"))
+      val ev = evDf.as[Streaming.PathEvent].collect().toSeq
+        .sortBy(e => (e.user_id, e.event_id))
+
+      val expected = graft.operators.Sequences.monotonicityAudit(
+          evDf.withColumn("ts", col("ts").cast("timestamp")))
+        .select(col("user_id"), col("n_inversions"))
+        .as[(Long, Long)].collect().toMap.filter(_._2 > 0)
+
+      val in = MemoryStream[Streaming.PathEvent]
+      val q = Streaming.monotonicityMonitorWithState(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mono_parity").start()
+      val (b1, b2) = ev.splitAt(ev.length / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("mono_parity").as[Streaming.MonoViolation]
+        .collect().groupBy(_.user_id).view.mapValues(_.length.toLong).toMap
+      assert(got == expected)
+      // every violation row is a real regression: prev_ts > ts
+      spark.table("mono_parity").as[Streaming.MonoViolation].collect()
+        .foreach(v => assert(v.prev_ts > v.ts))
+    }
+  }
+
   test("transcriptsWithState: maxPathEvents caps the path, count and sum keep going") {
     withRocksDb {
       implicit val sc = spark.sqlContext
