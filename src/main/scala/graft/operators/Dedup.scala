@@ -776,6 +776,98 @@ object Dedup {
       .orderBy(col("decile"))
   }
 
+  /** Near-duplicate flow matrix: the x04 pair relation rolled up to
+    * (source, source) cells — WHO duplicates WHOM at document-pair
+    * granularity (x37's gram-overlap matrix says vocabularies
+    * overlap; this says actual documents collide). The diagonal is
+    * within-source duplication (a provider re-serving its own
+    * content); off-diagonal mass is cross-provider syndication — the
+    * cell that decides which source to drop when x178's ablation
+    * says one must go.
+    *
+    * Pure integer: pair counts per unordered source cell + one share
+    * division against the total pair count.
+    *
+    * Scale: one pass over the (already thresholded) pair relation +
+    * two keyed tag joins; output is ≤ |sources|² cells, in practice
+    * the occupied ones.
+    *
+    * Output: (src_a, src_b, n_pairs, share_micro, within) with
+    * src_a ≤ src_b, ordered by (src_a, src_b). */
+  def dupFlowMatrix(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source",
+      ngram: Int = 3, prefixK: Int = 8,
+      minJaccard: Double = 0.2): DataFrame = {
+    val src = docs.select(col(idCol).as("id"), col(sourceCol).as("src"))
+    val cells = ngramJaccardNearDup(docs, idCol, textCol, ngram, prefixK,
+        minJaccard)
+      .join(src.toDF("doc_a", "__sa"), "doc_a")
+      .join(src.toDF("doc_b", "__sb"), "doc_b")
+      .groupBy(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+      .localCheckpoint(true) // feeds the total AND the output
+    cells
+      .join(broadcast(cells.agg(sum(col("n_pairs")).cast("bigint").as("__t"))))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        expr("n_pairs * 1000000L div __t").as("share_micro"),
+        (col("src_a") === col("src_b")).as("within"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Token-mass savings per dedup threshold: [[thresholdSweep]]'s
+    * affected-doc counts upgraded to the unit capacity planning
+    * thinks in — how many TOKENS sit in documents whose best
+    * near-dup pair clears each candidate threshold. A threshold that
+    * touches 10% of docs but 30% of tokens (long boilerplate dups)
+    * prices very differently from the reverse; this is the curve
+    * that decision reads.
+    *
+    * Exactness: the decile comes from the integer micro jaccard (the
+    * x144 rule); token counts are exact integers; the cumulations
+    * are integer window sums over the ≤ 10-row decile frame; shares
+    * are floor divisions against the CORPUS token total (all docs,
+    * not just paired ones — savings are relative to what you store).
+    *
+    * Scale: one pair pass (each doc keeps its max-jaccard decile —
+    * a hash aggregation), one tokenize pass for the per-doc counts,
+    * one keyed join, then decile-frame algebra.
+    *
+    * Output: (decile, threshold_micro, n_docs_ge, tokens_ge,
+    * token_share_micro), ordered by decile. */
+  def thresholdTokenSavings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, prefixK: Int = 8,
+      minJaccard: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = ngramJaccardNearDup(docs, idCol, textCol, ngram, prefixK,
+        minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        least(expr("CAST(round(jaccard * 1000000.0D) AS BIGINT) div 100000L"),
+          lit(9L)).as("dec"))
+    val toks = docs.select(col(idCol).as("d"),
+        size(graft.functions.TextFunctions.words(col(textCol))).cast("long")
+          .as("t"))
+      .localCheckpoint(true) // feeds the corpus total AND the join
+    val best = pairs.select(col("doc_a").as("d"), col("dec"))
+      .union(pairs.select(col("doc_b").as("d"), col("dec")))
+      .groupBy(col("d")).agg(max(col("dec")).as("dec"))
+      .join(toks, "d")
+      .groupBy(col("dec"))
+      .agg(count(lit(1)).cast("bigint").as("nd"),
+        sum(col("t")).cast("bigint").as("tk"))
+    val wUp = Window.orderBy(col("dec").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    best
+      .withColumn("n_docs_ge", sum(col("nd")).over(wUp).cast("bigint"))
+      .withColumn("tokens_ge", sum(col("tk")).over(wUp).cast("bigint"))
+      .join(broadcast(toks.agg(sum(col("t")).cast("bigint").as("__tt"))))
+      .select(col("dec").as("decile"),
+        (col("dec") * 100000L).as("threshold_micro"),
+        col("n_docs_ge"), col("tokens_ge"),
+        expr("tokens_ge * 1000000L div __tt").as("token_share_micro"))
+      .orderBy(col("decile"))
+  }
+
   /** Renders the MinHash-LSH collision probability 1 − (1 − j^r)^b as
     * an explicit left-associated multiplication chain — NO pow():
     * libm pow implementations differ in the last ulp, a plain

@@ -2115,6 +2115,20 @@ object ExtensionQueries {
   def x184(s: SparkSession, dir: String): DataFrame =
     Profile.powerAnalysis(docs(s, dir), "n_chars", "source")
 
+  /** x185 near-dup flow matrix — see
+    * [[graft.operators.Dedup.dupFlowMatrix]]: the x04 pairs rolled to
+    * (source, source) cells — who duplicates whom, the cell behind
+    * x178's drop-a-provider call. */
+  def x185(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupFlowMatrix(docs(s, dir))
+
+  /** x186 token savings per dedup threshold — see
+    * [[graft.operators.Dedup.thresholdTokenSavings]]: x144's
+    * affected-docs curve in TOKEN mass — what each threshold is
+    * worth in storage/compute units. */
+  def x186(s: SparkSession, dir: String): DataFrame =
+    Dedup.thresholdTokenSavings(docs(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2329,6 +2343,8 @@ object ExtensionQueries {
     "x182_referential_integrity" -> (x182 _),
     "x183_lognormality" -> (x183 _),
     "x184_power_analysis" -> (x184 _),
+    "x185_dup_flow_matrix" -> (x185 _),
+    "x186_threshold_token_savings" -> (x186 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -6595,6 +6611,51 @@ object ExtensionQueries {
          |         END AS powered
          |FROM b ORDER BY source""".stripMargin
     },
+
+    // Replays dupFlowMatrix over the brute-force x04 pair relation:
+    // unordered source cells, integer pair counts and shares.
+    "x185_dup_flow_matrix" ->
+      s"""WITH $ngramPairsCteSql,
+         |sp AS (SELECT doc_id AS id, source AS src FROM documents),
+         |cells AS (SELECT least(sa.src, sb.src) AS src_a,
+         |                 greatest(sa.src, sb.src) AS src_b,
+         |                 CAST(count(*) AS BIGINT) AS n_pairs
+         |          FROM pairs JOIN sp sa ON sa.id = pairs.doc_a
+         |                     JOIN sp sb ON sb.id = pairs.doc_b
+         |          GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM cells)
+         |SELECT src_a, src_b, n_pairs,
+         |       CAST(n_pairs * 1000000 // t.t AS BIGINT) AS share_micro,
+         |       src_a = src_b AS within
+         |FROM cells CROSS JOIN t ORDER BY src_a, src_b""".stripMargin,
+
+    // Replays thresholdTokenSavings: micro-jaccard deciles, per-doc
+    // best pair, exact token sums cumulated downward, corpus-total
+    // share.
+    "x186_threshold_token_savings" ->
+      s"""WITH $ngramPairsCteSql,
+         |pd AS (SELECT doc_a, doc_b,
+         |              least(CAST(round(jaccard * 1000000.0) AS BIGINT)
+         |                    // 100000, 9) AS dec
+         |       FROM pairs),
+         |tk AS (SELECT doc_id AS d, CAST(len(${wordsSql("text")}) AS BIGINT)
+         |         AS t FROM documents),
+         |db AS (SELECT d, max(dec) AS dec FROM (
+         |         SELECT doc_a AS d, dec FROM pd
+         |         UNION ALL SELECT doc_b, dec FROM pd) u GROUP BY d),
+         |bh AS (SELECT db.dec, CAST(count(*) AS BIGINT) AS nd,
+         |              CAST(sum(tk.t) AS BIGINT) AS tkm
+         |       FROM db JOIN tk USING (d) GROUP BY 1),
+         |tt AS (SELECT CAST(sum(t) AS BIGINT) AS tt FROM tk)
+         |SELECT dec AS decile, CAST(dec * 100000 AS BIGINT) AS threshold_micro,
+         |       CAST(sum(nd) OVER (ORDER BY dec DESC ROWS BETWEEN UNBOUNDED
+         |         PRECEDING AND CURRENT ROW) AS BIGINT) AS n_docs_ge,
+         |       CAST(sum(tkm) OVER (ORDER BY dec DESC ROWS BETWEEN UNBOUNDED
+         |         PRECEDING AND CURRENT ROW) AS BIGINT) AS tokens_ge,
+         |       CAST(CAST(sum(tkm) OVER (ORDER BY dec DESC ROWS BETWEEN
+         |         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         * 1000000 // tt.tt AS BIGINT) AS token_share_micro
+         |FROM bh CROSS JOIN tt ORDER BY decile""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

@@ -322,6 +322,42 @@ class DedupSpec extends SparkSpec {
       (9L, 900000L, 1L, 2L)))
   }
 
+  test("dupFlowMatrix: within vs cross-source cells with exact shares") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (2L, "alpha beta gamma delta epsilon zeta", "s1"),   // dup of 1, within
+      (3L, "alpha beta gamma delta epsilon eta", "s2"),    // near-dup, cross
+      (4L, "totally different content goes here now", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dupFlowMatrix(docs)
+      .as[(String, String, Long, Long, Boolean)].collect()
+    // pairs: (1,2) within s1; (1,3) and (2,3) cross s1-s2
+    assert(out.toSeq == Seq(
+      ("s1", "s1", 1L, 333333L, true),
+      ("s1", "s2", 2L, 666666L, false)))
+  }
+
+  test("thresholdTokenSavings: token mass cumulates downward from the " +
+      "best-pair decile; share is against the CORPUS total") {
+    val docs = Seq(
+      (1L, "a b c d e f", "s"),            // 6 tokens, dup of 2 at j=1 -> dec 9
+      (2L, "a b c d e f", "s"),            // 6 tokens
+      (3L, "a b c d x y", "s"),            // mid-jaccard pair with 1/2
+      (4L, "unrelated words only here", "s")) // 4 tokens, unpaired
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.thresholdTokenSavings(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // corpus tokens = 6+6+6+4 = 22; docs 1,2 best dec 9 (12 tokens);
+    // doc 3's best pair sits in a lower decile (6 tokens)
+    assert(out.last._1 == 9L && out.last._3 == 2L && out.last._4 == 12L &&
+      out.last._5 == 12L * 1000000L / 22L, out.toSeq.toString)
+    val first = out.head // lowest present decile holds all paired docs
+    assert(first._3 == 3L && first._4 == 18L &&
+      first._5 == 18L * 1000000L / 22L, out.toSeq.toString)
+    // monotone downward cumulation
+    assert(out.map(_._4).toSeq == out.map(_._4).sorted.reverse.toSeq)
+  }
+
   test("collisionProbExpr: the multiplication chain replays 1-(1-j^r)^b " +
       "exactly, with no pow()") {
     val e = Dedup.collisionProbExpr("j", 2, 2, "1.0D")

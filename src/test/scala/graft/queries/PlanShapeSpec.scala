@@ -1327,6 +1327,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
   }
 
+  test("x185: source cells come from keyed tag joins over the pair " +
+    "relation — no cartesian, no window") {
+    val plan = physical(ExtensionQueries.x185(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x186: the savings curve windows only the <=10-row decile frame") {
+    val df = ExtensionQueries.x186(spark, sf001)
+    assertNoGlobalWindowOverBase(df)
+    assert(!physical(df).contains("CartesianProduct"), physical(df))
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
