@@ -486,4 +486,75 @@ class OperatorPropertiesSpec extends SparkSpec {
         kap.foreach(x => assert(x >= -1.0 && x <= 1.0, s"seed $seed kappa $x")) }
     }
   }
+
+  // --- round-10 determinism properties ------------------------------
+
+  test("withExactNtile: tile assignment is invariant under repartitioning " +
+      "and equals ntile for random tie-heavy data") {
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = for {
+      v <- Gen.choose(0L, 6L) // few values -> heavy tie groups
+    } yield v
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val rows = samples(rowGen, 300, seed).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("id", "v")
+      val a = Rank.withExactNtile(df, "v", "id", 7, "tile")
+        .select($"id", $"tile").as[(Long, Int)].collect().sortBy(_._1)
+      val b = Rank.withExactNtile(df.repartition(13), "v", "id", 7, "tile")
+        .select($"id", $"tile").as[(Long, Int)].collect().sortBy(_._1)
+      assert(a.toSeq == b.toSeq, s"seed $seed: repartition moved tiles")
+      val w = df.withColumn("tile",
+          ntile(7).over(Window.orderBy($"v", $"id")))
+        .select($"id", $"tile").as[(Long, Int)].collect().sortBy(_._1)
+      assert(a.toSeq == w.toSeq, s"seed $seed: diverged from ntile")
+    }
+  }
+
+  test("signalRankFusion: output invariant under repartitioning (heap " +
+      "merge order cannot move ranks)") {
+    val textGen = Gen.listOfN(12, Gen.oneOf(
+      "the", "and", "is", "of", "to", "aaa", "bbb", "ccc", "zz", "!!"))
+      .map(_.mkString(" "))
+    val docs = samples(textGen, 120, 11L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val a = TextAnalysis.signalRankFusion(docs, topK = 20, listDepth = 40)
+      .collect().map(_.toString).toSeq
+    val b = TextAnalysis.signalRankFusion(docs.repartition(9),
+        topK = 20, listDepth = 40)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("embeddingDispersion: the sum-vector identity equals the " +
+      "brute-force pairwise mean on random quantized vectors") {
+    val vecGen = Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 1000.0f))
+    val vecs = samples(vecGen, 30, 5L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray, "g") }
+    val out = Similarity.embeddingDispersion(
+        vecs.toDF("vec_id", "embedding", "label"), dim = 4)
+      .collect().head
+    // brute force over the SAME milli quantization
+    val q = vecs.map { case (_, v, _) =>
+      v.map(x => math.round(x.toDouble * 1000.0)) }
+    val n = q.length
+    val pairSum = (for {
+      i <- q.indices; j <- q.indices if i != j
+    } yield q(i).zip(q(j)).map { case (a, b) => a * b }.sum).sum
+    val expected = pairSum / (n.toLong * (n - 1))
+    assert(out.getLong(3) == expected,
+      s"identity ${out.getLong(3)} != brute $expected")
+  }
+
+  test("eventPathMining: counts invariant under repartitioning") {
+    val events = samples(Gen.oneOf("a", "b", "c"), 200, 3L).zipWithIndex
+      .map { case (t, i) => ((i % 7).toLong, i.toLong, i.toLong, t) }
+      .toDF("user_id", "event_id", "ts_l", "event_type")
+      .withColumn("ts", $"ts_l".cast("timestamp")).drop("ts_l")
+    val a = Sequences.eventPathMining(events, minSupport = 1L)
+      .collect().map(_.toString).toSeq
+    val b = Sequences.eventPathMining(events.repartition(11), minSupport = 1L)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
 }
