@@ -661,6 +661,93 @@ object Similarity {
       .orderBy(col("test_id"))
   }
 
+  /** Embedding anisotropy: the share of total variance carried by the
+    * covariance matrix's TOP eigendirection — the one-number "is this
+    * embedding space collapsed" read (isotropic spaces spread
+    * variance across directions; a dominant direction means every
+    * cosine is inflated by a common component, LSH buckets skew, and
+    * whitening/centering would pay — the mechanism behind x127's
+    * pile-up near 1, named and quantified). Estimated by power
+    * iteration on the centered scatter matrix.
+    *
+    * Exactness (the x82 iterative discipline, applied to a DIM-bounded
+    * matrix): components quantize ONCE to MILLI; the per-dimension
+    * mean is the floor-division integer mean; scatter cells
+    * S_ij = Σ d_i·d_j are exact BIGINT (milli keeps products tiny —
+    * the x169 grain rule); each power-iteration step is exact integer
+    * algebra (u = S·w, then w ← u·1000 div max|u|, both engines
+    * truncating toward zero identically), so after `iters` fixed
+    * steps both engines hold the SAME integer vector; the Rayleigh
+    * share (wᵀSw/wᵀw)/trace(S) evaluates in one double expression
+    * over three exact integers, quantized to micro. The scatter is
+    * used UN-normalized — the share is invariant to the 1/n factor.
+    *
+    * Scale: the only data-volume work is one self-join on the row id
+    * (n·dim² cell terms, collapsed by partial aggregation to dim²
+    * cells before the exchange). The iteration itself runs on the
+    * dim×dim matrix — bounded by the SCHEMA, not the data — driver-
+    * side in exact Long arithmetic (the x22/x26 exported-constant
+    * pattern: dim²-bounded state is a legitimate driver value; the
+    * oracle re-derives the same integers from the data in SQL).
+    *
+    * Output: 1 row — (n, dim, trace, top_eigen_share_micro, iters);
+    * share null when the scatter is degenerate (all-equal vectors). */
+  def embeddingAnisotropy(emb: DataFrame, dim: Int = 64, iters: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"embeddingAnisotropy: iters must be in [1, 16], got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb
+      .filter(size(col(vecCol)) === dim &&
+        dot_product(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .select(col("id"), col("d"),
+        round(col("v").cast("double") * lit(1000.0)).cast("long").as("q"))
+      .localCheckpoint(true) // feeds the mean AND both join sides
+    val mu = q.groupBy(col("d")).agg(expr("sum(q) div count(1)").as("mu"))
+    val cent = q.join(broadcast(mu), "d")
+      .select(col("id"), col("d"), (col("q") - col("mu")).as("c"))
+      .localCheckpoint(true) // both sides of the scatter self-join
+    val cells = cent.toDF("id", "i", "ci")
+      .join(cent.toDF("id", "j", "cj"), "id")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("ci") * col("cj")).cast("bigint").as("s"))
+    val n = cent.select(countDistinct(col("id"))).head().getLong(0)
+    // dim×dim exact integer matrix — schema-bounded driver state
+    val sMat = Array.ofDim[Long](dim, dim)
+    cells.collect().foreach(r =>
+      sMat(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val trace = (0 until dim).map(i => BigInt(sMat(i)(i))).sum
+    // arbitrary-precision intermediates: u = S·w and wᵀSw exceed int64
+    // at corpus scale; the oracle mirrors with DuckDB HUGEINT, so both
+    // engines run EXACT integer arithmetic end to end
+    var w = Array.fill(dim)(BigInt(1000))
+    var degenerate = false
+    var k = 0
+    while (k < iters && !degenerate) {
+      val u = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => BigInt(sMat(i)(j)) * w(j)).sum)
+      val m = u.map(_.abs).max
+      if (m == 0) degenerate = true
+      else w = u.map(x => x * 1000 / m) // BigInt / truncates toward zero
+      k += 1
+    }
+    val share: Option[Long] =
+      if (degenerate || trace <= 0) None
+      else {
+        val ww = w.map(x => x * x).sum
+        val wSw = (0 until dim).map(i =>
+          (0 until dim).map(j => w(i) * BigInt(sMat(i)(j)) * w(j)).sum).sum
+        if (ww == 0) None
+        else Some(math.round(
+          wSw.toDouble / ww.toDouble / trace.toDouble * 1000000.0))
+      }
+    val traceL = trace.toLong // exact: trace ≤ dim·(2e3)²·n ≪ 2⁶³
+    Seq((n, dim.toLong, traceL, share, iters.toLong))
+      .toDF("n", "dim", "trace", "top_eigen_share_micro", "iters")
+  }
+
   /** Per-label embedding dispersion WITHOUT pair enumeration: the mean
     * pairwise dot product inside each label via the sum-vector
     * identity Σ_{i≠j}⟨v_i,v_j⟩ = ‖Σv‖² − Σ‖v‖² — the "how

@@ -2129,6 +2129,14 @@ object ExtensionQueries {
   def x186(s: SparkSession, dir: String): DataFrame =
     Dedup.thresholdTokenSavings(docs(s, dir))
 
+  /** x187 embedding anisotropy — see
+    * [[graft.operators.Similarity.embeddingAnisotropy]]: top-eigen
+    * share of the centered scatter via integer-exact power iteration
+    * — the "is this space collapsed" number behind x127's cosine
+    * pile-up, and the whitening decision it implies. */
+  def x187(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingAnisotropy(emb(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2345,6 +2353,7 @@ object ExtensionQueries {
     "x184_power_analysis" -> (x184 _),
     "x185_dup_flow_matrix" -> (x185 _),
     "x186_threshold_token_savings" -> (x186 _),
+    "x187_embedding_anisotropy" -> (x187 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -6656,6 +6665,78 @@ object ExtensionQueries {
          |         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |         * 1000000 // tt.tt AS BIGINT) AS token_share_micro
          |FROM bh CROSS JOIN tt ORDER BY decile""".stripMargin,
+
+    // Replays embeddingAnisotropy: milli quantization, floor integer
+    // means, exact HUGEINT scatter/power-iteration (6 unrolled steps,
+    // truncating division matching BigInt), one double Rayleigh share.
+    "x187_embedding_anisotropy" ->
+      s"""WITH b AS (SELECT vec_id, embedding FROM embeddings
+         |           WHERE len(embedding) = 64
+         |             AND list_inner_product(embedding::DOUBLE[],
+         |                                    embedding::DOUBLE[]) > 0),
+         |qv AS (SELECT vec_id AS id, g.d AS d,
+         |         CAST(round(embedding[g.d + 1]::DOUBLE * 1000.0) AS BIGINT)
+         |           AS q
+         |       FROM b, (SELECT unnest(range(0, 64)) AS d) g),
+         |mu AS (SELECT d, CAST(sum(q) // count(*) AS BIGINT) AS mu
+         |       FROM qv GROUP BY 1),
+         |cent AS (SELECT qv.id, qv.d, qv.q - mu.mu AS c
+         |         FROM qv JOIN mu USING (d)),
+         |s AS (SELECT a.d AS i, bb.d AS j,
+         |             CAST(sum(a.c * bb.c) AS BIGINT) AS s
+         |      FROM cent a JOIN cent bb ON a.id = bb.id GROUP BY 1, 2),
+         |tr AS (SELECT CAST(sum(s) AS BIGINT) AS trace FROM s WHERE i = j),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+         |w0 AS (SELECT unnest(range(0, 64)) AS j, CAST(1000 AS HUGEINT) AS w),
+         |u1 AS (SELECT s.i, sum(CAST(s.s AS HUGEINT) * w0.w) AS u
+         |        FROM s JOIN w0 ON w0.j = s.j GROUP BY s.i),
+         |m1 AS (SELECT max(abs(u)) AS m FROM u1),
+         |w1 AS (SELECT u1.i AS j,
+         |           CAST(u1.u * 1000 // NULLIF(m1.m, 0) AS HUGEINT) AS w
+         |        FROM u1 CROSS JOIN m1),
+         |u2 AS (SELECT s.i, sum(CAST(s.s AS HUGEINT) * w1.w) AS u
+         |        FROM s JOIN w1 ON w1.j = s.j GROUP BY s.i),
+         |m2 AS (SELECT max(abs(u)) AS m FROM u2),
+         |w2 AS (SELECT u2.i AS j,
+         |           CAST(u2.u * 1000 // NULLIF(m2.m, 0) AS HUGEINT) AS w
+         |        FROM u2 CROSS JOIN m2),
+         |u3 AS (SELECT s.i, sum(CAST(s.s AS HUGEINT) * w2.w) AS u
+         |        FROM s JOIN w2 ON w2.j = s.j GROUP BY s.i),
+         |m3 AS (SELECT max(abs(u)) AS m FROM u3),
+         |w3 AS (SELECT u3.i AS j,
+         |           CAST(u3.u * 1000 // NULLIF(m3.m, 0) AS HUGEINT) AS w
+         |        FROM u3 CROSS JOIN m3),
+         |u4 AS (SELECT s.i, sum(CAST(s.s AS HUGEINT) * w3.w) AS u
+         |        FROM s JOIN w3 ON w3.j = s.j GROUP BY s.i),
+         |m4 AS (SELECT max(abs(u)) AS m FROM u4),
+         |w4 AS (SELECT u4.i AS j,
+         |           CAST(u4.u * 1000 // NULLIF(m4.m, 0) AS HUGEINT) AS w
+         |        FROM u4 CROSS JOIN m4),
+         |u5 AS (SELECT s.i, sum(CAST(s.s AS HUGEINT) * w4.w) AS u
+         |        FROM s JOIN w4 ON w4.j = s.j GROUP BY s.i),
+         |m5 AS (SELECT max(abs(u)) AS m FROM u5),
+         |w5 AS (SELECT u5.i AS j,
+         |           CAST(u5.u * 1000 // NULLIF(m5.m, 0) AS HUGEINT) AS w
+         |        FROM u5 CROSS JOIN m5),
+         |u6 AS (SELECT s.i, sum(CAST(s.s AS HUGEINT) * w5.w) AS u
+         |        FROM s JOIN w5 ON w5.j = s.j GROUP BY s.i),
+         |m6 AS (SELECT max(abs(u)) AS m FROM u6),
+         |w6 AS (SELECT u6.i AS j,
+         |           CAST(u6.u * 1000 // NULLIF(m6.m, 0) AS HUGEINT) AS w
+         |        FROM u6 CROSS JOIN m6),
+         |fin AS (SELECT
+         |    (SELECT sum(w * w) FROM w6) AS ww,
+         |    (SELECT sum(wi.w * CAST(s.s AS HUGEINT) * wj.w)
+         |     FROM s JOIN w6 wi ON wi.j = s.i
+         |            JOIN w6 wj ON wj.j = s.j) AS wsw)
+         |SELECT nn.n, CAST(64 AS BIGINT) AS dim, tr.trace,
+         |       CASE WHEN tr.trace > 0 AND fin.ww IS NOT NULL
+         |                 AND fin.ww > 0 THEN
+         |         CAST(round(fin.wsw::DOUBLE / fin.ww::DOUBLE /
+         |           tr.trace::DOUBLE * 1000000.0) AS BIGINT)
+         |         END AS top_eigen_share_micro,
+         |       CAST(6 AS BIGINT) AS iters
+         |FROM nn CROSS JOIN tr CROSS JOIN fin""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

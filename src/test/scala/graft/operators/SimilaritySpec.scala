@@ -348,6 +348,25 @@ class SimilaritySpec extends SparkSpec {
       ("solo", 1L, 1000000L, None, None)))
   }
 
+  test("embeddingAnisotropy: a single-direction space scores share 1; " +
+      "an all-identical space is degenerate (null share)") {
+    // all variance along dim 0: power iteration locks onto e0 in one
+    // step and the Rayleigh share is exactly 1.0
+    val line = (1 to 20).map(k =>
+      (k.toLong, Array(k.toFloat, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val a = Similarity.embeddingAnisotropy(line, dim = 4).head()
+    assert(a.getLong(0) == 20L && a.getLong(2) > 0L)
+    assert(a.getLong(3) == 1000000L, a.toString)
+    // identical vectors: zero scatter, null share, trace 0
+    val flat = (1 to 10).map(k =>
+      (k.toLong, Array(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val d = Similarity.embeddingAnisotropy(flat, dim = 4).head()
+    assert(d.getLong(2) == 0L && d.isNullAt(3), d.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingAnisotropy(line, dim = 4, iters = 0)
+    }
+  }
+
   test("splitLeakageBySimilarity: identical cross-split twins score " +
       "cosine 1 and flag leaked; split is the md5 gate; deterministic") {
     // 40 identical vectors: all share one bucket; every hash-test id's

@@ -1340,6 +1340,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!physical(df).contains("CartesianProduct"), physical(df))
   }
 
+  test("x187: the result is exported dim-bounded constants (the x22/x26 " +
+    "pattern); the scatter work happened in keyed joins upstream") {
+    val plan = physical(ExtensionQueries.x187(spark, sf001))
+    assert(plan.contains("LocalTableScan"), plan)
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
