@@ -776,6 +776,56 @@ object Dedup {
       .orderBy(col("decile"))
   }
 
+  /** Cascade attribution: given an ORDERED sequence of (stage name,
+    * flagged-id frame) — e.g. exact → fingerprint → n-gram →
+    * embedding dedup — report what each stage flags in TOTAL and what
+    * it flags FIRST (its marginal contribution: docs no earlier,
+    * cheaper stage already caught). The "which dedup stages earn
+    * their cost" table: a stage whose first-flag count is near zero
+    * is pure overlap with its predecessors and can be dropped from
+    * the pipeline, however many docs it flags in total. The
+    * dedup-stage sibling of x43's quality-filter attribution.
+    *
+    * Pure integer: per-stage distinct id sets union with their stage
+    * rank, one min-rank aggregation per doc, counts and one floor
+    * division; stages with no flags report zeros, not absent rows.
+    *
+    * Scale: the flagged frames are already pair-relation outputs
+    * (bounded by duplicate volume, not corpus volume); the union +
+    * two hash aggregations key on the doc id.
+    *
+    * Output: (stage, stage_rank, n_flagged, n_first, marginal_micro
+    * — n_first over the corpus doc count), ordered by stage_rank. */
+  def cascadeAttribution(stages: Seq[(String, DataFrame)], idCol: String,
+      corpus: DataFrame): DataFrame = {
+    require(stages.nonEmpty, "cascadeAttribution: need at least one stage")
+    require(stages.map(_._1).distinct.length == stages.length,
+      s"cascadeAttribution: duplicate stage names in ${stages.map(_._1)}")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tagged = stages.zipWithIndex.map { case ((_, df), i) =>
+      df.select(col(idCol).as("id")).distinct()
+        .withColumn("__r", lit(i + 1))
+    }.reduce(_ unionAll _).localCheckpoint(true) // feeds both counts
+    val flagged = tagged.groupBy(col("__r"))
+      .agg(count(lit(1)).cast("bigint").as("n_flagged"))
+    val firsts = tagged.groupBy(col("id"))
+      .agg(min(col("__r")).as("__r"))
+      .groupBy(col("__r"))
+      .agg(count(lit(1)).cast("bigint").as("n_first"))
+    val n = corpus.agg(count(lit(1)).cast("bigint").as("__n"))
+    stages.zipWithIndex.map { case ((nm, _), i) => (nm, i + 1) }
+      .toDF("stage", "stage_rank")
+      .join(flagged, col("stage_rank") === col("__r"), "left").drop("__r")
+      .join(firsts, col("stage_rank") === col("__r"), "left").drop("__r")
+      .join(broadcast(n))
+      .select(col("stage"), col("stage_rank"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        expr("coalesce(n_first, 0L) * 1000000L div __n").as("marginal_micro"))
+      .orderBy(col("stage_rank"))
+  }
+
   /** Near-duplicate flow matrix: the x04 pair relation rolled up to
     * (source, source) cells — WHO duplicates WHOM at document-pair
     * granularity (x37's gram-overlap matrix says vocabularies

@@ -2137,6 +2137,30 @@ object ExtensionQueries {
   def x187(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingAnisotropy(emb(s, dir))
 
+  /** x188 dedup-cascade attribution — see
+    * [[graft.operators.Dedup.cascadeAttribution]]: exact →
+    * fingerprint → n-gram → embedding stages, each doc attributed to
+    * its FIRST flagging stage — which stages earn their cost. The
+    * embedding stage rides the fixture's vec_id ≡ doc_id alignment
+    * (the same contract x134 uses). */
+  def x188(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val h = d.select(col("doc_id").as("id"), md5(col("text")).as("__h"))
+    val exactF = h.join(
+      h.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1), "__h").select(col("id"))
+    def ends(pairs: DataFrame): DataFrame =
+      pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+    val fpF = ends(TextAnalysis.fingerprintDup(d, portableMd5 = true))
+    val ngF = ends(Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+      ngram = 3, prefixK = 8, minJaccard = 0.2))
+    val emF = ends(Dedup.embeddingNearDup(emb(s, dir), "vec_id", "embedding",
+      minCosine = 0.9, nPlanes = 6))
+    Dedup.cascadeAttribution(Seq(
+      "exact" -> exactF, "fingerprint" -> fpF,
+      "ngram" -> ngF, "embedding" -> emF), "id", d)
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2354,6 +2378,7 @@ object ExtensionQueries {
     "x185_dup_flow_matrix" -> (x185 _),
     "x186_threshold_token_savings" -> (x186 _),
     "x187_embedding_anisotropy" -> (x187 _),
+    "x188_dedup_cascade" -> (x188 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -6737,6 +6762,56 @@ object ExtensionQueries {
          |         END AS top_eigen_share_micro,
          |       CAST(6 AS BIGINT) AS iters
          |FROM nn CROSS JOIN tr CROSS JOIN fin""".stripMargin,
+
+    // Replays the dedup cascade: exact md5 groups, the x23 md5-60
+    // fingerprint pairs, the x04 n-gram pair relation, and the x05
+    // bucketed embedding pairs at cosine >= 0.9 (vec_id == doc_id by
+    // fixture contract) — per-doc min stage rank, per-stage totals.
+    "x188_dedup_cascade" ->
+      s"""$fingerprintCteSql,
+         |fpr AS (SELECT doc_id, hs[1:16] AS fp FROM h WHERE ng > 0),
+         |fpp AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |        FROM fpr a JOIN fpr b ON a.fp = b.fp
+         |                               AND a.doc_id < b.doc_id),
+         |$ngramPairsCteSql,
+         |bb AS (SELECT vec_id, embedding, ${bucketSql("embedding", 6)}
+         |         AS bucket
+         |       FROM embeddings WHERE len(embedding) = 64),
+         |ep AS (SELECT da, db FROM (
+         |         SELECT a.vec_id AS da, b2.vec_id AS db,
+         |           round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |             b2.embedding::DOUBLE[]), 6) AS c
+         |         FROM bb a JOIN bb b2 ON a.bucket = b2.bucket
+         |                             AND a.vec_id < b2.vec_id) t
+         |       WHERE c >= 0.9),
+         |exg AS (SELECT md5(text) AS hh, count(*) AS n FROM documents
+         |        GROUP BY 1),
+         |al AS (SELECT DISTINCT doc_id, r FROM (
+         |    SELECT d.doc_id, 1 AS r FROM documents d
+         |      JOIN exg ON md5(d.text) = exg.hh WHERE exg.n > 1
+         |    UNION ALL SELECT da, 2 FROM fpp
+         |    UNION ALL SELECT db, 2 FROM fpp
+         |    UNION ALL SELECT doc_a, 3 FROM pairs
+         |    UNION ALL SELECT doc_b, 3 FROM pairs
+         |    UNION ALL SELECT da, 4 FROM ep
+         |    UNION ALL SELECT db, 4 FROM ep) u),
+         |fl AS (SELECT r, CAST(count(*) AS BIGINT) AS n_flagged
+         |       FROM al GROUP BY 1),
+         |fr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_first FROM (
+         |         SELECT doc_id, min(r) AS r FROM al GROUP BY 1) m
+         |       GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |sp(stage, stage_rank) AS (VALUES ('exact', 1),
+         |  ('fingerprint', 2), ('ngram', 3), ('embedding', 4))
+         |SELECT sp.stage, sp.stage_rank,
+         |       coalesce(fl.n_flagged, 0) AS n_flagged,
+         |       coalesce(fr.n_first, 0) AS n_first,
+         |       CAST(coalesce(fr.n_first, 0) * 1000000 // nn.n AS BIGINT)
+         |         AS marginal_micro
+         |FROM sp LEFT JOIN fl ON fl.r = sp.stage_rank
+         |        LEFT JOIN fr ON fr.r = sp.stage_rank
+         |        CROSS JOIN nn
+         |ORDER BY sp.stage_rank""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

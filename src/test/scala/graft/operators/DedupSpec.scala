@@ -358,6 +358,24 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == out.map(_._4).sorted.reverse.toSeq)
   }
 
+  test("cascadeAttribution: first-flag attribution by stage order; " +
+      "empty stages report zeros") {
+    val corpus = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val a = Seq(1L, 2L, 2L).toDF("id")       // dup ids collapse
+    val b = Seq(2L, 3L).toDF("id")           // 2 already caught by a
+    val c = spark.emptyDataFrame.withColumn("id", lit(0L)).filter(lit(false))
+    val out = Dedup.cascadeAttribution(
+        Seq("a" -> a, "b" -> b, "c" -> c), "id", corpus)
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("a", 1, 2L, 2L, 200000L),
+      ("b", 2, 2L, 1L, 100000L),
+      ("c", 3, 0L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Dedup.cascadeAttribution(Seq("a" -> a, "a" -> b), "id", corpus)
+    }
+  }
+
   test("collisionProbExpr: the multiplication chain replays 1-(1-j^r)^b " +
       "exactly, with no pow()") {
     val e = Dedup.collisionProbExpr("j", 2, 2, "1.0D")

@@ -1346,6 +1346,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LocalTableScan"), plan)
   }
 
+  test("x188: stage relations union into two doc-keyed aggregations — " +
+    "no unpartitioned window, no cartesian") {
+    val df = ExtensionQueries.x188(spark, sf001)
+    assertNoGlobalWindowOverBase(df)
+    assert(!physical(df).contains("CartesianProduct"), physical(df))
+  }
+
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
     "(no per-row subquery execution)") {
     val plan = physical(RelationalQueries.q46(spark, sf001))
