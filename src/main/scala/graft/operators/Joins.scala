@@ -277,11 +277,17 @@ object Joins {
       cohortCol: String, cohortA: String, cohortB: String,
       buckets: Int): DataFrame = {
     require(buckets > 0, s"rankMatchedPairs: buckets must be positive, got $buckets")
+    // null-valued rows cannot enter the (value, id) total order — the
+    // cast itself can mint nulls (null input, or a non-numeric string)
+    // and withExactNtile raise_errors on them by contract, so they are
+    // dropped HERE, explicitly (mirrored by the oracle's IS NOT NULL):
+    // a row with no value has no rank and therefore no matched pair.
     val both = Rank.withExactNtile(
         rows
           .filter(col(cohortCol).isin(cohortA, cohortB))
           .select(col(idCol).as("id"), col(valueCol).cast("long").as("v"),
-            col(cohortCol).as("c")),
+            col(cohortCol).as("c"))
+          .filter(col("v").isNotNull),
         "v", "id", buckets, "bucket")
       .withColumn("pair_rank", row_number().over(
         Window.partitionBy(col("bucket"), col("c")).orderBy(col("v"), col("id"))))

@@ -35,15 +35,31 @@ object Rank {
     * boundary groups are the irreducible cost of ntile's tie-split
     * contract — only those groups rank row-by-row, and only by id.
     *
-    * Contracts: `valueCol` must be non-null (filter first); `idCol`
-    * must be distinct per row (it is the tie-break of a total order);
-    * descending value order is the caller negating the value column.
-    * For floats, −0.0/0.0 collapse consistently on both the histogram
-    * and the comparison path (SQL equality semantics).
+    * Contracts — ENFORCED in the plan, not just documented (both
+    * checks ride the boundary-spine path, so they fire before any
+    * tile is emitted and cost one aggregation already being paid):
+    *  - `valueCol` must be non-null: a null value has no place in the
+    *    (value, id) total order — the boundary equi-joins would drop
+    *    null-keyed boundary rows and silently mis-tile (null keys
+    *    never match), so a null value `raise_error`s instead; filter
+    *    or coalesce nulls first.
+    *  - value cardinality must stay ≤ `maxDistinct` (default 3e6, the
+    *    sortKeyAdvisor envelope): the histogram collapse is only a
+    *    collapse while distinct values ≪ rows — a continuous-double
+    *    column with per-row-unique values would degrade the "one
+    *    unpartitioned window over the histogram" into a near-global
+    *    sort, so past the envelope the plan `raise_error`s with a
+    *    quantize-first instruction rather than degrading silently.
+    *  - `idCol` must be distinct per row (it is the tie-break of a
+    *    total order); descending value order is the caller negating
+    *    the value column. For floats, −0.0/0.0 collapse consistently
+    *    on both the histogram and the comparison path (SQL equality
+    *    semantics).
     */
   def withExactNtile(rows0: DataFrame, valueCol: String, idCol: String,
-      tiles: Int, out: String): DataFrame = {
+      tiles: Int, out: String, maxDistinct: Long = 3000000L): DataFrame = {
     require(tiles > 0, s"withExactNtile: tiles must be positive, got $tiles")
+    require(maxDistinct >= 1, s"withExactNtile: maxDistinct must be positive, got $maxDistinct")
     if (tiles == 1) return rows0.withColumn(out, lit(1))
     val v = col(valueCol)
     val id = col(idCol)
@@ -54,9 +70,29 @@ object Rank {
     val histC = hist
       .withColumn("__nt_before", coalesce(sum(col("__nt_cnt")).over(wv), lit(0L)))
     // boundary ranks e_i = cumulative end of tile i (ntile's fill rule:
-    // the first n%t tiles hold n/t+1 rows)
-    val spine = histC
-      .agg(coalesce(sum(col("__nt_cnt")), lit(0L)).cast("long").as("__nt_n"))
+    // the first n%t tiles hold n/t+1 rows). The contract guards live
+    // HERE, on the pre-window histogram: the null check and the
+    // cardinality envelope both fire from the same single-row
+    // aggregate, before the cumulative window pays for a degenerate
+    // histogram (the raise_error rides __nt_n, which every boundary —
+    // and therefore every output tile — depends on).
+    val spine = hist
+      .agg(coalesce(sum(col("__nt_cnt")), lit(0L)).cast("long").as("__nt_n0"),
+        count(lit(1)).cast("long").as("__nt_card"),
+        max(col("__nt_v").isNull.cast("int")).as("__nt_hasnull"))
+      .select(
+        when(col("__nt_hasnull") === 1,
+          raise_error(lit(s"withExactNtile: column '$valueCol' contains " +
+            "nulls — a null has no place in the (value, id) total order; " +
+            "filter or coalesce nulls first")).cast("long"))
+        .when(col("__nt_card") > maxDistinct,
+          raise_error(concat(lit("withExactNtile: "),
+            col("__nt_card").cast("string"),
+            lit(s" distinct values in '$valueCol' exceed the " +
+              s"histogram-collapse envelope ($maxDistinct) — the tile " +
+              "histogram would approach row cardinality; quantize the " +
+              "value column first"))).cast("long"))
+        .otherwise(col("__nt_n0")).as("__nt_n"))
       .select(explode(sequence(lit(1L), lit((tiles - 1).toLong))).as("__nt_i"),
         expr(s"__nt_n div $tiles").as("__nt_base"),
         expr(s"__nt_n % $tiles").as("__nt_rem"))

@@ -1640,17 +1640,22 @@ object ExtensionQueries {
     * model-evaluation table a filter stack ships. */
   def x128(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.qualityScoreRaw
-    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     val pairs = Dedup.ngramJaccardNearDup(d, "doc_id", "text",
       ngram = 3, prefixK = 8, minJaccard = 0.2)
     val dupIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
       .withColumn("__dup", lit(1L))
-    d.select(col("doc_id"), col("n_chars").cast("long").as("__len"),
-        qualityScoreRaw(col("text")).as("__qr"))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("__qr").desc, col("doc_id"))))
+    // deciles via the histogram-tile primitive on the NEGATED score
+    // (exact sign flip of the exact-operand double — bit-identical to
+    // ntile(10) OVER (ORDER BY qr DESC, doc_id), which the oracle
+    // keeps), not a corpus-global window: the x159 discipline,
+    // closing VERDICT r10's last global-window offender.
+    graft.operators.Rank.withExactNtile(
+        d.select(col("doc_id"), col("n_chars").cast("long").as("__len"),
+            qualityScoreRaw(col("text")).as("__qr"))
+          .withColumn("__negq", negate(col("__qr"))),
+        "__negq", "doc_id", 10, "decile")
       .join(broadcast(dupIds), Seq("doc_id"), "left")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
@@ -4771,7 +4776,8 @@ object ExtensionQueries {
         |                   source AS c,
         |                   CAST(ntile(5) OVER (ORDER BY n_chars, doc_id)
         |                        AS INT) AS bucket
-        |            FROM documents WHERE source IN ('src0', 'src1')),
+        |            FROM documents WHERE source IN ('src0', 'src1')
+        |              AND n_chars IS NOT NULL),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket, c
         |                       ORDER BY v, id) AS INT) AS pair_rank
         |      FROM bt)

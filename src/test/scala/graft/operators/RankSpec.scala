@@ -58,6 +58,38 @@ class RankSpec extends SparkSpec {
       assert(exactTiles(rows, t) == windowTiles(rows, t), s"t=$t rows=$rows")
   }
 
+  test("guard: null values raise_error instead of silently mis-tiling") {
+    // pre-guard behavior: null boundary keys fell out of the equi-joins
+    // and every null row collapsed into tile 1 — now the contract is
+    // enforced in the plan (VERDICT r10 item 3 / ADVICE r10 medium)
+    val rows = Seq((1L, Some(3L)), (2L, None), (3L, Some(1L)))
+      .toDF("id", "v")
+    val e = intercept[Exception] {
+      Rank.withExactNtile(rows, "v", "id", 2, "tile").collect()
+    }
+    assert(e.getMessage.contains("contains nulls"), e.getMessage)
+  }
+
+  test("guard: distinct cardinality past maxDistinct raise_errors with " +
+    "a quantize-first instruction (continuous-double adversary)") {
+    // all-distinct doubles: the histogram IS the row frame — the exact
+    // degradation the envelope exists to catch
+    val rows = (1L to 500L).map(i => (i, i * 0.70000001)).toDF("id", "v")
+    val e = intercept[Exception] {
+      Rank.withExactNtile(rows, "v", "id", 10, "tile",
+        maxDistinct = 100L).collect()
+    }
+    assert(e.getMessage.contains("histogram-collapse envelope"), e.getMessage)
+    // the same frame under the envelope still matches the window form
+    val got = Rank.withExactNtile(rows, "v", "id", 10, "tile",
+        maxDistinct = 500L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val want = rows
+      .withColumn("tile", ntile(10).over(Window.orderBy(col("v"), col("id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == want)
+  }
+
   test("plan: no unpartitioned window over the row frame (histogram only)") {
     val df = Rank.withExactNtile(
       (1L to 100L).map(i => i -> (i % 5)).toDF("id", "v"), "v", "id", 4, "tile")

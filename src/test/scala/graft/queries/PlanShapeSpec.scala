@@ -782,8 +782,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("x128: dup membership broadcasts onto the decile frame — no corpus " +
-    "shuffle for the calibration join") {
-    val plan = physical(ExtensionQueries.x128(spark, sf001))
+    "shuffle for the calibration join, and the deciles are histogram " +
+    "tiles, not a corpus-global window (VERDICT r10 item 1)") {
+    val df = ExtensionQueries.x128(spark, sf001)
+    assertNoGlobalWindowOverBase(df)
+    val plan = physical(df)
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
@@ -1122,12 +1125,13 @@ class PlanShapeSpec extends SparkSpec {
     * de-globalized rank queries may keep global windows ONLY over
     * collapsed frames — below an aggregation (value histogram) or a
     * limit (top-k shortlist). */
-  private def assertNoGlobalWindowOverBase(df: DataFrame): Unit = {
+  private def globalWindowsOverBase(
+      df: DataFrame): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
     val inner = qe(df).executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val offenders = inner.collect {
+    inner.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty =>
         val collapsedBelow = w.child.collect {
@@ -1139,6 +1143,10 @@ class PlanShapeSpec extends SparkSpec {
         }
         (w, collapsedBelow)
     }.filter(_._2.isEmpty).map(_._1)
+  }
+
+  private def assertNoGlobalWindowOverBase(df: DataFrame): Unit = {
+    val offenders = globalWindowsOverBase(df)
     assert(offenders.isEmpty,
       s"unpartitioned Window over a non-collapsed frame:\n${offenders.mkString("\n")}")
   }
@@ -1351,6 +1359,40 @@ class PlanShapeSpec extends SparkSpec {
     val df = ExtensionQueries.x188(spark, sf001)
     assertNoGlobalWindowOverBase(df)
     assert(!physical(df).contains("CartesianProduct"), physical(df))
+  }
+
+  /** Queries sanctioned to carry an unpartitioned window over a
+    * non-collapsed frame (VERDICT r10 item 2): the r9/r10 one-by-one
+    * de-globalization is now an invariant — any future entry here
+    * needs a written justification like the one below.
+    *
+    * x158 sortKeyAdvisor: exact Spearman needs the PER-ROW rank of
+    * every candidate value against the id order — a global row_number
+    * is irreducible for the exact statistic (a histogram collapse
+    * yields tile ids, not per-row ranks). The window is sanctioned
+    * because it runs under a plan-ENFORCED envelope: the advisor
+    * raise_errors past maxRows ≤ 3e6 (Layout.scala sortKeyAdvisor,
+    * the r10-verified fix) — "advise on a sample" is the contract, so
+    * the global sort is bounded by construction, never corpus-sized. */
+  private val globalWindowAllowlist: Set[String] = Set("x158_sortkey_advisor")
+
+  test("blanket gate: NO declared query carries an unpartitioned window " +
+    "over a non-collapsed frame (the r9/r10 cleanup as an invariant)") {
+    // sweep EVERY SparkEntry.queries entry — a new query with a
+    // corpus-global ntile/row_number cannot land without either fixing
+    // it (Rank.withExactNtile / TopKScored) or justifying an allowlist
+    // entry; windows over histogram/spine/shortlist frames pass because
+    // an aggregation or limit sits below them (the collapse discipline)
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => globalWindowAllowlist.contains(name) }
+      .flatMap { case (name, fn) =>
+        val bad = scala.util.Try {
+          globalWindowsOverBase(fn(spark, sf001))
+        }.getOrElse(Nil) // a query that fails to BUILD is QueriesSpec's job
+        if (bad.isEmpty) Nil else Seq(s"$name: ${bad.head}")
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over a non-collapsed frame in:\n${offenders.mkString("\n")}")
   }
 
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
