@@ -103,38 +103,6 @@ object Layout {
       .parquet(path)
   }
 
-  /** Sort-key advisor: for each candidate column, the exact Spearman
-    * rank correlation between the table's CURRENT order (by `idCol`)
-    * and the candidate's sort order — the number that predicts what
-    * re-sorting buys: |ρ| near 1 means the data already lies in (or
-    * exactly against) that order, so min/max zone-maps prune well
-    * TODAY and a re-sort buys little; ρ near 0 means the column is
-    * shuffled against storage order and sorting by it would turn
-    * full scans of `WHERE col BETWEEN …` into a few row groups.
-    * Reported next to the distinct count (a 2-value column prunes
-    * coarsely however sorted).
-    *
-    * Exactness: both rankings tie-break on `idCol` (total orders),
-    * d = rank_current − rank_candidate is exact BIGINT, Σd² is exact
-    * BIGINT up to the enforced `maxRows` envelope (worst case
-    * Σd² = (n³−n)/3, which fits int64 to n ≈ 3.0·10⁶), and ρ uses
-    * the classic 1 − 6Σd²/(n(n²−1)) on those tie-broken ranks
-    * (stated contract: ties are broken, not midranked — the
-    * DETERMINISTIC variant, identical on any engine). The ρ term is
-    * computed in DOUBLE from the exact integer operands (casting the
-    * same exact BIGINT is IEEE-identical on every engine) and
-    * quantized ONCE to micro — the earlier all-integer form's
-    * 6·Σd²·10⁶ intermediate overflowed int64 from ~20k rows.
-    *
-    * Scale: each candidate costs two global rank windows over a
-    * 2-column projection — the advisor is a sampled/offline read by
-    * nature (run it on one table sample, not per batch). The
-    * `maxRows` contract is ENFORCED: a frame beyond it fails with
-    * raise_error instead of silently leaving the exact-Σd² envelope
-    * — advise on an md5-gated sample (the x70 pattern) instead.
-    *
-    * Output: (column, n, n_distinct, spearman_micro), ordered by
-    * column name. */
   /** Broadcast-eligibility advisor: for each table, a deterministic
     * in-memory size estimate against the broadcast threshold — the
     * planning read behind every "should this dimension broadcast"
@@ -175,6 +143,38 @@ object Layout {
     }.reduce(_ unionAll _).orderBy(col("table"))
   }
 
+  /** Sort-key advisor: for each candidate column, the exact Spearman
+    * rank correlation between the table's CURRENT order (by `idCol`)
+    * and the candidate's sort order — the number that predicts what
+    * re-sorting buys: |ρ| near 1 means the data already lies in (or
+    * exactly against) that order, so min/max zone-maps prune well
+    * TODAY and a re-sort buys little; ρ near 0 means the column is
+    * shuffled against storage order and sorting by it would turn
+    * full scans of `WHERE col BETWEEN …` into a few row groups.
+    * Reported next to the distinct count (a 2-value column prunes
+    * coarsely however sorted).
+    *
+    * Exactness: both rankings tie-break on `idCol` (total orders),
+    * d = rank_current − rank_candidate is exact BIGINT, Σd² is exact
+    * BIGINT up to the enforced `maxRows` envelope (worst case
+    * Σd² = (n³−n)/3, which fits int64 to n ≈ 3.0·10⁶), and ρ uses
+    * the classic 1 − 6Σd²/(n(n²−1)) on those tie-broken ranks
+    * (stated contract: ties are broken, not midranked — the
+    * DETERMINISTIC variant, identical on any engine). The ρ term is
+    * computed in DOUBLE from the exact integer operands (casting the
+    * same exact BIGINT is IEEE-identical on every engine) and
+    * quantized ONCE to micro — the earlier all-integer form's
+    * 6·Σd²·10⁶ intermediate overflowed int64 from ~20k rows.
+    *
+    * Scale: each candidate costs two global rank windows over a
+    * 2-column projection — the advisor is a sampled/offline read by
+    * nature (run it on one table sample, not per batch). The
+    * `maxRows` contract is ENFORCED: a frame beyond it fails with
+    * raise_error instead of silently leaving the exact-Σd² envelope
+    * — advise on an md5-gated sample (the x70 pattern) instead.
+    *
+    * Output: (column, n, n_distinct, spearman_micro), ordered by
+    * column name. */
   def sortKeyAdvisor(df: DataFrame, candidates: Seq[String],
       idCol: String, maxRows: Long = 2000000L): DataFrame = {
     require(candidates.nonEmpty, "sortKeyAdvisor: need candidate columns")

@@ -932,9 +932,13 @@ object Profile {
     * mappings dirty rows introduce.
     *
     * Pure integer: two exact distinct counts per pair, one
-    * subtraction. NULL handling is stated: countDistinct ignores
-    * all-null tuples identically on both engines, and a NULL B under
-    * a non-null A still counts as a distinct mapping.
+    * subtraction. NULL handling is stated for BOTH sides: a NULL B
+    * under a non-null A still counts as a distinct mapping (dirty
+    * data shows up as a violation), while a NULL DETERMINANT
+    * determines nothing — NULL-A rows are excluded from BOTH counts
+    * (FD semantics are defined over non-null determinant values;
+    * counting struct(null, b) only in the pair side would report a
+    * false violation from a single NULL-A row — ADVICE r10).
     *
     * Scale: ALL pairs ride ONE aggregation pass (conditional
     * expressions, never per-pair scans — the x177 shape) over the
@@ -951,9 +955,13 @@ object Profile {
       // struct, not multi-arg countDistinct: Spark's multi-arg form
       // SKIPS rows where any argument is null, while the oracle's
       // tuple distinct does not — the struct is non-null even when a
-      // field is, so both engines count the same mappings
+      // field is, so both engines count the same mappings. The `when`
+      // guard nulls the struct for NULL-A rows (countDistinct then
+      // skips them), matching n_det's own null-skipping — the oracle
+      // mirrors with CASE WHEN a IS NOT NULL THEN (a, b) END
       Seq(countDistinct(col(a)).as(s"__a$i"),
-        countDistinct(struct(col(a), col(b))).as(s"__ab$i"))
+        countDistinct(when(col(a).isNotNull, struct(col(a), col(b))))
+          .as(s"__ab$i"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
     pairs.zipWithIndex.map { case ((a, b), i) =>

@@ -2204,7 +2204,6 @@ object TextAnalysis {
     * the next sequence, depending on masking), and how much of the
     * final chunk is padding. The two numbers that decide chunk
     * length and whether document-boundary masking is worth its
-    * throughput cost for THIS corpus its
     * throughput cost for THIS corpus. Complements [[packSequences]]
     * (x31: whole-doc bin ids under a budget — docs never split) and
     * [[chunkDocuments]] (x33: per-doc char windows) — this one
@@ -2419,7 +2418,7 @@ object TextAnalysis {
     *
     * Scale: one doc pass → |sources| stat rows; one pair-relation
     * pass → per-source touch counts; the 1-row corpus totals
-    * broadcast. Output: (source, n_docs, tokens, token_share_micro,
+    * broadcast. Output: (source, n_docs, tokens, token_share_rest_micro,
     * mean_q_micro, loso_mean_q_micro, loso_delta_micro,
     * dup_pairs_touching), ordered by source; loso columns null for a
     * single-source corpus. */

@@ -6526,10 +6526,12 @@ object ExtensionQueries {
       fdPairs.map { case (a, b) =>
         s"""SELECT '$a' AS det, '$b' AS dep,
            |  CAST(count(DISTINCT $a) AS BIGINT) AS n_det,
-           |  CAST(count(DISTINCT ($a, $b)) AS BIGINT) AS n_pairs_distinct,
-           |  CAST(count(DISTINCT ($a, $b)) - count(DISTINCT $a) AS BIGINT)
-           |    AS violations,
-           |  count(DISTINCT ($a, $b)) = count(DISTINCT $a) AS holds
+           |  CAST(count(DISTINCT CASE WHEN $a IS NOT NULL THEN ($a, $b) END)
+           |    AS BIGINT) AS n_pairs_distinct,
+           |  CAST(count(DISTINCT CASE WHEN $a IS NOT NULL THEN ($a, $b) END)
+           |    - count(DISTINCT $a) AS BIGINT) AS violations,
+           |  count(DISTINCT CASE WHEN $a IS NOT NULL THEN ($a, $b) END)
+           |    = count(DISTINCT $a) AS holds
            |FROM events""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY det, dep"
     },

@@ -471,6 +471,21 @@ class ProfileSpec extends SparkSpec {
       ("id", "det1", 5L, 5L, 0L, true)))
   }
 
+  test("functionalDependencyAudit: NULL determinants are excluded from " +
+      "both counts — a null-A row cannot fake a violation (ADVICE r10)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a"), "x"), (2L, Option("a"), "x"),
+      (3L, Option("b"), "y"),
+      (4L, Option.empty[String], "z"))  // NULL determinant row
+      .toDF("id", "det1", "dep1")
+    val out = Profile.functionalDependencyAudit(df, Seq("det1" -> "dep1"))
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+    // pre-fix: n_pairs_distinct counted struct(null, z) → violations=1,
+    // holds=false despite the FD holding on every non-null determinant
+    assert(out.toSeq == Seq(("det1", "dep1", 2L, 2L, 0L, true)), out.toSeq)
+  }
+
   test("referentialIntegrityAudit: orphans vs null keys, intact edges") {
     import spark.implicits._
     val parent = Seq(10L, 20L).toDF("pk")
