@@ -484,25 +484,30 @@ object Profile {
     * fixed-width histogram (x09) can't give on heavy-tailed lengths,
     * and the binning a downstream length-matched sampler consumes.
     *
-    * Determinism: bucket assignment is `ntile(bins)` over the total
-    * order (value, key) — the key tie-break makes the bin boundary
-    * placement of tied values reproducible in any engine, so lo/hi/n
-    * are all value-checkable, not just the bucket count.
+    * Determinism: bucket assignment is the exact equi-depth tile over
+    * the per-group total order (value, key) —
+    * [[graft.operators.Rank.withExactNtileBy]], bit-identical to
+    * `ntile(bins) OVER (PARTITION BY group ORDER BY value, key)`
+    * (which the oracle keeps) — so the bin boundary placement of tied
+    * values is reproducible in any engine and lo/hi/n are all
+    * value-checkable, not just the bucket count.
     *
-    * Scale: ntile sorts each group inside one partition — exact by
-    * design, and the documented envelope is the same as
-    * [[winsorizedStats]]: beyond-memory groups take
-    * [[sampledQuantiles]]'s md5-60 sample for APPROXIMATE breakpoints
-    * first; this operator is the exact read (and the oracle anchor)
-    * below that line. Output: (groupCol, bin, n, lo, hi). */
+    * Scale: no group is ever sorted inside one task (the per-group
+    * `ntile` window's failure mode — the largest language IS most of
+    * a corpus). Tiles come from the (group, value) histogram plus a
+    * broadcast per-group boundary map; the value-cardinality envelope
+    * is ENFORCED in-plan by withExactNtileBy's raise_error guard —
+    * beyond-envelope value columns take [[sampledQuantiles]]'s md5-60
+    * sample for APPROXIMATE breakpoints first; this operator is the
+    * exact read (and the oracle anchor) below that line.
+    * Output: (groupCol, bin, n, lo, hi). */
   def equiDepthBins(df: DataFrame, keyCol: String, valueCol: String,
       groupCol: String, bins: Int): DataFrame = {
     require(bins > 0, s"equiDepthBins: bins must be positive, got $bins")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("__v"), col(keyCol))
-    df.select(col(groupCol), col(keyCol), col(valueCol).cast("long").as("__v"))
-      .withColumn("bin", ntile(bins).over(w))
+    Rank.withExactNtileBy(
+        df.select(col(groupCol), col(keyCol),
+          col(valueCol).cast("long").as("__v")),
+        groupCol, "__v", keyCol, bins, "bin")
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
         max(col("__v")).as("hi"))

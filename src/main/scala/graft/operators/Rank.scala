@@ -37,7 +37,12 @@ object Rank {
     *
     * Contracts — ENFORCED in the plan, not just documented (both
     * checks ride the boundary-spine path, so they fire before any
-    * tile is emitted and cost one aggregation already being paid):
+    * tile is emitted and cost one aggregation already being paid).
+    * EXEMPTION: `tiles == 1` short-circuits to `lit(1)` WITHOUT
+    * evaluating either guard — ntile(1) is the constant 1 whatever
+    * the values hold (nulls and cardinality included), so there is
+    * no boundary spine to ride and nothing the guards could protect;
+    * callers needing the guards at tiles=1 should validate upstream:
     *  - `valueCol` must be non-null: a null value has no place in the
     *    (value, id) total order — the boundary equi-joins would drop
     *    null-keyed boundary rows and silently mis-tile (null keys
@@ -130,5 +135,142 @@ object Rank {
         b => b.getField("v") < v ||
           (b.getField("v") === v && b.getField("id") < id)))).cast("int"))
       .drop("__nt_bnd")
+  }
+
+  /** Grouped form of [[withExactNtile]]: adds `out` = exact
+    * `ntile(tiles) OVER (PARTITION BY groupCol ORDER BY valueCol ASC,
+    * idCol ASC)` — bit-identical to the per-group window, including
+    * the +1-row leading buckets of each group's own fill rule and
+    * ties split by `idCol` — without EVER sorting a whole group
+    * inside one task (the per-group `ntile` window's failure mode:
+    * at corpus scale the largest language IS most of the corpus, so
+    * "partitioned by lang" still funnels tens of TB through a single
+    * WindowExec partition).
+    *
+    * The boundary-spine algebra of [[withExactNtile]] transfers
+    * unchanged because ntile's fill rule and tie-split are
+    * per-group-independent: the histogram is keyed (group, value);
+    * the cumulative window partitions BY GROUP over histogram rows
+    * (per-partition cardinality = the group's value codomain, never
+    * its row count); the boundary spine derives each group's t−1
+    * boundary ranks from that group's own row count; and the
+    * broadcast becomes a per-group boundary MAP — one array of
+    * ≤ t−1 (value, id) pairs per group, joined back by a broadcast
+    * hash join on the group key. Rows shuffle only inside the
+    * histogram aggregation; no window's partition ever exceeds a
+    * single (group, value) tie set or a group's value histogram.
+    *
+    * Contracts — enforced in-plan exactly as in [[withExactNtile]]
+    * (same tiles==1 exemption), riding one extra histogram-frame
+    * aggregate, plus one grouped-specific rule:
+    *  - `valueCol` non-null, as before.
+    *  - total (group, value) cardinality ≤ `maxDistinct`: the same
+    *    histogram-collapse envelope, now also bounding the broadcast
+    *    boundary map (≤ groups·(t−1) ≤ maxDistinct·(t−1) pairs;
+    *    realistic group keys — language, source, cohort — keep it
+    *    thousands of structs).
+    *  - `groupCol` must be non-null: the boundary map joins back by
+    *    group equality, and a null group key would silently drop out
+    *    of every equi-join (the exact failure the value-null guard
+    *    exists for) — coalesce null groups to a sentinel first.
+    */
+  def withExactNtileBy(rows0: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, tiles: Int, out: String,
+      maxDistinct: Long = 3000000L): DataFrame = {
+    require(tiles > 0, s"withExactNtileBy: tiles must be positive, got $tiles")
+    require(maxDistinct >= 1,
+      s"withExactNtileBy: maxDistinct must be positive, got $maxDistinct")
+    if (tiles == 1) return rows0.withColumn(out, lit(1))
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val id = col(idCol)
+    val rows = rows0.localCheckpoint(true) // feeds hist, boundary groups, output
+    val hist = rows.groupBy(g.as("__nt_g"), v.as("__nt_v"))
+      .agg(count(lit(1)).as("__nt_cnt"))
+    val wv = Window.partitionBy(col("__nt_g")).orderBy(col("__nt_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val histC = hist
+      .withColumn("__nt_before", coalesce(sum(col("__nt_cnt")).over(wv), lit(0L)))
+    // per-group row counts AND the guard inputs in ONE pass over the
+    // histogram (a separate guard-only aggregation would column-prune
+    // into a non-reusable exchange and re-scan the row frame — plan-
+    // verified); the result is one row per group, checkpointed so the
+    // guard and the spine don't re-run the histogram aggregation. All
+    // three guards then ride the spine via the broadcast join, so
+    // every group's boundaries — and therefore every output tile —
+    // depend on the raise_error column, firing before any tile emits
+    val gcounts = hist.groupBy(col("__nt_g"))
+      .agg(sum(col("__nt_cnt")).cast("long").as("__nt_n0"),
+        count(lit(1)).cast("long").as("__nt_vals"),
+        max(col("__nt_v").isNull.cast("int")).as("__nt_vnull"))
+      .localCheckpoint(true)
+    val guard = gcounts
+      .agg(coalesce(sum(col("__nt_vals")), lit(0L)).as("__nt_card"),
+        coalesce(max(col("__nt_vnull")), lit(0)).as("__nt_hasnull"),
+        coalesce(max(col("__nt_g").isNull.cast("int")), lit(0)).as("__nt_gnull"))
+    val gn = gcounts
+      .join(broadcast(guard))
+      .select(col("__nt_g").as("__nt_sg"),
+        when(col("__nt_hasnull") === 1,
+          raise_error(lit(s"withExactNtileBy: column '$valueCol' contains " +
+            "nulls — a null has no place in the (value, id) total order; " +
+            "filter or coalesce nulls first")).cast("long"))
+        .when(col("__nt_gnull") === 1,
+          raise_error(lit(s"withExactNtileBy: group column '$groupCol' " +
+            "contains nulls — a null group key drops out of the boundary " +
+            "equi-joins; coalesce null groups to a sentinel first")).cast("long"))
+        .when(col("__nt_card") > maxDistinct,
+          raise_error(concat(lit("withExactNtileBy: "),
+            col("__nt_card").cast("string"),
+            lit(s" distinct (group, value) pairs exceed the " +
+              s"histogram-collapse envelope ($maxDistinct) — the tile " +
+              "histogram would approach row cardinality; quantize the " +
+              "value column first"))).cast("long"))
+        .otherwise(col("__nt_n0")).as("__nt_n"))
+    // per-group boundary ranks from that group's own n (same fill rule)
+    val spine = gn
+      .select(col("__nt_sg"),
+        explode(sequence(lit(1L), lit((tiles - 1).toLong))).as("__nt_i"),
+        expr(s"__nt_n div $tiles").as("__nt_base"),
+        expr(s"__nt_n % $tiles").as("__nt_rem"))
+      .select(col("__nt_sg"), col("__nt_i"),
+        when(col("__nt_i") <= col("__nt_rem"),
+            col("__nt_i") * (col("__nt_base") + 1))
+          .otherwise(col("__nt_rem") * (col("__nt_base") + 1) +
+            (col("__nt_i") - col("__nt_rem")) * col("__nt_base")).as("__nt_e"))
+      .filter(col("__nt_e") >= 1)
+    // locate each group's boundary ranks inside that group's buckets
+    val bSpec = histC.join(broadcast(spine),
+        col("__nt_g") === col("__nt_sg") &&
+          col("__nt_before") < col("__nt_e") &&
+          col("__nt_e") <= col("__nt_before") + col("__nt_cnt"))
+      .select(col("__nt_g").as("__nt_bg"), col("__nt_v").as("__nt_bv"),
+        (col("__nt_e") - col("__nt_before")).as("__nt_o"))
+    // the o-th smallest id within each boundary (group, value) tie set —
+    // the only row-level ranking; every partition is ONE tie set
+    val wIn = Window.partitionBy(col("__nt_bg2"), col("__nt_bv2"))
+      .orderBy(col("__nt_bid2"))
+    val bPairs = rows
+      .select(g.as("__nt_bg2"), v.as("__nt_bv2"), id.as("__nt_bid2"))
+      .join(broadcast(bSpec.select(col("__nt_bg").as("__nt_bg2"),
+          col("__nt_bv").as("__nt_bv2")).distinct()),
+        Seq("__nt_bg2", "__nt_bv2"), "leftsemi")
+      .withColumn("__nt_rn", row_number().over(wIn))
+      .join(broadcast(bSpec),
+        col("__nt_bg2") === col("__nt_bg") &&
+          col("__nt_bv2") === col("__nt_bv") && col("__nt_rn") === col("__nt_o"))
+      .select(col("__nt_bg"),
+        struct(col("__nt_bv2").as("v"), col("__nt_bid2").as("id")).as("__nt_p"))
+    // the per-group boundary map: one array of ≤ t−1 pairs per group
+    // (duplicates kept for n_g < t, exactly as in the global form);
+    // every non-empty group has boundaries (e_1 ≥ 1 whenever n_g ≥ 1),
+    // so the broadcast hash join back is inner without loss
+    val arr = bPairs.groupBy(col("__nt_bg"))
+      .agg(collect_list(col("__nt_p")).as("__nt_bnd"))
+    rows.join(broadcast(arr), g === col("__nt_bg"))
+      .withColumn(out, (lit(1) + size(filter(col("__nt_bnd"),
+        b => b.getField("v") < v ||
+          (b.getField("v") === v && b.getField("id") < id)))).cast("int"))
+      .drop("__nt_bg", "__nt_bnd")
   }
 }

@@ -90,6 +90,101 @@ class RankSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- grouped form: withExactNtileBy ------------------------------
+
+  private def windowTilesBy(rows: Seq[(Long, String, Long)], t: Int): Map[Long, Int] =
+    rows.toDF("id", "g", "v")
+      .withColumn("tile", ntile(t).over(
+        Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+
+  private def exactTilesBy(rows: Seq[(Long, String, Long)], t: Int): Map[Long, Int] =
+    Rank.withExactNtileBy(rows.toDF("id", "g", "v"), "g", "v", "id", t, "tile")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+
+  test("grouped: unequal group sizes match the per-group ntile window, " +
+    "including a group with n < tiles") {
+    // group a: 11 rows with the hand-traced tie shape; group b: 3 rows
+    // (fewer than tiles=5 → tiles 1..3); group c: a single row (tile 1)
+    val a = Seq(1L -> 3L, 2L -> 7L, 3L -> 7L, 4L -> 1L, 5L -> 7L,
+      6L -> 7L, 7L -> 9L, 8L -> 2L, 9L -> 5L, 10L -> 8L, 11L -> 4L)
+      .map { case (id, v) => (id, "a", v) }
+    val b = Seq(101L -> 5L, 102L -> 5L, 103L -> 1L)
+      .map { case (id, v) => (id, "b", v) }
+    val c = Seq((201L, "c", 9L))
+    val rows = a ++ b ++ c
+    val got = exactTilesBy(rows, 5)
+    assert(got == windowTilesBy(rows, 5), got.toString)
+    // group a replays the global hand-trace (fill rule is per-group)
+    assert(got(2L) == 3 && got(5L) == 4, got.toString)
+    // group b degenerates to ranks 1..3; group c is tile 1
+    assert(got(103L) == 1 && got(101L) == 2 && got(102L) == 3 && got(201L) == 1)
+  }
+
+  test("grouped property: matches the per-group window on adversarial " +
+    "tie shapes across interleaved groups") {
+    val shapes = Seq(
+      // ties within and across groups, uneven sizes
+      (1L to 60L).map(i => (i, "g" + (i % 4), i % 3)),
+      // one group holds a single global tie set
+      (1L to 20L).map(i => (i, if (i <= 17) "big" else "small", 0L)),
+      // all-distinct values, group sizes divisible and not
+      (1L to 45L).map(i => (i, "g" + (i % 2), i)))
+    for (rows <- shapes; t <- Seq(2, 5, 8))
+      assert(exactTilesBy(rows, t) == windowTilesBy(rows, t), s"t=$t")
+  }
+
+  test("grouped guards: null value, null group, and the cardinality " +
+    "envelope all raise_error") {
+    val nullV = Seq((1L, Some("a"), Some(3L)), (2L, Some("a"), None))
+      .toDF("id", "g", "v")
+    val e1 = intercept[Exception] {
+      Rank.withExactNtileBy(nullV, "g", "v", "id", 2, "tile").collect()
+    }
+    assert(e1.getMessage.contains("contains nulls"), e1.getMessage)
+    val nullG = Seq((1L, Option.empty[String], Some(3L)), (2L, Some("a"), Some(1L)))
+      .toDF("id", "g", "v")
+    val e2 = intercept[Exception] {
+      Rank.withExactNtileBy(nullG, "g", "v", "id", 2, "tile").collect()
+    }
+    assert(e2.getMessage.contains("group column"), e2.getMessage)
+    val wide = (1L to 300L).map(i => (i, "g" + (i % 2), i)).toDF("id", "g", "v")
+    val e3 = intercept[Exception] {
+      Rank.withExactNtileBy(wide, "g", "v", "id", 4, "tile",
+        maxDistinct = 100L).collect()
+    }
+    assert(e3.getMessage.contains("histogram-collapse envelope"), e3.getMessage)
+  }
+
+  test("grouped plan: no window partitioned solely on the group key over " +
+    "the raw row frame — histogram and tie-set windows only") {
+    val df = Rank.withExactNtileBy(
+      (1L to 200L).map(i => (i, "g" + (i % 3), i % 7)).toDF("id", "g", "v"),
+      "g", "v", "id", 4, "tile")
+    val inner = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w")
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      // either the cumulative window over the (group, value) HISTOGRAM
+      // (an aggregation sits below), or the boundary row_number whose
+      // partition spec includes the VALUE column — each partition is
+      // one (group, value) tie set, never a whole group
+      assert(aggBelow.nonEmpty || w.partitionSpec.size >= 2,
+        s"window sorts a whole raw group in one task: $w")
+    }
+  }
+
   test("plan: no unpartitioned window over the row frame (histogram only)") {
     val df = Rank.withExactNtile(
       (1L to 100L).map(i => i -> (i % 5)).toDF("id", "v"), "v", "id", 4, "tile")

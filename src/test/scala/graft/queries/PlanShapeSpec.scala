@@ -666,15 +666,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("x113/x120: per-group windows hash-partition on the group key — never a " +
+  test("x120: per-user windows hash-partition on the user key — never a " +
     "single global partition") {
-    for ((q, key) <- Seq(
-        (ExtensionQueries.x113 _, "lang"),
-        (ExtensionQueries.x120 _, "u"))) {
-      val plan = physical(q(spark, sf001))
-      assert(plan.contains("Window"), plan)
-      assert(plan.contains(s"hashpartitioning($key"), plan)
+    val plan = physical(ExtensionQueries.x120(spark, sf001))
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("hashpartitioning(u"), plan)
+  }
+
+  test("x113: equi-depth bins are grouped histogram tiles — no window " +
+    "ever sorts a whole language group in one task (VERDICT r11 item 1)") {
+    // the old shape was ntile(8) OVER (PARTITION BY lang ORDER BY ...):
+    // partitioned, but each partition sorted the ENTIRE group inside
+    // one task — the largest language IS most of a corpus at 100×.
+    // withExactNtileBy's windows run only over (a) the (group, value)
+    // HISTOGRAM (an aggregation sits below) or (b) boundary tie sets
+    // (partition spec includes the VALUE column, so no partition
+    // exceeds one (group, value) tie set)
+    val df = ExtensionQueries.x113(spark, sf001)
+    val inner = qe(df).executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
     }
+    val windows = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the histogram cumulative window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window: $w")
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty || w.partitionSpec.size >= 2,
+        s"window sorts a whole raw group in one task: $w")
+    }
+    assert(!physical(df).contains("ntile("), "per-group ntile window is back")
   }
 
   test("x114/x116/x117: aggregation-first analytics — partial+final combine, " +
