@@ -571,7 +571,16 @@ object Sequences {
     * monetary_cents, r, f, m, segment). */
   def rfm(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
-    val per = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"),
+    // an event missing its timestamp or value is not a scoreable
+    // transaction — dropped HERE (oracle mirrors with IS NOT NULL), so
+    // no user can reach the quintile tiles with a null metric: a user
+    // whose events were ALL null-ts/null-value would otherwise carry
+    // null recency/monetary into withExactNtile, whose null guard
+    // raise_errors by contract (the rankMatchedPairs call-site
+    // discipline, applied to this call site per ADVICE r11)
+    val per = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"),
         col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
       .groupBy(col("u"))
       .agg(max(col("d")).as("__last"), count(lit(1)).as("frequency"),

@@ -1697,8 +1697,8 @@ object TextAnalysis {
     * threshold decision: if the top 3 deciles hold 80% of tokens at
     * 95% of quality, the cut pays for itself; a flat curve means
     * quality filtering buys selection, not savings. Deciles come
-    * from the exact-operand quality ranking (qualityScoreRaw desc,
-    * doc_id — a total order, so tile boundaries are engine-
+    * from the QUANTIZED quality ranking (qualityScore — round(qr, 6)
+    * — desc, doc_id; a total order, so tile boundaries are engine-
     * identical, the x128 discipline).
     *
     * Exactness: token counts are exact integers; cumulative sums are
@@ -1708,23 +1708,26 @@ object TextAnalysis {
     * Scale: deciles come from [[Rank.withExactNtile]] over the (doc,
     * score, tokens) projection — bit-identical to the `ntile` window
     * form, but the only unpartitioned window runs over the quality-
-    * score HISTOGRAM (bounded by the score codomain — the raw score
-    * is a 4-feature combination, so its cardinality saturates far
-    * below corpus row count), and only the ≤ 9 boundary tie groups
+    * score HISTOGRAM. The RAW score's alpha/punct ratio features make
+    * its distinct count grow ~O(docs) — past the 3e6 envelope the
+    * tile guard would deterministically raise_error — so the score is
+    * quantized to the 6-dp grid FIRST (ADVICE r11): the codomain is
+    * then ≤ 1e6+1 grid points in [0, 1] BY CONSTRUCTION, under the
+    * envelope at any corpus size. Only the ≤ 9 boundary tie groups
     * rank row-by-row, partitioned by score.
     *
     * Output: (decile, n_docs, tokens, cum_tokens, cum_share_micro),
     * deciles 1 (best) → 10. */
   def dataEfficiencyCurve(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    import graft.functions.TextFunctions.{qualityScoreRaw, words}
+    import graft.functions.TextFunctions.{qualityScore, words}
     import org.apache.spark.sql.expressions.Window
     val scored = Rank.withExactNtile(
       docs.select(col(idCol).as("doc_id"),
-          qualityScoreRaw(col(textCol)).as("__q"),
+          qualityScore(col(textCol)).as("__q"),
           size(words(col(textCol))).cast("bigint").as("__t"))
         // quality DESC ranks ascending on the NEGATED score (exact
-        // sign flip; the raw score is exact-operand double)
+        // sign flip of the 6-dp-quantized double)
         .withColumn("__negq", negate(col("__q"))),
       "__negq", "doc_id", 10, "decile")
     val byDec = scored.groupBy(col("decile"))

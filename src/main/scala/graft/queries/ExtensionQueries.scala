@@ -1634,27 +1634,29 @@ object ExtensionQueries {
       .orderBy(col("bin"))
 
   /** x128 quality-score calibration against dedup membership: docs in
-    * quality deciles (exact-arithmetic score, (qr DESC, id) total
+    * quality deciles (6-dp-quantized score, (q DESC, id) total
     * order) × whether the doc sits in any verified near-dup pair —
     * "does the quality score actually predict duplication", the
     * model-evaluation table a filter stack ships. */
   def x128(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.qualityScoreRaw
+    import graft.functions.TextFunctions.qualityScore
     val d = docs(s, dir)
     val pairs = Dedup.ngramJaccardNearDup(d, "doc_id", "text",
       ngram = 3, prefixK = 8, minJaccard = 0.2)
     val dupIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
       .withColumn("__dup", lit(1L))
-    // deciles via the histogram-tile primitive on the NEGATED score
-    // (exact sign flip of the exact-operand double — bit-identical to
-    // ntile(10) OVER (ORDER BY qr DESC, doc_id), which the oracle
-    // keeps), not a corpus-global window: the x159 discipline,
-    // closing VERDICT r10's last global-window offender.
+    // deciles via the histogram-tile primitive on the NEGATED score —
+    // QUANTIZED to the 6-dp grid first (ADVICE r11: the raw score's
+    // ratio features grow distinct values ~O(docs), which would trip
+    // the tile guard's 3e6 envelope at scale; round(qr, 6) bounds the
+    // codomain to ≤ 1e6+1 grid points in [0, 1] by construction).
+    // Bit-identical to ntile(10) OVER (ORDER BY q DESC, doc_id),
+    // which the oracle keeps — never a corpus-global window.
     graft.operators.Rank.withExactNtile(
         d.select(col("doc_id"), col("n_chars").cast("long").as("__len"),
-            qualityScoreRaw(col("text")).as("__qr"))
-          .withColumn("__negq", negate(col("__qr"))),
+            qualityScore(col("text")).as("__q"))
+          .withColumn("__negq", negate(col("__q"))),
         "__negq", "doc_id", 10, "decile")
       .join(broadcast(dupIds), Seq("doc_id"), "left")
       .groupBy(col("decile"))
@@ -4921,13 +4923,17 @@ object ExtensionQueries {
         |FROM m ORDER BY event_type""".stripMargin,
 
     // Replays rfm: exact decimal cents, global-anchor recency, the
-    // same (metric, user) ntile tie-breaks.
+    // same (metric, user) ntile tie-breaks; null-ts/null-value events
+    // are not scoreable transactions (mirrors rfm's pre-filter, which
+    // keeps null metrics out of the guarded quintile tiles).
     "x124_rfm" ->
       """WITH per AS (SELECT user_id AS u, max(CAST(ts AS DATE)) AS last_d,
         |                    CAST(count(*) AS BIGINT) AS frequency,
         |                    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
         |                         AS BIGINT) AS monetary_cents
-        |             FROM events GROUP BY 1),
+        |             FROM events
+        |             WHERE ts IS NOT NULL AND value IS NOT NULL
+        |             GROUP BY 1),
         |a AS (SELECT max(last_d) AS anchor FROM per),
         |s AS (SELECT u, CAST(anchor - last_d AS BIGINT) AS recency_days,
         |             frequency, monetary_cents,
@@ -5007,9 +5013,9 @@ object ExtensionQueries {
          |SELECT g.bin, g.n, CAST(g.n * 1000000 // t.tot AS BIGINT) AS share_micro
          |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
 
-    // Replays the calibration: the shared quality CTE's exact qr
-    // ranking, the x04 pair relation's node set as dup membership,
-    // integer micro rates.
+    // Replays the calibration: the shared quality CTE's 6-dp-quantized
+    // q ranking (mirrors x128's quantize-before-tile), the x04 pair
+    // relation's node set as dup membership, integer micro rates.
     "x128_quality_calibration" ->
       s"""WITH ${qualityCteSql("doc_id")},
          |$ngramPairsCteSql,
@@ -5017,7 +5023,7 @@ object ExtensionQueries {
          |          SELECT doc_a AS doc_id FROM pairs
          |          UNION ALL SELECT doc_b AS doc_id FROM pairs) u),
          |dec AS (SELECT doc_id,
-         |          CAST(ntile(10) OVER (ORDER BY qr DESC, doc_id) AS INT)
+         |          CAST(ntile(10) OVER (ORDER BY q DESC, doc_id) AS INT)
          |            AS decile
          |        FROM q),
          |j AS (SELECT dec.decile, d.n_chars,
@@ -5934,9 +5940,9 @@ object ExtensionQueries {
     // token counts from the same tokenizer, integer cumulative shares.
     "x159_data_efficiency" ->
       s"""WITH ${qualityCteSql("doc_id")},
-         |sc AS (SELECT q.doc_id, q.qr, CAST(len(w.ws) AS BIGINT) AS t
+         |sc AS (SELECT q.doc_id, q.q AS qs, CAST(len(w.ws) AS BIGINT) AS t
          |       FROM q JOIN w USING (doc_id)),
-         |dc AS (SELECT CAST(ntile(10) OVER (ORDER BY qr DESC, doc_id)
+         |dc AS (SELECT CAST(ntile(10) OVER (ORDER BY qs DESC, doc_id)
          |         AS INT) AS decile, t FROM sc),
          |bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
          |              CAST(sum(t) AS BIGINT) AS tokens

@@ -389,6 +389,33 @@ class SequencesSpec extends SparkSpec {
       (3L, 0L, 2L, 30L, 3, 3, 1, "331")))
   }
 
+  test("rfm: null-ts/null-value events are not scoreable — an all-null " +
+    "user drops out instead of tripping the quintile null guard") {
+    // ADVICE r11 (medium): pre-fix, user 9's all-null events produced
+    // null monetary_cents/recency_days, which withExactNtile
+    // raise_errors on; the pre-filter (mirrored by the oracle's
+    // IS NOT NULL) keeps null metrics out of the tiles entirely
+    val events = Seq(
+      (1L, Some(ts("2024-01-10 09:00:00")), Some(10.00)),
+      (2L, Some(ts("2024-01-08 09:00:00")), Some(1.50)),
+      (9L, None, None),
+      (9L, Option.empty[java.sql.Timestamp], Option.empty[Double]))
+      .toDF("user_id", "ts", "value")
+    val out = Sequences.rfm(events).orderBy($"user_id")
+      .select($"user_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L)) // user 9 gone, no raise_error
+    // a PARTIALLY-null user keeps only the scoreable rows
+    val mixed = Seq(
+      (1L, Some(ts("2024-01-10 09:00:00")), Some(10.00)),
+      (1L, None, Some(99.0)),
+      (2L, Some(ts("2024-01-08 09:00:00")), Some(1.50)))
+      .toDF("user_id", "ts", "value")
+    val m = Sequences.rfm(mixed).orderBy($"user_id")
+      .select($"user_id", $"frequency", $"monetary_cents")
+      .as[(Long, Long, Long)].collect()
+    assert(m.toSeq == Seq((1L, 1L, 1000L), (2L, 1L, 150L)))
+  }
+
   test("conversionAttribution: first view / latest click at-or-before each " +
       "purchase; later touches and touch-less purchases stay out") {
     val events = Seq(

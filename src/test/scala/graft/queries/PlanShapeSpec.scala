@@ -3,6 +3,7 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions.{col, count, lit, row_number, sum}
 
 /** Physical-plan shape assertions for the declared queries — the
   * properties that make the plans survive a 100× scale-up (SCALE.md):
@@ -1147,11 +1148,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
-  /** Round-10 pin (VERDICT r9 item 1): an unpartitioned Window over
-    * the raw doc/user frame funnels the corpus through ONE task. The
-    * de-globalized rank queries may keep global windows ONLY over
-    * collapsed frames — below an aggregation (value histogram) or a
-    * limit (top-k shortlist). */
+  /** Round-10 pin (VERDICT r9 item 1), tightened in round 12 (VERDICT
+    * r11 item 6): an unpartitioned Window over the raw doc/user frame
+    * funnels the corpus through ONE task. The de-globalized rank
+    * queries may keep global windows ONLY over collapsed frames, and
+    * "collapsed" now means one of three PROVEN shapes below the
+    * window, not merely "some aggregate exists":
+    *  - a limit (top-k shortlist frames);
+    *  - a GLOBAL aggregate, grouping keys empty (1-row spines and the
+    *    bounded-heap TopKScored collectors);
+    *  - a grouped aggregate below whose grouping-derived outputs cover
+    *    EVERY column the window orders by — then the window frame IS
+    *    the codomain of its own ordering key (the value-histogram
+    *    discipline: ntile/Gini/coverage windows run over
+    *    groupBy(value) frames ordered by value, and the design bounds
+    *    that codomain). An aggregate that merely passes rows through —
+    *    grouped by a near-row-cardinality key while the window orders
+    *    by an AGGREGATED output (e.g. groupBy(doc_id) under a window
+    *    ordered by sum(x), with doc_id only as tie-break) — no longer
+    *    counts as a collapse.
+    * Grouping-derived outputs are matched by exprId with a name
+    * fallback (final-mode aggregates alias grouping attrs in their
+    * resultExpressions; intervening Projects can re-mint exprIds). */
   private def globalWindowsOverBase(
       df: DataFrame): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
     val inner = qe(df).executedPlan match {
@@ -1160,16 +1178,32 @@ class PlanShapeSpec extends SparkSpec {
     }
     inner.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty =>
-        val collapsedBelow = w.child.collect {
-          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a: Any
-          case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a: Any
-          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a: Any
-          case l: org.apache.spark.sql.execution.GlobalLimitExec => l: Any
-          case l: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => l: Any
+          if w.partitionSpec.isEmpty => w
+    }.filterNot { w =>
+      val ordIds = w.orderSpec.flatMap(_.child.references.toSeq.map(_.exprId)).toSet
+      val ordNames = w.orderSpec.flatMap(_.child.references.toSeq.map(_.name)).toSet
+      val limits = w.child.collect {
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l: Any
+        case l: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => l: Any
+      }
+      val aggs = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      limits.nonEmpty || aggs.exists { a =>
+        a.groupingExpressions.isEmpty || {
+          val gset = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+            a.groupingExpressions.map(_.toAttribute))
+          val gOut = a.resultExpressions
+            .filter(re => re.references.nonEmpty && re.references.subsetOf(gset))
+            .map(_.toAttribute)
+          val gOutIds = gOut.map(_.exprId).toSet
+          val gOutNames = gOut.map(_.name).toSet
+          gOut.nonEmpty &&
+            ordIds.forall(gOutIds.contains) ||
+            (gOut.nonEmpty && ordNames.forall(gOutNames.contains))
         }
-        (w, collapsedBelow)
-    }.filter(_._2.isEmpty).map(_._1)
+      }
+    }
   }
 
   private def assertNoGlobalWindowOverBase(df: DataFrame): Unit = {
@@ -1397,11 +1431,37 @@ class PlanShapeSpec extends SparkSpec {
     * every candidate value against the id order — a global row_number
     * is irreducible for the exact statistic (a histogram collapse
     * yields tile ids, not per-row ranks). The window is sanctioned
-    * because it runs under a plan-ENFORCED envelope: the advisor
-    * raise_errors past maxRows ≤ 3e6 (Layout.scala sortKeyAdvisor,
-    * the r10-verified fix) — "advise on a sample" is the contract, so
-    * the global sort is bounded by construction, never corpus-sized. */
+    * because the advisor raise_errors past maxRows ≤ 3e6 (Layout.scala
+    * sortKeyAdvisor, the r10-verified fix). NOTE the enforcement is
+    * POST-HOC, not a pre-sort bound: the raise_error rides the
+    * post-window aggregate, so a beyond-envelope frame is sorted
+    * through the window BEFORE the count check trips — the guarantee
+    * is "errors rather than silently returns an unbounded result",
+    * not "never pays the sort". "Advise on a ≤ 3e6-row sample" is the
+    * documented contract; a caller who violates it pays one bounded-
+    * by-their-own-input sort and then gets the error (ADVICE r11). */
   private val globalWindowAllowlist: Set[String] = Set("x158_sortkey_advisor")
+
+  /** The blanket sweep body, factored out so the meta-test below can
+    * run it against injected adversaries. Returns (offenders,
+    * buildFailures) — a query whose plan fails to BUILD is a loud
+    * sweep failure, never a silent pass (VERDICT r11 item 6 / ADVICE
+    * r11: the old Try(...).getOrElse(Nil) turned exceptions into
+    * passes). */
+  private def sweepGlobalWindows(
+      queries: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)],
+      dir: String): (Seq[String], Seq[String]) = {
+    val results = queries.map { case (name, fn) =>
+      scala.util.Try(globalWindowsOverBase(fn(spark, dir))) match {
+        case scala.util.Success(bad) =>
+          (if (bad.isEmpty) Nil else Seq(s"$name: ${bad.head}"), Nil)
+        case scala.util.Failure(e) =>
+          (Nil, Seq(s"$name: plan failed to build — ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(200)}"))
+      }
+    }
+    (results.flatMap(_._1), results.flatMap(_._2))
+  }
 
   test("blanket gate: NO declared query carries an unpartitioned window " +
     "over a non-collapsed frame (the r9/r10 cleanup as an invariant)") {
@@ -1409,17 +1469,48 @@ class PlanShapeSpec extends SparkSpec {
     // corpus-global ntile/row_number cannot land without either fixing
     // it (Rank.withExactNtile / TopKScored) or justifying an allowlist
     // entry; windows over histogram/spine/shortlist frames pass because
-    // an aggregation or limit sits below them (the collapse discipline)
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) => globalWindowAllowlist.contains(name) }
-      .flatMap { case (name, fn) =>
-        val bad = scala.util.Try {
-          globalWindowsOverBase(fn(spark, sf001))
-        }.getOrElse(Nil) // a query that fails to BUILD is QueriesSpec's job
-        if (bad.isEmpty) Nil else Seq(s"$name: ${bad.head}")
-      }
+    // a PROVEN collapse sits below them (see globalWindowsOverBase)
+    val (offenders, buildFailures) = sweepGlobalWindows(
+      graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (name, _) => globalWindowAllowlist.contains(name) },
+      sf001)
+    assert(buildFailures.isEmpty,
+      s"queries whose plan failed to BUILD (the gate cannot vouch for " +
+        s"them):\n${buildFailures.mkString("\n")}")
     assert(offenders.isEmpty,
       s"unpartitioned Window over a non-collapsed frame in:\n${offenders.mkString("\n")}")
+  }
+
+  test("blanket gate meta-test: a build-failing query fails the sweep " +
+    "loudly, and a pass-through aggregate no longer counts as a collapse") {
+    import org.apache.spark.sql.SparkSession
+    val broken = ("zz_broken", (s: SparkSession, d: String) =>
+      graft.Tables.load(s, d, "documents").select(col("no_such_column")))
+    val (_, fails) = sweepGlobalWindows(Seq(broken), sf001)
+    assert(fails.nonEmpty && fails.head.contains("zz_broken"), fails.toString)
+    // adversary: groupBy a near-row-cardinality key, then a global
+    // window ordered by the AGGREGATED value — the old gate's
+    // any-aggregate-below rule passed this; the codomain rule must not
+    val adversary = ("zz_passthrough", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.Tables.load(s, d, "documents")
+        .groupBy(col("doc_id")).agg(sum(col("n_chars")).as("s"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("s"), col("doc_id"))))
+    })
+    val (offenders, _) = sweepGlobalWindows(Seq(adversary), sf001)
+    assert(offenders.nonEmpty && offenders.head.contains("zz_passthrough"),
+      offenders.toString)
+    // and the sanctioned histogram shape still passes: a global window
+    // ordered by the GROUPING key of the aggregate below it
+    val histogram = ("zz_hist", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.Tables.load(s, d, "documents")
+        .groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    })
+    val (histOff, histFails) = sweepGlobalWindows(Seq(histogram), sf001)
+    assert(histOff.isEmpty && histFails.isEmpty, (histOff ++ histFails).toString)
   }
 
   test("q46: correlated scalar subqueries decorrelate to aggregate-joins " +
