@@ -107,6 +107,75 @@ object RunCountsAgg extends Aggregator[String, RunCounts, RunCounts] {
   override def outputEncoder: Encoder[RunCounts] = Encoders.product[RunCounts]
 }
 
+/** One-pass centered-scatter moments for [[graft.operators.Similarity
+  * .embeddingAnisotropy]]: accumulates, over milli-quantized embedding
+  * vectors, the row count n, the per-dimension component sums
+  * s_i = Σ q_i, and the raw product sums P_ij = Σ q_i·q_j — packed as
+  * ONE Long array [n, s_0..s_{d−1}, P_00..P_{dd}] so partial
+  * aggregation (map-side combine) ships dim²+dim+1 longs per task and
+  * the shuffle is schema-bounded. The caller reconstructs the exact
+  * centered scatter via the integer identity
+  * S_ij = P_ij − mu_j·s_i − mu_i·s_j + n·mu_i·mu_j (mu = s div n,
+  * truncating toward zero — the same floor-division mean the de-
+  * exploded formulation used), replacing the posexplode self-join
+  * that materialized n·dim² intermediate rows (VERDICT r11 item 2).
+  *
+  * Quantization matches Spark's `round(cast(v AS double) * 1000.0)`
+  * bit-for-bit: BigDecimal.valueOf + HALF_UP is exactly the Round
+  * expression's double path, so results are hash-identical to the
+  * exploded form (unit-pinned on .5-boundary adversaries). Only the
+  * upper triangle accumulates (P is symmetric); finish() mirrors.
+  * Overflow envelope: |q| ≤ ~2e3 milli for unit-scale embeddings, so
+  * P_ij grows ~4e6·n — exact in Long to n ≈ 2e12 rows, the same
+  * envelope the exploded BIGINT aggregation had. */
+class ScatterMoments(dim: Int) extends Aggregator[Array[Float], Array[Long], Array[Long]] {
+  require(dim >= 1, s"ScatterMoments: dim must be positive, got $dim")
+
+  private def quantize(v: Float): Long =
+    java.math.BigDecimal.valueOf(v.toDouble * 1000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  override def zero: Array[Long] = new Array[Long](1 + dim + dim * dim)
+
+  override def reduce(buf: Array[Long], vec: Array[Float]): Array[Long] = {
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { q(i) = quantize(vec(i)); i += 1 }
+    buf(0) += 1L
+    i = 0
+    while (i < dim) {
+      buf(1 + i) += q(i)
+      var j = i // upper triangle only; finish() mirrors
+      val row = 1 + dim + i * dim
+      while (j < dim) { buf(row + j) += q(i) * q(j); j += 1 }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = {
+    var i = 1
+    while (i < dim) {
+      var j = 0
+      while (j < i) {
+        buf(1 + dim + i * dim + j) = buf(1 + dim + j * dim + i)
+        j += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoders.longArray
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoders.longArray
+}
+
 /** Shared typed encoders for aggregator buffers AND streaming state
   * ([[graft.streaming]]'s KMV processor stores the same Array[Long]
   * sketch) — one encoder definition per shape. */

@@ -682,13 +682,20 @@ object Similarity {
     * over three exact integers, quantized to micro. The scatter is
     * used UN-normalized — the share is invariant to the 1/n factor.
     *
-    * Scale: the only data-volume work is one self-join on the row id
-    * (n·dim² cell terms, collapsed by partial aggregation to dim²
-    * cells before the exchange). The iteration itself runs on the
-    * dim×dim matrix — bounded by the SCHEMA, not the data — driver-
-    * side in exact Long arithmetic (the x22/x26 exported-constant
-    * pattern: dim²-bounded state is a legitimate driver value; the
-    * oracle re-derives the same integers from the data in SQL).
+    * Scale: ONE typed aggregation over the vectors
+    * ([[graft.functions.ScatterMoments]]) accumulates n, the
+    * per-dimension sums, and the raw product sums per partition —
+    * dim²+dim+1 longs per task through the exchange, NO n·dim²
+    * intermediate rows (the posexplode self-join this replaced,
+    * VERDICT r11 item 2). The exact centered scatter is reconstructed
+    * from the moments by the integer identity
+    * S_ij = P_ij − mu_j·s_i − mu_i·s_j + n·mu_i·mu_j with the same
+    * truncating integer mean — bit-identical cells. The iteration
+    * itself runs on the dim×dim matrix — bounded by the SCHEMA, not
+    * the data — driver-side in exact Long arithmetic (the x22/x26
+    * exported-constant pattern: dim²-bounded state is a legitimate
+    * driver value; the oracle re-derives the same integers from the
+    * data in SQL).
     *
     * Output: 1 row — (n, dim, trace, top_eigen_share_micro, iters);
     * share null when the scatter is degenerate (all-equal vectors). */
@@ -698,26 +705,22 @@ object Similarity {
       s"embeddingAnisotropy: iters must be in [1, 16], got $iters")
     val spark = emb.sparkSession
     import spark.implicits._
-    val q = emb
+    val agg = new graft.functions.ScatterMoments(dim)
+    val m = emb
       .filter(size(col(vecCol)) === dim &&
         dot_product(col(vecCol), col(vecCol)) > 0)
-      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("d", "v")))
-      .select(col("id"), col("d"),
-        round(col("v").cast("double") * lit(1000.0)).cast("long").as("q"))
-      .localCheckpoint(true) // feeds the mean AND both join sides
-    val mu = q.groupBy(col("d")).agg(expr("sum(q) div count(1)").as("mu"))
-    val cent = q.join(broadcast(mu), "d")
-      .select(col("id"), col("d"), (col("q") - col("mu")).as("c"))
-      .localCheckpoint(true) // both sides of the scatter self-join
-    val cells = cent.toDF("id", "i", "ci")
-      .join(cent.toDF("id", "j", "cj"), "id")
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("ci") * col("cj")).cast("bigint").as("s"))
-    val n = cent.select(countDistinct(col("id"))).head().getLong(0)
-    // dim×dim exact integer matrix — schema-bounded driver state
-    val sMat = Array.ofDim[Long](dim, dim)
-    cells.collect().foreach(r =>
-      sMat(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      .select(col(vecCol)).as[Array[Float]]
+      .select(agg.toColumn)
+      .head() // [n, s_0..s_{d−1}, P_00..P_{dd}] — schema-bounded
+    val n = m(0)
+    val s = java.util.Arrays.copyOfRange(m, 1, 1 + dim)
+    // the truncating integer mean (Long / ≡ SQL div toward zero) and
+    // the exact centered-scatter reconstruction — dim×dim driver state
+    val mu = if (n == 0) new Array[Long](dim) else s.map(_ / n)
+    val sMat: Array[Array[Long]] = Array.ofDim[Long](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim)
+      sMat(i)(j) = m(1 + dim + i * dim + j) -
+        mu(j) * s(i) - mu(i) * s(j) + n * mu(i) * mu(j)
     val trace = (0 until dim).map(i => BigInt(sMat(i)(i))).sum
     // arbitrary-precision intermediates: u = S·w and wᵀSw exceed int64
     // at corpus scale; the oracle mirrors with DuckDB HUGEINT, so both

@@ -44,6 +44,47 @@ class AggregatorsSpec extends SparkSpec {
     assert(r == RunCounts(2, 2, 1))
   }
 
+  test("ScatterMoments: quantization is bit-identical to the SQL " +
+    "round(v*1000.0) it replaced, including .5-boundary adversaries") {
+    import org.apache.spark.sql.functions._
+    // HALF_UP away-from-zero boundaries, negatives, and a subnormal-ish
+    // tail — the values where HALF_EVEN/rint would diverge
+    val vals = Seq(0.0005f, -0.0005f, 0.0015f, -0.0015f, 1.9995f,
+      -1.9995f, 0.49999997f, -0.49999997f, 0.123456f, 2.0f, 0f)
+    val sqlQ = vals.toDF("v")
+      .select(round(col("v").cast("double") * lit(1000.0)).cast("long"))
+      .as[Long].collect().toSeq
+    val agg = new ScatterMoments(1)
+    val aggQ = vals.map { v =>
+      val buf = agg.reduce(agg.zero, Array(v))
+      buf(1) // s_0 after one row IS quantize(v)
+    }
+    assert(aggQ == sqlQ, s"agg=$aggQ sql=$sqlQ")
+  }
+
+  test("ScatterMoments: moments + integer identity reproduce the exact " +
+    "centered scatter of the exploded formulation (hand-checked)") {
+    val dim = 2
+    val agg = new ScatterMoments(dim)
+    // rows quantize to (1000, 2000), (3000, 1000), (2000, 3000)
+    val rows = Seq(Array(1f, 2f), Array(3f, 1f), Array(2f, 3f))
+    val merged = agg.finish(
+      rows.foldLeft(agg.zero)((b, r) => agg.reduce(b, r)))
+    val n = merged(0)
+    val s = merged.slice(1, 1 + dim)
+    assert(n == 3 && s.toSeq == Seq(6000L, 6000L))
+    val mu = s.map(_ / n) // (2000, 2000)
+    val S = Array.tabulate(dim, dim)((i, j) =>
+      merged(1 + dim + i * dim + j) - mu(j) * s(i) - mu(i) * s(j) + n * mu(i) * mu(j))
+    // exploded ground truth: c = q − mu → (−1000, 0), (1000, −1000), (0, 1000)
+    assert(S(0)(0) == 2000000L && S(1)(1) == 2000000L, S.map(_.toSeq).toSeq)
+    assert(S(0)(1) == -1000000L && S(1)(0) == -1000000L, S.map(_.toSeq).toSeq)
+    // merge associativity: splitting the rows across partials agrees
+    val p1 = rows.take(1).foldLeft(agg.zero)((b, r) => agg.reduce(b, r))
+    val p2 = rows.drop(1).foldLeft(agg.zero)((b, r) => agg.reduce(b, r))
+    assert(agg.finish(agg.merge(p1, p2)).toSeq == merged.toSeq)
+  }
+
   test("BottomKLongs over real fingerprint hashes per source") {
     import graft.functions.ShingleFunctions._
     import graft.functions.TextFunctions._
