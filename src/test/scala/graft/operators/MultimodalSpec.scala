@@ -46,6 +46,69 @@ class MultimodalSpec extends SparkSpec {
     b.array()
   }
 
+  /** Handcrafted WAV/RIFF bytes: canonical PCM layout, optionally with
+    * a LIST chunk inserted before "fmt " (real encoders emit those). */
+  private def wavBytes(rate: Int, channels: Int, bits: Int, frames: Int,
+      audioTag: Int = 1, listChunk: Boolean = false): Array[Byte] = {
+    val align = channels * (bits / 8)
+    val dataSize = frames * align
+    val listBytes = if (listChunk) 12 else 0
+    val riffSize = 4 + listBytes + 24 + 8 + dataSize
+    val b = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(riffSize).put("WAVE".getBytes)
+    if (listChunk) b.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(audioTag.toShort).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * align)
+      .putShort(align.toShort).putShort(bits.toShort)
+    b.put("data".getBytes).putInt(dataSize)
+    (0 until dataSize).foreach(i => b.put((i % 251).toByte))
+    b.array()
+  }
+
+  test("decodeWav: REAL bytes decode to (sample_rate, channels, n_frames) — " +
+      "PCM, float, LIST-prefixed, with malformed payloads rejected") {
+    assert(Multimodal.decodeWav(wavBytes(44100, 2, 16, 100))
+      .contains((44100, 2, 100)))
+    assert(Multimodal.decodeWav(wavBytes(8000, 1, 8, 37))
+      .contains((8000, 1, 37)))
+    // IEEE-float format tag, 32-bit
+    assert(Multimodal.decodeWav(wavBytes(48000, 4, 32, 5, audioTag = 3))
+      .contains((48000, 4, 5)))
+    // a LIST/INFO chunk before fmt must be walked over, not rejected
+    assert(Multimodal.decodeWav(wavBytes(22050, 1, 16, 64, listChunk = true))
+      .contains((22050, 1, 64)))
+    // malformed: text, wrong magic, inconsistent block align, bad
+    // format tag, zero channels, truncated data (frame count clamps)
+    assert(Multimodal.decodeWav(
+      ("RIFF is mentioned in this text but it is not a wave container " +
+        "padded to length").getBytes("UTF-8")).isEmpty)
+    val badMagic = wavBytes(44100, 2, 16, 10); badMagic(8) = 'X'.toByte
+    assert(Multimodal.decodeWav(badMagic).isEmpty)
+    val badAlign = wavBytes(44100, 2, 16, 10)
+    badAlign(32) = 7 // block_align != channels*bits/8
+    assert(Multimodal.decodeWav(badAlign).isEmpty)
+    val badTag = wavBytes(44100, 2, 16, 10, audioTag = 85)
+    assert(Multimodal.decodeWav(badTag).isEmpty)
+    val truncated = wavBytes(44100, 2, 16, 100).take(44 + 40) // 10 frames left
+    assert(Multimodal.decodeWav(truncated).contains((44100, 2, 10)))
+  }
+
+  test("extractFeatures routes WAV payloads through the REAL audio " +
+      "decoder: dims slots carry (sample_rate, channels, n_frames)") {
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "audio", wavBytes(16000, 2, 16, 25), "s", 0L),
+      Multimodal.MediaRecord(2L, "audio",
+        "not audio at all - just a plain text payload of decent length!!"
+          .getBytes("UTF-8"), "s", 0L))
+    val f = Multimodal.extractFeatures(spark.createDataset(rows)).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(f(1L).width == 16000 && f(1L).height == 2 && f(1L).n_frames == 25)
+    assert(f(2L).width >= 64 && f(2L).width < 64 + 1024) // stub envelope
+    assert(math.abs(f(1L).histogram.sum - 1.0) < 1e-9)
+  }
+
   test("decodeBmp: REAL bytes decode to their true dimensions — " +
       "bottom-up and top-down DIBs, with malformed payloads rejected") {
     assert(Multimodal.decodeBmp(bmpBytes(2, 3)).contains((2, 3, 1)))
