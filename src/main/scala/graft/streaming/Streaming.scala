@@ -597,6 +597,148 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class FdEvent(det: String, dep: String)
+  final case class FdViolation(det: String, dep: String, n_deps_seen: Long)
+
+  /** Streaming functional-dependency monitor — the live DQ twin of
+    * [[graft.operators.Profile.functionalDependencyAudit]] (x180):
+    * keyed by determinant value, state holds the distinct dependent
+    * values seen so far, and every arriving mapping whose dependent is
+    * NEW for a determinant that already has one emits a violation row
+    * — schema drift and dirty writers surface as they happen instead
+    * of in the nightly audit.
+    *
+    * Parity contract (test-pinned): the CUMULATIVE violation count
+    * over the stream equals the batch audit's
+    * distinct(A, B) − distinct(A) exactly — each determinant's first
+    * dependent is the legitimate mapping, every later distinct
+    * dependent is one extra (A, B) pair, which is precisely what the
+    * batch subtraction counts. NULL determinants determine nothing
+    * (the batch audit excludes them from BOTH counts) — the caller's
+    * wiring filters them before keying, mirroring that rule.
+    *
+    * Bounded state: at most `maxDeps` dependent values live per
+    * determinant. Past the cap (a determinant that dirty has already
+    * flagged maxDeps−1 times), new arrivals emit with n_deps_seen =
+    * −1 — a conservative OVER-approximation (repeats of an unstored
+    * dependent re-emit), never a miss; exact parity is the below-cap
+    * contract. Memory is O(keys·maxDeps) whatever the stream does. */
+  final class FdMonitorProcessor(maxDeps: Int)
+      extends StatefulProcessor[String, FdEvent, FdViolation] {
+    @transient private var seen: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[String, Long]("fd",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[FdEvent],
+        tv: TimerValues): Iterator[FdViolation] = {
+      // fold through a local map: one state read + one write per key
+      // per batch, not per input row (the MisraGries discipline)
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      seen.iterator().foreach { case (d, c) => m(d) = c }
+      val out = scala.collection.mutable.ArrayBuffer.empty[FdViolation]
+      rows.foreach { ev =>
+        m.get(ev.dep) match {
+          case Some(c) => m(ev.dep) = c + 1
+          case None if m.size < maxDeps =>
+            m(ev.dep) = 1L
+            if (m.size >= 2) out += FdViolation(key, ev.dep, m.size.toLong)
+          case None => // saturated: flag conservatively, store nothing
+            out += FdViolation(key, ev.dep, -1L)
+        }
+      }
+      seen.clear()
+      m.foreach { case (d, c) => seen.updateValue(d, c) }
+      out.iterator
+    }
+  }
+
+  /** [[FdMonitorProcessor]] wired onto a (determinant, dependent)
+    * mapping stream; same RocksDB provider requirement as
+    * [[sessionizeWithState]]. Callers filter NULL determinants first
+    * (the batch audit's own rule). */
+  def fdMonitorWithState(events: Dataset[FdEvent],
+      maxDeps: Int = 1024): Dataset[FdViolation] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.det)
+      .transformWithState(new FdMonitorProcessor(maxDeps),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  final case class RiEvent(kind: String, key: Long, row_id: Long)
+  final case class RiAlert(key: Long, row_id: Long, kind: String,
+    pending_children: Long)
+  /** Parent-seen flag + children that arrived before any parent. */
+  final case class RiState(parent_seen: Boolean, pending: Long)
+
+  /** Streaming referential-integrity monitor — the live DQ twin of
+    * [[graft.operators.Profile.referentialIntegrityAudit]] (x182):
+    * both sides of one FK edge flow through as a keyed event stream
+    * (kind "parent" registers a primary-key value; kind "child"
+    * references one), state per key holds (parent_seen, pending), and
+    *  - a child whose key has NO registered parent yet emits an
+    *    `orphan_candidate` alert with the running pending count;
+    *  - a parent arriving over pending children emits one `resolved`
+    *    row carrying how many candidates it cleared (out-of-order
+    *    ingestion, not a broken FK).
+    *
+    * Parity contract (test-pinned): Σ candidates − Σ resolved.pending
+    * = the batch audit's n_orphans over the same tables, per key and
+    * in total — a key whose parent never arrives keeps all its
+    * children pending (exactly the batch orphan rows); a key whose
+    * parent arrived contributes zero. Within a batch, parents
+    * register BEFORE children are checked (a micro-batch is a set —
+    * running the whole table as ONE batch reproduces the batch audit
+    * row-for-row), and children process in row_id order for
+    * deterministic pending counts. NULL child keys never reach the
+    * monitor (no key to group on) — the batch audit counts them
+    * separately as n_null_fk, same separation.
+    *
+    * Scale: state is two scalars per DISTINCT key; alerts are
+    * per-dirty-row, not per-row. */
+  final class RiMonitorProcessor
+      extends StatefulProcessor[Long, RiEvent, RiAlert] {
+    @transient private var st: ValueState[RiState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RiState]("ri",
+        org.apache.spark.sql.Encoders.product[RiState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[RiEvent],
+        tv: TimerValues): Iterator[RiAlert] = {
+      val batch = rows.toArray
+      var s = if (st.exists()) st.get() else RiState(parent_seen = false, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[RiAlert]
+      val parents = batch.filter(_.kind == "parent")
+      if (parents.nonEmpty && !s.parent_seen) {
+        if (s.pending > 0)
+          out += RiAlert(key, parents.map(_.row_id).min, "resolved", s.pending)
+        s = RiState(parent_seen = true, 0L)
+      }
+      batch.filter(_.kind == "child").sortBy(_.row_id).foreach { c =>
+        if (!s.parent_seen) {
+          s = s.copy(pending = s.pending + 1)
+          out += RiAlert(key, c.row_id, "orphan_candidate", s.pending)
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** [[RiMonitorProcessor]] wired onto a mixed parent/child FK-edge
+    * stream; same RocksDB provider requirement as
+    * [[sessionizeWithState]]. Callers route NULL child keys to their
+    * own n_null_fk accounting (the batch audit's separation). */
+  def riMonitorWithState(events: Dataset[RiEvent]): Dataset[RiAlert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new RiMonitorProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class TokenEvent(shard: Int, token: String)
   final case class HeavyHitter(shard: Int, token: String,
     cnt_min: Long, cnt_max: Long)

@@ -418,6 +418,118 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("fdMonitorWithState: cumulative violations match the batch FD " +
+      "audit's distinct(A,B) − distinct(A) on the fixture, split mid-key") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val evDf = graft.Tables.load(spark, sf001, "events")
+      // the x180 pair (user_id → event_type): dirty by construction —
+      // users carry several event types, so violations are plentiful
+      val maps = evDf
+        .filter(col("user_id").isNotNull) // the batch audit's NULL-A rule
+        .select(col("user_id").cast("string").as("det"),
+          col("event_type").as("dep"))
+        .as[Streaming.FdEvent].collect().toSeq.sortBy(e => (e.det, e.dep))
+      val expected = graft.operators.Profile.functionalDependencyAudit(
+          evDf, Seq("user_id" -> "event_type"))
+        .select(col("violations")).as[Long].head()
+
+      val in = MemoryStream[Streaming.FdEvent]
+      val q = Streaming.fdMonitorWithState(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("fd_parity").start()
+      val (b1, b2) = maps.splitAt(maps.length / 2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      q.stop()
+      val emitted = spark.table("fd_parity").as[Streaming.FdViolation].collect()
+      assert(emitted.length.toLong == expected, s"${emitted.length} vs $expected")
+      // every violation is a genuinely new mapping: (det, dep) unique,
+      // and counts per det step 2, 3, ... (the first dep never emits)
+      assert(emitted.map(v => (v.det, v.dep)).distinct.length == emitted.length)
+      emitted.groupBy(_.det).foreach { case (_, vs) =>
+        assert(vs.map(_.n_deps_seen).sorted.toSeq ==
+          (2L to vs.length + 1L).toSeq)
+      }
+    }
+  }
+
+  test("fdMonitorWithState: past maxDeps the monitor flags conservatively " +
+      "(n_deps_seen = −1) and state stays capped") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val in = MemoryStream[Streaming.FdEvent]
+      val q = Streaming.fdMonitorWithState(in.toDS(), maxDeps = 2)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("fd_cap").start()
+      in.addData(Seq("b1", "b2", "b3", "b3", "b4").map(Streaming.FdEvent("a", _)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("fd_cap").as[Streaming.FdViolation].collect()
+      // b1 stored silently, b2 stored + emitted (2), b3 saturates (−1)
+      // TWICE (unstored repeats re-emit — over-approximation, never a
+      // miss), b4 saturates (−1)
+      assert(got.map(v => (v.dep, v.n_deps_seen)).sorted.toSeq ==
+        Seq(("b2", 2L), ("b3", -1L), ("b3", -1L), ("b4", -1L)), got.mkString(","))
+    }
+  }
+
+  test("riMonitorWithState: candidates − resolved = the batch audit's " +
+      "n_orphans; one-batch replay reproduces it row-for-row") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      // break the customer→nation edge on purpose: parents above key
+      // 14 vanish, so their customers are REAL orphans
+      val nation = graft.Tables.load(spark, sf001, "nation")
+        .filter(col("n_nationkey") < 15)
+      val customer = graft.Tables.load(spark, sf001, "customer")
+      val expected = graft.operators.Profile.referentialIntegrityAudit(
+          Seq(("c", customer, "c_nationkey", nation, "n_nationkey")))
+        .select(col("n_orphans")).as[Long].head()
+      assert(expected > 0, "fixture must produce real orphans")
+
+      val parents = nation.select(col("n_nationkey").cast("long"))
+        .as[Long].collect().toSeq.sorted
+        .map(k => Streaming.RiEvent("parent", k, k))
+      val children = customer
+        .select(col("c_nationkey").cast("long"), col("c_custkey").cast("long"))
+        .as[(Long, Long)].collect().toSeq.sortBy(_._2)
+        .map { case (k, id) => Streaming.RiEvent("child", k, id) }
+
+      // run 1 — whole table as ONE batch: parents register first, so
+      // candidates == batch orphans exactly, zero resolutions
+      val in1 = MemoryStream[Streaming.RiEvent]
+      val q1 = Streaming.riMonitorWithState(in1.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ri_one").start()
+      in1.addData(parents ++ children); q1.processAllAvailable(); q1.stop()
+      val one = spark.table("ri_one").as[Streaming.RiAlert].collect()
+      assert(one.count(_.kind == "orphan_candidate").toLong == expected)
+      assert(!one.exists(_.kind == "resolved"))
+
+      // run 2 — children FIRST, parents in a later batch: every child
+      // is a candidate at first, resolutions then claw back exactly
+      // the difference vs the true orphan count
+      val in2 = MemoryStream[Streaming.RiEvent]
+      val q2 = Streaming.riMonitorWithState(in2.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ri_two").start()
+      in2.addData(children); q2.processAllAvailable()
+      in2.addData(parents); q2.processAllAvailable()
+      q2.stop()
+      val two = spark.table("ri_two").as[Streaming.RiAlert].collect()
+      val candidates = two.count(_.kind == "orphan_candidate").toLong
+      val resolved = two.filter(_.kind == "resolved").map(_.pending_children).sum
+      assert(candidates == children.length.toLong) // no parent seen yet
+      assert(candidates - resolved == expected, s"$candidates - $resolved vs $expected")
+      // per-key: resolved keys are exactly the surviving parents that
+      // had children
+      val resolvedKeys = two.filter(_.kind == "resolved").map(_.key).toSet
+      val childKeys = children.map(_.key).toSet
+      assert(resolvedKeys == parents.map(_.key).toSet.intersect(childKeys))
+    }
+  }
+
   test("transcriptsWithState: maxPathEvents caps the path, count and sum keep going") {
     withRocksDb {
       implicit val sc = spark.sqlContext
