@@ -269,28 +269,67 @@ object Joins {
     * bit-identical to `ntile` but derived from the value histogram and
     * ≤ buckets−1 broadcast boundary pairs instead of a corpus-global
     * window — and the within-bucket rank orders by the same pair, so
-    * every step replays identically in any engine. Scale: the only
-    * unpartitioned window runs over the value HISTOGRAM; the
-    * pair_rank window hash-partitions on (bucket, cohort). Output:
-    * (bucket, pair_rank, id_a, val_a, id_b, val_b, gap). */
+    * every step replays identically in any engine.
+    *
+    * Scale: the only unpartitioned windows run over value HISTOGRAMS.
+    * The within-(bucket, cohort) pair_rank is TWO-LEVEL (VERDICT r11
+    * item 8): a naive `row_number` partitioned by (bucket, cohort)
+    * still ranks n/buckets rows inside one task, so the rank
+    * decomposes as subtile offset + local rank — each (bucket,
+    * cohort) is first cut into `subtiles` exact equi-depth tiles over
+    * the SAME (value, id) order ([[Rank.withExactNtileBy]] keyed by
+    * the (bucket, cohort) struct), the row_number then partitions by
+    * (bucket, cohort, subtile) so no task ranks more than
+    * ≈ n/(buckets·subtiles) rows, and the global rank is recovered by
+    * adding each subtile's exact row-count offset (a
+    * buckets×2×subtiles aggregated frame, broadcast back). Tiles
+    * partition the total order contiguously, so offset + local rank
+    * IS the within-(bucket, cohort) row_number — bit-identical, the
+    * oracle unchanged. `subtiles = 1` keeps the single-window form.
+    *
+    * Output: (bucket, pair_rank, id_a, val_a, id_b, val_b, gap). */
   def rankMatchedPairs(rows: DataFrame, idCol: String, valueCol: String,
       cohortCol: String, cohortA: String, cohortB: String,
-      buckets: Int): DataFrame = {
+      buckets: Int, subtiles: Int = 8): DataFrame = {
     require(buckets > 0, s"rankMatchedPairs: buckets must be positive, got $buckets")
+    require(subtiles > 0, s"rankMatchedPairs: subtiles must be positive, got $subtiles")
     // null-valued rows cannot enter the (value, id) total order — the
     // cast itself can mint nulls (null input, or a non-numeric string)
     // and withExactNtile raise_errors on them by contract, so they are
     // dropped HERE, explicitly (mirrored by the oracle's IS NOT NULL):
     // a row with no value has no rank and therefore no matched pair.
-    val both = Rank.withExactNtile(
+    val bucketed = Rank.withExactNtile(
         rows
           .filter(col(cohortCol).isin(cohortA, cohortB))
           .select(col(idCol).as("id"), col(valueCol).cast("long").as("v"),
             col(cohortCol).as("c"))
           .filter(col("v").isNotNull),
         "v", "id", buckets, "bucket")
-      .withColumn("pair_rank", row_number().over(
+    val both = if (subtiles == 1) {
+      bucketed.withColumn("pair_rank", row_number().over(
         Window.partitionBy(col("bucket"), col("c")).orderBy(col("v"), col("id"))))
+    } else {
+      val sub = Rank.withExactNtileBy(
+          bucketed.withColumn("__bc", struct(col("bucket"), col("c"))),
+          "__bc", "v", "id", subtiles, "__sub")
+      val ranked = sub.withColumn("__r", row_number().over(
+        Window.partitionBy(col("bucket"), col("c"), col("__sub"))
+          .orderBy(col("v"), col("id"))))
+      // exact offsets: rows in EARLIER subtiles of the same (bucket,
+      // cohort) — a buckets×2×subtiles aggregated frame, windowed over
+      // subtile within each (bucket, cohort) and broadcast back
+      val counts = ranked.groupBy(col("bucket"), col("c"), col("__sub"))
+        .agg(count(lit(1)).as("__cnt"))
+      val wOff = Window.partitionBy(col("bucket"), col("c"))
+        .orderBy(col("__sub"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = counts
+        .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+        .select(col("bucket"), col("c"), col("__sub"), col("__off"))
+      ranked.join(broadcast(offs), Seq("bucket", "c", "__sub"))
+        .withColumn("pair_rank", (col("__off") + col("__r")).cast("int"))
+        .drop("__bc", "__sub", "__r", "__off")
+    }
     val a = both.filter(col("c") === cohortA)
       .select(col("bucket"), col("pair_rank"), col("id").as("id_a"),
         col("v").as("val_a"))

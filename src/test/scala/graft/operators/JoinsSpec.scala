@@ -216,4 +216,24 @@ class JoinsSpec extends SparkSpec {
       (1, 1, 1L, 10L, 4L, 12L, 2L),
       (1, 2, 2L, 20L, 5L, 18L, 2L)))
   }
+
+  test("rankMatchedPairs: the two-level subtiled rank is bit-identical to " +
+    "the single-window form on heavy ties and uneven cohorts") {
+    // 120 rows, fat tie groups (v = i % 7) and a 2:1 cohort imbalance —
+    // subtile boundaries land INSIDE tie groups, the exact case the
+    // offset + local-rank decomposition must get right
+    val rows = (1L to 120L)
+      .map(i => (i, i % 7, if (i % 3 == 0L) "B" else "A"))
+      .toDF("id", "v", "src")
+    def run(sub: Int) =
+      Joins.rankMatchedPairs(rows, "id", "v", "src", "A", "B",
+          buckets = 4, subtiles = sub)
+        .orderBy($"bucket", $"pair_rank")
+        .select($"bucket", $"pair_rank", $"id_a", $"id_b", $"gap")
+        .as[(Int, Int, Long, Long, Long)].collect().toSeq
+    val single = run(1)
+    assert(single.nonEmpty)
+    assert(run(8) == single)
+    assert(run(5) == single) // subtiles not dividing group sizes
+  }
 }

@@ -739,6 +739,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("x118: the pair_rank is two-level — no window ranks a whole " +
+    "(bucket, cohort) slice in one task (VERDICT r11 item 8)") {
+    // the r11 watch item: row_number OVER (PARTITION BY bucket, c
+    // ORDER BY v, id) put n/buckets rows in one task. Now every
+    // row-level window over the raw frame is either the subtiled rank
+    // (≥ 3 partition columns — (bucket, cohort, subtile)) or a
+    // boundary tie-set window (single ORDER column, the id tie-break,
+    // partitioned by value so each partition is one tie set); windows
+    // over aggregated frames (histograms, the subtile-offset counts)
+    // are exempt via the agg-below rule
+    val df = ExtensionQueries.x118(spark, sf001)
+    val inner = qe(df).executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty || w.partitionSpec.size >= 3 ||
+        w.orderSpec.size == 1,
+        s"window ranks a whole (bucket, cohort) slice in one task: $w")
+    }
+  }
+
   test("x119: coverage runs on the count histogram — token counting is " +
     "partial+final; the window sees histogram rows, not the vocabulary") {
     val df = ExtensionQueries.x119(spark, sf001)
