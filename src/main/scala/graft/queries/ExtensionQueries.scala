@@ -2190,12 +2190,33 @@ object ExtensionQueries {
       .orderBy(col("source"), col("verdict"))
   }
 
+  /** Bench probe (VERDICT r11 item 7): x159's decile-tile build on the
+    * WORST value column the maxDistinct guard admits — per-row-unique
+    * hash-derived values folded onto the 3e6 envelope grid, so the
+    * tile histogram is as large as the doc frame itself (distinct ≈
+    * rows). Times the histogram-collapse machinery at its legal
+    * ceiling, making the cost the guard's envelope permits VISIBLE in
+    * BENCH_r{N} instead of theoretical; the declared x159 (whose
+    * 6-dp-quantized score keeps the histogram ≤ 1e6+1 grid points) is
+    * the well-behaved sibling to compare against. */
+  private def x159TileHicard(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(s, dir).select(col("doc_id"),
+      (expr("conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)")
+        .cast("long") % lit(3000000L)).as("__hv"))
+    graft.operators.Rank.withExactNtile(hashed, "__hv", "doc_id", 10, "decile")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("decile"))
+  }
+
   /** Bench-only timing probes: scale-path variants of declared queries
-    * whose oracled form carries deliberate calibration overhead. Timed
-    * and reported by [[graft.Bench]] under "probes"; NOT part of
-    * [[all]] (no correctness row, no headline contribution). */
+    * whose oracled form carries deliberate calibration overhead or a
+    * scale envelope worth watching. Timed and reported by
+    * [[graft.Bench]] under "probes"; NOT part of [[all]] (no
+    * correctness row, no headline contribution). */
   val benchProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "x20_sketch_only" -> (x20SketchOnly _))
+    "x20_sketch_only" -> (x20SketchOnly _),
+    "x159_tile_hicard" -> (x159TileHicard _))
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "x01_exact_dedup" -> (x01 _),
