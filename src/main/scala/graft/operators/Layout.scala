@@ -169,9 +169,14 @@ object Layout {
     * Scale: each candidate costs two global rank windows over a
     * 2-column projection — the advisor is a sampled/offline read by
     * nature (run it on one table sample, not per batch). The
-    * `maxRows` contract is ENFORCED: a frame beyond it fails with
-    * raise_error instead of silently leaving the exact-Σd² envelope
-    * — advise on an md5-gated sample (the x70 pattern) instead.
+    * `maxRows` contract is ENFORCED twice (ADVICE r11): a PRE-WINDOW
+    * count gate — one cheap counting pass, its 1-row result broadcast
+    * into the projection feeding the windows, raise_error minted on
+    * the first row when the frame is over-envelope — fails BEFORE any
+    * global sort runs; the original post-aggregate check stays as
+    * defense in depth. A beyond-envelope frame therefore never pays
+    * the sort it is refusing — advise on an md5-gated sample (the x70
+    * pattern) instead.
     *
     * Output: (column, n, n_distinct, spearman_micro), ordered by
     * column name. */
@@ -182,8 +187,23 @@ object Layout {
       s"sortKeyAdvisor: maxRows must be in [2, 3e6] (exact-rank envelope), got $maxRows")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // the pre-window gate: count once, broadcast the 1-row result into
+    // the projection, and mint the raise_error ON THE ID every window
+    // consumes — an over-envelope frame throws while scanning, before
+    // either global sort starts
+    val pre = df.select(col(idCol).as("__id"))
+      .agg(count(lit(1)).cast("long").as("__n_pre"))
     candidates.map { c =>
-      df.select(col(idCol).as("__id"), col(c).as("__v"))
+      df.select(col(idCol).as("__id0"), col(c).as("__v"))
+        .join(broadcast(pre))
+        .select(
+          when(col("__n_pre") > lit(maxRows),
+            raise_error(concat(lit("sortKeyAdvisor: "),
+              col("__n_pre").cast("string"),
+              lit(s" rows exceed the exact-rank envelope ($maxRows); " +
+                "advise on a sample"))).cast(df.schema(idCol).dataType))
+            .otherwise(col("__id0")).as("__id"),
+          col("__v"))
         .withColumn("__rx", row_number().over(Window.orderBy(col("__id"))))
         .withColumn("__ry", row_number().over(
           Window.orderBy(col("__v"), col("__id"))))

@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * the reference's zip bytes, publish_to_catalog.py:317-320, are the
   * same pattern: bytes stay in-flight, never on local disk).
   *
-  * Decoders: BMP and WAV/RIFF payloads are decoded for REAL (pure-JVM
-  * header parses, [[Multimodal.decodeBmp]] and
-  * [[Multimodal.decodeWav]] — no native deps needed, so the decode
-  * seam demonstrably carries bytes-to-dimensions work for one image
-  * AND one audio container). This container ships no other
+  * Decoders: BMP, PNG, and WAV/RIFF payloads are decoded for REAL
+  * (pure-JVM header parses, [[Multimodal.decodeBmp]],
+  * [[Multimodal.decodePng]], and [[Multimodal.decodeWav]] — no native
+  * deps needed, so the decode seam demonstrably carries
+  * bytes-to-dimensions work for two image containers AND one audio
+  * container). This container ships no other
   * image/audio codecs, so every other format falls through to a
   * DETERMINISTIC STUB (clearly marked) deriving fake dimensions from
   * a content hash. Everything around the seam — schema contract,
@@ -129,6 +130,38 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for the PNG container — third pure-JVM codec behind
+    * the decode seam, same pattern as [[decodeBmp]]/[[decodeWav]]:
+    * the 8-byte signature (0x89 "PNG" CR LF 0x1A LF — the first byte
+    * is non-printable, so text payloads can never false-positive),
+    * then the mandatory FIRST chunk must be IHDR with its fixed
+    * 13-byte length: width and height as BIG-endian u32 (PNG is
+    * network order, unlike BMP/WAV), bit depth ∈ {1, 2, 4, 8, 16}
+    * and color type ∈ {0, 2, 3, 4, 6} per the spec's defined
+    * combinations (greyscale/truecolor/palette/alpha variants).
+    * Returns (width, height, 1) — a still image is its own frame;
+    * None for anything not a well-formed PNG header. */
+  private[operators] def decodePng(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    def be32(o: Int): Long = ((bytes(o) & 0xFFL) << 24) |
+      ((bytes(o + 1) & 0xFFL) << 16) | ((bytes(o + 2) & 0xFFL) << 8) |
+      (bytes(o + 3) & 0xFFL)
+    if (bytes.length < 33 || !sig.indices.forall(i => bytes(i) == sig(i))) None
+    else if (be32(8) != 13L || !"IHDR".zipWithIndex.forall {
+        case (ch, i) => bytes(12 + i) == ch.toByte }) None
+    else {
+      val w = be32(16)
+      val h = be32(20)
+      val bitDepth = bytes(24) & 0xFF
+      val colorType = bytes(25) & 0xFF
+      if (w >= 1 && w <= Int.MaxValue && h >= 1 && h <= Int.MaxValue &&
+        Set(1, 2, 4, 8, 16).contains(bitDepth) &&
+        Set(0, 2, 3, 4, 6).contains(colorType))
+        Some((w.toInt, h.toInt, 1))
+      else None
+    }
+  }
+
   /** === STUB ===  "decode" a non-BMP image: real codecs are
     * unavailable in this environment; dimensions derive
     * deterministically from 6-hex-digit slices of the md5 content
@@ -169,12 +202,13 @@ object Multimodal {
         // is what makes x12 oracle-checkable)
         md.reset()
         val contentHash = md.digest(bytes).map("%02x".format(_)).mkString
-        // real parses first (BMP headers, then WAV/RIFF — for audio
-        // the dims slots carry (width=sample_rate, height=channels,
-        // n_frames=frames): the schema contract keeps one features row
-        // shape per modality, as the scaladoc on MediaFeatures notes),
-        // stub for remaining formats
+        // real parses first (BMP and PNG headers, then WAV/RIFF — for
+        // audio the dims slots carry (width=sample_rate,
+        // height=channels, n_frames=frames): the schema contract keeps
+        // one features row shape per modality, as the scaladoc on
+        // MediaFeatures notes), stub for remaining formats
         val (w, ht, frames) = decodeBmp(bytes)
+          .orElse(decodePng(bytes))
           .orElse(decodeWav(bytes))
           .getOrElse(decodeImageStub(bytes, contentHash))
         MediaFeatures(m.media_id, m.modality, m.byte_len, contentHash,

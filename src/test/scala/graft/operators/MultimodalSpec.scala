@@ -109,6 +109,44 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f(1L).histogram.sum - 1.0) < 1e-9)
   }
 
+  /** Handcrafted PNG bytes: signature + IHDR (width/height BE u32,
+    * bit depth, color type) — header-only, which is all the decoder
+    * reads. */
+  private def pngBytes(w: Int, h: Int, bitDepth: Int = 8,
+      colorType: Int = 2): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes)
+      .putInt(w).putInt(h)
+      .put(bitDepth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compr/filter/interlace
+    b.array()
+  }
+
+  test("decodePng: REAL bytes decode to their true dimensions; network " +
+      "byte order respected; malformed payloads rejected") {
+    assert(Multimodal.decodePng(pngBytes(640, 480)).contains((640, 480, 1)))
+    assert(Multimodal.decodePng(pngBytes(3, 7, bitDepth = 1, colorType = 0))
+      .contains((3, 7, 1)))
+    // BE width 0x00000102 = 258 — a LE misread would give 0x02010000
+    assert(Multimodal.decodePng(pngBytes(258, 2)).contains((258, 2, 1)))
+    assert(Multimodal.decodePng(
+      "definitely not a png image, just some text of sufficient length"
+        .getBytes("UTF-8")).isEmpty)
+    val badDepth = pngBytes(4, 4, bitDepth = 3)
+    assert(Multimodal.decodePng(badDepth).isEmpty)
+    val badColor = pngBytes(4, 4, colorType = 5)
+    assert(Multimodal.decodePng(badColor).isEmpty)
+    val zeroW = pngBytes(0, 4)
+    assert(Multimodal.decodePng(zeroW).isEmpty)
+    assert(Multimodal.decodePng(pngBytes(4, 4).take(30)).isEmpty)
+    // extractFeatures routes PNG through the real decoder
+    val f = Multimodal.extractFeatures(spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image", pngBytes(12, 34), "s", 0L)))).head()
+    assert(f.width == 12 && f.height == 34 && f.n_frames == 1)
+  }
+
   test("decodeBmp: REAL bytes decode to their true dimensions — " +
       "bottom-up and top-down DIBs, with malformed payloads rejected") {
     assert(Multimodal.decodeBmp(bmpBytes(2, 3)).contains((2, 3, 1)))

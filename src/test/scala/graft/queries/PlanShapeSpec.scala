@@ -1460,15 +1460,14 @@ class PlanShapeSpec extends SparkSpec {
     * every candidate value against the id order — a global row_number
     * is irreducible for the exact statistic (a histogram collapse
     * yields tile ids, not per-row ranks). The window is sanctioned
-    * because the advisor raise_errors past maxRows ≤ 3e6 (Layout.scala
-    * sortKeyAdvisor, the r10-verified fix). NOTE the enforcement is
-    * POST-HOC, not a pre-sort bound: the raise_error rides the
-    * post-window aggregate, so a beyond-envelope frame is sorted
-    * through the window BEFORE the count check trips — the guarantee
-    * is "errors rather than silently returns an unbounded result",
-    * not "never pays the sort". "Advise on a ≤ 3e6-row sample" is the
-    * documented contract; a caller who violates it pays one bounded-
-    * by-their-own-input sort and then gets the error (ADVICE r11). */
+    * because the maxRows ≤ 3e6 envelope is enforced by a PRE-WINDOW
+    * count gate (round 12, closing ADVICE r11's post-hoc caveat): the
+    * frame's count broadcasts into the projection feeding the
+    * windows and raise_errors on the first row when over-envelope,
+    * so a beyond-envelope frame throws while scanning — it never
+    * pays the global sort it is refusing. The original post-aggregate
+    * check stays as defense in depth. "Advise on a ≤ 3e6-row sample"
+    * is the documented contract. */
   private val globalWindowAllowlist: Set[String] = Set("x158_sortkey_advisor")
 
   /** The blanket sweep body, factored out so the meta-test below can
