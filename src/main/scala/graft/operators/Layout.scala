@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Output-layout discipline — the WRITE side of a 100 TB pipeline.
   * Reading fast at scale is decided when the data is WRITTEN: directory
@@ -41,22 +41,26 @@ object Layout {
     * exactly what a training shuffle is for: adjacent docs share
     * nothing (no source/time runs from ingestion order).
     *
-    * Scale: one hash exchange on `shard` (nShards ≈ thousands —
-    * executor-sized output files) and a per-shard sort of corpus/nShards
-    * rows — the sort IS the deliverable (the within-shard read order),
-    * not an accident. Skew-free by construction: md5 buckets are
-    * uniform regardless of key distribution. */
+    * Scale: the within-shard position comes from the two-phase
+    * per-shard prefix sum (round 12,
+    * [[graft.operators.Rank.withGroupedPrefixSums]]) — the old
+    * `row_number` per shard sorted corpus/nShards rows in ONE task,
+    * fine at thousands of shards but a single-task wall at a handful;
+    * positions are bit-identical either way. Skew-free by
+    * construction: md5 buckets are uniform regardless of key
+    * distribution. */
   def shardAssignment(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"shardAssignment: nShards must be > 0, got $nShards")
-    import org.apache.spark.sql.expressions.Window
     // payload columns ride along: the one shard exchange yields the
     // training shards DIRECTLY — an id-only result would force callers
     // into a second corpus-scale join to recover the text
-    df.withColumn("__h", graft.functions.TextFunctions.md5Bucket60(col(idCol)))
-      .withColumn("shard", col("__h") % nShards)
-      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))))
-      .drop("__h")
+    graft.operators.Rank.withGroupedPrefixSums(
+        df.withColumn("__h", graft.functions.TextFunctions.md5Bucket60(col(idCol)))
+          .withColumn("shard", col("__h") % nShards)
+          .withColumn("__one", lit(1L)),
+        "shard", Seq(col("__h"), col(idCol)), Seq("__one" -> "pos"))
+      .withColumn("pos", col("pos").cast("int"))
+      .drop("__h", "__one")
   }
 
   /** Reshard movement plan — "what does changing the shard count

@@ -107,12 +107,18 @@ object Profile {
     val hashes = df.select(col(groupCol).as("grp"), checked.as("h"))
       .distinct()
       .localCheckpoint(true) // feeds the sketch AND the exact count
-    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
-    val sketch = hashes
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_min"), max(col("h")).as("kth"))
+    // round 12: the bottom-k is a bounded-heap aggregate (BottomKLongs
+    // — k longs per group per partition through the shuffle) instead
+    // of a per-group row_number window that sorted every group's full
+    // hash set in one task; n_min/kth read off the sorted k-array,
+    // bit-identically
+    val bk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BottomKLongs(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sketch = hashes.groupBy(col("grp"))
+      .agg(bk(col("h")).as("__bk"))
+      .select(col("grp"), size(col("__bk")).cast("long").as("n_min"),
+        expr("__bk[size(__bk) - 1]").as("kth"))
     val exact = hashes.groupBy(col("grp"))
       .agg(count(lit(1)).as("exact_distinct"))
     // 2^60 as an exact double; (k-1)·2⁶⁰ keeps ≤ 7 significant bits

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -272,5 +272,126 @@ object Rank {
         b => b.getField("v") < v ||
           (b.getField("v") === v && b.getField("id") < id)))).cast("int"))
       .drop("__nt_bg", "__nt_bnd")
+  }
+
+  /** Exact per-group running sums (and, with a ones column, the exact
+    * per-group `row_number`) over a caller-supplied total order —
+    * WITHOUT any window whose partition is a whole group. This is the
+    * primitive behind the round-12 de-globalization of the
+    * "PARTITION BY low-cardinality-key" window family (per-language
+    * packing/sampling/budget selection, per-segment rank statistics):
+    * `Window.partitionBy(lang)` LOOKS parallel, but each partition is
+    * an entire language — most of a corpus, through one task.
+    *
+    * Decomposition (the classic two-pass distributed prefix sum,
+    * expressed in DataFrame operations):
+    *  1. range-repartition by (group, order...) and stamp each row
+    *     with its partition id — every partition holds a CONTIGUOUS
+    *     slice of the group-major total order (a group may span many
+    *     partitions; that is the point). The frame is checkpointed so
+    *     both passes read ONE frozen partition assignment.
+    *  2. per-(partition, group) weight totals — a tiny P×groups
+    *     frame — take a per-group cumulative window ORDERED BY
+    *     partition id (runs over the tiny frame) to yield each
+    *     (partition, group) cell's offset: the weight mass of the
+    *     group in all EARLIER partitions.
+    *  3. a window partitioned by (partition id, group) computes the
+    *     LOCAL running sum — its partition never exceeds one range
+    *     partition (≈ n/P rows), whatever the group sizes are — and
+    *     the broadcast offset join lifts local to global.
+    *
+    * The output is independent of WHERE the range boundaries fall
+    * (offset + local sum telescopes identically for any contiguous
+    * cut), so range-sampling variability never reaches the result;
+    * determinism needs only what the window form itself needed — that
+    * `orderCols` is a total order (tie-break on a unique id).
+    *
+    * `weights` maps existing column names to output names; each output
+    * is the INCLUSIVE running sum of that column (exclusive = out −
+    * weight; row_number = running sum of a `lit(1L)` column). Weight
+    * nulls are skipped by sum on both paths, matching the window form.
+    * Group nulls are joined null-safely (they form their own group,
+    * as PARTITION BY treats them). `orderCols` may carry `.desc`.
+    */
+  def withGroupedPrefixSums(rows0: DataFrame, groupCol: String,
+      orderCols: Seq[Column], weights: Seq[(String, String)],
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(weights.nonEmpty, "withGroupedPrefixSums: need weight columns")
+    require(orderCols.nonEmpty, "withGroupedPrefixSums: need order columns")
+    val g = col(groupCol)
+    val spark = rows0.sparkSession
+    val p = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val ranged = rows0
+      .repartitionByRange(p, (g +: orderCols): _*)
+      .sortWithinPartitions((g +: orderCols): _*)
+      .withColumn("__pp_pid", spark_partition_id())
+      .localCheckpoint(true) // ONE frozen partition assignment, both passes
+    // pass 1: per-(partition, group) totals → per-group running offsets
+    // over the tiny P×groups frame (window ordered by pid, agg below)
+    val totals = ranged.groupBy(col("__pp_pid"), g.as("__pp_g"))
+      .agg(weights.map { case (w, _) =>
+        sum(col(w)).as(s"__pp_t_$w") }.head,
+        weights.drop(1).map { case (w, _) => sum(col(w)).as(s"__pp_t_$w") }: _*)
+    val wOff = Window.partitionBy(col("__pp_g")).orderBy(col("__pp_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // no coalesce: a null offset means "no non-null weight in any
+    // earlier partition", which the final reconstruction needs to
+    // tell apart from a zero sum (window null semantics)
+    val offs = weights.foldLeft(totals) { case (df, (w, _)) =>
+      df.withColumn(s"__pp_o_$w", sum(col(s"__pp_t_$w")).over(wOff))
+    }.select(col("__pp_pid").as("__pp_pid2") +: col("__pp_g") +:
+      weights.map { case (w, _) => col(s"__pp_o_$w") }: _*)
+    // pass 2: local running sums ride mapPartitions over the ALREADY
+    // range-sorted checkpoint — no window, no extra exchange; the
+    // per-task state is one accumulator per weight, reset on group
+    // change (rows of a group are contiguous within the partition by
+    // the range sort). Weight columns must be integral (cast first);
+    // running-sum null semantics match the window form: the local sum
+    // is null until the slice has seen a non-null weight
+    val inSchema = ranged.schema
+    val gIdx = inSchema.fieldIndex(groupCol)
+    val wIdxs = weights.map { case (w, _) => inSchema.fieldIndex(w) }.toArray
+    val outSchema = org.apache.spark.sql.types.StructType(inSchema.fields ++
+      weights.map { case (w, _) => org.apache.spark.sql.types.StructField(
+        s"__pp_l_$w", org.apache.spark.sql.types.LongType, nullable = true) })
+    val nW = weights.size
+    val local = ranged.mapPartitions { it =>
+      var started = false
+      var cur: Any = null
+      val sums = new Array[Long](nW)
+      val seen = new Array[Boolean](nW)
+      it.map { r =>
+        val gv = r.get(gIdx)
+        if (!started || gv != cur) {
+          started = true; cur = gv
+          java.util.Arrays.fill(sums, 0L)
+          java.util.Arrays.fill(seen, false)
+        }
+        val extra = new Array[Any](nW)
+        var i = 0
+        while (i < nW) {
+          val v = r.get(wIdxs(i))
+          if (v != null) {
+            sums(i) += v.asInstanceOf[Number].longValue()
+            seen(i) = true
+          }
+          extra(i) = if (seen(i)) java.lang.Long.valueOf(sums(i)) else null
+          i += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val joined = local.join(broadcast(offs),
+      col("__pp_pid") === col("__pp_pid2") && (g <=> col("__pp_g")))
+    weights.foldLeft(joined) { case (df, (w, out)) =>
+      // a slice whose prefix holds only null weights carries the
+      // earlier-partition offset alone (the window form's semantics:
+      // null only when NO non-null weight precedes the row anywhere)
+      df.withColumn(out,
+        when(col(s"__pp_l_$w").isNull, col(s"__pp_o_$w"))
+          .otherwise(coalesce(col(s"__pp_o_$w"), lit(0L)) + col(s"__pp_l_$w"))
+          .cast("long"))
+    }.drop("__pp_pid", "__pp_pid2", "__pp_g")
+      .drop(weights.flatMap { case (w, _) => Seq(s"__pp_o_$w", s"__pp_l_$w") }: _*)
   }
 }

@@ -228,26 +228,25 @@ object TextAnalysis {
     * token counts are integers; the budget comparison is integer — so
     * kept/dropped is engine-exact, no rank flip can move the cut.
     *
-    * Scale: one window per group (one hash exchange on `groupCol` +
-    * per-group sort). A single giant group is the classic window skew;
-    * the scale path pre-cuts the sorted mass with a quality threshold
-    * from [[graft.operators.Profile.sampledQuantiles]] (drop the
-    * bottom quartiles cheaply, window only the survivors) — same
-    * result as long as the cut keeps ≥ budget tokens per group. */
+    * Scale: rank and cumulative mass both come from ONE
+    * [[graft.operators.Rank.withGroupedPrefixSums]] pass (round 12) —
+    * the per-group window form sorted a whole language in one task;
+    * the two-phase prefix sum bounds every window partition by the
+    * range-partition size, bit-identically. A quality pre-cut from
+    * [[graft.operators.Profile.sampledQuantiles]] remains the cheap
+    * first trim when most mass is far below the cut. */
   def tokenBudgetSelect(docs: DataFrame, groupCol: String, budget: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(budget > 0, s"tokenBudgetSelect: budget must be > 0, got $budget")
     import graft.functions.TextFunctions
-    import org.apache.spark.sql.expressions.Window
     val ranked = docs.select(col(groupCol), col(idCol),
       TextFunctions.qualityScoreRaw(col(textCol)).as("__qr"),
       TextFunctions.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("__qr").desc, col(idCol))
-    ranked
-      .withColumn("rank", row_number().over(w))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__one", lit(1L))
+    Rank.withGroupedPrefixSums(ranked, groupCol,
+        Seq(col("__qr").desc, col(idCol)),
+        Seq("__one" -> "rank", "n_tokens" -> "cum_tokens"))
+      .withColumn("rank", col("rank").cast("int"))
       .withColumn("kept", (col("cum_tokens") - col("n_tokens")) < budget)
       .select(col(groupCol), col("rank"), col(idCol),
         round(col("__qr"), 6).as("quality"),
@@ -274,11 +273,12 @@ object TextAnalysis {
     * `weightCol` must be a non-negative integer column; zero-weight
     * rows occupy no interval and are never drawn.
     *
-    * Scale design: one window per stratum ((hash, key) sort after a
-    * single exchange on `strataCol`) — partition-parallel across
-    * strata; a stratum too large for one task takes the two-level
-    * refinement (systematic-sample each md5-bucket sub-stratum, then
-    * resample), same algebra. No collect, nothing broadcasts.
+    * Scale design (round 12): the cumulative weight comes from
+    * [[graft.operators.Rank.withGroupedPrefixSums]] — per-range local
+    * cumsum plus broadcast per-(range, stratum) offsets — so NO task
+    * ever sorts a whole stratum; the stratum total is a plain
+    * aggregate broadcast back (the old partition-only window
+    * buffered the entire stratum in one task for a group sum).
     *
     * Output: picked rows only — (strataCol, keyCol, weight,
     * cum_weight, pick_no), pick_no strictly increasing within a
@@ -286,15 +286,19 @@ object TextAnalysis {
   def systematicSample(df: DataFrame, keyCol: String, weightCol: String,
       strataCol: String, k: Int): DataFrame = {
     require(k > 0, s"systematicSample: k must be positive, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(col("__h"), col(keyCol))
-    df.select(col(strataCol), col(keyCol),
-        col(weightCol).cast("long").as("__w"),
-        md5(col(keyCol).cast("string")).as("__h"))
-      .withColumn("__cum", sum(col("__w")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__tot", sum(col("__w")).over(Window.partitionBy(col(strataCol))))
+    // round 12: the per-stratum cumulative weight comes from the
+    // two-phase prefix sum (no whole-stratum single-task sort), and
+    // the stratum total from a plain aggregate broadcast back — the
+    // old partition-only window buffered the whole stratum in one
+    // task for what is just a group sum
+    val based = df.select(col(strataCol), col(keyCol),
+      col(weightCol).cast("long").as("__w"),
+      md5(col(keyCol).cast("string")).as("__h"))
+    val tots = based.groupBy(col(strataCol).as("__pp_ts"))
+      .agg(sum(col("__w")).as("__tot"))
+    Rank.withGroupedPrefixSums(based, strataCol,
+        Seq(col("__h"), col(keyCol)), Seq("__w" -> "__cum"))
+      .join(broadcast(tots), col(strataCol) <=> col("__pp_ts"))
       .withColumn("__stride", greatest(lit(1L), expr(s"__tot div $k")))
       .filter(expr("__cum div __stride > (__cum - __w) div __stride"))
       .select(col(strataCol), col(keyCol), col("__w").as("weight"),
@@ -392,25 +396,24 @@ object TextAnalysis {
     * deterministic and SQL-recomputable — unlike greedy first-fit,
     * which needs sequential state.
     *
-    * Scale note: the window sorts and cumsums each stratum in ONE
-    * task, so the stratum is the parallelism unit — right when strata
-    * are many (source × language shards), wrong for a handful of
-    * 10 TB languages. For huge strata, sub-shard the stratum column
-    * (e.g. lang + doc_id range) or compute the prefix sums two-phase
-    * (per-range totals broadcast as offsets); the pack assignment
-    * formula is unchanged either way.
+    * Scale note: round 12 made the prefix sum two-phase for real —
+    * [[graft.operators.Rank.withGroupedPrefixSums]] (per-range local
+    * cumsum + broadcast per-(range, stratum) offsets), so a handful
+    * of 10 TB languages no longer serialize each through one task;
+    * the pack assignment formula is unchanged and the ids are
+    * bit-identical.
     *
     * Output: input columns projected to (stratum, id, n_tokens) plus
     * `pack_id`. */
   def packSequences(docs: DataFrame, budget: Int, strataCol: String = "lang",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col(strataCol), col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+    Rank.withGroupedPrefixSums(
+        docs.select(col(strataCol), col(idCol),
+          tokenCount(col(textCol)).as("n_tokens")),
+        strataCol, Seq(col(idCol)), Seq("n_tokens" -> "__cum"))
       .withColumn("pack_id",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+        floor((col("__cum") - col("n_tokens")) / budget))
+      .drop("__cum")
   }
 
   /** Fixed-window document chunking with overlap — the context-window
@@ -481,17 +484,21 @@ object TextAnalysis {
     * makes the kept set a uniform sample that is reproducible across
     * runs, engines and partition layouts (row_number over an arrival
     * order or a random() would be neither).
-    * Scale: one per-stratum window sort; a handful of 10 TB strata
-    * would instead use a bounded-heap top-k aggregator keyed on the
-    * stratum (the TopKScored pattern), same output. */
+    * Scale: the per-stratum rank comes from
+    * [[graft.operators.Rank.withGroupedPrefixSums]] (round 12) — a
+    * `row_number` window partitioned by the stratum would sort a
+    * whole 10 TB language inside one task; the prefix-sum
+    * decomposition bounds every window partition by the range-
+    * partition size instead, with bit-identical ranks. */
   def balancedSample(df: DataFrame, keyCol: String, strataCol: String,
       cap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("__hb", md5Bucket60(col(keyCol)))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(strataCol)).orderBy(col("__hb"), col(keyCol))))
+    Rank.withGroupedPrefixSums(
+        df.withColumn("__hb", md5Bucket60(col(keyCol)))
+          .withColumn("__one", lit(1L)),
+        strataCol, Seq(col("__hb"), col(keyCol)), Seq("__one" -> "rk"))
+      .withColumn("rk", col("rk").cast("int"))
       .filter(col("rk") <= cap)
-      .drop("__hb")
+      .drop("__hb", "__one")
   }
 
   /** Corpus vocabulary statistics: the top-k tokens by occurrence count
@@ -2224,10 +2231,11 @@ object TextAnalysis {
     * waste arithmetic are all exact BIGINT; the two rates are single
     * floor divisions.
     *
-    * Scale: one tokenize pass; the running sum is a window
-    * PARTITIONED by source (each source packs independently — the
-    * loader reality anyway, and the reason no corpus-global offset
-    * exists to serialize); one partial+final aggregation to the
+    * Scale: one tokenize pass; the running offset comes from the
+    * two-phase per-source prefix sum (round 12,
+    * [[graft.operators.Rank.withGroupedPrefixSums]] — each source
+    * packs independently but no single source ever serializes
+    * through one task); one partial+final aggregation to the
     * |sources| output frame.
     *
     * Output: (source, n_docs, n_tokens, n_chunks, n_split_docs,
@@ -2243,10 +2251,12 @@ object TextAnalysis {
     val toks = docs.select(col(sourceCol).as("source"), col(idCol).as("id"),
         size(words(col(textCol))).cast("long").as("t"))
       .filter(col("t") > 0)
-    val wB = Window.partitionBy(col("source")).orderBy(col("id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks
-      .withColumn("__cb", coalesce(sum(col("t")).over(wB), lit(0L)))
+    // round 12: exclusive running offset = inclusive prefix sum − own
+    // weight, from the two-phase decomposition — no whole-source
+    // single-task sort
+    Rank.withGroupedPrefixSums(toks, "source", Seq(col("id")),
+        Seq("t" -> "__ci"))
+      .withColumn("__cb", col("__ci") - col("t"))
       .select(col("source"), col("t"),
         expr(s"__cb div $L").as("__fc"),
         expr(s"(__cb + t - 1) div $L").as("__lc"))

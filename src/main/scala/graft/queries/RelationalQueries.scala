@@ -397,15 +397,36 @@ object RelationalQueries {
     * integer-operand double divisions that match any engine
     * bit-for-bit. */
   def q34(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    t(spark, dir, "customer")
+    // round 12: c_mktsegment has ~5 values, so the old per-segment
+    // window sorted a fifth of the table in ONE task. The exact rank
+    // now comes from the two-phase grouped prefix sum, and all three
+    // statistics are closed forms of (rn, n): the order tie-breaks on
+    // the unique c_custkey, so rank = row_number, percent_rank =
+    // (rn−1)/(n−1), cume_dist = rn/n (peers are single rows), and
+    // ntile(4) is the fill-rule formula — identical doubles (same
+    // operands Spark's window expressions divide) and identical tiles
+    val counts = t(spark, dir, "customer")
+      .groupBy(col("c_mktsegment").as("__seg"))
+      .agg(count(lit(1)).cast("long").as("__n"))
+    graft.operators.Rank.withGroupedPrefixSums(
+        t(spark, dir, "customer").withColumn("__one", lit(1L)),
+        "c_mktsegment", Seq(col("c_acctbal"), col("c_custkey")),
+        Seq("__one" -> "__rn"))
+      .join(broadcast(counts), col("c_mktsegment") <=> col("__seg"))
       .select(
         col("c_custkey"), col("c_mktsegment"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"),
-        ntile(4).over(w).as("quartile"))
+        round(when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__rn") - 1).cast("double") /
+            (col("__n") - 1).cast("double")), 6).as("pr"),
+        round(col("__rn").cast("double") / col("__n").cast("double"), 6)
+          .as("cd"),
+        expr("""CAST(CASE
+            WHEN __n div 4 = 0 THEN __rn
+            WHEN __rn <= (__n % 4) * (__n div 4 + 1)
+              THEN (__rn - 1) div (__n div 4 + 1) + 1
+            ELSE __n % 4
+              + (__rn - 1 - (__n % 4) * (__n div 4 + 1)) div (__n div 4) + 1
+            END AS INT)""").as("quartile"))
       .orderBy(col("c_custkey"))
   }
 

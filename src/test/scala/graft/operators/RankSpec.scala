@@ -185,6 +185,91 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  // ---- grouped prefix sums: withGroupedPrefixSums -------------------
+
+  test("grouped prefix sums: running sum and row_number match the window " +
+    "form with groups spanning partitions, at several partition counts") {
+    // 3 groups of very different sizes, weights with nulls, and a
+    // descending order key — forced through 1, 2, 3, and 7 range
+    // partitions so group slices straddle every boundary shape
+    val rows = ((1L to 40L).map(i => ("big", i, Some(i % 5 + 1L))) ++
+      (101L to 106L).map(i => ("mid", i, if (i % 2 == 0) None else Some(3L))) ++
+      Seq(("one", 201L, Some(7L))))
+      .map { case (gp, id, w) => (gp, id, w, 1L) }
+      .toDF("g", "id", "w", "one")
+    val wWin = Window.partitionBy(col("g")).orderBy(col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = rows
+      .withColumn("cum", sum(col("w")).over(wWin).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("id").desc)).cast("long"))
+      .select(col("g"), col("id"), col("cum"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getLong(2), r.getLong(3))).toMap
+    for (p <- Seq(1, 2, 3, 7)) {
+      val got = Rank.withGroupedPrefixSums(rows, "g",
+          Seq(col("id").desc), Seq("w" -> "cum", "one" -> "rk"),
+          numPartitions = Some(p))
+        .select(col("g"), col("id"), col("cum"), col("rk"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) null else r.getLong(2), r.getLong(3))).toMap
+      assert(got == expected, s"p=$p")
+    }
+  }
+
+  test("grouped prefix sums: null-weight runs straddling partition cuts " +
+    "keep window null semantics (null only before ANY non-null weight)") {
+    // ascending order: ids 1..10 carry weights, 11..30 are null — at
+    // p=6 the later slices hold ONLY nulls, so their local sums are
+    // null and the global value must fall back to the earlier-
+    // partition offset (the coalesce-and-add form returned null here);
+    // group "lead" starts with nulls: those rows must stay null
+    val rows = ((1L to 30L).map(i =>
+        ("nb", i, if (i <= 10) Some(i) else None)) ++
+      (1L to 12L).map(i => ("lead", 100L + i, if (i <= 4) None else Some(2L))))
+      .toDF("g", "id", "w")
+    val wWin = Window.partitionBy(col("g")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = rows.withColumn("cum", sum(col("w")).over(wWin).cast("long"))
+      .select(col("g"), col("id"), col("cum"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getLong(2))).toMap
+    for (p <- Seq(2, 6, 11)) {
+      val got = Rank.withGroupedPrefixSums(rows, "g", Seq(col("id")),
+          Seq("w" -> "cum"), numPartitions = Some(p))
+        .select(col("g"), col("id"), col("cum"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) null else r.getLong(2))).toMap
+      assert(got == expected, s"p=$p")
+    }
+  }
+
+  test("grouped prefix sums plan: no window partitioned on the group key " +
+    "alone — local windows carry the partition id, offsets ride an " +
+    "aggregated frame") {
+    val rows = (1L to 200L).map(i => ("g" + (i % 3), i, 1L))
+      .toDF("g", "id", "one")
+    val df = Rank.withGroupedPrefixSums(rows, "g", Seq(col("id")),
+      Seq("one" -> "rk"))
+    val inner = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      // either the offset window over the P×groups totals frame, or
+      // the local window partitioned by (partition id, group)
+      assert(aggBelow.nonEmpty || w.partitionSpec.size >= 2,
+        s"window over a whole raw group: $w")
+    }
+  }
+
   test("plan: no unpartitioned window over the row frame (histogram only)") {
     val df = Rank.withExactNtile(
       (1L to 100L).map(i => i -> (i % 5)).toDF("id", "v"), "v", "id", 4, "tile")

@@ -451,14 +451,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected group-by + sort exchanges only:\n$plan")
   }
 
-  test("x71: one hash exchange on the group + per-group sort; no join, no driver loop") {
-    val plan = physical(ExtensionQueries.x71(spark, sf001))
-    assert(plan.contains("Window"), plan) // the ranking window itself
-    assert(!plan.contains("Join"), plan)
-    // exactly: group-by hash exchange (shared by both window passes)
-    // + the final presentation sort's range exchange
-    val exchanges = "Exchange ".r.findAllIn(plan).length
-    assert(exchanges <= 2, s"expected group + sort exchanges only:\n$plan")
+  test("x71: two-phase prefix sum — no window over a whole language, " +
+    "offsets broadcast, no cartesian (round 12)") {
+    // pre-r12 this pinned "one per-group window" — exactly the shape
+    // the round removed: a per-language window sorts a whole language
+    // in ONE task. Now the plan must show the grouped-prefix-sum
+    // decomposition: every window either rides an aggregated frame
+    // (the P×groups offsets) or partitions by (partition id, group)
+    val df = ExtensionQueries.x71(spark, sf001)
+    val plan = physical(df)
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // the offset join
+    assert(!plan.contains("CartesianProduct"), plan)
+    val inner = qe(df).executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty || w.partitionSpec.size >= 2,
+        s"window sorts a whole language in one task: $w")
+    }
   }
 
   test("x74: the one-row sketch broadcasts; token counting is partial+final") {
@@ -585,16 +602,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("x95: the systematic draw is ONE stratum-keyed window — never a global sort") {
+  test("x95: the systematic draw's cumulative line is the two-phase " +
+    "prefix sum — no whole-stratum window, no global sort (round 12)") {
     val df = ExtensionQueries.x95(spark, sf001)
     val plan = physical(df)
-    // the cumulative line is a window partitioned on the stratum: the
-    // exchange must be hashpartitioning(lang…), not SinglePartition —
-    // a global-order window would serialize the whole corpus into one
-    // task at 100 TB
     assert(plan.contains("Window"), plan)
-    assert(plan.contains("hashpartitioning(lang"), plan)
     assert(!plan.contains("SinglePartition"), plan)
+    val inner = qe(df).executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    inner.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      // offsets window rides the P×strata totals frame; the local
+      // cumsum window partitions by (partition id, stratum)
+      assert(aggBelow.nonEmpty || w.partitionSpec.size >= 2,
+        s"window buffers a whole stratum in one task: $w")
+    }
   }
 
   test("x97: actives collapse to the (day,user) frame first; day list broadcasts " +
