@@ -546,6 +546,86 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"identity ${out.getLong(3)} != brute $expected")
   }
 
+  // ---- round-12 primitives: randomized parity vs the window forms ----
+
+  private case class GRow(g: String, id: Long, v: Long, w: Option[Long])
+  private val gRowsGen: Gen[List[GRow]] = for {
+    n <- Gen.choose(1, 120)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b", "c", "skewed", "skewed", "skewed")
+      v <- Gen.choose(0L, 6L) // fat tie groups on purpose
+      w <- Gen.option(Gen.choose(-3L, 9L)) // nulls and negatives
+    } yield (g, v, w))
+  } yield rows.zipWithIndex.map { case ((g, v, w), i) => GRow(g, i.toLong, v, w) }
+
+  test("withExactNtileBy: random tie shapes match the per-group ntile " +
+    "window for several tile counts (seeded)") {
+    for (seed <- Seq(11L, 23L, 47L)) {
+      val rows = samples(gRowsGen, 1, seed).head
+        .map(r => (r.g, r.id, r.v)).toDF("g", "id", "v")
+      for (t <- Seq(2, 3, 7)) {
+        val want = rows.withColumn("tile", ntile(t).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"g")
+              .orderBy($"v", $"id")))
+          .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+        val got = Rank.withExactNtileBy(rows, "g", "v", "id", t, "tile")
+          .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+        assert(got == want, s"seed=$seed t=$t")
+      }
+    }
+  }
+
+  test("withGroupedPrefixSums: random frames with null/negative weights " +
+    "match the window cumsum + row_number at random partition counts") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(5L, 17L, 31L)) {
+      val rows = samples(gRowsGen, 1, seed).head
+        .map(r => (r.g, r.id, r.v, r.w, 1L)).toDF("g", "id", "v", "w", "one")
+      val wWin = Window.partitionBy($"g").orderBy($"v", $"id")
+      val want = rows
+        .withColumn("cum", sum($"w").over(
+          wWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rk", row_number().over(wWin).cast("long"))
+        .collect().map(r => r.getLong(1) ->
+          (if (r.isNullAt(5)) null else r.getLong(5), r.getLong(6))).toMap
+      for (p <- Seq(1, 4, 9)) {
+        val got = Rank.withGroupedPrefixSums(rows, "g",
+            Seq($"v", $"id"), Seq("w" -> "cum", "one" -> "rk"),
+            numPartitions = Some(p))
+          .collect().map(r => r.getLong(1) ->
+            (if (r.isNullAt(5)) null else r.getLong(5), r.getLong(6))).toMap
+        assert(got == want, s"seed=$seed p=$p")
+      }
+    }
+  }
+
+  test("q34 ntile closed form: the fill-rule formula equals ntile(t) for " +
+    "every (rn, n, t) in a dense sweep") {
+    // the formula q34 computes in-plan, checked exhaustively in Scala:
+    // n up to 50, t in {2,3,4,7}, every rank — includes n < t
+    def closed(rn: Long, n: Long, t: Long): Long = {
+      val base = n / t
+      val rem = n % t
+      if (base == 0) rn
+      else if (rn <= rem * (base + 1)) (rn - 1) / (base + 1) + 1
+      else rem + (rn - 1 - rem * (base + 1)) / base + 1
+    }
+    def ntileModel(rn: Long, n: Long, t: Long): Long = {
+      // ntile semantics: first (n % t) tiles hold n/t + 1 rows
+      val base = n / t; val rem = n % t
+      var acc = 0L
+      var tile = 1L
+      while (tile <= t) {
+        acc += (if (tile <= rem) base + 1 else base)
+        if (rn <= acc) return tile
+        tile += 1
+      }
+      t
+    }
+    for (n <- 1L to 50L; t <- Seq(2L, 3L, 4L, 7L); rn <- 1L to n)
+      assert(closed(rn, n, t) == ntileModel(rn, n, t), s"rn=$rn n=$n t=$t")
+  }
+
   test("eventPathMining: counts invariant under repartitioning") {
     val events = samples(Gen.oneOf("a", "b", "c"), 200, 3L).zipWithIndex
       .map { case (t, i) => ((i % 7).toLong, i.toLong, i.toLong, t) }
