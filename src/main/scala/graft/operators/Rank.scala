@@ -318,6 +318,14 @@ object Rank {
       numPartitions: Option[Int] = None): DataFrame = {
     require(weights.nonEmpty, "withGroupedPrefixSums: need weight columns")
     require(orderCols.nonEmpty, "withGroupedPrefixSums: need order columns")
+    // the group-change detection in the local pass compares external
+    // values with ==, and the offset join is a null-safe equi-join —
+    // both need an atomic group type (array/struct/map/binary groups
+    // would compare by reference or fail to join predictably)
+    require(rows0.schema(groupCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.AtomicType],
+      s"withGroupedPrefixSums: group column '$groupCol' must be an atomic " +
+        s"type, got ${rows0.schema(groupCol).dataType.simpleString}")
     val g = col(groupCol)
     val spark = rows0.sparkSession
     val p = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
