@@ -322,10 +322,14 @@ object Rank {
     // values with ==, and the offset join is a null-safe equi-join —
     // both need an atomic group type (array/struct/map/binary groups
     // would compare by reference or fail to join predictably)
-    require(rows0.schema(groupCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.AtomicType],
-      s"withGroupedPrefixSums: group column '$groupCol' must be an atomic " +
-        s"type, got ${rows0.schema(groupCol).dataType.simpleString}")
+    require({
+      import org.apache.spark.sql.types._
+      rows0.schema(groupCol).dataType match {
+        case _: ArrayType | _: StructType | _: MapType | BinaryType => false
+        case _ => true
+      }
+    }, s"withGroupedPrefixSums: group column '$groupCol' must be an atomic " +
+      s"scalar type, got ${rows0.schema(groupCol).dataType.simpleString}")
     val g = col(groupCol)
     val spark = rows0.sparkSession
     val p = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
