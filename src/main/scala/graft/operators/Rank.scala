@@ -367,14 +367,36 @@ object Rank {
       weights.map { case (w, _) => org.apache.spark.sql.types.StructField(
         s"__pp_l_$w", org.apache.spark.sql.types.LongType, nullable = true) })
     val nW = weights.size
+    // group-change detection must agree with SQL grouping semantics
+    // (groupBy and the <=> join normalize NaN to one group and -0.0 to
+    // 0.0, Spark's NormalizeFloatingNumbers). Neither JVM comparison
+    // gives both on its own: Scala == on boxed doubles is primitive
+    // semantics (NaN != NaN → the accumulator would reset between NaN
+    // rows), Objects.equals is bits semantics (-0.0 != 0.0 → reset
+    // between signed zeros). So: Objects.equals for the comparison
+    // (doubleToLongBits canonicalizes every NaN) plus an explicit
+    // signed-zero normalization.
+    val normGroup: Any => Any = inSchema.fields(gIdx).dataType match {
+      case org.apache.spark.sql.types.DoubleType => {
+        case d: java.lang.Double if d.doubleValue() == 0.0 =>
+          java.lang.Double.valueOf(0.0)
+        case v => v
+      }
+      case org.apache.spark.sql.types.FloatType => {
+        case f: java.lang.Float if f.floatValue() == 0.0f =>
+          java.lang.Float.valueOf(0.0f)
+        case v => v
+      }
+      case _ => identity[Any]
+    }
     val local = ranged.mapPartitions { it =>
       var started = false
       var cur: Any = null
       val sums = new Array[Long](nW)
       val seen = new Array[Boolean](nW)
       it.map { r =>
-        val gv = r.get(gIdx)
-        if (!started || gv != cur) {
+        val gv = normGroup(r.get(gIdx))
+        if (!started || !java.util.Objects.equals(gv, cur)) {
           started = true; cur = gv
           java.util.Arrays.fill(sums, 0L)
           java.util.Arrays.fill(seen, false)

@@ -244,6 +244,34 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("grouped prefix sums: a double group key holding -0.0/0.0 or NaN " +
+    "rows groups like SQL (neither signed zeros nor NaN may reset the " +
+    "local accumulator)") {
+    // SQL groupBy/join normalize -0.0 to 0.0 and merge all NaNs; on the
+    // JVM, Scala == on boxed doubles splits NaN from itself and
+    // Objects.equals splits the signed zeros — this pins that the local
+    // pass matches SQL on both. Mixed zero signs interleave in the
+    // order key so -0.0 rows sort before and between the +0.0 rows.
+    val rows = Seq((-0.0, 1L, 10L), (0.0, 2L, 20L), (-0.0, 3L, 30L),
+        (0.0, 4L, 40L), (1.5, 5L, 100L), (Double.NaN, 6L, 7L),
+        (Double.NaN, 7L, 8L))
+      .toDF("g", "id", "w")
+    val wWin = Window.partitionBy(col("g")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = rows.withColumn("cum", sum(col("w")).over(wWin).cast("long"))
+      .select(col("id"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sanity: the window form itself merged the zero group
+    assert(expected(4L) == 100L, "window form should see one zero group")
+    for (p <- Seq(1, 3, 5)) {
+      val got = Rank.withGroupedPrefixSums(rows, "g", Seq(col("id")),
+          Seq("w" -> "cum"), numPartitions = Some(p))
+        .select(col("id"), col("cum"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"p=$p")
+    }
+  }
+
   test("grouped prefix sums plan: no window partitioned on the group key " +
     "alone — local windows carry the partition id, offsets ride an " +
     "aggregated frame") {
