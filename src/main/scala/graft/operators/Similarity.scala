@@ -806,4 +806,174 @@ object Similarity {
           .as("redundancy_micro"))
       .orderBy(col("label"))
   }
+
+  /** Dimension-truncation (matryoshka) retrieval audit: how much of
+    * full-dimension top-k retrieval survives when vectors are cut to
+    * their first `d` components — the measurement behind serving an
+    * index at d ≪ fullDim (matryoshka representation learning trains
+    * embeddings so prefixes stay usable; this audits whether a given
+    * corpus's vectors actually have that property).
+    *
+    * For each `d` in `dims`: re-rank with cosine over the length-`d`
+    * prefixes (same quantize-then-tie-break contract as
+    * [[bruteForceTopK]]) and report
+    *  - `topk_hits`: |truncated top-k ∩ full-dim top-k| summed over
+    *    queries (out of `slots` = n_queries · k), and
+    *  - `top1_trunc_cos_micro_sum`: Σ over queries of the TRUNCATED
+    *    cosine between the query and its FULL-dim top-1 neighbor
+    *    (micro-quantized per pair, integer-summed — order-free), the
+    *    score-degradation read beside the rank-agreement read.
+    *
+    * Exact by construction (no sketch): integers out, one 6-dp + micro
+    * quantization per scored pair, so a DuckDB oracle reproduces every
+    * cell. Scale: a calibration audit — each dim costs one corpus scan
+    * with the query set broadcast (the x06 brute-force discipline:
+    * only (query, id, score) triples reach the bounded-heap top-k
+    * exchange); at 100 TB it runs over a query/corpus sample exactly
+    * like the sketch-calibration family (x42), never as a serving
+    * path. */
+  def truncationRecall(corpus: DataFrame, queries: DataFrame, dims: Seq[Int],
+      k: Int, corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    require(dims.nonEmpty, "truncationRecall: need at least one dim")
+    val full = bruteForceTopK(corpus, queries, k, corpusId, corpusVec,
+      queryId, queryVec)
+    val fullPairs = full.select(col(queryId), col(corpusId))
+    val full1 = full.filter(col("rank") === 1)
+      .select(col(queryId), col(corpusId).as("__top1"))
+    val slots = queries.agg(count(lit(1)).as("n_queries"),
+      (count(lit(1)) * lit(k.toLong)).as("slots"))
+    val perDim = dims.map { d =>
+      val tq = queries.select(col(queryId),
+        slice(col(queryVec), 1, d).as(queryVec))
+      val tc = corpus.select(col(corpusId), slice(col(corpusVec), 1, d).as(corpusVec))
+      val hits = bruteForceTopK(tc, tq, k, corpusId, corpusVec, queryId, queryVec)
+        .join(fullPairs, Seq(queryId, corpusId), "left_semi")
+        .agg(count(lit(1)).cast("bigint").as("topk_hits"))
+      // rescore (query, full-dim top-1) pairs at dim d: the pair list
+      // is one row per query, so IT broadcasts — the corpus is only
+      // probed for the named top-1 vectors
+      val top1 = corpus.join(broadcast(full1), col(corpusId) === col("__top1"))
+        .join(broadcast(queries.select(col(queryId).as("__qid2"), col(queryVec))),
+          col(queryId) === col("__qid2"))
+        .select(round(cosine_similarity(
+            slice(col(queryVec), 1, d), slice(col(corpusVec), 1, d)), 6).as("__c"))
+        .agg(sum(round(col("__c") * lit(1000000.0)).cast("long"))
+          .as("top1_trunc_cos_micro_sum"))
+      hits.crossJoin(top1).select(lit(d).cast("long").as("dim"),
+        col("topk_hits"), col("top1_trunc_cos_micro_sum"))
+    }.reduce(_ unionByName _)
+    perDim.crossJoin(broadcast(slots))
+      .select(col("dim"), col("n_queries"), col("slots"), col("topk_hits"),
+        col("top1_trunc_cos_micro_sum"))
+      .orderBy(col("dim"))
+  }
+
+  /** Per-label embedding OOD (out-of-distribution) audit: each
+    * vector's squared z-score against its OWN label's diagonal
+    * covariance, summed over dimensions — the Mahalanobis-with-
+    * diagonal-Σ read that flags mislabeled or corrupt embeddings for
+    * pruning before contrastive training. The vector-space sibling of
+    * [[Profile.zScores]] (which normalizes one scalar per group):
+    * here every dimension is normalized by its per-label variance and
+    * the per-dim contributions sum into one score per vector.
+    *
+    * Deterministic cross-engine: components quantize ONCE to 1e-3
+    * units (q = round(v·1000)); with per-(label, dim) exact integer
+    * sums s1 = Σq, s2 = Σq², the per-dim term
+    * (q − μ)²/σ²_pop = (q·n − s1)² / (s2·n − s1²) — the n² cancels —
+    * rides EXACT integer differences; only the square and the one
+    * division run in double (identical IEEE ops in the DuckDB mirror),
+    * milli-quantized per (vector, dim) and integer-summed (order-free)
+    * into the vector's `ood_milli`. Exact while s2·n fits a long
+    * (labels ≲ 3·10⁶ rows at unit-scale components; larger labels
+    * take the md5-60 row sample first — the [[Profile.pairwiseKappa]]
+    * envelope). A uniform-variance dim (s2·n = s1²) contributes null
+    * and is skipped by the sum on both engines.
+    *
+    * A vector is flagged when its score exceeds `factorMilli` per
+    * dimension (default 2000 = mean squared z above 2.0 — for
+    * well-behaved embeddings ood_milli/dim concentrates near 1000,
+    * the χ²/df mean). Output per label: (label, n, dim, ood_milli_sum,
+    * max_ood_milli, flagged), ordered by label.
+    *
+    * Scale: the ×dim component fan-out collapses map-side (rows of a
+    * vector are co-located, so the per-vector partial aggregation
+    * combines before the exchange); the (label, dim) stats frame is
+    * labels·dim rows and broadcasts. No windows, no pair enumeration. */
+  def oodAudit(emb: DataFrame, labelCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, factorMilli: Long = 2000L): DataFrame = {
+    val cells = emb.filter(size(col(vecCol)) === dim)
+      .select(col(labelCol).as("label"), col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("d", "v")))
+      .select(col("label"), col("id"), col("d"),
+        round(col("v").cast("double") * lit(1000.0)).cast("long").as("q"))
+    val stats = cells.groupBy(col("label").as("__l"), col("d").as("__d"))
+      .agg(count(lit(1)).cast("bigint").as("__n"),
+        sum(col("q")).cast("bigint").as("__s1"),
+        sum(col("q") * col("q")).cast("bigint").as("__s2"))
+    val terms = cells.join(broadcast(stats),
+        col("label") === col("__l") && col("d") === col("__d"))
+      .select(col("label"), col("id"),
+        when(expr("__s2 * __n - __s1 * __s1") > 0,
+          round(expr("CAST(q * __n - __s1 AS DOUBLE) * " +
+            "CAST(q * __n - __s1 AS DOUBLE) * 1000.0D / " +
+            "CAST(__s2 * __n - __s1 * __s1 AS DOUBLE)")).cast("long")).as("__t"))
+    terms.groupBy(col("label"), col("id"))
+      .agg(sum(col("__t")).as("__ood"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        lit(dim).cast("long").as("dim"),
+        sum(col("__ood")).cast("bigint").as("ood_milli_sum"),
+        max(col("__ood")).cast("bigint").as("max_ood_milli"),
+        sum(when(col("__ood") > lit(factorMilli * dim), 1L).otherwise(0L))
+          .cast("bigint").as("flagged"))
+      .orderBy(col("label"))
+  }
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, its nearest neighbor with a DIFFERENT label (the hard
+    * negative — the most confusable out-of-class example) next to its
+    * nearest SAME-label neighbor other than itself (the anchor
+    * positive), and the margin between them. Rows with a negative
+    * margin are the queries whose nearest neighbor crosses the class
+    * boundary — the x168 label-noise read expressed as minable
+    * training pairs rather than an audit statistic.
+    *
+    * Ranking contract matches [[bruteForceTopK]]: cosine quantized to
+    * 6 dp, ties break on ascending corpus id; the margin is the
+    * difference of two quantized scores, re-quantized to micro (exact
+    * — both operands carry 6 dp). Queries missing either side (a
+    * label with one member has no positive) drop via the inner join.
+    *
+    * Scale: the query set broadcasts; the corpus is scanned twice
+    * (positive and negative sides keep separate bounded-heap top-1
+    * aggregations), each pass shuffling only (query, id, score)
+    * triples. At 100 TB mining runs per-shard over candidate sets
+    * pruned by the LSH/IVF index first — this is the exact-scoring
+    * kernel those candidate sets feed. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      labelCol: String = "label", corpusId: String = "vec_id",
+      corpusVec: String = "embedding", queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      queryLabel: String = "query_label"): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .filter(col(corpusId) =!= col(queryId))
+      .select(col(queryId), col(corpusId),
+        (col(labelCol) === col(queryLabel)).as("__same"),
+        round(cosine_similarity(col(queryVec), col(corpusVec)), 6).as("cosine"))
+    def top1(side: DataFrame, idOut: String, cosOut: String): DataFrame =
+      rankTopK(side, 1, queryId, corpusId)
+        .select(col(queryId), col(corpusId).as(idOut), col("cosine").as(cosOut))
+    val pos = top1(scored.filter(col("__same")), "pos_id", "pos_cos")
+    val neg = top1(scored.filter(!col("__same")), "neg_id", "neg_cos")
+    pos.join(neg, queryId)
+      .join(broadcast(queries.select(col(queryId), col(queryLabel))), queryId)
+      .select(col(queryId), col(queryLabel), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        round((col("pos_cos") - col("neg_cos")) * lit(1000000.0))
+          .cast("long").as("margin_micro"))
+      .orderBy(col(queryId))
+  }
 }

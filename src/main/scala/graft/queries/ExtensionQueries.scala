@@ -2168,6 +2168,38 @@ object ExtensionQueries {
       "ngram" -> ngF, "embedding" -> emF), "id", d)
   }
 
+  /** x189 dimension-truncation (matryoshka) retrieval audit — see
+    * [[graft.operators.Similarity.truncationRecall]]: top-10 retrieval
+    * agreement and top-1 score degradation when vectors are cut to
+    * their first 8/16/32 components, against the full-64 baseline (the
+    * 64 row is the hits=slots sanity anchor). 20 query vectors, the
+    * x06 brute-force discipline per dim. */
+  def x189(s: SparkSession, dir: String): DataFrame =
+    Similarity.truncationRecall(emb(s, dir),
+      emb(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+      dims = Seq(8, 16, 32, 64), k = 10)
+
+  /** x190 hard-negative mining — see
+    * [[graft.operators.Similarity.hardNegatives]]: per query vector,
+    * the nearest OTHER-label neighbor beside the nearest same-label
+    * neighbor and the (micro) margin between them — contrastive
+    * training pairs, negative-margin rows being the boundary-crossing
+    * queries x168 counts in aggregate. 30 query vectors. */
+  def x190(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(emb(s, dir),
+      emb(s, dir).filter(col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("query_label")))
+
+  /** x191 per-label embedding OOD audit — see
+    * [[graft.operators.Similarity.oodAudit]]: diagonal-covariance
+    * squared z-scores summed per vector, rolled up per label with a
+    * mean-z²>1.5 outlier flag — the prune-before-training screen
+    * beside x168's kNN label-noise read. */
+  def x191(s: SparkSession, dir: String): DataFrame =
+    Similarity.oodAudit(emb(s, dir), factorMilli = 1500L)
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2407,6 +2439,9 @@ object ExtensionQueries {
     "x186_threshold_token_savings" -> (x186 _),
     "x187_embedding_anisotropy" -> (x187 _),
     "x188_dedup_cascade" -> (x188 _),
+    "x189_truncation_recall" -> (x189 _),
+    "x190_hard_negatives" -> (x190 _),
+    "x191_embedding_ood" -> (x191 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -6847,6 +6882,109 @@ object ExtensionQueries {
          |        LEFT JOIN fr ON fr.r = sp.stage_rank
          |        CROSS JOIN nn
          |ORDER BY sp.stage_rank""".stripMargin,
+
+    // Replays truncationRecall: per dim d, the x06 brute-force ranking
+    // over length-d prefixes ((embedding::DOUBLE[])[1:d] — slicing the
+    // cast array equals casting the sliced floats, widening is exact),
+    // hits counted against the full-64 top-10 set, and the truncated
+    // rescore of each query's full-dim top-1 neighbor.
+    "x189_truncation_recall" -> {
+      def tk(d: Int, name: String) =
+        s"""$name AS (SELECT query_id, vec_id FROM (
+           |  SELECT q.query_id, c.vec_id, row_number() OVER (
+           |    PARTITION BY q.query_id
+           |    ORDER BY round(list_cosine_similarity(
+           |      (c.embedding::DOUBLE[])[1:$d],
+           |      (q.query_vec::DOUBLE[])[1:$d]), 6) DESC, c.vec_id) AS rnk
+           |  FROM embeddings c CROSS JOIN q) t WHERE rnk <= 10)""".stripMargin
+      val dims = Seq(8, 16, 32, 64)
+      val dimCtes = dims.map { d =>
+        s"""${tk(d, s"tk$d")},
+           |h$d AS (SELECT CAST(count(*) AS BIGINT) AS topk_hits
+           |        FROM tk$d JOIN ftk USING (query_id, vec_id)),
+           |t$d AS (SELECT CAST(sum(CAST(round(round(list_cosine_similarity(
+           |          (c.embedding::DOUBLE[])[1:$d],
+           |          (q.query_vec::DOUBLE[])[1:$d]), 6) * 1000000.0)
+           |          AS BIGINT)) AS BIGINT) AS s
+           |        FROM f1 JOIN embeddings c ON c.vec_id = f1.top1
+           |                JOIN q ON q.query_id = f1.query_id)""".stripMargin
+      }.mkString(",\n")
+      val rows = dims.map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS dim, nq.n_queries, nq.slots,
+           |       h$d.topk_hits, t$d.s AS top1_trunc_cos_micro_sum
+           |FROM nq CROSS JOIN h$d CROSS JOIN t$d""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+         |           FROM embeddings WHERE vec_id < 20),
+         |${tk(64, "ftk")},
+         |f1r AS (SELECT q.query_id, c.vec_id, row_number() OVER (
+         |          PARTITION BY q.query_id
+         |          ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+         |            q.query_vec::DOUBLE[]), 6) DESC, c.vec_id) AS rnk
+         |        FROM embeddings c CROSS JOIN q),
+         |f1 AS (SELECT query_id, vec_id AS top1 FROM f1r WHERE rnk = 1),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |              CAST(count(*) * 10 AS BIGINT) AS slots FROM q),
+         |$dimCtes
+         |$rows
+         |ORDER BY dim""".stripMargin
+    },
+
+    // Replays hardNegatives: self-excluded scored pairs split on label
+    // agreement, top-1 per side by (6-dp cosine DESC, vec_id), margin
+    // re-quantized to micro from the two quantized scores.
+    "x190_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding
+        |           FROM embeddings WHERE vec_id < 30),
+        |sc AS (SELECT q.query_id, q.query_label, c.vec_id, c.label,
+        |         round(list_cosine_similarity(c.embedding::DOUBLE[],
+        |           q.embedding::DOUBLE[]), 6) AS cosine
+        |       FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |p AS (SELECT query_id, vec_id AS pos_id, cosine AS pos_cos FROM (
+        |        SELECT query_id, vec_id, cosine, row_number() OVER (
+        |          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+        |        FROM sc WHERE label = query_label) t WHERE rnk = 1),
+        |n AS (SELECT query_id, vec_id AS neg_id, cosine AS neg_cos FROM (
+        |        SELECT query_id, vec_id, cosine, row_number() OVER (
+        |          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+        |        FROM sc WHERE label <> query_label) t WHERE rnk = 1)
+        |SELECT q.query_id, q.query_label, p.pos_id, p.pos_cos,
+        |       n.neg_id, n.neg_cos,
+        |       CAST(round((p.pos_cos - n.neg_cos) * 1000000.0) AS BIGINT)
+        |         AS margin_micro
+        |FROM q JOIN p ON p.query_id = q.query_id
+        |       JOIN n ON n.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
+
+    // Replays oodAudit: 1e-3-quantized components (the x169 cell
+    // idiom), exact per-(label, dim) integer sums, the per-dim term as
+    // one double square-and-divide of exact integer differences,
+    // milli-quantized per (vector, dim) and integer-summed.
+    "x191_embedding_ood" ->
+      """WITH cells AS (
+        |  SELECT label, vec_id AS id, g.d AS d,
+        |         CAST(round(embedding[g.d + 1]::DOUBLE * 1000.0) AS BIGINT) AS q
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS d) g
+        |  WHERE len(embedding) = 64),
+        |st AS (SELECT label AS l, d, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(q) AS BIGINT) AS s1,
+        |              CAST(sum(q * q) AS BIGINT) AS s2
+        |       FROM cells GROUP BY 1, 2),
+        |tm AS (SELECT c.label, c.id,
+        |         CASE WHEN st.s2 * st.n - st.s1 * st.s1 > 0 THEN
+        |           CAST(round(CAST(c.q * st.n - st.s1 AS DOUBLE) *
+        |             CAST(c.q * st.n - st.s1 AS DOUBLE) * 1000.0 /
+        |             CAST(st.s2 * st.n - st.s1 * st.s1 AS DOUBLE)) AS BIGINT)
+        |           END AS t
+        |       FROM cells c JOIN st ON st.l = c.label AND st.d = c.d),
+        |v AS (SELECT label, id, CAST(sum(t) AS BIGINT) AS ood
+        |      FROM tm GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(64 AS BIGINT) AS dim,
+        |       CAST(sum(ood) AS BIGINT) AS ood_milli_sum,
+        |       CAST(max(ood) AS BIGINT) AS max_ood_milli,
+        |       CAST(sum(CASE WHEN ood > 1500 * 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS flagged
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
   )
 
   /** The Poisson(1) weight CASE arms over a 60-bit hash expression —

@@ -392,4 +392,74 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double, Boolean)].collect()
     assert(out.toSeq == again.toSeq)
   }
+
+  test("truncationRecall: hand-traced prefix flip — a tie on the 2-dim " +
+    "prefix breaks to the lower id away from the full-dim top-1, and the " +
+    "full-dim row is the hits=slots anchor") {
+    import spark.implicits._
+    // q's full-dim top-1 is c2 (shares the 3rd component); on the 2-dim
+    // prefix both corpus vectors are collinear with q' → cosine 1.0
+    // tie → c1 wins by id. All components exact in float.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.5f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("query_id", "query_vec")
+    val out = Similarity.truncationRecall(corpus, q, dims = Seq(2, 4), k = 1)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // expected full-dim cosine micro of (q, c2) via the same kernel
+    val fullMicro = Seq((Array(1.0f, 0.0f, 1.0f, 0.0f), Array(0.5f, 0.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(round(round(graft.functions.VectorFunctions.cosine_similarity(
+        col("a"), col("b")), 6) * lit(1000000.0)).cast("long"))
+      .as[Long].head()
+    assert(out == List(
+      (2L, 1L, 1L, 0L, 1000000L),       // prefix: top-1 flipped to c1; rescored c2 still collinear → 1.0
+      (4L, 1L, 1L, 1L, fullMicro)))     // full dim: hits = slots
+  }
+
+  test("hardNegatives: hand-traced 3-4-5 geometry — positives, negatives, " +
+    "and signed micro margins") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(5.0f, 0.0f), 0),
+      (2L, Array(4.0f, 3.0f), 0),
+      (3L, Array(3.0f, 4.0f), 1),
+      (4L, Array(0.0f, 5.0f), 1)).toDF("vec_id", "embedding", "label")
+    val q = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"), col("label").as("query_label"))
+    val out = Similarity.hardNegatives(emb, q)
+      .select(col("query_id"), col("query_label"), col("pos_id"),
+        col("neg_id"), col("margin_micro"))
+      .as[(Long, Int, Long, Long, Long)].collect().toList
+    // cos pairs: (1,2)=.8 (1,3)=.6 (1,4)=0 (2,3)=.96 (2,4)=.6 (3,4)=.8
+    assert(out == List(
+      (1L, 0, 2L, 3L, 200000L),   // .8 − .6
+      (2L, 0, 1L, 3L, -160000L),  // .8 − .96: nearest neighbor crosses the class boundary
+      (3L, 1, 4L, 2L, -160000L),
+      (4L, 1, 3L, 2L, 200000L)))
+  }
+
+  test("oodAudit: hand-traced per-dim z² terms; a zero-variance label " +
+    "yields null scores and zero flags; wrong-dim vectors excluded") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(2.0f, 3.0f), 0),
+      (4L, Array(1.0f, 1.0f), 1),
+      (5L, Array(1.0f, 1.0f), 1),
+      (6L, Array(9.0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.oodAudit(emb, dim = 2, factorMilli = 1500L)
+      .select(col("label"), col("n"), col("dim"), col("ood_milli_sum"),
+        col("max_ood_milli"), col("flagged"))
+      .as[(Int, Long, Long, Option[Long], Option[Long], Long)].collect().toList
+    // label 0, dim 0: q = (0, 1000, 2000), s1 = 3000, s2 = 5e6,
+    //   den = 6e6 → terms 1500/0/1500; dim 1: q = (0, 0, 3000),
+    //   den = 1.8e7 → terms 500/500/2000. ood = 2000, 500, 3500;
+    //   threshold 1500·2 = 3000 flags only vec 3.
+    assert(out == List(
+      (0, 3L, 2L, Some(6000L), Some(3500L), 1L),
+      (1, 2L, 2L, None, None, 0L)))
+  }
 }
