@@ -309,12 +309,24 @@ object Joins {
       bucketed.withColumn("pair_rank", row_number().over(
         Window.partitionBy(col("bucket"), col("c")).orderBy(col("v"), col("id"))))
     } else {
+      // envelope alignment: the first-level guard already bounds
+      // distinct(v) at withExactNtile's default (3e6); the grouped
+      // call counts distinct (bucket, cohort, value) TRIPLES, which
+      // that same input can legally push to 2·distinct(v) (both
+      // cohorts) + 2·(buckets−1) (a tie group straddling a boundary
+      // splits across tiles). Passing the derived bound keeps the
+      // subtile pass from rejecting inputs the single-window form
+      // (and the first-level guard) accepts.
       val sub = Rank.withExactNtileBy(
           bucketed.withColumn("__bc", struct(col("bucket"), col("c"))),
-          "__bc", "v", "id", subtiles, "__sub")
+          "__bc", "v", "id", subtiles, "__sub",
+          maxDistinct = 2L * (3000000L + buckets - 1))
+      // checkpointed: feeds BOTH the offset counts and the output join
+      // — without it the subtile assignment and this window run twice
       val ranked = sub.withColumn("__r", row_number().over(
         Window.partitionBy(col("bucket"), col("c"), col("__sub"))
           .orderBy(col("v"), col("id"))))
+        .localCheckpoint(true)
       // exact offsets: rows in EARLIER subtiles of the same (bucket,
       // cohort) — a buckets×2×subtiles aggregated frame, windowed over
       // subtile within each (bucket, cohort) and broadcast back

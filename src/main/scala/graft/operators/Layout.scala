@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
 /** Output-layout discipline — the WRITE side of a 100 TB pipeline.
   * Reading fast at scale is decided when the data is WRITTEN: directory
@@ -41,26 +41,40 @@ object Layout {
     * exactly what a training shuffle is for: adjacent docs share
     * nothing (no source/time runs from ingestion order).
     *
-    * Scale: the within-shard position comes from the two-phase
-    * per-shard prefix sum (round 12,
-    * [[graft.operators.Rank.withGroupedPrefixSums]]) — the old
-    * `row_number` per shard sorted corpus/nShards rows in ONE task,
-    * fine at thousands of shards but a single-task wall at a handful;
-    * positions are bit-identical either way. Skew-free by
-    * construction: md5 buckets are uniform regardless of key
+    * Scale: two regimes, picked by `nShards` (positions bit-identical
+    * either way). FEW shards (≤ 1024): each shard holds corpus/nShards
+    * rows — a single-task wall under a per-shard window — so the
+    * two-phase per-shard prefix sum applies (round 12,
+    * [[graft.operators.Rank.withGroupedPrefixSums]]); its broadcast
+    * offsets frame is partitions × nShards rows, bounded by the
+    * threshold. MANY shards (> 1024): the per-shard `row_number`
+    * window is the right shape — every partition is a SMALL slice
+    * (corpus/nShards rows) precisely because shards are many, while
+    * the prefix-sum form's offsets frame would grow to
+    * partitions × nShards and breach the broadcast envelope. Skew-free
+    * in both: md5 buckets are uniform regardless of key
     * distribution. */
   def shardAssignment(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"shardAssignment: nShards must be > 0, got $nShards")
     // payload columns ride along: the one shard exchange yields the
     // training shards DIRECTLY — an id-only result would force callers
     // into a second corpus-scale join to recover the text
-    graft.operators.Rank.withGroupedPrefixSums(
-        df.withColumn("__h", graft.functions.TextFunctions.md5Bucket60(col(idCol)))
-          .withColumn("shard", col("__h") % nShards)
-          .withColumn("__one", lit(1L)),
-        "shard", Seq(col("__h"), col(idCol)), Seq("__one" -> "pos"))
+    val hashed = df
+      .withColumn("__h", graft.functions.TextFunctions.md5Bucket60(col(idCol)))
+      .withColumn("shard", col("__h") % nShards)
+    val positioned =
+      if (nShards <= 1024)
+        graft.operators.Rank.withGroupedPrefixSums(
+          hashed.withColumn("__one", lit(1L)),
+          "shard", Seq(col("__h"), col(idCol)), Seq("__one" -> "pos"))
+          .drop("__one")
+      else
+        hashed.withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+            .orderBy(col("__h"), col(idCol))))
+    positioned
       .withColumn("pos", col("pos").cast("int"))
-      .drop("__h", "__one")
+      .drop("__h")
   }
 
   /** Reshard movement plan — "what does changing the shard count

@@ -116,7 +116,11 @@ object Multimodal {
         else if (tag(o, "data"))
           dataSize = Some(math.min(size, (bytes.length - body).toLong))
         o = body + size.toInt + (size.toInt & 1) // chunks 2-byte aligned
-        if (o <= body) o = bytes.length // corrupt size: stop the walk
+        // corrupt = NEGATIVE/overflowed size only: a legal zero-size
+        // chunk (empty LIST/pad, which real encoders emit) leaves
+        // o == body, and the walk still advances 8 header bytes per
+        // iteration — aborting on it would reject well-formed WAVs
+        if (o < body) o = bytes.length // corrupt size: stop the walk
       }
       (fmt, dataSize) match {
         case (Some((audioTag, ch, rate, align, bits)), Some(d))

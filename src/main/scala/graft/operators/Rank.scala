@@ -330,6 +330,19 @@ object Rank {
       }
     }, s"withGroupedPrefixSums: group column '$groupCol' must be an atomic " +
       s"scalar type, got ${rows0.schema(groupCol).dataType.simpleString}")
+    // the local pass accumulates with longValue(): a fractional weight
+    // would silently truncate per row instead of summing — enforce the
+    // documented "integral weights, cast first" contract
+    weights.foreach { case (w, _) =>
+      require({
+        import org.apache.spark.sql.types._
+        rows0.schema(w).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      }, s"withGroupedPrefixSums: weight column '$w' must be an integral " +
+        s"type (cast first), got ${rows0.schema(w).dataType.simpleString}")
+    }
     val g = col(groupCol)
     val spark = rows0.sparkSession
     val p = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)

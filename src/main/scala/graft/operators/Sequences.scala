@@ -572,16 +572,17 @@ object Sequences {
   def rfm(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
     // an event missing its timestamp or value is not a scoreable
-    // transaction — dropped HERE (oracle mirrors with IS NOT NULL), so
-    // no user can reach the quintile tiles with a null metric: a user
-    // whose events were ALL null-ts/null-value would otherwise carry
-    // null recency/monetary into withExactNtile, whose null guard
-    // raise_errors by contract (the rankMatchedPairs call-site
-    // discipline, applied to this call site per ADVICE r11)
+    // transaction — dropped AFTER the conversions (oracle mirrors with
+    // IS NOT NULL, equivalent for typed inputs), because to_date and
+    // the decimal cast can themselves mint nulls from unparseable
+    // strings (the rankMatchedPairs call-site discipline: filter the
+    // CONVERTED column, not the raw one). Otherwise a user whose
+    // events all convert to null would carry null recency/monetary
+    // into withExactNtile, whose null guard raise_errors by contract.
     val per = events
-      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"),
         col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+      .filter(col("d").isNotNull && col("v").isNotNull)
       .groupBy(col("u"))
       .agg(max(col("d")).as("__last"), count(lit(1)).as("frequency"),
         (sum(col("v")) * lit(100)).cast("bigint").as("monetary_cents"))

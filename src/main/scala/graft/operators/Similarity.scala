@@ -826,7 +826,12 @@ object Similarity {
     *
     * Exact by construction (no sketch): integers out, one 6-dp + micro
     * quantization per scored pair, so a DuckDB oracle reproduces every
-    * cell. Scale: a calibration audit — each dim costs one corpus scan
+    * cell. Null-drop contract (mirrored by the oracle's norm guards):
+    * a vector whose length-`d` prefix has zero norm has no cosine at
+    * that dim, so it leaves that dim's ranking and rescore sum — and
+    * uniform vector length ≥ max(dims) is the caller's contract, as
+    * with [[bruteForceTopK]]. Scale: a calibration audit — each dim
+    * costs one corpus scan
     * with the query set broadcast (the x06 brute-force discipline:
     * only (query, id, score) triples reach the bounded-heap top-k
     * exchange); at 100 TB it runs over a query/corpus sample exactly

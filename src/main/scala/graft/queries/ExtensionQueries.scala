@@ -6887,8 +6887,13 @@ object ExtensionQueries {
     // over length-d prefixes ((embedding::DOUBLE[])[1:d] — slicing the
     // cast array equals casting the sliced floats, widening is exact),
     // hits counted against the full-64 top-10 set, and the truncated
-    // rescore of each query's full-dim top-1 neighbor.
+    // rescore of each query's full-dim top-1 neighbor. The norm guards
+    // mirror Spark's null-cosine drop: a zero-norm prefix has no
+    // cosine, so the pair leaves the ranking (and the rescore sum)
+    // on BOTH engines instead of scoring NaN here.
     "x189_truncation_recall" -> {
+      def nz(expr: String, d: Int) =
+        s"list_inner_product(($expr::DOUBLE[])[1:$d], ($expr::DOUBLE[])[1:$d]) > 0"
       def tk(d: Int, name: String) =
         s"""$name AS (SELECT query_id, vec_id FROM (
            |  SELECT q.query_id, c.vec_id, row_number() OVER (
@@ -6896,7 +6901,9 @@ object ExtensionQueries {
            |    ORDER BY round(list_cosine_similarity(
            |      (c.embedding::DOUBLE[])[1:$d],
            |      (q.query_vec::DOUBLE[])[1:$d]), 6) DESC, c.vec_id) AS rnk
-           |  FROM embeddings c CROSS JOIN q) t WHERE rnk <= 10)""".stripMargin
+           |  FROM embeddings c CROSS JOIN q
+           |  WHERE ${nz("c.embedding", d)} AND ${nz("q.query_vec", d)}) t
+           |  WHERE rnk <= 10)""".stripMargin
       val dims = Seq(8, 16, 32, 64)
       val dimCtes = dims.map { d =>
         s"""${tk(d, s"tk$d")},
@@ -6907,7 +6914,8 @@ object ExtensionQueries {
            |          (q.query_vec::DOUBLE[])[1:$d]), 6) * 1000000.0)
            |          AS BIGINT)) AS BIGINT) AS s
            |        FROM f1 JOIN embeddings c ON c.vec_id = f1.top1
-           |                JOIN q ON q.query_id = f1.query_id)""".stripMargin
+           |                JOIN q ON q.query_id = f1.query_id
+           |        WHERE ${nz("c.embedding", d)} AND ${nz("q.query_vec", d)})""".stripMargin
       }.mkString(",\n")
       val rows = dims.map { d =>
         s"""SELECT CAST($d AS BIGINT) AS dim, nq.n_queries, nq.slots,

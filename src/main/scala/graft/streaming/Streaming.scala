@@ -634,23 +634,27 @@ object Streaming {
 
     override def handleInputRows(key: String, rows: Iterator[FdEvent],
         tv: TimerValues): Iterator[FdViolation] = {
-      // fold through a local map: one state read + one write per key
-      // per batch, not per input row (the MisraGries discipline)
-      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      seen.iterator().foreach { case (d, c) => m(d) = c }
+      // the state is a MEMBERSHIP set (violations depend only on which
+      // dependents exist and how many — never on per-dep counts), so a
+      // clean batch of already-seen mappings writes ZERO state entries:
+      // only newly inserted dependents are written, and the map is
+      // never cleared (the stored value is a constant placeholder)
+      val m = scala.collection.mutable.LinkedHashSet.empty[String]
+      seen.iterator().foreach { case (d, _) => m += d }
+      val added = scala.collection.mutable.ArrayBuffer.empty[String]
       val out = scala.collection.mutable.ArrayBuffer.empty[FdViolation]
       rows.foreach { ev =>
-        m.get(ev.dep) match {
-          case Some(c) => m(ev.dep) = c + 1
-          case None if m.size < maxDeps =>
-            m(ev.dep) = 1L
+        if (!m.contains(ev.dep)) {
+          if (m.size < maxDeps) {
+            m += ev.dep
+            added += ev.dep
             if (m.size >= 2) out += FdViolation(key, ev.dep, m.size.toLong)
-          case None => // saturated: flag conservatively, store nothing
+          } else { // saturated: flag conservatively, store nothing
             out += FdViolation(key, ev.dep, -1L)
+          }
         }
       }
-      seen.clear()
-      m.foreach { case (d, c) => seen.updateValue(d, c) }
+      added.foreach(d => seen.updateValue(d, 1L))
       out.iterator
     }
   }

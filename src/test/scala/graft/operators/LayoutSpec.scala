@@ -80,6 +80,28 @@ class LayoutSpec extends SparkSpec {
       s"shard skew: ${sizes.toMap}")
   }
 
+  test("shardAssignment: the many-shards window branch (> 1024) assigns " +
+      "the same (shard, pos) as the prefix-sum branch's algebra") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    // 2000 shards over 500 docs: most shards hold 0-2 rows — the
+    // regime where a per-shard window is the right shape and the
+    // prefix-sum offsets frame (partitions × nShards) would not be.
+    val many = Layout.shardAssignment(docs, "doc_id", nShards = 2000)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // same contract as the few-shards branch: dense 1..n per shard,
+    // shard = md5Bucket60(id) % nShards
+    many.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"shard $shard positions not dense")
+    }
+    val expected = docs.select(col("doc_id"),
+        (graft.functions.TextFunctions.md5Bucket60(col("doc_id")) % 2000)
+          .as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    many.foreach { case (id, shard, _) => assert(expected(id) == shard) }
+  }
+
   test("writePartitioned rejects degenerate parameters") {
     val docs = graft.Tables.load(spark, sf001, "documents")
     intercept[IllegalArgumentException] {

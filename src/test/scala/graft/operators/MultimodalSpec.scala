@@ -95,6 +95,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(truncated).contains((44100, 2, 10)))
   }
 
+  test("decodeWav: a legal ZERO-size chunk before fmt is walked over " +
+      "(only negative/overflowed sizes abort the walk)") {
+    // real encoders emit empty pad/LIST chunks; the walk still makes
+    // 8-byte header progress on size = 0, so it must not be treated
+    // as corrupt
+    val align = 2 * 2
+    val dataSize = 12 * align
+    val riffSize = 4 + 8 + 24 + 8 + dataSize // empty chunk + fmt + data
+    val b = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(riffSize).put("WAVE".getBytes)
+    b.put("PAD ".getBytes).putInt(0) // zero-size chunk, no payload
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(1.toShort).putShort(2.toShort)
+      .putInt(44100).putInt(44100 * align)
+      .putShort(align.toShort).putShort(16.toShort)
+    b.put("data".getBytes).putInt(dataSize)
+    (0 until dataSize).foreach(i => b.put((i % 251).toByte))
+    assert(Multimodal.decodeWav(b.array()).contains((44100, 2, 12)))
+    // a size that overflows to a large negative int must abort the
+    // walk (o jumps far behind body), not scan on or loop
+    val neg = b.array().clone()
+    neg(16) = 0x00.toByte; neg(17) = 0x00.toByte
+    neg(18) = 0x00.toByte; neg(19) = 0x80.toByte // PAD size = 2^31
+    assert(Multimodal.decodeWav(neg).isEmpty)
+  }
+
   test("extractFeatures routes WAV payloads through the REAL audio " +
       "decoder: dims slots carry (sample_rate, channels, n_frames)") {
     val rows = Seq(
