@@ -841,6 +841,47 @@ object Similarity {
       k: Int, corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     require(dims.nonEmpty, "truncationRecall: need at least one dim")
+    variantRecall(corpus, queries, k,
+      dims.map(d => (lit(d.toLong),
+        (v: Column) => slice(v, 1, d))),
+      "dim", "top1_trunc_cos_micro_sum",
+      corpusId, corpusVec, queryId, queryVec)
+  }
+
+  /** Compression retrieval audit — the quantization/projection sibling
+    * of [[truncationRecall]]: how much of full-precision top-k
+    * retrieval survives a lossy vector transform (int8 symmetric
+    * quantization, a ±1 Johnson–Lindenstrauss projection, …), the
+    * measurement behind serving an index in a compressed format.
+    * `methods` maps a method name to the vector transform applied to
+    * BOTH sides before re-ranking; output columns mirror
+    * truncationRecall with `method` as the variant label and
+    * `top1_comp_cos_micro_sum` as the degradation sum. A transform
+    * yielding null (degenerate input by that method's contract) drops
+    * the vector from that method's ranking and rescore — same
+    * null-drop rule, mirrored by the oracle's guards. Same scale
+    * contract: a calibration audit over a query/corpus sample. */
+  def compressionRecall(corpus: DataFrame, queries: DataFrame,
+      methods: Seq[(String, Column => Column)], k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    require(methods.nonEmpty, "compressionRecall: need at least one method")
+    variantRecall(corpus, queries, k,
+      methods.map { case (name, tf) => (lit(name), tf) },
+      "method", "top1_comp_cos_micro_sum",
+      corpusId, corpusVec, queryId, queryVec)
+  }
+
+  /** Shared recall-vs-full-ranking harness behind [[truncationRecall]]
+    * and [[compressionRecall]]: rank the transformed vectors with the
+    * [[bruteForceTopK]] contract per variant, count survivors of the
+    * full-precision top-k set, and rescore each query's full top-1
+    * pair under the transform. All aggregates are single-row frames;
+    * the per-variant branches union over one corpus scan each. */
+  private def variantRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+      variants: Seq[(Column, Column => Column)], labelOut: String,
+      sumOut: String, corpusId: String, corpusVec: String,
+      queryId: String, queryVec: String): DataFrame = {
     val full = bruteForceTopK(corpus, queries, k, corpusId, corpusVec,
       queryId, queryVec)
     val fullPairs = full.select(col(queryId), col(corpusId))
@@ -848,30 +889,28 @@ object Similarity {
       .select(col(queryId), col(corpusId).as("__top1"))
     val slots = queries.agg(count(lit(1)).as("n_queries"),
       (count(lit(1)) * lit(k.toLong)).as("slots"))
-    val perDim = dims.map { d =>
-      val tq = queries.select(col(queryId),
-        slice(col(queryVec), 1, d).as(queryVec))
-      val tc = corpus.select(col(corpusId), slice(col(corpusVec), 1, d).as(corpusVec))
+    val perVariant = variants.map { case (label, tf) =>
+      val tq = queries.select(col(queryId), tf(col(queryVec)).as(queryVec))
+      val tc = corpus.select(col(corpusId), tf(col(corpusVec)).as(corpusVec))
       val hits = bruteForceTopK(tc, tq, k, corpusId, corpusVec, queryId, queryVec)
         .join(fullPairs, Seq(queryId, corpusId), "left_semi")
         .agg(count(lit(1)).cast("bigint").as("topk_hits"))
-      // rescore (query, full-dim top-1) pairs at dim d: the pair list
-      // is one row per query, so IT broadcasts — the corpus is only
-      // probed for the named top-1 vectors
+      // rescore (query, full top-1) pairs under the transform: the
+      // pair list is one row per query, so IT broadcasts — the corpus
+      // is only probed for the named top-1 vectors
       val top1 = corpus.join(broadcast(full1), col(corpusId) === col("__top1"))
         .join(broadcast(queries.select(col(queryId).as("__qid2"), col(queryVec))),
           col(queryId) === col("__qid2"))
         .select(round(cosine_similarity(
-            slice(col(queryVec), 1, d), slice(col(corpusVec), 1, d)), 6).as("__c"))
-        .agg(sum(round(col("__c") * lit(1000000.0)).cast("long"))
-          .as("top1_trunc_cos_micro_sum"))
-      hits.crossJoin(top1).select(lit(d).cast("long").as("dim"),
-        col("topk_hits"), col("top1_trunc_cos_micro_sum"))
+            tf(col(queryVec)), tf(col(corpusVec))), 6).as("__c"))
+        .agg(sum(round(col("__c") * lit(1000000.0)).cast("long")).as(sumOut))
+      hits.crossJoin(top1).select(label.as(labelOut),
+        col("topk_hits"), col(sumOut))
     }.reduce(_ unionByName _)
-    perDim.crossJoin(broadcast(slots))
-      .select(col("dim"), col("n_queries"), col("slots"), col("topk_hits"),
-        col("top1_trunc_cos_micro_sum"))
-      .orderBy(col("dim"))
+    perVariant.crossJoin(broadcast(slots))
+      .select(col(labelOut), col("n_queries"), col("slots"), col("topk_hits"),
+        col(sumOut))
+      .orderBy(col(labelOut))
   }
 
   /** Per-label embedding OOD (out-of-distribution) audit: each

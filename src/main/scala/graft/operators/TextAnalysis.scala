@@ -416,6 +416,65 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** Context-length packing sweep — the capacity-planning read on top
+    * of [[packSequences]]'s model: for each candidate budget
+    * (context length), how many packs the corpus needs, how full they
+    * are, how many tokens spill past the last pack boundary, and how
+    * many documents straddle a pack cut (the docs a trainer must
+    * split or truncate). One row per (budget, stratum); choosing a
+    * context length is reading this table.
+    *
+    * Semantics per budget L, within each stratum under the (id) total
+    * order: a doc starts in pack floor(tokens_before / L)
+    * (packSequences' assignment); n_packs = last start-pack + 1;
+    * capacity = n_packs·L; fill_micro = total_tokens·10⁶ div
+    * capacity (> 10⁶ means the tail doc overruns the last boundary —
+    * that overrun is `overflow_tokens`); split_docs counts docs whose
+    * first and last token land in different packs. All integer algebra
+    * over the exact cumulative sums — engine-identical (`div` and
+    * DuckDB `//` both truncate; operands non-negative). Docs whose
+    * token count is null (null text) are not packable and drop first,
+    * mirrored by the oracle. Exact while total_tokens·10⁶ fits a long
+    * (≈ 9·10¹² tokens per stratum — tens of TB of text; beyond that,
+    * sweep per sub-shard and sum).
+    *
+    * Scale: ONE two-phase prefix-sum pass
+    * ([[graft.operators.Rank.withGroupedPrefixSums]]) shared by every
+    * budget (the frame is checkpointed; each budget adds one
+    * stratum-cardinality aggregation), so sweeping 4 context lengths
+    * costs one corpus pass, not four. */
+  def packingSweep(docs: DataFrame, budgets: Seq[Long],
+      strataCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0),
+      s"packingSweep: budgets must be positive, got $budgets")
+    val cum = Rank.withGroupedPrefixSums(
+        docs.select(col(strataCol), col(idCol),
+            tokenCount(col(textCol)).as("n_tokens"))
+          .filter(col("n_tokens").isNotNull),
+        strataCol, Seq(col(idCol)), Seq("n_tokens" -> "__cum"))
+      .localCheckpoint(true) // feeds one aggregation branch per budget
+    budgets.map { l =>
+      cum.groupBy(col(strataCol))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+          (max(expr(s"(__cum - n_tokens) div $l")) + lit(1L))
+            .cast("bigint").as("n_packs"),
+          sum(when(col("n_tokens") > 0 &&
+              expr(s"(__cum - n_tokens) div $l") =!= expr(s"(__cum - 1) div $l"),
+              1L).otherwise(0L)).cast("bigint").as("split_docs"))
+        .select(lit(l).cast("long").as("budget"), col(strataCol),
+          col("n_docs"), col("total_tokens"), col("n_packs"),
+          (col("n_packs") * lit(l)).cast("long").as("capacity"),
+          expr(s"total_tokens * 1000000L div (n_packs * $l)")
+            .cast("long").as("fill_micro"),
+          greatest(lit(0L), col("total_tokens") - col("n_packs") * lit(l))
+            .cast("long").as("overflow_tokens"),
+          col("split_docs"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("budget"), col(strataCol))
+  }
+
   /** Fixed-window document chunking with overlap — the context-window
     * preparation step (split long docs into model-sized pieces, adjacent
     * chunks sharing `window - stride` chars). Chunk starts sit on the

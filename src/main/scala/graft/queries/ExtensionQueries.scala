@@ -2200,6 +2200,38 @@ object ExtensionQueries {
   def x191(s: SparkSession, dir: String): DataFrame =
     Similarity.oodAudit(emb(s, dir), factorMilli = 1500L)
 
+  /** x192 compression retrieval audit — see
+    * [[graft.operators.Similarity.compressionRecall]]: top-10
+    * agreement and top-1 score degradation under int8 symmetric
+    * quantization (the x25 storage format) and the 16-dim ±1 JL
+    * projection (the x75 sketch), against the full-float baseline —
+    * the quantization/projection axis beside x189's truncation axis.
+    * Cosine is scale-invariant, so the per-vector quantization scale
+    * and the JL 1/√16 factor cancel; only the rounding they introduce
+    * is measured. */
+  def x192(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{jl_project, quantize_i8}
+    Similarity.compressionRecall(emb(s, dir),
+      emb(s, dir).filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+      methods = Seq(
+        "int8" -> ((v: org.apache.spark.sql.Column) =>
+          quantize_i8(v).cast("array<float>")),
+        "jl16" -> ((v: org.apache.spark.sql.Column) =>
+          jl_project(v, 16, 64, 7).cast("array<float>"))),
+      k = 10)
+  }
+
+  /** x193 context-length packing sweep — see
+    * [[graft.operators.TextAnalysis.packingSweep]]: per (budget,
+    * lang), pack count, fill ratio, boundary-straddling docs and
+    * tail overflow for candidate context lengths 256/512/1024/2048 —
+    * the capacity-planning table behind choosing a training context
+    * length, computed from ONE shared prefix-sum pass. */
+  def x193(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packingSweep(docs(s, dir),
+      budgets = Seq(256L, 512L, 1024L, 2048L))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2442,6 +2474,8 @@ object ExtensionQueries {
     "x189_truncation_recall" -> (x189 _),
     "x190_hard_negatives" -> (x190 _),
     "x191_embedding_ood" -> (x191 _),
+    "x192_compression_recall" -> (x192 _),
+    "x193_packing_sweep" -> (x193 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -6963,6 +6997,121 @@ object ExtensionQueries {
         |FROM q JOIN p ON p.query_id = q.query_id
         |       JOIN n ON n.query_id = q.query_id
         |ORDER BY q.query_id""".stripMargin,
+
+    // Replays compressionRecall: the int8 side re-derives the x25
+    // quantization (values are small exact integers, so the float
+    // storage round-trips and cosine runs over identical doubles);
+    // the jl16 side re-derives the x75 projection with the same sign
+    // literals, /4.0 exact (power of two), CAST AS FLOAT mirroring the
+    // engine's array<float> narrowing. Inner joins on the transformed
+    // frames mirror the null-drop of degenerate vectors.
+    "x192_compression_recall" -> {
+      val signs = graft.functions.VectorKernels.jlSigns(16, 64, 7)
+        .map(_.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]::DOUBLE[]"))
+      def ip(v: String, j: Int) = s"list_inner_product($v::DOUBLE[], ${signs(j)})"
+      def jlList(v: String) = (0 until 16)
+        .map(j => s"CAST(${ip(v, j)} / 4.0 AS FLOAT)")
+        .mkString("list_value(", ",\n           ", ")::DOUBLE[]")
+      def tk(cv: String, qv: String, name: String) =
+        s"""$name AS (SELECT query_id, vec_id FROM (
+           |  SELECT b.query_id, a.vec_id, row_number() OVER (
+           |    PARTITION BY b.query_id
+           |    ORDER BY round(list_cosine_similarity(a.$cv, b.$qv), 6) DESC,
+           |             a.vec_id) AS rnk
+           |  FROM c$name a CROSS JOIN q$name b) t WHERE rnk <= 10)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+         |           FROM embeddings WHERE vec_id < 20),
+         |fr AS (SELECT q.query_id, c.vec_id, row_number() OVER (
+         |         PARTITION BY q.query_id
+         |         ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
+         |           q.query_vec::DOUBLE[]), 6) DESC, c.vec_id) AS rnk
+         |       FROM embeddings c CROSS JOIN q),
+         |ftk AS (SELECT query_id, vec_id FROM fr WHERE rnk <= 10),
+         |f1 AS (SELECT query_id, vec_id AS top1 FROM fr WHERE rnk = 1),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |              CAST(count(*) * 10 AS BIGINT) AS slots FROM q),
+         |ci0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |          list_max(list_transform(embedding::DOUBLE[],
+         |            y -> abs(y))) AS mx
+         |        FROM embeddings),
+         |cti AS (SELECT vec_id, list_transform(v, x -> GREATEST(-127.0,
+         |          LEAST(127.0, floor(x * (127.0 / mx) + 0.5)))) AS cv
+         |        FROM ci0 WHERE mx > 0),
+         |qi0 AS (SELECT query_id, query_vec::DOUBLE[] AS v,
+         |          list_max(list_transform(query_vec::DOUBLE[],
+         |            y -> abs(y))) AS mx
+         |        FROM q),
+         |qti AS (SELECT query_id, list_transform(v, x -> GREATEST(-127.0,
+         |          LEAST(127.0, floor(x * (127.0 / mx) + 0.5)))) AS qv
+         |        FROM qi0 WHERE mx > 0),
+         |${tk("cv", "qv", "ti")},
+         |hi AS (SELECT CAST(count(*) AS BIGINT) AS topk_hits
+         |       FROM ti JOIN ftk USING (query_id, vec_id)),
+         |ri AS (SELECT CAST(sum(CAST(round(round(list_cosine_similarity(
+         |         a.cv, b.qv), 6) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+         |       FROM f1 JOIN cti a ON a.vec_id = f1.top1
+         |               JOIN qti b ON b.query_id = f1.query_id),
+         |ctj AS (SELECT vec_id, ${jlList("embedding")} AS cv
+         |        FROM embeddings WHERE len(embedding) = 64),
+         |qtj AS (SELECT query_id, ${jlList("query_vec")} AS qv
+         |        FROM q WHERE len(query_vec) = 64),
+         |${tk("cv", "qv", "tj")},
+         |hj AS (SELECT CAST(count(*) AS BIGINT) AS topk_hits
+         |       FROM tj JOIN ftk USING (query_id, vec_id)),
+         |rj AS (SELECT CAST(sum(CAST(round(round(list_cosine_similarity(
+         |         a.cv, b.qv), 6) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+         |       FROM f1 JOIN ctj a ON a.vec_id = f1.top1
+         |               JOIN qtj b ON b.query_id = f1.query_id)
+         |SELECT 'int8' AS method, nq.n_queries, nq.slots, hi.topk_hits,
+         |       ri.s AS top1_comp_cos_micro_sum
+         |FROM nq CROSS JOIN hi CROSS JOIN ri
+         |UNION ALL
+         |SELECT 'jl16' AS method, nq.n_queries, nq.slots, hj.topk_hits,
+         |       rj.s AS top1_comp_cos_micro_sum
+         |FROM nq CROSS JOIN hj CROSS JOIN rj
+         |ORDER BY method""".stripMargin
+    },
+
+    // Replays packingSweep: the x31 token count and cumulative sum,
+    // then per budget the same integer pack algebra (// and div both
+    // truncate; operands non-negative).
+    "x193_packing_sweep" -> {
+      val budgets = Seq(256L, 512L, 1024L, 2048L)
+      val perB = budgets.map { l =>
+        s"""SELECT CAST($l AS BIGINT) AS budget, lang,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           |  CAST(MAX((cum - n_tokens) // $l) + 1 AS BIGINT) AS n_packs,
+           |  CAST(SUM(CASE WHEN n_tokens > 0
+           |    AND (cum - n_tokens) // $l <> (cum - 1) // $l
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+           |FROM p GROUP BY lang""".stripMargin
+      }.zipWithIndex.map { case (sql, i) => s"b$i AS ($sql)" }.mkString(",\n")
+      val rows = budgets.indices.map { i =>
+        s"""SELECT budget, lang, n_docs, total_tokens, n_packs,
+           |  CAST(n_packs * budget AS BIGINT) AS capacity,
+           |  CAST(total_tokens * 1000000 // (n_packs * budget) AS BIGINT)
+           |    AS fill_micro,
+           |  CAST(GREATEST(0, total_tokens - n_packs * budget) AS BIGINT)
+           |    AS overflow_tokens,
+           |  split_docs
+           |FROM b$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (
+         |  SELECT lang, doc_id,
+         |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        x -> len(x) > 0)) AS n_tokens
+         |  FROM documents),
+         |p AS (
+         |  SELECT lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t WHERE n_tokens IS NOT NULL),
+         |$perB
+         |$rows
+         |ORDER BY budget, lang""".stripMargin
+    },
 
     // Replays oodAudit: 1e-3-quantized components (the x169 cell
     // idiom), exact per-(label, dim) integer sums, the per-dim term as

@@ -418,6 +418,31 @@ class SimilaritySpec extends SparkSpec {
       (4L, 1L, 1L, 1L, fullMicro)))     // full dim: hits = slots
   }
 
+  test("compressionRecall: an identity method is the hits=slots anchor; " +
+    "a prefix transform reproduces the truncation flip through the " +
+    "shared harness") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.5f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("query_id", "query_vec")
+    val out = Similarity.compressionRecall(corpus, q,
+        methods = Seq(
+          "a_first2" -> ((v: org.apache.spark.sql.Column) => slice(v, 1, 2)),
+          "b_id" -> ((v: org.apache.spark.sql.Column) => v)),
+        k = 1)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    val fullMicro = Seq((Array(1.0f, 0.0f, 1.0f, 0.0f), Array(0.5f, 0.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(round(round(graft.functions.VectorFunctions.cosine_similarity(
+        col("a"), col("b")), 6) * lit(1000000.0)).cast("long"))
+      .as[Long].head()
+    assert(out == List(
+      ("a_first2", 1L, 1L, 0L, 1000000L), // prefix tie flips top-1 to c1
+      ("b_id", 1L, 1L, 1L, fullMicro)))   // identity: hits = slots
+  }
+
   test("hardNegatives: hand-traced 3-4-5 geometry — positives, negatives, " +
     "and signed micro margins") {
     import spark.implicits._

@@ -916,6 +916,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("packingSweep: hand-traced pack counts, fill, overflow and splits " +
+      "at two budgets from one shared prefix-sum pass") {
+    val docs = Seq(
+      (1L, "w w w", "a"),         // 3 tokens, cum 3
+      (2L, "w w w w", "a"),       // 4 tokens, cum 7
+      (3L, "w w w w w", "a"),     // 5 tokens, cum 12
+      (9L, ("w " * 20).trim, "b")) // 20 tokens alone in its stratum
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.packingSweep(docs, budgets = Seq(5L, 10L))
+      .as[(Long, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    assert(out == List(
+      // L=5, a: starts 0,0,1 -> 2 packs of 5; 12 tokens in 10 slots;
+      //   docs 2 (3..6) and 3 (7..11) straddle pack cuts
+      (5L, "a", 3L, 12L, 2L, 10L, 1200000L, 2L, 2L),
+      // L=5, b: one 20-token doc starts in pack 0 -> 15 tokens overflow
+      //   and the doc spans cuts (0 vs 3)
+      (5L, "b", 1L, 20L, 1L, 5L, 4000000L, 15L, 1L),
+      // L=10, a: all start in pack 0; only doc 3 (7..11) straddles
+      (10L, "a", 3L, 12L, 1L, 10L, 1200000L, 2L, 1L),
+      (10L, "b", 1L, 20L, 1L, 10L, 2000000L, 10L, 1L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packingSweep(docs, budgets = Seq())
+    }
+  }
+
   test("chunkPackingAudit: hand-traced split and waste at L=4; " +
       "token-less docs pack nothing") {
     val docs = Seq(
