@@ -626,6 +626,118 @@ class OperatorPropertiesSpec extends SparkSpec {
       assert(closed(rn, n, t) == ntileModel(rn, n, t), s"rn=$rn n=$n t=$t")
   }
 
+  // round-12 trio: seeded random labeled vectors, driver-side models
+  // mirroring the declared integer/rounding algebra exactly
+
+  private def half6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def halfL(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+  private def cos6(a: Array[Float], b: Array[Float]): Option[Double] = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < a.length) {
+      val xi = a(i).toDouble; val yi = b(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) None else Some(half6(dot / math.sqrt(nx * ny)))
+  }
+
+  private val labeledVecGen: Gen[(Array[Float], Int)] = for {
+    v <- Gen.listOfN(4, Gen.chooseNum(-1000, 1000).map(_ / 256.0f))
+    l <- Gen.chooseNum(0, 2)
+  } yield (v.toArray, l)
+
+  test("oodAudit: matches the driver-side integer-algebra model on random " +
+      "labeled vectors") {
+    val in = samples(labeledVecGen, 120, 21L).zipWithIndex
+      .map { case ((v, l), i) => (i.toLong, v, l) }
+    val got = Similarity.oodAudit(in.toDF("vec_id", "embedding", "label"),
+        dim = 4, factorMilli = 1200L)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5))).toList
+    val cells = in.flatMap { case (id, v, l) =>
+      v.zipWithIndex.map { case (x, d) => (l, id, d, halfL(x.toDouble * 1000.0)) } }
+    val stats = cells.groupBy(c => (c._1, c._3)).map { case (k, cs) =>
+      k -> (cs.size.toLong, cs.map(_._4).sum, cs.map(c => c._4 * c._4).sum) }
+    val ood = cells.groupBy(c => (c._1, c._2)).map { case ((l, id), cs) =>
+      val ts = cs.flatMap { case (_, _, d, q) =>
+        val (n, s1, s2) = stats((l, d))
+        val den = s2 * n - s1 * s1
+        if (den > 0)
+          Some(math.round((q * n - s1).toDouble * (q * n - s1).toDouble
+            * 1000.0 / den.toDouble))
+        else None
+      }
+      (l, id, if (ts.isEmpty) None else Some(ts.sum))
+    }
+    val expected = ood.groupBy(_._1).map { case (l, vs) =>
+      val sums = vs.flatMap(_._3)
+      (l, vs.size.toLong,
+        if (sums.isEmpty) None else Some(sums.sum),
+        if (sums.isEmpty) None else Some(sums.max),
+        vs.count(_._3.exists(_ > 1200L * 4)).toLong)
+    }.toList.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("hardNegatives: matches a brute-force driver model on random " +
+      "labeled vectors (zero-norm vectors drop)") {
+    val in = samples(labeledVecGen, 60, 33L).zipWithIndex
+      .map { case ((v, l), i) => (i.toLong, v, l) }
+    val queries = in.filter(_._1 < 15)
+    val got = Similarity.hardNegatives(
+        in.toDF("vec_id", "embedding", "label"),
+        queries.toDF("query_id", "query_vec", "query_label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5), r.getLong(6))).toList
+    val expected = queries.flatMap { case (qid, qv, ql) =>
+      val scored = in.filter(_._1 != qid).flatMap { case (cid, cv, cl) =>
+        cos6(qv, cv).map(c => (cid, cl, c)) }
+      def top1(side: Seq[(Long, Int, Double)]) =
+        side.sortBy { case (id, _, c) => (-c, id) }.headOption
+      (top1(scored.filter(_._2 == ql)), top1(scored.filter(_._2 != ql))) match {
+        case (Some((pid, _, pc)), Some((nid, _, nc))) =>
+          Some((qid, ql, pid, pc, nid, nc, halfL((pc - nc) * 1000000.0)))
+        case _ => None
+      }
+    }.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("packingSweep: matches the integer pack-algebra model on random " +
+      "token counts, zero-token docs included") {
+    val docGen = for {
+      s <- Gen.oneOf("a", "b", "c")
+      t <- Gen.chooseNum(0, 40)
+    } yield (s, t)
+    val in = samples(docGen, 100, 5L).zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, ("w " * t).trim, s) }
+    val budgets = Seq(7L, 19L)
+    val got = TextAnalysis.packingSweep(
+        in.toDF("doc_id", "text", "lang"), budgets = budgets)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toList
+    val expected = (for {
+      l <- budgets
+      (s, docs) <- in.groupBy(_._3).toSeq
+    } yield {
+      val toks = docs.sortBy(_._1).map(d =>
+        d._2.split("\\s+").count(_.nonEmpty).toLong)
+      val cums = toks.scanLeft(0L)(_ + _).tail
+      val starts = toks.zip(cums).map { case (n, c) => (c - n) / l }
+      val total = toks.sum
+      val nPacks = starts.max + 1
+      val splits = toks.zip(cums).count { case (n, c) =>
+        n > 0 && (c - n) / l != (c - 1) / l }
+      (l, s, docs.size.toLong, total, nPacks, nPacks * l,
+        total * 1000000L / (nPacks * l),
+        math.max(0L, total - nPacks * l), splits.toLong)
+    }).sortBy(r => (r._1, r._2)).toList
+    assert(got == expected)
+  }
+
   test("eventPathMining: counts invariant under repartitioning") {
     val events = samples(Gen.oneOf("a", "b", "c"), 200, 3L).zipWithIndex
       .map { case (t, i) => ((i % 7).toLong, i.toLong, i.toLong, t) }
