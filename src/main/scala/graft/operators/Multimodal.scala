@@ -166,6 +166,60 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for the GIF container — fourth pure-JVM codec behind
+    * the decode seam. "GIF87a"/"GIF89a" magic, logical-screen width and
+    * height as LE u16, then a FULL block walk (skipping the global and
+    * any local color tables, extension sub-blocks, and each frame's
+    * LZW sub-block chain) counting Image Descriptors — so an animated
+    * GIF reports its REAL frame count, the input a frame-sampling
+    * stage actually needs. A truncated stream keeps the frames fully
+    * parsed before the cut (the decodeWav clamping rule); an invalid
+    * block introducer rejects the payload. Unlike BMP/WAV/PNG there is
+    * no second consistency rule beyond the walk itself — media columns
+    * are declared binary payloads, not text, so single-magic
+    * false-positives are not a fixture-reachable case. Returns
+    * (width, height, n_frames); None otherwise. */
+  private[operators] def decodeGif(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    if (bytes.length < 13) return None
+    val hdr = new String(bytes, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val w = u16(6)
+    val h = u16(8)
+    if (w < 1 || h < 1) return None
+    val packed = bytes(10) & 0xFF
+    var o = 13
+    if ((packed & 0x80) != 0) o += 3 * (1 << ((packed & 7) + 1))
+    // len-prefixed sub-blocks until a 0 terminator; a missing
+    // terminator simply runs off the end and ends the walk
+    def skipSubBlocks(start: Int): Int = {
+      var p = start
+      while (p < bytes.length && (bytes(p) & 0xFF) != 0)
+        p += 1 + (bytes(p) & 0xFF)
+      p + 1
+    }
+    var frames = 0
+    var ok = true
+    while (ok && o < bytes.length && (bytes(o) & 0xFF) != 0x3B) {
+      (bytes(o) & 0xFF) match {
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          o = skipSubBlocks(o + 2)
+        case 0x2C => // image descriptor: 9 bytes after the introducer
+          if (o + 10 > bytes.length) ok = false
+          else {
+            val ipacked = bytes(o + 9) & 0xFF
+            var p = o + 10
+            if ((ipacked & 0x80) != 0) p += 3 * (1 << ((ipacked & 7) + 1))
+            p += 1 // LZW minimum code size
+            o = skipSubBlocks(p)
+            frames += 1
+          }
+        case _ => ok = false
+      }
+    }
+    if (ok && frames >= 1) Some((w, h, frames)) else None
+  }
+
   /** === STUB ===  "decode" a non-BMP image: real codecs are
     * unavailable in this environment; dimensions derive
     * deterministically from 6-hex-digit slices of the md5 content
@@ -206,13 +260,15 @@ object Multimodal {
         // is what makes x12 oracle-checkable)
         md.reset()
         val contentHash = md.digest(bytes).map("%02x".format(_)).mkString
-        // real parses first (BMP and PNG headers, then WAV/RIFF — for
-        // audio the dims slots carry (width=sample_rate,
-        // height=channels, n_frames=frames): the schema contract keeps
-        // one features row shape per modality, as the scaladoc on
-        // MediaFeatures notes), stub for remaining formats
+        // real parses first (BMP, PNG, GIF image headers — GIF with a
+        // real frame-count walk — then WAV/RIFF: for audio the dims
+        // slots carry (width=sample_rate, height=channels,
+        // n_frames=frames): the schema contract keeps one features row
+        // shape per modality, as the scaladoc on MediaFeatures notes),
+        // stub for remaining formats
         val (w, ht, frames) = decodeBmp(bytes)
           .orElse(decodePng(bytes))
+          .orElse(decodeGif(bytes))
           .orElse(decodeWav(bytes))
           .getOrElse(decodeImageStub(bytes, contentHash))
         MediaFeatures(m.media_id, m.modality, m.byte_len, contentHash,

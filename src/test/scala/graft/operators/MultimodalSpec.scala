@@ -122,6 +122,56 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(neg).isEmpty)
   }
 
+  test("decodeGif: REAL bytes — frame-count walk over color tables, " +
+      "extensions and LZW sub-blocks; malformed payloads rejected") {
+    // handcrafted GIF89a: logical screen 7×5, global color table of
+    // 2 entries, one graphic-control extension, `frames` image
+    // descriptors (odd ones with a 2-entry local color table), trailer
+    def gif(frames: Int, trailer: Boolean = true): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("GIF89a".getBytes("US-ASCII"))
+      b.write(Array[Byte](7, 0, 5, 0)) // LE u16 width=7, height=5
+      b.write(0x80) // global color table flag, size bits 0 -> 2 entries
+      b.write(0); b.write(0) // bg index, aspect ratio
+      b.write(Array[Byte](0, 0, 0, -1, -1, -1)) // 2 RGB entries
+      // graphic control extension: introducer, label, one 4-byte
+      // sub-block, terminator
+      b.write(Array[Byte](0x21, 0xF9.toByte, 4, 0, 0, 0, 0, 0))
+      (0 until frames).foreach { f =>
+        b.write(0x2C) // image descriptor introducer
+        b.write(Array[Byte](0, 0, 0, 0, 7, 0, 5, 0)) // pos + size
+        if (f % 2 == 1) {
+          b.write(0x80) // local color table, 2 entries
+          b.write(Array[Byte](1, 1, 1, 2, 2, 2))
+        } else b.write(0)
+        b.write(2) // LZW minimum code size
+        b.write(Array[Byte](3, 9, 9, 9)) // one 3-byte data sub-block
+        b.write(0) // sub-block terminator
+      }
+      if (trailer) b.write(0x3B)
+      b.toByteArray
+    }
+    assert(Multimodal.decodeGif(gif(1)).contains((7, 5, 1)))
+    assert(Multimodal.decodeGif(gif(3)).contains((7, 5, 3)))
+    // truncated after the last complete frame: parsed frames survive
+    assert(Multimodal.decodeGif(gif(2, trailer = false)).contains((7, 5, 2)))
+    // malformed: bad magic, zero dimensions, invalid block introducer,
+    // zero frames, and plain text
+    val badMagic = gif(1); badMagic(4) = '7'.toByte; badMagic(5) = 'x'.toByte
+    assert(Multimodal.decodeGif(badMagic).isEmpty)
+    val zeroW = gif(1); zeroW(6) = 0; zeroW(7) = 0
+    assert(Multimodal.decodeGif(zeroW).isEmpty)
+    val badBlock = gif(1)
+    // first block introducer: header 6 + screen descriptor 7 + global
+    // color table 6 = offset 19 (the 0x21 extension introducer)
+    badBlock(19) = 0x55
+    assert(Multimodal.decodeGif(badBlock).isEmpty)
+    val noFrames = gif(0)
+    assert(Multimodal.decodeGif(noFrames).isEmpty)
+    assert(Multimodal.decodeGif(
+      "GIF in text but not a container padded out to some length".getBytes("UTF-8")).isEmpty)
+  }
+
   test("extractFeatures routes WAV payloads through the REAL audio " +
       "decoder: dims slots carry (sample_rate, channels, n_frames)") {
     val rows = Seq(
