@@ -892,8 +892,10 @@ object Similarity {
     val perVariant = variants.map { case (label, tf) =>
       val tq = queries.select(col(queryId), tf(col(queryVec)).as(queryVec))
       val tc = corpus.select(col(corpusId), tf(col(corpusVec)).as(corpusVec))
+      // fullPairs is ≤ n_queries·k rows by construction — broadcast it
+      // (statically Spark can't see the bound through the aggregation)
       val hits = bruteForceTopK(tc, tq, k, corpusId, corpusVec, queryId, queryVec)
-        .join(fullPairs, Seq(queryId, corpusId), "left_semi")
+        .join(broadcast(fullPairs), Seq(queryId, corpusId), "left_semi")
         .agg(count(lit(1)).cast("bigint").as("topk_hits"))
       // rescore (query, full top-1) pairs under the transform: the
       // pair list is one row per query, so IT broadcasts — the corpus
@@ -1012,7 +1014,9 @@ object Similarity {
         .select(col(queryId), col(corpusId).as(idOut), col("cosine").as(cosOut))
     val pos = top1(scored.filter(col("__same")), "pos_id", "pos_cos")
     val neg = top1(scored.filter(!col("__same")), "neg_id", "neg_cos")
-    pos.join(neg, queryId)
+    // both sides are one row per query — broadcast (the bound is
+    // invisible to the planner through the top-1 aggregation)
+    pos.join(broadcast(neg), queryId)
       .join(broadcast(queries.select(col(queryId), col(queryLabel))), queryId)
       .select(col(queryId), col(queryLabel), col("pos_id"), col("pos_cos"),
         col("neg_id"), col("neg_cos"),

@@ -59,6 +59,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x189/x190/x192: recall/mining rankings ride the bounded-heap " +
+      "aggregator (zero WindowExec) with the query side broadcast") {
+    Seq(ExtensionQueries.x189 _, ExtensionQueries.x190 _,
+        ExtensionQueries.x192 _).foreach { q =>
+      val plan = physical(q(spark, sf001))
+      // long corpus ids take the TopKScored path: a WindowExec here
+      // would mean the whole scored corpus shuffles into one partition
+      // per query — the exact shape rankTopK exists to avoid
+      assert(!plan.contains("WindowExec"), plan.take(4000))
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"), plan.take(4000))
+      assert(!plan.contains("CartesianProduct"), plan.take(4000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    }
+  }
+
+  test("x191/x193: audit aggregations keep partial+final combine and " +
+      "no corpus-wide window") {
+    val ood = physical(ExtensionQueries.x191(spark, sf001))
+    assert(!ood.contains("WindowExec"), ood.take(4000))
+    assert(ood.contains("partial_"), ood.take(4000))
+    // the (label, dim) stats frame joins back as a broadcast
+    assert(ood.contains("BroadcastHashJoin"), ood.take(4000))
+    val sweep = physical(ExtensionQueries.x193(spark, sf001))
+    // the only windows in the sweep are the prefix-sum offset window
+    // over the tiny P×strata totals frame — the blanket gate checks
+    // the agg-below rule; here pin that no SortMergeJoin sneaks into
+    // the budget branches (offsets broadcast back)
+    assert(!sweep.contains("SortMergeJoin"), sweep.take(4000))
+  }
+
   test("date-partitioned layout: a day predicate prunes directories, not rows") {
     // SCALE.md §1's claim made executable: when events land
     // date-partitioned (the 100 TB layout), a day filter must resolve
