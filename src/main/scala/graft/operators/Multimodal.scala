@@ -220,6 +220,47 @@ object Multimodal {
     if (ok && frames >= 1) Some((w, h, frames)) else None
   }
 
+  /** REAL decoder for JPEG dimensions — fifth pure-JVM codec behind
+    * the decode seam: the FFD8 SOI magic, then the marker-segment walk
+    * (every segment is FF marker u16-BE length; standalone markers and
+    * FF fill bytes skipped) to the first SOF frame header (C0–CF
+    * except the C4/C8/CC non-frame markers), whose payload carries
+    * precision(1) height(2) width(2) components(1) — big-endian, like
+    * PNG. Whitelist: precision ∈ {8, 12, 16} and 1/3/4 components
+    * (greyscale/YCbCr/CMYK) — with the double FF-structure rule this
+    * makes text false-positives unreachable. Hitting SOS/EOI before
+    * any SOF, or losing marker alignment, rejects. Returns
+    * (width, height, 1); None otherwise. */
+  private[operators] def decodeJpeg(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(o: Int): Int = bytes(o) & 0xFF
+    def be16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    if (bytes.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+    var o = 2
+    while (o + 4 <= bytes.length) {
+      if (u8(o) != 0xFF) return None // marker alignment lost
+      val m = u8(o + 1)
+      if (m == 0xFF) o += 1 // fill byte before a marker
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) o += 2 // standalone
+      else if (m == 0xD9 || m == 0xDA) return None // EOI/SOS before SOF
+      else {
+        val len = be16(o + 2)
+        if (len < 2) return None
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          if (o + 10 > bytes.length || len < 8) return None
+          val precision = u8(o + 4)
+          val h = be16(o + 5)
+          val w = be16(o + 7)
+          val comps = u8(o + 9)
+          return if (w >= 1 && h >= 1 && Set(8, 12, 16).contains(precision) &&
+            Set(1, 3, 4).contains(comps)) Some((w, h, 1))
+          else None
+        }
+        o += 2 + len
+      }
+    }
+    None
+  }
+
   /** === STUB ===  "decode" a non-BMP image: real codecs are
     * unavailable in this environment; dimensions derive
     * deterministically from 6-hex-digit slices of the md5 content
@@ -269,6 +310,7 @@ object Multimodal {
         val (w, ht, frames) = decodeBmp(bytes)
           .orElse(decodePng(bytes))
           .orElse(decodeGif(bytes))
+          .orElse(decodeJpeg(bytes))
           .orElse(decodeWav(bytes))
           .getOrElse(decodeImageStub(bytes, contentHash))
         MediaFeatures(m.media_id, m.modality, m.byte_len, contentHash,

@@ -172,6 +172,41 @@ class MultimodalSpec extends SparkSpec {
       "GIF in text but not a container padded out to some length".getBytes("UTF-8")).isEmpty)
   }
 
+  test("decodeJpeg: REAL bytes — marker walk over APP/DQT segments to " +
+      "SOF0; standalone and fill markers skipped; malformed rejected") {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        (((payload.length + 2) >> 8) & 0xFF).toByte,
+        ((payload.length + 2) & 0xFF).toByte) ++ payload
+    def jpeg(precision: Int = 8, comps: Int = 3, sof: Int = 0xC0,
+        withSof: Boolean = true): Array[Byte] = {
+      val sofPayload = Array[Byte](precision.toByte,
+        0, 5, // height 5 (BE)
+        0, 7, // width 7 (BE)
+        comps.toByte) ++ Array.fill(comps * 3)(1.toByte)
+      Array(0xFF.toByte, 0xD8.toByte) ++            // SOI
+        seg(0xE0, "JFIF".getBytes ++ Array[Byte](0, 1, 1)) ++ // APP0
+        Array(0xFF.toByte, 0x01.toByte) ++          // standalone TEM
+        seg(0xDB, Array.fill(4)(9.toByte)) ++       // DQT junk
+        (if (withSof) seg(sof, sofPayload) else Array[Byte]()) ++
+        seg(0xDA, Array[Byte](1, 1)) ++             // SOS (stops the walk)
+        Array(0xFF.toByte, 0xD9.toByte)             // EOI
+    }
+    assert(Multimodal.decodeJpeg(jpeg()).contains((7, 5, 1)))
+    assert(Multimodal.decodeJpeg(jpeg(precision = 12, comps = 1, sof = 0xC2))
+      .contains((7, 5, 1)))
+    // SOS reached before any SOF → reject
+    assert(Multimodal.decodeJpeg(jpeg(withSof = false)).isEmpty)
+    // bad precision / component count / magic / text
+    assert(Multimodal.decodeJpeg(jpeg(precision = 7)).isEmpty)
+    assert(Multimodal.decodeJpeg(jpeg(comps = 2)).isEmpty)
+    val badMagic = jpeg(); badMagic(1) = 0x00
+    assert(Multimodal.decodeJpeg(badMagic).isEmpty)
+    assert(Multimodal.decodeJpeg(
+      "plain text that is long enough to scan but has no JPEG structure"
+        .getBytes("UTF-8")).isEmpty)
+  }
+
   test("extractFeatures routes WAV payloads through the REAL audio " +
       "decoder: dims slots carry (sample_rate, channels, n_frames)") {
     val rows = Seq(
