@@ -743,6 +743,98 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class OodEvent(label: Int, vec_id: Long, embedding: Array[Float])
+  final case class OodBatchStat(label: Int, n_batch: Long, n_total: Long,
+    ood_milli_sum: Option[Long], max_ood_milli: Option[Long], flagged: Long)
+  /** Per-label running moments: component count plus per-dim Σq and
+    * Σq² in 1e-3 units — the state behind the OOD monitor. */
+  final case class OodStats(n: Long, s1: Seq[Long], s2: Seq[Long])
+
+  /** Streaming embedding-OOD monitor — the live twin of
+    * [[graft.operators.Similarity.oodAudit]] (x191): keyed by label,
+    * state holds the per-(label, dim) running integer moments, and
+    * each micro-batch is scored as a SET against the moments INCLUDING
+    * that batch (stats first absorb every batch row, then every batch
+    * row scores) — so drifting or corrupt embeddings surface per batch
+    * against the label's full history, with the same quantize-once
+    * algebra as the batch audit: q = round(v·1000) (HALF_UP, the
+    * engine's round), per-dim term = round((q·n − s1)²·1000 / (s2·n −
+    * s1²)) skipping zero-variance dims, per-vector score = Σ terms,
+    * flagged when score > factorMilli·dim.
+    *
+    * Parity contract (test-pinned): the WHOLE table as ONE micro-batch
+    * reproduces the batch x191 rows exactly — same n, sums, max, and
+    * flag counts per label (the cumulative stats then ARE the batch
+    * stats). Across multiple batches the read changes meaning the way
+    * a live monitor should: each batch scores against history-to-date.
+    * Wrong-dim vectors drop (the batch audit's len filter).
+    *
+    * Scale: state is 2·dim + 1 longs per label; output is one row per
+    * (label, batch). Same long envelope as the batch audit (s2·n fits
+    * a long at ≲3e6-row labels with unit-scale components). */
+  final class OodMonitorProcessor(dim: Int, factorMilli: Long)
+      extends StatefulProcessor[Int, OodEvent, OodBatchStat] {
+    @transient private var st: ValueState[OodStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[OodStats]("ood",
+        org.apache.spark.sql.Encoders.product[OodStats], TTLConfig.NONE)
+
+    private def quantize(v: Float): Long =
+      BigDecimal(v.toDouble * 1000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+
+    override def handleInputRows(key: Int, rows: Iterator[OodEvent],
+        tv: TimerValues): Iterator[OodBatchStat] = {
+      val batch = rows.filter(_.embedding.length == dim).toArray
+      if (batch.isEmpty) return Iterator.empty
+      val prev = if (st.exists()) st.get()
+        else OodStats(0L, Seq.fill(dim)(0L), Seq.fill(dim)(0L))
+      val s1 = prev.s1.toArray
+      val s2 = prev.s2.toArray
+      var n = prev.n
+      val qs = batch.map(_.embedding.map(quantize))
+      qs.foreach { q =>
+        var d = 0
+        while (d < dim) { s1(d) += q(d); s2(d) += q(d) * q(d); d += 1 }
+        n += 1
+      }
+      st.update(OodStats(n, s1.toSeq, s2.toSeq))
+      // score the batch against the absorbed (cumulative) moments —
+      // identical per-dim algebra to the batch audit
+      val scores = qs.map { q =>
+        var sum = 0L
+        var any = false
+        var d = 0
+        while (d < dim) {
+          val den = s2(d) * n - s1(d) * s1(d)
+          if (den > 0) {
+            val diff = (q(d) * n - s1(d)).toDouble
+            sum += math.round(diff * diff * 1000.0 / den.toDouble)
+            any = true
+          }
+          d += 1
+        }
+        if (any) Some(sum) else None
+      }
+      val defined = scores.flatten
+      Iterator.single(OodBatchStat(key, batch.length.toLong, n,
+        if (defined.isEmpty) None else Some(defined.sum),
+        if (defined.isEmpty) None else Some(defined.max),
+        scores.count(_.exists(_ > factorMilli * dim)).toLong))
+    }
+  }
+
+  /** [[OodMonitorProcessor]] wired onto a labeled embedding stream;
+    * same RocksDB provider requirement as [[sessionizeWithState]]. */
+  def oodMonitorWithState(events: Dataset[OodEvent], dim: Int = 64,
+      factorMilli: Long = 1500L): Dataset[OodBatchStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.label)
+      .transformWithState(new OodMonitorProcessor(dim, factorMilli),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class TokenEvent(shard: Int, token: String)
   final case class HeavyHitter(shard: Int, token: String,
     cnt_min: Long, cnt_max: Long)

@@ -530,6 +530,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("oodMonitorWithState: one-batch replay reproduces the batch x191 " +
+      "audit per label; a later drifted batch scores against history") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val emb = graft.Tables.load(spark, sf001, "embeddings")
+      val expected = graft.operators.Similarity
+        .oodAudit(emb, dim = 64, factorMilli = 1500L)
+        .select(col("label"), col("n"), col("ood_milli_sum"),
+          col("max_ood_milli"), col("flagged"))
+        .as[(Int, Long, Option[Long], Option[Long], Long)]
+        .collect().sortBy(_._1).toSeq
+      val events = emb
+        .select(col("label"), col("vec_id"), col("embedding"))
+        .as[(Int, Long, Array[Float])].collect().toSeq.sortBy(_._2)
+        .map { case (l, id, v) => Streaming.OodEvent(l, id, v) }
+
+      val in = MemoryStream[Streaming.OodEvent]
+      val q = Streaming.oodMonitorWithState(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ood_parity").start()
+      in.addData(events); q.processAllAvailable()
+      // batch 2: one wildly out-of-distribution vector per label 0 —
+      // scored against the absorbed history, it must flag
+      in.addData(Streaming.OodEvent(0, 999999L, Array.fill(64)(50.0f)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("ood_parity").as[Streaming.OodBatchStat].collect()
+      val one = got.filter(_.n_batch > 1).sortBy(_.label)
+      assert(one.map(s => (s.label, s.n_total, s.ood_milli_sum,
+        s.max_ood_milli, s.flagged)).toSeq ==
+        expected.map(e => (e._1, e._2, e._3, e._4, e._5)))
+      val drift = got.find(s => s.n_batch == 1L && s.label == 0).get
+      assert(drift.flagged == 1L, s"outlier must flag: $drift")
+      assert(drift.n_total == expected.head._2 + 1)
+    }
+  }
+
   test("transcriptsWithState: maxPathEvents caps the path, count and sum keep going") {
     withRocksDb {
       implicit val sc = spark.sqlContext
