@@ -872,6 +872,92 @@ object Similarity {
       corpusId, corpusVec, queryId, queryVec)
   }
 
+  /** Retrieval-quality scorecard against LABEL relevance — the IR-eval
+    * read beside [[truncationRecall]]/[[compressionRecall]]'s
+    * self-consistency audits: for each labeled query vector, rank the
+    * corpus by cosine (self excluded, the [[bruteForceTopK]] contract)
+    * and score the top-k list with the standard metrics, a neighbor
+    * counting as relevant iff it shares the query's label:
+    *  - `hits_at_k`: relevant results in the top k (precision@k · k),
+    *  - `mrr_micro`: 10⁶/rank of the first relevant result (0 if none),
+    *  - `dcg_micro` / `idcg_micro` / `ndcg_micro`: binary-relevance
+    *    DCG@k against the ideal ordering of the query's min(k, R)
+    *    relevant corpus vectors (R = same-label corpus size − 1).
+    *
+    * Exact cross-engine: the only irrational inputs are the rank
+    * discounts 1/log₂(r+1), quantized ONCE in Scala (HALF_UP micro)
+    * and embedded as the SAME integer constants in the plan and the
+    * DuckDB oracle — every metric is then integer algebra (ndcg is
+    * one integer floor-division of micro values). Zero-R queries
+    * carry null dcg/idcg/ndcg and mrr 0.
+    *
+    * Scale: one broadcast-join corpus scan feeds the bounded-heap
+    * top-k; the ranked frame (n_queries·k rows) broadcasts back onto
+    * the corpus for label recovery; label totals are a
+    * label-cardinality aggregate. A calibration/eval audit — sampled
+    * queries at 100 TB, like the rest of the family. */
+  def retrievalMetrics(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", corpusId: String = "vec_id",
+      corpusVec: String = "embedding", queryId: String = "query_id",
+      queryVec: String = "query_vec",
+      queryLabel: String = "query_label"): DataFrame = {
+    require(k >= 1, s"retrievalMetrics: k must be >= 1, got $k")
+    val scored = corpus.join(broadcast(queries))
+      .filter(col(corpusId) =!= col(queryId))
+      .select(col(queryId), col(corpusId),
+        round(cosine_similarity(col(queryVec), col(corpusVec)), 6).as("cosine"))
+    val ranked = rankTopK(scored, k, queryId, corpusId)
+    // label recovery: the ranked frame is n_queries·k rows — broadcast
+    // it onto the corpus (one scan), then attach query labels
+    val labeled = corpus.select(col(corpusId), col(labelCol).as("__cl"))
+      .join(broadcast(ranked), corpusId)
+      .join(broadcast(queries.select(col(queryId), col(queryLabel))), queryId)
+      .withColumn("__rel", (col("__cl") === col(queryLabel)).cast("int"))
+    // rank discounts quantized ONCE driver-side; ideal DCG prefix sums
+    val dcgC = discountMicro(k)
+    val idcgPrefix = dcgC.scanLeft(0L)(_ + _).tail
+    val mrrC = (1 to k).map(r => math.round(1e6 / r)).toArray
+    // MRR as max-of-discounts, NOT element_at(min(rank)): the
+    // discounts are strictly decreasing in rank, so the max per-row
+    // discount IS the first relevant rank's — and the element_at index
+    // (`rank`) is never null this way. Indexing a LITERAL array with a
+    // nullable AGGREGATE (element_at(lit_arr, min(...)) ) mis-evaluates
+    // under codegen when the aggregate is null (observed: returns the
+    // last element instead of null, Spark 4.1) — keep indexes
+    // row-level and non-null.
+    val perQuery = labeled.groupBy(col(queryId), col(queryLabel))
+      .agg(sum(col("__rel")).cast("bigint").as("hits_at_k"),
+        coalesce(max(when(col("__rel") === 1,
+          element_at(typedlit(mrrC), col("rank").cast("int")))), lit(0L))
+          .as("mrr_micro"),
+        sum(when(col("__rel") === 1,
+          element_at(typedlit(dcgC), col("rank").cast("int")))
+          .otherwise(0L)).cast("bigint").as("dcg_micro"))
+    // R = same-label corpus size − 1 (self); ideal DCG over min(k, R)
+    val labelTotals = corpus.groupBy(col(labelCol).as("__tl"))
+      .agg(count(lit(1)).cast("bigint").as("__tn"))
+    perQuery
+      .join(broadcast(labelTotals), col(queryLabel) === col("__tl"))
+      .withColumn("__r_total", greatest(col("__tn") - 1, lit(0L)))
+      .withColumn("idcg_micro",
+        when(col("__r_total") >= 1, element_at(typedlit(idcgPrefix),
+          least(col("__r_total"), lit(k.toLong)).cast("int"))))
+      .select(col(queryId), col(queryLabel), col("hits_at_k"),
+        col("mrr_micro"),
+        when(col("__r_total") >= 1, col("dcg_micro")).as("dcg_micro"),
+        col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          expr("dcg_micro * 1000000L div idcg_micro")).as("ndcg_micro"))
+      .orderBy(col(queryId))
+  }
+
+  /** The binary-relevance rank discounts round(10⁶ / log₂(r+1)) for
+    * r = 1..k — quantized once here so the Spark plan and the DuckDB
+    * oracle share identical integer constants. */
+  private[graft] def discountMicro(k: Int): Array[Long] =
+    (1 to k).map(r => BigDecimal(1e6 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact).toArray
+
   /** Shared recall-vs-full-ranking harness behind [[truncationRecall]]
     * and [[compressionRecall]]: rank the transformed vectors with the
     * [[bruteForceTopK]] contract per variant, count survivors of the

@@ -2232,6 +2232,19 @@ object ExtensionQueries {
     TextAnalysis.packingSweep(docs(s, dir),
       budgets = Seq(256L, 512L, 1024L, 2048L))
 
+  /** x194 retrieval-quality scorecard — see
+    * [[graft.operators.Similarity.retrievalMetrics]]: per labeled
+    * query vector, precision hits / MRR / DCG / IDCG / NDCG at 10
+    * with same-label relevance — the IR-eval read beside x189/x192's
+    * self-consistency audits; rank discounts are micro-quantized once
+    * and shared with the oracle as integer constants. 30 queries. */
+  def x194(s: SparkSession, dir: String): DataFrame =
+    Similarity.retrievalMetrics(emb(s, dir),
+      emb(s, dir).filter(col("vec_id") < 30)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("query_label")),
+      k = 10)
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2476,6 +2489,7 @@ object ExtensionQueries {
     "x191_embedding_ood" -> (x191 _),
     "x192_compression_recall" -> (x192 _),
     "x193_packing_sweep" -> (x193 _),
+    "x194_retrieval_metrics" -> (x194 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -7111,6 +7125,50 @@ object ExtensionQueries {
          |$perB
          |$rows
          |ORDER BY budget, lang""".stripMargin
+    },
+
+    // Replays retrievalMetrics: the x06 ranking with self excluded,
+    // relevance = shared label, and the SAME micro-quantized rank
+    // discounts rendered as integer CASE arms (Similarity.discountMicro
+    // — one quantization, two engines). ndcg is the identical integer
+    // floor-division.
+    "x194_retrieval_metrics" -> {
+      val d = graft.operators.Similarity.discountMicro(10)
+      val pfx = d.scanLeft(0L)(_ + _).tail
+      val mrrCase = (1 to 10).map(r =>
+        s"WHEN $r THEN ${math.round(1e6 / r)}").mkString(" ")
+      val dcgCase = (1 to 10).map(r => s"WHEN $r THEN ${d(r - 1)}").mkString(" ")
+      val idcgCase = (1 to 10).map(m => s"WHEN $m THEN ${pfx(m - 1)}").mkString(" ")
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding
+         |           FROM embeddings WHERE vec_id < 30),
+         |sc AS (SELECT q.query_id, q.query_label, c.vec_id, c.label,
+         |         round(list_cosine_similarity(c.embedding::DOUBLE[],
+         |           q.embedding::DOUBLE[]), 6) AS cosine
+         |       FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |t AS (SELECT query_id, query_label, label, rnk FROM (
+         |        SELECT query_id, query_label, label, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |        FROM sc) z WHERE rnk <= 10),
+         |m AS (SELECT query_id, query_label,
+         |        CAST(SUM(CASE WHEN label = query_label THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS hits_at_k,
+         |        CAST(COALESCE(CASE MIN(CASE WHEN label = query_label
+         |          THEN rnk END) $mrrCase END, 0) AS BIGINT) AS mrr_micro,
+         |        CAST(SUM(CASE WHEN label = query_label THEN
+         |          CASE rnk $dcgCase END ELSE 0 END) AS BIGINT) AS dcg0
+         |      FROM t GROUP BY query_id, query_label),
+         |lt AS (SELECT label AS tl, count(*) AS tn FROM embeddings GROUP BY 1)
+         |SELECT m.query_id, m.query_label, m.hits_at_k, m.mrr_micro,
+         |       CASE WHEN lt.tn - 1 >= 1 THEN m.dcg0 END AS dcg_micro,
+         |       CAST(CASE WHEN lt.tn - 1 >= 1 THEN
+         |         CASE LEAST(lt.tn - 1, 10) $idcgCase END END AS BIGINT)
+         |         AS idcg_micro,
+         |       CAST(CASE WHEN lt.tn - 1 >= 1 THEN
+         |         m.dcg0 * 1000000 //
+         |           (CASE LEAST(lt.tn - 1, 10) $idcgCase END) END AS BIGINT)
+         |         AS ndcg_micro
+         |FROM m JOIN lt ON lt.tl = m.query_label
+         |ORDER BY m.query_id""".stripMargin
     },
 
     // Replays oodAudit: 1e-3-quantized components (the x169 cell

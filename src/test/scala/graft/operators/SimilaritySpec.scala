@@ -465,6 +465,32 @@ class SimilaritySpec extends SparkSpec {
       (4L, 1, 3L, 2L, 200000L)))
   }
 
+  test("retrievalMetrics: hand-traced MRR/DCG/NDCG at k=2 — relevant at " +
+    "rank 1, no relevant in top-k, and a singleton label (R=0) going null") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(5.0f, 0.0f), 0),
+      (2L, Array(4.0f, 3.0f), 0),
+      (3L, Array(3.0f, 4.0f), 1),
+      (4L, Array(0.0f, 5.0f), 1),
+      (5L, Array(1.0f, 1.0f), 9)).toDF("vec_id", "embedding", "label")
+    val q = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"), col("label").as("query_label"))
+    val out = Similarity.retrievalMetrics(emb, q, k = 2)
+      .as[(Long, Int, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toList
+    // cosines: (1,2)=.8 (1,3)=.6 (1,4)=0 (2,3)=.96 (2,4)=.6 (3,4)=.8,
+    // v5 scores .989949 vs 2/3 and .707107 vs 1/4 — so 5 tops the
+    // rankings of 2 and 3 (pushing their same-label mates out of
+    // top-2) and takes rank 2 for 1 and 4.
+    assert(out == List(
+      (1L, 0, 1L, 1000000L, Some(1000000L), Some(1000000L), Some(1000000L)),
+      (2L, 0, 0L, 0L, Some(0L), Some(1000000L), Some(0L)),
+      (3L, 1, 0L, 0L, Some(0L), Some(1000000L), Some(0L)),
+      (4L, 1, 1L, 1000000L, Some(1000000L), Some(1000000L), Some(1000000L)),
+      (5L, 9, 0L, 0L, None, None, None)))
+  }
+
   test("oodAudit: hand-traced per-dim z² terms; a zero-variance label " +
     "yields null scores and zero flags; wrong-dim vectors excluded") {
     import spark.implicits._

@@ -59,10 +59,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("x189/x190/x192: recall/mining rankings ride the bounded-heap " +
+  test("x189/x190/x192/x194: recall/mining rankings ride the bounded-heap " +
       "aggregator (zero WindowExec) with the query side broadcast") {
     Seq(ExtensionQueries.x189 _, ExtensionQueries.x190 _,
-        ExtensionQueries.x192 _).foreach { q =>
+        ExtensionQueries.x192 _, ExtensionQueries.x194 _).foreach { q =>
       val plan = physical(q(spark, sf001))
       // long corpus ids take the TopKScored path: a WindowExec here
       // would mean the whole scored corpus shuffles into one partition
