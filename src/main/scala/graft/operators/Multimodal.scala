@@ -172,9 +172,11 @@ object Multimodal {
     * any local color tables, extension sub-blocks, and each frame's
     * LZW sub-block chain) counting Image Descriptors — so an animated
     * GIF reports its REAL frame count, the input a frame-sampling
-    * stage actually needs. A truncated stream keeps the frames fully
-    * parsed before the cut (the decodeWav clamping rule); an invalid
-    * block introducer rejects the payload. Unlike BMP/WAV/PNG there is
+    * stage actually needs. A truncated stream keeps the frames whose
+    * descriptor parsed before the cut — whether the cut lands inside
+    * a frame's LZW data or inside a later descriptor header (the
+    * decodeWav clamping rule); only an invalid block introducer
+    * rejects the payload. Unlike BMP/WAV/PNG there is
     * no second consistency rule beyond the walk itself — media columns
     * are declared binary payloads, not text, so single-magic
     * false-positives are not a fixture-reachable case. Returns
@@ -205,7 +207,11 @@ object Multimodal {
         case 0x21 => // extension: introducer + label, then sub-blocks
           o = skipSubBlocks(o + 2)
         case 0x2C => // image descriptor: 9 bytes after the introducer
-          if (o + 10 > bytes.length) ok = false
+          // a stream cut inside the descriptor header ends the walk
+          // KEEPING earlier frames (the same clamping rule as a cut
+          // inside a frame's LZW data, which counts that frame) —
+          // only an invalid introducer rejects the payload
+          if (o + 10 > bytes.length) o = bytes.length
           else {
             val ipacked = bytes(o + 9) & 0xFF
             var p = o + 10

@@ -882,7 +882,11 @@ object Similarity {
     *  - `mrr_micro`: 10⁶/rank of the first relevant result (0 if none),
     *  - `dcg_micro` / `idcg_micro` / `ndcg_micro`: binary-relevance
     *    DCG@k against the ideal ordering of the query's min(k, R)
-    *    relevant corpus vectors (R = same-label corpus size − 1).
+    *    relevant corpus vectors, where R = same-label corpus size,
+    *    minus one iff the query itself sits in the corpus under that
+    *    label (self-exclusion removed it). External query sets are a
+    *    legal input: an absent label keeps the row with R = 0 (null
+    *    dcg/idcg/ndcg, real hits/mrr).
     *
     * Exact cross-engine: the only irrational inputs are the rank
     * discounts 1/log₂(r+1), quantized ONCE in Scala (HALF_UP micro)
@@ -933,12 +937,24 @@ object Similarity {
         sum(when(col("__rel") === 1,
           element_at(typedlit(dcgC), col("rank").cast("int")))
           .otherwise(0L)).cast("bigint").as("dcg_micro"))
-    // R = same-label corpus size − 1 (self); ideal DCG over min(k, R)
+    // R = same-label corpus size, minus the query itself ONLY when the
+    // query is in the corpus under that label (self-exclusion removed
+    // it from the candidates); a query whose label is absent keeps
+    // R = 0 (null dcg/idcg/ndcg, real hits/mrr) instead of vanishing —
+    // external query sets are a legal input
     val labelTotals = corpus.groupBy(col(labelCol).as("__tl"))
       .agg(count(lit(1)).cast("bigint").as("__tn"))
+    val selfHits = corpus
+      .join(broadcast(queries.select(col(queryId).as("__shq"),
+        col(queryLabel).as("__shl"))),
+        col(corpusId) === col("__shq") && col(labelCol) === col("__shl"))
+      .groupBy(col("__shq")).agg(count(lit(1)).cast("bigint").as("__selfn"))
     perQuery
-      .join(broadcast(labelTotals), col(queryLabel) === col("__tl"))
-      .withColumn("__r_total", greatest(col("__tn") - 1, lit(0L)))
+      .join(broadcast(labelTotals), col(queryLabel) === col("__tl"), "left")
+      .join(broadcast(selfHits), col(queryId) === col("__shq"), "left")
+      .withColumn("__r_total", greatest(
+        coalesce(col("__tn"), lit(0L)) - coalesce(col("__selfn"), lit(0L)),
+        lit(0L)))
       .withColumn("idcg_micro",
         when(col("__r_total") >= 1, element_at(typedlit(idcgPrefix),
           least(col("__r_total"), lit(k.toLong)).cast("int"))))

@@ -6995,7 +6995,12 @@ object ExtensionQueries {
         |sc AS (SELECT q.query_id, q.query_label, c.vec_id, c.label,
         |         round(list_cosine_similarity(c.embedding::DOUBLE[],
         |           q.embedding::DOUBLE[]), 6) AS cosine
-        |       FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |       FROM embeddings c CROSS JOIN q
+        |       WHERE c.vec_id <> q.query_id
+        |         AND list_inner_product(c.embedding::DOUBLE[],
+        |               c.embedding::DOUBLE[]) > 0
+        |         AND list_inner_product(q.embedding::DOUBLE[],
+        |               q.embedding::DOUBLE[]) > 0),
         |p AS (SELECT query_id, vec_id AS pos_id, cosine AS pos_cos FROM (
         |        SELECT query_id, vec_id, cosine, row_number() OVER (
         |          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
@@ -7040,7 +7045,11 @@ object ExtensionQueries {
          |         PARTITION BY q.query_id
          |         ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
          |           q.query_vec::DOUBLE[]), 6) DESC, c.vec_id) AS rnk
-         |       FROM embeddings c CROSS JOIN q),
+         |       FROM embeddings c CROSS JOIN q
+         |       WHERE list_inner_product(c.embedding::DOUBLE[],
+         |               c.embedding::DOUBLE[]) > 0
+         |         AND list_inner_product(q.query_vec::DOUBLE[],
+         |               q.query_vec::DOUBLE[]) > 0),
          |ftk AS (SELECT query_id, vec_id FROM fr WHERE rnk <= 10),
          |f1 AS (SELECT query_id, vec_id AS top1 FROM fr WHERE rnk = 1),
          |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
@@ -7066,10 +7075,14 @@ object ExtensionQueries {
          |         a.cv, b.qv), 6) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
          |       FROM f1 JOIN cti a ON a.vec_id = f1.top1
          |               JOIN qti b ON b.query_id = f1.query_id),
-         |ctj AS (SELECT vec_id, ${jlList("embedding")} AS cv
-         |        FROM embeddings WHERE len(embedding) = 64),
-         |qtj AS (SELECT query_id, ${jlList("query_vec")} AS qv
-         |        FROM q WHERE len(query_vec) = 64),
+         |ctj AS (SELECT vec_id, cv FROM (
+         |          SELECT vec_id, ${jlList("embedding")} AS cv
+         |          FROM embeddings WHERE len(embedding) = 64) z
+         |        WHERE list_inner_product(cv, cv) > 0),
+         |qtj AS (SELECT query_id, qv FROM (
+         |          SELECT query_id, ${jlList("query_vec")} AS qv
+         |          FROM q WHERE len(query_vec) = 64) z
+         |        WHERE list_inner_product(qv, qv) > 0),
          |${tk("cv", "qv", "tj")},
          |hj AS (SELECT CAST(count(*) AS BIGINT) AS topk_hits
          |       FROM tj JOIN ftk USING (query_id, vec_id)),
@@ -7144,7 +7157,12 @@ object ExtensionQueries {
          |sc AS (SELECT q.query_id, q.query_label, c.vec_id, c.label,
          |         round(list_cosine_similarity(c.embedding::DOUBLE[],
          |           q.embedding::DOUBLE[]), 6) AS cosine
-         |       FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         |       FROM embeddings c CROSS JOIN q
+         |       WHERE c.vec_id <> q.query_id
+         |         AND list_inner_product(c.embedding::DOUBLE[],
+         |               c.embedding::DOUBLE[]) > 0
+         |         AND list_inner_product(q.embedding::DOUBLE[],
+         |               q.embedding::DOUBLE[]) > 0),
          |t AS (SELECT query_id, query_label, label, rnk FROM (
          |        SELECT query_id, query_label, label, row_number() OVER (
          |          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
@@ -7157,18 +7175,24 @@ object ExtensionQueries {
          |        CAST(SUM(CASE WHEN label = query_label THEN
          |          CASE rnk $dcgCase END ELSE 0 END) AS BIGINT) AS dcg0
          |      FROM t GROUP BY query_id, query_label),
-         |lt AS (SELECT label AS tl, count(*) AS tn FROM embeddings GROUP BY 1)
-         |SELECT m.query_id, m.query_label, m.hits_at_k, m.mrr_micro,
-         |       CASE WHEN lt.tn - 1 >= 1 THEN m.dcg0 END AS dcg_micro,
-         |       CAST(CASE WHEN lt.tn - 1 >= 1 THEN
-         |         CASE LEAST(lt.tn - 1, 10) $idcgCase END END AS BIGINT)
+         |lt AS (SELECT label AS tl, count(*) AS tn FROM embeddings GROUP BY 1),
+         |-- R = same-label corpus size minus self iff the query sits in
+         |-- the corpus under that label (the engine's containment rule)
+         |mr AS (SELECT m.*, COALESCE(lt.tn, 0) -
+         |         (CASE WHEN EXISTS (SELECT 1 FROM embeddings e
+         |            WHERE e.vec_id = m.query_id AND e.label = m.query_label)
+         |          THEN 1 ELSE 0 END) AS r_total
+         |       FROM m LEFT JOIN lt ON lt.tl = m.query_label)
+         |SELECT query_id, query_label, hits_at_k, mrr_micro,
+         |       CASE WHEN r_total >= 1 THEN dcg0 END AS dcg_micro,
+         |       CAST(CASE WHEN r_total >= 1 THEN
+         |         CASE LEAST(r_total, 10) $idcgCase END END AS BIGINT)
          |         AS idcg_micro,
-         |       CAST(CASE WHEN lt.tn - 1 >= 1 THEN
-         |         m.dcg0 * 1000000 //
-         |           (CASE LEAST(lt.tn - 1, 10) $idcgCase END) END AS BIGINT)
+         |       CAST(CASE WHEN r_total >= 1 THEN
+         |         dcg0 * 1000000 //
+         |           (CASE LEAST(r_total, 10) $idcgCase END) END AS BIGINT)
          |         AS ndcg_micro
-         |FROM m JOIN lt ON lt.tl = m.query_label
-         |ORDER BY m.query_id""".stripMargin
+         |FROM mr ORDER BY query_id""".stripMargin
     },
 
     // Replays oodAudit: 1e-3-quantized components (the x169 cell

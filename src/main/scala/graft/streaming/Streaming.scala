@@ -780,9 +780,18 @@ object Streaming {
       st = getHandle.getValueState[OodStats]("ood",
         org.apache.spark.sql.Encoders.product[OodStats], TTLConfig.NONE)
 
-    private def quantize(v: Float): Long =
-      BigDecimal(v.toDouble * 1000.0)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    // total on any float: a monitor must never die on the corrupt
+    // inputs it exists to flag. NaN quantizes to 0 and ±Inf/overflow
+    // saturates (the non-ANSI double→long cast behavior); the parity
+    // pin covers finite components, where this is exactly the batch
+    // audit's HALF_UP quantization
+    private def quantize(v: Float): Long = {
+      val d = v.toDouble * 1000.0
+      if (d.isNaN) 0L
+      else if (d >= Long.MaxValue.toDouble) Long.MaxValue
+      else if (d <= Long.MinValue.toDouble) Long.MinValue
+      else BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
 
     override def handleInputRows(key: Int, rows: Iterator[OodEvent],
         tv: TimerValues): Iterator[OodBatchStat] = {

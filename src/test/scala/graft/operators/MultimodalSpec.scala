@@ -155,6 +155,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeGif(gif(3)).contains((7, 5, 3)))
     // truncated after the last complete frame: parsed frames survive
     assert(Multimodal.decodeGif(gif(2, trailer = false)).contains((7, 5, 2)))
+    // cut INSIDE the second frame's descriptor header: frame 1 survives
+    // (the clamping rule applies to header cuts too, not just data cuts)
+    val two = gif(2, trailer = false)
+    val secondIntro = two.lastIndexOf(0x2C.toByte)
+    assert(Multimodal.decodeGif(two.take(secondIntro + 5)).contains((7, 5, 1)))
     // malformed: bad magic, zero dimensions, invalid block introducer,
     // zero frames, and plain text
     val badMagic = gif(1); badMagic(4) = '7'.toByte; badMagic(5) = 'x'.toByte
