@@ -281,8 +281,10 @@ object Joins {
     * the (bucket, cohort) struct), the row_number then partitions by
     * (bucket, cohort, subtile) so no task ranks more than
     * ≈ n/(buckets·subtiles) rows, and the global rank is recovered by
-    * adding each subtile's exact row-count offset (a
-    * buckets×2×subtiles aggregated frame, broadcast back). Tiles
+    * adding each subtile's exact row-count offset — derived in CLOSED
+    * FORM from the (bucket, cohort) row counts alone (ntile's fill
+    * rule fixes every tile size from n), a buckets×2×subtiles
+    * broadcast frame that costs one tiny count aggregation. Tiles
     * partition the total order contiguously, so offset + local rank
     * IS the within-(bucket, cohort) row_number — bit-identical, the
     * oracle unchanged. `subtiles = 1` keeps the single-window form.
@@ -320,24 +322,28 @@ object Joins {
       val sub = Rank.withExactNtileBy(
           bucketed.withColumn("__bc", struct(col("bucket"), col("c"))),
           "__bc", "v", "id", subtiles, "__sub",
-          maxDistinct = 2L * (3000000L + buckets - 1))
-      // checkpointed: feeds BOTH the offset counts and the output join
-      // — without it the subtile assignment and this window run twice
+          maxDistinct = 2L * (Rank.DefaultMaxDistinct + buckets - 1))
       val ranked = sub.withColumn("__r", row_number().over(
         Window.partitionBy(col("bucket"), col("c"), col("__sub"))
           .orderBy(col("v"), col("id"))))
-        .localCheckpoint(true)
-      // exact offsets: rows in EARLIER subtiles of the same (bucket,
-      // cohort) — a buckets×2×subtiles aggregated frame, windowed over
-      // subtile within each (bucket, cohort) and broadcast back
-      val counts = ranked.groupBy(col("bucket"), col("c"), col("__sub"))
-        .agg(count(lit(1)).as("__cnt"))
-      val wOff = Window.partitionBy(col("bucket"), col("c"))
-        .orderBy(col("__sub"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = counts
-        .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
-        .select(col("bucket"), col("c"), col("__sub"), col("__off"))
+      // exact offsets in CLOSED FORM (VERDICT r12 item 3): subtile
+      // sizes under ntile's fill rule are fully determined by the
+      // (bucket, cohort) row count n — tiles 1..(n%t) hold n/t+1 rows,
+      // the rest n/t — so rows in EARLIER subtiles of the same group
+      // are offset(s) = (s−1)·(n div t) + min(s−1, n mod t). No
+      // aggregation over the ranked frame, no window over the counts,
+      // and `ranked` keeps a single consumer, so the third full-frame
+      // eager checkpoint the r12 bench paid for is gone. The count
+      // aggregation reads `sub` (a pruned scan of withExactNtileBy's
+      // internal checkpoint — the subtile join prunes away unused).
+      val offs = sub.groupBy(col("bucket"), col("c"))
+        .agg(count(lit(1)).as("__n"))
+        .select(col("bucket"), col("c"), col("__n"),
+          explode(sequence(lit(1), lit(subtiles))).as("__sub"))
+        .select(col("bucket"), col("c"), col("__sub"),
+          ((col("__sub") - 1).cast("long") * expr(s"__n div $subtiles") +
+            least((col("__sub") - 1).cast("long"),
+              expr(s"__n % $subtiles"))).as("__off"))
       ranked.join(broadcast(offs), Seq("bucket", "c", "__sub"))
         .withColumn("pair_rank", (col("__off") + col("__r")).cast("int"))
         .drop("__bc", "__sub", "__r", "__off")

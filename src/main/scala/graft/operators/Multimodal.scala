@@ -9,17 +9,19 @@ import org.apache.spark.sql.types._
   * the reference's zip bytes, publish_to_catalog.py:317-320, are the
   * same pattern: bytes stay in-flight, never on local disk).
   *
-  * Decoders: BMP, PNG, and WAV/RIFF payloads are decoded for REAL
-  * (pure-JVM header parses, [[Multimodal.decodeBmp]],
-  * [[Multimodal.decodePng]], and [[Multimodal.decodeWav]] — no native
-  * deps needed, so the decode seam demonstrably carries
-  * bytes-to-dimensions work for two image containers AND one audio
-  * container). This container ships no other
-  * image/audio codecs, so every other format falls through to a
-  * DETERMINISTIC STUB (clearly marked) deriving fake dimensions from
-  * a content hash. Everything around the seam — schema contract,
-  * batched `mapPartitions` shape, feature layout, partition sizing —
-  * is the real plumbing further codecs drop into.
+  * Decoders: FIVE formats are decoded for REAL (pure-JVM header
+  * parses, no native deps): BMP ([[Multimodal.decodeBmp]]), PNG
+  * ([[Multimodal.decodePng]]), GIF with a frame-count data-block walk
+  * ([[Multimodal.decodeGif]]), JPEG via SOF-segment scan
+  * ([[Multimodal.decodeJpeg]]), and WAV/RIFF audio
+  * ([[Multimodal.decodeWav]]) — the decode seam demonstrably carries
+  * bytes-to-dimensions work for four image containers AND one audio
+  * container. This container ships no decode libraries beyond these,
+  * so every other format falls through to a DETERMINISTIC STUB
+  * (clearly marked) deriving fake dimensions from a content hash.
+  * Everything around the seam — schema contract, batched
+  * `mapPartitions` shape, feature layout, partition sizing — is the
+  * real plumbing further codecs drop into.
   */
 object Multimodal {
 

@@ -1292,16 +1292,43 @@ object Profile {
     * frame (score cardinality, not row cardinality) partitioned by
     * group — the event volume is collapsed by one partial+final hash
     * aggregation first, so a 100 TB corpus ranks via its value
-    * histogram, never a global per-row sort.
+    * histogram, never a global per-row sort. That collapse is only a
+    * collapse while distinct (group, score) pairs ≪ rows, so the same
+    * histogram-collapse envelope as [[Rank.withExactNtileBy]] is
+    * ENFORCED in-plan: past `maxDistinct` (default
+    * [[Rank.DefaultMaxDistinct]]) the plan `raise_error`s with a
+    * quantize-first instruction instead of silently degrading to a
+    * whole-group single-task sort. Callers feeding continuous scores
+    * must quantize to a bounded grid first (qualityScore's 6-dp grid:
+    * codomain ≤ 1e6+1 values).
     *
     * Output: (groupCol, n_pos, n_neg, auc_micro), ordered by group. */
   def rankAuc(df: DataFrame, scoreCol: String, labelCol: String,
-      groupCol: String): DataFrame = {
+      groupCol: String,
+      maxDistinct: Long = Rank.DefaultMaxDistinct): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxDistinct >= 1,
+      s"rankAuc: maxDistinct must be positive, got $maxDistinct")
+    // checkpointed: feeds BOTH the guard aggregate and the ranking
+    // window — one upstream execution, and the guard never re-runs the
+    // caller's (possibly expensive) labeling joins
     val hist = df.select(col(groupCol).as("grp"), col(scoreCol).as("v"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("pos"))
       .groupBy(col("grp"), col("v"))
       .agg(count(lit(1)).as("n_v"), sum(col("pos")).cast("bigint").as("p_v"))
+      .localCheckpoint(true)
+    // one-row broadcast guard; every output auc_micro adds its (zero)
+    // value, so no result can emit past a degenerate histogram
+    val guard = hist.agg(count(lit(1)).cast("long").as("__auc_card"))
+      .select(
+        when(col("__auc_card") > maxDistinct,
+          raise_error(concat(lit("rankAuc: "),
+            col("__auc_card").cast("string"),
+            lit(s" distinct (group, score) pairs exceed the " +
+              s"histogram-collapse envelope ($maxDistinct) — the rank " +
+              "histogram would approach row cardinality; quantize the " +
+              "score column first"))).cast("long"))
+        .otherwise(lit(0L)).as("__auc_guard"))
     val wBefore = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     hist
@@ -1313,9 +1340,10 @@ object Profile {
         sum(col("p_v") * (lit(2L) * col("__cb") + col("n_v") + 1))
           .cast("bigint").as("__r2"))
       .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .crossJoin(broadcast(guard))
       .select(col("grp").as(groupCol), col("n_pos"), col("n_neg"),
-        expr("(__r2 - n_pos * (n_pos + 1)) * 1000000L div (2 * n_pos * n_neg)")
-          .as("auc_micro"))
+        (expr("(__r2 - n_pos * (n_pos + 1)) * 1000000L div (2 * n_pos * n_neg)")
+          + col("__auc_guard")).as("auc_micro"))
       .orderBy(col(groupCol))
   }
 

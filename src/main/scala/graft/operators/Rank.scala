@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  /** Default histogram-collapse envelope shared by every ranking
+    * surface that rides a value histogram ([[withExactNtile]],
+    * [[withExactNtileBy]], [[graft.operators.Profile.rankAuc]], and
+    * [[graft.operators.Joins.rankMatchedPairs]]'s derived subtile
+    * bound): the maximum distinct-value (or distinct (group, value))
+    * cardinality before the "collapsed" histogram stops being a
+    * collapse and the cumulative window degrades toward a whole-frame
+    * single-task sort. One named constant so derived bounds (the
+    * rankMatchedPairs 2·(D + buckets − 1) alignment) can never drift
+    * from the first-level guard's default. */
+  val DefaultMaxDistinct: Long = 3000000L
+
   /** Adds column `out` = exact `ntile(tiles) OVER (ORDER BY valueCol
     * ASC, idCol ASC)` — bit-identical to the window form (including
     * the +1-row first buckets on a non-divisible count and ties split
@@ -62,7 +74,8 @@ object Rank {
     *    semantics).
     */
   def withExactNtile(rows0: DataFrame, valueCol: String, idCol: String,
-      tiles: Int, out: String, maxDistinct: Long = 3000000L): DataFrame = {
+      tiles: Int, out: String,
+      maxDistinct: Long = DefaultMaxDistinct): DataFrame = {
     require(tiles > 0, s"withExactNtile: tiles must be positive, got $tiles")
     require(maxDistinct >= 1, s"withExactNtile: maxDistinct must be positive, got $maxDistinct")
     if (tiles == 1) return rows0.withColumn(out, lit(1))
@@ -176,7 +189,7 @@ object Rank {
     */
   def withExactNtileBy(rows0: DataFrame, groupCol: String, valueCol: String,
       idCol: String, tiles: Int, out: String,
-      maxDistinct: Long = 3000000L): DataFrame = {
+      maxDistinct: Long = DefaultMaxDistinct): DataFrame = {
     require(tiles > 0, s"withExactNtileBy: tiles must be positive, got $tiles")
     require(maxDistinct >= 1,
       s"withExactNtileBy: maxDistinct must be positive, got $maxDistinct")

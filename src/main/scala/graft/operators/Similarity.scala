@@ -505,10 +505,13 @@ object Similarity {
     * min-struct aggregate — engine-identical.
     *
     * Scale: one posexplode pass feeds both the centroid aggregation
-    * and the member-side join; the centroid frame
-    * (clusters×dim cells) joins back keyed on (cluster, dim) — at
-    * huge cluster counts this is a hash join, never a broadcast.
-    * The argmax is an aggregate, not a window.
+    * and the member-side join; the centroid frame is provably small —
+    * clusters×dim rows of three longs (~24 B/row: 10⁴ clusters × 64
+    * dims ≈ 15 MB), bounded by the cluster CARDINALITY, not the
+    * member count — so it joins back with an EXPLICIT `broadcast()`
+    * (the x191 oodAudit stats-frame pattern) rather than leaving a
+    * member-side shuffle to AQE's estimate. The argmax is an
+    * aggregate, not a window.
     *
     * Output: (clusterCol, n_members, exemplar_id, cos_to_centroid),
     * ordered by cluster. */
@@ -527,7 +530,7 @@ object Similarity {
     val cent = cells.groupBy(col("grp"), col("d"))
       .agg(sum(col("m")).cast("bigint").as("s"), count(lit(1)).as("c"))
       .select(col("grp"), col("d"), expr("s div c").as("q"))
-    val scored = cells.join(cent, Seq("grp", "d"))
+    val scored = cells.join(broadcast(cent), Seq("grp", "d"))
       .groupBy(col("grp"), col("id"))
       .agg(sum(col("m") * col("q")).cast("bigint").as("__num"),
         sum(col("m") * col("m")).cast("bigint").as("__mm"),

@@ -1533,6 +1533,106 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Iterated BPE vocabulary induction — N full merge rounds of the
+    * Sennrich et al. 2016 trainer (the multi-round extension of
+    * [[bpePairStats]]'s single-round statistics, VERDICT r12 item 6):
+    * starting from per-character symbol sequences over the DISTINCT
+    * word vocabulary, each round (1) counts every adjacent symbol
+    * pair weighted by word corpus frequency, (2) picks the best pair
+    * deterministically by (count desc, left asc, right asc), and
+    * (3) merges its occurrences greedily left-to-right,
+    * non-overlapping — the reference trainer's `re.sub` semantics —
+    * across every word. The output is the merge TABLE (the learned
+    * tokenizer), one row per round.
+    *
+    * The greedy non-overlapping merge is fully relational (no
+    * sequential per-word scan): positions where (sym, next) equals
+    * the pair are match candidates; consecutive candidate runs — which
+    * require left==right (an "aaaa" run) — are islands in the
+    * gaps-and-islands sense (position − running match count), and
+    * greedy selects every EVEN offset from each island's first match.
+    * A selected position emits the merged symbol, the position after
+    * it drops, everything else passes through; the new sequence is
+    * rebuilt by position sort. Hand-traced on the "aaaa"/(a,a) →
+    * [aa, aa] adversary in TextAnalysisSpec.
+    *
+    * Scale design: the corpus collapses to DISTINCT words ONCE (one
+    * hash agg — the same O(vocab) envelope as [[bpePairStats]]); all
+    * N rounds run over the vocab frame only, O(vocab × word-length)
+    * rows per round, independent of corpus row count. Every window
+    * partitions by word (bounded by the longest word); each round's
+    * survivor frame and 1-row best pair are checkpointed so round k+1
+    * never re-runs round k (the x137 k-core fixpoint pattern). The
+    * per-round argmax is a min-struct aggregate, not a global sort.
+    *
+    * Output: (round, left_sym, right_sym, merged, pair_count),
+    * ordered by round; rounds after pair exhaustion emit nothing. */
+  def bpeInduction(docs: DataFrame, rounds: Int = 6,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"bpeInduction: rounds must be in [1, 64], got $rounds")
+    var vocab = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("w").as("wid"), col("c"),
+        expr("transform(sequence(1, length(wid)), i -> substring(wid, i, 1))")
+          .as("syms"))
+      .localCheckpoint(true)
+    val merges = (1 to rounds).map { r =>
+      val (best, next) = bpeMergeRound(vocab, r)
+      vocab = next
+      best
+    }
+    merges.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  /** One BPE merge round over a (wid, c, syms) vocab frame: returns
+    * (the 1-row merge record for `round`, the merged vocab frame).
+    * See [[bpeInduction]] for the greedy-merge decomposition. */
+  private def bpeMergeRound(vocab: DataFrame, round: Int)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val best = vocab
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> " +
+          "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+        .as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum(col("c")).cast("bigint").as("cnt"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("l").as("l"),
+        col("r").as("r"), col("cnt").as("cnt"))).as("b"))
+      .select(col("b.l").as("l"), col("b.r").as("r"), col("b.cnt").as("cnt"))
+      .filter(col("l").isNotNull) // empty pair space → empty best
+      .localCheckpoint(true) // 1 row; feeds the merge AND the output
+    val wp = Window.partitionBy(col("wid")).orderBy(col("p"))
+    val pos = vocab.crossJoin(broadcast(best))
+      .select(col("wid"), col("c"), col("l"), col("r"),
+        posexplode(col("syms")).as(Seq("p", "s")))
+    val m = pos
+      .withColumn("mt", coalesce(col("s") === col("l") &&
+        lead(col("s"), 1).over(wp) === col("r"), lit(false)))
+      .withColumn("isl", col("p") - sum(when(col("mt"), 1L).otherwise(0L))
+        .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wisl = Window.partitionBy(col("wid"), col("isl"))
+    val next = m
+      .withColumn("sel", col("mt") &&
+        ((col("p") - min(when(col("mt"), col("p"))).over(wisl)) % 2 === 0))
+      .withColumn("lead_s", lead(col("s"), 1).over(wp))
+      .withColumn("prev_sel", coalesce(lag(col("sel"), 1).over(wp), lit(false)))
+      .filter(!col("prev_sel"))
+      .select(col("wid"), col("c"), col("p"),
+        when(col("sel"), concat(col("s"), col("lead_s")))
+          .otherwise(col("s")).as("s2"))
+      .groupBy(col("wid"), col("c"))
+      .agg(expr("transform(array_sort(collect_list(struct(p, s2))), x -> x.s2)")
+        .as("syms"))
+      .localCheckpoint(true) // round k+1 must never re-run round k
+    (best.select(lit(round.toLong).as("round"), col("l").as("left_sym"),
+      col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
+      col("cnt").as("pair_count")), next)
+  }
+
   /** Per-document curation scorecard — the explainable decision
     * record a pipeline exports for audit: every signal value alongside
     * the first-fail verdict, per document (where [[filterAttribution]]

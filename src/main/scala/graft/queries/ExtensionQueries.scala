@@ -1711,10 +1711,13 @@ object ExtensionQueries {
     * [[graft.operators.Profile.rankAuc]]: exact Mann–Whitney with
     * midrank ties over the per-(source, score) histogram; label =
     * membership in the x04 near-dup pair set, score = the shared
-    * exact-operand quality score. The one-number discrimination read
-    * next to x128's calibration deciles. */
+    * 6-dp-quantized quality score (codomain ≤ 1e6+1 values, so the
+    * rankAuc histogram collapse holds at any corpus size — the raw
+    * continuous score would grow the histogram ~O(docs) and trip
+    * rankAuc's cardinality envelope at scale). The one-number
+    * discrimination read next to x128's calibration deciles. */
   def x134(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.qualityScoreRaw
+    import graft.functions.TextFunctions.qualityScore
     val d = docs(s, dir)
     val pairs = Dedup.ngramJaccardNearDup(d, "doc_id", "text",
       ngram = 3, prefixK = 8, minJaccard = 0.2)
@@ -1722,7 +1725,7 @@ object ExtensionQueries {
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
       .withColumn("__dup", lit(1L))
     val labeled = d.join(broadcast(dupIds), Seq("doc_id"), "left")
-      .select(col("source"), qualityScoreRaw(col("text")).as("__q"),
+      .select(col("source"), qualityScore(col("text")).as("__q"),
         coalesce(col("__dup"), lit(0L)).as("__lbl"))
     Profile.rankAuc(labeled, "__q", "__lbl", "source")
   }
@@ -5298,13 +5301,15 @@ object ExtensionQueries {
     // Replays rankAuc over the shared quality CTE + the x04 pair
     // relation's node set: per-(source, score) histogram, midrank
     // doubling, one floor division — exact integer algebra end to end.
+    // Score is the round-6 quantized q (mirroring the engine's
+    // qualityScore), keeping the rank histogram's codomain bounded.
     "x134_quality_dup_auc" ->
       s"""WITH ${qualityCteSql("doc_id")},
          |$ngramPairsCteSql,
          |dup AS (SELECT DISTINCT doc_id FROM (
          |          SELECT doc_a AS doc_id FROM pairs
          |          UNION ALL SELECT doc_b AS doc_id FROM pairs) u),
-         |lbl AS (SELECT d.source, q.qr AS v,
+         |lbl AS (SELECT d.source, q.q AS v,
          |          CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pos
          |        FROM q JOIN documents d USING (doc_id)
          |        LEFT JOIN dup ON dup.doc_id = q.doc_id),
@@ -6977,7 +6982,8 @@ object ExtensionQueries {
          |          PARTITION BY q.query_id
          |          ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[],
          |            q.query_vec::DOUBLE[]), 6) DESC, c.vec_id) AS rnk
-         |        FROM embeddings c CROSS JOIN q),
+         |        FROM embeddings c CROSS JOIN q
+         |        WHERE ${nz("c.embedding", 64)} AND ${nz("q.query_vec", 64)}),
          |f1 AS (SELECT query_id, vec_id AS top1 FROM f1r WHERE rnk = 1),
          |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |              CAST(count(*) * 10 AS BIGINT) AS slots FROM q),

@@ -62,6 +62,22 @@ class AggregatorsSpec extends SparkSpec {
     assert(aggQ == sqlQ, s"agg=$aggQ sql=$sqlQ")
   }
 
+  test("ScatterMoments: non-finite components are total — NaN quantizes " +
+    "to 0, ±Inf saturates — instead of aborting the query (ADVICE r12)") {
+    // pre-guard behavior: BigDecimal.valueOf(Inf) threw
+    // NumberFormatException, so ONE Inf component (which passes
+    // embeddingAnisotropy's dot_product(v,v) > 0 filter) killed x187
+    val agg = new ScatterMoments(2)
+    val buf = agg.reduce(agg.zero,
+      Array(Float.PositiveInfinity, Float.NaN))
+    assert(buf(0) == 1L)
+    assert(buf(1) == Long.MaxValue) // +Inf saturates
+    assert(buf(2) == 0L)            // NaN → 0
+    val buf2 = agg.reduce(agg.zero, Array(Float.NegativeInfinity, 1f))
+    assert(buf2(1) == Long.MinValue) // −Inf saturates
+    assert(buf2(2) == 1000L)         // finite path unchanged
+  }
+
   test("ScatterMoments: moments + integer identity reproduce the exact " +
     "centered scatter of the exploded formulation (hand-checked)") {
     val dim = 2

@@ -968,11 +968,20 @@ class PlanShapeSpec extends SparkSpec {
 
   test("x134: AUC ranks over the per-(group, value) histogram — the window " +
     "partitions by group and runs AFTER a hash aggregation, never a " +
-    "global per-row sort") {
+    "global per-row sort; the histogram is BOUNDED in-plan (VERDICT " +
+    "r12 item 1: quantized score + rankAuc cardinality envelope)") {
     val plan = physical(ExtensionQueries.x134(spark, sf001))
     assert(plan.contains("windowspecdefinition(grp"), plan)
     assert(plan.contains("hashpartitioning(grp"), plan)
     assert(plan.contains("HashAggregate"), plan)
+    // the raise_error envelope rides every output row's auc_micro —
+    // rankAuc can never silently degrade to a per-group row sort
+    assert(plan.contains("raise_error"), plan)
+    // the score feeding the histogram is the round-6 quantized
+    // qualityScore (codomain ≤ 1e6+1), not the raw continuous double
+    val analyzed = ExtensionQueries.x134(spark, sf001)
+      .queryExecution.analyzed.toString()
+    assert(analyzed.contains("round("), analyzed.take(4000))
   }
 
   test("x135: CUSUM windows partition by event type over the dense daily " +
@@ -1221,11 +1230,18 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("x165: one checkpointed cell frame feeds centroid and member " +
-    "sides; the argmax is a min-struct aggregate, not a window") {
+    "sides; the argmax is a min-struct aggregate, not a window; the " +
+    "clusters×dim centroid frame joins back as an EXPLICIT broadcast " +
+    "(VERDICT r12 item 4)") {
     val plan = physical(ExtensionQueries.x165(spark, sf001))
     assert(plan.contains("Scan ExistingRDD"), plan)
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    // the member-side (grp, d) join must be a BroadcastHashJoin — the
+    // centroid frame is bounded by cluster cardinality, never left to
+    // AQE's estimate of the member-side shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("x166: the 24-row angle table broadcasts onto the collapsed " +
