@@ -1593,7 +1593,11 @@ object TextAnalysis {
   private def bpeMergeRound(vocab: DataFrame, round: Int)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // fully-merged single-symbol words carry no pairs — and Spark's
+    // sequence(1, 0) is the DESCENDING [1, 0], not empty (DuckDB's
+    // range(1, 1) is), so they must leave before the pair transform
     val best = vocab
+      .filter(size(col("syms")) >= 2)
       .select(col("c"), explode(expr(
         "transform(sequence(1, size(syms) - 1), i -> " +
           "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))

@@ -2248,6 +2248,16 @@ object ExtensionQueries {
           col("label").as("query_label")),
       k = 10)
 
+  /** x195 iterated BPE vocabulary induction — see
+    * [[graft.operators.TextAnalysis.bpeInduction]]: six full merge
+    * rounds of the Sennrich trainer over the distinct-word vocabulary
+    * (deterministic (count desc, pair asc) picks, greedy relational
+    * left-to-right merges), emitting the learned merge table — the
+    * multi-round answer to x78's single-round pair statistics
+    * (VERDICT r12 item 6). */
+  def x195(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeInduction(docs(s, dir), rounds = 6)
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2493,6 +2503,7 @@ object ExtensionQueries {
     "x192_compression_recall" -> (x192 _),
     "x193_packing_sweep" -> (x193 _),
     "x194_retrieval_metrics" -> (x194 _),
+    "x195_bpe_induction" -> (x195 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -7199,6 +7210,60 @@ object ExtensionQueries {
          |           (CASE LEAST(r_total, 10) $idcgCase END) END AS BIGINT)
          |         AS ndcg_micro
          |FROM mr ORDER BY query_id""".stripMargin
+    },
+
+    // Replays bpeInduction round by round (the x137 unrolled-iteration
+    // pattern): each round's CTE block recomputes pair counts over the
+    // current symbol lists, picks the (count desc, l, r) best with
+    // ORDER/LIMIT 1, and applies the greedy non-overlapping merge via
+    // the same gaps-and-islands decomposition (match candidates →
+    // islands by position − running match count → even offsets from
+    // each island's first MATCH row). Same word tokenizer as x78.
+    "x195_bpe_induction" -> {
+      val rounds = 6
+      def roundBlock(n: Int): String = {
+        val prev = if (n == 1) "v0" else s"v${n - 1}"
+        s"""p$n AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS cnt FROM (
+           |  SELECT c, syms[CAST(i AS INT)] AS l, syms[CAST(i + 1 AS INT)] AS r
+           |  FROM (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM $prev))
+           |  GROUP BY l, r),
+           |b$n AS (SELECT l, r, cnt FROM p$n ORDER BY cnt DESC, l, r LIMIT 1),
+           |e$n AS (SELECT wid, c, CAST(i AS BIGINT) AS p, syms[CAST(i AS INT)] AS s
+           |        FROM (SELECT wid, c, syms,
+           |                unnest(range(1, len(syms) + 1)) AS i FROM $prev)),
+           |m$n AS (SELECT e.wid, e.c, e.p, e.s,
+           |          coalesce(e.s = b.l AND lead(e.s) OVER (
+           |            PARTITION BY e.wid ORDER BY e.p) = b.r, false) AS mt
+           |        FROM e$n e CROSS JOIN b$n b),
+           |i$n AS (SELECT wid, c, p, s, mt,
+           |          p - SUM(CASE WHEN mt THEN 1 ELSE 0 END) OVER (
+           |            PARTITION BY wid ORDER BY p) AS isl FROM m$n),
+           |s$n AS (SELECT wid, c, p, s,
+           |          mt AND ((p - min(CASE WHEN mt THEN p END) OVER (
+           |            PARTITION BY wid, isl)) % 2 = 0) AS sel FROM i$n),
+           |o$n AS (SELECT wid, c, p, CASE WHEN sel THEN s || lead_s ELSE s END AS s2
+           |        FROM (SELECT wid, c, p, s, sel,
+           |                lead(s) OVER (PARTITION BY wid ORDER BY p) AS lead_s,
+           |                coalesce(lag(sel) OVER (PARTITION BY wid ORDER BY p),
+           |                  false) AS prev_sel
+           |              FROM s$n) z
+           |        WHERE NOT prev_sel),
+           |v$n AS (SELECT wid, c, list(s2 ORDER BY p) AS syms
+           |        FROM o$n GROUP BY wid, c)""".stripMargin
+      }
+      val unions = (1 to rounds).map(n =>
+        s"""SELECT CAST($n AS BIGINT) AS round, l AS left_sym, r AS right_sym,
+           |       l || r AS merged, cnt AS pair_count FROM b$n""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT unnest(${wordsSql("text")}) AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS c FROM toks WHERE len(w) >= 2 GROUP BY w),
+         |v0 AS (SELECT w AS wid, c,
+         |         list_transform(range(1, len(w) + 1),
+         |           i -> substr(w, CAST(i AS INT), 1)) AS syms FROM wc),
+         |${(1 to rounds).map(roundBlock).mkString(",\n")}
+         |SELECT * FROM (
+         |$unions
+         |) u ORDER BY round""".stripMargin
     },
 
     // Replays oodAudit: 1e-3-quantized components (the x169 cell

@@ -376,6 +376,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(("xy", 2L), ("za", 2L)))
   }
 
+  test("bpeInduction: multi-round merge table hand-traced — counts roll " +
+      "up merged symbols, exhausted rounds emit nothing") {
+    // words: abab ×2 → [a,b,a,b]; abc ×1 → [a,b,c]
+    // r1: (a,b)=2·2+1=5 beats (b,a)=2,(b,c)=1 → merge ab:
+    //     abab=[ab,ab], abc=[ab,c]
+    // r2: (ab,ab)=2 beats (ab,c)=1 → merge abab: abab=[abab]
+    // r3: only (ab,c)=1 remains → merge abc
+    // r4-6: no pairs left → no rows
+    val docs = Seq((1L, "abab abab abc")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeInduction(docs, rounds = 6)
+      .as[(Long, String, String, String, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "a", "b", "ab", 5L),
+      (2L, "ab", "ab", "abab", 2L),
+      (3L, "ab", "c", "abc", 1L)))
+  }
+
+  test("bpeInduction: greedy left-to-right non-overlapping merge on the " +
+      "aaaa adversary; (count desc, l, r) tie-break") {
+    // words: aaaa → [a,a,a,a]; aaa → [a,a,a]
+    // r1: (a,a)=3+2=5 → greedy merge: aaaa=[aa,aa] (NOT [aa,a,a]),
+    //     aaa=[aa,a]
+    // r2: (aa,aa)=1 ties (aa,a)=1 → r asc picks (aa,a) → aaa=[aaa]
+    // r3: (aa,aa)=1 → aaaa=[aaaa]
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeInduction(docs, rounds = 4)
+      .as[(Long, String, String, String, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "a", "a", "aa", 5L),
+      (2L, "aa", "a", "aaa", 1L),
+      (3L, "aa", "aa", "aaaa", 1L)))
+  }
+
   test("curationScorecard: per-doc signals and first-fail verdict precedence") {
     val w = (1 to 25).map("w" + _).mkString(" ")   // 25 distinct words
     val u = (1 to 15).map("u" + _).mkString(" ")

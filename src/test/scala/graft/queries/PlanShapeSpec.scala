@@ -1012,6 +1012,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("x195: every BPE round rides checkpointed vocab frames — the final " +
+    "plan unions six 1-row best frames with NO corpus scan and no " +
+    "window (expansion stays O(vocab), the x137 fixpoint pattern)") {
+    val plan = physical(ExtensionQueries.x195(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed rounds
+    assert(!plan.contains("Scan parquet"), plan)    // corpus never re-read
+    assert(!plan.contains("Window"), plan)          // argmax is min-struct
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Union"), plan)
+  }
+
   test("x138: one tokenize fan-out, two hash aggregations, a conditional " +
     "pivot — no window, no cartesian") {
     val plan = physical(ExtensionQueries.x138(spark, sf001))
