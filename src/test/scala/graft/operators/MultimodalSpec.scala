@@ -212,6 +212,95 @@ class MultimodalSpec extends SparkSpec {
         .getBytes("UTF-8")).isEmpty)
   }
 
+  test("decodeTiff: REAL bytes — both byte orders, SHORT and LONG dims, " +
+      "multi-page IFD chain; cycles and malformed payloads rejected") {
+    // little-endian, single page, SHORT dims 7×5
+    val le = java.nio.ByteBuffer.allocate(8 + 2 + 2 * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    le.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(8)
+    le.putShort(2.toShort)
+    le.putShort(256.toShort).putShort(3.toShort).putInt(1)
+      .putShort(7.toShort).putShort(0.toShort)
+    le.putShort(257.toShort).putShort(3.toShort).putInt(1)
+      .putShort(5.toShort).putShort(0.toShort)
+    le.putInt(0)
+    assert(Multimodal.decodeTiff(le.array()).contains((7, 5, 1)))
+    // big-endian, LONG dims 300×200, three-page chain
+    def beIfd(b: java.nio.ByteBuffer, next: Int): Unit = {
+      b.putShort(2.toShort)
+      b.putShort(256.toShort).putShort(4.toShort).putInt(1).putInt(300)
+      b.putShort(257.toShort).putShort(4.toShort).putInt(1).putInt(200)
+      b.putInt(next)
+    }
+    val ifdLen = 2 + 2 * 12 + 4
+    val be = java.nio.ByteBuffer.allocate(8 + 3 * ifdLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.put('M'.toByte).put('M'.toByte).putShort(42.toShort).putInt(8)
+    beIfd(be, 8 + ifdLen)
+    beIfd(be, 8 + 2 * ifdLen)
+    beIfd(be, 0)
+    assert(Multimodal.decodeTiff(be.array()).contains((300, 200, 3)))
+    // a next-IFD offset pointing BACKWARD must reject (cycle guard),
+    // never loop
+    val cyc = be.array().clone()
+    // last IFD's next pointer (last 4 bytes) → back to the first IFD
+    val np = cyc.length - 4
+    cyc(np) = 0; cyc(np + 1) = 0; cyc(np + 2) = 0; cyc(np + 3) = 8
+    assert(Multimodal.decodeTiff(cyc).isEmpty)
+    // missing dimension tags / zero entries / text all reject
+    val zeroN = le.array().clone(); zeroN(8) = 0; zeroN(9) = 0
+    assert(Multimodal.decodeTiff(zeroN).isEmpty)
+    assert(Multimodal.decodeTiff(
+      "II* looks like a magic but is just text padding here"
+        .getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodeWebp: REAL bytes — VP8 lossy sync, VP8L packed bits, VP8X " +
+      "canvas with ANMF frame count; malformed payloads rejected") {
+    def webp(chunks: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + chunks.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(4 + chunks.length).put("WEBP".getBytes)
+      b.put(chunks)
+      b.array()
+    }
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes).putInt(payload.length).put(payload)
+      b.array()
+    }
+    // VP8 lossy: frame tag ×3, sync 9D 01 2A, u14le dims 7×5
+    val vp8 = chunk("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+      7, 0, 5, 0))
+    assert(Multimodal.decodeWebp(webp(vp8)).contains((7, 5, 1)))
+    // VP8L lossless: 0x2F then (w−1) | (h−1)<<14 for 7×5
+    val bits = (7 - 1) | ((5 - 1) << 14)
+    val vp8l = chunk("VP8L", Array[Byte](0x2F,
+      (bits & 0xFF).toByte, ((bits >> 8) & 0xFF).toByte,
+      ((bits >> 16) & 0xFF).toByte, ((bits >> 24) & 0xFF).toByte))
+    assert(Multimodal.decodeWebp(webp(vp8l)).contains((7, 5, 1)))
+    // VP8X animated canvas 640×480 with 3 ANMF chunks
+    val vp8x = chunk("VP8X", Array[Byte](0x02, 0, 0, 0,
+      ((640 - 1) & 0xFF).toByte, (((640 - 1) >> 8) & 0xFF).toByte, 0,
+      ((480 - 1) & 0xFF).toByte, (((480 - 1) >> 8) & 0xFF).toByte, 0))
+    val anim = webp(vp8x ++ chunk("ANMF", Array[Byte](1, 2)) ++
+      chunk("ANMF", Array[Byte](3, 4)) ++ chunk("ANMF", Array[Byte](5, 6)))
+    assert(Multimodal.decodeWebp(anim).contains((640, 480, 3)))
+    // still VP8X (no animation flag) stays 1 frame
+    val still = vp8x.clone(); still(8) = 0x00
+    assert(Multimodal.decodeWebp(webp(still)).contains((640, 480, 1)))
+    // bad sync code / WAVE-not-WEBP / text all reject
+    val badSync = webp(vp8.clone()); badSync(12 + 8 + 3) = 0x00
+    assert(Multimodal.decodeWebp(badSync).isEmpty)
+    assert(Multimodal.decodeWebp(
+      "RIFFxxxxWAVE this is the audio container, not webp".getBytes("UTF-8"))
+      .isEmpty)
+    assert(Multimodal.decodeWebp(
+      "plain text long enough to scan but with no container structure"
+        .getBytes("UTF-8")).isEmpty)
+  }
+
   test("extractFeatures routes WAV payloads through the REAL audio " +
       "decoder: dims slots carry (sample_rate, channels, n_frames)") {
     val rows = Seq(
