@@ -844,6 +844,125 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class VecIngest(vec_id: Long, embedding: Array[Float])
+  final case class RecallCand(query_id: Long, dim: Int, vec_id: Long,
+    cos_micro: Long)
+  final case class RecallEntry(cos_micro: Long, vec_id: Long)
+  final case class RecallTopKState(n_seen: Long, entries: Seq[RecallEntry])
+  final case class RecallStat(query_id: Long, dim: Int, n_batch: Long,
+    n_seen: Long, topk_hits: Long, recall_micro: Long)
+
+  /** Scores an embedding-ingest stream against a small in-closure
+    * query set at each truncation dim — the candidate stage in front
+    * of [[recallMonitorWithState]], mirroring the batch x189 scoring
+    * EXACTLY: the cosine accumulates in the same element order as the
+    * CosineSimilarity expression (dot / √(nx·ny), float→double per
+    * element), is rounded once to 6 dp with the Round expression's
+    * HALF_UP BigDecimal path, and carried as the exact micro integer
+    * (the unscaled value — ranking by it is ranking by the batch's
+    * round-6 double, since distinct 6-dp decimals stay distinct and
+    * ordered as doubles). A zero-norm prefix, a vector shorter than
+    * the dim, or a non-finite score yields no candidate — the batch
+    * audit's null-cosine drop, made total for a monitor. */
+  def truncationCandidates(stream: Dataset[VecIngest],
+      queries: Seq[(Long, Array[Float])], dims: Seq[Int]): Dataset[RecallCand] = {
+    import stream.sparkSession.implicits._
+    require(queries.nonEmpty && dims.nonEmpty,
+      "truncationCandidates: need queries and dims")
+    stream.flatMap { v =>
+      for {
+        (qid, qv) <- queries.iterator
+        d <- dims.iterator
+        cm <- prefixCosMicro(v.embedding, qv, d).iterator
+      } yield RecallCand(qid, d, v.vec_id, cm)
+    }
+  }
+
+  /** Exact mirror of `round(cosine_similarity(slice(a,1,d),
+    * slice(b,1,d)), 6)` as a micro integer — see
+    * [[truncationCandidates]]. */
+  private[graft] def prefixCosMicro(a: Array[Float], b: Array[Float],
+      d: Int): Option[Long] = {
+    if (a == null || b == null || a.length < d || b.length < d) return None
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < d) {
+      val xi = a(i).toDouble; val yi = b(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) None
+    else {
+      val c = dot / math.sqrt(nx * ny)
+      if (!java.lang.Double.isFinite(c)) None
+      else Some(java.math.BigDecimal.valueOf(c)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact())
+    }
+  }
+
+  /** Streaming retrieval-recall monitor — the live twin of the batch
+    * x189/x192 calibration audits (VERDICT r12 item 8): a per-micro-
+    * batch top-k-agreement gate against a REFERENCE ranking (the
+    * full-dim/full-precision top-k per query, computed batch-side —
+    * [[graft.operators.Similarity.bruteForceTopK]] — and shipped in
+    * the processor closure, the broadcast-small-side discipline).
+    * Keyed by (query, dim): state is the bounded variant top-k heap
+    * (≤ k (cos_micro, vec_id) entries under the batch tie order
+    * (score desc, id asc), duplicate ingests keep the best score);
+    * each batch absorbs its candidates, then reports the CUMULATIVE
+    * agreement |variant top-k ∩ reference| and recall_micro =
+    * hits·10⁶ div |reference list| — so a degrading index variant
+    * (over-truncated dims, lossy compression) surfaces per batch as
+    * ingestion proceeds.
+    *
+    * Parity contract (test-pinned): the bounded-heap merge is a
+    * selection, so ANY batch split converges to the same final top-k —
+    * after the last batch, hits summed per dim over queries equal the
+    * batch truncationRecall's `topk_hits` row for that dim exactly.
+    * A query absent from the reference map reports hits over an empty
+    * list (recall_micro 0) rather than failing — monitor totality.
+    *
+    * Scale: state is ≤ k entries per (query, dim) — queries·dims·k
+    * longs total; output one row per (query, dim, batch). */
+  final class RecallMonitorProcessor(k: Int, reference: Map[Long, Seq[Long]])
+      extends StatefulProcessor[(Long, Int), RecallCand, RecallStat] {
+    @transient private var st: ValueState[RecallTopKState] = _
+    @transient private lazy val refSets: Map[Long, Set[Long]] =
+      reference.map { case (q, ids) => q -> ids.toSet }
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RecallTopKState]("topk",
+        org.apache.spark.sql.Encoders.product[RecallTopKState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, Int), rows: Iterator[RecallCand],
+        tv: TimerValues): Iterator[RecallStat] = {
+      val batch = rows.toArray
+      if (batch.isEmpty) return Iterator.empty
+      val prev = if (st.exists()) st.get() else RecallTopKState(0L, Seq.empty)
+      val merged = (prev.entries ++
+          batch.map(c => RecallEntry(c.cos_micro, c.vec_id)))
+        .groupBy(_.vec_id).valuesIterator.map(_.maxBy(_.cos_micro)).toSeq
+        .sortBy(e => (-e.cos_micro, e.vec_id)).take(k)
+      val n = prev.n_seen + batch.length
+      st.update(RecallTopKState(n, merged))
+      val ref = refSets.getOrElse(key._1, Set.empty)
+      val hits = merged.count(e => ref.contains(e.vec_id)).toLong
+      val rm = if (ref.isEmpty) 0L else hits * 1000000L / ref.size
+      Iterator.single(RecallStat(key._1, key._2, batch.length.toLong, n,
+        hits, rm))
+    }
+  }
+
+  /** [[RecallMonitorProcessor]] wired onto a candidate stream; same
+    * RocksDB provider requirement as [[sessionizeWithState]]. */
+  def recallMonitorWithState(cands: Dataset[RecallCand], k: Int,
+      reference: Map[Long, Seq[Long]]): Dataset[RecallStat] = {
+    import cands.sparkSession.implicits._
+    cands.groupByKey(c => (c.query_id, c.dim))
+      .transformWithState(new RecallMonitorProcessor(k, reference),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class TokenEvent(shard: Int, token: String)
   final case class HeavyHitter(shard: Int, token: String,
     cnt_min: Long, cnt_max: Long)

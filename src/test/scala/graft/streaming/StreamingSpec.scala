@@ -567,6 +567,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("recallMonitorWithState: mid-stream split converges to the batch " +
+      "x189 truncation audit per dim; early batches report live recall") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val emb = graft.Tables.load(spark, sf001, "embeddings")
+      val dims = Seq(8, 16, 32, 64)
+      // batch ground truth: x189's per-dim topk_hits over the corpus
+      val expected = graft.queries.ExtensionQueries.x189(spark, sf001)
+        .select(col("dim"), col("topk_hits"))
+        .as[(Long, Long)].collect().toMap
+      // reference ranking = batch full-dim top-10 (the audit's ftk)
+      val qdf = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val reference = graft.operators.Similarity
+        .bruteForceTopK(emb, qdf, 10)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .as[(Long, Long, Int)].collect()
+        .groupBy(_._1).map { case (q, rs) =>
+          q -> rs.sortBy(_._3).map(_._2).toSeq }
+      val queries = qdf.as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+        .map { case (id, v) => Streaming.VecIngest(id, v) }
+      val (first, second) = vecs.splitAt(vecs.length / 2) // mid-stream split
+
+      val in = MemoryStream[Streaming.VecIngest]
+      val q = Streaming.recallMonitorWithState(
+          Streaming.truncationCandidates(in.toDS(), queries, dims),
+          k = 10, reference = reference)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("recall_parity").start()
+      in.addData(first); q.processAllAvailable()
+      in.addData(second); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("recall_parity").as[Streaming.RecallStat].collect()
+      // the live read: first-batch rows exist with partial corpora
+      assert(got.exists(_.n_seen < vecs.length.toLong))
+      // final cumulative state per (query, dim) = the largest n_seen row
+      val fin = got.groupBy(s => (s.query_id, s.dim))
+        .map { case (_, ss) => ss.maxBy(_.n_seen) }.toSeq
+      val hitsByDim = fin.groupBy(_.dim)
+        .map { case (d, ss) => d.toLong -> ss.map(_.topk_hits).sum }
+      assert(hitsByDim == expected,
+        s"streamed cumulative hits $hitsByDim != batch audit $expected")
+      // full-dim recall against its own reference is perfect
+      assert(fin.filter(_.dim == 64).forall(_.recall_micro == 1000000L))
+    }
+  }
+
   test("transcriptsWithState: maxPathEvents caps the path, count and sum keep going") {
     withRocksDb {
       implicit val sc = spark.sqlContext
