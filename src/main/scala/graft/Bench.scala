@@ -46,6 +46,19 @@ object Bench {
     // timing (the first timed query otherwise absorbs ~4 s of session
     // warm-up that is already counted in the harness's wall clock).
     SparkEntry.entry(spark).count()
+    // Eager localCheckpoint blocks linger in the block manager after a
+    // query finishes (they free only on RDD GC), so a checkpoint-heavy
+    // query taxes every LATER measurement with memory/GC pressure —
+    // measured on q36 in r12: 0.36 s → 1.98 s with an IDENTICAL plan
+    // fingerprint (d44235ca), right after q34/q35 gained prefix-sum
+    // checkpoints (VERDICT r12 item 2). No query references another
+    // query's RDDs (the only cross-query cache is x22's driver-side
+    // centroid array), so dropping every persistent RDD between runs
+    // is safe and makes each timing start from a clean block manager —
+    // the headline measures plans, not block-manager history.
+    def dropLingering(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    dropLingering()
     // Dev knobs (unset in driver runs): SPARK_GRAFT_ONLY=<substring>
     // times only matching queries; SPARK_GRAFT_REPEAT=N overrides the
     // in-session run count (default 3; 1 = quick dev loop).
@@ -87,6 +100,7 @@ object Bench {
         catch { case e: Throwable =>
           err = Some(e.toString.takeWhile(_ != '\n').take(120)) }
         times :+= (System.nanoTime() - t0) / 1e9
+        dropLingering() // outside the timing: next run starts clean
       }
       // relative spread (max−min)/median flags medians that are still
       // noisy at this N — computed over the WARM runs (2..N) when
@@ -111,6 +125,7 @@ object Bench {
       // eagerly materialize localCheckpoints — must not pre-warm run 1)
       val fp = if (err.isDefined) "ERR"
         else scala.util.Try(planFingerprint(fn(spark, sfDir))).getOrElse("ERR")
+      dropLingering() // fp construction re-materialized checkpoints
       (name, med, spread, err, fp)
     }
     // Bench-only probes: scale-path variants (x20 without its exact
@@ -127,6 +142,7 @@ object Bench {
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () }
           times :+= (System.nanoTime() - t0) / 1e9
+          dropLingering()
         }
         (name, median(times))
       }
