@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit, row_number}
+import org.apache.spark.sql.functions.{col, count, expr, lit, row_number}
 
 /** Output-layout discipline — the WRITE side of a 100 TB pipeline.
   * Reading fast at scale is decided when the data is WRITTEN: directory
@@ -241,5 +241,30 @@ object Layout {
               | - 1.0D))) AS BIGINT)""".stripMargin))
             .as("spearman_micro"))
     }.reduce(_ unionAll _).orderBy(col("column"))
+  }
+
+  /** Join-skew salt advisor — the quantified salting plan behind the
+    * "skewed keys → salting" scale rule: per join-key frequency from
+    * one hash aggregation, every key whose row count exceeds
+    * `targetPerTask` gets `salt_factor` = ⌈count / target⌉ (the number
+    * of salt buckets that brings its largest post-salt partition back
+    * under target); unskewed keys report factor 1. Top `topN` keys by
+    * (count desc, key) — a bounded TakeOrderedAndProject, so the
+    * advisor itself never sorts the key universe globally.
+    *
+    * Output: (key, n, salt_factor, skewed), top-N by (n desc, key). */
+  def saltAdvisor(df: DataFrame, keyCol: String,
+      targetPerTask: Long = 1000000L, topN: Int = 20): DataFrame = {
+    require(targetPerTask >= 1,
+      s"saltAdvisor: targetPerTask must be >= 1, got $targetPerTask")
+    require(topN >= 1, s"saltAdvisor: topN must be >= 1, got $topN")
+    df.select(col(keyCol).cast("string").as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .select(col("key"), col("n"),
+        expr(s"(n + $targetPerTask - 1) div $targetPerTask").as("salt_factor"),
+        (col("n") > targetPerTask).as("skewed"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
   }
 }

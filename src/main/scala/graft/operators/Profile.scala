@@ -1347,4 +1347,37 @@ object Profile {
       .orderBy(col(groupCol))
   }
 
+  /** l-diversity profile over a quasi-identifier tuple — the SENSITIVE-
+    * attribute complement of [[kAnonymityAudit]]: where that audit
+    * surfaces only the sub-k cells (size-based re-identification),
+    * this emits the COMPLETE equivalence-class profile with the read
+    * k-anonymity cannot give — a class that is large enough but
+    * UNIFORM in the sensitive attribute (distinct sensitive values
+    * < l) still leaks it to anyone who can place a member in the
+    * class (homogeneity attack). One row per class with both
+    * verdicts, so the caller can suppress or generalize exactly the
+    * failing classes; the sensitive column is deliberately NOT a
+    * quasi-identifier here (it moves sides of the attack model).
+    *
+    * Scale: ONE partial+final hash aggregation over the QI tuple
+    * (count + count distinct); no window, no join. Cross-engine: the
+    * single-argument count distinct skips nulls identically in both
+    * engines (the multi-arg trap does not apply).
+    *
+    * Output: (qiCols…, n, l_div, k_anonymous, l_diverse), ordered by
+    * the QI columns. */
+  def lDiversityProfile(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Long = 5L, l: Long = 2L): DataFrame = {
+    require(qiCols.nonEmpty,
+      "lDiversityProfile: need quasi-identifier columns")
+    require(k >= 1 && l >= 1,
+      s"lDiversityProfile: k and l must be >= 1, got $k, $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        countDistinct(col(sensitiveCol)).cast("bigint").as("l_div"))
+      .withColumn("k_anonymous", col("n") >= k)
+      .withColumn("l_diverse", col("l_div") >= l)
+      .orderBy(qiCols.map(col): _*)
+  }
+
 }

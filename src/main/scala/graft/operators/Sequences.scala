@@ -1316,4 +1316,114 @@ object Sequences {
         expr("n * 1000000L div __tot").as("support_micro"))
       .orderBy(col("n").desc, col("a"), col("b"), col("c"))
   }
+
+  /** Multi-touch conversion attribution — which event types drive
+    * conversions, under the two standard credit models at once: for
+    * every conversion (an event of `convType`), its touches are the
+    * same user's NON-conversion events in the strictly-preceding
+    * `windowDays` window; `last_touch_convs` credits the final touch
+    * (latest ts, ties by event id — one whole conversion each) and
+    * `linear_credit_micro` splits each conversion's 10⁶ micro-credit
+    * equally over its touches (floor division per touch, so a
+    * conversion's credits sum to ≤ 10⁶ — the exact-integer contract
+    * beats a lossy double split). Zero-touch conversions carry no
+    * credit, by construction.
+    *
+    * Scale: the touch↔conversion pairing is a user-keyed equi-join
+    * with a time-range predicate — pair volume is bounded by per-user
+    * activity × conversions inside the window (the interval-join
+    * family's envelope), never a cross join; the pair frame is
+    * checkpointed once and feeds all three aggregations.
+    *
+    * Output: (event_type, n_touches, last_touch_convs,
+    * linear_credit_micro), ordered by type. */
+  def multiTouchAttribution(events: DataFrame, convType: String = "purchase",
+      windowDays: Int = 7, typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id",
+      userCol: String = "user_id"): DataFrame = {
+    require(windowDays >= 1,
+      s"multiTouchAttribution: windowDays must be >= 1, got $windowDays")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(idCol).as("__cid"),
+        col(tsCol).as("__cts"))
+    val touch = events.filter(col(typeCol) =!= convType)
+      .select(col(userCol).as("__u"), col(idCol).as("__tid"),
+        col(tsCol).as("__tts"), col(typeCol).as("__tk"))
+    val pairs = touch.join(conv, Seq("__u"))
+      .filter(col("__tts") < col("__cts") &&
+        col("__tts") >= col("__cts") - expr(s"INTERVAL $windowDays DAYS"))
+      .localCheckpoint(true) // feeds per-conv totals, per-type, last-touch
+    val per = pairs.groupBy(col("__cid"))
+      .agg(count(lit(1)).cast("bigint").as("__nt"),
+        max(struct(col("__tts").as("ts"), col("__tid").as("id"),
+          col("__tk").as("t"))).as("__last"))
+      .localCheckpoint(true) // feeds the linear join AND the last-touch agg
+    val byType = pairs.groupBy(col("__cid"), col("__tk"))
+      .agg(count(lit(1)).cast("bigint").as("__cnt"))
+    val linear = byType.join(per.select(col("__cid"), col("__nt")), "__cid")
+      .groupBy(col("__tk"))
+      .agg(sum(col("__cnt")).cast("bigint").as("n_touches"),
+        sum(col("__cnt") * expr("1000000L div __nt")).cast("bigint")
+          .as("linear_credit_micro"))
+    val last = per.groupBy(col("__last.t").as("__tk"))
+      .agg(count(lit(1)).cast("bigint").as("last_touch_convs"))
+    linear.join(last, Seq("__tk"), "left")
+      .select(col("__tk").as("event_type"), col("n_touches"),
+        coalesce(col("last_touch_convs"), lit(0L)).as("last_touch_convs"),
+        col("linear_credit_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Weekday seasonality per event type — the day-of-week profile plus
+    * its chi-square read against the uniform-rate null: over each
+    * type's own dense day span (the [[cusumChangepoint]] spine, so a
+    * weekday with zero events still reports), `n_days` counts the
+    * weekday's calendar days in the span, `expected_micro` is the
+    * uniform-rate expectation T·d_w/D in micro, and `chi2_micro` is
+    * the cell's (o−e)²/e contribution — summable downstream into the
+    * 6-degree-of-freedom statistic. A strong weekday cell = genuine
+    * weekly periodicity, the read x135's CUSUM level-shift and x56's
+    * daily z-scores both integrate away.
+    *
+    * Exact cross-engine: (o−e)²/e = (o·D − T·d_w)² / (D·T·d_w) rides
+    * exact integer differences; only the final square-and-divide runs
+    * in double, micro-quantized ONCE per cell (the x191 idiom).
+    * ISO weekday numbering (1 = Monday … 7 = Sunday) on both engines.
+    *
+    * Scale: daily collapse → per-type span → generated spine — all
+    * hash aggregations over (type, day)-bounded frames; no window.
+    *
+    * Output: (event_type, isodow, n_days, n_events, expected_micro,
+    * chi2_micro), ordered by (type, isodow). */
+  def weekdaySeasonality(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("__t"), to_date(col(tsCol)).as("__day"))
+      .groupBy(col("__t"), col("__day")).agg(count(lit(1)).as("__x"))
+    val spans = daily.groupBy(col("__t"))
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val spine = spans.select(col("__t"),
+      explode(expr("sequence(__lo, __hi, interval 1 day)")).as("__day"))
+    val dense = spine.join(daily, Seq("__t", "__day"), "left")
+      .select(col("__t"), (weekday(col("__day")) + 1).cast("int").as("__dow"),
+        coalesce(col("__x"), lit(0L)).as("__x"))
+    val perDow = dense.groupBy(col("__t"), col("__dow"))
+      .agg(count(lit(1)).cast("bigint").as("__dw"),
+        sum(col("__x")).cast("bigint").as("__o"))
+    val totals = perDow.groupBy(col("__t"))
+      .agg(sum(col("__dw")).cast("bigint").as("__dd"),
+        sum(col("__o")).cast("bigint").as("__tt"))
+    perDow.join(broadcast(totals), "__t")
+      .filter(col("__tt") > 0)
+      .select(col("__t").as("event_type"), col("__dow").as("isodow"),
+        col("__dw").as("n_days"), col("__o").as("n_events"),
+        expr("__tt * __dw * 1000000L div __dd").as("expected_micro"),
+        expr("""CAST(round(
+          | CAST(__o * __dd - __tt * __dw AS DOUBLE) *
+          | CAST(__o * __dd - __tt * __dw AS DOUBLE) * 1000000.0D /
+          | (CAST(__dd AS DOUBLE) * CAST(__tt AS DOUBLE) *
+          |  CAST(__dw AS DOUBLE))) AS BIGINT)""".stripMargin)
+          .as("chi2_micro"))
+      .orderBy(col("event_type"), col("isodow"))
+  }
 }

@@ -1571,6 +1571,19 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(rounds >= 1 && rounds <= 64,
       s"bpeInduction: rounds must be in [1, 64], got $rounds")
+    bpeInductionWithVocab(docs, rounds, textCol)._1
+  }
+
+  /** [[bpeInduction]] exposing BOTH outputs: the merge table AND the
+    * final per-word symbol state (wid, c, syms) after all rounds —
+    * the encoded vocabulary downstream consumers ([[bpeFertility]])
+    * aggregate over. Words always survive pair exhaustion: the merge
+    * round left-joins the (possibly empty) best-pair frame, so an
+    * exhausted round passes every word through unchanged. */
+  def bpeInductionWithVocab(docs: DataFrame, rounds: Int = 6,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    require(rounds >= 1 && rounds <= 64,
+      s"bpeInductionWithVocab: rounds must be in [1, 64], got $rounds")
     var vocab = docs
       .select(explode(words(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
@@ -1584,7 +1597,41 @@ object TextAnalysis {
       vocab = next
       best
     }
-    merges.reduce(_ unionAll _).orderBy(col("round"))
+    (merges.reduce(_ unionAll _).orderBy(col("round")), vocab)
+  }
+
+  /** Tokenizer fertility under the induced BPE vocabulary — the
+    * "how many subword tokens does a word cost" capacity read per
+    * `groupCol` (source, language): induce `rounds` merges with
+    * [[bpeInduction]], encode every distinct word as its final symbol
+    * count, and roll corpus token totals up per group. High fertility
+    * = the tokenizer fragments that group's text (under-represented
+    * language/domain) — the standard tokenizer-fit diagnostic next to
+    * x119's coverage and x152's Heaps curve. Single-char words carry
+    * no pairs and are excluded exactly as in the induction
+    * ([[bpePairStats]]'s contract).
+    *
+    * Scale: the induction is O(vocab) ([[bpeInduction]]); the encode
+    * join keys the corpus word explosion on the vocab frame (hash
+    * join — vocab is NOT assumed broadcastable at web scale), and the
+    * rollup is one partial+final hash aggregation.
+    *
+    * Output: (groupCol, n_words, n_tokens, fertility_micro =
+    * n_tokens·10⁶ div n_words), ordered by group. */
+  def bpeFertility(docs: DataFrame, rounds: Int = 6,
+      textCol: String = "text", groupCol: String = "source"): DataFrame = {
+    val (_, vocab) = bpeInductionWithVocab(docs, rounds, textCol)
+    val tokensPerWord = vocab
+      .select(col("wid").as("__w"), size(col("syms")).cast("long").as("__t"))
+    docs.select(col(groupCol).as("grp"), explode(words(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .join(tokensPerWord, Seq("__w"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n_words"),
+        sum(col("__t")).cast("bigint").as("n_tokens"))
+      .select(col("grp").as(groupCol), col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000000L div n_words").as("fertility_micro"))
+      .orderBy(col(groupCol))
   }
 
   /** One BPE merge round over a (wid, c, syms) vocab frame: returns
@@ -1610,7 +1657,10 @@ object TextAnalysis {
       .filter(col("l").isNotNull) // empty pair space → empty best
       .localCheckpoint(true) // 1 row; feeds the merge AND the output
     val wp = Window.partitionBy(col("wid")).orderBy(col("p"))
-    val pos = vocab.crossJoin(broadcast(best))
+    // LEFT join on true, not a cross join: an exhausted pair space
+    // (empty best) must pass every word through unchanged, not erase
+    // the vocabulary — null l/r make mt false below, so nothing merges
+    val pos = vocab.join(broadcast(best), lit(true), "left")
       .select(col("wid"), col("c"), col("l"), col("r"),
         posexplode(col("syms")).as(Seq("p", "s")))
     val m = pos

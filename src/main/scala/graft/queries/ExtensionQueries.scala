@@ -2258,6 +2258,56 @@ object ExtensionQueries {
   def x195(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpeInduction(docs(s, dir), rounds = 6)
 
+  /** x196 tokenizer fertility per source — see
+    * [[graft.operators.TextAnalysis.bpeFertility]]: every distinct
+    * word encoded to its symbol count under the x195-induced 6-merge
+    * vocabulary, token totals rolled up per source — the "which
+    * sources does this tokenizer fragment" capacity read next to
+    * x119's coverage and x152's Heaps curve. */
+  def x196(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeFertility(docs(s, dir), rounds = 6)
+
+  /** x197 l-diversity profile — see
+    * [[graft.operators.Profile.lDiversityProfile]]: the COMPLETE
+    * (source, 500-char-length-bucket) equivalence-class profile with
+    * lang as the SENSITIVE attribute (k ≥ 5 size + l ≥ 2 diversity
+    * verdicts) — the homogeneity-attack read x157's sub-k-cells-only
+    * k-anonymity audit cannot give (there lang sits on the
+    * quasi-identifier side). */
+  def x197(s: SparkSession, dir: String): DataFrame =
+    Profile.lDiversityProfile(
+      docs(s, dir).select(col("source"),
+        expr("CAST(n_chars AS BIGINT) div 500").as("len_bucket"), col("lang")),
+      Seq("source", "len_bucket"), "lang", k = 5L, l = 2L)
+
+  /** x198 multi-touch conversion attribution — see
+    * [[graft.operators.Sequences.multiTouchAttribution]]: last-touch
+    * and floor-exact linear credit over each purchase's 7-day
+    * preceding touch window — the channel-credit read beside x99's
+    * time-to-convert and q43's funnel. */
+  def x198(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.multiTouchAttribution(
+      Tables.load(s, dir, "events"))
+
+  /** x199 join-skew salt advisor — see
+    * [[graft.operators.Layout.saltAdvisor]]: per-user-id frequencies
+    * with ⌈n/target⌉ salt factors at a 50-row/task target — the
+    * quantified salting plan beside x172's broadcast advisor and
+    * x110's shard assignment. */
+  def x199(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.saltAdvisor(
+      Tables.load(s, dir, "events"), "user_id",
+      targetPerTask = 50L, topN = 20)
+
+  /** x200 weekday seasonality — see
+    * [[graft.operators.Sequences.weekdaySeasonality]]: per-type ISO
+    * day-of-week profile over the dense day spine with per-cell
+    * chi-square contributions against the uniform-rate null — the
+    * weekly-periodicity read beside x135's CUSUM. */
+  def x200(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.weekdaySeasonality(
+      Tables.load(s, dir, "events"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2504,6 +2554,11 @@ object ExtensionQueries {
     "x193_packing_sweep" -> (x193 _),
     "x194_retrieval_metrics" -> (x194 _),
     "x195_bpe_induction" -> (x195 _),
+    "x196_bpe_fertility" -> (x196 _),
+    "x197_l_diversity" -> (x197 _),
+    "x198_attribution" -> (x198 _),
+    "x199_salt_advisor" -> (x199 _),
+    "x200_weekday_seasonality" -> (x200 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2585,6 +2640,56 @@ object ExtensionQueries {
     * and must have exactly ONE SQL rendering. */
   private[queries] def wordsSql(col: String): String =
     s"list_filter(regexp_split_to_array(lower($col), '[^\\p{L}\\p{N}]+'), x -> x <> '')"
+
+  /** Shared BPE-induction CTE chain (x195/x196): word vocabulary with
+    * corpus frequencies → per-character symbol lists (v0) → `rounds`
+    * unrolled merge blocks. Each block recomputes pair counts over the
+    * current symbol lists, picks the (count desc, l, r) best with
+    * ORDER/LIMIT 1 (b$n), and applies the greedy non-overlapping merge
+    * via the gaps-and-islands decomposition (match candidates →
+    * islands by position − running match count → even offsets from
+    * each island's first MATCH row) into v$n. The best frame LEFT-
+    * joins (ON true) so an exhausted pair space passes every word
+    * through unchanged — the engine's contract. Same word tokenizer
+    * as x78 ([[wordsSql]]). */
+  private def bpeCtesSql(rounds: Int): String = {
+    def roundBlock(n: Int): String = {
+      val prev = if (n == 1) "v0" else s"v${n - 1}"
+      s"""p$n AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |  SELECT c, syms[CAST(i AS INT)] AS l, syms[CAST(i + 1 AS INT)] AS r
+         |  FROM (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM $prev))
+         |  GROUP BY l, r),
+         |b$n AS (SELECT l, r, cnt FROM p$n ORDER BY cnt DESC, l, r LIMIT 1),
+         |e$n AS (SELECT wid, c, CAST(i AS BIGINT) AS p, syms[CAST(i AS INT)] AS s
+         |        FROM (SELECT wid, c, syms,
+         |                unnest(range(1, len(syms) + 1)) AS i FROM $prev)),
+         |m$n AS (SELECT e.wid, e.c, e.p, e.s,
+         |          coalesce(e.s = b.l AND lead(e.s) OVER (
+         |            PARTITION BY e.wid ORDER BY e.p) = b.r, false) AS mt
+         |        FROM e$n e LEFT JOIN b$n b ON true),
+         |i$n AS (SELECT wid, c, p, s, mt,
+         |          p - SUM(CASE WHEN mt THEN 1 ELSE 0 END) OVER (
+         |            PARTITION BY wid ORDER BY p) AS isl FROM m$n),
+         |s$n AS (SELECT wid, c, p, s,
+         |          mt AND ((p - min(CASE WHEN mt THEN p END) OVER (
+         |            PARTITION BY wid, isl)) % 2 = 0) AS sel FROM i$n),
+         |o$n AS (SELECT wid, c, p, CASE WHEN sel THEN s || lead_s ELSE s END AS s2
+         |        FROM (SELECT wid, c, p, s, sel,
+         |                lead(s) OVER (PARTITION BY wid ORDER BY p) AS lead_s,
+         |                coalesce(lag(sel) OVER (PARTITION BY wid ORDER BY p),
+         |                  false) AS prev_sel
+         |              FROM s$n) z
+         |        WHERE NOT prev_sel),
+         |v$n AS (SELECT wid, c, list(s2 ORDER BY p) AS syms
+         |        FROM o$n GROUP BY wid, c)""".stripMargin
+    }
+    s"""toks AS (SELECT unnest(${wordsSql("text")}) AS w FROM documents),
+       |wc AS (SELECT w, count(*) AS c FROM toks WHERE len(w) >= 2 GROUP BY w),
+       |v0 AS (SELECT w AS wid, c,
+       |         list_transform(range(1, len(w) + 1),
+       |           i -> substr(w, CAST(i AS INT), 1)) AS syms FROM wc),
+       |${(1 to rounds).map(roundBlock).mkString(",\n")}""".stripMargin
+  }
 
   /** Distinct char-5 shingles of whitespace-normalized lowercase text. */
   private val charShinglesSql: String =
@@ -7213,58 +7318,115 @@ object ExtensionQueries {
     },
 
     // Replays bpeInduction round by round (the x137 unrolled-iteration
-    // pattern): each round's CTE block recomputes pair counts over the
-    // current symbol lists, picks the (count desc, l, r) best with
-    // ORDER/LIMIT 1, and applies the greedy non-overlapping merge via
-    // the same gaps-and-islands decomposition (match candidates →
-    // islands by position − running match count → even offsets from
-    // each island's first MATCH row). Same word tokenizer as x78.
+    // pattern) — see [[bpeCtesSql]] for the shared per-round blocks.
     "x195_bpe_induction" -> {
-      val rounds = 6
-      def roundBlock(n: Int): String = {
-        val prev = if (n == 1) "v0" else s"v${n - 1}"
-        s"""p$n AS (SELECT l, r, CAST(sum(c) AS BIGINT) AS cnt FROM (
-           |  SELECT c, syms[CAST(i AS INT)] AS l, syms[CAST(i + 1 AS INT)] AS r
-           |  FROM (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM $prev))
-           |  GROUP BY l, r),
-           |b$n AS (SELECT l, r, cnt FROM p$n ORDER BY cnt DESC, l, r LIMIT 1),
-           |e$n AS (SELECT wid, c, CAST(i AS BIGINT) AS p, syms[CAST(i AS INT)] AS s
-           |        FROM (SELECT wid, c, syms,
-           |                unnest(range(1, len(syms) + 1)) AS i FROM $prev)),
-           |m$n AS (SELECT e.wid, e.c, e.p, e.s,
-           |          coalesce(e.s = b.l AND lead(e.s) OVER (
-           |            PARTITION BY e.wid ORDER BY e.p) = b.r, false) AS mt
-           |        FROM e$n e CROSS JOIN b$n b),
-           |i$n AS (SELECT wid, c, p, s, mt,
-           |          p - SUM(CASE WHEN mt THEN 1 ELSE 0 END) OVER (
-           |            PARTITION BY wid ORDER BY p) AS isl FROM m$n),
-           |s$n AS (SELECT wid, c, p, s,
-           |          mt AND ((p - min(CASE WHEN mt THEN p END) OVER (
-           |            PARTITION BY wid, isl)) % 2 = 0) AS sel FROM i$n),
-           |o$n AS (SELECT wid, c, p, CASE WHEN sel THEN s || lead_s ELSE s END AS s2
-           |        FROM (SELECT wid, c, p, s, sel,
-           |                lead(s) OVER (PARTITION BY wid ORDER BY p) AS lead_s,
-           |                coalesce(lag(sel) OVER (PARTITION BY wid ORDER BY p),
-           |                  false) AS prev_sel
-           |              FROM s$n) z
-           |        WHERE NOT prev_sel),
-           |v$n AS (SELECT wid, c, list(s2 ORDER BY p) AS syms
-           |        FROM o$n GROUP BY wid, c)""".stripMargin
-      }
-      val unions = (1 to rounds).map(n =>
+      val unions = (1 to 6).map(n =>
         s"""SELECT CAST($n AS BIGINT) AS round, l AS left_sym, r AS right_sym,
            |       l || r AS merged, cnt AS pair_count FROM b$n""".stripMargin)
         .mkString("\nUNION ALL\n")
-      s"""WITH toks AS (SELECT unnest(${wordsSql("text")}) AS w FROM documents),
-         |wc AS (SELECT w, count(*) AS c FROM toks WHERE len(w) >= 2 GROUP BY w),
-         |v0 AS (SELECT w AS wid, c,
-         |         list_transform(range(1, len(w) + 1),
-         |           i -> substr(w, CAST(i AS INT), 1)) AS syms FROM wc),
-         |${(1 to rounds).map(roundBlock).mkString(",\n")}
+      s"""WITH ${bpeCtesSql(6)}
          |SELECT * FROM (
          |$unions
          |) u ORDER BY round""".stripMargin
     },
+
+    // Replays bpeFertility off the SAME six-round chain: tokens per
+    // word = the final symbol count, rolled up per source over the
+    // per-doc word explosion (len >= 2, the induction's own filter).
+    "x196_bpe_fertility" ->
+      s"""WITH ${bpeCtesSql(6)},
+         |tp AS (SELECT wid, CAST(len(syms) AS BIGINT) AS t FROM v6),
+         |dx AS (SELECT source AS grp, w FROM (
+         |         SELECT source, unnest(${wordsSql("text")}) AS w
+         |         FROM documents) z WHERE len(w) >= 2),
+         |ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_words,
+         |              CAST(sum(tp.t) AS BIGINT) AS n_tokens
+         |       FROM dx JOIN tp ON tp.wid = dx.w GROUP BY grp)
+         |SELECT grp AS source, n_words, n_tokens,
+         |       CAST(n_tokens * 1000000 // n_words AS BIGINT)
+         |         AS fertility_micro
+         |FROM ag ORDER BY source""".stripMargin,
+
+    // Replays lDiversityProfile over the (source, 500-char bucket) QI
+    // tuple: one grouped count + count distinct, both verdicts inline.
+    "x197_l_diversity" ->
+      """WITH b AS (SELECT source, CAST(n_chars AS BIGINT) // 500 AS len_bucket,
+        |                  lang FROM documents)
+        |SELECT source, CAST(len_bucket AS BIGINT) AS len_bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS l_div,
+        |       count(*) >= 5 AS k_anonymous,
+        |       count(DISTINCT lang) >= 2 AS l_diverse
+        |FROM b GROUP BY source, len_bucket
+        |ORDER BY source, len_bucket""".stripMargin,
+
+    // Replays multiTouchAttribution: user-keyed 7-day strictly-
+    // preceding touch window, max-struct last touch (ts, id ties),
+    // floor-division linear split per conversion.
+    "x198_attribution" ->
+      """WITH conv AS (SELECT user_id AS u, event_id AS cid, ts AS cts
+        |              FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id AS u, event_id AS tid, ts AS tts,
+        |               event_type AS tk
+        |        FROM events WHERE event_type <> 'purchase'),
+        |pr AS (SELECT c.cid, t.tid, t.tts, t.tk
+        |       FROM tch t JOIN conv c ON c.u = t.u
+        |        AND t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY),
+        |per AS (SELECT cid, CAST(count(*) AS BIGINT) AS nt,
+        |               max(struct_pack(ts := tts, id := tid, t := tk)) AS lst
+        |        FROM pr GROUP BY cid),
+        |bt AS (SELECT cid, tk, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM pr GROUP BY cid, tk),
+        |lin AS (SELECT bt.tk, CAST(sum(cnt) AS BIGINT) AS n_touches,
+        |               CAST(sum(cnt * (1000000 // nt)) AS BIGINT)
+        |                 AS linear_credit_micro
+        |        FROM bt JOIN per USING (cid) GROUP BY bt.tk),
+        |lt AS (SELECT lst.t AS tk, CAST(count(*) AS BIGINT)
+        |         AS last_touch_convs FROM per GROUP BY lst.t)
+        |SELECT lin.tk AS event_type, n_touches,
+        |       coalesce(lt.last_touch_convs, 0) AS last_touch_convs,
+        |       linear_credit_micro
+        |FROM lin LEFT JOIN lt USING (tk) ORDER BY event_type""".stripMargin,
+
+    // Replays saltAdvisor over user_id at target 50: grouped counts,
+    // ceil-division salt factors, (n desc, key) top-20 cut.
+    "x199_salt_advisor" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST((count(*) + 49) // 50 AS BIGINT) AS salt_factor,
+        |       count(*) > 50 AS skewed
+        |FROM events GROUP BY user_id
+        |ORDER BY n DESC, key LIMIT 20""".stripMargin,
+
+    // Replays weekdaySeasonality: the x135 dense day spine, ISO
+    // weekday collapse, integer-exact (o·D − T·d)²/(D·T·d) cells
+    // quantized once to micro.
+    "x200_weekday_seasonality" ->
+      """WITH daily AS (SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |                      CAST(count(*) AS BIGINT) AS x
+        |               FROM events GROUP BY 1, 2),
+        |spans AS (SELECT t, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |spine AS (SELECT s.t, CAST(u.d AS DATE) AS day
+        |          FROM spans s, LATERAL (
+        |            SELECT unnest(generate_series(s.lo::TIMESTAMP,
+        |              s.hi::TIMESTAMP, INTERVAL 1 DAY)) AS d) u),
+        |dense AS (SELECT sp.t, isodow(sp.day) AS dow, coalesce(d.x, 0) AS x
+        |          FROM spine sp LEFT JOIN daily d
+        |            ON d.t = sp.t AND d.day = sp.day),
+        |pd AS (SELECT t, dow, CAST(count(*) AS BIGINT) AS dw,
+        |              CAST(sum(x) AS BIGINT) AS o
+        |       FROM dense GROUP BY 1, 2),
+        |tot AS (SELECT t, CAST(sum(dw) AS BIGINT) AS dd,
+        |               CAST(sum(o) AS BIGINT) AS tt
+        |        FROM pd GROUP BY 1)
+        |SELECT pd.t AS event_type, CAST(pd.dow AS INT) AS isodow,
+        |       dw AS n_days, o AS n_events,
+        |       CAST(tt * dw * 1000000 // dd AS BIGINT) AS expected_micro,
+        |       CAST(round((o * dd - tt * dw)::DOUBLE * (o * dd - tt * dw)::DOUBLE
+        |            * 1000000.0 / (dd::DOUBLE * tt::DOUBLE * dw::DOUBLE))
+        |         AS BIGINT) AS chi2_micro
+        |FROM pd JOIN tot USING (t) WHERE tt > 0
+        |ORDER BY event_type, isodow""".stripMargin,
 
     // Replays oodAudit: 1e-3-quantized components (the x169 cell
     // idiom), exact per-(label, dim) integer sums, the per-dim term as

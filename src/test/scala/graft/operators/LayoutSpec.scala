@@ -186,4 +186,15 @@ class LayoutSpec extends SparkSpec {
       .as[(String, Long, Long, Boolean)].collect()
     assert(tight.toSeq == Seq(("t", 2L, 58L, false)))
   }
+  test("saltAdvisor: ceil-division salt factors, skew flag, (n desc, key) " +
+      "top-N cut") {
+    import spark.implicits._
+    val df = (Seq.fill(120)("a") ++ Seq.fill(50)("b") ++ Seq.fill(3)("c"))
+      .toDF("k")
+    val out = Layout.saltAdvisor(df, "k", targetPerTask = 50L, topN = 2)
+      .as[(String, Long, Long, Boolean)].collect()
+    // a: ceil(120/50)=3 buckets, skewed; b: exactly at target -> 1, not
+    // skewed (strict >); c cut by topN
+    assert(out.toSeq == Seq(("a", 120L, 3L, true), ("b", 50L, 1L, false)))
+  }
 }

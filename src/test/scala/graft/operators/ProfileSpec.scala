@@ -565,4 +565,20 @@ class ProfileSpec extends SparkSpec {
     val b = out("b")
     assert(b.getLong(1) == 1L && b.isNullAt(3) && b.isNullAt(5) && b.isNullAt(6))
   }
+  test("lDiversityProfile: class sizes, l-diversity, both verdicts hand-traced") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 0L, "en"), ("A", 0L, "de"), ("A", 0L, "en"),
+      ("A", 0L, "fr"), ("A", 0L, "en"),             // n=5, l=3: both pass
+      ("A", 1L, "en"), ("A", 1L, "en"),             // n=2, l=1: both fail
+      ("B", 0L, "en"), ("B", 0L, "de"), ("B", 0L, "es"),
+      ("B", 0L, "zh"), ("B", 0L, "fr"), ("B", 0L, "en"))
+      .toDF("src", "bucket", "lang")
+    val out = Profile.lDiversityProfile(df, Seq("src", "bucket"), "lang")
+      .as[(String, Long, Long, Long, Boolean, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      ("A", 0L, 5L, 3L, true, true),
+      ("A", 1L, 2L, 1L, false, false),
+      ("B", 0L, 6L, 5L, true, true)))
+  }
 }

@@ -705,4 +705,57 @@ class SequencesSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("view", 4L, 8L, "2024-01-01", 1L, 8L, 4000000L, 1333333L)))
   }
+  test("multiTouchAttribution: 7-day strictly-preceding window, max-struct " +
+      "last touch, floor-exact linear split") {
+    // user 1: purchases P1@01-10, P2@01-11; touches click@01-05,
+    // view@01-09 inside both windows; click@01-02 is 8 days before P1
+    // (outside) and 9 before P2. user 2: zero-touch purchase. user 3:
+    // three clicks then a purchase (floor split 3x333333).
+    val events = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 1L, "click"),
+      (1L, ts("2024-01-05 00:00:00"), 2L, "click"),
+      (1L, ts("2024-01-09 00:00:00"), 3L, "view"),
+      (1L, ts("2024-01-10 00:00:00"), 4L, "purchase"),
+      (1L, ts("2024-01-11 00:00:00"), 5L, "purchase"),
+      (2L, ts("2024-01-10 00:00:00"), 6L, "purchase"),
+      (3L, ts("2024-01-08 00:00:00"), 7L, "click"),
+      (3L, ts("2024-01-09 00:00:00"), 8L, "click"),
+      (3L, ts("2024-01-09 12:00:00"), 9L, "click"),
+      (3L, ts("2024-01-10 00:00:00"), 10L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.multiTouchAttribution(events)
+      .as[(String, Long, Long, Long)].collect()
+    // P1: {click@05, view@09} nt=2 last=view; P2: same; P3: 3 clicks
+    // nt=3 last=click@09:12 -> click: 2+3 touches, 1 last-touch conv,
+    // 2*500000 + 3*333333; view: 2 touches, 2 last-touch convs, 1e6
+    assert(out.toSeq == Seq(
+      ("click", 5L, 1L, 1999999L),
+      ("view", 2L, 2L, 1000000L)))
+  }
+
+  test("weekdaySeasonality: dense spine counts weekday calendar days, " +
+      "zero-event weekdays report, chi2 cells hand-traced") {
+    // span 2024-01-01 (Mon) .. 2024-01-08 (Mon): D=8, Mon x2, others x1
+    // events: 3 on Mon 01-01, 1 on Wed 01-03, 1 on Mon 01-08 -> T=5
+    val events = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 1L, "e"),
+      (1L, ts("2024-01-01 02:00:00"), 2L, "e"),
+      (1L, ts("2024-01-01 03:00:00"), 3L, "e"),
+      (1L, ts("2024-01-03 01:00:00"), 4L, "e"),
+      (1L, ts("2024-01-08 01:00:00"), 5L, "e"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.weekdaySeasonality(events)
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+    // Mon: o=4,d=2 -> e=1250000, chi2=(4*8-5*2)^2*1e6/(8*5*2)=6050000
+    // Wed: o=1,d=1 -> e=625000, chi2=(8-5)^2*1e6/40=225000
+    // other weekdays: o=0,d=1 -> e=625000, chi2=25*1e6/40=625000
+    assert(out.toSeq == Seq(
+      ("e", 1, 2L, 4L, 1250000L, 6050000L),
+      ("e", 2, 1L, 0L, 625000L, 625000L),
+      ("e", 3, 1L, 1L, 625000L, 225000L),
+      ("e", 4, 1L, 0L, 625000L, 625000L),
+      ("e", 5, 1L, 0L, 625000L, 625000L),
+      ("e", 6, 1L, 0L, 625000L, 625000L),
+      ("e", 7, 1L, 0L, 625000L, 625000L)))
+  }
 }

@@ -409,6 +409,24 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "aa", "aa", "aaaa", 1L)))
   }
 
+  test("bpeFertility: per-source token cost under the induced merges; " +
+      "vocab survives pair exhaustion (rounds past the last merge)") {
+    val docs = Seq(
+      (1L, "ab ab cd", "A"),
+      (2L, "ab", "B")).toDF("doc_id", "text", "source")
+    // wc: ab×3, cd×1; round 1 merges (a,b) → ab=[ab], cd=[c,d]
+    // source A: words ab,ab,cd → 1+1+2 = 4 tokens / 3 words
+    val r1 = TextAnalysis.bpeFertility(docs, rounds = 1)
+      .as[(String, Long, Long, Long)].collect()
+    assert(r1.toSeq == Seq(("A", 3L, 4L, 1333333L), ("B", 1L, 1L, 1000000L)))
+    // rounds 3-5 are exhausted (both words fully merged by round 2):
+    // the LEFT-joined best frame must pass the vocabulary through,
+    // not erase it — fertility stays defined with everything 1 token
+    val r5 = TextAnalysis.bpeFertility(docs, rounds = 5)
+      .as[(String, Long, Long, Long)].collect()
+    assert(r5.toSeq == Seq(("A", 3L, 3L, 1000000L), ("B", 1L, 1L, 1000000L)))
+  }
+
   test("curationScorecard: per-doc signals and first-fail verdict precedence") {
     val w = (1 to 25).map("w" + _).mkString(" ")   // 25 distinct words
     val u = (1 to 15).map("u" + _).mkString(" ")

@@ -1023,6 +1023,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Union"), plan)
   }
 
+  test("x196: the fertility rollup scans the corpus ONCE (word explosion) " +
+    "and joins the checkpointed vocab — no per-round corpus re-read, " +
+    "no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x196(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed vocab
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$plan")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("x197: the l-diversity profile is ONE aggregation pass over the QI " +
+    "tuple — no window, no join, no cartesian") {
+    val plan = physical(ExtensionQueries.x197(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x198: the touch-conversion pairing is a user-keyed equi-join with " +
+    "a range filter; the checkpointed pair frame feeds all three " +
+    "aggregations; no cartesian, no window") {
+    val plan = physical(ExtensionQueries.x198(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed pairs
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("x199: the salt advisor's top-N is a bounded TakeOrderedAndProject " +
+    "over the key histogram, never a global sort") {
+    val plan = physical(ExtensionQueries.x199(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("x200: weekday cells ride hash aggregations over the dense spine " +
+    "with broadcast totals — no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x200(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x138: one tokenize fan-out, two hash aggregations, a conditional " +
     "pivot — no window, no cartesian") {
     val plan = physical(ExtensionQueries.x138(spark, sf001))
