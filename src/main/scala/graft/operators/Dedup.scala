@@ -1000,4 +1000,68 @@ object Dedup {
           when(col("n_lo") > 0, expr("__plo div n_lo")).as("fp_load_micro"))
     }.reduce(_ unionAll _).orderBy(col("rows_per_band"), col("bands"))
   }
+  /** Content-defined chunking (CDC) dedup profile — the STORAGE-level
+    * duplication read the document-level family (exact x01, near-dup
+    * x02-x05) cannot give: documents are cut at content-defined
+    * boundaries (a token ends a chunk when its md5-60 hash ≡ 0 mod
+    * `modulus` — boundaries move WITH the content, so an insertion
+    * re-chunks only its neighborhood, the rsync/LBFS property), each
+    * chunk is identified by the md5 of its token span, and chunk
+    * reuse is counted corpus-wide. High dup_ratio with low doc-level
+    * duplication = shared boilerplate/templates below document
+    * granularity — the incremental-storage and partial-dedup signal.
+    *
+    * Deterministic cross-engine: the boundary hash is the portable
+    * md5-60 kernel (one-token grams of [[graft.functions
+    * .ShingleFunctions.md5_ngram_hashes]]), chunk identity is
+    * md5(space-joined span) — both DuckDB-recomputable; expected
+    * chunk length is `modulus` tokens.
+    *
+    * Scale: one tokenize+hash pass; the chunk-index prefix sum is a
+    * per-DOCUMENT window (bounded by document length, never a corpus
+    * sort); chunk frequencies are one hash aggregation keyed on the
+    * chunk hash, joined back hash-keyed. Output is one row per group.
+    *
+    * Output: (groupCol, n_chunks, n_dup_chunks, n_tokens,
+    * dup_ratio_micro, mean_tokens_micro), ordered by group. */
+  def cdcChunkDedup(docs: DataFrame, modulus: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      groupCol: String = "source"): DataFrame = {
+    require(modulus >= 2 && modulus <= 1048576,
+      s"cdcChunkDedup: modulus must be in [2, 2^20], got $modulus")
+    import graft.functions.TextFunctions.words
+    import graft.functions.ShingleFunctions.md5_ngram_hashes
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 1)
+      .select(col("grp"), col("id"), col("__ws"),
+        md5_ngram_hashes(col("__ws"), 1).as("__hs"))
+      .select(col("grp"), col("id"),
+        posexplode(arrays_zip(col("__ws"), col("__hs"))).as(Seq("p", "z")))
+      .select(col("grp"), col("id"), col("p"), col("z.__ws").as("w"),
+        (col("z.__hs") % modulus === 0).cast("long").as("b"))
+    val wd = Window.partitionBy(col("id")).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("ck", coalesce(sum(col("b")).over(wd), lit(0L)))
+      .groupBy(col("grp"), col("id"), col("ck"))
+      .agg(count(lit(1)).cast("bigint").as("n_toks"),
+        expr("md5(CAST(concat_ws(' ', transform(array_sort(" +
+          "collect_list(struct(p, w))), x -> x.w)) AS BINARY))").as("h"))
+      .localCheckpoint(true) // feeds the corpus frequency AND the rollup
+    val freq = chunks.groupBy(col("h"))
+      .agg(count(lit(1)).cast("bigint").as("__cf"))
+    chunks.join(freq, "h")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+        sum((col("__cf") > 1).cast("long")).cast("bigint").as("n_dup_chunks"),
+        sum(col("n_toks")).cast("bigint").as("n_tokens"))
+      .select(col("grp").as(groupCol), col("n_chunks"), col("n_dup_chunks"),
+        col("n_tokens"),
+        expr("n_dup_chunks * 1000000L div n_chunks").as("dup_ratio_micro"),
+        expr("n_tokens * 1000000L div n_chunks").as("mean_tokens_micro"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -1426,4 +1426,59 @@ object Sequences {
           .as("chi2_micro"))
       .orderBy(col("event_type"), col("isodow"))
   }
+  /** Stationary distribution of the event-type Markov chain — where
+    * [[transitionMatrix]] reports one-step probabilities, this runs
+    * the chain to its long-run occupancy: the share of time a user's
+    * event process spends in each state, the "what does steady-state
+    * traffic look like" read behind capacity planning and behavioral
+    * drift baselines. Fixed synchronous power iteration (π ← πP) in
+    * the [[graft.operators.Graph.pageRank]] integer idiom: π starts
+    * at 10⁶ per state, each step ships (π(src)·n) div tot(src) along
+    * every observed transition and integer-sums at the destination —
+    * exact in any accumulation order, engine-portable. Floor division
+    * leaks ≤ 1 micro per (state, round) of mass and sink states
+    * re-emit nothing (documented contract — the read is the RATIO
+    * between states, which convergence preserves).
+    *
+    * Scale: transitions collapse to the (src, dst) count frame once
+    * (checkpointed); each round is one src-keyed join + one dst-keyed
+    * aggregation over that state-cardinality frame — never the event
+    * volume. The per-user ordering window is per-user-bounded.
+    *
+    * Output: (event_type, pi_micro) after `iters` rounds, ordered by
+    * type; states with no outgoing edges report their drained mass. */
+  def markovStationary(events: DataFrame, iters: Int = 10,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      tieCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      s"markovStationary: iters must be in [1, 64], got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val trans = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(byKey))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("src"), col(typeCol).as("dst"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val totals = trans.groupBy(col("src"))
+      .agg(sum(col("n")).cast("bigint").as("tot"))
+    val edges = trans.join(totals, "src").localCheckpoint(true)
+    val states = edges.select(col("src").as("state"))
+      .union(edges.select(col("dst").as("state"))).distinct()
+      .localCheckpoint(true)
+    var pi = states.withColumn("pi_micro", lit(1000000L))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val stepped = edges.join(pi, edges("src") === pi("state"))
+        .select(col("dst").as("state"),
+          expr("(pi_micro * n) div tot").as("__m"))
+        .groupBy(col("state"))
+        .agg(sum(col("__m")).cast("bigint").as("__pi2"))
+      pi = states.join(stepped, Seq("state"), "left")
+        .select(col("state"),
+          coalesce(col("__pi2"), lit(0L)).as("pi_micro"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("state").as("event_type"), col("pi_micro"))
+      .orderBy(col("event_type"))
+  }
 }

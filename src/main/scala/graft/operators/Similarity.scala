@@ -1129,4 +1129,59 @@ object Similarity {
           .cast("long").as("margin_micro"))
       .orderBy(col(queryId))
   }
+  /** Int8 quantization distortion profile per label — the DIRECT
+    * reconstruction-error view beside [[compressionRecall]]'s
+    * retrieval-impact view (x192 says "does int8 still retrieve";
+    * this says "how far do the stored vectors move, and where"):
+    * every vector is symmetric-int8 quantized (the [[quantize_i8]]
+    * kernel — q = floor(v·127/max|v| + 0.5) clamped) and dequantized
+    * back at q·(max|v|/127); the per-component squared error is
+    * quantized ONCE to pico units (10¹²·err² — err ~1e-2 scale needs
+    * the finer grid) and integer-summed per vector, then per label,
+    * with the saturated-component count (|q| = 127: components at
+    * full scale, where clamping can bite) alongside. A label with
+    * outsized distortion is the one to store in float16/PQ instead.
+    *
+    * Exact cross-engine: the scale max|v| and the quantize/dequantize
+    * doubles follow the exact x192 oracle replay (same op order);
+    * zero-norm / non-finite vectors drop (quantize_i8's null
+    * contract, mirrored by the oracle's mx > 0 guard).
+    *
+    * Scale: one posexplode fan-out collapsed by partial+final hash
+    * aggregation — no window, no join beyond the rollup.
+    *
+    * Output: (label, n_vectors, err_pico_sum, max_vec_err_pico,
+    * n_saturated), ordered by label. */
+  def quantizationDistortion(emb: DataFrame, dim: Int = 64,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = emb
+      .filter(size(col(vecCol)) === dim)
+      .select(col(labelCol).as("lbl"), col(idCol).as("id"),
+        col(vecCol).as("v"), quantize_i8(col(vecCol)).as("q"))
+      .filter(col("q").isNotNull)
+      .withColumn("mx",
+        expr("array_max(transform(v, x -> abs(CAST(x AS DOUBLE))))"))
+    val cells = base
+      .select(col("lbl"), col("id"), col("mx"),
+        posexplode(arrays_zip(col("v"), col("q"))).as(Seq("d", "z")))
+      .select(col("lbl"), col("id"),
+        (col("z.v").cast("double") -
+          col("z.q").cast("double") * (col("mx") / lit(127.0))).as("err"),
+        (abs(col("z.q")) === 127).cast("long").as("sat"))
+      .select(col("lbl"), col("id"),
+        expr("CAST(round(err * err * 1000000000000.0D) AS BIGINT)").as("e"),
+        col("sat"))
+    cells.groupBy(col("lbl"), col("id"))
+      .agg(sum(col("e")).cast("bigint").as("ve"),
+        sum(col("sat")).cast("bigint").as("vs"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).cast("bigint").as("n_vectors"),
+        sum(col("ve")).cast("bigint").as("err_pico_sum"),
+        max(col("ve")).cast("bigint").as("max_vec_err_pico"),
+        sum(col("vs")).cast("bigint").as("n_saturated"))
+      .select(col("lbl").as(labelCol), col("n_vectors"),
+        col("err_pico_sum"), col("max_vec_err_pico"), col("n_saturated"))
+      .orderBy(col(labelCol))
+  }
 }

@@ -2308,6 +2308,31 @@ object ExtensionQueries {
     graft.operators.Sequences.weekdaySeasonality(
       Tables.load(s, dir, "events"))
 
+  /** x201 int8 quantization distortion — see
+    * [[graft.operators.Similarity.quantizationDistortion]]: per-label
+    * pico-exact reconstruction error and saturation counts under the
+    * symmetric int8 storage format — the direct distortion view
+    * beside x192's retrieval-impact view. */
+  def x201(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizationDistortion(emb(s, dir))
+
+  /** x202 Markov stationary distribution — see
+    * [[graft.operators.Sequences.markovStationary]]: 10 integer-exact
+    * power-iteration rounds over the event-type transition chain —
+    * the steady-state occupancy read beside the one-step transition
+    * matrix. */
+  def x202(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.markovStationary(
+      Tables.load(s, dir, "events"), iters = 10)
+
+  /** x203 content-defined chunk dedup — see
+    * [[graft.operators.Dedup.cdcChunkDedup]]: md5-60 boundary-hashed
+    * chunking (mod 8) with corpus-wide chunk-reuse counts per source
+    * — the below-document-granularity duplication read beside the
+    * x01-x05 document-level family. */
+  def x203(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkDedup(docs(s, dir), modulus = 8)
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2559,6 +2584,9 @@ object ExtensionQueries {
     "x198_attribution" -> (x198 _),
     "x199_salt_advisor" -> (x199 _),
     "x200_weekday_seasonality" -> (x200 _),
+    "x201_quantization_distortion" -> (x201 _),
+    "x202_markov_stationary" -> (x202 _),
+    "x203_cdc_chunks" -> (x203 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -7427,6 +7455,98 @@ object ExtensionQueries {
         |         AS BIGINT) AS chi2_micro
         |FROM pd JOIN tot USING (t) WHERE tt > 0
         |ORDER BY event_type, isodow""".stripMargin,
+
+    // Replays quantizationDistortion: the x192 int8 replay (same mx
+    // and floor(x*(127/mx)+0.5) op order), per-cell err^2 quantized
+    // once to pico, integer-summed per vector then per label.
+    "x201_quantization_distortion" ->
+      """WITH b AS (SELECT label, vec_id AS id, embedding::DOUBLE[] AS v,
+        |             list_max(list_transform(embedding::DOUBLE[],
+        |               y -> abs(y))) AS mx
+        |           FROM embeddings WHERE len(embedding) = 64),
+        |c AS (SELECT label, id, mx, v,
+        |        list_transform(v, x -> GREATEST(-127.0, LEAST(127.0,
+        |          floor(x * (127.0 / mx) + 0.5)))) AS q
+        |      FROM b WHERE mx > 0),
+        |e AS (SELECT label, id,
+        |        v[g.d + 1] - q[g.d + 1] * (mx / 127.0) AS err,
+        |        CASE WHEN abs(q[g.d + 1]) = 127.0 THEN 1 ELSE 0 END AS sat
+        |      FROM c, (SELECT unnest(range(0, 64)) AS d) g),
+        |pv AS (SELECT label, id,
+        |         CAST(sum(CAST(round(err * err * 1000000000000.0) AS BIGINT))
+        |           AS BIGINT) AS ve,
+        |         CAST(sum(sat) AS BIGINT) AS vs
+        |       FROM e GROUP BY label, id)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |       CAST(sum(ve) AS BIGINT) AS err_pico_sum,
+        |       CAST(max(ve) AS BIGINT) AS max_vec_err_pico,
+        |       CAST(sum(vs) AS BIGINT) AS n_saturated
+        |FROM pv GROUP BY label ORDER BY label""".stripMargin,
+
+    // Replays markovStationary: the transition count frame once, then
+    // 10 unrolled power-iteration CTEs — (pi*n) div tot shipped per
+    // edge, integer-summed at dst, sinks coalesce to drained mass.
+    "x202_markov_stationary" -> {
+      val iters = 10
+      val rounds = (1 to iters).map { k =>
+        val prev = s"p${k - 1}"
+        s"""r$k AS (SELECT e.dst AS state,
+           |          CAST(sum((p.pi * e.n) // e.tot) AS BIGINT) AS pi
+           |        FROM eg e JOIN $prev p ON p.state = e.src GROUP BY 1),
+           |p$k AS (SELECT s.state, coalesce(r$k.pi, 0) AS pi
+           |        FROM st s LEFT JOIN r$k ON r$k.state = s.state)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sq AS (SELECT user_id, event_type, ts, event_id,
+         |              lag(event_type) OVER (PARTITION BY user_id
+         |                ORDER BY ts, event_id) AS prev
+         |            FROM events),
+         |tr AS (SELECT prev AS src, event_type AS dst,
+         |               CAST(count(*) AS BIGINT) AS n
+         |        FROM sq WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |tt AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM tr GROUP BY 1),
+         |eg AS (SELECT tr.src, tr.dst, tr.n, tt.tot FROM tr JOIN tt USING (src)),
+         |st AS (SELECT DISTINCT state FROM (
+         |         SELECT src AS state FROM eg
+         |         UNION ALL SELECT dst AS state FROM eg) u),
+         |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi FROM st),
+         |$rounds
+         |SELECT state AS event_type, CAST(pi AS BIGINT) AS pi_micro
+         |FROM p$iters ORDER BY event_type""".stripMargin
+    },
+
+    // Replays cdcChunkDedup: per-token md5-60 boundary flags (mod 8),
+    // chunk index = prefix sum of earlier boundaries per doc, chunk
+    // hash = md5 of the ordered space-joined span, corpus-frequency
+    // join, per-source rollup.
+    "x203_cdc_chunks" ->
+      s"""WITH tk AS (SELECT source AS grp, doc_id AS id, ws FROM (
+         |             SELECT source, doc_id, ${wordsSql("text")} AS ws
+         |             FROM documents) z WHERE len(ws) >= 1),
+         |px AS (SELECT grp, id, CAST(i AS BIGINT) AS p, ws[CAST(i AS INT)] AS w,
+         |         CASE WHEN ${md5Hash60Sql("ws[CAST(i AS INT)]")} % 8 = 0
+         |           THEN 1 ELSE 0 END AS b
+         |       FROM (SELECT grp, id, ws,
+         |               unnest(range(1, len(ws) + 1)) AS i FROM tk) y),
+         |cks AS (SELECT grp, id, p, w,
+         |          CAST(coalesce(SUM(b) OVER (PARTITION BY id ORDER BY p
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            AS BIGINT) AS ck
+         |        FROM px),
+         |chs AS (SELECT grp, id, ck, CAST(count(*) AS BIGINT) AS n_toks,
+         |          md5(string_agg(w, ' ' ORDER BY p)) AS h
+         |        FROM cks GROUP BY grp, id, ck),
+         |fr AS (SELECT h, CAST(count(*) AS BIGINT) AS cf FROM chs GROUP BY 1),
+         |ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_chunks,
+         |          CAST(sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_dup_chunks,
+         |          CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |        FROM chs JOIN fr USING (h) GROUP BY grp)
+         |SELECT grp AS source, n_chunks, n_dup_chunks, n_tokens,
+         |       CAST(n_dup_chunks * 1000000 // n_chunks AS BIGINT)
+         |         AS dup_ratio_micro,
+         |       CAST(n_tokens * 1000000 // n_chunks AS BIGINT)
+         |         AS mean_tokens_micro
+         |FROM ag ORDER BY source""".stripMargin,
 
     // Replays oodAudit: 1e-3-quantized components (the x169 cell
     // idiom), exact per-(label, dim) integer sums, the per-dim term as

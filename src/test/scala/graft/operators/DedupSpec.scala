@@ -412,4 +412,53 @@ class DedupSpec extends SparkSpec {
         assert(r.getLong(5) >= r.getLong(7), r.toString)
     }
   }
+  test("cdcChunkDedup: boundaries from the md5-60 token hashes, chunk " +
+      "reuse counted corpus-wide — checked against an independent " +
+      "plain-Scala chunker") {
+    import spark.implicits._
+    // independent reference: same tokenizer kernel, same md5-60 hash,
+    // plain Scala chunk walk
+    def h60ref(str: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(str.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 8).foreach(i => v = (v << 8) | (d(i) & 0xFFL))
+      v >>> 4
+    }
+    // a word that IS a chunk boundary (h60 % 8 == 0), found
+    // deterministically — texts sharing a tail that starts right
+    // after a boundary MUST produce identical (reused) tail chunks
+    val bw = (1 to 1000).map(i => "tok" + i).find(w => h60ref(w) % 8 == 0).get
+    val shared = s"$bw common shared words span here $bw"
+    val t1 = "aa bb " + shared
+    val t2 = "cc dd ee " + shared
+    val docs = Seq((1L, t1, "A"), (2L, t2, "B"), (3L, "solo words", "A"))
+      .toDF("doc_id", "text", "source")
+    def chunks(text: String): Seq[(String, Long)] = {
+      val ws = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+      val out = scala.collection.mutable.Buffer[(String, Long)]()
+      var cur = scala.collection.mutable.Buffer[String]()
+      ws.foreach { w =>
+        cur += w
+        if (h60ref(w) % 8 == 0) { out += ((cur.mkString(" "), cur.length.toLong)); cur.clear() }
+      }
+      if (cur.nonEmpty) out += ((cur.mkString(" "), cur.length.toLong))
+      out.toSeq
+    }
+    val all = Seq(("A", t1), ("B", t2), ("A", "solo words")).flatMap {
+      case (g, t) => chunks(t).map { case (c, n) => (g, c, n) } }
+    val freq = all.groupBy(_._2).map { case (c, xs) => c -> xs.length }
+    val want = all.groupBy(_._1).map { case (g, xs) =>
+      val nc = xs.length.toLong
+      val nd = xs.count(x => freq(x._2) > 1).toLong
+      val nt = xs.map(_._3).sum
+      (g, nc, nd, nt, nd * 1000000L / nc, nt * 1000000L / nc)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.cdcChunkDedup(docs, modulus = 8)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"engine $got != reference $want")
+    // the shared tail must actually produce reused chunks (the test is
+    // vacuous if every chunk is unique)
+    assert(want.exists(_._3 > 0), want)
+  }
 }

@@ -758,4 +758,40 @@ class SequencesSpec extends SparkSpec {
       ("e", 6, 1L, 0L, 625000L, 625000L),
       ("e", 7, 1L, 0L, 625000L, 625000L)))
   }
+  test("markovStationary: a symmetric 2-cycle stays uniform; an " +
+      "asymmetric chain matches an independent reference iteration") {
+    // a->b->a->b: P is a swap, pi0 uniform -> pi stays (1e6, 1e6)
+    val cyc = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 02:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 03:00:00"), 3L, "a"),
+      (1L, ts("2024-01-01 04:00:00"), 4L, "b"),
+      (1L, ts("2024-01-01 05:00:00"), 5L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val sym = Sequences.markovStationary(cyc, iters = 10)
+      .as[(String, Long)].collect()
+    assert(sym.toSeq == Seq(("a", 1000000L), ("b", 1000000L)))
+    // asymmetric: a->b x2, b->a x1, a->a x1 (tot a=3, b=1); reference
+    // below replays the exact integer recurrence independently
+    val asym = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 02:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 03:00:00"), 3L, "a"),
+      (1L, ts("2024-01-01 04:00:00"), 4L, "b"),
+      (2L, ts("2024-01-01 01:00:00"), 5L, "a"),
+      (2L, ts("2024-01-01 02:00:00"), 6L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val edges = Seq(("a", "b", 2L, 3L), ("b", "a", 1L, 1L), ("a", "a", 1L, 3L))
+    var pi = Map("a" -> 1000000L, "b" -> 1000000L)
+    for (_ <- 1 to 10) {
+      val next = scala.collection.mutable.Map("a" -> 0L, "b" -> 0L)
+      edges.foreach { case (src, dst, n, tot) =>
+        next(dst) += (pi(src) * n) / tot
+      }
+      pi = next.toMap
+    }
+    val got = Sequences.markovStationary(asym, iters = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got == pi, s"engine $got != reference $pi")
+  }
 }

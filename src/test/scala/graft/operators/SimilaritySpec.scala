@@ -513,4 +513,20 @@ class SimilaritySpec extends SparkSpec {
       (0, 3L, 2L, Some(6000L), Some(3500L), 1L),
       (1, 2L, 2L, None, None, 0L)))
   }
+  test("quantizationDistortion: exact-dequant and half-step vectors " +
+      "hand-traced; zero/wrong-dim vectors drop") {
+    import spark.implicits._
+    // mx = 127 makes scale exactly 1.0, so dequant errors are exact
+    // binary fractions: v1 quantizes losslessly (err 0, one saturated
+    // component); v2's 63.5 rounds to 64 (err -0.5, err^2 = 0.25)
+    val emb = Seq(
+      (1L, Array(127f, -64f, 0f, 32f), 0),
+      (2L, Array(127f, 63.5f, 0f, 0f), 0),
+      (3L, Array(0f, 0f, 0f, 0f), 0),       // zero norm: quantize null
+      (4L, Array(1f, 2f), 0))                // wrong dim: filtered
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.quantizationDistortion(emb, dim = 4)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((0, 2L, 250000000000L, 250000000000L, 2L)))
+  }
 }

@@ -1071,6 +1071,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x201: distortion cells collapse by partial+final hash aggregation " +
+    "— one posexplode fan-out, no window, no join") {
+    val plan = physical(ExtensionQueries.x201(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Generate"), plan) // the posexplode fan-out
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("x202: every power-iteration round rides checkpointed state — the " +
+    "final plan reads the last round's frame, no per-round event re-scan") {
+    val plan = physical(ExtensionQueries.x202(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed rounds
+    assert(!plan.contains("Scan parquet"), plan)    // events never re-read
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x203: the checkpointed chunk frame feeds corpus frequency and the " +
+    "rollup — hash-keyed join, no cartesian; the chunk-index window is " +
+    "per-document, upstream of the checkpoint") {
+    val plan = physical(ExtensionQueries.x203(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x138: one tokenize fan-out, two hash aggregations, a conditional " +
     "pivot — no window, no cartesian") {
     val plan = physical(ExtensionQueries.x138(spark, sf001))
