@@ -1027,8 +1027,106 @@ object Dedup {
   def cdcChunkDedup(docs: DataFrame, modulus: Int = 8,
       idCol: String = "doc_id", textCol: String = "text",
       groupCol: String = "source"): DataFrame = {
+    val chunks = cdcChunks(docs, modulus, idCol, textCol, groupCol)
+    val freq = chunks.groupBy(col("h"))
+      .agg(count(lit(1)).cast("bigint").as("__cf"))
+    chunks.join(freq, "h")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+        sum((col("__cf") > 1).cast("long")).cast("bigint").as("n_dup_chunks"),
+        sum(col("n_toks")).cast("bigint").as("n_tokens"))
+      .select(col("grp").as(groupCol), col("n_chunks"), col("n_dup_chunks"),
+        col("n_tokens"),
+        expr("n_dup_chunks * 1000000L div n_chunks").as("dup_ratio_micro"),
+        expr("n_tokens * 1000000L div n_chunks").as("mean_tokens_micro"))
+      .orderBy(col(groupCol))
+  }
+  /** IDF-weighted SimHash near-dup — the production form of [[
+    * simhashNearDup]] for boilerplate-heavy corpora: raw SimHash
+    * lets ubiquitous tokens (stopwords, template chrome) dominate the
+    * bit votes, so two documents sharing only boilerplate hash close;
+    * weighting each token's vote by tf·idf (idf = ln((N+1)/(df+1)),
+    * quantized ONCE to micro-nats — the x32/x153 idiom) makes the
+    * signature track each document's DISTINCTIVE content instead.
+    * Signatures are 60-bit (portable md5-60 token hashes, DuckDB-
+    * recomputable); candidates band by `chunks` bit-chunks (pigeonhole
+    * exact for maxHamming < chunks) and verify by exact Hamming.
+    *
+    * Scale: ONE tokenize pass (tf is materialized; df counts rows per
+    * token off it — the x32 shape); the (doc, bit) vote fan-out is
+    * ×60 but collapses by partial+final hash aggregation; banding
+    * carries the [[guardBuckets]] hot-bucket envelope like every
+    * near-dup path here. Integer votes are exact in any accumulation
+    * order — no float simhash drift.
+    *
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤
+    * `maxHamming`. */
+  def idfSimhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val bits = 60
+    require(chunks >= 1 && bits % chunks == 0,
+      s"idfSimhashNearDup: chunks must divide $bits, got $chunks")
+    val bitsPerChunk = bits / chunks
+    val wc = materialize(ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"), explode(
+        graft.functions.TextFunctions.words(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).cast("bigint").as("c")))
+    val nDocs = docs.agg(count(lit(1)).cast("bigint").as("__n"))
+    val idf = wc.groupBy(col("w"))
+      .agg(count(lit(1)).cast("bigint").as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"),
+        expr("CAST(round(round(ln((CAST(__n AS DOUBLE) + 1.0D) / " +
+          "(CAST(__df AS DOUBLE) + 1.0D)), 6) * 1000000.0D) AS BIGINT)")
+          .as("__idf"))
+    val hv = wc.join(idf, "w")
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)")
+          .as("hv"),
+        (col("c") * col("__idf")).as("wt"))
+    // per-bit weighted votes -> sign -> 60-bit signature; zero votes
+    // (all-weight-cancelling bits) go to 0, matching the CASE > 0 rule
+    val sk = materialize(hv
+      .select(col("doc_id"), col("hv"), col("wt"),
+        explode(expr("sequence(0, 59)")).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("(hv >> b) & 1 = 1"), col("wt"))
+        .otherwise(-col("wt"))).cast("bigint").as("v"))
+      .groupBy(col("doc_id"))
+      .agg(expr("CAST(sum(CASE WHEN v > 0 THEN " +
+        "shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END) " +
+        "AS BIGINT)").as("sk")))
+    val chunked = sk.select(
+      col("doc_id"), col("sk"),
+      posexplode(array((0 until chunks).map(ci =>
+        shiftrightunsigned(col("sk"), ci * bitsPerChunk)
+          .bitwiseAND(lit((1L << bitsPerChunk) - 1))): _*)))
+      .toDF("doc_id", "sk", "chunk", "chunk_val")
+    val guarded = guardBuckets(chunked, Seq("chunk", "chunk_val"),
+      maxBucketSize, "idfSimhashNearDup")
+    val a = guarded.as("a"); val b = guarded.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.functions.HashFunctions.hamming64(
+          col("a.sk"), col("b.sk")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+  /** The CDC chunk frame behind [[cdcChunkDedup]] and
+    * [[chunkSplitLeakage]]: (grp, id, ck, n_toks, h) — one row per
+    * content-defined chunk, checkpointed (every consumer fans it into
+    * a frequency/spread aggregation plus a rollup). See
+    * [[cdcChunkDedup]] for the boundary rule and hash contract. */
+  private def cdcChunks(docs: DataFrame, modulus: Int,
+      idCol: String, textCol: String, groupCol: String): DataFrame = {
     require(modulus >= 2 && modulus <= 1048576,
-      s"cdcChunkDedup: modulus must be in [2, 2^20], got $modulus")
+      s"cdcChunks: modulus must be in [2, 2^20], got $modulus")
     import graft.functions.TextFunctions.words
     import graft.functions.ShingleFunctions.md5_ngram_hashes
     import org.apache.spark.sql.expressions.Window
@@ -1044,24 +1142,54 @@ object Dedup {
         (col("z.__hs") % modulus === 0).cast("long").as("b"))
     val wd = Window.partitionBy(col("id")).orderBy(col("p"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = toks
+    toks
       .withColumn("ck", coalesce(sum(col("b")).over(wd), lit(0L)))
       .groupBy(col("grp"), col("id"), col("ck"))
       .agg(count(lit(1)).cast("bigint").as("n_toks"),
         expr("md5(CAST(concat_ws(' ', transform(array_sort(" +
           "collect_list(struct(p, w))), x -> x.w)) AS BINARY))").as("h"))
-      .localCheckpoint(true) // feeds the corpus frequency AND the rollup
-    val freq = chunks.groupBy(col("h"))
-      .agg(count(lit(1)).cast("bigint").as("__cf"))
-    chunks.join(freq, "h")
+      .localCheckpoint(true)
+  }
+
+  /** Sub-document train/test leakage via content-defined chunks — the
+    * leakage read [[graft.operators.TextAnalysis.splitLeakage]]'s
+    * document-level pairs cannot give: a test document is compromised
+    * when any of its CHUNKS also appears in train, even if no whole
+    * document crosses the split (shared boilerplate, quoted passages,
+    * template text). Documents take the standard hash split
+    * ([[graft.operators.TextAnalysis.datasetSplit]]'s md5-60 bucket
+    * rule — the split column IS the chunk group), chunks cut at the
+    * [[cdcChunkDedup]] boundaries, and a chunk occurrence is LEAKED
+    * when its hash appears in ≥ 2 distinct splits. Per split: chunk
+    * and token totals plus the leaked share of each, in micro.
+    *
+    * Scale: the chunk frame is one pass ([[cdcChunks]]); the spread
+    * count is one hash aggregation keyed on the chunk hash (count
+    * distinct over ≤ 3 split values), joined back hash-keyed.
+    *
+    * Output: (split, n_chunks, n_leaked, n_tokens, leaked_tokens,
+    * leak_ratio_micro, leaked_token_micro), ordered by split. */
+  def chunkSplitLeakage(docs: DataFrame, modulus: Int = 8,
+      trainPct: Int = 80, valPct: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(trainPct >= 1 && valPct >= 0 && trainPct + valPct <= 100,
+      s"chunkSplitLeakage: bad split percents ($trainPct, $valPct)")
+    val split = graft.operators.TextAnalysis
+      .datasetSplit(docs, idCol, trainPct, valPct)
+    val chunks = cdcChunks(split, modulus, idCol, textCol, "split")
+    val spread = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("grp")).cast("bigint").as("__ns"))
+    chunks.join(spread, "h")
       .groupBy(col("grp"))
       .agg(count(lit(1)).cast("bigint").as("n_chunks"),
-        sum((col("__cf") > 1).cast("long")).cast("bigint").as("n_dup_chunks"),
-        sum(col("n_toks")).cast("bigint").as("n_tokens"))
-      .select(col("grp").as(groupCol), col("n_chunks"), col("n_dup_chunks"),
-        col("n_tokens"),
-        expr("n_dup_chunks * 1000000L div n_chunks").as("dup_ratio_micro"),
-        expr("n_tokens * 1000000L div n_chunks").as("mean_tokens_micro"))
-      .orderBy(col(groupCol))
+        sum((col("__ns") > 1).cast("long")).cast("bigint").as("n_leaked"),
+        sum(col("n_toks")).cast("bigint").as("n_tokens"),
+        sum(when(col("__ns") > 1, col("n_toks")).otherwise(0L))
+          .cast("bigint").as("leaked_tokens"))
+      .select(col("grp").as("split"), col("n_chunks"), col("n_leaked"),
+        col("n_tokens"), col("leaked_tokens"),
+        expr("n_leaked * 1000000L div n_chunks").as("leak_ratio_micro"),
+        expr("leaked_tokens * 1000000L div n_tokens").as("leaked_token_micro"))
+      .orderBy(col("split"))
   }
 }

@@ -1380,4 +1380,75 @@ object Profile {
       .orderBy(qiCols.map(col): _*)
   }
 
+  /** Exact per-group discrete percentiles over the VALUE HISTOGRAM —
+    * the scale-correct form of `percentile_disc(...) WITHIN GROUP`
+    * for integral columns: where [[sampledQuantiles]] trades exactness
+    * for a sample and a naive per-group sort funnels each group
+    * through one task, this collapses the corpus to the per-(group,
+    * value) histogram first (cardinality = the value codomain) and
+    * reads each percentile as the smallest value whose cumulative
+    * count reaches ⌈p·n/100⌉ — exactly percentile_disc's rank rule,
+    * derived from integer comparisons only (p·n ≤ 100·cum avoids the
+    * ceil entirely). Integer percents in (0, 100] keep the quantile
+    * keys engine-exact.
+    *
+    * The histogram collapse carries the same ENFORCED envelope as
+    * [[rankAuc]]/[[graft.operators.Rank.withExactNtile]]: past
+    * `maxDistinct` distinct (group, value) pairs the plan
+    * `raise_error`s with a quantize-first instruction instead of
+    * silently degrading the per-group cumulative window toward a
+    * whole-group single-task sort.
+    *
+    * Output: (groupCol, n, p<p1>, p<p2>, …) with one BIGINT column
+    * per requested percent, ordered by group; a group smaller than
+    * every rank still reports (min rank is 1). Null values are
+    * excluded (they carry no rank), mirrored by the oracle. */
+  def exactQuantilesByGroup(df: DataFrame, valueCol: String,
+      groupCol: String, percents: Seq[Int],
+      maxDistinct: Long = Rank.DefaultMaxDistinct): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"exactQuantilesByGroup: percents must be in [1, 100], got $percents")
+    require(percents.distinct.size == percents.size,
+      s"exactQuantilesByGroup: duplicate percents in $percents")
+    require(maxDistinct >= 1,
+      s"exactQuantilesByGroup: maxDistinct must be positive")
+    val hist = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).cast("bigint").as("n_v"))
+      .localCheckpoint(true) // feeds the guard, totals, and the window
+    val guard = hist.agg(count(lit(1)).cast("long").as("__qq_card"))
+      .select(
+        when(col("__qq_card") > maxDistinct,
+          raise_error(concat(lit("exactQuantilesByGroup: "),
+            col("__qq_card").cast("string"),
+            lit(s" distinct (group, value) pairs exceed the " +
+              s"histogram-collapse envelope ($maxDistinct) — quantize " +
+              "the value column first"))).cast("long"))
+        .otherwise(lit(0L)).as("__qq_guard"))
+    val tot = hist.groupBy(col("grp"))
+      .agg(sum(col("n_v")).cast("bigint").as("__n"))
+    val wv = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("n_v")).over(wv))
+    val pArr = array(percents.map(p => lit(p.toLong)): _*)
+    val qs = cum.join(tot, "grp")
+      .select(col("grp"), col("v"), col("__cum"), col("__n"),
+        explode(pArr).as("__p"))
+      // smallest v with cum ≥ ceil(p·n/100) ⟺ p·n ≤ 100·cum
+      .filter(col("__p") * col("__n") <= lit(100L) * col("__cum"))
+      .groupBy(col("grp"), col("__p"))
+      .agg(min(col("v")).as("__q"))
+    val aggs = percents.map(p =>
+      max(when(col("__p") === p.toLong, col("__q"))).as(s"p$p"))
+    qs.groupBy(col("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .join(tot, "grp")
+      .crossJoin(broadcast(guard))
+      .select((col("grp").as(groupCol) +: (col("__n") + col("__qq_guard"))
+        .as("n") +: percents.map(p => col(s"p$p"))): _*)
+      .orderBy(col(groupCol))
+  }
 }

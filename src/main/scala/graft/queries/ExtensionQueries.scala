@@ -2333,6 +2333,35 @@ object ExtensionQueries {
   def x203(s: SparkSession, dir: String): DataFrame =
     Dedup.cdcChunkDedup(docs(s, dir), modulus = 8)
 
+  /** x204 IDF-weighted SimHash near-dup — see
+    * [[graft.operators.Dedup.idfSimhashNearDup]]: tf·idf-weighted bit
+    * votes over portable md5-60 token hashes, pigeonhole-exact
+    * 4-chunk banding at Hamming ≤ 3 — the boilerplate-robust
+    * signature beside x03's tf-only votes. */
+  def x204(s: SparkSession, dir: String): DataFrame =
+    Dedup.idfSimhashNearDup(docs(s, dir), "doc_id", "text",
+        maxHamming = 3, chunks = 4)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** x205 exact per-source length quantiles — see
+    * [[graft.operators.Profile.exactQuantilesByGroup]]: P25/P50/P75/
+    * P90/P99 of n_chars per source via the guarded value-histogram
+    * collapse — percentile_disc semantics with no per-group sort,
+    * the exact table x30's corpus percentile and x120's equi-depth
+    * histogram bracket. */
+  def x205(s: SparkSession, dir: String): DataFrame =
+    Profile.exactQuantilesByGroup(docs(s, dir), "n_chars", "source",
+      Seq(25, 50, 75, 90, 99))
+
+  /** x206 sub-document split leakage — see
+    * [[graft.operators.Dedup.chunkSplitLeakage]]: CDC chunks (mod 8)
+    * crossed with the standard md5-60 document split — the share of
+    * each split's chunks and tokens whose content also appears in
+    * another split, the below-document leakage x174/x70's
+    * document-level audits cannot see. */
+  def x206(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkSplitLeakage(docs(s, dir), modulus = 8)
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2587,6 +2616,9 @@ object ExtensionQueries {
     "x201_quantization_distortion" -> (x201 _),
     "x202_markov_stationary" -> (x202 _),
     "x203_cdc_chunks" -> (x203 _),
+    "x204_idf_simhash" -> (x204 _),
+    "x205_length_quantiles" -> (x205 _),
+    "x206_chunk_split_leakage" -> (x206 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -7455,6 +7487,97 @@ object ExtensionQueries {
         |         AS BIGINT) AS chi2_micro
         |FROM pd JOIN tot USING (t) WHERE tt > 0
         |ORDER BY event_type, isodow""".stripMargin,
+
+    // Replays idfSimhashNearDup: the x03 structure with tf·idf vote
+    // weights (idf micro-quantized once, the x153 idiom) and an exact
+    // all-pairs Hamming ≤ 3 verify (the engine's banding is
+    // pigeonhole-exact at 4 chunks, so the pair sets agree).
+    "x204_idf_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM documents),
+         |wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY doc_id, w),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |idf AS (SELECT w, CAST(round(round(ln((nd.n::DOUBLE + 1.0) /
+         |            (count(*)::DOUBLE + 1.0)), 6) * 1000000.0) AS BIGINT)
+         |            AS idf
+         |        FROM wc CROSS JOIN nd GROUP BY w, nd.n),
+         |hv AS (SELECT wc.doc_id, ${md5Hash60Sql("wc.w")} AS hv,
+         |              wc.tf * idf.idf AS c
+         |       FROM wc JOIN idf ON idf.w = wc.w),
+         |sk AS (SELECT doc_id, $simhashBitsSql AS sk FROM hv GROUP BY doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(bit_count(xor(a.sk, b.sk)) AS INT) AS hamming
+         |  FROM sk a JOIN sk b ON a.doc_id < b.doc_id) t
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Replays exactQuantilesByGroup: per-(source, n_chars) histogram,
+    // grouped cumulative window, percentile_disc rank rule as the
+    // integer comparison p·n ≤ 100·cum, min-v per percent.
+    "x205_length_quantiles" ->
+      """WITH hist AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+        |                     CAST(count(*) AS BIGINT) AS n_v
+        |              FROM documents WHERE n_chars IS NOT NULL
+        |              GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(sum(n_v) AS BIGINT) AS n FROM hist GROUP BY 1),
+        |cum AS (SELECT grp, v, CAST(SUM(n_v) OVER (PARTITION BY grp ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum
+        |        FROM hist),
+        |qq AS (SELECT c.grp, pp.p, CAST(min(c.v) AS BIGINT) AS q
+        |       FROM cum c JOIN tot t USING (grp)
+        |       CROSS JOIN (SELECT unnest([25, 50, 75, 90, 99]) AS p) pp
+        |       WHERE pp.p * t.n <= 100 * c.cum GROUP BY 1, 2)
+        |SELECT t.grp AS source, t.n,
+        |       max(CASE WHEN p = 25 THEN q END) AS p25,
+        |       max(CASE WHEN p = 50 THEN q END) AS p50,
+        |       max(CASE WHEN p = 75 THEN q END) AS p75,
+        |       max(CASE WHEN p = 90 THEN q END) AS p90,
+        |       max(CASE WHEN p = 99 THEN q END) AS p99
+        |FROM qq JOIN tot t USING (grp)
+        |GROUP BY t.grp, t.n ORDER BY source""".stripMargin,
+
+    // Replays chunkSplitLeakage: the x203 chunk CTEs with the x30
+    // md5-60 split bucket as the chunk group, spread = distinct splits
+    // per chunk hash, leaked = spread >= 2.
+    "x206_chunk_split_leakage" ->
+      s"""WITH tk AS (SELECT CASE WHEN b < 80 THEN 'train'
+         |                        WHEN b < 90 THEN 'val'
+         |                        ELSE 'test' END AS grp,
+         |                   doc_id AS id, ws
+         |            FROM (SELECT doc_id,
+         |                    ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS b,
+         |                    ${wordsSql("text")} AS ws
+         |                  FROM documents) z WHERE len(ws) >= 1),
+         |px AS (SELECT grp, id, CAST(i AS BIGINT) AS p, ws[CAST(i AS INT)] AS w,
+         |         CASE WHEN ${md5Hash60Sql("ws[CAST(i AS INT)]")} % 8 = 0
+         |           THEN 1 ELSE 0 END AS b
+         |       FROM (SELECT grp, id, ws,
+         |               unnest(range(1, len(ws) + 1)) AS i FROM tk) y),
+         |cks AS (SELECT grp, id, p, w,
+         |          CAST(coalesce(SUM(b) OVER (PARTITION BY id ORDER BY p
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            AS BIGINT) AS ck
+         |        FROM px),
+         |chs AS (SELECT grp, id, ck, CAST(count(*) AS BIGINT) AS n_toks,
+         |          md5(string_agg(w, ' ' ORDER BY p)) AS h
+         |        FROM cks GROUP BY grp, id, ck),
+         |sp AS (SELECT h, CAST(count(DISTINCT grp) AS BIGINT) AS ns
+         |       FROM chs GROUP BY 1),
+         |ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_chunks,
+         |          CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_leaked,
+         |          CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |          CAST(sum(CASE WHEN ns > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+         |            AS leaked_tokens
+         |        FROM chs JOIN sp USING (h) GROUP BY grp)
+         |SELECT grp AS split, n_chunks, n_leaked, n_tokens, leaked_tokens,
+         |       CAST(n_leaked * 1000000 // n_chunks AS BIGINT)
+         |         AS leak_ratio_micro,
+         |       CAST(leaked_tokens * 1000000 // n_tokens AS BIGINT)
+         |         AS leaked_token_micro
+         |FROM ag ORDER BY split""".stripMargin,
 
     // Replays quantizationDistortion: the x192 int8 replay (same mx
     // and floor(x*(127/mx)+0.5) op order), per-cell err^2 quantized

@@ -461,4 +461,106 @@ class DedupSpec extends SparkSpec {
     // vacuous if every chunk is unique)
     assert(want.exists(_._3 > 0), want)
   }
+  test("idfSimhashNearDup: engine pairs match an independent plain-Scala " +
+      "weighted-simhash; all-corpus boilerplate carries ZERO vote weight") {
+    import spark.implicits._
+    val boiler = "standard header boilerplate text block"
+    val docs = Seq(
+      (1L, boiler + " unique alpha payload content words here"),
+      (2L, boiler + " totally different other subject matter body"),
+      (3L, boiler + " unique alpha payload content words here"),
+      (4L, boiler + " yet another unrelated document entirely now"))
+      .toDF("doc_id", "text")
+    def h60ref(str: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(str.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 8).foreach(i => v = (v << 8) | (d(i) & 0xFFL))
+      v >>> 4
+    }
+    def q6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def micro(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val toks = Seq(1L, 2L, 3L, 4L).map { id =>
+      id -> docs.filter($"doc_id" === id).head().getString(1)
+        .toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = toks.size
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size }
+    def idf(w: String): Long =
+      micro(q6(math.log((n + 1.0) / (df(w) + 1.0))) * 1000000.0)
+    // boilerplate appears in every doc -> idf = round(ln(1)) = 0
+    assert(idf("boilerplate") == 0L)
+    def sig(ws: Seq[String]): Long = {
+      val wc = ws.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      (0 until 60).foldLeft(0L) { (acc, b) =>
+        val vote = wc.map { case (w, c) =>
+          val wt = c * idf(w)
+          if (((h60ref(w) >> b) & 1L) == 1L) wt else -wt
+        }.sum
+        if (vote > 0) acc | (1L << b) else acc
+      }
+    }
+    val sigs = toks.map { case (id, ws) => id -> sig(ws) }
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).toSeq.sorted
+    val got = Dedup.idfSimhashNearDup(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got == want, s"engine $got != reference $want")
+    // the identical-payload pair must be found at hamming 0 (their
+    // distinctive content is identical; boilerplate votes are zero)
+    assert(want.contains((1L, 3L, 0)), want)
+  }
+  test("chunkSplitLeakage: chunks shared across md5-split boundaries are " +
+      "leaked — checked against an independent plain-Scala replay") {
+    import spark.implicits._
+    def h60ref(str: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(str.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 8).foreach(i => v = (v << 8) | (d(i) & 0xFFL))
+      v >>> 4
+    }
+    // ids chosen at test time so at least two land in different splits
+    // while sharing chunk content (same text -> same chunks)
+    val ids = (1L to 40L)
+    def splitOf(id: Long): String = {
+      val b = h60ref(id.toString) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = ids.map(id => (id, shared, "s")).toDF("doc_id", "text", "source")
+    assert(ids.map(splitOf).toSet.size >= 2, "need a real split boundary")
+    def chunksOf(text: String): Seq[(String, Long)] = {
+      val ws = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+      val out = scala.collection.mutable.Buffer[(String, Long)]()
+      var cur = scala.collection.mutable.Buffer[String]()
+      ws.foreach { w =>
+        cur += w
+        if (h60ref(w) % 8 == 0) { out += ((cur.mkString(" "), cur.length.toLong)); cur.clear() }
+      }
+      if (cur.nonEmpty) out += ((cur.mkString(" "), cur.length.toLong))
+      out.toSeq
+    }
+    val all = ids.map(id => splitOf(id) -> chunksOf(shared)).flatMap {
+      case (g, cs) => cs.map { case (c, n) => (g, c, n) } }
+    val spread = all.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).distinct.size }
+    val want = all.groupBy(_._1).map { case (g, xs) =>
+      val nc = xs.length.toLong
+      val nl = xs.count(x => spread(x._2) > 1).toLong
+      val nt = xs.map(_._3).sum
+      val lt = xs.filter(x => spread(x._2) > 1).map(_._3).sum
+      (g, nc, nl, nt, lt, nl * 1000000L / nc, lt * 1000000L / nt)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.chunkSplitLeakage(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"engine $got != reference $want")
+    // every doc shares the same text, so with >= 2 splits present,
+    // every chunk occurrence is leaked
+    assert(want.forall(_._6 == 1000000L), want)
+  }
 }

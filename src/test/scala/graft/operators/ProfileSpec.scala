@@ -581,4 +581,25 @@ class ProfileSpec extends SparkSpec {
       ("A", 1L, 2L, 1L, false, false),
       ("B", 0L, 6L, 5L, true, true)))
   }
+  test("exactQuantilesByGroup: percentile_disc rank rule hand-traced; " +
+      "nulls excluded; the cardinality envelope raise_errors") {
+    import spark.implicits._
+    val df = ((1L to 10L).map(v => ("g1", Some(v))) ++
+      Seq(("g2", Some(5L)), ("g2", Some(5L)), ("g2", Some(5L)),
+        ("g2", Some(7L)), ("g2", Option.empty[Long])))
+      .toDF("src", "v")
+    val out = Profile.exactQuantilesByGroup(df, "v", "src",
+        Seq(25, 50, 75, 90, 99))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // g1 1..10: ranks ceil(p*n/100) = 3,5,8,9,10 -> values 3,5,8,9,10
+    // g2 [5,5,5,7] (null dropped): ranks 1,2,3,4,4 -> 5,5,5,7,7
+    assert(out.toSeq == Seq(
+      ("g1", 10L, 3L, 5L, 8L, 9L, 10L),
+      ("g2", 4L, 5L, 5L, 5L, 7L, 7L)))
+    val e = intercept[Exception] {
+      Profile.exactQuantilesByGroup(df, "v", "src", Seq(50),
+        maxDistinct = 3L).collect()
+    }
+    assert(e.getMessage.contains("histogram-collapse envelope"), e.getMessage)
+  }
 }

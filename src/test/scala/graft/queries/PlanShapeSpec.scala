@@ -976,12 +976,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
     // the raise_error envelope rides every output row's auc_micro —
     // rankAuc can never silently degrade to a per-group row sort
+    // (the quantized-score half of the fix is not plan-visible here:
+    // rankAuc checkpoints the histogram, which truncates the lineage
+    // above it — so the quantization contract is pinned on the score
+    // function itself instead)
     assert(plan.contains("raise_error"), plan)
-    // the score feeding the histogram is the round-6 quantized
-    // qualityScore (codomain ≤ 1e6+1), not the raw continuous double
-    val analyzed = ExtensionQueries.x134(spark, sf001)
-      .queryExecution.analyzed.toString()
-    assert(analyzed.contains("round("), analyzed.take(4000))
+    // qualityScore is the round-6 form of the raw score (codomain
+    // ≤ 1e6+1 distinct values — the histogram stays a collapse)
+    val q = org.apache.spark.sql.graftbridge.toExpression(
+      graft.functions.TextFunctions.qualityScore(col("text"))).toString()
+    assert(q.contains("round") && q.contains("6"), q)
   }
 
   test("x135: CUSUM windows partition by event type over the dense daily " +
@@ -1093,6 +1097,33 @@ class PlanShapeSpec extends SparkSpec {
     "rollup — hash-keyed join, no cartesian; the chunk-index window is " +
     "per-document, upstream of the checkpoint") {
     val plan = physical(ExtensionQueries.x203(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x204: idf-simhash candidates come from the chunk-bucket equi-join " +
+    "over the materialized signature frame — no cartesian, vote fan-out " +
+    "collapsed by hash aggregation") {
+    val plan = physical(ExtensionQueries.x204(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // materialized sketches
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+  }
+
+  test("x205: quantiles ride the guarded (group, value) histogram — the " +
+    "window partitions by group AFTER a hash aggregation, with the " +
+    "raise_error envelope in-plan; no per-group row sort") {
+    val plan = physical(ExtensionQueries.x205(spark, sf001))
+    assert(plan.contains("windowspecdefinition(grp"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("raise_error"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x206: split leakage rides the checkpointed chunk frame — spread " +
+    "join is hash-keyed, no cartesian") {
+    val plan = physical(ExtensionQueries.x206(spark, sf001))
     assert(plan.contains("Scan ExistingRDD"), plan)
     assert(plan.contains("HashAggregate"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
