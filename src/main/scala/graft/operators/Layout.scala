@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, expr, lit, row_number}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, row_number, sum}
 
 /** Output-layout discipline — the WRITE side of a 100 TB pipeline.
   * Reading fast at scale is decided when the data is WRITTEN: directory
@@ -265,6 +265,42 @@ object Layout {
         expr(s"(n + $targetPerTask - 1) div $targetPerTask").as("salt_factor"),
         (col("n") > targetPerTask).as("skewed"))
       .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+  }
+  /** Join-size advisor — predicts an equi-join's output cardinality
+    * and its skew profile WITHOUT running the join: for key k with
+    * nL(k) left and nR(k) right rows, the join emits exactly
+    * nL(k)·nR(k) rows, so two per-side key histograms and one
+    * histogram-sized join give the exact total, each key's share, and
+    * the keys that dominate it — the planning read behind choosing
+    * salting ([[saltAdvisor]]) or a broadcast ([[broadcastAdvisor]])
+    * BEFORE paying for an exploding join.
+    *
+    * Scale: two hash aggregations (each side collapses to its key
+    * histogram) and a histogram-keyed join — never the row volume;
+    * the top-N cut is a bounded TakeOrderedAndProject.
+    *
+    * Output: top `topN` keys by (contrib desc, key):
+    * (key, n_left, n_right, contrib, total_rows, share_micro),
+    * where total_rows is the exact full join size (same on every
+    * row) and share_micro = contrib·10⁶ div total. */
+  def joinSizeAdvisor(left: DataFrame, right: DataFrame, keyCol: String,
+      topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"joinSizeAdvisor: topN must be >= 1, got $topN")
+    def hist(df: DataFrame, out: String) = df
+      .select(col(keyCol).cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).cast("bigint").as(out))
+    val contrib = hist(left, "n_left").join(hist(right, "n_right"), "key")
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("contrib"))
+      .localCheckpoint(true) // feeds the total AND the top-N cut
+    val tot = contrib.agg(
+      coalesce(sum(col("contrib")), lit(0L)).cast("bigint").as("total_rows"))
+    contrib.crossJoin(broadcast(tot))
+      .select(col("key"), col("n_left"), col("n_right"), col("contrib"),
+        col("total_rows"),
+        expr("contrib * 1000000L div total_rows").as("share_micro"))
+      .orderBy(col("contrib").desc, col("key"))
       .limit(topN)
   }
 }

@@ -2792,4 +2792,53 @@ object TextAnalysis {
           expr("(k * __sxy - __sx * __sy) * 1000000L div (k * __sxx - __sx * __sx)"))
           .as("slope_micro"))
   }
+  /** Per-group bigram conditional entropy H(w₂|w₁) — the information
+    * rate of the word process, in micro-nats per bigram: low H means
+    * repetitive, template-like text (the next word is predictable
+    * from the previous one), high H means diverse continuations. The
+    * corpus-structure read that complements [[gopherRepetition]]'s
+    * surface repetition fractions and the char-level entropy screen
+    * (x142): H = −Σ p(w₁,w₂)·ln p(w₂|w₁) over the group's bigram
+    * distribution.
+    *
+    * Exactness: ln(c₁₂/c₁) is quantized ONCE per (group, w₁, w₂) cell
+    * to micro-nats (the x96/x67 idiom), weighted by the INTEGER c₁₂
+    * and integer-summed — order-free; the final division by the
+    * group's bigram total is one floor division.
+    *
+    * Scale: one tokenize+pair pass collapsed by hash aggregation to
+    * the (group, w₁, w₂) histogram; left-context counts aggregate off
+    * that histogram (no second corpus scan); everything downstream is
+    * histogram-sized.
+    *
+    * Output: (groupCol, n_bigrams, n_distinct_bigrams, h_cond_micro),
+    * ordered by group; groups with no bigrams are absent. */
+  def bigramConditionalEntropy(docs: DataFrame,
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    val pairs = docs
+      .select(col(groupCol).as("grp"),
+        graft.functions.TextFunctions.words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col("grp"), explode(expr(
+        "transform(sequence(1, size(__w) - 1), " +
+          "i -> struct(element_at(__w, i) AS w1, element_at(__w, i + 1) AS w2))"))
+        .as("__p"))
+      .groupBy(col("grp"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .agg(count(lit(1)).cast("bigint").as("c12"))
+      .localCheckpoint(true) // feeds the left-context counts AND the cells
+    val left = pairs.groupBy(col("grp"), col("w1"))
+      .agg(sum(col("c12")).cast("bigint").as("c1"))
+    pairs.join(left, Seq("grp", "w1"))
+      .select(col("grp"), col("c12"),
+        expr("CAST(round(round(ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)), " +
+          "6) * 1000000.0D) AS BIGINT)").as("__lnq"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c12")).cast("bigint").as("n_bigrams"),
+        count(lit(1)).cast("bigint").as("n_distinct_bigrams"),
+        sum(col("c12") * col("__lnq")).cast("bigint").as("__s"))
+      .select(col("grp").as(groupCol), col("n_bigrams"),
+        col("n_distinct_bigrams"),
+        expr("-(__s div n_bigrams)").as("h_cond_micro"))
+      .orderBy(col(groupCol))
+  }
 }

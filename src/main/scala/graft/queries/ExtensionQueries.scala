@@ -2362,6 +2362,25 @@ object ExtensionQueries {
   def x206(s: SparkSession, dir: String): DataFrame =
     Dedup.chunkSplitLeakage(docs(s, dir), modulus = 8)
 
+  /** x207 join-size advisor — see
+    * [[graft.operators.Layout.joinSizeAdvisor]]: the exact predicted
+    * cardinality and top contributing keys of the lineitem⋈lineitem
+    * self-join on part key, from two key histograms and a
+    * histogram-sized join — the explosion forecast consulted before
+    * x18's salting or x172's broadcast call. */
+  def x207(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_partkey").as("pk"))
+    graft.operators.Layout.joinSizeAdvisor(li, li, "pk", topN = 10)
+  }
+
+  /** x208 bigram conditional entropy — see
+    * [[graft.operators.TextAnalysis.bigramConditionalEntropy]]:
+    * per-source H(w₂|w₁) in micro-nats over the word process — the
+    * predictability/diversity read beside x138's repetition fractions
+    * and x142's character entropy. */
+  def x208(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramConditionalEntropy(docs(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2619,6 +2638,8 @@ object ExtensionQueries {
     "x204_idf_simhash" -> (x204 _),
     "x205_length_quantiles" -> (x205 _),
     "x206_chunk_split_leakage" -> (x206 _),
+    "x207_join_size_advisor" -> (x207 _),
+    "x208_bigram_entropy" -> (x208 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -7511,6 +7532,45 @@ object ExtensionQueries {
          |         CAST(bit_count(xor(a.sk, b.sk)) AS INT) AS hamming
          |  FROM sk a JOIN sk b ON a.doc_id < b.doc_id) t
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Replays joinSizeAdvisor on the lineitem part-key self-join: the
+    // per-key histogram squared, exact total, (contrib desc, key)
+    // top-10.
+    "x207_join_size_advisor" ->
+      """WITH h AS (SELECT CAST(l_partkey AS VARCHAR) AS key,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM lineitem GROUP BY 1),
+        |c AS (SELECT key, n AS n_left, n AS n_right,
+        |             CAST(n * n AS BIGINT) AS contrib FROM h),
+        |t AS (SELECT CAST(coalesce(sum(contrib), 0) AS BIGINT)
+        |        AS total_rows FROM c)
+        |SELECT key, n_left, n_right, contrib, total_rows,
+        |       CAST(contrib * 1000000 // total_rows AS BIGINT) AS share_micro
+        |FROM c CROSS JOIN t ORDER BY contrib DESC, key LIMIT 10""".stripMargin,
+
+    // Replays bigramConditionalEntropy: per-(source, w1, w2) counts,
+    // left-context sums off the same histogram, ln(c12/c1) quantized
+    // once per cell, integer-weighted sum, one floor division.
+    "x208_bigram_entropy" ->
+      s"""WITH pb AS (SELECT source AS grp, ws FROM (
+         |             SELECT source, ${wordsSql("text")} AS ws
+         |             FROM documents) z WHERE len(ws) >= 2),
+         |pr AS (SELECT grp, ws[CAST(i AS INT)] AS w1,
+         |              ws[CAST(i + 1 AS INT)] AS w2
+         |       FROM (SELECT grp, ws, unnest(range(1, len(ws))) AS i
+         |             FROM pb) y),
+         |c12 AS (SELECT grp, w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM pr GROUP BY 1, 2, 3),
+         |c1 AS (SELECT grp, w1, CAST(sum(c12) AS BIGINT) AS c1
+         |       FROM c12 GROUP BY 1, 2),
+         |cells AS (SELECT c12.grp, c12.c12,
+         |            CAST(round(round(ln(c12.c12::DOUBLE / c1.c1::DOUBLE), 6)
+         |              * 1000000.0) AS BIGINT) AS lnq
+         |          FROM c12 JOIN c1 USING (grp, w1))
+         |SELECT grp AS source, CAST(sum(c12) AS BIGINT) AS n_bigrams,
+         |       CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+         |       CAST(-(sum(c12 * lnq) // sum(c12)) AS BIGINT) AS h_cond_micro
+         |FROM cells GROUP BY grp ORDER BY source""".stripMargin,
 
     // Replays exactQuantilesByGroup: per-(source, n_chars) histogram,
     // grouped cumulative window, percentile_disc rank rule as the

@@ -197,4 +197,16 @@ class LayoutSpec extends SparkSpec {
     // skewed (strict >); c cut by topN
     assert(out.toSeq == Seq(("a", 120L, 3L, true), ("b", 50L, 1L, false)))
   }
+  test("joinSizeAdvisor: exact n_left*n_right contributions, shares, and " +
+      "the (contrib desc, key) cut — unmatched keys contribute nothing") {
+    import spark.implicits._
+    val left = (Seq.fill(3)("a") ++ Seq("b") ++ Seq.fill(2)("c")).toDF("k")
+    val right = (Seq.fill(2)("a") ++ Seq.fill(5)("c") ++ Seq.fill(7)("d")).toDF("k")
+    val out = Layout.joinSizeAdvisor(left, right, "k", topN = 10)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // a: 3*2 = 6, c: 2*5 = 10 -> total 16; b and d never match
+    assert(out.toSeq == Seq(
+      ("c", 2L, 5L, 10L, 16L, 625000L),
+      ("a", 3L, 2L, 6L, 16L, 375000L)))
+  }
 }

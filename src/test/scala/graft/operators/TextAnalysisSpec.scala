@@ -1118,4 +1118,16 @@ class TextAnalysisSpec extends SparkSpec {
       ("s1", 1L, 5L, 285714L, 958333L, Some(700000L), Some(-129166L), 0L),
       ("s2", 1L, 2L, 714285L, 700000L, Some(958333L), Some(129167L), 0L)))
   }
+  test("bigramConditionalEntropy: a deterministic chain scores zero; the " +
+      "2/3-ln2 mixed case is hand-traced in micro-nats") {
+    val docs = Seq(
+      (1L, "x y x y x", "A"),  // every context has ONE continuation -> H=0
+      (2L, "a b a c", "B"))    // a splits b/c: H = (2/3)ln2 = 0.462098
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.bigramConditionalEntropy(docs)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("A", 4L, 2L, 0L),
+      ("B", 3L, 3L, 462098L)))
+  }
 }

@@ -1129,6 +1129,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x207: the join-size forecast joins HISTOGRAMS, not rows — two hash " +
+    "aggregations, a bounded TakeOrderedAndProject, no cartesian beyond " +
+    "the 1-row broadcast total") {
+    val plan = physical(ExtensionQueries.x207(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed contribs
+  }
+
+  test("x208: entropy cells ride the checkpointed bigram histogram — " +
+    "left-context counts aggregate off it, no second corpus scan, no " +
+    "window, no cartesian") {
+    val plan = physical(ExtensionQueries.x208(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Scan parquet"), plan) // corpus read once, upstream
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x138: one tokenize fan-out, two hash aggregations, a conditional " +
     "pivot — no window, no cartesian") {
     val plan = physical(ExtensionQueries.x138(spark, sf001))
