@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, row_number, sum}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, count, expr, floor, lit, raise_error, row_number, sum, when}
 
 /** Output-layout discipline — the WRITE side of a 100 TB pipeline.
   * Reading fast at scale is decided when the data is WRITTEN: directory
@@ -280,6 +280,19 @@ object Layout {
     * histogram) and a histogram-keyed join — never the row volume;
     * the top-N cut is a bounded TakeOrderedAndProject.
     *
+    * Overflow envelope (ADVICE r13): exactly the exploding-join
+    * regime this advisor exists for can overflow naive BIGINT
+    * arithmetic — a 4M×4M hot key contributes 1.6e13 rows, and
+    * contrib·10⁶ wraps Long past contrib ≈ 9.2e12 (non-ANSI Spark
+    * wraps silently where DuckDB raises). Both products therefore
+    * compute in DECIMAL(38,0) — exact to 1e38, beyond any feasible
+    * key histogram — and only the final values cast back to the
+    * BIGINT output columns: share_micro ≤ 1e6 always fits, and a
+    * per-key contrib or total past Long.MaxValue (> 9.2e18 rows
+    * from one forecast — unrepresentable in the output column)
+    * `raise_error`s with the key instead of wrapping, the same
+    * refuse-loudly pattern as [[graft.operators.Profile.rankAuc]].
+    *
     * Output: top `topN` keys by (contrib desc, key):
     * (key, n_left, n_right, contrib, total_rows, share_micro),
     * where total_rows is the exact full join size (same on every
@@ -290,16 +303,37 @@ object Layout {
     def hist(df: DataFrame, out: String) = df
       .select(col(keyCol).cast("string").as("key"))
       .groupBy(col("key")).agg(count(lit(1)).cast("bigint").as(out))
+    val longMax = lit(Long.MaxValue).cast("decimal(38,0)")
     val contrib = hist(left, "n_left").join(hist(right, "n_right"), "key")
       .select(col("key"), col("n_left"), col("n_right"),
-        (col("n_left") * col("n_right")).as("contrib"))
+        (col("n_left").cast("decimal(38,0)") *
+          col("n_right").cast("decimal(38,0)")).as("__cd"))
+      .select(col("key"), col("n_left"), col("n_right"), col("__cd"),
+        when(col("__cd") > longMax,
+          raise_error(concat(
+            lit("joinSizeAdvisor: key "), col("key"),
+            lit(" contributes "), col("__cd").cast("string"),
+            lit(" rows — past the BIGINT output envelope (9.2e18)")))
+            .cast("bigint"))
+          .otherwise(col("__cd").cast("bigint")).as("contrib"))
       .localCheckpoint(true) // feeds the total AND the top-N cut
     val tot = contrib.agg(
-      coalesce(sum(col("contrib")), lit(0L)).cast("bigint").as("total_rows"))
+      coalesce(sum(col("__cd")), lit(0).cast("decimal(38,0)")).as("__td"))
+      .select(
+        when(col("__td") > longMax,
+          raise_error(concat(lit("joinSizeAdvisor: total "),
+            col("__td").cast("string"),
+            lit(" rows — past the BIGINT output envelope (9.2e18)")))
+            .cast("bigint"))
+          .otherwise(col("__td").cast("bigint")).as("total_rows"),
+        col("__td"))
     contrib.crossJoin(broadcast(tot))
       .select(col("key"), col("n_left"), col("n_right"), col("contrib"),
         col("total_rows"),
-        expr("contrib * 1000000L div total_rows").as("share_micro"))
+        // decimal division + floor: exact contrib·10⁶ div total with
+        // no intermediate Long product; quotient ≤ 1e6 fits BIGINT
+        floor(col("__cd") * lit(1000000).cast("decimal(38,0)") / col("__td"))
+          .cast("bigint").as("share_micro"))
       .orderBy(col("contrib").desc, col("key"))
       .limit(topN)
   }

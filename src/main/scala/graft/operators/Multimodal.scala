@@ -282,10 +282,14 @@ object Multimodal {
     * and LONG (type 4) encodings; n_frames is the page count = IFD
     * chain length. Whitelist: magic exact, entry count 1–512, both
     * dimension tags present and ≥ 1; the chain walk is bounded
-    * (≤ 4096 pages) and every offset must land in-bounds and advance
-    * strictly (cycle guard), so a malformed or text payload rejects
-    * to the stub rather than looping. Returns (width, height, pages);
-    * None for anything not a well-formed TIFF. */
+    * (≤ 4096 pages) and every offset must land in-bounds and be
+    * UNSEEN (visited-offset cycle guard, ≤ 4096 entries by the page
+    * cap — the spec allows IFDs at arbitrary, including decreasing,
+    * offsets, so a strictly-advancing check would reject valid
+    * non-monotonic multi-page layouts; ADVICE r13), so a malformed
+    * or text payload rejects to the stub rather than looping.
+    * Returns (width, height, pages); None for anything not a
+    * well-formed TIFF. */
   private[operators] def decodeTiff(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes.length < 8) return None
     val le =
@@ -306,10 +310,12 @@ object Multimodal {
     var width = -1L
     var height = -1L
     var pages = 0
-    var prev = -1L // offsets must strictly advance — cycle guard
+    // visited-offset cycle guard (≤ 4096 entries by the page cap):
+    // the spec permits later IFDs at LOWER offsets, so "must advance"
+    // is not a validity check — only revisiting an offset is
+    val seen = scala.collection.mutable.HashSet.empty[Long]
     while (ifd != 0 && pages < 4096) {
-      if (ifd <= prev || ifd + 2 > bytes.length) return None
-      prev = ifd
+      if (!seen.add(ifd) || ifd + 2 > bytes.length) return None
       val n = u16(ifd.toInt)
       if (n < 1 || n > 512) return None
       val entries = ifd.toInt + 2

@@ -1317,8 +1317,15 @@ object Profile {
       .groupBy(col("grp"), col("v"))
       .agg(count(lit(1)).as("n_v"), sum(col("pos")).cast("bigint").as("p_v"))
       .localCheckpoint(true)
-    // one-row broadcast guard; every output auc_micro adds its (zero)
-    // value, so no result can emit past a degenerate histogram
+    // one-row broadcast guard threaded through the HISTOGRAM rows
+    // (pre-window), not the emitted rows: an input whose groups are
+    // all single-label produces zero output rows after the
+    // n_pos/n_neg filter, so a guard riding only the output would
+    // never fire (ADVICE r13) — while the oversized ranking window
+    // still executed. Joined onto hist itself, the guard gates the
+    // window's input: every histogram row adds the (zero) guard
+    // value, so no row reaches the window past the envelope,
+    // whatever the output cardinality.
     val guard = hist.agg(count(lit(1)).cast("long").as("__auc_card"))
       .select(
         when(col("__auc_card") > maxDistinct,
@@ -1329,9 +1336,12 @@ object Profile {
               "histogram would approach row cardinality; quantize the " +
               "score column first"))).cast("long"))
         .otherwise(lit(0L)).as("__auc_guard"))
+    val guarded = hist.crossJoin(broadcast(guard))
+      .select(col("grp"), col("v"),
+        (col("n_v") + col("__auc_guard")).as("n_v"), col("p_v"))
     val wBefore = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    hist
+    guarded
       .withColumn("__cb", coalesce(sum(col("n_v")).over(wBefore), lit(0L)))
       .groupBy(col("grp"))
       .agg(
@@ -1340,10 +1350,9 @@ object Profile {
         sum(col("p_v") * (lit(2L) * col("__cb") + col("n_v") + 1))
           .cast("bigint").as("__r2"))
       .filter(col("n_pos") > 0 && col("n_neg") > 0)
-      .crossJoin(broadcast(guard))
       .select(col("grp").as(groupCol), col("n_pos"), col("n_neg"),
-        (expr("(__r2 - n_pos * (n_pos + 1)) * 1000000L div (2 * n_pos * n_neg)")
-          + col("__auc_guard")).as("auc_micro"))
+        expr("(__r2 - n_pos * (n_pos + 1)) * 1000000L div (2 * n_pos * n_neg)")
+          .as("auc_micro"))
       .orderBy(col(groupCol))
   }
 

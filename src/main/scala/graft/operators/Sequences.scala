@@ -1417,7 +1417,17 @@ object Sequences {
       .filter(col("__tt") > 0)
       .select(col("__t").as("event_type"), col("__dow").as("isodow"),
         col("__dw").as("n_days"), col("__o").as("n_events"),
-        expr("__tt * __dw * 1000000L div __dd").as("expected_micro"),
+        // DECIMAL(38,0) product (ADVICE r13): __tt·__dw·10⁶ wraps
+        // Long once events-per-type × weekday-day-count exceeds
+        // ~9.2e12 (a decade-long 1e10-event type). Decimal is exact
+        // to 1e38; floor(decimal /) == integer div for positives, and
+        // the quotient (≤ __tt·10⁶ div 7 in magnitude for any real
+        // span) casts back to the BIGINT output column.
+        floor(col("__tt").cast("decimal(38,0)") *
+            col("__dw").cast("decimal(38,0)") *
+            lit(1000000).cast("decimal(38,0)") /
+            col("__dd").cast("decimal(38,0)"))
+          .cast("bigint").as("expected_micro"),
         expr("""CAST(round(
           | CAST(__o * __dd - __tt * __dw AS DOUBLE) *
           | CAST(__o * __dd - __tt * __dw AS DOUBLE) * 1000000.0D /

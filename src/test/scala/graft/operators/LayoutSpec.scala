@@ -209,4 +209,17 @@ class LayoutSpec extends SparkSpec {
       ("c", 2L, 5L, 10L, 16L, 625000L),
       ("a", 3L, 2L, 6L, 16L, 375000L)))
   }
+
+  test("joinSizeAdvisor: share_micro stays exact past the contrib*1e6 Long " +
+      "wrap point (4Mx4M hot key = 1.6e13 contrib; ADVICE r13)") {
+    import spark.implicits._
+    // one 4M-row key per side: contrib = 1.6e13 > Long.Max/1e6 ≈ 9.2e12,
+    // so the old BIGINT contrib*1000000L wrapped negative; the decimal
+    // path must report the exact 100% share
+    val big = spark.range(4000000L).select(lit("hot").as("k"))
+    val out = Layout.joinSizeAdvisor(big, big, "k", topN = 3)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("hot", 4000000L, 4000000L, 16000000000000L, 16000000000000L, 1000000L)))
+  }
 }

@@ -240,13 +240,24 @@ class MultimodalSpec extends SparkSpec {
     beIfd(be, 8 + 2 * ifdLen)
     beIfd(be, 0)
     assert(Multimodal.decodeTiff(be.array()).contains((300, 200, 3)))
-    // a next-IFD offset pointing BACKWARD must reject (cycle guard),
-    // never loop
+    // a next-IFD offset revisiting a SEEN offset must reject (cycle
+    // guard), never loop
     val cyc = be.array().clone()
     // last IFD's next pointer (last 4 bytes) → back to the first IFD
     val np = cyc.length - 4
     cyc(np) = 0; cyc(np + 1) = 0; cyc(np + 2) = 0; cyc(np + 3) = 8
     assert(Multimodal.decodeTiff(cyc).isEmpty)
+    // but a DECREASING offset to an UNSEEN IFD is a valid layout the
+    // spec permits (ADVICE r13: IFDs may sit at arbitrary offsets) —
+    // header → page 1 at the HIGHER offset, its next → page 2 at the
+    // lower one
+    val nm = java.nio.ByteBuffer.allocate(8 + 2 * ifdLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    nm.put('M'.toByte).put('M'.toByte).putShort(42.toShort)
+      .putInt(8 + ifdLen) // first IFD is the LATER one in the file
+    beIfd(nm, 0)          // page 2 (at offset 8): chain ends here
+    beIfd(nm, 8)          // page 1 (at offset 8 + ifdLen): next → 8
+    assert(Multimodal.decodeTiff(nm.array()).contains((300, 200, 2)))
     // missing dimension tags / zero entries / text all reject
     val zeroN = le.array().clone(); zeroN(8) = 0; zeroN(9) = 0
     assert(Multimodal.decodeTiff(zeroN).isEmpty)

@@ -377,6 +377,28 @@ class ProfileSpec extends SparkSpec {
     assert(ok.toSeq == dflt.toSeq && ok.nonEmpty)
   }
 
+  test("rankAuc: envelope fires on an ALL-degenerate-group adversary whose " +
+      "output is empty (guard threads the histogram, not emitted rows)") {
+    import spark.implicits._
+    // every group is single-label → zero output rows after the
+    // n_pos/n_neg filter; an output-riding guard never fires (ADVICE
+    // r13) even though the oversized window still executed
+    val rows = (1L to 400L).map(i => ("s" + (i % 4), i * 0.30000007, (i % 4) min 1))
+      .toDF("src", "score", "label")
+      .filter(org.apache.spark.sql.functions.col("src") =!= "s0" ||
+        org.apache.spark.sql.functions.col("label") === 0L)
+      .filter(org.apache.spark.sql.functions.col("src") === "s0" ||
+        org.apache.spark.sql.functions.col("label") === 1L)
+    val e = intercept[Exception] {
+      Profile.rankAuc(rows, "score", "label", "src", maxDistinct = 50L)
+        .collect()
+    }
+    assert(e.getMessage.contains("histogram-collapse envelope"), e.getMessage)
+    // under the envelope the same degenerate frame is (still) empty
+    assert(Profile.rankAuc(rows, "score", "label", "src",
+      maxDistinct = 5000L).collect().isEmpty)
+  }
+
   test("hillTailIndex: hand-traced ln ratios against the (k+1)-th order " +
       "statistic; non-positive values excluded") {
     import spark.implicits._
