@@ -94,7 +94,7 @@ object Bench {
       // sorts, window functions) — `count()` would let Catalyst prune
       // unreferenced columns and eliminate sorts, timing less than the
       // query does.
-      for (_ <- 1 to repeat if err.isEmpty) {
+      def runOnce(): Unit = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
@@ -102,31 +102,54 @@ object Bench {
         times :+= (System.nanoTime() - t0) / 1e9
         dropLingering() // outside the timing: next run starts clean
       }
+      for (_ <- 1 to repeat if err.isEmpty) runOnce()
       // relative spread (max−min)/median flags medians that are still
-      // noisy at this N — computed over the WARM runs (2..N) when
+      // noisy at this N — computed over the POST-JIT runs (2..N) when
       // N ≥ 3: run 1 deterministically carries the query's codegen/JIT
-      // cost, which the median already absorbs, so including it in the
-      // spread flagged every sub-second query as "noisy" (r09: raw
-      // spread_med 0.55 vs warm 0.1-class) and drowned the signal the
-      // spread exists for — genuine run-to-run variance. A failed query
-      // reports ONLY its last (error) time — mixing a fast error run
-      // into the median of earlier successful runs would report a
-      // number that is neither the real cost nor the error time; the
-      // entry is meaningless either way (the `failed` map says so), but
-      // the reported time should at least be a single identifiable run,
-      // not a blend.
+      // compile cost (still true after dropLingering — what run 1 no
+      // longer keeps is lingering checkpoint BLOCKS, every run is
+      // block-manager-cold now), which the median already absorbs, so
+      // including it in the spread flagged every sub-second query as
+      // "noisy" (r09: raw spread_med 0.55 vs post-JIT 0.1-class) and
+      // drowned the signal the spread exists for — genuine run-to-run
+      // variance. With ≥ 4 post-JIT samples the single max sample is
+      // dropped from the SPREAD (not the median): one GC/compaction
+      // outlier in N runs is measurement noise, two are a real bimodal
+      // cost and still flag. A failed query reports ONLY its last
+      // (error) time — mixing a fast error run into the median of
+      // earlier successful runs would report a number that is neither
+      // the real cost nor the error time; the entry is meaningless
+      // either way (the `failed` map says so), but the reported time
+      // should at least be a single identifiable run, not a blend.
+      def medNow = if (times.isEmpty) Double.MaxValue else median(times)
+      def spreadNow: Double = {
+        val post = if (times.length >= 3) times.drop(1) else times
+        val trimmed = if (post.length >= 4) post.sorted.dropRight(1) else post
+        val m = medNow
+        if (trimmed.length < 2 || m == 0.0) 0.0
+        else (trimmed.max - trimmed.min) / m
+      }
+      // Adaptive escalation (r13 verdict: 8 queries at rel_spread ≥ 1.0
+      // with N=3 — their medians were statistically meaningless): when
+      // the spread is still > 0.5 after the base N runs, keep adding
+      // runs (cap 7 total) until the trimmed post-JIT spread settles.
+      // More runs alone can only GROW max−min; the escalation works
+      // because the spread statistic trims its single max once there
+      // are ≥ 4 post-JIT samples. Dev scoped runs (repeat < 3) skip it.
+      if (repeat >= 3) {
+        while (err.isEmpty && spreadNow > 0.5 && times.length < 7) runOnce()
+      }
       val med =
         if (err.isDefined || times.isEmpty) times.lastOption.getOrElse(Double.MaxValue)
-        else median(times)
-      val warm = if (times.length >= 3) times.drop(1) else times
-      val spread = if (err.isDefined || warm.length < 2 || med == 0.0) 0.0
-        else (warm.max - warm.min) / med
+        else medNow
+      val spread = if (err.isDefined) 0.0 else spreadNow
+      val nRuns = times.length
       // plan fingerprint AFTER the timed runs (plan construction may
       // eagerly materialize localCheckpoints — must not pre-warm run 1)
       val fp = if (err.isDefined) "ERR"
         else scala.util.Try(planFingerprint(fn(spark, sfDir))).getOrElse("ERR")
       dropLingering() // fp construction re-materialized checkpoints
-      (name, med, spread, err, fp)
+      (name, med, spread, err, fp, nRuns)
     }
     // Bench-only probes: scale-path variants (x20 without its exact
     // calibration siblings) timed with the same median-of-N, reported
@@ -156,12 +179,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qsFull = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qsFull = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val spreadFull = results.map { case (k, _, s, _, _) => "\"" + k + "\":" + r2(s) }
+    val spreadFull = results.map { case (k, _, s, _, _, _) => "\"" + k + "\":" + r2(s) }
       .mkString("{", ",", "}")
-    val failedFull = results.collect { case (k, _, _, Some(e), _) =>
+    val failedFull = results.collect { case (k, _, _, Some(e), _, _) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
       .mkString("{", ",", "}")
     // The headline is pinned to the q01–q26 contract BASELINE.md defines
@@ -179,13 +202,16 @@ object Bench {
       .mkString("{", ",", "}")
     // per-query plan fingerprints + one combined fingerprint: a plan
     // regression anywhere flips plan_fp even when timings look flat
-    val plansFull = results.map { case (k, _, _, _, fp) =>
+    val plansFull = results.map { case (k, _, _, _, fp, _) =>
       "\"" + k + "\":\"" + fp + "\"" }.mkString("{", ",", "}")
+    // per-query run counts: > repeat means the adaptive escalation fired
+    val runsFull = results.map { case (k, _, _, _, _, n) =>
+      "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val planFp = java.security.MessageDigest.getInstance("MD5")
-      .digest(results.map { case (k, _, _, _, fp) => s"$k:$fp" }
+      .digest(results.map { case (k, _, _, _, fp, _) => s"$k:$fp" }
         .mkString(";").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
-    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_$repeat","headline_complete":$headlineComplete,"plan_fp":"$planFp","queries":$qsFull,"rel_spread":$spreadFull,"plans":$plansFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","queries":$qsFull,"rel_spread":$spreadFull,"plans":$plansFull,"runs":$runsFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
     // Full per-query detail: (a) an EARLIER stdout line (the driver only
     // parses the last one) and (b) BENCH_FULL.json in the repo, which the
     // driver's end-of-round commit picks up for the judge. ONLY canonical
@@ -207,13 +233,13 @@ object Bench {
     // extension (x*) set summarized as total + slowest-3.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val compactSel = results.filter(r => r._1.startsWith("q") || r._1.startsWith("r"))
-    val qsCompact = compactSel.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
+    val qsCompact = compactSel.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val xs = results.filter(_._1.startsWith("x"))
     val xTotal = r3(xs.map(_._2).sum)
     val xSlow = xs.sortBy(-_._2).take(3)
-      .map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val failedCompact = results.collect { case (k, _, _, Some(e), _) =>
+      .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val failedCompact = results.collect { case (k, _, _, Some(e), _, _) =>
       "\"" + k + "\":\"" + jsonEscape(e.take(60)) + "\"" }
       .take(3).mkString("{", ",", "}")
     // spread summary only (the full per-query map lives in BENCH_FULL):
@@ -222,7 +248,7 @@ object Bench {
     val spreads = results.map(_._3)
     val spreadMed = if (spreads.isEmpty) "0" else r2(median(spreads))
     val spreadMax = if (spreads.isEmpty) "0" else r2(spreads.max)
-    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_$repeat","headline_complete":$headlineComplete,"plan_fp":"$planFp","spread_med":$spreadMed,"spread_max":$spreadMax,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","spread_med":$spreadMed,"spread_max":$spreadMax,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
