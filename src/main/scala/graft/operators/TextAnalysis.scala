@@ -1639,7 +1639,6 @@ object TextAnalysis {
     * See [[bpeInduction]] for the greedy-merge decomposition. */
   private def bpeMergeRound(vocab: DataFrame, round: Int)
       : (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     // fully-merged single-symbol words carry no pairs — and Spark's
     // sequence(1, 0) is the DESCENDING [1, 0], not empty (DuckDB's
     // range(1, 1) is), so they must leave before the pair transform
@@ -1656,11 +1655,28 @@ object TextAnalysis {
       .select(col("b.l").as("l"), col("b.r").as("r"), col("b.cnt").as("cnt"))
       .filter(col("l").isNotNull) // empty pair space → empty best
       .localCheckpoint(true) // 1 row; feeds the merge AND the output
+    val next = applyBestPair(vocab, best)
+    (best.select(lit(round.toLong).as("round"), col("l").as("left_sym"),
+      col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
+      col("cnt").as("pair_count")), next)
+  }
+
+  /** Greedy non-overlapping application of ONE pair row to every word
+    * of a (wid, c, syms) frame — the merge kernel [[bpeInduction]]
+    * documents (gaps-and-islands; even-offset selection within each
+    * candidate island). `best` must be ≤ 1 row with columns (l, r);
+    * an EMPTY best passes every word through unchanged (LEFT join on
+    * true: null l/r make the match flag false, so nothing merges).
+    * Returns the merged (wid, c, syms) frame, checkpointed so the
+    * next round never re-runs this one (`checkpoint = false` exists
+    * ONLY so PlanShapeSpec can pin the pre-checkpoint round plan —
+    * broadcast merge-slice join, word-partitioned windows). */
+  private[graft] def applyBestPair(vocab: DataFrame, best: DataFrame,
+      checkpoint: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy(col("wid")).orderBy(col("p"))
-    // LEFT join on true, not a cross join: an exhausted pair space
-    // (empty best) must pass every word through unchanged, not erase
-    // the vocabulary — null l/r make mt false below, so nothing merges
-    val pos = vocab.join(broadcast(best), lit(true), "left")
+    val pos = vocab.join(broadcast(best.select(col("l"), col("r"))),
+        lit(true), "left")
       .select(col("wid"), col("c"), col("l"), col("r"),
         posexplode(col("syms")).as(Seq("p", "s")))
     val m = pos
@@ -1669,7 +1685,7 @@ object TextAnalysis {
       .withColumn("isl", col("p") - sum(when(col("mt"), 1L).otherwise(0L))
         .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val wisl = Window.partitionBy(col("wid"), col("isl"))
-    val next = m
+    val merged = m
       .withColumn("sel", col("mt") &&
         ((col("p") - min(when(col("mt"), col("p"))).over(wisl)) % 2 === 0))
       .withColumn("lead_s", lead(col("s"), 1).over(wp))
@@ -1681,10 +1697,53 @@ object TextAnalysis {
       .groupBy(col("wid"), col("c"))
       .agg(expr("transform(array_sort(collect_list(struct(p, s2))), x -> x.s2)")
         .as("syms"))
-      .localCheckpoint(true) // round k+1 must never re-run round k
-    (best.select(lit(round.toLong).as("round"), col("l").as("left_sym"),
-      col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
-      col("cnt").as("pair_count")), next)
+    // round k+1 must never re-run round k
+    if (checkpoint) merged.localCheckpoint(true) else merged
+  }
+
+  /** BPE ENCODER — applies an already-induced merge table to NEW text
+    * (the streaming-ingest tokenize-and-count use [[bpeInduction]]
+    * learns for but cannot serve itself: induction reads its own
+    * corpus; this reads ANY corpus under a FIXED tokenizer). Replays
+    * the merge table in round order: round r's (left_sym, right_sym)
+    * row — or pass-through when round r merged nothing at induction
+    * time — is greedily applied ([[applyBestPair]], the exact kernel
+    * the induction used), so a word seen at induction time encodes
+    * BIT-IDENTICALLY to its final induction vocab state, and an
+    * unseen word gets the deterministic greedy encoding under the
+    * same rules. Single-char words carry no pairs and are excluded,
+    * exactly as in the induction.
+    *
+    * Scale design: the new corpus collapses to DISTINCT words once
+    * (one hash agg, O(vocab) rows after); each of the ≤ `rounds`
+    * replay rounds is one broadcast join of a 1-row merge slice plus
+    * word-partitioned windows over the vocab frame — the merge table
+    * (≤ 64 rows, checkpointed once) is never collected to the driver,
+    * and no stage depends on corpus row count after the first agg.
+    *
+    * Output: (wid, c, syms) — each distinct word with ≥ 2 chars, its
+    * occurrence count in `docs`, and its encoded symbol array. */
+  def bpeEncode(docs: DataFrame, merges: DataFrame, rounds: Int = 6,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"bpeEncode: rounds must be in [1, 64], got $rounds")
+    val mergeTable = merges
+      .select(col("round"), col("left_sym"), col("right_sym"))
+      .localCheckpoint(true) // ≤ 64 rows; sliced once per replay round
+    var vocab = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("w").as("wid"), col("c"),
+        expr("transform(sequence(1, length(wid)), i -> substring(wid, i, 1))")
+          .as("syms"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val slice = mergeTable.filter(col("round") === r)
+        .select(col("left_sym").as("l"), col("right_sym").as("r"))
+      vocab = applyBestPair(vocab, slice)
+    }
+    vocab
   }
 
   /** Per-document curation scorecard — the explainable decision

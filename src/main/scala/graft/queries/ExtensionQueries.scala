@@ -2381,6 +2381,37 @@ object ExtensionQueries {
   def x208(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramConditionalEntropy(docs(s, dir))
 
+  /** x209 BPE encode under a fixed merge table — see
+    * [[graft.operators.TextAnalysis.bpeEncode]]: induce the x195
+    * 6-round merge table, then ENCODE the corpus through the
+    * merge-table replay path (broadcast-joined round slices, never a
+    * driver collect) and roll per-source token totals up, splitting
+    * out merged (multi-char) tokens. For text the induction saw, the
+    * replay is bit-identical to the induction's final vocab state —
+    * which is exactly what the oracle pins; the operator's value is
+    * that the merges frame can come from ANYWHERE (a prior run, a
+    * stream checkpoint), decoupling tokenizer training from use. */
+  def x209(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val enc = TextAnalysis.bpeEncode(d, TextAnalysis.bpeInduction(d, 6), 6)
+    val perWord = enc.select(col("wid").as("__w"),
+      size(col("syms")).cast("long").as("__t"),
+      expr("CAST(size(filter(syms, s -> length(s) >= 2)) AS BIGINT)")
+        .as("__mt"))
+    d.select(col("source").as("grp"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .join(perWord, Seq("__w"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n_words"),
+        sum(col("__t")).cast("bigint").as("n_tokens"),
+        sum(col("__mt")).cast("bigint").as("n_merged_tokens"))
+      .select(col("grp").as("source"), col("n_words"), col("n_tokens"),
+        col("n_merged_tokens"),
+        expr("n_tokens * 1000000L div n_words").as("fertility_micro"))
+      .orderBy(col("source"))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2640,6 +2671,7 @@ object ExtensionQueries {
     "x206_chunk_split_leakage" -> (x206 _),
     "x207_join_size_advisor" -> (x207 _),
     "x208_bigram_entropy" -> (x208 _),
+    "x209_bpe_encode" -> (x209 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -7571,6 +7603,29 @@ object ExtensionQueries {
          |       CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
          |       CAST(-(sum(c12 * lnq) // sum(c12)) AS BIGINT) AS h_cond_micro
          |FROM cells GROUP BY grp ORDER BY source""".stripMargin,
+
+    // Replays bpeEncode under the x195 merges: for corpus text the
+    // merge-table replay is bit-identical to the induction's final v6
+    // vocab state (same greedy kernel, same round order), so the
+    // oracle encodes via v6 directly — x196's rollup plus the
+    // merged-token split len(filter(syms, len ≥ 2)).
+    "x209_bpe_encode" ->
+      s"""WITH ${bpeCtesSql(6)},
+         |tp AS (SELECT wid, CAST(len(syms) AS BIGINT) AS t,
+         |              CAST(len(list_filter(syms, s -> len(s) >= 2))
+         |                AS BIGINT) AS mt
+         |       FROM v6),
+         |dx AS (SELECT source AS grp, w FROM (
+         |         SELECT source, unnest(${wordsSql("text")}) AS w
+         |         FROM documents) z WHERE len(w) >= 2),
+         |ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_words,
+         |              CAST(sum(tp.t) AS BIGINT) AS n_tokens,
+         |              CAST(sum(tp.mt) AS BIGINT) AS n_merged_tokens
+         |       FROM dx JOIN tp ON tp.wid = dx.w GROUP BY grp)
+         |SELECT grp AS source, n_words, n_tokens, n_merged_tokens,
+         |       CAST(n_tokens * 1000000 // n_words AS BIGINT)
+         |         AS fertility_micro
+         |FROM ag ORDER BY source""".stripMargin,
 
     // Replays exactQuantilesByGroup: per-(source, n_chars) histogram,
     // grouped cumulative window, percentile_disc rank rule as the

@@ -1288,4 +1288,86 @@ object Streaming {
       .transformWithState(new EventTimeSessionProcessor(gapSec),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  final case class QuantEvent(grp: String, v: Long)
+  final case class QuantileStat(grp: String, n: Long,
+    p25: Long, p50: Long, p75: Long, p90: Long, p99: Long)
+
+  /** Bounded-memory streaming EXACT quantiles — a per-group value
+    * histogram in `MapState`, the live twin of the batch
+    * [[graft.operators.Profile.exactQuantilesByGroup]] audit (x205)
+    * the way [[MisraGriesProcessor]] twins the heavy hitters: state is
+    * O(distinct values) per group, NOT O(rows), and the same
+    * percentile_disc rank rule (smallest v with p·n ≤ 100·cum —
+    * integer-exact, no float compare) reads the quantiles off the
+    * histogram after each batch.
+    *
+    * Parity contract (test-pinned): after folding any prefix of the
+    * stream, a group's (n, p25, p50, p75, p90, p99) EQUALS the batch
+    * audit of the same rows at percents {25,50,75,90,99} — the
+    * histogram is a function of the value MULTISET, so batch
+    * boundaries and arrival order cannot move it. The percent set is
+    * fixed so the emit row is a concrete encoder type; it matches
+    * x205's declared percents.
+    *
+    * Envelope, same contract as the batch operator's raise_error: a
+    * group whose histogram exceeds `maxDistinct` distinct values
+    * fails LOUDLY (the histogram would be degrading toward a per-row
+    * value log — quantize the value column first) instead of silently
+    * growing state.
+    *
+    * Emission: each batch re-emits the refreshed quantiles per
+    * touched group (Append-friendly run-ledger pattern — consumers
+    * keep the last row per group). Writes back only the batch's
+    * CHANGED histogram keys (one RocksDB write per touched value, not
+    * per live value). */
+  final class QuantileMonitorProcessor(maxDistinct: Int)
+      extends StatefulProcessor[String, QuantEvent, QuantileStat] {
+    require(maxDistinct >= 1,
+      s"QuantileMonitorProcessor: maxDistinct must be positive, got $maxDistinct")
+    @transient private var hist: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getMapState[Long, Long]("qhist",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[QuantEvent],
+        tv: TimerValues): Iterator[QuantileStat] = {
+      val delta = scala.collection.mutable.HashMap.empty[Long, Long]
+      rows.foreach { ev => delta(ev.v) = delta.getOrElse(ev.v, 0L) + 1L }
+      if (delta.isEmpty) return Iterator.empty
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+      hist.iterator().foreach { case (v, c) => m(v) = c }
+      delta.foreach { case (v, c) => m(v) = m.getOrElse(v, 0L) + c }
+      if (m.size > maxDistinct) throw new IllegalStateException(
+        s"QuantileMonitorProcessor: group $key holds ${m.size} distinct " +
+          s"values — past the histogram envelope ($maxDistinct); " +
+          "quantize the value column first")
+      delta.keysIterator.foreach(v => hist.updateValue(v, m(v)))
+      val sorted = m.toArray.sortBy(_._1)
+      val n = sorted.iterator.map(_._2).sum
+      def q(p: Long): Long = {
+        var cum = 0L
+        var i = 0
+        while (i < sorted.length) {
+          cum += sorted(i)._2
+          if (p * n <= 100L * cum) return sorted(i)._1
+          i += 1
+        }
+        sorted.last._1
+      }
+      Iterator.single(QuantileStat(key, n, q(25), q(50), q(75), q(90), q(99)))
+    }
+  }
+
+  /** [[QuantileMonitorProcessor]] wired onto a keyed value stream;
+    * same RocksDB provider requirement as [[sessionizeWithState]]. */
+  def quantileMonitorWithState(events: Dataset[QuantEvent],
+      maxDistinct: Int = 3000000): Dataset[QuantileStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.grp)
+      .transformWithState(new QuantileMonitorProcessor(maxDistinct),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

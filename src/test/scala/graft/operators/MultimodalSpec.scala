@@ -427,6 +427,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeMp4: REAL ISO-BMFF bytes decode to (duration_ms, n_tracks, " +
+      "timescale) for mvhd v0 and v1; malformed payloads reject") {
+    import java.nio.ByteBuffer
+    // box helper: size(u32 BE) + 4cc + body
+    def box(t: String, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(t.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    def mvhdV0(timescale: Int, duration: Int): Array[Byte] = {
+      val body = ByteBuffer.allocate(100) // v0 mvhd body is 100 bytes
+      body.putInt(0)                      // version 0 + flags
+      body.putInt(111).putInt(222)        // creation, modification
+      body.putInt(timescale).putInt(duration)
+      box("mvhd", body.array())
+    }
+    def mvhdV1(timescale: Int, duration: Long): Array[Byte] = {
+      val body = ByteBuffer.allocate(112) // v1: 64-bit times
+      body.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1 + flags
+      body.putLong(111L).putLong(222L)    // creation, modification
+      body.putInt(timescale).putLong(duration)
+      box("mvhd", body.array())
+    }
+    val ftyp = box("ftyp", "isom0000".getBytes("US-ASCII"))
+    val trak = box("trak", Array.empty[Byte])
+    // v0: 90000 ticks/s, 450000 ticks = 5000 ms, 2 tracks
+    val v0 = ftyp ++ box("moov", mvhdV0(90000, 450000) ++ trak ++ trak) ++
+      box("mdat", Array[Byte](1, 2, 3))
+    assert(Multimodal.decodeMp4(v0).contains((5000, 2, 90000)))
+    // v1: 600 ticks/s, 1234 ticks = 2056 ms (floor), 1 track
+    val v1 = ftyp ++ box("moov", mvhdV1(600, 1234L) ++ trak)
+    assert(Multimodal.decodeMp4(v1).contains((2056, 1, 600)))
+    // mdat BEFORE moov (streaming layout) still decodes
+    val late = ftyp ++ box("mdat", Array[Byte](9)) ++
+      box("moov", mvhdV0(1000, 1500) ++ trak)
+    assert(Multimodal.decodeMp4(late).contains((1500, 1, 1000)))
+    // rejects: text payload, no ftyp-first, no trak, corrupt box size,
+    // zero timescale
+    assert(Multimodal.decodeMp4(
+      ("an ftyp mention inside plain text long enough to walk")
+        .getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeMp4(
+      box("mdat", Array[Byte](1)) ++ v0).isEmpty) // ftyp not first
+    assert(Multimodal.decodeMp4(
+      ftyp ++ box("moov", mvhdV0(1000, 10))).isEmpty) // zero tracks
+    val corrupt = v0.clone()
+    corrupt(ftyp.length) = 0x7F.toByte // moov size huge → out of bounds
+    assert(Multimodal.decodeMp4(corrupt).isEmpty)
+    assert(Multimodal.decodeMp4(
+      ftyp ++ box("moov", mvhdV0(0, 10) ++ trak)).isEmpty)
+  }
+
   test("perceptualHash: hand-computed dHash bits; phashNearDup finds the Hamming-≤2 pairs") {
     // ascii%32: 'a'→1, 'b'→2. "aab": h[1]=2 > h[2]=1 → bit1; h[2]=1 >
     // h[3]=0 → bit2 ⇒ phash 6. "abb": h[1]=1 ≯ h[2]=2; h[2]=2 > h[3]

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 /** Unit semantics for the corpus text-analysis operators added in
   * round 5 (chunking, boilerplate screen, balanced sampling, vocab
@@ -425,6 +426,49 @@ class TextAnalysisSpec extends SparkSpec {
     val r5 = TextAnalysis.bpeFertility(docs, rounds = 5)
       .as[(String, Long, Long, Long)].collect()
     assert(r5.toSeq == Seq(("A", 3L, 3L, 1000000L), ("B", 1L, 1L, 1000000L)))
+  }
+
+  test("bpeEncode: merge-table replay is bit-identical to the induction's " +
+      "final vocab state on seen text") {
+    val docs = Seq((1L, "abab abab abc")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeInduction(docs, rounds = 6)
+    val vocab = TextAnalysis.bpeInductionWithVocab(docs, 6, "text")._2
+      .select(col("wid"), col("syms"))
+      .as[(String, Seq[String])].collect().sortBy(_._1)
+    val enc = TextAnalysis.bpeEncode(docs, merges, 6)
+      .select(col("wid"), col("syms"))
+      .as[(String, Seq[String])].collect().sortBy(_._1)
+    assert(enc.toSeq == vocab.toSeq && enc.nonEmpty)
+  }
+
+  test("bpeEncode: unseen words encode greedily under the fixed merges; " +
+      "never-merged pairs and exhausted rounds pass through") {
+    // merges from "abab abab abc": r1 (a,b)→ab, r2 (ab,ab)→abab,
+    // r3 (ab,c)→abc, r4-6 empty (pass-through)
+    val train = Seq((1L, "abab abab abc")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeInduction(train, rounds = 6)
+    // "ababc" = [a,b,a,b,c] → r1 [ab,ab,c] → r2 [abab,c] → r3: the
+    //   pair present is (abab,c), NOT (ab,c) — no merge → [abab,c]
+    // "ba" → (b,a) was never merged → stays [b,a]
+    val out = TextAnalysis.bpeEncode(
+        Seq((1L, "ababc ba")).toDF("doc_id", "text"), merges, 6)
+      .orderBy(col("wid")).as[(String, Long, Seq[String])].collect()
+    assert(out.toSeq == Seq(
+      ("ababc", 1L, Seq("abab", "c")),
+      ("ba", 1L, Seq("b", "a"))))
+  }
+
+  test("bpeEncode: greedy non-overlapping replay on the aaaaa adversary") {
+    // merges from "aaaa aaa": r1 (a,a)→aa, r2 (aa,a)→aaa, r3 (aa,aa)→aaaa
+    val train = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeInduction(train, rounds = 4)
+    // "aaaaa" = [a×5] → r1 greedy even-offsets: [aa,aa,a]
+    //   → r2 (aa,a): matches at the LAST pair only → [aa,aaa]
+    //   → r3 (aa,aa): the pair present is (aa,aaa) — no merge
+    val out = TextAnalysis.bpeEncode(
+        Seq((1L, "aaaaa")).toDF("doc_id", "text"), merges, 4)
+      .as[(String, Long, Seq[String])].collect()
+    assert(out.toSeq == Seq(("aaaaa", 1L, Seq("aa", "aaa"))))
   }
 
   test("curationScorecard: per-doc signals and first-fail verdict precedence") {

@@ -1039,6 +1039,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("x209: the encode rollup scans the corpus ONCE and joins the " +
+    "checkpointed encoded vocab — no window, no cartesian (x196 shape " +
+    "with the merged-token split)") {
+    val plan = physical(ExtensionQueries.x209(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed encoding
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$plan")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("x209 replay round: the merge slice is BROADCAST-joined onto the " +
+    "vocab frame, never collected to the driver (pre-checkpoint round " +
+    "plan via the applyBestPair seam)") {
+    import spark.implicits._
+    val vocab = Seq(("ab", 1L, Seq("a", "b"))).toDF("wid", "c", "syms")
+    val slice = Seq(("a", "b")).toDF("l", "r")
+    val plan = physical(
+      graft.operators.TextAnalysis.applyBestPair(vocab, slice,
+        checkpoint = false))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CollectLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x197: the l-diversity profile is ONE aggregation pass over the QI " +
     "tuple — no window, no join, no cartesian") {
     val plan = physical(ExtensionQueries.x197(spark, sf001))

@@ -979,4 +979,61 @@ class StreamingSpec extends SparkSpec {
       assert(finalRows.exists(r => r._1 == "d1" && r._2 == 4L && r._3 == 30L))
     }
   }
+
+  test("quantileMonitorWithState: mid-stream split parity vs the batch x205 " +
+    "exact-quantiles audit; prefix rows equal the batch audit of the prefix") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val rows = graft.Tables.load(spark, sf001, "documents")
+        .filter(col("n_chars").isNotNull)
+        .select(col("source").cast("string"), col("n_chars").cast("long"))
+        .as[(String, Long)].collect().toSeq
+        .map { case (g, v) => Streaming.QuantEvent(g, v) }
+      val (first, second) = rows.splitAt(rows.length / 2) // mid-stream split
+      val in = MemoryStream[Streaming.QuantEvent]
+      val q = Streaming.quantileMonitorWithState(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("quant_parity").start()
+      in.addData(first); q.processAllAvailable()
+      val afterB1 = spark.table("quant_parity").as[Streaming.QuantileStat]
+        .collect().map(s => (s.grp, s.n, s.p25, s.p50, s.p75, s.p90, s.p99))
+        .toSet
+      // MID-STREAM pin: batch-1 emissions equal the batch audit over
+      // exactly the prefix rows — the histogram is a function of the
+      // value multiset, so the split point cannot move it
+      val prefixAudit = graft.operators.Profile.exactQuantilesByGroup(
+          first.map(e => (e.grp, e.v)).toDF("source", "n_chars"),
+          "n_chars", "source", Seq(25, 50, 75, 90, 99))
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(afterB1 == prefixAudit, s"stream $afterB1 vs batch $prefixAudit")
+      in.addData(second); q.processAllAvailable()
+      q.stop()
+      // FINAL pin: last emission per group equals the declared x205
+      // audit of the full corpus
+      val fin = spark.table("quant_parity").as[Streaming.QuantileStat]
+        .collect().groupBy(_.grp).map { case (_, ss) => ss.maxBy(_.n) }
+        .map(s => (s.grp, s.n, s.p25, s.p50, s.p75, s.p90, s.p99)).toSet
+      val x205 = graft.queries.ExtensionQueries.x205(spark, sf001)
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(fin == x205, s"stream $fin vs x205 $x205")
+    }
+  }
+
+  test("quantileMonitorWithState: histogram envelope fails loudly, not by " +
+    "degrading to per-row state") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val in = MemoryStream[Streaming.QuantEvent]
+      val q = Streaming.quantileMonitorWithState(in.toDS(), maxDistinct = 3)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("quant_guard").start()
+      in.addData((1L to 4L).map(v => Streaming.QuantEvent("g", v)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      q.stop()
+      assert(e.getMessage.contains("histogram envelope") ||
+        Option(e.getCause).exists(_.getMessage.contains("histogram envelope")))
+    }
+  }
 }
