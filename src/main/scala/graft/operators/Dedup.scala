@@ -1192,4 +1192,50 @@ object Dedup {
         expr("leaked_tokens * 1000000L div n_tokens").as("leaked_token_micro"))
       .orderBy(col("split"))
   }
+
+  /** Near-dup cluster SIZE SPECTRUM — the shape read the scalar
+    * audits flatten: x28 labels clusters, x115 totals the savings,
+    * but whether duplication is a long tail of pairs or a few
+    * mega-clusters (boilerplate explosions, mirror scrapes) is a size
+    * DISTRIBUTION question, and it decides the dedup strategy (pair
+    * threshold tuning vs hot-cluster capping). One row per observed
+    * cluster size: how many clusters, how many documents they hold,
+    * and that size's share of the corpus. Documents in NO pair count
+    * as size-1 clusters (the spectrum must cover the corpus — a
+    * "everything is a singleton" spectrum is the healthy baseline).
+    *
+    * Scale: rides the labeled cluster frame (`clusters` — [[
+    * connectedComponents]] output, bounded by duplicate volume) with
+    * two hash aggregations (cluster → size, size → count); the
+    * singleton count is one anti-join of the doc-id projection
+    * against the cluster frame. No windows, no row-data sort.
+    *
+    * Output: (cluster_size, n_clusters, n_docs,
+    * doc_share_micro = n_docs·10⁶ div total_docs), ordered by
+    * cluster_size. */
+  def clusterSizeProfile(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val sizes = clusters
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("bigint").as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).cast("bigint").as("n_clusters"))
+    val singletons = ids
+      .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).cast("bigint").as("n_singletons"))
+      .filter(col("n_singletons") > 0)
+      .select(lit(1L).as("cluster_size"),
+        col("n_singletons").as("n_clusters"))
+    val spectrum = sizes.unionByName(singletons)
+      .groupBy(col("cluster_size"))
+      .agg(sum(col("n_clusters")).cast("bigint").as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val tot = ids.agg(count(lit(1)).cast("bigint").as("__total"))
+    spectrum.crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("n_docs * 1000000L div __total").as("doc_share_micro"))
+      .orderBy(col("cluster_size"))
+  }
 }

@@ -1460,4 +1460,86 @@ object Profile {
         .as("n") +: percents.map(p => col(s"p$p"))): _*)
       .orderBy(col(groupCol))
   }
+
+  /** Exact per-group GINI concentration over the value histogram —
+    * the Lorenz-curve inequality read (how concentrated are tokens /
+    * bytes / events across a group's documents) beside
+    * [[keyConcentration]]'s top-k share and x110's Simpson diversity.
+    * Identity used: with the group's n values sorted ascending and
+    * 1-based instance ranks i, G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx).
+    * A run of c instances of value v after cb earlier instances
+    * occupies ranks cb+1..cb+c, so Σᵢ i·xᵢ collapses per histogram
+    * cell to v·(c·cb + c(c+1)/2) — the whole statistic reads off the
+    * per-(group, value) histogram with ONE bounded cumulative window,
+    * never a per-group sort of row data.
+    *
+    * Exactness: rank sums compute in DECIMAL(38,0) (they reach
+    * value·n² — past BIGINT for billion-row groups; the ADVICE-r13
+    * house pattern), quantized ONCE to gini_micro = floor(num·10⁶ /
+    * (n·T)) ≤ 10⁶. The histogram collapse carries the same ENFORCED
+    * envelope as [[exactQuantilesByGroup]] (raise_error past
+    * `maxDistinct` distinct (group, value) pairs, threaded through
+    * the histogram PRE-window — the rankAuc lesson), and the guard
+    * also fails loudly on NEGATIVE values, for which the Lorenz
+    * interpretation is undefined — silently filtering them would
+    * misreport concentration.
+    *
+    * Output: (groupCol, n, total, gini_micro), groups with total = 0
+    * are excluded (G undefined), ordered by group. */
+  def giniByGroup(df: DataFrame, valueCol: String, groupCol: String,
+      maxDistinct: Long = Rank.DefaultMaxDistinct): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDistinct >= 1, "giniByGroup: maxDistinct must be positive")
+    val hist = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).cast("bigint").as("n_v"))
+      .localCheckpoint(true) // feeds the guard and the window
+    val guard = hist
+      .agg(count(lit(1)).cast("long").as("__gc_card"),
+        min(col("v")).as("__gc_min"))
+      .select(
+        when(col("__gc_card") > maxDistinct,
+          raise_error(concat(lit("giniByGroup: "),
+            col("__gc_card").cast("string"),
+            lit(s" distinct (group, value) pairs exceed the " +
+              s"histogram-collapse envelope ($maxDistinct) — quantize " +
+              "the value column first"))).cast("long"))
+        .when(col("__gc_min") < 0L,
+          raise_error(concat(lit("giniByGroup: negative value "),
+            col("__gc_min").cast("string"),
+            lit(" — Gini is undefined for negative values"))).cast("long"))
+        .otherwise(lit(0L)).as("__gc_guard"))
+    // guard threaded through the histogram PRE-window: even a group
+    // set whose output would be empty must hit the envelope
+    val guarded = hist.crossJoin(broadcast(guard))
+      .select(col("grp"), col("v"),
+        (col("n_v") + col("__gc_guard")).as("n_v"))
+    val wv = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    guarded
+      .withColumn("__cb", coalesce(sum(col("n_v")).over(wv), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("n_v")).cast("bigint").as("n"),
+        sum(col("v").cast("decimal(38,0)") * col("n_v").cast("decimal(38,0)"))
+          .as("__t"),
+        // 2·Σᵢ i·xᵢ = Σ v·c·(2·cb + c + 1) — division-free (c(c+1)
+        // is even, so doubling the identity removes the /2 and keeps
+        // every intermediate an exact decimal integer)
+        sum(col("v").cast("decimal(38,0)") * col("n_v").cast("decimal(38,0)") *
+            (lit(2).cast("decimal(38,0)") * col("__cb").cast("decimal(38,0)")
+              + col("n_v").cast("decimal(38,0)")
+              + lit(1).cast("decimal(38,0)")))
+          .as("__s2"))
+      .filter(col("__t") > 0)
+      .select(col("grp").as(groupCol), col("n"),
+        col("__t").cast("bigint").as("total"),
+        floor((col("__s2") - (col("n") + 1L).cast("decimal(38,0)") * col("__t")) *
+            lit(1000000).cast("decimal(38,0)") /
+            (col("n").cast("decimal(38,0)") * col("__t")))
+          .cast("bigint").as("gini_micro"))
+      .orderBy(col(groupCol))
+  }
 }

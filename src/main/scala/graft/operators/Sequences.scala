@@ -1491,4 +1491,59 @@ object Sequences {
     pi.select(col("state").as("event_type"), col("pi_micro"))
       .orderBy(col("event_type"))
   }
+
+  /** Linear interpolation over each series' daily gaps — the metric
+    * REPAIR read next to [[weekdaySeasonality]]'s dense spine and
+    * q40's zero-fill: a day with no observations for a type gets the
+    * straight-line value between its nearest observed neighbors,
+    * v(d) = vp + (vn − vp)·(d − dp) div (dn − dp), floor-exact in
+    * integer cents (Spark `div` and DuckDB `//` both truncate toward
+    * zero, so the negative-slope case stays engine-exact). Days
+    * before a type's first observation or after its last emit the
+    * boundary value (constant extrapolation is the min/max-day spine,
+    * so only interior gaps actually interpolate).
+    *
+    * Scale design: observed days collapse to a per-(type, day) hash
+    * aggregation first; the spine (bounded by types × calendar span,
+    * NOT event rows — the x135/x200 envelope) carries four
+    * type-partitioned windows (last/first non-null value and day) and
+    * the arithmetic is integer-only. No event-row windows anywhere.
+    *
+    * Output: (event_type, day, v_cents, interpolated), ordered. */
+  def interpolateDaily(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col(typeCol).as("__t"), to_date(col(tsCol)).as("__day"),
+        expr(s"CAST(round($valueCol * 100.0D) AS BIGINT)").as("__c"))
+      .groupBy(col("__t"), col("__day"))
+      .agg(sum(col("__c")).cast("bigint").as("__v"))
+    val spans = daily.groupBy(col("__t"))
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val spine = spans.select(col("__t"),
+      explode(expr("sequence(__lo, __hi, interval 1 day)")).as("__day"))
+    val dense = spine.join(daily, Seq("__t", "__day"), "left")
+    val wb = Window.partitionBy(col("__t")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("__t")).orderBy(col("__day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    dense
+      .withColumn("__vp", last(col("__v"), ignoreNulls = true).over(wb))
+      .withColumn("__dp", last(when(col("__v").isNotNull, col("__day")),
+        ignoreNulls = true).over(wb))
+      .withColumn("__vn", first(col("__v"), ignoreNulls = true).over(wf))
+      .withColumn("__dn", first(when(col("__v").isNotNull, col("__day")),
+        ignoreNulls = true).over(wf))
+      .select(col("__t").as("event_type"), col("__day").as("day"),
+        when(col("__v").isNotNull, col("__v"))
+          // interior gap: straight line between the neighbors
+          .when(col("__vp").isNotNull && col("__vn").isNotNull,
+            col("__vp") + expr("""(__vn - __vp) *
+              | datediff(__day, __dp) div datediff(__dn, __dp)""".stripMargin))
+          // boundary: constant extrapolation (min/max-day spine makes
+          // this unreachable, kept for non-span spines)
+          .otherwise(coalesce(col("__vp"), col("__vn"))).as("v_cents"),
+        col("__v").isNull.as("interpolated"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

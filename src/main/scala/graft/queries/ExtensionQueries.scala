@@ -2412,6 +2412,51 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  /** x210 Gini token concentration — see
+    * [[graft.operators.Profile.giniByGroup]]: exact Lorenz-identity
+    * Gini over each source's per-document token counts, read off the
+    * (source, count) histogram with one bounded cumulative window —
+    * the inequality read beside x66's top-k share and x110's Simpson
+    * diversity. */
+  def x210(s: SparkSession, dir: String): DataFrame =
+    Profile.giniByGroup(
+      docs(s, dir).select(col("source"),
+        size(graft.functions.TextFunctions.words(col("text")))
+          .cast("long").as("n_tokens")),
+      "n_tokens", "source")
+
+  /** x211 near-dup cluster size spectrum — see
+    * [[graft.operators.Dedup.clusterSizeProfile]]: the size
+    * DISTRIBUTION of the x28 connected components plus unpaired
+    * singletons — whether duplication is a pair tail or a few
+    * mega-clusters, the shape read that picks between threshold
+    * tuning and hot-cluster capping. */
+  def x211(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.clusterSizeProfile(d, Dedup.connectedComponents(
+      Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.2)))
+  }
+
+  /** x212 covariance spectrum — see
+    * [[graft.operators.Similarity.covarianceSpectrum]]: the share of
+    * total embedding variance on the dominant principal direction,
+    * by exact integer power iteration (8 rounds) over the micro-
+    * quantized n-scaled covariance — the space-collapse health check
+    * beside x187's mean-direction anisotropy, and the whitening
+    * trigger for IVF/PQ indexing. */
+  def x212(s: SparkSession, dir: String): DataFrame =
+    Similarity.covarianceSpectrum(Tables.load(s, dir, "embeddings"))
+
+  /** x213 daily linear interpolation — see
+    * [[graft.operators.Sequences.interpolateDaily]]: straight-line
+    * repair of interior daily gaps per event type, floor-exact in
+    * integer cents over the bounded day spine. */
+  def x213(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.interpolateDaily(Tables.load(s, dir, "events"))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("v_cents"), col("interpolated"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2672,6 +2717,10 @@ object ExtensionQueries {
     "x207_join_size_advisor" -> (x207 _),
     "x208_bigram_entropy" -> (x208 _),
     "x209_bpe_encode" -> (x209 _),
+    "x210_gini_concentration" -> (x210 _),
+    "x211_cluster_sizes" -> (x211 _),
+    "x212_covariance_spectrum" -> (x212 _),
+    "x213_daily_interpolation" -> (x213 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -7626,6 +7675,154 @@ object ExtensionQueries {
          |       CAST(n_tokens * 1000000 // n_words AS BIGINT)
          |         AS fertility_micro
          |FROM ag ORDER BY source""".stripMargin,
+
+    // Replays giniByGroup over per-doc token counts: histogram,
+    // exclusive cumulative window, the division-free doubled rank-sum
+    // identity 2S = Σ v·c·(2·cb + c + 1) in HUGEINT.
+    "x210_gini_concentration" ->
+      s"""WITH tc AS (SELECT source AS grp,
+         |             CAST(len(${wordsSql("text")}) AS BIGINT) AS v
+         |            FROM documents),
+         |hist AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+         |         FROM tc GROUP BY 1, 2),
+         |cum AS (SELECT grp, v, c,
+         |          coalesce(SUM(c) OVER (PARTITION BY grp ORDER BY v
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |            0) AS cb
+         |        FROM hist),
+         |ag AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+         |         CAST(sum(v::HUGEINT * c::HUGEINT) AS HUGEINT) AS t,
+         |         CAST(sum(v::HUGEINT * c::HUGEINT *
+         |           (2 * cb::HUGEINT + c::HUGEINT + 1)) AS HUGEINT) AS s2
+         |       FROM cum GROUP BY grp)
+         |SELECT grp AS source, n, CAST(t AS BIGINT) AS total,
+         |       CAST((s2 - (n::HUGEINT + 1) * t) * 1000000
+         |         // (n::HUGEINT * t) AS BIGINT) AS gini_micro
+         |FROM ag WHERE t > 0 ORDER BY source""".stripMargin,
+
+    // Replays clusterSizeProfile over the x28 recursive-CC clusters:
+    // size histogram + unpaired singletons as size-1 clusters.
+    "x211_cluster_sizes" ->
+      s"""WITH RECURSIVE $ngramPairsCteSql,
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM ed),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+         |cl AS (SELECT node AS doc_id, min(r) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM cl GROUP BY 1),
+         |spec0 AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |          FROM sz GROUP BY 1),
+         |single AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |             CAST(count(*) AS BIGINT) AS n_clusters
+         |           FROM documents
+         |           WHERE doc_id NOT IN (SELECT doc_id FROM cl)
+         |           HAVING count(*) > 0),
+         |spec AS (SELECT cluster_size,
+         |           CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+         |         FROM (SELECT * FROM spec0
+         |               UNION ALL SELECT * FROM single) z
+         |         GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents)
+         |SELECT cluster_size, n_clusters,
+         |       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+         |       CAST(cluster_size * n_clusters * 1000000 // t AS BIGINT)
+         |         AS doc_share_micro
+         |FROM spec, tot ORDER BY cluster_size""".stripMargin,
+
+    // Replays covarianceSpectrum: micro-quantized elements, n-scaled
+    // covariance in HUGEINT, matrix renormalized by max |cell|, eight
+    // multiply-renormalize rounds as chained CTEs (every division is
+    // // — truncation parity with Spark's div on decimals), Rayleigh
+    // share in ONE truncating division.
+    "x212_covariance_spectrum" -> {
+      // AS MATERIALIZED on every per-round CTE: x_r references y_r
+      // TWICE (directly and via m_r), so DuckDB\u2019s default inlining
+      // doubles the expression tree per round \u2014 2\u2078 copies of the
+      // whole covariance pipeline. Materialization keeps it linear.
+      val rounds = (1 to 8).map { r =>
+        val prev = s"x${r - 1}"
+        s"""y$r AS MATERIALIZED (
+           |  SELECT cm.i, CAST(sum(cm.v::HUGEINT * x.x) AS HUGEINT) AS y
+           |  FROM cm JOIN $prev x ON x.i = cm.j GROUP BY 1),
+           |m$r AS (SELECT max(abs(y)) AS my FROM y$r),
+           |x$r AS MATERIALIZED (SELECT i, y * 1000000 // my AS x
+           |        FROM y$r, m$r WHERE my > 0)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH el AS MATERIALIZED (
+         |  SELECT vec_id AS id, CAST(u.i - 1 AS BIGINT) AS i,
+         |         CAST(round(embedding[CAST(u.i AS INT)]::DOUBLE * 1000000)
+         |              AS BIGINT) AS q
+         |  FROM embeddings,
+         |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u),
+         |nn AS (SELECT CAST(count(DISTINCT id) AS HUGEINT) AS n,
+         |              CAST(count(DISTINCT id) AS BIGINT) AS n_vecs FROM el),
+         |sm AS (SELECT i, CAST(sum(q) AS HUGEINT) AS s FROM el GROUP BY 1),
+         |cp AS (SELECT a.i AS i, b.i AS j,
+         |         CAST(sum(a.q::HUGEINT * b.q::HUGEINT) AS HUGEINT) AS pp
+         |       FROM el a JOIN el b ON a.id = b.id GROUP BY 1, 2),
+         |c0 AS (SELECT cp.i, cp.j, nn.n * cp.pp - si.s * sj.s AS c
+         |       FROM cp
+         |       JOIN sm si ON si.i = cp.i
+         |       JOIN sm sj ON sj.i = cp.j
+         |       CROSS JOIN nn),
+         |mx AS (SELECT max(abs(c)) AS m FROM c0),
+         |cm AS MATERIALIZED (
+         |  SELECT i, j, c * 1000000 // m AS v FROM c0, mx WHERE m > 0),
+         |x0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS x FROM sm),
+         |$rounds,
+         |y9 AS (SELECT cm.i, CAST(sum(cm.v::HUGEINT * x.x) AS HUGEINT) AS y
+         |       FROM cm JOIN x8 x ON x.i = cm.j GROUP BY 1),
+         |ray AS (SELECT CAST(sum(y9.y * x.x) AS HUGEINT) AS num,
+         |               CAST(sum(x.x * x.x) AS HUGEINT) AS den
+         |        FROM y9 JOIN x8 x USING (i)),
+         |tr AS (SELECT CAST(sum(v) AS HUGEINT) AS t FROM cm WHERE i = j),
+         |top AS (SELECT CAST(i AS BIGINT) AS top_dim FROM x8
+         |        ORDER BY abs(x) DESC, i LIMIT 1)
+         |SELECT nn.n_vecs, top.top_dim,
+         |       CAST(num * 1000000 // (den * t) AS BIGINT)
+         |         AS top_eig_share_micro
+         |FROM nn, top, ray, tr WHERE t > 0 AND den > 0""".stripMargin
+    },
+
+    // Replays interpolateDaily: x200's dense day spine, last/first
+    // IGNORE NULLS neighbor windows, truncating straight-line fill.
+    "x213_daily_interpolation" ->
+      """WITH daily AS (SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |                CAST(sum(CAST(round(value * 100.0) AS BIGINT))
+        |                  AS BIGINT) AS v
+        |               FROM events GROUP BY 1, 2),
+        |spans AS (SELECT t, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |spine AS (SELECT s.t, CAST(u.d AS DATE) AS day
+        |          FROM spans s, LATERAL (
+        |            SELECT unnest(generate_series(s.lo::TIMESTAMP,
+        |              s.hi::TIMESTAMP, INTERVAL 1 DAY)) AS d) u),
+        |dense AS (SELECT sp.t, sp.day, d.v FROM spine sp
+        |          LEFT JOIN daily d ON d.t = sp.t AND d.day = sp.day),
+        |w AS (SELECT t, day, v,
+        |        last_value(v IGNORE NULLS) OVER (PARTITION BY t ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        |        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |          OVER (PARTITION BY t ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dp,
+        |        first_value(v IGNORE NULLS) OVER (PARTITION BY t ORDER BY day
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+        |        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |          OVER (PARTITION BY t ORDER BY day
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn
+        |      FROM dense)
+        |SELECT t AS event_type, CAST(day AS STRING) AS day,
+        |       CAST(CASE WHEN v IS NOT NULL THEN v
+        |            WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+        |              vp + (vn - vp) * date_diff('day', dp, day)
+        |                // date_diff('day', dp, dn)
+        |            ELSE coalesce(vp, vn) END AS BIGINT) AS v_cents,
+        |       v IS NULL AS interpolated
+        |FROM w ORDER BY event_type, day""".stripMargin,
 
     // Replays exactQuantilesByGroup: per-(source, n_chars) histogram,
     // grouped cumulative window, percentile_disc rank rule as the

@@ -563,4 +563,23 @@ class DedupSpec extends SparkSpec {
     // every chunk occurrence is leaked
     assert(want.forall(_._6 == 1000000L), want)
   }
+  test("clusterSizeProfile: size spectrum covers the corpus — CC clusters " +
+      "plus singletons, exact doc shares") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // clusters: {1,2,3} and {4,5}; doc 6 unpaired -> singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.clusterSizeProfile(docs, clusters)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 166666L),
+      (2L, 1L, 2L, 333333L),
+      (3L, 1L, 3L, 500000L)))
+    // all-singleton corpus: one row, full share
+    val none = Dedup.clusterSizeProfile(docs,
+        spark.emptyDataset[(Long, Long)].toDF("doc_id", "cluster_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(none.toSeq == Seq((1L, 6L, 6L, 1000000L)))
+  }
 }

@@ -624,4 +624,32 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("histogram-collapse envelope"), e.getMessage)
   }
+
+  test("giniByGroup: hand-traced Lorenz identity off the histogram; " +
+      "uniform group reads 0; envelope and negative values raise") {
+    import spark.implicits._
+    // A [1,2,3,4]: 2S=60, T=10, n=4 -> (60-50)*1e6/(40) = 250000
+    // B [5,5,5]: 2S=60, T=15, n=3 -> (60-60)/(45) = 0
+    val df = (Seq(1L, 2L, 3L, 4L).map(("A", _)) ++
+      Seq(5L, 5L, 5L).map(("B", _))).toDF("src", "v")
+    val out = Profile.giniByGroup(df, "v", "src")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("A", 4L, 10L, 250000L), ("B", 3L, 15L, 0L)))
+    // extreme concentration: [0,0,0,12] -> 2S=96, T=12, n=4
+    // -> (96-60)*1e6/48 = 750000 = (n-1)/n
+    val ext = Profile.giniByGroup(
+        Seq(0L, 0L, 0L, 12L).map(("C", _)).toDF("src", "v"), "v", "src")
+      .as[(String, Long, Long, Long)].collect()
+    assert(ext.toSeq == Seq(("C", 4L, 12L, 750000L)))
+    val eEnv = intercept[Exception] {
+      Profile.giniByGroup(df, "v", "src", maxDistinct = 2L).collect()
+    }
+    assert(eEnv.getMessage.contains("histogram-collapse envelope"),
+      eEnv.getMessage)
+    val eNeg = intercept[Exception] {
+      Profile.giniByGroup(Seq(("A", -1L), ("A", 3L)).toDF("src", "v"),
+        "v", "src").collect()
+    }
+    assert(eNeg.getMessage.contains("undefined for negative"), eNeg.getMessage)
+  }
 }

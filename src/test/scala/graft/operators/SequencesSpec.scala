@@ -794,4 +794,37 @@ class SequencesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got == pi, s"engine $got != reference $pi")
   }
+  test("interpolateDaily: interior gaps take the floor-exact straight " +
+      "line; observed days pass through; negative slope truncates " +
+      "toward zero in both engines") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // type a: day1 = 1.00, day4 = 4.00 -> day2 2.00, day3 3.00
+      ("a", ts("2024-01-01 10:00:00"), 1.00),
+      ("a", ts("2024-01-04 10:00:00"), 4.00),
+      // type b: day1 = 0.00, day3 = 1.01 -> day2 = 101*1 div 2 = 50c
+      ("b", ts("2024-01-01 00:00:00"), 0.00),
+      ("b", ts("2024-01-03 00:00:00"), 1.01),
+      // type c: NEGATIVE slope 0 -> -1.01: day2 = (-101) div 2 = -50c
+      ("c", ts("2024-01-01 00:00:00"), 0.00),
+      ("c", ts("2024-01-03 00:00:00"), -1.01),
+      // two events same day sum to one daily value
+      ("a", ts("2024-01-01 23:00:00"), 0.50))
+      .toDF("event_type", "ts", "value")
+    val out = Sequences.interpolateDaily(ev)
+      .as[(String, java.sql.Date, Long, Boolean)].collect()
+      .map { case (t, d, v, i) => (t, d.toString, v, i) }
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 150L, false),
+      ("a", "2024-01-02", 233L, true),  // 150 + 250*1 div 3 = 233
+      ("a", "2024-01-03", 316L, true),  // 150 + 250*2 div 3 = 316
+      ("a", "2024-01-04", 400L, false),
+      ("b", "2024-01-01", 0L, false),
+      ("b", "2024-01-02", 50L, true),
+      ("b", "2024-01-03", 101L, false),
+      ("c", "2024-01-01", 0L, false),
+      ("c", "2024-01-02", -50L, true),  // trunc toward zero, not -51
+      ("c", "2024-01-03", -101L, false)))
+  }
 }

@@ -529,4 +529,44 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Long, Long, Long, Long)].collect()
     assert(out.toSeq == Seq((0, 2L, 250000000000L, 250000000000L, 2L)))
   }
+
+  test("covarianceSpectrum: integer power iteration matches an independent " +
+      "BigInt reference on a dominant-axis corpus; trivial corpus is stable") {
+    import spark.implicits._
+    // 4 vectors, dim 3: variance lives almost entirely on axis 0
+    val vecs = Seq(
+      (1L, Array(10.0f, 1.0f, 0.0f)),
+      (2L, Array(-10.0f, 0.0f, 1.0f)),
+      (3L, Array(9.0f, -1.0f, 0.5f)),
+      (4L, Array(-9.0f, 0.5f, -0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.covarianceSpectrum(df, iters = 8)
+      .as[(Long, Long, Long)].collect()
+
+    // independent reference: same integer pipeline in BigInt
+    val n = BigInt(vecs.length)
+    val q = vecs.map(_._2.map(v => BigInt(math.round(v.toDouble * 1e6))))
+    val d = 3
+    val sums = (0 until d).map(i => q.map(_(i)).sum)
+    val c = Array.tabulate(d, d) { (i, j) =>
+      n * q.map(v => v(i) * v(j)).sum - sums(i) * sums(j) }
+    val m = c.flatten.map(_.abs).max
+    val cm = c.map(_.map(v => v * 1000000 / m)) // BigInt / truncates
+    var x = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to 8) {
+      val y = Array.tabulate(d)(i => (0 until d).map(j => cm(i)(j) * x(j)).sum)
+      val my = y.map(_.abs).max
+      x = y.map(v => v * 1000000 / my)
+    }
+    val y9 = Array.tabulate(d)(i => (0 until d).map(j => cm(i)(j) * x(j)).sum)
+    val num = (0 until d).map(i => y9(i) * x(i)).sum
+    val den = x.map(v => v * v).sum
+    val tr = (0 until d).map(i => cm(i)(i)).sum
+    val share = (num * 1000000 / (den * tr)).toLong
+    val topDim = (0 until d).minBy(i => (-x(i).abs, i)).toLong
+    assert(got.toSeq == Seq((4L, topDim, share)),
+      s"engine ${got.toSeq} != reference ${Seq((4L, topDim, share))}")
+    // the dominant direction must be axis 0 and carry nearly all mass
+    assert(topDim == 0L && share > 950000L, s"($topDim, $share)")
+  }
 }

@@ -1066,6 +1066,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x210: Gini reads off the checkpointed histogram — the final plan " +
+    "windows the HISTOGRAM (no corpus re-scan), no cartesian") {
+    val plan = physical(ExtensionQueries.x210(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed histogram
+    assert(!plan.contains("Scan parquet"), plan)    // corpus never re-read
+    assert(plan.contains("Window"), plan)           // cumulative over cells
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x211: the cluster-size spectrum is hash aggregations over the " +
+    "checkpointed CC labels — no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x211(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed CC labels
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("x212: the spectrum result assembles 1-row broadcast frames over " +
+    "checkpointed iteration state — no corpus scan, no window, no " +
+    "cartesian in the final plan") {
+    val plan = physical(ExtensionQueries.x212(spark, sf001))
+    assert(!plan.contains("Scan parquet"), plan)    // all rounds checkpointed
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x213: interpolation windows ride the bounded day SPINE (dense " +
+    "calendar frame), never event rows — no cartesian") {
+    val plan = physical(ExtensionQueries.x213(spark, sf001))
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x197: the l-diversity profile is ONE aggregation pass over the QI " +
     "tuple — no window, no join, no cartesian") {
     val plan = physical(ExtensionQueries.x197(spark, sf001))
