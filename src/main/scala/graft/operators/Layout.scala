@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, count, expr, floor, lit, raise_error, row_number, sum, when}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, concat, count, explode, expr, floor, lit, min, raise_error, row_number, struct, sum, when}
 
 /** Output-layout discipline — the WRITE side of a 100 TB pipeline.
   * Reading fast at scale is decided when the data is WRITTEN: directory
@@ -336,5 +336,73 @@ object Layout {
           .cast("bigint").as("share_micro"))
       .orderBy(col("contrib").desc, col("key"))
       .limit(topN)
+  }
+
+  /** Join ORDER advisor for a three-way equi-join on one key — the
+    * classic optimizer decision, forecast exactly from key histograms
+    * the way [[joinSizeAdvisor]] forecasts one join: the final size
+    * Σₖ aₖ·bₖ·cₖ is order-independent, so the decision metric is the
+    * INTERMEDIATE relation each order materializes (Σ aₖbₖ for
+    * (A⋈B)⋈C, etc.) — the number that decides shuffle volume and
+    * spill. One row per order with its intermediate forecast, the
+    * shared final size, and a `best` flag on the (smallest
+    * intermediate, order name) winner — feed the winner to the join
+    * planner the same way x199's salt factors feed the skew rule.
+    *
+    * Scale: three histograms (one hash agg per input), histogram-
+    * sized joins, never row volume. All sizes compute in
+    * DECIMAL(38,0) and refuse loudly past the BIGINT output envelope
+    * (the [[joinSizeAdvisor]] ADVICE-r13 pattern).
+    *
+    * Output: (join_order, intermediate_rows, final_rows, best),
+    * ordered by join_order. */
+  def joinOrderAdvisor(a: DataFrame, b: DataFrame, c: DataFrame,
+      keyCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val longMax = lit(Long.MaxValue).cast(dec)
+    def hist(df: DataFrame, out: String) = df
+      .select(col(keyCol).cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).cast(dec).as(out))
+    val h = hist(a, "na")
+      .join(hist(b, "nb"), Seq("key"), "full_outer")
+      .join(hist(c, "nc"), Seq("key"), "full_outer")
+      .select(
+        coalesce(col("na"), lit(0).cast(dec)).as("na"),
+        coalesce(col("nb"), lit(0).cast(dec)).as("nb"),
+        coalesce(col("nc"), lit(0).cast(dec)).as("nc"))
+      .localCheckpoint(true) // one histogram frame feeds all four sums
+    val sums = h.agg(
+      coalesce(sum(col("na") * col("nb")), lit(0).cast(dec)).as("__ab"),
+      coalesce(sum(col("na") * col("nc")), lit(0).cast(dec)).as("__ac"),
+      coalesce(sum(col("nb") * col("nc")), lit(0).cast(dec)).as("__bc"),
+      coalesce(sum(col("na") * col("nb") * col("nc")), lit(0).cast(dec))
+        .as("__fin"))
+    def guarded(c0: Column, what: String): Column =
+      when(c0 > longMax,
+        raise_error(concat(lit(s"joinOrderAdvisor: $what forecast "),
+          c0.cast("string"),
+          lit(" rows — past the BIGINT output envelope (9.2e18)")))
+          .cast("bigint"))
+        .otherwise(c0.cast("bigint"))
+    val wide = sums.select(
+      guarded(col("__ab"), "(a JOIN b)").as("ab"),
+      guarded(col("__ac"), "(a JOIN c)").as("ac"),
+      guarded(col("__bc"), "(b JOIN c)").as("bc"),
+      guarded(col("__fin"), "final").as("fin"))
+    val orders = wide.select(explode(array(
+      struct(lit("ab_then_c").as("join_order"), col("ab").as("intermediate_rows")),
+      struct(lit("ac_then_b").as("join_order"), col("ac").as("intermediate_rows")),
+      struct(lit("bc_then_a").as("join_order"), col("bc").as("intermediate_rows"))))
+      .as("o"), col("fin").as("final_rows"))
+      .select(col("o.join_order").as("join_order"),
+        col("o.intermediate_rows").as("intermediate_rows"), col("final_rows"))
+    val best = orders
+      .agg(min(struct(col("intermediate_rows").as("r"),
+        col("join_order").as("n"))).as("b"))
+      .select(col("b.n").as("__best"))
+    orders.crossJoin(broadcast(best))
+      .select(col("join_order"), col("intermediate_rows"), col("final_rows"),
+        (col("join_order") === col("__best")).as("best"))
+      .orderBy(col("join_order"))
   }
 }

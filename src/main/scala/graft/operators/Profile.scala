@@ -1461,6 +1461,51 @@ object Profile {
       .orderBy(col(groupCol))
   }
 
+  /** Bounded-contribution CAPPING CURVE — the DP-prep / abuse-control
+    * read: before a pipeline clips each (user, day) to at most k
+    * events (the standard sensitivity bound for user-level privacy
+    * accounting and for rate-limit design), this audits what each
+    * candidate cap would cost: how many (user, day) contribution
+    * units exceed it and what share of total events clipping would
+    * discard. The knee of this curve IS the cap choice.
+    *
+    * Scale: one hash aggregation to (user, day) counts, an explode
+    * over the ≤ dozens-of-caps literal array, one partial+final
+    * re-aggregation per cap — no windows, no joins beyond the 1-row
+    * total broadcast.
+    *
+    * Output per cap: (cap, n_units, n_units_clipped, events_lost,
+    * loss_micro = lost·10⁶ div total_events), ordered by cap. */
+  def contributionCapping(events: DataFrame, caps: Seq[Int],
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(caps.nonEmpty && caps.forall(_ >= 1),
+      s"contributionCapping: caps must be positive, got $caps")
+    require(caps.distinct.size == caps.size,
+      s"contributionCapping: duplicate caps in $caps")
+    val units = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .groupBy(col("__u"), col("__d"))
+      .agg(count(lit(1)).cast("bigint").as("__c"))
+      .localCheckpoint(true) // feeds the total AND every cap row
+    val tot = units.agg(coalesce(sum(col("__c")), lit(0L))
+      .cast("bigint").as("__tot"))
+    val capArr = array(caps.sorted.map(k => lit(k.toLong)): _*)
+    units
+      .select(col("__c"), explode(capArr).as("cap"))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).cast("bigint").as("n_units"),
+        sum(when(col("__c") > col("cap"), 1L).otherwise(0L))
+          .cast("bigint").as("n_units_clipped"),
+        sum(greatest(col("__c") - col("cap"), lit(0L)))
+          .cast("bigint").as("events_lost"))
+      .crossJoin(broadcast(tot))
+      .filter(col("__tot") > 0)
+      .select(col("cap"), col("n_units"), col("n_units_clipped"),
+        col("events_lost"),
+        expr("events_lost * 1000000L div __tot").as("loss_micro"))
+      .orderBy(col("cap"))
+  }
+
   /** Exact per-group GINI concentration over the value histogram —
     * the Lorenz-curve inequality read (how concentrated are tokens /
     * bytes / events across a group's documents) beside

@@ -1492,6 +1492,74 @@ object Sequences {
       .orderBy(col("event_type"))
   }
 
+  /** Exact daily AUTOCORRELATION per event type — the seasonality
+    * detector behind [[weekdaySeasonality]]'s fixed-period test: ACF
+    * at lag 1 (momentum/burst persistence) and lag 7 (weekly rhythm)
+    * over the zero-filled dense day spine. The integer-exactness
+    * trick: with n days and total T, the n-SCALED deviations
+    * dₜ = n·xₜ − T are exact integers, and the n² factors cancel in
+    * the ACF ratio Σ dₜ·dₜ₊ₖ / Σ dₜ² — so the whole statistic is one
+    * integer division, no mean rounding anywhere (the x217 sibling of
+    * x202's integer power iteration). Numerator pairs run t ≤ n−k,
+    * the denominator over all n days (the standard biased ACF).
+    *
+    * Scale: dense spine bounded by types × calendar span (the
+    * x135/x200 envelope); deviations and the k-step neighbor come
+    * from ONE type-partitioned window over the spine; products sum
+    * in DECIMAL(38,0) (n·xₜ reaches 10⁵·10¹² for a decade-long
+    * 10¹²-event type — past BIGINT).
+    *
+    * Output: (event_type, lag, n_days,
+    * acf_micro = Σdₜdₜ₊ₖ·10⁶ div Σdₜ², truncation parity with the
+    * oracle's //), types with zero variance excluded, ordered by
+    * (event_type, lag). */
+  def dailyAutocorrelation(events: DataFrame, lags: Seq[Int] = Seq(1, 7),
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"dailyAutocorrelation: lags must be >= 1, got $lags")
+    require(lags.distinct.size == lags.size,
+      s"dailyAutocorrelation: duplicate lags in $lags")
+    val dec = "decimal(38,0)"
+    val daily = events
+      .select(col(typeCol).as("__t"), to_date(col(tsCol)).as("__day"))
+      .groupBy(col("__t"), col("__day")).agg(count(lit(1)).as("__x"))
+    val spans = daily.groupBy(col("__t"))
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+    val spine = spans.select(col("__t"),
+      explode(expr("sequence(__lo, __hi, interval 1 day)")).as("__day"))
+    val dense = spine.join(daily, Seq("__t", "__day"), "left")
+      .select(col("__t"), col("__day"),
+        coalesce(col("__x"), lit(0L)).as("__x"))
+    val tot = dense.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("bigint").as("__n"),
+        sum(col("__x")).cast("bigint").as("__tt"))
+    val dev = dense.join(broadcast(tot), "__t")
+      .select(col("__t"), col("__day"), col("__n"),
+        (col("__n").cast(dec) * col("__x").cast(dec) -
+          col("__tt").cast(dec)).as("__d"))
+      .localCheckpoint(true) // one spine frame feeds every lag
+    val w = Window.partitionBy(col("__t")).orderBy(col("__day"))
+    val lagged = dev.select(
+      (col("__t") +: col("__n") +: col("__d") +:
+        lags.map(k => lead(col("__d"), k).over(w).as(s"__d$k"))): _*)
+    val lagArr = array(lags.sorted.map(k => lit(k.toLong)): _*)
+    lagged
+      .groupBy(col("__t"), col("__n").as("n_days")) // __n constant per type
+      .agg(sum(col("__d") * col("__d")).as("__den"),
+        lags.map(k => sum(col("__d") * col(s"__d$k")).as(s"__num$k")): _*)
+      .filter(col("__den") > 0)
+      .select(col("__t"), col("n_days"), col("__den"),
+        explode(lagArr).as("lag"),
+        // pick this lag's numerator off the wide row
+        lags.sorted.map(k => when(lit(k.toLong) === col("lag"),
+          col(s"__num$k"))).reduce(coalesce(_, _)).as("__num"))
+      .select(col("__t").as(typeCol), col("lag"), col("n_days"),
+        expr("(__num * CAST(1000000 AS DECIMAL(38,0))) div __den")
+          .as("acf_micro"))
+      .orderBy(col(typeCol), col("lag"))
+  }
+
   /** Linear interpolation over each series' daily gaps — the metric
     * REPAIR read next to [[weekdaySeasonality]]'s dense spine and
     * q40's zero-fill: a day with no observations for a type gets the

@@ -2900,4 +2900,38 @@ object TextAnalysis {
         expr("-(__s div n_bigrams)").as("h_cond_micro"))
       .orderBy(col(groupCol))
   }
+
+  /** Hapax-legomenon vocabulary profile — the rare-tail health read
+    * per group: share of a group's vocabulary seen exactly ONCE
+    * (hapax) and the type-token ratio. A high hapax share with a low
+    * TTR means a long noise tail over boilerplate (OCR debris, ID
+    * strings); hapax collapsing toward zero means the tokenizer's
+    * open-vocabulary assumption is failing. Complements x152's Heaps
+    * growth curve (global trajectory) with the per-source point read
+    * and x164's exclusive-vocab share (cross-source overlap).
+    *
+    * Scale: one tokenize pass to the (group, word) term-frequency
+    * histogram, one re-aggregation per group. No windows.
+    *
+    * Output: (groupCol, n_tokens, vocab, hapax,
+    * hapax_share_micro = hapax·10⁶ div vocab,
+    * ttr_micro = vocab·10⁶ div n_tokens), ordered by group. */
+  def hapaxProfile(docs: DataFrame, textCol: String = "text",
+      groupCol: String = "source"): DataFrame = {
+    docs
+      .select(col(groupCol).as("grp"),
+        explode(words(col(textCol))).as("__w"))
+      .groupBy(col("grp"), col("__w"))
+      .agg(count(lit(1)).cast("bigint").as("__c"))
+      .groupBy(col("grp"))
+      .agg(sum(col("__c")).cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("vocab"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L))
+          .cast("bigint").as("hapax"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("vocab"),
+        col("hapax"),
+        expr("hapax * 1000000L div vocab").as("hapax_share_micro"),
+        expr("vocab * 1000000L div n_tokens").as("ttr_micro"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -2457,6 +2457,46 @@ object ExtensionQueries {
       .select(col("event_type"), col("day").cast("string").as("day"),
         col("v_cents"), col("interpolated"))
 
+  /** x214 contribution-capping curve — see
+    * [[graft.operators.Profile.contributionCapping]]: what clipping
+    * each (user, day) to k events costs, per candidate cap — the
+    * DP-prep sensitivity audit beside x157's k-anonymity and x197's
+    * l-diversity. */
+  def x214(s: SparkSession, dir: String): DataFrame =
+    Profile.contributionCapping(Tables.load(s, dir, "events"),
+      Seq(1, 2, 5, 10, 20, 50))
+
+  /** x215 hapax vocabulary profile — see
+    * [[graft.operators.TextAnalysis.hapaxProfile]]: per-source
+    * hapax-legomenon share and type-token ratio — the rare-tail point
+    * read beside x152's Heaps curve and x164's exclusive vocab. */
+  def x215(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hapaxProfile(docs(s, dir))
+
+  /** x216 join-order advisor — see
+    * [[graft.operators.Layout.joinOrderAdvisor]]: exact intermediate-
+    * size forecasts for the three orders of a supplier-scoped 3-way
+    * equi-join (lineitem × supplier × returned-lineitem on suppkey),
+    * from key histograms only — the x207 forecast loop extended to
+    * the optimizer's order decision. */
+  def x216(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    graft.operators.Layout.joinOrderAdvisor(
+      li.select(col("l_suppkey").as("k")),
+      Tables.load(s, dir, "supplier").select(col("s_suppkey").as("k")),
+      li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k")),
+      "k")
+  }
+
+  /** x217 daily autocorrelation — see
+    * [[graft.operators.Sequences.dailyAutocorrelation]]: exact ACF at
+    * lags 1 and 7 over each type's zero-filled day spine via the
+    * n-scaled deviation identity — burst persistence and weekly
+    * rhythm beside x200's fixed-period chi². */
+  def x217(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.dailyAutocorrelation(
+      Tables.load(s, dir, "events"), lags = Seq(1, 7))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2721,6 +2761,10 @@ object ExtensionQueries {
     "x211_cluster_sizes" -> (x211 _),
     "x212_covariance_spectrum" -> (x212 _),
     "x213_daily_interpolation" -> (x213 _),
+    "x214_contribution_capping" -> (x214 _),
+    "x215_hapax_profile" -> (x215 _),
+    "x216_join_order_advisor" -> (x216 _),
+    "x217_daily_autocorrelation" -> (x217 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -7733,6 +7777,102 @@ object ExtensionQueries {
          |       CAST(cluster_size * n_clusters * 1000000 // t AS BIGINT)
          |         AS doc_share_micro
          |FROM spec, tot ORDER BY cluster_size""".stripMargin,
+
+    // Replays contributionCapping: (user, day) units, greatest-based
+    // clip losses, one row per cap off the unnested cap list.
+    "x214_contribution_capping" ->
+      """WITH u AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM u),
+        |x AS (SELECT c, unnest([1, 2, 5, 10, 20, 50]) AS cap FROM u)
+        |SELECT CAST(cap AS BIGINT) AS cap,
+        |       CAST(count(*) AS BIGINT) AS n_units,
+        |       CAST(sum(CASE WHEN c > cap THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_units_clipped,
+        |       CAST(sum(greatest(c - cap, 0)) AS BIGINT) AS events_lost,
+        |       CAST(sum(greatest(c - cap, 0)) * 1000000 // tot AS BIGINT)
+        |         AS loss_micro
+        |FROM x, t GROUP BY cap, tot ORDER BY cap""".stripMargin,
+
+    // Replays hapaxProfile: one (source, word) term-frequency
+    // histogram, per-source rollup with the c = 1 hapax split.
+    "x215_hapax_profile" ->
+      s"""WITH tf AS (SELECT grp, w, CAST(count(*) AS BIGINT) AS c FROM (
+         |  SELECT source AS grp, unnest(${wordsSql("text")}) AS w
+         |  FROM documents) z GROUP BY 1, 2)
+         |SELECT grp AS source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |       CAST(count(*) AS BIGINT) AS vocab,
+         |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS hapax,
+         |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+         |         // count(*) AS BIGINT) AS hapax_share_micro,
+         |       CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_micro
+         |FROM tf GROUP BY grp ORDER BY source""".stripMargin,
+
+    // Replays joinOrderAdvisor on (lineitem, supplier, returned
+    // lineitem) suppkey histograms: pairwise intermediate forecasts,
+    // shared final size, smallest-intermediate winner.
+    "x216_join_order_advisor" ->
+      """WITH ha AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+        |              CAST(count(*) AS HUGEINT) AS n
+        |            FROM lineitem GROUP BY 1),
+        |hb AS (SELECT CAST(s_suppkey AS VARCHAR) AS key,
+        |         CAST(count(*) AS HUGEINT) AS n FROM supplier GROUP BY 1),
+        |hc AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+        |         CAST(count(*) AS HUGEINT) AS n
+        |       FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+        |h AS (SELECT coalesce(ha.n, 0) AS na, coalesce(hb.n, 0) AS nb,
+        |             coalesce(hc.n, 0) AS nc
+        |      FROM ha FULL OUTER JOIN hb USING (key)
+        |      FULL OUTER JOIN hc USING (key)),
+        |s AS (SELECT CAST(sum(na * nb) AS BIGINT) AS ab,
+        |             CAST(sum(na * nc) AS BIGINT) AS ac,
+        |             CAST(sum(nb * nc) AS BIGINT) AS bc,
+        |             CAST(sum(na * nb * nc) AS BIGINT) AS fin FROM h),
+        |o AS (SELECT 'ab_then_c' AS join_order, ab AS intermediate_rows,
+        |             fin AS final_rows FROM s
+        |      UNION ALL SELECT 'ac_then_b', ac, fin FROM s
+        |      UNION ALL SELECT 'bc_then_a', bc, fin FROM s),
+        |b AS (SELECT join_order AS bo FROM o
+        |      ORDER BY intermediate_rows, join_order LIMIT 1)
+        |SELECT join_order, intermediate_rows, final_rows,
+        |       join_order = b.bo AS best
+        |FROM o, b ORDER BY join_order""".stripMargin,
+
+    // Replays dailyAutocorrelation: dense spine, n-scaled deviations
+    // in HUGEINT (the n² cancellation), lead windows per lag, one
+    // truncating division per (type, lag).
+    "x217_daily_autocorrelation" ->
+      """WITH daily AS (SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |                CAST(count(*) AS BIGINT) AS x
+        |               FROM events GROUP BY 1, 2),
+        |spans AS (SELECT t, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |spine AS (SELECT s.t, CAST(u.d AS DATE) AS day
+        |          FROM spans s, LATERAL (
+        |            SELECT unnest(generate_series(s.lo::TIMESTAMP,
+        |              s.hi::TIMESTAMP, INTERVAL 1 DAY)) AS d) u),
+        |dense AS (SELECT sp.t, sp.day, coalesce(d.x, 0) AS x
+        |          FROM spine sp LEFT JOIN daily d
+        |            ON d.t = sp.t AND d.day = sp.day),
+        |tot AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(x) AS BIGINT) AS tt FROM dense GROUP BY 1),
+        |dev AS (SELECT d.t, d.day, tot.n,
+        |               CAST(tot.n AS HUGEINT) * d.x - tot.tt AS dd
+        |        FROM dense d JOIN tot USING (t)),
+        |lg AS (SELECT t, n, dd,
+        |         lead(dd, 1) OVER (PARTITION BY t ORDER BY day) AS d1,
+        |         lead(dd, 7) OVER (PARTITION BY t ORDER BY day) AS d7
+        |       FROM dev),
+        |ag AS (SELECT t, n, CAST(sum(dd * dd) AS HUGEINT) AS den,
+        |              CAST(sum(dd * d1) AS HUGEINT) AS n1,
+        |              CAST(sum(dd * d7) AS HUGEINT) AS n7
+        |       FROM lg GROUP BY 1, 2)
+        |SELECT t AS event_type, CAST(u.lag AS BIGINT) AS lag, n AS n_days,
+        |       CAST((CASE WHEN u.lag = 1 THEN n1 ELSE n7 END) * 1000000
+        |         // den AS BIGINT) AS acf_micro
+        |FROM ag, LATERAL (SELECT unnest([1, 7]) AS lag) u
+        |WHERE den > 0 ORDER BY event_type, lag""".stripMargin,
 
     // Replays covarianceSpectrum: micro-quantized elements, n-scaled
     // covariance in HUGEINT, matrix renormalized by max |cell|, eight

@@ -222,4 +222,18 @@ class LayoutSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("hot", 4000000L, 4000000L, 16000000000000L, 16000000000000L, 1000000L)))
   }
+  test("joinOrderAdvisor: intermediate forecasts from key histograms, " +
+      "order-independent final size, smallest-intermediate winner") {
+    import spark.implicits._
+    val a = Seq("k1", "k1", "k2").toDF("k")
+    val b = Seq("k1", "k2", "k2").toDF("k")
+    val c = Seq("k2").toDF("k")
+    val out = Layout.joinOrderAdvisor(a, b, c, "k")
+      .as[(String, Long, Long, Boolean)].collect()
+    // ab = 2*1 + 1*2 = 4; ac = 1; bc = 2; final = 2*1*0 + 1*2*1 = 2
+    assert(out.toSeq == Seq(
+      ("ab_then_c", 4L, 2L, false),
+      ("ac_then_b", 1L, 2L, true),
+      ("bc_then_a", 2L, 2L, false)))
+  }
 }

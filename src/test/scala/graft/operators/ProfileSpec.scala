@@ -652,4 +652,19 @@ class ProfileSpec extends SparkSpec {
     }
     assert(eNeg.getMessage.contains("undefined for negative"), eNeg.getMessage)
   }
+  test("contributionCapping: per-(user, day) units, clipped counts and " +
+      "exact loss share per cap") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = (Seq.fill(5)(("u1", "2024-01-01 10:00:00")) ++
+      Seq(("u1", "2024-01-02 10:00:00")) ++
+      Seq.fill(2)(("u2", "2024-01-01 09:00:00")))
+      .map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts")
+    val out = Profile.contributionCapping(ev, Seq(3, 1))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // units: (u1,d1)=5, (u1,d2)=1, (u2,d1)=2; total 8
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, 5L, 625000L),
+      (3L, 3L, 1L, 2L, 250000L)))
+  }
 }

@@ -827,4 +827,26 @@ class SequencesSpec extends SparkSpec {
       ("c", "2024-01-02", -50L, true),  // trunc toward zero, not -51
       ("c", "2024-01-03", -101L, false)))
   }
+  test("dailyAutocorrelation: n-scaled deviation identity hand-traced; " +
+      "spine gap days count as zeros") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // type a, 4 days [3,1,3,1]: d = 4x-8 = [4,-4,4,-4], den 64
+    // lag1 num = -48 -> -750000; lag2 num = 32 -> 500000
+    val a = Seq.fill(3)("2024-01-01") ++ Seq("2024-01-02") ++
+      Seq.fill(3)("2024-01-03") ++ Seq("2024-01-04")
+    // type b, days 1 and 3 (day 2 a GAP -> zero): x=[2,0,4],
+    // d = 3x-6 = [0,-6,6], den 72, lag1 num = -36 -> -500000
+    val b = Seq.fill(2)("2024-01-01") ++ Seq.fill(4)("2024-01-03")
+    val ev = (a.map(("a", _)) ++ b.map(("b", _)))
+      .map { case (t, d) => (t, ts(d + " 12:00:00")) }
+      .toDF("event_type", "ts")
+    val out = Sequences.dailyAutocorrelation(ev, lags = Seq(1, 2))
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("a", 1L, 4L, -750000L),
+      ("a", 2L, 4L, 500000L),
+      ("b", 1L, 3L, -500000L),
+      ("b", 2L, 3L, 0L)))
+  }
 }

@@ -1174,4 +1174,13 @@ class TextAnalysisSpec extends SparkSpec {
       ("A", 4L, 2L, 0L),
       ("B", 3L, 3L, 462098L)))
   }
+  test("hapaxProfile: per-source vocab, hapax share and type-token ratio") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b", "A"), (2L, "c", "B")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.hapaxProfile(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("A", 3L, 2L, 1L, 500000L, 666666L),
+      ("B", 1L, 1L, 1L, 1000000L, 1000000L)))
+  }
 }

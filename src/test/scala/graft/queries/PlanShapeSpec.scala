@@ -1100,6 +1100,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x214: the capping curve re-aggregates the checkpointed (user, day) " +
+    "unit frame per cap — no window, no corpus re-scan") {
+    val plan = physical(ExtensionQueries.x214(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed units
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x215: the hapax profile is one tokenize pass + two hash " +
+    "aggregations — single corpus scan, no window, no join") {
+    val plan = physical(ExtensionQueries.x215(spark, sf001))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$plan")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("x216: order forecasts aggregate the checkpointed 3-way key " +
+    "histogram — never row volume, no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x216(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed histogram
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x217: ACF windows ride the checkpointed deviation SPINE (bounded " +
+    "by calendar span), not event rows — no corpus re-scan") {
+    val plan = physical(ExtensionQueries.x217(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed spine
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x197: the l-diversity profile is ONE aggregation pass over the QI " +
     "tuple — no window, no join, no cartesian") {
     val plan = physical(ExtensionQueries.x197(spark, sf001))
