@@ -1193,6 +1193,43 @@ object Dedup {
       .orderBy(col("split"))
   }
 
+  /** Near-dup incidence BY LENGTH BUCKET — are long documents more
+    * duplicated than short ones? The length-conditioned dup-rate read
+    * that decides whether a dedup threshold can be uniform or must be
+    * length-aware (short docs often look alike by chance; long dups
+    * are usually true mirrors). Buckets are fixed-width character
+    * bins (`n_chars div bucketChars` — deterministic, no quantile
+    * dependence); a document counts as duplicated when it appears on
+    * EITHER side of the pair relation.
+    *
+    * Scale: the doc side is one projection + hash agg; the pair side
+    * collapses to the distinct doc-id set (bounded by duplicate
+    * volume) before the join. No windows.
+    *
+    * Output per bucket: (len_bucket, n_docs, n_in_pairs,
+    * dup_rate_micro = n_in_pairs·10⁶ div n_docs), ordered. */
+  def dupRateByLength(docs: DataFrame, pairs: DataFrame,
+      bucketChars: Int = 1000, idCol: String = "doc_id",
+      lenCol: String = "n_chars"): DataFrame = {
+    require(bucketChars >= 1,
+      s"dupRateByLength: bucketChars must be positive, got $bucketChars")
+    val inPairs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .select(col("doc_id"), lit(true).as("__dup"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"CAST($lenCol AS BIGINT) div $bucketChars").as("len_bucket"))
+      .join(inPairs, Seq("doc_id"), "left")
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_in_pairs"))
+      .select(col("len_bucket"), col("n_docs"), col("n_in_pairs"),
+        expr("n_in_pairs * 1000000L div n_docs").as("dup_rate_micro"))
+      .orderBy(col("len_bucket"))
+  }
+
   /** Near-dup cluster SIZE SPECTRUM — the shape read the scalar
     * audits flatten: x28 labels clusters, x115 totals the savings,
     * but whether duplication is a long tail of pairs or a few

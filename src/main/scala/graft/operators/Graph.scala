@@ -239,6 +239,56 @@ object Graph {
         coalesce(col("mutual_deg"), lit(0L)).as("mutual_deg"))
   }
 
+  /** Degree ASSORTATIVITY of a symmetric edge relation — do
+    * well-connected nodes link to other well-connected nodes
+    * (r > 0, hub cores: one boilerplate family wiring to itself) or
+    * to leaves (r < 0, star topology: a few templates each claiming
+    * a crowd of singletons)? The standard Newman coefficient: the
+    * Pearson correlation of (deg(u), deg(v)) over directed edge
+    * occurrences — on a symmetric (mutual) edge list this IS the
+    * undirected assortativity. The topology read [[degreeProfile]]'s
+    * per-node counts and x83's clustering coefficient don't give.
+    *
+    * Exactness: all five moments (m, Σdu, Σdudv, Σdu², Σdv²) are
+    * exact BIGINT aggregations; r is ONE fixed double expression
+    * over them, quantized ONCE to micro (the x160 modularity / x200
+    * chi² discipline — both engines evaluate the identical IEEE
+    * expression on identical integers).
+    *
+    * Scale: one degree aggregation + two node-keyed joins of the
+    * edge list + one global aggregation. No windows.
+    *
+    * Output (1 row): (n_nodes, n_directed_edges,
+    * assortativity_micro); a degree-regular graph (zero variance)
+    * emits nothing — r is undefined there. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("bigint").as("deg"))
+      .localCheckpoint(true) // feeds both endpoint joins + node count
+    val nodes = deg.agg(count(lit(1)).cast("bigint").as("n_nodes"))
+    e.join(deg.select(col("id").as("src"), col("deg").as("__du")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("__dv")), "dst")
+      .agg(count(lit(1)).cast("bigint").as("n_directed_edges"),
+        sum(col("__du")).cast("bigint").as("__sx"),
+        sum(col("__dv")).cast("bigint").as("__sy"),
+        sum(col("__du") * col("__dv")).cast("bigint").as("__sxy"),
+        sum(col("__du") * col("__du")).cast("bigint").as("__sxx"),
+        sum(col("__dv") * col("__dv")).cast("bigint").as("__syy"))
+      .crossJoin(broadcast(nodes))
+      .filter(col("n_directed_edges") * col("__sxx") > col("__sx") * col("__sx") &&
+        col("n_directed_edges") * col("__syy") > col("__sy") * col("__sy"))
+      .select(col("n_nodes"), col("n_directed_edges"),
+        expr("""CAST(round(
+          | (CAST(n_directed_edges AS DOUBLE) * CAST(__sxy AS DOUBLE) -
+          |  CAST(__sx AS DOUBLE) * CAST(__sy AS DOUBLE)) * 1000000.0D /
+          | (sqrt(CAST(n_directed_edges AS DOUBLE) * CAST(__sxx AS DOUBLE) -
+          |       CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE)) *
+          |  sqrt(CAST(n_directed_edges AS DOUBLE) * CAST(__syy AS DOUBLE) -
+          |       CAST(__sy AS DOUBLE) * CAST(__sy AS DOUBLE)))) AS BIGINT)"""
+          .stripMargin).as("assortativity_micro"))
+  }
+
   /** Modularity of a node partition on an undirected (u < v) edge
     * list — DOES the given grouping explain the graph's structure:
     * Q = Σ_c [e_c/m − (d_c/2m)²] compares each group's within-group

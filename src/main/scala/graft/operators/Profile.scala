@@ -1506,6 +1506,83 @@ object Profile {
       .orderBy(col("cap"))
   }
 
+  /** Exact PARETO/Lorenz curve points — what share of total value the
+    * top p% of keys hold, for each requested percent: the "80/20"
+    * read that turns [[giniByGroup]]'s single inequality number into
+    * the actionable cut points (cap the top 1%? sample the bottom
+    * half?). Top-p% rule, integer-exact: order the per-key value
+    * histogram DESCENDING; the cut is the smallest descending-
+    * cumulative key count reaching ⌈p·n/100⌉ (the percentile_disc
+    * comparison p·n ≤ 100·cum — [[exactQuantilesByGroup]]'s rule,
+    * inverted), with VALUE TIES AT THE CUT INCLUDED (deterministic:
+    * membership depends only on a key's value, never input order).
+    *
+    * Scale: one keyed aggregation to (key, value) totals, a value-
+    * histogram collapse, one bounded descending cumulative window
+    * over the histogram (distinct VALUES, not keys), one row per
+    * requested percent. Totals in DECIMAL(38,0).
+    *
+    * Output per percent: (pct, n_top_keys, top_value,
+    * value_share_micro = top_value·10⁶ div total_value), ordered by
+    * pct; emits nothing when total value ≤ 0 (share undefined). */
+  def valuePareto(df: DataFrame, keyCol: String, valueCol: String,
+      pcts: Seq[Int], maxDistinct: Long = Rank.DefaultMaxDistinct): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"valuePareto: pcts must be in [1, 100], got $pcts")
+    require(pcts.distinct.size == pcts.size,
+      s"valuePareto: duplicate pcts in $pcts")
+    require(maxDistinct >= 1, "valuePareto: maxDistinct must be positive")
+    val dec = "decimal(38,0)"
+    val perKey = df
+      .select(col(keyCol).as("__k"), col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__k")).agg(sum(col("__v")).cast("bigint").as("__kv"))
+    val hist0 = perKey.groupBy(col("__kv"))
+      .agg(count(lit(1)).cast("bigint").as("__c"))
+      .localCheckpoint(true)
+    // the descending cumulative is a SINGLE-PARTITION window over the
+    // distinct per-key totals — enforce the histogram-collapse
+    // envelope pre-window (the rankAuc lesson), refusing loudly
+    // instead of degrading toward a whole-corpus one-task sort
+    val guard = hist0.agg(count(lit(1)).cast("long").as("__vp_card"))
+      .select(
+        when(col("__vp_card") > maxDistinct,
+          raise_error(concat(lit("valuePareto: "),
+            col("__vp_card").cast("string"),
+            lit(s" distinct per-key totals exceed the histogram-collapse " +
+              s"envelope ($maxDistinct) — quantize the value column first")))
+            .cast("long"))
+        .otherwise(lit(0L)).as("__vp_guard"))
+    val hist = hist0.crossJoin(broadcast(guard))
+      .select(col("__kv"), (col("__c") + col("__vp_guard")).as("__c"))
+    val tot = hist.agg(sum(col("__c")).cast("bigint").as("__n"),
+      coalesce(sum(col("__kv").cast(dec) * col("__c").cast(dec)),
+        lit(0).cast(dec)).as("__tv"))
+    val wd = Window.orderBy(col("__kv").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cu", sum(col("__c")).over(wd))
+      .withColumn("__cv", sum(col("__kv").cast(dec) * col("__c").cast(dec))
+        .over(wd))
+    val pArr = array(pcts.sorted.map(p => lit(p.toLong)): _*)
+    cum.crossJoin(broadcast(tot))
+      .filter(col("__tv") > 0)
+      .select(col("__kv"), col("__cu"), col("__cv"), col("__n"), col("__tv"),
+        explode(pArr).as("pct"))
+      // smallest desc-cumulative count reaching ceil(p·n/100)
+      .filter(col("pct") * col("__n") <= lit(100L) * col("__cu"))
+      .groupBy(col("pct"))
+      .agg(max(col("__kv")).as("__cut"))
+      .join(cum.select(col("__kv").as("__cut"), col("__cu"), col("__cv")),
+        "__cut")
+      .crossJoin(broadcast(tot))
+      .select(col("pct"), col("__cu").as("n_top_keys"),
+        col("__cv").cast("bigint").as("top_value"),
+        expr("(__cv * CAST(1000000 AS DECIMAL(38,0))) div __tv")
+          .as("value_share_micro"))
+      .orderBy(col("pct"))
+  }
+
   /** Exact per-group GINI concentration over the value histogram —
     * the Lorenz-curve inequality read (how concentrated are tokens /
     * bytes / events across a group's documents) beside

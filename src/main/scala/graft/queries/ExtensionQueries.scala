@@ -2497,6 +2497,39 @@ object ExtensionQueries {
     graft.operators.Sequences.dailyAutocorrelation(
       Tables.load(s, dir, "events"), lags = Seq(1, 7))
 
+  /** x218 degree assortativity — see
+    * [[graft.operators.Graph.degreeAssortativity]]: Newman's degree
+    * correlation over the symmetrized mutual k-NN edges — hub-core
+    * (r > 0) vs star topology (r < 0), the graph-shape read beside
+    * x80's degrees and x83's clustering. */
+  def x218(s: SparkSession, dir: String): DataFrame = {
+    val mu = graft.operators.Graph.mutualEdges(knnEdges(s, dir))
+    graft.operators.Graph.degreeAssortativity(
+      mu.select(col("u").as("src"), col("v").as("dst"))
+        .union(mu.select(col("v").as("src"), col("u").as("dst"))))
+  }
+
+  /** x219 value Pareto curve — see
+    * [[graft.operators.Profile.valuePareto]]: share of total event
+    * value held by the top 1/5/10/25/50% of users, ties at each cut
+    * included — the 80/20 cut points behind x66's concentration and
+    * x210's Gini. */
+  def x219(s: SparkSession, dir: String): DataFrame =
+    Profile.valuePareto(
+      Tables.load(s, dir, "events").select(col("user_id"),
+        expr("CAST(round(value * 100.0D) AS BIGINT)").as("v_cents")),
+      "user_id", "v_cents", Seq(1, 5, 10, 25, 50))
+
+  /** x220 dup rate by length — see
+    * [[graft.operators.Dedup.dupRateByLength]]: near-dup pair
+    * incidence per 1000-char length bin — whether the x04 threshold
+    * can be uniform or must be length-aware. */
+  def x220(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dupRateByLength(d, Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+      ngram = 3, prefixK = 8, minJaccard = 0.2))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2765,6 +2798,9 @@ object ExtensionQueries {
     "x215_hapax_profile" -> (x215 _),
     "x216_join_order_advisor" -> (x216 _),
     "x217_daily_autocorrelation" -> (x217 _),
+    "x218_degree_assortativity" -> (x218 _),
+    "x219_value_pareto" -> (x219 _),
+    "x220_dup_by_length" -> (x220 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -7777,6 +7813,80 @@ object ExtensionQueries {
          |       CAST(cluster_size * n_clusters * 1000000 // t AS BIGINT)
          |         AS doc_share_micro
          |FROM spec, tot ORDER BY cluster_size""".stripMargin,
+
+    // Replays degreeAssortativity on the symmetrized mutual k-NN
+    // edges: exact BIGINT moments, ONE double Pearson expression
+    // quantized to micro (identical IEEE evaluation both engines).
+    "x218_degree_assortativity" ->
+      s"""WITH ${knnEdgesCteSql(3)},
+         |mu AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |       FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+         |       WHERE a.src < a.dst),
+         |sym AS (SELECT u AS src, v AS dst FROM mu
+         |        UNION ALL SELECT v, u FROM mu),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY 1),
+         |mom AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |          CAST(sum(da.deg) AS BIGINT) AS sx,
+         |          CAST(sum(db.deg) AS BIGINT) AS sy,
+         |          CAST(sum(da.deg * db.deg) AS BIGINT) AS sxy,
+         |          CAST(sum(da.deg * da.deg) AS BIGINT) AS sxx,
+         |          CAST(sum(db.deg * db.deg) AS BIGINT) AS syy
+         |        FROM sym e JOIN deg da ON da.id = e.src
+         |                   JOIN deg db ON db.id = e.dst),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+         |SELECT nn.n_nodes, mom.m AS n_directed_edges,
+         |       CAST(round(
+         |         (m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         |           * 1000000.0 /
+         |         (sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+         |          sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)))
+         |         AS BIGINT) AS assortativity_micro
+         |FROM mom, nn
+         |WHERE m * sxx > sx * sx AND m * syy > sy * sy""".stripMargin,
+
+    // Replays valuePareto over per-user value cents: descending
+    // histogram cumulative, percentile_disc rank rule inverted,
+    // value ties at the cut included.
+    "x219_value_pareto" ->
+      """WITH pk AS (SELECT user_id,
+        |              CAST(sum(CAST(round(value * 100.0) AS BIGINT))
+        |                AS BIGINT) AS kv
+        |            FROM events GROUP BY 1),
+        |hist AS (SELECT kv, CAST(count(*) AS BIGINT) AS c FROM pk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |               CAST(sum(kv::HUGEINT * c) AS HUGEINT) AS tv FROM hist),
+        |cum AS (SELECT kv, SUM(c) OVER w AS cu,
+        |               SUM(kv::HUGEINT * c) OVER w AS cv
+        |        FROM hist
+        |        WINDOW w AS (ORDER BY kv DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pp AS (SELECT unnest([1, 5, 10, 25, 50]) AS pct),
+        |cut AS (SELECT pp.pct, max(kv) AS cutv
+        |        FROM cum, pp, tot WHERE pct * n <= 100 * cu GROUP BY pct)
+        |SELECT CAST(cut.pct AS BIGINT) AS pct,
+        |       CAST(cum.cu AS BIGINT) AS n_top_keys,
+        |       CAST(cum.cv AS BIGINT) AS top_value,
+        |       CAST(cum.cv * 1000000 // tot.tv AS BIGINT)
+        |         AS value_share_micro
+        |FROM cut JOIN cum ON cum.kv = cut.cutv, tot
+        |WHERE tot.tv > 0 ORDER BY pct""".stripMargin,
+
+    // Replays dupRateByLength: the x04 pair relation collapsed to the
+    // distinct either-side doc set, fixed 1000-char bins.
+    "x220_dup_by_length" ->
+      s"""WITH $ngramPairsCteSql,
+         |ip AS (SELECT DISTINCT doc_id FROM (
+         |         SELECT doc_a AS doc_id FROM pairs
+         |         UNION ALL SELECT doc_b FROM pairs) z)
+         |SELECT CAST(d.n_chars AS BIGINT) // 1000 AS len_bucket,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN ip.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_in_pairs,
+         |       CAST(sum(CASE WHEN ip.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         * 1000000 // count(*) AS BIGINT) AS dup_rate_micro
+         |FROM documents d LEFT JOIN ip ON ip.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY len_bucket""".stripMargin,
 
     // Replays contributionCapping: (user, day) units, greatest-based
     // clip losses, one row per cap off the unnested cap list.

@@ -582,4 +582,16 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(none.toSeq == Seq((1L, 6L, 6L, 1000000L)))
   }
+  test("dupRateByLength: fixed-width buckets, either-side pair membership") {
+    import spark.implicits._
+    val docs = Seq((1L, 500L), (2L, 1500L), (3L, 2500L), (4L, 1200L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupRateByLength(docs, pairs)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1L, 1000000L),
+      (1L, 2L, 0L, 0L),
+      (2L, 1L, 1L, 1000000L)))
+  }
 }

@@ -211,4 +211,23 @@ class GraphSpec extends SparkSpec {
     // 4 has no outgoing edges: no evidence, no row
     assert(!out.exists(_._1 == 4L))
   }
+  test("degreeAssortativity: star graph reads exactly -1; mixed star+leaf " +
+      "edge hand-traced; regular graph (zero variance) emits nothing") {
+    import spark.implicits._
+    def sym(e: Seq[(Long, Long)]) =
+      (e ++ e.map(p => (p._2, p._1))).toDF("src", "dst")
+    val star = sym(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    val s = graft.operators.Graph.degreeAssortativity(star)
+      .as[(Long, Long, Long)].collect()
+    assert(s.toSeq == Seq((4L, 6L, -1000000L)))
+    // star + l1-l2 edge: m=8, Sxy=38, Sxx=Syy=44, Sx=Sy=18
+    // r = (304-324)/(352-324) = -20/28 -> round(-714285.714) = -714286
+    val mixed = sym(Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)))
+    val m = graft.operators.Graph.degreeAssortativity(mixed)
+      .as[(Long, Long, Long)].collect()
+    assert(m.toSeq == Seq((4L, 8L, -714286L)))
+    // triangle: all degrees 2 -> zero variance -> no row
+    val tri = sym(Seq((0L, 1L), (1L, 2L), (2L, 0L)))
+    assert(graft.operators.Graph.degreeAssortativity(tri).count() == 0L)
+  }
 }

@@ -667,4 +667,22 @@ class ProfileSpec extends SparkSpec {
       (1L, 3L, 2L, 5L, 625000L),
       (3L, 3L, 1L, 2L, 250000L)))
   }
+  test("valuePareto: top-p% cuts off the descending histogram, value ties " +
+      "at the cut included; envelope raises") {
+    import spark.implicits._
+    // per-key totals [100, 50, 30, 10, 10], total 200, n=5
+    val df = Seq(("a", 60L), ("a", 40L), ("b", 50L), ("c", 30L),
+      ("d", 10L), ("e", 10L)).toDF("k", "v")
+    val out = Profile.valuePareto(df, "k", "v", Seq(20, 40, 80, 100))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (20L, 1L, 100L, 500000L),
+      (40L, 2L, 150L, 750000L),
+      (80L, 5L, 200L, 1000000L),  // rank 4 lands mid-tie: BOTH 10s join
+      (100L, 5L, 200L, 1000000L)))
+    val e = intercept[Exception] {
+      Profile.valuePareto(df, "k", "v", Seq(50), maxDistinct = 2L).collect()
+    }
+    assert(e.getMessage.contains("histogram-collapse envelope"), e.getMessage)
+  }
 }

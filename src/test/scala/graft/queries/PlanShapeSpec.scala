@@ -1136,6 +1136,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x218: assortativity is keyed joins + one global moment " +
+    "aggregation — no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x218(spark, sf001))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("x219: the Pareto cut windows the checkpointed per-key value " +
+    "HISTOGRAM (envelope-guarded), never event rows") {
+    val plan = physical(ExtensionQueries.x219(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed histogram
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x220: dup-rate buckets join the distinct pair-side doc set — " +
+    "no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x220(spark, sf001))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("x197: the l-diversity profile is ONE aggregation pass over the QI " +
     "tuple — no window, no join, no cartesian") {
     val plan = physical(ExtensionQueries.x197(spark, sf001))
