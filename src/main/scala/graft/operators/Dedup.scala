@@ -1193,6 +1193,98 @@ object Dedup {
       .orderBy(col("split"))
   }
 
+  /** Document-frequency CAP ADVISOR — picks the `maxDf` every
+    * inverted-index operator in this file rides ([[containmentScreen]]
+    * and the banded near-dup engines cap posting lists to bound their
+    * pair fan-out): for each candidate cap, how many distinct grams
+    * and postings survive, and — the number that IS the join cost —
+    * the exact candidate-pair fan-out Σ_{df ≤ t} df·(df−1)/2 the
+    * surviving index would generate. The forecast→decide loop of
+    * x199/x207/x216 pointed at the dedup engine's own knob.
+    *
+    * Scale: one tokenize pass to the distinct (doc, gram) postings,
+    * a df histogram (gram cardinality), then one row per cap off the
+    * histogram — never pair materialization. Fan-outs compute in
+    * DECIMAL(38,0) and refuse loudly past the BIGINT envelope (the
+    * [[graft.operators.Layout.joinSizeAdvisor]] pattern).
+    *
+    * Output per cap: (max_df, grams_kept, grams_share_micro,
+    * postings_kept, postings_share_micro, pair_fanout), ordered. */
+  def dfCapAdvisor(docs: DataFrame, n: Int = 3, caps: Seq[Int],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.ShingleFunctions.ngram_strings
+    import graft.functions.TextFunctions.words
+    require(caps.nonEmpty && caps.forall(_ >= 1),
+      s"dfCapAdvisor: caps must be positive, got $caps")
+    require(caps.distinct.size == caps.size,
+      s"dfCapAdvisor: duplicate caps in $caps")
+    val dec = "decimal(38,0)"
+    val hist = docs
+      .select(col(idCol).as("__d"),
+        explode(array_distinct(ngram_strings(words(col(textCol)), n)))
+          .as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).cast("bigint").as("__df"))
+      .groupBy(col("__df")).agg(count(lit(1)).cast("bigint").as("__m"))
+      .localCheckpoint(true) // gram-cardinality frame feeds every cap
+    val tot = hist.agg(
+      coalesce(sum(col("__m")), lit(0L)).cast("bigint").as("__tg"),
+      coalesce(sum(col("__df").cast(dec) * col("__m").cast(dec)),
+        lit(0).cast(dec)).as("__tp"))
+    val capArr = array(caps.sorted.map(k => lit(k.toLong)): _*)
+    val longMax = lit(Long.MaxValue).cast(dec)
+    hist
+      .select(col("__df"), col("__m"), explode(capArr).as("max_df"))
+      .filter(col("__df") <= col("max_df"))
+      .groupBy(col("max_df"))
+      .agg(sum(col("__m")).cast("bigint").as("grams_kept"),
+        sum(col("__df").cast(dec) * col("__m").cast(dec)).as("__pk"),
+        sum(col("__df").cast(dec) * (col("__df") - 1L).cast(dec) *
+          col("__m").cast(dec)).as("__f2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("__tg") > 0 && col("__tp") > 0)
+      .select(col("max_df"), col("grams_kept"),
+        expr("grams_kept * 1000000L div __tg").as("grams_share_micro"),
+        col("__pk").cast("bigint").as("postings_kept"),
+        expr("(__pk * CAST(1000000 AS DECIMAL(38,0))) div __tp")
+          .as("postings_share_micro"),
+        when(col("__f2") > longMax * lit(2).cast(dec),
+          raise_error(concat(lit("dfCapAdvisor: pair fan-out "),
+            expr("(__f2 div 2)").cast("string"),
+            lit(" past the BIGINT envelope (9.2e18)"))).cast("bigint"))
+          .otherwise(expr("(__f2 div 2)")).as("pair_fanout"))
+      .orderBy(col("max_df"))
+  }
+
+  /** Cross-LANGUAGE near-dup matrix — which language pairs share
+    * near-duplicate text: same-language cells are ordinary template
+    * duplication, OFF-diagonal cells are translation mirrors or
+    * language-ID noise (a dup pair "in two languages" usually means
+    * one of the two lang labels is wrong — x08's confusion read at
+    * the pair level). Pair language endpoints are normalized
+    * (lang_a ≤ lang_b) so the matrix is upper-triangular and
+    * deterministic regardless of pair orientation.
+    *
+    * Scale: two doc-keyed joins of the pair relation (bounded by
+    * duplicate volume) onto the language projection + one hash agg.
+    *
+    * Output: (lang_a, lang_b, n_pairs, cross_lang), ordered. */
+  def crossLangDup(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val langs = docs.select(col(idCol).as("doc_id"),
+      col(langCol).cast("string").as("__lang"))
+    pairs
+      .join(langs.select(col("doc_id").as("doc_a"), col("__lang").as("__la")),
+        "doc_a")
+      .join(langs.select(col("doc_id").as("doc_b"), col("__lang").as("__lb")),
+        "doc_b")
+      .select(least(col("__la"), col("__lb")).as("lang_a"),
+        greatest(col("__la"), col("__lb")).as("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+      .withColumn("cross_lang", col("lang_a") =!= col("lang_b"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   /** Near-dup incidence BY LENGTH BUCKET — are long documents more
     * duplicated than short ones? The length-conditioned dup-rate read
     * that decides whether a dedup threshold can be uniform or must be

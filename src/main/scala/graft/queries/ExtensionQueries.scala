@@ -2530,6 +2530,24 @@ object ExtensionQueries {
       ngram = 3, prefixK = 8, minJaccard = 0.2))
   }
 
+  /** x221 document-frequency cap advisor — see
+    * [[graft.operators.Dedup.dfCapAdvisor]]: grams/postings survival
+    * and exact candidate-pair fan-out per maxDf cap over the word-
+    * 3-gram inverted index — the forecast that picks the dedup
+    * engine's own posting-list cap. */
+  def x221(s: SparkSession, dir: String): DataFrame =
+    Dedup.dfCapAdvisor(docs(s, dir), n = 3, caps = Seq(1, 2, 5, 10, 50))
+
+  /** x222 cross-language near-dup matrix — see
+    * [[graft.operators.Dedup.crossLangDup]]: the x04 pair relation
+    * bucketed by normalized endpoint languages — translation mirrors
+    * and lang-ID noise on the off-diagonal. */
+  def x222(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.crossLangDup(d, Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+      ngram = 3, prefixK = 8, minJaccard = 0.2))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2801,6 +2819,8 @@ object ExtensionQueries {
     "x218_degree_assortativity" -> (x218 _),
     "x219_value_pareto" -> (x219 _),
     "x220_dup_by_length" -> (x220 _),
+    "x221_df_cap_advisor" -> (x221 _),
+    "x222_cross_lang_dup" -> (x222 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -7813,6 +7833,43 @@ object ExtensionQueries {
          |       CAST(cluster_size * n_clusters * 1000000 // t AS BIGINT)
          |         AS doc_share_micro
          |FROM spec, tot ORDER BY cluster_size""".stripMargin,
+
+    // Replays dfCapAdvisor: distinct (doc, gram) postings, df
+    // histogram, one row per cap with the exact surviving fan-out.
+    "x221_df_cap_advisor" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT doc_id, ${wordNgramsSql(3, distinct = true)} AS g
+         |       FROM toks),
+         |pg AS (SELECT doc_id, unnest(g) AS gram FROM ng),
+         |dfq AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+         |        FROM pg GROUP BY 1),
+         |hist AS (SELECT df, CAST(count(*) AS BIGINT) AS m FROM dfq GROUP BY 1),
+         |tot AS (SELECT CAST(sum(m) AS BIGINT) AS tg,
+         |               CAST(sum(df::HUGEINT * m) AS HUGEINT) AS tp FROM hist),
+         |x AS (SELECT df, m, unnest([1, 2, 5, 10, 50]) AS cap FROM hist)
+         |SELECT CAST(cap AS BIGINT) AS max_df,
+         |       CAST(sum(m) AS BIGINT) AS grams_kept,
+         |       CAST(sum(m) * 1000000 // tg AS BIGINT) AS grams_share_micro,
+         |       CAST(sum(df::HUGEINT * m) AS BIGINT) AS postings_kept,
+         |       CAST(sum(df::HUGEINT * m) * 1000000 // tp AS BIGINT)
+         |         AS postings_share_micro,
+         |       CAST(sum(df::HUGEINT * (df - 1) * m) // 2 AS BIGINT)
+         |         AS pair_fanout
+         |FROM x, tot WHERE df <= cap
+         |GROUP BY cap, tg, tp ORDER BY max_df""".stripMargin,
+
+    // Replays crossLangDup: x04 pairs joined to endpoint languages,
+    // least/greatest-normalized matrix cells.
+    "x222_cross_lang_dup" ->
+      s"""WITH $ngramPairsCteSql,
+         |lp AS (SELECT least(la.lang, lb.lang) AS lang_a,
+         |              greatest(la.lang, lb.lang) AS lang_b
+         |       FROM pairs p
+         |       JOIN documents la ON la.doc_id = p.doc_a
+         |       JOIN documents lb ON lb.doc_id = p.doc_b)
+         |SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       lang_a <> lang_b AS cross_lang
+         |FROM lp GROUP BY 1, 2 ORDER BY lang_a, lang_b""".stripMargin,
 
     // Replays degreeAssortativity on the symmetrized mutual k-NN
     // edges: exact BIGINT moments, ONE double Pearson expression

@@ -594,4 +594,39 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 0L, 0L),
       (2L, 1L, 1L, 1000000L)))
   }
+  test("dfCapAdvisor: df histogram hand-traced — grams/postings shares and " +
+      "exact pair fan-out per cap") {
+    import spark.implicits._
+    // 3 docs over 1-gram universe (n=1 => grams are words):
+    // d1 "a b", d2 "a c", d3 "a b" -> df: a=3, b=2, c=1
+    // hist: df1 x1 gram, df2 x1, df3 x1; total grams 3, postings 6
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dfCapAdvisor(docs, n = 1, caps = Seq(1, 2, 3))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      // cap 1: gram c only -> 1/3 grams, 1/6 postings, fanout 0
+      (1L, 1L, 333333L, 1L, 166666L, 0L),
+      // cap 2: c + b -> 2/3 grams, 3/6 postings, fanout 0+1 = 1
+      (2L, 2L, 666666L, 3L, 500000L, 1L),
+      // cap 3: all -> fanout 1 + 3 = 4
+      (3L, 3L, 1000000L, 6L, 1000000L, 4L)))
+  }
+
+  test("crossLangDup: endpoint languages normalized to an upper-triangular " +
+      "matrix; off-diagonal flagged cross_lang") {
+    import spark.implicits._
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"))
+      .toDF("doc_id", "lang")
+    // pairs: (1,2) en-en; (2,3) en-de; (3,1) de-en (reverse orientation
+    // must land in the SAME cell); (3,4) de-fr
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.crossLangDup(docs, pairs)
+      .as[(String, String, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      ("de", "en", 2L, true),
+      ("de", "fr", 1L, true),
+      ("en", "en", 1L, false)))
+  }
 }

@@ -1161,6 +1161,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("x221: cap forecasts re-aggregate the checkpointed df HISTOGRAM " +
+    "(gram cardinality, never pair materialization) — no window") {
+    val plan = physical(ExtensionQueries.x221(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed histogram
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x222: the language matrix is two doc-keyed joins of the pair " +
+    "relation + one hash agg — no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x222(spark, sf001))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
   test("x197: the l-diversity profile is ONE aggregation pass over the QI " +
     "tuple — no window, no join, no cartesian") {
     val plan = physical(ExtensionQueries.x197(spark, sf001))
