@@ -1245,7 +1245,10 @@ object Similarity {
       .join(el.select(col("__id"), col("__i").as("__j"), col("__q").as("__qj")),
         "__id")
       .groupBy(col("__i"), col("__j"))
-      .agg(sum(col("__q").cast(dec) * col("__qj").cast(dec)).as("__pp"))
+      // the per-row product is exact in LONG (|q| <= 1e6 => |q*qj| <=
+      // 1e12); only the ACCUMULATION needs decimal — a BigDecimal
+      // multiply per cell made this hot path ~2x slower
+      .agg(sum((col("__q") * col("__qj")).cast(dec)).as("__pp"))
       .join(sums.select(col("__i"), col("__s").as("__si")), "__i")
       .join(broadcast(sums.select(col("__i").as("__j"), col("__s").as("__sj"))),
         "__j")
@@ -1266,7 +1269,8 @@ object Similarity {
     def multiply(v: DataFrame): DataFrame = cm
       .join(broadcast(v.select(col("__i").as("__j"), col("__x"))), "__j")
       .groupBy(col("__i"))
-      .agg(sum(col("__cm").cast(dec) * col("__x").cast(dec)).as("__y"))
+      // |cm| <= 1e6 and |x| <= 1e6: the product is exact in LONG
+      .agg(sum((col("__cm") * col("__x")).cast(dec)).as("__y"))
     // the renormalizing max is a single-partition window over the
     // DIM-row product frame (bounded by dim, never data) so each
     // round is ONE eager-checkpoint job — a separate max aggregation
