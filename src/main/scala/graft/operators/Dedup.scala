@@ -266,7 +266,17 @@ object Dedup {
     * longs, never re-hash text). */
   def ngramJaccardNearDupSketched(sh: DataFrame, prefixK: Int = 4,
       minJaccard: Double = 0.5,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None): DataFrame =
+    scoredCandidates(sh, prefixK, maxBucketSize)
+      .filter(col("jaccard") >= minJaccard)
+
+  /** The banded engine's candidate stage, scored but UNFILTERED:
+    * bottom-`prefixK` hash buckets → distinct candidate pairs → exact
+    * Jaccard per pair. Shared by [[ngramJaccardNearDupSketched]] (which
+    * applies the threshold) and [[candidatePrecision]] (which audits
+    * how many candidates the threshold keeps). */
+  private[operators] def scoredCandidates(sh: DataFrame, prefixK: Int,
+      maxBucketSize: Option[Int]): DataFrame = {
     val prefixes = guardBuckets(
       sh.select(
         col("doc_id"),
@@ -282,7 +292,67 @@ object Dedup {
       .join(sh.toDF("doc_b", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(sorted_jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** [[ngramSketch]] with PORTABLE md5-60 gram hashes (the DuckDB-
+    * recomputable space-joined-gram hash) instead of the xxhash64
+    * combine — the sketch behind oracle-checked banding audits. */
+  private[operators] def md5NgramSketch(df: DataFrame, idCol: String,
+      textCol: String, ngram: Int): DataFrame =
+    materialize(ensureParallelism(df).select(
+        col(idCol).as("doc_id"),
+        array_sort(array_distinct(
+          md5_ngram_hashes(words(col(textCol)), ngram))).as("hashes"))
+      .filter(size(col("hashes")) > 0))
+
+  /** Candidate-generator PRECISION audit — what the prefix filter's
+    * fan-out actually buys: of all candidate pairs the bottom-prefixK
+    * banding generates, how many survive each verification threshold.
+    * Low precision at the production threshold means the engine pays
+    * exact-Jaccard verification for mostly-noise candidates (raise
+    * the band selectivity or the df cap — [[dfCapAdvisor]] forecasts
+    * the fan-out side of the same trade). The recall side is the
+    * (1 − t)^prefixK analytic bound on the near-dup scaladoc; this
+    * audit completes the precision side empirically. Banding rides
+    * the PORTABLE md5-60 gram hashes ([[md5NgramSketch]]) so the
+    * oracle reproduces the exact candidate set (the xxhash64 combine
+    * of the production sketch is not SQL-expressible; hash family
+    * does not change the precision statistics, only tie-breaks).
+    *
+    * Scale: ONE scored-candidate pass (the engine's own stage,
+    * checkpointed — bounded by banding fan-out, df-cappable), then
+    * one re-aggregation per threshold. Thresholds are integer micro
+    * (engine and oracle compare the SAME 6-dp-rounded Jaccard).
+    *
+    * Output per threshold: (min_jaccard_micro, n_candidates,
+    * n_verified, precision_micro), ordered by threshold. */
+  def candidatePrecision(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3, prefixK: Int = 8,
+      thresholdsMicro: Seq[Long] = Seq(200000L, 500000L, 800000L),
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(thresholdsMicro.nonEmpty &&
+      thresholdsMicro.forall(t => t >= 0 && t <= 1000000L),
+      s"candidatePrecision: thresholds must be micro in [0, 1e6], " +
+        s"got $thresholdsMicro")
+    require(thresholdsMicro.distinct.size == thresholdsMicro.size,
+      s"candidatePrecision: duplicate thresholds in $thresholdsMicro")
+    val scored = scoredCandidates(
+        md5NgramSketch(docs, idCol, textCol, ngram), prefixK, maxBucketSize)
+      .select(expr("CAST(round(jaccard * 1000000.0D) AS BIGINT)").as("__jm"))
+      .localCheckpoint(true) // one candidate pass feeds every threshold
+    val tot = scored.agg(count(lit(1)).cast("bigint").as("__nc"))
+    val tArr = array(thresholdsMicro.sorted.map(lit): _*)
+    scored
+      .select(col("__jm"), explode(tArr).as("min_jaccard_micro"))
+      .groupBy(col("min_jaccard_micro"))
+      .agg(sum(when(col("__jm") >= col("min_jaccard_micro"), 1L)
+        .otherwise(0L)).cast("bigint").as("n_verified"))
+      .crossJoin(broadcast(tot))
+      .filter(col("__nc") > 0)
+      .select(col("min_jaccard_micro"), col("__nc").as("n_candidates"),
+        col("n_verified"),
+        expr("n_verified * 1000000L div __nc").as("precision_micro"))
+      .orderBy(col("min_jaccard_micro"))
   }
 
   /** Incremental cross-corpus near-dup: which INCOMING documents are

@@ -338,6 +338,36 @@ object Layout {
       .limit(topN)
   }
 
+  /** Partition-COUNT advisor — the last knob of the write-side family:
+    * given a per-row byte estimate (an expression over the frame's own
+    * columns — payload lengths plus format overhead), forecast the
+    * partition count that lands each output partition near the target
+    * size (the 128 MB parquet sweet spot by default). Too few
+    * partitions → straggler tasks and memory pressure; too many →
+    * small-file metadata storms; this turns the rule of thumb into a
+    * number derived from the DATA, next to [[sortKeyAdvisor]] (what to
+    * sort by) and [[saltAdvisor]] (how to split hot keys).
+    *
+    * Scale: ONE aggregation pass (count + byte sum). Ceiling division
+    * in integers; byte sums fit BIGINT to 9.2 exabytes.
+    *
+    * Output (1 row): (n_rows, est_bytes, target_partition_bytes,
+    * recommended_partitions, rows_per_partition). */
+  def partitionCountAdvisor(df: DataFrame, bytesPerRowExpr: String,
+      targetPartitionBytes: Long = 134217728L): DataFrame = {
+    require(targetPartitionBytes >= 1,
+      s"partitionCountAdvisor: target must be positive, got $targetPartitionBytes")
+    df.agg(count(lit(1)).cast("bigint").as("n_rows"),
+        coalesce(sum(expr(bytesPerRowExpr)), lit(0L)).cast("bigint")
+          .as("est_bytes"))
+      .select(col("n_rows"), col("est_bytes"),
+        lit(targetPartitionBytes).as("target_partition_bytes"),
+        expr(s"greatest((est_bytes + ${targetPartitionBytes - 1}L) div " +
+          s"${targetPartitionBytes}L, 1L)").as("recommended_partitions"))
+      .withColumn("rows_per_partition",
+        expr("n_rows div recommended_partitions"))
+  }
+
   /** Join ORDER advisor for a three-way equi-join on one key — the
     * classic optimizer decision, forecast exactly from key histograms
     * the way [[joinSizeAdvisor]] forecasts one join: the final size

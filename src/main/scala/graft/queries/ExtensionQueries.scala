@@ -2548,6 +2548,23 @@ object ExtensionQueries {
       ngram = 3, prefixK = 8, minJaccard = 0.2))
   }
 
+  /** x223 partition-count advisor — see
+    * [[graft.operators.Layout.partitionCountAdvisor]]: the output
+    * partition count that lands documents near the 128 MB parquet
+    * target, from a per-row byte estimate (text chars + 64 B row
+    * overhead) — the write-side sibling of x158/x199/x130. */
+  def x223(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.partitionCountAdvisor(
+      docs(s, dir), "CAST(n_chars AS BIGINT) + 64L")
+
+  /** x224 banding precision audit — see
+    * [[graft.operators.Dedup.candidatePrecision]]: of the candidate
+    * pairs the bottom-8 md5-60 banding generates, the share surviving
+    * verification at 0.2 / 0.5 / 0.8 — the empirical precision side
+    * of the near-dup engine's analytic recall bound. */
+  def x224(s: SparkSession, dir: String): DataFrame =
+    Dedup.candidatePrecision(docs(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2821,6 +2838,8 @@ object ExtensionQueries {
     "x220_dup_by_length" -> (x220 _),
     "x221_df_cap_advisor" -> (x221 _),
     "x222_cross_lang_dup" -> (x222 _),
+    "x223_partition_advisor" -> (x223 _),
+    "x224_banding_precision" -> (x224 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -7833,6 +7852,54 @@ object ExtensionQueries {
          |       CAST(cluster_size * n_clusters * 1000000 // t AS BIGINT)
          |         AS doc_share_micro
          |FROM spec, tot ORDER BY cluster_size""".stripMargin,
+
+    // Replays partitionCountAdvisor: one aggregation, ceiling
+    // division to the 128 MB target, floor 1.
+    "x223_partition_advisor" ->
+      """WITH ag AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(coalesce(sum(CAST(n_chars AS BIGINT) + 64), 0)
+        |                AS BIGINT) AS est_bytes
+        |            FROM documents)
+        |SELECT n_rows, est_bytes,
+        |       CAST(134217728 AS BIGINT) AS target_partition_bytes,
+        |       CAST(greatest((est_bytes + 134217727) // 134217728, 1)
+        |         AS BIGINT) AS recommended_partitions,
+        |       CAST(n_rows // greatest((est_bytes + 134217727) // 134217728,
+        |         1) AS BIGINT) AS rows_per_partition
+        |FROM ag""".stripMargin,
+
+    // Replays candidatePrecision: md5-60 word-3-gram hashes (the
+    // portable sketch), bottom-8 prefix buckets, distinct candidates,
+    // 6-dp hash-set Jaccard, one row per verification threshold.
+    "x224_banding_precision" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT doc_id, ${wordNgramsSql(3, distinct = false)} AS g
+         |       FROM toks),
+         |hs AS (SELECT doc_id,
+         |         list_sort(list_distinct(list_transform(g,
+         |           x -> ${md5Hash60Sql("x")}))) AS h
+         |       FROM ng WHERE len(g) > 0),
+         |pf AS (SELECT doc_id, unnest(h[1:8]) AS ph FROM hs),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM pf a JOIN pf b
+         |           ON a.ph = b.ph AND a.doc_id < b.doc_id),
+         |scored AS (SELECT CAST(round(round(
+         |             len(list_intersect(ha.h, hb.h))::DOUBLE /
+         |             (len(ha.h) + len(hb.h)
+         |               - len(list_intersect(ha.h, hb.h)))::DOUBLE, 6)
+         |             * 1000000.0) AS BIGINT) AS jm
+         |           FROM cand c
+         |           JOIN hs ha ON ha.doc_id = c.doc_a
+         |           JOIN hs hb ON hb.doc_id = c.doc_b),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM scored),
+         |x AS (SELECT jm, unnest([200000, 500000, 800000]) AS t FROM scored)
+         |SELECT CAST(t AS BIGINT) AS min_jaccard_micro, tot.nc AS n_candidates,
+         |       CAST(sum(CASE WHEN jm >= t THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_verified,
+         |       CAST(sum(CASE WHEN jm >= t THEN 1 ELSE 0 END) * 1000000
+         |         // tot.nc AS BIGINT) AS precision_micro
+         |FROM x, tot WHERE tot.nc > 0
+         |GROUP BY t, tot.nc ORDER BY min_jaccard_micro""".stripMargin,
 
     // Replays dfCapAdvisor: distinct (doc, gram) postings, df
     // histogram, one row per cap with the exact surviving fan-out.

@@ -629,4 +629,30 @@ class DedupSpec extends SparkSpec {
       ("de", "fr", 1L, true),
       ("en", "en", 1L, false)))
   }
+  test("candidatePrecision: banding candidates vs verification thresholds " +
+      "hand-checked against the engine pair relation") {
+    import spark.implicits._
+    // near-identical pair (1,2), unrelated doc 3 sharing a word
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "alpha theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val out = Dedup.candidatePrecision(docs, prefixK = 8,
+        thresholdsMicro = Seq(0L, 500000L, 900000L))
+      .as[(Long, Long, Long, Long)].collect()
+    // reference: score every candidate through the SAME md5-60-banded
+    // stage the audit rides, unfiltered
+    val scored = Dedup.scoredCandidates(
+        Dedup.md5NgramSketch(docs, "doc_id", "text", 3), 8, None)
+      .select("jaccard").as[Double].collect()
+      .map(j => math.round(j * 1e6))
+    val nc = scored.length.toLong
+    def row(t: Long) = {
+      val v = scored.count(_ >= t).toLong
+      (t, nc, v, v * 1000000L / nc)
+    }
+    assert(out.toSeq == Seq(row(0L), row(500000L), row(900000L)))
+    assert(nc >= 1 && out.head._3 == nc) // threshold 0 keeps everything
+  }
 }

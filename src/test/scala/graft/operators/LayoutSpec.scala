@@ -236,4 +236,17 @@ class LayoutSpec extends SparkSpec {
       ("ac_then_b", 1L, 2L, true),
       ("bc_then_a", 2L, 2L, false)))
   }
+  test("partitionCountAdvisor: ceiling division to the target, floor 1, " +
+      "rows per partition") {
+    import spark.implicits._
+    // 3 rows x 600 bytes = 1800 bytes, target 1000 -> 2 partitions
+    val df = Seq(600L, 600L, 600L).toDF("b")
+    val out = Layout.partitionCountAdvisor(df, "b", targetPartitionBytes = 1000L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((3L, 1800L, 1000L, 2L, 1L)))
+    // tiny frame never recommends zero partitions
+    val one = Layout.partitionCountAdvisor(Seq(10L).toDF("b"), "b", 1000L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(one.toSeq == Seq((1L, 10L, 1000L, 1L, 1L)))
+  }
 }

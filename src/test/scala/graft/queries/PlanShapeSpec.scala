@@ -1178,6 +1178,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("x223: the partition advisor is ONE aggregation pass — no window, " +
+    "no join, no cartesian") {
+    val plan = physical(ExtensionQueries.x223(spark, sf001))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x224: precision thresholds re-aggregate the checkpointed scored-" +
+    "candidate frame — one candidate pass, no window, no cartesian") {
+    val plan = physical(ExtensionQueries.x224(spark, sf001))
+    assert(plan.contains("Scan ExistingRDD"), plan) // checkpointed candidates
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("x197: the l-diversity profile is ONE aggregation pass over the QI " +
     "tuple — no window, no join, no cartesian") {
     val plan = physical(ExtensionQueries.x197(spark, sf001))
