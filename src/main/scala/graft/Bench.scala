@@ -26,6 +26,12 @@ object Bench {
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("(file|hdfs|s3a?):[^,\\]\\s)]*", "path:")
       .replaceAll("Statistics\\([^)]*\\)", "")
+      // typed operators (MapPartitions/Deserialize…) print the closure's
+      // JVM identity — Lambda$<id>/0x<ptr>@<hash> — which differs every
+      // SESSION; un-normalized it made x71-class fingerprints flip with
+      // no plan change (observed: four canonical runs, four fps)
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
+      .replaceAll("@[0-9a-f]{6,}", "@")
       .replaceAll("\\s+", " ")
     java.security.MessageDigest.getInstance("MD5")
       .digest(norm.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
