@@ -10,18 +10,59 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Short fingerprint of a query's PHYSICAL plan, stable across runs:
-    * expression/plan ids, file paths, and size statistics are
-    * normalized away so the hash moves only when the plan SHAPE moves
-    * (a broadcast→SMJ flip, a lost pushdown, a new exchange) — the
-    * regressions wall-time noise hides. Per-query fingerprints land in
-    * BENCH_FULL.json ("plans"); both stdout lines carry the combined
-    * "plan_fp". Diff note: to locate a cross-round plan regression,
-    * compare the two rounds' BENCH_FULL.json "plans" maps key-by-key
-    * (`jq -r '.plans | to_entries[] | "\(.key) \(.value)"'` on each,
-    * then `diff`) and `.explain("formatted")` the changed queries. */
-  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
-    val norm = df.queryExecution.executedPlan.toString
+  /** Comma-split at paren/bracket/brace depth 0. */
+  private def splitTop(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach { ch =>
+      if (ch == '(' || ch == '[' || ch == '{') depth += 1
+      else if (ch == ')' || ch == ']' || ch == '}') depth -= 1
+      if (ch == ',' && depth == 0) { parts += cur.toString; cur.clear() }
+      else cur += ch
+    }
+    parts += cur.toString
+    parts.toSeq
+  }
+
+  /** Sorts the top-level comma-separated elements of every [...] list
+    * (innermost-first, recursive) and collapses bare-integer elements
+    * to "N". WHY: grouping-sets / multi-count-distinct plans iterate
+    * attribute sets keyed by expression id, so aggregate key/output
+    * order AND grouping-id assignment depend on the session-global
+    * expression counter — i.e. on which queries ran BEFORE this one,
+    * not on the plan (r14 verdict: 14 queries churned fps across
+    * identical-source sweeps). Deliberate trade: WITHIN-list ordering
+    * (sort keys, projection order, IN-list literals) is not part of
+    * the fingerprint; operator structure, exchange placement, join
+    * strategies, and pushdowns all remain fingerprinted. */
+  private def sortBrackets(s: String): String = {
+    val n = s.length
+    // returns (normalized bracket group, index after ']'); i is at '['
+    def parse(i: Int): (String, Int) = {
+      var j = i + 1
+      val buf = new StringBuilder
+      while (j < n && s(j) != ']') {
+        if (s(j) == '[') { val (sub, nj) = parse(j); buf ++= sub; j = nj }
+        else { buf += s(j); j += 1 }
+      }
+      val parts = splitTop(buf.toString).map(_.trim)
+        .map(p => if (p.nonEmpty && p.forall(_.isDigit)) "N" else p)
+      ("[" + parts.sorted.mkString(",") + "]", j + 1)
+    }
+    val out = new StringBuilder
+    var i = 0
+    while (i < n) {
+      if (s(i) == '[') { val (sub, ni) = parse(i); out ++= sub; i = ni }
+      else { out += s(i); i += 1 }
+    }
+    out.toString
+  }
+
+  /** The physical plan text with every run/session-dependent token
+    * normalized away — the input [[planFingerprint]] hashes. */
+  private[graft] def normalizedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val t = df.queryExecution.executedPlan.toString
       .replaceAll("#\\d+", "#")
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("(file|hdfs|s3a?):[^,\\]\\s)]*", "path:")
@@ -31,14 +72,87 @@ object Bench {
       // SESSION; un-normalized it made x71-class fingerprints flip with
       // no plan change (observed: four canonical runs, four fps)
       .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda")
-      .replaceAll("@[0-9a-f]{6,}", "@")
-      .replaceAll("\\s+", " ")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(norm.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      // object identities (LogicalRDD@1a2b3c…): anchored to an
+      // identifier token so a literal hex STRING in a filter can't be
+      // normalized away and hide a real plan change (ADVICE r14)
+      .replaceAll("([A-Za-z][A-Za-z0-9$.]*)@[0-9a-f]{6,}", "$1@")
+      // higher-order-function lambda variables print the session-global
+      // expression counter IN the name (lambda x_2724#) — run-order
+      // dependent, not plan shape
+      .replaceAll("lambda ([A-Za-z0-9]+)_\\d+#", "lambda $1_#")
+      // grouping-id literals: RewriteDistinctAggregates assigns gids by
+      // expression-id hash iteration — which distinct column gets which
+      // gid varies run-to-run with an identical plan
+      .replaceAll("(gid|spark_grouping_id)# = \\d+", "$1# = G")
+    // hashpartitioning key order comes from the same attribute-set
+    // iteration (equivalent clustering either way) — sort the keys
+    val hp = "hashpartitioning\\(([^()]*)\\)".r
+    val t2 = hp.replaceAllIn(t, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        "hashpartitioning(" +
+          splitTop(m.group(1)).map(_.trim).sorted.mkString(",") + ")"))
+    sortBrackets(t2).replaceAll("\\s+", " ")
   }
+
+  /** Short fingerprint of a query's PHYSICAL plan, stable across runs:
+    * expression/plan ids, file paths, RDD/closure identities, and size
+    * statistics are normalized away so the hash moves only when the
+    * plan SHAPE moves (a broadcast→SMJ flip, a lost pushdown, a new
+    * exchange) — the regressions wall-time noise hides. Per-query
+    * fingerprints land in BENCH_FULL.json ("plans"); both stdout lines
+    * carry the combined "plan_fp". Diff note: to locate a cross-round
+    * plan regression, compare the two rounds' BENCH_FULL.json "plans"
+    * maps key-by-key (`jq -r '.plans | to_entries[] | "\(.key)
+    * \(.value)"'` on each, then `diff`) and `.explain("formatted")`
+    * the changed queries; SPARK_GRAFT_DUMP_PLANS=<dir> dumps each
+    * query's NORMALIZED plan text for a direct diff. */
+  private[graft] def fpOfNorm(norm: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+
+  private[graft] def planFingerprint(df: org.apache.spark.sql.DataFrame): String =
+    fpOfNorm(normalizedPlan(df))
+
+  /** Flat string→string map extracted from one of our own one-line
+    * JSON artifacts. ONLY safe for maps whose values are bare numbers
+    * or plain hex strings ("queries"/"plans" — no commas, colons,
+    * braces, or escapes inside values); the "failed" map does NOT
+    * qualify. Hand-rolled because the bench must not grow a JSON
+    * dependency for reading a file it wrote itself. */
+  private[graft] def flatMapOf(json: String, key: String): Map[String, String] =
+    ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.trim.nonEmpty)
+      .map(_.split(",").flatMap { kv =>
+        kv.split(":", 2) match {
+          case Array(k, v) =>
+            Some(k.trim.stripPrefix("\"").stripSuffix("\"") ->
+              v.trim.stripPrefix("\"").stripSuffix("\""))
+          case _ => None
+        }
+      }.toMap)
+      .getOrElse(Map.empty)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Contamination sentinel (§19): the driver's round-close sweep has
+    // been load-contaminated two rounds running (r13 x144/x89/x146;
+    // r14 x155/x208/x113) and each time cost a judge/builder cycle to
+    // re-prove "identical plan fp ⇒ environmental". Read the committed
+    // canonical BEFORE this run can overwrite it; per query, when the
+    // plan fingerprint matches the canonical one, report
+    // vs_canonical = median/canonical and flag > 3× (with a 0.5 s
+    // absolute floor so micro-query jitter can't flag) as
+    // suspect_contaminated — the sweep self-annotates instead of
+    // masquerading as a regression.
+    val canonical: Option[(Map[String, Double], Map[String, String])] =
+      scala.util.Try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+        (flatMapOf(txt, "queries").flatMap { case (k, v) =>
+          scala.util.Try(v.toDouble).toOption.map(k -> _) },
+          flatMapOf(txt, "plans"))
+      }.toOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -153,7 +267,18 @@ object Bench {
       // plan fingerprint AFTER the timed runs (plan construction may
       // eagerly materialize localCheckpoints — must not pre-warm run 1)
       val fp = if (err.isDefined) "ERR"
-        else scala.util.Try(planFingerprint(fn(spark, sfDir))).getOrElse("ERR")
+        else scala.util.Try {
+          val norm = normalizedPlan(fn(spark, sfDir))
+          // dev knob: dump the normalized plan text per query so a
+          // cross-sweep fp diff can be root-caused with a text diff
+          sys.env.get("SPARK_GRAFT_DUMP_PLANS").foreach { d =>
+            val dir = java.nio.file.Paths.get(d)
+            java.nio.file.Files.createDirectories(dir)
+            java.nio.file.Files.write(dir.resolve(s"$name.plan.txt"),
+              norm.getBytes("UTF-8"))
+          }
+          fpOfNorm(norm)
+        }.getOrElse("ERR")
       dropLingering() // fp construction re-materialized checkpoints
       (name, med, spread, err, fp, nRuns)
     }
@@ -210,6 +335,24 @@ object Bench {
     // regression anywhere flips plan_fp even when timings look flat
     val plansFull = results.map { case (k, _, _, _, fp, _) =>
       "\"" + k + "\":\"" + fp + "\"" }.mkString("{", ",", "}")
+    // sentinel: ratio vs the committed canonical at the SAME fp (a
+    // differing fp means a real plan change — the ratio would compare
+    // different plans, so it is omitted and can't mask a regression)
+    val vsCanonical: Seq[(String, Double)] = results.flatMap {
+      case (k, med, _, None, fp, _) => canonical.flatMap { case (cq, cp) =>
+        (cq.get(k), cp.get(k)) match {
+          case (Some(t), Some(cfp)) if cfp == fp && t > 0.0 =>
+            Some(k -> med / t)
+          case _ => None
+        }
+      }
+      case _ => None
+    }
+    val suspects = vsCanonical.collect { case (k, ratio)
+      if ratio > 3.0 && results.find(_._1 == k).exists(_._2 > 0.5) => k }
+    val vsCanonFull = vsCanonical.map { case (k, r) =>
+      "\"" + k + "\":" + r2(r) }.mkString("{", ",", "}")
+    val suspectsFull = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-query run counts: > repeat means the adaptive escalation fired
     val runsFull = results.map { case (k, _, _, _, _, n) =>
       "\"" + k + "\":" + n }.mkString("{", ",", "}")
@@ -217,7 +360,7 @@ object Bench {
       .digest(results.map { case (k, _, _, _, fp, _) => s"$k:$fp" }
         .mkString(";").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
-    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","queries":$qsFull,"rel_spread":$spreadFull,"plans":$plansFull,"runs":$runsFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","queries":$qsFull,"rel_spread":$spreadFull,"plans":$plansFull,"runs":$runsFull,"vs_canonical":$vsCanonFull,"suspect_contaminated":$suspectsFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
     // Full per-query detail: (a) an EARLIER stdout line (the driver only
     // parses the last one) and (b) BENCH_FULL.json in the repo, which the
     // driver's end-of-round commit picks up for the judge. ONLY canonical
@@ -254,7 +397,13 @@ object Bench {
     val spreads = results.map(_._3)
     val spreadMed = if (spreads.isEmpty) "0" else r2(median(spreads))
     val spreadMax = if (spreads.isEmpty) "0" else r2(spreads.max)
-    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","spread_med":$spreadMed,"spread_max":$spreadMax,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
+    // compact sentinel summary: count + short ids (name up to the
+    // first '_' is a unique query id; full names and per-query ratios
+    // live in BENCH_FULL.json) — bounded to 5 so a heavily
+    // contaminated sweep can't blow the 2000-char driver window
+    val suspectCompact = suspects.take(5)
+      .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","spread_med":$spreadMed,"spread_max":$spreadMax,"n_suspect":${suspects.size},"suspect":$suspectCompact,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1314,7 +1314,11 @@ object Dedup {
       .filter(col("__tg") > 0 && col("__tp") > 0)
       .select(col("max_df"), col("grams_kept"),
         expr("grams_kept * 1000000L div __tg").as("grams_share_micro"),
-        col("__pk").cast("bigint").as("postings_kept"),
+        when(col("__pk") > longMax,
+          raise_error(concat(lit("dfCapAdvisor: postings kept "),
+            col("__pk").cast("string"),
+            lit(" past the BIGINT envelope (9.2e18)"))).cast("bigint"))
+          .otherwise(col("__pk").cast("bigint")).as("postings_kept"),
         expr("(__pk * CAST(1000000 AS DECIMAL(38,0))) div __tp")
           .as("postings_share_micro"),
         when(col("__f2") > longMax * lit(2).cast(dec),

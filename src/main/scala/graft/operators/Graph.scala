@@ -249,11 +249,18 @@ object Graph {
     * undirected assortativity. The topology read [[degreeProfile]]'s
     * per-node counts and x83's clustering coefficient don't give.
     *
-    * Exactness: all five moments (m, Σdu, Σdudv, Σdu², Σdv²) are
-    * exact BIGINT aggregations; r is ONE fixed double expression
-    * over them, quantized ONCE to micro (the x160 modularity / x200
-    * chi² discipline — both engines evaluate the identical IEEE
-    * expression on identical integers).
+    * Exactness: all five moments (m, Σdu, Σdudv, Σdu², Σdv²)
+    * accumulate in DECIMAL(38,0) (a per-edge du·dv product or a
+    * moment sum past the BIGINT envelope would silently wrap in
+    * non-ANSI Spark exactly where the oracle raises); any moment
+    * past Long.MaxValue `raise_error`s with its name — the
+    * [[graft.operators.Layout.joinSizeAdvisor]] refuse-loudly
+    * pattern. With every moment ≤ 9.2e18 the zero-variance guard
+    * products m·Σd² (≤ 8.5e37) stay exact in DECIMAL(38,0), and r
+    * is ONE fixed double expression over the moments, quantized
+    * ONCE to micro (the x160 modularity / x200 chi² discipline —
+    * both engines evaluate the identical IEEE expression on
+    * identical integers).
     *
     * Scale: one degree aggregation + two node-keyed joins of the
     * edge list + one global aggregation. No windows.
@@ -262,6 +269,14 @@ object Graph {
     * assortativity_micro); a degree-regular graph (zero variance)
     * emits nothing — r is undefined there. */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val longMax = lit(Long.MaxValue).cast(dec)
+    // moment > BIGINT envelope → refuse loudly, never wrap
+    def fence(c: String) = when(col(c) > longMax,
+      raise_error(concat(lit(s"degreeAssortativity: moment $c = "),
+        col(c).cast("string"),
+        lit(" past the BIGINT envelope (9.2e18)"))).cast(dec))
+      .otherwise(col(c)).as(c)
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("bigint").as("deg"))
@@ -270,14 +285,20 @@ object Graph {
     e.join(deg.select(col("id").as("src"), col("deg").as("__du")), "src")
       .join(deg.select(col("id").as("dst"), col("deg").as("__dv")), "dst")
       .agg(count(lit(1)).cast("bigint").as("n_directed_edges"),
-        sum(col("__du")).cast("bigint").as("__sx"),
-        sum(col("__dv")).cast("bigint").as("__sy"),
-        sum(col("__du") * col("__dv")).cast("bigint").as("__sxy"),
-        sum(col("__du") * col("__du")).cast("bigint").as("__sxx"),
-        sum(col("__dv") * col("__dv")).cast("bigint").as("__syy"))
+        sum(col("__du").cast(dec)).as("__sx"),
+        sum(col("__dv").cast(dec)).as("__sy"),
+        sum(col("__du").cast(dec) * col("__dv").cast(dec)).as("__sxy"),
+        sum(col("__du").cast(dec) * col("__du").cast(dec)).as("__sxx"),
+        sum(col("__dv").cast(dec) * col("__dv").cast(dec)).as("__syy"))
+      .select(col("n_directed_edges"), fence("__sx"), fence("__sy"),
+        fence("__sxy"), fence("__sxx"), fence("__syy"))
       .crossJoin(broadcast(nodes))
-      .filter(col("n_directed_edges") * col("__sxx") > col("__sx") * col("__sx") &&
-        col("n_directed_edges") * col("__syy") > col("__sy") * col("__sy"))
+      // decimal products: both factors ≤ 9.2e18 after the fence, so
+      // m·Σd² ≤ 8.5e37 < 1e38 — exact, no precision-overflow NULL
+      .filter(col("n_directed_edges").cast(dec) * col("__sxx") >
+          col("__sx") * col("__sx") &&
+        col("n_directed_edges").cast(dec) * col("__syy") >
+          col("__sy") * col("__sy"))
       .select(col("n_nodes"), col("n_directed_edges"),
         expr("""CAST(round(
           | (CAST(n_directed_edges AS DOUBLE) * CAST(__sxy AS DOUBLE) -

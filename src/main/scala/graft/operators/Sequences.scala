@@ -1511,8 +1511,10 @@ object Sequences {
     *
     * Output: (event_type, lag, n_days,
     * acf_micro = Σdₜdₜ₊ₖ·10⁶ div Σdₜ², truncation parity with the
-    * oracle's //), types with zero variance excluded, ordered by
-    * (event_type, lag). */
+    * oracle's //), ordered by (event_type, lag). Excluded, not
+    * NULL-padded: types with zero variance, and (type, lag) cells
+    * whose day span is ≤ the lag (zero lagged pairs — the numerator
+    * sum is empty, so the ACF is undefined there). */
   def dailyAutocorrelation(events: DataFrame, lags: Seq[Int] = Seq(1, 7),
       typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1554,6 +1556,9 @@ object Sequences {
         // pick this lag's numerator off the wide row
         lags.sorted.map(k => when(lit(k.toLong) === col("lag"),
           col(s"__num$k"))).reduce(coalesce(_, _)).as("__num"))
+      // a type whose day span is ≤ this lag has ZERO lagged pairs
+      // (the lead-product sum is empty → NULL): no row, not NULL acf
+      .filter(col("__num").isNotNull)
       .select(col("__t").as(typeCol), col("lag"), col("n_days"),
         expr("(__num * CAST(1000000 AS DECIMAL(38,0))) div __den")
           .as("acf_micro"))

@@ -8106,7 +8106,9 @@ object ExtensionQueries {
         |       CAST((CASE WHEN u.lag = 1 THEN n1 ELSE n7 END) * 1000000
         |         // den AS BIGINT) AS acf_micro
         |FROM ag, LATERAL (SELECT unnest([1, 7]) AS lag) u
-        |WHERE den > 0 ORDER BY event_type, lag""".stripMargin,
+        |WHERE den > 0
+        |  AND (CASE WHEN u.lag = 1 THEN n1 ELSE n7 END) IS NOT NULL
+        |ORDER BY event_type, lag""".stripMargin,
 
     // Replays covarianceSpectrum: micro-quantized elements, n-scaled
     // covariance in HUGEINT, matrix renormalized by max |cell|, eight

@@ -51,7 +51,25 @@ object Decompose {
       "f_x89_full" -> (() => graft.queries.ExtensionQueries.all
         .find(_._1 == "x89_source_league").get._2(spark, sfDir)),
       "g_x146_full" -> (() => graft.queries.ExtensionQueries.all
-        .find(_._1 == "x146_value_drift_psi").get._2(spark, sfDir))
+        .find(_._1 == "x146_value_drift_psi").get._2(spark, sfDir)),
+      // x02 bimodality decomposition (VERDICT r14 item 4): the three
+      // nested prefixes of the declared query — sketch+checkpoint
+      // only, LSH bucket join without the exact re-score (no candidate
+      // checkpoints), and the full verify path — localize which stage
+      // carries the 1.4–1.8 s bimodal cost
+      "h_x02_sigs_ckpt" -> (() =>
+        Dedup.minhashSignatures(docs, "doc_id", "text", 5, 256)
+          .filter(col("sig").isNotNull).localCheckpoint(true)),
+      "i_x02_est_only" -> (() =>
+        Dedup.minhashNearDup(docs, "doc_id", "text", shingleLen = 5,
+          bands = 32, rowsPerBand = 8, minJaccard = 0.85,
+          verifyExact = false)
+          .orderBy(col("doc_a"), col("doc_b"))),
+      "j_x02_full" -> (() =>
+        Dedup.minhashNearDup(docs, "doc_id", "text", shingleLen = 5,
+          bands = 32, rowsPerBand = 8, minJaccard = 0.85,
+          verifyExact = true)
+          .orderBy(col("doc_a"), col("doc_b")))
     )
 
     val only = args.headOption

@@ -493,4 +493,71 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2))
     assert(pairs.toSeq == Seq((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
   }
+
+  // a minimal embedded-EXIF TIFF block: header + 1-entry IFD0 with
+  // orientation `v` (optionally mistyped), in either byte order
+  private def exifTiff(v: Int, le: Boolean, typ: Int = 3): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + 2 + 12 + 4).order(
+      if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    if (le) b.put('I'.toByte).put('I'.toByte).putShort(42.toShort)
+    else b.put('M'.toByte).put('M'.toByte).putShort(42.toShort)
+    b.putInt(8) // IFD0 at offset 8 from the TIFF base
+    b.putShort(1.toShort)
+    b.putShort(0x0112.toShort).putShort(typ.toShort).putInt(1)
+      .putShort(v.toShort).putShort(0.toShort)
+    b.putInt(0)
+    b.array()
+  }
+
+  private def jpegWithApp1(tiff: Array[Byte], extraAppFirst: Boolean): Array[Byte] = {
+    val app1Len = 2 + 6 + tiff.length
+    val pre = if (extraAppFirst)
+      // an APP0/JFIF segment before the Exif APP1 (the common layout)
+      Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 4, 'J', 'F')
+    else Array.empty[Byte]
+    val b = java.nio.ByteBuffer.allocate(2 + pre.length + 4 + 6 + tiff.length + 2)
+    b.put(0xFF.toByte).put(0xD8.toByte).put(pre)
+    b.put(0xFF.toByte).put(0xE1.toByte)
+      .put((app1Len >> 8).toByte).put((app1Len & 0xFF).toByte)
+    b.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    b.put(tiff)
+    b.put(0xFF.toByte).put(0xD9.toByte)
+    b.array()
+  }
+
+  test("decodeExifOrientation: REAL bytes — JPEG APP1 both byte orders, " +
+      "bare TIFF, EXIF defaults and malformed values") {
+    // JPEG + little-endian Exif APP1, orientation 6 (rotate 90 CW)
+    assert(Multimodal.decodeExifOrientation(
+      jpegWithApp1(exifTiff(6, le = true), extraAppFirst = false)).contains(6))
+    // APP0 before the APP1; big-endian TIFF; orientation 8
+    assert(Multimodal.decodeExifOrientation(
+      jpegWithApp1(exifTiff(8, le = false), extraAppFirst = true)).contains(8))
+    // bare TIFF payload: IFD0 read directly
+    assert(Multimodal.decodeExifOrientation(exifTiff(3, le = true)).contains(3))
+    assert(Multimodal.decodeExifOrientation(exifTiff(3, le = false)).contains(3))
+    // out-of-range value (9) and a mistyped entry (LONG, not SHORT)
+    // are malformed per EXIF: None, never a fabricated code
+    assert(Multimodal.decodeExifOrientation(
+      jpegWithApp1(exifTiff(9, le = true), extraAppFirst = false)).isEmpty)
+    assert(Multimodal.decodeExifOrientation(
+      jpegWithApp1(exifTiff(6, le = true, typ = 4), extraAppFirst = false)).isEmpty)
+    // JPEG with no APP1 at all, and a non-media text payload
+    assert(Multimodal.decodeExifOrientation(
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)).isEmpty)
+    assert(Multimodal.decodeExifOrientation("plain text".getBytes).isEmpty)
+  }
+
+  test("extractFeatures surfaces orientation: JPEG-with-EXIF rows carry the " +
+      "decoded code, every other payload defaults to 1 (upright)") {
+    import spark.implicits._
+    val jpeg = jpegWithApp1(exifTiff(6, le = true), extraAppFirst = false)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", jpeg, "s", jpeg.length.toLong),
+      Multimodal.MediaRecord(2L, "text", "hello".getBytes, "s", 5L))
+    val f = Multimodal.extractFeatures(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+    assert(f.map(_.orientation).toSeq == Seq(6, 1))
+  }
 }

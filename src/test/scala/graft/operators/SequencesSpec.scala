@@ -849,4 +849,18 @@ class SequencesSpec extends SparkSpec {
       ("b", 1L, 3L, -500000L),
       ("b", 2L, 3L, 0L)))
   }
+
+  test("dailyAutocorrelation: a (type, lag) cell with zero lagged pairs " +
+      "(day span <= lag) emits NO row, not a NULL acf (ADVICE r14)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // type c spans 2 days with unequal counts (variance > 0): lag 1
+    // has one pair; lag 3 has zero pairs -> that cell must be absent
+    val ev = (Seq.fill(3)("2024-01-01") ++ Seq("2024-01-02"))
+      .map(d => ("c", ts(d))).toDF("event_type", "ts")
+    val out = Sequences.dailyAutocorrelation(ev, lags = Seq(1, 3))
+      .as[(String, Long, Long, Long)].collect()
+    // d = 2x-4 = [2,-2], den 8, lag1 num = -4 -> -500000; lag3: no row
+    assert(out.toSeq == Seq(("c", 1L, 2L, -500000L)))
+  }
 }
