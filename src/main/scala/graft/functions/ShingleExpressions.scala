@@ -362,9 +362,39 @@ case class WinnowMinima(child: Expression, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `winnow_anchors(hashes, w)` → array<struct<pos:int, fp:bigint>>:
+  * the winnowing selection of [[WinnowMinima]] WITH the selected gram
+  * positions kept — the anchor set substring-run stitching needs
+  * (matching anchors on a shared diagonal stitch into duplicated-run
+  * estimates). Tie rule pinned in [[ShingleKernels.winnowAnchors]]:
+  * last index at the window minimum. Null → null; [] → []. */
+case class WinnowAnchors(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w > 0, s"winnow_anchors: w must be positive, got $w")
+
+  override def checkInputDataTypes() =
+    K.expect("winnow_anchors", child.dataType,
+      _ == ArrayType(LongType, containsNull = false), "array<bigint>")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.winnowAnchors(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.winnowAnchors($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object ShingleFunctions {
   def winnow_minima(hashes: Column, w: Int): Column =
     toColumn(WinnowMinima(toExpression(hashes), w))
+  def winnow_anchors(hashes: Column, w: Int): Column =
+    toColumn(WinnowAnchors(toExpression(hashes), w))
   def word_tokens(text: Column): Column =
     toColumn(WordTokens(toExpression(text)))
   def minhash_agreement(a: Column, b: Column): Column =

@@ -395,6 +395,58 @@ object ShingleKernels {
     * interpreted transform(sequence, array_min(slice)) chain that
     * cost O(n·w) boxed expression evals per document — this kernel is
     * the difference between a 5-minute and a sub-second x122 run. */
+  /** Winnowing anchors WITH positions: the distinct (pos, hash)
+    * pairs the w-window minimum selection picks over a rolling-hash
+    * array — the input [[winnowMinima]] collapses to values only.
+    * Tie rule: within a window the LAST index achieving the minimum
+    * is selected (the deque pops `>=`), and the n ≤ w single-window
+    * branch matches it — the oracle replays `max(p)` at the window
+    * min. Output ascending by pos, element type
+    * struct<pos:int, fp:bigint>. */
+  def winnowAnchors(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val selected = new Array[Boolean](n)
+    if (n <= w) {
+      var m = arr.getLong(0)
+      var mi = 0
+      var i = 1
+      while (i < n) {
+        val v = arr.getLong(i)
+        if (v <= m) { m = v; mi = i } // <=: last argmin, like the deque
+        i += 1
+      }
+      selected(mi) = true
+    } else {
+      val dqIdx = new Array[Int](n)
+      var head = 0
+      var tail = 0
+      var i = 0
+      while (i < n) {
+        val v = arr.getLong(i)
+        while (tail > head && arr.getLong(dqIdx(tail - 1)) >= v) tail -= 1
+        dqIdx(tail) = i; tail += 1
+        if (dqIdx(head) <= i - w) head += 1
+        if (i >= w - 1) selected(dqIdx(head)) = true
+        i += 1
+      }
+    }
+    var cnt = 0
+    var i = 0
+    while (i < n) { if (selected(i)) cnt += 1; i += 1 }
+    val out = new Array[Any](cnt)
+    var o = 0
+    i = 0
+    while (i < n) {
+      if (selected(i)) {
+        out(o) = org.apache.spark.sql.catalyst.InternalRow(i, arr.getLong(i))
+        o += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def winnowMinima(arr: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)

@@ -694,6 +694,108 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Longest duplicated-substring estimate per near-dup pair, at
+    * multiple winnowing grains — the piece between x49's fixed
+    * 10-word span dedup and x203's content-defined chunks: the Lee
+    * et al. ("Deduplicating Training Data Makes Language Models
+    * Better") exact-substring read, approximated relationally.
+    * Winnowing anchors (k-gram rolling md5-60 hashes, w-window
+    * last-argmin selection WITH positions) match across documents;
+    * matched anchors sharing a pair's DIAGONAL (pos_a − pos_b — a
+    * contiguous shared substring keeps both position sequences in
+    * lockstep) stitch into maximal runs via gaps-and-islands
+    * (consecutive anchors ≤ k+w apart — winnowing guarantees anchor
+    * spacing ≤ w inside contiguous shared text; the slack absorbs
+    * df-capped anchors the prune dropped). A run of anchors spanning
+    * [first, last] witnesses a duplicated substring of ≥
+    * last − first + k chars.
+    *
+    * Never all-pairs: anchors join bucket-style on the fingerprint
+    * with the x122 df cap, so candidate volume is bounded by real
+    * duplication, and the stitching window partitions by
+    * (pair, diagonal) — bounded by matched anchors, no corpus-global
+    * window. Multiple (k, w) scales run as independent passes over
+    * the pruned-column scan and union: the fine grain localizes
+    * short template runs, the coarse grain survives higher df caps
+    * on long boilerplate.
+    *
+    * `minRunChars` is the report floor (default 32): a run must
+    * witness at least that many duplicated chars to count. Without
+    * it, any two common anchors within maxGap read as a "run" of
+    * ~k chars and the output degenerates toward all-pairs on a
+    * small-vocabulary corpus (measured: 275 docs → 75k pair rows at
+    * the k-char floor); with it, output volume is bounded by REAL
+    * duplication, which is what makes the operator 100 TB-shaped.
+    *
+    * Output per (doc_a, doc_b, k): longest_run_chars (the estimate),
+    * n_runs (stitched runs with ≥ `minAnchors` anchors and ≥
+    * `minRunChars` chars), n_anchors (total matched anchors in those
+    * runs). Pairs with no qualifying run emit nothing. */
+  def duplicatedSubstringRuns(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      scales: Seq[(Int, Int)] = Seq((8, 4), (16, 8)),
+      dfCap: Int = 50, minAnchors: Int = 2,
+      minRunChars: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(scales.nonEmpty && scales.forall { case (k, w) => k > 0 && w > 0 },
+      s"duplicatedSubstringRuns: scales must be positive, got $scales")
+    require(scales.distinct.size == scales.size,
+      s"duplicatedSubstringRuns: duplicate scales in $scales")
+    require(dfCap > 0 && minAnchors > 0 && minRunChars > 0,
+      s"duplicatedSubstringRuns: dfCap, minAnchors, minRunChars must be positive, got ($dfCap, $minAnchors, $minRunChars)")
+    val norm = docs.select(col(idCol).as("doc_id"),
+      regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
+    val perScale = scales.map { case (k, w) =>
+      val anchors = norm
+        .select(col("doc_id"), explode(
+          graft.functions.ShingleFunctions.winnow_anchors(
+            graft.functions.ShingleFunctions.md5_shingle_hashes(col("__t"), k), w))
+          .as("__a"))
+        .select(col("doc_id"), col("__a.pos").as("pos"), col("__a.fp").as("fp"))
+      val rare = anchors.groupBy(col("fp"))
+        .agg(count(lit(1)).as("__df")).filter(col("__df") <= dfCap)
+      val pruned = anchors.join(rare.select(col("fp")), "fp")
+      val a = pruned.as("a"); val b = pruned.as("b")
+      // one fp per position, so (pair, pos_a, pos_b) is already unique
+      val matched = a.join(b,
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pos_a"),
+          (col("a.pos") - col("b.pos")).as("diag"))
+      val wOrd = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pos_a"))
+      val maxGap = k + w
+      perPairRuns(matched, wOrd, maxGap, k, minAnchors, minRunChars)
+    }
+    perScale.reduce(_ unionByName _)
+  }
+
+  private def perPairRuns(matched: DataFrame,
+      wOrd: org.apache.spark.sql.expressions.WindowSpec,
+      maxGap: Int, k: Int, minAnchors: Int,
+      minRunChars: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    matched
+      .withColumn("__brk",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(wOrd) > maxGap, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__isl"))
+      .agg(count(lit(1)).as("__na"),
+        min(col("pos_a")).as("__lo"), max(col("pos_a")).as("__hi"))
+      .filter(col("__na") >= minAnchors &&
+        col("__hi") - col("__lo") + lit(k.toLong) >= minRunChars)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        max(col("__hi") - col("__lo") + lit(k.toLong)).cast("bigint")
+          .as("longest_run_chars"),
+        count(lit(1)).as("n_runs"),
+        sum(col("__na")).cast("bigint").as("n_anchors"))
+      .select(col("doc_a"), col("doc_b"), lit(k.toLong).as("k"),
+        col("longest_run_chars"), col("n_runs"), col("n_anchors"))
+  }
+
   /** Skip-gram PMI: token pairs co-occurring within a ±`window`
     * position offset, scored by pointwise mutual information against
     * the unigram model — the word2vec-statistics view of a corpus
@@ -1490,6 +1592,77 @@ object TextAnalysis {
       .select(col("doc_id"), col("__tf"),
         lpMicro(coalesce(col("__c12"), lit(0L)),
           coalesce(col("__c1"), lit(0L))).as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__tf")).cast("bigint").as("n_transitions"),
+        sum(col("__tf") * col("__lp")).cast("bigint").as("sum_logp_micro"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        col("sum_logp_micro"),
+        when(coalesce(col("n_transitions"), lit(0L)) > 0,
+          round(col("sum_logp_micro").cast("double") /
+            (col("n_transitions").cast("double") * lit(1000000.0)), 6))
+          .as("avg_logp"))
+  }
+
+  /** Trigram-LM average transition log-probability per document — the
+    * order-3 upgrade of [[bigramLogProb]]: an add-one-smoothed
+    * trigram model p(w₃|w₁w₂) = (c(w₁w₂w₃)+1)/(c(w₁w₂·)+V+1) is
+    * trained on a reference corpus (c(w₁w₂·) = occurrences of the
+    * (w₁,w₂) left context, V = the reference's distinct
+    * third-position vocabulary) and every document is scored by its
+    * mean per-TRANSITION log-prob. Where the bigram screen catches
+    * scrambled word ORDER, the trigram screen additionally catches
+    * locally-plausible-but-globally-stitched text (template splices
+    * whose every bigram is common but whose trigrams never co-occur)
+    * — the standard perplexity-screen grain for corpus QA.
+    *
+    * Same hash-portable fixed point as the bigram sibling: each
+    * transition TYPE's log-prob quantizes once to integer micro-nats;
+    * per-document accumulation is an exact integer sum of tf × lp;
+    * the final mean is one correctly-rounded double division.
+    *
+    * Scale: identical shape to [[bigramLogProb]] one order up —
+    * reference counts are partial+final hash aggregates, scoring
+    * joins are SHUFFLED equi-joins on the trigram / context keys
+    * (trigram vocabularies are far too large to broadcast), only the
+    * 1-row V frame broadcasts, adjacency from the token array (no
+    * sort, no window).
+    *
+    * Output: (doc_id, n_transitions, sum_logp_micro, avg_logp); docs
+    * with < 3 tokens keep n_transitions = 0 and a null score. */
+  def trigramLogProb(docs: DataFrame, ref: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def tripleFrame(df: DataFrame): DataFrame =
+      tokFrame(df, idCol, textCol)
+        .filter(size(col("__w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(__w) - 2), " +
+            "i -> struct(element_at(__w, i) as w1, " +
+            "element_at(__w, i + 1) as w2, element_at(__w, i + 2) as w3))"))
+          .as("__p"))
+        .select(col("doc_id"), col("__p.w1"), col("__p.w2"), col("__p.w3"))
+    val refTris = tripleFrame(ref)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__c123"))
+      .localCheckpoint(true) // feeds context counts, V, and scoring
+    val refCtx = refTris.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("__c123")).cast("bigint").as("__c12"))
+    val stats = refTris.agg(count_distinct(col("w3")).as("__v"))
+    def lpMicro(c123: Column, c12: Column): Column =
+      round(round(log((c123.cast("double") + lit(1.0)) /
+        (c12.cast("double") + col("__v").cast("double") + lit(1.0))), 6) *
+        lit(1000000.0)).cast("long")
+    val docTf = tripleFrame(docs)
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__tf"))
+    val scored = docTf
+      .join(refTris, Seq("w1", "w2", "w3"), "left")
+      .join(refCtx, Seq("w1", "w2"), "left")
+      .join(broadcast(stats))
+      .select(col("doc_id"), col("__tf"),
+        lpMicro(coalesce(col("__c123"), lit(0L)),
+          coalesce(col("__c12"), lit(0L))).as("__lp"))
       .groupBy(col("doc_id"))
       .agg(sum(col("__tf")).cast("bigint").as("n_transitions"),
         sum(col("__tf") * col("__lp")).cast("bigint").as("sum_logp_micro"))

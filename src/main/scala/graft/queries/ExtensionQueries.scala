@@ -2565,6 +2565,58 @@ object ExtensionQueries {
   def x224(s: SparkSession, dir: String): DataFrame =
     Dedup.candidatePrecision(docs(s, dir))
 
+  /** x225 longest duplicated substring — see
+    * [[graft.operators.TextAnalysis.duplicatedSubstringRuns]]: per
+    * near-dup pair, the longest shared substring estimated from
+    * winnowing anchors stitched along the pair diagonal, at two
+    * (k, w) grains — the Lee-et-al exact-substring read between
+    * x49's fixed word spans and x203's content-defined chunks. */
+  def x225(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.duplicatedSubstringRuns(docs(s, dir))
+      .orderBy(col("doc_a"), col("doc_b"), col("k"))
+
+  /** x226 URL canonicalization + domain rollup — see
+    * [[graft.operators.Urls.domainRollup]]: tracking-param / case /
+    * default-port / trailing-slash / fragment variants collapse to
+    * one canonical URL, rolled up per registrable domain (eTLD+1) —
+    * the cheapest dedup signal in a crawl-fed corpus, generalizing
+    * the reference's static-URL validation axis. The corpus has no
+    * URL column, so one is BUILT deterministically from (doc_id,
+    * source) — both engines construct the identical string, so the
+    * canonicalizer itself is what the oracle checks: scheme mix
+    * (doc_id parity), %3 trailing slash, %5 gclid, %11 fragment all
+    * collapse; %13 rows are deliberate gate rejects. */
+  def x226(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val q = concat(lit("?utm_source=feed&b=2&a=1"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("&gclid=g"), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("#frag")).otherwise(lit("")))
+    val url = when(col("doc_id") % 13 === 0, lit("relative/path/only"))
+      .when(col("doc_id") % 2 === 0, concat(
+        lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/Docs/"),
+        (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")), q))
+      .otherwise(concat(
+        lit("http://"), col("source"), lit(".example.com:80/Docs/"),
+        (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")), q))
+    graft.operators.Urls.domainRollup(d.select(url.as("url")), "url")
+  }
+
+  /** x227 trigram LM perplexity screen — see
+    * [[graft.operators.TextAnalysis.trigramLogProb]]: add-one
+    * trigram model trained on the English slice, every document
+    * scored by mean per-transition log-prob — the order-3 upgrade of
+    * x96 that catches template splices whose bigrams all look
+    * common. */
+  def x227(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.trigramLogProb(d, d.filter(col("lang") === "en"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2840,6 +2892,9 @@ object ExtensionQueries {
     "x222_cross_lang_dup" -> (x222 _),
     "x223_partition_advisor" -> (x223 _),
     "x224_banding_precision" -> (x224 _),
+    "x225_dup_substring_runs" -> (x225 _),
+    "x226_url_domain_rollup" -> (x226 _),
+    "x227_trigram_logprob" -> (x227 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -2982,6 +3037,68 @@ object ExtensionQueries {
     * first 8 digest bytes big-endian >>> 4 (ShingleKernels.md5Hash60). */
   private def md5Hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** One winnowing-run scale of the x225 oracle: replays
+    * [[graft.operators.TextAnalysis.duplicatedSubstringRuns]] at
+    * (k, w) — rolling md5-60 k-gram hashes, LAST-argmin window
+    * selection with positions (sel = max p at the window min, the
+    * kernel's deque tie rule), df cap, diagonal gaps-and-islands,
+    * per-pair longest run. Emitted as a complete SELECT; the oracle
+    * unions the scales. All CTE names carry the k suffix so two
+    * scales coexist in one WITH. */
+  private def winnowRunsSql(k: Int, w: Int, dfCap: Int,
+      minAnchors: Int, minRunChars: Int): String = {
+    val maxGap = k + w
+    s"""hs$k AS MATERIALIZED (SELECT doc_id,
+       |    list_transform(range(1, greatest(length(t) - ${k - 1}, 0) + 1),
+       |      i -> ${md5Hash60Sql(s"substr(t, CAST(i AS INT), $k)")}) AS h
+       |  FROM nd),
+       |g$k AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) - 1 AS p,
+       |    h[CAST(i AS INT)] AS f
+       |  FROM hs$k, LATERAL (SELECT unnest(range(1, len(h) + 1)) AS i) u
+       |  WHERE len(h) > 0),
+       |cnt$k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM g$k GROUP BY 1),
+       |mn$k AS (SELECT g.doc_id, g.p AS s,
+       |    min(g.f) OVER (PARTITION BY g.doc_id ORDER BY g.p
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mh, c.n
+       |  FROM g$k g JOIN cnt$k c USING (doc_id)),
+       |selbig$k AS (SELECT st.doc_id, max(g2.p) AS sp
+       |  FROM (SELECT * FROM mn$k WHERE n > $w AND s <= n - $w) st
+       |  JOIN g$k g2 ON g2.doc_id = st.doc_id
+       |    AND g2.p BETWEEN st.s AND st.s + ${w - 1} AND g2.f = st.mh
+       |  GROUP BY st.doc_id, st.s),
+       |selsmall$k AS (SELECT g.doc_id, max(g.p) AS sp
+       |  FROM g$k g JOIN cnt$k c USING (doc_id)
+       |  JOIN (SELECT doc_id, min(f) AS mf FROM g$k GROUP BY 1) m
+       |    ON m.doc_id = g.doc_id
+       |  WHERE c.n <= $w AND g.f = m.mf GROUP BY g.doc_id),
+       |anch$k AS MATERIALIZED (SELECT DISTINCT s.doc_id, s.sp AS p, g.f
+       |  FROM (SELECT * FROM selbig$k UNION ALL SELECT * FROM selsmall$k) s
+       |  JOIN g$k g ON g.doc_id = s.doc_id AND g.p = s.sp),
+       |pr$k AS MATERIALIZED (SELECT a.* FROM anch$k a JOIN (
+       |    SELECT f FROM anch$k GROUP BY f HAVING count(*) <= $dfCap) r
+       |  USING (f)),
+       |mt$k AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa,
+       |    a.p - b.p AS diag
+       |  FROM pr$k a JOIN pr$k b ON a.f = b.f AND a.doc_id < b.doc_id),
+       |isl$k AS (SELECT da, db, diag, pa,
+       |    SUM(CASE WHEN pa - lp > $maxGap THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY da, db, diag ORDER BY pa
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+       |  FROM (SELECT *, lag(pa) OVER (PARTITION BY da, db, diag
+       |          ORDER BY pa) AS lp FROM mt$k) z),
+       |runs$k AS (SELECT da, db, CAST(count(*) AS BIGINT) AS na,
+       |    max(pa) - min(pa) + $k AS rc
+       |  FROM isl$k GROUP BY da, db, diag, i
+       |  HAVING count(*) >= $minAnchors
+       |    AND max(pa) - min(pa) + $k >= $minRunChars),
+       |agg$k AS (SELECT da AS doc_a, db AS doc_b, CAST($k AS BIGINT) AS k,
+       |    CAST(max(rc) AS BIGINT) AS longest_run_chars,
+       |    CAST(count(*) AS BIGINT) AS n_runs,
+       |    CAST(sum(na) AS BIGINT) AS n_anchors
+       |  FROM runs$k GROUP BY 1, 2)""".stripMargin
+  }
 
   /** Shared CTE prefix for the md5-60 bottom-16 fingerprint (x11/x23):
     * yields (doc_id, g = distinct char-8 shingles, hs = sorted md5-60
@@ -7900,6 +8017,123 @@ object ExtensionQueries {
          |         // tot.nc AS BIGINT) AS precision_micro
          |FROM x, tot WHERE tot.nc > 0
          |GROUP BY t, tot.nc ORDER BY min_jaccard_micro""".stripMargin,
+
+    // Replays duplicatedSubstringRuns at both (k, w) grains: winnowing
+    // anchors WITH positions (last-argmin tie rule), df cap, diagonal
+    // gaps-and-islands stitch, per-pair longest run.
+    "x225_dup_substring_runs" ->
+      s"""WITH nd AS (SELECT doc_id,
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents),
+         |${winnowRunsSql(8, 4, 50, 2, 32)},
+         |${winnowRunsSql(16, 8, 50, 2, 32)}
+         |SELECT * FROM agg8 UNION ALL SELECT * FROM agg16
+         |ORDER BY doc_a, doc_b, k""".stripMargin,
+
+    // Replays domainRollup over the identically-constructed synthetic
+    // URL column: fragment strip, absolute-URL gate, scheme/host
+    // lowercase, default-port and www strip, trailing-slash strip,
+    // tracking-param filter + sort, eTLD+1 cut, per-domain rollup.
+    "x226_url_domain_rollup" -> {
+      val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^#]*)$"
+      val track = "^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid)="
+      s"""WITH raw AS (SELECT CASE
+         |    WHEN doc_id % 13 = 0 THEN 'relative/path/only'
+         |    WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' || source ||
+         |      '.Example.COM:443/Docs/' || CAST(doc_id % 7 AS VARCHAR) ||
+         |      (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || q
+         |    ELSE 'http://' || source || '.example.com:80/Docs/' ||
+         |      CAST(doc_id % 7 AS VARCHAR) ||
+         |      (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || q
+         |  END AS url
+         |  FROM (SELECT doc_id, source,
+         |      '?utm_source=feed&b=2&a=1' ||
+         |      (CASE WHEN doc_id % 5 = 0
+         |            THEN '&gclid=g' || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+         |      (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS q
+         |    FROM documents) z),
+         |st AS (SELECT regexp_replace(trim(url), '#.*$$', '') AS u FROM raw),
+         |parts AS (SELECT u,
+         |    lower(regexp_extract(u, '$re', 1)) AS scheme,
+         |    lower(regexp_extract(u, '$re', 2)) AS hostport,
+         |    regexp_extract(u, '$re', 3) AS rest,
+         |    regexp_matches(u, '$re') AS ok
+         |  FROM st),
+         |norm AS (SELECT *,
+         |    regexp_replace(CASE
+         |        WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+         |        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |        ELSE hostport END, '^www\\.', '') AS host,
+         |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$$', '')
+         |      AS path,
+         |    array_to_string(list_sort(list_filter(
+         |      string_split(regexp_extract(rest, '\\?(.*)$$', 1), '&'),
+         |      p -> p <> '' AND NOT regexp_matches(p, '$track'))), '&')
+         |      AS params
+         |  FROM parts),
+         |canon AS (SELECT CASE WHEN ok THEN scheme || '://' || host || path ||
+         |      (CASE WHEN params = '' THEN '' ELSE '?' || params END)
+         |    ELSE NULL END AS cu
+         |  FROM norm),
+         |hosts AS (SELECT cu, string_split(regexp_replace(regexp_extract(cu,
+         |      '^[a-z0-9+.-]+://([^/?]+)', 1), ':[0-9]+$$', ''), '.') AS ls
+         |  FROM canon),
+         |dm AS (SELECT cu, CASE WHEN cu IS NULL THEN NULL
+         |    WHEN len(ls) <= 2 THEN array_to_string(ls, '.')
+         |    WHEN (ls[-2] || '.' || ls[-1]) IN ('co.uk','org.uk','ac.uk',
+         |      'gov.uk','co.jp','co.in','co.nz','com.au','org.au','net.au',
+         |      'com.br')
+         |      THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         |    ELSE ls[-2] || '.' || ls[-1] END AS domain
+         |  FROM hosts),
+         |per_url AS (SELECT domain, cu, CAST(count(*) AS BIGINT) AS n
+         |  FROM dm GROUP BY 1, 2),
+         |per_dom AS (SELECT domain, CAST(sum(n) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_canonical_urls
+         |  FROM per_url GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM per_dom)
+         |SELECT domain, n_docs, n_canonical_urls,
+         |  n_docs - n_canonical_urls AS url_dup_docs,
+         |  CAST(n_docs * 1000000 // tot.t AS BIGINT) AS corpus_share_micro
+         |FROM per_dom, tot WHERE tot.t > 0
+         |ORDER BY n_docs DESC, domain NULLS LAST""".stripMargin
+    },
+
+    // Replays trigramLogProb: the x96 replay one order up — add-one
+    // p(w3|w1w2), per-TYPE micro-nat quantization, exact integer
+    // tf×lp accumulation, one double division for the mean.
+    "x227_trigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |tr AS (SELECT doc_id, w[CAST(i AS INT)] AS w1,
+         |         w[CAST(i AS INT) + 1] AS w2, w[CAST(i AS INT) + 2] AS w3
+         |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+         |             FROM toks WHERE len(w) >= 3)),
+         |rp AS (SELECT t.w1, t.w2, t.w3, count(*) AS c123
+         |       FROM tr t JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+         |       GROUP BY 1, 2, 3),
+         |rc AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+         |       FROM rp GROUP BY 1, 2),
+         |st AS (SELECT CAST(count(DISTINCT w3) AS BIGINT) AS v FROM rp),
+         |dtf AS (SELECT doc_id, w1, w2, w3, count(*) AS tf
+         |        FROM tr GROUP BY 1, 2, 3, 4),
+         |sc AS (SELECT dtf.doc_id,
+         |         CAST(sum(tf) AS BIGINT) AS n_transitions,
+         |         CAST(sum(tf * CAST(round(round(ln(
+         |             (coalesce(rp.c123, 0)::DOUBLE + 1.0) /
+         |             (coalesce(rc.c12, 0)::DOUBLE + st.v::DOUBLE + 1.0)), 6)
+         |           * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_logp_micro
+         |       FROM dtf LEFT JOIN rp USING (w1, w2, w3)
+         |            LEFT JOIN rc USING (w1, w2)
+         |            CROSS JOIN st
+         |       GROUP BY dtf.doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_transitions, 0) AS n_transitions,
+         |       sc.sum_logp_micro,
+         |       CASE WHEN sc.n_transitions > 0
+         |            THEN round(sc.sum_logp_micro::DOUBLE /
+         |                       (sc.n_transitions::DOUBLE * 1000000.0), 6)
+         |       END AS avg_logp
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Replays dfCapAdvisor: distinct (doc, gram) postings, df
     // histogram, one row per cap with the exact surviving fan-out.

@@ -618,6 +618,52 @@ class TextAnalysisSpec extends SparkSpec {
       s"in-order ${scores(0)} must beat scrambled ${scores(1)}")
   }
 
+  test("trigramLogProb: hand-traced add-one trigram model, unseen backoff, " +
+      "short docs; splice invisible to bigrams is caught") {
+    // reference "a b c a b c": trigrams abc×2, bca×1, cab×1 →
+    // c(ab·)=2, c(bc·)=1, c(ca·)=1, V = |{c, a, b}| = 3
+    //   lp(abc) = ln((2+1)/(2+3+1)) = ln(0.5)
+    //   lp(bca) = ln((1+1)/(1+3+1)) = ln(0.4)
+    //   lp(abd) = ln((0+1)/(2+3+1)) = ln(1/6)  (unseen tri, seen ctx)
+    val q = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        .*(1000000.0).round
+    val ref = Seq((100L, "a b c a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c a"),  // 2 transitions: abc + bca
+      (2L, "a b d"),    // 1 transition: unseen abd, seen ab context
+      (3L, "a b"))      // < 3 tokens → no score
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.trigramLogProb(docs, ref)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+    val s1 = q(math.log(0.5)) + q(math.log(0.4))
+    val s2 = q(math.log(1.0 / 6.0))
+    val avg1 = BigDecimal(s1 / (2.0 * 1000000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (1L, 2L, Some(s1), Some(avg1)),
+      (2L, 1L, Some(s2), Some(s2 / 1000000.0)),
+      (3L, 0L, None, None)))
+    // the trigram screen separates a splice whose every BIGRAM is
+    // reference-attested: ref attests ab, bc (in "a b c") and db, be
+    // (in "d b e") — the splice "a b e" has only seen bigrams, but
+    // its trigram a b→e never occurs
+    val ref2 = Seq((200L, "a b c a b c"), (201L, "d b e d b e"))
+      .toDF("doc_id", "text")
+    val d2 = Seq((1L, "a b c"), (2L, "a b e")).toDF("doc_id", "text")
+    val tri = TextAnalysis.trigramLogProb(d2, ref2)
+      .orderBy($"doc_id").select("avg_logp").as[Double].collect()
+    assert(tri(0) > tri(1),
+      s"genuine ${tri(0)} must beat the spliced ${tri(1)}")
+    val bi = TextAnalysis.bigramLogProb(d2, ref2)
+      .orderBy($"doc_id").select("avg_logp").as[Double].collect()
+    // ...and the bigram screen alone cannot (all four bigrams equally
+    // attested: ab×4; bc and be each ×2 under the same left context)
+    assert(bi(0) == bi(1),
+      s"bigram screen sees no difference: ${bi(0)} vs ${bi(1)}")
+  }
+
   test("systematicSample: uniform weights draw exactly k, pick_no increasing") {
     // 12 unit-weight rows, k=4 → stride 3, multiples 3,6,9,12 — each
     // covered by exactly one distinct row → exactly 4 picks
@@ -1182,5 +1228,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("A", 3L, 2L, 1L, 500000L, 666666L),
       ("B", 1L, 1L, 1L, 1000000L, 1000000L)))
+  }
+
+  test("winnowAnchors kernel: hand-traced selection, last-argmin tie rule, " +
+      "n <= w single window, positions ascending") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def anchors(hs: Seq[Long], w: Int): Seq[(Int, Long)] = {
+      val out = graft.functions.ShingleKernels
+        .winnowAnchors(new GenericArrayData(hs.toArray), w)
+      (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getInt(0), r.getLong(1))
+      }
+    }
+    // w=2 over [5,3,4,3,6]: windows (5,3)->pos1, (3,4)->pos1,
+    // (4,3)->pos3 (3 at LATER index wins the 3-vs-4? no tie — min 3 at
+    // pos3), (3,6)->pos3 ⇒ anchors (1,3),(3,3)
+    assert(anchors(Seq(5L, 3L, 4L, 3L, 6L), 2) == Seq((1, 3L), (3, 3L)))
+    // tie INSIDE one window: [7,2,2] w=3 → single pass, both 2s in the
+    // deque-pop path → LAST index (2) selected
+    assert(anchors(Seq(7L, 2L, 2L), 3) == Seq((2, 2L)))
+    // n <= w branch: [9,1,1] with w=5 → one window, last argmin
+    assert(anchors(Seq(9L, 1L, 1L), 5) == Seq((2, 1L)))
+    // values match winnowMinima (the value-only sibling) on a random-ish
+    // array: anchor fps, dedup'd + sorted, ARE the minima set
+    val hs = Seq(11L, 4L, 9L, 4L, 15L, 2L, 8L, 8L, 3L)
+    val viaAnchors = anchors(hs, 3).map(_._2).distinct.sorted
+    val minima = {
+      val a = graft.functions.ShingleKernels
+        .winnowMinima(new GenericArrayData(hs.toArray), 3)
+      (0 until a.numElements()).map(a.getLong).sorted
+    }
+    assert(viaAnchors == minima)
+    assert(anchors(Seq.empty, 4).isEmpty)
+  }
+
+  test("duplicatedSubstringRuns: a planted 80-char shared substring is " +
+      "recovered within winnowing slack at both scales; unrelated docs " +
+      "emit no pair") {
+    import spark.implicits._
+    // shared block S (80 chars after normalization), distinct padding;
+    // doc 3 shares nothing
+    val s80 = (0 until 16).map(i => f"blk${i}%02d").mkString(" ") // 16*6-1=95
+    assert(s80.length == 95)
+    val docs = Seq(
+      (1L, "left padding alpha " + s80 + " right padding beta"),
+      (2L, "totally different prefix here " + s80 + " and another suffix"),
+      (3L, "no shared content at all in this one zebra quokka xylophone"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatedSubstringRuns(docs)
+      .orderBy(col("doc_a"), col("doc_b"), col("k"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // only the (1,2) pair, present at both scales
+    assert(out.map(r => (r._1, r._2)).distinct.toSeq == Seq((1L, 2L)))
+    assert(out.map(_._3).toSeq == Seq(8L, 16L))
+    out.foreach { case (_, _, k, runChars, nRuns, nAnchors) =>
+      // the true shared substring is " " + s80 + " " = 97 chars (the
+      // flanking spaces are identical in both docs); the run can't
+      // exceed it and must cover it minus boundary slack (the first/
+      // last w windows straddle the edges)
+      assert(runChars <= 97L, s"k=$k run=$runChars")
+      assert(runChars >= 97L - k - 2 * (if (k == 8) 4 else 8),
+        s"k=$k run=$runChars")
+      assert(nRuns >= 1L && nAnchors >= 2L)
+    }
+    // determinism
+    val again = TextAnalysis.duplicatedSubstringRuns(docs)
+      .orderBy(col("doc_a"), col("doc_b"), col("k"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == again.toSeq)
   }
 }

@@ -1620,6 +1620,19 @@ class PlanShapeSpec extends SparkSpec {
     assertNoGlobalWindowOverBase(ExtensionQueries.x124(spark, sf001))
   }
 
+  test("x225: substring-run stitching joins anchors on the df-capped " +
+    "fingerprint (never all-pairs) and windows only per (pair, diagonal)") {
+    val df = ExtensionQueries.x225(spark, sf001)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    // df-cap aggregation keeps map-side combine
+    assert(plan.contains("partial_count"), plan.take(4000))
+    // the gaps-and-islands window must be (pair, diagonal)-partitioned,
+    // never corpus-global
+    assertNoGlobalWindowOverBase(df)
+  }
+
   test("x159: quality deciles are histogram tiles — no unpartitioned " +
     "window over the doc frame") {
     assertNoGlobalWindowOverBase(ExtensionQueries.x159(spark, sf001))
