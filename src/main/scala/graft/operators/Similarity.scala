@@ -1185,38 +1185,17 @@ object Similarity {
       .orderBy(col(labelCol))
   }
 
-  /** Covariance SPECTRUM read of an embedding corpus — the share of
-    * total variance carried by the dominant principal direction, via
-    * deterministic integer POWER ITERATION: where x187's anisotropy
-    * measures concentration around the MEAN direction, this measures
-    * concentration along the top EIGENVECTOR of the covariance — the
-    * "is this embedding space collapsing to a line" health check that
-    * decides whitening before ANN indexing (a top-heavy spectrum
-    * wrecks IVF/PQ cell balance).
-    *
-    * Exactness pipeline (engine-exact end to end, the x202 integer
-    * power-iteration idiom on a matrix instead of a chain):
-    * elements quantize ONCE to micro; the n-scaled covariance
-    * C'ᵢⱼ = n·Σqᵢqⱼ − SᵢSⱼ (exact integer — no mean division) computes
-    * in DECIMAL(38,0) and renormalizes to micro ints by its max |cell|
-    * (quotients truncate toward zero — Spark decimal→BIGINT cast and
-    * DuckDB `//` agree); `iters` multiply-renormalize rounds run over
-    * the dim²-row matrix frame (each round one broadcast-scale join +
-    * hash agg, checkpointed — fixpoint pattern); the Rayleigh quotient
-    * and trace share quantize once at the end.
-    *
-    * Scale: ONE corpus pass builds the dim² cell sums (fan-out dim²
-    * per vector, collapsed by partial+final agg); everything after is
-    * O(dim²) per round, independent of corpus size. Envelope: the
-    * decimal cells hold n·(10⁶·|v|ₘₐₓ)² ≤ 10³⁸ — at |v| ≤ 1 that is
-    * n ≤ 10²⁶ vectors; the n·Σqq product bounds it to n ≤ ~10¹⁰
-    * (guarded with raise_error — past that, shard the corpus).
-    *
-    * Output (1 row): (n_vecs, top_dim = argmax |x| of the converged
-    * direction, min index on ties, top_eig_share_micro =
-    * λ₁·10⁶ div trace). */
-  def covarianceSpectrum(emb: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id", iters: Int = 8): DataFrame = {
+  /** The integer power-iteration core [[covarianceSpectrum]] and
+    * [[whiteningAudit]] share: quantized elements `el` (id, dim,
+    * micro value, checkpointed), fenced vector count `nF`, per-dim
+    * sums, the renormalized covariance matrix `cm`, and the
+    * converged direction `xv` (dim, micro component). Construction
+    * order and every intermediate are EXACTLY the former
+    * covarianceSpectrum body — extracting it must not move x212's
+    * plan. */
+  private def covariancePowerParts(emb: DataFrame, vecCol: String,
+      idCol: String, iters: Int):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 64,
       s"covarianceSpectrum: iters must be in [1, 64], got $iters")
     val dec = "decimal(38,0)"
@@ -1285,6 +1264,47 @@ object Similarity {
           expr("(__y * CAST(1000000 AS DECIMAL(38,0))) div __my").as("__x"))
         .localCheckpoint(true)
     }
+    (el, nF, sums, cm, xv)
+  }
+
+  /** Covariance SPECTRUM read of an embedding corpus — the share of
+    * total variance carried by the dominant principal direction, via
+    * deterministic integer POWER ITERATION: where x187's anisotropy
+    * measures concentration around the MEAN direction, this measures
+    * concentration along the top EIGENVECTOR of the covariance — the
+    * "is this embedding space collapsing to a line" health check that
+    * decides whitening before ANN indexing (a top-heavy spectrum
+    * wrecks IVF/PQ cell balance).
+    *
+    * Exactness pipeline (engine-exact end to end, the x202 integer
+    * power-iteration idiom on a matrix instead of a chain):
+    * elements quantize ONCE to micro; the n-scaled covariance
+    * C'ᵢⱼ = n·Σqᵢqⱼ − SᵢSⱼ (exact integer — no mean division) computes
+    * in DECIMAL(38,0) and renormalizes to micro ints by its max |cell|
+    * (quotients truncate toward zero — Spark decimal→BIGINT cast and
+    * DuckDB `//` agree); `iters` multiply-renormalize rounds run over
+    * the dim²-row matrix frame (each round one broadcast-scale join +
+    * hash agg, checkpointed — fixpoint pattern); the Rayleigh quotient
+    * and trace share quantize once at the end.
+    *
+    * Scale: ONE corpus pass builds the dim² cell sums (fan-out dim²
+    * per vector, collapsed by partial+final agg); everything after is
+    * O(dim²) per round, independent of corpus size. Envelope: the
+    * decimal cells hold n·(10⁶·|v|ₘₐₓ)² ≤ 10³⁸ — at |v| ≤ 1 that is
+    * n ≤ 10²⁶ vectors; the n·Σqq product bounds it to n ≤ ~10¹⁰
+    * (guarded with raise_error — past that, shard the corpus).
+    *
+    * Output (1 row): (n_vecs, top_dim = argmax |x| of the converged
+    * direction, min index on ties, top_eig_share_micro =
+    * λ₁·10⁶ div trace). */
+  def covarianceSpectrum(emb: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", iters: Int = 8): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (_, nF, _, cm, xv) = covariancePowerParts(emb, vecCol, idCol, iters)
+    def multiply(v: DataFrame): DataFrame = cm
+      .join(broadcast(v.select(col("__i").as("__j"), col("__x"))), "__j")
+      .groupBy(col("__i"))
+      .agg(sum((col("__cm") * col("__x")).cast(dec)).as("__y"))
     val cx = multiply(xv)
     val ray = cx.join(xv, "__i")
       .agg(sum(col("__y") * col("__x").cast(dec)).as("__num"),
@@ -1303,5 +1323,89 @@ object Similarity {
         // ONE truncating division: λ·10⁶/trace = num·10⁶/(den·trace)
         expr("(__num * CAST(1000000 AS DECIMAL(38,0))) div (__den * __tr)")
           .as("top_eig_share_micro"))
+  }
+
+  /** Per-SOURCE whitening audit — [[covarianceSpectrum]]'s top
+    * direction APPLIED (the x187 → x212 → act loop closed): for each
+    * source, the share of its embedding variance lying along the
+    * corpus-global dominant direction — i.e. the variance whitening
+    * that one component out would remove from THAT source. A source
+    * whose share dwarfs the corpus top_eig_share is boilerplate in
+    * embedding space (its vectors vary mostly along the axis
+    * everyone shares); a near-zero share means the source is already
+    * white with respect to the corpus's dominant component.
+    *
+    * Exactness: the converged direction (micro ints) downscales ONCE
+    * to 10³ units (u = x div 1000 — both engines truncate
+    * identically); each vector's projection p = Σᵢ uᵢ·qᵢ is an exact
+    * integer (|u·q| ≤ 10⁹ per element — LONG-safe); per source the
+    * n²-scaled variance along u, A = n·Σp² − (Σp)², and the
+    * n²-scaled trace, T = Σᵢ (n·Σqᵢ² − (Σqᵢ)²), accumulate in
+    * DECIMAL(38,0), and the share quantizes via the two-step long
+    * division ((A div T)·10⁶ + (A mod T)·10⁶ div T) div |u|² — the
+    * identical truncation tree in both engines. Envelope:
+    * A ≤ n²·dim²·10¹⁸ — exact in DECIMAL(38,0) up to ~3·10⁷ vectors
+    * per source at dim ≤ 64 (guarded with raise_error; past that,
+    * shard the source).
+    *
+    * Scale: the power iteration is corpus-global (dim-bounded, as
+    * x212); the audit adds one broadcast of the dim-row direction,
+    * one per-vector projection (partial+final agg), one source join,
+    * and two source-keyed aggregations. Zero-variance sources are
+    * excluded (T = 0 — share undefined).
+    *
+    * Output: (source, n_vecs, whitened_share_micro), ordered by
+    * source. */
+  def whiteningAudit(emb: DataFrame, docs: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      docIdCol: String = "doc_id", sourceCol: String = "source",
+      iters: Int = 8): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (el, _, _, _, xv) = covariancePowerParts(emb, vecCol, idCol, iters)
+    val u = xv.select(col("__i"), expr("__x div 1000L").as("__u"))
+    val uu = u.agg(sum(col("__u") * col("__u")).cast(dec).as("__uu"))
+    val src = docs.select(col(docIdCol).as("__id"),
+      col(sourceCol).cast("string").as("source"))
+    // per-vector projection: exact LONG per element (|u·q| ≤ 1e9),
+    // dim-bounded sum — LONG-safe to dim ≤ ~9e9
+    val proj = el.join(broadcast(u), "__i")
+      .groupBy(col("__id"))
+      .agg(sum(col("__q") * col("__u")).cast("bigint").as("__p"))
+      .join(src, "__id")
+    val aS = proj.groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_vecs"),
+        sum(col("__p").cast(dec)).as("__sp"),
+        sum(col("__p").cast(dec) * col("__p").cast(dec)).as("__spp"))
+      .select(col("source"),
+        when(col("n_vecs") > 30000000L,
+          raise_error(concat(lit("whiteningAudit: source "), col("source"),
+            lit(" holds "), col("n_vecs").cast("string"),
+            lit(" vectors — past the exact-decimal envelope (3e7 at " +
+              "dim <= 64); shard the source"))).cast("bigint"))
+          .otherwise(col("n_vecs")).as("n_vecs"),
+        (col("n_vecs").cast(dec) * col("__spp") -
+          col("__sp") * col("__sp")).as("__a"))
+    val tS = el.join(src, "__id")
+      .groupBy(col("source"), col("__i"))
+      .agg(count(lit(1)).cast("bigint").as("__n"),
+        sum(col("__q").cast(dec)).as("__s1"),
+        sum(col("__q").cast(dec) * col("__q").cast(dec)).as("__sq"))
+      .groupBy(col("source"))
+      .agg(sum(col("__n").cast(dec) * col("__sq") -
+        col("__s1") * col("__s1")).as("__t"))
+    aS.join(tS, "source")
+      .crossJoin(broadcast(uu))
+      .filter(col("__t") > 0 && col("__uu") > 0)
+      .select(col("source"), col("n_vecs"),
+        // two-step long division — A·10⁶ would overflow DECIMAL(38,0)
+        // at the envelope (3.7e36·10⁶), so the quotient builds as
+        // (A div T)·10⁶ + (A mod T)·10⁶ div T, then div |u|²: every
+        // intermediate ≤ 10³⁵ and BOTH engines compute the identical
+        // truncation tree (it may differ from the single-division
+        // floor by at most 1 micro — a defined contract, not drift)
+        expr("""((__a div __t) * CAST(1000000 AS DECIMAL(38,0)) +
+          | ((__a % __t) * CAST(1000000 AS DECIMAL(38,0))) div __t)
+          | div __uu""".stripMargin).as("whitened_share_micro"))
+      .orderBy(col("source"))
   }
 }

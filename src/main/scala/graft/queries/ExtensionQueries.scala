@@ -2617,6 +2617,15 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** x228 per-source whitening audit — see
+    * [[graft.operators.Similarity.whiteningAudit]]: x212's converged
+    * top direction applied per source — the share of each source's
+    * embedding variance one whitening pass along the corpus-dominant
+    * component would remove (vec_id ↔ doc_id carries the source, the
+    * x222 join convention). */
+  def x228(s: SparkSession, dir: String): DataFrame =
+    Similarity.whiteningAudit(emb(s, dir), docs(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2895,6 +2904,7 @@ object ExtensionQueries {
     "x225_dup_substring_runs" -> (x225 _),
     "x226_url_domain_rollup" -> (x226 _),
     "x227_trigram_logprob" -> (x227 _),
+    "x228_whitening_audit" -> (x228 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3037,6 +3047,48 @@ object ExtensionQueries {
     * first 8 digest bytes big-endian >>> 4 (ShingleKernels.md5Hash60). */
   private def md5Hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Shared CTE prefix for the integer covariance power iteration
+    * (x212, x228): quantized elements `el`, fenced count `nn`, the
+    * renormalized covariance matrix `cm`, eight multiply-renormalize
+    * rounds ending in the converged direction `x8`. AS MATERIALIZED
+    * on every per-round CTE: x_r references y_r TWICE (directly and
+    * via m_r), so DuckDB's default inlining doubles the expression
+    * tree per round — 2⁸ copies of the whole covariance pipeline.
+    * Materialization keeps it linear. */
+  private val covarianceIterationCteSql: String = {
+    val rounds = (1 to 8).map { r =>
+      val prev = s"x${r - 1}"
+      s"""y$r AS MATERIALIZED (
+         |  SELECT cm.i, CAST(sum(cm.v::HUGEINT * x.x) AS HUGEINT) AS y
+         |  FROM cm JOIN $prev x ON x.i = cm.j GROUP BY 1),
+         |m$r AS (SELECT max(abs(y)) AS my FROM y$r),
+         |x$r AS MATERIALIZED (SELECT i, y * 1000000 // my AS x
+         |        FROM y$r, m$r WHERE my > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""el AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(u.i - 1 AS BIGINT) AS i,
+       |         CAST(round(embedding[CAST(u.i AS INT)]::DOUBLE * 1000000)
+       |              AS BIGINT) AS q
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u),
+       |nn AS (SELECT CAST(count(DISTINCT id) AS HUGEINT) AS n,
+       |              CAST(count(DISTINCT id) AS BIGINT) AS n_vecs FROM el),
+       |sm AS (SELECT i, CAST(sum(q) AS HUGEINT) AS s FROM el GROUP BY 1),
+       |cp AS (SELECT a.i AS i, b.i AS j,
+       |         CAST(sum(a.q::HUGEINT * b.q::HUGEINT) AS HUGEINT) AS pp
+       |       FROM el a JOIN el b ON a.id = b.id GROUP BY 1, 2),
+       |c0 AS (SELECT cp.i, cp.j, nn.n * cp.pp - si.s * sj.s AS c
+       |       FROM cp
+       |       JOIN sm si ON si.i = cp.i
+       |       JOIN sm sj ON sj.i = cp.j
+       |       CROSS JOIN nn),
+       |mx AS (SELECT max(abs(c)) AS m FROM c0),
+       |cm AS MATERIALIZED (
+       |  SELECT i, j, c * 1000000 // m AS v FROM c0, mx WHERE m > 0),
+       |x0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS x FROM sm),
+       |$rounds""".stripMargin
+  }
 
   /** One winnowing-run scale of the x225 oracle: replays
     * [[graft.operators.TextAnalysis.duplicatedSubstringRuns]] at
@@ -8349,42 +8401,8 @@ object ExtensionQueries {
     // multiply-renormalize rounds as chained CTEs (every division is
     // // — truncation parity with Spark's div on decimals), Rayleigh
     // share in ONE truncating division.
-    "x212_covariance_spectrum" -> {
-      // AS MATERIALIZED on every per-round CTE: x_r references y_r
-      // TWICE (directly and via m_r), so DuckDB\u2019s default inlining
-      // doubles the expression tree per round \u2014 2\u2078 copies of the
-      // whole covariance pipeline. Materialization keeps it linear.
-      val rounds = (1 to 8).map { r =>
-        val prev = s"x${r - 1}"
-        s"""y$r AS MATERIALIZED (
-           |  SELECT cm.i, CAST(sum(cm.v::HUGEINT * x.x) AS HUGEINT) AS y
-           |  FROM cm JOIN $prev x ON x.i = cm.j GROUP BY 1),
-           |m$r AS (SELECT max(abs(y)) AS my FROM y$r),
-           |x$r AS MATERIALIZED (SELECT i, y * 1000000 // my AS x
-           |        FROM y$r, m$r WHERE my > 0)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH el AS MATERIALIZED (
-         |  SELECT vec_id AS id, CAST(u.i - 1 AS BIGINT) AS i,
-         |         CAST(round(embedding[CAST(u.i AS INT)]::DOUBLE * 1000000)
-         |              AS BIGINT) AS q
-         |  FROM embeddings,
-         |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u),
-         |nn AS (SELECT CAST(count(DISTINCT id) AS HUGEINT) AS n,
-         |              CAST(count(DISTINCT id) AS BIGINT) AS n_vecs FROM el),
-         |sm AS (SELECT i, CAST(sum(q) AS HUGEINT) AS s FROM el GROUP BY 1),
-         |cp AS (SELECT a.i AS i, b.i AS j,
-         |         CAST(sum(a.q::HUGEINT * b.q::HUGEINT) AS HUGEINT) AS pp
-         |       FROM el a JOIN el b ON a.id = b.id GROUP BY 1, 2),
-         |c0 AS (SELECT cp.i, cp.j, nn.n * cp.pp - si.s * sj.s AS c
-         |       FROM cp
-         |       JOIN sm si ON si.i = cp.i
-         |       JOIN sm sj ON sj.i = cp.j
-         |       CROSS JOIN nn),
-         |mx AS (SELECT max(abs(c)) AS m FROM c0),
-         |cm AS MATERIALIZED (
-         |  SELECT i, j, c * 1000000 // m AS v FROM c0, mx WHERE m > 0),
-         |x0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS x FROM sm),
-         |$rounds,
+    "x212_covariance_spectrum" ->
+      s"""WITH $covarianceIterationCteSql,
          |y9 AS (SELECT cm.i, CAST(sum(cm.v::HUGEINT * x.x) AS HUGEINT) AS y
          |       FROM cm JOIN x8 x ON x.i = cm.j GROUP BY 1),
          |ray AS (SELECT CAST(sum(y9.y * x.x) AS HUGEINT) AS num,
@@ -8396,8 +8414,39 @@ object ExtensionQueries {
          |SELECT nn.n_vecs, top.top_dim,
          |       CAST(num * 1000000 // (den * t) AS BIGINT)
          |         AS top_eig_share_micro
-         |FROM nn, top, ray, tr WHERE t > 0 AND den > 0""".stripMargin
-    },
+         |FROM nn, top, ray, tr WHERE t > 0 AND den > 0""".stripMargin,
+
+    // Replays whiteningAudit: the shared power iteration, the
+    // direction downscaled once to 1e3 units, exact integer
+    // projections, per-source n²-scaled variance along u vs trace,
+    // the same two-step long-division quantization.
+    "x228_whitening_audit" ->
+      s"""WITH $covarianceIterationCteSql,
+         |u AS (SELECT i, x // 1000 AS u FROM x8),
+         |uu AS (SELECT CAST(sum(u * u) AS HUGEINT) AS uu FROM u),
+         |pj AS (SELECT el.id, CAST(sum(el.q * u.u) AS BIGINT) AS p
+         |       FROM el JOIN u ON u.i = el.i GROUP BY el.id),
+         |sp AS (SELECT d.source, pj.p
+         |       FROM pj JOIN documents d ON d.doc_id = pj.id),
+         |a_s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,
+         |          CAST(count(*) AS HUGEINT) *
+         |            CAST(sum(p::HUGEINT * p::HUGEINT) AS HUGEINT) -
+         |          CAST(sum(p::HUGEINT) AS HUGEINT) *
+         |            CAST(sum(p::HUGEINT) AS HUGEINT) AS a
+         |        FROM sp GROUP BY 1),
+         |els AS (SELECT d.source, el.i, el.q
+         |        FROM el JOIN documents d ON d.doc_id = el.id),
+         |ts0 AS (SELECT source, i, CAST(count(*) AS HUGEINT) AS n,
+         |          CAST(sum(q) AS HUGEINT) AS s1,
+         |          CAST(sum(q::HUGEINT * q::HUGEINT) AS HUGEINT) AS sq
+         |        FROM els GROUP BY 1, 2),
+         |t_s AS (SELECT source, CAST(sum(n * sq - s1 * s1) AS HUGEINT) AS t
+         |        FROM ts0 GROUP BY 1)
+         |SELECT a_s.source, a_s.n_vecs,
+         |       CAST(((a // t) * 1000000 + ((a % t) * 1000000) // t) // uu.uu
+         |         AS BIGINT) AS whitened_share_micro
+         |FROM a_s JOIN t_s USING (source), uu
+         |WHERE t > 0 AND uu.uu > 0 ORDER BY source""".stripMargin,
 
     // Replays interpolateDaily: x200's dense day spine, last/first
     // IGNORE NULLS neighbor windows, truncating straight-line fill.
