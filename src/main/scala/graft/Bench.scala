@@ -61,8 +61,11 @@ object Bench {
 
   /** The physical plan text with every run/session-dependent token
     * normalized away — the input [[planFingerprint]] hashes. */
-  private[graft] def normalizedPlan(df: org.apache.spark.sql.DataFrame): String = {
-    val t = df.queryExecution.executedPlan.toString
+  private[graft] def normalizedPlan(df: org.apache.spark.sql.DataFrame): String =
+    normalizeText(df.queryExecution.executedPlan.toString)
+
+  private[graft] def normalizeText(planText: String): String = {
+    val t = planText
       .replaceAll("#\\d+", "#")
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("(file|hdfs|s3a?):[^,\\]\\s)]*", "path:")
