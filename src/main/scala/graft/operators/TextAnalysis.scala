@@ -746,35 +746,45 @@ object TextAnalysis {
     val norm = docs.select(col(idCol).as("doc_id"),
       regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
     val perScale = scales.map { case (k, w) =>
-      val anchors = norm
-        .select(col("doc_id"), explode(
-          graft.functions.ShingleFunctions.winnow_anchors(
-            graft.functions.ShingleFunctions.md5_shingle_hashes(col("__t"), k), w))
-          .as("__a"))
-        .select(col("doc_id"), col("__a.pos").as("pos"), col("__a.fp").as("fp"))
-      val rare = anchors.groupBy(col("fp"))
-        .agg(count(lit(1)).as("__df")).filter(col("__df") <= dfCap)
-      val pruned = anchors.join(rare.select(col("fp")), "fp")
-      val a = pruned.as("a"); val b = pruned.as("b")
-      // one fp per position, so (pair, pos_a, pos_b) is already unique
-      val matched = a.join(b,
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.pos").as("pos_a"),
-          (col("a.pos") - col("b.pos")).as("diag"))
-      val wOrd = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-        .orderBy(col("pos_a"))
-      val maxGap = k + w
-      perPairRuns(matched, wOrd, maxGap, k, minAnchors, minRunChars)
+      stitchedRuns(norm, k, w, dfCap, minAnchors, minRunChars)
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(
+          max(col("run_chars")).cast("bigint").as("longest_run_chars"),
+          count(lit(1)).as("n_runs"),
+          sum(col("n_anchors")).cast("bigint").as("n_anchors"))
+        .select(col("doc_a"), col("doc_b"), lit(k.toLong).as("k"),
+          col("longest_run_chars"), col("n_runs"), col("n_anchors"))
     }
     perScale.reduce(_ unionByName _)
   }
 
-  private def perPairRuns(matched: DataFrame,
-      wOrd: org.apache.spark.sql.expressions.WindowSpec,
-      maxGap: Int, k: Int, minAnchors: Int,
-      minRunChars: Int): DataFrame = {
+  /** The stitched-run frame [[duplicatedSubstringRuns]] aggregates
+    * and [[duplicatedSubstringCatalog]] reads raw: one row per
+    * qualifying run — (doc_a, doc_b, run_start_a = first anchor gram
+    * position in doc_a, run_chars, n_anchors). `norm` must carry
+    * (doc_id, __t = normalized text). */
+  private def stitchedRuns(norm: DataFrame, k: Int, w: Int, dfCap: Int,
+      minAnchors: Int, minRunChars: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val anchors = norm
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleFunctions.winnow_anchors(
+          graft.functions.ShingleFunctions.md5_shingle_hashes(col("__t"), k), w))
+        .as("__a"))
+      .select(col("doc_id"), col("__a.pos").as("pos"), col("__a.fp").as("fp"))
+    val rare = anchors.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= dfCap)
+    val pruned = anchors.join(rare.select(col("fp")), "fp")
+    val a = pruned.as("a"); val b = pruned.as("b")
+    // one fp per position, so (pair, pos_a, pos_b) is already unique
+    val matched = a.join(b,
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val wOrd = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    val maxGap = k + w
     matched
       .withColumn("__brk",
         when(col("pos_a") - lag(col("pos_a"), 1).over(wOrd) > maxGap, 1L)
@@ -782,18 +792,66 @@ object TextAnalysis {
       .withColumn("__isl", sum(col("__brk")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__isl"))
-      .agg(count(lit(1)).as("__na"),
+      .agg(count(lit(1)).cast("bigint").as("n_anchors"),
         min(col("pos_a")).as("__lo"), max(col("pos_a")).as("__hi"))
-      .filter(col("__na") >= minAnchors &&
+      .filter(col("n_anchors") >= minAnchors &&
         col("__hi") - col("__lo") + lit(k.toLong) >= minRunChars)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(
-        max(col("__hi") - col("__lo") + lit(k.toLong)).cast("bigint")
-          .as("longest_run_chars"),
-        count(lit(1)).as("n_runs"),
-        sum(col("__na")).cast("bigint").as("n_anchors"))
-      .select(col("doc_a"), col("doc_b"), lit(k.toLong).as("k"),
-        col("longest_run_chars"), col("n_runs"), col("n_anchors"))
+      .select(col("doc_a"), col("doc_b"),
+        col("__lo").cast("bigint").as("run_start_a"),
+        (col("__hi") - col("__lo") + lit(k.toLong)).cast("bigint")
+          .as("run_chars"),
+        col("n_anchors"))
+  }
+
+  /** Duplicated-boilerplate CATALOG — the top-N longest duplicated
+    * runs of [[duplicatedSubstringRuns]] with the actual TEXT: the
+    * run bounds come from the stitched anchor frame at one (k, w)
+    * grain, and the snippet is `substr(normalized_text_a,
+    * run_start+1, run_chars)` — the answer to "what IS the
+    * boilerplate" that the per-pair statistics can only count. The
+    * snippet cut is on the NORMALIZED text (the same
+    * lowercase/whitespace-collapsed form the anchors hashed), so the
+    * reported string is exactly the region the anchors witnessed.
+    * Estimate caveat (inherited from the stitcher): anchors pin
+    * matching k-grams every ≤ k+w chars along the diagonal — a
+    * same-length substitution that fits entirely BETWEEN two anchors
+    * can survive stitching, so the snippet is duplicated text up to
+    * sub-gap edits, not a byte-for-byte guarantee.
+    *
+    * Determinism: the top-N cut totally orders by (run_chars DESC,
+    * doc_a, doc_b, run_start_a) — compiles to TakeOrderedAndProject.
+    * Scale: the run frame is bounded by real duplication (df-capped,
+    * minRunChars-floored); only the top-N rows join back to the doc
+    * text (broadcast of N ids against the pruned-column scan).
+    *
+    * Output: (doc_a, doc_b, run_start_a, run_chars, n_anchors,
+    * snippet), top `topN`. */
+  def duplicatedSubstringCatalog(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16, w: Int = 8,
+      dfCap: Int = 50, minAnchors: Int = 2, minRunChars: Int = 32,
+      topN: Int = 10): DataFrame = {
+    require(k > 0 && w > 0 && dfCap > 0 && minAnchors > 0 &&
+      minRunChars > 0 && topN > 0,
+      s"duplicatedSubstringCatalog: all parameters must be positive, " +
+        s"got ($k, $w, $dfCap, $minAnchors, $minRunChars, $topN)")
+    val norm = docs.select(col(idCol).as("doc_id"),
+      regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
+    val top = stitchedRuns(norm, k, w, dfCap, minAnchors, minRunChars)
+      .orderBy(col("run_chars").desc, col("doc_a"), col("doc_b"),
+        col("run_start_a"))
+      .limit(topN)
+      .localCheckpoint(true) // ≤ topN rows, feeds the id cut AND the output
+    val texts = norm
+      .join(broadcast(top.select(col("doc_a")).distinct()),
+        col("doc_id") === col("doc_a"))
+      .select(col("doc_id").as("doc_a"), col("__t"))
+    top.join(texts, "doc_a")
+      .select(col("doc_a"), col("doc_b"), col("run_start_a"),
+        col("run_chars"), col("n_anchors"),
+        expr("substring(__t, CAST(run_start_a AS INT) + 1, " +
+          "CAST(run_chars AS INT))").as("snippet"))
+      .orderBy(col("run_chars").desc, col("doc_a"), col("doc_b"),
+        col("run_start_a"))
   }
 
   /** Skip-gram PMI: token pairs co-occurring within a ±`window`

@@ -2626,6 +2626,14 @@ object ExtensionQueries {
   def x228(s: SparkSession, dir: String): DataFrame =
     Similarity.whiteningAudit(emb(s, dir), docs(s, dir))
 
+  /** x229 duplicated-boilerplate catalog — see
+    * [[graft.operators.TextAnalysis.duplicatedSubstringCatalog]]:
+    * the top-10 longest duplicated runs at the coarse (16, 8) grain
+    * WITH their text — x225's statistics turned into the snippet
+    * list a curation pass actually reads. */
+  def x229(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.duplicatedSubstringCatalog(docs(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2905,6 +2913,7 @@ object ExtensionQueries {
     "x226_url_domain_rollup" -> (x226 _),
     "x227_trigram_logprob" -> (x227 _),
     "x228_whitening_audit" -> (x228 _),
+    "x229_boilerplate_catalog" -> (x229 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3141,7 +3150,7 @@ object ExtensionQueries {
        |  FROM (SELECT *, lag(pa) OVER (PARTITION BY da, db, diag
        |          ORDER BY pa) AS lp FROM mt$k) z),
        |runs$k AS (SELECT da, db, CAST(count(*) AS BIGINT) AS na,
-       |    max(pa) - min(pa) + $k AS rc
+       |    min(pa) AS lo, max(pa) - min(pa) + $k AS rc
        |  FROM isl$k GROUP BY da, db, diag, i
        |  HAVING count(*) >= $minAnchors
        |    AND max(pa) - min(pa) + $k >= $minRunChars),
@@ -8081,6 +8090,23 @@ object ExtensionQueries {
          |${winnowRunsSql(16, 8, 50, 2, 32)}
          |SELECT * FROM agg8 UNION ALL SELECT * FROM agg16
          |ORDER BY doc_a, doc_b, k""".stripMargin,
+
+    // Replays duplicatedSubstringCatalog at the (16, 8) grain: the
+    // same stitched-run CTEs, the (rc DESC, da, db, lo) top-10 cut,
+    // and the snippet substring on the normalized text.
+    "x229_boilerplate_catalog" ->
+      s"""WITH nd AS (SELECT doc_id,
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents),
+         |${winnowRunsSql(16, 8, 50, 2, 32)}
+         |SELECT r.da AS doc_a, r.db AS doc_b,
+         |  CAST(r.lo AS BIGINT) AS run_start_a,
+         |  CAST(r.rc AS BIGINT) AS run_chars, r.na AS n_anchors,
+         |  substr(nd.t, CAST(r.lo AS INT) + 1, CAST(r.rc AS INT)) AS snippet
+         |FROM (SELECT * FROM runs16 ORDER BY rc DESC, da, db, lo
+         |      LIMIT 10) r
+         |JOIN nd ON nd.doc_id = r.da
+         |ORDER BY run_chars DESC, doc_a, doc_b, run_start_a""".stripMargin,
 
     // Replays domainRollup over the identically-constructed synthetic
     // URL column: fragment strip, absolute-URL gate, scheme/host

@@ -1297,4 +1297,26 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(out.toSeq == again.toSeq)
   }
+
+  test("duplicatedSubstringCatalog: the snippet IS the duplicated text — " +
+      "it appears verbatim in BOTH docs' normalized forms") {
+    import spark.implicits._
+    val s80 = (0 until 16).map(i => f"blk${i}%02d").mkString(" ")
+    val docs = Seq(
+      (1L, "left padding alpha " + s80 + " right padding beta"),
+      (2L, "totally different prefix here " + s80 + " and another suffix"),
+      (3L, "no shared content at all in this one zebra quokka xylophone"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatedSubstringCatalog(docs)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(out.nonEmpty && out.head._1 == 1L && out.head._2 == 2L)
+    val snippet = out.head._6
+    assert(snippet.length == out.head._4, "snippet length = run_chars")
+    def normText(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    // the reported region must be literally present in both documents
+    assert(normText("left padding alpha " + s80 + " right padding beta")
+      .contains(snippet))
+    assert(normText("totally different prefix here " + s80 + " and another suffix")
+      .contains(snippet))
+  }
 }
