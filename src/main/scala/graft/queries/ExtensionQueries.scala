@@ -2634,6 +2634,32 @@ object ExtensionQueries {
   def x229(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.duplicatedSubstringCatalog(docs(s, dir))
 
+  /** x230 source Bradley-Terry tournament — see
+    * [[graft.operators.Preferences.bradleyTerry]]: each cross-source
+    * near-dup pair (x04's relation) is a "which source serves the
+    * better copy of shared content" judgment (longer copy wins,
+    * doc_a's source on a tie), and the BT-MM fit turns those pairwise
+    * judgments into the source priority x72's canonicalizer assumes. */
+  def x230(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val pairs = Dedup.ngramJaccardNearDup(docs(s, dir), "doc_id", "text",
+      ngram = 3, prefixK = 8, minJaccard = 0.2)
+    val prefs = pairs
+      .join(d.select(col("doc_id").as("doc_a"), col("source").as("__sa"),
+        col("n_chars").as("__ca")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("source").as("__sb"),
+        col("n_chars").as("__cb")), "doc_b")
+      .filter(col("__sa") =!= col("__sb"))
+      .select(
+        when(col("__ca") > col("__cb"), col("__sa"))
+          .when(col("__cb") > col("__ca"), col("__sb"))
+          .otherwise(col("__sa")).as("winner"),
+        when(col("__ca") > col("__cb"), col("__sb"))
+          .when(col("__cb") > col("__ca"), col("__sa"))
+          .otherwise(col("__sb")).as("loser"))
+    graft.operators.Preferences.bradleyTerry(prefs)
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2914,6 +2940,7 @@ object ExtensionQueries {
     "x227_trigram_logprob" -> (x227 _),
     "x228_whitening_audit" -> (x228 _),
     "x229_boilerplate_catalog" -> (x229 _),
+    "x230_source_bradley_terry" -> (x230 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -8107,6 +8134,57 @@ object ExtensionQueries {
          |      LIMIT 10) r
          |JOIN nd ON nd.doc_id = r.da
          |ORDER BY run_chars DESC, doc_a, doc_b, run_start_a""".stripMargin,
+
+    // Replays the source Bradley-Terry tournament: x04's pair
+    // relation, the longer-copy-wins judgment, then 8 BT-MM rounds in
+    // the same integer micro arithmetic (every division //, strengths
+    // floored at 1, max pinned to 1e6 each round).
+    "x230_source_bradley_terry" -> {
+      val btRounds = (1 to 8).map { r =>
+        val prev = s"bt${r - 1}"
+        s"""d$r AS (SELECT e.item,
+           |    CAST(sum((e.n::HUGEINT * 1000000000000) // (si.s + sj.s))
+           |      AS HUGEINT) AS d
+           |  FROM ed e JOIN $prev si ON si.item = e.item
+           |            JOIN $prev sj ON sj.item = e.o
+           |  GROUP BY 1),
+           |r$r AS MATERIALIZED (SELECT it.item,
+           |    CASE WHEN d.d IS NULL OR d.d = 0 THEN CAST(0 AS HUGEINT)
+           |         ELSE (it.w::HUGEINT * 1000000000000) // d.d END AS rr
+           |  FROM it LEFT JOIN d$r d ON d.item = it.item),
+           |m$r AS (SELECT max(rr) AS mx FROM r$r),
+           |bt$r AS MATERIALIZED (SELECT item, greatest(rr * 1000000 // mx, 1)
+           |    AS s FROM r$r, m$r WHERE mx > 0)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ngramPairsCteSql,
+         |pf AS (SELECT
+         |    CASE WHEN da.n_chars > db.n_chars THEN da.source
+         |         WHEN db.n_chars > da.n_chars THEN db.source
+         |         ELSE da.source END AS w,
+         |    CASE WHEN da.n_chars > db.n_chars THEN db.source
+         |         WHEN db.n_chars > da.n_chars THEN da.source
+         |         ELSE db.source END AS l
+         |  FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+         |               JOIN documents db ON db.doc_id = p.doc_b
+         |  WHERE da.source <> db.source),
+         |wn AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS nw
+         |       FROM pf GROUP BY 1),
+         |und AS (SELECT least(w, l) AS i, greatest(w, l) AS j,
+         |          CAST(count(*) AS BIGINT) AS n
+         |        FROM pf GROUP BY 1, 2),
+         |ed AS MATERIALIZED (SELECT i AS item, j AS o, n FROM und
+         |  UNION ALL SELECT j, i, n FROM und),
+         |ag AS (SELECT item, CAST(sum(n) AS BIGINT) AS nc FROM ed GROUP BY 1),
+         |it AS MATERIALIZED (SELECT ag.item, coalesce(wn.nw, 0) AS w, ag.nc
+         |  FROM ag LEFT JOIN wn ON wn.item = ag.item),
+         |bt0 AS MATERIALIZED (SELECT item, CAST(1000000 AS HUGEINT) AS s
+         |  FROM it),
+         |$btRounds
+         |SELECT it.item, CAST(it.w AS BIGINT) AS n_wins,
+         |  it.nc AS n_comparisons, CAST(bt8.s AS BIGINT) AS strength_micro
+         |FROM it JOIN bt8 USING (item)
+         |ORDER BY strength_micro DESC, item""".stripMargin
+    },
 
     // Replays domainRollup over the identically-constructed synthetic
     // URL column: fragment strip, absolute-URL gate, scheme/host
