@@ -803,6 +803,85 @@ object TextAnalysis {
         col("n_anchors"))
   }
 
+  /** Within-document self-repetition at substring grain — the SELF
+    * sibling of [[duplicatedSubstringRuns]]: a document's winnowing
+    * anchors matched against THEMSELVES (same fingerprint, later
+    * position) stitch along the OFFSET diagonal (pos_b − pos_a) into
+    * the document's longest internally repeated substring. x138's
+    * Gopher fractions measure aggregate repetition; this catches the
+    * single long internal copy-paste (lyrics/chorus/boilerplate-
+    * within-doc — the within-doc case of the Lee et al. substring
+    * read) that a low dup-ngram FRACTION can hide in a long doc.
+    *
+    * Bounds: fingerprints occurring more than `occCap` times within
+    * one doc are dropped before the self-join (the within-doc analog
+    * of the near-dup df cap — a pathological doc repeating one gram
+    * n times would otherwise fan out n²/2 self-pairs), and
+    * `minRunChars` floors the report exactly as in the cross-doc
+    * operator. The stitching window partitions by (doc, diag) —
+    * bounded by self-matched anchors, never corpus-global.
+    *
+    * Output per doc with at least one qualifying run: (doc_id,
+    * longest_self_run_chars, best_offset = the diagonal of the
+    * longest run (min diagonal on ties) — the repeat period, n_runs,
+    * n_anchors), ordered by doc_id. */
+  def selfRepeatRuns(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, w: Int = 4,
+      occCap: Int = 50, minAnchors: Int = 2,
+      minRunChars: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && w > 0 && occCap > 0 && minAnchors > 0 && minRunChars > 0,
+      s"selfRepeatRuns: all parameters must be positive, " +
+        s"got ($k, $w, $occCap, $minAnchors, $minRunChars)")
+    val anchors = docs
+      .select(col(idCol).as("doc_id"),
+        regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleFunctions.winnow_anchors(
+          graft.functions.ShingleFunctions.md5_shingle_hashes(col("__t"), k), w))
+        .as("__a"))
+      .select(col("doc_id"), col("__a.pos").as("pos"), col("__a.fp").as("fp"))
+    val rare = anchors.groupBy(col("doc_id"), col("fp"))
+      .agg(count(lit(1)).as("__occ")).filter(col("__occ") <= occCap)
+      .select(col("doc_id"), col("fp"))
+    val capped = anchors.join(rare, Seq("doc_id", "fp"))
+    val a = capped.as("a"); val b = capped.as("b")
+    val matched = a.join(b,
+        col("a.doc_id") === col("b.doc_id") && col("a.fp") === col("b.fp") &&
+          col("a.pos") < col("b.pos"))
+      .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos_a"),
+        (col("b.pos") - col("a.pos")).as("diag"))
+    val wOrd = Window.partitionBy(col("doc_id"), col("diag"))
+      .orderBy(col("pos_a"))
+    val maxGap = k + w
+    matched
+      .withColumn("__brk",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(wOrd) > maxGap, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("diag"), col("__isl"))
+      .agg(count(lit(1)).cast("bigint").as("__na"),
+        min(col("pos_a")).as("__lo"), max(col("pos_a")).as("__hi"))
+      .filter(col("__na") >= minAnchors &&
+        col("__hi") - col("__lo") + lit(k.toLong) >= minRunChars)
+      .select(col("doc_id"), col("diag"),
+        (col("__hi") - col("__lo") + lit(k.toLong)).cast("bigint")
+          .as("__rc"),
+        col("__na"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("__rc")).as("longest_self_run_chars"),
+        // (max rc, min diag among the max-rc runs) via struct-min —
+        // the x212 top_dim tie-break idiom
+        min(struct((-col("__rc")).as("nrc"), col("diag").as("d"))).as("__b"),
+        count(lit(1)).as("n_runs"),
+        sum(col("__na")).cast("bigint").as("n_anchors"))
+      .select(col("doc_id"), col("longest_self_run_chars"),
+        col("__b.d").cast("bigint").as("best_offset"),
+        col("n_runs"), col("n_anchors"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicated-boilerplate CATALOG — the top-N longest duplicated
     * runs of [[duplicatedSubstringRuns]] with the actual TEXT: the
     * run bounds come from the stitched anchor frame at one (k, w)

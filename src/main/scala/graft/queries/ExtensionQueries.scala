@@ -2660,6 +2660,17 @@ object ExtensionQueries {
     graft.operators.Preferences.bradleyTerry(prefs)
   }
 
+  /** x231 within-doc self-repetition — see
+    * [[graft.operators.TextAnalysis.selfRepeatRuns]]: the longest
+    * internally repeated substring per document with its repeat
+    * offset — the single-long-copy case x138's aggregate Gopher
+    * fractions can hide in a long doc. */
+  def x231(s: SparkSession, dir: String): DataFrame =
+    // minRunChars sized to the fixture corpus (dense-gram max
+    // within-doc run measured at 28 chars, winnowed anchors sparser still — the operator default 32
+    // is for real corpora and would gate everything here)
+    TextAnalysis.selfRepeatRuns(docs(s, dir), minRunChars = 16)
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2941,6 +2952,7 @@ object ExtensionQueries {
     "x228_whitening_audit" -> (x228 _),
     "x229_boilerplate_catalog" -> (x229 _),
     "x230_source_bradley_terry" -> (x230 _),
+    "x231_self_repetition" -> (x231 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3134,9 +3146,10 @@ object ExtensionQueries {
     * per-pair longest run. Emitted as a complete SELECT; the oracle
     * unions the scales. All CTE names carry the k suffix so two
     * scales coexist in one WITH. */
-  private def winnowRunsSql(k: Int, w: Int, dfCap: Int,
-      minAnchors: Int, minRunChars: Int): String = {
-    val maxGap = k + w
+  /** The shared anchor chain (hs→g→cnt→mn→selbig→selsmall→anch) of
+    * the winnowing replays — positions + last-argmin selection at
+    * (k, w), names suffixed by k. */
+  private def winnowAnchorsCteSql(k: Int, w: Int): String =
     s"""hs$k AS MATERIALIZED (SELECT doc_id,
        |    list_transform(range(1, greatest(length(t) - ${k - 1}, 0) + 1),
        |      i -> ${md5Hash60Sql(s"substr(t, CAST(i AS INT), $k)")}) AS h
@@ -3163,7 +3176,12 @@ object ExtensionQueries {
        |  WHERE c.n <= $w AND g.f = m.mf GROUP BY g.doc_id),
        |anch$k AS MATERIALIZED (SELECT DISTINCT s.doc_id, s.sp AS p, g.f
        |  FROM (SELECT * FROM selbig$k UNION ALL SELECT * FROM selsmall$k) s
-       |  JOIN g$k g ON g.doc_id = s.doc_id AND g.p = s.sp),
+       |  JOIN g$k g ON g.doc_id = s.doc_id AND g.p = s.sp)""".stripMargin
+
+  private def winnowRunsSql(k: Int, w: Int, dfCap: Int,
+      minAnchors: Int, minRunChars: Int): String = {
+    val maxGap = k + w
+    s"""${winnowAnchorsCteSql(k, w)},
        |pr$k AS MATERIALIZED (SELECT a.* FROM anch$k a JOIN (
        |    SELECT f FROM anch$k GROUP BY f HAVING count(*) <= $dfCap) r
        |  USING (f)),
@@ -8185,6 +8203,42 @@ object ExtensionQueries {
          |FROM it JOIN bt8 USING (item)
          |ORDER BY strength_micro DESC, item""".stripMargin
     },
+
+    // Replays selfRepeatRuns: the shared (8, 4) anchor chain, the
+    // per-(doc, fp) occurrence cap, the self-join at positive offset,
+    // the (doc, diag) gaps-and-islands stitch, and the struct-min
+    // (max rc, min diag) tie rule rendered as a two-step join.
+    "x231_self_repetition" ->
+      s"""WITH nd AS (SELECT doc_id,
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents),
+         |${winnowAnchorsCteSql(8, 4)},
+         |sf AS MATERIALIZED (SELECT a.* FROM anch8 a JOIN (
+         |    SELECT doc_id, f FROM anch8 GROUP BY doc_id, f
+         |    HAVING count(*) <= 50) r USING (doc_id, f)),
+         |smt AS (SELECT a.doc_id AS d, a.p AS pa, b.p - a.p AS diag
+         |  FROM sf a JOIN sf b ON a.doc_id = b.doc_id AND a.f = b.f
+         |    AND a.p < b.p),
+         |sisl AS (SELECT d, diag, pa,
+         |    SUM(CASE WHEN pa - lp > 12 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY d, diag ORDER BY pa
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+         |  FROM (SELECT *, lag(pa) OVER (PARTITION BY d, diag
+         |          ORDER BY pa) AS lp FROM smt) z),
+         |sruns AS MATERIALIZED (SELECT d, diag,
+         |    CAST(count(*) AS BIGINT) AS na, max(pa) - min(pa) + 8 AS rc
+         |  FROM sisl GROUP BY d, diag, i
+         |  HAVING count(*) >= 2 AND max(pa) - min(pa) + 8 >= 16),
+         |s1 AS (SELECT d, max(rc) AS lrc, CAST(count(*) AS BIGINT) AS n_runs,
+         |    CAST(sum(na) AS BIGINT) AS n_anchors
+         |  FROM sruns GROUP BY d),
+         |s2 AS (SELECT r.d, min(r.diag) AS bo
+         |  FROM sruns r JOIN s1 ON s1.d = r.d AND r.rc = s1.lrc GROUP BY r.d)
+         |SELECT s1.d AS doc_id, CAST(s1.lrc AS BIGINT)
+         |    AS longest_self_run_chars,
+         |  CAST(s2.bo AS BIGINT) AS best_offset, s1.n_runs, s1.n_anchors
+         |FROM s1 JOIN s2 ON s2.d = s1.d
+         |ORDER BY doc_id""".stripMargin,
 
     // Replays domainRollup over the identically-constructed synthetic
     // URL column: fragment strip, absolute-URL gate, scheme/host

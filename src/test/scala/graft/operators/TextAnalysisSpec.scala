@@ -1298,6 +1298,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("selfRepeatRuns: a planted internal copy is recovered with its " +
+      "offset; non-repeating docs emit nothing") {
+    import spark.implicits._
+    val s95 = (0 until 16).map(i => f"blk${i}%02d").mkString(" ") // 95 chars
+    // doc 1: S ... S with a 17-char spacer -> offset = 95 + 17 = 112
+    val doc1 = "intro " + s95 + " middle spacer xx " + s95 + " outro"
+    val docs = Seq(
+      (1L, doc1),
+      (2L, "no internal repetition here at all zebra quokka xylophone"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.selfRepeatRuns(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L), out.mkString(";"))
+    val (_, runChars, offset, nRuns, nAnchors) = out.head
+    // both copies are flanked by differing context, so the repeated
+    // region is s95 (+/- winnowing boundary slack)
+    assert(runChars <= 95L + 2 && runChars >= 95L - 8 - 2 * 4,
+      s"run=$runChars")
+    assert(offset == (" middle spacer xx ".length + 95).toLong,
+      s"offset=$offset")
+    assert(nRuns >= 1L && nAnchors >= 2L)
+    // determinism
+    assert(TextAnalysis.selfRepeatRuns(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq == out.toSeq)
+  }
+
   test("duplicatedSubstringCatalog: the snippet IS the duplicated text — " +
       "it appears verbatim in BOTH docs' normalized forms") {
     import spark.implicits._
