@@ -106,4 +106,78 @@ object Preferences {
         col("__s").as("strength_micro"))
       .orderBy(col("strength_micro").desc, col("item"))
   }
+
+  /** Majority-relation TRANSITIVITY audit — does the preference data
+    * even admit a strength ordering: each unordered item pair with an
+    * unequal win split contributes one majority edge (ties
+    * contribute nothing); among item triples where all three pairs
+    * have majority edges, the CYCLIC ones (a→b→c→a) are judgments no
+    * Bradley-Terry fit can honor. A high cyclic share means the
+    * [[bradleyTerry]] strengths summarize noise — the coherence
+    * check that must run BEFORE the fit is trusted.
+    *
+    * Exactness: all counts exact integers; the rate is one
+    * truncating micro division. Each directed 3-cycle is generated
+    * once per rotation by the triangle join, so the count divides by
+    * 3 exactly.
+    *
+    * Scale: majority edges collapse per unordered pair first
+    * (partial+final agg, item-cardinality); the triangle join is the
+    * x83 closed-triple shape on the majority graph — bounded by item
+    * degree, never comparison volume.
+    *
+    * Output (1 row; none when no triple has all three majority
+    * edges): (n_items, n_majority_edges, n_triads, n_cyclic,
+    * transitivity_micro = (n_triads − n_cyclic)·10⁶ div n_triads). */
+  def majorityTransitivity(prefs: DataFrame, winnerCol: String = "winner",
+      loserCol: String = "loser"): DataFrame = {
+    val comps = prefs
+      .select(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+    val pairWins = comps
+      .select(least(col("__w"), col("__l")).as("__i"),
+        greatest(col("__w"), col("__l")).as("__j"),
+        when(col("__w") < col("__l"), 1L).otherwise(0L).as("__iw"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__iw")).as("__wi"),
+        (count(lit(1)) - sum(col("__iw"))).as("__wj"))
+    // one directed edge per pair with an unequal split; ties vanish
+    val maj = pairWins
+      .filter(col("__wi") =!= col("__wj"))
+      .select(
+        when(col("__wi") > col("__wj"), col("__i")).otherwise(col("__j"))
+          .as("src"),
+        when(col("__wi") > col("__wj"), col("__j")).otherwise(col("__i"))
+          .as("dst"))
+      .localCheckpoint(true) // feeds edges count, triads, and cycles
+    val nItems = comps.select(col("__w").as("item"))
+      .union(comps.select(col("__l")))
+      .agg(countDistinct(col("item")).cast("bigint").as("n_items"))
+    val nEdges = maj.agg(count(lit(1)).cast("bigint").as("n_majority_edges"))
+    // undirected view for closed triples a < b < c
+    val und = maj.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"))
+    val triads = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .join(und.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).cast("bigint").as("n_triads"))
+    // directed 3-cycles: generated once per rotation -> div 3
+    val cycles = maj.as("c1")
+      .join(maj.as("c2"), col("c1.dst") === col("c2.src"))
+      .join(maj.as("c3"),
+        col("c3.src") === col("c2.dst") && col("c3.dst") === col("c1.src"))
+      .agg(count(lit(1)).as("__c"))
+      .select(expr("__c div 3").as("n_cyclic"))
+    nItems.crossJoin(broadcast(nEdges))
+      .crossJoin(broadcast(triads))
+      .crossJoin(broadcast(cycles))
+      .filter(col("n_triads") > 0)
+      .select(col("n_items"), col("n_majority_edges"), col("n_triads"),
+        col("n_cyclic"),
+        expr("(n_triads - n_cyclic) * 1000000L div n_triads")
+          .as("transitivity_micro"))
+  }
 }

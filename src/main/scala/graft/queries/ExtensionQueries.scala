@@ -2640,11 +2640,13 @@ object ExtensionQueries {
     * better copy of shared content" judgment (longer copy wins,
     * doc_a's source on a tie), and the BT-MM fit turns those pairwise
     * judgments into the source priority x72's canonicalizer assumes. */
-  def x230(s: SparkSession, dir: String): DataFrame = {
+  /** The cross-source "which source serves the better copy" judgment
+    * frame x230/x232 share: x04's near-dup pairs, longer copy wins,
+    * doc_a's source on ties, same-source pairs dropped. */
+  private def sourcePrefs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
-    val pairs = Dedup.ngramJaccardNearDup(docs(s, dir), "doc_id", "text",
-      ngram = 3, prefixK = 8, minJaccard = 0.2)
-    val prefs = pairs
+    Dedup.ngramJaccardNearDup(docs(s, dir), "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.2)
       .join(d.select(col("doc_id").as("doc_a"), col("source").as("__sa"),
         col("n_chars").as("__ca")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("source").as("__sb"),
@@ -2657,8 +2659,19 @@ object ExtensionQueries {
         when(col("__ca") > col("__cb"), col("__sb"))
           .when(col("__cb") > col("__ca"), col("__sa"))
           .otherwise(col("__sb")).as("loser"))
-    graft.operators.Preferences.bradleyTerry(prefs)
   }
+
+  def x230(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preferences.bradleyTerry(sourcePrefs(s, dir))
+
+  /** x232 preference transitivity audit — see
+    * [[graft.operators.Preferences.majorityTransitivity]]: among
+    * source triples whose three pairwise majority judgments all
+    * exist, the share forming a cycle (no strength ordering can honor
+    * them) — the coherence gate that decides whether x230's BT fit
+    * summarizes signal or noise. */
+  def x232(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preferences.majorityTransitivity(sourcePrefs(s, dir))
 
   /** x231 within-doc self-repetition — see
     * [[graft.operators.TextAnalysis.selfRepeatRuns]]: the longest
@@ -2953,6 +2966,7 @@ object ExtensionQueries {
     "x229_boilerplate_catalog" -> (x229 _),
     "x230_source_bradley_terry" -> (x230 _),
     "x231_self_repetition" -> (x231 _),
+    "x232_preference_transitivity" -> (x232 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -8239,6 +8253,46 @@ object ExtensionQueries {
          |  CAST(s2.bo AS BIGINT) AS best_offset, s1.n_runs, s1.n_anchors
          |FROM s1 JOIN s2 ON s2.d = s1.d
          |ORDER BY doc_id""".stripMargin,
+
+    // Replays majorityTransitivity over the x230 judgment frame: one
+    // majority edge per unequal pair split, closed triples on the
+    // undirected view, directed 3-cycles (counted once per rotation,
+    // // 3), one truncating micro division.
+    "x232_preference_transitivity" ->
+      s"""WITH $ngramPairsCteSql,
+         |pf AS (SELECT
+         |    CASE WHEN da.n_chars > db.n_chars THEN da.source
+         |         WHEN db.n_chars > da.n_chars THEN db.source
+         |         ELSE da.source END AS w,
+         |    CASE WHEN da.n_chars > db.n_chars THEN db.source
+         |         WHEN db.n_chars > da.n_chars THEN da.source
+         |         ELSE db.source END AS l
+         |  FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+         |               JOIN documents db ON db.doc_id = p.doc_b
+         |  WHERE da.source <> db.source),
+         |pw AS (SELECT least(w, l) AS i, greatest(w, l) AS j,
+         |    CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS wi,
+         |    CAST(sum(CASE WHEN w < l THEN 0 ELSE 1 END) AS BIGINT) AS wj
+         |  FROM pf GROUP BY 1, 2),
+         |maj AS MATERIALIZED (SELECT
+         |    CASE WHEN wi > wj THEN i ELSE j END AS src,
+         |    CASE WHEN wi > wj THEN j ELSE i END AS dst
+         |  FROM pw WHERE wi <> wj),
+         |ni AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_items FROM (
+         |  SELECT w AS item FROM pf UNION ALL SELECT l FROM pf) z),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_majority_edges FROM maj),
+         |und AS MATERIALIZED (SELECT least(src, dst) AS u,
+         |    greatest(src, dst) AS v FROM maj),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triads
+         |  FROM und e1 JOIN und e2 ON e1.v = e2.u
+         |       JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |cyc AS (SELECT CAST(count(*) AS BIGINT) // 3 AS n_cyclic
+         |  FROM maj c1 JOIN maj c2 ON c1.dst = c2.src
+         |       JOIN maj c3 ON c3.src = c2.dst AND c3.dst = c1.src)
+         |SELECT ni.n_items, ne.n_majority_edges, tri.n_triads, cyc.n_cyclic,
+         |  (tri.n_triads - cyc.n_cyclic) * 1000000 // tri.n_triads
+         |    AS transitivity_micro
+         |FROM ni, ne, tri, cyc WHERE tri.n_triads > 0""".stripMargin,
 
     // Replays domainRollup over the identically-constructed synthetic
     // URL column: fragment strip, absolute-URL gate, scheme/host

@@ -39,4 +39,32 @@ class PreferencesSpec extends SparkSpec {
       ("A", "C"), ("B", "C"), ("A", "D"), ("D", "C"))
     assert(fit(pairs) == fit(pairs))
   }
+
+  private def trans(pairs: Seq[(String, String)]) =
+    Preferences.majorityTransitivity(pairs.toDF("winner", "loser"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("majorityTransitivity: a rock-paper-scissors triple reads cyclic " +
+      "(transitivity 0); a transitive tournament reads 1e6; a tied pair " +
+      "breaks the triad") {
+    assert(trans(Seq(("A", "B"), ("B", "C"), ("C", "A"))) ==
+      Seq((3L, 3L, 1L, 1L, 0L)))
+    assert(trans(Seq(("A", "B"), ("B", "C"), ("A", "C"))) ==
+      Seq((3L, 3L, 1L, 0L, 1000000L)))
+    // A-B splits 1-1 -> no majority edge -> no closed triple -> no row
+    assert(trans(Seq(("A", "B"), ("B", "A"), ("B", "C"), ("A", "C"))).isEmpty)
+    // majority needs a STRICT winner: A beats B 2-1 -> edge survives
+    val out = trans(Seq(("A", "B"), ("A", "B"), ("B", "A"),
+      ("B", "C"), ("A", "C")))
+    assert(out == Seq((3L, 3L, 1L, 0L, 1000000L)))
+  }
+
+  test("majorityTransitivity: 4-item mix — one cyclic and one transitive " +
+      "triad hand-counted") {
+    // A->B, B->C, C->A (cycle) and A->B, B->D, A->D (transitive);
+    // C-D never compared -> only 2 closed triples
+    val out = trans(Seq(("A", "B"), ("B", "C"), ("C", "A"),
+      ("B", "D"), ("A", "D")))
+    assert(out == Seq((4L, 5L, 2L, 1L, 500000L)))
+  }
 }
