@@ -435,4 +435,99 @@ object Layout {
         (col("join_order") === col("__best")).as("best"))
       .orderBy(col("join_order"))
   }
+
+  /** Epoch-allocation advisor — the data-constrained mixing decision
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models"): when the token budget exceeds the unique corpus,
+    * WHICH sources earn a 2nd/3rd/4th epoch? Each source gets a
+    * vocabulary-richness quality score qₛ = |vocab|·10⁶ div tokens
+    * (type-token ratio — the cheap exact proxy for "how much new
+    * signal per repeated token"), each (source, epoch e) candidate a
+    * marginal utility qₛ · decay^(e−1) (repetition decay — repeated
+    * epochs are worth a geometric fraction of fresh data), and the
+    * greedy fill takes WHOLE epochs in (utility desc, source, epoch)
+    * order while the cumulative token cost stays within the budget
+    * (budget = budgetTimesMicro/10⁶ × the unique corpus). Partial
+    * epochs are never taken — the allocation is a replayable plan,
+    * not a fractional ideal.
+    *
+    * Exactness: token/vocab counts exact BIGINT; decay powers are
+    * precomputed integer micro values (p₁ = 10⁶, pₑ = pₑ₋₁·decay
+    * div 10⁶ — the same truncating sequence in both engines);
+    * utilities and shares are truncating integer div; the share
+    * computes in DECIMAL(38,0) (tokens·10⁶ exceeds BIGINT at 100 TB).
+    *
+    * Scale: two aggregation passes over the exploded token stream
+    * (per-source totals + per-(source, word) distinct — partial+final
+    * hash aggs); everything after is source-cardinality: the
+    * candidate grid is |sources| × maxEpochs rows and its greedy
+    * window is a deliberate single-partition sort over that tiny
+    * frame (the x230 item-cardinality idiom), never row volume.
+    *
+    * Output: (source, n_tokens, quality_micro, epochs_allocated,
+    * tokens_allocated, alloc_share_micro), ordered by
+    * (epochs_allocated desc, source); empty when no epoch fits. */
+  def epochAllocationAdvisor(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source", maxEpochs: Int = 4,
+      decayMicro: Long = 700000L,
+      budgetTimesMicro: Long = 2000000L): DataFrame = {
+    require(maxEpochs >= 1 && maxEpochs <= 16,
+      s"epochAllocationAdvisor: maxEpochs must be in [1, 16], got $maxEpochs")
+    require(decayMicro >= 1L && decayMicro <= 1000000L,
+      s"epochAllocationAdvisor: decayMicro must be in [1, 1e6], got $decayMicro")
+    require(budgetTimesMicro >= 1L,
+      s"epochAllocationAdvisor: budgetTimesMicro must be positive")
+    val dec = "decimal(38,0)"
+    import graft.functions.TextFunctions.words
+    val toks = docs
+      .select(col(sourceCol).cast("string").as("source"),
+        explode(words(col(textCol))).as("__t"))
+    val perSource = toks.groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"))
+    val vocab = toks.select(col("source"), col("__t")).distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("__v"))
+    val src = perSource.join(vocab, Seq("source"))
+      .filter(col("n_tokens") > 0)
+      .select(col("source"), col("n_tokens"),
+        expr("(__v * 1000000L) div n_tokens").as("quality_micro"))
+      .localCheckpoint(true) // tiny; feeds grid, budget, and output
+    // integer decay powers, the same truncating sequence as the oracle
+    val pows = Iterator.iterate(1000000L)(p => p * decayMicro / 1000000L)
+      .take(maxEpochs).toSeq
+    val epochs = explode(array(pows.zipWithIndex.map { case (p, i) =>
+      struct(lit(i + 1).cast("int").as("epoch"), lit(p).as("__pow"))
+    }: _*))
+    val grid = src.select(col("*"), epochs.as("__e"))
+      .select(col("source"), col("n_tokens"), col("quality_micro"),
+        col("__e.epoch").as("epoch"),
+        expr("(quality_micro * __e.__pow) div 1000000L").as("__u"))
+    val budget = src
+      .agg(sum(col("n_tokens")).cast(dec).as("__tot"))
+      .select(expr(
+        s"(__tot * CAST($budgetTimesMicro AS DECIMAL(38,0))) div 1000000")
+        .cast(dec).as("__budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__u").desc, col("source"), col("epoch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val kept = grid
+      .withColumn("__cum", sum(col("n_tokens").cast(dec)).over(w))
+      .crossJoin(broadcast(budget))
+      .filter(col("__cum") <= col("__budget"))
+      .localCheckpoint(true) // feeds the per-source rollup AND the total
+    val totAlloc = kept.agg(sum(col("n_tokens")).cast(dec).as("__ta"))
+    kept.groupBy(col("source"), col("n_tokens"), col("quality_micro"))
+      .agg(count(lit(1)).cast("bigint").as("epochs_allocated"))
+      .select(col("source"), col("n_tokens"), col("quality_micro"),
+        col("epochs_allocated"),
+        (col("epochs_allocated") * col("n_tokens")).as("tokens_allocated"))
+      .crossJoin(broadcast(totAlloc))
+      .filter(col("__ta") > 0)
+      .select(col("source"), col("n_tokens"), col("quality_micro"),
+        col("epochs_allocated"), col("tokens_allocated"),
+        expr("(CAST(tokens_allocated AS DECIMAL(38,0)) * 1000000) div __ta")
+          .cast("bigint").as("alloc_share_micro"))
+      .orderBy(col("epochs_allocated").desc, col("source"))
+  }
 }

@@ -1664,4 +1664,113 @@ object Profile {
           .cast("bigint").as("gini_micro"))
       .orderBy(col(groupCol))
   }
+
+  /** Split-conformal coverage audit — the distribution-free
+    * calibration check (Vovk et al.; Angelopoulos & Bates 2022) for
+    * any per-row score the pipeline filters on: predict each row's
+    * value by its GROUP's calibration median, take the calibration
+    * nonconformity r = |y − median|, and for each miscoverage level
+    * α = pct/100 the conformal threshold is the ⌈(n+1)(1−α)⌉-th
+    * smallest calibration residual — then the EVAL half's share of
+    * residuals within that threshold should read ≥ 1−α if the score
+    * is exchangeable between the halves. A coverage reading far below
+    * target means the score drifts between the halves and every
+    * quantile-derived filter cut (x113's bins, x144's sweeps) is
+    * mis-calibrated. Split: even ids calibrate, odd ids evaluate —
+    * the deterministic parity contract both engines replay. Groups
+    * with NO calibration rows cannot be scored and their eval rows
+    * are excluded (inner join to the median frame).
+    *
+    * Exactness: medians and thresholds are exact order statistics
+    * selected off value HISTOGRAMS (the x219 cumulative idiom) —
+    * lower median at rank ⌈n/2⌉, threshold at rank
+    * ⌈(n+1)(100−pct)/100⌉ (null = +∞ when the rank exceeds n, which
+    * covers everything); counts exact BIGINT; the coverage share is
+    * one truncating DECIMAL(38,0) micro division.
+    *
+    * Scale: per-group medians are histogram-collapsed partial+final
+    * aggs with a per-group cumulative window; the residual spine is a
+    * GLOBAL histogram (distinct residual values, not rows) whose
+    * single-partition cumulative window is bounded by distinct-value
+    * cardinality and fenced by the loud `maxDistinct` envelope — the
+    * x113 boundary-spine discipline; eval rows
+    * collapse to a residual histogram BEFORE meeting the pct grid, so
+    * the tiny threshold frame never multiplies row volume.
+    *
+    * Output: (pct, target_micro, n_cal, threshold, n_eval, n_covered,
+    * coverage_micro), ordered by pct; a level whose eval side is
+    * empty emits nothing. */
+  def conformalCoverage(rows: DataFrame, idCol: String = "doc_id",
+      groupCol: String = "source", valueCol: String = "value",
+      pcts: Seq[Int] = Seq(1, 5, 10, 20),
+      maxDistinct: Long = Rank.DefaultMaxDistinct): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 99),
+      s"conformalCoverage: pcts must be in [1, 99], got $pcts")
+    require(pcts.distinct == pcts, "conformalCoverage: duplicate pcts")
+    require(maxDistinct >= 1, "conformalCoverage: maxDistinct must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = rows.select(col(idCol).cast("long").as("__id"),
+        col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__y"))
+      .filter(col("__id").isNotNull && col("__g").isNotNull &&
+        col("__y").isNotNull)
+    val cal = base.filter(expr("__id % 2 = 0"))
+    // lower median per group off the value histogram
+    val wg = Window.partitionBy(col("__g")).orderBy(col("__y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = cal.groupBy(col("__g"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wg))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col("__g"))))
+      .filter(expr("__cum >= (__n + 1) div 2"))
+      .groupBy(col("__g")).agg(min(col("__y")).as("__med"))
+      .localCheckpoint(true) // feeds both halves' residuals
+    val calR = cal.join(med, Seq("__g"))
+      .select(abs(col("__y") - col("__med")).as("__r"))
+    val rc0 = calR.groupBy(col("__r")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds the guard AND the spine
+    // the global residual cumulative is a SINGLE-PARTITION window over
+    // DISTINCT residuals — enforce the histogram-collapse envelope
+    // pre-window (the valuePareto/rankAuc discipline)
+    val guard = rc0.agg(count(lit(1)).cast("long").as("__cc_card"))
+      .select(
+        when(col("__cc_card") > maxDistinct,
+          raise_error(concat(lit("conformalCoverage: "),
+            col("__cc_card").cast("string"),
+            lit(s" distinct residuals exceed the histogram-collapse " +
+              s"envelope ($maxDistinct) — quantize the value column first")))
+            .cast("long"))
+        .otherwise(lit(0L)).as("__cc_guard"))
+    val rcum = rc0.crossJoin(broadcast(guard))
+      .select(col("__r"), (col("__c") + col("__cc_guard")).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true) // spine feeds n_cal and every pct's rank
+    val nCal = rcum.agg(coalesce(max(col("__cum")), lit(0L))
+      .cast("bigint").as("n_cal"))
+    val grid = nCal.select(col("n_cal"), explode(array(pcts.map(p =>
+        lit(p).cast("bigint")): _*)).as("pct"))
+      .select(col("pct"), col("n_cal"),
+        expr("((n_cal + 1) * (100 - pct) + 99) div 100").as("__k"))
+    val thr = grid.join(rcum, col("__cum") >= col("__k"), "left")
+      .groupBy(col("pct"), col("n_cal"))
+      .agg(min(col("__r")).as("threshold"))
+      .localCheckpoint(true) // tiny; broadcast against the eval histogram
+    val ehist = base.filter(expr("__id % 2 <> 0"))
+      .join(med, Seq("__g"))
+      .select(abs(col("__y") - col("__med")).as("__r"))
+      .groupBy(col("__r")).agg(count(lit(1)).as("__c"))
+    ehist.crossJoin(broadcast(thr))
+      .groupBy(col("pct"), col("n_cal"), col("threshold"))
+      .agg(sum(col("__c")).cast("bigint").as("n_eval"),
+        sum(when(col("threshold").isNull || col("__r") <= col("threshold"),
+          col("__c")).otherwise(lit(0L))).cast("bigint").as("n_covered"))
+      .filter(col("n_eval") > 0)
+      .select(col("pct"),
+        ((lit(100L) - col("pct")) * lit(10000L)).as("target_micro"),
+        col("n_cal"), col("threshold"), col("n_eval"), col("n_covered"),
+        expr("(CAST(n_covered AS DECIMAL(38,0)) * 1000000) div n_eval")
+          .cast("bigint").as("coverage_micro"))
+      .orderBy(col("pct"))
+  }
 }

@@ -1813,6 +1813,118 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** Kneser-Ney bigram average transition log-probability per document
+    * — the SMOOTHING upgrade of [[bigramLogProb]]: instead of add-one,
+    * interpolated absolute discounting (Kneser & Ney 1995; Chen &
+    * Goodman 1998) with the continuation-probability backoff that
+    * makes KN the production n-gram smoother:
+    *
+    *   p(w₂|w₁) = max(c(w₁w₂) − d, 0)/c(w₁·)
+    *            + (d · N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/B
+    *
+    * where N₁₊(w₁·) = distinct right types of w₁, N₁₊(·w₂) = distinct
+    * LEFT contexts of w₂ (the "how many contexts does this word
+    * complete" count that demotes frequent-but-context-bound words
+    * like "francisco"), and B = distinct reference bigrams. A
+    * transition whose w₂ never appears as a reference right type has
+    * zero continuation mass — it is counted as OOV, not scored (the
+    * honest alternative to a fake epsilon floor). An unseen CONTEXT
+    * w₁ backs off to the continuation distribution alone. Against the
+    * add-one siblings (x96/x227) this is the screen that stops
+    * over-penalizing rare-but-well-formed continuations — the grain
+    * that separates "unusual topic" from "scrambled text".
+    *
+    * Exactness — the [[bigramLogProb]] fixed point: every input to
+    * the probability is an exact BIGINT count; the probability and
+    * its log are ONE fully-parenthesized double expression replayed
+    * operation-for-operation by the oracle (IEEE doubles are
+    * deterministic given the same expression tree), quantized once
+    * per transition TYPE to integer micro-nats; per-document
+    * accumulation is an exact integer Σ tf × lp; the mean is one
+    * correctly-rounded double division.
+    *
+    * Scale: identical shape to [[bigramLogProb]] — reference counts
+    * are partial+final hash aggregates; the three model frames
+    * (bigram counts, per-context stats, per-word continuation counts)
+    * join the per-doc transition-type frame on their natural keys as
+    * SHUFFLED equi-joins (bigram vocabulary is never
+    * broadcast-sized); only the 1-row B frame broadcasts.
+    *
+    * Output: (doc_id, n_transitions, n_oov, sum_logp_micro,
+    * avg_logp) — avg over SCORED (non-OOV) transitions; docs with
+    * < 2 tokens keep n_transitions = 0 and a null score. */
+  def kneserNeyLogProb(docs: DataFrame, ref: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"kneserNeyLogProb: discount must be in (0, 1), got $discount")
+    def pairFrame(df: DataFrame): DataFrame =
+      tokFrame(df, idCol, textCol)
+        .filter(size(col("__w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(__w) - 1), " +
+            "i -> struct(element_at(__w, i) as w1, element_at(__w, i + 1) as w2))"))
+          .as("__p"))
+        .select(col("doc_id"), col("__p.w1"), col("__p.w2"))
+    val refPairs = pairFrame(ref)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
+      .localCheckpoint(true) // feeds context stats, continuation, B, scoring
+    // per-context: total count and distinct right types (refPairs is
+    // already one row per (w1, w2), so count(*) IS the type count)
+    val ctx = refPairs.groupBy(col("w1"))
+      .agg(sum(col("__c12")).cast("bigint").as("__c1"),
+        count(lit(1)).cast("bigint").as("__n1r"))
+    val cont = refPairs.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("bigint").as("__n1l"))
+    val stats = refPairs.agg(count(lit(1)).cast("bigint").as("__b"))
+    val d = lit(discount)
+    // ONE double expression, fully parenthesized — the oracle replays
+    // the identical tree. Seen context: discounted ML + weighted
+    // continuation (a seen context with an UNSEEN pair keeps c12 = 0
+    // and the max(−d, 0) branch zeroes the ML term); unseen context:
+    // continuation alone.
+    val c12 = coalesce(col("__c12"), lit(0L))
+    val pSeen =
+      greatest(c12.cast("double") - d, lit(0.0)) /
+        col("__c1").cast("double") +
+      ((d * col("__n1r").cast("double")) / col("__c1").cast("double")) *
+        (col("__n1l").cast("double") / col("__b").cast("double"))
+    val pUnseenCtx = col("__n1l").cast("double") / col("__b").cast("double")
+    def micro(p: Column): Column =
+      round(round(log(p), 6) * lit(1000000.0)).cast("long")
+    val docTf = pairFrame(docs)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__tf"))
+    val scored = docTf
+      .join(refPairs, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .join(broadcast(stats))
+      .select(col("doc_id"), col("__tf"),
+        col("__n1l").isNull.as("__oov"),
+        when(col("__n1l").isNull, lit(null).cast("long"))
+          .when(col("__c1").isNull, micro(pUnseenCtx))
+          .otherwise(micro(pSeen))
+          .as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__tf")).cast("bigint").as("n_transitions"),
+        sum(when(col("__oov"), col("__tf")).otherwise(lit(0L)))
+          .cast("bigint").as("n_oov"),
+        sum(when(col("__oov"), lit(0L)).otherwise(col("__tf") * col("__lp")))
+          .cast("bigint").as("sum_logp_micro"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("sum_logp_micro"),
+        when(coalesce(col("n_transitions"), lit(0L)) -
+            coalesce(col("n_oov"), lit(0L)) > 0,
+          round(col("sum_logp_micro").cast("double") /
+            ((col("n_transitions") - col("n_oov")).cast("double") *
+              lit(1000000.0)), 6))
+          .as("avg_logp"))
+  }
+
   /** BPE-style adjacent-pair statistics — the counting core of one
     * tokenizer-induction merge round (Sennrich et al. 2016): for every
     * corpus word, every adjacent character bigram votes with the

@@ -2684,6 +2684,38 @@ object ExtensionQueries {
     // is for real corpora and would gate everything here)
     TextAnalysis.selfRepeatRuns(docs(s, dir), minRunChars = 16)
 
+  /** x233 Kneser-Ney bigram screen — see
+    * [[graft.operators.TextAnalysis.kneserNeyLogProb]]: the
+    * production-smoothing upgrade of the x96/x227 add-one screens
+    * (absolute discounting + continuation backoff), trained on the
+    * EN slice, scoring every doc, OOV transitions counted instead of
+    * epsilon-floored. */
+  def x233(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.kneserNeyLogProb(d, d.filter(col("lang") === "en"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x234 epoch-allocation advisor — see
+    * [[graft.operators.Layout.epochAllocationAdvisor]]: the
+    * data-constrained mixing plan (which sources earn repeat epochs
+    * under a 2× token budget, vocabulary-richness utility with
+    * geometric repetition decay) — the planning advisor that sits
+    * between x143's target mix and x54's upsampler. */
+  def x234(s: SparkSession, dir: String): DataFrame =
+    Layout.epochAllocationAdvisor(docs(s, dir))
+
+  /** x235 split-conformal coverage audit — see
+    * [[graft.operators.Profile.conformalCoverage]]: even-id docs
+    * calibrate per-source token-count medians and the global
+    * residual quantiles; odd-id docs must be covered at ≥ 1−α —
+    * the distribution-free calibration gate on every quantile-derived
+    * filter cut (value = the x10 word-token count contract). */
+  def x235(s: SparkSession, dir: String): DataFrame =
+    Profile.conformalCoverage(docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("value")))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -2967,6 +2999,9 @@ object ExtensionQueries {
     "x230_source_bradley_terry" -> (x230 _),
     "x231_self_repetition" -> (x231 _),
     "x232_preference_transitivity" -> (x232 _),
+    "x233_kneser_ney_logprob" -> (x233 _),
+    "x234_epoch_allocation" -> (x234 _),
+    "x235_conformal_coverage" -> (x235 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -8398,6 +8433,138 @@ object ExtensionQueries {
          |       END AS avg_logp
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays kneserNeyLogProb: interpolated absolute discounting
+    // with continuation backoff — the probability and its ln are ONE
+    // fully-parenthesized double expression identical to the Spark
+    // tree, quantized per TYPE, exact integer tf×lp accumulation.
+    "x233_kneser_ney_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |pr AS (SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+         |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+         |             FROM toks WHERE len(w) >= 2)),
+         |rp AS (SELECT p.w1, p.w2, CAST(count(*) AS BIGINT) AS c12
+         |       FROM pr p JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+         |       GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |               CAST(count(*) AS BIGINT) AS n1r FROM rp GROUP BY 1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1l FROM rp GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS b FROM rp),
+         |dtf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM pr GROUP BY 1, 2, 3),
+         |typ AS (SELECT dtf.doc_id, dtf.tf, cont.n1l IS NULL AS oov,
+         |         CASE WHEN cont.n1l IS NULL THEN NULL
+         |              WHEN ctx.c1 IS NULL THEN CAST(round(round(ln(
+         |                  cont.n1l::DOUBLE / st.b::DOUBLE), 6)
+         |                * 1000000.0) AS BIGINT)
+         |              ELSE CAST(round(round(ln(
+         |                  greatest(coalesce(rp.c12, 0)::DOUBLE - 0.75, 0.0)
+         |                    / ctx.c1::DOUBLE
+         |                  + ((0.75 * ctx.n1r::DOUBLE) / ctx.c1::DOUBLE)
+         |                    * (cont.n1l::DOUBLE / st.b::DOUBLE)), 6)
+         |                * 1000000.0) AS BIGINT)
+         |         END AS lp
+         |       FROM dtf LEFT JOIN rp USING (w1, w2) LEFT JOIN ctx USING (w1)
+         |            LEFT JOIN cont USING (w2) CROSS JOIN st),
+         |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_transitions,
+         |         CAST(sum(CASE WHEN oov THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+         |         CAST(sum(CASE WHEN oov THEN 0 ELSE tf * lp END) AS BIGINT)
+         |           AS sum_logp_micro
+         |       FROM typ GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sc.n_transitions, 0) AS n_transitions,
+         |       coalesce(sc.n_oov, 0) AS n_oov, sc.sum_logp_micro,
+         |       CASE WHEN sc.n_transitions - sc.n_oov > 0
+         |            THEN round(sc.sum_logp_micro::DOUBLE /
+         |                       ((sc.n_transitions - sc.n_oov)::DOUBLE
+         |                         * 1000000.0), 6)
+         |       END AS avg_logp
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays epochAllocationAdvisor: per-source token/vocab stats,
+    // the integer decay-power grid, the greedy whole-epoch fill under
+    // the 2× budget — every division a truncating integer div.
+    "x234_epoch_allocation" -> {
+      val pows = Iterator.iterate(1000000L)(p => p * 700000L / 1000000L)
+        .take(4).toSeq
+      val eg = pows.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, ${p})" }.mkString(", ")
+      s"""WITH toks AS (SELECT source, unnest(${wordsSql("text")}) AS t
+         |              FROM documents),
+         |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+         |       FROM toks GROUP BY 1),
+         |vo AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+         |       FROM (SELECT DISTINCT source, t FROM toks) GROUP BY 1),
+         |src AS (SELECT ps.source, ps.n_tokens,
+         |          (vo.v * 1000000) // ps.n_tokens AS quality_micro
+         |        FROM ps JOIN vo USING (source) WHERE ps.n_tokens > 0),
+         |eg AS (SELECT * FROM (VALUES $eg) AS t(epoch, pow)),
+         |grid AS (SELECT src.source, src.n_tokens, src.quality_micro,
+         |           eg.epoch, (src.quality_micro * eg.pow) // 1000000 AS u
+         |         FROM src, eg),
+         |bud AS (SELECT (CAST(sum(n_tokens) AS HUGEINT) * 2000000) // 1000000
+         |          AS b FROM src),
+         |cum AS (SELECT *, SUM(CAST(n_tokens AS HUGEINT)) OVER (
+         |          ORDER BY u DESC, source, epoch
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |        FROM grid),
+         |kept AS (SELECT cum.* FROM cum, bud WHERE c <= b),
+         |ta AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS ta FROM kept)
+         |SELECT source, n_tokens, CAST(quality_micro AS BIGINT) AS quality_micro,
+         |       CAST(count(*) AS BIGINT) AS epochs_allocated,
+         |       CAST(count(*) * n_tokens AS BIGINT) AS tokens_allocated,
+         |       CAST((CAST(count(*) * n_tokens AS HUGEINT) * 1000000) // ta.ta
+         |         AS BIGINT) AS alloc_share_micro
+         |FROM kept, ta WHERE ta.ta > 0
+         |GROUP BY source, n_tokens, quality_micro, ta.ta
+         |ORDER BY epochs_allocated DESC, source""".stripMargin
+    },
+
+    // Replays conformalCoverage over the x10 word-token counts: exact
+    // order statistics off histograms (lower median per source,
+    // global residual rank ⌈(n+1)(100−pct)/100⌉, null = +∞), one
+    // truncating micro division for the coverage share.
+    "x235_conformal_coverage" ->
+      s"""WITH base AS (SELECT * FROM (
+         |    SELECT doc_id AS id, source AS g,
+         |           CAST(len(${wordsSql("text")}) AS BIGINT) AS y
+         |    FROM documents)
+         |  WHERE id IS NOT NULL AND g IS NOT NULL AND y IS NOT NULL),
+         |cal AS (SELECT * FROM base WHERE id % 2 = 0),
+         |hist AS (SELECT g, y, CAST(count(*) AS BIGINT) AS c
+         |         FROM cal GROUP BY 1, 2),
+         |cum AS (SELECT g, y, SUM(c) OVER (PARTITION BY g ORDER BY y
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu,
+         |          SUM(c) OVER (PARTITION BY g) AS n
+         |        FROM hist),
+         |med AS (SELECT g, min(y) AS med FROM cum
+         |        WHERE cu >= (n + 1) // 2 GROUP BY 1),
+         |calr AS (SELECT abs(cal.y - med.med) AS r
+         |         FROM cal JOIN med USING (g)),
+         |rc AS (SELECT r, CAST(count(*) AS BIGINT) AS c FROM calr GROUP BY 1),
+         |rcum AS (SELECT r, SUM(c) OVER (ORDER BY r
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+         |         FROM rc),
+         |nc AS (SELECT coalesce(CAST(max(cu) AS BIGINT), 0) AS n_cal FROM rcum),
+         |grid AS (SELECT CAST(pct AS BIGINT) AS pct, nc.n_cal,
+         |           ((nc.n_cal + 1) * (100 - pct) + 99) // 100 AS k
+         |         FROM (SELECT unnest([1, 5, 10, 20]) AS pct), nc),
+         |thr AS (SELECT grid.pct, grid.n_cal, min(rcum.r) AS threshold
+         |        FROM grid LEFT JOIN rcum ON rcum.cu >= grid.k
+         |        GROUP BY 1, 2),
+         |eh AS (SELECT abs(b.y - med.med) AS r, CAST(count(*) AS BIGINT) AS c
+         |       FROM base b JOIN med USING (g) WHERE b.id % 2 <> 0
+         |       GROUP BY 1),
+         |cov AS (SELECT thr.pct, thr.n_cal, thr.threshold,
+         |          CAST(sum(eh.c) AS BIGINT) AS n_eval,
+         |          CAST(sum(CASE WHEN thr.threshold IS NULL
+         |                          OR eh.r <= thr.threshold
+         |                        THEN eh.c ELSE 0 END) AS BIGINT) AS n_covered
+         |        FROM eh, thr GROUP BY 1, 2, 3)
+         |SELECT pct, (100 - pct) * 10000 AS target_micro, n_cal, threshold,
+         |       n_eval, n_covered,
+         |       CAST((CAST(n_covered AS HUGEINT) * 1000000) // n_eval
+         |         AS BIGINT) AS coverage_micro
+         |FROM cov WHERE n_eval > 0 ORDER BY pct""".stripMargin,
 
     // Replays dfCapAdvisor: distinct (doc, gram) postings, df
     // histogram, one row per cap with the exact surviving fan-out.

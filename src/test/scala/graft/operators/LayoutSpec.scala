@@ -249,4 +249,52 @@ class LayoutSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(one.toSeq == Seq((1L, 10L, 1000L, 1L, 1L)))
   }
+
+  test("epochAllocationAdvisor: richer vocabulary earns every epoch " +
+      "before a repetitive source earns one; whole epochs only") {
+    import spark.implicits._
+    // s1: 4 tokens, 4 distinct -> q = 1e6; s2: 4 tokens, 1 distinct
+    // -> q = 250000. Budget 2x = 16 tokens. Utility order: s1 e1..e4
+    // (1e6, 7e5, 4.9e5, 3.43e5) all above s2 e1 (2.5e5); cum after
+    // s1 e4 = 16 = budget, so s2 never fits.
+    val docs = Seq(("a b c d", "s1"), ("a a a a", "s2"))
+      .toDF("text", "source")
+    val out = Layout.epochAllocationAdvisor(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("s1", 4L, 1000000L, 4L, 16L, 1000000L)))
+  }
+
+  test("epochAllocationAdvisor: budget multiplier and tie-breaks — " +
+      "equal utilities fill in source order; a 1x budget stops at the " +
+      "unique corpus") {
+    import spark.implicits._
+    val docs = Seq(("a b c", "sa"), ("d e f", "sb"))
+      .toDF("text", "source")
+    // equal q = 1e6; 1x budget = 6: both sources get exactly epoch 1
+    val oneX = Layout.epochAllocationAdvisor(docs,
+        budgetTimesMicro = 1000000L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(oneX.toSeq == Seq(("sa", 3L, 1000000L, 1L, 3L, 500000L),
+      ("sb", 3L, 1000000L, 1L, 3L, 500000L)))
+    // half budget = 3: the source tie-break gives sa the only slot
+    val halfX = Layout.epochAllocationAdvisor(docs,
+        budgetTimesMicro = 500000L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(halfX.toSeq == Seq(("sa", 3L, 1000000L, 1L, 3L, 1000000L)))
+  }
+
+  test("epochAllocationAdvisor: decay powers are the truncating " +
+      "integer sequence; maxEpochs bounds the grid") {
+    import spark.implicits._
+    val docs = Seq(("a b c d e f g h i j", "s")).toDF("text", "source")
+    // one source, budget 10x, maxEpochs 3 -> exactly 3 epochs
+    val out = Layout.epochAllocationAdvisor(docs, maxEpochs = 3,
+        budgetTimesMicro = 10000000L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("s", 10L, 1000000L, 3L, 30L, 1000000L)))
+    val e = intercept[IllegalArgumentException] {
+      Layout.epochAllocationAdvisor(docs, maxEpochs = 0)
+    }
+    assert(e.getMessage.contains("maxEpochs"))
+  }
 }

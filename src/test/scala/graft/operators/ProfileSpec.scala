@@ -685,4 +685,49 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("histogram-collapse envelope"), e.getMessage)
   }
+
+  test("conformalCoverage: hand-traced thresholds — rank past n_cal " +
+      "reads +inf (null) and covers everything; the finite rank picks " +
+      "the exact order statistic") {
+    import spark.implicits._
+    // cal (even ids): values 10,20,30,100 -> median rank ceil(4/2)=2
+    // -> med=20; residuals [0,10,10,80]. eval (odd ids): 20,150 ->
+    // residuals [0,130].
+    val rows = Seq((0L, "g", 10L), (2L, "g", 20L), (4L, "g", 30L),
+      (6L, "g", 100L), (1L, "g", 20L), (3L, "g", 150L))
+      .toDF("doc_id", "source", "value")
+    val out = Profile.conformalCoverage(rows)
+      .as[(Long, Long, Long, Option[Long], Long, Long, Long)].collect()
+    // k = ceil(5*(100-p)/100): p=1,5,10 -> 5 > n_cal=4 -> null thr;
+    // p=20 -> k=4 -> 4th smallest residual = 80 -> covers only 0
+    assert(out.toSeq == Seq(
+      (1L, 990000L, 4L, None, 2L, 2L, 1000000L),
+      (5L, 950000L, 4L, None, 2L, 2L, 1000000L),
+      (10L, 900000L, 4L, None, 2L, 2L, 1000000L),
+      (20L, 800000L, 4L, Some(80L), 2L, 1L, 500000L)))
+  }
+
+  test("conformalCoverage: custom pcts, mid-spine rank, and group " +
+      "discipline — a group with no calibration rows is excluded") {
+    import spark.implicits._
+    val rows = Seq((0L, "g", 10L), (2L, "g", 20L), (4L, "g", 30L),
+      (6L, "g", 100L), (1L, "g", 20L), (3L, "g", 150L),
+      (5L, "h", 999L)) // h never calibrates -> its eval row drops
+      .toDF("doc_id", "source", "value")
+    val out = Profile.conformalCoverage(rows, pcts = Seq(50))
+      .as[(Long, Long, Long, Option[Long], Long, Long, Long)].collect()
+    // k = ceil(5*50/100) = 3 -> 3rd smallest of [0,10,10,80] = 10;
+    // eval residuals [0,130] -> 1 covered
+    assert(out.toSeq == Seq((50L, 500000L, 4L, Some(10L), 2L, 1L, 500000L)))
+  }
+
+  test("conformalCoverage: histogram-collapse envelope refuses loudly") {
+    import spark.implicits._
+    val rows = (0L to 40L).map(i => (i, "g", i * i)).toDF(
+      "doc_id", "source", "value")
+    val e = intercept[Exception] {
+      Profile.conformalCoverage(rows, maxDistinct = 3L).collect()
+    }
+    assert(e.getMessage.contains("histogram-collapse envelope"), e.getMessage)
+  }
 }

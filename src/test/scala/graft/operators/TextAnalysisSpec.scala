@@ -1345,4 +1345,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(normText("totally different prefix here " + s80 + " and another suffix")
       .contains(snippet))
   }
+
+  test("kneserNeyLogProb: hand-traced KN probabilities — seen pair, " +
+      "backoff-only pair, unseen context, OOV word") {
+    import spark.implicits._
+    // ref "a b a c": pairs (a,b) (b,a) (a,c); ctx a:(c1=2,n1r=2)
+    // b:(c1=1,n1r=1); cont a/b/c each n1l=1; B=3
+    val ref = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b z"), // (a,b) seen; (b,z): z never a right type -> OOV
+      (2L, "z a"),   // (z,a): unseen context -> continuation only
+      (3L, "a"),     // no transitions
+      (4L, "b c"))   // (b,c): seen ctx b, unseen PAIR -> pure backoff
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyLogProb(docs, ref)
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // (a,b): max(1-.75,0)/2 + (.75*2/2)*(1/3) = 0.125 + 0.25 = 0.375
+    val lpAB = math.round(BigDecimal(math.log(0.375))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    assert(out(1L) == ((1L, 2L, 1L, Some(lpAB),
+      Some(lpAB.toDouble / 1e6))), out(1L).toString)
+    // (z,a): p = n1l/B = 1/3
+    val lpZA = math.round(BigDecimal(math.log(1.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    assert(out(2L)._4 == Some(lpZA) && out(2L)._2 == 1L && out(2L)._3 == 0L)
+    // single token: zero transitions, null score
+    assert(out(3L) == ((3L, 0L, 0L, None, None)))
+    // (b,c): max(0-.75,0)/1 + (.75*1/1)*(1/3) = 0.25
+    val lpBC = math.round(BigDecimal(math.log(0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    assert(out(4L)._4 == Some(lpBC), out(4L).toString)
+  }
+
+  test("kneserNeyLogProb: an all-OOV doc keeps a zero sum and a null " +
+      "mean; n_oov partitions n_transitions") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyLogProb(docs, ref)
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect()
+    // (x,y) and (y,z): neither y nor z is a reference right type
+    assert(out.toSeq == Seq((1L, 2L, 2L, Some(0L), None)))
+  }
 }
