@@ -1441,4 +1441,67 @@ object Dedup {
         expr("n_docs * 1000000L div __total").as("doc_share_micro"))
       .orderBy(col("cluster_size"))
   }
+
+  /** In-batch negative collision forecast — the contrastive-training
+    * read of the [[clusterSizeProfile]] spectrum: in-batch negatives
+    * (CLIP/DPR-style) assume a uniformly sampled batch contains no
+    * two copies of the same content; every same-cluster pair that
+    * lands in one batch is a FALSE negative that actively pushes
+    * matching representations apart. For a uniform batch of size B
+    * the expected number of same-cluster pairs is exactly
+    * C(B,2) · Σ_c C(m_c,2) / C(N,2) (linearity of expectation over
+    * pair slots — no independence assumption), so the whole forecast
+    * derives from the cluster-size spectrum: the advisor that turns
+    * x211's shape read into "dedup BEFORE contrastive training, or
+    * cap batches at B".
+    *
+    * Exactness: Σ m(m−1) and N accumulate in DECIMAL(38,0); the pair
+    * count refuses loudly past the BIGINT output envelope; each
+    * forecast is one truncating micro division (B(B−1) is even, so
+    * halving it first is exact).
+    *
+    * Scale: one aggregation over the ALREADY size-bounded spectrum
+    * frame (distinct cluster sizes, not docs) and a literal
+    * batch-size grid — nothing here touches row volume.
+    *
+    * Output per batch size: (batch_size, n_docs, same_cluster_pairs,
+    * pair_rate_micro = Σm(m−1)·10⁶ div N(N−1),
+    * expected_collisions_micro = C(B,2)·Σm(m−1)·10⁶ div N(N−1)),
+    * ordered by batch_size; empty when N < 2. */
+  def inBatchCollisionForecast(spectrum: DataFrame,
+      batchSizes: Seq[Int] = Seq(64, 256, 1024, 4096)): DataFrame = {
+    require(batchSizes.nonEmpty && batchSizes.forall(b => b >= 2 && b <= 65536),
+      s"inBatchCollisionForecast: batch sizes must be in [2, 65536], got $batchSizes")
+    require(batchSizes.distinct == batchSizes,
+      "inBatchCollisionForecast: duplicate batch sizes")
+    val dec = "decimal(38,0)"
+    val stats = spectrum.agg(
+      coalesce(sum(col("n_docs").cast(dec)), lit(0).cast(dec)).as("__n"),
+      coalesce(sum(col("cluster_size").cast(dec) *
+        (col("cluster_size") - 1L).cast(dec) *
+        col("n_clusters").cast(dec)), lit(0).cast(dec)).as("__s"))
+    // Σ m(m−1) div 2 is a BIGINT output column — refuse loudly past
+    // its envelope (also keeps every downstream product < 10³⁸)
+    val fenced = stats.select(col("__n"),
+      when(col("__s") > lit(BigDecimal("18446744073709551614")).cast(dec),
+        raise_error(concat(
+          lit("inBatchCollisionForecast: same-cluster pair mass "),
+          col("__s").cast("string"),
+          lit(" exceeds the BIGINT pair-count envelope")))
+          .cast(dec))
+        .otherwise(col("__s")).as("__s"))
+    fenced
+      .filter(col("__n") >= 2)
+      .select(col("__n"), col("__s"), explode(array(batchSizes.sorted.map(b =>
+        lit(b.toLong)): _*)).as("batch_size"))
+      .select(col("batch_size"),
+        col("__n").cast("bigint").as("n_docs"),
+        expr("(__s div 2)").cast("bigint").as("same_cluster_pairs"),
+        expr("(__s * CAST(1000000 AS DECIMAL(38,0))) div (__n * (__n - 1))")
+          .cast("bigint").as("pair_rate_micro"),
+        expr("(((batch_size * (batch_size - 1)) div 2) * __s * " +
+          "CAST(1000000 AS DECIMAL(38,0))) div (__n * (__n - 1))")
+          .cast("bigint").as("expected_collisions_micro"))
+      .orderBy(col("batch_size"))
+  }
 }

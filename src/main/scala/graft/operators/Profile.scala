@@ -1773,4 +1773,98 @@ object Profile {
           .cast("bigint").as("coverage_micro"))
       .orderBy(col("pct"))
   }
+
+  /** Raking (iterative proportional fitting, Deming & Stephan 1940)
+    * weights over a two-way cell table — the corpus-reweighting
+    * operator: given the observed (row × column) cell counts (lang ×
+    * source, domain × time-bucket, …), fit one multiplicative weight
+    * per cell so the WEIGHTED row and column margins both approach
+    * UNIFORM targets. This is how a skewed crawl is rebalanced for
+    * training without dropping data (x44 resamples by temperature;
+    * raking reweights to exact margin targets), and it is the
+    * textbook survey-calibration algorithm.
+    *
+    * Exactness — the x230 integer-iteration idiom: weights are
+    * integer micro (start 10⁶, floored at 1 so a truncated-to-zero
+    * cell can never zero a margin); each half-iteration computes the
+    * margin's current mass Σ n·w in DECIMAL(38,0), the margin scale
+    * as (target·10⁶) div mass, and the new weight as (w·scale) div
+    * 10⁶ — every division a truncating div, the identical truncation
+    * tree in both engines. The fit is the exact-arithmetic REPLAY
+    * contract: both engines compute the same integers, converging
+    * like the double iteration for any all-cells-positive table.
+    *
+    * Scale: the corpus collapses to one row per (row, column) CELL in
+    * a single partial+final hash agg; every iteration joins the cell
+    * frame against BROADCAST margin frames (row/column cardinality)
+    * and localCheckpoints (the x212 fixpoint pattern). Nothing after
+    * the first agg touches row volume; no global windows.
+    *
+    * Output per cell: (rowCol, colCol, n_docs, weight_micro,
+    * mass_share_micro = n·w·10⁶ div Σ n·w), ordered by (rowCol,
+    * colCol). The weighted-margin residual is left to the caller —
+    * re-aggregate mass by either margin to audit convergence. */
+  def rakingWeights(df: DataFrame, rowCol: String = "lang",
+      colCol: String = "source", iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 32,
+      s"rakingWeights: iterations must be in [1, 32], got $iterations")
+    val dec = "decimal(38,0)"
+    val cells = df
+      .select(col(rowCol).cast("string").as("__r"),
+        col(colCol).cast("string").as("__c"))
+      .filter(col("__r").isNotNull && col("__c").isNotNull)
+      .groupBy(col("__r"), col("__c"))
+      .agg(count(lit(1)).cast("bigint").as("__n"))
+      .localCheckpoint(true) // feeds the targets and every iteration
+    val targets = cells.agg(
+        sum(col("__n")).cast(dec).as("__tot"),
+        count_distinct(col("__r")).cast(dec).as("__nr"),
+        count_distinct(col("__c")).cast(dec).as("__nc"))
+      .select(
+        expr("(__tot * CAST(1000000 AS DECIMAL(38,0))) div __nr")
+          .as("__tr"),
+        expr("(__tot * CAST(1000000 AS DECIMAL(38,0))) div __nc")
+          .as("__tc"))
+      .localCheckpoint(true)
+    var w = cells.select(col("__r"), col("__c"), col("__n"),
+      lit(1000000L).cast(dec).as("__w"))
+    for (_ <- 1 to iterations) {
+      val rowScale = w
+        .groupBy(col("__r"))
+        .agg(sum(col("__n").cast(dec) * col("__w")).as("__m"))
+        .crossJoin(broadcast(targets))
+        .select(col("__r"),
+          expr("(__tr * CAST(1000000 AS DECIMAL(38,0))) div __m")
+            .as("__sr"))
+      val afterRow = w.join(broadcast(rowScale), Seq("__r"))
+        .select(col("__r"), col("__c"), col("__n"),
+          greatest(expr("(__w * __sr) div 1000000"), lit(1).cast(dec))
+            .as("__w"))
+      val colScale = afterRow
+        .groupBy(col("__c"))
+        .agg(sum(col("__n").cast(dec) * col("__w")).as("__m"))
+        .crossJoin(broadcast(targets))
+        .select(col("__c"),
+          expr("(__tc * CAST(1000000 AS DECIMAL(38,0))) div __m")
+            .as("__sc"))
+      w = afterRow.join(broadcast(colScale), Seq("__c"))
+        .select(col("__r"), col("__c"), col("__n"),
+          greatest(expr("(__w * __sc) div 1000000"), lit(1).cast(dec))
+            .as("__w"))
+        .localCheckpoint(true)
+    }
+    val totMass = w.agg(sum(col("__n").cast(dec) * col("__w")).as("__tm"))
+    w.crossJoin(broadcast(totMass))
+      .filter(col("__tm") > 0)
+      .select(col("__r").as(rowCol), col("__c").as(colCol),
+        col("__n").as("n_docs"),
+        when(col("__w") > lit(Long.MaxValue).cast(dec),
+          raise_error(concat(lit("rakingWeights: weight "),
+            col("__w").cast("string"),
+            lit(" exceeds the BIGINT output envelope"))).cast("bigint"))
+          .otherwise(col("__w").cast("bigint")).as("weight_micro"),
+        expr("(__n * __w * CAST(1000000 AS DECIMAL(38,0))) div __tm")
+          .cast("bigint").as("mass_share_micro"))
+      .orderBy(col(rowCol), col(colCol))
+  }
 }

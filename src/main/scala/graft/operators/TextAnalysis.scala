@@ -1925,6 +1925,57 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** Mojibake / encoding-damage screen — the ftfy-class corpus-
+    * cleaning pass: text that went through a UTF-8 → Latin-1
+    * mis-decode (or lossy transcoding) carries unmistakable byte-
+    * shadow signatures, and a source whose damage rate is high needs
+    * re-extraction, not filtering. Four signature classes, each an
+    * exact per-doc occurrence count:
+    *
+    *  - `latin1_hits`  — "Ã" + following char: the 0xC3 UTF-8 lead
+    *    byte rendered as Latin-1 (é→Ã©, á→Ã¡, …);
+    *  - `punct_hits`   — "â€": the 0xE2 0x80 prefix of damaged
+    *    smart punctuation (“ ” – — …);
+    *  - `replacement_hits` — U+FFFD, a decoder's explicit loss marker;
+    *  - `nbsp_hits`    — "Â": the 0xC2 shadow before NBSP/degree/
+    *    section characters.
+    *
+    * A document is damaged when ANY signature fires; the per-source
+    * rollup is the re-crawl priority list. (Heuristic by nature —
+    * legitimate Portuguese "Ã" exists — which is why the signatures
+    * are reported separately instead of collapsed into a verdict.)
+    *
+    * Scale: one narrow projection computes all four counts per row
+    * (regexp over the text column, codegen'd), then one partial+final
+    * hash aggregation per source. No joins, no windows.
+    *
+    * Output per source: (source, n_docs, n_damaged,
+    * damaged_rate_micro, latin1_hits, punct_hits, replacement_hits,
+    * nbsp_hits), ordered by source. */
+  def mojibakeScreen(docs: DataFrame, textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    def hits(pat: String): Column =
+      coalesce(size(regexp_extract_all(col(textCol), lit(pat), lit(0))),
+        lit(0)).cast("long")
+    val perDoc = docs.select(col(sourceCol).cast("string").as("source"),
+      hits("Ã.").as("__l1"), hits("â€").as("__pu"),
+      hits("�").as("__re"), hits("Â").as("__nb"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("__l1") + col("__pu") + col("__re") + col("__nb") > 0,
+          1L).otherwise(0L)).cast("bigint").as("n_damaged"),
+        sum(col("__l1")).cast("bigint").as("latin1_hits"),
+        sum(col("__pu")).cast("bigint").as("punct_hits"),
+        sum(col("__re")).cast("bigint").as("replacement_hits"),
+        sum(col("__nb")).cast("bigint").as("nbsp_hits"))
+      .select(col("source"), col("n_docs"), col("n_damaged"),
+        expr("(CAST(n_damaged AS DECIMAL(38,0)) * 1000000) div n_docs")
+          .cast("bigint").as("damaged_rate_micro"),
+        col("latin1_hits"), col("punct_hits"), col("replacement_hits"),
+        col("nbsp_hits"))
+      .orderBy(col("source"))
+  }
+
   /** BPE-style adjacent-pair statistics — the counting core of one
     * tokenizer-induction merge round (Sennrich et al. 2016): for every
     * corpus word, every adjacent character bigram votes with the

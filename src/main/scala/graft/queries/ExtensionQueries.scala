@@ -2716,6 +2716,46 @@ object ExtensionQueries {
       .select(col("doc_id"), col("source"),
         size(words(col("text"))).cast("long").as("value")))
 
+  /** x236 in-batch negative collision forecast — see
+    * [[graft.operators.Dedup.inBatchCollisionForecast]]: x211's
+    * cluster-size spectrum read as the contrastive-training risk —
+    * expected same-cluster (false-negative) pairs per uniformly
+    * sampled batch at four batch sizes, exact combinatorics. */
+  def x236(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.inBatchCollisionForecast(Dedup.clusterSizeProfile(d,
+      Dedup.connectedComponents(Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.2))))
+  }
+
+  /** x237 mojibake / encoding-damage screen — see
+    * [[graft.operators.TextAnalysis.mojibakeScreen]]: per-source
+    * rates of the four byte-shadow signature classes. The fixture
+    * corpus is clean ASCII, so the query plants deterministic damage
+    * (the x226 injection idiom — both engines replay the identical
+    * corruption): every 7th doc gets the Latin-1 'Ã¡' shadow, every
+    * 11th damaged smart quotes, every 13th a replacement char and an
+    * NBSP shadow. */
+  def x237(s: SparkSession, dir: String): DataFrame = {
+    val corrupted = docs(s, dir).withColumn("text",
+      when(col("doc_id") % 7 === 0, expr("replace(text, 'a', 'Ã¡')"))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" â€œcitedâ€")))
+        .when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" x� Â y")))
+        .otherwise(col("text")))
+    TextAnalysis.mojibakeScreen(corrupted)
+  }
+
+  /** x238 raking (IPF) weights — see
+    * [[graft.operators.Profile.rakingWeights]]: one multiplicative
+    * weight per (lang, source) cell fitted so the weighted row AND
+    * column margins both approach uniform — the reweight-don't-drop
+    * rebalancing beside x44's temperature resampler, in exact
+    * integer micro arithmetic. */
+  def x238(s: SparkSession, dir: String): DataFrame =
+    Profile.rakingWeights(docs(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -3002,6 +3042,9 @@ object ExtensionQueries {
     "x233_kneser_ney_logprob" -> (x233 _),
     "x234_epoch_allocation" -> (x234 _),
     "x235_conformal_coverage" -> (x235 _),
+    "x236_inbatch_collisions" -> (x236 _),
+    "x237_mojibake_screen" -> (x237 _),
+    "x238_raking_weights" -> (x238 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -8433,6 +8476,118 @@ object ExtensionQueries {
          |       END AS avg_logp
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays inBatchCollisionForecast off the x211 component chain:
+    // spectrum moments Σm(m−1) and N in HUGEINT, C(B,2) halved
+    // exactly, one truncating micro division per batch size.
+    "x236_inbatch_collisions" ->
+      s"""WITH RECURSIVE $ngramPairsCteSql,
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM ed),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+         |cl AS (SELECT node AS doc_id, min(r) AS cluster_id
+         |       FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM cl GROUP BY 1),
+         |spec0 AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |          FROM sz GROUP BY 1),
+         |single AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |             CAST(count(*) AS BIGINT) AS n_clusters
+         |           FROM documents
+         |           WHERE doc_id NOT IN (SELECT doc_id FROM cl)
+         |           HAVING count(*) > 0),
+         |spec AS (SELECT cluster_size,
+         |           CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+         |         FROM (SELECT * FROM spec0
+         |               UNION ALL SELECT * FROM single) z
+         |         GROUP BY 1),
+         |st AS (SELECT
+         |    CAST(sum(CAST(cluster_size AS HUGEINT) * n_clusters) AS HUGEINT)
+         |      AS n,
+         |    CAST(sum(CAST(cluster_size AS HUGEINT) * (cluster_size - 1)
+         |      * n_clusters) AS HUGEINT) AS s
+         |  FROM spec),
+         |bs AS (SELECT unnest([64, 256, 1024, 4096]) AS b)
+         |SELECT CAST(b AS BIGINT) AS batch_size, CAST(n AS BIGINT) AS n_docs,
+         |       CAST(s // 2 AS BIGINT) AS same_cluster_pairs,
+         |       CAST((s * 1000000) // (n * (n - 1)) AS BIGINT)
+         |         AS pair_rate_micro,
+         |       CAST((((b * (b - 1)) // 2) * s * 1000000) // (n * (n - 1))
+         |         AS BIGINT) AS expected_collisions_micro
+         |FROM st, bs WHERE n >= 2 ORDER BY batch_size""".stripMargin,
+
+    // Replays mojibakeScreen under the deterministic damage plant:
+    // identical CASE injection, identical regex signature counts.
+    "x237_mojibake_screen" ->
+      s"""WITH cor AS (SELECT source, CASE
+         |    WHEN doc_id % 7 = 0 THEN replace(text, 'a', 'Ã¡')
+         |    WHEN doc_id % 11 = 0 THEN text || ' â€œcitedâ€'
+         |    WHEN doc_id % 13 = 0 THEN text || ' x� Â y'
+         |    ELSE text END AS t
+         |  FROM documents),
+         |pd AS (SELECT source,
+         |    CAST(len(regexp_extract_all(t, 'Ã.')) AS BIGINT) AS l1,
+         |    CAST(len(regexp_extract_all(t, 'â€')) AS BIGINT) AS pu,
+         |    CAST(len(regexp_extract_all(t, '�')) AS BIGINT) AS re,
+         |    CAST(len(regexp_extract_all(t, 'Â')) AS BIGINT) AS nb
+         |  FROM cor),
+         |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN l1 + pu + re + nb > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_damaged,
+         |    CAST(sum(l1) AS BIGINT) AS latin1_hits,
+         |    CAST(sum(pu) AS BIGINT) AS punct_hits,
+         |    CAST(sum(re) AS BIGINT) AS replacement_hits,
+         |    CAST(sum(nb) AS BIGINT) AS nbsp_hits
+         |  FROM pd GROUP BY 1)
+         |SELECT source, n_docs, n_damaged,
+         |       CAST((CAST(n_damaged AS HUGEINT) * 1000000) // n_docs
+         |         AS BIGINT) AS damaged_rate_micro,
+         |       latin1_hits, punct_hits, replacement_hits, nbsp_hits
+         |FROM ag ORDER BY source""".stripMargin,
+
+    // Replays rakingWeights: 4 unrolled IPF iterations, HUGEINT
+    // masses, truncating scales, the 1-micro weight floor.
+    "x238_raking_weights" -> {
+      def it(k: Int): String = {
+        val prev = if (k == 1) "w0" else s"w${k - 1}"
+        s"""rm$k AS (SELECT r, CAST(sum(n * w) AS HUGEINT) AS m
+           |  FROM $prev GROUP BY 1),
+           |rs$k AS (SELECT rm$k.r, (tg.tr * 1000000) // m AS s
+           |  FROM rm$k, tg),
+           |wr$k AS (SELECT p.r, p.c, p.n,
+           |    greatest((p.w * rs$k.s) // 1000000, 1) AS w
+           |  FROM $prev p JOIN rs$k USING (r)),
+           |cm$k AS (SELECT c, CAST(sum(n * w) AS HUGEINT) AS m
+           |  FROM wr$k GROUP BY 1),
+           |cs$k AS (SELECT cm$k.c, (tg.tc * 1000000) // m AS s
+           |  FROM cm$k, tg),
+           |w$k AS (SELECT p.r, p.c, p.n,
+           |    greatest((p.w * cs$k.s) // 1000000, 1) AS w
+           |  FROM wr$k p JOIN cs$k USING (c))""".stripMargin
+      }
+      s"""WITH cells AS (SELECT lang AS r, source AS c,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+         |  GROUP BY 1, 2),
+         |w0 AS (SELECT r, c, n, CAST(1000000 AS HUGEINT) AS w FROM cells),
+         |tg AS (SELECT
+         |    (CAST(sum(n) AS HUGEINT) * 1000000)
+         |      // CAST(count(DISTINCT r) AS HUGEINT) AS tr,
+         |    (CAST(sum(n) AS HUGEINT) * 1000000)
+         |      // CAST(count(DISTINCT c) AS HUGEINT) AS tc
+         |  FROM w0),
+         |${(1 to 4).map(it).mkString(",\n")},
+         |tm AS (SELECT CAST(sum(n * w) AS HUGEINT) AS tm FROM w4)
+         |SELECT r AS lang, c AS source, CAST(n AS BIGINT) AS n_docs,
+         |       CAST(w AS BIGINT) AS weight_micro,
+         |       CAST((CAST(n AS HUGEINT) * w * 1000000) // tm.tm AS BIGINT)
+         |         AS mass_share_micro
+         |FROM w4, tm WHERE tm.tm > 0 ORDER BY lang, source""".stripMargin
+    },
 
     // Replays kneserNeyLogProb: interpolated absolute discounting
     // with continuation backoff — the probability and its ln are ONE

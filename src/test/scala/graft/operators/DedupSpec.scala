@@ -655,4 +655,40 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(row(0L), row(500000L), row(900000L)))
     assert(nc >= 1 && out.head._3 == nc) // threshold 0 keeps everything
   }
+
+  test("inBatchCollisionForecast: hand-traced expectation — three size-2 " +
+      "clusters among 10 docs; an all-singleton corpus forecasts zero") {
+    import spark.implicits._
+    // spectrum: 3 clusters of size 2 (6 docs) + 4 singletons -> N=10,
+    // S = sum m(m-1) = 3*2 = 6, pairs = 3, C(N,2) = 45
+    val spec = Seq((2L, 3L, 6L, 600000L), (1L, 4L, 4L, 400000L))
+      .toDF("cluster_size", "n_clusters", "n_docs", "doc_share_micro")
+    val out = Dedup.inBatchCollisionForecast(spec, batchSizes = Seq(4, 10))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // pair_rate = 6e6 div 90 = 66666; B=4: C(4,2)=6 -> 6*6e6 div 90
+    // = 400000; B=10: 45*6e6 div 90 = 3e6 (3 expected collisions)
+    assert(out.toSeq == Seq(
+      (4L, 10L, 3L, 66666L, 400000L),
+      (10L, 10L, 3L, 66666L, 3000000L)))
+    val clean = Seq((1L, 5L, 5L, 1000000L))
+      .toDF("cluster_size", "n_clusters", "n_docs", "doc_share_micro")
+    val zero = Dedup.inBatchCollisionForecast(clean, batchSizes = Seq(4))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(zero.toSeq == Seq((4L, 5L, 0L, 0L, 0L)))
+    // a single doc cannot form a pair -> empty forecast
+    val one = Seq((1L, 1L, 1L, 1000000L))
+      .toDF("cluster_size", "n_clusters", "n_docs", "doc_share_micro")
+    assert(Dedup.inBatchCollisionForecast(one).count() == 0L)
+  }
+
+  test("inBatchCollisionForecast: pair-count envelope refuses loudly") {
+    import spark.implicits._
+    // one cluster of 10^10 docs: m(m-1) ~ 1e20 > the BIGINT envelope
+    val huge = Seq((10000000000L, 1L, 10000000000L, 1000000L))
+      .toDF("cluster_size", "n_clusters", "n_docs", "doc_share_micro")
+    val e = intercept[Exception] {
+      Dedup.inBatchCollisionForecast(huge).collect()
+    }
+    assert(e.getMessage.contains("pair-count envelope"), e.getMessage)
+  }
 }

@@ -730,4 +730,69 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("histogram-collapse envelope"), e.getMessage)
   }
+
+  /** BigInt replay of the rakingWeights integer-IPF contract — the
+    * same truncating arithmetic, independently implemented. */
+  private def ipfMirror(cells: Map[(String, String), Long],
+      iterations: Int): Map[(String, String), (BigInt, BigInt)] = {
+    val tot = BigInt(cells.values.sum)
+    val rs0 = cells.keys.map(_._1).toSeq.distinct
+    val cs0 = cells.keys.map(_._2).toSeq.distinct
+    val tr = tot * 1000000 / rs0.size
+    val tc = tot * 1000000 / cs0.size
+    var w = cells.map { case (k, _) => k -> BigInt(1000000) }
+    for (_ <- 1 to iterations) {
+      val rm = rs0.map(r => r -> cells.collect {
+        case ((r2, c), n) if r2 == r => BigInt(n) * w((r2, c))
+      }.sum).toMap
+      w = w.map { case ((r, c), v) =>
+        (r, c) -> ((v * (tr * 1000000 / rm(r)) / 1000000) max BigInt(1)) }
+      val cm = cs0.map(c => c -> cells.collect {
+        case ((r, c2), n) if c2 == c => BigInt(n) * w((r, c2))
+      }.sum).toMap
+      w = w.map { case ((r, c), v) =>
+        (r, c) -> ((v * (tc * 1000000 / cm(c)) / 1000000) max BigInt(1)) }
+    }
+    val tm = cells.map { case (k, n) => BigInt(n) * w(k) }.sum
+    cells.map { case (k, n) =>
+      k -> (w(k), BigInt(n) * w(k) * 1000000 / tm) }
+  }
+
+  test("rakingWeights: a uniform table keeps every weight at 1e6; an " +
+      "asymmetric 2x2 matches the BigInt replay and pulls margins " +
+      "toward uniform") {
+    import spark.implicits._
+    def expand(cells: Map[(String, String), Long]) =
+      cells.toSeq.flatMap { case ((r, c), n) =>
+        Seq.fill(n.toInt)((r, c)) }.toDF("lang", "source")
+    val uni = Map(("r1", "c1") -> 25L, ("r1", "c2") -> 25L,
+      ("r2", "c1") -> 25L, ("r2", "c2") -> 25L)
+    val uniOut = Profile.rakingWeights(expand(uni))
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(uniOut.toSeq == Seq(
+      ("r1", "c1", 25L, 1000000L, 250000L),
+      ("r1", "c2", 25L, 1000000L, 250000L),
+      ("r2", "c1", 25L, 1000000L, 250000L),
+      ("r2", "c2", 25L, 1000000L, 250000L)))
+    val skew = Map(("r1", "c1") -> 30L, ("r1", "c2") -> 10L,
+      ("r2", "c1") -> 10L, ("r2", "c2") -> 50L)
+    for (iters <- Seq(1, 4)) {
+      val out = Profile.rakingWeights(expand(skew), iterations = iters)
+        .as[(String, String, Long, Long, Long)].collect()
+      val mirror = ipfMirror(skew, iters)
+      assert(out.toSeq == skew.keys.toSeq.sorted.map { case (r, c) =>
+        (r, c, skew((r, c)),
+          mirror((r, c))._1.toLong, mirror((r, c))._2.toLong) },
+        s"iterations=$iters")
+    }
+    // convergence: weighted row masses within 1% of the uniform
+    // target (N*1e6/2 = 5e7) after 4 iterations
+    val m4 = ipfMirror(skew, 4)
+    for (r <- Seq("r1", "r2")) {
+      val mass = skew.collect { case ((r2, c), n) if r2 == r =>
+        BigInt(n) * m4((r2, c))._1 }.sum
+      assert((mass - BigInt(50000000)).abs < BigInt(500000),
+        s"row $r mass $mass")
+    }
+  }
 }

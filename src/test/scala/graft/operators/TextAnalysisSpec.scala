@@ -1388,4 +1388,20 @@ class TextAnalysisSpec extends SparkSpec {
     // (x,y) and (y,z): neither y nor z is a reference right type
     assert(out.toSeq == Seq((1L, 2L, 2L, Some(0L), None)))
   }
+
+  test("mojibakeScreen: each signature counted exactly; damage flag " +
+      "fires on ANY signature; clean text stays clean") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "clean text here"),
+      ("s1", "prix Ã©tÃ© rate"),        // two Latin-1 shadows
+      ("s2", "he said â€œyesâ€ then"),  // two damaged smart quotes
+      ("s2", "lost � char Â here"))     // replacement + NBSP shadow
+      .toDF("source", "text")
+    val out = TextAnalysis.mojibakeScreen(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("s1", 2L, 1L, 500000L, 2L, 0L, 0L, 0L),
+      ("s2", 2L, 2L, 1000000L, 0L, 2L, 1L, 1L)))
+  }
 }
