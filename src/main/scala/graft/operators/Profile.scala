@@ -1867,4 +1867,83 @@ object Profile {
           .cast("bigint").as("mass_share_micro"))
       .orderBy(col(rowCol), col(colCol))
   }
+
+  /** Fleiss' kappa — chance-corrected agreement for a PANEL of m
+    * raters (Fleiss 1971), the multi-rater upgrade of
+    * [[pairwiseKappa]]: where the pairwise matrix says which two
+    * gates are redundant, the panel statistic says whether the whole
+    * filter battery measures one construct at all. Subjects rated by
+    * every rater enter; incomplete subjects are dropped (the
+    * equal-m contract Fleiss requires) and reported.
+    *
+    * Exactness: P̄ = (Σᵢⱼ nᵢⱼ² − n·m) / (n·m·(m−1)) and
+    * Pe = Σⱼ Cⱼ² / (n·m)² both quantize to micro by exact truncating
+    * DECIMAL(38,0) division of exact BIGINT sums — no doubles
+    * anywhere; kappa is then (p̄ − pe)·10⁶ div (10⁶ − pe) ON THE
+    * MICRO VALUES (quantization at the statistic grain — the
+    * documented fixed point both engines replay; avoids the 10³⁸
+    * overflow a fully rational κ would hit at corpus scale). Kappa
+    * is null when every rating lands in one category (Pe = 1 makes
+    * agreement-beyond-chance undefined).
+    *
+    * Scale: one hash agg to (subject, label) cells, one to per-
+    * subject totals (complete-case filter), two scalar aggregation
+    * passes — partial+final throughout, no windows, no row-volume
+    * joins (the rater count is a broadcast 1-row frame).
+    *
+    * Output (1 row; empty when no subject is complete):
+    * (n_subjects, n_dropped_subjects, n_raters, n_categories,
+    * pbar_micro, pe_micro, kappa_micro). */
+  def fleissKappa(ratings: DataFrame, subjectCol: String = "doc_id",
+      raterCol: String = "rater", labelCol: String = "label"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = ratings.select(col(subjectCol).cast("string").as("__s"),
+        col(raterCol).cast("string").as("__rt"),
+        col(labelCol).cast("string").as("__lb"))
+      .filter(col("__s").isNotNull && col("__rt").isNotNull &&
+        col("__lb").isNotNull)
+    val m = base.agg(count_distinct(col("__rt")).cast("bigint").as("__m"))
+    // complete subjects: rated once by EVERY rater
+    val perSubject = base.groupBy(col("__s"))
+      .agg(count(lit(1)).cast("bigint").as("__cnt"),
+        count_distinct(col("__rt")).cast("bigint").as("__nr"))
+      .crossJoin(broadcast(m))
+    val complete = perSubject
+      .filter(col("__cnt") === col("__m") && col("__nr") === col("__m"))
+      .select(col("__s"))
+    val dropped = perSubject
+      .filter(!(col("__cnt") === col("__m") && col("__nr") === col("__m")))
+      .agg(count(lit(1)).cast("bigint").as("n_dropped_subjects"))
+    val cells = base.join(complete, Seq("__s"), "left_semi")
+      .groupBy(col("__s"), col("__lb"))
+      .agg(count(lit(1)).cast("bigint").as("__nij"))
+      .localCheckpoint(true) // feeds S1, the margins, and the counts
+    val stats = cells.agg(
+      count_distinct(col("__s")).cast("bigint").as("__n"),
+      count_distinct(col("__lb")).cast("bigint").as("__k"),
+      sum(col("__nij") * col("__nij")).cast(dec).as("__s1"))
+    val margins = cells.groupBy(col("__lb"))
+      .agg(sum(col("__nij")).cast(dec).as("__cj"))
+      .agg(coalesce(sum(col("__cj") * col("__cj")), lit(0).cast(dec))
+        .as("__c2"))
+    stats.crossJoin(broadcast(margins)).crossJoin(broadcast(m))
+      .filter(col("__n") > 0 && col("__m") >= 2)
+      .select(col("__n").as("n_subjects"), col("__m").as("n_raters"),
+        col("__k").as("n_categories"),
+        expr("((__s1 - __n * __m) * CAST(1000000 AS DECIMAL(38,0))) div " +
+          "(CAST(__n AS DECIMAL(38,0)) * __m * (__m - 1))")
+          .cast("bigint").as("pbar_micro"),
+        expr("(__c2 * CAST(1000000 AS DECIMAL(38,0))) div " +
+          "(CAST(__n AS DECIMAL(38,0)) * __m * __n * __m)")
+          .cast("bigint").as("pe_micro"),
+        col("__c2"),
+        expr("CAST(__n AS DECIMAL(38,0)) * __m * __n * __m").as("__d"))
+      .crossJoin(broadcast(dropped))
+      .select(col("n_subjects"), col("n_dropped_subjects"), col("n_raters"),
+        col("n_categories"), col("pbar_micro"), col("pe_micro"),
+        when(col("__c2") === col("__d"), lit(null).cast("long"))
+          .otherwise(expr(
+            "((pbar_micro - pe_micro) * 1000000L) div (1000000L - pe_micro)"))
+          .as("kappa_micro"))
+  }
 }

@@ -1619,4 +1619,81 @@ object Sequences {
         col("__v").isNull.as("interpolated"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** Temporal split audit — the time-based train/test discipline an
+    * event-derived training set needs (random splits leak the future;
+    * the split must be a DATE cut) plus the leakage reads that decide
+    * whether the cut is honest: the cutoff day is the exact
+    * ⌈trainPct·n/100⌉-th event's day (so ≥ trainPct% of events train,
+    * ties on the boundary day train together — a day is never split),
+    * and the audit reports the user overlap across the cut: test
+    * events from users SEEN in training are fine for per-user
+    * personalization but are entity leakage for user-level
+    * generalization claims — the share is the number that says which
+    * claim the split supports (the event-time sibling of x64/x206's
+    * content-split leakage).
+    *
+    * Exactness: the cutoff is an exact order statistic off the DAY
+    * histogram; counts exact BIGINT; the share is one truncating
+    * DECIMAL(38,0) micro division.
+    *
+    * Scale: one hash agg to the day histogram (calendar-bounded, so
+    * its single-partition cumulative window needs no envelope), one
+    * broadcast of the 1-row cutoff, distinct-user aggregates and two
+    * LEFT SEMI joins against the train-user set — all shuffled
+    * equi-joins on user id, no row-volume windows.
+    *
+    * Output (1 row; empty when no events): (cutoff_day, n_train,
+    * n_test, n_users_train, n_users_test, n_users_both,
+    * seen_user_test_events, seen_share_micro — null when the test
+    * side is empty). */
+  def temporalSplitAudit(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", trainPct: Int = 80): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99,
+      s"temporalSplitAudit: trainPct must be in [1, 99], got $trainPct")
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .select(to_date(col(tsCol)).as("__d"), col(userCol).as("__u"))
+      .filter(col("__d").isNotNull && col("__u").isNotNull)
+    val hist = base.groupBy(col("__d")).agg(count(lit(1)).as("__c"))
+    val cut = hist
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+      .filter(expr(s"__cum >= (__n * $trainPct + 99) div 100"))
+      .agg(min(col("__d")).as("__cutoff"))
+      .localCheckpoint(true)
+    val flagged = base.crossJoin(broadcast(cut))
+      .select(col("__u"), (col("__d") <= col("__cutoff")).as("__train"),
+        col("__cutoff"))
+      .localCheckpoint(true) // feeds counts, user sets, and semi joins
+    val trainUsers = flagged.filter(col("__train")).select(col("__u"))
+      .distinct().localCheckpoint(true)
+    val counts = flagged.agg(first(col("__cutoff")).as("cutoff_day"),
+      sum(when(col("__train"), 1L).otherwise(0L)).cast("bigint")
+        .as("n_train"),
+      sum(when(col("__train"), 0L).otherwise(1L)).cast("bigint")
+        .as("n_test"))
+    val uTrain = trainUsers.agg(count(lit(1)).cast("bigint")
+      .as("n_users_train"))
+    val testUsers = flagged.filter(!col("__train")).select(col("__u"))
+      .distinct().localCheckpoint(true)
+    val uTest = testUsers.agg(count(lit(1)).cast("bigint")
+      .as("n_users_test"))
+    val uBoth = testUsers.join(trainUsers, Seq("__u"), "left_semi")
+      .agg(count(lit(1)).cast("bigint").as("n_users_both"))
+    val seen = flagged.filter(!col("__train"))
+      .join(trainUsers, Seq("__u"), "left_semi")
+      .agg(count(lit(1)).cast("bigint").as("seen_user_test_events"))
+    counts.crossJoin(broadcast(uTrain)).crossJoin(broadcast(uTest))
+      .crossJoin(broadcast(uBoth)).crossJoin(broadcast(seen))
+      .filter(col("n_train") + col("n_test") > 0)
+      .select(col("cutoff_day"), col("n_train"), col("n_test"),
+        col("n_users_train"), col("n_users_test"), col("n_users_both"),
+        col("seen_user_test_events"),
+        when(col("n_test") > 0, expr(
+          "(CAST(seen_user_test_events AS DECIMAL(38,0)) * 1000000) " +
+            "div n_test").cast("bigint"))
+          .as("seen_share_micro"))
+  }
 }

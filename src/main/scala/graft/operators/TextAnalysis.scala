@@ -1976,6 +1976,62 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Flesch reading-ease per document — the classic readability
+    * screen (Flesch 1948; the "textbook quality" axis beside the
+    * statistical screens): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with the standard heuristics made
+    * EXACT and replayable:
+    *
+    *  - words: the house tokenizer contract ([[graft.functions
+    *    .TextFunctions.words]]);
+    *  - sentences: terminator runs `[.!?]+`, floored at 1 (trailing
+    *    unterminated text is part of the last sentence);
+    *  - syllables: vowel groups `[aeiouy]+` over the lowercased text
+    *    — per-word groups sum to the global count because groups
+    *    cannot cross token separators — with the per-word floor of 1
+    *    recovered exactly as vowelless-word count = words − words
+    *    containing a vowel (one regex count, no per-element lambda —
+    *    the round-9 interpreted-HOF trap).
+    *
+    * Exactness: all three components are exact BIGINT counts; the
+    * score is ONE fully-parenthesized double expression quantized
+    * once per document to integer micro.
+    *
+    * Scale: a narrow projection (codegen'd regex counts) + nothing
+    * else — per-row work only, no joins, no windows, no shuffles
+    * beyond the caller's sort.
+    *
+    * Output: (doc_id, n_words, n_sentences, n_syllables,
+    * flesch_micro), ordered by doc_id; zero-word docs keep a null
+    * score. */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.words
+    def rxCount(c: Column, pat: String): Column =
+      coalesce(size(regexp_extract_all(c, lit(pat), lit(0))), lit(0))
+        .cast("long")
+    val low = lower(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"),
+      coalesce(size(words(col(textCol))), lit(0)).cast("long").as("n_words"),
+      greatest(rxCount(col(textCol), "[.!?]+"), lit(1L)).as("n_sentences"),
+      (rxCount(low, "[aeiouy]+") +
+        (coalesce(size(words(col(textCol))), lit(0)).cast("long") -
+          rxCount(low, "[\\p{L}\\p{N}]*[aeiouy][\\p{L}\\p{N}]*")))
+        .as("n_syllables"))
+    base.select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0,
+          round(round(
+            lit(206.835) -
+              lit(1.015) * (col("n_words").cast("double") /
+                col("n_sentences").cast("double")) -
+              lit(84.6) * (col("n_syllables").cast("double") /
+                col("n_words").cast("double")), 6) * lit(1000000.0))
+            .cast("long"))
+          .as("flesch_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE-style adjacent-pair statistics — the counting core of one
     * tokenizer-induction merge round (Sennrich et al. 2016): for every
     * corpus word, every adjacent character bigram votes with the

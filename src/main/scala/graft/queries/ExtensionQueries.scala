@@ -2756,6 +2756,54 @@ object ExtensionQueries {
   def x238(s: SparkSession, dir: String): DataFrame =
     Profile.rakingWeights(docs(s, dir))
 
+  /** x239 Flesch readability — see
+    * [[graft.operators.TextAnalysis.readability]]: exact word/
+    * sentence/syllable counts, one micro-quantized score per doc.
+    * The fixture corpus carries no punctuation, so the query plants
+    * deterministic sentence marks (' a ' → ' a. ', the x237
+    * injection idiom) to exercise the sentence grain. */
+  def x239(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(docs(s, dir)
+      .withColumn("text", expr("replace(text, ' a ', ' a. ')")))
+
+  /** x240 panel Fleiss' kappa — see
+    * [[graft.operators.Profile.fleissKappa]] over the SAME three
+    * curation gates x102 compares pairwise: does the filter battery
+    * agree beyond chance as a panel — the one-number redundancy
+    * verdict above the pairwise matrix. */
+  def x240(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScoreRaw, tokenCount}
+    val d = docs(s, dir)
+    val flags = d
+      .join(TextAnalysis.repetitionRatio(d, ngram = 2), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (tokenCount(col("text")) >= 20).as("len_ok"),
+        (qualityScoreRaw(col("text")) >= 0.75).as("quality_ok"),
+        (coalesce(col("top_gram_ratio"), lit(0.0)) <= 0.06).as("repeat_ok"))
+    val ratings = flags.select(col("doc_id"), explode(array(
+        struct(lit("len").as("rater"),
+          col("len_ok").cast("string").as("label")),
+        struct(lit("quality").as("rater"),
+          col("quality_ok").cast("string").as("label")),
+        struct(lit("repeat").as("rater"),
+          col("repeat_ok").cast("string").as("label")))).as("__r"))
+      .select(col("doc_id"), col("__r.rater").as("rater"),
+        col("__r.label").as("label"))
+    Profile.fleissKappa(ratings)
+  }
+
+  /** x241 temporal split audit — see
+    * [[graft.operators.Sequences.temporalSplitAudit]]: the exact
+    * 80th-percentile DAY cut over events with the cross-cut user-
+    * overlap leakage reads — the event-time sibling of x64/x206's
+    * content-split leakage. */
+  def x241(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.temporalSplitAudit(
+        Tables.load(s, dir, "events"))
+      // the x114 date-compare convention: both engines emit the day
+      // as its ISO string
+      .withColumn("cutoff_day", col("cutoff_day").cast("string"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -3045,6 +3093,9 @@ object ExtensionQueries {
     "x236_inbatch_collisions" -> (x236 _),
     "x237_mojibake_screen" -> (x237 _),
     "x238_raking_weights" -> (x238 _),
+    "x239_readability" -> (x239 _),
+    "x240_fleiss_kappa" -> (x240 _),
+    "x241_temporal_split" -> (x241 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -8476,6 +8527,118 @@ object ExtensionQueries {
          |       END AS avg_logp
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Replays readability under the same sentence-mark plant: exact
+    // word/sentence/vowel-group counts, vowelless-word floor, the
+    // Flesch constants parsed from strings so both engines hold the
+    // identical correctly-rounded doubles.
+    "x239_readability" -> {
+      val wordish = "[\\p{L}\\p{N}]*[aeiouy][\\p{L}\\p{N}]*"
+      s"""WITH cor AS (SELECT doc_id, replace(text, ' a ', ' a. ') AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(${wordsSql("t")}) AS BIGINT) AS nw,
+         |    greatest(CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT),
+         |      1) AS ns,
+         |    CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT)
+         |      AS vg,
+         |    CAST(len(regexp_extract_all(lower(t), '$wordish')) AS BIGINT)
+         |      AS wv
+         |  FROM cor)
+         |SELECT doc_id, nw AS n_words, ns AS n_sentences,
+         |       vg + (nw - wv) AS n_syllables,
+         |       CASE WHEN nw > 0 THEN CAST(round(round(
+         |           CAST('206.835' AS DOUBLE)
+         |             - CAST('1.015' AS DOUBLE) * (nw::DOUBLE / ns::DOUBLE)
+         |             - CAST('84.6' AS DOUBLE)
+         |               * ((vg + (nw - wv))::DOUBLE / nw::DOUBLE), 6)
+         |         * 1000000.0) AS BIGINT) END AS flesch_micro
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    // Replays fleissKappa over the x102 gate battery: binary panel,
+    // exact integer moments, micro quantization at the statistic
+    // grain, kappa from the micro values.
+    "x240_fleiss_kappa" ->
+      s"""WITH ${qualityCteSql("doc_id")},
+         |toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT doc_id, ${wordNgramsSql(2, distinct = false)} AS g FROM toks),
+         |ex AS (SELECT doc_id, unnest(g) AS gram FROM ng),
+         |gc AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY doc_id, gram),
+         |rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS tgr
+         |        FROM gc GROUP BY doc_id),
+         |nt AS (SELECT doc_id,
+         |         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |             x -> len(x) > 0)) AS n_tokens
+         |       FROM documents),
+         |fl AS (SELECT d.doc_id,
+         |         nt.n_tokens >= 20 AS len_ok,
+         |         q.qr >= 0.75 AS quality_ok,
+         |         coalesce(rep.tgr, 0.0) <= 0.06 AS repeat_ok
+         |       FROM documents d JOIN nt USING (doc_id) JOIN q USING (doc_id)
+         |       LEFT JOIN rep USING (doc_id)),
+         |rr AS (SELECT (CASE WHEN len_ok THEN 1 ELSE 0 END
+         |         + CASE WHEN quality_ok THEN 1 ELSE 0 END
+         |         + CASE WHEN repeat_ok THEN 1 ELSE 0 END) AS r FROM fl),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(r * r + (3 - r) * (3 - r)) AS HUGEINT) AS s1,
+         |         CAST(sum(r) AS HUGEINT) AS ct
+         |       FROM rr),
+         |sel AS (SELECT n,
+         |    CAST(0 AS BIGINT) AS n_dropped_subjects,
+         |    CAST(3 AS BIGINT) AS n_raters,
+         |    CAST((CASE WHEN ct > 0 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN 3 * n - ct > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_categories,
+         |    CAST(((s1 - 3 * n) * 1000000) // (CAST(n AS HUGEINT) * 6)
+         |      AS BIGINT) AS pbar_micro,
+         |    CAST(((ct * ct + (3 * n - ct) * (3 * n - ct)) * 1000000)
+         |      // (CAST(3 * n AS HUGEINT) * (3 * n)) AS BIGINT) AS pe_micro,
+         |    (ct * ct + (3 * n - ct) * (3 * n - ct))
+         |      = CAST(3 * n AS HUGEINT) * (3 * n) AS onecat
+         |  FROM ag WHERE n > 0)
+         |SELECT n AS n_subjects, n_dropped_subjects, n_raters, n_categories,
+         |       pbar_micro, pe_micro,
+         |       CASE WHEN onecat THEN NULL
+         |            ELSE ((pbar_micro - pe_micro) * 1000000)
+         |              // (1000000 - pe_micro) END AS kappa_micro
+         |FROM sel""".stripMargin,
+
+    // Replays temporalSplitAudit: exact day-rank cutoff, user-set
+    // overlap via semi joins, one truncating micro division.
+    "x241_temporal_split" ->
+      """WITH base AS (SELECT CAST(ts AS DATE) AS d, user_id AS u
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |hist AS (SELECT d, CAST(count(*) AS BIGINT) AS c
+        |         FROM base GROUP BY 1),
+        |cum AS (SELECT d, SUM(c) OVER (ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu,
+        |          SUM(c) OVER () AS n
+        |        FROM hist),
+        |cut AS (SELECT min(d) AS cutoff FROM cum
+        |        WHERE cu >= (n * 80 + 99) // 100),
+        |fl AS (SELECT u, d <= cut.cutoff AS tr FROM base, cut),
+        |tu AS (SELECT DISTINCT u FROM fl WHERE tr),
+        |eu AS (SELECT DISTINCT u FROM fl WHERE NOT tr),
+        |cnt AS (SELECT
+        |    CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS n_test
+        |  FROM fl),
+        |ut AS (SELECT CAST(count(*) AS BIGINT) AS n_users_train FROM tu),
+        |ue AS (SELECT CAST(count(*) AS BIGINT) AS n_users_test FROM eu),
+        |ub AS (SELECT CAST(count(*) AS BIGINT) AS n_users_both FROM eu
+        |       WHERE u IN (SELECT u FROM tu)),
+        |se AS (SELECT CAST(count(*) AS BIGINT) AS seen_user_test_events
+        |       FROM fl WHERE NOT tr AND u IN (SELECT u FROM tu))
+        |SELECT CAST(cut.cutoff AS STRING) AS cutoff_day, cnt.n_train,
+        |       cnt.n_test,
+        |       ut.n_users_train, ue.n_users_test, ub.n_users_both,
+        |       se.seen_user_test_events,
+        |       CASE WHEN cnt.n_test > 0 THEN
+        |         CAST((CAST(se.seen_user_test_events AS HUGEINT) * 1000000)
+        |           // cnt.n_test AS BIGINT) END AS seen_share_micro
+        |FROM cut, cnt, ut, ue, ub, se
+        |WHERE cnt.n_train + cnt.n_test > 0""".stripMargin,
 
     // Replays inBatchCollisionForecast off the x211 component chain:
     // spectrum moments Σm(m−1) and N in HUGEINT, C(B,2) halved

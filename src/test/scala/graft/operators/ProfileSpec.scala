@@ -795,4 +795,42 @@ class ProfileSpec extends SparkSpec {
         s"row $r mass $mass")
     }
   }
+
+  private def fleiss(rows: Seq[(String, String, String)]) =
+    Profile.fleissKappa(rows.toDF("doc_id", "rater", "label"))
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+
+  test("fleissKappa: perfect mixed-label agreement reads 1e6; an " +
+      "all-one-category panel has undefined kappa") {
+    import spark.implicits._
+    // s1 all x, s2 all y: pbar=1, pe=1/2 -> kappa 1e6
+    val perfect = for {
+      (s, l) <- Seq(("s1", "x"), ("s2", "y")); r <- Seq("r1", "r2", "r3")
+    } yield (s, r, l)
+    assert(fleiss(perfect) == Seq((2L, 0L, 3L, 2L, 1000000L, 500000L,
+      Some(1000000L))))
+    // every rating 'x': Pe = 1 -> kappa null, one category
+    val mono = for {
+      s <- Seq("s1", "s2"); r <- Seq("r1", "r2", "r3")
+    } yield (s, r, "x")
+    assert(fleiss(mono) == Seq((2L, 0L, 3L, 1L, 1000000L, 1000000L, None)))
+  }
+
+  test("fleissKappa: hand-traced disagreement — 2-1 splits both ways; " +
+      "incomplete and duplicate-rater subjects are dropped and counted") {
+    import spark.implicits._
+    // s1: x,x,y; s2: x,y,y -> S1 = 5+5 = 10, pbar = (10-6)/12 = 1/3,
+    // Cx=Cy=3 -> pe = 1/2, kappa = (333333-500000)*1e6 div 500000
+    val split = Seq(
+      ("s1", "r1", "x"), ("s1", "r2", "x"), ("s1", "r3", "y"),
+      ("s2", "r1", "x"), ("s2", "r2", "y"), ("s2", "r3", "y"))
+    assert(fleiss(split) == Seq((2L, 0L, 3L, 2L, 333333L, 500000L,
+      Some(-333334L))))
+    // s3 rated by one rater only; s4 rated 3 times but twice by r1
+    val dirty = split ++ Seq(("s3", "r1", "x"),
+      ("s4", "r1", "x"), ("s4", "r1", "y"), ("s4", "r2", "x"))
+    assert(fleiss(dirty) == Seq((2L, 2L, 3L, 2L, 333333L, 500000L,
+      Some(-333334L))))
+  }
 }

@@ -863,4 +863,39 @@ class SequencesSpec extends SparkSpec {
     // d = 2x-4 = [2,-2], den 8, lag1 num = -4 -> -500000; lag3: no row
     assert(out.toSeq == Seq(("c", 1L, 2L, -500000L)))
   }
+
+  test("temporalSplitAudit: the cutoff day is the exact ceil-rank day " +
+      "(a day never splits); user overlap and seen-event share hand-" +
+      "traced") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // days: d1 {u1,u2}, d2 {u1}, d3 {u3}, d4 {u2} -> n=5,
+    // ceil(0.8*5)=4 -> cumulative reaches 4 at d3
+    val ev = Seq(("2024-01-01", 1L), ("2024-01-01", 2L),
+      ("2024-01-02", 1L), ("2024-01-03", 3L), ("2024-01-04", 2L))
+      .map { case (d, u) => (ts(d), u) }.toDF("ts", "user_id")
+    val out = Sequences.temporalSplitAudit(ev)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Long,
+        Option[Long])].collect()
+    assert(out.toSeq == Seq((java.sql.Date.valueOf("2024-01-03"),
+      4L, 1L, 3L, 1L, 1L, 1L, Some(1000000L))))
+    // trainPct=50: ceil(2.5)=3 -> cutoff d2; test users {u3,u2},
+    // only u2 was seen -> 1 of 2 test events from seen users
+    val half = Sequences.temporalSplitAudit(ev, trainPct = 50)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Long,
+        Option[Long])].collect()
+    assert(half.toSeq == Seq((java.sql.Date.valueOf("2024-01-02"),
+      3L, 2L, 2L, 2L, 1L, 1L, Some(500000L))))
+    // an entirely-unseen test population reads zero leakage
+    val fresh = Seq(("2024-01-01", 1L), ("2024-01-02", 9L))
+      .map { case (d, u) => (ts(d), u) }.toDF("ts", "user_id")
+    val zero = Sequences.temporalSplitAudit(fresh, trainPct = 50)
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Long,
+        Option[Long])].collect()
+    assert(zero.toSeq == Seq((java.sql.Date.valueOf("2024-01-01"),
+      1L, 1L, 1L, 1L, 0L, 0L, Some(0L))))
+    // no events -> no row
+    val empty = Seq.empty[(Timestamp, Long)].toDF("ts", "user_id")
+    assert(Sequences.temporalSplitAudit(empty).count() == 0L)
+  }
 }

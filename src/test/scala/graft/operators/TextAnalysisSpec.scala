@@ -1404,4 +1404,38 @@ class TextAnalysisSpec extends SparkSpec {
       ("s1", 2L, 1L, 500000L, 2L, 0L, 0L, 0L),
       ("s2", 2L, 2L, 1000000L, 0L, 2L, 1L, 1L)))
   }
+
+  test("readability: hand-traced Flesch — words, terminator runs, " +
+      "vowel groups with the vowelless-word floor") {
+    import spark.implicits._
+    val docs = Seq(
+      // 5 words, 2 sentences, 5 vowel groups, all words voweled:
+      // 206.835 - 1.015*(5/2) - 84.6*(5/5) = 119.6975
+      (1L, "The cat sat. It ran!"),
+      // vowelless words: 3 words, 0 groups -> syllables floor to 3;
+      // 206.835 - 1.015*3 - 84.6*1 = 119.19
+      (2L, "mm hmm grr"),
+      // empty -> zero words, null score, sentence floor 1
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    assert(out.toSeq == Seq(
+      (1L, 5L, 2L, 5L, Some(119697500L)),
+      (2L, 3L, 1L, 3L, Some(119190000L)),
+      (3L, 0L, 1L, 0L, None)))
+  }
+
+  test("readability: multi-syllable words count every vowel group; " +
+      "'...' is one terminator run") {
+    import spark.implicits._
+    // "education" -> e,u,a,io -> 4 groups; "nation" -> a,io -> 2;
+    // 2 words, 1 sentence ('...' is ONE run), 6 syllables:
+    // 206.835 - 1.015*2 - 84.6*3 = -49.0 -> -48995000? trace:
+    // 206.835 - 2.03 - 253.8 = -48.995
+    val docs = Seq((1L, "education nation...")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1L, 6L, Some(-48995000L))))
+  }
 }
