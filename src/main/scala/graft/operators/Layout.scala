@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, concat, count, explode, expr, floor, lit, min, raise_error, row_number, struct, sum, when}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, concat, count, explode, expr, floor, lit, max, min, raise_error, row_number, struct, sum, when}
 
 /** Output-layout discipline — the WRITE side of a 100 TB pipeline.
   * Reading fast at scale is decided when the data is WRITTEN: directory
@@ -529,5 +529,51 @@ object Layout {
         expr("(CAST(tokens_allocated AS DECIMAL(38,0)) * 1000000) div __ta")
           .cast("bigint").as("alloc_share_micro"))
       .orderBy(col("epochs_allocated").desc, col("source"))
+  }
+
+  /** Curriculum plan — equal-population difficulty phases for
+    * curriculum training (Bengio et al. 2009 easy-to-hard ordering,
+    * planned relationally): docs are tiled into `phases` exact
+    * ntile buckets by DESCENDING score (phase 1 = easiest, e.g. the
+    * highest Flesch readability), and each phase reports its doc
+    * count, token mass, score range, and token share — the phase
+    * schedule a curriculum loader consumes directly. Score and
+    * weight are caller-supplied columns, so the same plan works for
+    * readability, perplexity (x227 negated), or quality scores.
+    * Unscored rows (null score) cannot be placed and are excluded —
+    * the [[graft.operators.Rank.withExactNtile]] null contract.
+    *
+    * Scale: the tiling is the x113 boundary-spine discipline
+    * (histogram + broadcast boundary ranks, loud `maxDistinct`
+    * envelope — never a global row sort); the rollup is one
+    * partial+final hash agg over `phases` groups.
+    *
+    * Output: (phase, n_docs, n_tokens, score_hi_micro,
+    * score_lo_micro, token_share_micro), ordered by phase. */
+  def curriculumPlan(scored: DataFrame, idCol: String = "doc_id",
+      scoreCol: String = "flesch_micro", weightCol: String = "n_words",
+      phases: Int = 4): DataFrame = {
+    require(phases >= 1 && phases <= 100,
+      s"curriculumPlan: phases must be in [1, 100], got $phases")
+    val base = scored.filter(col(scoreCol).isNotNull)
+      .select(col(idCol).as("__id"), col(scoreCol).cast("long").as("__sc"),
+        col(weightCol).cast("long").as("__w"))
+      .withColumn("__neg", -col("__sc"))
+    val binned = Rank.withExactNtile(base, "__neg", "__id", phases, "phase")
+    val agg = binned.groupBy(col("phase"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("__w")).cast("bigint").as("n_tokens"),
+        max(col("__sc")).as("score_hi_micro"),
+        min(col("__sc")).as("score_lo_micro"))
+      .localCheckpoint(true) // the x152 rule: the total must not re-run the tiling
+    val tot = agg.agg(coalesce(sum(col("n_tokens")), lit(0L))
+      .cast("decimal(38,0)").as("__tt"))
+    agg.crossJoin(broadcast(tot))
+      .filter(col("__tt") > 0)
+      .select(col("phase").cast("bigint").as("phase"), col("n_docs"),
+        col("n_tokens"), col("score_hi_micro"), col("score_lo_micro"),
+        expr("(CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div __tt")
+          .cast("bigint").as("token_share_micro"))
+      .orderBy(col("phase"))
   }
 }

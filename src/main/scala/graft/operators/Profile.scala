@@ -1902,6 +1902,7 @@ object Profile {
         col(labelCol).cast("string").as("__lb"))
       .filter(col("__s").isNotNull && col("__rt").isNotNull &&
         col("__lb").isNotNull)
+      .localCheckpoint(true) // feeds m, completeness, and the cells
     val m = base.agg(count_distinct(col("__rt")).cast("bigint").as("__m"))
     // complete subjects: rated once by EVERY rater
     val perSubject = base.groupBy(col("__s"))
@@ -1945,5 +1946,80 @@ object Profile {
           .otherwise(expr(
             "((pbar_micro - pe_micro) * 1000000L) div (1000000L - pe_micro)"))
           .as("kappa_micro"))
+  }
+
+  /** One-round Dawid-Skene rater quality + weighted consensus — the
+    * crowd/filter-aggregation step after [[fleissKappa]] says the
+    * panel carries signal: seed the truth with the per-subject
+    * MAJORITY label (ties break to the smallest label), score each
+    * rater's accuracy against it, convert to Laplace-smoothed
+    * log-odds weights w = ln((agree+1)/(n−agree+1)) (the
+    * Dawid & Skene 1979 E-step collapsed to one round, the standard
+    * "weighted majority" estimator), and re-vote: each subject's
+    * consensus label is the weight-sum argmax. `n_flipped_consensus`
+    * — subjects where the weighted consensus overturns the raw
+    * majority — is the value the weighting added (0 means majority
+    * was already right everywhere the panel could know).
+    *
+    * Exactness: counts exact BIGINT; accuracy is one truncating
+    * micro division; the ONLY transcendental (the log-odds) is one
+    * replayed double expression quantized once per RATER
+    * (rater-cardinality, never row volume), so the re-vote scores
+    * are exact integer sums of integer micro weights with a
+    * deterministic (score desc, label asc) argmax.
+    *
+    * Scale: vote counts and majority are partial+final hash aggs;
+    * the re-vote joins the ratings against the BROADCAST rater-
+    * weight frame; argmaxes are min(struct) aggregates — no windows,
+    * no row-volume sorts.
+    *
+    * Output per rater (plus the shared flip count, the x235
+    * repeated-column convention): (rater, n_ratings,
+    * n_agree_majority, accuracy_micro, weight_micro,
+    * n_flipped_consensus), ordered by rater. */
+  def raterQuality(ratings: DataFrame, subjectCol: String = "doc_id",
+      raterCol: String = "rater", labelCol: String = "label"): DataFrame = {
+    val base = ratings.select(col(subjectCol).cast("string").as("__s"),
+        col(raterCol).cast("string").as("__rt"),
+        col(labelCol).cast("string").as("__lb"))
+      .filter(col("__s").isNotNull && col("__rt").isNotNull &&
+        col("__lb").isNotNull)
+      .localCheckpoint(true) // feeds votes, accuracies, and the re-vote
+    val votes = base.groupBy(col("__s"), col("__lb"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val maj = votes.groupBy(col("__s"))
+      .agg(min(struct((-col("__c")).as("nc"), col("__lb").as("lb"))).as("__m"))
+      .select(col("__s"), col("__m.lb").as("__maj"))
+      .localCheckpoint(true) // feeds accuracies AND the flip audit
+    val perRater = base.join(maj, Seq("__s"))
+      .groupBy(col("__rt"))
+      .agg(count(lit(1)).cast("bigint").as("n_ratings"),
+        sum(when(col("__lb") === col("__maj"), 1L).otherwise(0L))
+          .cast("bigint").as("n_agree_majority"))
+      .select(col("__rt"), col("n_ratings"), col("n_agree_majority"),
+        expr("(n_agree_majority * 1000000L) div n_ratings")
+          .as("accuracy_micro"),
+        round(round(log(
+          (col("n_agree_majority").cast("double") + lit(1.0)) /
+            ((col("n_ratings") - col("n_agree_majority")).cast("double") +
+              lit(1.0))), 6) * lit(1000000.0)).cast("long")
+          .as("weight_micro"))
+      .localCheckpoint(true) // feeds the re-vote broadcast and the output
+    val scores = base
+      .join(broadcast(perRater.select(col("__rt"), col("weight_micro"))),
+        Seq("__rt"))
+      .groupBy(col("__s"), col("__lb"))
+      .agg(sum(col("weight_micro")).cast("long").as("__sc"))
+    val cons = scores.groupBy(col("__s"))
+      .agg(min(struct((-col("__sc")).as("ns"), col("__lb").as("lb"))).as("__m"))
+      .select(col("__s"), col("__m.lb").as("__cons"))
+    val flips = cons.join(maj, Seq("__s"))
+      .agg(sum(when(col("__cons") =!= col("__maj"), 1L).otherwise(0L))
+        .cast("bigint").as("n_flipped_consensus"))
+    perRater.crossJoin(broadcast(flips))
+      .select(col("__rt").as("rater"), col("n_ratings"),
+        col("n_agree_majority"), col("accuracy_micro"), col("weight_micro"),
+        col("n_flipped_consensus"))
+      .orderBy(col("rater"))
   }
 }

@@ -1696,4 +1696,63 @@ object Sequences {
             "div n_test").cast("bigint"))
           .as("seen_share_micro"))
   }
+
+  /** Behavioral-boilerplate catalog — x229's duplicated-text read
+    * lifted to EVENT SEQUENCES: each (user, day) session becomes the
+    * ordered string of its event types, and a pattern served by many
+    * sessions — especially across many users — is scripted traffic
+    * (bots, SDK retry loops, synthetic monitors) that a behavioral
+    * training set must dedup exactly like boilerplate text. The
+    * per-user session grain rides the DAY boundary (deterministic,
+    * replayable) rather than a gap rule so both engines cut sessions
+    * identically.
+    *
+    * Scale discipline: session SIZES are counted FIRST (one hash agg)
+    * and sessions longer than `maxLen` never reach the collect — the
+    * fence runs before the memory cost exists, and the dropped count
+    * is reported (no silent cap). The per-session ordering is a
+    * sort_array over one bounded session's structs (≤ maxLen
+    * elements; the per-element lambda is interpreted but fenced —
+    * the round-9 trap applies to UNBOUNDED per-row loops). Pattern
+    * grouping is a partial+final hash agg on the bounded pattern
+    * string.
+    *
+    * Output (patterns served by ≥ minSessions sessions, plus the
+    * shared drop count — the x235 repeated-column convention):
+    * (pattern, session_len, n_sessions, n_users, n_dropped_long),
+    * ordered by (n_sessions desc, pattern). */
+  def behaviorBoilerplate(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      idCol: String = "event_id", maxLen: Int = 200,
+      minSessions: Long = 2L): DataFrame = {
+    require(maxLen >= 1 && maxLen <= 10000,
+      s"behaviorBoilerplate: maxLen must be in [1, 10000], got $maxLen")
+    require(minSessions >= 1,
+      s"behaviorBoilerplate: minSessions must be >= 1, got $minSessions")
+    val base = events.select(col(userCol).as("__u"),
+        to_date(col(tsCol)).as("__d"), col(tsCol).as("__ts"),
+        col(idCol).as("__i"), col(typeCol).cast("string").as("__t"))
+      .filter(col("__u").isNotNull && col("__d").isNotNull &&
+        col("__i").isNotNull && col("__t").isNotNull)
+    val sz = base.groupBy(col("__u"), col("__d"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+      .localCheckpoint(true) // feeds the fence AND the drop count
+    val dropped = sz.filter(col("__c") > maxLen)
+      .agg(count(lit(1)).cast("bigint").as("n_dropped_long"))
+    val keep = sz.filter(col("__c") <= maxLen).select(col("__u"), col("__d"))
+    val seqs = base.join(keep, Seq("__u", "__d"), "left_semi")
+      .groupBy(col("__u"), col("__d"))
+      .agg(expr("concat_ws('>', transform(" +
+        "sort_array(collect_list(struct(__ts, __i, __t))), x -> x.__t))")
+        .as("pattern"),
+        count(lit(1)).cast("bigint").as("__len"))
+    seqs.groupBy(col("pattern"), col("__len"))
+      .agg(count(lit(1)).cast("bigint").as("n_sessions"),
+        count_distinct(col("__u")).cast("bigint").as("n_users"))
+      .filter(col("n_sessions") >= minSessions)
+      .crossJoin(broadcast(dropped))
+      .select(col("pattern"), col("__len").as("session_len"),
+        col("n_sessions"), col("n_users"), col("n_dropped_long"))
+      .orderBy(col("n_sessions").desc, col("pattern"))
+  }
 }

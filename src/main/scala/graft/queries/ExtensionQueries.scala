@@ -2768,29 +2768,11 @@ object ExtensionQueries {
 
   /** x240 panel Fleiss' kappa — see
     * [[graft.operators.Profile.fleissKappa]] over the SAME three
-    * curation gates x102 compares pairwise: does the filter battery
-    * agree beyond chance as a panel — the one-number redundancy
-    * verdict above the pairwise matrix. */
-  def x240(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{qualityScoreRaw, tokenCount}
-    val d = docs(s, dir)
-    val flags = d
-      .join(TextAnalysis.repetitionRatio(d, ngram = 2), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (tokenCount(col("text")) >= 20).as("len_ok"),
-        (qualityScoreRaw(col("text")) >= 0.75).as("quality_ok"),
-        (coalesce(col("top_gram_ratio"), lit(0.0)) <= 0.06).as("repeat_ok"))
-    val ratings = flags.select(col("doc_id"), explode(array(
-        struct(lit("len").as("rater"),
-          col("len_ok").cast("string").as("label")),
-        struct(lit("quality").as("rater"),
-          col("quality_ok").cast("string").as("label")),
-        struct(lit("repeat").as("rater"),
-          col("repeat_ok").cast("string").as("label")))).as("__r"))
-      .select(col("doc_id"), col("__r.rater").as("rater"),
-        col("__r.label").as("label"))
-    Profile.fleissKappa(ratings)
-  }
+    * curation gates x102 compares pairwise ([[gateRatings]]): does
+    * the filter battery agree beyond chance as a panel — the
+    * one-number redundancy verdict above the pairwise matrix. */
+  def x240(s: SparkSession, dir: String): DataFrame =
+    Profile.fleissKappa(gateRatings(s, dir))
 
   /** x241 temporal split audit — see
     * [[graft.operators.Sequences.temporalSplitAudit]]: the exact
@@ -2803,6 +2785,55 @@ object ExtensionQueries {
       // the x114 date-compare convention: both engines emit the day
       // as its ISO string
       .withColumn("cutoff_day", col("cutoff_day").cast("string"))
+
+  /** The x102/x240 gate battery as a (doc, rater, label) ratings
+    * frame — x240/x242 share it: three cheap curation gates voting
+    * pass/fail per document. */
+  private def gateRatings(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScoreRaw, tokenCount}
+    val d = docs(s, dir)
+    val flags = d
+      .join(TextAnalysis.repetitionRatio(d, ngram = 2), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (tokenCount(col("text")) >= 20).as("len_ok"),
+        (qualityScoreRaw(col("text")) >= 0.75).as("quality_ok"),
+        (coalesce(col("top_gram_ratio"), lit(0.0)) <= 0.06).as("repeat_ok"))
+    flags.select(col("doc_id"), explode(array(
+        struct(lit("len").as("rater"),
+          col("len_ok").cast("string").as("label")),
+        struct(lit("quality").as("rater"),
+          col("quality_ok").cast("string").as("label")),
+        struct(lit("repeat").as("rater"),
+          col("repeat_ok").cast("string").as("label")))).as("__r"))
+      .select(col("doc_id"), col("__r.rater").as("rater"),
+        col("__r.label").as("label"))
+  }
+
+  /** x242 Dawid-Skene rater quality — see
+    * [[graft.operators.Profile.raterQuality]] over the x240 gate
+    * panel: per-gate accuracy against the majority seed, Laplace
+    * log-odds weights, and the weighted-consensus flip count — which
+    * gate to trust when the battery disagrees. */
+  def x242(s: SparkSession, dir: String): DataFrame =
+    Profile.raterQuality(gateRatings(s, dir))
+
+  /** x243 behavioral-boilerplate catalog — see
+    * [[graft.operators.Sequences.behaviorBoilerplate]]: (user, day)
+    * sessions as ordered event-type strings, patterns served by ≥ 2
+    * sessions with their user spread — the bot/scripted-traffic
+    * dedup read over the events stream. */
+  def x243(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sequences.behaviorBoilerplate(
+      Tables.load(s, dir, "events"))
+
+  /** x244 curriculum plan — see
+    * [[graft.operators.Layout.curriculumPlan]] over x239's Flesch
+    * scores (same sentence-mark plant): four equal-population
+    * difficulty phases, easiest first, with token mass and score
+    * ranges — the x239 → plan loop closed. */
+  def x244(s: SparkSession, dir: String): DataFrame =
+    Layout.curriculumPlan(TextAnalysis.readability(docs(s, dir)
+      .withColumn("text", expr("replace(text, ' a ', ' a. ')"))))
 
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
@@ -3096,6 +3127,9 @@ object ExtensionQueries {
     "x239_readability" -> (x239 _),
     "x240_fleiss_kappa" -> (x240 _),
     "x241_temporal_split" -> (x241 _),
+    "x242_rater_quality" -> (x242 _),
+    "x243_behavior_boilerplate" -> (x243 _),
+    "x244_curriculum_plan" -> (x244 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3423,6 +3457,35 @@ object ExtensionQueries {
     * quality contract has ONE rendering. `q` emits BOTH the unrounded
     * `qr` (exact-operand arithmetic, bit-identical across engines —
     * the ranking column) and the round-6 `q` (the output column). */
+  /** Shared readability CTE chain (x239/x244): the sentence-mark
+    * plant, exact word/sentence/vowel-group counts, the vowelless-
+    * word syllable floor, and the Flesch score in integer micro —
+    * constants parsed from strings so both engines hold identical
+    * correctly-rounded doubles. Yields `rd(doc_id, nw, ns, syl,
+    * fm)`. */
+  private def readabilityCtesSql: String = {
+    val wordish = "[\\p{L}\\p{N}]*[aeiouy][\\p{L}\\p{N}]*"
+    s"""cor AS (SELECT doc_id, replace(text, ' a ', ' a. ') AS t
+       |  FROM documents),
+       |rc AS (SELECT doc_id,
+       |    CAST(len(${wordsSql("t")}) AS BIGINT) AS nw,
+       |    greatest(CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT),
+       |      1) AS ns,
+       |    CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT)
+       |      AS vg,
+       |    CAST(len(regexp_extract_all(lower(t), '$wordish')) AS BIGINT)
+       |      AS wv
+       |  FROM cor),
+       |rd AS (SELECT doc_id, nw, ns, vg + (nw - wv) AS syl,
+       |    CASE WHEN nw > 0 THEN CAST(round(round(
+       |        CAST('206.835' AS DOUBLE)
+       |          - CAST('1.015' AS DOUBLE) * (nw::DOUBLE / ns::DOUBLE)
+       |          - CAST('84.6' AS DOUBLE)
+       |            * ((vg + (nw - wv))::DOUBLE / nw::DOUBLE), 6)
+       |      * 1000000.0) AS BIGINT) END AS fm
+       |  FROM rc)""".stripMargin
+  }
+
   private def qualityCteSql(keep: String): String =
     s"""w AS (SELECT $keep, text, ${wordsSql("text")} AS ws FROM documents),
        |f AS (
@@ -8532,29 +8595,31 @@ object ExtensionQueries {
     // word/sentence/vowel-group counts, vowelless-word floor, the
     // Flesch constants parsed from strings so both engines hold the
     // identical correctly-rounded doubles.
-    "x239_readability" -> {
-      val wordish = "[\\p{L}\\p{N}]*[aeiouy][\\p{L}\\p{N}]*"
-      s"""WITH cor AS (SELECT doc_id, replace(text, ' a ', ' a. ') AS t
-         |  FROM documents),
-         |c AS (SELECT doc_id,
-         |    CAST(len(${wordsSql("t")}) AS BIGINT) AS nw,
-         |    greatest(CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT),
-         |      1) AS ns,
-         |    CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT)
-         |      AS vg,
-         |    CAST(len(regexp_extract_all(lower(t), '$wordish')) AS BIGINT)
-         |      AS wv
-         |  FROM cor)
+    "x239_readability" ->
+      s"""WITH $readabilityCtesSql
          |SELECT doc_id, nw AS n_words, ns AS n_sentences,
-         |       vg + (nw - wv) AS n_syllables,
-         |       CASE WHEN nw > 0 THEN CAST(round(round(
-         |           CAST('206.835' AS DOUBLE)
-         |             - CAST('1.015' AS DOUBLE) * (nw::DOUBLE / ns::DOUBLE)
-         |             - CAST('84.6' AS DOUBLE)
-         |               * ((vg + (nw - wv))::DOUBLE / nw::DOUBLE), 6)
-         |         * 1000000.0) AS BIGINT) END AS flesch_micro
-         |FROM c ORDER BY doc_id""".stripMargin
-    },
+         |       syl AS n_syllables, fm AS flesch_micro
+         |FROM rd ORDER BY doc_id""".stripMargin,
+
+    // Replays curriculumPlan over the x239 scores: ntile by
+    // descending score with the doc-id tie-break, per-phase rollup,
+    // one truncating micro division for the token share.
+    "x244_curriculum_plan" ->
+      s"""WITH $readabilityCtesSql,
+         |t AS (SELECT doc_id, nw, fm,
+         |        CAST(ntile(4) OVER (ORDER BY -fm, doc_id) AS INT) AS phase
+         |      FROM rd WHERE fm IS NOT NULL),
+         |ag AS (SELECT CAST(phase AS BIGINT) AS phase,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(nw) AS BIGINT) AS n_tokens,
+         |         CAST(max(fm) AS BIGINT) AS score_hi_micro,
+         |         CAST(min(fm) AS BIGINT) AS score_lo_micro
+         |       FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS tt FROM ag)
+         |SELECT phase, n_docs, n_tokens, score_hi_micro, score_lo_micro,
+         |       CAST((CAST(n_tokens AS HUGEINT) * 1000000) // tot.tt
+         |         AS BIGINT) AS token_share_micro
+         |FROM ag, tot WHERE tot.tt > 0 ORDER BY phase""".stripMargin,
 
     // Replays fleissKappa over the x102 gate battery: binary panel,
     // exact integer moments, micro quantization at the statistic
@@ -8603,6 +8668,98 @@ object ExtensionQueries {
          |            ELSE ((pbar_micro - pe_micro) * 1000000)
          |              // (1000000 - pe_micro) END AS kappa_micro
          |FROM sel""".stripMargin,
+
+    // Replays raterQuality over the x240 gate battery: majority seed,
+    // Laplace log-odds per GATE (one replayed double each), integer
+    // re-vote with the voted-labels-only argmax and min-label ties.
+    "x242_rater_quality" ->
+      s"""WITH ${qualityCteSql("doc_id")},
+         |toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT doc_id, ${wordNgramsSql(2, distinct = false)} AS g FROM toks),
+         |ex AS (SELECT doc_id, unnest(g) AS gram FROM ng),
+         |gc AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY doc_id, gram),
+         |rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS tgr
+         |        FROM gc GROUP BY doc_id),
+         |nt AS (SELECT doc_id,
+         |         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |             x -> len(x) > 0)) AS n_tokens
+         |       FROM documents),
+         |fl AS (SELECT d.doc_id,
+         |         nt.n_tokens >= 20 AS len_ok,
+         |         q.qr >= 0.75 AS quality_ok,
+         |         coalesce(rep.tgr, 0.0) <= 0.06 AS repeat_ok
+         |       FROM documents d JOIN nt USING (doc_id) JOIN q USING (doc_id)
+         |       LEFT JOIN rep USING (doc_id)),
+         |mj AS (SELECT doc_id, len_ok, quality_ok, repeat_ok,
+         |         (CASE WHEN len_ok THEN 1 ELSE 0 END
+         |           + CASE WHEN quality_ok THEN 1 ELSE 0 END
+         |           + CASE WHEN repeat_ok THEN 1 ELSE 0 END) AS r,
+         |         CASE WHEN (CASE WHEN len_ok THEN 1 ELSE 0 END
+         |             + CASE WHEN quality_ok THEN 1 ELSE 0 END
+         |             + CASE WHEN repeat_ok THEN 1 ELSE 0 END) >= 2
+         |           THEN 'true' ELSE 'false' END AS maj
+         |       FROM fl),
+         |rt AS (SELECT 'len' AS rater, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN CAST(len_ok AS VARCHAR) = maj
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS agree FROM mj
+         |  UNION ALL SELECT 'quality', CAST(count(*) AS BIGINT),
+         |         CAST(sum(CASE WHEN CAST(quality_ok AS VARCHAR) = maj
+         |           THEN 1 ELSE 0 END) AS BIGINT) FROM mj
+         |  UNION ALL SELECT 'repeat', CAST(count(*) AS BIGINT),
+         |         CAST(sum(CASE WHEN CAST(repeat_ok AS VARCHAR) = maj
+         |           THEN 1 ELSE 0 END) AS BIGINT) FROM mj),
+         |wt AS (SELECT rater, n, agree,
+         |         CAST((agree * 1000000) // n AS BIGINT) AS accuracy_micro,
+         |         CAST(round(round(ln((agree + 1)::DOUBLE
+         |             / (n - agree + 1)::DOUBLE), 6) * 1000000.0) AS BIGINT)
+         |           AS weight_micro
+         |       FROM rt),
+         |ws AS (SELECT
+         |    max(CASE WHEN rater = 'len' THEN weight_micro END) AS wl,
+         |    max(CASE WHEN rater = 'quality' THEN weight_micro END) AS wq,
+         |    max(CASE WHEN rater = 'repeat' THEN weight_micro END) AS wr
+         |  FROM wt),
+         |sc AS (SELECT mj.maj, mj.r,
+         |    (CASE WHEN len_ok THEN ws.wl ELSE 0 END
+         |      + CASE WHEN quality_ok THEN ws.wq ELSE 0 END
+         |      + CASE WHEN repeat_ok THEN ws.wr ELSE 0 END) AS s_true,
+         |    (CASE WHEN len_ok THEN 0 ELSE ws.wl END
+         |      + CASE WHEN quality_ok THEN 0 ELSE ws.wq END
+         |      + CASE WHEN repeat_ok THEN 0 ELSE ws.wr END) AS s_false
+         |  FROM mj, ws),
+         |cons AS (SELECT maj,
+         |    CASE WHEN r = 3 THEN 'true' WHEN r = 0 THEN 'false'
+         |         WHEN s_true > s_false THEN 'true'
+         |         ELSE 'false' END AS cons
+         |  FROM sc),
+         |fp AS (SELECT CAST(sum(CASE WHEN cons <> maj THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_flipped_consensus FROM cons)
+         |SELECT wt.rater, wt.n AS n_ratings, wt.agree AS n_agree_majority,
+         |       wt.accuracy_micro, wt.weight_micro, fp.n_flipped_consensus
+         |FROM wt, fp ORDER BY rater""".stripMargin,
+
+    // Replays behaviorBoilerplate: (user, day) sessions, the size
+    // fence BEFORE any sequence build, ordered string_agg patterns.
+    "x243_behavior_boilerplate" ->
+      """WITH base AS (SELECT user_id AS u, CAST(ts AS DATE) AS d, ts,
+        |    event_id AS i, event_type AS t
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |sz AS (SELECT u, d, count(*) AS c FROM base GROUP BY 1, 2),
+        |drp AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped_long
+        |        FROM sz WHERE c > 200),
+        |sq AS (SELECT b.u, b.d,
+        |         string_agg(b.t, '>' ORDER BY b.ts, b.i) AS pattern,
+        |         CAST(count(*) AS BIGINT) AS len
+        |       FROM base b JOIN sz USING (u, d) WHERE sz.c <= 200
+        |       GROUP BY b.u, b.d),
+        |pat AS (SELECT pattern, len AS session_len,
+        |          CAST(count(*) AS BIGINT) AS n_sessions,
+        |          CAST(count(DISTINCT u) AS BIGINT) AS n_users
+        |        FROM sq GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pattern, session_len, n_sessions, n_users,
+        |       drp.n_dropped_long
+        |FROM pat, drp ORDER BY n_sessions DESC, pattern""".stripMargin,
 
     // Replays temporalSplitAudit: exact day-rank cutoff, user-set
     // overlap via semi joins, one truncating micro division.

@@ -297,4 +297,27 @@ class LayoutSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxEpochs"))
   }
+
+  test("curriculumPlan: descending-score ntile phases with exact token " +
+      "shares; unscored rows are excluded") {
+    import spark.implicits._
+    // scores 80..10 step 10, weight = score/10 -> phases of 2 docs:
+    // tokens 15/11/7/3 of 36
+    val scored = (1L to 8L).map(i => (i, Some((9 - i) * 10L), 9 - i)) :+
+      ((9L, Option.empty[Long], 99L))
+    val df = scored.toDF("doc_id", "flesch_micro", "n_words")
+    val out = Layout.curriculumPlan(df)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 15L, 80L, 70L, 416666L),
+      (2L, 2L, 11L, 60L, 50L, 305555L),
+      (3L, 2L, 7L, 40L, 30L, 194444L),
+      (4L, 2L, 3L, 20L, 10L, 83333L)))
+    // ntile fill rule: 5 docs over 4 phases -> 2,1,1,1
+    val five = (1L to 5L).map(i => (i, (6 - i) * 10L, 1L))
+      .toDF("doc_id", "flesch_micro", "n_words")
+    val counts = Layout.curriculumPlan(five)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().map(r => r._2)
+    assert(counts.toSeq == Seq(2L, 1L, 1L, 1L))
+  }
 }

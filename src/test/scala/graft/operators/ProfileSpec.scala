@@ -833,4 +833,53 @@ class ProfileSpec extends SparkSpec {
     assert(fleiss(dirty) == Seq((2L, 2L, 3L, 2L, 333333L, 500000L,
       Some(-333334L))))
   }
+
+  private def dsq(rows: Seq[(String, String, String)]) =
+    Profile.raterQuality(rows.toDF("doc_id", "rater", "label"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("raterQuality: hand-traced accuracies and Laplace log-odds; a " +
+      "unanimous-majority panel never flips") {
+    import spark.implicits._
+    // a always 'x'; b wrong on s4 only per majority; c wrong on s3
+    val votes = Seq(
+      ("s1", "a", "x"), ("s1", "b", "x"), ("s1", "c", "x"),
+      ("s2", "a", "x"), ("s2", "b", "x"), ("s2", "c", "x"),
+      ("s3", "a", "x"), ("s3", "b", "x"), ("s3", "c", "y"),
+      ("s4", "a", "x"), ("s4", "b", "y"), ("s4", "c", "y"))
+    // majorities: s1,s2,s3 -> x; s4 -> y
+    // a: 3/4, w = ln(4/2) = 693147; b: 4/4, w = ln(5/1) = 1609438;
+    // c: 3/4 (disagrees s3, agrees s4), w = 693147
+    // re-vote: s3 x-score 693147+1609438 > 693147; s4 y-score
+    // 1609438+693147 > 693147 -> zero flips
+    assert(dsq(votes) == Seq(
+      ("a", 4L, 3L, 750000L, 693147L, 0L),
+      ("b", 4L, 4L, 1000000L, 1609438L, 0L),
+      ("c", 4L, 3L, 750000L, 693147L, 0L)))
+  }
+
+  test("raterQuality: two strong raters overturn a weak 3-rater " +
+      "majority — the weighted consensus flips exactly one subject") {
+    import spark.implicits._
+    // s1-s6: majority 'p'; c,d,e each wrong twice; s7: c,d,e vote 'q'
+    // (majority) against a,b -> maj q, but w_a+w_b = 2*ln(7/2) >
+    // 3*ln(2) = w_c+w_d+w_e -> consensus flips s7 to 'p'
+    val wrongOn = Map("c" -> Set("s1", "s2"), "d" -> Set("s3", "s4"),
+      "e" -> Set("s5", "s6"))
+    val votes =
+      (for {
+        s <- (1 to 6).map(i => s"s$i"); r <- Seq("a", "b", "c", "d", "e")
+      } yield (s, r, if (wrongOn.getOrElse(r, Set()).contains(s)) "q"
+        else "p")) ++
+      Seq(("s7", "a", "p"), ("s7", "b", "p"), ("s7", "c", "q"),
+        ("s7", "d", "q"), ("s7", "e", "q"))
+    // a,b: 6/7 agree (disagree s7), w = ln(7/2) = 1252763
+    // c,d,e: 5/7 agree, w = ln(6/3) = 693147
+    assert(dsq(votes) == Seq(
+      ("a", 7L, 6L, 857142L, 1252763L, 1L),
+      ("b", 7L, 6L, 857142L, 1252763L, 1L),
+      ("c", 7L, 5L, 714285L, 693147L, 1L),
+      ("d", 7L, 5L, 714285L, 693147L, 1L),
+      ("e", 7L, 5L, 714285L, 693147L, 1L)))
+  }
 }

@@ -898,4 +898,40 @@ class SequencesSpec extends SparkSpec {
     val empty = Seq.empty[(Timestamp, Long)].toDF("ts", "user_id")
     assert(Sequences.temporalSplitAudit(empty).count() == 0L)
   }
+
+  test("behaviorBoilerplate: patterns group across users; singleton " +
+      "patterns drop; the size fence drops long sessions LOUDLY") {
+    import spark.implicits._
+    def ev(u: Long, t: String, i: Long, tp: String) =
+      (u, Timestamp.valueOf(s"2024-01-0$t"), i, tp)
+    val events = Seq(
+      ev(1, "1 10:00:00", 1, "a"), ev(1, "1 10:05:00", 2, "b"),
+      ev(2, "1 09:00:00", 3, "a"), ev(2, "1 09:30:00", 4, "b"),
+      ev(1, "2 08:00:00", 5, "a"),
+      ev(3, "1 07:00:00", 6, "a"),
+      ev(4, "1 06:00:00", 7, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.behaviorBoilerplate(events)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("a", 1L, 2L, 2L, 0L),
+      ("a>b", 2L, 2L, 2L, 0L)))
+    // maxLen=1: both 2-event sessions are dropped AND counted
+    val fenced = Sequences.behaviorBoilerplate(events, maxLen = 1)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(fenced.toSeq == Seq(("a", 1L, 2L, 2L, 2L)))
+  }
+
+  test("behaviorBoilerplate: within-session order is (ts, event_id) — " +
+      "same-timestamp ties break on the id") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val events = Seq(
+      (1L, t0, 5L, "x"), (1L, t0, 1L, "y"),
+      (2L, t0, 6L, "x"), (2L, t0, 2L, "y"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.behaviorBoilerplate(events)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("y>x", 2L, 2L, 2L, 0L)))
+  }
 }
