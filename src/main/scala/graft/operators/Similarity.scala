@@ -1408,4 +1408,62 @@ object Similarity {
           | div __uu""".stripMargin).as("whitened_share_micro"))
       .orderBy(col("source"))
   }
+
+  /** Source affinity matrix — pairwise cosine between SOURCE
+    * centroids in embedding space: the semantic-redundancy read
+    * between providers ([[centroidDrift]] asks "how far is each group
+    * from the corpus"; this asks "which two sources say the same
+    * thing"), the signal that prices a near-duplicate SOURCE into the
+    * x234/x143 mixing decisions before pair-level dedup ever runs.
+    * Sources join via the vec_id ↔ doc_id convention (x222/x228).
+    *
+    * Exactness — the [[centroidDrift]] fixed point: components
+    * micro-quantize once per cell; each centroid component is one
+    * truncating div by the source count; the pairwise dot/norms are
+    * exact BIGINT sums over ≤ dim integer components (micro²·dim ≈
+    * 10¹⁴); only the final cosine is a double, one fixed expression
+    * rounded to 6 dp. Zero-norm centroids yield NULL.
+    *
+    * Scale: one posexplode pass + id-keyed source join (the only
+    * full-volume work) → (source, dim) partial+final hash agg; the
+    * pair join runs on the CENTROID frame (sources × dim rows) —
+    * source²·dim cells, never row volume.
+    *
+    * Output: (source_a, source_b, n_a, n_b, cosine) for source_a <
+    * source_b, ordered by (source_a, source_b). */
+  def sourceAffinity(emb: DataFrame, docs: DataFrame, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      docIdCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    val src = docs.select(col(docIdCol).as("__id"),
+      col(sourceCol).cast("string").as("__src"))
+    val cells = emb
+      .filter(size(col(vecCol)) === dim &&
+        dot_product(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol).as("__id"), posexplode(col(vecCol)).as(Seq("d", "v")))
+      .join(src, Seq("__id"))
+      .select(col("__src"), col("d"),
+        round(col("v").cast("double") * lit(1000000.0)).cast("long").as("m"))
+    val cent = cells.groupBy(col("__src"), col("d"))
+      .agg(sum(col("m")).cast("bigint").as("s"),
+        count(lit(1)).cast("bigint").as("c"))
+      .select(col("__src"), col("d"), expr("s div c").as("g"), col("c"))
+      .localCheckpoint(true) // both sides of the pair join
+    val a = cent.select(col("__src").as("source_a"), col("d"),
+      col("g").as("__ga"), col("c").as("__na"))
+    val b = cent.select(col("__src").as("source_b"), col("d"),
+      col("g").as("__gb"), col("c").as("__nb"))
+    a.join(b, Seq("d"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(col("__ga") * col("__gb")).cast("bigint").as("__num"),
+        sum(col("__ga") * col("__ga")).cast("bigint").as("__aa"),
+        sum(col("__gb") * col("__gb")).cast("bigint").as("__bb"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        when(col("__aa") > 0 && col("__bb") > 0,
+          round(col("__num").cast("double") /
+            (sqrt(col("__aa").cast("double")) *
+              sqrt(col("__bb").cast("double"))), 6)).as("cosine"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

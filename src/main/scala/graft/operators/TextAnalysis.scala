@@ -2032,6 +2032,68 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Position-resolved surprisal — WHERE in documents the predictable
+    * text lives: every token is assigned a relative-position bucket
+    * (⌊idx·B/len⌋, B equal-width position bands), and each bucket
+    * reports the corpus-wide mean unigram surprisal under the
+    * reference LM ([[unigramLogProb]]'s add-one contract). A bucket
+    * whose mean log-prob sits far above the rest is templated text
+    * concentrated at that position — headers, footers, navigation
+    * residue — the POSITION read that x176's prefix rule and x229's
+    * catalog see only at the extremes.
+    *
+    * Exactness: the per-TERM log-prob quantizes once to integer
+    * micro-nats (the unigram fixed point); bucket assignment is
+    * integer floor arithmetic; accumulation is Σ tf×lp exact; the
+    * mean is one correctly-rounded double division per bucket.
+    *
+    * Scale: reference counts partial+final; the token explode
+    * collapses to (bucket, term) cells BEFORE joining the vocabulary
+    * (shuffled equi-join on term — vocabularies don't broadcast);
+    * only the 1-row stats/OOV frames broadcast. Output is `buckets`
+    * rows.
+    *
+    * Output: (bucket ∈ [0, B), n_tokens, sum_logp_micro, avg_logp),
+    * ordered by bucket. */
+  def positionalSurprisal(docs: DataFrame, ref: DataFrame,
+      buckets: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets >= 2 && buckets <= 100,
+      s"positionalSurprisal: buckets must be in [2, 100], got $buckets")
+    val refTf = tokFrame(ref, idCol, textCol)
+      .select(explode(col("__w")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds the stats AND the scoring join
+    val stats = refTf.agg(
+      sum(col("__c")).cast("bigint").as("__t"), count(lit(1)).as("__v"))
+    def lpMicro(c: Column): Column =
+      round(round(log((c.cast("double") + lit(1.0)) /
+        (col("__t").cast("double") + col("__v").cast("double") + lit(1.0))), 6) *
+        lit(1000000.0)).cast("long")
+    val vocab = refTf.join(broadcast(stats))
+      .select(col("term"), lpMicro(col("__c")).as("__lp"))
+    val oov = stats.select(lpMicro(lit(0L)).as("__oovlp"))
+    val btf = tokFrame(docs, idCol, textCol)
+      .filter(size(col("__w")) > 0)
+      .select(size(col("__w")).as("__nw"),
+        posexplode(col("__w")).as(Seq("__i", "term")))
+      .select(expr(s"(__i * ${buckets}L) div __nw").as("bucket"), col("term"))
+      .groupBy(col("bucket"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    btf.join(vocab, Seq("term"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__tf")).cast("bigint").as("n_tokens"),
+        sum(col("__tf") * coalesce(col("__lp"), col("__oovlp")))
+          .cast("bigint").as("sum_logp_micro"))
+      .select(col("bucket").cast("bigint").as("bucket"), col("n_tokens"),
+        col("sum_logp_micro"),
+        round(col("sum_logp_micro").cast("double") /
+          (col("n_tokens").cast("double") * lit(1000000.0)), 6)
+          .as("avg_logp"))
+      .orderBy(col("bucket"))
+  }
+
   /** BPE-style adjacent-pair statistics — the counting core of one
     * tokenizer-induction merge round (Sennrich et al. 2016): for every
     * corpus word, every adjacent character bigram votes with the

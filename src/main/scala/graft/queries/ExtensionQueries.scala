@@ -2835,6 +2835,24 @@ object ExtensionQueries {
     Layout.curriculumPlan(TextAnalysis.readability(docs(s, dir)
       .withColumn("text", expr("replace(text, ' a ', ' a. ')"))))
 
+  /** x245 source affinity matrix — see
+    * [[graft.operators.Similarity.sourceAffinity]]: pairwise cosine
+    * between source centroids in embedding space — which providers
+    * are semantically redundant, priced into the x234/x143 mixing
+    * decisions before any pair-level dedup runs. */
+  def x245(s: SparkSession, dir: String): DataFrame =
+    Similarity.sourceAffinity(emb(s, dir), docs(s, dir))
+
+  /** x246 positional surprisal — see
+    * [[graft.operators.TextAnalysis.positionalSurprisal]]: mean
+    * unigram surprisal per relative-position decile under the EN
+    * reference LM — WHERE the templated text lives, the position
+    * read between x176's prefix rule and x229's catalog. */
+  def x246(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.positionalSurprisal(d, d.filter(col("lang") === "en"))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -3130,6 +3148,8 @@ object ExtensionQueries {
     "x242_rater_quality" -> (x242 _),
     "x243_behavior_boilerplate" -> (x243 _),
     "x244_curriculum_plan" -> (x244 _),
+    "x245_source_affinity" -> (x245 _),
+    "x246_positional_surprisal" -> (x246 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -8668,6 +8688,67 @@ object ExtensionQueries {
          |            ELSE ((pbar_micro - pe_micro) * 1000000)
          |              // (1000000 - pe_micro) END AS kappa_micro
          |FROM sel""".stripMargin,
+
+    // Replays sourceAffinity: the x139 cell/centroid chain joined to
+    // sources, exact BIGINT pair dot/norms, one fixed double cosine.
+    "x245_source_affinity" ->
+      """WITH cells AS (
+        |  SELECT d.source AS src, CAST(u.i AS INT) AS dd,
+        |         CAST(round(embedding[CAST(u.i AS INT)]::DOUBLE * 1000000)
+        |              AS BIGINT) AS m
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id,
+        |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+        |  WHERE len(embedding) = 64
+        |    AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |cent AS (SELECT src, dd, CAST(sum(m) AS BIGINT) // count(*) AS g,
+        |                CAST(count(*) AS BIGINT) AS c
+        |         FROM cells GROUP BY 1, 2),
+        |pr AS (SELECT a.src AS source_a, b.src AS source_b,
+        |         CAST(max(a.c) AS BIGINT) AS n_a,
+        |         CAST(max(b.c) AS BIGINT) AS n_b,
+        |         CAST(sum(a.g * b.g) AS BIGINT) AS num,
+        |         CAST(sum(a.g * a.g) AS BIGINT) AS aa,
+        |         CAST(sum(b.g * b.g) AS BIGINT) AS bb
+        |       FROM cent a JOIN cent b ON a.dd = b.dd AND a.src < b.src
+        |       GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_a, n_b,
+        |       CASE WHEN aa > 0 AND bb > 0
+        |            THEN round(num::DOUBLE / (sqrt(aa::DOUBLE)
+        |              * sqrt(bb::DOUBLE)), 6) END AS cosine
+        |FROM pr ORDER BY source_a, source_b""".stripMargin,
+
+    // Replays positionalSurprisal: the x67 unigram contract with
+    // integer position buckets, (bucket, term) collapse before the
+    // vocabulary join.
+    "x246_positional_surprisal" ->
+      s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |rtf AS (SELECT unnest(w.w) AS term
+         |        FROM w JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+         |vc AS (SELECT term, count(*) AS c FROM rtf GROUP BY term),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+         |              CAST(count(*) AS BIGINT) AS v FROM vc),
+         |vocab AS (SELECT term,
+         |            CAST(round(round(ln((c::DOUBLE + 1.0) /
+         |              (st.t::DOUBLE + st.v::DOUBLE + 1.0)), 6) * 1000000.0)
+         |              AS BIGINT) AS lp
+         |          FROM vc CROSS JOIN st),
+         |oov AS (SELECT CAST(round(round(ln(1.0 /
+         |          (t::DOUBLE + v::DOUBLE + 1.0)), 6) * 1000000.0) AS BIGINT)
+         |          AS lp FROM st),
+         |dt AS (SELECT w[CAST(i AS INT)] AS term,
+         |         ((i - 1) * 10) // len(w) AS bucket
+         |       FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i
+         |             FROM w WHERE len(w) > 0)),
+         |btf AS (SELECT bucket, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+         |sc AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |         CAST(sum(tf * coalesce(vocab.lp, oov.lp)) AS BIGINT)
+         |           AS sum_logp_micro
+         |       FROM btf LEFT JOIN vocab USING (term) CROSS JOIN oov
+         |       GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_tokens, sum_logp_micro,
+         |       round(sum_logp_micro::DOUBLE /
+         |             (n_tokens::DOUBLE * 1000000.0), 6) AS avg_logp
+         |FROM sc ORDER BY bucket""".stripMargin,
 
     // Replays raterQuality over the x240 gate battery: majority seed,
     // Laplace log-odds per GATE (one replayed double each), integer

@@ -569,4 +569,26 @@ class SimilaritySpec extends SparkSpec {
     // the dominant direction must be axis 0 and carry nearly all mass
     assert(topDim == 0L && share > 950000L, s"($topDim, $share)")
   }
+
+  test("sourceAffinity: hand-traced centroid cosines — orthogonal, " +
+      "identical, and 3-4-5 sources; zero vectors are excluded") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), // A -> (1e6, 0)
+      (3L, Array(0f, 1f)),                      // B -> (0, 1e6)
+      (4L, Array(1f, 0f)),                      // C -> (1e6, 0)
+      (5L, Array(3f, 4f)),                      // D -> (3e6, 4e6)
+      (6L, Array(0f, 0f)))                      // A again, zero: excluded
+      .toDF("vec_id", "embedding")
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"),
+      (5L, "D"), (6L, "A")).toDF("doc_id", "source")
+    val out = Similarity.sourceAffinity(vecs, docs, dim = 2)
+      .as[(String, String, Long, Long, Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      ("A", "B", 2L, 1L, Some(0.0)),
+      ("A", "C", 2L, 1L, Some(1.0)),
+      ("A", "D", 2L, 1L, Some(0.6)),
+      ("B", "C", 1L, 1L, Some(0.0)),
+      ("B", "D", 1L, 1L, Some(0.8)),
+      ("C", "D", 1L, 1L, Some(0.6))))
+  }
 }

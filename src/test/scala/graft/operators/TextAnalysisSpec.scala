@@ -1438,4 +1438,29 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Option[Long])].collect()
     assert(out.toSeq == Seq((1L, 2L, 1L, 6L, Some(-48995000L))))
   }
+
+  test("positionalSurprisal: hand-traced buckets — known, rare, and " +
+      "OOV terms land in their exact position bands") {
+    import spark.implicits._
+    // ref "a a b": lp(a) = ln(3/6), lp(b) = ln(2/6), oov = ln(1/6)
+    val ref = Seq((100L, "a a b")).toDF("doc_id", "text")
+    // "a b z a": positions 0..3 of 4 -> buckets 0, 2, 5, 7
+    val docs = Seq((1L, "a b z a")).toDF("doc_id", "text")
+    val out = TextAnalysis.positionalSurprisal(docs, ref)
+      .as[(Long, Long, Long, Double)].collect()
+    val lpA = -693147L // round(ln(0.5)*1e6)
+    val lpB = -1098612L
+    val lpZ = -1791759L
+    assert(out.toSeq == Seq(
+      (0L, 1L, lpA, -0.693147),
+      (2L, 1L, lpB, -1.098612),
+      (5L, 1L, lpZ, -1.791759),
+      (7L, 1L, lpA, -0.693147)))
+    // two tokens in one bucket accumulate exactly
+    val two = Seq((1L, "a a")).toDF("doc_id", "text") // buckets 0 and 5
+    val o2 = TextAnalysis.positionalSurprisal(two, ref)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(o2.toSeq == Seq((0L, 1L, lpA, -0.693147),
+      (5L, 1L, lpA, -0.693147)))
+  }
 }
