@@ -1504,4 +1504,61 @@ object Dedup {
           .cast("bigint").as("expected_collisions_micro"))
       .orderBy(col("batch_size"))
   }
+
+  /** Template-slot mining — WHAT varies inside near-duplicate text:
+    * for every near-dup pair, the tokens present in exactly ONE of
+    * the two documents are the template's variable slots (names,
+    * numbers, dates, cities — the fill-ins of a boilerplate form),
+    * and the corpus-wide top slot tokens tell a curation pass what
+    * the template family parameterizes over. The complement of
+    * x225/x229 (which report the SHARED runs): there the invariant,
+    * here the variables.
+    *
+    * Scale: the distinct (doc, term) frame is cut to pair ENDPOINTS
+    * by a semi join BEFORE the pair join (term volume bounded by
+    * duplicate volume × doc vocabulary, never corpus vocabulary);
+    * the one-sided test is one hash aggregation on (pair, term); the
+    * top-N is sort+limit → TakeOrderedAndProject (bounded
+    * per-partition heaps, no global sort).
+    *
+    * Output: top `topN` by (n_pairs desc, term): (term, n_pairs,
+    * pair_share_micro = n_pairs·10⁶ div total_pairs); empty when no
+    * pairs. */
+  def templateSlots(docs: DataFrame, pairs: DataFrame, topN: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topN >= 1 && topN <= 1000,
+      s"templateSlots: topN must be in [1, 1000], got $topN")
+    import graft.functions.TextFunctions.words
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val ends = p.select(col("doc_a").as("__doc"))
+      .union(p.select(col("doc_b").as("__doc"))).distinct()
+    // endpoint cut FIRST: the explode+distinct only ever runs over
+    // docs that appear in a pair (duplicate volume, never the corpus)
+    val pairedTerms = docs
+      .select(col(idCol).as("__doc"), col(textCol).as("__txt"))
+      .join(ends, Seq("__doc"), "left_semi")
+      .select(col("__doc"), explode(words(col("__txt"))).as("term"))
+      .distinct()
+      .localCheckpoint(true) // both endpoint joins read it
+    val pa = p.join(pairedTerms.withColumnRenamed("__doc", "doc_a"),
+        Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("term"))
+    val pb = p.join(pairedTerms.withColumnRenamed("__doc", "doc_b"),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("term"))
+    val oneSided = pa.union(pb)
+      .groupBy(col("doc_a"), col("doc_b"), col("term"))
+      .agg(count(lit(1)).as("__k"))
+      .filter(col("__k") === 1)
+    val nPairs = p.agg(count(lit(1)).cast("bigint").as("__np"))
+    oneSided.groupBy(col("term"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+      .crossJoin(broadcast(nPairs))
+      .filter(col("__np") > 0)
+      .select(col("term"), col("n_pairs"),
+        expr("(CAST(n_pairs AS DECIMAL(38,0)) * 1000000) div __np")
+          .cast("bigint").as("pair_share_micro"))
+      .orderBy(col("n_pairs").desc, col("term"))
+      .limit(topN)
+  }
 }

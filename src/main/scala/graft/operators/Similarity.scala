@@ -1466,4 +1466,53 @@ object Similarity {
               sqrt(col("__bb").cast("double"))), 6)).as("cosine"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Threshold transfer — the lexical↔semantic calibration curve: the
+    * near-dup pipeline scores pairs by n-gram JACCARD, the embedding
+    * pipeline by COSINE, and tuning one threshold against the other
+    * ("which cosine cut equals jaccard 0.8?") needs the empirical
+    * mapping between them ON THE SAME PAIRS. Every scored near-dup
+    * pair joins its two embeddings, and each jaccard decile reports
+    * the cosine distribution it maps to — the x42/x144 calibration
+    * discipline applied ACROSS the two similarity spaces instead of
+    * within one.
+    *
+    * Exactness: the decile comes from the integer micro rendering of
+    * the (already 6-dp-rounded) jaccard — no float bucket-edge
+    * ambiguity; the cosine quantizes once per PAIR to integer micro
+    * (the x06 double contract both engines share), so bucket sums
+    * are exact and the mean is one correctly-rounded double division.
+    *
+    * Scale: two id-keyed equi-joins of the (duplicate-volume-
+    * bounded) pair relation against the embedding table, then one
+    * hash aggregation to ≤ 10 buckets. Pairs whose endpoints have no
+    * embedding drop (inner join); zero vectors yield null cosine and
+    * drop with them.
+    *
+    * Output: (jaccard_bucket ∈ [0, 9], n_pairs, avg_cosine,
+    * min_cosine_micro, max_cosine_micro), ordered by bucket. */
+  def thresholdTransfer(pairs: DataFrame, emb: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol))
+    val scored = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(e.select(col(idCol).as("doc_a"), col(vecCol).as("__va")), "doc_a")
+      .join(e.select(col(idCol).as("doc_b"), col(vecCol).as("__vb")), "doc_b")
+      .select(
+        expr("least(CAST(round(jaccard * 1000000.0) AS BIGINT) div 100000, 9L)")
+          .as("jaccard_bucket"),
+        round(round(cosine_similarity(col("__va"), col("__vb")), 6) *
+          lit(1000000.0)).cast("long").as("__cm"))
+      .filter(col("__cm").isNotNull)
+    scored.groupBy(col("jaccard_bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(col("__cm")).cast("bigint").as("__sum"),
+        min(col("__cm")).as("min_cosine_micro"),
+        max(col("__cm")).as("max_cosine_micro"))
+      .select(col("jaccard_bucket"), col("n_pairs"),
+        round(col("__sum").cast("double") /
+          (col("n_pairs").cast("double") * lit(1000000.0)), 6)
+          .as("avg_cosine"),
+        col("min_cosine_micro"), col("max_cosine_micro"))
+      .orderBy(col("jaccard_bucket"))
+  }
 }

@@ -2853,6 +2853,30 @@ object ExtensionQueries {
     TextAnalysis.positionalSurprisal(d, d.filter(col("lang") === "en"))
   }
 
+  /** x247 template-slot mining — see
+    * [[graft.operators.Dedup.templateSlots]]: the tokens on exactly
+    * ONE side of each x04 near-dup pair, ranked corpus-wide — what
+    * the template family parameterizes over, the complement of
+    * x225/x229's shared runs. */
+  def x247(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.templateSlots(d, Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+      ngram = 3, prefixK = 8, minJaccard = 0.2))
+  }
+
+  /** x248 threshold transfer — see
+    * [[graft.operators.Similarity.thresholdTransfer]]: the empirical
+    * jaccard-decile → cosine mapping on the x04 pairs (vec_id ↔
+    * doc_id) — which cosine cut equals which jaccard cut, the
+    * cross-space calibration the dual dedup stacks need. */
+  def x248(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Similarity.thresholdTransfer(
+      Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.2),
+      emb(s, dir))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -3150,6 +3174,8 @@ object ExtensionQueries {
     "x244_curriculum_plan" -> (x244 _),
     "x245_source_affinity" -> (x245 _),
     "x246_positional_surprisal" -> (x246 _),
+    "x247_template_slots" -> (x247 _),
+    "x248_threshold_transfer" -> (x248 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -8688,6 +8714,58 @@ object ExtensionQueries {
          |            ELSE ((pbar_micro - pe_micro) * 1000000)
          |              // (1000000 - pe_micro) END AS kappa_micro
          |FROM sel""".stripMargin,
+
+    // Replays templateSlots over the x04 pair relation: distinct
+    // endpoint terms, the one-sided (pair, term) test, top-20 with
+    // the term tie-break.
+    "x247_template_slots" ->
+      s"""WITH $ngramPairsCteSql,
+         |pt AS (SELECT DISTINCT doc_id AS pdoc, unnest(w.w) AS term
+         |       FROM toks w
+         |       WHERE doc_id IN (SELECT doc_a FROM pairs
+         |                        UNION SELECT doc_b FROM pairs)),
+         |sides AS (
+         |  SELECT p.doc_a, p.doc_b, t.term FROM pairs p
+         |    JOIN pt t ON t.pdoc = p.doc_a
+         |  UNION ALL
+         |  SELECT p.doc_a, p.doc_b, t.term FROM pairs p
+         |    JOIN pt t ON t.pdoc = p.doc_b),
+         |one AS (SELECT doc_a, doc_b, term FROM sides
+         |        GROUP BY 1, 2, 3 HAVING count(*) = 1),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pairs),
+         |agg AS (SELECT term, CAST(count(*) AS BIGINT) AS n_pairs
+         |        FROM one GROUP BY 1)
+         |SELECT term, n_pairs,
+         |       CAST((CAST(n_pairs AS HUGEINT) * 1000000) // np.np AS BIGINT)
+         |         AS pair_share_micro
+         |FROM agg, np WHERE np.np > 0
+         |ORDER BY n_pairs DESC, term LIMIT 20""".stripMargin,
+
+    // Replays thresholdTransfer: the x04 pairs joined to both
+    // embeddings, micro-jaccard deciles, the x06 cosine contract
+    // quantized per pair, exact bucket sums.
+    "x248_threshold_transfer" ->
+      s"""WITH $ngramPairsCteSql,
+         |pe AS (SELECT
+         |    least(CAST(round(p.jaccard * 1000000.0) AS BIGINT) // 100000,
+         |      9) AS jaccard_bucket,
+         |    CAST(round(round(list_cosine_similarity(
+         |        ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+         |      * 1000000.0) AS BIGINT) AS cm
+         |  FROM pairs p
+         |    JOIN embeddings ea ON ea.vec_id = p.doc_a
+         |    JOIN embeddings eb ON eb.vec_id = p.doc_b),
+         |sc AS (SELECT jaccard_bucket,
+         |         CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(sum(cm) AS BIGINT) AS s,
+         |         CAST(min(cm) AS BIGINT) AS min_cosine_micro,
+         |         CAST(max(cm) AS BIGINT) AS max_cosine_micro
+         |       FROM pe WHERE cm IS NOT NULL GROUP BY 1)
+         |SELECT CAST(jaccard_bucket AS BIGINT) AS jaccard_bucket, n_pairs,
+         |       round(s::DOUBLE / (n_pairs::DOUBLE * 1000000.0), 6)
+         |         AS avg_cosine,
+         |       min_cosine_micro, max_cosine_micro
+         |FROM sc ORDER BY jaccard_bucket""".stripMargin,
 
     // Replays sourceAffinity: the x139 cell/centroid chain joined to
     // sources, exact BIGINT pair dot/norms, one fixed double cosine.

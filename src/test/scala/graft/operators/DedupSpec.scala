@@ -681,6 +681,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.inBatchCollisionForecast(one).count() == 0L)
   }
 
+  test("templateSlots: tokens on exactly one side of a pair are slots; " +
+      "a token varying in MANY pairs ranks first; shares are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "order from alice in london"),
+      (2L, "order from bob in london"),
+      (3L, "unrelated text entirely")).toDF("doc_id", "text")
+    val one = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out1 = Dedup.templateSlots(docs, one)
+      .as[(String, Long, Long)].collect()
+    assert(out1.toSeq == Seq(("alice", 1L, 1000000L), ("bob", 1L, 1000000L)))
+    // alice is one-sided in BOTH pairs once (1,3) joins the relation
+    val two = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out2 = Dedup.templateSlots(docs, two, topN = 3)
+      .as[(String, Long, Long)].collect()
+    assert(out2.toSeq == Seq(("alice", 2L, 1000000L),
+      ("bob", 1L, 500000L), ("entirely", 1L, 500000L)))
+    // no pairs -> empty
+    assert(Dedup.templateSlots(docs,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0L)
+  }
+
   test("inBatchCollisionForecast: pair-count envelope refuses loudly") {
     import spark.implicits._
     // one cluster of 10^10 docs: m(m-1) ~ 1e20 > the BIGINT envelope

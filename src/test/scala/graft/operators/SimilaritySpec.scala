@@ -591,4 +591,24 @@ class SimilaritySpec extends SparkSpec {
       ("B", "D", 1L, 1L, Some(0.8)),
       ("C", "D", 1L, 1L, Some(0.6))))
   }
+
+  test("thresholdTransfer: micro-jaccard deciles, per-pair cosine " +
+      "quantization, exact bucket stats; missing embeddings drop") {
+    val pairs = Seq((1L, 2L, 0.25), (3L, 4L, 0.95), (5L, 6L, 0.85),
+      (7L, 8L, 1.0), (9L, 10L, 0.5)) // 9/10 have no vectors
+      .toDF("doc_a", "doc_b", "jaccard")
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),  // cos 0.0
+      (3L, Array(1f, 0f)), (4L, Array(1f, 0f)),  // cos 1.0
+      (5L, Array(3f, 4f)), (6L, Array(4f, 3f)),  // cos 24/25 = 0.96
+      (7L, Array(1f, 1f)), (8L, Array(1f, 1f)))  // cos 1.0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.thresholdTransfer(pairs, vecs)
+      .as[(Long, Long, Double, Long, Long)].collect()
+    // buckets: 0.25 -> 2; 0.85 -> 8; 0.95 and 1.0 -> 9 (capped)
+    assert(out.toSeq == Seq(
+      (2L, 1L, 0.0, 0L, 0L),
+      (8L, 1L, 0.96, 960000L, 960000L),
+      (9L, 2L, 1.0, 1000000L, 1000000L)))
+  }
 }
