@@ -1370,4 +1370,70 @@ object Streaming {
       .transformWithState(new QuantileMonitorProcessor(maxDistinct),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class DocIngest(source: String, text: String)
+  final case class DamageStat(source: String, n_docs: Long, n_damaged: Long,
+      damaged_rate_micro: Long, latin1_hits: Long, punct_hits: Long,
+      replacement_hits: Long, nbsp_hits: Long)
+  private[graft] final case class DamageCounts(n_docs: Long, n_damaged: Long,
+      l1: Long, pu: Long, re: Long, nb: Long)
+
+  // the FOUR batch signatures, compiled once — java.util.regex IS the
+  // engine behind Spark's regexp_extract_all, so per-doc counts match
+  // TextAnalysis.mojibakeScreen exactly
+  private val DamagePats: Array[java.util.regex.Pattern] =
+    Array("Ã.", "â€", "�", "Â")
+      .map(java.util.regex.Pattern.compile)
+
+  private def countMatches(p: java.util.regex.Pattern, s: String): Long = {
+    val m = p.matcher(s)
+    var c = 0L
+    while (m.find()) c += 1
+    c
+  }
+
+  /** Streaming encoding-damage monitor — the live twin of
+    * [[graft.operators.TextAnalysis.mojibakeScreen]] (x237): keyed by
+    * source, state holds six exact counters (docs, damaged docs, four
+    * signature hit totals), and every micro-batch emits each TOUCHED
+    * source's RUNNING per-source row — re-extraction alarms fire as a
+    * feed degrades instead of at the nightly screen.
+    *
+    * Parity contract (test-pinned): after any prefix of the stream,
+    * the latest emit per source equals the batch screen run on that
+    * prefix — same regex engine, same integer truncating rate.
+    * Bounded state: six longs per source, touched-keys-only writes. */
+  final class DamageMonitorProcessor
+      extends StatefulProcessor[String, DocIngest, DamageStat] {
+    @transient private var st: ValueState[DamageCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DamageCounts]("damage",
+        org.apache.spark.sql.Encoders.product[DamageCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocIngest],
+        tv: TimerValues): Iterator[DamageStat] = {
+      var c = Option(st.get()).getOrElse(DamageCounts(0L, 0L, 0L, 0L, 0L, 0L))
+      rows.foreach { d =>
+        val t = Option(d.text).getOrElse("")
+        val h = DamagePats.map(countMatches(_, t))
+        c = DamageCounts(c.n_docs + 1L,
+          c.n_damaged + (if (h.sum > 0) 1L else 0L),
+          c.l1 + h(0), c.pu + h(1), c.re + h(2), c.nb + h(3))
+      }
+      st.update(c)
+      Iterator.single(DamageStat(key, c.n_docs, c.n_damaged,
+        c.n_damaged * 1000000L / c.n_docs, c.l1, c.pu, c.re, c.nb))
+    }
+  }
+
+  /** [[DamageMonitorProcessor]] wired onto a (source, text) ingest
+    * stream; same RocksDB provider requirement as
+    * [[sessionizeWithState]]. */
+  def damageMonitorWithState(docs: Dataset[DocIngest]): Dataset[DamageStat] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new DamageMonitorProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -1036,4 +1036,51 @@ class StreamingSpec extends SparkSpec {
         Option(e.getCause).exists(_.getMessage.contains("histogram envelope")))
     }
   }
+
+  test("damageMonitorWithState: latest emit per source equals the batch " +
+      "mojibake screen on the prefix — mid-stream and at the end") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      // the x237 injection over the fixture docs (nonzero damage)
+      val corrupted = spark.read.parquet(s"$sf001/documents.parquet")
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, expr("replace(text, 'a', 'Ã¡')"))
+            .when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" â€œcitedâ€")))
+            .when(col("doc_id") % 13 === 0,
+              concat(col("text"), lit(" x� Â y")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("source"), col("text"))
+      val rows = corrupted.select(col("source"), col("text"))
+        .as[Streaming.DocIngest].collect().toSeq
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+
+      def batchScreen(docs: Seq[Streaming.DocIngest]) =
+        graft.operators.TextAnalysis.mojibakeScreen(
+            docs.toDF("source", "text"))
+          .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+          .collect().map(r => r._1 -> r).toMap
+
+      def latest(table: String) = spark.table(table)
+        .as[Streaming.DamageStat].collect()
+        .groupBy(_.source).view
+        .mapValues(_.maxBy(_.n_docs))
+        .mapValues(s => (s.source, s.n_docs, s.n_damaged,
+          s.damaged_rate_micro, s.latin1_hits, s.punct_hits,
+          s.replacement_hits, s.nbsp_hits)).toMap
+
+      val in = MemoryStream[Streaming.DocIngest]
+      val q = Streaming.damageMonitorWithState(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("damage_parity").start()
+      in.addData(b1); q.processAllAvailable()
+      assert(latest("damage_parity") == batchScreen(b1),
+        "mid-stream prefix parity")
+      in.addData(b2); q.processAllAvailable()
+      q.stop()
+      assert(latest("damage_parity") == batchScreen(rows), "final parity")
+      // the injection actually fired: some source carries damage
+      assert(batchScreen(rows).values.exists(_._3 > 0))
+    }
+  }
 }
