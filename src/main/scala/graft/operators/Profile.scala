@@ -1676,8 +1676,11 @@ object Profile {
     * is exchangeable between the halves. A coverage reading far below
     * target means the score drifts between the halves and every
     * quantile-derived filter cut (x113's bins, x144's sweeps) is
-    * mis-calibrated. Split: even ids calibrate, odd ids evaluate —
-    * the deterministic parity contract both engines replay. Groups
+    * mis-calibrated. The calibration/eval split is a CALLER-supplied
+    * boolean column (`calCol`): exchangeability is the caller's
+    * contract, and the deterministic rendering (x235 uses the house
+    * md5-60 bucket parity — id arithmetic correlates with source in
+    * the fixtures, a hash does not) lives at the query. Groups
     * with NO calibration rows cannot be scored and their eval rows
     * are excluded (inner join to the median frame).
     *
@@ -1700,7 +1703,7 @@ object Profile {
     * Output: (pct, target_micro, n_cal, threshold, n_eval, n_covered,
     * coverage_micro), ordered by pct; a level whose eval side is
     * empty emits nothing. */
-  def conformalCoverage(rows: DataFrame, idCol: String = "doc_id",
+  def conformalCoverage(rows: DataFrame, calCol: String = "is_cal",
       groupCol: String = "source", valueCol: String = "value",
       pcts: Seq[Int] = Seq(1, 5, 10, 20),
       maxDistinct: Long = Rank.DefaultMaxDistinct): DataFrame = {
@@ -1709,12 +1712,12 @@ object Profile {
     require(pcts.distinct == pcts, "conformalCoverage: duplicate pcts")
     require(maxDistinct >= 1, "conformalCoverage: maxDistinct must be positive")
     import org.apache.spark.sql.expressions.Window
-    val base = rows.select(col(idCol).cast("long").as("__id"),
+    val base = rows.select(col(calCol).cast("boolean").as("__cal"),
         col(groupCol).cast("string").as("__g"),
         col(valueCol).cast("long").as("__y"))
-      .filter(col("__id").isNotNull && col("__g").isNotNull &&
+      .filter(col("__cal").isNotNull && col("__g").isNotNull &&
         col("__y").isNotNull)
-    val cal = base.filter(expr("__id % 2 = 0"))
+    val cal = base.filter(col("__cal"))
     // lower median per group off the value histogram
     val wg = Window.partitionBy(col("__g")).orderBy(col("__y"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1756,7 +1759,7 @@ object Profile {
       .groupBy(col("pct"), col("n_cal"))
       .agg(min(col("__r")).as("threshold"))
       .localCheckpoint(true) // tiny; broadcast against the eval histogram
-    val ehist = base.filter(expr("__id % 2 <> 0"))
+    val ehist = base.filter(!col("__cal"))
       .join(med, Seq("__g"))
       .select(abs(col("__y") - col("__med")).as("__r"))
       .groupBy(col("__r")).agg(count(lit(1)).as("__c"))

@@ -2706,15 +2706,17 @@ object ExtensionQueries {
     Layout.epochAllocationAdvisor(docs(s, dir))
 
   /** x235 split-conformal coverage audit — see
-    * [[graft.operators.Profile.conformalCoverage]]: even-id docs
-    * calibrate per-source token-count medians and the global
-    * residual quantiles; odd-id docs must be covered at ≥ 1−α —
-    * the distribution-free calibration gate on every quantile-derived
-    * filter cut (value = the x10 word-token count contract). */
+    * [[graft.operators.Profile.conformalCoverage]]: the md5-60-even
+    * half of docs calibrates per-source token-count medians and the
+    * global residual quantiles; the other half must be covered at
+    * ≥ 1−α — the distribution-free calibration gate on every
+    * quantile-derived filter cut (value = the x10 word-token count
+    * contract; the hash split mixes within every source, where raw
+    * id parity correlates with source in the fixtures). */
   def x235(s: SparkSession, dir: String): DataFrame =
     Profile.conformalCoverage(docs(s, dir)
-      .select(col("doc_id"), col("source"),
-        size(words(col("text"))).cast("long").as("value")))
+      .select((md5Bucket60(col("doc_id")) % 2 === 0).as("is_cal"),
+        col("source"), size(words(col("text"))).cast("long").as("value")))
 
   /** x236 in-batch negative collision forecast — see
     * [[graft.operators.Dedup.inBatchCollisionForecast]]: x211's
@@ -9159,11 +9161,13 @@ object ExtensionQueries {
     // truncating micro division for the coverage share.
     "x235_conformal_coverage" ->
       s"""WITH base AS (SELECT * FROM (
-         |    SELECT doc_id AS id, source AS g,
+         |    SELECT ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 2 = 0
+         |             AS is_cal,
+         |           source AS g,
          |           CAST(len(${wordsSql("text")}) AS BIGINT) AS y
          |    FROM documents)
-         |  WHERE id IS NOT NULL AND g IS NOT NULL AND y IS NOT NULL),
-         |cal AS (SELECT * FROM base WHERE id % 2 = 0),
+         |  WHERE is_cal IS NOT NULL AND g IS NOT NULL AND y IS NOT NULL),
+         |cal AS (SELECT * FROM base WHERE is_cal),
          |hist AS (SELECT g, y, CAST(count(*) AS BIGINT) AS c
          |         FROM cal GROUP BY 1, 2),
          |cum AS (SELECT g, y, SUM(c) OVER (PARTITION BY g ORDER BY y
@@ -9186,7 +9190,7 @@ object ExtensionQueries {
          |        FROM grid LEFT JOIN rcum ON rcum.cu >= grid.k
          |        GROUP BY 1, 2),
          |eh AS (SELECT abs(b.y - med.med) AS r, CAST(count(*) AS BIGINT) AS c
-         |       FROM base b JOIN med USING (g) WHERE b.id % 2 <> 0
+         |       FROM base b JOIN med USING (g) WHERE NOT b.is_cal
          |       GROUP BY 1),
          |cov AS (SELECT thr.pct, thr.n_cal, thr.threshold,
          |          CAST(sum(eh.c) AS BIGINT) AS n_eval,

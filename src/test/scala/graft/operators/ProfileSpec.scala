@@ -690,12 +690,12 @@ class ProfileSpec extends SparkSpec {
       "reads +inf (null) and covers everything; the finite rank picks " +
       "the exact order statistic") {
     import spark.implicits._
-    // cal (even ids): values 10,20,30,100 -> median rank ceil(4/2)=2
-    // -> med=20; residuals [0,10,10,80]. eval (odd ids): 20,150 ->
+    // cal: values 10,20,30,100 -> median rank ceil(4/2)=2
+    // -> med=20; residuals [0,10,10,80]. eval: 20,150 ->
     // residuals [0,130].
-    val rows = Seq((0L, "g", 10L), (2L, "g", 20L), (4L, "g", 30L),
-      (6L, "g", 100L), (1L, "g", 20L), (3L, "g", 150L))
-      .toDF("doc_id", "source", "value")
+    val rows = Seq((true, "g", 10L), (true, "g", 20L), (true, "g", 30L),
+      (true, "g", 100L), (false, "g", 20L), (false, "g", 150L))
+      .toDF("is_cal", "source", "value")
     val out = Profile.conformalCoverage(rows)
       .as[(Long, Long, Long, Option[Long], Long, Long, Long)].collect()
     // k = ceil(5*(100-p)/100): p=1,5,10 -> 5 > n_cal=4 -> null thr;
@@ -710,10 +710,10 @@ class ProfileSpec extends SparkSpec {
   test("conformalCoverage: custom pcts, mid-spine rank, and group " +
       "discipline — a group with no calibration rows is excluded") {
     import spark.implicits._
-    val rows = Seq((0L, "g", 10L), (2L, "g", 20L), (4L, "g", 30L),
-      (6L, "g", 100L), (1L, "g", 20L), (3L, "g", 150L),
-      (5L, "h", 999L)) // h never calibrates -> its eval row drops
-      .toDF("doc_id", "source", "value")
+    val rows = Seq((true, "g", 10L), (true, "g", 20L), (true, "g", 30L),
+      (true, "g", 100L), (false, "g", 20L), (false, "g", 150L),
+      (false, "h", 999L)) // h never calibrates -> its eval row drops
+      .toDF("is_cal", "source", "value")
     val out = Profile.conformalCoverage(rows, pcts = Seq(50))
       .as[(Long, Long, Long, Option[Long], Long, Long, Long)].collect()
     // k = ceil(5*50/100) = 3 -> 3rd smallest of [0,10,10,80] = 10;
@@ -723,8 +723,8 @@ class ProfileSpec extends SparkSpec {
 
   test("conformalCoverage: histogram-collapse envelope refuses loudly") {
     import spark.implicits._
-    val rows = (0L to 40L).map(i => (i, "g", i * i)).toDF(
-      "doc_id", "source", "value")
+    val rows = (0L to 40L).map(i => (i % 2 == 0, "g", i * i)).toDF(
+      "is_cal", "source", "value")
     val e = intercept[Exception] {
       Profile.conformalCoverage(rows, maxDistinct = 3L).collect()
     }
