@@ -1935,4 +1935,34 @@ class PlanShapeSpec extends SparkSpec {
     // acctbal filter pushed to the customer scan
     assert(plan.contains("GreaterThan(c_acctbal,9000"), plan)
   }
+
+  test("x233-x248: no tranche-39-44 query compiles to a CartesianProduct") {
+    Seq(ExtensionQueries.x233 _, ExtensionQueries.x234 _,
+        ExtensionQueries.x235 _, ExtensionQueries.x236 _,
+        ExtensionQueries.x237 _, ExtensionQueries.x238 _,
+        ExtensionQueries.x239 _, ExtensionQueries.x240 _,
+        ExtensionQueries.x241 _, ExtensionQueries.x242 _,
+        ExtensionQueries.x243 _, ExtensionQueries.x244 _,
+        ExtensionQueries.x245 _, ExtensionQueries.x246 _,
+        ExtensionQueries.x247 _, ExtensionQueries.x248 _)
+      .foreach { q =>
+        val plan = physical(q(spark, sf001))
+        assert(!plan.contains("CartesianProduct"), plan.take(4000))
+      }
+  }
+
+  test("x244: curriculum phases ride the boundary spine — no " +
+      "unpartitioned window over the scored doc frame") {
+    assertNoGlobalWindowOverBase(ExtensionQueries.x244(spark, sf001))
+  }
+
+  test("x241/x247: the leakage semi joins ARE semi joins (no subquery " +
+      "loops), and x247's top-N is a bounded heap, not a global sort") {
+    assert(physical(ExtensionQueries.x241(spark, sf001)).contains("LeftSemi"))
+    // x247's endpoint semi join materializes inside the pairedTerms
+    // localCheckpoint (lineage cut — it cannot appear in this plan);
+    // what the FINAL plan must show is the bounded-heap top-N
+    val p247 = physical(ExtensionQueries.x247(spark, sf001))
+    assert(p247.contains("TakeOrderedAndProject"), p247.take(4000))
+  }
 }
