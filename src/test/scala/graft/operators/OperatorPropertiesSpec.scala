@@ -749,4 +749,121 @@ class OperatorPropertiesSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("rakingWeights: weights floor at 1; four iterations land weighted " +
+      "column margins within 1% of the uniform target; partitioning-" +
+      "invariant") {
+    val cellGen = for {
+      r <- Gen.choose(0, 2); c <- Gen.choose(0, 2)
+    } yield (s"r$r", s"c$c")
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rows = samples(cellGen, 300, seed).toDF("lang", "source")
+      val out = Profile.rakingWeights(rows)
+        .as[(String, String, Long, Long, Long)].collect()
+      assert(out.forall(_._4 >= 1L))
+      assert(out.toSeq == Profile.rakingWeights(rows.repartition(13))
+        .as[(String, String, Long, Long, Long)].collect().toSeq)
+      // weighted column masses vs the uniform target tc = N*1e6/C
+      val n = out.map(_._3).sum
+      val cols = out.groupBy(_._2)
+      val tc = BigInt(n) * 1000000 / cols.size
+      cols.foreach { case (cname, cells) =>
+        val mass = cells.map(x => BigInt(x._3) * x._4).sum
+        assert((mass - tc).abs * 100 <= tc,
+          s"seed $seed col $cname mass $mass target $tc")
+      }
+    }
+  }
+
+  test("fleissKappa: matches a direct BigInt model on random complete " +
+      "panels; perfect copies read kappa 1e6") {
+    val labelGen = Gen.oneOf("x", "y", "z")
+    for (seed <- Seq(21L, 22L, 23L)) {
+      val raters = Seq("r1", "r2", "r3", "r4")
+      val labels = samples(labelGen, 10 * raters.size, seed)
+      val ratings = for {
+        (s, si) <- (1 to 10).map(i => s"s$i").zipWithIndex
+        (r, ri) <- raters.zipWithIndex
+      } yield (s, r, labels(si * raters.size + ri))
+      val got = Profile.fleissKappa(ratings.toDF("doc_id", "rater", "label"))
+        .as[(Long, Long, Long, Long, Long, Long, Option[Long])].collect()
+      // model: n_ij counts, exact micro quantization, kappa from micro
+      val n = BigInt(10); val m = BigInt(raters.size)
+      val cells = ratings.groupBy(v => (v._1, v._3)).view.mapValues(_.size)
+      val s1 = cells.values.map(v => BigInt(v) * v).sum
+      val cj = ratings.groupBy(_._3).view.mapValues(_.size)
+      val c2 = cj.values.map(v => BigInt(v) * v).sum
+      val pbar = (s1 - n * m) * 1000000 / (n * m * (m - 1))
+      val pe = c2 * 1000000 / (n * m * n * m)
+      val kappa = if (c2 == n * m * n * m) None
+        else Some(((pbar - pe) * 1000000 / (1000000 - pe)).toLong)
+      assert(got.toSeq == Seq((10L, 0L, m.toLong, cj.size.toLong,
+        pbar.toLong, pe.toLong, kappa)), s"seed $seed")
+      // perfect-copy panel: every rater repeats subject s_i's label
+      val perfect = (1 to 10).flatMap(i =>
+        raters.map(r => (s"s$i", r, labels(i - 1))))
+      val pk = Profile.fleissKappa(perfect.toDF("doc_id", "rater", "label"))
+        .as[(Long, Long, Long, Long, Long, Long, Option[Long])].head()
+      if (pk._4 >= 2) assert(pk._7 == Some(1000000L))
+      else assert(pk._7.isEmpty)
+    }
+  }
+
+  test("inBatchCollisionForecast: expected collisions strictly " +
+      "monotone in batch size on any spectrum with duplication") {
+    val specGen = for {
+      size <- Gen.choose(2L, 9L); n <- Gen.choose(1L, 5L)
+    } yield (size, n)
+    for (seed <- Seq(31L, 32L)) {
+      val spec0 = samples(specGen, 5, seed).zipWithIndex
+        .map { case ((s, n), i) => (s + i, n) } // distinct sizes
+      val spec = spec0.map { case (s, n) => (s, n, s * n, 0L) }
+        .toDF("cluster_size", "n_clusters", "n_docs", "doc_share_micro")
+      val out = Dedup.inBatchCollisionForecast(spec,
+          batchSizes = Seq(16, 64, 256))
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(out.map(_._1).toSeq == Seq(16L, 64L, 256L))
+      assert(out.sliding(2).forall(p => p(0)._5 < p(1)._5), out.toSeq)
+      // pair rate replays the mirror formula
+      val nDocs = spec0.map { case (s, n) => s * n }.sum
+      val sPairs = spec0.map { case (s, n) => BigInt(s) * (s - 1) * n }.sum
+      assert(out.head._4 ==
+        (sPairs * 1000000 / (BigInt(nDocs) * (nDocs - 1))).toLong)
+    }
+  }
+
+  test("conformalCoverage: thresholds and coverage are non-increasing " +
+      "as the miscoverage level rises") {
+    val vGen = Gen.choose(0L, 40L)
+    for (seed <- Seq(41L, 42L)) {
+      val vals = samples(vGen, 120, seed).zipWithIndex
+        .map { case (v, i) => (i % 2 == 0, s"g${i % 3}", v) }
+      val out = Profile.conformalCoverage(
+          vals.toDF("is_cal", "source", "value"),
+          pcts = Seq(1, 5, 10, 20, 50))
+        .as[(Long, Long, Long, Option[Long], Long, Long, Long)].collect()
+      assert(out.map(_._1).toSeq == Seq(1L, 5L, 10L, 20L, 50L))
+      val thr = out.map(_._4.getOrElse(Long.MaxValue))
+      assert(thr.sliding(2).forall(p => p(0) >= p(1)), thr.toSeq)
+      val cov = out.map(_._7)
+      assert(cov.sliding(2).forall(p => p(0) >= p(1)), cov.toSeq)
+    }
+  }
+
+  test("raterQuality: a unanimous panel reads every accuracy at 1e6, " +
+      "equal weights, zero flips; output invariant under repartition") {
+    val labelGen = Gen.oneOf("p", "q")
+    for (seed <- Seq(51L, 52L)) {
+      val perSubject = samples(labelGen, 12, seed)
+      val votes = perSubject.zipWithIndex.flatMap { case (l, i) =>
+        Seq("a", "b", "c").map(r => (s"s$i", r, l)) }
+      val df = votes.toDF("doc_id", "rater", "label")
+      val out = Profile.raterQuality(df)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      assert(out.forall(r => r._4 == 1000000L && r._6 == 0L), out.toSeq)
+      assert(out.map(_._5).distinct.length == 1)
+      assert(out.toSeq == Profile.raterQuality(df.repartition(7))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq)
+    }
+  }
 }
