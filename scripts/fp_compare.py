@@ -13,14 +13,22 @@ import sys
 
 a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
-pa, pb = a["plans"], b["plans"]
+# Older/partial sweeps (pre-fingerprint rounds, SPARK_GRAFT_ONLY dev
+# runs) may lack any of these fields — report, don't KeyError.
+for name, d in (("sweep1", a), ("sweep2", b)):
+    missing = [k for k in ("plans", "plan_fp", "value") if k not in d]
+    if missing:
+        print(f"note: {name} lacks {', '.join(missing)} "
+              "(older or partial sweep; comparing what is present)")
+pa, pb = a.get("plans") or {}, b.get("plans") or {}
 keys = sorted(set(pa) | set(pb))
 diffs = [k for k in keys if pa.get(k) != pb.get(k)]
 print(f"queries: {len(keys)}; fp diffs: {len(diffs)}")
 for k in diffs:
     print(f"  DIFF {k}: {pa.get(k)} -> {pb.get(k)}")
-print(f"combined plan_fp: {a['plan_fp']} vs {b['plan_fp']}")
-print(f"headline: {a['value']:.2f} vs {b['value']:.2f} s")
+print(f"combined plan_fp: {a.get('plan_fp', '?')} vs {b.get('plan_fp', '?')}")
+print(f"headline: {a.get('value', float('nan')):.2f} "
+      f"vs {b.get('value', float('nan')):.2f} s")
 print(f"suspects: {a.get('suspect_contaminated')} vs "
       f"{b.get('suspect_contaminated')}")
 vc = b.get("vs_canonical") or {}

@@ -353,6 +353,61 @@ object Bench {
     }
     val suspects = vsCanonical.collect { case (k, ratio)
       if ratio > 3.0 && results.find(_._1 == k).exists(_._2 > 0.5) => k }
+    // Self-adjudication (r15 verdict item 1): a sentinel flag used to
+    // ship the SUSPECT number as the number of record while the proof
+    // it was contamination lived in a side probe (r15: x20 26.75 s /
+    // x119 4.17 s in the artifact vs 0.25 s / 0.62 s clean). Now the
+    // sweep re-probes each flagged query itself — a fresh median-of-5
+    // AFTER the sweep (the load spike that contaminated the in-sweep
+    // runs has typically passed; if it hasn't, the clean probe reads
+    // high too and the flag legitimately stands) — and writes BOTH
+    // numbers ("queries" keeps the sweep median, "clean_probe" carries
+    // the re-probe) so a third party never needs forensics.
+    val cleanProbe: Seq[(String, Double)] =
+      if (repeat < 3) Seq.empty
+      else suspects.flatMap { k =>
+        SparkEntry.queries.get(k).map { fn =>
+          var times = Vector.empty[Double]
+          for (_ <- 1 to 5) {
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+            times :+= (System.nanoTime() - t0) / 1e9
+            dropLingering()
+          }
+          k -> median(times)
+        }
+      }
+    val cleanProbeFull = cleanProbe.map { case (k, v) =>
+      "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Machine-calibration probe (r15 verdict item 2): the same code
+    // read 7.97–9.53 s across days of machine drift, so cross-round
+    // headline comparisons kept needing forensics. Three fixed cheap
+    // queries (q01 scan+sort, q09 count-distinct shuffle, q16 union —
+    // scan/shuffle/cpu axes) are re-timed median-of-3 AFTER the sweep;
+    // their sum is the machine-speed unit and headline_per_calib =
+    // headline / calib_sec is the drift-normalized figure to compare
+    // across rounds (band documented in SCALE.md §23).
+    val calibNames = Seq("q01_scan_project_sort", "q09_count_distinct",
+      "q16_union_all")
+    val calib: Seq[(String, Double)] =
+      if (repeat < 3 || only.nonEmpty) Seq.empty
+      else calibNames.flatMap { k =>
+        SparkEntry.queries.get(k).map { fn =>
+          var times = Vector.empty[Double]
+          for (_ <- 1 to 3) {
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+            times :+= (System.nanoTime() - t0) / 1e9
+            dropLingering()
+          }
+          k -> median(times)
+        }
+      }
+    val calibSec = calib.map(_._2).sum
+    val calibFull = calib.map { case (k, v) =>
+      "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val vsCanonFull = vsCanonical.map { case (k, r) =>
       "\"" + k + "\":" + r2(r) }.mkString("{", ",", "}")
     val suspectsFull = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -363,7 +418,9 @@ object Bench {
       .digest(results.map { case (k, _, _, _, fp, _) => s"$k:$fp" }
         .mkString(";").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
-    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","queries":$qsFull,"rel_spread":$spreadFull,"plans":$plansFull,"runs":$runsFull,"vs_canonical":$vsCanonFull,"suspect_contaminated":$suspectsFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
+    val perCalib =
+      if (calibSec > 0.0) r2(headline / calibSec) else "null"
+    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","calib":$calibFull,"calib_sec":${r2(calibSec)},"headline_per_calib":$perCalib,"queries":$qsFull,"rel_spread":$spreadFull,"plans":$plansFull,"runs":$runsFull,"vs_canonical":$vsCanonFull,"suspect_contaminated":$suspectsFull,"clean_probe":$cleanProbeFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
     // Full per-query detail: (a) an EARLIER stdout line (the driver only
     // parses the last one) and (b) BENCH_FULL.json in the repo, which the
     // driver's end-of-round commit picks up for the judge. ONLY canonical
@@ -384,8 +441,12 @@ object Bench {
     // per-query map for the relational + reference sets at ms precision,
     // extension (x*) set summarized as total + slowest-3.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // short ids (name up to the first '_' is unique) — the r15 compact
+    // line sat at 1915 of the driver's 2000-char window; full names
+    // live in BENCH_FULL.json's "queries"
     val compactSel = results.filter(r => r._1.startsWith("q") || r._1.startsWith("r"))
-    val qsCompact = compactSel.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r3(v) }
+    val qsCompact = compactSel.map { case (k, v, _, _, _, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val xs = results.filter(_._1.startsWith("x"))
     val xTotal = r3(xs.map(_._2).sum)
@@ -406,7 +467,12 @@ object Bench {
     // contaminated sweep can't blow the 2000-char driver window
     val suspectCompact = suspects.take(5)
       .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","spread_med":$spreadMed,"spread_max":$spreadMax,"n_suspect":${suspects.size},"suspect":$suspectCompact,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
+    // clean-probe summary rides the compact line too (short ids, ms
+    // precision, bounded 5) so the adjudication is visible even when
+    // only the last stdout line survives the driver's 2000-char window
+    val cleanCompact = cleanProbe.take(5).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","calib_sec":${r2(calibSec)},"headline_per_calib":$perCalib,"spread_med":$spreadMed,"spread_max":$spreadMax,"n_suspect":${suspects.size},"suspect":$suspectCompact,"clean_probe":$cleanCompact,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1705,7 +1705,11 @@ object Sequences {
     * training set must dedup exactly like boilerplate text. The
     * per-user session grain rides the DAY boundary (deterministic,
     * replayable) rather than a gap rule so both engines cut sessions
-    * identically.
+    * identically. Event types are ESCAPED before joining ('\' → '\\',
+    * then '>' → '\>') so the '>' delimiter is unambiguous: without
+    * it, types ("a>b","c") and ("a","b>c") both rendered "a>b>c" at
+    * session_len 2 and distinct scripted-traffic signatures silently
+    * merged (r15 ADVICE).
     *
     * Scale discipline: session SIZES are counted FIRST (one hash agg)
     * and sessions longer than `maxLen` never reach the collect — the
@@ -1731,7 +1735,11 @@ object Sequences {
       s"behaviorBoilerplate: minSessions must be >= 1, got $minSessions")
     val base = events.select(col(userCol).as("__u"),
         to_date(col(tsCol)).as("__d"), col(tsCol).as("__ts"),
-        col(idCol).as("__i"), col(typeCol).cast("string").as("__t"))
+        col(idCol).as("__i"),
+        // delimiter-escape: '\'→'\\' FIRST, then '>'→'\>' — order
+        // matters (reversed, an escaped '\>' would re-escape)
+        replace(replace(col(typeCol).cast("string"),
+            lit("\\"), lit("\\\\")), lit(">"), lit("\\>")).as("__t"))
       .filter(col("__u").isNotNull && col("__d").isNotNull &&
         col("__i").isNotNull && col("__t").isNotNull)
     val sz = base.groupBy(col("__u"), col("__d"))

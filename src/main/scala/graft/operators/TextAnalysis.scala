@@ -1991,7 +1991,16 @@ object TextAnalysis {
     *    cannot cross token separators — with the per-word floor of 1
     *    recovered exactly as vowelless-word count = words − words
     *    containing a vowel (one regex count, no per-element lambda —
-    *    the round-9 interpreted-HOF trap).
+    *    the round-9 interpreted-HOF trap). The vowel-bearing-word
+    *    count is the match count of `[\p{L}\p{N}]*[aeiouy][\p{L}
+    *    \p{N}]*`: each match is one maximal alphanumeric RUN, and a
+    *    run IS one `words()` token by that tokenizer's contract
+    *    (maximal [\p{L}\p{N}] runs over the lowercased text — NOT
+    *    whitespace tokens), so the identity holds for ALL inputs
+    *    including punctuation/hyphen-bearing text: "o'clock" is two
+    *    words AND two runs, "x1.y2" two words and zero vowel-bearing
+    *    runs (both vowelless). Pinned by the punctuation case in
+    *    TextAnalysisSpec.
     *
     * Exactness: all three components are exact BIGINT counts; the
     * score is ONE fully-parenthesized double expression quantized

@@ -8903,7 +8903,8 @@ object ExtensionQueries {
     // fence BEFORE any sequence build, ordered string_agg patterns.
     "x243_behavior_boilerplate" ->
       """WITH base AS (SELECT user_id AS u, CAST(ts AS DATE) AS d, ts,
-        |    event_id AS i, event_type AS t
+        |    event_id AS i,
+        |    replace(replace(event_type, '\', '\\'), '>', '\>') AS t
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
         |sz AS (SELECT u, d, count(*) AS c FROM base GROUP BY 1, 2),
