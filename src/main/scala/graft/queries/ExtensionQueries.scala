@@ -2879,6 +2879,28 @@ object ExtensionQueries {
       emb(s, dir))
   }
 
+  /** x249 advised three-way join — see
+    * [[graft.operators.Layout.advisedThreeWayJoin]]: the
+    * customer/supplier/nation nationkey triple joined in the order
+    * [[graft.operators.Layout.joinOrderAdvisor]] forecasts cheapest,
+    * with the executed join's row count reported BESIDE the forecast
+    * (joined_rows must equal final_rows — the advisor's cardinality
+    * model verified against the engine, not just read). Closes the
+    * r15 "advisors are read-only" gap as a declared query;
+    * PlanShapeSpec pins the physical innermost join pair to the
+    * advised order. */
+  def x249(s: SparkSession, dir: String): DataFrame = {
+    val (advice, joined) = graft.operators.Layout.advisedThreeWayJoin(
+      Tables.load(s, dir, "customer").select(col("c_nationkey").as("k")),
+      Tables.load(s, dir, "supplier").select(col("s_nationkey").as("k")),
+      Tables.load(s, dir, "nation").select(col("n_nationkey").as("k")),
+      "k")
+    advice.filter(col("best"))
+      .select(col("join_order"), col("intermediate_rows"), col("final_rows"))
+      .crossJoin(broadcast(
+        joined.agg(count(lit(1)).cast("bigint").as("joined_rows"))))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -3178,6 +3200,7 @@ object ExtensionQueries {
     "x246_positional_surprisal" -> (x246 _),
     "x247_template_slots" -> (x247 _),
     "x248_threshold_transfer" -> (x248 _),
+    "x249_advised_join" -> (x249 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -8768,6 +8791,40 @@ object ExtensionQueries {
          |         AS avg_cosine,
          |       min_cosine_micro, max_cosine_micro
          |FROM sc ORDER BY jaccard_bucket""".stripMargin,
+
+    // Replays advisedThreeWayJoin's whole contract: histogram sums in
+    // DECIMAL(38,0), best = min(intermediate, order-name tiebreak),
+    // and the ACTUAL 3-way join counted beside the forecast.
+    "x249_advised_join" ->
+      """WITH ha AS (SELECT CAST(c_nationkey AS VARCHAR) AS key,
+        |        CAST(count(*) AS DECIMAL(38,0)) AS na
+        |      FROM customer GROUP BY 1),
+        |hb AS (SELECT CAST(s_nationkey AS VARCHAR) AS key,
+        |        CAST(count(*) AS DECIMAL(38,0)) AS nb
+        |      FROM supplier GROUP BY 1),
+        |hc AS (SELECT CAST(n_nationkey AS VARCHAR) AS key,
+        |        CAST(count(*) AS DECIMAL(38,0)) AS nc
+        |      FROM nation GROUP BY 1),
+        |h AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb,
+        |        coalesce(nc, 0) AS nc
+        |      FROM ha FULL JOIN hb USING (key) FULL JOIN hc USING (key)),
+        |s AS (SELECT coalesce(sum(na * nb), 0) AS ab,
+        |        coalesce(sum(na * nc), 0) AS ac,
+        |        coalesce(sum(nb * nc), 0) AS bc,
+        |        coalesce(sum(na * nb * nc), 0) AS fin FROM h),
+        |o AS (SELECT 'ab_then_c' AS join_order, ab AS i FROM s
+        |      UNION ALL SELECT 'ac_then_b', ac FROM s
+        |      UNION ALL SELECT 'bc_then_a', bc FROM s),
+        |best AS (SELECT join_order, CAST(i AS BIGINT) AS intermediate_rows
+        |         FROM o ORDER BY i, join_order LIMIT 1),
+        |fr AS (SELECT CAST(fin AS BIGINT) AS final_rows FROM s),
+        |j AS (SELECT CAST(count(*) AS BIGINT) AS joined_rows
+        |      FROM customer c
+        |        JOIN supplier sp ON c.c_nationkey = sp.s_nationkey
+        |        JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |SELECT best.join_order, best.intermediate_rows, fr.final_rows,
+        |       j.joined_rows
+        |FROM best, fr, j""".stripMargin,
 
     // Replays sourceAffinity: the x139 cell/centroid chain joined to
     // sources, exact BIGINT pair dot/norms, one fixed double cosine.

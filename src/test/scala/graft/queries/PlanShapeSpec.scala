@@ -1965,4 +1965,152 @@ class PlanShapeSpec extends SparkSpec {
     val p247 = physical(ExtensionQueries.x247(spark, sf001))
     assert(p247.contains("TakeOrderedAndProject"), p247.take(4000))
   }
+
+  // ---- advisor-enforcement gates (VERDICT r15 item 4) ----------------
+  // The advisors (x179 broadcast, x199 salt, x216/x249 join order) used
+  // to be read-only: a declared query whose plan contradicted its own
+  // advisor was caught only if a human read both. These gates EVALUATE
+  // the advisor over the fixture and assert the corresponding plans
+  // agree — a contradiction now fails the suite.
+
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.joins.{BaseJoinExec,
+    BroadcastHashJoinExec, BroadcastNestedLoopJoinExec,
+    ShuffledHashJoinExec, SortMergeJoinExec}
+  import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+  /** Runs `body` with AQE off so executedPlan is the concrete tree
+    * (AdaptiveSparkPlanExec is a leaf — collect can't see inside). */
+  private def withAqeOff[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private val fixtureTables = Seq("lineitem", "orders", "customer",
+    "supplier", "nation", "region", "part", "events", "documents",
+    "embeddings")
+
+  /** Fixture tables scanned anywhere under `p`. */
+  private def scanTables(p: SparkPlan): Set[String] =
+    p.collect { case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString) }
+      .flatten
+      .flatMap(path => fixtureTables.filter(t => path.contains(t + ".parquet")))
+      .toSet
+
+  private def buildSideOf(j: SparkPlan): Option[SparkPlan] = j match {
+    case b: BroadcastHashJoinExec => Some(b.buildSide match {
+      case BuildLeft => b.left; case BuildRight => b.right })
+    case b: BroadcastNestedLoopJoinExec => Some(b.buildSide match {
+      case BuildLeft => b.left; case BuildRight => b.right })
+    case _ => None
+  }
+
+  /** Tables whose scans reach `p` WITHOUT being the build side of some
+    * broadcast join on the way — i.e. tables that genuinely shuffle. */
+  private def shuffledScanTables(p: SparkPlan): Set[String] =
+    buildSideOf(p) match {
+      case Some(build) =>
+        p.children.filterNot(_ eq build).flatMap(shuffledScanTables).toSet
+      case None => p match {
+        case s: FileSourceScanExec => scanTables(s)
+        case other => other.children.flatMap(shuffledScanTables).toSet
+      }
+    }
+
+  test("x179 gate: q04/q44 join strategies agree with the broadcast " +
+      "advisor in BOTH directions") {
+    val advice = ExtensionQueries.x179(spark, sf001).collect()
+    val dims = advice.map(_.getAs[String]("table")).toSet
+    val advised = advice.filter(_.getAs[Boolean]("fits_broadcast"))
+      .map(_.getAs[String]("table")).toSet
+    assert(advised.nonEmpty, advice.mkString("; "))
+    withAqeOff {
+      Seq("q04" -> RelationalQueries.q04(spark, sf001),
+          "q44" -> RelationalQueries.q44(spark, sf001)).foreach {
+        case (name, df) =>
+          val plan = df.queryExecution.executedPlan
+          // advised ⇒ broadcast: no advised table's scan may feed a
+          // shuffled join un-broadcast
+          plan.collect {
+            case j: SortMergeJoinExec => j: SparkPlan
+            case j: ShuffledHashJoinExec => j: SparkPlan
+          }.foreach { j =>
+            val offending = shuffledScanTables(j).intersect(advised)
+            assert(offending.isEmpty,
+              s"$name: advisor says broadcast ${offending.mkString(",")} " +
+                s"but the plan shuffles them:\n${j.toString.take(3000)}")
+          }
+          // not advised ⇒ not broadcast: nothing the advisor REJECTED
+          // may be broadcast-built
+          val built = plan.collect { case j: BaseJoinExec => j }
+            .flatMap(buildSideOf).flatMap(scanTables).toSet
+          val over = built.intersect(dims -- advised)
+          assert(over.isEmpty,
+            s"$name broadcasts ${over.mkString(",")} against the advisor")
+          // and q44's four advised dims all actually broadcast-build
+          // (in q04 the advised customer is the PROBE side by role —
+          // broadcasting the bigger side of a dim-dim join is not what
+          // the advisor asks)
+          if (name == "q44")
+            assert(advised.intersect(scanTables(plan)).subsetOf(built),
+              s"q44 built=$built advised=$advised")
+      }
+    }
+  }
+
+  test("x199 gate: declared salt factors cover the advisor's plan at " +
+      "the queries' design target") {
+    // x50 salts events.user_id with nSalts=16; x199 IS the advisor for
+    // that key at targetPerTask=50 — its max advised factor must be
+    // covered, or x50's constant has drifted below its own advice
+    val advised = ExtensionQueries.x199(spark, sf001).collect()
+    val maxFactor = advised.map(_.getAs[Long]("salt_factor")).max
+    assert(maxFactor <= 16L,
+      s"x199 advises salt_factor $maxFactor; x50's nSalts=16 no longer covers it")
+    // x18 salts orders.o_custkey with saltFactor=8 at the same 50-rows/
+    // task design target
+    val f18 = graft.operators.Layout.saltAdvisor(
+        graft.Tables.load(spark, sf001, "orders")
+          .select(col("o_custkey").as("k")),
+        "k", targetPerTask = 50L, topN = 5)
+      .collect().map(_.getAs[Long]("salt_factor")).max
+    assert(f18 <= 8L,
+      s"saltAdvisor advises factor $f18 on o_custkey; x18's saltFactor=8 no longer covers it")
+  }
+
+  test("x249 gate: the executed three-way join's innermost pair IS the " +
+      "advised order") {
+    withAqeOff {
+      val (advice, joined) = graft.operators.Layout.advisedThreeWayJoin(
+        graft.Tables.load(spark, sf001, "customer")
+          .select(col("c_nationkey").as("k")),
+        graft.Tables.load(spark, sf001, "supplier")
+          .select(col("s_nationkey").as("k")),
+        graft.Tables.load(spark, sf001, "nation")
+          .select(col("n_nationkey").as("k")),
+        "k")
+      val rows = advice.collect()
+      val best = rows.find(_.getAs[Boolean]("best")).get
+        .getAs[String]("join_order")
+      // the gate is strict only if the forecast separates the orders —
+      // assert it does at this fixture (supplier⋈nation is far cheaper
+      // than anything customer-first)
+      assert(rows.map(_.getAs[Long]("intermediate_rows")).distinct.length == 3,
+        rows.mkString("; "))
+      val expectedPair = best match {
+        case "ab_then_c" => Set("customer", "supplier")
+        case "ac_then_b" => Set("customer", "nation")
+        case _           => Set("supplier", "nation")
+      }
+      val plan = joined.queryExecution.executedPlan
+      val innermost = plan.collect { case j: BaseJoinExec => j }
+        .filter(j => j.collect { case x: BaseJoinExec => x }.size == 1)
+      assert(innermost.nonEmpty, plan.toString.take(4000))
+      assert(innermost.exists(j => scanTables(j) == expectedPair),
+        s"advised $best (pair $expectedPair) but innermost joins scan " +
+          s"${innermost.map(scanTables)}:\n${plan.toString.take(4000)}")
+    }
+  }
 }
