@@ -24,14 +24,21 @@ class StreamingSpec extends SparkSpec {
     in.addData(("a", "v1", 1L), ("b", "v1", 1L), ("a", "v2", 2L)) // in-batch last-wins
     val q1 = Streaming.mergeSink(stream, "k", "ts", target, ckpt)
     q1.awaitTermination()
-    val r1 = spark.read.parquet(target).select("k", "v").as[(String, String)].collect().toMap
-    assert(r1 == Map("a" -> "v2", "b" -> "v1"))
+    def current = graft.sources.SnapshotStore.read(spark, target)
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(current == Map("a" -> "v2", "b" -> "v1"))
+    assert(graft.sources.SnapshotStore.currentVersion(spark, target) == Some(1L))
 
     in.addData(("b", "v9", 3L), ("c", "v1", 3L)) // cross-batch upsert
     val q2 = Streaming.mergeSink(stream, "k", "ts", target, ckpt)
     q2.awaitTermination()
-    val r2 = spark.read.parquet(target).select("k", "v").as[(String, String)].collect().toMap
-    assert(r2 == Map("a" -> "v2", "b" -> "v9", "c" -> "v1"))
+    assert(current == Map("a" -> "v2", "b" -> "v9", "c" -> "v1"))
+    // each batch published a fresh snapshot; the first one is intact
+    // (a reader holding it mid-merge would have kept a consistent view)
+    assert(graft.sources.SnapshotStore.currentVersion(spark, target) == Some(2L))
+    val v1 = spark.read.parquet(new java.io.File(target, "snap-00000001").getPath)
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(v1 == Map("a" -> "v2", "b" -> "v1"))
   }
 
   test("ingestDedupSink: near-dups dropped within batch and against the standing corpus") {
