@@ -65,7 +65,11 @@ class DefaultSource extends TableProvider {
       // offset windows skip the capped tail of every page — rows
       // silently lost. Clamp instead.
       math.min(Option(properties.get("pageSize")).map(_.toInt).getOrElse(10000), 50000),
-      Option(properties.get("numPartitions")).map(_.toInt).getOrElse(1))
+      Option(properties.get("numPartitions")).map(_.toInt).getOrElse(1),
+      // opt-in runtime collation attestation (SocrataCollation): one
+      // ordered probe request per (url, column) can unlock string
+      // min/max/top-N pushdown where the server provably sorts binary
+      Option(properties.get("attestCollation")).exists(_.toBoolean))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -74,7 +78,8 @@ class DefaultSource extends TableProvider {
     base + (if (base.contains("?")) "&" else "?") + qs
 }
 
-class SocrataTable(tableSchema: StructType, url: String, pageSize: Int, numPartitions: Int)
+class SocrataTable(tableSchema: StructType, url: String, pageSize: Int, numPartitions: Int,
+    attestCollation: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   override def schema(): StructType = tableSchema
   override def name(): String = s"socrata($url)"
@@ -82,7 +87,7 @@ class SocrataTable(tableSchema: StructType, url: String, pageSize: Int, numParti
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     JsonRows.validateSchema(tableSchema) // fail at plan time, not mid-scan
-    new SocrataScanBuilder(schema, url, pageSize, numPartitions)
+    new SocrataScanBuilder(schema, url, pageSize, numPartitions, attestCollation)
   }
 
   /** K1 as a first-class DSv2 batch write (SURVEY §2.1: the "long-term
@@ -252,7 +257,8 @@ object CsvRows {
     else s
 }
 
-class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, numPartitions: Int)
+class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, numPartitions: Int,
+    attestCollation: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -302,11 +308,26 @@ class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, num
     * not attested to match Spark's binary UTF-8 comparison, and a
     * server-computed min/max over rows this side never sees cannot be
     * re-checked. String aggregates stay on the trust-nothing row
-    * path. */
+    * path — UNLESS the runtime probe attests binary collation (see
+    * [[stringAttested]]). */
   private def minMaxable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | DateType | TimestampType => true
     case _ => false
   }
+
+  /** Opt-in unlock of the string decline above: true when the session
+    * option `attestCollation` is set AND [[SocrataCollation]]'s one
+    * ordered probe request proved this column sorts in binary UTF-8
+    * order on the server (memoized per url+column). Applies to ORDER
+    * trust (min/max, top-N row selection); string count_distinct stays
+    * declined — an order attestation says nothing about the server's
+    * EQUALITY normalization, which is what distinctness trusts. */
+  private def stringAttested(f: StructField): Boolean =
+    attestCollation && f.dataType == StringType &&
+      SocrataCollation.attested(url, f.name, pageSize)
+
+  private def orderTrusted(f: StructField): Boolean =
+    minMaxable(f.dataType) || stringAttested(f)
 
   private def fieldOf(e: V2Expression): Option[StructField] = e match {
     case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -337,9 +358,9 @@ class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, num
         case c: Count => fieldOf(c.column).filter(f => minMaxable(f.dataType)).map { f =>
           (s"count_distinct(${f.name}) AS $alias", StructField(alias, LongType))
         }
-        case m: Min => fieldOf(m.column).filter(f => minMaxable(f.dataType))
+        case m: Min => fieldOf(m.column).filter(orderTrusted)
           .map(f => (s"min(${f.name}) AS $alias", StructField(alias, f.dataType)))
-        case m: Max => fieldOf(m.column).filter(f => minMaxable(f.dataType))
+        case m: Max => fieldOf(m.column).filter(orderTrusted)
           .map(f => (s"max(${f.name}) AS $alias", StructField(alias, f.dataType)))
         case _ => None
       }
@@ -401,7 +422,7 @@ class SocrataScanBuilder(fullSchema: StructType, url: String, pageSize: Int, num
     * future nullable admission can't silently flip it. */
   private def translateOrder(o: V2SortOrder): Option[String] =
     fieldOf(o.expression())
-      .filter(f => minMaxable(f.dataType) && !f.nullable)
+      .filter(f => orderTrusted(f) && !f.nullable)
       .flatMap { f =>
         (o.direction(), o.nullOrdering()) match {
           case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) => Some(s"${f.name} ASC")
@@ -730,6 +751,82 @@ object JsonRows {
 
 /** Catalyst v1 Filter → SoQL predicate translation (the subset SoQL
   * supports; everything else stays a residual Spark-side filter). */
+/** Runtime collation capability probe (VERDICT r15 item 5): string
+  * aggregate/top-N pushdown is declined BY DEFAULT because the server's
+  * text collation (case folding, locale) is not attested to match
+  * Spark's binary UTF-8 comparison. This probe can attest it at
+  * runtime: ONE ordered request (`$select=col&$order=col&$limit=page`)
+  * against the live endpoint, whose returned sequence must
+  *
+  *  1. be in exact binary-UTF-8 byte order (Spark's UTF8String order),
+  *  2. contain a DISCRIMINATING adjacent pair — one a case-folding or
+  *     locale collator (Collator ROOT) would order the other way, so a
+  *     folding server could not have produced the sequence, and
+  *  3. contain at least one non-ASCII value (all collations agree on
+  *     sorted ASCII-only data — such a sample attests nothing).
+  *
+  * All three fail CLOSED: a sample that can't prove binary collation
+  * (too small, all-ASCII, already collation-agnostic) keeps the
+  * decline. Verdicts are memoized per (url, column) for the session —
+  * one probe request, then the unlock holds. Opt in with the source
+  * option `attestCollation=true`; both attestation outcomes are pinned
+  * in SocrataSourceSpec. */
+object SocrataCollation {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def attested(url: String, column: String, pageSize: Int): Boolean =
+    cache.computeIfAbsent(s"$url#$column",
+      _ => java.lang.Boolean.valueOf(probe(url, column, pageSize))).booleanValue()
+
+  private[sources] def clearCacheForTests(): Unit = cache.clear()
+
+  /** a <= b in unsigned UTF-8 byte order — UTF8String's comparison
+    * (NOT String.compareTo, whose UTF-16 code-unit order disagrees on
+    * supplementary characters). */
+  private[sources] def binaryLeq(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
+  /** The pure attestation decision over the server-ordered sample. */
+  private[sources] def attests(vals: Seq[String]): Boolean = {
+    if (vals.length < 2) return false
+    val pairs = vals.zip(vals.tail)
+    val sortedBinary = pairs.forall { case (a, b) => binaryLeq(a, b) }
+    val coll = java.text.Collator.getInstance(java.util.Locale.ROOT)
+    val discriminating = pairs.exists { case (a, b) =>
+      a != b && binaryLeq(a, b) && coll.compare(a, b) > 0 }
+    val nonAscii = vals.exists(_.exists(_ > 127))
+    sortedBinary && discriminating && nonAscii
+  }
+
+  private def probe(url: String, column: String, pageSize: Int): Boolean =
+    scala.util.Try {
+      val qs = "$select=" + java.net.URLEncoder.encode(column, "UTF-8") +
+        "&$order=" + java.net.URLEncoder.encode(column, "UTF-8") +
+        "&$limit=" + pageSize
+      val full = url + (if (url.contains("?")) "&" else "?") + qs
+      val r = Http.get(full)
+      require(r.ok, r.error)
+      val it = new ObjectMapper().readTree(r.body).elements()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val v = it.next().get(column)
+        if (v != null && !v.isNull) buf += v.asText()
+      }
+      attests(buf.toSeq)
+    }.getOrElse(false) // a failed probe attests nothing
+
+}
+
 object SoQL {
   def translate(f: Filter): Option[String] = f match {
     case EqualTo(a, v) => literal(v).map(l => s"${ident(a)} = $l")

@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import graft.sources.socrata.SocrataCollation
 import graft.testutil.StubServer
 import org.apache.spark.sql.functions._
 
@@ -152,6 +153,113 @@ class SocrataSourceSpec extends SparkSpec {
       assert(!decodedReqs(stub).exists(_.contains("count_distinct(city)")),
         decodedReqs(stub))
     }
+  }
+
+  // ---- collation capability probe (VERDICT r15 item 5) ---------------
+
+  // binary-UTF-8 order: Apple < Zürich < apple < Ärger (uppercase <
+  // lowercase < multi-byte); a ROOT collator orders apple..Apple..
+  // Ärger..Zürich — the sample discriminates the two
+  private val collationNames = Seq("Apple", "Zürich", "apple", "Ärger")
+
+  private def withCollationStub(binaryServer: Boolean)(body: StubServer => Unit): Unit = {
+    val stub = new StubServer
+    val coll = java.text.Collator.getInstance(java.util.Locale.ROOT)
+    def serverSorted: Seq[String] =
+      if (binaryServer) collationNames.sorted // BMP-only: UTF-16 == UTF-8 order here
+      else collationNames.sortWith((a, b) => coll.compare(a, b) < 0)
+    stub.handle("/strings.json") { (q, _) =>
+      val minA = "min\\(name\\) AS (\\w+)".r.findFirstMatchIn(q).map(_.group(1))
+      val maxA = "max\\(name\\) AS (\\w+)".r.findFirstMatchIn(q).map(_.group(1))
+      val items: Seq[String] =
+        if (minA.isDefined || maxA.isDefined) {
+          val srv = serverSorted
+          val fields = minA.map(a => s""""$a": "${srv.head}"""").toSeq ++
+            maxA.map(a => s""""$a": "${srv.last}"""")
+          Seq(fields.mkString("{", ", ", "}"))
+        } else {
+          val base = if (q.contains("$order=name")) serverSorted else collationNames
+          base.map(n => s"""{"name": "$n"}""")
+        }
+      val offset = "\\$offset=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(0)
+      val limit = "\\$limit=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(Int.MaxValue)
+      val page = items.slice(offset, math.min(items.length, offset + limit))
+      (200, "application/json", page.mkString("[", ",", "]").getBytes("UTF-8"))
+    }
+    stub.start()
+    try body(stub) finally stub.stop()
+  }
+
+  private def stringReqs(stub: StubServer): Seq[String] =
+    stub.received("/strings.json").map(r => java.net.URLDecoder.decode(r.query, "UTF-8"))
+
+  test("collation probe attests a binary-ordering server: string min/max " +
+      "and top-N push down, one memoized probe request") {
+    SocrataCollation.clearCacheForTests()
+    withCollationStub(binaryServer = true) { stub =>
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/strings.json"))
+        .option("attestCollation", "true").load()
+      val mm = df.agg(min($"name"), max($"name")).as[(String, String)].head()
+      assert(mm == (("Apple", "Ärger")))
+      val reqs = stringReqs(stub)
+      // the probe ran ($order with no direction, $select of the bare col)…
+      assert(reqs.count(_.contains("$order=name&")) == 1, reqs)
+      // …and unlocked the server-side string aggregate
+      assert(reqs.exists(r => r.contains("min(name) AS agg_0") &&
+        r.contains("max(name) AS agg_1")), reqs)
+      // a second string aggregate reuses the memoized verdict: still 1 probe
+      assert(df.agg(max($"name")).as[String].head() == "Ärger")
+      assert(stringReqs(stub).count(_.contains("$order=name&")) == 1)
+      // top-N on an attested NON-NULLABLE string column pushes $order
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType, nullable = false)))
+      val top = spark.read.format("graft.sources.socrata").schema(schema)
+        .option("url", stub.url("/strings.json"))
+        .option("attestCollation", "true").load()
+        .orderBy($"name").limit(2).as[String].collect().toSeq
+      assert(top == Seq("Apple", "Zürich"), top)
+      assert(stringReqs(stub).exists(_.contains("$order=name ASC")), stringReqs(stub))
+    }
+  }
+
+  test("collation probe FAILS on a case/locale-folding server: string " +
+      "pushdown stays declined, results correct via the row path") {
+    SocrataCollation.clearCacheForTests()
+    withCollationStub(binaryServer = false) { stub =>
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/strings.json"))
+        .option("attestCollation", "true").load()
+      // Spark computes the BINARY min/max itself over the row scan
+      val mm = df.agg(min($"name"), max($"name")).as[(String, String)].head()
+      assert(mm == (("Apple", "Ärger")))
+      val reqs = stringReqs(stub)
+      assert(reqs.exists(_.contains("$order=name&")), reqs) // probe ran
+      assert(!reqs.exists(_.contains("min(name)")), reqs)   // and failed closed
+      // top-N declines too: no server $order, Spark sorts the full scan
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType, nullable = false)))
+      val top = spark.read.format("graft.sources.socrata").schema(schema)
+        .option("url", stub.url("/strings.json"))
+        .option("attestCollation", "true").load()
+        .orderBy($"name").limit(2).as[String].collect().toSeq
+      assert(top == Seq("Apple", "Zürich"), top)
+      assert(!stringReqs(stub).exists(_.contains("$order=name ASC")), stringReqs(stub))
+    }
+  }
+
+  test("SocrataCollation.attests fails closed on undiscriminating samples") {
+    import SocrataCollation.attests
+    // too small / ASCII-only sorted / non-discriminating: all decline
+    assert(!attests(Seq.empty))
+    assert(!attests(Seq("only")))
+    assert(!attests(Seq("alpha", "beta", "gamma")))          // ASCII-only
+    assert(!attests(Seq("abc", "aéz")))                      // non-ASCII but collator agrees everywhere
+    assert(!attests(Seq("apple", "Apple", "Ärger")))         // not binary-sorted
+    // the positive case: binary-sorted, case-discriminating, non-ASCII
+    assert(attests(Seq("Apple", "Zürich", "apple", "Ärger")))
   }
 
   test("server capping $limit below pageSize fails loudly instead of skipping rows") {
