@@ -2901,6 +2901,46 @@ object ExtensionQueries {
         joined.agg(count(lit(1)).cast("bigint").as("joined_rows"))))
   }
 
+  /** x250 exact duplicated substrings — see
+    * [[graft.operators.TextAnalysis.exactDuplicatedSubstrings]]: the
+    * audit-grade exact sibling of x225's winnowed estimate at the
+    * (k=16) grain — every gram position joins, consecutive-position
+    * islands, lcs_chars exact for every emitted pair, df-cap
+    * visibility via n_capped_fps. */
+  def x250(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.exactDuplicatedSubstrings(docs(s, dir),
+        k = 16, dfCap = 50, minRunChars = 32)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** x251 PII checksum screen — see
+    * [[graft.operators.TextAnalysis.piiChecksums]]: Luhn-validated
+    * card candidates, ISO-7064 mod-97 IBANs, E.164 phones. The corpus
+    * carries no PII, so (the x48 convention) every doc gets a
+    * deterministic planted tail: a 16-digit card whose last digit is
+    * doc_id%10 (Luhn-valid iff ≡ 1), an IBAN whose check digits are
+    * 82+doc_id%7 (mod-97-valid iff ≡ 0 — GB82WEST… is the known-good
+    * fixture), and a phone — so valid/candidate counts genuinely
+    * exercise both checksums in both engines. */
+  def x251(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).withColumn("text",
+      concat(col("text"),
+        lit(" card 411111111111111"),
+        pmod(col("doc_id"), lit(10)).cast("string"),
+        lit(" iban GB"),
+        (lit(82) + pmod(col("doc_id"), lit(7))).cast("string"),
+        lit("WEST12345698765432 tel +1415555"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+    TextAnalysis.piiChecksums(injected).orderBy(col("doc_id"))
+  }
+
+  /** x252 cross-source perplexity matrix — see
+    * [[graft.operators.TextAnalysis.crossSourcePerplexity]]: x227's
+    * add-one trigram LM trained per source and evaluated on every
+    * source — the |sources|² "who can model whom" transfer matrix
+    * behind mixture decisions, diagonal = in-domain fit. */
+  def x252(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.crossSourcePerplexity(docs(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -3201,6 +3241,9 @@ object ExtensionQueries {
     "x247_template_slots" -> (x247 _),
     "x248_threshold_transfer" -> (x248 _),
     "x249_advised_join" -> (x249 _),
+    "x250_exact_dup_substrings" -> (x250 _),
+    "x251_pii_checksums" -> (x251 _),
+    "x252_cross_perplexity" -> (x252 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -8791,6 +8834,124 @@ object ExtensionQueries {
          |         AS avg_cosine,
          |       min_cosine_micro, max_cosine_micro
          |FROM sc ORDER BY jaccard_bucket""".stripMargin,
+
+    // Replays exactDuplicatedSubstrings at k=16: every gram position,
+    // df cap on occurrence counts, consecutive-position islands
+    // (gap > 1 breaks), per-pair exact max run + capped-fp count.
+    "x250_exact_dup_substrings" ->
+      s"""WITH nd AS (SELECT doc_id,
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents),
+         |hs AS MATERIALIZED (SELECT doc_id,
+         |    list_transform(range(1, greatest(length(t) - 15, 0) + 1),
+         |      i -> ${md5Hash60Sql("substr(t, CAST(i AS INT), 16)")}) AS h
+         |  FROM nd),
+         |g AS MATERIALIZED (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS p,
+         |    h[CAST(u.i AS INT)] AS f
+         |  FROM hs, LATERAL (SELECT unnest(range(1, len(h) + 1)) AS i) u
+         |  WHERE len(h) > 0),
+         |hist AS MATERIALIZED (SELECT f, count(*) AS df FROM g GROUP BY 1),
+         |cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_fps
+         |        FROM hist WHERE df > 50),
+         |pr AS MATERIALIZED (SELECT g.doc_id, g.p, g.f
+         |  FROM g JOIN hist USING (f) WHERE hist.df <= 50),
+         |mt AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa,
+         |    a.p - b.p AS diag
+         |  FROM pr a JOIN pr b ON a.f = b.f AND a.doc_id < b.doc_id),
+         |isl AS (SELECT da, db, diag, pa,
+         |    SUM(CASE WHEN pa - lp > 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY da, db, diag ORDER BY pa
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+         |  FROM (SELECT *, lag(pa) OVER (PARTITION BY da, db, diag
+         |          ORDER BY pa) AS lp FROM mt) z),
+         |runs AS (SELECT da, db, CAST(count(*) AS BIGINT) AS n,
+         |    max(pa) - min(pa) + 16 AS rc
+         |  FROM isl GROUP BY da, db, diag, i
+         |  HAVING max(pa) - min(pa) + 16 >= 32),
+         |agg AS (SELECT da AS doc_a, db AS doc_b,
+         |    CAST(max(rc) AS BIGINT) AS lcs_chars,
+         |    CAST(count(*) AS BIGINT) AS n_runs,
+         |    CAST(sum(n) AS BIGINT) AS n_matched_positions
+         |  FROM runs GROUP BY 1, 2)
+         |SELECT agg.doc_a, agg.doc_b, agg.lcs_chars, agg.n_runs,
+         |       agg.n_matched_positions, cap.n_capped_fps
+         |FROM agg, cap ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Replays piiChecksums under the same planted tail: RE2 \b
+    // patterns, Luhn as the reversed-position double-and-subtract sum,
+    // IBAN mod-97 as the value-encoded element fold (letters >= 10
+    // take the 100 multiplier) — the identical encoding the Spark
+    // lambda computes.
+    "x251_pii_checksums" ->
+      """WITH inj AS (SELECT doc_id,
+        |    text || ' card 411111111111111' || CAST(doc_id % 10 AS VARCHAR)
+        |      || ' iban GB' || CAST(82 + doc_id % 7 AS VARCHAR)
+        |      || 'WEST12345698765432 tel +1415555'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |ex AS (SELECT doc_id,
+        |    regexp_extract_all(t, '\b\d{13,19}\b') AS cards,
+        |    list_transform(
+        |      regexp_extract_all(t, '\b[A-Z]{2}\d{2}[A-Z0-9]{10,30}\b'),
+        |      c -> substr(c, 5) || substr(c, 1, 4)) AS rearr,
+        |    len(regexp_extract_all(t, '\+[1-9]\d{7,14}\b')) AS n_phone
+        |  FROM inj)
+        |SELECT doc_id,
+        |  CAST(len(cards) AS BIGINT) AS n_card_candidates,
+        |  CAST(len(list_filter(cards, c ->
+        |    list_sum(list_transform(range(1, length(c) + 1), i ->
+        |      CASE WHEN i % 2 = 1
+        |           THEN CAST(substr(reverse(c), CAST(i AS INT), 1) AS INT)
+        |           ELSE CASE WHEN CAST(substr(reverse(c), CAST(i AS INT), 1) AS INT) * 2 > 9
+        |                THEN CAST(substr(reverse(c), CAST(i AS INT), 1) AS INT) * 2 - 9
+        |                ELSE CAST(substr(reverse(c), CAST(i AS INT), 1) AS INT) * 2
+        |           END END)) % 10 = 0)) AS BIGINT) AS n_card_valid,
+        |  CAST(len(rearr) AS BIGINT) AS n_iban_candidates,
+        |  CAST(len(list_filter(rearr, r ->
+        |    list_reduce(list_transform(range(1, length(r) + 1), i ->
+        |      CASE WHEN substr(r, CAST(i AS INT), 1) BETWEEN 'A' AND 'Z'
+        |           THEN CAST(ord(substr(r, CAST(i AS INT), 1)) AS BIGINT) - 55
+        |           ELSE CAST(substr(r, CAST(i AS INT), 1) AS BIGINT) END),
+        |      (a, v) -> (a * (CASE WHEN v >= 10 THEN 100 ELSE 10 END) + v)
+        |        % 97) = 1)) AS BIGINT) AS n_iban_valid,
+        |  CAST(n_phone AS BIGINT) AS n_phone
+        |FROM ex ORDER BY doc_id""".stripMargin,
+
+    // Replays crossSourcePerplexity: x227's trigram/ctx/vocab chain
+    // per SOURCE, the cells x sources grid, identical micro-nat
+    // quantization per (gram, train) cell.
+    "x252_cross_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |tr AS (SELECT doc_id, w[CAST(i AS INT)] AS w1,
+         |         w[CAST(i AS INT) + 1] AS w2, w[CAST(i AS INT) + 2] AS w3
+         |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+         |             FROM toks WHERE len(w) >= 3)),
+         |cells AS MATERIALIZED (SELECT d.source AS src, t.w1, t.w2, t.w3,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM tr t JOIN documents d USING (doc_id) GROUP BY 1, 2, 3, 4),
+         |ctx AS (SELECT src, w1, w2, CAST(sum(c) AS BIGINT) AS c12
+         |        FROM cells GROUP BY 1, 2, 3),
+         |vs AS (SELECT src, CAST(count(DISTINCT w3) AS BIGINT) AS v
+         |       FROM cells GROUP BY 1),
+         |srcs AS (SELECT DISTINCT src FROM cells),
+         |sc AS (SELECT e.src AS src_eval, s.src AS src_train,
+         |    CAST(sum(e.c) AS BIGINT) AS n_transitions,
+         |    CAST(sum(e.c * CAST(round(round(ln(
+         |        (coalesce(t.c, 0)::DOUBLE + 1.0) /
+         |        (coalesce(cx.c12, 0)::DOUBLE + v.v::DOUBLE + 1.0)), 6)
+         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_logp_micro
+         |  FROM cells e
+         |  CROSS JOIN srcs s
+         |  LEFT JOIN cells t ON t.src = s.src AND t.w1 = e.w1
+         |    AND t.w2 = e.w2 AND t.w3 = e.w3
+         |  LEFT JOIN ctx cx ON cx.src = s.src AND cx.w1 = e.w1
+         |    AND cx.w2 = e.w2
+         |  JOIN vs v ON v.src = s.src
+         |  GROUP BY 1, 2)
+         |SELECT src_eval, src_train, n_transitions, sum_logp_micro,
+         |       round(sum_logp_micro::DOUBLE /
+         |             (n_transitions::DOUBLE * 1000000.0), 6) AS avg_logp
+         |FROM sc ORDER BY src_eval, src_train""".stripMargin,
 
     // Replays advisedThreeWayJoin's whole contract: histogram sums in
     // DECIMAL(38,0), best = min(intermediate, order-name tiebreak),

@@ -1463,4 +1463,112 @@ class TextAnalysisSpec extends SparkSpec {
     assert(o2.toSeq == Seq((0L, 1L, lpA, -0.693147),
       (5L, 1L, lpA, -0.693147)))
   }
+
+  test("exactDuplicatedSubstrings: exact LCS at gram grain, grain floor, " +
+      "df-cap visibility") {
+    // two docs sharing one 39-char substring embedded in different
+    // contexts, with DIFFERING boundary chars on both sides so the
+    // true LCS is exactly the planted string; k=16 → 24 consecutive
+    // matched positions → exactly 39
+    val shared = "the quick brown fox jumps over the lazy" // 39 chars
+    assert(shared.length == 39)
+    val docs = Seq(
+      (1L, s"AAAA one_$shared.tail-one unique ending text"),
+      (2L, s"BBBB completely different head:$shared, zz"),
+      (3L, "no duplication in this document at all xyz")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.exactDuplicatedSubstrings(docs, k = 16,
+        dfCap = 50, minRunChars = 32)
+      .select("doc_a", "doc_b", "lcs_chars", "n_runs", "n_capped_fps")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 39L, 1L, 0L)), out.toSeq.toString)
+    // grain floor: a 20-char shared substring < minRunChars=32 → no row
+    val short = Seq((1L, "xx twenty chars shared yy"),
+        (2L, "zz twenty chars shared qq")).toDF("doc_id", "text")
+    assert(TextAnalysis.exactDuplicatedSubstrings(short, k = 16,
+      dfCap = 50, minRunChars = 32).count() == 0)
+    // …but at the k-gram floor it reports exactly ("twenty chars shared"
+    // + one space each side = 21 shared chars; the maximal shared run
+    // is " twenty chars shared " = 21 chars)
+    val atFloor = TextAnalysis.exactDuplicatedSubstrings(short, k = 16,
+        dfCap = 50, minRunChars = 16)
+      .select("lcs_chars").as[Long].collect()
+    assert(atFloor.toSeq == Seq(21L), atFloor.toSeq.toString)
+    // df cap: a gram shared by MANY docs is dropped and the drop is
+    // visible — 5 identical docs at dfCap=4 emit nothing but report
+    // every fingerprint capped
+    val many = (1L to 5L).map(i => (i, s"all five docs carry this very text"))
+      .toDF("doc_id", "text")
+    val capped = TextAnalysis.exactDuplicatedSubstrings(many, k = 16,
+      dfCap = 4, minRunChars = 16)
+    assert(capped.count() == 0)
+    // and with the cap lifted the pairs come back, n_capped_fps = 0
+    val uncapped = TextAnalysis.exactDuplicatedSubstrings(many, k = 16,
+        dfCap = 5, minRunChars = 16)
+      .select("lcs_chars", "n_capped_fps").as[(Long, Long)].collect()
+    assert(uncapped.length == 10 && // 5 choose 2
+      uncapped.forall(_ == ((34L, 0L))), uncapped.toSeq.toString)
+  }
+
+  test("piiChecksums: Luhn and ISO-7064 mod-97 validate known fixtures " +
+      "and reject off-by-one mutations") {
+    val docs = Seq(
+      // 4111111111111111 and 79927398713 (11 digits — BELOW the 13-digit
+      // candidate floor, must not even count); one Luhn-broken mutation
+      (1L, "pay 4111111111111111 or 4111111111111112 legacy 79927398713"),
+      // known-good GB82 IBAN + its check-digit mutation + a lowercase
+      // iban (outside the stated uppercase charset — not a candidate)
+      (2L, "send GB82WEST12345698765432 not GB83WEST12345698765432 nor gb82west12345698765432"),
+      // valid German IBAN and two E.164 phones (one too short)
+      (3L, "DE89370400440532013000 call +14155550042 or +1234567"),
+      (4L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiChecksums(docs)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0L, 0L, 0L),  // two card candidates, one Luhn-valid
+      (2L, 0L, 0L, 2L, 1L, 0L),  // two IBAN candidates, one mod-97-valid
+      (3L, 0L, 0L, 1L, 1L, 1L),  // DE89… valid; only the long phone counts
+      (4L, 0L, 0L, 0L, 0L, 0L)), out.toSeq.toString)
+  }
+
+  test("crossSourcePerplexity: hand-traced 2x2 matrix matches the x227 " +
+      "add-one contract per train source") {
+    // src A: "a b c a b c" → trigrams abc(1) bca(1) cab(1) abc… count:
+    // abc 2, bca 1, cab 1; src B: "a b d" → abd 1
+    val docs = Seq(
+      (1L, "A", "a b c a b c"),
+      (2L, "B", "a b d")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.crossSourcePerplexity(docs)
+      .select("src_eval", "src_train", "n_transitions", "sum_logp_micro")
+      .as[(String, String, Long, Long)].collect().toSeq
+    def lp(c123: Long, c12: Long, v: Long): Long =
+      math.round(BigDecimal(math.log((c123 + 1.0) / (c12 + v + 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    // A's LM: c(abc)=2, c(bca)=1, c(cab)=1; ctx c(ab)=2, c(bc)=1,
+    // c(ca)=1; V(A)=|{c,a,b}|=3. B's LM: c(abd)=1, ctx c(ab)=1, V(B)=1
+    val aOnA = 2 * lp(2, 2, 3) + 1 * lp(1, 1, 3) + 1 * lp(1, 1, 3)
+    val aOnB = 2 * lp(0, 1, 1) + 1 * lp(0, 0, 1) + 1 * lp(0, 0, 1)
+    val bOnA = 1 * lp(0, 2, 3)
+    val bOnB = 1 * lp(1, 1, 1)
+    assert(out == Seq(
+      ("A", "A", 4L, aOnA), ("A", "B", 4L, aOnB),
+      ("B", "A", 1L, bOnA), ("B", "B", 1L, bOnB)), out.toString)
+  }
+
+  test("readability: the vowelless-word identity holds on punctuation/" +
+      "hyphen-bearing text (r15 ADVICE examples)") {
+    // words() = maximal alnum runs: "o'clock" → [o, clock] (both
+    // vowel-bearing), "co-op" → [co, op], "x1.y2" → [x1, y2] (both
+    // vowelless) — so n_syllables = vowel groups + vowelless words
+    val docs = Seq((1L, "o'clock co-op x1.y2")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs)
+      .select("n_words", "n_syllables").as[(Long, Long)].head()
+    // 6 words; vowel groups: o, o (clock), co→o... count: "o"(1),
+    // "clock"(1: o), "co"(1: o), "op"(1: o), x1(0), y2(1: y) = 5;
+    // vowelless words: x1 → 1; syllables = 5 + 1 = 6
+    assert(out == ((6L, 6L)), out.toString)
+  }
 }

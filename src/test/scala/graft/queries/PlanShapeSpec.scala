@@ -1966,6 +1966,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p247.contains("TakeOrderedAndProject"), p247.take(4000))
   }
 
+  test("x249-x252: no new-tranche query compiles to a CartesianProduct; " +
+      "x251 is one narrow projection (no join, no hash exchange); x250's " +
+      "stitch window partitions by (pair, diag)") {
+    Seq(ExtensionQueries.x249 _, ExtensionQueries.x250 _,
+        ExtensionQueries.x251 _, ExtensionQueries.x252 _).foreach { q =>
+      val plan = physical(q(spark, sf001))
+      assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    }
+    val p251 = physical(ExtensionQueries.x251(spark, sf001))
+    assert(!p251.contains("Join"), p251.take(4000))
+    assert(!p251.contains("Exchange hashpartitioning"), p251.take(4000))
+    val p250 = physical(ExtensionQueries.x250(spark, sf001))
+    // the gaps-and-islands windows must ride the (doc_a, doc_b, diag)
+    // partition — an unpartitioned variant would shuffle every matched
+    // position into one task. Window prints as
+    // `Window [fns], [partitionSpec], [orderSpec]`; every occurrence
+    // must carry the pair-diag partition.
+    val windows = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p250).map(_.group(1)).toSeq
+    assert(windows.nonEmpty, p250.take(2000))
+    assert(windows.forall(w => w.contains("doc_a") && w.contains("diag")),
+      s"window partition specs: $windows\n${p250.take(4000)}")
+  }
+
   // ---- advisor-enforcement gates (VERDICT r15 item 4) ----------------
   // The advisors (x179 broadcast, x199 salt, x216/x249 join order) used
   // to be read-only: a declared query whose plan contradicted its own
