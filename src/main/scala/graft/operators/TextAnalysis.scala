@@ -884,6 +884,136 @@ object TextAnalysis {
       .crossJoin(broadcast(capped))
   }
 
+  /** EXACT benchmark-contamination spans — [[exactDuplicatedSubstrings]]
+    * crossed over two corpora: for every (corpus doc, benchmark doc)
+    * pair sharing a verbatim substring of ≥ `minRunChars` chars, the
+    * exact longest contaminated span and WHERE it sits in the corpus
+    * doc (the redaction cursor). x27/x65 answer "does any benchmark
+    * 5-gram appear"; this answers the question decontamination
+    * actually acts on — how LONG the verbatim overlap is and where —
+    * at the Lee et al. exact grain (a 40-char quote is citation, a
+    * 400-char run is a leaked eval item).
+    *
+    * Same exactness envelope as the self-corpus operator: grain floor
+    * k, report floor `minRunChars` (span_chars is exact for every
+    * emitted pair), occurrence df cap over the COMBINED gram table
+    * with `n_capped_fps` riding every row.
+    *
+    * Scale: linear gram explodes on both sides; the contamination
+    * join is corpus-grams × benchmark-grams on the hash — bounded by
+    * real overlap under the cap, never |corpus|×|benchmark|; islands
+    * window partitions by (pair, diagonal).
+    *
+    * Output per contaminated pair: (doc_id, bench_id, span_chars,
+    * corpus_start — 0-based char offset of the longest span in the
+    * corpus doc's NORMALIZED text (ties → smallest offset), n_runs,
+    * n_matched_positions, n_capped_fps). */
+  def exactContaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 16,
+      dfCap: Int = 50, minRunChars: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && dfCap > 0,
+      s"exactContaminationSpans: k, dfCap must be positive, got ($k, $dfCap)")
+    require(minRunChars >= k,
+      s"exactContaminationSpans: minRunChars ($minRunChars) must be >= k ($k)")
+    def grams(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out),
+        regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
+      .select(col(out), posexplode(
+        graft.functions.ShingleFunctions.md5_shingle_hashes(col("__t"), k)))
+      .select(col(out), col("pos").cast("long").as("pos"), col("col").as("fp"))
+    val cg = grams(corpus, "doc_id")
+    val bg = grams(benchmark, "bench_id")
+    // occurrence cap over the COMBINED table: a gram ubiquitous in
+    // either corpus fans the join out — one histogram guards both
+    val hist = cg.select(col("fp")).unionAll(bg.select(col("fp")))
+      .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .localCheckpoint(true)
+    val capped = hist.filter(col("__df") > dfCap)
+      .agg(count(lit(1)).cast("bigint").as("n_capped_fps"))
+    val keep = hist.filter(col("__df") <= dfCap).select(col("fp"))
+    val matched = cg.join(keep, "fp").as("a")
+      .join(bg.join(keep, "fp").as("b"), col("a.fp") === col("b.fp"))
+      .select(col("a.doc_id").as("doc_id"), col("b.bench_id").as("bench_id"),
+        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+    val wOrd = Window.partitionBy(col("doc_id"), col("bench_id"), col("diag"))
+      .orderBy(col("pos_a"))
+    matched
+      .withColumn("__brk",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(wOrd) > 1L, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("bench_id"), col("diag"), col("__isl"))
+      .agg(count(lit(1)).cast("bigint").as("__n"),
+        min(col("pos_a")).cast("bigint").as("__lo"),
+        max(col("pos_a")).cast("bigint").as("__hi"))
+      .filter(col("__hi") - col("__lo") + lit(k.toLong) >= minRunChars)
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(
+        // argmax by (span desc, start asc): max of (rc, -lo) structs
+        max(struct((col("__hi") - col("__lo") + lit(k.toLong)).as("rc"),
+          (-col("__lo")).as("nl"))).as("__best"),
+        count(lit(1)).as("n_runs"),
+        sum(col("__n")).cast("bigint").as("n_matched_positions"))
+      .select(col("doc_id"), col("bench_id"),
+        col("__best.rc").cast("bigint").as("span_chars"),
+        (-col("__best.nl")).cast("bigint").as("corpus_start"),
+        col("n_runs"), col("n_matched_positions"))
+      .crossJoin(broadcast(capped))
+  }
+
+  /** Excess-perplexity mixture reweighting — the decision layer over
+    * [[crossSourcePerplexity]] (DoReMi's shape, Xie et al. 2023, made
+    * exact and replayable): a source whose own LM models it far
+    * better than every OTHER source's LM carries unique signal and
+    * earns weight; a source anyone can model is redundant.
+    *
+    *  excess(e) = avg_logp(e under e) − meanₜ≠ₑ avg_logp(e under t)
+    *
+    * in integer micro-nats (per-cell avg = sum_logp_micro div
+    * n_transitions, truncating; the cross mean is one truncating div
+    * by S−1), shifted positive (u = excess − min + 10⁶) and
+    * normalized (weight_micro = u·10⁶ div Σu) — every step integer,
+    * so both engines produce identical weights.
+    *
+    * Scale: the matrix is the cost ([[crossSourcePerplexity]]'s
+    * contract); everything here is |sources|-cardinality arithmetic
+    * over its checkpointed 1-matrix frame. A single-source corpus
+    * gets weight 10⁶ (excess defined 0).
+    *
+    * Output: (source, own_avg_micro, cross_avg_micro, excess_micro,
+    * weight_micro), ordered by source. */
+  def mixtureReweight(docs: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val m = crossSourcePerplexity(docs, sourceCol, idCol, textCol)
+      .localCheckpoint(true) // one matrix feeds diag, cross, and output
+    val avg = m.select(col("src_eval"), col("src_train"),
+      expr("sum_logp_micro div n_transitions").as("avg_micro"))
+    val own = avg.filter(col("src_eval") === col("src_train"))
+      .select(col("src_eval").as("source"),
+        col("avg_micro").as("own_avg_micro"))
+    val cross = avg.filter(col("src_eval") =!= col("src_train"))
+      .groupBy(col("src_eval").as("source"))
+      .agg(expr("sum(avg_micro) div count(*)").as("cross_avg_micro"))
+    val ex = own.join(cross, Seq("source"), "left")
+      .select(col("source"), col("own_avg_micro"), col("cross_avg_micro"),
+        (col("own_avg_micro") -
+          coalesce(col("cross_avg_micro"), col("own_avg_micro")))
+          .as("excess_micro"))
+      .localCheckpoint(true) // feeds the min, the sum, and the output
+    val mn = ex.agg(min(col("excess_micro")).as("__mn"))
+    val tot = ex.crossJoin(broadcast(mn))
+      .agg(sum(col("excess_micro") - col("__mn") + lit(1000000L)).as("__tot"),
+        min(col("__mn")).as("__mn2"))
+    ex.crossJoin(broadcast(tot))
+      .select(col("source"), col("own_avg_micro"), col("cross_avg_micro"),
+        col("excess_micro"),
+        expr("((excess_micro - __mn2 + 1000000L) * 1000000L) div __tot")
+          .as("weight_micro"))
+      .orderBy(col("source"))
+  }
+
   /** Within-document self-repetition at substring grain — the SELF
     * sibling of [[duplicatedSubstringRuns]]: a document's winnowing
     * anchors matched against THEMSELVES (same fingerprint, later

@@ -2941,6 +2941,29 @@ object ExtensionQueries {
   def x252(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.crossSourcePerplexity(docs(s, dir))
 
+  /** x253 exact contamination spans — see
+    * [[graft.operators.TextAnalysis.exactContaminationSpans]]: x250's
+    * exact-substring machinery crossed over the x27 corpus/benchmark
+    * split (doc_id ≥ 10 vs < 10) — per contaminated pair, the exact
+    * longest verbatim span and its offset in the corpus doc, the
+    * numbers a decontamination pass actually acts on. */
+  def x253(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.exactContaminationSpans(
+        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+        k = 16, dfCap = 50, minRunChars = 32)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** x254 mixture reweighting — see
+    * [[graft.operators.TextAnalysis.mixtureReweight]]: the
+    * excess-perplexity weights over x252's cross-source matrix
+    * (DoReMi's shape made integer-exact) — sources whose own LM beats
+    * every other source's LM on their text earn weight; universally
+    * modelable sources are redundant. */
+  def x254(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureReweight(docs(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -3244,6 +3267,8 @@ object ExtensionQueries {
     "x250_exact_dup_substrings" -> (x250 _),
     "x251_pii_checksums" -> (x251 _),
     "x252_cross_perplexity" -> (x252 _),
+    "x253_contamination_spans" -> (x253 _),
+    "x254_mixture_reweight" -> (x254 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3386,6 +3411,40 @@ object ExtensionQueries {
     * first 8 digest bytes big-endian >>> 4 (ShingleKernels.md5Hash60). */
   private def md5Hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Shared CTE chain of the cross-source-perplexity replays (x252,
+    * x254): per-source trigram cells, contexts, vocab sizes, and the
+    * cells × sources grid scored with x227's micro-nat quantization —
+    * ends in `sc(src_eval, src_train, n_transitions,
+    * sum_logp_micro)`. */
+  private def crossPerplexityCteSql: String =
+    s"""toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |tr AS (SELECT doc_id, w[CAST(i AS INT)] AS w1,
+       |         w[CAST(i AS INT) + 1] AS w2, w[CAST(i AS INT) + 2] AS w3
+       |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+       |             FROM toks WHERE len(w) >= 3)),
+       |cells AS MATERIALIZED (SELECT d.source AS src, t.w1, t.w2, t.w3,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM tr t JOIN documents d USING (doc_id) GROUP BY 1, 2, 3, 4),
+       |ctx AS (SELECT src, w1, w2, CAST(sum(c) AS BIGINT) AS c12
+       |        FROM cells GROUP BY 1, 2, 3),
+       |vs AS (SELECT src, CAST(count(DISTINCT w3) AS BIGINT) AS v
+       |       FROM cells GROUP BY 1),
+       |srcs AS (SELECT DISTINCT src FROM cells),
+       |sc AS (SELECT e.src AS src_eval, s.src AS src_train,
+       |    CAST(sum(e.c) AS BIGINT) AS n_transitions,
+       |    CAST(sum(e.c * CAST(round(round(ln(
+       |        (coalesce(t.c, 0)::DOUBLE + 1.0) /
+       |        (coalesce(cx.c12, 0)::DOUBLE + v.v::DOUBLE + 1.0)), 6)
+       |      * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_logp_micro
+       |  FROM cells e
+       |  CROSS JOIN srcs s
+       |  LEFT JOIN cells t ON t.src = s.src AND t.w1 = e.w1
+       |    AND t.w2 = e.w2 AND t.w3 = e.w3
+       |  LEFT JOIN ctx cx ON cx.src = s.src AND cx.w1 = e.w1
+       |    AND cx.w2 = e.w2
+       |  JOIN vs v ON v.src = s.src
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** Shared CTE prefix for the integer covariance power iteration
     * (x212, x228): quantized elements `el`, fenced count `nn`, the
@@ -8921,37 +8980,84 @@ object ExtensionQueries {
     // per SOURCE, the cells x sources grid, identical micro-nat
     // quantization per (gram, train) cell.
     "x252_cross_perplexity" ->
-      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
-         |tr AS (SELECT doc_id, w[CAST(i AS INT)] AS w1,
-         |         w[CAST(i AS INT) + 1] AS w2, w[CAST(i AS INT) + 2] AS w3
-         |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
-         |             FROM toks WHERE len(w) >= 3)),
-         |cells AS MATERIALIZED (SELECT d.source AS src, t.w1, t.w2, t.w3,
-         |    CAST(count(*) AS BIGINT) AS c
-         |  FROM tr t JOIN documents d USING (doc_id) GROUP BY 1, 2, 3, 4),
-         |ctx AS (SELECT src, w1, w2, CAST(sum(c) AS BIGINT) AS c12
-         |        FROM cells GROUP BY 1, 2, 3),
-         |vs AS (SELECT src, CAST(count(DISTINCT w3) AS BIGINT) AS v
-         |       FROM cells GROUP BY 1),
-         |srcs AS (SELECT DISTINCT src FROM cells),
-         |sc AS (SELECT e.src AS src_eval, s.src AS src_train,
-         |    CAST(sum(e.c) AS BIGINT) AS n_transitions,
-         |    CAST(sum(e.c * CAST(round(round(ln(
-         |        (coalesce(t.c, 0)::DOUBLE + 1.0) /
-         |        (coalesce(cx.c12, 0)::DOUBLE + v.v::DOUBLE + 1.0)), 6)
-         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_logp_micro
-         |  FROM cells e
-         |  CROSS JOIN srcs s
-         |  LEFT JOIN cells t ON t.src = s.src AND t.w1 = e.w1
-         |    AND t.w2 = e.w2 AND t.w3 = e.w3
-         |  LEFT JOIN ctx cx ON cx.src = s.src AND cx.w1 = e.w1
-         |    AND cx.w2 = e.w2
-         |  JOIN vs v ON v.src = s.src
-         |  GROUP BY 1, 2)
+      s"""WITH $crossPerplexityCteSql
          |SELECT src_eval, src_train, n_transitions, sum_logp_micro,
          |       round(sum_logp_micro::DOUBLE /
          |             (n_transitions::DOUBLE * 1000000.0), 6) AS avg_logp
          |FROM sc ORDER BY src_eval, src_train""".stripMargin,
+
+    // Replays mixtureReweight over the same matrix: truncating per-cell
+    // avg, truncating cross mean over S-1, min-shift + 1e6, one
+    // truncating normalization div — all integer.
+    "x254_mixture_reweight" ->
+      s"""WITH $crossPerplexityCteSql,
+         |av AS (SELECT src_eval, src_train,
+         |         CAST(sum_logp_micro // n_transitions AS BIGINT) AS a
+         |       FROM sc),
+         |own AS (SELECT src_eval AS source, a AS own_a FROM av
+         |        WHERE src_eval = src_train),
+         |cr AS (SELECT src_eval AS source,
+         |         CAST(sum(a) // count(*) AS BIGINT) AS cross_a
+         |       FROM av WHERE src_eval <> src_train GROUP BY 1),
+         |exx AS (SELECT o.source, o.own_a, cr.cross_a,
+         |          o.own_a - coalesce(cr.cross_a, o.own_a) AS ex
+         |        FROM own o LEFT JOIN cr USING (source)),
+         |mnn AS (SELECT min(ex) AS mn FROM exx),
+         |tt AS (SELECT CAST(sum(ex - mn + 1000000) AS BIGINT) AS tot
+         |       FROM exx, mnn)
+         |SELECT exx.source, exx.own_a AS own_avg_micro,
+         |       exx.cross_a AS cross_avg_micro, exx.ex AS excess_micro,
+         |       CAST(((exx.ex - mnn.mn + 1000000)::HUGEINT * 1000000)
+         |         // tt.tot AS BIGINT) AS weight_micro
+         |FROM exx, mnn, tt ORDER BY exx.source""".stripMargin,
+
+    // Replays exactContaminationSpans over the x27 split: two gram
+    // tables, one combined occurrence cap, cross join on the hash,
+    // consecutive islands, argmax by (span desc, start asc).
+    "x253_contamination_spans" ->
+      s"""WITH nd AS (SELECT doc_id,
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents),
+         |hs AS MATERIALIZED (SELECT doc_id,
+         |    list_transform(range(1, greatest(length(t) - 15, 0) + 1),
+         |      i -> ${md5Hash60Sql("substr(t, CAST(i AS INT), 16)")}) AS h
+         |  FROM nd),
+         |g AS MATERIALIZED (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS p,
+         |    h[CAST(u.i AS INT)] AS f
+         |  FROM hs, LATERAL (SELECT unnest(range(1, len(h) + 1)) AS i) u
+         |  WHERE len(h) > 0),
+         |hist AS MATERIALIZED (SELECT f, count(*) AS df FROM g GROUP BY 1),
+         |cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_fps
+         |        FROM hist WHERE df > 50),
+         |pr AS MATERIALIZED (SELECT g.doc_id, g.p, g.f
+         |  FROM g JOIN hist USING (f) WHERE hist.df <= 50),
+         |mt AS (SELECT a.doc_id AS da, b.doc_id AS bb, a.p AS pa,
+         |    a.p - b.p AS diag
+         |  FROM pr a JOIN pr b ON a.f = b.f
+         |  WHERE a.doc_id >= 10 AND b.doc_id < 10),
+         |isl AS (SELECT da, bb, diag, pa,
+         |    SUM(CASE WHEN pa - lp > 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY da, bb, diag ORDER BY pa
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+         |  FROM (SELECT *, lag(pa) OVER (PARTITION BY da, bb, diag
+         |          ORDER BY pa) AS lp FROM mt) z),
+         |runs AS (SELECT da, bb, CAST(count(*) AS BIGINT) AS n,
+         |    min(pa) AS lo, max(pa) - min(pa) + 16 AS rc
+         |  FROM isl GROUP BY da, bb, diag, i
+         |  HAVING max(pa) - min(pa) + 16 >= 32),
+         |best AS (SELECT da, bb, CAST(max(rc) AS BIGINT) AS span,
+         |    CAST(count(*) AS BIGINT) AS n_runs,
+         |    CAST(sum(n) AS BIGINT) AS n_matched_positions
+         |  FROM runs GROUP BY 1, 2),
+         |st AS (SELECT r.da, r.bb, CAST(min(r.lo) AS BIGINT) AS corpus_start
+         |       FROM runs r JOIN best b ON b.da = r.da AND b.bb = r.bb
+         |         AND r.rc = b.span
+         |       GROUP BY 1, 2)
+         |SELECT best.da AS doc_id, best.bb AS bench_id, best.span AS span_chars,
+         |       st.corpus_start, best.n_runs, best.n_matched_positions,
+         |       cap.n_capped_fps
+         |FROM best JOIN st ON st.da = best.da AND st.bb = best.bb, cap
+         |ORDER BY doc_id, bench_id""".stripMargin,
 
     // Replays advisedThreeWayJoin's whole contract: histogram sums in
     // DECIMAL(38,0), best = min(intermediate, order-name tiebreak),

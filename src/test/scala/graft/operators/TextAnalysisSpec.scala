@@ -1558,6 +1558,58 @@ class TextAnalysisSpec extends SparkSpec {
       ("B", "A", 1L, bOnA), ("B", "B", 1L, bOnB)), out.toString)
   }
 
+  test("exactContaminationSpans: exact span length AND offset in the " +
+      "corpus doc; clean pairs emit nothing") {
+    val shared = "the quick brown fox jumps over the lazy" // 39 chars
+    // corpus doc: the span starts after an 18-char prefix; boundary
+    // chars differ from the benchmark's on both sides so the true
+    // overlap is exactly the planted string
+    val corpus = Seq(
+      (10L, s"zzz corpus prefix:$shared, tail of the corpus document"),
+      (11L, "a completely clean corpus document without overlap qqq")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, s"bench doc with $shared inside it"),
+      (2L, "another benchmark item nothing shares vvv")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.exactContaminationSpans(corpus, bench,
+        k = 16, dfCap = 50, minRunChars = 32)
+      .select("doc_id", "bench_id", "span_chars", "corpus_start", "n_runs",
+        "n_capped_fps")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((10L, 1L, 39L, 18L, 1L, 0L)), out.toSeq.toString)
+  }
+
+  test("mixtureReweight: hand-traced two-source weights match the " +
+      "integer excess-perplexity contract") {
+    val docs = Seq(
+      (1L, "A", "a b c a b c"),
+      (2L, "B", "a b d")
+    ).toDF("doc_id", "source", "text")
+    def lp(c123: Long, c12: Long, v: Long): Long =
+      math.round(BigDecimal(math.log((c123 + 1.0) / (c12 + v + 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    // matrix sums from the crossSourcePerplexity trace above
+    val aOnA = 2 * lp(2, 2, 3) + lp(1, 1, 3) + lp(1, 1, 3)
+    val aOnB = 2 * lp(0, 1, 1) + lp(0, 0, 1) + lp(0, 0, 1)
+    val bOnA = lp(0, 2, 3)
+    val bOnB = lp(1, 1, 1)
+    // truncating per-cell avg (A has 4 transitions, B has 1)
+    val ownA = aOnA / 4; val crossA = aOnB / 4
+    val ownB = bOnB; val crossB = bOnA
+    val exA = ownA - crossA; val exB = ownB - crossB
+    val mn = math.min(exA, exB)
+    val tot = (exA - mn + 1000000L) + (exB - mn + 1000000L)
+    val wA = (exA - mn + 1000000L) * 1000000L / tot
+    val wB = (exB - mn + 1000000L) * 1000000L / tot
+    val out = TextAnalysis.mixtureReweight(docs)
+      .select("source", "own_avg_micro", "cross_avg_micro", "excess_micro",
+        "weight_micro")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("A", ownA, crossA, exA, wA),
+      ("B", ownB, crossB, exB, wB)), out.toString)
+  }
+
   test("readability: the vowelless-word identity holds on punctuation/" +
       "hyphen-bearing text (r15 ADVICE examples)") {
     // words() = maximal alnum runs: "o'clock" → [o, clock] (both
