@@ -911,11 +911,36 @@ object TextAnalysis {
   def exactContaminationSpans(corpus: DataFrame, benchmark: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", k: Int = 16,
       dfCap: Int = 50, minRunChars: Int = 32): DataFrame = {
+    val (runs, capped) =
+      contaminationRuns(corpus, benchmark, idCol, textCol, k, dfCap, minRunChars)
+    runs
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(
+        // argmax by (span desc, start asc): max of (rc, -lo) structs
+        max(struct((col("__hi") - col("__lo") + lit(k.toLong)).as("rc"),
+          (-col("__lo")).as("nl"))).as("__best"),
+        count(lit(1)).as("n_runs"),
+        sum(col("__n")).cast("bigint").as("n_matched_positions"))
+      .select(col("doc_id"), col("bench_id"),
+        col("__best.rc").cast("bigint").as("span_chars"),
+        (-col("__best.nl")).cast("bigint").as("corpus_start"),
+        col("n_runs"), col("n_matched_positions"))
+      .crossJoin(broadcast(capped))
+  }
+
+  /** The exact cross-corpus run relation [[exactContaminationSpans]]
+    * aggregates and [[decontaminationVerdicts]] interval-merges: one
+    * row per qualifying (corpus doc, benchmark doc, diagonal) run —
+    * (doc_id, bench_id, __lo/__hi = first/last gram position, __n =
+    * matched positions) — plus the 1-row capped-fp frame. */
+  private def contaminationRuns(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int, dfCap: Int,
+      minRunChars: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && dfCap > 0,
-      s"exactContaminationSpans: k, dfCap must be positive, got ($k, $dfCap)")
+      s"contaminationRuns: k, dfCap must be positive, got ($k, $dfCap)")
     require(minRunChars >= k,
-      s"exactContaminationSpans: minRunChars ($minRunChars) must be >= k ($k)")
+      s"contaminationRuns: minRunChars ($minRunChars) must be >= k ($k)")
     def grams(df: DataFrame, out: String) = df
       .select(col(idCol).as(out),
         regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
@@ -938,7 +963,7 @@ object TextAnalysis {
         col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
     val wOrd = Window.partitionBy(col("doc_id"), col("bench_id"), col("diag"))
       .orderBy(col("pos_a"))
-    matched
+    val runs = matched
       .withColumn("__brk",
         when(col("pos_a") - lag(col("pos_a"), 1).over(wOrd) > 1L, 1L)
           .otherwise(0L))
@@ -949,18 +974,77 @@ object TextAnalysis {
         min(col("pos_a")).cast("bigint").as("__lo"),
         max(col("pos_a")).cast("bigint").as("__hi"))
       .filter(col("__hi") - col("__lo") + lit(k.toLong) >= minRunChars)
-      .groupBy(col("doc_id"), col("bench_id"))
-      .agg(
-        // argmax by (span desc, start asc): max of (rc, -lo) structs
-        max(struct((col("__hi") - col("__lo") + lit(k.toLong)).as("rc"),
-          (-col("__lo")).as("nl"))).as("__best"),
-        count(lit(1)).as("n_runs"),
-        sum(col("__n")).cast("bigint").as("n_matched_positions"))
-      .select(col("doc_id"), col("bench_id"),
-        col("__best.rc").cast("bigint").as("span_chars"),
-        (-col("__best.nl")).cast("bigint").as("corpus_start"),
-        col("n_runs"), col("n_matched_positions"))
-      .crossJoin(broadcast(capped))
+    (runs, capped)
+  }
+
+  /** Decontamination VERDICTS — the apply step over
+    * [[exactContaminationSpans]]: per corpus document, the exact
+    * number of characters covered by verbatim benchmark overlap
+    * (runs from ALL benchmark docs and diagonals, merged as
+    * intervals so double-counted overlap counts once), its share of
+    * the normalized text, and the action a decontamination pass
+    * takes — `keep` below `clipShareMicro`, `clip` at/above it,
+    * `drop` at/above `dropShareMicro` (a mostly-benchmark document
+    * is not salvageable by clipping).
+    *
+    * Interval merge is gaps-and-islands on the char intervals
+    * [lo, hi + k − 1]: per doc ordered by (start, end), a new island
+    * starts when start exceeds the running max end + 1 (adjacent
+    * spans merge — contiguous contamination is one span). Exact by
+    * construction over the exact run relation.
+    *
+    * Scale: the run relation is the cost (see
+    * [[exactContaminationSpans]]); the merge window partitions per
+    * corpus doc over its runs — bounded by real contamination.
+    * Output covers EVERY corpus doc (clean docs report zeros), one
+    * row each.
+    *
+    * Output: (doc_id, n_chars, contaminated_chars,
+    * contaminated_share_micro, n_spans, verdict), ordered by doc_id. */
+  def decontaminationVerdicts(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 16,
+      dfCap: Int = 50, minRunChars: Int = 32,
+      clipShareMicro: Long = 200000L,
+      dropShareMicro: Long = 500000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(clipShareMicro >= 0 && dropShareMicro >= clipShareMicro,
+      s"decontaminationVerdicts: need 0 <= clipShareMicro <= dropShareMicro, " +
+        s"got ($clipShareMicro, $dropShareMicro)")
+    val (runs, _) =
+      contaminationRuns(corpus, benchmark, idCol, textCol, k, dfCap, minRunChars)
+    val iv = runs.select(col("doc_id"), col("__lo").as("__s"),
+      (col("__hi") + lit(k.toLong) - lit(1L)).as("__e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__s"), col("__e"))
+    val merged = iv
+      .withColumn("__pm", max(col("__e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__pm").isNull || col("__s") > col("__pm") + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg((max(col("__e")) - min(col("__s")) + lit(1L)).as("__chars"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__chars")).cast("bigint").as("contaminated_chars"),
+        count(lit(1)).cast("bigint").as("n_spans"))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        length(regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+          .cast("bigint").as("n_chars"))
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("contaminated_chars"), lit(0L)).as("contaminated_chars"),
+        when(col("n_chars") > 0,
+          expr("(coalesce(contaminated_chars, 0L) * 1000000L) div n_chars"))
+          .otherwise(lit(0L)).as("contaminated_share_micro"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .select(col("doc_id"), col("n_chars"), col("contaminated_chars"),
+        col("contaminated_share_micro"), col("n_spans"),
+        when(col("contaminated_share_micro") >= dropShareMicro, lit("drop"))
+          .when(col("contaminated_share_micro") >= clipShareMicro, lit("clip"))
+          .otherwise(lit("keep")).as("verdict"))
+      .orderBy(col("doc_id"))
   }
 
   /** Excess-perplexity mixture reweighting — the decision layer over

@@ -2964,6 +2964,18 @@ object ExtensionQueries {
   def x254(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.mixtureReweight(docs(s, dir))
 
+  /** x255 decontamination verdicts — see
+    * [[graft.operators.TextAnalysis.decontaminationVerdicts]]: the
+    * APPLY step over x253's exact spans — per corpus doc, interval-
+    * merged contaminated chars, share, and keep/clip/drop at the
+    * 20%/50% thresholds. */
+  def x255(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.decontaminationVerdicts(
+      d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+      k = 16, dfCap = 50, minRunChars = 32)
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -3269,6 +3281,7 @@ object ExtensionQueries {
     "x252_cross_perplexity" -> (x252 _),
     "x253_contamination_spans" -> (x253 _),
     "x254_mixture_reweight" -> (x254 _),
+    "x255_decontamination_verdicts" -> (x255 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3411,6 +3424,43 @@ object ExtensionQueries {
     * first 8 digest bytes big-endian >>> 4 (ShingleKernels.md5Hash60). */
   private def md5Hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Shared CTE chain of the exact-contamination replays (x253, x255):
+    * normalized docs, 16-gram hash positions, combined occurrence cap
+    * (`cap(n_capped_fps)`), corpus(≥10)×benchmark(<10) match on the
+    * hash, diagonal islands — ends in `runs(da, bb, n, lo, rc)` with
+    * rc = exact run chars. */
+  private def contaminationRunsCteSql: String =
+    s"""nd AS (SELECT doc_id,
+       |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |hs AS MATERIALIZED (SELECT doc_id,
+       |    list_transform(range(1, greatest(length(t) - 15, 0) + 1),
+       |      i -> ${md5Hash60Sql("substr(t, CAST(i AS INT), 16)")}) AS h
+       |  FROM nd),
+       |g AS MATERIALIZED (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS p,
+       |    h[CAST(u.i AS INT)] AS f
+       |  FROM hs, LATERAL (SELECT unnest(range(1, len(h) + 1)) AS i) u
+       |  WHERE len(h) > 0),
+       |hist AS MATERIALIZED (SELECT f, count(*) AS df FROM g GROUP BY 1),
+       |cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_fps
+       |        FROM hist WHERE df > 50),
+       |pr AS MATERIALIZED (SELECT g.doc_id, g.p, g.f
+       |  FROM g JOIN hist USING (f) WHERE hist.df <= 50),
+       |mt AS (SELECT a.doc_id AS da, b.doc_id AS bb, a.p AS pa,
+       |    a.p - b.p AS diag
+       |  FROM pr a JOIN pr b ON a.f = b.f
+       |  WHERE a.doc_id >= 10 AND b.doc_id < 10),
+       |isl AS (SELECT da, bb, diag, pa,
+       |    SUM(CASE WHEN pa - lp > 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY da, bb, diag ORDER BY pa
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+       |  FROM (SELECT *, lag(pa) OVER (PARTITION BY da, bb, diag
+       |          ORDER BY pa) AS lp FROM mt) z),
+       |runs AS (SELECT da, bb, CAST(count(*) AS BIGINT) AS n,
+       |    min(pa) AS lo, max(pa) - min(pa) + 16 AS rc
+       |  FROM isl GROUP BY da, bb, diag, i
+       |  HAVING max(pa) - min(pa) + 16 >= 32)""".stripMargin
 
   /** Shared CTE chain of the cross-source-perplexity replays (x252,
     * x254): per-source trigram cells, contexts, vocab sizes, and the
@@ -9015,36 +9065,7 @@ object ExtensionQueries {
     // tables, one combined occurrence cap, cross join on the hash,
     // consecutive islands, argmax by (span desc, start asc).
     "x253_contamination_spans" ->
-      s"""WITH nd AS (SELECT doc_id,
-         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
-         |  FROM documents),
-         |hs AS MATERIALIZED (SELECT doc_id,
-         |    list_transform(range(1, greatest(length(t) - 15, 0) + 1),
-         |      i -> ${md5Hash60Sql("substr(t, CAST(i AS INT), 16)")}) AS h
-         |  FROM nd),
-         |g AS MATERIALIZED (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS p,
-         |    h[CAST(u.i AS INT)] AS f
-         |  FROM hs, LATERAL (SELECT unnest(range(1, len(h) + 1)) AS i) u
-         |  WHERE len(h) > 0),
-         |hist AS MATERIALIZED (SELECT f, count(*) AS df FROM g GROUP BY 1),
-         |cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_fps
-         |        FROM hist WHERE df > 50),
-         |pr AS MATERIALIZED (SELECT g.doc_id, g.p, g.f
-         |  FROM g JOIN hist USING (f) WHERE hist.df <= 50),
-         |mt AS (SELECT a.doc_id AS da, b.doc_id AS bb, a.p AS pa,
-         |    a.p - b.p AS diag
-         |  FROM pr a JOIN pr b ON a.f = b.f
-         |  WHERE a.doc_id >= 10 AND b.doc_id < 10),
-         |isl AS (SELECT da, bb, diag, pa,
-         |    SUM(CASE WHEN pa - lp > 1 THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY da, bb, diag ORDER BY pa
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
-         |  FROM (SELECT *, lag(pa) OVER (PARTITION BY da, bb, diag
-         |          ORDER BY pa) AS lp FROM mt) z),
-         |runs AS (SELECT da, bb, CAST(count(*) AS BIGINT) AS n,
-         |    min(pa) AS lo, max(pa) - min(pa) + 16 AS rc
-         |  FROM isl GROUP BY da, bb, diag, i
-         |  HAVING max(pa) - min(pa) + 16 >= 32),
+      s"""WITH $contaminationRunsCteSql,
          |best AS (SELECT da, bb, CAST(max(rc) AS BIGINT) AS span,
          |    CAST(count(*) AS BIGINT) AS n_runs,
          |    CAST(sum(n) AS BIGINT) AS n_matched_positions
@@ -9058,6 +9079,42 @@ object ExtensionQueries {
          |       cap.n_capped_fps
          |FROM best JOIN st ON st.da = best.da AND st.bb = best.bb, cap
          |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Replays decontaminationVerdicts: the shared run chain, char
+    // intervals [lo, lo+rc-1] merged per corpus doc (gaps-and-islands
+    // on running max end), truncating share, 20%/50% verdicts over
+    // EVERY corpus doc.
+    "x255_decontamination_verdicts" ->
+      s"""WITH $contaminationRunsCteSql,
+         |iv AS (SELECT da AS doc_id, lo AS s, lo + rc - 1 AS e FROM runs),
+         |mg AS (SELECT doc_id, s, e,
+         |    SUM(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s, e
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM (SELECT doc_id, s, e,
+         |          max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |        FROM iv) z),
+         |sp AS (SELECT doc_id, isl, max(e) - min(s) + 1 AS chars
+         |       FROM mg GROUP BY 1, 2),
+         |ag AS (SELECT doc_id, CAST(sum(chars) AS BIGINT) AS cc,
+         |         CAST(count(*) AS BIGINT) AS ns
+         |       FROM sp GROUP BY 1),
+         |base AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars
+         |         FROM nd WHERE doc_id >= 10),
+         |fin AS (SELECT b.doc_id, b.n_chars,
+         |    coalesce(ag.cc, 0) AS contaminated_chars,
+         |    CASE WHEN b.n_chars > 0
+         |         THEN (coalesce(ag.cc, 0) * 1000000) // b.n_chars
+         |         ELSE 0 END AS contaminated_share_micro,
+         |    coalesce(ag.ns, 0) AS n_spans
+         |  FROM base b LEFT JOIN ag USING (doc_id))
+         |SELECT doc_id, n_chars, contaminated_chars,
+         |       contaminated_share_micro, n_spans,
+         |       CASE WHEN contaminated_share_micro >= 500000 THEN 'drop'
+         |            WHEN contaminated_share_micro >= 200000 THEN 'clip'
+         |            ELSE 'keep' END AS verdict
+         |FROM fin ORDER BY doc_id""".stripMargin,
 
     // Replays advisedThreeWayJoin's whole contract: histogram sums in
     // DECIMAL(38,0), best = min(intermediate, order-name tiebreak),

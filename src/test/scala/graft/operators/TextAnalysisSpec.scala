@@ -1580,6 +1580,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, 1L, 39L, 18L, 1L, 0L)), out.toSeq.toString)
   }
 
+  test("decontaminationVerdicts: overlapping spans from different " +
+      "benchmark docs merge to one interval; thresholds decide the verdict") {
+    val A = "alpha beta gamma delta" // three unique-token segments
+    val B = "epsilon zeta eta theta"
+    val C = "iota kappa lambda muuu"
+    // corpus doc 10: A B C contiguous; bench 1 carries "A B", bench 2
+    // carries "B C" (distinct boundary chars on all sides) → the two
+    // overlapping contaminated intervals must merge into ONE span
+    // covering "A B C"
+    val corpus10 = s"padone padtwo qq $A $B $C trailer words here"
+    // corpus doc 11: the same "A B" span inside a LONG unique doc →
+    // share under the 20% clip threshold → keep
+    val corpus11 = ("unique" + (1 to 40).map(i => s" tok$i").mkString) +
+      s" then_$A $B,after" + (41 to 60).map(i => s" tok$i").mkString
+    val corpus = Seq((10L, corpus10), (11L, corpus11), (12L, "clean doc qwerty"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, s"bench one holds:$A $B;yes"),
+      (2L, s"two keeps#$B $C|end")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminationVerdicts(corpus, bench,
+        k = 16, dfCap = 50, minRunChars = 32)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    val span10 = (A + " " + B + " " + C).length.toLong // merged interval
+    val span11 = (A + " " + B).length.toLong
+    val n10 = corpus10.length.toLong; val n11 = corpus11.length.toLong
+    val share10 = span10 * 1000000L / n10
+    val share11 = span11 * 1000000L / n11
+    assert(share10 >= 500000L && share11 < 200000L, s"$share10 $share11")
+    assert(out == Seq(
+      (10L, n10, span10, share10, 1L, "drop"),
+      (11L, n11, span11, share11, 1L, "keep"),
+      (12L, "clean doc qwerty".length.toLong, 0L, 0L, 0L, "keep")), out.toString)
+  }
+
   test("mixtureReweight: hand-traced two-source weights match the " +
       "integer excess-perplexity contract") {
     val docs = Seq(
