@@ -1431,4 +1431,105 @@ object Streaming {
       .transformWithState(new DamageMonitorProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ---- PII-leak monitor (streaming twin of x251 piiChecksums) --------
+
+  final case class PiiStat(source: String, n_docs: Long, n_leaky: Long,
+      leak_rate_micro: Long, card_candidates: Long, card_valid: Long,
+      iban_candidates: Long, iban_valid: Long, phones: Long)
+  private[graft] final case class PiiCounts(n_docs: Long, n_leaky: Long,
+      cc: Long, cv: Long, ic: Long, iv: Long, ph: Long)
+
+  private val CardPat = java.util.regex.Pattern.compile("\\b\\d{13,19}\\b")
+  private val IbanPat =
+    java.util.regex.Pattern.compile("\\b[A-Z]{2}\\d{2}[A-Z0-9]{10,30}\\b")
+  private val PhonePat = java.util.regex.Pattern.compile("\\+[1-9]\\d{7,14}\\b")
+
+  /** Standard Luhn — the JVM rendering of the batch engine's
+    * `luhn_check` built-in (parity test-pinned). */
+  private[graft] def luhnValid(s: String): Boolean = {
+    var sum = 0; var alt = false; var i = s.length - 1
+    while (i >= 0) {
+      var d = s.charAt(i) - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d; alt = !alt; i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** ISO-7064 mod-97-10 — the same value-encoded fold the batch lambda
+    * computes (TextAnalysis.piiChecksums). */
+  private[graft] def ibanValid(s: String): Boolean = {
+    val r = s.substring(4) + s.substring(0, 4)
+    var acc = 0L
+    var i = 0
+    while (i < r.length) {
+      val ch = r.charAt(i)
+      acc =
+        if (ch >= 'A' && ch <= 'Z') (acc * 100 + (ch - 'A' + 10)) % 97
+        else (acc * 10 + (ch - '0')) % 97
+      i += 1
+    }
+    acc == 1L
+  }
+
+  private def matches(p: java.util.regex.Pattern, s: String): Seq[String] = {
+    val m = p.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  /** Streaming PII-leak monitor — the live twin of
+    * [[graft.operators.TextAnalysis.piiChecksums]] (x251): keyed by
+    * source, state holds seven exact counters, and every micro-batch
+    * emits each TOUCHED source's RUNNING row — a feed that starts
+    * leaking checksum-VALID cards or IBANs alarms within one batch,
+    * not at the nightly screen. A doc is `leaky` when it carries at
+    * least one Luhn-valid card or mod-97-valid IBAN (candidates
+    * alone are pattern noise — the checksum is the signal, the x251
+    * contract).
+    *
+    * Parity contract (test-pinned): after any stream prefix, the
+    * latest emit per source equals the batch operator aggregated per
+    * source over that prefix — same Java regex, same checksums, same
+    * truncating rate. Bounded state: seven longs per source. */
+  final class PiiMonitorProcessor
+      extends StatefulProcessor[String, DocIngest, PiiStat] {
+    @transient private var st: ValueState[PiiCounts] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PiiCounts]("pii",
+        org.apache.spark.sql.Encoders.product[PiiCounts], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocIngest],
+        tv: TimerValues): Iterator[PiiStat] = {
+      var c = Option(st.get()).getOrElse(PiiCounts(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+      rows.foreach { d =>
+        val t = Option(d.text).getOrElse("")
+        val cards = matches(CardPat, t)
+        val ibans = matches(IbanPat, t)
+        val cv = cards.count(luhnValid)
+        val iv = ibans.count(ibanValid)
+        c = PiiCounts(c.n_docs + 1L,
+          c.n_leaky + (if (cv + iv > 0) 1L else 0L),
+          c.cc + cards.length, c.cv + cv,
+          c.ic + ibans.length, c.iv + iv,
+          c.ph + matches(PhonePat, t).length)
+      }
+      st.update(c)
+      Iterator.single(PiiStat(key, c.n_docs, c.n_leaky,
+        c.n_leaky * 1000000L / c.n_docs,
+        c.cc, c.cv, c.ic, c.iv, c.ph))
+    }
+  }
+
+  /** [[PiiMonitorProcessor]] wired onto a (source, text) ingest stream;
+    * same RocksDB provider requirement as [[sessionizeWithState]]. */
+  def piiMonitorWithState(docs: Dataset[DocIngest]): Dataset[PiiStat] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new PiiMonitorProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

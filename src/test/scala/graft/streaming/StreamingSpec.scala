@@ -1090,4 +1090,64 @@ class StreamingSpec extends SparkSpec {
       assert(batchScreen(rows).values.exists(_._3 > 0))
     }
   }
+
+  test("piiMonitorWithState: latest emit per source equals the batch " +
+      "piiChecksums rollup on the prefix — mid-stream and at the end") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      // the x251 plant over the fixture docs: every doc gets a card
+      // (Luhn-valid iff doc_id%10==1), an IBAN (valid iff doc_id%7==0),
+      // and a phone — so valid counts are nonzero and vary by source
+      val planted = spark.read.parquet(s"$sf001/documents.parquet")
+        .withColumn("text", concat(col("text"),
+          lit(" card 411111111111111"),
+          pmod(col("doc_id"), lit(10)).cast("string"),
+          lit(" iban GB"),
+          (lit(82) + pmod(col("doc_id"), lit(7))).cast("string"),
+          lit("WEST12345698765432 tel +1415555"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .select(col("source"), col("text"))
+      val rows = planted.as[Streaming.DocIngest].collect().toSeq
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+
+      def batchRollup(docs: Seq[Streaming.DocIngest]) =
+        graft.operators.TextAnalysis.piiChecksums(
+            docs.toDF("source", "text"), idCol = "source")
+          .groupBy(col("doc_id").as("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("n_card_valid") + col("n_iban_valid") > 0, 1L)
+              .otherwise(0L)).as("n_leaky"),
+            sum(col("n_card_candidates")).as("cc"),
+            sum(col("n_card_valid")).as("cv"),
+            sum(col("n_iban_candidates")).as("ic"),
+            sum(col("n_iban_valid")).as("iv"),
+            sum(col("n_phone")).as("ph"))
+          .select(col("source"), col("n_docs"), col("n_leaky"),
+            expr("n_leaky * 1000000L div n_docs").as("rate"),
+            col("cc"), col("cv"), col("ic"), col("iv"), col("ph"))
+          .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+          .collect().map(r => r._1 -> r).toMap
+
+      def latest(table: String) = spark.table(table)
+        .as[Streaming.PiiStat].collect()
+        .groupBy(_.source).view
+        .mapValues(_.maxBy(_.n_docs))
+        .mapValues(s => (s.source, s.n_docs, s.n_leaky, s.leak_rate_micro,
+          s.card_candidates, s.card_valid, s.iban_candidates, s.iban_valid,
+          s.phones)).toMap
+
+      val in = MemoryStream[Streaming.DocIngest]
+      val q = Streaming.piiMonitorWithState(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("pii_parity").start()
+      in.addData(b1); q.processAllAvailable()
+      assert(latest("pii_parity") == batchRollup(b1), "mid-stream prefix parity")
+      in.addData(b2); q.processAllAvailable()
+      q.stop()
+      val fin = batchRollup(rows)
+      assert(latest("pii_parity") == fin, "final parity")
+      // the plant actually fired: valid cards AND valid IBANs exist
+      assert(fin.values.exists(_._6 > 0) && fin.values.exists(_._8 > 0))
+    }
+  }
 }
