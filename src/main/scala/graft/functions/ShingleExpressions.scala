@@ -390,7 +390,58 @@ case class WinnowAnchors(child: Expression, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `luhn_valid_count(arr)` → bigint: members of a string array passing
+  * the Luhn checksum. Exists because `size(filter(arr, c ->
+  * luhn_check(c)))` runs the higher-order filter INTERPRETED and
+  * disqualifies its whole projection from whole-stage codegen (the
+  * round-9 trap) — this is one static call inside the span. */
+case class LuhnValidCount(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "luhn_valid_count"
+
+  override def checkInputDataTypes() =
+    K.expect("luhn_valid_count", child.dataType,
+      K.isStringArray, "array<string>")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.luhnValidCount(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.luhnValidCount($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `iban_valid_count(arr)` → bigint: members of an uppercase-IBAN
+  * string array passing ISO-7064 mod-97-10 (rotate first 4 chars to
+  * the end, A→10…Z→35, fold mod 97 = 1). Same codegen rationale as
+  * [[LuhnValidCount]]. */
+case class IbanValidCount(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "iban_valid_count"
+
+  override def checkInputDataTypes() =
+    K.expect("iban_valid_count", child.dataType,
+      K.isStringArray, "array<string>")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.ibanValidCount(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.ibanValidCount($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object ShingleFunctions {
+  def luhn_valid_count(arr: Column): Column =
+    toColumn(LuhnValidCount(toExpression(arr)))
+  def iban_valid_count(arr: Column): Column =
+    toColumn(IbanValidCount(toExpression(arr)))
   def winnow_minima(hashes: Column, w: Int): Column =
     toColumn(WinnowMinima(toExpression(hashes), w))
   def winnow_anchors(hashes: Column, w: Int): Column =

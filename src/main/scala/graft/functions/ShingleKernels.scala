@@ -479,4 +479,64 @@ object ShingleKernels {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
   }
+
+  /** Standard Luhn over a digit-run candidate (the ONE JVM rendering —
+    * the batch count expression and the streaming PII monitor both
+    * call it; Spark's own `luhn_check` built-in computes the same
+    * function, unit-pinned against it). */
+  @inline def luhnValid(s: String): Boolean = {
+    var sum = 0; var alt = false; var i = s.length - 1
+    while (i >= 0) {
+      var d = s.charAt(i) - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d; alt = !alt; i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** ISO-7064 mod-97-10 over an uppercase [A-Z0-9] IBAN candidate:
+    * first four chars rotate to the end, letters map A→10…Z→35, fold
+    * (acc·10^len + v) mod 97, valid iff 1 — the identical
+    * value-encoded fold the DuckDB oracle replays. */
+  @inline def ibanMod97Valid(s: String): Boolean = {
+    val n = s.length
+    var acc = 0L
+    var j = 0
+    while (j < n) {
+      // rotated index: chars 4..n-1 first, then 0..3
+      val ch = s.charAt(if (j < n - 4) j + 4 else j - (n - 4))
+      acc =
+        if (ch >= 'A' && ch <= 'Z') (acc * 100 + (ch - 'A' + 10)) % 97
+        else (acc * 10 + (ch - '0')) % 97
+      j += 1
+    }
+    acc == 1L
+  }
+
+  /** Count of Luhn-valid members of a string array — the codegen
+    * replacement for `size(filter(arr, c -> luhn_check(c)))`, whose
+    * higher-order filter runs interpreted and disqualifies the whole
+    * projection from whole-stage codegen. */
+  def luhnValidCount(arr: ArrayData): Long = {
+    var n = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      if (luhnValid(arr.getUTF8String(i).toString)) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** Count of ISO-7064 mod-97-valid members of a string array (same
+    * codegen rationale as [[luhnValidCount]]). */
+  def ibanValidCount(arr: ArrayData): Long = {
+    var n = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      if (ibanMod97Valid(arr.getUTF8String(i).toString)) n += 1
+      i += 1
+    }
+    n
+  }
 }
+

@@ -2193,58 +2193,47 @@ object TextAnalysis {
     * report and noise.
     *
     *  - cards: `\b\d{13,19}\b` digit runs, validated by the Luhn
-    *    algorithm via Spark's codegen'd `luhn_check` built-in;
+    *    algorithm (the [[graft.functions.ShingleKernels.luhnValid]]
+    *    kernel — unit-pinned equal to Spark's own `luhn_check`);
     *  - IBANs: `\b[A-Z]{2}\d{2}[A-Z0-9]{10,30}\b` (uppercase
     *    canonical form — the stated charset contract), validated by
     *    ISO-7064 mod-97-10: move the first 4 chars to the end, map
     *    letters A→10…Z→35, fold (acc·10^len(e) + e) mod 97, valid
-    *    iff 1. The fold runs as a bounded per-candidate lambda —
-    *    candidates per document are few and ≤ 34 chars each, so the
-    *    interpreted-HOF trap (per-element work over CORPUS-scale
-    *    arrays) does not apply;
+    *    iff 1;
     *  - phones: E.164-shaped `\+[1-9]\d{7,14}\b` counted (no
     *    checksum exists for phone numbers).
     *
-    * Scale: one narrow regex projection per document — no shuffle, no
-    * join; aggregate downstream as needed.
+    * Both checksum counts are codegen Catalyst expressions
+    * ([[graft.functions.ShingleExpressions LuhnValidCount/
+    * IbanValidCount]]) — the first cut used `size(filter(arr, c ->
+    * luhn_check(c)))` and the higher-order filter excluded the whole
+    * projection from whole-stage codegen (the round-9 trap).
+    *
+    * Scale: one narrow codegen projection per document — no shuffle,
+    * no join, no interpreted lambda; aggregate downstream as needed.
     *
     * Output: (doc_id, n_card_candidates, n_card_valid,
     * n_iban_candidates, n_iban_valid, n_phone). */
   def piiChecksums(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.ShingleFunctions.{iban_valid_count, luhn_valid_count}
     docs.select(col(idCol).as("doc_id"),
         regexp_extract_all(col(textCol),
           lit("\\b\\d{13,19}\\b"), lit(0)).as("__cards"),
-        transform(
-          regexp_extract_all(col(textCol),
-            lit("\\b[A-Z]{2}\\d{2}[A-Z0-9]{10,30}\\b"), lit(0)),
-          // len 40 covers the 34-char IBAN ceiling
-          c => concat(substring(c, 5, 40), substring(c, 1, 4)))
-          .as("__rearr"),
+        regexp_extract_all(col(textCol),
+          lit("\\b[A-Z]{2}\\d{2}[A-Z0-9]{10,30}\\b"), lit(0)).as("__ibans"),
         coalesce(size(regexp_extract_all(col(textCol),
           lit("\\+[1-9]\\d{7,14}\\b"), lit(0))), lit(0)).cast("long")
           .as("n_phone"))
       .select(col("doc_id"),
         coalesce(size(col("__cards")), lit(0)).cast("long")
           .as("n_card_candidates"),
-        expr("CAST(size(filter(__cards, c -> luhn_check(c))) AS BIGINT)")
-          .as("n_card_valid"),
-        coalesce(size(col("__rearr")), lit(0)).cast("long")
+        luhn_valid_count(col("__cards")).as("n_card_valid"),
+        coalesce(size(col("__ibans")), lit(0)).cast("long")
           .as("n_iban_candidates"),
-        // ISO-7064 mod-97-10 over the rearranged token: letters map to
-        // two-digit values (>= 10), digits to one — the multiplier per
-        // element follows from the VALUE, the same encoding the oracle
-        // replays with list_reduce
-        expr("""CAST(size(filter(__rearr, r ->
-            aggregate(
-              transform(sequence(1, length(r)),
-                i -> CASE WHEN substring(r, i, 1) >= 'A' AND substring(r, i, 1) <= 'Z'
-                          THEN CAST(ascii(substring(r, i, 1)) - 55 AS BIGINT)
-                          ELSE CAST(substring(r, i, 1) AS BIGINT) END),
-              0L,
-              (acc, v) -> (acc * (CASE WHEN v >= 10L THEN 100L ELSE 10L END) + v) % 97L
-            ) = 1L)) AS BIGINT)""").as("n_iban_valid"),
+        iban_valid_count(col("__ibans")).as("n_iban_valid"),
         col("n_phone"))
+  }
 
   /** Kneser-Ney bigram average transition log-probability per document
     * — the SMOOTHING upgrade of [[bigramLogProb]]: instead of add-one,

@@ -1445,33 +1445,14 @@ object Streaming {
     java.util.regex.Pattern.compile("\\b[A-Z]{2}\\d{2}[A-Z0-9]{10,30}\\b")
   private val PhonePat = java.util.regex.Pattern.compile("\\+[1-9]\\d{7,14}\\b")
 
-  /** Standard Luhn — the JVM rendering of the batch engine's
-    * `luhn_check` built-in (parity test-pinned). */
-  private[graft] def luhnValid(s: String): Boolean = {
-    var sum = 0; var alt = false; var i = s.length - 1
-    while (i >= 0) {
-      var d = s.charAt(i) - '0'
-      if (alt) { d *= 2; if (d > 9) d -= 9 }
-      sum += d; alt = !alt; i -= 1
-    }
-    sum % 10 == 0
-  }
+  /** The ONE checksum rendering — the batch codegen expressions and
+    * this monitor share the [[graft.functions.ShingleKernels]]
+    * kernels, so stream/batch parity is by construction. */
+  private[graft] def luhnValid(s: String): Boolean =
+    graft.functions.ShingleKernels.luhnValid(s)
 
-  /** ISO-7064 mod-97-10 — the same value-encoded fold the batch lambda
-    * computes (TextAnalysis.piiChecksums). */
-  private[graft] def ibanValid(s: String): Boolean = {
-    val r = s.substring(4) + s.substring(0, 4)
-    var acc = 0L
-    var i = 0
-    while (i < r.length) {
-      val ch = r.charAt(i)
-      acc =
-        if (ch >= 'A' && ch <= 'Z') (acc * 100 + (ch - 'A' + 10)) % 97
-        else (acc * 10 + (ch - '0')) % 97
-      i += 1
-    }
-    acc == 1L
-  }
+  private[graft] def ibanValid(s: String): Boolean =
+    graft.functions.ShingleKernels.ibanMod97Valid(s)
 
   private def matches(p: java.util.regex.Pattern, s: String): Seq[String] = {
     val m = p.matcher(s)

@@ -251,4 +251,37 @@ class ShingleExpressionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("luhn_valid_count: kernel agrees with Spark's own luhn_check on " +
+      "every 13-19 digit candidate; known card fixtures pin both sides") {
+    // deterministic pseudo-random digit runs + the classic fixtures
+    val cands = (1 to 200).map { i =>
+      val len = 13 + (i * 7) % 7
+      (1 to len).map(j => ((i * 31 + j * 17) % 10)).mkString
+    } ++ Seq("4111111111111111", "4111111111111112", "79927398713427")
+    val df = Seq(cands).toDF("arr")
+    val viaKernel = df.select(luhn_valid_count($"arr")).as[Long].head()
+    val viaBuiltin = df.select(
+      org.apache.spark.sql.functions.expr(
+        "CAST(size(filter(arr, c -> luhn_check(c))) AS BIGINT)"))
+      .as[Long].head()
+    assert(viaKernel == viaBuiltin, s"$viaKernel vs $viaBuiltin")
+    // and the empty/null contracts
+    assert(Seq(Seq.empty[String]).toDF("arr")
+      .select(luhn_valid_count($"arr")).as[Long].head() == 0L)
+    assert(Seq((1, None: Option[Seq[String]])).toDF("i", "arr")
+      .select(luhn_valid_count($"arr")).as[Option[Long]].head().isEmpty)
+  }
+
+  test("iban_valid_count: known-good GB82/DE89 pass, check-digit " +
+      "mutations fail, rotation handles any length") {
+    val df = Seq(Seq(
+      "GB82WEST12345698765432", // valid
+      "GB83WEST12345698765432", // mutated check digits
+      "DE89370400440532013000", // valid
+      "DE89370400440532013001", // mutated BBAN
+      "FR1420041010050500013M02606" // valid (27 chars, letter in BBAN)
+    )).toDF("arr")
+    assert(df.select(iban_valid_count($"arr")).as[Long].head() == 3L)
+  }
 }

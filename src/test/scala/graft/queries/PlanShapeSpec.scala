@@ -1979,6 +1979,12 @@ class PlanShapeSpec extends SparkSpec {
     val p251 = physical(ExtensionQueries.x251(spark, sf001))
     assert(!p251.contains("Join"), p251.take(4000))
     assert(!p251.contains("Exchange hashpartitioning"), p251.take(4000))
+    // the checksums are codegen kernel expressions — a reintroduced
+    // higher-order filter (lambdafunction in the projection) would
+    // break the whole-stage span (round-9 trap)
+    assert(!p251.contains("lambdafunction"), p251.take(4000))
+    assert(p251.contains("luhn_valid_count") && p251.contains("iban_valid_count"),
+      p251.take(4000))
     val p250 = physical(ExtensionQueries.x250(spark, sf001))
     // the gaps-and-islands windows must ride the (doc_a, doc_b, diag)
     // partition — an unpartitioned variant would shuffle every matched
