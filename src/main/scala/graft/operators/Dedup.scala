@@ -566,6 +566,55 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Dedup-STACK disagreement audit — where the lexical and the
+    * embedding near-dup engines disagree: the x04 n-gram Jaccard pair
+    * relation full-outer-joined with the x05 embedding-cosine pair
+    * relation, classified `both` / `lexical_only` / `embedding_only`
+    * with the mean score per class. The classes are the dedup
+    * program's blind-spot map: `lexical_only` pairs are surface
+    * copies an embedding dedup would KEEP (template families, near-
+    * verbatim edits below the cosine cut), `embedding_only` pairs are
+    * paraphrases a lexical dedup never sees — the volume of each
+    * tells which stack to tighten, the per-class means how far the
+    * thresholds are from each other (x248's transfer curve gives the
+    * mapping; this gives the disagreement mass).
+    *
+    * Exactness: scores quantize once to integer micro (the x248
+    * convention); class means are truncating integer div over exact
+    * micro sums.
+    *
+    * Scale: both inputs stay their bucketed selves (prefix-k bands /
+    * LSH buckets — never all-pairs); the audit adds one full-outer
+    * join on the pair keys and a 3-row aggregation.
+    *
+    * Output: (dup_class, n_pairs, avg_jaccard_micro — null for
+    * embedding_only, avg_cosine_micro — null for lexical_only),
+    * ordered by dup_class. */
+  def dedupStackDisagreement(docs: DataFrame, emb: DataFrame,
+      minJaccard: Double = 0.2, minCosine: Double = 0.15,
+      ngram: Int = 3, prefixK: Int = 8, nPlanes: Int = 6): DataFrame = {
+    val lex = ngramJaccardNearDup(docs, "doc_id", "text", ngram, prefixK,
+        minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * lit(1000000.0)).cast("long").as("__j"))
+    val sem = embeddingNearDup(emb, "vec_id", "embedding", minCosine, nPlanes)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("cosine") * lit(1000000.0)).cast("long").as("__c"))
+    lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")
+      .select(
+        when(col("__j").isNotNull && col("__c").isNotNull, lit("both"))
+          .when(col("__j").isNotNull, lit("lexical_only"))
+          .otherwise(lit("embedding_only")).as("dup_class"),
+        col("__j"), col("__c"))
+      .groupBy(col("dup_class"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        expr("CASE WHEN count(__j) > 0 THEN sum(__j) div count(__j) END")
+          .as("avg_jaccard_micro"),
+        expr("CASE WHEN count(__c) > 0 THEN sum(__c) div count(__c) END")
+          .as("avg_cosine_micro"))
+      .orderBy(col("dup_class"))
+  }
+
   /** SemDeDup-style semantic dedup: cluster embeddings coarsely (the
     * training-free fixed-centroid IVF assignment of
     * [[Similarity.ivfAssignFixed]] — deterministic literals, so any

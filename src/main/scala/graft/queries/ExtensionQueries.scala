@@ -2976,6 +2976,15 @@ object ExtensionQueries {
       k = 16, dfCap = 50, minRunChars = 32)
   }
 
+  /** x256 dedup-stack disagreement — see
+    * [[graft.operators.Dedup.dedupStackDisagreement]]: the x04
+    * lexical pair relation vs the x05 embedding pair relation,
+    * classified both/lexical_only/embedding_only with per-class mean
+    * scores — the blind-spot map between the two dedup stacks (x248
+    * gives the threshold mapping, this the disagreement mass). */
+  def x256(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupStackDisagreement(docs(s, dir), emb(s, dir))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -3282,6 +3291,7 @@ object ExtensionQueries {
     "x253_contamination_spans" -> (x253 _),
     "x254_mixture_reweight" -> (x254 _),
     "x255_decontamination_verdicts" -> (x255 _),
+    "x256_dedup_disagreement" -> (x256 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -9079,6 +9089,39 @@ object ExtensionQueries {
          |       cap.n_capped_fps
          |FROM best JOIN st ON st.da = best.da AND st.bb = best.bb, cap
          |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Replays dedupStackDisagreement: the x04 brute-force pair ground
+    // truth and the x05 bucketed cosine pairs, micro-quantized, full
+    // outer join, truncating class means.
+    "x256_dedup_disagreement" ->
+      s"""WITH $ngramPairsCteSql,
+         |lp AS (SELECT doc_a, doc_b,
+         |         CAST(round(jaccard * 1000000.0) AS BIGINT) AS j
+         |       FROM pairs),
+         |eb AS (SELECT vec_id, embedding,
+         |         ${bucketSql("embedding", 6)} AS bucket
+         |       FROM embeddings WHERE len(embedding) = 64),
+         |ep AS (SELECT doc_a, doc_b,
+         |         CAST(round(cosine * 1000000.0) AS BIGINT) AS c
+         |       FROM (SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
+         |               round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |                 b2.embedding::DOUBLE[]), 6) AS cosine
+         |             FROM eb a JOIN eb b2 ON a.bucket = b2.bucket
+         |               AND a.vec_id < b2.vec_id) t
+         |       WHERE cosine >= 0.15),
+         |fj AS (SELECT
+         |    CASE WHEN lp.j IS NOT NULL AND ep.c IS NOT NULL THEN 'both'
+         |         WHEN lp.j IS NOT NULL THEN 'lexical_only'
+         |         ELSE 'embedding_only' END AS dup_class, lp.j, ep.c
+         |  FROM lp FULL JOIN ep USING (doc_a, doc_b))
+         |SELECT dup_class, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CASE WHEN count(j) > 0
+         |            THEN CAST(sum(j) // count(j) AS BIGINT) END
+         |         AS avg_jaccard_micro,
+         |       CASE WHEN count(c) > 0
+         |            THEN CAST(sum(c) // count(c) AS BIGINT) END
+         |         AS avg_cosine_micro
+         |FROM fj GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Replays decontaminationVerdicts: the shared run chain, char
     // intervals [lo, lo+rc-1] merged per corpus doc (gaps-and-islands

@@ -703,6 +703,33 @@ class DedupSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0L)
   }
 
+  test("dedupStackDisagreement: both/lexical_only/embedding_only classes " +
+      "and exact micro means on a hand-built corpus") {
+    import spark.implicits._
+    // (0,1): identical text AND identical vectors → both
+    // (4,5): identical text, orthogonal vectors  → lexical_only
+    // (2,3): unrelated texts, identical vectors  → embedding_only
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val tB = "india juliet kilo lima mike november oscar papa"
+    val docs = Seq(
+      (0L, tA), (1L, tA),
+      (2L, "quebec romeo sierra tango uniform victor whiskey xray"),
+      (3L, "yankee zulu apple banana cherry dates elder figs"),
+      (4L, tB), (5L, tB)).toDF("doc_id", "text")
+    val vOne = Array.fill(64)(0.125f).toSeq
+    val e4 = (1.0f +: Array.fill(63)(0.0f)).toSeq
+    val e5 = (0.0f +: 1.0f +: Array.fill(62)(0.0f)).toSeq
+    val vTwo = (1 to 64).map(i => (i % 7).toFloat / 10f)
+    val emb = Seq((0L, vOne), (1L, vOne), (2L, vTwo), (3L, vTwo),
+      (4L, e4), (5L, e5)).toDF("vec_id", "embedding")
+    val out = Dedup.dedupStackDisagreement(docs, emb)
+      .as[(String, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      ("both", 1L, Some(1000000L), Some(1000000L)),
+      ("embedding_only", 1L, None, Some(1000000L)),
+      ("lexical_only", 1L, Some(1000000L), None)), out.toString)
+  }
+
   test("inBatchCollisionForecast: pair-count envelope refuses loudly") {
     import spark.implicits._
     // one cluster of 10^10 docs: m(m-1) ~ 1e20 > the BIGINT envelope

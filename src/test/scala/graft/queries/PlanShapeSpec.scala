@@ -1972,7 +1972,7 @@ class PlanShapeSpec extends SparkSpec {
     Seq(ExtensionQueries.x249 _, ExtensionQueries.x250 _,
         ExtensionQueries.x251 _, ExtensionQueries.x252 _,
         ExtensionQueries.x253 _, ExtensionQueries.x254 _,
-        ExtensionQueries.x255 _).foreach { q =>
+        ExtensionQueries.x255 _, ExtensionQueries.x256 _).foreach { q =>
       val plan = physical(q(spark, sf001))
       assert(!plan.contains("CartesianProduct"), plan.take(4000))
     }
