@@ -408,6 +408,31 @@ object Bench {
     val calibSec = calib.map(_._2).sum
     val calibFull = calib.map { case (k, v) =>
       "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // IO-state probe (r16 close finding): x89/x91-class checkpoint-
+    // heavy queries swung 3.7 → 14.5 s at identical fps while the
+    // CPU/shuffle calib trio simultaneously read FASTER — page-cache
+    // state is a machine axis the trio cannot see. One checkpoint-
+    // heavy micro-query (eager localCheckpoint = block-manager disk
+    // write + read-back) is timed median-of-3 and reported as
+    // calib_io_sec BESIDE calib_sec (excluded from it — per_calib
+    // keeps its CPU-bound meaning and its cross-round continuity).
+    val calibIoSec: Double =
+      if (repeat < 3 || only.nonEmpty) 0.0
+      else {
+        var times = Vector.empty[Double]
+        for (_ <- 1 to 3) {
+          val t0 = System.nanoTime()
+          try {
+            val cp = spark.read.parquet(s"$sfDir/lineitem.parquet")
+              .select("l_orderkey", "l_quantity", "l_extendedprice")
+              .localCheckpoint(true)
+            cp.groupBy().count().write.format("noop").mode("overwrite").save()
+          } catch { case _: Throwable => () }
+          times :+= (System.nanoTime() - t0) / 1e9
+          dropLingering()
+        }
+        median(times)
+      }
     val vsCanonFull = vsCanonical.map { case (k, r) =>
       "\"" + k + "\":" + r2(r) }.mkString("{", ",", "}")
     val suspectsFull = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -420,7 +445,7 @@ object Bench {
       .take(4).map("%02x".format(_)).mkString
     val perCalib =
       if (calibSec > 0.0) r2(headline / calibSec) else "null"
-    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","calib":$calibFull,"calib_sec":${r2(calibSec)},"headline_per_calib":$perCalib,"queries":$qsFull,"rel_spread":$spreadFull,"plans":$plansFull,"runs":$runsFull,"vs_canonical":$vsCanonFull,"suspect_contaminated":$suspectsFull,"clean_probe":$cleanProbeFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","calib":$calibFull,"calib_sec":${r2(calibSec)},"calib_io_sec":${r2(calibIoSec)},"headline_per_calib":$perCalib,"queries":$qsFull,"rel_spread":$spreadFull,"plans":$plansFull,"runs":$runsFull,"vs_canonical":$vsCanonFull,"suspect_contaminated":$suspectsFull,"clean_probe":$cleanProbeFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
     // Full per-query detail: (a) an EARLIER stdout line (the driver only
     // parses the last one) and (b) BENCH_FULL.json in the repo, which the
     // driver's end-of-round commit picks up for the judge. ONLY canonical
@@ -472,7 +497,7 @@ object Bench {
     // only the last stdout line survives the driver's 2000-char window
     val cleanCompact = cleanProbe.take(5).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","calib_sec":${r2(calibSec)},"headline_per_calib":$perCalib,"spread_med":$spreadMed,"spread_max":$spreadMax,"n_suspect":${suspects.size},"suspect":$suspectCompact,"clean_probe":$cleanCompact,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","calib_sec":${r2(calibSec)},"calib_io_sec":${r2(calibIoSec)},"headline_per_calib":$perCalib,"spread_med":$spreadMed,"spread_max":$spreadMax,"n_suspect":${suspects.size},"suspect":$suspectCompact,"clean_probe":$cleanCompact,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
