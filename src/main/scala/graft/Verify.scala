@@ -1,8 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Round-17 hardening (VERDICT r16 item 1 — the r16 gate artifact came
+  * back empty, most plausibly a blown driver window at 313 queries):
+  *  - `oracle_sql.json` is written FIRST, before any dump, so a
+  *    timeout/kill mid-run still leaves the full oracle set beside
+  *    whatever dumped — evidence survives partial runs (the reference
+  *    writes its run ledger even on failure,
+  *    publish_to_catalog.py:605-608);
+  *  - dumps run on a small thread pool (queries are independent
+  *    Spark jobs; the local scheduler interleaves their stages), which
+  *    cut the sf0.01 wall from 6m24s serial to the measured parallel
+  *    figure in SCALE.md §24;
+  *  - per-query status is APPENDED to `_progress.jsonl` the moment a
+  *    dump lands (ok/err + seconds), and `_errors.json` is rewritten
+  *    after every failure, not only at exit. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -29,23 +44,6 @@ object Verify {
           scala.util.Try(name.matches(o)).getOrElse(false) || name.contains(o)) }
     require(selected.nonEmpty,
       s"SPARK_GRAFT_ONLY=${only.getOrElse("")} matches no queries")
-    // Per-query fault isolation, but NOT silent: every failure is recorded
-    // in _errors.json (name → exception message). Round 8 showed why — 12
-    // broken queries simply vanished from the correctness set and the
-    // driver's JSON read as 117/117 green. An always-written artifact
-    // (empty object when clean) makes a regression show as `err`, not as a
-    // smaller denominator.
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    selected
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
-        errors(name) = msg.take(2000)
-        System.err.println(s"[verify] $name failed: $msg")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -58,14 +56,63 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle set FIRST — a partial run must still be comparable
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = errors
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
-    if (errors.nonEmpty)
-      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
+    // Per-query fault isolation, but NOT silent: every failure is recorded
+    // in _errors.json (name → exception message). Round 8 showed why — 12
+    // broken queries simply vanished from the correctness set and the
+    // driver's JSON read as 117/117 green. An always-written artifact
+    // (empty object when clean) makes a regression show as `err`, not as a
+    // smaller denominator.
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val progress = Paths.get(s"$outDir/_progress.jsonl")
+    Files.writeString(progress, "")
+    def flushErrors(): Unit = {
+      import scala.jdk.CollectionConverters._
+      val errJson = errors.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    }
+    flushErrors() // exists-from-the-start, like the progress log
+    def record(name: String, status: String, sec: Double): Unit =
+      synchronized {
+        Files.writeString(progress,
+          s"""{"q": ${q(name)}, "status": ${q(status)}, "sec": ${f"$sec%.3f"}}""" + "\n",
+          StandardOpenOption.APPEND)
+      }
+    // Dump in parallel: each query is an independent job; the local
+    // scheduler interleaves stages across the pool, overlapping one
+    // query's planning/IO with another's compute. Pool size caps the
+    // concurrent memory footprint (heaviest queries hold checkpoint
+    // blocks); 6 measured best on local[16] at sf0.01.
+    val poolSize = sys.env.getOrElse("SPARK_GRAFT_VERIFY_POOL", "6").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
+    import scala.jdk.CollectionConverters._
+    val tasks = selected.toSeq.map { case (name, fn) =>
+      new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            record(name, "ok", (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            errors.put(name, msg.take(2000))
+            System.err.println(s"[verify] $name failed: $msg")
+            flushErrors()
+            record(name, "err", (System.nanoTime() - t0) / 1e9)
+          }
+        }
+      }
+    }
+    pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+    pool.shutdown()
+    flushErrors()
+    if (!errors.isEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keySet.asScala.toSeq.sorted.mkString(", ")}")
     spark.stop()
   }
 }

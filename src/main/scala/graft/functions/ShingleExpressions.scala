@@ -437,7 +437,33 @@ case class IbanValidCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `syllable_count(arr)` → bigint: Flesch syllable estimate over a
+  * words() token array — per token, maximal `[aeiouy]+` vowel groups
+  * floored at 1, summed (ADVICE r16: derive the floor from the token
+  * array itself, not a global-regex identity). One static call inside
+  * the codegen span, same rationale as [[LuhnValidCount]]. */
+case class SyllableCount(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "syllable_count"
+
+  override def checkInputDataTypes() =
+    K.expect("syllable_count", child.dataType,
+      K.isStringArray, "array<string>")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.syllableCount(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.syllableCount($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object ShingleFunctions {
+  def syllable_count(arr: Column): Column =
+    toColumn(SyllableCount(toExpression(arr)))
   def luhn_valid_count(arr: Column): Column =
     toColumn(LuhnValidCount(toExpression(arr)))
   def iban_valid_count(arr: Column): Column =

@@ -485,9 +485,17 @@ object ShingleKernels {
     * call it; Spark's own `luhn_check` built-in computes the same
     * function, unit-pinned against it). */
   @inline def luhnValid(s: String): Boolean = {
+    // fail-soft guards (ADVICE r16): the regex-produced candidates in
+    // piiChecksums are always non-empty digit runs, but this is a
+    // public expression over arbitrary arrays — match the contract of
+    // Spark's built-in luhn_check: empty or non-digit input is
+    // invalid, never `true` (empty summed to 0 % 10 == 0) or garbage
+    if (s.isEmpty) return false
     var sum = 0; var alt = false; var i = s.length - 1
     while (i >= 0) {
-      var d = s.charAt(i) - '0'
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return false
+      var d = c - '0'
       if (alt) { d *= 2; if (d > 9) d -= 9 }
       sum += d; alt = !alt; i -= 1
     }
@@ -500,14 +508,19 @@ object ShingleKernels {
     * value-encoded fold the DuckDB oracle replays. */
   @inline def ibanMod97Valid(s: String): Boolean = {
     val n = s.length
+    // fail-soft guards (ADVICE r16): a real IBAN is 15-34 chars, but
+    // the hard floor here is structural — the 4-char rotation indexes
+    // out of bounds below 5 chars — and any char outside [A-Z0-9]
+    // must count the candidate invalid, not corrupt the fold
+    if (n < 5) return false
     var acc = 0L
     var j = 0
     while (j < n) {
       // rotated index: chars 4..n-1 first, then 0..3
       val ch = s.charAt(if (j < n - 4) j + 4 else j - (n - 4))
-      acc =
-        if (ch >= 'A' && ch <= 'Z') (acc * 100 + (ch - 'A' + 10)) % 97
-        else (acc * 10 + (ch - '0')) % 97
+      if (ch >= 'A' && ch <= 'Z') acc = (acc * 100 + (ch - 'A' + 10)) % 97
+      else if (ch >= '0' && ch <= '9') acc = (acc * 10 + (ch - '0')) % 97
+      else return false
       j += 1
     }
     acc == 1L
@@ -525,6 +538,37 @@ object ShingleKernels {
       i += 1
     }
     n
+  }
+
+  /** Flesch syllable estimate over a words() token array: per token,
+    * the count of maximal vowel groups `[aeiouy]+` floored at 1,
+    * summed. Derived DIRECTLY from the token array (ADVICE r16: the
+    * former global-regex rendering recovered the per-word floor via a
+    * run-count identity that had to be argued, not read) — per-word
+    * semantics are now literal in the code. Tokens are lowercase
+    * alnum runs by the words() contract; vowels are ASCII, so the
+    * scan is a byte sweep (UTF-8 continuation/lead bytes are never
+    * vowels). */
+  def syllableCount(arr: ArrayData): Long = {
+    var total = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val b = arr.getUTF8String(i).getBytes
+      var groups = 0L
+      var prevVowel = false
+      var j = 0
+      while (j < b.length) {
+        val c = b(j)
+        val v = c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+        if (v && !prevVowel) groups += 1
+        prevVowel = v
+        j += 1
+      }
+      total += (if (groups == 0L) 1L else groups)
+      i += 1
+    }
+    total
   }
 
   /** Count of ISO-7064 mod-97-valid members of a string array (same

@@ -2408,21 +2408,16 @@ object TextAnalysis {
     *    .TextFunctions.words]]);
     *  - sentences: terminator runs `[.!?]+`, floored at 1 (trailing
     *    unterminated text is part of the last sentence);
-    *  - syllables: vowel groups `[aeiouy]+` over the lowercased text
-    *    — per-word groups sum to the global count because groups
-    *    cannot cross token separators — with the per-word floor of 1
-    *    recovered exactly as vowelless-word count = words − words
-    *    containing a vowel (one regex count, no per-element lambda —
-    *    the round-9 interpreted-HOF trap). The vowel-bearing-word
-    *    count is the match count of `[\p{L}\p{N}]*[aeiouy][\p{L}
-    *    \p{N}]*`: each match is one maximal alphanumeric RUN, and a
-    *    run IS one `words()` token by that tokenizer's contract
-    *    (maximal [\p{L}\p{N}] runs over the lowercased text — NOT
-    *    whitespace tokens), so the identity holds for ALL inputs
-    *    including punctuation/hyphen-bearing text: "o'clock" is two
-    *    words AND two runs, "x1.y2" two words and zero vowel-bearing
-    *    runs (both vowelless). Pinned by the punctuation case in
-    *    TextAnalysisSpec.
+    *  - syllables: PER-WORD vowel groups `[aeiouy]+` floored at 1,
+    *    summed over the `words()` token array by the
+    *    `syllable_count` codegen kernel — the per-word floor is
+    *    literal in the code, not recovered through the former
+    *    global-regex run-count identity (ADVICE r16: that identity
+    *    held — "o'clock" is two words AND two vowel-bearing runs —
+    *    but had to be argued from the tokenizer contract every round;
+    *    deriving the count from the token array ends the argument).
+    *    Values are unchanged on every input; the punctuation cases
+    *    stay pinned in TextAnalysisSpec.
     *
     * Exactness: all three components are exact BIGINT counts; the
     * score is ONE fully-parenthesized double expression quantized
@@ -2438,16 +2433,14 @@ object TextAnalysis {
   def readability(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions.words
+    import graft.functions.ShingleFunctions.syllable_count
     def rxCount(c: Column, pat: String): Column =
       coalesce(size(regexp_extract_all(c, lit(pat), lit(0))), lit(0))
         .cast("long")
-    val low = lower(col(textCol))
     val base = docs.select(col(idCol).as("doc_id"),
       coalesce(size(words(col(textCol))), lit(0)).cast("long").as("n_words"),
       greatest(rxCount(col(textCol), "[.!?]+"), lit(1L)).as("n_sentences"),
-      (rxCount(low, "[aeiouy]+") +
-        (coalesce(size(words(col(textCol))), lit(0)).cast("long") -
-          rxCount(low, "[\\p{L}\\p{N}]*[aeiouy][\\p{L}\\p{N}]*")))
+      coalesce(syllable_count(words(col(textCol))), lit(0L))
         .as("n_syllables"))
     base.select(col("doc_id"), col("n_words"), col("n_sentences"),
         col("n_syllables"),

@@ -3691,30 +3691,31 @@ object ExtensionQueries {
     * `qr` (exact-operand arithmetic, bit-identical across engines —
     * the ranking column) and the round-6 `q` (the output column). */
   /** Shared readability CTE chain (x239/x244): the sentence-mark
-    * plant, exact word/sentence/vowel-group counts, the vowelless-
-    * word syllable floor, and the Flesch score in integer micro —
-    * constants parsed from strings so both engines hold identical
-    * correctly-rounded doubles. Yields `rd(doc_id, nw, ns, syl,
-    * fm)`. */
+    * plant, exact word/sentence counts, PER-WORD syllable counts
+    * (vowel groups `[aeiouy]+` per words() token, floored at 1,
+    * summed — the same token-array derivation the Spark side's
+    * `syllable_count` kernel computes; ADVICE r16 retired the former
+    * global-regex identity on both sides in lockstep), and the
+    * Flesch score in integer micro — constants parsed from strings
+    * so both engines hold identical correctly-rounded doubles.
+    * Yields `rd(doc_id, nw, ns, syl, fm)`. */
   private def readabilityCtesSql: String = {
-    val wordish = "[\\p{L}\\p{N}]*[aeiouy][\\p{L}\\p{N}]*"
     s"""cor AS (SELECT doc_id, replace(text, ' a ', ' a. ') AS t
        |  FROM documents),
        |rc AS (SELECT doc_id,
        |    CAST(len(${wordsSql("t")}) AS BIGINT) AS nw,
        |    greatest(CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT),
        |      1) AS ns,
-       |    CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT)
-       |      AS vg,
-       |    CAST(len(regexp_extract_all(lower(t), '$wordish')) AS BIGINT)
-       |      AS wv
+       |    CAST(coalesce(list_sum(list_transform(${wordsSql("t")},
+       |      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 0)
+       |      AS BIGINT) AS syl
        |  FROM cor),
-       |rd AS (SELECT doc_id, nw, ns, vg + (nw - wv) AS syl,
+       |rd AS (SELECT doc_id, nw, ns, syl,
        |    CASE WHEN nw > 0 THEN CAST(round(round(
        |        CAST('206.835' AS DOUBLE)
        |          - CAST('1.015' AS DOUBLE) * (nw::DOUBLE / ns::DOUBLE)
        |          - CAST('84.6' AS DOUBLE)
-       |            * ((vg + (nw - wv))::DOUBLE / nw::DOUBLE), 6)
+       |            * (syl::DOUBLE / nw::DOUBLE), 6)
        |      * 1000000.0) AS BIGINT) END AS fm
        |  FROM rc)""".stripMargin
   }
@@ -8825,9 +8826,9 @@ object ExtensionQueries {
          |ORDER BY d.doc_id""".stripMargin,
 
     // Replays readability under the same sentence-mark plant: exact
-    // word/sentence/vowel-group counts, vowelless-word floor, the
-    // Flesch constants parsed from strings so both engines hold the
-    // identical correctly-rounded doubles.
+    // word/sentence counts, per-word syllable floor over the words
+    // array, the Flesch constants parsed from strings so both
+    // engines hold the identical correctly-rounded doubles.
     "x239_readability" ->
       s"""WITH $readabilityCtesSql
          |SELECT doc_id, nw AS n_words, ns AS n_sentences,

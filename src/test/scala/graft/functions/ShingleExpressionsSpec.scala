@@ -284,4 +284,30 @@ class ShingleExpressionsSpec extends SparkSpec {
     )).toDF("arr")
     assert(df.select(iban_valid_count($"arr")).as[Long].head() == 3L)
   }
+
+  test("checksum kernels fail soft on arbitrary input (ADVICE r16): " +
+      "short/empty/non-charset candidates count invalid, never crash") {
+    // the regex-produced candidates in piiChecksums are always clean,
+    // but these are PUBLIC expressions over arbitrary user arrays —
+    // pin the built-in-matching fail-soft contract
+    import graft.functions.ShingleKernels
+    // Luhn: empty must NOT be valid (0 % 10 == 0 trap), non-digits invalid
+    assert(!ShingleKernels.luhnValid(""))
+    assert(!ShingleKernels.luhnValid("4111-1111"))
+    assert(!ShingleKernels.luhnValid("abc"))
+    assert(ShingleKernels.luhnValid("4111111111111111"))
+    // IBAN: < 5 chars used to throw StringIndexOutOfBounds on the
+    // rotated index; lowercase/punctuation must count invalid
+    Seq("", "G", "GB", "GB8", "GB82").foreach(s =>
+      assert(!ShingleKernels.ibanMod97Valid(s), s"'$s'"))
+    assert(!ShingleKernels.ibanMod97Valid("gb82west12345698765432"))
+    assert(!ShingleKernels.ibanMod97Valid("GB82 WEST 1234"))
+    assert(ShingleKernels.ibanMod97Valid("GB82WEST12345698765432"))
+    // and end-to-end through the Catalyst expressions (interpreted +
+    // codegen paths both take the guarded kernel)
+    val hostile = Seq(Seq("", "GB", "41x1", "GB82WEST12345698765432",
+      "4111111111111111")).toDF("arr")
+    assert(hostile.select(luhn_valid_count($"arr")).as[Long].head() == 1L)
+    assert(hostile.select(iban_valid_count($"arr")).as[Long].head() == 1L)
+  }
 }

@@ -934,4 +934,25 @@ class SequencesSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect()
     assert(out.toSeq == Seq(("y>x", 2L, 2L, 2L, 0L)))
   }
+
+  test("behaviorBoilerplate: event types containing the '>' delimiter " +
+      "(or '\\') never collide distinct sequences (ADVICE r15/r16)") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 10:00:01")
+    // ("a>b","c") vs ("a","b>c"): unescaped both render "a>b>c";
+    // escaped they stay distinct patterns of session_len 2
+    val events = Seq(
+      (1L, t0, 1L, "a>b"), (1L, t1, 2L, "c"),
+      (2L, t0, 3L, "a>b"), (2L, t1, 4L, "c"),
+      (3L, t0, 5L, "a"), (3L, t1, 6L, "b>c"),
+      (4L, t0, 7L, "a"), (4L, t1, 8L, "b>c"),
+      (5L, t0, 9L, "x\\"), (5L, t1, 10L, "y"),
+      (6L, t0, 11L, "x"), (6L, t1, 12L, "\\y"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequences.behaviorBoilerplate(events)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).toSet == Set("a\\>b>c", "a>b\\>c"), out.toString)
+    assert(out.forall(r => r._2 == 2L && r._3 == 2L))
+  }
 }

@@ -1644,11 +1644,12 @@ class TextAnalysisSpec extends SparkSpec {
       ("B", ownB, crossB, exB, wB)), out.toString)
   }
 
-  test("readability: the vowelless-word identity holds on punctuation/" +
-      "hyphen-bearing text (r15 ADVICE examples)") {
-    // words() = maximal alnum runs: "o'clock" → [o, clock] (both
-    // vowel-bearing), "co-op" → [co, op], "x1.y2" → [x1, y2] (both
-    // vowelless) — so n_syllables = vowel groups + vowelless words
+  test("readability: per-word syllable floor on punctuation/" +
+      "hyphen-bearing text (ADVICE examples; values unchanged by the " +
+      "r17 switch from the global-regex identity to syllable_count)") {
+    // words() = maximal alnum runs: "o'clock" → [o, clock] (1+1
+    // vowel groups), "co-op" → [co, op] (1+1), "x1.y2" → [x1, y2]
+    // (x1 vowelless → floor 1; y2 has the y group → 1)
     val docs = Seq((1L, "o'clock co-op x1.y2")).toDF("doc_id", "text")
     val out = TextAnalysis.readability(docs)
       .select("n_words", "n_syllables").as[(Long, Long)].head()

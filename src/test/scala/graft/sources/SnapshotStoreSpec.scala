@@ -91,6 +91,72 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(fin.length == 25 && fin.forall(_ == 25))
   }
 
+  test("two concurrent writeWith calls claim DISTINCT versions — both " +
+      "commits survive on disk and the pointer converges on the max " +
+      "(VERDICT r16 item 2: no lost update, no shared staging dir)") {
+    val table = tmp("snap_ww") + "/t"
+    SnapshotStore.write(Seq(0).toDF("x"), table)
+    val writers = 6
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    import scala.jdk.CollectionConverters._
+    val tasks = (1 to writers).map { i =>
+      new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          barrier.await() // maximize claim contention
+          SnapshotStore.writeWith(spark, table) { dir =>
+            Seq.fill(i)(i * 100).toDF("x").write.parquet(dir)
+          }
+        }
+      }
+    }
+    val versions = pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    pool.shutdown()
+    // every writer got its own version — no directory was shared
+    assert(versions.distinct.size == writers, s"duplicate claims: $versions")
+    assert(versions.forall(_ >= 2L))
+    // the pointer is the highest published version and its snapshot
+    // is internally consistent (i rows of value i*100 for some i)
+    val cur = SnapshotStore.currentVersion(spark, table).get
+    assert(cur == versions.max, s"pointer $cur != max ${versions.max}")
+    val rows = SnapshotStore.read(spark, table).as[Int].collect().toSeq
+    assert(rows.distinct.size == 1 && rows.size * 100 == rows.head,
+      s"torn published snapshot: $rows")
+    // and EVERY writer's commit survives, complete, at its own version
+    versions.foreach { v =>
+      val snap = spark.read.parquet(s"$table/${SnapshotStore.snapName(v)}")
+        .as[Int].collect().toSeq
+      assert(snap.distinct.size == 1 && snap.size * 100 == snap.head,
+        s"torn unpublished commit at v=$v: $snap")
+    }
+  }
+
+  test("vacuum minAgeMs: a snapshot younger than the retention window " +
+      "is kept even when keepLast would reclaim it (VERDICT r16 item 3)") {
+    val table = tmp("snap_age") + "/t"
+    (1 to 4).foreach(v => SnapshotStore.write(Seq(v).toDF("x"), table))
+    // all four snapshots were just written: a 1-hour min-age keeps them
+    val keptByAge = SnapshotStore.vacuum(spark, table, keepLast = 1,
+      minAgeMs = 3600L * 1000L)
+    assert(keptByAge.isEmpty, s"vacuum violated min-age: $keptByAge")
+    assert(spark.read.parquet(s"$table/snap-00000001")
+      .as[Int].collect().toSeq == Seq(1))
+    // age the old directories artificially, then the same vacuum reclaims
+    (1 to 3).foreach { v =>
+      val dir = new java.io.File(table, SnapshotStore.snapName(v))
+      assert(dir.setLastModified(System.currentTimeMillis() - 7200L * 1000L))
+    }
+    val deleted = SnapshotStore.vacuum(spark, table, keepLast = 1,
+      minAgeMs = 3600L * 1000L)
+    assert(deleted == Seq("snap-00000001", "snap-00000002", "snap-00000003"),
+      deleted)
+    assert(SnapshotStore.read(spark, table).as[Int].collect().toSeq == Seq(4))
+    // claim markers below the floor went with their snapshots
+    val claims = new java.io.File(table).listFiles()
+      .map(_.getName).filter(_.startsWith(".claim-"))
+    assert(claims.forall(_ == ".claim-snap-00000004"), claims.toSeq)
+  }
+
   test("writePartitionedSnapshot: published snapshot prunes partitions " +
       "like a plain partitioned path") {
     val table = tmp("snap_part") + "/t"
