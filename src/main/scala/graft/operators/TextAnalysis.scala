@@ -830,7 +830,10 @@ object TextAnalysis {
     *
     * Scale: the full-position explode is linear in corpus chars —
     * the deliberate price of exactness (run the winnowed x225
-    * estimate for routine monitoring; run THIS as the audit pass).
+    * estimate for routine monitoring; run THIS as the audit pass —
+    * at 100-TB scale over the deterministic md5-60 document sample,
+    * the standing x257 declaration, where pair mass scales as the
+    * sample fraction squared).
     * The join stays bucketed on the gram hash (pair volume bounded
     * by Σ df² under the cap, the x122 discipline), and the stitch
     * window partitions by (pair, diagonal) — bounded by matched

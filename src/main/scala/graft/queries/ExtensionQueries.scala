@@ -2985,6 +2985,26 @@ object ExtensionQueries {
   def x256(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupStackDisagreement(docs(s, dir), emb(s, dir))
 
+  /** x257 SAMPLED exact-duplicated-substrings audit — the standing
+    * at-scale path x250's cost model designates (VERDICT r16 item 7):
+    * the identical audit-grade exact operator over the deterministic
+    * md5-60 50% document sample (the x70 gate — hash of the doc id,
+    * so the sample is replayable in any engine and stable across
+    * runs). The sample is applied BEFORE gram explode: the df
+    * histogram, the dfCap, and n_capped_fps are all computed WITHIN
+    * the sample — the audit treats its sample as a corpus, which is
+    * the honest estimator shape (a pair survives iff BOTH ends are
+    * sampled, so pair mass scales as pct²; at 100 TB the audit runs
+    * at 1-10% where x250's every-position join would be the
+    * dominant cost, with x225's winnowed sketch as the continuous
+    * monitoring path). */
+  def x257(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.exactDuplicatedSubstrings(
+      docs(s, dir).filter(
+        graft.functions.TextFunctions.md5Bucket60(col("doc_id")) % 100 < 50),
+      k = 16, dfCap = 50, minRunChars = 32)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -3292,6 +3312,7 @@ object ExtensionQueries {
     "x254_mixture_reweight" -> (x254 _),
     "x255_decontamination_verdicts" -> (x255 _),
     "x256_dedup_disagreement" -> (x256 _),
+    "x257_sampled_dup_substrings" -> (x257 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -3434,6 +3455,50 @@ object ExtensionQueries {
     * first 8 digest bytes big-endian >>> 4 (ShingleKernels.md5Hash60). */
   private def md5Hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Oracle chain shared by x250 (full corpus, `where = ""`) and x257
+    * (md5-60 doc-id sample): every-position 16-gram hashes, df cap on
+    * occurrence counts WITHIN the selected docs, consecutive-position
+    * islands (gap > 1 breaks), per-pair exact max run + capped-fp
+    * count. */
+  private def dupSubstringsOracleSql(where: String): String =
+    s"""WITH nd AS (SELECT doc_id,
+       |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents$where),
+       |hs AS MATERIALIZED (SELECT doc_id,
+       |    list_transform(range(1, greatest(length(t) - 15, 0) + 1),
+       |      i -> ${md5Hash60Sql("substr(t, CAST(i AS INT), 16)")}) AS h
+       |  FROM nd),
+       |g AS MATERIALIZED (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS p,
+       |    h[CAST(u.i AS INT)] AS f
+       |  FROM hs, LATERAL (SELECT unnest(range(1, len(h) + 1)) AS i) u
+       |  WHERE len(h) > 0),
+       |hist AS MATERIALIZED (SELECT f, count(*) AS df FROM g GROUP BY 1),
+       |cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_fps
+       |        FROM hist WHERE df > 50),
+       |pr AS MATERIALIZED (SELECT g.doc_id, g.p, g.f
+       |  FROM g JOIN hist USING (f) WHERE hist.df <= 50),
+       |mt AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa,
+       |    a.p - b.p AS diag
+       |  FROM pr a JOIN pr b ON a.f = b.f AND a.doc_id < b.doc_id),
+       |isl AS (SELECT da, db, diag, pa,
+       |    SUM(CASE WHEN pa - lp > 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY da, db, diag ORDER BY pa
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+       |  FROM (SELECT *, lag(pa) OVER (PARTITION BY da, db, diag
+       |          ORDER BY pa) AS lp FROM mt) z),
+       |runs AS (SELECT da, db, CAST(count(*) AS BIGINT) AS n,
+       |    max(pa) - min(pa) + 16 AS rc
+       |  FROM isl GROUP BY da, db, diag, i
+       |  HAVING max(pa) - min(pa) + 16 >= 32),
+       |agg AS (SELECT da AS doc_a, db AS doc_b,
+       |    CAST(max(rc) AS BIGINT) AS lcs_chars,
+       |    CAST(count(*) AS BIGINT) AS n_runs,
+       |    CAST(sum(n) AS BIGINT) AS n_matched_positions
+       |  FROM runs GROUP BY 1, 2)
+       |SELECT agg.doc_a, agg.doc_b, agg.lcs_chars, agg.n_runs,
+       |       agg.n_matched_positions, cap.n_capped_fps
+       |FROM agg, cap ORDER BY doc_a, doc_b""".stripMargin
 
   /** Shared CTE chain of the exact-contamination replays (x253, x255):
     * normalized docs, 16-gram hash positions, combined occurrence cap
@@ -8958,45 +9023,13 @@ object ExtensionQueries {
     // Replays exactDuplicatedSubstrings at k=16: every gram position,
     // df cap on occurrence counts, consecutive-position islands
     // (gap > 1 breaks), per-pair exact max run + capped-fp count.
-    "x250_exact_dup_substrings" ->
-      s"""WITH nd AS (SELECT doc_id,
-         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
-         |  FROM documents),
-         |hs AS MATERIALIZED (SELECT doc_id,
-         |    list_transform(range(1, greatest(length(t) - 15, 0) + 1),
-         |      i -> ${md5Hash60Sql("substr(t, CAST(i AS INT), 16)")}) AS h
-         |  FROM nd),
-         |g AS MATERIALIZED (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS p,
-         |    h[CAST(u.i AS INT)] AS f
-         |  FROM hs, LATERAL (SELECT unnest(range(1, len(h) + 1)) AS i) u
-         |  WHERE len(h) > 0),
-         |hist AS MATERIALIZED (SELECT f, count(*) AS df FROM g GROUP BY 1),
-         |cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_fps
-         |        FROM hist WHERE df > 50),
-         |pr AS MATERIALIZED (SELECT g.doc_id, g.p, g.f
-         |  FROM g JOIN hist USING (f) WHERE hist.df <= 50),
-         |mt AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa,
-         |    a.p - b.p AS diag
-         |  FROM pr a JOIN pr b ON a.f = b.f AND a.doc_id < b.doc_id),
-         |isl AS (SELECT da, db, diag, pa,
-         |    SUM(CASE WHEN pa - lp > 1 THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY da, db, diag ORDER BY pa
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
-         |  FROM (SELECT *, lag(pa) OVER (PARTITION BY da, db, diag
-         |          ORDER BY pa) AS lp FROM mt) z),
-         |runs AS (SELECT da, db, CAST(count(*) AS BIGINT) AS n,
-         |    max(pa) - min(pa) + 16 AS rc
-         |  FROM isl GROUP BY da, db, diag, i
-         |  HAVING max(pa) - min(pa) + 16 >= 32),
-         |agg AS (SELECT da AS doc_a, db AS doc_b,
-         |    CAST(max(rc) AS BIGINT) AS lcs_chars,
-         |    CAST(count(*) AS BIGINT) AS n_runs,
-         |    CAST(sum(n) AS BIGINT) AS n_matched_positions
-         |  FROM runs GROUP BY 1, 2)
-         |SELECT agg.doc_a, agg.doc_b, agg.lcs_chars, agg.n_runs,
-         |       agg.n_matched_positions, cap.n_capped_fps
-         |FROM agg, cap ORDER BY doc_a, doc_b""".stripMargin,
+    "x250_exact_dup_substrings" -> dupSubstringsOracleSql(where = ""),
 
+    // x257: the identical exact-substring audit over the md5-60 50%
+    // doc-id sample (the x70 gate) — df histogram, cap, and
+    // n_capped_fps all sample-scoped, like the Spark side.
+    "x257_sampled_dup_substrings" -> dupSubstringsOracleSql(
+      where = s" WHERE ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 50"),
     // Replays piiChecksums under the same planted tail: RE2 \b
     // patterns, Luhn as the reversed-position double-and-subtract sum,
     // IBAN mod-97 as the value-encoded element fold (letters >= 10
