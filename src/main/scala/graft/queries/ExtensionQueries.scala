@@ -3434,12 +3434,12 @@ object ExtensionQueries {
          |                  false) AS prev_sel
          |              FROM s$n) z
          |        WHERE NOT prev_sel),
-         |v$n AS (SELECT wid, c, list(s2 ORDER BY p) AS syms
+         |v$n AS MATERIALIZED (SELECT wid, c, list(s2 ORDER BY p) AS syms
          |        FROM o$n GROUP BY wid, c)""".stripMargin
     }
     s"""toks AS (SELECT unnest(${wordsSql("text")}) AS w FROM documents),
        |wc AS (SELECT w, count(*) AS c FROM toks WHERE len(w) >= 2 GROUP BY w),
-       |v0 AS (SELECT w AS wid, c,
+       |v0 AS MATERIALIZED (SELECT w AS wid, c,
        |         list_transform(range(1, len(w) + 1),
        |           i -> substr(w, CAST(i AS INT), 1)) AS syms FROM wc),
        |${(1 to rounds).map(roundBlock).mkString(",\n")}""".stripMargin
@@ -3903,7 +3903,7 @@ object ExtensionQueries {
     "x02_minhash_lsh_neardup" ->
       s"""WITH norm AS (
          |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
-         |sh AS (SELECT doc_id, $charShinglesSql AS g FROM norm),
+         |sh AS MATERIALIZED (SELECT doc_id, $charShinglesSql AS g FROM norm),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         round(len(list_intersect(a.g, b.g))::DOUBLE /
@@ -5230,7 +5230,7 @@ object ExtensionQueries {
     // NULL where deg < 2 (undefined).
     "x83_triangle_profile" ->
       s"""WITH ${knnEdgesCteSql(3)},
-         |mu AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |mu AS MATERIALIZED (SELECT DISTINCT a.src AS u, a.dst AS v
          |       FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
          |       WHERE a.src < a.dst),
          |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -5255,7 +5255,7 @@ object ExtensionQueries {
     // contract as x28, on embedding neighbors instead of text grams.
     "x84_embedding_clusters" ->
       s"""WITH RECURSIVE ${knnEdgesCteSql(3)},
-         |mu AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |mu AS MATERIALIZED (SELECT DISTINCT a.src AS u, a.dst AS v
          |       FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
          |       WHERE a.src < a.dst),
          |ed AS (SELECT u AS a, v AS b FROM mu
@@ -6535,16 +6535,16 @@ object ExtensionQueries {
     // recursion static), final within-core degrees.
     "x137_kcore" -> {
       val peels = (1 to 6).map { r =>
-        s"""n$r AS (SELECT und.u AS node FROM und
+        s"""n$r AS MATERIALIZED (SELECT und.u AS node FROM und
            |  JOIN n${r - 1} a ON a.node = und.u
            |  JOIN n${r - 1} b ON b.node = und.v
            |  GROUP BY und.u HAVING count(*) >= 3)""".stripMargin
       }.mkString(",\n")
       s"""WITH ${knnEdgesCteSql(3)},
-         |mu AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |mu AS MATERIALIZED (SELECT DISTINCT a.src AS u, a.dst AS v
          |       FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
          |       WHERE a.src < a.dst),
-         |und AS (SELECT u, v FROM mu UNION ALL SELECT v AS u, u AS v FROM mu),
+         |und AS MATERIALIZED (SELECT u, v FROM mu UNION ALL SELECT v AS u, u AS v FROM mu),
          |n0 AS (SELECT DISTINCT u AS node FROM und),
          |$peels
          |SELECT und.u AS vec_id, CAST(count(*) AS BIGINT) AS core_deg
@@ -7196,7 +7196,7 @@ object ExtensionQueries {
     // term per label quantized to micro; integer total.
     "x160_label_modularity" ->
       s"""WITH ${knnEdgesCteSql(3)},
-         |mu AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |mu AS MATERIALIZED (SELECT DISTINCT a.src AS u, a.dst AS v
          |       FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
          |       WHERE a.src < a.dst),
          |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mu),
@@ -7326,7 +7326,7 @@ object ExtensionQueries {
     // exact integer dot products, (cos desc, id) argmax.
     "x165_cluster_exemplars" ->
       s"""WITH RECURSIVE ${knnEdgesCteSql(3)},
-         |mu AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |mu AS MATERIALIZED (SELECT DISTINCT a.src AS u, a.dst AS v
          |       FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
          |       WHERE a.src < a.dst),
          |ed AS (SELECT u AS a, v AS b FROM mu
@@ -7947,15 +7947,15 @@ object ExtensionQueries {
          |           WHERE len(embedding) = 64
          |             AND list_inner_product(embedding::DOUBLE[],
          |                                    embedding::DOUBLE[]) > 0),
-         |qv AS (SELECT vec_id AS id, g.d AS d,
+         |qv AS MATERIALIZED (SELECT vec_id AS id, g.d AS d,
          |         CAST(round(embedding[g.d + 1]::DOUBLE * 1000.0) AS BIGINT)
          |           AS q
          |       FROM b, (SELECT unnest(range(0, 64)) AS d) g),
          |mu AS (SELECT d, CAST(sum(q) // count(*) AS BIGINT) AS mu
          |       FROM qv GROUP BY 1),
-         |cent AS (SELECT qv.id, qv.d, qv.q - mu.mu AS c
+         |cent AS MATERIALIZED (SELECT qv.id, qv.d, qv.q - mu.mu AS c
          |         FROM qv JOIN mu USING (d)),
-         |s AS (SELECT a.d AS i, bb.d AS j,
+         |s AS MATERIALIZED (SELECT a.d AS i, bb.d AS j,
          |             CAST(sum(a.c * bb.c) AS BIGINT) AS s
          |      FROM cent a JOIN cent bb ON a.id = bb.id GROUP BY 1, 2),
          |tr AS (SELECT CAST(sum(s) AS BIGINT) AS trace FROM s WHERE i = j),
@@ -9705,7 +9705,7 @@ object ExtensionQueries {
     // quantized to micro (identical IEEE evaluation both engines).
     "x218_degree_assortativity" ->
       s"""WITH ${knnEdgesCteSql(3)},
-         |mu AS (SELECT DISTINCT a.src AS u, a.dst AS v
+         |mu AS MATERIALIZED (SELECT DISTINCT a.src AS u, a.dst AS v
          |       FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
          |       WHERE a.src < a.dst),
          |sym AS (SELECT u AS src, v AS dst FROM mu
@@ -10221,12 +10221,12 @@ object ExtensionQueries {
     * desc, dst) — the [[graft.functions.TopKScored]] contract — kept
     * at rank ≤ k. Yields CTEs `b` and `knn(src, dst, cosine, rank)`. */
   private def knnEdgesCteSql(k: Int): String =
-    s"""b AS (
+    s"""b AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${bucketSql("embedding", 6)} AS bucket
        |  FROM embeddings
        |  WHERE len(embedding) = 64
        |    AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-       |knn AS (
+       |knn AS MATERIALIZED (
        |  SELECT src, dst, cosine, rank FROM (
        |    SELECT a.vec_id AS src, b2.vec_id AS dst,
        |           round(list_cosine_similarity(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]), 6) AS cosine,
