@@ -3005,6 +3005,19 @@ object ExtensionQueries {
       k = 16, dfCap = 50, minRunChars = 32)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** x258 hashed-embedding dedup agreement — x256's disagreement
+    * audit with [[graft.operators.TextAnalysis.hashedEmbedding]] as
+    * the embedding side (VERDICT r16 item 4): the learned-embedding
+    * fixture is uncorrelated with the planted lexical dups, so
+    * x256's `both` class is structurally empty on the synthetic
+    * corpus; hashing-trick vectors are text-DERIVED, so lexical
+    * near-dups are embedding near-dups by construction and the
+    * agreeing-stacks path runs against real data in both engines. */
+  def x258(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dedupStackDisagreement(d, TextAnalysis.hashedEmbedding(d, 64))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -3313,6 +3326,7 @@ object ExtensionQueries {
     "x255_decontamination_verdicts" -> (x255 _),
     "x256_dedup_disagreement" -> (x256 _),
     "x257_sampled_dup_substrings" -> (x257 _),
+    "x258_hashed_embedding_agreement" -> (x258 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -9135,6 +9149,55 @@ object ExtensionQueries {
          |eb AS (SELECT vec_id, embedding,
          |         ${bucketSql("embedding", 6)} AS bucket
          |       FROM embeddings WHERE len(embedding) = 64),
+         |ep AS (SELECT doc_a, doc_b,
+         |         CAST(round(cosine * 1000000.0) AS BIGINT) AS c
+         |       FROM (SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
+         |               round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |                 b2.embedding::DOUBLE[]), 6) AS cosine
+         |             FROM eb a JOIN eb b2 ON a.bucket = b2.bucket
+         |               AND a.vec_id < b2.vec_id) t
+         |       WHERE cosine >= 0.15),
+         |fj AS (SELECT
+         |    CASE WHEN lp.j IS NOT NULL AND ep.c IS NOT NULL THEN 'both'
+         |         WHEN lp.j IS NOT NULL THEN 'lexical_only'
+         |         ELSE 'embedding_only' END AS dup_class, lp.j, ep.c
+         |  FROM lp FULL JOIN ep USING (doc_a, doc_b))
+         |SELECT dup_class, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CASE WHEN count(j) > 0
+         |            THEN CAST(sum(j) // count(j) AS BIGINT) END
+         |         AS avg_jaccard_micro,
+         |       CASE WHEN count(c) > 0
+         |            THEN CAST(sum(c) // count(c) AS BIGINT) END
+         |         AS avg_cosine_micro
+         |FROM fj GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x258: x256's chain with hashing-trick vectors derived from the
+    // SAME words() tokens — index = md5-60(w) % 64, sign = parity of
+    // the next hash bits, signed-tf integer components, zero vectors
+    // dropped; bucket/cosine/classify identical to x256.
+    "x258_hashed_embedding_agreement" ->
+      s"""WITH $ngramPairsCteSql,
+         |lp AS (SELECT doc_a, doc_b,
+         |         CAST(round(jaccard * 1000000.0) AS BIGINT) AS j
+         |       FROM pairs),
+         |hx AS (SELECT doc_id, ${md5Hash60Sql("w")} AS h
+         |       FROM (SELECT doc_id, unnest(${wordsSql("text")}) AS w
+         |             FROM documents) z),
+         |cm AS (SELECT doc_id, CAST(h % 64 AS INT) AS i,
+         |         CAST(sum(CASE WHEN (h // 64) % 2 = 0
+         |                       THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |       FROM hx GROUP BY 1, 2),
+         |mp AS (SELECT doc_id, map(list(i), list(v)) AS m
+         |       FROM cm GROUP BY 1),
+         |vecs AS MATERIALIZED (SELECT doc_id AS vec_id,
+         |    list_transform(range(0, 64),
+         |      i -> coalesce(map_extract(m, CAST(i AS INT))[1], 0))
+         |      AS embedding
+         |  FROM mp),
+         |nz AS MATERIALIZED (SELECT vec_id, embedding FROM vecs
+         |  WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+         |eb AS (SELECT vec_id, embedding,
+         |         ${bucketSql("embedding", 6)} AS bucket FROM nz),
          |ep AS (SELECT doc_a, doc_b,
          |         CAST(round(cosine * 1000000.0) AS BIGINT) AS c
          |       FROM (SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,

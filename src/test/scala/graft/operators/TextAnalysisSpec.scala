@@ -1658,4 +1658,47 @@ class TextAnalysisSpec extends SparkSpec {
     // vowelless words: x1 → 1; syllables = 5 + 1 = 6
     assert(out == ((6L, 6L)), out.toString)
   }
+
+  test("hashedEmbedding: deterministic signed-tf layout, identical docs " +
+      "get identical vectors, tokenless/cancelled docs are dropped") {
+    import graft.functions.TextFunctions.md5Bucket60
+    val docs = Seq(
+      (1L, "alpha beta alpha"), (2L, "alpha beta alpha"),
+      (3L, "gamma"), (4L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedEmbedding(docs, dim = 64)
+      .as[(Long, Seq[Float])].collect().toMap
+    // tokenless doc 4 never appears; all vectors are 64-wide
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out.values.forall(_.length == 64))
+    // identical text → identical vector (the structural-correlation
+    // property x258 rides on)
+    assert(out(1L) == out(2L))
+    // layout pin: component index/sign come from md5-60 of the token
+    val expect = Seq(("alpha", 2L), ("beta", 1L)).map { case (w, tf) =>
+      val h = spark.range(1)
+        .select(md5Bucket60(org.apache.spark.sql.functions.lit(w)))
+        .as[Long].head()
+      val sign = if ((h / 64) % 2 == 0) 1L else -1L
+      ((h % 64).toInt, (sign * tf).toFloat)
+    }.toMap
+    out(1L).zipWithIndex.foreach { case (v, i) =>
+      assert(v == expect.getOrElse(i, 0f), s"component $i: $v")
+    }
+    // e2e: over a corpus with a planted lexical duplicate, the
+    // disagreement audit's `both` class is NON-EMPTY by construction
+    // (identical text → identical hashed vector → same bucket,
+    // cosine 1 — the exact-dup families every real corpus carries;
+    // NEAR-dups may still split a hyperplane bucket, which is the
+    // recall trade embeddingNearDup documents)
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      (11L, "the quick brown fox jumps over the lazy dog again today"),
+      (12L, "completely different content about spark catalyst planning"))
+      .toDF("doc_id", "text")
+    val audit = graft.operators.Dedup.dedupStackDisagreement(
+        corpus, TextAnalysis.hashedEmbedding(corpus, 64))
+      .as[(String, Long, Option[Long], Option[Long])].collect().toSeq
+    val both = audit.filter(_._1 == "both")
+    assert(both.nonEmpty && both.head._2 >= 1L, audit.toString)
+  }
 }
