@@ -56,10 +56,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // oracle set FIRST — a partial run must still be comparable
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // oracle set FIRST — a partial run must still be comparable — and
+    // AGAIN after the dumps: dynamic oracles (x22 embeds its trained
+    // centroids) only exist once their query ran in this JVM, so the
+    // final rewrite completes what the early kill-resilient write
+    // cannot contain yet
+    def writeOracles(): Unit = {
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    }
+    writeOracles()
     // Per-query fault isolation, but NOT silent: every failure is recorded
     // in _errors.json (name → exception message). Round 8 showed why — 12
     // broken queries simply vanished from the correctness set and the
@@ -111,6 +118,7 @@ object Verify {
     pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
     pool.shutdown()
     flushErrors()
+    writeOracles() // now including dynamic (post-run) oracle entries
     if (!errors.isEmpty)
       System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keySet.asScala.toSeq.sorted.mkString(", ")}")
     spark.stop()

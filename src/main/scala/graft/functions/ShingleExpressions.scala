@@ -461,7 +461,31 @@ case class SyllableCount(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `min_full_period(s)` → bigint: smallest full-cycle period of the
+  * string (KMP failure function, [[ShingleKernels.minFullPeriod]]) —
+  * the loop/spam detector's primitive. One static call inside the
+  * codegen span. */
+case class MinFullPeriod(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "min_full_period"
+
+  override def checkInputDataTypes() =
+    K.expect("min_full_period", child.dataType, K.isString, "string")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.minFullPeriod(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.minFullPeriod($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object ShingleFunctions {
+  def min_full_period(s: Column): Column =
+    toColumn(MinFullPeriod(toExpression(s)))
   def syllable_count(arr: Column): Column =
     toColumn(SyllableCount(toExpression(arr)))
   def luhn_valid_count(arr: Column): Column =

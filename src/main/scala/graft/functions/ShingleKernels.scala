@@ -571,6 +571,34 @@ object ShingleKernels {
     total
   }
 
+  /** Smallest FULL-CYCLE period of a string: the least p such that the
+    * string is its first p chars repeated length/p times; length
+    * itself when aperiodic (and 0 for the empty string). Computed via
+    * the KMP failure function — the classic identity: the smallest
+    * period is n − f(n), and it is full-cycle iff it divides n —
+    * O(n) one pass, versus the O(n·d(n)) divisor check the DuckDB
+    * oracle replays (both exact, so they agree on every input).
+    * Operates on UTF-16 code units, which equals codepoint semantics
+    * for any text whose candidate period does not split a surrogate
+    * pair — and a split surrogate can never produce a full-cycle
+    * match, so the verdict is codepoint-correct for all inputs. */
+  def minFullPeriod(sIn: UTF8String): Long = {
+    val s = sIn.toString
+    val n = s.length
+    if (n == 0) return 0L
+    val f = new Array[Int](n + 1)
+    var i = 1; var j = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      while (j > 0 && c != s.charAt(j)) j = f(j)
+      if (c == s.charAt(j)) j += 1
+      i += 1
+      f(i) = j
+    }
+    val p = n - f(n)
+    if (n % p == 0) p.toLong else n.toLong
+  }
+
   /** Count of ISO-7064 mod-97-valid members of a string array (same
     * codegen rationale as [[luhnValidCount]]). */
   def ibanValidCount(arr: ArrayData): Long = {

@@ -4007,4 +4007,152 @@ object TextAnalysis {
           .as("embedding"))
       .filter(expr("exists(embedding, x -> x != CAST(0 AS FLOAT))"))
   }
+
+  /** EXACT longest repeated substring WITHIN each document —
+    * [[exactDuplicatedSubstrings]]' machinery turned inward: positions
+    * i < j of the SAME doc sharing a k-gram hash lie on diagonal
+    * d = j − i, and a maximal run of R consecutive matched i's on one
+    * diagonal witnesses a substring of exactly R + k − 1 chars
+    * occurring (at least) twice in the doc, offset d apart
+    * (overlapping occurrences included — "ababab…" repeats ARE the
+    * loop shape this detects). This is the generation-loop /
+    * boilerplate-within-doc audit: a model-generated doc stuck in a
+    * cycle, a scraped page with its nav block repeated, a template
+    * expanded twice — all surface as a long intra-doc repeat that
+    * cross-doc dedup never looks at.
+    *
+    * Exactness envelope (the x250 conventions, per-doc grain):
+    * substrings shorter than `k` are invisible; `minRunChars` floors
+    * the report and max_repeat_chars is exact for every emitted doc;
+    * (doc, gram) cells with more than `occCap` occurrences are
+    * dropped BEFORE the self-join — a cell with m occurrences
+    * contributes m(m−1)/2 pairs, so the cap bounds the per-doc pair
+    * mass at occCap²/2 per cell — with the corpus-wide dropped-cell
+    * count riding every row (`n_capped_cells`, the x235 honesty
+    * convention; "aaaa…" floods its own gram past any cap, which is
+    * why the cap exists and is visible).
+    *
+    * Scale: linear gram explode; the self-join is an equi-join on
+    * (doc_id, fp) — never cross-doc; the islands window partitions by
+    * (doc, diagonal). All per-doc-bounded.
+    *
+    * Output per doc with a qualifying repeat: (doc_id,
+    * max_repeat_chars, n_repeat_runs, n_matched_positions,
+    * n_capped_cells). */
+  def intraDocRepeats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16, occCap: Int = 20,
+      minRunChars: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && occCap > 0,
+      s"intraDocRepeats: k, occCap must be positive, got ($k, $occCap)")
+    require(minRunChars >= k,
+      s"intraDocRepeats: minRunChars ($minRunChars) must be >= k ($k)")
+    val grams = docs.select(col(idCol).as("doc_id"),
+        regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.ShingleFunctions.md5_shingle_hashes(col("__t"), k)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("fp"))
+    val cells = grams.groupBy(col("doc_id"), col("fp"))
+      .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true) // feeds the prune AND the capped count
+    val capped = cells.filter(col("__m") > occCap)
+      .agg(count(lit(1)).cast("bigint").as("n_capped_cells"))
+    // only cells with 2..occCap occurrences can self-pair (the >= 2
+    // filter is pure pruning — singleton grams have no pair)
+    val pruned = grams.join(
+      cells.filter(col("__m") <= occCap && col("__m") >= 2)
+        .select(col("doc_id"), col("fp")),
+      Seq("doc_id", "fp"))
+    val a = pruned.as("a"); val b = pruned.as("b")
+    val matched = a.join(b,
+        col("a.doc_id") === col("b.doc_id") && col("a.fp") === col("b.fp") &&
+          col("a.pos") < col("b.pos"))
+      .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos_a"),
+        (col("b.pos") - col("a.pos")).as("diag"))
+    val wOrd = Window.partitionBy(col("doc_id"), col("diag"))
+      .orderBy(col("pos_a"))
+    matched
+      .withColumn("__brk",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(wOrd) > 1L, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("diag"), col("__isl"))
+      .agg(count(lit(1)).cast("bigint").as("__n"),
+        min(col("pos_a")).as("__lo"), max(col("pos_a")).as("__hi"))
+      .filter(col("__hi") - col("__lo") + lit(k.toLong) >= minRunChars)
+      .groupBy(col("doc_id"))
+      .agg(max(col("__hi") - col("__lo") + lit(k.toLong)).cast("bigint")
+          .as("max_repeat_chars"),
+        count(lit(1)).as("n_repeat_runs"),
+        sum(col("__n")).cast("bigint").as("n_matched_positions"))
+      .crossJoin(broadcast(capped))
+  }
+
+  /** Full-cycle text periodicity — the degenerate-generation detector
+    * at the WHOLE-STRING grain: the smallest period p such that the
+    * normalized text is its first p chars repeated n/p times
+    * (`min_full_period`, a KMP-failure-function codegen kernel;
+    * aperiodic text reports p = n). "ababab…", "na na na na …", a
+    * template pasted back-to-back — exact cycles that
+    * [[gopherRepetition]]'s top-gram fractions see only softly and
+    * [[intraDocRepeats]] reports as one long diagonal — here are one
+    * integer per doc. Exact, deterministic, engine-portable: the
+    * oracle replays the divisor-check definition (p | n and
+    * repeat(prefix, n/p) = text), which the KMP identity matches on
+    * every input.
+    *
+    * Scale: a per-row O(n) kernel inside the codegen span — no joins,
+    * no windows, no shuffles beyond the caller's sort.
+    *
+    * Output: (doc_id, n_chars, min_period, n_cycles, is_periodic)
+    * where is_periodic = (min_period < n_chars); zero-length docs
+    * report (0, 0, 0, false). */
+  def textPeriodicity(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.ShingleFunctions.min_full_period
+    docs.select(col(idCol).as("doc_id"),
+        regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
+      .select(col("doc_id"),
+        length(col("__t")).cast("long").as("n_chars"),
+        min_full_period(col("__t")).as("min_period"))
+      .select(col("doc_id"), col("n_chars"), col("min_period"),
+        when(col("min_period") > 0, col("n_chars").cast("long") / col("min_period"))
+          .otherwise(lit(0.0)).cast("long").as("n_cycles"),
+        (col("min_period") < col("n_chars")).as("is_periodic"))
+  }
+
+  /** Unicode-anomaly screen — the invisible-character inventory every
+    * web-scraped training corpus needs: zero-width characters (ZWSP/
+    * ZWNJ/ZWJ/BOM — watermarks, copy-paste residue, token-splitting
+    * attacks), bidi control characters (U+202A–E, U+2066–69 — the
+    * "Trojan Source" class), U+FFFD replacement characters (upstream
+    * mojibake: some decoder already lost bytes), and C0 controls
+    * other than tab/newline/CR (binary contamination). Counts are
+    * exact per doc; `keep` is the all-clear flag (every count zero).
+    * Complements the encoding-damage monitor (x142/char entropy):
+    * those score DISTRIBUTIONS, this pins the specific forbidden
+    * codepoints with exact counts both engines replay.
+    *
+    * Scale: four codegen'd regexp counts in one narrow projection —
+    * per-row work only.
+    *
+    * Output: (doc_id, n_chars, n_zero_width, n_bidi, n_replacement,
+    * n_ctrl, keep), one row per doc. */
+  def unicodeAnomalies(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def rxCount(pat: String): Column =
+      coalesce(size(regexp_extract_all(col(textCol), lit(pat), lit(0))),
+        lit(0)).cast("long")
+    docs.select(col(idCol).as("doc_id"),
+        coalesce(length(col(textCol)), lit(0)).cast("long").as("n_chars"),
+        rxCount("[\\u200B\\u200C\\u200D\\uFEFF]").as("n_zero_width"),
+        rxCount("[\\u202A-\\u202E\\u2066-\\u2069]").as("n_bidi"),
+        rxCount("\\uFFFD").as("n_replacement"),
+        rxCount("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_ctrl"))
+      .withColumn("keep",
+        col("n_zero_width") + col("n_bidi") + col("n_replacement") +
+          col("n_ctrl") === 0L)
+  }
 }

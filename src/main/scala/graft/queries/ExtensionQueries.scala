@@ -3018,6 +3018,62 @@ object ExtensionQueries {
     Dedup.dedupStackDisagreement(d, TextAnalysis.hashedEmbedding(d, 64))
   }
 
+  /** x259 intra-doc repeats — see
+    * [[graft.operators.TextAnalysis.intraDocRepeats]]: x250's exact
+    * diagonal-islands machinery turned inward — the generation-loop /
+    * repeated-nav-block audit at the per-document grain, with the
+    * per-(doc, gram) occurrence cap visible on every row. To
+    * guarantee the operator's repeat path runs on the synthetic
+    * corpus (organic intra-doc repeats are rare at small sf), every
+    * doc_id ≡ 0 (mod 9) gets its normalized first 40 chars pasted at
+    * the end (the x251 planted-input convention, replayed identically
+    * by the oracle). */
+  def x259(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text",
+      when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(col("text"), lit(" "),
+          substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "),
+            1, 40)))
+        .otherwise(col("text")))
+    TextAnalysis.intraDocRepeats(planted, k = 16, occCap = 20,
+        minRunChars = 32)
+      .orderBy(col("doc_id"))
+  }
+
+  /** x260 full-cycle text periodicity — see
+    * [[graft.operators.TextAnalysis.textPeriodicity]]: the KMP
+    * smallest-full-period kernel vs the oracle's divisor-check
+    * definition, agreeing exactly on every input. Periodic inputs are
+    * CONSTRUCTED from the corpus (x251 convention): each doc's
+    * normalized prefix of length 1 + doc_id % 7 is repeated
+    * 3 + doc_id % 4 times — the reported min_period must then divide
+    * the prefix length's cycle (it is SMALLER whenever the prefix is
+    * itself periodic, which the corpus genuinely produces). */
+  def x260(s: SparkSession, dir: String): DataFrame = {
+    val built = docs(s, dir).select(col("doc_id"),
+      expr("repeat(substring(regexp_replace(trim(lower(text)), '\\\\s+', ' '), " +
+        "1, CAST(1 + doc_id % 7 AS INT)), CAST(3 + doc_id % 4 AS INT))")
+        .as("text"))
+    TextAnalysis.textPeriodicity(built).orderBy(col("doc_id"))
+  }
+
+  /** x261 unicode-anomaly screen — see
+    * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
+    * of zero-width, bidi-control, replacement, and C0-control
+    * codepoints. The corpus is clean, so (x251 convention) every doc
+    * gets a deterministic planted tail: doc_id%3 zero-width spaces,
+    * one RLO when doc_id ≡ 0 (mod 5), one U+FFFD when ≡ 0 (mod 7) —
+    * both engines inject and count identically. */
+  def x261(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text", concat(col("text"),
+      expr("repeat('\\u200B', CAST(doc_id % 3 AS INT))"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("\u202E"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("\uFFFD"))
+        .otherwise(lit(""))))
+    TextAnalysis.unicodeAnomalies(planted).orderBy(col("doc_id"))
+  }
+
   /** x89 source league table — the x85 scorecard rolled up per
     * (source, verdict): the per-provider report every curation run
     * ships (which sources feed dups, which feed redundant text, which
@@ -3327,6 +3383,9 @@ object ExtensionQueries {
     "x256_dedup_disagreement" -> (x256 _),
     "x257_sampled_dup_substrings" -> (x257 _),
     "x258_hashed_embedding_agreement" -> (x258 _),
+    "x259_intra_doc_repeats" -> (x259 _),
+    "x260_text_periodicity" -> (x260 _),
+    "x261_unicode_anomalies" -> (x261 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -9219,6 +9278,107 @@ object ExtensionQueries {
          |            THEN CAST(sum(c) // count(c) AS BIGINT) END
          |         AS avg_cosine_micro
          |FROM fj GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x259: x250's chain turned inward — self-pairs within a doc,
+    // per-(doc, gram) occurrence cap, same planted first-40-chars
+    // paste for doc_id % 9 = 0.
+    "x259_intra_doc_repeats" ->
+      s"""WITH nd AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 9 = 0
+         |         THEN regexp_replace(trim(lower(text || ' ' ||
+         |             substr(regexp_replace(trim(lower(text)), '\\s+', ' ',
+         |               'g'), 1, 40))), '\\s+', ' ', 'g')
+         |         ELSE regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+         |    END AS t
+         |  FROM documents),
+         |hs AS MATERIALIZED (SELECT doc_id,
+         |    list_transform(range(1, greatest(length(t) - 15, 0) + 1),
+         |      i -> ${md5Hash60Sql("substr(t, CAST(i AS INT), 16)")}) AS h
+         |  FROM nd),
+         |g AS MATERIALIZED (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS p,
+         |    h[CAST(u.i AS INT)] AS f
+         |  FROM hs, LATERAL (SELECT unnest(range(1, len(h) + 1)) AS i) u
+         |  WHERE len(h) > 0),
+         |cells AS MATERIALIZED (SELECT doc_id, f, count(*) AS m
+         |  FROM g GROUP BY 1, 2),
+         |cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_cells
+         |        FROM cells WHERE m > 20),
+         |pr AS MATERIALIZED (SELECT g.doc_id, g.p, g.f
+         |  FROM g JOIN cells USING (doc_id, f) WHERE m BETWEEN 2 AND 20),
+         |mt AS (SELECT a.doc_id, a.p AS pa, b.p - a.p AS diag
+         |  FROM pr a JOIN pr b ON a.doc_id = b.doc_id AND a.f = b.f
+         |    AND a.p < b.p),
+         |isl AS (SELECT doc_id, diag, pa,
+         |    SUM(CASE WHEN pa - lp > 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id, diag ORDER BY pa
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+         |  FROM (SELECT *, lag(pa) OVER (PARTITION BY doc_id, diag
+         |          ORDER BY pa) AS lp FROM mt) z),
+         |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |    max(pa) - min(pa) + 16 AS rc
+         |  FROM isl GROUP BY doc_id, diag, i
+         |  HAVING max(pa) - min(pa) + 16 >= 32),
+         |agg AS (SELECT doc_id,
+         |    CAST(max(rc) AS BIGINT) AS max_repeat_chars,
+         |    CAST(count(*) AS BIGINT) AS n_repeat_runs,
+         |    CAST(sum(n) AS BIGINT) AS n_matched_positions
+         |  FROM runs GROUP BY 1)
+         |SELECT agg.doc_id, agg.max_repeat_chars, agg.n_repeat_runs,
+         |       agg.n_matched_positions, cap.n_capped_cells
+         |FROM agg, cap ORDER BY doc_id""".stripMargin,
+
+    // x260: the divisor-check DEFINITION of the smallest full-cycle
+    // period over the same constructed periodic strings — the KMP
+    // kernel must agree on every input.
+    "x260_text_periodicity" ->
+      s"""WITH built AS (SELECT doc_id,
+         |    repeat(substr(regexp_replace(trim(lower(text)), '\\s+', ' ',
+         |        'g'), 1, CAST(1 + doc_id % 7 AS INT)),
+         |      CAST(3 + doc_id % 4 AS INT)) AS t
+         |  FROM documents),
+         |base AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n
+         |  FROM (SELECT doc_id,
+         |          regexp_replace(trim(lower(t)), '\\s+', ' ', 'g') AS t
+         |        FROM built) z),
+         |per AS (SELECT doc_id, n,
+         |    coalesce(list_min(list_filter(range(1, n + 1),
+         |      p -> (n % p = 0) AND
+         |           (repeat(substr(t, 1, CAST(p AS INT)),
+         |              CAST(n // p AS INT)) = t))), 0) AS min_period
+         |  FROM base)
+         |SELECT doc_id, n AS n_chars, CAST(min_period AS BIGINT)
+         |         AS min_period,
+         |       CASE WHEN min_period > 0 THEN CAST(n // min_period AS BIGINT)
+         |            ELSE 0 END AS n_cycles,
+         |       min_period < n AS is_periodic
+         |FROM per ORDER BY doc_id""".stripMargin,
+
+    // x261: exact forbidden-codepoint counts under the same planted
+    // tail (chr() builds the codepoints; RE2 counts via \x{...}).
+    "x261_unicode_anomalies" ->
+      s"""WITH inj AS (SELECT doc_id,
+         |    text || repeat(chr(8203), CAST(doc_id % 3 AS INT))
+         |         || CASE WHEN doc_id % 5 = 0 THEN chr(8238) ELSE '' END
+         |         || CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END
+         |      AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(t) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(t,
+         |    '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]')) AS BIGINT)
+         |    AS n_zero_width,
+         |  CAST(len(regexp_extract_all(t,
+         |    '[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]')) AS BIGINT)
+         |    AS n_bidi,
+         |  CAST(len(regexp_extract_all(t, '\\x{FFFD}')) AS BIGINT)
+         |    AS n_replacement,
+         |  CAST(len(regexp_extract_all(t,
+         |    '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]')) AS BIGINT)
+         |    AS n_ctrl,
+         |  (len(regexp_extract_all(t,
+         |     '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}\\x{FFFD}\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]'))
+         |   = 0) AS keep
+         |FROM inj ORDER BY doc_id""".stripMargin,
 
     // Replays decontaminationVerdicts: the shared run chain, char
     // intervals [lo, lo+rc-1] merged per corpus doc (gaps-and-islands

@@ -285,6 +285,33 @@ class ShingleExpressionsSpec extends SparkSpec {
     assert(df.select(iban_valid_count($"arr")).as[Long].head() == 3L)
   }
 
+  test("min_full_period: KMP identity agrees with the brute-force " +
+      "divisor definition on every small string over a 2-char alphabet") {
+    import graft.functions.ShingleKernels
+    def model(s: String): Long = {
+      val n = s.length
+      if (n == 0) 0L
+      else (1 to n).find(p => n % p == 0 &&
+        s == (s.take(p) * (n / p))).get.toLong
+    }
+    def kern(s: String): Long =
+      ShingleKernels.minFullPeriod(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    // exhaustive up to length 10 over {a, b} — 2046 strings
+    for (len <- 0 to 10; bits <- 0 until (1 << len)) {
+      val s = (0 until len).map(i => if (((bits >> i) & 1) == 0) 'a' else 'b').mkString
+      assert(kern(s) == model(s), s"'$s'")
+    }
+    // multi-byte sanity: periods over non-ASCII text
+    assert(kern("éé") == 1L)
+    assert(kern("éxéx") == 2L)
+    assert(kern("abcabcab") == 8L) // border 5 -> p=3, 8 % 3 != 0 -> aperiodic
+    // and through the Catalyst expression (codegen path)
+    val viaExpr = Seq("ababab", "abcab", "")
+      .toDF("s").select(min_full_period($"s")).as[Long].collect().toSeq
+    assert(viaExpr == Seq(2L, 5L, 0L), viaExpr.toString)
+  }
+
   test("checksum kernels fail soft on arbitrary input (ADVICE r16): " +
       "short/empty/non-charset candidates count invalid, never crash") {
     // the regex-produced candidates in piiChecksums are always clean,

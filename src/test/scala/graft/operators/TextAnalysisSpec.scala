@@ -1701,4 +1701,72 @@ class TextAnalysisSpec extends SparkSpec {
     val both = audit.filter(_._1 == "both")
     assert(both.nonEmpty && both.head._2 >= 1L, audit.toString)
   }
+
+  test("intraDocRepeats: hand-traced paste-repeat — a 40-char block " +
+      "pasted twice reports exactly 40 repeated chars on one diagonal") {
+    // A = 40 chars, all 16-grams distinct (occ = 2 <= occCap); text =
+    // A + ' ' + A. Grams 0..24 of the first copy match 41..65 of the
+    // second on diagonal 41: one island of 25 positions, rc = 24-0+16
+    // = 40 = |A|. Grams spanning the space match nothing.
+    val a = "abcdefghijklmnopqrstuvwxyz0123456789!@#$"
+    assert(a.length == 40)
+    val docs = Seq((1L, s"$a $a"), (2L, "no repeats whatsoever here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.intraDocRepeats(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 40L, 1L, 25L, 0L)), out.toString)
+    // occCap honesty: a doc of one repeated char floods its own gram
+    // past the cap -> the cell is dropped BEFORE the self-join (no
+    // m^2 pair explosion) and the doc emits nothing; a corpus that
+    // ALSO has an uncapped repeat carries the dropped-cell count on
+    // its rows (the x235 convention)
+    val flood = Seq((1L, "z" * 200), (2L, s"$a $a")).toDF("doc_id", "text")
+    val f = TextAnalysis.intraDocRepeats(flood)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(f == Seq((2L, 40L, 1L, 25L, 1L)), f.toString)
+  }
+
+  test("textPeriodicity: KMP full-cycle period matches the divisor " +
+      "definition on crafted and degenerate inputs") {
+    val docs = Seq(
+      (1L, "ababab"),        // p=2, 3 cycles
+      (2L, "abcab"),         // border 'ab', 5 % 3 != 0 -> aperiodic
+      (3L, "aaaa"),          // p=1, 4 cycles
+      (4L, "x"),             // p=1, 1 cycle, NOT periodic (p == n)
+      (5L, "abab abab"),     // normalized keeps the space: p=5? no —
+                             // "abab abab" has border "abab" -> p=5,
+                             // 9 % 5 != 0 -> aperiodic
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textPeriodicity(docs)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 6L, 2L, 3L, true),
+      (2L, 5L, 5L, 1L, false),
+      (3L, 4L, 1L, 4L, true),
+      (4L, 1L, 1L, 1L, false),
+      (5L, 9L, 9L, 1L, false),
+      (6L, 0L, 0L, 0L, false)), out.toString)
+  }
+
+  test("unicodeAnomalies: exact forbidden-codepoint counts; clean text " +
+      "keeps") {
+    val docs = Seq(
+      (1L, "clean ascii text"),
+      (2L, "zero\u200Bwidth\u200Cpair\u200D\uFEFF"),
+      (3L, "bidi \u202Eattack\u2066 here"),
+      (4L, "moji\uFFFDbake\uFFFD"),
+      (5L, "ctrl\u0001 and\u0007 tab\t newline\n legal"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unicodeAnomalies(docs)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._3, r._4, r._5, r._6, r._7)) == Seq(
+      (1L, 0L, 0L, 0L, 0L, true),
+      (2L, 4L, 0L, 0L, 0L, false),
+      (3L, 0L, 2L, 0L, 0L, false),
+      (4L, 0L, 0L, 2L, 0L, false),
+      (5L, 0L, 0L, 0L, 2L, false)), out.toString)
+  }
 }
