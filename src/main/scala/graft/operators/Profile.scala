@@ -2025,4 +2025,41 @@ object Profile {
         col("n_flipped_consensus"))
       .orderBy(col("rater"))
   }
+
+  /** Stratified deterministic fixed-size sample — exactly `k` rows per
+    * stratum (fewer when the stratum is smaller), selected by md5-60
+    * hash rank of the key: the seeded, engine-portable eval-split /
+    * debug-slice sampler (same family as [[sampledQuantiles]]' pct
+    * gate, but SIZE-exact per stratum, which is what eval sets need).
+    * Sampling rides the upper 52 hash bits (`md5-60 >> 8`) so the
+    * rank score is EXACT in a double — the bounded-heap aggregator
+    * ([[graft.functions.TopKScored]]) compares doubles, and 60-bit
+    * ints do not round-trip a 53-bit mantissa; 52-bit ones do.
+    *
+    * Scale: one partial+final bounded-heap aggregation per stratum
+    * (map-side combine, k-bounded state) — never a per-stratum sort,
+    * never a global window; at 100 TB a window formulation would sort
+    * every stratum to keep 25 rows.
+    *
+    * Output: (stratum, rank 1..k by hash asc, id, sample_hash52). */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000,
+      s"stratifiedSample: k must be in [1, 100000], got $k")
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKScored(k))
+    df.select(col(stratumCol).as("stratum"),
+        col(keyCol).cast("long").as("__id"),
+        graft.functions.TextFunctions.md5Bucket60(col(keyCol)).as("__h0"))
+      // integer div, NOT `/` (double division on bigints)
+      .withColumn("__h", expr("__h0 div 256L"))
+      .groupBy(col("stratum"))
+      // score = -hash: the heap keeps the k SMALLEST hashes; ties
+      // break on id asc inside the aggregator
+      .agg(topk(col("__id"), -col("__h").cast("double")).as("__top"))
+      .select(col("stratum"), posexplode(col("__top")))
+      .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"),
+        (-col("col.score")).cast("long").as("sample_hash52"))
+  }
 }

@@ -4155,4 +4155,114 @@ object TextAnalysis {
         col("n_zero_width") + col("n_bidi") + col("n_replacement") +
           col("n_ctrl") === 0L)
   }
+
+  /** Top collocations by pointwise mutual information — the classic
+    * corpus-linguistics screen (Church & Hanks 1990): for adjacent
+    * word pairs with count ≥ `minCount`, PMI = ln(N·c₁₂ / (c₁·c₂))
+    * where c₁/c₂ are the words' LEFT/RIGHT transition margins and N
+    * the total transition count — high-PMI pairs are multiword units
+    * ("new york", "machine learning"); a corpus whose top PMI list is
+    * template residue ("click here") has a boilerplate problem the
+    * per-doc screens can miss. Count floor first: PMI of rare pairs
+    * is noise (the documented Church-Hanks caveat).
+    *
+    * Exactness: counts are exact BIGINTs; the single `ln` quantizes
+    * once per PAIR to integer micro-nats (round(round(ln(...), 6)·1e6)
+    * — both engines hold the identical correctly-rounded double
+    * first); the top-N cut is a full-order sort (pmi desc, w1, w2) so
+    * the boundary is deterministic.
+    *
+    * Scale: one adjacency explode (linear), (w1,w2)/(w1)/(w2) hash
+    * aggs, margins joined back on their keys (vocabulary-sized —
+    * shuffled equi-joins, deliberately not broadcast), a 1-row N
+    * frame broadcast, and a TakeOrderedAndProject top-N (partial
+    * per-partition top-k, never a global window).
+    *
+    * Output: top `topN` rows of (w1, w2, n_pair, n_left, n_right,
+    * pmi_micro), ordered (pmi_micro desc, w1, w2). */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L,
+      topN: Int = 50, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && topN >= 1,
+      s"pmiCollocations: minCount, topN must be positive, got ($minCount, $topN)")
+    val pairs = tokFrame(docs, idCol, textCol)
+      .filter(size(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__w) - 1), " +
+          "i -> struct(element_at(__w, i) as w1, element_at(__w, i + 1) as w2))"))
+        .as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+    val pc = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("bigint").as("n_pair"))
+      .localCheckpoint(true) // feeds margins, N, and the PMI join
+    val left = pc.groupBy(col("w1"))
+      .agg(sum(col("n_pair")).cast("bigint").as("n_left"))
+    val right = pc.groupBy(col("w2"))
+      .agg(sum(col("n_pair")).cast("bigint").as("n_right"))
+    val total = pc.agg(sum(col("n_pair")).cast("bigint").as("__n"))
+    pc.filter(col("n_pair") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .join(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_left"),
+        col("n_right"),
+        round(round(log(
+          col("__n").cast("double") * col("n_pair").cast("double") /
+            (col("n_left").cast("double") * col("n_right").cast("double"))),
+          6) * lit(1000000.0)).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Source-pair lexical overlap matrix — corpus-level "who shares
+    * text with whom": the EXACT Jaccard of each source pair's DISTINCT
+    * word n-gram sets (J = |A∩B| / (|A|+|B|−|A∩B|), inclusion-
+    * exclusion over exact distinct counts). x185's dup-flow matrix
+    * counts near-dup DOC pairs across sources; this measures shared
+    * LANGUAGE mass — template families, syndication, common
+    * boilerplate — even where no single doc pair crosses a dedup
+    * threshold. The n-gram grain (default 3) keeps single shared
+    * words from counting as overlap.
+    *
+    * Exactness: distinct gram sets per source are exact (hash
+    * dedup); the intersection is an equi-join count; the Jaccard
+    * quantizes once per pair to integer micro by truncating division
+    * (both engines' integer `div`).
+    *
+    * Scale: one (source, gram) distinct agg; per-source set sizes are
+    * a tiny frame (broadcast); the intersection self-join fans out at
+    * most |sources| per gram — bounded by the source cardinality,
+    * never by corpus size. Output is |sources|·(|sources|−1)/2 rows.
+    *
+    * Output: (source_a < source_b, n_a, n_b, n_common,
+    * jaccard_micro), ordered (source_a, source_b). */
+  def sourceGramOverlap(docs: DataFrame, n: Int = 3,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(n >= 1 && n <= 10,
+      s"sourceGramOverlap: n must be in [1, 10], got $n")
+    val sg = docs.select(col(sourceCol).as("__src"),
+        graft.functions.TextFunctions.words(col(textCol)).as("__w"))
+      .select(col("__src"), explode(
+        graft.functions.ShingleFunctions.ngram_strings(col("__w"), n))
+        .as("__g"))
+      .distinct()
+      .localCheckpoint(true) // feeds sizes AND the intersection join
+    val sizes = sg.groupBy(col("__src"))
+      .agg(count(lit(1)).cast("bigint").as("n_grams"))
+    val a = sg.as("a"); val b = sg.as("b")
+    val inter = a.join(b,
+        col("a.__g") === col("b.__g") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("__src").as("source_a"),
+        col("n_grams").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("__src").as("source_b"),
+        col("n_grams").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("n_common * 1000000L div (n_a + n_b - n_common)")
+          .as("jaccard_micro"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

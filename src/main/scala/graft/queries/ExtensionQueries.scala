@@ -3057,6 +3057,31 @@ object ExtensionQueries {
     TextAnalysis.textPeriodicity(built).orderBy(col("doc_id"))
   }
 
+  /** x262 stratified deterministic sample — see
+    * [[graft.operators.Profile.stratifiedSample]]: exactly 25 docs
+    * per language by md5-60-hash rank (upper 52 bits — double-exact
+    * for the bounded heap), the seeded engine-portable eval-split
+    * sampler. Bounded-heap aggregation, never a per-stratum sort. */
+  def x262(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.stratifiedSample(docs(s, dir), "doc_id",
+        "lang", k = 25)
+      .orderBy(col("stratum"), col("rank"))
+
+  /** x263 PMI collocations — see
+    * [[graft.operators.TextAnalysis.pmiCollocations]]: top-50 adjacent
+    * word pairs by pointwise mutual information (count floor 5), the
+    * Church-Hanks multiword-unit / boilerplate-residue screen. */
+  def x263(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(docs(s, dir), minCount = 5L, topN = 50)
+
+  /** x264 source-pair gram overlap — see
+    * [[graft.operators.TextAnalysis.sourceGramOverlap]]: the exact
+    * distinct-word-3-gram Jaccard matrix over source pairs — shared-
+    * language mass (syndication, template families) that doc-level
+    * dup flows (x185) can miss. */
+  def x264(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceGramOverlap(docs(s, dir), n = 3)
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3386,6 +3411,9 @@ object ExtensionQueries {
     "x259_intra_doc_repeats" -> (x259 _),
     "x260_text_periodicity" -> (x260 _),
     "x261_unicode_anomalies" -> (x261 _),
+    "x262_stratified_sample" -> (x262 _),
+    "x263_pmi_collocations" -> (x263 _),
+    "x264_source_gram_overlap" -> (x264 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -9352,6 +9380,64 @@ object ExtensionQueries {
          |            ELSE 0 END AS n_cycles,
          |       min_period < n AS is_periodic
          |FROM per ORDER BY doc_id""".stripMargin,
+
+    // x262: hash-rank sample — row_number over the 52-bit hash with
+    // the id tie-break replays the bounded heap's order exactly.
+    "x262_stratified_sample" ->
+      s"""SELECT lang AS stratum, CAST(rank AS BIGINT) AS rank,
+         |       doc_id AS id, h AS sample_hash52
+         |FROM (SELECT lang, doc_id,
+         |        ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} // 256 AS h,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} // 256,
+         |                   doc_id) AS rank
+         |      FROM documents) t
+         |WHERE rank <= 25 ORDER BY stratum, rank""".stripMargin,
+
+    // x263: exact pair/margin counts, one ln quantized per pair,
+    // full-order (pmi desc, w1, w2) top-50.
+    "x263_pmi_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |pr AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+         |       FROM (SELECT w, unnest(range(1, len(w))) AS i
+         |             FROM toks WHERE len(w) >= 2)),
+         |pc AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+         |      FROM pr GROUP BY 1, 2),
+         |lm AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_left
+         |       FROM pc GROUP BY 1),
+         |rm AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_right
+         |       FROM pc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM pc)
+         |SELECT pc.w1, pc.w2, pc.n_pair, lm.n_left, rm.n_right,
+         |       CAST(round(round(ln(tot.n::DOUBLE * pc.n_pair::DOUBLE /
+         |           (lm.n_left::DOUBLE * rm.n_right::DOUBLE)), 6)
+         |         * 1000000.0) AS BIGINT) AS pmi_micro
+         |FROM pc JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+         |WHERE pc.n_pair >= 5
+         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // x264: distinct (source, 3-gram) sets, equi-join intersection,
+    // inclusion-exclusion Jaccard in truncating micro.
+    "x264_source_gram_overlap" ->
+      s"""WITH toks AS (SELECT source, ${wordsSql("text")} AS w
+         |              FROM documents),
+         |sg AS MATERIALIZED (SELECT DISTINCT source AS src, g
+         |  FROM (SELECT source, unnest(${wordNgramsSql(3, distinct = false)}) AS g
+         |        FROM toks) z),
+         |sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n_grams
+         |          FROM sg GROUP BY 1),
+         |inter AS (SELECT a.src AS source_a, b.src AS source_b,
+         |            CAST(count(*) AS BIGINT) AS n_common
+         |          FROM sg a JOIN sg b ON a.g = b.g AND a.src < b.src
+         |          GROUP BY 1, 2)
+         |SELECT i.source_a, i.source_b, sa.n_grams AS n_a,
+         |       sb.n_grams AS n_b, i.n_common,
+         |       CAST(i.n_common * 1000000 //
+         |         (sa.n_grams + sb.n_grams - i.n_common) AS BIGINT)
+         |         AS jaccard_micro
+         |FROM inter i JOIN sizes sa ON sa.src = i.source_a
+         |             JOIN sizes sb ON sb.src = i.source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // x261: exact forbidden-codepoint counts under the same planted
     // tail (chr() builds the codepoints; RE2 counts via \x{...}).

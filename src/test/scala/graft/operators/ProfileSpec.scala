@@ -882,4 +882,33 @@ class ProfileSpec extends SparkSpec {
       ("d", 7L, 5L, 714285L, 693147L, 1L),
       ("e", 7L, 5L, 714285L, 693147L, 1L)))
   }
+
+  test("stratifiedSample: exactly k per stratum by 52-bit hash rank, " +
+      "replayed by a window model; short strata emit all rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "g0" else "g1"))
+      .toDF("id", "grp")
+    val out = Profile.stratifiedSample(df, "id", "grp", k = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    // window model over the same 52-bit hash
+    val modelRows = df.select(col("grp"), col("id"),
+        graft.functions.TextFunctions.md5Bucket60(col("id")).as("h0"))
+      .withColumn("h", expr("h0 div 256L"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"), col("id"))))
+      .filter(col("rank") <= 10)
+      .select(col("grp"), col("rank").cast("long"), col("id"), col("h"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(out == modelRows, s"\n$out\nvs\n$modelRows")
+    assert(out.count(_._1 == "g0") == 10 && out.count(_._1 == "g1") == 10)
+    // a stratum smaller than k yields all its rows, ranked
+    val tiny = Seq((1L, "t"), (2L, "t")).toDF("id", "grp")
+    val t = Profile.stratifiedSample(tiny, "id", "grp", k = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(t.length == 2 && t.map(_._2).sorted == Seq(1L, 2L))
+  }
 }

@@ -1750,6 +1750,41 @@ class TextAnalysisSpec extends SparkSpec {
       (6L, 0L, 0L, 0L, false)), out.toString)
   }
 
+  test("pmiCollocations: hand-traced PMI — the exclusive pair beats the " +
+      "promiscuous one; count floor drops rare pairs") {
+    // corpus: "a b" ×5 (exclusive), "c d" ×5 but c also precedes e ×5
+    // (diluted left margin), "x y" ×2 (below floor)
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "a b")) ++
+      (6 to 10).map(i => (i.toLong, "c d")) ++
+      (11 to 15).map(i => (i.toLong, "c e")) ++
+      Seq((16L, "x y"), (17L, "x y"))).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 5L, topN = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // N = 17 transitions... actually: 5 + 5 + 5 + 2 = 17
+    // PMI(a,b) = ln(17·5/(5·5)) = ln(3.4); PMI(c,d) = ln(17·5/(10·5)) = ln(1.7)
+    def micro(x: Double): Long = math.round(
+      BigDecimal(math.log(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e6)
+    assert(out.map(r => (r._1, r._2)) == Seq(("a", "b"), ("c", "d"), ("c", "e")))
+    assert(out.head == (("a", "b", 5L, 5L, 5L, micro(3.4))), out.head.toString)
+    assert(out(1)._6 == micro(1.7), out(1).toString)
+  }
+
+  test("sourceGramOverlap: exact inclusion-exclusion Jaccard over " +
+      "distinct 3-gram sets") {
+    val docs = Seq(
+      (1L, "A", "one two three four"),        // grams: {one two three, two three four}
+      (2L, "B", "one two three"),             // grams: {one two three}
+      (3L, "B", "one two three"),             // duplicate gram — distinct set unchanged
+      (4L, "C", "five six seven"))            // disjoint
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceGramOverlap(docs, n = 3)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // A∩B = {one two three} (1); |A| = 2, |B| = 1 → J = 1/2
+    assert(out == Seq(("A", "B", 2L, 1L, 1L, 500000L)), out.toString)
+  }
+
   test("unicodeAnomalies: exact forbidden-codepoint counts; clean text " +
       "keeps") {
     val docs = Seq(
