@@ -2145,4 +2145,46 @@ class PlanShapeSpec extends SparkSpec {
           s"${innermost.map(scanTables)}:\n${plan.toString.take(4000)}")
     }
   }
+
+  test("x259: intra-doc islands window is partitioned (doc, diagonal) — " +
+      "never an unpartitioned window; self-join is an equi-join, no " +
+      "cartesian") {
+    val df = ExtensionQueries.x259(spark, sf001)
+    assertNoGlobalWindowOverBase(df)
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("x260: periodicity is one whole-stage-codegen projection — zero " +
+      "exchanges besides the final order") {
+    val df = ExtensionQueries.x260(spark, sf001)
+    val plan = physical(df)
+    assert(plan.contains("min_full_period"), plan.take(2000))
+    // per-row kernel: no aggregate, no join, no window anywhere
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan.take(3000))
+  }
+
+  test("x262: stratified sample is a bounded-heap aggregation — no " +
+      "Window, no per-stratum Sort below the aggregate") {
+    val df = ExtensionQueries.x262(spark, sf001)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan.take(3000))
+  }
+
+  test("x263: the top-50 PMI cut is TakeOrderedAndProject; margins join " +
+      "shuffled (vocabulary-sized), only the 1-row N frame broadcast") {
+    val plan = physical(ExtensionQueries.x263(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("x264: source overlap joins on the gram key and broadcasts only " +
+      "the source-cardinality size frames; no cartesian") {
+    val plan = physical(ExtensionQueries.x264(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }
