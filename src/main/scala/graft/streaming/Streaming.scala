@@ -1035,6 +1035,79 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class SampleEvent(stratum: String, id: Long)
+  final case class SampleEntry(h: Long, id: Long)
+  final case class SampleState(entries: Seq[SampleEntry])
+  final case class SampleRow(stratum: String, rank: Long, id: Long,
+    sample_hash52: Long)
+
+  /** Bounded-memory streaming stratified sampler — the live twin of
+    * the batch [[graft.operators.Profile.stratifiedSample]] (x262):
+    * per stratum, the k SMALLEST 52-bit md5 hash ranks of the ids
+    * seen so far. Because the sample is a pure function of the SET of
+    * ids (hash-rank selection, not reservoir sampling), it is
+    * order-independent and batching-independent: replays, backfills,
+    * and the batch operator over the same ids all converge to the
+    * IDENTICAL sample — the property that makes a streaming eval
+    * split trustworthy (a reservoir depends on arrival order and
+    * RNG). Duplicate ids fold away (set semantics), matching the
+    * batch side's unique-key corpus.
+    *
+    * Emission: run-ledger — each batch re-emits the updated stratum's
+    * CURRENT sample (≤ k rows); consumers keep the last set per
+    * stratum. State is O(k) per stratum regardless of stream size;
+    * the per-row cost is one md5 + one bounded insert. */
+  final class StratifiedSampleProcessor(k: Int)
+      extends StatefulProcessor[String, SampleEvent, SampleRow] {
+    @transient private var st: ValueState[SampleState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[SampleState]("sample",
+        org.apache.spark.sql.Encoders.product[SampleState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[SampleEvent],
+        tv: TimerValues): Iterator[SampleRow] = {
+      // bounded insert into the sorted sample: memory stays O(k) even
+      // within a batch. Duplicate ids need no extra tracking — the
+      // rank is a pure function of the id, so re-inserting an id
+      // either finds its (h, id) already in the sample (skip) or
+      // fails the cut exactly as it did before (idempotent).
+      var top = if (st.exists()) st.get().entries.toVector else Vector.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { ev =>
+        val b = ev.id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // the SAME portable rank the batch side computes:
+        // md5-60 >> 8 — 52 bits, exact in any engine's double
+        val h = graft.functions.ShingleKernels.md5Hash60(b, 0, b.length, md) / 256L
+        val e = SampleEntry(h, ev.id)
+        val worse = (x: SampleEntry) =>
+          x.h > e.h || (x.h == e.h && x.id > e.id)
+        if (top.length < k || worse(top.last)) {
+          val at = top.indexWhere(worse)
+          if (!top.contains(e)) {
+            top = ((if (at == -1) top :+ e
+                    else (top.take(at) :+ e) ++ top.drop(at))).take(k)
+          }
+        }
+      }
+      st.update(SampleState(top))
+      top.iterator.zipWithIndex.map { case (e, i) =>
+        SampleRow(key, (i + 1).toLong, e.id, e.h)
+      }
+    }
+  }
+
+  /** [[StratifiedSampleProcessor]] wired onto a keyed id stream; same
+    * RocksDB provider requirement as [[sessionizeWithState]]. */
+  def stratifiedSampleWithState(events: Dataset[SampleEvent],
+      k: Int): Dataset[SampleRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.stratum)
+      .transformWithState(new StratifiedSampleProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class ActiveEvent(day: String, user_hash: Long)
   final case class ActiveEstimate(day: String, n_min: Long, kth: Long,
     est_distinct: Long)

@@ -747,6 +747,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSampleWithState: batch parity — the final emitted " +
+      "sample per stratum equals Profile.stratifiedSample over the same " +
+      "ids, regardless of batching and arrival order") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ids = (1L to 120L).toVector
+      val strat = (i: Long) => if (i % 2 == 0) "even" else "odd"
+      // scrambled deterministic order + duplicates, split into 3 batches
+      val scrambled = (ids ++ ids.take(30)).sortBy(i => (i * 7919) % 131)
+      val batches = scrambled.grouped(50).toSeq
+      val in = MemoryStream[Streaming.SampleEvent]
+      val q = Streaming.stratifiedSampleWithState(in.toDS(), k = 8)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ssw_out").start()
+      var before = 0L
+      batches.dropRight(1).foreach { b =>
+        in.addData(b.map(i => Streaming.SampleEvent(strat(i), i)))
+        q.processAllAvailable()
+      }
+      before = spark.table("ssw_out").count()
+      in.addData(batches.last.map(i => Streaming.SampleEvent(strat(i), i)))
+      q.processAllAvailable()
+      q.stop()
+      // run-ledger: the final batch's emission is each stratum's
+      // current sample — compare to the batch operator on the SET
+      val last = spark.table("ssw_out").as[Streaming.SampleRow]
+        .collect().drop(before.toInt)
+        .map(r => (r.stratum, r.rank, r.id, r.sample_hash52)).sorted.toSeq
+      val batch = graft.operators.Profile.stratifiedSample(
+          ids.map(i => (i, strat(i))).toDF("id", "grp"), "id", "grp", k = 8)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3, r._4)).sorted.toSeq
+      assert(last == batch, s"\nstream: $last\nbatch:  $batch")
+    }
+  }
+
   test("sessionizeWithTimers: the watermark closes idle sessions via timers — no sentinel") {
     withRocksDb {
       implicit val sc = spark.sqlContext
