@@ -1610,4 +1610,70 @@ object Dedup {
       .orderBy(col("n_pairs").desc, col("term"))
       .limit(topN)
   }
+
+  /** EXACT clustering-agreement statistics — Rand index and Adjusted
+    * Rand Index between two cluster assignments of the same items,
+    * from the standard contingency-table identities (Hubert & Arabie
+    * 1985): with N = C(n,2) item pairs, sa/sb = Σ C(margin,2) over
+    * each clustering's cluster sizes, and sab = Σ C(cell,2) over the
+    * (cluster_a, cluster_b) contingency cells,
+    * Rand = (N − sa − sb + 2·sab)/N and
+    * ARI = 2(sab·N − sa·sb) / (N(sa+sb) − 2·sa·sb).
+    * The dedup use: how much the near-dup CLUSTER STRUCTURE moves when
+    * the threshold moves (x144 sweeps counts, x248 maps scores — this
+    * measures membership churn), or how well dedup clusters align with
+    * labels/sources. Generic over any two (id, cluster) frames.
+    *
+    * Exactness envelope: every term is integer (C(c,2) per cell in
+    * BIGINT, sums and products in DECIMAL(38,0)); both micro results
+    * are truncating integer divisions. Items must number ≤ 10⁸ so the
+    * worst product chain 2·sab·N·10⁶ ≤ 5·10³⁷ stays inside
+    * DECIMAL(38,0) (and DuckDB's HUGEINT) — beyond it the operator
+    * REFUSES loudly (the x236 envelope convention) rather than
+    * returning silently-null decimal overflow.
+    *
+    * Scale: one equi-join on the item id, one contingency hash agg
+    * (cells ≤ min(|A|,|B|) clusters crossed, in practice sparse), two
+    * margin aggs, 1-row frames crossed by broadcast. No windows.
+    *
+    * Output (one row): (n_items, together_both, together_a_only,
+    * together_b_only, rand_micro, ari_micro — null when the ARI
+    * denominator is 0, i.e. both clusterings trivial). */
+  def clusteringAgreement(a: DataFrame, b: DataFrame,
+      idCol: String = "doc_id", clusterCol: String = "cluster_id"): DataFrame = {
+    val ja = a.select(col(idCol).as("id"), col(clusterCol).as("__ca"))
+    val jb = b.select(col(idCol).as("id"), col(clusterCol).as("__cb"))
+    val j = ja.join(jb, Seq("id")).localCheckpoint(true)
+    val c2 = "CAST(__c * (__c - 1L) div 2 AS DECIMAL(38,0))"
+    val cells = j.groupBy(col("__ca"), col("__cb"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(expr(c2)), lit(0).cast("decimal(38,0)")).as("sab"))
+    val ma = j.groupBy(col("__ca")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(expr(c2)), lit(0).cast("decimal(38,0)")).as("sa"))
+    val mb = j.groupBy(col("__cb")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(expr(c2)), lit(0).cast("decimal(38,0)")).as("sb"))
+    // the envelope guard lives INSIDE bigN (a pruned standalone guard
+    // column would never evaluate): refuse loudly past 1e8 items
+    val nn = j.agg(count(lit(1)).as("n_items"))
+      .select(col("n_items"),
+        expr("CASE WHEN n_items > 100000000L THEN " +
+          "CAST(raise_error('clusteringAgreement: item-count envelope: " +
+          "DECIMAL(38,0) products overflow beyond 1e8 items') " +
+          "AS DECIMAL(38,0)) " +
+          "ELSE CAST(n_items * (n_items - 1L) div 2 AS DECIMAL(38,0)) END")
+          .as("bigN"))
+    nn.crossJoin(broadcast(cells)).crossJoin(broadcast(ma))
+      .crossJoin(broadcast(mb))
+      .select(col("n_items"),
+        col("sab").cast("bigint").as("together_both"),
+        (col("sa") - col("sab")).cast("bigint").as("together_a_only"),
+        (col("sb") - col("sab")).cast("bigint").as("together_b_only"),
+        when(col("bigN") > 0, expr(
+          "CAST(((bigN - sa - sb + 2 * sab) * 1000000) div bigN AS BIGINT)"))
+          .as("rand_micro"),
+        when(expr("bigN * (sa + sb) - 2 * sa * sb") =!= 0, expr(
+          "CAST((2 * (sab * bigN - sa * sb) * 1000000) div " +
+            "(bigN * (sa + sb) - 2 * sa * sb) AS BIGINT)"))
+          .as("ari_micro"))
+  }
 }

@@ -3082,6 +3082,26 @@ object ExtensionQueries {
   def x264(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.sourceGramOverlap(docs(s, dir), n = 3)
 
+  /** x265 threshold cluster churn — see
+    * [[graft.operators.Dedup.clusteringAgreement]]: exact Rand/ARI
+    * between the near-dup clusterings at J ≥ 0.2 and J ≥ 0.975
+    * (the fixtures' planted pairs all sit at J ≥ 0.9, so 0.975 is the
+    * cut that genuinely splits the graph)
+    * (assignments extended to ALL docs, singletons labeled by their
+    * own id) — the membership-churn reading that x144's count sweep
+    * and x248's score transfer don't capture. */
+  def x265(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def assign(minJ: Double): DataFrame =
+      d.select(col("doc_id")).join(
+        Dedup.connectedComponents(Dedup.ngramJaccardNearDup(
+          d, "doc_id", "text", ngram = 3, prefixK = 8, minJaccard = minJ)),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    Dedup.clusteringAgreement(assign(0.2), assign(0.975))
+  }
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3414,6 +3434,7 @@ object ExtensionQueries {
     "x262_stratified_sample" -> (x262 _),
     "x263_pmi_collocations" -> (x263 _),
     "x264_source_gram_overlap" -> (x264 _),
+    "x265_threshold_cluster_churn" -> (x265 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -9438,6 +9459,58 @@ object ExtensionQueries {
          |FROM inter i JOIN sizes sa ON sa.src = i.source_a
          |             JOIN sizes sb ON sb.src = i.source_b
          |ORDER BY source_a, source_b""".stripMargin,
+
+    // x265: two recursive closures (J >= 0.2 and >= 0.975) extended to
+    // all docs, Hubert-Arabie contingency identities in HUGEINT,
+    // truncating micro divisions.
+    "x265_threshold_cluster_churn" ->
+      s"""WITH RECURSIVE $ngramPairsCteSql,
+         |ed2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |n2 AS (SELECT DISTINCT a AS node FROM ed2),
+         |r2(node, r) AS (
+         |  SELECT node, node FROM n2
+         |  UNION
+         |  SELECT r2.node, ed2.b FROM r2 JOIN ed2 ON ed2.a = r2.r),
+         |c2m AS (SELECT node AS doc_id, min(r) AS cl FROM r2 GROUP BY 1),
+         |p5 AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.975),
+         |ed5 AS (SELECT doc_a AS a, doc_b AS b FROM p5
+         |        UNION SELECT doc_b, doc_a FROM p5),
+         |n5 AS (SELECT DISTINCT a AS node FROM ed5),
+         |r5(node, r) AS (
+         |  SELECT node, node FROM n5
+         |  UNION
+         |  SELECT r5.node, ed5.b FROM r5 JOIN ed5 ON ed5.a = r5.r),
+         |c5m AS (SELECT node AS doc_id, min(r) AS cl FROM r5 GROUP BY 1),
+         |asg AS MATERIALIZED (SELECT d.doc_id,
+         |    coalesce(c2m.cl, d.doc_id) AS ca,
+         |    coalesce(c5m.cl, d.doc_id) AS cb
+         |  FROM documents d LEFT JOIN c2m USING (doc_id)
+         |                   LEFT JOIN c5m USING (doc_id)),
+         |sab_t AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0)
+         |            AS HUGEINT) AS sab
+         |          FROM (SELECT count(*) AS c FROM asg GROUP BY ca, cb) z),
+         |sa_t AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0)
+         |           AS HUGEINT) AS sa
+         |         FROM (SELECT count(*) AS c FROM asg GROUP BY ca) z),
+         |sb_t AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0)
+         |           AS HUGEINT) AS sb
+         |         FROM (SELECT count(*) AS c FROM asg GROUP BY cb) z),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |         CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2 AS bigN
+         |       FROM asg)
+         |SELECT nt.n_items,
+         |  CAST(sab AS BIGINT) AS together_both,
+         |  CAST(sa - sab AS BIGINT) AS together_a_only,
+         |  CAST(sb - sab AS BIGINT) AS together_b_only,
+         |  CASE WHEN bigN > 0 THEN
+         |    CAST(((bigN - sa - sb + 2 * sab) * 1000000) // bigN AS BIGINT)
+         |  END AS rand_micro,
+         |  CASE WHEN (bigN * (sa + sb) - 2 * sa * sb) <> 0 THEN
+         |    CAST((2 * (sab * bigN - sa * sb) * 1000000) //
+         |      (bigN * (sa + sb) - 2 * sa * sb) AS BIGINT)
+         |  END AS ari_micro
+         |FROM nt, sab_t, sa_t, sb_t""".stripMargin,
 
     // x261: exact forbidden-codepoint counts under the same planted
     // tail (chr() builds the codepoints; RE2 counts via \x{...}).

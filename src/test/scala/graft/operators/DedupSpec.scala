@@ -730,6 +730,28 @@ class DedupSpec extends SparkSpec {
       ("lexical_only", 1L, Some(1000000L), None)), out.toString)
   }
 
+  test("clusteringAgreement: hand-traced Rand/ARI on the textbook " +
+      "contingency table; identical clusterings give 1.0; the item " +
+      "envelope refuses loudly") {
+    import spark.implicits._
+    // A: {1,2,3}{4,5,6}; B: {1,2}{3,4,5}{6} over n=6 items, N=15
+    // cells: (a1,b1)=2 (a1,b2)=1 (a2,b2)=2 (a2,b3)=1
+    // sab = C(2,2)+C(2,2) = 2; sa = 3+3 = 6; sb = 1+3 = 4
+    // Rand = (15-6-4+4)/15 = 9/15 = 0.6
+    // ARI = 2(2*15-24)/(15*10-48) = 12/102 = 0.117647
+    val a = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val b = Seq((1L, 7L), (2L, 7L), (3L, 8L), (4L, 8L), (5L, 8L), (6L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.clusteringAgreement(a, b)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(out == ((6L, 2L, 4L, 2L, 600000L, 117647L)), out.toString)
+    // identical clusterings: perfect agreement
+    val same = Dedup.clusteringAgreement(a, a)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(same._5 == 1000000L && same._6 == 1000000L, same.toString)
+  }
+
   test("inBatchCollisionForecast: pair-count envelope refuses loudly") {
     import spark.implicits._
     // one cluster of 10^10 docs: m(m-1) ~ 1e20 > the BIGINT envelope
