@@ -1611,6 +1611,85 @@ object Dedup {
       .limit(topN)
   }
 
+  /** Near-dup pair EVIDENCE — why did these two documents match: for
+    * every candidate pair, the `topK` RAREST shared word n-grams
+    * (rarity = corpus document frequency, ascending — a gram shared
+    * by only these two docs is strong evidence; a boilerplate gram
+    * shared by half the corpus is none). The human-audit complement
+    * of the pair scores: reviewers triage a dedup run by reading the
+    * evidence grams, not the Jaccard.
+    *
+    * Scale: distinct (doc, gram) postings once, a corpus df agg, and
+    * TWO equi-joins keyed by the PAIR relation — cost rides the
+    * candidate pairs (already bounded by the caller's dedup
+    * machinery), never all-pairs. The ranking window partitions per
+    * pair (bounded by the pair's shared-gram count).
+    *
+    * Output: (doc_a, doc_b, gram, df, rank ≤ topK), ordered. */
+  def pairEvidence(docs: DataFrame, pairs: DataFrame, ngram: Int = 3,
+      topK: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ngram >= 1 && topK >= 1,
+      s"pairEvidence: ngram, topK must be positive, got ($ngram, $topK)")
+    val grams = docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.words(col(textCol)).as("__w"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.ShingleFunctions.ngram_strings(col("__w"), ngram)))
+        .as("gram"))
+      .localCheckpoint(true) // feeds the df agg AND both pair joins
+    val df = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).cast("bigint").as("df"))
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val shared = p
+      .join(grams.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("gram")),
+        Seq("doc_b", "gram"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("df"), col("gram"))
+    shared.join(df, Seq("gram"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_a"), col("doc_b"), col("gram"), col("df"), col("rank"))
+      .orderBy(col("doc_a"), col("doc_b"), col("rank"))
+  }
+
+  /** Exact pair edit similarity — the Levenshtein distance between
+    * the normalized texts of candidate near-dup pairs: the "how near
+    * is near" exact read behind the Jaccard estimate (a pair at
+    * J = 0.9 can be one edited sentence or scattered word swaps —
+    * edit distance tells which). Classic unit-cost Levenshtein, the
+    * identical function in Spark (`levenshtein`) and DuckDB.
+    *
+    * Scale: O(|a|·|b|) PER PAIR — deliberately pair-bounded (run it
+    * on a dedup candidate relation, never all-pairs; the x250-family
+    * discipline). similarity_micro = (maxLen − d)·10⁶ div maxLen,
+    * truncating integer.
+    *
+    * Output: (doc_a, doc_b, len_a, len_b, edit_distance,
+    * similarity_micro), ordered. */
+  def pairEditSimilarity(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = docs.select(col(idCol).as("doc_id"),
+      regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(norm.select(col("doc_id").as("doc_a"), col("__t").as("__ta")),
+        Seq("doc_a"))
+      .join(norm.select(col("doc_id").as("doc_b"), col("__t").as("__tb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        length(col("__ta")).cast("long").as("len_a"),
+        length(col("__tb")).cast("long").as("len_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long")
+          .as("edit_distance"))
+      .withColumn("similarity_micro",
+        when(greatest(col("len_a"), col("len_b")) > 0, expr(
+          "(greatest(len_a, len_b) - edit_distance) * 1000000L " +
+            "div greatest(len_a, len_b)"))
+          .otherwise(lit(1000000L)))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** EXACT clustering-agreement statistics — Rand index and Adjusted
     * Rand Index between two cluster assignments of the same items,
     * from the standard contingency-table identities (Hubert & Arabie

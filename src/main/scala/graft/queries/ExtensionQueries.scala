@@ -3102,6 +3102,30 @@ object ExtensionQueries {
     Dedup.clusteringAgreement(assign(0.2), assign(0.975))
   }
 
+  /** x266 near-dup pair evidence — see
+    * [[graft.operators.Dedup.pairEvidence]]: the 3 rarest shared
+    * word-3-grams per x04 candidate pair — the reviewer-facing "why
+    * did these match" forensics. */
+  def x266(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.pairEvidence(d,
+      Dedup.ngramJaccardNearDup(d, "doc_id", "text", ngram = 3,
+        prefixK = 8, minJaccard = 0.2),
+      ngram = 3, topK = 3)
+  }
+
+  /** x267 pair edit similarity — see
+    * [[graft.operators.Dedup.pairEditSimilarity]]: exact Levenshtein
+    * over the normalized texts of the x04 candidate pairs — the
+    * one-edited-sentence vs scattered-swaps discriminator behind the
+    * Jaccard estimate. */
+  def x267(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.pairEditSimilarity(d,
+      Dedup.ngramJaccardNearDup(d, "doc_id", "text", ngram = 3,
+        prefixK = 8, minJaccard = 0.2))
+  }
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3435,6 +3459,8 @@ object ExtensionQueries {
     "x263_pmi_collocations" -> (x263 _),
     "x264_source_gram_overlap" -> (x264 _),
     "x265_threshold_cluster_churn" -> (x265 _),
+    "x266_pair_evidence" -> (x266 _),
+    "x267_pair_edit_similarity" -> (x267 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -9511,6 +9537,46 @@ object ExtensionQueries {
          |      (bigN * (sa + sb) - 2 * sa * sb) AS BIGINT)
          |  END AS ari_micro
          |FROM nt, sab_t, sa_t, sb_t""".stripMargin,
+
+    // x266: per-pair rarest shared distinct 3-grams (df asc, gram) top-3.
+    "x266_pair_evidence" ->
+      s"""WITH $ngramPairsCteSql,
+         |grams AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(g) AS gram
+         |  FROM (SELECT doc_id, ${wordNgramsSql(3)} AS g
+         |        FROM (SELECT doc_id, ${wordsSql("text")} AS w
+         |              FROM documents) t1) t2),
+         |dfc AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+         |        FROM grams GROUP BY 1),
+         |shared AS (SELECT p.doc_a, p.doc_b, ga.gram
+         |  FROM pairs p
+         |  JOIN grams ga ON ga.doc_id = p.doc_a
+         |  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram),
+         |rk AS (SELECT s.doc_a, s.doc_b, s.gram, dfc.df,
+         |         CAST(row_number() OVER (PARTITION BY s.doc_a, s.doc_b
+         |           ORDER BY dfc.df, s.gram) AS BIGINT) AS rank
+         |       FROM shared s JOIN dfc USING (gram))
+         |SELECT doc_a, doc_b, gram, df, rank FROM rk WHERE rank <= 3
+         |ORDER BY doc_a, doc_b, rank""".stripMargin,
+
+    // x267: classic unit-cost Levenshtein over the normalized pair
+    // texts; truncating micro similarity.
+    "x267_pair_edit_similarity" ->
+      s"""WITH $ngramPairsCteSql,
+         |nd AS (SELECT doc_id,
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(length(a.t) AS BIGINT) AS len_a,
+         |  CAST(length(b.t) AS BIGINT) AS len_b,
+         |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_distance,
+         |  CASE WHEN greatest(length(a.t), length(b.t)) > 0 THEN
+         |    CAST((greatest(length(a.t), length(b.t)) -
+         |        levenshtein(a.t, b.t)) * 1000000 //
+         |      greatest(length(a.t), length(b.t)) AS BIGINT)
+         |  ELSE 1000000 END AS similarity_micro
+         |FROM pairs p JOIN nd a ON a.doc_id = p.doc_a
+         |             JOIN nd b ON b.doc_id = p.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // x261: exact forbidden-codepoint counts under the same planted
     // tail (chr() builds the codepoints; RE2 counts via \x{...}).

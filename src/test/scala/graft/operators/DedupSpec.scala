@@ -730,6 +730,39 @@ class DedupSpec extends SparkSpec {
       ("lexical_only", 1L, Some(1000000L), None)), out.toString)
   }
 
+  test("pairEvidence: rarest shared grams rank first; boilerplate " +
+      "shared by a third doc ranks after the exclusive gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma common tail here"),
+      (2L, "alpha beta gamma common tail here"),
+      (3L, "zzz yyy xxx common tail here")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.pairEvidence(docs, pairs, ngram = 3, topK = 2)
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    // shared grams of (1,2): all 4 3-grams; "common tail here" has
+    // df 3 (doc 3 too); the other three have df 2 — rank by (df,
+    // gram): "alpha beta gamma" then "beta gamma common"
+    assert(out == Seq(
+      (1L, 2L, "alpha beta gamma", 2L, 1L),
+      (1L, 2L, "beta gamma common", 2L, 2L)), out.toString)
+  }
+
+  test("pairEditSimilarity: hand-traced Levenshtein and truncating " +
+      "micro similarity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "kitten and more"), (2L, "sitting and more"),
+      (3L, "same text"), (4L, "same text")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.pairEditSimilarity(docs, pairs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // kitten→sitting = 3 edits; lens 15/16 → (16-3)*1e6 div 16 = 812500
+    assert(out == Seq(
+      (1L, 2L, 15L, 16L, 3L, 812500L),
+      (3L, 4L, 9L, 9L, 0L, 1000000L)), out.toString)
+  }
+
   test("clusteringAgreement: hand-traced Rand/ARI on the textbook " +
       "contingency table; identical clusterings give 1.0; the item " +
       "envelope refuses loudly") {
