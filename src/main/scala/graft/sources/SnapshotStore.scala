@@ -120,6 +120,54 @@ object SnapshotStore {
       throw new java.io.FileNotFoundException(
         s"SnapshotStore: $tablePath has no published snapshot")))
 
+  /** Time-travel read: the table AS OF snapshot `v` — any snapshot
+    * still on disk (published now or superseded but not yet
+    * vacuumed) reads exactly as it was committed; immutability of
+    * snapshot directories is what makes this free. Throws
+    * FileNotFoundException when `v` was never materialized or was
+    * reclaimed by [[vacuum]] (with the retention hint in the
+    * message). */
+  def readVersion(spark: SparkSession, tablePath: String, v: Long): DataFrame = {
+    val dir = new Path(tablePath, snapName(v))
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir))
+      throw new java.io.FileNotFoundException(
+        s"SnapshotStore: $tablePath has no snapshot $v on disk — " +
+          "never committed, or reclaimed by vacuum (raise keepLast/minAgeMs " +
+          "for longer time travel)")
+    spark.read.parquet(fs.makeQualified(dir).toString)
+  }
+
+  /** Snapshot inventory: (version, is_current, claimed-only?,
+    * modification time) for everything on disk — the audit view
+    * behind [[readVersion]] and [[vacuum]] decisions. A version with
+    * a claim marker but no directory is a crashed writer's orphan
+    * claim (skipped number); a directory above the current pointer is
+    * a commit racing right now or a superseded forward-only loser. */
+  def history(spark: SparkSession, tablePath: String): Seq[SnapshotInfo] = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    if (!fs.exists(table)) return Seq.empty
+    val cur = currentVersion(spark, tablePath)
+    val statuses = fs.listStatus(table).toSeq
+    def versionOf(n: String, prefix: String): Option[Long] =
+      if (n.startsWith(prefix))
+        scala.util.Try(n.stripPrefix(prefix).toLong).toOption
+      else None
+    val dirs = statuses.flatMap(st =>
+      versionOf(st.getPath.getName, "snap-")
+        .map(v => v -> st.getModificationTime)).toMap
+    val claims = statuses.flatMap(st =>
+      versionOf(st.getPath.getName, ".claim-snap-")).toSet
+    (dirs.keySet ++ claims).toSeq.sorted.map { v =>
+      SnapshotInfo(v, cur.contains(v), dirs.contains(v),
+        dirs.getOrElse(v, 0L))
+    }
+  }
+
+  final case class SnapshotInfo(version: Long, isCurrent: Boolean,
+    materialized: Boolean, modifiedMs: Long)
+
   /** Writes `df` as the next snapshot and publishes it. Returns the
     * published version. The previous snapshot stays on disk (readers
     * may still hold it) until [[vacuum]]. */

@@ -1108,6 +1108,80 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class UnicodeDoc(source: String, doc_id: Long, text: String)
+  final case class UnicodeCounters(n_docs: Long, n_dirty_docs: Long,
+    n_zero_width: Long, n_bidi: Long, n_replacement: Long, n_ctrl: Long)
+  final case class UnicodeAlert(source: String, n_docs: Long,
+    n_dirty_docs: Long, n_zero_width: Long, n_bidi: Long,
+    n_replacement: Long, n_ctrl: Long)
+
+  /** Live unicode-anomaly monitor — the streaming twin of the batch
+    * [[graft.operators.TextAnalysis.unicodeAnomalies]] (x261): per
+    * source, cumulative exact counts of zero-width, bidi-control,
+    * replacement, and C0-control codepoints plus the dirty-doc count,
+    * on the SAME regex classes the batch side compiles (Java regex in
+    * both — parity is structural). The ingest-side tripwire: a
+    * scraper that starts emitting mojibake or a watermarking upstream
+    * shows as a per-source counter step the batch screen would only
+    * see next run.
+    *
+    * Emission: run-ledger — each batch re-emits the updated source's
+    * cumulative row; consumers keep the last per source. State is six
+    * longs per source. */
+  final class UnicodeMonitorProcessor
+      extends StatefulProcessor[String, UnicodeDoc, UnicodeAlert] {
+    @transient private var st: ValueState[UnicodeCounters] = _
+    @transient private var zw: java.util.regex.Pattern = _
+    @transient private var bidi: java.util.regex.Pattern = _
+    @transient private var rep: java.util.regex.Pattern = _
+    @transient private var ctrl: java.util.regex.Pattern = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[UnicodeCounters]("uni",
+        org.apache.spark.sql.Encoders.product[UnicodeCounters], TTLConfig.NONE)
+      // the identical classes the batch operator's regexp_extract_all
+      // compiles (TextAnalysis.unicodeAnomalies)
+      zw = java.util.regex.Pattern.compile("[\\u200B\\u200C\\u200D\\uFEFF]")
+      bidi = java.util.regex.Pattern.compile("[\\u202A-\\u202E\\u2066-\\u2069]")
+      rep = java.util.regex.Pattern.compile("\\uFFFD")
+      ctrl = java.util.regex.Pattern.compile(
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    }
+
+    private def countOf(p: java.util.regex.Pattern, s: String): Long = {
+      val m = p.matcher(s)
+      var n = 0L
+      while (m.find()) n += 1
+      n
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[UnicodeDoc],
+        tv: TimerValues): Iterator[UnicodeAlert] = {
+      var c = if (st.exists()) st.get()
+        else UnicodeCounters(0L, 0L, 0L, 0L, 0L, 0L)
+      rows.foreach { d =>
+        val t = Option(d.text).getOrElse("")
+        val (a, b, r, k) =
+          (countOf(zw, t), countOf(bidi, t), countOf(rep, t), countOf(ctrl, t))
+        c = UnicodeCounters(c.n_docs + 1,
+          c.n_dirty_docs + (if (a + b + r + k > 0) 1L else 0L),
+          c.n_zero_width + a, c.n_bidi + b, c.n_replacement + r, c.n_ctrl + k)
+      }
+      st.update(c)
+      Iterator.single(UnicodeAlert(key, c.n_docs, c.n_dirty_docs,
+        c.n_zero_width, c.n_bidi, c.n_replacement, c.n_ctrl))
+    }
+  }
+
+  /** [[UnicodeMonitorProcessor]] wired onto a keyed document stream;
+    * same RocksDB provider requirement as [[sessionizeWithState]]. */
+  def unicodeMonitorWithState(docs: Dataset[UnicodeDoc]): Dataset[UnicodeAlert] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new UnicodeMonitorProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class ActiveEvent(day: String, user_hash: Long)
   final case class ActiveEstimate(day: String, n_min: Long, kth: Long,
     est_distinct: Long)

@@ -2187,4 +2187,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("x258: hashed-embedding agreement keeps the bucket equi-join — " +
+      "no cartesian, no corpus-global window") {
+    val df = ExtensionQueries.x258(spark, sf001)
+    assertNoGlobalWindowOverBase(df)
+    assert(!physical(df).contains("CartesianProduct"))
+  }
+
+  test("x265: clustering agreement is hash aggs + 1-row broadcasts — " +
+      "no window, no cartesian beyond the broadcast 1-row crosses") {
+    val df = ExtensionQueries.x265(spark, sf001)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("x266/x267: pair forensics ride the candidate pair relation — " +
+      "windows (if any) partition per pair, no cartesian") {
+    val e = ExtensionQueries.x266(spark, sf001)
+    assertNoGlobalWindowOverBase(e)
+    assert(!physical(e).contains("CartesianProduct"))
+    val d = ExtensionQueries.x267(spark, sf001)
+    val plan = physical(d)
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    assert(plan.contains("levenshtein"), plan.take(2000))
+  }
 }

@@ -157,6 +157,38 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(claims.forall(_ == ".claim-snap-00000004"), claims.toSeq)
   }
 
+  test("readVersion/history: time travel reads any on-disk snapshot; " +
+      "vacuumed versions fail with the retention hint; history shows " +
+      "orphan claims") {
+    val table = tmp("snap_tt") + "/t"
+    (1 to 3).foreach(v => SnapshotStore.write(Seq(v * 10).toDF("x"), table))
+    // time travel: every committed version reads as written
+    (1 to 3).foreach { v =>
+      assert(SnapshotStore.readVersion(spark, table, v.toLong)
+        .as[Int].collect().toSeq == Seq(v * 10))
+    }
+    // an orphan claim (crashed writer, no directory) shows in history
+    new java.io.File(table, ".claim-snap-00000009").createNewFile()
+    val h = SnapshotStore.history(spark, table)
+    assert(h.map(_.version) == Seq(1L, 2L, 3L, 9L), h.toString)
+    assert(h.filter(_.isCurrent).map(_.version) == Seq(3L))
+    assert(!h.find(_.version == 9L).get.materialized)
+    assert(h.filter(_.materialized).forall(_.modifiedMs > 0L))
+    // vacuum reclaims v1 (age the dirs), then readVersion fails loudly
+    (1 to 2).foreach { v =>
+      new java.io.File(table, SnapshotStore.snapName(v))
+        .setLastModified(System.currentTimeMillis() - 7200L * 1000L)
+    }
+    val deleted = SnapshotStore.vacuum(spark, table, keepLast = 2,
+      minAgeMs = 3600L * 1000L)
+    assert(deleted == Seq("snap-00000001"), deleted)
+    val e = intercept[java.io.FileNotFoundException](
+      SnapshotStore.readVersion(spark, table, 1L))
+    assert(e.getMessage.contains("keepLast"), e.getMessage)
+    assert(SnapshotStore.readVersion(spark, table, 2L)
+      .as[Int].collect().toSeq == Seq(20))
+  }
+
   test("writePartitionedSnapshot: published snapshot prunes partitions " +
       "like a plain partitioned path") {
     val table = tmp("snap_part") + "/t"

@@ -783,6 +783,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("unicodeMonitorWithState: batch parity — cumulative per-source " +
+      "counters equal TextAnalysis.unicodeAnomalies sums over the same docs") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      // the x261-style planted corpus, split across two batches
+      val docsSeq = (1L to 40L).map { i =>
+        val tail = "\u200B" * (i % 3).toInt +
+          (if (i % 5 == 0) "\u202E" else "") +
+          (if (i % 7 == 0) "\uFFFD" else "")
+        Streaming.UnicodeDoc(if (i % 2 == 0) "sA" else "sB",
+          i, s"doc number $i body$tail")
+      }
+      val in = MemoryStream[Streaming.UnicodeDoc]
+      val q = Streaming.unicodeMonitorWithState(in.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("uni_out").start()
+      in.addData(docsSeq.take(25))
+      q.processAllAvailable()
+      in.addData(docsSeq.drop(25))
+      q.processAllAvailable()
+      q.stop()
+      // last row per source = cumulative totals
+      val rows = spark.table("uni_out").as[Streaming.UnicodeAlert].collect()
+      val last = rows.groupBy(_.source).map { case (s, rs) =>
+        s -> rs.maxBy(_.n_docs) }
+      // batch twin over the SAME planted docs
+      val batch = graft.operators.TextAnalysis.unicodeAnomalies(
+          docsSeq.map(d => (d.source, d.doc_id, d.text))
+            .toDF("source", "doc_id", "text"))
+        .join(docsSeq.map(d => (d.doc_id, d.source)).toDF("doc_id", "source")
+          .dropDuplicates("doc_id"), Seq("doc_id"))
+      val agg = batch.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dirty"),
+          sum(col("n_zero_width")).as("zw"), sum(col("n_bidi")).as("bd"),
+          sum(col("n_replacement")).as("rp"), sum(col("n_ctrl")).as("ct"))
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      Seq("sA", "sB").foreach { s =>
+        val l = last(s); val b = agg(s)
+        assert((l.n_docs, l.n_dirty_docs, l.n_zero_width, l.n_bidi,
+          l.n_replacement, l.n_ctrl) == ((b._2, b._3, b._4, b._5, b._6, b._7)),
+          s"$s: $l vs $b")
+      }
+    }
+  }
+
   test("sessionizeWithTimers: the watermark closes idle sessions via timers — no sentinel") {
     withRocksDb {
       implicit val sc = spark.sqlContext
