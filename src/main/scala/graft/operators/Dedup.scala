@@ -1690,6 +1690,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup cluster density — the CHAINING audit: for every
+    * connected component of the pair graph (size ≥ 2), how many of
+    * its C(size, 2) member pairs are DIRECT edges vs reachable only
+    * through transitivity. A large cluster at low density is the
+    * classic dedup failure mode — A≈B, B≈C, … chained into one
+    * component whose ends share nothing — and the standard response
+    * (tighten the threshold, or dedup within-cluster by direct edges
+    * only) starts from exactly this table. Complements
+    * [[clusteringAgreement]] (cross-threshold churn) with the
+    * within-threshold structure read.
+    *
+    * Exactness: sizes/edges are exact counts; density quantizes once
+    * per cluster by truncating micro division (C(size,2) ≤ BIGINT for
+    * any real cluster).
+    *
+    * Scale: one CC run (checkpointed label propagation — the x28
+    * machinery), one size agg, one edge→cluster equi-join + agg. No
+    * windows; output is cluster-cardinality.
+    *
+    * Output: (cluster_id, size, n_edges, density_micro,
+    * chained = density < ½), ordered (size desc, cluster_id). */
+  def clusterDensity(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val cc = connectedComponents(pairs, maxIter = maxIter)
+      .localCheckpoint(true) // feeds sizes AND the edge mapping
+    val sizes = cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("bigint").as("size"))
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .join(cc.select(col("doc_id").as("doc_a"),
+        col("cluster_id")), Seq("doc_a"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_edges"))
+    sizes.join(edges, Seq("cluster_id"))
+      .select(col("cluster_id"), col("size"), col("n_edges"),
+        expr("n_edges * 1000000L div (size * (size - 1L) div 2)")
+          .as("density_micro"))
+      .withColumn("chained", col("density_micro") < 500000L)
+      .orderBy(col("size").desc, col("cluster_id"))
+  }
+
   /** EXACT clustering-agreement statistics — Rand index and Adjusted
     * Rand Index between two cluster assignments of the same items,
     * from the standard contingency-table identities (Hubert & Arabie

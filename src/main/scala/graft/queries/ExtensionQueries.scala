@@ -3126,6 +3126,39 @@ object ExtensionQueries {
         prefixK = 8, minJaccard = 0.2))
   }
 
+  /** x268 cluster density — see
+    * [[graft.operators.Dedup.clusterDensity]]: per near-dup component,
+    * direct edges vs C(size,2) — the chaining audit behind every
+    * transitive-closure dedup. Run at J ≥ 0.2 where the fixture graph
+    * has real multi-doc components. */
+  def x268(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterDensity(Dedup.ngramJaccardNearDup(docs(s, dir),
+      "doc_id", "text", ngram = 3, prefixK = 8, minJaccard = 0.2))
+
+  /** x269 per-source unicode rollup — the ORACLED batch grain of the
+    * streaming [[graft.streaming.Streaming.UnicodeMonitorProcessor]]:
+    * x261's per-doc counts (same planted tails) aggregated per
+    * source — (n_docs, n_dirty_docs, four counter sums). */
+  def x269(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).withColumn("text", concat(col("text"),
+      expr("repeat('\\u200B', CAST(doc_id % 3 AS INT))"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("\u202E"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("\uFFFD"))
+        .otherwise(lit(""))))
+    TextAnalysis.unicodeAnomalies(planted)
+      .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_dirty_docs"),
+        sum(col("n_zero_width")).cast("bigint").as("n_zero_width"),
+        sum(col("n_bidi")).cast("bigint").as("n_bidi"),
+        sum(col("n_replacement")).cast("bigint").as("n_replacement"),
+        sum(col("n_ctrl")).cast("bigint").as("n_ctrl"))
+      .orderBy(col("source"))
+  }
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3461,6 +3494,8 @@ object ExtensionQueries {
     "x265_threshold_cluster_churn" -> (x265 _),
     "x266_pair_evidence" -> (x266 _),
     "x267_pair_edit_similarity" -> (x267 _),
+    "x268_cluster_density" -> (x268 _),
+    "x269_source_unicode_rollup" -> (x269 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -9577,6 +9612,59 @@ object ExtensionQueries {
          |FROM pairs p JOIN nd a ON a.doc_id = p.doc_a
          |             JOIN nd b ON b.doc_id = p.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // x268: recursive closure + per-cluster direct-edge counts,
+    // truncating micro density.
+    "x268_cluster_density" ->
+      s"""WITH RECURSIVE $ngramPairsCteSql,
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM ed),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, ed.b FROM reach JOIN ed ON ed.a = reach.r),
+         |cc AS MATERIALIZED (SELECT node AS doc_id, min(r) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+         |       FROM cc GROUP BY 1),
+         |eg AS (SELECT cc.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+         |       FROM pairs p JOIN cc ON cc.doc_id = p.doc_a GROUP BY 1)
+         |SELECT sz.cluster_id, sz.size, eg.n_edges,
+         |       CAST(eg.n_edges * 1000000 //
+         |         (sz.size * (sz.size - 1) // 2) AS BIGINT) AS density_micro,
+         |       (eg.n_edges * 1000000 //
+         |         (sz.size * (sz.size - 1) // 2)) < 500000 AS chained
+         |FROM sz JOIN eg USING (cluster_id)
+         |ORDER BY size DESC, cluster_id""".stripMargin,
+
+    // x269: x261's per-doc counts (same planted tails) rolled up per
+    // source.
+    "x269_source_unicode_rollup" ->
+      s"""WITH inj AS (SELECT doc_id, source,
+         |    text || repeat(chr(8203), CAST(doc_id % 3 AS INT))
+         |         || CASE WHEN doc_id % 5 = 0 THEN chr(8238) ELSE '' END
+         |         || CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END
+         |      AS t
+         |  FROM documents),
+         |pd AS (SELECT source,
+         |  CAST(len(regexp_extract_all(t,
+         |    '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]')) AS BIGINT) AS zw,
+         |  CAST(len(regexp_extract_all(t,
+         |    '[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]')) AS BIGINT) AS bd,
+         |  CAST(len(regexp_extract_all(t, '\\x{FFFD}')) AS BIGINT) AS rp,
+         |  CAST(len(regexp_extract_all(t,
+         |    '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]')) AS BIGINT)
+         |    AS ct
+         |  FROM inj)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN zw + bd + rp + ct > 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_dirty_docs,
+         |       CAST(sum(zw) AS BIGINT) AS n_zero_width,
+         |       CAST(sum(bd) AS BIGINT) AS n_bidi,
+         |       CAST(sum(rp) AS BIGINT) AS n_replacement,
+         |       CAST(sum(ct) AS BIGINT) AS n_ctrl
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
 
     // x261: exact forbidden-codepoint counts under the same planted
     // tail (chr() builds the codepoints; RE2 counts via \x{...}).

@@ -730,6 +730,30 @@ class DedupSpec extends SparkSpec {
       ("lexical_only", 1L, Some(1000000L), None)), out.toString)
   }
 
+  test("clusterDensity: a chained path is flagged, a triangle is dense, " +
+      "a 4-star chains at half density") {
+    import spark.implicits._
+    // components: path 1-2-3 (2 edges / C(3,2)=3 → 666666 — above the
+    // ½ flag); triangle 10-11-12 (3/3 → 1000000); star 20-{21,22,23}
+    // (3 edges / C(4,2)=6 → exactly 500000 — NOT < 500000, unflagged)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterDensity(pairs)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (20L, 4L, 3L, 500000L, false),
+      (1L, 3L, 2L, 666666L, false),
+      (10L, 3L, 3L, 1000000L, false)), out.toString)
+    // a genuinely sparse chain: 5-path → 4/10 = 400000, chained
+    val path5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val p5 = Dedup.clusterDensity(path5)
+      .as[(Long, Long, Long, Long, Boolean)].head()
+    assert(p5 == ((1L, 5L, 4L, 400000L, true)), p5.toString)
+  }
+
   test("pairEvidence: rarest shared grams rank first; boilerplate " +
       "shared by a third doc ranks after the exclusive gram") {
     import spark.implicits._
