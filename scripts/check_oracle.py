@@ -62,12 +62,14 @@ only = os.environ.get("CHECK_ONLY")
 only_re = re.compile(only) if only else None
 
 fails = []
+checked = 0
 for name, sql in sorted(oracle.items()):
     if name in skip:
         print("SKIP", name, "(CHECK_SKIP)")
         continue
     if only_re and not (only_re.fullmatch(name) or only_re.search(name)):
         continue
+    checked += 1
     try:
         # materialize once — some oracles (brute-force pair ground
         # truths) are O(n^2) and must not run twice for the two paths
@@ -108,7 +110,9 @@ for name, sql in sorted(oracle.items()):
             fails.append((name, msg))
     except Exception as e:
         fails.append((name, f"EXC {e}"))
-print(f"{len(oracle) - len(fails)}/{len(oracle)} match (both paths)")
+print(f"{checked - len(fails)}/{checked} match (both paths)"
+      + ("" if checked == len(oracle)
+         else f" [scoped: {checked} of {len(oracle)} oracles checked]"))
 for n, m in fails:
     print("FAIL", n, m[:500])
 sys.exit(1 if fails else 0)
