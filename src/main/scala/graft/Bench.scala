@@ -136,6 +136,91 @@ object Bench {
       }.toMap)
       .getOrElse(Map.empty)
 
+  // ---- Kill-proof evidence ledger (VERDICT r17 item 1) -------------------
+  // The r16 failure class (a kill mid-run leaves an EMPTY artifact) was
+  // closed for Verify in r17 but still applied to Bench: everything was
+  // buffered and both JSONs written only at exit, and the full sweep is
+  // 326 queries × median-of-3 (~405 s single-pass at sf0.1). Now each
+  // query's completed measurement is APPENDED to `_bench_progress.jsonl`
+  // the moment its repeats land, and the exit-time JSONs are assembled by
+  // PARSING that ledger back — so the committed artifact is provably the
+  // same record a kill mid-sweep would have left behind. (Reference
+  // analogue: the run ledger is written even on failure,
+  // publish_to_catalog.py:605-608.)
+
+  /** One ledger record per completed query. `errEscaped` is ALREADY
+    * JSON-escaped (it round-trips through the ledger as-is). Numbers use
+    * Double.toString — locale-independent by the JLS, unlike the
+    * f-interpolator. */
+  private[graft] def queryLedgerLine(name: String, med: Double, spread: Double,
+      runs: Int, fp: String, errEscaped: Option[String]): String = {
+    val err = errEscaped.map("\"" + _ + "\"").getOrElse("null")
+    s"""{"kind":"query","q":"$name","med":$med,"spread":$spread,"runs":$runs,"fp":"$fp","err":$err}"""
+  }
+
+  private val QueryLedgerRe =
+    ("""\{"kind":"query","q":"([^"]+)","med":([0-9.Ee+\-]+),"spread":""" +
+     """([0-9.Ee+\-]+),"runs":(\d+),"fp":"([0-9a-fER]+)","err":(null|".*")\}""").r
+
+  /** Inverse of [[queryLedgerLine]]: (name, med, spread, errEscaped, fp,
+    * runs). Non-query lines (probe/calib/summary records share the file)
+    * and malformed lines are skipped — a kill mid-append leaves at worst
+    * one truncated trailing line, which must not poison the parse of the
+    * completed records before it. */
+  private[graft] def parseQueryLedger(lines: Seq[String])
+      : Seq[(String, Double, Double, Option[String], String, Int)] =
+    lines.flatMap { line =>
+      QueryLedgerRe.findFirstMatchIn(line.trim).map { m =>
+        val err =
+          if (m.group(6) == "null") None
+          else Some(m.group(6).stripPrefix("\"").stripSuffix("\""))
+        (m.group(1), m.group(2).toDouble, m.group(3).toDouble, err,
+          m.group(5), m.group(4).toInt)
+      }
+    }
+
+  /** JSON string escape for ledger/artifact output: quote, backslash, and
+    * ALL control chars (an exception message containing a tab or \r would
+    * otherwise produce an invalid JSON line and break the driver's parse). */
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Truncate an ALREADY-ESCAPED JSON string without leaving a dangling
+    * escape: a cut mid-`\uXXXX` or an odd trailing backslash run would
+    * make the compact line invalid JSON. */
+  private[graft] def truncEscaped(s: String, n: Int): String = {
+    var t = s.take(n)
+    t = """\\u[0-9a-fA-F]{0,3}$""".r.replaceFirstIn(t, "")
+    if (t.reverse.takeWhile(_ == '\\').length % 2 == 1) t = t.dropRight(1)
+    t
+  }
+
+  /** Machine-checked calibration band (VERDICT r17 item 8): SCALE.md §27
+    * carries a `BAND: per_calib_min=<x> per_calib_max=<y>` line updated
+    * each round; the LAST such line wins (newest round's band). The
+    * builder's prose reading rule becomes a field in the artifact. */
+  private[graft] def parseBand(scaleMd: String): Option[(Double, Double)] =
+    """BAND: per_calib_min=([0-9.]+) per_calib_max=([0-9.]+)""".r
+      .findAllMatchIn(scaleMd).toSeq.lastOption
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble))
+
+  /** within_band → headline/calib sits where fp-identical history sits:
+    * a headline move is machine state. above_band → slower per machine
+    * unit than any recorded canonical run: read it as a code/plan
+    * regression first. below_band → faster (new best or calib anomaly). */
+  private[graft] def bandVerdict(perCalib: Option[Double],
+      band: Option[(Double, Double)]): String =
+    (perCalib, band) match {
+      case (None, _) => "no_calib"
+      case (_, None) => "no_band"
+      case (Some(pc), Some((lo, hi))) =>
+        if (pc > hi) "above_band" else if (pc < lo) "below_band" else "within_band"
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Contamination sentinel (§19): the driver's round-close sweep has
@@ -210,7 +295,18 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val results = selected.map { case (name, fn) =>
+    // Evidence ledger: canonical runs own `_bench_progress.jsonl`; scoped
+    // dev runs (SPARK_GRAFT_ONLY / repeat<3) write a .dev twin so they
+    // can't clobber the canonical partial record the driver would read
+    // after a kill (the same guard BENCH_FULL.json already has).
+    val devScoped = only.nonEmpty || repeat < 3
+    val ledgerPath = java.nio.file.Paths.get(
+      if (devScoped) "_bench_progress.dev.jsonl" else "_bench_progress.jsonl")
+    java.nio.file.Files.writeString(ledgerPath, "")
+    def appendLedger(line: String): Unit =
+      java.nio.file.Files.writeString(ledgerPath, line + "\n",
+        java.nio.file.StandardOpenOption.APPEND)
+    selected.foreach { case (name, fn) =>
       var times = Vector.empty[Double]
       var err: Option[String] = None
       // noop DSv2 sink: executes the FULL physical plan (projections,
@@ -283,8 +379,19 @@ object Bench {
           fpOfNorm(norm)
         }.getOrElse("ERR")
       dropLingering() // fp construction re-materialized checkpoints
-      (name, med, spread, err, fp, nRuns)
+      appendLedger(queryLedgerLine(name, med, spread, nRuns, fp,
+        err.map(e => jsonEscape(e))))
     }
+    // Exit-time results are ASSEMBLED FROM THE LEDGER, not from a parallel
+    // in-memory copy — the committed artifact and the kill-survivor are
+    // the same record by construction. err arrives ALREADY JSON-escaped.
+    val results: Seq[(String, Double, Double, Option[String], String, Int)] = {
+      import scala.jdk.CollectionConverters._
+      parseQueryLedger(
+        java.nio.file.Files.readAllLines(ledgerPath).asScala.toSeq)
+    }
+    require(results.size == selected.size,
+      s"ledger round-trip lost records: ${results.size} of ${selected.size}")
     // Bench-only probes: scale-path variants (x20 without its exact
     // calibration siblings) timed with the same median-of-N, reported
     // in a separate "probes" map so a calibration-heavy declared query
@@ -301,25 +408,20 @@ object Bench {
           times :+= (System.nanoTime() - t0) / 1e9
           dropLingering()
         }
-        (name, median(times))
+        val m = median(times)
+        appendLedger(s"""{"kind":"probe","q":"$name","med":$m}""")
+        (name, m)
       }
     // a broken query must not masquerade as a fast one — surface it.
-    // Escape EVERY control char (< 0x20), not just quote/backslash: an
-    // exception message containing a tab or \r would otherwise produce
-    // an invalid JSON line and break the driver's exact parse.
-    def jsonEscape(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    // err values arrive from the ledger ALREADY JSON-escaped (escaped at
+    // append time), so they are emitted verbatim here.
     val qsFull = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val spreadFull = results.map { case (k, _, s, _, _, _) => "\"" + k + "\":" + r2(s) }
       .mkString("{", ",", "}")
     val failedFull = results.collect { case (k, _, _, Some(e), _, _) =>
-      "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
+      "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     // The headline is pinned to the q01–q26 contract BASELINE.md defines
     // its 60 s / 2× bound over — queries added later (q27+, r*, x*) are
@@ -375,7 +477,9 @@ object Bench {
             times :+= (System.nanoTime() - t0) / 1e9
             dropLingering()
           }
-          k -> median(times)
+          val m = median(times)
+          appendLedger(s"""{"kind":"clean_probe","q":"$k","med":$m}""")
+          k -> m
         }
       }
     val cleanProbeFull = cleanProbe.map { case (k, v) =>
@@ -402,7 +506,9 @@ object Bench {
             times :+= (System.nanoTime() - t0) / 1e9
             dropLingering()
           }
-          k -> median(times)
+          val m = median(times)
+          appendLedger(s"""{"kind":"calib","q":"$k","med":$m}""")
+          k -> m
         }
       }
     val calibSec = calib.map(_._2).sum
@@ -443,9 +549,20 @@ object Bench {
       .digest(results.map { case (k, _, _, _, fp, _) => s"$k:$fp" }
         .mkString(";").getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
-    val perCalib =
-      if (calibSec > 0.0) r2(headline / calibSec) else "null"
-    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","calib":$calibFull,"calib_sec":${r2(calibSec)},"calib_io_sec":${r2(calibIoSec)},"headline_per_calib":$perCalib,"queries":$qsFull,"rel_spread":$spreadFull,"plans":$plansFull,"runs":$runsFull,"vs_canonical":$vsCanonFull,"suspect_contaminated":$suspectsFull,"clean_probe":$cleanProbeFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
+    val perCalibOpt: Option[Double] =
+      if (calibSec > 0.0) Some(headline / calibSec) else None
+    val perCalib = perCalibOpt.map(r2).getOrElse("null")
+    // Band adjudication in-artifact (VERDICT r17 items 1+8): compare the
+    // run's per_calib against the machine-checked band line in SCALE.md
+    // §27, so a reader settles machine-vs-code from this JSON alone.
+    val band = scala.util.Try(parseBand(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SCALE.md")),
+      "UTF-8"))).toOption.flatten
+    val bandStr = band.map { case (lo, hi) => s"[${r2(lo)},${r2(hi)}]" }
+      .getOrElse("null")
+    val verdict = bandVerdict(perCalibOpt, band)
+    val fullJson = s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","calib":$calibFull,"calib_sec":${r2(calibSec)},"calib_io_sec":${r2(calibIoSec)},"headline_per_calib":$perCalib,"band":$bandStr,"band_verdict":"$verdict","queries":$qsFull,"rel_spread":$spreadFull,"plans":$plansFull,"runs":$runsFull,"vs_canonical":$vsCanonFull,"suspect_contaminated":$suspectsFull,"clean_probe":$cleanProbeFull,"failed":$failedFull,"probes":$probesFull,"sf":"$sfDir"}"""
+    appendLedger(s"""{"kind":"summary","headline":$headline,"headline_complete":$headlineComplete,"plan_fp":"$planFp","calib_sec":${r2(calibSec)},"calib_io_sec":${r2(calibIoSec)},"per_calib":$perCalib,"band":$bandStr,"band_verdict":"$verdict"}""")
     // Full per-query detail: (a) an EARLIER stdout line (the driver only
     // parses the last one) and (b) BENCH_FULL.json in the repo, which the
     // driver's end-of-round commit picks up for the judge. ONLY canonical
@@ -477,8 +594,10 @@ object Bench {
     val xTotal = r3(xs.map(_._2).sum)
     val xSlow = xs.sortBy(-_._2).take(3)
       .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // e is already escaped (ledger form) — truncate WITHOUT leaving a
+    // dangling escape sequence that would invalidate the compact line
     val failedCompact = results.collect { case (k, _, _, Some(e), _, _) =>
-      "\"" + k + "\":\"" + jsonEscape(e.take(60)) + "\"" }
+      "\"" + k + "\":\"" + truncEscaped(e, 60) + "\"" }
       .take(3).mkString("{", ",", "}")
     // spread summary only (the full per-query map lives in BENCH_FULL):
     // the worst and median relative spreads say whether ANY median is
@@ -497,7 +616,7 @@ object Bench {
     // only the last stdout line survives the driver's 2000-char window
     val cleanCompact = cleanProbe.take(5).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","calib_sec":${r2(calibSec)},"calib_io_sec":${r2(calibIoSec)},"headline_per_calib":$perCalib,"spread_med":$spreadMed,"spread_max":$spreadMax,"n_suspect":${suspects.size},"suspect":$suspectCompact,"clean_probe":$cleanCompact,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"sec_q01_q26_total","value":$headline,"unit":"sec","stat":"median_of_${repeat}_adaptive7","headline_complete":$headlineComplete,"plan_fp":"$planFp","calib_sec":${r2(calibSec)},"calib_io_sec":${r2(calibIoSec)},"headline_per_calib":$perCalib,"band_verdict":"$verdict","spread_med":$spreadMed,"spread_max":$spreadMax,"n_suspect":${suspects.size},"suspect":$suspectCompact,"clean_probe":$cleanCompact,"queries":$qsCompact,"x_total":$xTotal,"x_slowest":$xSlow,"n_queries":${results.size},"failed":$failedCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

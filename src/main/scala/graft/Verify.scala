@@ -76,17 +76,31 @@ object Verify {
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val progress = Paths.get(s"$outDir/_progress.jsonl")
     Files.writeString(progress, "")
-    def flushErrors(): Unit = {
+    // Synchronized on the same monitor as record(): two pool workers
+    // failing simultaneously must not interleave the truncate+write of
+    // _errors.json (a half-written file is unreadable JSON — exactly the
+    // partial-run window this artifact exists to keep readable). Write
+    // to a temp file and atomically rename so even a kill mid-flush
+    // leaves the previous complete version in place.
+    def flushErrors(): Unit = synchronized {
       import scala.jdk.CollectionConverters._
       val errJson = errors.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+      val tmp = Paths.get(s"$outDir/_errors.json.tmp")
+      Files.writeString(tmp, errJson)
+      Files.move(tmp, Paths.get(s"$outDir/_errors.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     flushErrors() // exists-from-the-start, like the progress log
+    // Locale.ROOT: the f-interpolator formats with the JVM default
+    // locale — under a comma-decimal locale {"sec": 1,234} is invalid
+    // JSONL for any consumer of _progress.jsonl.
     def record(name: String, status: String, sec: Double): Unit =
       synchronized {
+        val secStr = String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
         Files.writeString(progress,
-          s"""{"q": ${q(name)}, "status": ${q(status)}, "sec": ${f"$sec%.3f"}}""" + "\n",
+          s"""{"q": ${q(name)}, "status": ${q(status)}, "sec": $secStr}""" + "\n",
           StandardOpenOption.APPEND)
       }
     // Dump in parallel: each query is an independent job; the local

@@ -1641,9 +1641,20 @@ object Dedup {
     val df = grams.groupBy(col("gram"))
       .agg(count(lit(1)).cast("bigint").as("df"))
     val p = pairs.select(col("doc_a"), col("doc_b"))
+    // Semi-join the postings to the pair ENDPOINTS before the equi-joins
+    // (VERDICT r17): the corpus-wide (doc, gram) frame is needed in full
+    // only for the df aggregate above — shuffling it in full through both
+    // pair-join legs moves corpus mass where only duplicate-volume mass
+    // is needed. At 100 TB the endpoint set is the (bounded) candidate
+    // relation; the postings that survive the semi-join are duplicate
+    // volume, not corpus volume (the x247 template-slot trick).
+    val endpoints = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id"))).distinct()
+    val pairGrams = grams.join(endpoints, Seq("doc_id"), "left_semi")
     val shared = p
-      .join(grams.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("gram")),
+      .join(pairGrams.select(col("doc_id").as("doc_a"), col("gram")),
+        Seq("doc_a"))
+      .join(pairGrams.select(col("doc_id").as("doc_b"), col("gram")),
         Seq("doc_b", "gram"))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"))
       .orderBy(col("df"), col("gram"))
@@ -1661,31 +1672,55 @@ object Dedup {
     * edit distance tells which). Classic unit-cost Levenshtein, the
     * identical function in Spark (`levenshtein`) and DuckDB.
     *
-    * Scale: O(|a|·|b|) PER PAIR — deliberately pair-bounded (run it
-    * on a dedup candidate relation, never all-pairs; the x250-family
-    * discipline). similarity_micro = (maxLen − d)·10⁶ div maxLen,
-    * truncating integer.
+    * Scale: O(|a|·|b|) PER PAIR — pair-bounded by construction (run
+    * it on a dedup candidate relation, never all-pairs; the
+    * x250-family discipline), and since r18 the per-pair quadratic is
+    * FENCED (VERDICT r17 item 2): a pair whose longer normalized text
+    * exceeds `maxChars` gets a null distance/similarity and
+    * `fenced = true` instead of silently costing |a|·|b| cells in one
+    * task (two 100 KB near-dups = 10¹⁰ cells — the length guard is
+    * the x158 pre-count-gate pattern, null-with-flag not raise, so
+    * one pathological pair can't kill a corpus-wide audit). For the
+    * 100-TB path additionally pass `maxDistance ≥ 0`: Spark's banded
+    * `levenshtein(l, r, k)` early-exits the DP at the threshold band
+    * (O(k·min(|a|,|b|))) and reports −1 ("farther than k") — exact
+    * distance stays the opt-in default because the fixture-scale
+    * oracle compares exact values.
     *
-    * Output: (doc_a, doc_b, len_a, len_b, edit_distance,
+    * similarity_micro = (maxLen − d)·10⁶ div maxLen, truncating
+    * integer; null when fenced or band-exceeded.
+    *
+    * Output: (doc_a, doc_b, len_a, len_b, fenced, edit_distance,
     * similarity_micro), ordered. */
   def pairEditSimilarity(docs: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxChars: Int = 20000, maxDistance: Int = -1): DataFrame = {
+    require(maxChars >= 1, s"pairEditSimilarity: maxChars must be positive, got $maxChars")
     val norm = docs.select(col(idCol).as("doc_id"),
       regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("__t"))
-    pairs.select(col("doc_a"), col("doc_b"))
+    val joined = pairs.select(col("doc_a"), col("doc_b"))
       .join(norm.select(col("doc_id").as("doc_a"), col("__t").as("__ta")),
         Seq("doc_a"))
       .join(norm.select(col("doc_id").as("doc_b"), col("__t").as("__tb")),
         Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        length(col("__ta")).cast("long").as("len_a"),
-        length(col("__tb")).cast("long").as("len_b"),
-        levenshtein(col("__ta"), col("__tb")).cast("long")
-          .as("edit_distance"))
+      .withColumn("len_a", length(col("__ta")).cast("long"))
+      .withColumn("len_b", length(col("__tb")).cast("long"))
+      .withColumn("fenced",
+        greatest(col("len_a"), col("len_b")) > lit(maxChars.toLong))
+    val dist =
+      if (maxDistance >= 0) levenshtein(col("__ta"), col("__tb"), maxDistance)
+      else levenshtein(col("__ta"), col("__tb"))
+    joined
+      // the fence SHORT-CIRCUITS the quadratic: `when` evaluates the
+      // levenshtein branch only on unfenced rows
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        col("fenced"),
+        when(!col("fenced"), dist.cast("long")).as("edit_distance"))
       .withColumn("similarity_micro",
-        when(greatest(col("len_a"), col("len_b")) > 0, expr(
-          "(greatest(len_a, len_b) - edit_distance) * 1000000L " +
-            "div greatest(len_a, len_b)"))
+        when(col("fenced") || col("edit_distance") < 0L, lit(null))
+          .when(greatest(col("len_a"), col("len_b")) > 0, expr(
+            "(greatest(len_a, len_b) - edit_distance) * 1000000L " +
+              "div greatest(len_a, len_b)"))
           .otherwise(lit(1000000L)))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -1712,11 +1747,23 @@ object Dedup {
     * Output: (cluster_id, size, n_edges, density_micro,
     * chained = density < ½), ordered (size desc, cluster_id). */
   def clusterDensity(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val cc = connectedComponents(pairs, maxIter = maxIter)
+    // Canonicalize FIRST (ADVICE r17): the density identity assumes
+    // distinct doc_a < doc_b edges — a duplicate or bidirectional pair
+    // would double-count n_edges (density_micro > 10⁶) and a self-pair
+    // yields a size-1 cluster whose C(size,2) divides by zero. The
+    // graft dedup operators emit canonical pairs (ngramJaccardNearDup
+    // guarantees it), but this is a public operator over ANY pair
+    // relation — enforce the contract instead of assuming it.
+    val canon = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val cc = connectedComponents(canon, maxIter = maxIter)
       .localCheckpoint(true) // feeds sizes AND the edge mapping
     val sizes = cc.groupBy(col("cluster_id"))
       .agg(count(lit(1)).cast("bigint").as("size"))
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = canon
       .join(cc.select(col("doc_id").as("doc_a"),
         col("cluster_id")), Seq("doc_a"))
       .groupBy(col("cluster_id"))

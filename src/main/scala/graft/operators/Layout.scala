@@ -129,10 +129,12 @@ object Layout {
     * half-written table; here it resolves either the old snapshot or
     * the new one. Read with `SnapshotStore.read` (partition discovery
     * and pruning behave exactly as on a plain partitioned path — the
-    * snapshot dir IS one). Returns the published version. */
+    * snapshot dir IS one). Returns the Commit receipt — check
+    * `becameCurrent` if the write derived from the previous current
+    * snapshot (a racing newer writer supersedes this one). */
   def writePartitionedSnapshot(df: DataFrame, tablePath: String,
       partCols: Seq[String], sortCols: Seq[String],
-      maxRecordsPerFile: Long = 5000000L): Long =
+      maxRecordsPerFile: Long = 5000000L): graft.sources.SnapshotStore.Commit =
     graft.sources.SnapshotStore.writeWith(df.sparkSession, tablePath) { dir =>
       writePartitioned(df, dir, partCols, sortCols, maxRecordsPerFile)
     }

@@ -3118,7 +3118,8 @@ object ExtensionQueries {
     * [[graft.operators.Dedup.pairEditSimilarity]]: exact Levenshtein
     * over the normalized texts of the x04 candidate pairs — the
     * one-edited-sentence vs scattered-swaps discriminator behind the
-    * Jaccard estimate. */
+    * Jaccard estimate. The default 20000-char fence (r18) nulls the
+    * per-pair quadratic for oversized pairs instead of paying it. */
   def x267(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.pairEditSimilarity(d,
@@ -9594,7 +9595,10 @@ object ExtensionQueries {
          |ORDER BY doc_a, doc_b, rank""".stripMargin,
 
     // x267: classic unit-cost Levenshtein over the normalized pair
-    // texts; truncating micro similarity.
+    // texts; truncating micro similarity. The 20000-char fence mirrors
+    // the operator's per-pair quadratic guard (null + fenced flag past
+    // it) — no fixture pair trips it, but the oracle states the same
+    // contract the operator enforces.
     "x267_pair_edit_similarity" ->
       s"""WITH $ngramPairsCteSql,
          |nd AS (SELECT doc_id,
@@ -9603,8 +9607,12 @@ object ExtensionQueries {
          |SELECT p.doc_a, p.doc_b,
          |  CAST(length(a.t) AS BIGINT) AS len_a,
          |  CAST(length(b.t) AS BIGINT) AS len_b,
-         |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_distance,
-         |  CASE WHEN greatest(length(a.t), length(b.t)) > 0 THEN
+         |  greatest(length(a.t), length(b.t)) > 20000 AS fenced,
+         |  CASE WHEN greatest(length(a.t), length(b.t)) <= 20000 THEN
+         |    CAST(levenshtein(a.t, b.t) AS BIGINT)
+         |  END AS edit_distance,
+         |  CASE WHEN greatest(length(a.t), length(b.t)) > 20000 THEN NULL
+         |  WHEN greatest(length(a.t), length(b.t)) > 0 THEN
          |    CAST((greatest(length(a.t), length(b.t)) -
          |        levenshtein(a.t, b.t)) * 1000000 //
          |      greatest(length(a.t), length(b.t)) AS BIGINT)

@@ -33,19 +33,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (publish_to_catalog.py:345), atomic per request; here one pointer
   * flip is the commit point.
   *
-  * Concurrency (writer side — VERDICT r16 item 2): each writer CLAIMS
-  * its version with a create-exclusive marker (`.claim-snap-N`,
-  * `fs.create(overwrite = false)` — atomic on HDFS/object stores with
-  * conditional create; best-effort check-then-create on the raw local
-  * filesystem) before materializing anything, so two concurrent
-  * writers can never interleave files inside one snapshot directory:
-  * the loser of the claim retries at N+1. The pointer flip is
-  * FORWARD-ONLY — publish re-reads the pointer and only flips when it
-  * advances the version (same-JVM publishers additionally serialize on
-  * a lock), so a slow writer that claimed a lower version cannot
-  * regress `_CURRENT` over a faster writer's newer snapshot. Both
-  * racing commits survive on disk as complete immutable directories;
-  * the pointer converges on the highest published version.
+  * Concurrency (writer side — VERDICT r16 item 2, r17 item 6): each
+  * writer CLAIMS its version with an ATOMIC create-exclusive marker
+  * (`.claim-snap-N`) before materializing anything — O_CREAT|O_EXCL
+  * via java.nio on `file:` (kernel-atomic on POSIX), temp file +
+  * no-overwrite rename elsewhere (HDFS: one namenode op; object
+  * stores: conditional copy) — so two concurrent writers, same JVM or
+  * cross-process on ANY filesystem class, can never interleave files
+  * inside one snapshot directory: the loser of the claim retries at
+  * N+1. The pointer flip is FORWARD-ONLY — publish re-reads the
+  * pointer and only flips when it advances the version (same-JVM
+  * publishers additionally serialize on a lock), so a slow writer
+  * that claimed a lower version cannot regress `_CURRENT` over a
+  * faster writer's newer snapshot. Both racing commits survive on
+  * disk as complete immutable directories; the pointer converges on
+  * the highest published version, and every writer learns its fate
+  * from the [[Commit]] receipt (ADVICE r17: a superseded writer used
+  * to get its version back as if published).
   *
   * Crash safety: an unpublished `snap-N` left by a crashed writer was
   * never pointed at — its claim marker makes later writers skip past
@@ -168,10 +172,24 @@ object SnapshotStore {
   final case class SnapshotInfo(version: Long, isCurrent: Boolean,
     materialized: Boolean, modifiedMs: Long)
 
+  /** Commit receipt (ADVICE r17): `version` is the snapshot the writer
+    * materialized (always durable on disk, readable via
+    * [[readVersion]] until vacuumed); `becameCurrent` says whether the
+    * pointer actually flipped to it. `false` means a concurrent writer
+    * published a HIGHER version first — the forward-only rule kept the
+    * pointer there, so [[read]] serves the other writer's data. A
+    * merge-style caller that derived its snapshot from the PREVIOUS
+    * current must treat `becameCurrent = false` as a lost update and
+    * re-merge against the new current; a caller writing independent
+    * full snapshots can ignore it (last-version-wins was the intent). */
+  final case class Commit(version: Long, becameCurrent: Boolean)
+
   /** Writes `df` as the next snapshot and publishes it. Returns the
-    * published version. The previous snapshot stays on disk (readers
-    * may still hold it) until [[vacuum]]. */
-  def write(df: DataFrame, tablePath: String): Long =
+    * [[Commit]] receipt — check `becameCurrent` when the write derived
+    * from the previous current snapshot (supersession = lost update).
+    * The previous snapshot stays on disk (readers may still hold it)
+    * until [[vacuum]]. */
+  def write(df: DataFrame, tablePath: String): Commit =
     writeWith(df.sparkSession, tablePath) { dir =>
       df.write.mode("overwrite").parquet(dir)
     }
@@ -181,26 +199,27 @@ object SnapshotStore {
     * at exactly the directory it is given; publication happens only
     * after it returns.
     *
-    * Concurrent-writer contract: the version is claimed with a
+    * Concurrent-writer contract: the version is claimed with an ATOMIC
     * create-exclusive `.claim-snap-N` marker before `body` runs, so
     * two concurrent writers always materialize into DISTINCT
     * directories (the claim loser retries at N+1, up to `maxClaimTries`
     * versions ahead, then fails loudly). Publication is forward-only:
     * the writer whose version is highest owns the final pointer; a
     * racing lower-version commit stays on disk, complete and
-    * readable, but is superseded without ever being pointed at. */
+    * readable, but is superseded without ever being pointed at — its
+    * [[Commit]] receipt says so (`becameCurrent = false`). */
   def writeWith(spark: SparkSession, tablePath: String)
-      (body: String => Unit): Long = {
+      (body: String => Unit): Commit = {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     fs.mkdirs(table)
     val maxClaimTries = 64
-    // claim under the JVM lock: the raw local filesystem's
-    // create(overwrite = false) is check-then-create, so same-JVM
-    // writers (local[*] — this repo's only mode) need the lock for a
-    // race-free claim; cross-process writers get HDFS's/object
-    // stores' atomic conditional create. Claims are metadata-only —
-    // the expensive body() runs OUTSIDE the lock.
+    // claim under the JVM lock (same-JVM writers — local[*] is this
+    // repo's only mode — serialize for free; the lock also keeps claim
+    // retries from thundering). CROSS-PROCESS exclusion comes from the
+    // claim primitive itself, atomic on all three FS classes since r18
+    // (VERDICT r17 item 6) — see claimVersion. Claims are
+    // metadata-only; the expensive body() runs OUTSIDE the lock.
     val next = publishLock.synchronized {
       var cand = currentVersion(spark, tablePath).getOrElse(0L) + 1L
       var claimed = false
@@ -210,17 +229,8 @@ object SnapshotStore {
         if (tries > maxClaimTries)
           throw new java.io.IOException(
             s"SnapshotStore: could not claim a snapshot version for $tablePath after $maxClaimTries attempts (writer storm?)")
-        try {
-          val out = fs.create(new Path(table, claimName(cand)), false)
-          out.close()
-          claimed = true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            cand += 1L
-          case e: java.io.IOException if Option(e.getMessage)
-              .exists(_.contains("already exists")) =>
-            cand += 1L
-        }
+        if (claimVersion(spark, fs, table, cand)) claimed = true
+        else cand += 1L
       }
       cand
     }
@@ -230,27 +240,68 @@ object SnapshotStore {
     // pointed at, safe to clear before materializing
     if (fs.exists(dir)) fs.delete(dir, true)
     body(fs.makeQualified(dir).toString)
-    publish(spark, fs, table, next)
-    next
+    Commit(next, publish(spark, fs, table, next))
+  }
+
+  /** Atomic create-exclusive claim of `.claim-snap-N` — true iff THIS
+    * caller created it (VERDICT r17 item 6: atomic on all FS classes,
+    * not just HDFS/object stores):
+    *  - `file:` — java.nio `Files.createFile` = open(O_CREAT|O_EXCL),
+    *    kernel-atomic on POSIX (Hadoop's RawLocalFileSystem
+    *    `create(overwrite = false)` is check-then-create — two
+    *    processes could both win it);
+    *  - everything else — temp file + NO-overwrite `FileContext.rename`
+    *    (HDFS: one namenode op that fails if the destination exists;
+    *    object stores map it to a conditional copy). */
+  private def claimVersion(spark: SparkSession, fs: FileSystem,
+      table: Path, cand: Long): Boolean = {
+    val claim = fs.makeQualified(new Path(table, claimName(cand)))
+    if (claim.toUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(claim.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      val tmp = new Path(table, s".claim-tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      out.close()
+      try {
+        val fc = FileContext.getFileContext(
+          claim.toUri, spark.sessionState.newHadoopConf())
+        fc.rename(fs.makeQualified(tmp), claim) // Rename.NONE: no overwrite
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fs.delete(tmp, false); false
+        case e: java.io.IOException if Option(e.getMessage)
+            .exists(_.contains("already exists")) =>
+          fs.delete(tmp, false); false
+      }
+    }
   }
 
   /** Atomically repoints `_CURRENT` at version `v`: temp file +
     * overwrite-rename (one metadata operation — the commit point).
     * FORWARD-ONLY: re-reads the pointer under the same-JVM lock and
     * flips only when `v` advances it, so a slow lower-version writer
-    * never regresses the pointer over a newer published snapshot. */
+    * never regresses the pointer over a newer published snapshot.
+    * Returns whether the pointer now names `v` (false = superseded). */
   private def publish(spark: SparkSession, fs: FileSystem, table: Path,
-      v: Long): Unit = publishLock.synchronized {
+      v: Long): Boolean = publishLock.synchronized {
     val tableStr = fs.makeQualified(table).toString
     val cur = currentVersion(spark, tableStr)
-    if (cur.exists(_ >= v)) return // superseded by a concurrent newer commit
-    val tmp = new Path(table, s".$Pointer.tmp-${java.util.UUID.randomUUID}")
-    val out = fs.create(tmp, true)
-    try out.write(snapName(v).getBytes(UTF_8)) finally out.close()
-    val fc = FileContext.getFileContext(
-      fs.makeQualified(table).toUri, spark.sessionState.newHadoopConf())
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(new Path(table, Pointer)),
-      Options.Rename.OVERWRITE)
+    if (cur.exists(_ >= v)) false // superseded by a concurrent newer commit
+    else {
+      val tmp = new Path(table, s".$Pointer.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      try out.write(snapName(v).getBytes(UTF_8)) finally out.close()
+      val fc = FileContext.getFileContext(
+        fs.makeQualified(table).toUri, spark.sessionState.newHadoopConf())
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(new Path(table, Pointer)),
+        Options.Rename.OVERWRITE)
+      true
+    }
   }
 
   /** Deletes snapshots older than the `keepLast` most recent PUBLISHED

@@ -45,4 +45,51 @@ class BenchSpec extends AnyFunSuite {
     val litB = Bench.normalizeText("Filter (col#1 = @fedcba654321)")
     assert(litA != litB)
   }
+
+  test("query ledger: round-trips ok and error records (incl. control chars " +
+      "in the error), skips non-query and torn trailing lines") {
+    val ok = Bench.queryLedgerLine("q01_scan", 0.253, 0.07, 3, "deadbeef", None)
+    val errRaw = "SparkException: bad\tthing \"quoted\" \\path"
+    val er = Bench.queryLedgerLine("x99_fail", 1.7976931348623157e308, 0.0, 1,
+      "ERR", Some(Bench.jsonEscape(errRaw)))
+    val lines = Seq(
+      ok,
+      """{"kind":"calib","q":"q01_scan","med":0.11}""", // non-query: skipped
+      er,
+      """{"kind":"query","q":"x50_torn","med":0.1""")   // torn tail: skipped
+    val parsed = Bench.parseQueryLedger(lines)
+    assert(parsed.size == 2)
+    assert(parsed(0) == ("q01_scan", 0.253, 0.07, None, "deadbeef", 3))
+    val (n, med, _, err, fp, runs) = parsed(1)
+    assert(n == "x99_fail" && med == Double.MaxValue && fp == "ERR" && runs == 1)
+    // err stays in ESCAPED form (emitted verbatim into the failed map)
+    assert(err.contains(Bench.jsonEscape(errRaw)))
+  }
+
+  test("truncEscaped: never leaves a dangling escape at the cut") {
+    assert(Bench.truncEscaped("abc\\\"def", 4) == "abc")     // cut inside \"
+    assert(Bench.truncEscaped("abc\\\"def", 5) == "abc\\\"") // complete \" survives
+    assert(Bench.truncEscaped("abc\\u0041xyz", 6) == "abc")  // cut inside \uXXXX
+    assert(Bench.truncEscaped("ab\\\\cd", 4) == "ab\\\\")    // even run survives
+    assert(Bench.truncEscaped("plain text", 5) == "plain")
+  }
+
+  test("band: parseBand takes the LAST BAND line; bandVerdict classifies " +
+      "within/above/below and degrades loudly with no band or no calib") {
+    val md = "prose...\nBAND: per_calib_min=10.0 per_calib_max=20.0\n" +
+      "more prose\nBAND: per_calib_min=16.0 per_calib_max=27.0\n"
+    assert(Bench.parseBand(md).contains((16.0, 27.0)))
+    assert(Bench.parseBand("no band here").isEmpty)
+    val band = Bench.parseBand(md)
+    assert(Bench.bandVerdict(Some(22.0), band) == "within_band")
+    assert(Bench.bandVerdict(Some(30.0), band) == "above_band")
+    assert(Bench.bandVerdict(Some(10.0), band) == "below_band")
+    assert(Bench.bandVerdict(None, band) == "no_calib")
+    assert(Bench.bandVerdict(Some(22.0), None) == "no_band")
+    // the committed SCALE.md must actually carry a parsable band —
+    // Bench reads it from the repo root at run time
+    val scale = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SCALE.md")), "UTF-8")
+    assert(Bench.parseBand(scale).nonEmpty)
+  }
 }

@@ -780,11 +780,54 @@ class DedupSpec extends SparkSpec {
       (3L, "same text"), (4L, "same text")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
     val out = Dedup.pairEditSimilarity(docs, pairs)
-      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .as[(Long, Long, Long, Long, Boolean, Long, Long)].collect().toSeq
     // kitten→sitting = 3 edits; lens 15/16 → (16-3)*1e6 div 16 = 812500
     assert(out == Seq(
-      (1L, 2L, 15L, 16L, 3L, 812500L),
-      (3L, 4L, 9L, 9L, 0L, 1000000L)), out.toString)
+      (1L, 2L, 15L, 16L, false, 3L, 812500L),
+      (3L, 4L, 9L, 9L, false, 0L, 1000000L)), out.toString)
+  }
+
+  test("pairEditSimilarity: the maxChars fence nulls the quadratic " +
+      "(flagged, not raised) and the banded path reports -1 past " +
+      "maxDistance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a" * 50), (2L, "b" * 60),       // max len 60 > fence 40
+      (3L, "short one"), (4L, "short two")) // unfenced
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.pairEditSimilarity(docs, pairs, maxChars = 40)
+      .as[(Long, Long, Long, Long, Boolean, Option[Long], Option[Long])]
+      .collect().toSeq
+    // fenced pair: null distance + similarity; unfenced: exact
+    // "short one" → "short two": one→two = 3 edits over len 9 → 666666
+    assert(out == Seq(
+      (1L, 2L, 50L, 60L, true, None, None),
+      (3L, 4L, 9L, 9L, false, Some(3L), Some(666666L))), out.toString)
+    // banded: kitten/sitting distance 3 > maxDistance 2 → -1, null sim
+    val d2 = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"),
+      (4L, "mitten")).toDF("doc_id", "text")
+    val p2 = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val banded = Dedup.pairEditSimilarity(d2, p2, maxDistance = 2)
+      .as[(Long, Long, Long, Long, Boolean, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(banded == Seq(
+      (1L, 2L, 6L, 7L, false, Some(-1L), None),
+      (3L, 4L, 6L, 6L, false, Some(1L), Some(833333L))), banded.toString)
+  }
+
+  test("clusterDensity: canonicalizes first — duplicate, bidirectional, " +
+      "and self pairs cannot inflate n_edges or divide by zero") {
+    import spark.implicits._
+    // triangle 1-2-3 declared messily: duplicate (1,2), reversed (2,1),
+    // self-loop (4,4) — canonical edge set is exactly the 3 triangle
+    // edges; the self-loop vanishes (no size-1 cluster, no div-by-0)
+    val messy = Seq(
+      (1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (4L, 4L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clusterDensity(messy)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 3L, 3L, 1000000L, false)), out.toString)
   }
 
   test("clusteringAgreement: hand-traced Rand/ARI on the textbook " +

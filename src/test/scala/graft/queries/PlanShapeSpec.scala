@@ -2207,11 +2207,20 @@ class PlanShapeSpec extends SparkSpec {
       "windows (if any) partition per pair, no cartesian") {
     val e = ExtensionQueries.x266(spark, sf001)
     assertNoGlobalWindowOverBase(e)
-    assert(!physical(e).contains("CartesianProduct"))
+    val ePlan = physical(e)
+    assert(!ePlan.contains("CartesianProduct"))
+    // VERDICT r17 item 3: the postings feeding the two pair-join legs
+    // must be endpoint-filtered — at 100 TB the un-semi-joined legs
+    // shuffle corpus mass where only duplicate-volume mass is needed.
+    // The df aggregate keeps the full postings; the PAIR joins don't.
+    assert(ePlan.contains("LeftSemi"), ePlan.take(3000))
     val d = ExtensionQueries.x267(spark, sf001)
     val plan = physical(d)
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
       plan.take(3000))
     assert(plan.contains("levenshtein"), plan.take(2000))
+    // the maxChars fence must live INSIDE the evaluated projection (a
+    // CaseWhen guarding the quadratic), not as a prunable side column
+    assert(plan.contains("fenced"), plan.take(2000))
   }
 }

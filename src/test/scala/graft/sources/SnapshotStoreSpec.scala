@@ -22,8 +22,8 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.currentVersion(spark, table).isEmpty)
     intercept[java.io.FileNotFoundException](SnapshotStore.read(spark, table))
 
-    val v1 = SnapshotStore.write(Seq(1, 2, 3).toDF("x"), table)
-    val v2 = SnapshotStore.write(Seq(4, 5).toDF("x"), table)
+    val v1 = SnapshotStore.write(Seq(1, 2, 3).toDF("x"), table).version
+    val v2 = SnapshotStore.write(Seq(4, 5).toDF("x"), table).version
     assert((v1, v2) == (1L, 2L))
     assert(SnapshotStore.currentVersion(spark, table) == Some(2L))
     assert(SnapshotStore.read(spark, table).as[Int].collect().sorted.toSeq == Seq(4, 5))
@@ -32,7 +32,7 @@ class SnapshotStoreSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
 
     val v3 = SnapshotStore.write(Seq(9).toDF("x"), table)
-    assert(v3 == 3L)
+    assert(v3 == SnapshotStore.Commit(3L, becameCurrent = true))
     val deleted = SnapshotStore.vacuum(spark, table, keepLast = 2)
     assert(deleted == Seq("snap-00000001"), deleted)
     assert(SnapshotStore.read(spark, table).as[Int].collect().toSeq == Seq(9))
@@ -49,7 +49,7 @@ class SnapshotStoreSpec extends SparkSpec {
     Seq(7, 7, 7).toDF("x").write.parquet(s"$table/snap-00000002")
     assert(SnapshotStore.currentVersion(spark, table) == Some(1L))
     val v = SnapshotStore.write(Seq(2, 3).toDF("x"), table)
-    assert(v == 2L)
+    assert(v == SnapshotStore.Commit(2L, becameCurrent = true))
     assert(SnapshotStore.read(spark, table).as[Int].collect().sorted.toSeq == Seq(2, 3))
 
     java.nio.file.Files.write(java.nio.file.Paths.get(table, "_CURRENT"),
@@ -101,8 +101,8 @@ class SnapshotStoreSpec extends SparkSpec {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
     import scala.jdk.CollectionConverters._
     val tasks = (1 to writers).map { i =>
-      new java.util.concurrent.Callable[Long] {
-        def call(): Long = {
+      new java.util.concurrent.Callable[SnapshotStore.Commit] {
+        def call(): SnapshotStore.Commit = {
           barrier.await() // maximize claim contention
           SnapshotStore.writeWith(spark, table) { dir =>
             Seq.fill(i)(i * 100).toDF("x").write.parquet(dir)
@@ -110,8 +110,9 @@ class SnapshotStoreSpec extends SparkSpec {
         }
       }
     }
-    val versions = pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    val commits = pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
     pool.shutdown()
+    val versions = commits.map(_.version)
     // every writer got its own version — no directory was shared
     assert(versions.distinct.size == writers, s"duplicate claims: $versions")
     assert(versions.forall(_ >= 2L))
@@ -119,6 +120,16 @@ class SnapshotStoreSpec extends SparkSpec {
     // is internally consistent (i rows of value i*100 for some i)
     val cur = SnapshotStore.currentVersion(spark, table).get
     assert(cur == versions.max, s"pointer $cur != max ${versions.max}")
+    // the receipt tells each writer its fate (ADVICE r17): exactly the
+    // writers whose version the pointer reached report becameCurrent —
+    // the max always does; a superseded writer never reports true
+    assert(commits.filter(_.becameCurrent).map(_.version).contains(versions.max))
+    commits.foreach { c =>
+      if (c.version != versions.max)
+        assert(!c.becameCurrent || c.version < versions.max,
+          s"impossible receipt: $c with max ${versions.max}")
+    }
+    assert(commits.count(c => c.version == versions.max && c.becameCurrent) == 1)
     val rows = SnapshotStore.read(spark, table).as[Int].collect().toSeq
     assert(rows.distinct.size == 1 && rows.size * 100 == rows.head,
       s"torn published snapshot: $rows")
@@ -129,6 +140,46 @@ class SnapshotStoreSpec extends SparkSpec {
       assert(snap.distinct.size == 1 && snap.size * 100 == snap.head,
         s"torn unpublished commit at v=$v: $snap")
     }
+  }
+
+  test("superseded writer learns it (ADVICE r17 + VERDICT r17 item 6): " +
+      "deterministic local-FS interleaving — the pre-existing claim file " +
+      "atomically bumps the fast writer to the next version, the slow " +
+      "lower-version writer's receipt says becameCurrent=false, and its " +
+      "commit stays time-travel-readable") {
+    val table = tmp("snap_super") + "/t"
+    SnapshotStore.write(Seq(0).toDF("x"), table) // v1
+    // slow writer claims v2, then its body BLOCKS until the fast writer
+    // has claimed (v3 — v2's claim file already exists on the local FS)
+    // and published
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val slowCommit = new AtomicReference[SnapshotStore.Commit](null)
+    val slow = new Thread(() => {
+      slowCommit.set(SnapshotStore.writeWith(spark, table) { dir =>
+        Seq(222).toDF("x").write.parquet(dir)
+        gate.await()
+      })
+    })
+    slow.start()
+    val claim2 = new java.io.File(table, ".claim-snap-00000002")
+    val deadline = System.currentTimeMillis() + 60000
+    while (!claim2.exists() && System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    assert(claim2.exists(), "slow writer never claimed v2")
+    val fast = SnapshotStore.writeWith(spark, table) { dir =>
+      Seq(333).toDF("x").write.parquet(dir)
+    }
+    assert(fast == SnapshotStore.Commit(3L, becameCurrent = true), fast)
+    gate.countDown()
+    slow.join(60000)
+    assert(slowCommit.get() == SnapshotStore.Commit(2L, becameCurrent = false),
+      s"superseded writer got ${slowCommit.get()}")
+    // the pointer never regressed; the superseded commit is complete
+    // on disk and time-travel-readable until vacuum
+    assert(SnapshotStore.currentVersion(spark, table) == Some(3L))
+    assert(SnapshotStore.read(spark, table).as[Int].collect().toSeq == Seq(333))
+    assert(SnapshotStore.readVersion(spark, table, 2L)
+      .as[Int].collect().toSeq == Seq(222))
   }
 
   test("vacuum minAgeMs: a snapshot younger than the retention window " +
@@ -196,7 +247,7 @@ class SnapshotStoreSpec extends SparkSpec {
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val v = graft.operators.Layout.writePartitionedSnapshot(
       docs, table, partCols = Seq("lang"), sortCols = Seq("doc_id"))
-    assert(v == 1L)
+    assert(v == SnapshotStore.Commit(1L, becameCurrent = true))
     val read = SnapshotStore.read(spark, table)
     assert(read.count() == docs.count())
     val pruned = read.filter(col("lang") === "en")
