@@ -33,5 +33,6 @@ object SparkEntry {
     * this JVM — which is Verify's call order. */
   def oracleSql: Map[String, String] =
     OracleSql.all ++ ExtensionQueries.oracles ++
+      ExtensionQueries.snapshotServedOracles ++
       ExtensionQueries.dynamicOracles ++ ReferenceQueries.oracles
 }

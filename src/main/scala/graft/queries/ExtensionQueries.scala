@@ -2393,7 +2393,15 @@ object ExtensionQueries {
     * stream checkpoint), decoupling tokenizer training from use. */
   def x209(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val enc = TextAnalysis.bpeEncode(d, TextAnalysis.bpeInduction(d, 6), 6)
+    bpeEncodeRollup(d, TextAnalysis.bpeInduction(d, 6))
+  }
+
+  /** The x209/x271 shared serve path: encode the corpus through a
+    * merge table (trained in-memory OR snapshot-served — the point of
+    * the split) and roll per-source token totals up. */
+  private def bpeEncodeRollup(d: DataFrame,
+      merges: DataFrame): DataFrame = {
+    val enc = TextAnalysis.bpeEncode(d, merges, 6)
     val perWord = enc.select(col("wid").as("__w"),
       size(col("syms")).cast("long").as("__t"),
       expr("CAST(size(filter(syms, s -> length(s) >= 2)) AS BIGINT)")
@@ -3160,6 +3168,61 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  /** Versioned artifact table under the system temp dir, keyed by the
+    * sf dir — the x270/x271 train→snapshot→serve queries need a
+    * stable writable location outside the read-only testdata tree.
+    * Each run appends one snapshot version and vacuums to the last
+    * two, so repeated bench/verify sweeps stay disk-bounded. */
+  private def artifactTable(dir: String, name: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_artifacts_$key/$name").getPath
+  }
+
+  /** x270 IVF served from a versioned snapshot — the index-artifact
+    * LIFECYCLE (VERDICT r17 item 5): the x22 trained coarse quantizer
+    * is committed through [[graft.sources.IndexArtifacts]] as an
+    * immutable [[graft.sources.SnapshotStore]] version, read back via
+    * `readVersion` PINNED to this run's commit (a concurrent retrain
+    * publishing a newer version cannot change the geometry under this
+    * query), and the identical probe then runs from the served
+    * centroids. Float bits round-trip parquet exactly, so the result
+    * is bit-identical to x22's — which is what the shared dynamic
+    * oracle ([[dynamicOracles]]) value-checks. */
+  def x270(s: SparkSession, dir: String): DataFrame = {
+    val table = artifactTable(dir, "ivf_centroids")
+    val commit = graft.sources.IndexArtifacts.saveCentroids(
+      s, table, x22Centroids(s, dir))
+    graft.sources.SnapshotStore.vacuum(s, table, keepLast = 2)
+    val served = graft.sources.IndexArtifacts.loadCentroids(
+      s, table, Some(commit.version))
+    val indexed = Similarity.ivfAssignFixed(validEmb(s, dir), served)
+    val qv = validEmb(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    Similarity.ivfTopK(indexed, served, qv, k = 10, nProbe = 3)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** x271 BPE encode from snapshot-served merges — the tokenizer half
+    * of the artifact lifecycle: the 6-round merge table is trained
+    * once, committed as a SnapshotStore version, served back via
+    * `readVersion`, and the x209 encode+rollup runs from the SERVED
+    * frame (the merges never pass through the driver — the snapshot
+    * DataFrame feeds bpeEncode's broadcast-join replay directly).
+    * Train/serve decoupling is the production tokenizer shape; the
+    * static x209 oracle value-checks the round-trip losslessly. */
+  def x271(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val table = artifactTable(dir, "bpe_merges")
+    val commit = graft.sources.IndexArtifacts.saveBpeMerges(
+      s, table, TextAnalysis.bpeInduction(d, 6))
+    graft.sources.SnapshotStore.vacuum(s, table, keepLast = 2)
+    bpeEncodeRollup(d, graft.sources.IndexArtifacts.loadBpeMerges(
+      s, table, Some(commit.version)))
+  }
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3497,6 +3560,8 @@ object ExtensionQueries {
     "x267_pair_edit_similarity" -> (x267 _),
     "x268_cluster_density" -> (x268 _),
     "x269_source_unicode_rollup" -> (x269 _),
+    "x270_ivf_snapshot_served" -> (x270 _),
+    "x271_bpe_snapshot_served" -> (x271 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4045,8 +4110,16 @@ object ExtensionQueries {
     * rows-only check rather than replaying stale constants. */
   def dynamicOracles: Map[String, String] =
     x22LastDir.flatMap(d => Option(x22Cache.get(d)))
-      .map(c => "x22_cosine_topk_ivf" -> ivfTopKSql(centValuesSqlFor(c)))
-      .toMap
+      .map { c =>
+        val sql = ivfTopKSql(centValuesSqlFor(c))
+        // x270 serves the SAME trained centroids from a SnapshotStore
+        // version — float bits round-trip parquet exactly, so one
+        // replay oracle value-checks both the in-memory and the
+        // snapshot-served path (that equality IS the x270 contract)
+        Map("x22_cosine_topk_ivf" -> sql,
+          "x270_ivf_snapshot_served" -> sql)
+      }
+      .getOrElse(Map.empty)
 
   /** The 60-bit simhash as one grouped aggregation: per (doc, word,
     * count), each bit's tally is a SUM over ±count; the bit contributes
@@ -4063,6 +4136,14 @@ object ExtensionQueries {
     * here (the oracle only ever runs in DuckDB); double math is forced
     * via ::DOUBLE[] casts so both engines accumulate in float64 in
     * array order. */
+  /** x271 serves the SAME induced merge table from a SnapshotStore
+    * version — the snapshot round-trip is lossless (longs + strings in
+    * parquet), so x209's static replay oracle value-checks the served
+    * path too; that equality IS the x271 contract. Bound lazily after
+    * [[oracles]] below. */
+  lazy val snapshotServedOracles: Map[String, String] =
+    Map("x271_bpe_snapshot_served" -> oracles("x209_bpe_encode"))
+
   val oracles: Map[String, String] = tranche2Oracles ++ Map(
     "x01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
