@@ -2046,6 +2046,21 @@ object Profile {
       k: Int): DataFrame = {
     require(k >= 1 && k <= 100000,
       s"stratifiedSample: k must be in [1, 100000], got $k")
+    // Fail FAST on a non-integral key: cast("long") on e.g. 'doc-123'
+    // silently yields null ids while the hash rank still computes — a
+    // corrupted eval split that LOOKS well-formed. An explicit type
+    // gate turns that silent corruption into a plan-time error.
+    df.schema(keyCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"stratifiedSample: keyCol '$keyCol' must be an integral id " +
+          s"column (sample rows carry it as LONG); got $other. Hash a " +
+          "string key to a long first (e.g. md5Bucket60) so the emitted " +
+          "id stays meaningful.")
+    }
     val topk = org.apache.spark.sql.functions.udaf(
       new graft.functions.TopKScored(k))
     df.select(col(stratumCol).as("stratum"),

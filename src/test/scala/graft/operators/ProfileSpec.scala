@@ -911,4 +911,22 @@ class ProfileSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(t.length == 2 && t.map(_._2).sorted == Seq(1L, 2L))
   }
+
+  test("stratifiedSample: a non-integral key column fails fast at plan " +
+      "time instead of silently nulling the emitted ids") {
+    import spark.implicits._
+    val strKeys = Seq(("doc-1", "g"), ("doc-2", "g")).toDF("id", "grp")
+    val e = intercept[IllegalArgumentException] {
+      Profile.stratifiedSample(strKeys, "id", "grp", k = 5)
+    }
+    assert(e.getMessage.contains("integral"))
+    val dblKeys = Seq((1.5, "g"), (2.5, "g")).toDF("id", "grp")
+    intercept[IllegalArgumentException] {
+      Profile.stratifiedSample(dblKeys, "id", "grp", k = 5)
+    }
+    // integer widths narrower than long still work
+    val intKeys = Seq((1, "g"), (2, "g")).toDF("id", "grp")
+    assert(Profile.stratifiedSample(intKeys, "id", "grp", k = 5)
+      .count() == 2L)
+  }
 }
