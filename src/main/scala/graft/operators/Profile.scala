@@ -2077,4 +2077,65 @@ object Profile {
         col("col.id").as("id"),
         (-col("col.score")).cast("long").as("sample_hash52"))
   }
+
+  /** Deterministic WEIGHTED sample without replacement — exactly `k`
+    * rows per stratum, selected with probability proportional to a
+    * positive weight column via the Efraimidis–Spirakis key
+    * (Efraimidis & Spirakis 2006): rank by u^(1/w) descending, where
+    * u is the row's hash-uniform. The quality-proportional curation
+    * sampler ([[stratifiedSample]] is the UNIFORM special case): a
+    * doc with twice the weight is twice as likely to survive, yet the
+    * draw replays bit-identically on any engine — no RNG state.
+    *
+    * Determinism contract: u = (hash52 + 1) / 2^52 ∈ (0, 1] from the
+    * key's md5-60 (upper 52 bits, double-exact); ln(u) is the ONE
+    * transcendental, quantized to integer micro-nats per row
+    * (`lnu_micro = round(ln(u)·10⁶)`); the selection key is then the
+    * IEEE division `lnu_micro / w` of two exact integers — identical
+    * on every engine, maximized ⇔ u^(1/w) maximized. Ties break on
+    * key id asc inside the heap.
+    *
+    * Scale: same one partial+final bounded-heap aggregation per
+    * stratum as [[stratifiedSample]] — never a per-stratum sort or
+    * window. Rows with weight ≤ 0 or null are EXCLUDED (ES is
+    * undefined there; a corrupt weight must not be able to win a
+    * slot by division sign-flip).
+    *
+    * Output: (stratum, rank 1..k by key desc, id,
+    * key_micro = round(10⁶·lnu_micro/w) — the selection key at micro
+    * grain, ≤ 0, higher = more preferred). */
+  def weightedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000,
+      s"weightedSample: k must be in [1, 100000], got $k")
+    df.schema(keyCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"weightedSample: keyCol '$keyCol' must be an integral id " +
+          s"column; got $other")
+    }
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKScored(k))
+    df.select(col(stratumCol).as("stratum"),
+        col(keyCol).cast("long").as("__id"),
+        col(weightCol).cast("long").as("__w"),
+        graft.functions.TextFunctions.md5Bucket60(col(keyCol)).as("__h0"))
+      .filter(col("__w") > 0)
+      .withColumn("__h", expr("__h0 div 256L"))
+      // the one transcendental, quantized ONCE per row
+      .withColumn("__lnu", round(log(
+        (col("__h").cast("double") + lit(1.0)) / lit(4503599627370496.0))
+        * lit(1000000.0)).cast("long"))
+      .groupBy(col("stratum"))
+      .agg(topk(col("__id"),
+        col("__lnu").cast("double") / col("__w").cast("double")).as("__top"))
+      .select(col("stratum"), posexplode(col("__top")))
+      .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"),
+        round(col("col.score") * lit(1000000.0)).cast("long")
+          .as("key_micro"))
+  }
 }

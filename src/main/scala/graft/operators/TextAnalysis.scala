@@ -4265,4 +4265,111 @@ object TextAnalysis {
           .as("jaccard_micro"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Feature-hash bucket count for the naive-Bayes classifier: the
+    * hashing trick caps the weight table at 2^18 rows (≈ 4 MB of
+    * (long, long)) regardless of corpus vocabulary, which is what
+    * makes the serve-side join BROADCASTable at any corpus scale. */
+  val NbBuckets = 262144
+
+  /** Trains a hashed Bernoulli naive-Bayes classifier — the
+    * fastText-flavoured linear doc filter (token-presence features,
+    * additive log-odds), trained as two hash aggregations and exact
+    * enough to replay on any engine. `labelExpr` is the boolean
+    * training label (e.g. `col("lang") === "en"`).
+    *
+    * Per feature bucket f = md5-60(token) mod 2^18 (presence per doc,
+    * Laplace α=1, class doc counts n1/n0):
+    *
+    *   w(f) = round(10⁶·ln((c1+1)/(n1+2))) − round(10⁶·ln((c0+1)/(n0+2)))
+    *
+    * and the prior bias (feature id −1, never a hash value):
+    *
+    *   b = round(10⁶·ln((n1+1)/(N+2))) − round(10⁶·ln((n0+1)/(N+2)))
+    *
+    * Every ln sees one exact-integer ratio and is quantized ONCE; all
+    * composition after is integer — both engines produce identical
+    * weight tables. Training is: one distinct (doc, f) projection,
+    * one (f → c1, c0) hash agg, one 1-row class-count broadcast. The
+    * weight table is the versionable MODEL artifact
+    * ([[graft.sources.IndexArtifacts]] snapshots it; x274 serves it).
+    *
+    * Output: (feature BIGINT, weight_micro BIGINT) — bucket rows plus
+    * the bias row at feature = −1. */
+  def nbTrain(docs: DataFrame, labelExpr: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val present = docs.select(col(idCol).as("__id"),
+        labelExpr.cast("boolean").as("__y"),
+        explode(words(col(textCol))).as("__t"))
+      .select(col("__id"), col("__y"),
+        (md5Bucket60(col("__t")) % NbBuckets).as("feature"))
+      .distinct()
+    val classes = docs
+      .agg(sum(labelExpr.cast("long")).cast("bigint").as("__n1"),
+        sum((!labelExpr).cast("long")).cast("bigint").as("__n0"))
+      .localCheckpoint(true) // feeds every weight row AND the bias
+    def lnMicro(num: Column, den: Column): Column =
+      round(log(num.cast("double") / den.cast("double")) * lit(1000000.0))
+        .cast("long")
+    val weights = present.groupBy(col("feature"))
+      .agg(sum(col("__y").cast("long")).cast("bigint").as("__c1"),
+        sum((!col("__y")).cast("long")).cast("bigint").as("__c0"))
+      .crossJoin(broadcast(classes))
+      .select(col("feature"),
+        (lnMicro(col("__c1") + 1, col("__n1") + 2) -
+          lnMicro(col("__c0") + 1, col("__n0") + 2)).as("weight_micro"))
+    val bias = classes.select(lit(-1L).as("feature"),
+      (lnMicro(col("__n1") + 1, col("__n1") + col("__n0") + 2) -
+        lnMicro(col("__n0") + 1, col("__n1") + col("__n0") + 2))
+        .as("weight_micro"))
+    weights.unionAll(bias)
+  }
+
+  /** Scores every document under a trained [[nbTrain]] weight table
+    * and rolls the verdicts up per source against the actual label —
+    * the model-quality report a serving pipeline emits each run.
+    *
+    * score(doc) = bias + Σ_{f present} w(f) (integer micro-nats;
+    * features never seen in training contribute 0); pred = score > 0.
+    *
+    * Scale: the weight table is ≤ 2^18 + 1 rows by construction, so
+    * BOTH joins here broadcast it — scoring is map-side everywhere,
+    * one (doc → score) hash agg, one |sources| rollup. The corpus is
+    * scanned twice (features + labels); at 100 TB fuse by passing a
+    * pre-projected frame.
+    *
+    * Output per source: (source, n_docs, n_pred_pos, n_correct,
+    * avg_score_micro = Σscore div n, truncating), ordered by source. */
+  def nbSourceReport(docs: DataFrame, labelExpr: Column,
+      weights: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    val w = weights.localCheckpoint(true) // snapshot-read or derived
+    val bias = w.filter(col("feature") === -1L)
+      .select(col("weight_micro").as("__bias"))
+    val scores = docs.select(col(idCol).as("__id"),
+        explode(words(col(textCol))).as("__t"))
+      .select(col("__id"), (md5Bucket60(col("__t")) % NbBuckets).as("feature"))
+      .distinct()
+      .join(broadcast(w.filter(col("feature") >= 0L)), Seq("feature"), "left")
+      .groupBy(col("__id"))
+      .agg(sum(coalesce(col("weight_micro"), lit(0L))).cast("bigint")
+        .as("__sumw"))
+      .crossJoin(broadcast(bias))
+      .select(col("__id"), (col("__sumw") + col("__bias")).as("__score"))
+    docs.select(col(idCol).as("__id"), col(sourceCol).as("source"),
+        labelExpr.cast("boolean").as("__y"))
+      .join(scores, Seq("__id"), "left")
+      // a doc with zero tokens never enters `scores`: it scores bias
+      // alone, exactly as the model defines
+      .crossJoin(broadcast(bias))
+      .select(col("source"), col("__y"),
+        coalesce(col("__score"), col("__bias")).as("__s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum((col("__s") > 0).cast("long")).cast("bigint").as("n_pred_pos"),
+        sum(((col("__s") > 0) === col("__y")).cast("long")).cast("bigint")
+          .as("n_correct"),
+        expr("sum(__s) div count(*)").as("avg_score_micro"))
+      .orderBy(col("source"))
+  }
 }

@@ -3223,6 +3223,52 @@ object ExtensionQueries {
       s, table, Some(commit.version)))
   }
 
+  /** x272 quality-weighted curation sample — see
+    * [[graft.operators.Profile.weightedSample]]: per source, 10 docs
+    * drawn WITHOUT replacement with probability ∝ n_chars via the
+    * deterministic Efraimidis–Spirakis key (hash-uniform u, rank by
+    * u^(1/w) as the exact integer division lnu_micro/w). The
+    * replayable "sample big docs more" selector — one bounded-heap
+    * agg, never a per-stratum sort. */
+  def x272(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.weightedSample(docs(s, dir), "doc_id",
+      "source", "n_chars", k = 10)
+      .orderBy(col("stratum"), col("rank"))
+
+  /** The x273/x274 shared label: English-or-not, the classic binary
+    * doc filter the hashed NB classifier trains against. */
+  private def nbLabel = col("lang") === "en"
+
+  /** x273 hashed naive-Bayes doc classifier, trained AND served in
+    * one run — see [[graft.operators.TextAnalysis.nbTrain]] /
+    * [[TextAnalysis.nbSourceReport]]: token-presence features hashed
+    * to 2^18 buckets (weight table broadcastable at ANY corpus
+    * scale), Laplace log-odds quantized to integer micro-nats at the
+    * single ln per term, per-source verdict/accuracy rollup. */
+  def x273(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.nbSourceReport(d, nbLabel, TextAnalysis.nbTrain(d, nbLabel))
+  }
+
+  /** x274 the same classifier served from a SNAPSHOT-versioned weight
+    * table — the model half of the index-artifact lifecycle (x270
+    * serves geometry, this serves a trained model): nbTrain's weights
+    * are committed through [[graft.sources.IndexArtifacts]], read
+    * back pinned to this run's version, and the identical per-source
+    * report runs from the served frame. Longs round-trip parquet
+    * exactly, so x273's static oracle value-checks the served path —
+    * that equality IS the contract. */
+  def x274(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val table = artifactTable(dir, "nb_weights")
+    val commit = graft.sources.IndexArtifacts.saveClassifier(
+      s, table, TextAnalysis.nbTrain(d, nbLabel))
+    graft.sources.SnapshotStore.vacuum(s, table, keepLast = 2)
+    TextAnalysis.nbSourceReport(d, nbLabel,
+      graft.sources.IndexArtifacts.loadClassifier(s, table,
+        Some(commit.version)))
+  }
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3562,6 +3608,9 @@ object ExtensionQueries {
     "x269_source_unicode_rollup" -> (x269 _),
     "x270_ivf_snapshot_served" -> (x270 _),
     "x271_bpe_snapshot_served" -> (x271 _),
+    "x272_weighted_sample" -> (x272 _),
+    "x273_nb_lang_filter" -> (x273 _),
+    "x274_nb_snapshot_served" -> (x274 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4142,7 +4191,10 @@ object ExtensionQueries {
     * path too; that equality IS the x271 contract. Bound lazily after
     * [[oracles]] below. */
   lazy val snapshotServedOracles: Map[String, String] =
-    Map("x271_bpe_snapshot_served" -> oracles("x209_bpe_encode"))
+    Map("x271_bpe_snapshot_served" -> oracles("x209_bpe_encode"),
+      // x274 serves x273's trained weights from a snapshot — longs
+      // round-trip parquet exactly, so one replay value-checks both
+      "x274_nb_snapshot_served" -> oracles("x273_nb_lang_filter"))
 
   val oracles: Map[String, String] = tranche2Oracles ++ Map(
     "x01_exact_dedup" ->
@@ -9754,6 +9806,82 @@ object ExtensionQueries {
          |       CAST(sum(rp) AS BIGINT) AS n_replacement,
          |       CAST(sum(ct) AS BIGINT) AS n_ctrl
          |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
+    // x272: Efraimidis–Spirakis replay — the one ln is quantized to
+    // micro-nats per row; the selection key and its micro rendering
+    // are IEEE ops over exact integers, identical in both engines.
+    "x272_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id, n_chars,
+         |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) // 256) AS h52
+         |  FROM documents WHERE n_chars > 0),
+         |k AS (
+         |  SELECT source, doc_id, n_chars,
+         |    CAST(round(ln((h52::DOUBLE + 1.0) / 4503599627370496.0)
+         |      * 1000000.0) AS BIGINT) AS lnu
+         |  FROM h),
+         |r AS (
+         |  SELECT source AS stratum, doc_id AS id,
+         |    CAST(round((lnu::DOUBLE / n_chars::DOUBLE) * 1000000.0)
+         |      AS BIGINT) AS key_micro,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY lnu::DOUBLE / n_chars::DOUBLE DESC, doc_id) AS rank
+         |  FROM k)
+         |SELECT stratum, CAST(rank AS BIGINT) AS rank, id, key_micro
+         |FROM r WHERE rank <= 10 ORDER BY stratum, rank""".stripMargin,
+
+    // x273: hashed Bernoulli NB replay — presence features at
+    // md5-60 mod 2^18, each Laplace ln quantized once, integer
+    // composition after; zero-token docs score the bias alone.
+    "x273_nb_lang_filter" ->
+      s"""WITH lab AS (
+         |  SELECT doc_id, source, (lang = 'en') AS y FROM documents),
+         |feats AS (
+         |  SELECT DISTINCT doc_id,
+         |    (CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 262144)
+         |      AS feature
+         |  FROM (SELECT doc_id, unnest(${wordsSql("text")}) AS token
+         |        FROM documents) t),
+         |classes AS MATERIALIZED (
+         |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+         |           AS BIGINT) AS n0
+         |  FROM documents),
+         |counts AS (
+         |  SELECT feature,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c0
+         |  FROM feats JOIN lab USING (doc_id) GROUP BY feature),
+         |weights AS (
+         |  SELECT feature,
+         |    CAST(round(ln((c1 + 1)::DOUBLE / (n1 + 2)::DOUBLE)
+         |      * 1000000.0) AS BIGINT)
+         |    - CAST(round(ln((c0 + 1)::DOUBLE / (n0 + 2)::DOUBLE)
+         |      * 1000000.0) AS BIGINT) AS w
+         |  FROM counts CROSS JOIN classes),
+         |bias AS MATERIALIZED (
+         |  SELECT CAST(round(ln((n1 + 1)::DOUBLE / (n1 + n0 + 2)::DOUBLE)
+         |      * 1000000.0) AS BIGINT)
+         |    - CAST(round(ln((n0 + 1)::DOUBLE / (n1 + n0 + 2)::DOUBLE)
+         |      * 1000000.0) AS BIGINT) AS b
+         |  FROM classes),
+         |scores AS (
+         |  SELECT f.doc_id, CAST(sum(coalesce(w.w, 0)) AS BIGINT) + b.b AS s
+         |  FROM feats f LEFT JOIN weights w USING (feature)
+         |  CROSS JOIN bias b GROUP BY f.doc_id, b.b),
+         |verdicts AS (
+         |  SELECT l.source, l.y, coalesce(s.s, b.b) AS s
+         |  FROM lab l LEFT JOIN scores s USING (doc_id) CROSS JOIN bias b)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pred_pos,
+         |  CAST(sum(CASE WHEN (s > 0) = y THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |    AS avg_score_micro
+         |FROM verdicts GROUP BY source ORDER BY source""".stripMargin,
 
     // x261: exact forbidden-codepoint counts under the same planted
     // tail (chr() builds the codepoints; RE2 counts via \x{...}).

@@ -115,4 +115,19 @@ object IndexArtifacts {
       version: Option[Long] = None): DataFrame =
     version.map(SnapshotStore.readVersion(spark, tablePath, _))
       .getOrElse(SnapshotStore.read(spark, tablePath))
+
+  /** Commits a hashed-linear-classifier weight table (the
+    * [[graft.operators.TextAnalysis.nbTrain]] frame: feature,
+    * weight_micro — bias at feature = −1) as the next snapshot. The
+    * frame stays distributed; it is ≤ 2^18 + 1 rows by the hashing-
+    * trick construction, so the SERVE side broadcasts it. */
+  def saveClassifier(spark: SparkSession, tablePath: String,
+      weights: DataFrame): SnapshotStore.Commit =
+    SnapshotStore.write(weights.select("feature", "weight_micro"), tablePath)
+
+  /** Serves classifier weights from snapshot `version` (or current). */
+  def loadClassifier(spark: SparkSession, tablePath: String,
+      version: Option[Long] = None): DataFrame =
+    version.map(SnapshotStore.readVersion(spark, tablePath, _))
+      .getOrElse(SnapshotStore.read(spark, tablePath))
 }

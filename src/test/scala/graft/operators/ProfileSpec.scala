@@ -929,4 +929,47 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.stratifiedSample(intKeys, "id", "grp", k = 5)
       .count() == 2L)
   }
+
+  test("weightedSample: replays a window model over the ES key, excludes " +
+      "non-positive weights, and weight dominates selection odds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // ids 1..300, one stratum; weight 1000 for ids <= 30, 1 otherwise
+    val df = (1L to 300L).map(i => (i, "g", if (i <= 30) 1000L else 1L))
+      .toDF("id", "grp", "w")
+    val out = Profile.weightedSample(df, "id", "grp", "w", k = 20)
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(out.length == 20 && out.map(_._2) == (1L to 20L))
+    // window model: same lnu quantization, same IEEE key division
+    val model = df
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(id as string)), 1, 15), 16, 10)" +
+          " as bigint) div 256L"))
+      .withColumn("lnu", round(log(
+        (col("h").cast("double") + lit(1.0)) / lit(4503599627370496.0))
+        * lit(1000000.0)).cast("long"))
+      .withColumn("key", col("lnu").cast("double") / col("w").cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("key").desc, col("id"))))
+      .filter(col("rank") <= 20)
+      .select(col("grp"), col("rank").cast("long"), col("id"),
+        round(col("key") * lit(1000000.0)).cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(out == model, s"\n$out\nvs\n$model")
+    // the 10%-of-rows heavy group should dominate a weighted draw:
+    // with w ratio 1000:1 essentially every pick is heavy
+    assert(out.count(_._3 <= 30L) >= 15,
+      s"heavy ids underrepresented: $out")
+    // non-positive weights are excluded outright
+    val withBad = df.withColumn("w",
+      when(col("id") <= 295, lit(0L)).otherwise(-col("id")))
+    assert(Profile.weightedSample(withBad, "id", "grp", "w", k = 20)
+      .count() == 0L)
+    // non-integral key refused, same gate as stratifiedSample
+    val strKeys = Seq(("a", "g", 1L)).toDF("id", "grp", "w")
+    intercept[IllegalArgumentException] {
+      Profile.weightedSample(strKeys, "id", "grp", "w", k = 5)
+    }
+  }
 }

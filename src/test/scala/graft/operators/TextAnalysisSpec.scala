@@ -1804,4 +1804,44 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 0L, 0L, 2L, 0L, false),
       (5L, 0L, 0L, 0L, 2L, false)), out.toString)
   }
+
+  test("nbTrain/nbSourceReport: hand-traced Laplace log-odds, bias-only " +
+      "score for a zero-token doc, truncating per-source average") {
+    val d = Seq(
+      (1L, "s1", "en", "the cat"),
+      (2L, "s1", "en", "the dog"),
+      (3L, "s2", "fr", "le chat"),
+      (4L, "s2", "fr", "le chien"),
+      (5L, "s2", "en", ""))
+      .toDF("doc_id", "source", "lang", "text")
+    val label = col("lang") === "en"
+    val w = TextAnalysis.nbTrain(d, label)
+    // the 6 tokens must land in 6 distinct hash buckets for the hand
+    // trace to hold (collision probability ~1e-4; fails loudly if so)
+    val buckets = Seq("the", "cat", "dog", "le", "chat", "chien")
+      .toDF("t")
+      .select((graft.functions.TextFunctions.md5Bucket60(col("t"))
+        % TextAnalysis.NbBuckets).as("f"))
+      .as[Long].collect().toSeq
+    assert(buckets.distinct.length == 6, s"bucket collision: $buckets")
+    val byBucket = w.as[(Long, Long)].collect().toMap
+    // n1=3, n0=2: w = round(1e6 ln((c1+1)/5)) - round(1e6 ln((c0+1)/4))
+    val Seq(bThe, bCat, bDog, bLe, bChat, bChien) = buckets
+    assert(byBucket(bThe) == 875468L)    // c1=2,c0=0
+    assert(byBucket(bCat) == 470003L)    // c1=1,c0=0
+    assert(byBucket(bDog) == 470003L)
+    assert(byBucket(bLe) == -1321756L)   // c1=0,c0=2
+    assert(byBucket(bChat) == -916291L)  // c1=0,c0=1
+    assert(byBucket(bChien) == -916291L)
+    assert(byBucket(-1L) == 287682L)     // bias: ln(4/7) vs ln(3/7)
+    val report = TextAnalysis.nbSourceReport(d, label, w)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // s1: both docs score 287682+875468+470003 = 1633153 > 0, correct
+    // s2: fr docs score 287682-1321756-916291 = -1950365 (correct
+    //     negatives); the empty en doc scores the bias alone, 287682
+    //     (correct positive); avg truncates toward zero
+    assert(report == Seq(
+      ("s1", 2L, 2L, 2L, 1633153L),
+      ("s2", 3L, 1L, 3L, -1204349L)), report.toString)
+  }
 }

@@ -2223,4 +2223,23 @@ class PlanShapeSpec extends SparkSpec {
     // CaseWhen guarding the quadratic), not as a prunable side column
     assert(plan.contains("fenced"), plan.take(2000))
   }
+
+  test("x272: weighted sample is the same bounded-heap shape as x262 — " +
+      "no Window, no per-stratum Sort below the aggregate") {
+    val df = ExtensionQueries.x272(spark, sf001)
+    val plan = physical(df)
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan.take(3000))
+  }
+
+  test("x273: NB scoring joins BROADCAST the 2^18-capped weight table — " +
+      "map-side scoring at any corpus scale; no cartesian beyond the " +
+      "1-row bias/class broadcasts") {
+    val df = ExtensionQueries.x273(spark, sf001)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assertNoGlobalWindowOverBase(df)
+  }
 }

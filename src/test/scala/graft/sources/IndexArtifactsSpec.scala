@@ -106,4 +106,26 @@ class IndexArtifactsSpec extends SparkSpec {
         .orderBy("wid").as[(String, String)].collect().toSeq
     assert(enc(merges) == enc(served))
   }
+
+  test("classifier weights: snapshot-served nbSourceReport equals the " +
+      "in-memory one (x274's contract)") {
+    val table = tmp("idx_nb") + "/weights"
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .limit(300)
+    val label = col("lang") === "en"
+    val trained = TextAnalysis.nbTrain(docs, label)
+    val c = IndexArtifacts.saveClassifier(spark, table, trained)
+    val served = IndexArtifacts.loadClassifier(spark, table, Some(c.version))
+    // the weight table round-trips exactly (longs in parquet)
+    val asSeq = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("feature", "weight_micro").orderBy("feature")
+        .as[(Long, Long)].collect().toSeq
+    assert(asSeq(trained) == asSeq(served))
+    // and the report under it is identical
+    def rep(w: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.nbSourceReport(docs, label, w)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rep(trained) == rep(served))
+  }
 }
