@@ -3269,6 +3269,34 @@ object ExtensionQueries {
         Some(commit.version)))
   }
 
+  /** x275 ingest dedup against a SNAPSHOT-SERVED corpus sketch — the
+    * corpus-scale half of the artifact lifecycle (x270/x274 serve
+    * broadcast-scale artifacts; the standing dedup INDEX is
+    * corpus-scale): the %7≠0 corpus's n-gram sketch is committed as a
+    * SnapshotStore version, the %7=0 "ingest batch" probes the
+    * version-pinned index via [[graft.operators.Dedup
+    * .crossNearDupSketched]] (bottom-8 prefix candidates, exact
+    * Jaccard rescore) — the production ingest hot path: zero
+    * re-hashing of the standing corpus per batch, and a concurrent
+    * index rebuild cannot change this batch's geometry. Long arrays
+    * round-trip parquet exactly, so the oracle replays the split
+    * directly. */
+  def x275(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val table = artifactTable(dir, "corpus_sketch")
+    val commit = graft.sources.IndexArtifacts.saveSketch(s, table,
+      Dedup.ngramSketch(d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        "doc_id", "text", ngram = 3))
+    graft.sources.SnapshotStore.vacuum(s, table, keepLast = 2)
+    Dedup.crossNearDupSketched(
+      Dedup.ngramSketch(d.filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text", ngram = 3),
+      graft.sources.IndexArtifacts.loadSketch(s, table,
+        Some(commit.version)),
+      prefixK = 8, minJaccard = 0.2)
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3611,6 +3639,7 @@ object ExtensionQueries {
     "x272_weighted_sample" -> (x272 _),
     "x273_nb_lang_filter" -> (x273 _),
     "x274_nb_snapshot_served" -> (x274 _),
+    "x275_snapshot_ingest_dedup" -> (x275 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -9882,6 +9911,26 @@ object ExtensionQueries {
          |  CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT)
          |    AS avg_score_micro
          |FROM verdicts GROUP BY source ORDER BY source""".stripMargin,
+
+    // x275: exact-Jaccard replay of the snapshot-served ingest probe —
+    // the snapshot round-trip is lossless (long arrays in parquet), so
+    // the oracle replays the %7 split directly, same shape as x57's.
+    "x275_snapshot_ingest_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT doc_id, ${wordNgramsSql(3)} AS g FROM toks),
+         |ex AS (SELECT doc_id, len(g) AS sz, unnest(g) AS gram FROM ng WHERE len(g) > 0),
+         |ipairs AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS isz,
+         |         any_value(a.sz) AS sa, any_value(b.sz) AS sb
+         |  FROM ex a JOIN ex b ON a.gram = b.gram
+         |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT new_id, old_id, jaccard FROM (
+         |  SELECT new_id, old_id,
+         |         round(isz::DOUBLE / (sa + sb - isz)::DOUBLE, 6) AS jaccard
+         |  FROM ipairs) t
+         |WHERE jaccard >= 0.2
+         |ORDER BY new_id, old_id""".stripMargin,
 
     // x261: exact forbidden-codepoint counts under the same planted
     // tail (chr() builds the codepoints; RE2 counts via \x{...}).

@@ -130,4 +130,25 @@ object IndexArtifacts {
       version: Option[Long] = None): DataFrame =
     version.map(SnapshotStore.readVersion(spark, tablePath, _))
       .getOrElse(SnapshotStore.read(spark, tablePath))
+
+  /** Commits a corpus n-gram sketch table (the
+    * [[graft.operators.Dedup.ngramSketch]] frame: doc_id, hashes —
+    * sorted distinct ≤ corpus-gram-cardinality longs per doc) as the
+    * next snapshot. Unlike the broadcast-scale artifacts above, this
+    * one is CORPUS-scale: the snapshot is the standing dedup index an
+    * ingest batch probes ([[graft.operators.Dedup
+    * .crossNearDupSketched]]'s "persisted corpus sketch" hot path),
+    * and versioning it means an ingest run pins one index geometry
+    * for its whole batch while a rebuild publishes the next. */
+  def saveSketch(spark: SparkSession, tablePath: String,
+      sketch: DataFrame): SnapshotStore.Commit =
+    SnapshotStore.write(sketch.select("doc_id", "hashes"), tablePath)
+
+  /** Serves the sketch from snapshot `version` (or current). Arrays
+    * of longs round-trip parquet exactly and in order, so the served
+    * frame satisfies the ngramSketch contract verbatim. */
+  def loadSketch(spark: SparkSession, tablePath: String,
+      version: Option[Long] = None): DataFrame =
+    version.map(SnapshotStore.readVersion(spark, tablePath, _))
+      .getOrElse(SnapshotStore.read(spark, tablePath))
 }

@@ -128,4 +128,30 @@ class IndexArtifactsSpec extends SparkSpec {
         .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(rep(trained) == rep(served))
   }
+
+  test("corpus sketch: snapshot-served crossNearDupSketched equals the " +
+      "in-memory probe (x275's contract) — long arrays round-trip in " +
+      "order") {
+    val table = tmp("idx_sketch") + "/sketch"
+    val d = graft.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = graft.operators.Dedup.ngramSketch(
+      d.filter(pmod(col("doc_id"), lit(7)) =!= 0), "doc_id", "text", 3)
+    val batch = graft.operators.Dedup.ngramSketch(
+      d.filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id", "text", 3)
+    val c = IndexArtifacts.saveSketch(spark, table, corpus)
+    val served = IndexArtifacts.loadSketch(spark, table, Some(c.version))
+    // the sketch contract survives the round-trip: sorted distinct
+    // hashes, in order, no empty arrays
+    val asSeq = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), concat_ws(",", col("hashes")).as("h"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(asSeq(corpus) == asSeq(served))
+    def probe(sh: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.crossNearDupSketched(batch, sh,
+        prefixK = 8, minJaccard = 0.2)
+        .orderBy("new_id", "old_id")
+        .as[(Long, Long, Double)].collect().toSeq
+    assert(probe(corpus) == probe(served))
+  }
 }
