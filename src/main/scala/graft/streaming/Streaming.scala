@@ -1182,6 +1182,91 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class NbDoc(source: String, doc_id: Long, y: Boolean,
+    text: String)
+  final case class NbCounters(n_docs: Long, n_pred_pos: Long,
+    n_correct: Long, sum_score: Long)
+  final case class NbReport(source: String, n_docs: Long, n_pred_pos: Long,
+    n_correct: Long, avg_score_micro: Long)
+
+  /** Live classifier-quality monitor — the streaming twin of the batch
+    * [[graft.operators.TextAnalysis.nbSourceReport]] (x273): per
+    * source, cumulative doc/prediction/accuracy counts and the
+    * truncating average score under a FROZEN weight table (trained by
+    * `nbTrain`, typically snapshot-served — the serving shape x274
+    * pins in batch). The ingest-side tripwire: a source whose
+    * predicted-positive share or average score steps away from its
+    * batch baseline is drifting AGAINST a fixed model — model drift
+    * alarms need the model held still.
+    *
+    * Parity is structural: tokenization is the SAME
+    * [[graft.functions.ShingleKernels.wordTokens]] kernel the batch
+    * expression evaluates, features the same md5-60 mod 2^18
+    * ([[graft.functions.ShingleKernels.md5Hash60]] — first 60 digest
+    * bits, identical to the SQL hex-prefix parse), per-doc DISTINCT
+    * presence, unseen features 0, zero-token docs scoring the bias
+    * alone, and the average the same truncate-toward-zero division.
+    * State is four longs per source; the weight map rides the
+    * processor closure (≤ 2^18 entries ≈ 4 MB by the hashing-trick
+    * cap — the same bound that makes the batch join broadcastable). */
+  final class NbMonitorProcessor(weights: Map[Long, Long], bias: Long)
+      extends StatefulProcessor[String, NbDoc, NbReport] {
+    @transient private var st: ValueState[NbCounters] = _
+    @transient private var md: java.security.MessageDigest = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[NbCounters]("nb",
+        org.apache.spark.sql.Encoders.product[NbCounters], TTLConfig.NONE)
+      md = java.security.MessageDigest.getInstance("MD5")
+    }
+
+    private def score(text: String): Long = {
+      val toks = graft.functions.ShingleKernels.wordTokens(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(Option(text).getOrElse("")))
+      val seen = new java.util.HashSet[Long]()
+      var s = bias
+      var i = 0
+      while (i < toks.numElements()) {
+        val bytes = toks.getUTF8String(i).getBytes
+        val f = graft.functions.ShingleKernels
+          .md5Hash60(bytes, 0, bytes.length, md) % 262144L
+        if (seen.add(f)) s += weights.getOrElse(f, 0L)
+        i += 1
+      }
+      s
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[NbDoc],
+        tv: TimerValues): Iterator[NbReport] = {
+      var c = if (st.exists()) st.get() else NbCounters(0L, 0L, 0L, 0L)
+      rows.foreach { d =>
+        val s = score(d.text)
+        val pos = s > 0L
+        c = NbCounters(c.n_docs + 1,
+          c.n_pred_pos + (if (pos) 1L else 0L),
+          c.n_correct + (if (pos == d.y) 1L else 0L),
+          c.sum_score + s)
+      }
+      st.update(c)
+      // Long `/` truncates toward zero — the batch `div` contract
+      Iterator.single(NbReport(key, c.n_docs, c.n_pred_pos, c.n_correct,
+        c.sum_score / c.n_docs))
+    }
+  }
+
+  /** [[NbMonitorProcessor]] wired onto a keyed labeled-doc stream;
+    * `weights` is the [[graft.operators.TextAnalysis.nbTrain]] table
+    * collected to a map (bias = the feature −1 row). Same RocksDB
+    * provider requirement as [[sessionizeWithState]]. */
+  def nbMonitorWithState(docs: Dataset[NbDoc],
+      weights: Map[Long, Long], bias: Long): Dataset[NbReport] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new NbMonitorProcessor(weights, bias),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class ActiveEvent(day: String, user_hash: Long)
   final case class ActiveEstimate(day: String, n_min: Long, kth: Long,
     est_distinct: Long)

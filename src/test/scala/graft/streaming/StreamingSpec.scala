@@ -830,6 +830,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("nbMonitorWithState: batch parity — the final per-source report " +
+      "equals TextAnalysis.nbSourceReport under the same frozen weights, " +
+      "including a zero-token doc and an unseen-token doc") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val train = Seq(
+        (1L, "sA", "en", "the cat sat"), (2L, "sA", "en", "the dog ran"),
+        (3L, "sB", "fr", "le chat noir"), (4L, "sB", "fr", "le chien gris"),
+        (5L, "sA", "en", "a cat and a dog"), (6L, "sB", "fr", "le gros chat"))
+        .toDF("doc_id", "source", "lang", "text")
+      val label = col("lang") === "en"
+      val wdf = graft.operators.TextAnalysis.nbTrain(train, label)
+      val wmap = wdf.as[(Long, Long)].collect().toMap
+      val bias = wmap(-1L)
+      val weights = wmap - (-1L)
+      // the monitored stream: the training docs plus a zero-token doc
+      // and a doc of tokens the model never saw (weight 0 features)
+      val live = Seq(
+        Streaming.NbDoc("sA", 1L, y = true, "the cat sat"),
+        Streaming.NbDoc("sA", 2L, y = true, "the dog ran"),
+        Streaming.NbDoc("sB", 3L, y = false, "le chat noir"),
+        Streaming.NbDoc("sB", 4L, y = false, "le chien gris"),
+        Streaming.NbDoc("sA", 7L, y = true, ""),
+        Streaming.NbDoc("sB", 8L, y = false, "zzz qqq unseen"))
+      val in = MemoryStream[Streaming.NbDoc]
+      val q = Streaming.nbMonitorWithState(in.toDS(), weights, bias)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("nb_out").start()
+      in.addData(live.take(3))
+      q.processAllAvailable()
+      in.addData(live.drop(3))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("nb_out").as[Streaming.NbReport].collect()
+      val last = rows.groupBy(_.source).map { case (s, rs) =>
+        s -> rs.maxBy(_.n_docs) }
+      // batch twin: same docs, same frozen weight table
+      val liveDf = live.map(d => (d.doc_id, d.source,
+          if (d.y) "en" else "fr", d.text))
+        .toDF("doc_id", "source", "lang", "text")
+      val batch = graft.operators.TextAnalysis.nbSourceReport(
+          liveDf, col("lang") === "en", wdf)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      Seq("sA", "sB").foreach { s =>
+        val l = last(s); val b = batch(s)
+        assert((l.n_docs, l.n_pred_pos, l.n_correct, l.avg_score_micro) ==
+          ((b._2, b._3, b._4, b._5)), s"$s: $l vs $b")
+      }
+    }
+  }
+
   test("sessionizeWithTimers: the watermark closes idle sessions via timers — no sentinel") {
     withRocksDb {
       implicit val sc = spark.sqlContext
