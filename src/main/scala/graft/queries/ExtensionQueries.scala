@@ -3297,6 +3297,50 @@ object ExtensionQueries {
       .orderBy(col("new_id"), col("old_id"))
   }
 
+  /** x276 tokenizer-upgrade impact report — two VERSIONS of one
+    * snapshot table compared via time travel (the readVersion use
+    * x270/x271 pin individually, here doing the job version history
+    * exists for): greedy BPE's first 4 merge rounds ARE the 4-round
+    * tokenizer, so v1 = merges with round ≤ 4 and v2 = the full
+    * 6-round table commit as versions of the SAME SnapshotStore
+    * table; the corpus is encoded under BOTH served versions and the
+    * per-source token totals joined — tokens saved by the upgrade, in
+    * integer micro-units. The question every tokenizer rollout asks
+    * ("what does v+1 do to my token bill, per source") answered from
+    * the artifact store alone. */
+  def x276(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val table = artifactTable(dir, "bpe_versions")
+    val merges = TextAnalysis.bpeInduction(d, 6)
+    val c4 = graft.sources.IndexArtifacts.saveBpeMerges(
+      s, table, merges.filter(col("round") <= 4))
+    val c6 = graft.sources.IndexArtifacts.saveBpeMerges(s, table, merges)
+    graft.sources.SnapshotStore.vacuum(s, table, keepLast = 2)
+    def perSource(m: DataFrame, rounds: Int, suffix: String) = {
+      val enc = TextAnalysis.bpeEncode(d, m, rounds)
+        .select(col("wid").as("__w"),
+          size(col("syms")).cast("long").as("__t"))
+      d.select(col("source"),
+          explode(graft.functions.TextFunctions.words(col("text")))
+            .as("__w"))
+        .filter(length(col("__w")) >= 2)
+        .join(enc, Seq("__w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as(s"n_words$suffix"),
+          sum(col("__t")).cast("bigint").as(s"tokens$suffix"))
+    }
+    val v4 = perSource(graft.sources.IndexArtifacts.loadBpeMerges(
+      s, table, Some(c4.version)), 4, "_old")
+    val v6 = perSource(graft.sources.IndexArtifacts.loadBpeMerges(
+      s, table, Some(c6.version)), 6, "_new")
+    v4.join(v6, Seq("source"))
+      .select(col("source"), col("n_words_old").as("n_words"),
+        col("tokens_old"), col("tokens_new"),
+        expr("(tokens_old - tokens_new) * 1000000L div tokens_old")
+          .as("saved_micro"))
+      .orderBy(col("source"))
+  }
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3640,6 +3684,7 @@ object ExtensionQueries {
     "x273_nb_lang_filter" -> (x273 _),
     "x274_nb_snapshot_served" -> (x274 _),
     "x275_snapshot_ingest_dedup" -> (x275 _),
+    "x276_tokenizer_upgrade_impact" -> (x276 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -9931,6 +9976,26 @@ object ExtensionQueries {
          |  FROM ipairs) t
          |WHERE jaccard >= 0.2
          |ORDER BY new_id, old_id""".stripMargin,
+
+    // x276: both tokenizer versions fall out of ONE 6-round chain —
+    // greedy BPE's round-4 state IS the 4-round tokenizer, so v4 and
+    // v6 (both MATERIALIZED in bpeCtesSql) encode the two versions.
+    "x276_tokenizer_upgrade_impact" ->
+      s"""WITH ${bpeCtesSql(6)},
+         |t4 AS (SELECT wid, CAST(len(syms) AS BIGINT) AS t FROM v4),
+         |t6 AS (SELECT wid, CAST(len(syms) AS BIGINT) AS t FROM v6),
+         |dx AS (SELECT source, w FROM (
+         |         SELECT source, unnest(${wordsSql("text")}) AS w
+         |         FROM documents) z WHERE len(w) >= 2),
+         |a4 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |              CAST(sum(t4.t) AS BIGINT) AS tokens_old
+         |       FROM dx JOIN t4 ON t4.wid = dx.w GROUP BY source),
+         |a6 AS (SELECT source, CAST(sum(t6.t) AS BIGINT) AS tokens_new
+         |       FROM dx JOIN t6 ON t6.wid = dx.w GROUP BY source)
+         |SELECT a4.source, n_words, tokens_old, tokens_new,
+         |       CAST((tokens_old - tokens_new) * 1000000 // tokens_old
+         |         AS BIGINT) AS saved_micro
+         |FROM a4 JOIN a6 USING (source) ORDER BY source""".stripMargin,
 
     // x261: exact forbidden-codepoint counts under the same planted
     // tail (chr() builds the codepoints; RE2 counts via \x{...}).
