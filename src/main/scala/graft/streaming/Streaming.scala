@@ -1108,6 +1108,90 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class WeightedEvent(stratum: String, id: Long, w: Long)
+  final case class WeightedEntry(key: Double, id: Long)
+  final case class WeightedState(entries: Seq[WeightedEntry])
+  final case class WeightedRow(stratum: String, rank: Long, id: Long,
+    key_micro: Long)
+
+  /** Bounded-memory streaming WEIGHTED sampler — the live twin of the
+    * batch [[graft.operators.Profile.weightedSample]] (x272), the way
+    * [[StratifiedSampleProcessor]] twins the uniform one: per
+    * stratum, the k LARGEST Efraimidis–Spirakis keys seen so far.
+    * Because the key is a pure function of (id, w) — hash-uniform u
+    * from the id's md5-60 upper 52 bits, the one ln quantized to
+    * micro-nats, then the exact IEEE division lnu/w — the sample is
+    * order- and batching-independent and converges to the batch
+    * operator's output over the same rows; a weighted reservoir
+    * (A-Res with RNG) could not make that promise. Rows with w ≤ 0
+    * are dropped, matching the batch exclusion. An id re-arriving
+    * with a DIFFERENT weight is a data error upstream; the processor
+    * keeps whichever (key, id) entry wins, exactly as the batch side
+    * would see the duplicated row.
+    *
+    * State is O(k) per stratum; emission is the run-ledger
+    * convention (each batch re-emits the stratum's current sample). */
+  final class WeightedSampleProcessor(k: Int)
+      extends StatefulProcessor[String, WeightedEvent, WeightedRow] {
+    @transient private var st: ValueState[WeightedState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[WeightedState]("wsample",
+        org.apache.spark.sql.Encoders.product[WeightedState], TTLConfig.NONE)
+    }
+
+    /** Spark's Round(double, 0): BigDecimal HALF_UP — NOT
+      * Math.round, whose half-case rounds toward +∞ and would drift
+      * one ulp from the batch rendering on negative keys. */
+    private def roundHalfUp(d: Double): Long =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong
+
+    override def handleInputRows(key: String, rows: Iterator[WeightedEvent],
+        tv: TimerValues): Iterator[WeightedRow] = {
+      var top = if (st.exists()) st.get().entries.toVector else Vector.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { ev =>
+        if (ev.w > 0L) {
+          val b = ev.id.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val h = graft.functions.ShingleKernels
+            .md5Hash60(b, 0, b.length, md) / 256L
+          // the batch chain verbatim: one quantized ln, IEEE division
+          val lnu = roundHalfUp(
+            Math.log((h.toDouble + 1.0) / 4503599627370496.0) * 1000000.0)
+          val e = WeightedEntry(lnu.toDouble / ev.w.toDouble, ev.id)
+          // keep k LARGEST keys, ties id asc
+          val worse = (x: WeightedEntry) =>
+            x.key < e.key || (x.key == e.key && x.id > e.id)
+          if (top.length < k || worse(top.last)) {
+            val at = top.indexWhere(worse)
+            if (!top.contains(e)) {
+              top = ((if (at == -1) top :+ e
+                      else (top.take(at) :+ e) ++ top.drop(at))).take(k)
+            }
+          }
+        }
+      }
+      st.update(WeightedState(top))
+      top.iterator.zipWithIndex.map { case (e, i) =>
+        WeightedRow(key, (i + 1).toLong, e.id,
+          roundHalfUp(e.key * 1000000.0))
+      }
+    }
+  }
+
+  /** [[WeightedSampleProcessor]] wired onto a keyed (id, weight)
+    * stream; same RocksDB provider requirement as
+    * [[sessionizeWithState]]. */
+  def weightedSampleWithState(events: Dataset[WeightedEvent],
+      k: Int): Dataset[WeightedRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.stratum)
+      .transformWithState(new WeightedSampleProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class UnicodeDoc(source: String, doc_id: Long, text: String)
   final case class UnicodeCounters(n_docs: Long, n_dirty_docs: Long,
     n_zero_width: Long, n_bidi: Long, n_replacement: Long, n_ctrl: Long)

@@ -783,6 +783,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("weightedSampleWithState: batch parity — the final emitted sample " +
+      "per stratum equals Profile.weightedSample over the same rows, " +
+      "regardless of batching and arrival order; w <= 0 dropped") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ids = (1L to 120L).toVector
+      val strat = (i: Long) => if (i % 2 == 0) "even" else "odd"
+      // deterministic skewed weights, a few non-positive rows mixed in
+      val weight = (i: Long) =>
+        if (i % 11 == 0) 0L else 1L + (i * 37) % 500
+      val scrambled = (ids ++ ids.take(30)).sortBy(i => (i * 7919) % 131)
+      val batches = scrambled.grouped(50).toSeq
+      val in = MemoryStream[Streaming.WeightedEvent]
+      val q = Streaming.weightedSampleWithState(in.toDS(), k = 8)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("wsw_out").start()
+      var before = 0L
+      batches.dropRight(1).foreach { b =>
+        in.addData(b.map(i => Streaming.WeightedEvent(strat(i), i, weight(i))))
+        q.processAllAvailable()
+      }
+      before = spark.table("wsw_out").count()
+      in.addData(batches.last.map(i =>
+        Streaming.WeightedEvent(strat(i), i, weight(i))))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("wsw_out").as[Streaming.WeightedRow]
+        .collect().drop(before.toInt)
+        .map(r => (r.stratum, r.rank, r.id, r.key_micro)).sorted.toSeq
+      val batch = graft.operators.Profile.weightedSample(
+          ids.map(i => (i, strat(i), weight(i))).toDF("id", "grp", "w"),
+          "id", "grp", "w", k = 8)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3, r._4)).sorted.toSeq
+      assert(last == batch, s"\nstream: $last\nbatch:  $batch")
+    }
+  }
+
   test("unicodeMonitorWithState: batch parity — cumulative per-source " +
       "counters equal TextAnalysis.unicodeAnomalies sums over the same docs") {
     withRocksDb {
