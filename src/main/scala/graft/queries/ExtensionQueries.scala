@@ -3341,6 +3341,45 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  private val x277Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  /** Train (once per dir per JVM) the RETRAINED coarse quantizer x277
+    * compares against x22's — a different k-means seed stands in for
+    * "the index was rebuilt on fresh data". */
+  private[graft] def x277Retrained(s: SparkSession,
+      dir: String): Array[Array[Float]] =
+    x277Cache.computeIfAbsent(dir,
+      _ => Similarity.ivfIndex(validEmb(s, dir), nLists = 8, seed = 99L)._1)
+
+  /** x277 IVF rebuild churn — the ANN sibling of x276's
+    * version-compare: the standing quantizer (x22's, snapshot v1) and
+    * a retrain (seed-99, v2) commit as versions of ONE SnapshotStore
+    * table, every corpus vector is assigned under BOTH version-pinned
+    * geometries, and the (list_old, list_new) transition matrix is
+    * the rollout-gate read — how much of the corpus a rebuild
+    * re-shelves (re-shelved vectors invalidate cached probe routes
+    * and any per-list statistics). Both centroid sets export to the
+    * [[dynamicOracles]] replay, so the matrix is value-checked. */
+  def x277(s: SparkSession, dir: String): DataFrame = {
+    val table = artifactTable(dir, "ivf_versions")
+    val c1 = graft.sources.IndexArtifacts.saveCentroids(
+      s, table, x22Centroids(s, dir))
+    val c2 = graft.sources.IndexArtifacts.saveCentroids(
+      s, table, x277Retrained(s, dir))
+    graft.sources.SnapshotStore.vacuum(s, table, keepLast = 2)
+    val e = validEmb(s, dir)
+    def assigned(version: Long, as: String) =
+      Similarity.ivfAssignFixed(e, graft.sources.IndexArtifacts
+          .loadCentroids(s, table, Some(version)))
+        .select(col("vec_id"), col("list_id").cast("bigint").as(as))
+    assigned(c1.version, "list_old")
+      .join(assigned(c2.version, "list_new"), Seq("vec_id"))
+      .groupBy(col("list_old"), col("list_new"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy(col("list_old"), col("list_new"))
+  }
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3685,6 +3724,7 @@ object ExtensionQueries {
     "x274_nb_snapshot_served" -> (x274 _),
     "x275_snapshot_ingest_dedup" -> (x275 _),
     "x276_tokenizer_upgrade_impact" -> (x276 _),
+    "x277_ivf_rebuild_churn" -> (x277 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4232,17 +4272,47 @@ object ExtensionQueries {
     * never ran, the entry is absent and the driver records the weaker
     * rows-only check rather than replaying stale constants. */
   def dynamicOracles: Map[String, String] =
-    x22LastDir.flatMap(d => Option(x22Cache.get(d)))
-      .map { c =>
+    x22LastDir.flatMap(d => Option(x22Cache.get(d)).map(d -> _))
+      .map { case (d, c) =>
         val sql = ivfTopKSql(centValuesSqlFor(c))
         // x270 serves the SAME trained centroids from a SnapshotStore
         // version — float bits round-trip parquet exactly, so one
         // replay oracle value-checks both the in-memory and the
         // snapshot-served path (that equality IS the x270 contract)
         Map("x22_cosine_topk_ivf" -> sql,
-          "x270_ivf_snapshot_served" -> sql)
+          "x270_ivf_snapshot_served" -> sql) ++
+          // x277 additionally needs the retrained set: emit its churn
+          // replay only once both trainings have happened in this JVM
+          Option(x277Cache.get(d)).map(c2 =>
+            "x277_ivf_rebuild_churn" -> ivfChurnSql(
+              centValuesSqlFor(c), centValuesSqlFor(c2))).toMap
       }
       .getOrElse(Map.empty)
+
+  /** The x277 churn replay: assignment under two centroid VALUES
+    * tables (same argmin-(d, list_id) rule as [[ivfTopKSql]]'s `c`
+    * CTE), joined on vec_id into the transition matrix. */
+  private def ivfChurnSql(centOldSql: String, centNewSql: String): String = {
+    def assign(alias: String, centSql: String) =
+      s"""$alias AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, ct.list_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY 1.0 - list_cosine_similarity(
+         |               e.embedding::DOUBLE[], ct.v), ct.list_id) AS rn
+         |    FROM ve e CROSS JOIN $centSql) t WHERE rn = 1)"""
+    s"""WITH ve AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE len(embedding) = 64
+       |    AND list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |${assign("a_old", centOldSql)},
+       |${assign("a_new", centNewSql)}
+       |SELECT CAST(a_old.list_id AS BIGINT) AS list_old,
+       |       CAST(a_new.list_id AS BIGINT) AS list_new,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM a_old JOIN a_new USING (vec_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** The 60-bit simhash as one grouped aggregation: per (doc, word,
     * count), each bit's tally is a SUM over ±count; the bit contributes
