@@ -2138,4 +2138,41 @@ object Profile {
         round(col("col.score") * lit(1000000.0)).cast("long")
           .as("key_micro"))
   }
+
+  /** Effective sample size of a weighted draw, per stratum — the
+    * audit that prices [[weightedSample]]'s skew: ESS = (Σw)²/Σw²
+    * (Kish 1965). ESS/n = 1 means uniform weights (a weighted draw
+    * buys nothing); ESS/n → 1/n means one row dominates and the
+    * "sample" is really that row. The pre-flight read before
+    * committing to weight-proportional curation.
+    *
+    * Exactness: Σw and Σw² accumulate in DECIMAL(38,0) — at corpus
+    * scale (Σw)² overflows BIGINT long before the row count does
+    * (10⁹ docs × 10⁴ chars → Σw ≈ 10¹³, squared ≈ 10²⁶), and decimal
+    * keeps every product exact inside the stated envelope
+    * (Σw ≤ 10¹⁶ per stratum keeps 10⁶·(Σw)² under 10³⁸); the micro
+    * ratios are SQL `div` — integral decimal division, truncating,
+    * identical on any engine (the dfCapAdvisor pattern). Rows with
+    * w ≤ 0 are excluded, matching the sampler's gate.
+    *
+    * Output per stratum: (stratum, n, sum_w, ess_micro =
+    * 10⁶·(Σw)²/Σw², ess_ratio_micro = 10⁶·ESS/n), ordered. */
+  def effectiveSampleSize(df: DataFrame, stratumCol: String,
+      weightCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(col(stratumCol).as("stratum"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("__w").cast(dec)).as("__sw"),
+        sum((col("__w").cast(dec)) * (col("__w").cast(dec))).as("__sw2"))
+      .select(col("stratum"), col("n"),
+        col("__sw").cast("bigint").as("sum_w"),
+        expr(s"CAST((__sw * __sw * CAST(1000000 AS $dec)) div __sw2" +
+          " AS BIGINT)").as("ess_micro"),
+        expr(s"CAST((__sw * __sw * CAST(1000000 AS $dec)) div" +
+          s" (__sw2 * CAST(n AS $dec)) AS BIGINT)").as("ess_ratio_micro"))
+      .orderBy(col("stratum"))
+  }
 }

@@ -4340,13 +4340,17 @@ object TextAnalysis {
     *
     * Output per source: (source, n_docs, n_pred_pos, n_correct,
     * avg_score_micro = Σscore div n, truncating), ordered by source. */
-  def nbSourceReport(docs: DataFrame, labelExpr: Column,
-      weights: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+  /** Per-document scores under a trained [[nbTrain]] weight table —
+    * the shared scoring stage of [[nbSourceReport]] and
+    * [[nbCalibration]]: (doc id, integer micro-nat score), zero-token
+    * docs scoring the bias alone. Both weight-table joins broadcast
+    * (≤ 2^18 + 1 rows by construction). */
+  def nbScores(docs: DataFrame, weights: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = weights.localCheckpoint(true) // snapshot-read or derived
     val bias = w.filter(col("feature") === -1L)
       .select(col("weight_micro").as("__bias"))
-    val scores = docs.select(col(idCol).as("__id"),
+    val sums = docs.select(col(idCol).as("__id"),
         explode(words(col(textCol))).as("__t"))
       .select(col("__id"), (md5Bucket60(col("__t")) % NbBuckets).as("feature"))
       .distinct()
@@ -4354,16 +4358,47 @@ object TextAnalysis {
       .groupBy(col("__id"))
       .agg(sum(coalesce(col("weight_micro"), lit(0L))).cast("bigint")
         .as("__sumw"))
+    docs.select(col(idCol).as("__id"))
+      .join(sums, Seq("__id"), "left")
       .crossJoin(broadcast(bias))
-      .select(col("__id"), (col("__sumw") + col("__bias")).as("__score"))
+      // a doc with zero tokens never enters `sums`: bias alone
+      .select(col("__id"),
+        (coalesce(col("__sumw"), lit(0L)) + col("__bias")).as("__score"))
+  }
+
+  /** Classifier calibration table — reliability-diagram data for the
+    * [[nbTrain]] model: documents bucketed by score in whole-nat
+    * steps (`score_micro div 10⁶`, truncating — engine-identical on
+    * negatives per the shared `div` contract), each bucket reporting
+    * how often the label is ACTUALLY positive. A well-calibrated
+    * log-odds score crosses 50% near bucket 0; a cliff or inversion
+    * is the screen that catches a broken feature pipeline before the
+    * filter ships. One hash agg over the per-doc scores; bucket
+    * cardinality is bounded by the score range in nats (≲ hundreds),
+    * never corpus-scale.
+    *
+    * Output per bucket: (score_nat, n_docs, n_actual_pos,
+    * pos_rate_micro = 10⁶·n_actual_pos div n_docs), ordered. */
+  def nbCalibration(docs: DataFrame, labelExpr: Column,
+      weights: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("__id"), labelExpr.cast("boolean").as("__y"))
+      .join(nbScores(docs, weights, idCol, textCol), Seq("__id"))
+      .select(expr("__score div 1000000L").as("score_nat"), col("__y"))
+      .groupBy(col("score_nat"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("__y").cast("long")).cast("bigint").as("n_actual_pos"))
+      .select(col("score_nat"), col("n_docs"), col("n_actual_pos"),
+        expr("n_actual_pos * 1000000L div n_docs").as("pos_rate_micro"))
+      .orderBy(col("score_nat"))
+
+  def nbSourceReport(docs: DataFrame, labelExpr: Column,
+      weights: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sourceCol: String = "source"): DataFrame =
     docs.select(col(idCol).as("__id"), col(sourceCol).as("source"),
         labelExpr.cast("boolean").as("__y"))
-      .join(scores, Seq("__id"), "left")
-      // a doc with zero tokens never enters `scores`: it scores bias
-      // alone, exactly as the model defines
-      .crossJoin(broadcast(bias))
-      .select(col("source"), col("__y"),
-        coalesce(col("__score"), col("__bias")).as("__s"))
+      .join(nbScores(docs, weights, idCol, textCol), Seq("__id"))
+      .select(col("source"), col("__y"), col("__score").as("__s"))
       .groupBy(col("source"))
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum((col("__s") > 0).cast("long")).cast("bigint").as("n_pred_pos"),
@@ -4371,5 +4406,4 @@ object TextAnalysis {
           .as("n_correct"),
         expr("sum(__s) div count(*)").as("avg_score_micro"))
       .orderBy(col("source"))
-  }
 }

@@ -3380,6 +3380,25 @@ object ExtensionQueries {
       .orderBy(col("list_old"), col("list_new"))
   }
 
+  /** x278 weighted-draw effective sample size — see
+    * [[graft.operators.Profile.effectiveSampleSize]]: Kish
+    * ESS = (Σw)²/Σw² per source under the x272 weight (n_chars), the
+    * pre-flight audit that prices weight skew before committing to a
+    * proportional draw. DECIMAL(38,0) sums, integral `div`. */
+  def x278(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.effectiveSampleSize(docs(s, dir),
+      "source", "n_chars")
+
+  /** x279 classifier calibration table — see
+    * [[graft.operators.TextAnalysis.nbCalibration]]: the x273 model's
+    * reliability diagram (whole-nat score buckets × actual-positive
+    * rate), the screen that catches a mis-scaled or inverted score
+    * before the filter ships. */
+  def x279(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.nbCalibration(d, nbLabel, TextAnalysis.nbTrain(d, nbLabel))
+  }
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3725,6 +3744,8 @@ object ExtensionQueries {
     "x275_snapshot_ingest_dedup" -> (x275 _),
     "x276_tokenizer_upgrade_impact" -> (x276 _),
     "x277_ivf_rebuild_churn" -> (x277 _),
+    "x278_weighted_sample_ess" -> (x278 _),
+    "x279_nb_calibration" -> (x279 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4288,6 +4309,53 @@ object ExtensionQueries {
               centValuesSqlFor(c), centValuesSqlFor(c2))).toMap
       }
       .getOrElse(Map.empty)
+
+  /** The hashed-NB CTE chain shared by x273 (per-source report) and
+    * x279 (calibration buckets): presence features at md5-60 mod
+    * 2^18, Laplace log-odds with each ln quantized once, per-doc
+    * scores with zero-token docs falling back to the bias. Ends at
+    * `verdicts(source, y, s)`. */
+  private def nbCtesSql: String =
+    s"""lab AS (
+       |  SELECT doc_id, source, (lang = 'en') AS y FROM documents),
+       |feats AS (
+       |  SELECT DISTINCT doc_id,
+       |    (CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 262144)
+       |      AS feature
+       |  FROM (SELECT doc_id, unnest(${wordsSql("text")}) AS token
+       |        FROM documents) t),
+       |classes AS MATERIALIZED (
+       |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS n1,
+       |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+       |           AS BIGINT) AS n0
+       |  FROM documents),
+       |counts AS (
+       |  SELECT feature,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c0
+       |  FROM feats JOIN lab USING (doc_id) GROUP BY feature),
+       |weights AS (
+       |  SELECT feature,
+       |    CAST(round(ln((c1 + 1)::DOUBLE / (n1 + 2)::DOUBLE)
+       |      * 1000000.0) AS BIGINT)
+       |    - CAST(round(ln((c0 + 1)::DOUBLE / (n0 + 2)::DOUBLE)
+       |      * 1000000.0) AS BIGINT) AS w
+       |  FROM counts CROSS JOIN classes),
+       |bias AS MATERIALIZED (
+       |  SELECT CAST(round(ln((n1 + 1)::DOUBLE / (n1 + n0 + 2)::DOUBLE)
+       |      * 1000000.0) AS BIGINT)
+       |    - CAST(round(ln((n0 + 1)::DOUBLE / (n1 + n0 + 2)::DOUBLE)
+       |      * 1000000.0) AS BIGINT) AS b
+       |  FROM classes),
+       |scores AS (
+       |  SELECT f.doc_id, CAST(sum(coalesce(w.w, 0)) AS BIGINT) + b.b AS s
+       |  FROM feats f LEFT JOIN weights w USING (feature)
+       |  CROSS JOIN bias b GROUP BY f.doc_id, b.b),
+       |verdicts AS MATERIALIZED (
+       |  SELECT l.source, l.y, coalesce(s.s, b.b) AS s
+       |  FROM lab l LEFT JOIN scores s USING (doc_id) CROSS JOIN bias b)"""
+      .stripMargin
 
   /** The x277 churn replay: assignment under two centroid VALUES
     * tables (same argmin-(d, list_id) rule as [[ivfTopKSql]]'s `c`
@@ -9978,46 +10046,9 @@ object ExtensionQueries {
     // x273: hashed Bernoulli NB replay — presence features at
     // md5-60 mod 2^18, each Laplace ln quantized once, integer
     // composition after; zero-token docs score the bias alone.
+    // (CTE chain shared with x279's calibration bucketing.)
     "x273_nb_lang_filter" ->
-      s"""WITH lab AS (
-         |  SELECT doc_id, source, (lang = 'en') AS y FROM documents),
-         |feats AS (
-         |  SELECT DISTINCT doc_id,
-         |    (CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 262144)
-         |      AS feature
-         |  FROM (SELECT doc_id, unnest(${wordsSql("text")}) AS token
-         |        FROM documents) t),
-         |classes AS MATERIALIZED (
-         |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-         |           AS BIGINT) AS n1,
-         |         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
-         |           AS BIGINT) AS n0
-         |  FROM documents),
-         |counts AS (
-         |  SELECT feature,
-         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-         |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c0
-         |  FROM feats JOIN lab USING (doc_id) GROUP BY feature),
-         |weights AS (
-         |  SELECT feature,
-         |    CAST(round(ln((c1 + 1)::DOUBLE / (n1 + 2)::DOUBLE)
-         |      * 1000000.0) AS BIGINT)
-         |    - CAST(round(ln((c0 + 1)::DOUBLE / (n0 + 2)::DOUBLE)
-         |      * 1000000.0) AS BIGINT) AS w
-         |  FROM counts CROSS JOIN classes),
-         |bias AS MATERIALIZED (
-         |  SELECT CAST(round(ln((n1 + 1)::DOUBLE / (n1 + n0 + 2)::DOUBLE)
-         |      * 1000000.0) AS BIGINT)
-         |    - CAST(round(ln((n0 + 1)::DOUBLE / (n1 + n0 + 2)::DOUBLE)
-         |      * 1000000.0) AS BIGINT) AS b
-         |  FROM classes),
-         |scores AS (
-         |  SELECT f.doc_id, CAST(sum(coalesce(w.w, 0)) AS BIGINT) + b.b AS s
-         |  FROM feats f LEFT JOIN weights w USING (feature)
-         |  CROSS JOIN bias b GROUP BY f.doc_id, b.b),
-         |verdicts AS (
-         |  SELECT l.source, l.y, coalesce(s.s, b.b) AS s
-         |  FROM lab l LEFT JOIN scores s USING (doc_id) CROSS JOIN bias b)
+      s"""WITH $nbCtesSql
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_pred_pos,
@@ -10026,6 +10057,35 @@ object ExtensionQueries {
          |  CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT)
          |    AS avg_score_micro
          |FROM verdicts GROUP BY source ORDER BY source""".stripMargin,
+
+    // x278: Kish effective sample size in HUGEINT — (Σw)²·10⁶ exact
+    // inside the stated envelope, integral `//` truncation matching
+    // Spark's decimal `div`.
+    "x278_weighted_sample_ess" ->
+      s"""WITH w AS (SELECT source, CAST(n_chars AS BIGINT) AS w
+         |           FROM documents WHERE n_chars > 0),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(w::HUGEINT) AS HUGEINT) AS sw,
+         |        CAST(sum(w::HUGEINT * w::HUGEINT) AS HUGEINT) AS sw2
+         |      FROM w GROUP BY source)
+         |SELECT source AS stratum, n, CAST(sw AS BIGINT) AS sum_w,
+         |  CAST((sw * sw * 1000000) // sw2 AS BIGINT) AS ess_micro,
+         |  CAST((sw * sw * 1000000) // (sw2 * n::HUGEINT) AS BIGINT)
+         |    AS ess_ratio_micro
+         |FROM a ORDER BY stratum""".stripMargin,
+
+    // x279: the x273 chain re-read as a reliability diagram — bucket
+    // by whole-nat truncating division, actual-positive rate per
+    // bucket.
+    "x279_nb_calibration" ->
+      s"""WITH $nbCtesSql
+         |SELECT s // 1000000 AS score_nat,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_actual_pos,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS pos_rate_micro
+         |FROM verdicts GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // x275: exact-Jaccard replay of the snapshot-served ingest probe —
     // the snapshot round-trip is lossless (long arrays in parquet), so

@@ -972,4 +972,23 @@ class ProfileSpec extends SparkSpec {
       Profile.weightedSample(strKeys, "id", "grp", "w", k = 5)
     }
   }
+
+  test("effectiveSampleSize: hand-traced Kish ESS, truncating division, " +
+      "non-positive weights excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 1L), ("g", 1L), ("g", 1L), ("g", 1L), ("g", 0L), // uniform + excluded
+      ("h", 3L), ("h", 1L),                                  // skewed
+      ("i", 1L), ("i", 2L), ("i", 4L))                       // non-exact division
+      .toDF("grp", "w")
+    val out = Profile.effectiveSampleSize(df, "grp", "w")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // g: n=4 sw=4 sw2=4 → ESS 4.0, ratio 1.0 (the zero-w row gone)
+      ("g", 4L, 4L, 4000000L, 1000000L),
+      // h: sw=4 sw2=10 → 16e6/10 = 1.6e6; /2 → 0.8e6
+      ("h", 2L, 4L, 1600000L, 800000L),
+      // i: sw=7 sw2=21 → 49e6/21 = 2333333.3 → truncates; /3 → 777777
+      ("i", 3L, 7L, 2333333L, 777777L)), out.toString)
+  }
 }

@@ -1843,5 +1843,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(report == Seq(
       ("s1", 2L, 2L, 2L, 1633153L),
       ("s2", 3L, 1L, 3L, -1204349L)), report.toString)
+    // calibration over the same scores: whole-nat truncating buckets
+    // -1950365 → -1 (toward zero), 287682 → 0, 1633153 → 1
+    val calib = TextAnalysis.nbCalibration(d, label, w)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(calib == Seq(
+      (-1L, 2L, 0L, 0L),
+      (0L, 1L, 1L, 1000000L),
+      (1L, 2L, 2L, 1000000L)), calib.toString)
   }
 }
