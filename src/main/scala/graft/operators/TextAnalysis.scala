@@ -4266,6 +4266,57 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Square-root temperature mixture allocation — the OTHER standard
+    * mixture planner beside [[mixtureReweight]]'s DoReMi shape: the
+    * multilingual-sampling rule p_s ∝ n_s^α at α = 1/2 (the
+    * XLM/mBERT-family default — big sources damped, small sources
+    * boosted, nothing starved), applied to a token budget.
+    *
+    * Determinism: the ONE irrational per source is √n — an IEEE
+    * correctly-rounded REQUIRED operation (unlike ln/exp), so
+    * `floor(sqrt(n))` is bit-identical on every engine with NO
+    * quantization step; everything after is integer: share
+    * p_micro = 10⁶·w div Σw, allocation = (B·w) div Σw for
+    * B = total div `budgetDenom`, and the per-source sampling rate
+    * capped at 10⁶ (a source allocated more than it has is taken
+    * whole, never oversampled).
+    *
+    * Scale: one partial+final hash agg to (source, n_tokens), then
+    * |sources|-cardinality arithmetic against a 1-row broadcast.
+    *
+    * Output per source: (source, n_tokens, temp_weight, p_micro,
+    * alloc_tokens, rate_micro), ordered. */
+  def sqrtTemperatureAllocation(docs: DataFrame, budgetDenom: Int = 10,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(budgetDenom >= 1,
+      s"sqrtTemperatureAllocation: budgetDenom must be >= 1, got $budgetDenom")
+    val perSource = docs
+      .select(col(sourceCol).as("source"),
+        size(words(col(textCol))).cast("long").as("__t"))
+      .groupBy(col("source"))
+      .agg(sum(col("__t")).cast("bigint").as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)")
+          .as("temp_weight"))
+      .localCheckpoint(true) // feeds the totals AND the output
+    val totals = perSource.agg(
+      sum(col("n_tokens")).cast("bigint").as("__tot"),
+      sum(col("temp_weight")).cast("bigint").as("__wsum"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"), col("temp_weight"),
+        expr("temp_weight * 1000000L div __wsum").as("p_micro"),
+        expr("((__tot div " + budgetDenom + "L) * temp_weight) div __wsum")
+          .as("alloc_tokens"))
+      .select(col("source"), col("n_tokens"), col("temp_weight"),
+        col("p_micro"), col("alloc_tokens"),
+        // an empty source has nothing to sample: rate 0, not a
+        // null-by-zero-division
+        when(col("n_tokens") > 0, least(lit(1000000L),
+            expr("alloc_tokens * 1000000L div n_tokens")))
+          .otherwise(lit(0L)).as("rate_micro"))
+      .orderBy(col("source"))
+  }
+
   /** Feature-hash bucket count for the naive-Bayes classifier: the
     * hashing trick caps the weight table at 2^18 rows (≈ 4 MB of
     * (long, long)) regardless of corpus vocabulary, which is what

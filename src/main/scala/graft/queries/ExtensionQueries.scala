@@ -3399,6 +3399,44 @@ object ExtensionQueries {
     TextAnalysis.nbCalibration(d, nbLabel, TextAnalysis.nbTrain(d, nbLabel))
   }
 
+  /** x280 √-temperature mixture allocation — see
+    * [[graft.operators.TextAnalysis.sqrtTemperatureAllocation]]: the
+    * multilingual-sampling planner (p ∝ n^½) applied to a 10%-of-
+    * corpus token budget, per source. The one irrational is IEEE
+    * sqrt (correctly rounded by spec — no quantization needed);
+    * everything else integer. */
+  def x280(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sqrtTemperatureAllocation(docs(s, dir), budgetDenom = 10)
+
+  /** x281 incremental index MERGE — the read-modify-write the
+    * standing dedup index needs between full rebuilds: v1 = the
+    * %7≠0 corpus sketch; v2 = v1 READ BACK from the snapshot,
+    * unioned with the %7=0 ingest batch's sketch, committed as the
+    * next version; the full self near-dup then runs over the SERVED
+    * v2. Because the merged index holds exactly the whole corpus's
+    * sketches, the result must equal x04's direct full-corpus run —
+    * that equality (x04's static oracle, shared via
+    * [[snapshotServedOracles]]) value-checks the whole
+    * read-modify-write cycle. */
+  def x281(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val table = artifactTable(dir, "merge_sketch")
+    val c1 = graft.sources.IndexArtifacts.saveSketch(s, table,
+      Dedup.ngramSketch(d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        "doc_id", "text", ngram = 3))
+    val merged = graft.sources.IndexArtifacts
+      .loadSketch(s, table, Some(c1.version))
+      .unionAll(Dedup.ngramSketch(
+        d.filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text", ngram = 3))
+    val c2 = graft.sources.IndexArtifacts.saveSketch(s, table, merged)
+    graft.sources.SnapshotStore.vacuum(s, table, keepLast = 2)
+    Dedup.ngramJaccardNearDupSketched(
+      graft.sources.IndexArtifacts.loadSketch(s, table, Some(c2.version)),
+      prefixK = 8, minJaccard = 0.2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3746,6 +3784,8 @@ object ExtensionQueries {
     "x277_ivf_rebuild_churn" -> (x277 _),
     "x278_weighted_sample_ess" -> (x278 _),
     "x279_nb_calibration" -> (x279 _),
+    "x280_sqrt_temperature_mixture" -> (x280 _),
+    "x281_index_merge_dedup" -> (x281 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4406,7 +4446,11 @@ object ExtensionQueries {
     Map("x271_bpe_snapshot_served" -> oracles("x209_bpe_encode"),
       // x274 serves x273's trained weights from a snapshot — longs
       // round-trip parquet exactly, so one replay value-checks both
-      "x274_nb_snapshot_served" -> oracles("x273_nb_lang_filter"))
+      "x274_nb_snapshot_served" -> oracles("x273_nb_lang_filter"),
+      // x281's merged index holds exactly the full corpus's sketches,
+      // so the served self near-dup must equal x04's direct run — the
+      // shared replay value-checks the read-modify-write cycle
+      "x281_index_merge_dedup" -> oracles("x04_ngram_jaccard_neardup"))
 
   val oracles: Map[String, String] = tranche2Oracles ++ Map(
     "x01_exact_dedup" ->
@@ -10126,6 +10170,30 @@ object ExtensionQueries {
          |       CAST((tokens_old - tokens_new) * 1000000 // tokens_old
          |         AS BIGINT) AS saved_micro
          |FROM a4 JOIN a6 USING (source) ORDER BY source""".stripMargin,
+
+    // x280: the one irrational is IEEE-correctly-rounded sqrt — no
+    // quantization; every later step integral `//`.
+    "x280_sqrt_temperature_mixture" ->
+      s"""WITH ps AS (
+         |  SELECT source, CAST(sum(len(${wordsSql("text")})) AS BIGINT)
+         |    AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS MATERIALIZED (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS temp_weight
+         |  FROM ps),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         |             CAST(sum(temp_weight) AS BIGINT) AS wsum FROM w),
+         |a AS (SELECT source, n_tokens, temp_weight,
+         |        CAST(temp_weight * 1000000 // wsum AS BIGINT) AS p_micro,
+         |        CAST(((tot // 10) * temp_weight) // wsum AS BIGINT)
+         |          AS alloc_tokens
+         |      FROM w CROSS JOIN t)
+         |SELECT source, n_tokens, temp_weight, p_micro, alloc_tokens,
+         |  CAST(CASE WHEN n_tokens > 0
+         |    THEN least(1000000, alloc_tokens * 1000000 // n_tokens)
+         |    ELSE 0 END AS BIGINT) AS rate_micro
+         |FROM a ORDER BY source""".stripMargin,
 
     // x261: exact forbidden-codepoint counts under the same planted
     // tail (chr() builds the codepoints; RE2 counts via \x{...}).

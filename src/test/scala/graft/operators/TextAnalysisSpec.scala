@@ -1852,4 +1852,21 @@ class TextAnalysisSpec extends SparkSpec {
       (0L, 1L, 1L, 1000000L),
       (1L, 2L, 2L, 1000000L)), calib.toString)
   }
+
+  test("sqrtTemperatureAllocation: hand-traced √-damped shares, rate cap " +
+      "at 1e6, empty source rates 0 without dividing by zero") {
+    val d = Seq(
+      ("a", "w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 9 tokens → weight 3
+      ("d", "solo"),                       // 1 token  → weight 1
+      ("c", ""))                           // 0 tokens → weight 0
+      .toDF("source", "text")
+    val out = TextAnalysis.sqrtTemperatureAllocation(d, budgetDenom = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // tot=10, wsum=4, B=10: a alloc 30//4=7 rate 7e6//9; d alloc
+    // 10//4=2 > its 1 token → rate capped at 1e6; c all zeros
+    assert(out == Seq(
+      ("a", 9L, 3L, 750000L, 7L, 777777L),
+      ("c", 0L, 0L, 0L, 0L, 0L),
+      ("d", 1L, 1L, 250000L, 2L, 1000000L)), out.toString)
+  }
 }
