@@ -2242,4 +2242,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assertNoGlobalWindowOverBase(df)
   }
+
+  test("x275/x281: snapshot-served sketch probes keep the equi-join on " +
+      "the prefix hash — no cartesian, no corpus-global window; the " +
+      "served index arrives as a parquet scan, not a re-hash") {
+    Seq(ExtensionQueries.x275 _, ExtensionQueries.x281 _).foreach { q =>
+      val df = q(spark, sf001)
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), plan.take(3000))
+      assertNoGlobalWindowOverBase(df)
+      // the standing index is READ (snap parquet), never re-derived
+      // from documents: its leg carries a scan of the snapshot dir
+      assert(plan.contains("snap-"), plan.take(3000))
+    }
+  }
+
+  test("x277: both assignments are literal-centroid projections — zero " +
+      "joins on the corpus path beyond the final vec_id equi-join; no " +
+      "cartesian") {
+    val plan = physical(ExtensionQueries.x277(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("x280: mixture planning is one hash agg + a broadcast 1-row " +
+      "totals frame — no shuffle join, no window") {
+    val plan = physical(ExtensionQueries.x280(spark, sf001))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }
