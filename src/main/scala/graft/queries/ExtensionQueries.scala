@@ -3437,6 +3437,27 @@ object ExtensionQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** x282 PQ served from a versioned snapshot — closes the artifact
+    * roster (IVF x270, BPE x271, classifier x274, sketch index
+    * x275/x281, and now the PQ codebook): x101's codebook is
+    * committed through [[graft.sources.IndexArtifacts]], read back
+    * pinned to this run's version, and the identical encode → ADC
+    * shortlist → exact rerank runs from the served [m][cent][sub]
+    * floats. Float bits round-trip parquet exactly, so x101's static
+    * oracle value-checks the served path. */
+  def x282(s: SparkSession, dir: String): DataFrame = {
+    val table = artifactTable(dir, "pq_codebook")
+    val commit = graft.sources.IndexArtifacts.saveCodebook(
+      s, table, Similarity.pqCodebook(8, 8, 16))
+    graft.sources.SnapshotStore.vacuum(s, table, keepLast = 2)
+    val served = graft.sources.IndexArtifacts.loadCodebook(
+      s, table, Some(commit.version))
+    Similarity.pqTopK(Similarity.pqEncode(emb(s, dir), served), served,
+        queryVectors(s, dir), k = 10, shortlist = 50)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3786,6 +3807,7 @@ object ExtensionQueries {
     "x279_nb_calibration" -> (x279 _),
     "x280_sqrt_temperature_mixture" -> (x280 _),
     "x281_index_merge_dedup" -> (x281 _),
+    "x282_pq_snapshot_served" -> (x282 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -4450,7 +4472,10 @@ object ExtensionQueries {
       // x281's merged index holds exactly the full corpus's sketches,
       // so the served self near-dup must equal x04's direct run — the
       // shared replay value-checks the read-modify-write cycle
-      "x281_index_merge_dedup" -> oracles("x04_ngram_jaccard_neardup"))
+      "x281_index_merge_dedup" -> oracles("x04_ngram_jaccard_neardup"),
+      // x282 serves x101's deterministic codebook from a snapshot —
+      // float bits round-trip parquet exactly; one replay checks both
+      "x282_pq_snapshot_served" -> oracles("x101_pq_ann_rerank"))
 
   val oracles: Map[String, String] = tranche2Oracles ++ Map(
     "x01_exact_dedup" ->
