@@ -3458,6 +3458,38 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** x283 curation-cascade attribution over the ROUND-18 stack — the
+    * capstone tying the new operators into the x188 cascade
+    * framework: each doc attributed to the FIRST stage that would
+    * drop it in a full curation run — (1) NB low-quality
+    * (score ≤ 0 under the x273 model), (2) exact-dup non-keeper
+    * (x01's min-id keep rule), (3) near-dup greater-id pair member
+    * (the x04 relation), (4) over-budget (outside the per-source
+    * ES weighted top-50, x272's key at k=50). The report every
+    * curation run ships: which stage earns its cost, what marginal
+    * volume each drops. */
+  def x283(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lowQ = TextAnalysis.nbScores(d, TextAnalysis.nbTrain(d, nbLabel))
+      .filter(col("__score") <= 0).select(col("__id").as("id"))
+    val h = d.select(col("doc_id"), md5(col("text")).as("__h"))
+    val exactDrop = h.join(
+        h.groupBy(col("__h")).agg(min(col("doc_id")).as("__keep"),
+          count(lit(1)).as("__n")).filter(col("__n") > 1), Seq("__h"))
+      .filter(col("doc_id") =!= col("__keep"))
+      .select(col("doc_id").as("id"))
+    val nearDrop = Dedup.ngramJaccardNearDup(d, "doc_id", "text",
+        ngram = 3, prefixK = 8, minJaccard = 0.2)
+      .select(col("doc_b").as("id"))
+    val keep = graft.operators.Profile.weightedSample(
+      d, "doc_id", "source", "n_chars", k = 50)
+    val budgetDrop = d.select(col("doc_id").as("id"))
+      .join(keep.select(col("id")), Seq("id"), "left_anti")
+    Dedup.cascadeAttribution(Seq(
+      "low_quality" -> lowQ, "exact_dup" -> exactDrop,
+      "near_dup" -> nearDrop, "over_budget" -> budgetDrop), "id", d)
+  }
+
   /** x261 unicode-anomaly screen — see
     * [[graft.operators.TextAnalysis.unicodeAnomalies]]: exact counts
     * of zero-width, bidi-control, replacement, and C0-control
@@ -3808,6 +3840,7 @@ object ExtensionQueries {
     "x280_sqrt_temperature_mixture" -> (x280 _),
     "x281_index_merge_dedup" -> (x281 _),
     "x282_pq_snapshot_served" -> (x282 _),
+    "x283_curation_cascade" -> (x283 _),
   )
 
   // ---- oracle-SQL builders -------------------------------------------
@@ -10219,6 +10252,75 @@ object ExtensionQueries {
          |    THEN least(1000000, alloc_tokens * 1000000 // n_tokens)
          |    ELSE 0 END AS BIGINT) AS rate_micro
          |FROM a ORDER BY source""".stripMargin,
+
+    // x283: all four drop sets replayed from first principles — the
+    // NB chain (shared CTEs), the min-id exact-keep rule, the exact-
+    // Jaccard pair relation (x04's semantics via the x57-style gram
+    // join), and the ES weighted top-50 keep per source — then the
+    // cascadeAttribution counts: distinct flags per stage, first-
+    // stage attribution, marginal share of the corpus.
+    "x283_curation_cascade" ->
+      s"""WITH $nbCtesSql,
+         |s1 AS (SELECT l.doc_id AS id FROM lab l
+         |       LEFT JOIN scores sc USING (doc_id) CROSS JOIN bias b
+         |       WHERE coalesce(sc.s, b.b) <= 0),
+         |hx AS MATERIALIZED (SELECT doc_id, md5(text) AS h FROM documents),
+         |s2 AS (SELECT doc_id AS id FROM hx
+         |       JOIN (SELECT h, min(doc_id) AS keep, count(*) AS n
+         |             FROM hx GROUP BY h) g USING (h)
+         |       WHERE n > 1 AND doc_id <> keep),
+         |tk AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+         |ng AS (SELECT doc_id, ${wordNgramsSql(3)} AS g FROM tk),
+         |exg AS (SELECT doc_id, len(g) AS sz, unnest(g) AS gram
+         |        FROM ng WHERE len(g) > 0),
+         |prs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS isz,
+         |         any_value(a.sz) AS sa, any_value(b.sz) AS sb
+         |  FROM exg a JOIN exg b ON a.gram = b.gram
+         |  WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+         |s3 AS (SELECT DISTINCT db AS id FROM prs
+         |       WHERE round(isz::DOUBLE / (sa + sb - isz)::DOUBLE, 6)
+         |         >= 0.2),
+         |eh AS (SELECT source, doc_id, n_chars,
+         |         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |           AS BIGINT) // 256) AS h52
+         |       FROM documents WHERE n_chars > 0),
+         |ek AS (SELECT source, doc_id, n_chars,
+         |         CAST(round(ln((h52::DOUBLE + 1.0) / 4503599627370496.0)
+         |           * 1000000.0) AS BIGINT) AS lnu
+         |       FROM eh),
+         |er AS (SELECT doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY lnu::DOUBLE / n_chars::DOUBLE DESC, doc_id)
+         |           AS rk
+         |       FROM ek),
+         |s4 AS (SELECT d.doc_id AS id FROM documents d
+         |       LEFT JOIN (SELECT doc_id FROM er WHERE rk <= 50) k
+         |         USING (doc_id)
+         |       WHERE k.doc_id IS NULL),
+         |tagged AS MATERIALIZED (
+         |  SELECT DISTINCT id, r FROM (
+         |    SELECT id, 1 AS r FROM s1 UNION ALL
+         |    SELECT id, 2 FROM s2 UNION ALL
+         |    SELECT id, 3 FROM s3 UNION ALL
+         |    SELECT id, 4 FROM s4)),
+         |flagged AS (SELECT r, CAST(count(*) AS BIGINT) AS n_flagged
+         |            FROM tagged GROUP BY r),
+         |firsts AS (SELECT r, CAST(count(*) AS BIGINT) AS n_first FROM (
+         |             SELECT id, min(r) AS r FROM tagged GROUP BY id)
+         |           GROUP BY r),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |st(stage, stage_rank) AS (VALUES ('low_quality', 1),
+         |  ('exact_dup', 2), ('near_dup', 3), ('over_budget', 4))
+         |SELECT st.stage, CAST(st.stage_rank AS INT) AS stage_rank,
+         |  CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+         |  CAST(coalesce(fr.n_first, 0) AS BIGINT) AS n_first,
+         |  CAST(coalesce(fr.n_first, 0) * 1000000 // tot.n AS BIGINT)
+         |    AS marginal_micro
+         |FROM st LEFT JOIN flagged f ON f.r = st.stage_rank
+         |        LEFT JOIN firsts fr ON fr.r = st.stage_rank
+         |        CROSS JOIN tot
+         |ORDER BY stage_rank""".stripMargin,
 
     // x261: exact forbidden-codepoint counts under the same planted
     // tail (chr() builds the codepoints; RE2 counts via \x{...}).
