@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
 import org.apache.spark.sql.types._
 
@@ -483,7 +483,109 @@ case class MinFullPeriod(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `char_syms(s)` → array<string>: per-codepoint single-char split —
+  * the BPE initial symbol state ([[ShingleKernels.charSyms]]). One
+  * static call inside the codegen span, replacing the interpreted
+  * O(len²) `transform(sequence(...), i -> substring(s, i, 1))`. */
+case class CharSyms(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "char_syms"
+
+  override def checkInputDataTypes() =
+    K.expect("char_syms", child.dataType, K.isString, "string")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.charSyms(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.charSyms($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `bpe_apply_merge(syms, l, r)` → array<string>: greedy
+  * non-overlapping application of ONE BPE merge
+  * ([[ShingleKernels.bpeApplyMerge]] — provably identical to the
+  * even-offset-island window plan it replaces). Null-intolerant: the
+  * empty-merge pass-through is the caller's `when(l.isNull, syms)`
+  * guard, keeping this a plain codegen ternary. */
+case class BpeApplyMerge(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def prettyName: String = "bpe_apply_merge"
+
+  override def checkInputDataTypes() = {
+    val a = K.expect("bpe_apply_merge", first.dataType,
+      K.isStringArray, "array<string>")
+    if (a.isFailure) a
+    else {
+      val b = K.expect("bpe_apply_merge", second.dataType, K.isString, "string")
+      if (b.isFailure) b
+      else K.expect("bpe_apply_merge", third.dataType, K.isString, "string")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(syms: Any, l: Any, r: Any): Any =
+    ShingleKernels.bpeApplyMerge(
+      syms.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, l, r) =>
+      s"${K.cls}.bpeApplyMerge($s, $l, $r)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(first = a, second = b, third = c)
+}
+
+/** `bpe_apply_merges(syms, lefts, rights)` → array<string>: a whole
+  * round-ordered merge table applied in ONE projection
+  * ([[ShingleKernels.bpeApplyMerges]]) — the encoder's replacement
+  * for ≤ 64 sequential join+window+agg+checkpoint rounds. */
+case class BpeApplyMerges(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def prettyName: String = "bpe_apply_merges"
+
+  override def checkInputDataTypes() = {
+    val a = K.expect("bpe_apply_merges", first.dataType,
+      K.isStringArray, "array<string>")
+    if (a.isFailure) a
+    else {
+      val b = K.expect("bpe_apply_merges", second.dataType,
+        K.isStringArray, "array<string>")
+      if (b.isFailure) b
+      else K.expect("bpe_apply_merges", third.dataType,
+        K.isStringArray, "array<string>")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(syms: Any, ls: Any, rs: Any): Any =
+    ShingleKernels.bpeApplyMerges(
+      syms.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      ls.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      rs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, l, r) =>
+      s"${K.cls}.bpeApplyMerges($s, $l, $r)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): Expression = copy(first = a, second = b, third = c)
+}
+
 object ShingleFunctions {
+  def char_syms(s: Column): Column =
+    toColumn(CharSyms(toExpression(s)))
+  def bpe_apply_merge(syms: Column, l: Column, r: Column): Column =
+    toColumn(BpeApplyMerge(toExpression(syms), toExpression(l), toExpression(r)))
+  def bpe_apply_merges(syms: Column, ls: Column, rs: Column): Column =
+    toColumn(BpeApplyMerges(toExpression(syms), toExpression(ls), toExpression(rs)))
   def min_full_period(s: Column): Column =
     toColumn(MinFullPeriod(toExpression(s)))
   def syllable_count(arr: Column): Column =

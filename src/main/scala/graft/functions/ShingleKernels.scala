@@ -610,5 +610,70 @@ object ShingleKernels {
     }
     n
   }
+
+  /** Split a string into its per-CODEPOINT single-char symbols — the
+    * BPE initial state. Replaces the interpreted
+    * `transform(sequence(1, length(w)), i -> substring(w, i, 1))`
+    * lambda, which is O(len²) per word (substring re-walks UTF-8 from
+    * the start per index) and breaks whole-stage codegen. Codepoint
+    * semantics match Spark's `substring(w, i, 1)` exactly (surrogate
+    * pairs stay whole). */
+  def charSyms(sIn: UTF8String): ArrayData = {
+    val s = sIn.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val cc = Character.charCount(s.codePointAt(i))
+      out += UTF8String.fromString(s.substring(i, i + cc))
+      i += cc
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Greedy non-overlapping application of ONE BPE merge (l, r) to a
+    * symbol array — the single-pass kernel form of
+    * [[graft.operators.TextAnalysis.applyBestPair]]'s window plan
+    * (posexplode → wid-partitioned windows → collect_list agg), which
+    * cost 3 shuffles + a checkpoint PER ROUND. Left-to-right greedy
+    * selection is provably identical to the even-offset-island rule
+    * the window plan computes: matches inside an island are
+    * consecutive positions, and both rules take even offsets from the
+    * island's first match (TextAnalysisSpec pins the equivalence on
+    * the hand-traced corpora + the aaaaa adversary). */
+  def bpeApplyMerge(syms: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    if (n < 2) return syms
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val s = syms.getUTF8String(i)
+      if (i + 1 < n && s.equals(l) && syms.getUTF8String(i + 1).equals(r)) {
+        out += UTF8String.concat(s, syms.getUTF8String(i + 1))
+        i += 2
+      } else {
+        out += s
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Apply a whole round-ordered BPE merge table (parallel left/right
+    * symbol arrays) in one call — [[bpeApplyMerge]] per round,
+    * sequentially. Rounds absent from the table (nothing merged at
+    * induction time) are naturally pass-through: they simply do not
+    * appear in the arrays. Turns the encoder's per-round
+    * join+window+agg+checkpoint pipeline into ONE projection. */
+  def bpeApplyMerges(symsIn: ArrayData, ls: ArrayData, rs: ArrayData): ArrayData = {
+    var syms = symsIn
+    val rounds = ls.numElements()
+    var r = 0
+    while (r < rounds) {
+      syms = bpeApplyMerge(syms, ls.getUTF8String(r), rs.getUTF8String(r))
+      r += 1
+    }
+    syms
+  }
 }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for dense-vector math over
   * `ArrayType(FloatType)` embedding columns.
@@ -149,6 +149,36 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Micro-quantization of a float vector: q_i = CAST(round(CAST(v AS
+    * DOUBLE) · 1e6, 0) AS BIGINT), bit-for-bit — BigDecimal.valueOf +
+    * HALF_UP is the Round expression's double path for finite values,
+    * and non-finite components take the non-ANSI double→long cast's
+    * total behavior (NaN→0, ±Inf saturates), the exact
+    * [[graft.functions.ScatterMoments]] quantize contract at micro
+    * scale. Null ELEMENTS stay null (the SQL tree propagated them into
+    * null products that the covariance sums skip). r18: evaluating the
+    * SQL round per (i, j) CELL of the covariance fan-out cost one
+    * BigDecimal allocation per cell (16M per 2 000×64 corpus — ~6 s of
+    * the old 7.5 s cells pass); this runs ONCE per vector. */
+  def quantizeMicro(x: ArrayData): ArrayData = {
+    val n = x.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val d = x.getFloat(i).toDouble * 1000000.0
+        out(i) =
+          if (d.isNaN) 0L
+          else if (d >= Long.MaxValue.toDouble) Long.MaxValue
+          else if (d <= Long.MinValue.toDouble) Long.MinValue
+          else java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (`nOut × dim`),
     * derived per cell from md5("jl:seed:j:i") — the same portability
     * trick as the md5-60 hash family: any engine (the DuckDB oracle
@@ -239,8 +269,36 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `quantize_micro(vec)` → array<bigint>: per-element micro
+  * quantization (see [[VectorKernels.quantizeMicro]] for the
+  * bit-identity contract with the SQL round/cast tree). */
+case class QuantizeMicro(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "quantize_micro"
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"quantize_micro expects array<float>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.quantizeMicro(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.quantizeMicro($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `l2_norm_sq(a)` via DotProduct(a, a) is enough; no separate node. */
 object VectorFunctions {
+  def quantize_micro(vec: Column): Column =
+    toColumn(QuantizeMicro(toExpression(vec)))
   def cosine_similarity(a: Column, b: Column): Column =
     toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
   def dot_product(a: Column, b: Column): Column =

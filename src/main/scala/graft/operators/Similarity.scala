@@ -1186,85 +1186,150 @@ object Similarity {
   }
 
   /** The integer power-iteration core [[covarianceSpectrum]] and
-    * [[whiteningAudit]] share: quantized elements `el` (id, dim,
-    * micro value, checkpointed), fenced vector count `nF`, per-dim
-    * sums, the renormalized covariance matrix `cm`, and the
-    * converged direction `xv` (dim, micro component). Construction
-    * order and every intermediate are EXACTLY the former
-    * covarianceSpectrum body — extracting it must not move x212's
-    * plan. */
+    * [[whiteningAudit]] share — r18 optimization, two moves:
+    *
+    * 1. (guide §2.4 — remove shuffles outright) The n·dim² product
+    *    cells used to flow through an `el ⋈ el` equi-join on the
+    *    vector id — a full shuffle of the quantized corpus — before
+    *    the (i, j) hash agg. They are now generated by re-exploding
+    *    each vector against itself (two chained posexplodes over the
+    *    source row), so the fan-out pipelines straight into the
+    *    map-side partial aggregate and the only shuffled bytes are
+    *    dim² cells per partition. Same per-row LONG product, same
+    *    DECIMAL(38,0) accumulation, same n ≤ 1e10 envelope —
+    *    bit-identical cells.
+    * 2. (x187 embeddingAnisotropy precedent: dim²-bounded state is a
+    *    legitimate driver value) The `iters` renormalize rounds used
+    *    to run as sequential broadcast-join + hash-agg +
+    *    single-partition-window Spark jobs, each eagerly
+    *    checkpointed — ~10 jobs of scheduling overhead for a ≤ 64×64
+    *    integer matrix. The iteration now runs driver-side in exact
+    *    BigInt arithmetic replicating the former SQL truncation tree
+    *    operator for operator (BigInt `/` and decimal `div` both
+    *    truncate toward zero); SimilaritySpec pins the engine output
+    *    against an independent BigInt reference.
+    *
+    * `withEl` keeps the checkpointed (id, dim, micro) element frame
+    * for [[whiteningAudit]]'s corpus-scale projection; the spectrum
+    * no longer materializes it at all (two extra corpus scans replace
+    * a corpus-wide checkpoint + shuffle — the cheaper trade at any
+    * scale). `nF` stays a checkpointed 1-row FRAME so the result plan
+    * keeps its provenance; its raise_error envelope guard is
+    * evaluated here by the driver read, exactly where the old plan
+    * evaluated it (building `cm` forced it through the cross join).
+    * `result` is None wherever the former plan's filters produced a
+    * ZERO-row result: empty corpus, all-zero matrix (mx = 0), a
+    * zeroed multiply round, or non-positive trace/denominator. */
+  private case class CovPower(el: Option[DataFrame], nF: DataFrame,
+      result: Option[CovPowerResult])
+  private case class CovPowerResult(xv: Seq[(Long, BigInt)], topDim: Long,
+      shareMicro: BigInt)
+
   private def covariancePowerParts(emb: DataFrame, vecCol: String,
-      idCol: String, iters: Int):
-      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      idCol: String, iters: Int, withEl: Boolean): CovPower = {
     require(iters >= 1 && iters <= 64,
       s"covarianceSpectrum: iters must be in [1, 64], got $iters")
     val dec = "decimal(38,0)"
-    val el = emb
-      .filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("__id"),
-        posexplode(col(vecCol)).as(Seq("__i", "__vi")))
-      .select(col("__id"), col("__i").cast("long").as("__i"),
-        expr("CAST(round(CAST(__vi AS DOUBLE) * 1000000.0D) AS BIGINT)")
-          .as("__q"))
-      .localCheckpoint(true) // one corpus pass feeds sums AND products
-    val nF = el.agg(countDistinct(col("__id")).cast("bigint").as("__nv"))
-      .select(col("__nv"),
+    // one kernel quantization per VECTOR (bit-identical to the SQL
+    // round/cast tree — see VectorKernels.quantizeMicro), instead of
+    // one SQL round per exploded cell: the dim² fan-out below made the
+    // per-cell BigDecimal rounding the dominant cost
+    val qv = quantize_micro(col(vecCol))
+    val el: Option[DataFrame] =
+      if (!withEl) None
+      else Some(emb
+        .filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("__id"), posexplode(qv).as(Seq("__i", "__q")))
+        .select(col("__id"), col("__i").cast("long").as("__i"), col("__q"))
+        .localCheckpoint(true)) // feeds the projection AND trace passes
+    // ids with >= 1 exploded element — identical to the old
+    // countDistinct over the exploded frame, without needing it
+    val nF = emb
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .agg(countDistinct(col(idCol)).cast("bigint").as("__nv"))
+      .select(
         when(col("__nv") > 10000000000L,
           raise_error(concat(lit("covarianceSpectrum: "),
             col("__nv").cast("string"),
             lit(" vectors exceed the exact-integer envelope (1e10) — " +
               "shard the corpus")))
             .cast("bigint"))
-          .otherwise(col("__nv")).cast(dec).as("__n"))
+          .otherwise(col("__nv")).as("__nv"))
       .localCheckpoint(true)
-    val sums = el.groupBy(col("__i"))
-      .agg(sum(col("__q")).cast(dec).as("__s"))
-      .localCheckpoint(true)
-    val cprime = el
-      .join(el.select(col("__id"), col("__i").as("__j"), col("__q").as("__qj")),
-        "__id")
-      .groupBy(col("__i"), col("__j"))
-      // the per-row product is exact in LONG (|q| <= 1e6 => |q*qj| <=
-      // 1e12); only the ACCUMULATION needs decimal — a BigDecimal
-      // multiply per cell made this hot path ~2x slower
-      .agg(sum((col("__q") * col("__qj")).cast(dec)).as("__pp"))
-      .join(sums.select(col("__i"), col("__s").as("__si")), "__i")
-      .join(broadcast(sums.select(col("__i").as("__j"), col("__s").as("__sj"))),
-        "__j")
-      .crossJoin(broadcast(nF))
-      .select(col("__i"), col("__j"),
-        (col("__n") * col("__pp") - col("__si") * col("__sj")).as("__c"))
-    val mx = cprime.agg(max(abs(col("__c"))).as("__m")).localCheckpoint(true)
-    val cm = cprime.crossJoin(broadcast(mx))
-      .filter(col("__m") > 0)
-      .select(col("__i"), col("__j"),
-        // IntegralDivide (div) on decimals is the EXACT integral
-        // quotient (truncation toward zero, no scale-6 rounding —
-        // the x160 decimal-division trap), matching DuckDB's //
-        expr("(__c * CAST(1000000 AS DECIMAL(38,0))) div __m").as("__cm"))
-      .localCheckpoint(true) // the iteration matrix — built once
-    var xv = sums.select(col("__i"), lit(1000000L).as("__x"))
-      .localCheckpoint(true)
-    def multiply(v: DataFrame): DataFrame = cm
-      .join(broadcast(v.select(col("__i").as("__j"), col("__x"))), "__j")
-      .groupBy(col("__i"))
-      // |cm| <= 1e6 and |x| <= 1e6: the product is exact in LONG
-      .agg(sum((col("__cm") * col("__x")).cast(dec)).as("__y"))
-    // the renormalizing max is a single-partition window over the
-    // DIM-row product frame (bounded by dim, never data) so each
-    // round is ONE eager-checkpoint job — a separate max aggregation
-    // + cross join tripled the per-round job count and dominated the
-    // wall clock (measured 9.0 s → the fused form at sf0.1)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-    for (_ <- 1 to iters) {
-      xv = multiply(xv)
-        .withColumn("__my", max(abs(col("__y"))).over(wAll))
-        .filter(col("__my") > 0)
-        .select(col("__i"),
-          expr("(__y * CAST(1000000 AS DECIMAL(38,0))) div __my").as("__x"))
-        .localCheckpoint(true)
+    val n = BigInt(nF.head().getLong(0)) // evaluates the envelope guard
+    // LONG accumulators throughout (a DECIMAL(38,0) sum measured 4×
+    // slower — one BigDecimal op per cell): Σq ≤ 1e6·n and the split
+    // product sums below are each ≤ 1e6·n, so LONG is exact to
+    // n ≈ 9.2e12 — wider than the 1e10 envelope nF guards, and the
+    // guard is evaluated (head() above) BEFORE any sum is read.
+    val sums: Map[Long, BigInt] = {
+      val base = el.getOrElse(emb
+        .filter(col(vecCol).isNotNull)
+        .select(posexplode(qv).as(Seq("__i", "__q")))
+        .select(col("__i").cast("long").as("__i"), col("__q")))
+      base.groupBy(col("__i")).agg(sum(col("__q")).as("__s"))
+        .collect().map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
     }
-    (el, nF, sums, cm, xv)
+    // per-row product exact in LONG (|q| ≤ 1e6 ⇒ |qi·qj| ≤ 1e12),
+    // split into (div 1e6, remainder) halves so BOTH running sums stay
+    // LONG-exact; the exact cell is reassembled in BigInt below —
+    // identical integers to the former decimal accumulation, cell for
+    // cell (p = hi·1e6 + lo holds for negatives too: truncating div
+    // with the matching remainder)
+    val cells: Seq[((Long, Long), BigInt)] = emb
+      .filter(col(vecCol).isNotNull)
+      .select(qv.as("__qarr"))
+      .select(posexplode(col("__qarr")).as(Seq("__i", "__qi")),
+        col("__qarr"))
+      .select(col("__i").cast("long").as("__i"), col("__qi"),
+        posexplode(col("__qarr")).as(Seq("__j", "__qj")))
+      .select(col("__i"), col("__j").cast("long").as("__j"),
+        (col("__qi") * col("__qj")).as("__p"))
+      .select(col("__i"), col("__j"), expr("__p div 1000000L").as("__ph"),
+        (col("__p") - expr("__p div 1000000L") * 1000000L).as("__pl"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__ph")).as("__sh"), sum(col("__pl")).as("__sl"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (BigInt(r.getLong(2)) * 1000000 + BigInt(r.getLong(3)))).toSeq
+    // ---- driver-side exact replica of the former SQL plan ----------
+    val result: Option[CovPowerResult] = {
+      val cprime = cells.flatMap { case ((i, j), pp) =>
+        for { si <- sums.get(i); sj <- sums.get(j) }
+          yield ((i, j), n * pp - si * sj)
+      }
+      val mx = if (cprime.isEmpty) BigInt(0)
+        else cprime.map(_._2.abs).max
+      if (mx <= 0) None // the old filter(__m > 0) emptied everything
+      else {
+        val cm = cprime.map { case (k, c) => (k, c * 1000000 / mx) }
+        def multiply(v: Map[Long, BigInt]): Map[Long, BigInt] = cm
+          .flatMap { case ((i, j), c) => v.get(j).map(x => i -> c * x) }
+          .groupBy(_._1).map { case (i, ys) => i -> ys.map(_._2).sum }
+        var xv: Map[Long, BigInt] =
+          sums.keys.map(_ -> BigInt(1000000)).toMap
+        var degenerate = xv.isEmpty
+        for (_ <- 1 to iters if !degenerate) {
+          val y = multiply(xv)
+          val my = if (y.isEmpty) BigInt(0) else y.values.map(_.abs).max
+          if (my <= 0) degenerate = true // the old filter(__my > 0)
+          else xv = y.map { case (i, yy) => i -> yy * 1000000 / my }
+        }
+        if (degenerate) None
+        else {
+          val topDim = xv.toSeq.map { case (i, x) => (-x.abs, i) }.min._2
+          val cx = multiply(xv) // the old plan's one extra multiply
+          val joined = cx.toSeq.flatMap { case (i, y) =>
+            xv.get(i).map(x => (y, x)) }
+          val num = joined.map { case (y, x) => y * x }.sum
+          val den = joined.map { case (_, x) => x * x }.sum
+          val tr = cm.collect { case ((i, j), c) if i == j => c }.sum
+          if (joined.isEmpty || tr <= 0 || den <= 0) None
+          else Some(CovPowerResult(
+            xv.toSeq.sortBy(_._1), topDim, num * 1000000 / (den * tr)))
+        }
+      }
+    }
+    CovPower(el, nF, result)
   }
 
   /** Covariance SPECTRUM read of an embedding corpus — the share of
@@ -1299,30 +1364,18 @@ object Similarity {
     * λ₁·10⁶ div trace). */
   def covarianceSpectrum(emb: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", iters: Int = 8): DataFrame = {
-    val dec = "decimal(38,0)"
-    val (_, nF, _, cm, xv) = covariancePowerParts(emb, vecCol, idCol, iters)
-    def multiply(v: DataFrame): DataFrame = cm
-      .join(broadcast(v.select(col("__i").as("__j"), col("__x"))), "__j")
-      .groupBy(col("__i"))
-      .agg(sum((col("__cm") * col("__x")).cast(dec)).as("__y"))
-    val cx = multiply(xv)
-    val ray = cx.join(xv, "__i")
-      .agg(sum(col("__y") * col("__x").cast(dec)).as("__num"),
-        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__den"))
-    val tr = cm.filter(col("__i") === col("__j"))
-      .agg(sum(col("__cm")).cast(dec).as("__tr"))
-    val top = xv
-      .agg(min(struct((-abs(col("__x"))).as("na"), col("__i").as("i"))).as("b"))
-      .select(col("b.i").as("top_dim"))
-    nF.select(col("__nv").as("n_vecs"))
-      .crossJoin(broadcast(top))
-      .crossJoin(broadcast(ray))
-      .crossJoin(broadcast(tr))
-      .filter(col("__tr") > 0 && col("__den") > 0)
-      .select(col("n_vecs"), col("top_dim"),
-        // ONE truncating division: λ·10⁶/trace = num·10⁶/(den·trace)
-        expr("(__num * CAST(1000000 AS DECIMAL(38,0))) div (__den * __tr)")
-          .as("top_eig_share_micro"))
+    val p = covariancePowerParts(emb, vecCol, idCol, iters, withEl = false)
+    val base = p.nF.select(col("__nv").as("n_vecs"))
+    p.result match {
+      case Some(r) => base.select(col("n_vecs"),
+        lit(r.topDim).as("top_dim"),
+        // the former `div` was IntegralDivide → LONG, exact here
+        lit(r.shareMicro.toLong).as("top_eig_share_micro"))
+      case None => // the former plan's degenerate filters → zero rows
+        base.filter(lit(false)).select(col("n_vecs"),
+          lit(null).cast("long").as("top_dim"),
+          lit(null).cast("long").as("top_eig_share_micro"))
+    }
   }
 
   /** Per-SOURCE whitening audit — [[covarianceSpectrum]]'s top
@@ -1361,9 +1414,20 @@ object Similarity {
       docIdCol: String = "doc_id", sourceCol: String = "source",
       iters: Int = 8): DataFrame = {
     val dec = "decimal(38,0)"
-    val (el, _, _, _, xv) = covariancePowerParts(emb, vecCol, idCol, iters)
-    val u = xv.select(col("__i"), expr("__x div 1000L").as("__u"))
-    val uu = u.agg(sum(col("__u") * col("__u")).cast(dec).as("__uu"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = covariancePowerParts(emb, vecCol, idCol, iters, withEl = true)
+    val el = p.el.get
+    // converged direction downscaled ONCE (x div 1000 — BigInt / and
+    // the former decimal div both truncate toward zero); |x| ≤ 1e6 so
+    // |u| ≤ 1e3 — Long-exact. Degenerate iteration → empty u → the
+    // projection join empties → zero output rows, as before.
+    val uRows: Seq[(Long, Long)] = p.result
+      .map(_.xv.map { case (i, x) => (i, (x / 1000).toLong) })
+      .getOrElse(Seq.empty)
+    // plain LONG components, as the former `__x div 1000L` produced
+    val u = uRows.toDF("__i", "__u")
+    val uuVal: BigInt = uRows.map(r => BigInt(r._2) * BigInt(r._2)).sum
     val src = docs.select(col(docIdCol).as("__id"),
       col(sourceCol).cast("string").as("source"))
     // per-vector projection: exact LONG per element (|u·q| ≤ 1e9),
@@ -1394,7 +1458,8 @@ object Similarity {
       .agg(sum(col("__n").cast(dec) * col("__sq") -
         col("__s1") * col("__s1")).as("__t"))
     aS.join(tS, "source")
-      .crossJoin(broadcast(uu))
+      .withColumn("__uu",
+        lit(new java.math.BigDecimal(uuVal.bigInteger)).cast(dec))
       .filter(col("__t") > 0 && col("__uu") > 0)
       .select(col("source"), col("n_vecs"),
         // two-step long division — A·10⁶ would overflow DECIMAL(38,0)

@@ -2607,8 +2607,9 @@ object TextAnalysis {
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .select(col("w").as("wid"), col("c"),
-        expr("transform(sequence(1, length(wid)), i -> substring(wid, i, 1))")
-          .as("syms"))
+        // codegen kernel split (identical codepoint semantics to the
+        // old transform/substring lambda, one O(len) pass — r18)
+        graft.functions.ShingleFunctions.char_syms(col("wid")).as("syms"))
       .localCheckpoint(true)
     val merges = (1 to rounds).map { r =>
       val (best, next) = bpeMergeRound(vocab, r)
@@ -2681,16 +2682,42 @@ object TextAnalysis {
 
   /** Greedy non-overlapping application of ONE pair row to every word
     * of a (wid, c, syms) frame — the merge kernel [[bpeInduction]]
-    * documents (gaps-and-islands; even-offset selection within each
-    * candidate island). `best` must be ≤ 1 row with columns (l, r);
-    * an EMPTY best passes every word through unchanged (LEFT join on
-    * true: null l/r make the match flag false, so nothing merges).
+    * documents. `best` must be ≤ 1 row with columns (l, r); an EMPTY
+    * best passes every word through unchanged (LEFT join on true:
+    * null l/r hit the `when` pass-through arm, so nothing merges).
     * Returns the merged (wid, c, syms) frame, checkpointed so the
     * next round never re-runs this one (`checkpoint = false` exists
     * ONLY so PlanShapeSpec can pin the pre-checkpoint round plan —
-    * broadcast merge-slice join, word-partitioned windows). */
+    * broadcast merge-slice join feeding a pure projection).
+    *
+    * r18 optimization (guide §2.4 + §1.2 step 2): the merge used to
+    * run as posexplode → two wid-partitioned window passes →
+    * collect_list re-assembly — 3 exchanges + 2 sorts PER ROUND, per
+    * round checkpointed. [[graft.functions.ShingleKernels.bpeApplyMerge]]
+    * is the same greedy even-offset-island selection as one O(|syms|)
+    * codegen pass per word, so a round is now a zero-shuffle
+    * broadcast-join projection. Equivalence is pinned by
+    * TextAnalysisSpec's kernel-vs-window property test plus the
+    * hand-traced corpora. */
   private[graft] def applyBestPair(vocab: DataFrame, best: DataFrame,
       checkpoint: Boolean = true): DataFrame = {
+    import graft.functions.ShingleFunctions.bpe_apply_merge
+    val merged = vocab.join(broadcast(best.select(col("l"), col("r"))),
+        lit(true), "left")
+      .select(col("wid"), col("c"),
+        when(col("l").isNull || col("r").isNull, col("syms"))
+          .otherwise(bpe_apply_merge(col("syms"), col("l"), col("r")))
+          .as("syms"))
+    // round k+1 must never re-run round k
+    if (checkpoint) merged.localCheckpoint(true) else merged
+  }
+
+  /** The pre-r18 window-plan form of [[applyBestPair]] — retained
+    * (test-only) as the executable specification the kernel is pinned
+    * against: TextAnalysisSpec runs both over randomized vocabularies
+    * and asserts identical output. Never called from a query path. */
+  private[graft] def applyBestPairViaWindows(vocab: DataFrame,
+      best: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy(col("wid")).orderBy(col("p"))
     val pos = vocab.join(broadcast(best.select(col("l"), col("r"))),
@@ -2703,8 +2730,7 @@ object TextAnalysis {
       .withColumn("isl", col("p") - sum(when(col("mt"), 1L).otherwise(0L))
         .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val wisl = Window.partitionBy(col("wid"), col("isl"))
-    val merged = m
-      .withColumn("sel", col("mt") &&
+    m.withColumn("sel", col("mt") &&
         ((col("p") - min(when(col("mt"), col("p"))).over(wisl)) % 2 === 0))
       .withColumn("lead_s", lead(col("s"), 1).over(wp))
       .withColumn("prev_sel", coalesce(lag(col("sel"), 1).over(wp), lit(false)))
@@ -2715,8 +2741,6 @@ object TextAnalysis {
       .groupBy(col("wid"), col("c"))
       .agg(expr("transform(array_sort(collect_list(struct(p, s2))), x -> x.s2)")
         .as("syms"))
-    // round k+1 must never re-run round k
-    if (checkpoint) merged.localCheckpoint(true) else merged
   }
 
   /** BPE ENCODER — applies an already-induced merge table to NEW text
@@ -2733,35 +2757,47 @@ object TextAnalysis {
     * exactly as in the induction.
     *
     * Scale design: the new corpus collapses to DISTINCT words once
-    * (one hash agg, O(vocab) rows after); each of the ≤ `rounds`
-    * replay rounds is one broadcast join of a 1-row merge slice plus
-    * word-partitioned windows over the vocab frame — the merge table
-    * (≤ 64 rows, checkpointed once) is never collected to the driver,
-    * and no stage depends on corpus row count after the first agg.
+    * (one hash agg, O(vocab) rows after); the whole replay is then ONE
+    * projection — the round-ordered merge table collapses to a 1-row
+    * pair of parallel symbol arrays (≤ 64 elements), broadcast onto
+    * the vocab frame, and
+    * [[graft.functions.ShingleKernels.bpeApplyMerges]] applies every
+    * round greedily per word inside the codegen span. The merge table
+    * is never collected to the driver, and no stage depends on corpus
+    * row count after the first agg. (r18 optimization, guide §2.4:
+    * the replay used to run `rounds` sequential join+window+agg+
+    * checkpoint rounds — ~3 exchanges per round; it is now zero
+    * post-agg exchanges. Absent rounds — nothing merged at induction
+    * time — are pass-through in both forms.)
     *
     * Output: (wid, c, syms) — each distinct word with ≥ 2 chars, its
     * occurrence count in `docs`, and its encoded symbol array. */
   def bpeEncode(docs: DataFrame, merges: DataFrame, rounds: Int = 6,
       textCol: String = "text"): DataFrame = {
+    import graft.functions.ShingleFunctions.{bpe_apply_merges, char_syms}
     require(rounds >= 1 && rounds <= 64,
       s"bpeEncode: rounds must be in [1, 64], got $rounds")
-    val mergeTable = merges
+    val mergeArrays = merges
       .select(col("round"), col("left_sym"), col("right_sym"))
-      .localCheckpoint(true) // ≤ 64 rows; sliced once per replay round
-    var vocab = docs
+      .filter(col("round") <= rounds)
+      .agg(
+        expr("transform(array_sort(collect_list(struct(round, left_sym)))," +
+          " x -> x.left_sym)").as("__ls"),
+        expr("transform(array_sort(collect_list(struct(round, right_sym)))," +
+          " x -> x.right_sym)").as("__rs"))
+    docs
       .select(explode(words(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(mergeArrays))
       .select(col("w").as("wid"), col("c"),
-        expr("transform(sequence(1, length(wid)), i -> substring(wid, i, 1))")
+        bpe_apply_merges(char_syms(col("w")), col("__ls"), col("__rs"))
           .as("syms"))
+      // terminate the encode once: every consumer (x209's rollup joins
+      // it against a fresh corpus explode; x276 reads it twice) starts
+      // from the materialized vocab instead of re-running the agg —
+      // ONE checkpoint job total, where the round-replay form cost 7
       .localCheckpoint(true)
-    for (r <- 1 to rounds) {
-      val slice = mergeTable.filter(col("round") === r)
-        .select(col("left_sym").as("l"), col("right_sym").as("r"))
-      vocab = applyBestPair(vocab, slice)
-    }
-    vocab
   }
 
   /** Per-document curation scorecard — the explainable decision

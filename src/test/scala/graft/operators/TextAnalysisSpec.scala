@@ -471,6 +471,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(("aaaaa", 1L, Seq("aa", "aaa"))))
   }
 
+  test("applyBestPair: the r18 greedy kernel is row-identical to the " +
+      "window-plan form on randomized low-alphabet vocabularies " +
+      "(consecutive-match runs, multi-char symbols, no-match rounds)") {
+    val rnd = new scala.util.Random(42)
+    // low alphabet → dense match runs (the even-offset-island cases);
+    // seed some multi-char symbols the way later rounds produce them
+    val symsPool = Seq("a", "b", "aa", "ab", "ba")
+    val vocabRows = (1 to 60).map { i =>
+      val n = 1 + rnd.nextInt(9)
+      (s"w$i", 1L + rnd.nextInt(5),
+        Seq.fill(n)(symsPool(rnd.nextInt(symsPool.length))))
+    }
+    val vocab = vocabRows.toDF("wid", "c", "syms")
+    val pairs = Seq(("a", "a"), ("a", "b"), ("ab", "a"), ("aa", "aa"),
+      ("zz", "zz")) // last one matches nothing
+    pairs.foreach { case (l, r) =>
+      val best = Seq((l, r)).toDF("l", "r")
+      val viaKernel = TextAnalysis.applyBestPair(vocab, best,
+          checkpoint = false)
+        .as[(String, Long, Seq[String])].collect().sortBy(_._1)
+      val viaWindows = TextAnalysis.applyBestPairViaWindows(vocab, best)
+        .as[(String, Long, Seq[String])].collect().sortBy(_._1)
+      assert(viaKernel.toSeq == viaWindows.toSeq, s"merge ($l,$r) diverged")
+    }
+    // empty best frame (exhausted round): pass-through in both forms
+    val empty = Seq.empty[(String, String)].toDF("l", "r")
+    val viaKernel = TextAnalysis.applyBestPair(vocab, empty,
+        checkpoint = false)
+      .as[(String, Long, Seq[String])].collect().sortBy(_._1)
+    assert(viaKernel.toSeq == vocabRows.sortBy(_._1))
+  }
+
   test("curationScorecard: per-doc signals and first-fail verdict precedence") {
     val w = (1 to 25).map("w" + _).mkString(" ")   // 25 distinct words
     val u = (1 to 15).map("u" + _).mkString(" ")
