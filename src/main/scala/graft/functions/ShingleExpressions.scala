@@ -579,7 +579,59 @@ case class BpeApplyMerges(first: Expression, second: Expression,
       c: Expression): Expression = copy(first = a, second = b, third = c)
 }
 
+/** `adjacent_pairs(tokens, f1, f2)` → array<struct<f1,f2>>: adjacent
+  * token pairs ([[ShingleKernels.adjacentPairs]]); field names are
+  * caller-chosen so existing `.getField` consumers keep working. */
+case class AdjacentPairs(child: Expression, f1: String, f2: String)
+    extends UnaryExpression {
+  override def prettyName: String = "adjacent_pairs"
+
+  override def checkInputDataTypes() =
+    K.expect("adjacent_pairs", child.dataType, K.isStringArray, "array<string>")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField(f1, StringType, nullable = true),
+    StructField(f2, StringType, nullable = true))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.adjacentPairs(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.adjacentPairs($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `adjacent_triples(tokens, f1, f2, f3)` — the 3-token sibling. */
+case class AdjacentTriples(child: Expression, f1: String, f2: String,
+    f3: String) extends UnaryExpression {
+  override def prettyName: String = "adjacent_triples"
+
+  override def checkInputDataTypes() =
+    K.expect("adjacent_triples", child.dataType, K.isStringArray, "array<string>")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField(f1, StringType, nullable = true),
+    StructField(f2, StringType, nullable = true),
+    StructField(f3, StringType, nullable = true))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.adjacentTriples(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${K.cls}.adjacentTriples($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object ShingleFunctions {
+  def adjacent_pairs(tokens: Column, f1: String = "w1", f2: String = "w2"): Column =
+    toColumn(AdjacentPairs(toExpression(tokens), f1, f2))
+  def adjacent_triples(tokens: Column, f1: String = "w1",
+      f2: String = "w2", f3: String = "w3"): Column =
+    toColumn(AdjacentTriples(toExpression(tokens), f1, f2, f3))
   def char_syms(s: Column): Column =
     toColumn(CharSyms(toExpression(s)))
   def bpe_apply_merge(syms: Column, l: Column, r: Column): Column =

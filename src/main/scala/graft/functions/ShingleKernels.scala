@@ -599,6 +599,48 @@ object ShingleKernels {
     if (n % p == 0) p.toLong else n.toLong
   }
 
+  /** Adjacent token pairs (w[i], w[i+1]) as struct rows — the codegen
+    * replacement for the interpreted
+    * `transform(sequence(1, size-1), i -> struct(element_at(w, i),
+    * element_at(w, i+1)))` lambda every bigram-model operator fed to
+    * explode (r18; one lambda frame + two element_at per token). < 2
+    * elements → empty (callers filter size ≥ 2 anyway — this avoids
+    * the descending sequence(1, 0) trap by construction). */
+  def adjacentPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = arr.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      out(i - 1) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](prev, cur))
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Adjacent token triples — the 3-token sibling of
+    * [[adjacentPairs]]. */
+  def adjacentTriples(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 2)
+    var a = arr.getUTF8String(0)
+    var b = arr.getUTF8String(1)
+    var i = 2
+    while (i < n) {
+      val c = arr.getUTF8String(i)
+      out(i - 2) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](a, b, c))
+      a = b; b = c
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of ISO-7064 mod-97-valid members of a string array (same
     * codegen rationale as [[luhnValidCount]]). */
   def ibanValidCount(arr: ArrayData): Long = {

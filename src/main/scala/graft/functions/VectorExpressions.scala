@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{toColumn, toExpression}
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for dense-vector math over
   * `ArrayType(FloatType)` embedding columns.
@@ -179,6 +179,119 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  // ---- PQ kernels (r18) ---------------------------------------------
+  // The PQ encode/ADC/error expressions were composed from zip_with +
+  // left-fold `aggregate` higher-order lambdas over `slice`s — which
+  // run INTERPRETED (the round-9 winnowing lesson: ~300× vs a codegen
+  // kernel) and allocate a slice array per (row, subspace, centroid).
+  // These kernels replay the identical IEEE trees: the fold is a
+  // sequential left-to-right double accumulation, the micro rounding
+  // is Spark's Round semantics (BigDecimal HALF_UP on finite doubles,
+  // pass-through on NaN/Inf, total non-ANSI double→long cast), and
+  // null elements / short vectors return null exactly where the
+  // zip_with null-padding nulled the SQL result.
+
+  /** Left-to-right Σ(x−y)² over subspace j of `v` against centroid
+    * `c`; NaN-free inputs only by contract of the callers. Returns
+    * NaN-poisoned sums exactly as the fold did. Double.NaN sentinel
+    * is NOT used for null — nullity is signalled by the callers. */
+  @inline private def l2sqAt(v: ArrayData, off: Int, c: Array[Double]): Double = {
+    var acc = 0.0
+    var k = 0
+    while (k < c.length) {
+      val d = v.getDouble(off + k) - c(k)
+      acc += d * d
+      k += 1
+    }
+    acc
+  }
+
+  @inline private def hasNullRange(v: ArrayData, off: Int, len: Int): Boolean = {
+    var k = 0
+    while (k < len) { if (v.isNullAt(off + k)) return true; k += 1 }
+    false
+  }
+
+  /** Spark `round(d, scale)` double semantics. */
+  @inline private def roundAt(d: Double, scale: Int): Double =
+    if (d.isNaN || d.isInfinite) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Non-ANSI double→long cast (total). */
+  @inline private def toLongCast(d: Double): Long =
+    if (d.isNaN) 0L
+    else if (d >= Long.MaxValue.toDouble) Long.MaxValue
+    else if (d <= Long.MinValue.toDouble) Long.MinValue
+    else d.toLong
+
+  /** PQ code assignment: argmin squared-L2 per subspace, ties to the
+    * smaller index (the array_sort(struct(d, idx)) rule — NaN
+    * distances order last, so an all-NaN subspace picks index 0,
+    * identical to the SQL form). Null on short vectors / null
+    * elements, where zip_with padding nulled the SQL fold. */
+  def pqAssignCodes(v: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    if (v.numElements() < m * sub || hasNullRange(v, 0, m * sub)) return null
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      var bestD = l2sqAt(v, off, cb(j)(0))
+      var bestI = 0
+      var i = 1
+      while (i < cb(j).length) {
+        val d = l2sqAt(v, off, cb(j)(i))
+        if (d < bestD) { bestD = d; bestI = i } // NaN never wins
+        i += 1
+      }
+      codes(j) = bestI
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Integer ADC: Σ_j round(round(l2sq_j, 6)·1e6)→long, LONG addition
+    * (wrapping, as SQL long + does). Null when the query vector is
+    * short / has null elements or `codes` has a null slot. */
+  def pqAdcMicro(codes: ArrayData, q: ArrayData,
+      cb: Array[Array[Array[Double]]]): Any = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    if (q.numElements() < m * sub || hasNullRange(q, 0, m * sub)) return null
+    var acc = 0L
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val c = cb(j)(codes.getInt(j))
+      val l2 = l2sqAt(q, j * sub, c)
+      acc += toLongCast(roundAt(roundAt(l2, 6) * 1000000.0, 0))
+      j += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** Per-subspace quantization error against the vector's OWN chosen
+    * centroid, micro-quantized like the ADC — array<long> of length m
+    * (position = subspace). Null under the same conditions as
+    * [[pqAdcMicro]]. */
+  def pqErrMicro(v: ArrayData, codes: ArrayData,
+      cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    if (v.numElements() < m * sub || hasNullRange(v, 0, m * sub)) return null
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val c = cb(j)(codes.getInt(j))
+      out(j) = toLongCast(roundAt(roundAt(l2sqAt(v, j * sub, c), 6) * 1000000.0, 0))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (`nOut × dim`),
     * derived per cell from md5("jl:seed:j:i") — the same portability
     * trick as the md5-60 hash family: any engine (the DuckDB oracle
@@ -269,6 +382,78 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `pq_assign_codes(vec)` → array<int>: PQ code assignment against a
+  * codebook literal (see [[VectorKernels.pqAssignCodes]]). */
+case class PqAssignCodes(child: Expression,
+    codebook: Array[Array[Array[Double]]]) extends UnaryExpression {
+  override def prettyName: String = "pq_assign_codes"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqAssignCodes(input.asInstanceOf[ArrayData], codebook)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorKernels.pqAssignCodes($c, $cbRef);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `pq_adc_micro(codes, qvec)` → bigint: integer asymmetric-distance
+  * score (see [[VectorKernels.pqAdcMicro]]). */
+case class PqAdcMicro(left: Expression, right: Expression,
+    codebook: Array[Array[Array[Double]]]) extends BinaryExpression {
+  override def prettyName: String = "pq_adc_micro"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(codes: Any, q: Any): Any =
+    VectorKernels.pqAdcMicro(codes.asInstanceOf[ArrayData],
+      q.asInstanceOf[ArrayData], codebook)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
+    val r = ctx.freshName("adc")
+    nullSafeCodeGen(ctx, ev, (c, q) => s"""
+      Object $r = graft.functions.VectorKernels.pqAdcMicro($c, $q, $cbRef);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `pq_err_micro(vec, codes)` → array<bigint>: per-subspace micro
+  * quantization error (see [[VectorKernels.pqErrMicro]]). */
+case class PqErrMicro(left: Expression, right: Expression,
+    codebook: Array[Array[Array[Double]]]) extends BinaryExpression {
+  override def prettyName: String = "pq_err_micro"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any, codes: Any): Any =
+    VectorKernels.pqErrMicro(v.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], codebook)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, c) => s"""
+      ${ev.value} = graft.functions.VectorKernels.pqErrMicro($v, $c, $cbRef);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `quantize_micro(vec)` → array<bigint>: per-element micro
   * quantization (see [[VectorKernels.quantizeMicro]] for the
   * bit-identity contract with the SQL round/cast tree). */
@@ -299,6 +484,14 @@ case class QuantizeMicro(child: Expression) extends UnaryExpression {
 object VectorFunctions {
   def quantize_micro(vec: Column): Column =
     toColumn(QuantizeMicro(toExpression(vec)))
+  def pq_assign_codes(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    toColumn(PqAssignCodes(toExpression(vec), cb))
+  def pq_adc_micro(codes: Column, qvec: Column,
+      cb: Array[Array[Array[Double]]]): Column =
+    toColumn(PqAdcMicro(toExpression(codes), toExpression(qvec), cb))
+  def pq_err_micro(vec: Column, codes: Column,
+      cb: Array[Array[Array[Double]]]): Column =
+    toColumn(PqErrMicro(toExpression(vec), toExpression(codes), cb))
   def cosine_similarity(a: Column, b: Column): Column =
     toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
   def dot_product(a: Column, b: Column): Column =

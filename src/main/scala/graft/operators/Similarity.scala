@@ -186,14 +186,6 @@ object Similarity {
       (rng.nextGaussian() * sigma).toFloat)))
   }
 
-  /** Squared L2 between an array<double> column slice and a centroid
-    * literal — the PQ distance kernel: zip_with + left-fold aggregate,
-    * all double ops on exact float→double widenings. */
-  private def l2sq(v: Column, c: Array[Float]): Column =
-    aggregate(zip_with(v, typedlit(c.map(_.toDouble)),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
-
   /** PQ encoding: each valid vector (declared dim, non-zero norm)
     * becomes `m` centroid indices — argmin squared-L2 per subspace,
     * ties to the smaller index. At 100 TB this is the compression
@@ -206,18 +198,22 @@ object Similarity {
     val m = codebook.length
     val sub = codebook(0)(0).length
     val v = col(corpusVec).cast("array<double>")
-    val codeCols = (0 until m).map { j =>
-      val s = slice(v, j * sub + 1, sub)
-      val cand = codebook(j).zipWithIndex.map { case (c, i) =>
-        struct(l2sq(s, c).as("d"), lit(i).as("idx"))
-      }
-      element_at(array_sort(array(cand.toIndexedSeq: _*)), 1).getField("idx")
-    }
+    // r18: argmin-per-subspace runs as ONE codegen kernel call
+    // (VectorKernels.pqAssignCodes) instead of an m × nCent forest of
+    // interpreted zip_with/aggregate lambdas over per-candidate slices
+    // (the round-9 HOF lesson); same fold order, same (d ASC, idx ASC)
+    // tie rule — code-identical output
     corpus
       .filter(size(col(corpusVec)) === m * sub &&
         dot_product(col(corpusVec), col(corpusVec)) > 0)
-      .select(col(corpusId), col(corpusVec), array(codeCols.toIndexedSeq: _*).as("codes"))
+      .select(col(corpusId), col(corpusVec),
+        pq_assign_codes(v, cbDouble(codebook)).as("codes"))
   }
+
+  /** Float→double widening of a codebook, done once per plan — the
+    * same values the SQL form's typedlit(c.map(_.toDouble)) shipped. */
+  private def cbDouble(cb: Array[Array[Array[Float]]]): Array[Array[Array[Double]]] =
+    cb.map(_.map(_.map(_.toDouble)))
 
   /** PQ ANN top-k with exact rerank — the production shortlist shape:
     * asymmetric-distance (ADC) scoring against the 8-byte codes
@@ -249,18 +245,13 @@ object Similarity {
     val m = codebook.length
     val sub = codebook(0)(0).length
     val qv = col(queryVec).cast("array<double>")
-    val adcMicro = (0 until m).map { j =>
-      val s = slice(qv, j * sub + 1, sub)
-      // centroid chosen by this row's j-th code, from the codebook
-      // literal (array-of-arrays travels with the task binary)
-      val chosen = element_at(
-        typedlit(codebook(j).map(_.map(_.toDouble).toSeq).toSeq),
-        col("codes").getItem(j) + 1)
-      round(round(aggregate(zip_with(s, chosen, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d) => acc + d), 6) * lit(1000000.0)).cast("long")
-    }.reduce(_ + _)
+    // r18: the per-(row, query) ADC is one codegen kernel call
+    // (VectorKernels.pqAdcMicro) instead of m interpreted
+    // zip_with/aggregate lambdas per pair — identical per-term
+    // rounding tree and LONG addition
     val adc = encoded.join(broadcast(queries))
-      .select(col(queryId), col(corpusId), adcMicro.as("adc_micro"))
+      .select(col(queryId), col(corpusId),
+        pq_adc_micro(col("codes"), qv, cbDouble(codebook)).as("adc_micro"))
     val topShort = udaf(new TopKScored(shortlist))
     val short = adc
       .groupBy(col(queryId))
@@ -294,25 +285,17 @@ object Similarity {
   def pqQuantizationError(encoded: DataFrame,
       codebook: Array[Array[Array[Float]]],
       corpusVec: String = "embedding"): DataFrame = {
-    val m = codebook.length
-    val sub = codebook(0)(0).length
     val v = col(corpusVec).cast("array<double>")
-    val terms = (0 until m).map { j =>
-      val s = slice(v, j * sub + 1, sub)
-      val chosen = element_at(
-        typedlit(codebook(j).map(_.map(_.toDouble).toSeq).toSeq),
-        col("codes").getItem(j) + 1)
-      struct(lit(j).as("subspace"),
-        round(round(aggregate(zip_with(s, chosen, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, d) => acc + d), 6) * lit(1000000.0)).cast("long")
-          .as("err"))
-    }
+    // r18: per-subspace errors come from one kernel call per vector
+    // (VectorKernels.pqErrMicro — array position = subspace) instead
+    // of m interpreted lambda terms; identical rounding tree
     encoded
-      .select(explode(array(terms.toIndexedSeq: _*)).as("t"))
-      .groupBy(col("t.subspace").as("subspace"))
+      .select(posexplode(pq_err_micro(v, col("codes"), cbDouble(codebook)))
+        .as(Seq("subspace", "err")))
+      .groupBy(col("subspace"))
       .agg(count(lit(1)).as("n_vectors"),
-        expr("sum(t.err) div count(1)").as("mean_err_micro"),
-        max(col("t.err")).as("max_err_micro"))
+        expr("sum(err) div count(1)").as("mean_err_micro"),
+        max(col("err")).as("max_err_micro"))
   }
 
   /** LSH-bucketed ANN top-k: only corpus vectors in the query's

@@ -1496,13 +1496,19 @@ object TextAnalysis {
       .select(col("da").as("doc_id"), col("db").as("nn_id"), col("dot"),
         ((col("dot").cast("double") * col("dot").cast("double")) /
           (col("na2").cast("double") * col("nb2").cast("double"))).as("__c2"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("__c2").desc, col("nn_id"))
-    scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("nn_id"), col("dot").cast("long").as("dot"),
-        round(col("__c2"), 6).as("cos2"))
+    // per-doc argmax as ONE partial+final min(struct) aggregation
+    // (r18, guide §2.3 "aggregate before you shuffle"): the former
+    // row_number window shuffled AND sorted the whole candidate pair
+    // relation per doc; the struct min combines map-side, carries
+    // 16 bytes per doc through the exchange, and orders identically —
+    // (-cos² ASC, nn ASC) = (cos² DESC, nn ASC); cos² ≥ 0 so the
+    // negation is sign-safe in IEEE doubles
+    scored.groupBy(col("doc_id"))
+      .agg(min(struct((-col("__c2")).as("nc"), col("nn_id").as("nn"),
+        col("dot").as("dot"), col("__c2").as("c2"))).as("__b"))
+      .select(col("doc_id"), col("__b.nn").as("nn_id"),
+        col("__b.dot").cast("long").as("dot"),
+        round(col("__b.c2"), 6).as("cos2"))
   }
 
   /** First-failing-rule attrition report: every document is attributed
@@ -2000,10 +2006,8 @@ object TextAnalysis {
     def pairFrame(df: DataFrame): DataFrame =
       tokFrame(df, idCol, textCol)
         .filter(size(col("__w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(__w) - 1), " +
-            "i -> struct(element_at(__w, i) as w1, element_at(__w, i + 1) as w2))"))
-          .as("__p"))
+        .select(col("doc_id"), explode(graft.functions.ShingleFunctions
+          .adjacent_pairs(col("__w"))).as("__p"))
         .select(col("doc_id"), col("__p.w1"), col("__p.w2"))
     val refPairs = pairFrame(ref)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
@@ -2071,11 +2075,8 @@ object TextAnalysis {
     def tripleFrame(df: DataFrame): DataFrame =
       tokFrame(df, idCol, textCol)
         .filter(size(col("__w")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(__w) - 2), " +
-            "i -> struct(element_at(__w, i) as w1, " +
-            "element_at(__w, i + 1) as w2, element_at(__w, i + 2) as w3))"))
-          .as("__p"))
+        .select(col("doc_id"), explode(graft.functions.ShingleFunctions
+          .adjacent_triples(col("__w"))).as("__p"))
         .select(col("doc_id"), col("__p.w1"), col("__p.w2"), col("__p.w3"))
     val refTris = tripleFrame(ref)
       .groupBy(col("w1"), col("w2"), col("w3"))
@@ -2140,11 +2141,8 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tri = tokFrame(docs, idCol, textCol)
       .filter(size(col("__w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(__w) - 2), " +
-          "i -> struct(element_at(__w, i) as w1, " +
-          "element_at(__w, i + 1) as w2, element_at(__w, i + 2) as w3))"))
-        .as("__p"))
+      .select(col("doc_id"), explode(graft.functions.ShingleFunctions
+        .adjacent_triples(col("__w"))).as("__p"))
       .join(docs.select(col(idCol).as("doc_id"), col(sourceCol).as("__src")),
         "doc_id")
       .select(col("__src"), col("__p.w1"), col("__p.w2"), col("__p.w3"))
@@ -2286,10 +2284,8 @@ object TextAnalysis {
     def pairFrame(df: DataFrame): DataFrame =
       tokFrame(df, idCol, textCol)
         .filter(size(col("__w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(__w) - 1), " +
-            "i -> struct(element_at(__w, i) as w1, element_at(__w, i + 1) as w2))"))
-          .as("__p"))
+        .select(col("doc_id"), explode(graft.functions.ShingleFunctions
+          .adjacent_pairs(col("__w"))).as("__p"))
         .select(col("doc_id"), col("__p.w1"), col("__p.w2"))
     val refPairs = pairFrame(ref)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
@@ -2663,10 +2659,8 @@ object TextAnalysis {
     // range(1, 1) is), so they must leave before the pair transform
     val best = vocab
       .filter(size(col("syms")) >= 2)
-      .select(col("c"), explode(expr(
-        "transform(sequence(1, size(syms) - 1), i -> " +
-          "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
-        .as("pr"))
+      .select(col("c"), explode(graft.functions.ShingleFunctions
+        .adjacent_pairs(col("syms"), "l", "r")).as("pr"))
       .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
       .agg(sum(col("c")).cast("bigint").as("cnt"))
       .agg(min(struct((-col("cnt")).as("nc"), col("l").as("l"),
@@ -3932,10 +3926,8 @@ object TextAnalysis {
       .select(col(groupCol).as("grp"),
         graft.functions.TextFunctions.words(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= 2)
-      .select(col("grp"), explode(expr(
-        "transform(sequence(1, size(__w) - 1), " +
-          "i -> struct(element_at(__w, i) AS w1, element_at(__w, i + 1) AS w2))"))
-        .as("__p"))
+      .select(col("grp"), explode(graft.functions.ShingleFunctions
+        .adjacent_pairs(col("__w"))).as("__p"))
       .groupBy(col("grp"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
       .agg(count(lit(1)).cast("bigint").as("c12"))
       .localCheckpoint(true) // feeds the left-context counts AND the cells
@@ -4223,10 +4215,8 @@ object TextAnalysis {
       s"pmiCollocations: minCount, topN must be positive, got ($minCount, $topN)")
     val pairs = tokFrame(docs, idCol, textCol)
       .filter(size(col("__w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(__w) - 1), " +
-          "i -> struct(element_at(__w, i) as w1, element_at(__w, i + 1) as w2))"))
-        .as("__p"))
+      .select(explode(graft.functions.ShingleFunctions
+        .adjacent_pairs(col("__w"))).as("__p"))
       .select(col("__p.w1"), col("__p.w2"))
     val pc = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).cast("bigint").as("n_pair"))

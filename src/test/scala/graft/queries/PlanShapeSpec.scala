@@ -412,14 +412,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Generate explode"), plan)
   }
 
-  test("x55: term equi-join candidates; argmax short-circuits via WindowGroupLimit") {
+  test("x55: term equi-join candidates; argmax is a partial+final " +
+    "min(struct) aggregation — no window, no per-doc sort (r18: the " +
+    "WindowGroupLimit form still sorted each exchange partition)") {
     val plan = physical(ExtensionQueries.x55(spark, sf001))
     // the only nested-loop join allowed is the 1-row doc-census
     // broadcast (the x39 bounds pattern) — never a doc×doc cartesian
     assert(!plan.contains("CartesianProduct"), plan)
-    // rn=1 must compile to the partial+final WindowGroupLimit pushdown
-    // (each map task keeps one candidate per doc before the exchange)
-    assert(plan.contains("WindowGroupLimit"), plan)
+    // the argmax must combine map-side (16 bytes per doc through the
+    // exchange) and never fall back to a window + sort
+    assert(!plan.contains("Window"), plan)
     assert(plan.contains("HashAggregate"), plan)
   }
 
