@@ -2654,9 +2654,8 @@ object TextAnalysis {
     * See [[bpeInduction]] for the greedy-merge decomposition. */
   private def bpeMergeRound(vocab: DataFrame, round: Int)
       : (DataFrame, DataFrame) = {
-    // fully-merged single-symbol words carry no pairs — and Spark's
-    // sequence(1, 0) is the DESCENDING [1, 0], not empty (DuckDB's
-    // range(1, 1) is), so they must leave before the pair transform
+    // fully-merged single-symbol words carry no pairs, so they leave
+    // before the pair explode
     val best = vocab
       .filter(size(col("syms")) >= 2)
       .select(col("c"), explode(graft.functions.ShingleFunctions
@@ -2668,7 +2667,13 @@ object TextAnalysis {
       .select(col("b.l").as("l"), col("b.r").as("r"), col("b.cnt").as("cnt"))
       .filter(col("l").isNotNull) // empty pair space → empty best
       .localCheckpoint(true) // 1 row; feeds the merge AND the output
-    val next = applyBestPair(vocab, best)
+    // r18: the merge application is a zero-shuffle kernel projection
+    // now, so round k+1 re-deriving round k's vocab is a chain of ≤ k
+    // broadcast-join projections over the CHECKPOINTED initial vocab —
+    // cheaper than the per-round eager checkpoint it replaces (which
+    // was a full materialization job per round when the application
+    // was a 3-exchange window plan)
+    val next = applyBestPair(vocab, best, checkpoint = false)
     (best.select(lit(round.toLong).as("round"), col("l").as("left_sym"),
       col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
       col("cnt").as("pair_count")), next)
@@ -2679,10 +2684,11 @@ object TextAnalysis {
     * documents. `best` must be ≤ 1 row with columns (l, r); an EMPTY
     * best passes every word through unchanged (LEFT join on true:
     * null l/r hit the `when` pass-through arm, so nothing merges).
-    * Returns the merged (wid, c, syms) frame, checkpointed so the
-    * next round never re-runs this one (`checkpoint = false` exists
-    * ONLY so PlanShapeSpec can pin the pre-checkpoint round plan —
-    * broadcast merge-slice join feeding a pure projection).
+    * Returns the merged (wid, c, syms) frame; `checkpoint = true`
+    * eagerly materializes it (no caller needs that since the kernel
+    * rewrite — the induction leaves rounds lazy, as a re-derivation is
+    * now a chain of ≤ rounds broadcast-join projections over the
+    * checkpointed initial vocab).
     *
     * r18 optimization (guide §2.4 + §1.2 step 2): the merge used to
     * run as posexplode → two wid-partitioned window passes →
