@@ -2773,7 +2773,20 @@ object TextAnalysis {
     * Output: (wid, c, syms) — each distinct word with ≥ 2 chars, its
     * occurrence count in `docs`, and its encoded symbol array. */
   def bpeEncode(docs: DataFrame, merges: DataFrame, rounds: Int = 6,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    bpeEncodeFromWordCounts(
+      docs
+        .select(explode(words(col(textCol))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("c")),
+      merges, rounds)
+
+  /** [[bpeEncode]] over a PRE-AGGREGATED (w, c) distinct-word frame —
+    * the shared-subtree form for callers that encode ONE corpus under
+    * SEVERAL merge tables (x276 encodes tokenizer v1 AND v2: one word
+    * aggregation, two kernel projections — r18). */
+  private[graft] def bpeEncodeFromWordCounts(wordCounts: DataFrame,
+      merges: DataFrame, rounds: Int): DataFrame = {
     import graft.functions.ShingleFunctions.{bpe_apply_merges, char_syms}
     require(rounds >= 1 && rounds <= 64,
       s"bpeEncode: rounds must be in [1, 64], got $rounds")
@@ -2785,10 +2798,7 @@ object TextAnalysis {
           " x -> x.left_sym)").as("__ls"),
         expr("transform(array_sort(collect_list(struct(round, right_sym)))," +
           " x -> x.right_sym)").as("__rs"))
-    docs
-      .select(explode(words(col(textCol))).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    wordCounts
       .crossJoin(broadcast(mergeArrays))
       .select(col("w").as("wid"), col("c"),
         bpe_apply_merges(char_syms(col("w")), col("__ls"), col("__rs"))

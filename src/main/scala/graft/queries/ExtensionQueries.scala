@@ -3316,14 +3316,23 @@ object ExtensionQueries {
       s, table, merges.filter(col("round") <= 4))
     val c6 = graft.sources.IndexArtifacts.saveBpeMerges(s, table, merges)
     graft.sources.SnapshotStore.vacuum(s, table, keepLast = 2)
+    // r18: the two served encodes read ONE corpus — tokenize and
+    // count once (the scorecard "one tokenization pass" rule), then
+    // each version is a kernel projection over the shared frames
+    val wc = d.select(explode(graft.functions.TextFunctions
+        .words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val srcWords = d.select(col("source"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .localCheckpoint(true)
     def perSource(m: DataFrame, rounds: Int, suffix: String) = {
-      val enc = TextAnalysis.bpeEncode(d, m, rounds)
+      val enc = TextAnalysis.bpeEncodeFromWordCounts(wc, m, rounds)
         .select(col("wid").as("__w"),
           size(col("syms")).cast("long").as("__t"))
-      d.select(col("source"),
-          explode(graft.functions.TextFunctions.words(col("text")))
-            .as("__w"))
-        .filter(length(col("__w")) >= 2)
+      srcWords
         .join(enc, Seq("__w"))
         .groupBy(col("source"))
         .agg(count(lit(1)).cast("bigint").as(s"n_words$suffix"),
