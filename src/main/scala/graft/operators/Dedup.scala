@@ -554,10 +554,19 @@ object Dedup {
       minCosine: Double = 0.95, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     // dim MUST match the data: a mismatched plane length makes every
     // dot_product null → all vectors share bucket 0 → silent O(n²)
-    val bucketed = materialize(emb.select(
+    // r19: ensureParallelism AFTER the checkpoint — when `emb` ends in
+    // an aggregation (x258's hashedEmbedding), AQE coalesces the
+    // checkpointed frame to ONE partition and the bucket self-join's
+    // probe side (pair fan-out + cosine per candidate) runs single-
+    // threaded (measured at sf0.1: 897k candidate pairs on 1 task =
+    // ~2.2 s of x258's 3.8 s). Post-checkpoint the partition count is
+    // the executed one, so the check is reliable; the round-robin
+    // exchange moves only the compact (id, vec, bucket) frame and is a
+    // no-op once the frame arrives already parallel (the 100 TB case).
+    val bucketed = ensureParallelism(materialize(emb.select(
         col(idCol).as("doc_id"), col(vecCol).as("vec"),
         Similarity.hyperplaneBucket(col(vecCol), nPlanes, dim).as("bucket"))
-      .filter(size(col("vec")) === dim))
+      .filter(size(col("vec")) === dim)))
     val a = bucketed.as("a"); val b = bucketed.as("b")
     a.join(b,
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))

