@@ -42,7 +42,7 @@ object Dedup {
     * single thread. Round-robin repartition of the raw docs is cheap
     * relative to hashing and restores full parallelism. No-op when the
     * input already has enough splits (the 100 TB case). */
-  private def ensureParallelism(df: DataFrame): DataFrame = {
+  private[operators] def ensureParallelism(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }

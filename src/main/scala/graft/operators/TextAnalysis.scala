@@ -2139,13 +2139,35 @@ object TextAnalysis {
     * avg_logp), ordered by (src_eval, src_train). */
   def crossSourcePerplexity(docs: DataFrame, sourceCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tri = tokFrame(docs, idCol, textCol)
+    // r19: source rides the token pass directly — the old shape
+    // re-joined the exploded triples back to `docs` by doc_id just to
+    // pick up the source column (a broadcast join evaluated once per
+    // triple); selecting it alongside the explode is the same rows
+    // with one operator less.
+    val tri = docs
+      .select(col(sourceCol).as("__src"),
+        graft.functions.TextFunctions.words(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= 3)
-      .select(col("doc_id"), explode(graft.functions.ShingleFunctions
+      .select(col("__src"), explode(graft.functions.ShingleFunctions
         .adjacent_triples(col("__w"))).as("__p"))
-      .join(docs.select(col(idCol).as("doc_id"), col(sourceCol).as("__src")),
-        "doc_id")
       .select(col("__src"), col("__p.w1"), col("__p.w2"), col("__p.w3"))
+    // r19: the grid's model joins all BROADCAST at this scale (cells
+    // and ctx are checkpointed ~207k-row frames), so the whole eval
+    // expansion (cells ×S sources, 4.1M rows at sf0.1 with S = 20) is
+    // one zero-shuffle probe chain into the partial aggregate — but
+    // its STREAM side was the AQE-coalesced 1-partition checkpoint,
+    // i.e. the entire ×20 fan-out, two hash probes and the log/round
+    // per grid row ran single-threaded (~2.2 s of x252's 3.2 s).
+    // ensureParallelism on JUST this branch fans the probe out over
+    // the cores; ctx/vs/srcs keep reading the compact checkpoint
+    // directly (tiny aggregates — repartitioning every consumer
+    // measured SLOWER, +1.1 s, from 4 extra single-threaded
+    // sort-before-repartition exchanges). Two alternatives measured
+    // worse at sf0.1 and are recorded in OPTIMIZATION_r19.md: a
+    // per-gram source→count map pivot (+2.3 s — map bytes ride every
+    // Generate/expansion row) and a per-(gram, train) lp table joined
+    // by gram (+0.6 s — five extra exchanges against a zero-shuffle
+    // broadcast chain).
     val cells = tri
       .groupBy(col("__src"), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).cast("bigint").as("__c"))
@@ -2155,7 +2177,7 @@ object TextAnalysis {
     val vs = cells.groupBy(col("__src"))
       .agg(count_distinct(col("w3")).cast("bigint").as("__v"))
     val srcs = cells.select(col("__src").as("src_train")).distinct()
-    val grid = cells
+    val grid = Dedup.ensureParallelism(cells)
       .select(col("__src").as("src_eval"), col("w1"), col("w2"), col("w3"),
         col("__c").as("__tf"))
       .crossJoin(broadcast(srcs))

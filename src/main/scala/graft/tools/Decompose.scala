@@ -113,6 +113,21 @@ object Decompose {
       }),
       "p_x252_full" -> (() =>
         graft.operators.TextAnalysis.crossSourcePerplexity(docs)),
+      "u_x252_counts" -> (() => {
+        import graft.functions.TextFunctions.words
+        val cells = docs.select(col("doc_id"), words(col("text")).as("__w"))
+          .filter(size(col("__w")) >= 3)
+          .select(col("doc_id"), explode(graft.functions.ShingleFunctions
+            .adjacent_triples(col("__w"))).as("__p"))
+          .join(docs.select(col("doc_id"), col("source").as("__src")),
+            "doc_id")
+          .select(col("__src"), col("__p.w1"), col("__p.w2"), col("__p.w3"))
+          .groupBy(col("__src"), col("w1"), col("w2"), col("w3"))
+          .agg(count(lit(1)).cast("bigint").as("__c"))
+        cells.agg(count(lit(1)).as("n_cells"),
+          count_distinct(col("__src")).as("n_src"),
+          count_distinct(col("w1"), col("w2"), col("w3")).as("n_grams"))
+      }),
       // r19: x258 stage 2 — the embedding-side near-dup over the
       // HASHED embedding (bucket skew suspect: lexical near-dups have
       // near-parallel hashed vectors by construction)
