@@ -3100,14 +3100,24 @@ object ExtensionQueries {
     * and x248's score transfer don't capture. */
   def x265(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    def assign(minJ: Double): DataFrame =
+    // r19: ONE sketch + candidate + exact-Jaccard pass feeds both
+    // thresholds — the minJaccard cut is a pure post-scoring filter in
+    // ngramJaccardNearDup, so pairs@0.975 ≡ pairs@0.2 filtered on the
+    // same 6-dp-rounded jaccard column (identical candidates,
+    // identical scores). The checkpointed pair relation is planted-
+    // duplicate-scale (≪ corpus); the old shape re-tokenized and
+    // re-scored the whole corpus per threshold.
+    val pairs = Dedup.ngramJaccardNearDup(
+      d, "doc_id", "text", ngram = 3, prefixK = 8, minJaccard = 0.2)
+      .localCheckpoint(true)
+    def assign(p: DataFrame): DataFrame =
       d.select(col("doc_id")).join(
-        Dedup.connectedComponents(Dedup.ngramJaccardNearDup(
-          d, "doc_id", "text", ngram = 3, prefixK = 8, minJaccard = minJ)),
+        Dedup.connectedComponents(p),
         Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    Dedup.clusteringAgreement(assign(0.2), assign(0.975))
+    Dedup.clusteringAgreement(assign(pairs),
+      assign(pairs.filter(col("jaccard") >= 0.975)))
   }
 
   /** x266 near-dup pair evidence — see
