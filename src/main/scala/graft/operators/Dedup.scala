@@ -443,9 +443,14 @@ object Dedup {
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 25): DataFrame = {
+    // r19: both edge directions come from ONE pass over `pairs` via a
+    // 2-way explode — the union form referenced the (often expensive,
+    // un-checkpointed) pair subtree twice in one plan.
     val edges = materialize(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      pairs.select(explode(array(
+          struct(col(aCol).as("src"), col(bCol).as("dst")),
+          struct(col(bCol).as("src"), col(aCol).as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .distinct())
     var labels = materialize(
       edges.select(col("src").as("node")).distinct()
@@ -456,6 +461,17 @@ object Dedup {
     var labelsMat = labels
     var changed = 1L
     var i = 0
+    // r19 NEGATIVE RESULTS (measured, reverted — see
+    // OPTIMIZATION_r19.md): (a) pointer jumping / label-link
+    // shortcutting (augmenting the neighbor join with v ↔ label(v)
+    // links) cut the x84 mutual-kNN iteration only 16 → 13 steps —
+    // min-label propagation is wavefront-bound, not pointer-chain-
+    // bound — while fattening every join; (b) batching TWO steps per
+    // materializing action halved the job count but the lazy step-1
+    // frame is referenced up to 4× by step 2's plan, so each batch
+    // re-derived it repeatedly and benched SLOWER (x84 3.9 → 5.3 s).
+    // The 1-job-per-round lazy-checkpoint loop below remains the
+    // measured optimum.
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("nbr")), "dst")
@@ -488,6 +504,8 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds " +
         s"($changed labels still changing) — raise maxIter or use a " +
         "large-star/small-star contraction for long-chain graphs")
+    if (sys.env.get("SPARK_GRAFT_CC_DEBUG").contains("1"))
+      println(s"[cc] converged in $i rounds")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

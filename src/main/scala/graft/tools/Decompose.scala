@@ -147,6 +147,20 @@ object Decompose {
         val n = bucketed.rdd.getNumPartitions
         bucketed.sparkSession.range(1).select(lit(n).as("n_parts"))
       }),
+      // r19: x84 decomposition — knn vs mutual-edges vs the CC loop
+      "v_x84_knn" -> (() => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        graft.operators.Similarity.knnGraph(emb, k = 3, nPlanes = 6, dim = 64)
+          .select(col("src"), col("dst"))
+      }),
+      "w_x84_mutual" -> (() => {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        graft.operators.Graph.mutualEdges(
+          graft.operators.Similarity.knnGraph(emb, k = 3, nPlanes = 6,
+            dim = 64).select(col("src"), col("dst")))
+      }),
+      "x_x84_full" -> (() => graft.queries.ExtensionQueries.all
+        .find(_._1 == "x84_embedding_clusters").get._2(spark, sfDir)),
       "s_x258_buckets" -> (() =>
         graft.operators.TextAnalysis.hashedEmbedding(docs, 64)
           .select(col("vec_id"),
