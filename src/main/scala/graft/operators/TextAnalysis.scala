@@ -2807,12 +2807,12 @@ object TextAnalysis {
     * the shared-subtree form for callers that encode ONE corpus under
     * SEVERAL merge tables (x276 encodes tokenizer v1 AND v2: one word
     * aggregation, two kernel projections — r18). */
-  private[graft] def bpeEncodeFromWordCounts(wordCounts: DataFrame,
-      merges: DataFrame, rounds: Int): DataFrame = {
-    import graft.functions.ShingleFunctions.{bpe_apply_merges, char_syms}
+  /** The 1-row (left-syms, right-syms) arrays of a round-capped merge
+    * table — the broadcastable form both encode entry points consume. */
+  private def bpeMergeArrays(merges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 64,
       s"bpeEncode: rounds must be in [1, 64], got $rounds")
-    val mergeArrays = merges
+    merges
       .select(col("round"), col("left_sym"), col("right_sym"))
       .filter(col("round") <= rounds)
       .agg(
@@ -2820,8 +2820,13 @@ object TextAnalysis {
           " x -> x.left_sym)").as("__ls"),
         expr("transform(array_sort(collect_list(struct(round, right_sym)))," +
           " x -> x.right_sym)").as("__rs"))
+  }
+
+  private[graft] def bpeEncodeFromWordCounts(wordCounts: DataFrame,
+      merges: DataFrame, rounds: Int): DataFrame = {
+    import graft.functions.ShingleFunctions.{bpe_apply_merges, char_syms}
     wordCounts
-      .crossJoin(broadcast(mergeArrays))
+      .crossJoin(broadcast(bpeMergeArrays(merges, rounds)))
       .select(col("w").as("wid"), col("c"),
         bpe_apply_merges(char_syms(col("w")), col("__ls"), col("__rs"))
           .as("syms"))
@@ -2829,6 +2834,32 @@ object TextAnalysis {
       // it against a fresh corpus explode; x276 reads it twice) starts
       // from the materialized vocab instead of re-running the agg —
       // ONE checkpoint job total, where the round-replay form cost 7
+      .localCheckpoint(true)
+  }
+
+  /** Two tokenizer versions encoded in ONE vocab pass (r19, VERDICT
+    * r18 item 6): the served v-old/v-new comparison (x276) used to run
+    * a separate kernel projection + checkpoint + corpus join per
+    * version over the SAME distinct-word frame; this emits both
+    * encodings side by side so the downstream per-source rollup joins
+    * the corpus once. Each column is the identical
+    * `bpe_apply_merges(char_syms(w), …)` kernel under its own
+    * version-pinned merge arrays — outputs are bit-equal to two
+    * single-version encodes by construction. */
+  private[graft] def bpeEncodeDualFromWordCounts(wordCounts: DataFrame,
+      mergesA: DataFrame, roundsA: Int,
+      mergesB: DataFrame, roundsB: Int): DataFrame = {
+    import graft.functions.ShingleFunctions.{bpe_apply_merges, char_syms}
+    val mB = bpeMergeArrays(mergesB, roundsB)
+      .select(col("__ls").as("__ls_b"), col("__rs").as("__rs_b"))
+    wordCounts
+      .crossJoin(broadcast(bpeMergeArrays(mergesA, roundsA)))
+      .crossJoin(broadcast(mB))
+      .select(col("w").as("wid"), col("c"),
+        bpe_apply_merges(char_syms(col("w")), col("__ls"), col("__rs"))
+          .as("syms_a"),
+        bpe_apply_merges(char_syms(col("w")), col("__ls_b"), col("__rs_b"))
+          .as("syms_b"))
       .localCheckpoint(true)
   }
 

@@ -3338,22 +3338,29 @@ object ExtensionQueries {
         explode(graft.functions.TextFunctions.words(col("text"))).as("__w"))
       .filter(length(col("__w")) >= 2)
       .localCheckpoint(true)
-    def perSource(m: DataFrame, rounds: Int, suffix: String) = {
-      val enc = TextAnalysis.bpeEncodeFromWordCounts(wc, m, rounds)
-        .select(col("wid").as("__w"),
-          size(col("syms")).cast("long").as("__t"))
-      srcWords
-        .join(enc, Seq("__w"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).cast("bigint").as(s"n_words$suffix"),
-          sum(col("__t")).cast("bigint").as(s"tokens$suffix"))
-    }
-    val v4 = perSource(graft.sources.IndexArtifacts.loadBpeMerges(
-      s, table, Some(c4.version)), 4, "_old")
-    val v6 = perSource(graft.sources.IndexArtifacts.loadBpeMerges(
-      s, table, Some(c6.version)), 6, "_new")
-    v4.join(v6, Seq("source"))
-      .select(col("source"), col("n_words_old").as("n_words"),
+    // r19 (VERDICT r18 item 6, step 2): BOTH version encodes come out
+    // of one kernel projection over the shared distinct-word frame
+    // (bpeEncodeDualFromWordCounts), so the corpus (source, word)
+    // frame joins the vocab ONCE and one aggregate emits both token
+    // sums — the old shape ran encode + join + agg per version. The
+    // per-version token counts are the identical kernels under the
+    // version-pinned merge arrays, and n_words is the same join
+    // cardinality either way (both encodes cover exactly the wc keys).
+    val enc = TextAnalysis.bpeEncodeDualFromWordCounts(wc,
+        graft.sources.IndexArtifacts.loadBpeMerges(s, table,
+          Some(c4.version)), 4,
+        graft.sources.IndexArtifacts.loadBpeMerges(s, table,
+          Some(c6.version)), 6)
+      .select(col("wid").as("__w"),
+        size(col("syms_a")).cast("long").as("__t4"),
+        size(col("syms_b")).cast("long").as("__t6"))
+    srcWords
+      .join(enc, Seq("__w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_words"),
+        sum(col("__t4")).cast("bigint").as("tokens_old"),
+        sum(col("__t6")).cast("bigint").as("tokens_new"))
+      .select(col("source"), col("n_words"),
         col("tokens_old"), col("tokens_new"),
         expr("(tokens_old - tokens_new) * 1000000L div tokens_old")
           .as("saved_micro"))
