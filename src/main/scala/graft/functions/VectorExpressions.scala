@@ -413,9 +413,13 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
   * codebook literal (see [[VectorKernels.pqAssignCodes]]). */
 case class PqAssignCodes(child: Expression,
     codebook: Array[Array[Array[Double]]]) extends UnaryExpression {
+  PqChecks.requireCodebook(codebook, "pq_assign_codes")
   override def prettyName: String = "pq_assign_codes"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes() =
+    PqChecks.expectDoubleArray("pq_assign_codes", child.dataType)
 
   override def nullSafeEval(input: Any): Any =
     VectorKernels.pqAssignCodes(input.asInstanceOf[ArrayData], codebook)
@@ -431,13 +435,46 @@ case class PqAssignCodes(child: Expression,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shared analysis-time validation for the PQ expressions (ADVICE
+  * r18: a wrong-typed child used to surface as a runtime
+  * ClassCastException instead of an analysis error, and an
+  * empty/ragged codebook as an NPE at first eval). */
+private[functions] object PqChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def expectDoubleArray(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn expects array<double> (callers cast the float vectors), " +
+        s"got ${other.sql}")
+  }
+  def expectIntArray(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn expects array<int>, got ${other.sql}")
+  }
+  def both(a: TypeCheckResult, b: => TypeCheckResult): TypeCheckResult =
+    if (a.isFailure) a else b
+  def requireCodebook(cb: Array[Array[Array[Double]]], fn: String): Unit = {
+    require(cb != null && cb.nonEmpty && cb.forall(s => s != null && s.nonEmpty),
+      s"$fn: codebook must have >= 1 centroid per subspace")
+    val sub = cb(0)(0).length
+    require(sub > 0 && cb.forall(_.forall(c => c != null && c.length == sub)),
+      s"$fn: codebook centroids must be non-empty and rectangular")
+  }
+}
+
 /** `pq_adc_micro(codes, qvec)` → bigint: integer asymmetric-distance
   * score (see [[VectorKernels.pqAdcMicro]]). */
 case class PqAdcMicro(left: Expression, right: Expression,
     codebook: Array[Array[Array[Double]]]) extends BinaryExpression {
+  PqChecks.requireCodebook(codebook, "pq_adc_micro")
   override def prettyName: String = "pq_adc_micro"
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = PqChecks.both(
+    PqChecks.expectIntArray("pq_adc_micro (codes)", left.dataType),
+    PqChecks.expectDoubleArray("pq_adc_micro (qvec)", right.dataType))
 
   override def nullSafeEval(codes: Any, q: Any): Any =
     VectorKernels.pqAdcMicro(codes.asInstanceOf[ArrayData],
@@ -461,9 +498,14 @@ case class PqAdcMicro(left: Expression, right: Expression,
   * quantization error (see [[VectorKernels.pqErrMicro]]). */
 case class PqErrMicro(left: Expression, right: Expression,
     codebook: Array[Array[Array[Double]]]) extends BinaryExpression {
+  PqChecks.requireCodebook(codebook, "pq_err_micro")
   override def prettyName: String = "pq_err_micro"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = PqChecks.both(
+    PqChecks.expectDoubleArray("pq_err_micro (vec)", left.dataType),
+    PqChecks.expectIntArray("pq_err_micro (codes)", right.dataType))
 
   override def nullSafeEval(v: Any, codes: Any): Any =
     VectorKernels.pqErrMicro(v.asInstanceOf[ArrayData],

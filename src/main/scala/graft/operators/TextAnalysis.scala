@@ -2812,14 +2812,21 @@ object TextAnalysis {
   private def bpeMergeArrays(merges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 64,
       s"bpeEncode: rounds must be in [1, 64], got $rounds")
+    // ONE sorted array feeds both projections (ADVICE r18): two
+    // independently-sorted collect_lists keyed by different secondary
+    // fields could silently desync left/right pairing if a malformed
+    // snapshot ever carried duplicate rounds; projecting both fields
+    // from a single sorted struct array makes the pairing intrinsic.
+    // (The transforms run once over a ≤64-element array on a 1-row
+    // frame — not a hot path.)
     merges
       .select(col("round"), col("left_sym"), col("right_sym"))
       .filter(col("round") <= rounds)
-      .agg(
-        expr("transform(array_sort(collect_list(struct(round, left_sym)))," +
-          " x -> x.left_sym)").as("__ls"),
-        expr("transform(array_sort(collect_list(struct(round, right_sym)))," +
-          " x -> x.right_sym)").as("__rs"))
+      .agg(expr("array_sort(collect_list(struct(round, left_sym, " +
+        "right_sym)))").as("__m"))
+      .select(
+        expr("transform(__m, x -> x.left_sym)").as("__ls"),
+        expr("transform(__m, x -> x.right_sym)").as("__rs"))
   }
 
   private[graft] def bpeEncodeFromWordCounts(wordCounts: DataFrame,

@@ -39,8 +39,17 @@ object ExtensionQueries {
   }
   private def docs(s: SparkSession, dir: String) =
     spread(Tables.load(s, dir, "documents"))
+  // embeddings stay UNSPREAD (measured, r19): the table is vector-
+  // count-scale (2k rows at sf0.1) and its consumers are multi-stage/
+  // iterative (power iteration, kNN+CC, PQ) — spreading it to 32
+  // partitions added ~2-5 ms × 32 tasks of scheduling per stage and
+  // benched emb-heavy queries SLOWER (x228 1.54 → 2.47 s, x189
+  // 2.01 → 3.50 s A/B), while every heavy-kernel win of the spread
+  // came from the docs() side. Operators that DO need a parallel
+  // probe over an embedding-derived frame restore it locally
+  // (embeddingNearDup's ensureParallelism after the checkpoint).
   private def emb(s: SparkSession, dir: String) =
-    spread(Tables.load(s, dir, "embeddings"))
+    Tables.load(s, dir, "embeddings")
 
   /** x01 exact content dedup (hash-groupBy). */
   def x01(s: SparkSession, dir: String): DataFrame =
@@ -2649,7 +2658,12 @@ object ExtensionQueries {
     * component would remove (vec_id ↔ doc_id carries the source, the
     * x222 join convention). */
   def x228(s: SparkSession, dir: String): DataFrame =
-    Similarity.whiteningAudit(emb(s, dir), docs(s, dir))
+    // unspread docs (r19): the audit reads only (doc_id, source) off
+    // the doc table for its source join — no heavy per-row kernel, so
+    // the spread exchange is pure added latency on the iterative
+    // emb-side pipeline (A/B: 1.54 → 2.47 s with it)
+    Similarity.whiteningAudit(emb(s, dir),
+      Tables.load(s, dir, "documents"))
 
   /** x229 duplicated-boilerplate catalog — see
     * [[graft.operators.TextAnalysis.duplicatedSubstringCatalog]]:
